@@ -1,0 +1,45 @@
+"""datalakecrawler_spark — a PySpark-native analytics engine with the
+capability surface of ``sanjaysan/DataLakeCrawler`` (a data-lake
+crawler/cataloger), rebuilt Spark-first from public knowledge.
+
+Capability contract: SURVEY.md §2 (97-operator inventory). The reference
+checkout at /root/reference is empty (SURVEY.md §0), so there are no
+reference file:line citations anywhere in this package — provenance per
+operator is recorded in SURVEY.md §2's [D]/[C]/[R] tags instead.
+
+Architecture: declarative DataFrame/SQL plans (Catalyst + Tungsten pick
+physical strategy); pandas UDFs only where built-in operators cannot
+express the semantics. Every public operator is registered in
+``registry`` with its DuckDB oracle SQL so the driver's correctness
+gate and our pytest harness share one source of truth.
+"""
+
+from datalakecrawler_spark import registry
+from datalakecrawler_spark.session import configure_session, get_spark
+
+
+def _load_all() -> None:
+    """Import every operator module so their @register calls run."""
+    from datalakecrawler_spark.functions import scalar  # noqa: F401
+    from datalakecrawler_spark.operators import (  # noqa: F401
+        aggregates,
+        filters,
+        joins,
+        sorts_setops,
+        windows,
+    )
+    from datalakecrawler_spark.pipeline import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+        vectors,
+    )
+    from datalakecrawler_spark.sources import catalog, scans  # noqa: F401
+    from datalakecrawler_spark.streaming import ops  # noqa: F401
+    from datalakecrawler_spark import udfs  # noqa: F401
+
+
+_load_all()
+
+__all__ = ["registry", "get_spark", "configure_session"]

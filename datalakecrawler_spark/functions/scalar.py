@@ -1,0 +1,1 @@
+"""Placeholder — operators land per SURVEY.md §7 build plan."""

@@ -1,0 +1,72 @@
+"""SparkSession factory + parity configuration.
+
+Two usage modes:
+- standalone (tests, bench): ``get_spark()`` builds a local session.
+- driver-provided: the verify driver passes its own SparkSession into
+  ``queries()`` callables; ``configure_session`` applies the runtime-
+  settable parity configs (timezone, AQE, Arrow, shuffle partitions)
+  to whatever session we are handed, so oracle comparison semantics do
+  not depend on who built the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs (safe to apply to an existing session).
+_RUNTIME_CONFS: dict[str, str] = {
+    # DuckDB timestamps are UTC-naive; pin Spark to UTC so TIMESTAMP
+    # values round-trip identically (SURVEY.md §2.L trap 5).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDFs / toPandas (vectorized Python boundary).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: we want permissive casts like classic SQL engines; all
+    # oracle queries are written to be ANSI-agnostic anyway.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def shuffle_partitions_for() -> str:
+    """Shuffle partitions ≈ local cores. At 100 TB on a real cluster this
+    is instead sized as total-input/128MB and AQE coalesces; in local
+    mode the default 200 would dominate sub-100ms queries."""
+    return os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime parity confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build → keep session default
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if cur > 64:  # default 200 → size for local mode
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions_for())
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "datalakecrawler-spark") -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for the fixture scale."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions_for())
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_session(spark)

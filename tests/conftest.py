@@ -1,0 +1,105 @@
+"""Shared pytest harness: one SparkSession, one DuckDB connection per
+session, and a compare helper that mimics the driver's correctness gate
+(row-count + schema-name + order-insensitive value compare) so a t2
+failure never surprises us.
+
+Default comparison runs at sf0.001 for speed; set DLC_TEST_SF_DIR to
+/root/testdata/sf0.01 to reproduce the driver's exact tier.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datalakecrawler_spark.io import TABLES, table_path  # noqa: E402
+
+SF_DIR = os.environ.get("DLC_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from datalakecrawler_spark.session import get_spark
+
+    s = get_spark("dlc-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{table_path(SF_DIR, t)}')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    """Canonicalize one value for order-insensitive comparison."""
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round-trip repr: engine-identical doubles stringify identically
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def rows_canon(cols, rows):
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def spark_result(df):
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    return cols, rows
+
+
+def duck_result(ddb, sql):
+    cur = ddb.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    return cols, rows
+
+
+def assert_parity(spark, ddb, name, min_rows=0):
+    """Run registry query `name` on Spark and its oracle on DuckDB,
+    assert schema-name + row-count + order-insensitive value equality."""
+    from datalakecrawler_spark import registry
+
+    q = registry.all_queries()[name]
+    scols, srows = spark_result(q.fn(spark, SF_DIR))
+    assert len(srows) >= min_rows, f"{name}: expected ≥{min_rows} rows, got {len(srows)}"
+    if q.oracle is None:
+        return srows  # rows-only operator: caller asserts semantics itself
+    dcols, drows = duck_result(ddb, q.oracle)
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: row count spark={len(srows)} duck={len(drows)}"
+    )
+    sc, dc = rows_canon(scols, srows), rows_canon(dcols, drows)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)}/{len(sc)} row mismatches; first: "
+        f"spark={mismatches[0][0]} duck={mismatches[0][1]}"
+    )
+    return srows
