@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline query suite (the 8 BASELINE.md
+queries) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol mirrors BASELINE.md: per query, run twice in the same warm
+SparkSession, report the second (warm) time; `value` is the warm suite
+total, which is what the 2× criterion tracks (per-query JVM overhead
+cannot amortize inside a 10 ms query — BASELINE.md "How the 2×
+criterion is applied").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_star_join",
+    "topk_per_group_window",
+    "distinct_users_daily",
+    "doc_wordcount",
+    "embedding_topk_cosine",
+    "rollup_order_priority",
+    "semi_anti_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from datalakecrawler_spark import registry
+    from datalakecrawler_spark.session import get_spark
+
+    spark = get_spark("dlc-bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    times: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # cold run: JIT/codegen/scan warm-up
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "n_queries": len(names),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

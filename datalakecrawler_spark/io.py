@@ -13,6 +13,7 @@ pruning; nothing in this module materializes data on the driver.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -35,4 +36,20 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). All fixture values
+    are µs-aligned (measured: 0 rows with sub-µs remainder), so we read
+    nanos as raw int64 and rebuild a TimestampType column losslessly.
+    ``div`` (integer division) is required — ``/`` would go through
+    double and lose precision above 2^53 ns."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -21,6 +21,11 @@ from datalakecrawler_spark.registry import AVG_D, SUM_D, davg, dsum, register
 
 _Q1_CUTOFF = "1998-09-02"
 
+# var/stddev/corr family: both engines accumulate M2 in streaming fashion
+# with order-dependent rounding; round(2) gives a grid coarse enough that
+# the ~1e-7 divergence cannot flip a digit (SURVEY.md §2.L trap 1/6).
+_STAT_SCALE = 2
+
 
 @register(
     "q1_pricing_summary",
@@ -59,4 +64,325 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_groupby_basic",
+    group="E",
+    oracle=f"""
+    select o_orderpriority,
+           count(*) as n_orders,
+           {SUM_D.format('o_totalprice')} as total_revenue,
+           min(o_totalprice) as min_price,
+           max(o_totalprice) as max_price,
+           {AVG_D.format('o_totalprice')} as avg_price
+    from orders group by o_orderpriority
+    """,
+)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: sum/avg/min/max/count by one key. min/max of doubles select an
+    existing value — bit-identical across engines, no rounding needed."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_revenue"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    group="E",
+    oracle="""
+    select o_orderstatus,
+           count(distinct o_custkey) as n_customers,
+           count(distinct o_orderpriority) as n_priorities
+    from orders group by o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: exact distinct per group (expand-then-aggregate under the hood)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@register("agg_approx_distinct", group="E", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: HLL approx distinct users per day (rows-only: HLL sketches are
+    engine-specific — SURVEY §2.L trap 6; exact twin is E2)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_filtered",
+    group="E",
+    oracle=f"""
+    select l_returnflag,
+           count(*) filter (where l_discount > 0.05) as n_discounted,
+           count(*) filter (where l_tax = 0) as n_taxfree,
+           {SUM_D.format('case when l_quantity > 40 then l_extendedprice else 0 end')}
+               as rev_bulk
+    from lineitem group by l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: conditional aggregation (count_if / sum(case when))."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+        dsum(
+            F.when(F.col("l_quantity") > 40, F.col("l_extendedprice")).otherwise(0.0)
+        ).alias("rev_bulk"),
+    )
+
+
+_ROLLUP_ORACLE = f"""
+    select o_orderpriority, o_orderstatus,
+           count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as total
+    from orders group by rollup(o_orderpriority, o_orderstatus)
+"""
+
+
+def _rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register("agg_rollup", group="E", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: ROLLUP(priority, status) — subtotals + grand total."""
+    return _rollup_orders(spark, sf_dir)
+
+
+@register("rollup_order_priority", group="E", oracle=_ROLLUP_ORACLE)
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline benchmark twin of E5 (BASELINE.md `rollup_order_priority`)."""
+    return _rollup_orders(spark, sf_dir)
+
+
+@register(
+    "agg_cube",
+    group="E",
+    oracle=f"""
+    select l_returnflag, l_linestatus,
+           count(*) as cnt,
+           {SUM_D.format('l_quantity')} as sum_qty
+    from lineitem group by cube(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: CUBE over 2 dims — all 4 grouping combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    group="E",
+    oracle="""
+    select o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) as g_status,
+           grouping(o_orderpriority) as g_priority,
+           count(*) as cnt
+    from orders
+    group by grouping sets ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: explicit GROUPING SETS + grouping() markers (via Spark SQL —
+    same Catalyst plan as the DataFrame API)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        select o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) as g_status,
+               grouping(o_orderpriority) as g_priority,
+               count(*) as cnt
+        from orders_gs
+        group by grouping sets ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_stats",
+    group="E",
+    oracle=f"""
+    select l_returnflag,
+           round(stddev_samp(l_quantity), {_STAT_SCALE}) + 0 as std_qty,
+           round(var_samp(l_quantity), {_STAT_SCALE}) + 0 as var_qty,
+           round(corr(l_extendedprice, l_quantity), 4) + 0 as corr_price_qty,
+           round(covar_pop(l_discount, l_tax), 6) + 0 as covar_disc_tax
+    from lineitem group by l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: statistical aggregates. corr is scale-free → round(4); covar of
+    two [0,0.1] columns is tiny → round(6); see _STAT_SCALE note."""
+    li = load(spark, sf_dir, "lineitem")
+    zero = F.lit(0.0)  # +0.0 canonicalizes IEEE -0.0 (DuckDB rounds to -0.0)
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_quantity"), _STAT_SCALE) + zero).alias("std_qty"),
+        (F.round(F.var_samp("l_quantity"), _STAT_SCALE) + zero).alias("var_qty"),
+        (F.round(F.corr("l_extendedprice", "l_quantity"), 4) + zero).alias(
+            "corr_price_qty"
+        ),
+        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + zero).alias(
+            "covar_disc_tax"
+        ),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    group="E",
+    oracle="""
+    select o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) as key_of_max,
+           arg_min(o_orderkey, o_totalprice) as key_of_min,
+           max(o_totalprice) as max_price
+    from orders group by o_orderpriority
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: max_by/min_by (DuckDB arg_max/arg_min). o_totalprice is a
+    continuous double → ties are absent, so the result is deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("key_of_max"),
+        F.min_by("o_orderkey", "o_totalprice").alias("key_of_min"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    group="E",
+    oracle="""
+    select l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) as p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) as p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) as p75
+    from lineitem group by l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: exact percentiles (percentile_cont interpolation in both
+    engines); round(4) absorbs last-ulp interpolation differences."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register("agg_percentile_approx", group="E", oracle=None)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: approximate p95 per event_type (rows-only: sketch algorithms
+    differ across engines — SURVEY §2.L trap 6)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.percentile_approx("value", 0.95).alias("p95_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    group="E",
+    oracle="""
+    select n_nationkey, list(s_suppkey order by s_suppkey) as suppliers
+    from nation join supplier on s_nationkey = n_nationkey
+    group by n_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: per-group sorted value list — array_sort(collect_list) because
+    collect_list order is nondeterministic (SURVEY §2.L trap 2)."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.array_sort(F.collect_list("s_suppkey")).alias("suppliers"))
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_pivot",
+    group="E",
+    oracle=f"""
+    select cast(ts as date) as day,
+           {', '.join(f"count(*) filter (where event_type = '{t}') as {t}"
+                      for t in _EVENT_TYPES)}
+    from events group by 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: pivot event_type → count columns. Explicit pivot values keep
+    the schema stable; fill 0 to match the oracle's count-filter (which
+    never yields NULL)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    group="E",
+    oracle="""
+    select distinct o_orderstatus, o_orderpriority from orders
+    """,
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: SELECT DISTINCT over a projection."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+@register(
+    "distinct_users_daily",
+    group="E",
+    oracle=f"""
+    select cast(ts as date) as day, event_type,
+           count(distinct user_id) as users,
+           {SUM_D.format('value')} as total_value
+    from events group by 1, 2
+    """,
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline (BASELINE.md): distinct users + value per day × type."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        dsum("value").alias("total_value"),
     )

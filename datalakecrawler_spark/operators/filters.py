@@ -1,1 +1,150 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group C — projections, filters, predicates (SURVEY.md §2.C).
+
+All predicates are plain Column expressions → Catalyst pushes them into
+the Parquet scan (PushedFilters) and prunes columns (ReadSchema). At
+100 TB this is the difference between scanning a full table and reading
+a few row-groups of two columns; never wrap these in Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+
+@register(
+    "project_select",
+    group="C",
+    oracle="""
+    select p_partkey, p_name, p_brand,
+           round(p_retailprice * 1.1, 6) as price_with_tax,
+           p_size * 2 as double_size
+    from part
+    """,
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: projection + computed columns + aliases (column pruning)."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 1.1, 6).alias("price_with_tax"),
+        (F.col("p_size") * 2).alias("double_size"),
+    )
+
+
+@register(
+    "filter_comparison",
+    group="C",
+    oracle="""
+    select l_orderkey, l_linenumber, l_quantity, l_shipdate
+    from lineitem
+    where l_shipdate <= timestamp '1996-06-30'
+      and l_quantity > 45.0
+    """,
+)
+def filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: <,<= on timestamp and > on numeric — parquet-pushed filters."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") <= F.lit("1996-06-30").cast("timestamp"))
+        & (F.col("l_quantity") > 45.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@register(
+    "filter_compound",
+    group="C",
+    oracle="""
+    select o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    from orders
+    where (o_orderstatus = 'F' and o_totalprice > 150000)
+       or (o_orderstatus <> 'F' and not (o_orderpriority = '5-LOW'))
+          and o_totalprice < 50000
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: AND/OR/NOT with SQL precedence (AND binds tighter than OR)."""
+    o = load(spark, sf_dir, "orders")
+    cond = ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)) | (
+        (F.col("o_orderstatus") != "F")
+        & (~(F.col("o_orderpriority") == "5-LOW"))
+        & (F.col("o_totalprice") < 50000)
+    )
+    return o.where(cond).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+
+@register(
+    "filter_in_between_like",
+    group="C",
+    oracle="""
+    select c_custkey, c_name, c_mktsegment, c_acctbal
+    from customer
+    where c_mktsegment in ('BUILDING', 'MACHINERY')
+      and c_acctbal between 0 and 5000
+      and c_name like '%1%'
+    """,
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: isin + between + like."""
+    c = load(spark, sf_dir, "customer")
+    return c.where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_acctbal").between(0, 5000)
+        & F.col("c_name").like("%1%")
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "filter_null_handling",
+    group="C",
+    oracle="""
+    select o_orderpriority, o_orderstatus, cnt from (
+        select o_orderpriority, o_orderstatus, count(*) as cnt
+        from orders group by rollup(o_orderpriority, o_orderstatus)
+    ) t
+    where o_orderstatus is null and o_orderpriority is not null
+    """,
+)
+def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: isNull/isNotNull over ROLLUP output (fixtures have no nulls,
+    so the rollup subtotal rows provide them)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("o_orderstatus").isNull() & F.col("o_orderpriority").isNotNull())
+    )
+
+
+@register(
+    "case_when",
+    group="C",
+    oracle="""
+    select case when l_quantity < 10 then 'small'
+                when l_quantity < 30 then 'medium'
+                when l_quantity < 45 then 'large'
+                else 'huge' end as qty_band,
+           count(*) as cnt
+    from lineitem group by 1
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: 3-branch CASE WHEN + ELSE, grouped."""
+    li = load(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .when(F.col("l_quantity") < 45, "large")
+        .otherwise("huge")
+    )
+    return (
+        li.select(band.alias("qty_band"))
+        .groupBy("qty_band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,1 +1,378 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group D — joins (SURVEY.md §2.D) + headline star join.
+
+Scale strategy per join type:
+- dims (region/nation/customer at most SFs) → explicit ``F.broadcast``
+  so the big side never shuffles (D1, D11).
+- fact⋈fact equi joins → let AQE pick sort-merge vs shuffled-hash; both
+  shuffle on the key, which is the unavoidable minimum (D2).
+- range/theta joins → never a raw cross product: bucketize the range
+  key to width ≥ the radius and equi-join on (bin, bin±1), turning an
+  O(N·M) nested loop into a shuffle join with a 3× candidate fan-out
+  (D9). At 100 TB this is the only formulation that finishes.
+- as-of join (no native Spark support) → union-tag + running
+  last(ignorenulls) window: one shuffle by key, no range explosion
+  (D10); semantically DuckDB's ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import SUM_D, dsum, register
+
+
+@register(
+    "join_inner_broadcast",
+    group="D",
+    oracle="""
+    select n_nationkey, n_name, r_name as region_name
+    from nation join region on n_regionkey = r_regionkey
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: small-dim equi join, broadcast pinned."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+
+
+@register(
+    "join_inner_shuffle",
+    group="D",
+    oracle="""
+    select l_orderkey, l_linenumber, o_orderdate, l_extendedprice
+    from lineitem join orders on l_orderkey = o_orderkey
+    where o_orderstatus = 'F'
+    """,
+)
+def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: large equi join (lineitem⋈orders). AQE selects SMJ or converts
+    to broadcast at runtime if the filtered side shrinks enough."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderdate", "l_extendedprice"
+    )
+
+
+@register(
+    "join_left_outer",
+    group="D",
+    oracle="""
+    select c_custkey, o_orderkey, o_totalprice
+    from customer left join orders
+      on o_custkey = c_custkey and o_orderstatus = 'P'
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: left outer — customers without a 'P' order get NULL fill."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right_outer",
+    group="D",
+    oracle="""
+    select c_custkey, o_orderkey, o_totalprice
+    from (select * from orders where o_orderstatus = 'P') o
+    right join customer on o_custkey = c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: right outer — mirror of D3."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full_outer",
+    group="D",
+    oracle="""
+    select c_custkey, c_name, o_orderkey
+    from (select * from customer where c_custkey <= 120) c
+    full join (select * from orders
+               where o_custkey between 80 and 200 and o_orderstatus = 'F') o
+      on c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: full outer with orphans manufactured on both sides (the FK
+    graph is clean, so unfiltered tables would have none)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 120)
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_custkey").between(80, 200) & (F.col("o_orderstatus") == "F")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_left_semi",
+    group="D",
+    oracle="""
+    select c_custkey, c_name from customer
+    where exists (select 1 from orders
+                  where o_custkey = c_custkey and o_orderstatus = 'F')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: EXISTS → left_semi (no row multiplication, no right columns)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    group="D",
+    oracle="""
+    select c_custkey, c_name from customer
+    where not exists (select 1 from orders where o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: NOT EXISTS → left_anti."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "semi_anti_join",
+    group="D",
+    oracle="""
+    select (select count(*) from customer
+            where c_custkey in (select o_custkey from orders)) as has_orders,
+           (select count(*) from customer
+            where c_custkey not in (select o_custkey from orders)) as no_orders
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline (BASELINE.md): one row (customers with orders, without).
+    o_custkey is never NULL, so NOT IN ≡ anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    has = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("has_orders"))
+    )
+    hasnt = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("no_orders"))
+    )
+    return has.crossJoin(hasnt)
+
+
+@register(
+    "join_cross",
+    group="D",
+    oracle="""
+    select r_name, s as status from region
+    cross join (select distinct o_orderstatus as s from orders) t
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: cross join of two small derived sets (5 × 3 rows)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    s = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+    )
+    return r.crossJoin(s)
+
+
+@register(
+    "join_theta_range",
+    group="D",
+    oracle="""
+    select a.p_partkey, count(*) as n_close
+    from part a join part b
+      on b.p_partkey <> a.p_partkey
+     and abs(a.p_retailprice - b.p_retailprice) <= 0.5
+    group by a.p_partkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: range self-join — parts within ±0.5 of each other's price.
+
+    Scale formulation: bucketize price into width-1.0 bins (width ≥ 2×
+    radius would double-count; width ≥ radius guarantees a match lies in
+    the same or adjacent bin) and equi-join on candidate bins. Each pair
+    is found exactly once because the right side explodes to exactly the
+    3 bins {b-1, b, b+1} and the left side's bin matches one of them.
+    The oracle states the naive O(N²) semantics; this plan is the one
+    that survives 100 TB (shuffle join on bin, 3× fan-out).
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    a = p.withColumn("bin", F.floor("p_retailprice"))
+    b = (
+        p.withColumnRenamed("p_partkey", "b_partkey")
+        .withColumnRenamed("p_retailprice", "b_price")
+        .withColumn("bin0", F.floor("b_price"))
+        .withColumn(
+            "bin",
+            F.explode(F.array(F.col("bin0") - 1, F.col("bin0"), F.col("bin0") + 1)),
+        )
+        .drop("bin0")
+    )
+    return (
+        a.join(b, "bin")
+        .where(
+            (F.col("b_partkey") != F.col("p_partkey"))
+            & (F.abs(F.col("p_retailprice") - F.col("b_price")) <= 0.5)
+        )
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+
+
+@register(
+    "join_asof",
+    group="D",
+    oracle="""
+    select p.event_id, p.user_id, p.ts as purchase_ts, c.ts as last_click_ts
+    from (select * from events where event_type = 'purchase') p
+    asof join (select * from events where event_type = 'click') c
+      on p.user_id = c.user_id and p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: as-of join — each purchase matched to the user's latest click
+    at ts ≤ purchase ts.
+
+    Spark has no native ASOF: union-tag both streams, sort within user by
+    (ts, clicks-first on ties), and carry the last non-null click ts with
+    a running last(ignorenulls) window. One shuffle on user_id, state is
+    a single value per row — linear at any scale, unlike a range join.
+    Clicks sort before purchases at equal ts, matching ASOF's >= bound.
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(0).alias("is_click"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where((F.col("is_click") == 0) & F.col("last_click_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+_Q3_ORACLE = f"""
+    select n_name, c_mktsegment,
+           {SUM_D.format('l_extendedprice * (1 - l_discount)')} as revenue,
+           count(distinct o_orderkey) as n_orders
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation on c_nationkey = n_nationkey
+    where o_orderdate >= timestamp '1996-01-01'
+    group by n_name, c_mktsegment
+    order by revenue desc, n_name, c_mktsegment
+    limit 20
+"""
+
+
+def _star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name", "c_mktsegment")
+        .limit(20)
+    )
+
+
+@register("q3_star_join", group="D", oracle=_Q3_ORACLE)
+def q3_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline (BASELINE.md): 4-way star join + agg + top-20. The date
+    filter pushes into the orders scan; customer and nation broadcast
+    (at 100 TB customer may exceed the threshold — AQE then falls back
+    to a shuffle join on the same plan)."""
+    return _star_join(spark, sf_dir)
+
+
+@register("join_multiway_star", group="D", oracle=_Q3_ORACLE)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: SURVEY §2 name for the star join (same plan as q3_star_join)."""
+    return _star_join(spark, sf_dir)
+
+
+@register(
+    "join_self",
+    group="D",
+    oracle="""
+    select o1.o_orderkey as orderkey, min(o2.o_orderdate) as next_orderdate
+    from orders o1 join orders o2
+      on o1.o_custkey = o2.o_custkey and o2.o_orderdate > o1.o_orderdate
+    group by o1.o_orderkey
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: self join — each order's next order date for the same
+    customer. (A window lead() would be cheaper; this entry exercises
+    the aliased self-join path deliberately.)"""
+    o = load(spark, sf_dir, "orders")
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o2.o_orderdate") > F.col("o1.o_orderdate")),
+        )
+        .groupBy(F.col("o1.o_orderkey").alias("orderkey"))
+        .agg(F.min("o2.o_orderdate").alias("next_orderdate"))
+    )

@@ -1,1 +1,133 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group G — sorts, limits, set operations (SURVEY.md §2.G).
+
+Scale notes: global ORDER BY is a range-partitioned sort (sampled
+boundaries); ORDER BY + LIMIT n compiles to TakeOrderedAndProject —
+per-partition top-n then a driver merge of n·P rows, no global sort.
+UNION ALL is a no-shuffle concatenation; DISTINCT / INTERSECT / EXCEPT
+shuffle on the full row — keep projections narrow before them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+
+@register(
+    "sort_multikey",
+    group="G",
+    oracle="""
+    select c_custkey, nullif(c_mktsegment, 'BUILDING') as seg, c_acctbal
+    from customer
+    order by seg asc nulls first, c_acctbal desc, c_custkey
+    limit 100
+    """,
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: multi-key sort with explicit nulls-first ordering. NULLs are
+    manufactured via nullif (fixtures are null-free); c_custkey makes
+    the order total so LIMIT is deterministic."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+            "c_acctbal",
+        )
+        .orderBy(
+            F.col("seg").asc_nulls_first(),
+            F.col("c_acctbal").desc(),
+            F.col("c_custkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "limit_topn",
+    group="G",
+    oracle="""
+    select o_orderkey, o_custkey, o_totalprice
+    from orders order by o_totalprice desc, o_orderkey limit 10
+    """,
+)
+def limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: global top-N → TakeOrderedAndProject (no full sort)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "setop_union_all",
+    group="G",
+    oracle="""
+    select o_orderkey, o_orderstatus from orders where o_totalprice > 250000
+    union all
+    select o_orderkey, o_orderstatus from orders where o_orderstatus = 'P'
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: UNION ALL of two (overlapping) slices — duplicates preserved."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 250000).select("o_orderkey", "o_orderstatus")
+    b = o.where(F.col("o_orderstatus") == "P").select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b)
+
+
+@register(
+    "setop_union_distinct",
+    group="G",
+    oracle="""
+    select o_custkey from orders where o_orderstatus = 'F'
+    union
+    select o_custkey from orders where o_orderstatus = 'P'
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: UNION (dedup) of two key sets."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "setop_intersect",
+    group="G",
+    oracle="""
+    select o_custkey from orders where o_orderstatus = 'F'
+    intersect
+    select o_custkey from orders where o_orderstatus = 'O'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: customers appearing in both status order sets."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "setop_except",
+    group="G",
+    oracle="""
+    select o_custkey from orders
+    except all
+    select o_custkey from orders where o_orderstatus = 'O'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: multiset difference (EXCEPT ALL) — also the snapshot-diff
+    primitive reused by catalog B7."""
+    o = load(spark, sf_dir, "orders")
+    a = o.select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.exceptAll(b)

@@ -94,17 +94,27 @@ def r6(col: Column | str) -> Column:
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent sum of a double expression (see module doc)."""
-    return F.round(F.sum(_c(col).cast(_DEC)).cast("double"), 6)
+    """Order-independent sum of a double expression (see module doc).
+
+    The final rounding happens IN DECIMAL (cast 38,10 → 38,6, HALF_UP in
+    both engines) before the double cast: at sum magnitudes ≥ ~4e9 the
+    double ulp (≥ 4.8e-7) is comparable to the 1e-6 round grid, so
+    rounding the already-cast double is engine-dependent at midpoints.
+    Decimal-rounding first makes the cast-to-double input identical.
+    """
+    return F.sum(_c(col).cast(_DEC)).cast("decimal(38,6)").cast("double")
 
 
 def davg(col: Column | str) -> Column:
-    """Order-independent mean: exact decimal sum / count, then round."""
+    """Order-independent mean: exact decimal sum / count, then round.
+    Safe for |avg| « 1e8 where the double grid is far finer than 1e-6
+    (sum/count division happens in double, identically in both engines).
+    """
     c = _c(col)
     return F.round(F.sum(c.cast(_DEC)).cast("double") / F.count(c), 6)
 
 
 # Oracle-side (DuckDB) templates matching dsum/davg. Usage:
 #   SUM_D.format("l_extendedprice * (1 - l_discount)")
-SUM_D = "round(cast(sum(cast({0} as decimal(38,10))) as double), 6)"
+SUM_D = "cast(cast(sum(cast({0} as decimal(38,10))) as decimal(38,6)) as double)"
 AVG_D = "round(cast(sum(cast({0} as decimal(38,10))) as double) / count({0}), 6)"

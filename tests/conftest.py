@@ -3,8 +3,8 @@ session, and a compare helper that mimics the driver's correctness gate
 (row-count + schema-name + order-insensitive value compare) so a t2
 failure never surprises us.
 
-Default comparison runs at sf0.001 for speed; set DLC_TEST_SF_DIR to
-/root/testdata/sf0.01 to reproduce the driver's exact tier.
+Default comparison runs at sf0.01 — the driver's exact t2 tier; set
+DLC_TEST_SF_DIR=/root/testdata/sf0.001 for a faster iteration loop.
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datalakecrawler_spark.io import TABLES, table_path  # noqa: E402
 
-SF_DIR = os.environ.get("DLC_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("DLC_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
