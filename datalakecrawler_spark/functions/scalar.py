@@ -1,1 +1,371 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group H — scalar functions: string / date / math / array / map / JSON
+(SURVEY.md §2.H).
+
+Cross-engine parity notes encoded below (SURVEY §2.L trap 4):
+- dayofweek: Spark Sun=1..Sat=7, DuckDB dow Sun=0..Sat=6 → oracle +1.
+- datediff: Spark datediff(end, start); DuckDB date_diff('day', start, end).
+- regexp_replace: Spark replaces ALL matches, DuckDB only the first →
+  oracle passes the 'g' flag.
+- ceil/floor: Spark returns LONG, DuckDB DOUBLE → oracle casts.
+- transcendentals (ln/exp/pow): libm results may differ in the last ulp
+  across engines → round(6) on those outputs.
+- array_distinct/list_distinct ordering is engine-specific → always
+  sort after distinct.
+
+Everything here is a built-in Column expression → whole-stage codegen,
+no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+
+@register(
+    "str_basics",
+    group="H",
+    oracle="""
+    select c_custkey,
+           lower(c_name) as lower_name,
+           upper(c_mktsegment) as upper_seg,
+           trim(concat('  ', c_name, ' ')) as trimmed,
+           length(c_name) as name_len,
+           substring(c_name, 1, 8) as prefix,
+           concat_ws('|', c_name, c_mktsegment) as joined,
+           lpad(cast(c_custkey as varchar), 10, '0') as padded_key
+    from customer
+    """,
+)
+def str_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: lower/upper/trim/length/substring/concat_ws/lpad."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lower_name"),
+        F.upper("c_mktsegment").alias("upper_seg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+    )
+
+
+@register(
+    "str_split_regexp",
+    group="H",
+    oracle="""
+    select p_partkey,
+           string_split(p_type, ' ') as type_words,
+           regexp_extract(p_type, '^([A-Z]+)', 1) as first_word,
+           regexp_replace(p_type, ' ', '_', 'g') as underscored
+    from part
+    """,
+)
+def str_split_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: split / regexp_extract / regexp_replace ('g' flag on the
+    DuckDB side — Spark always replaces globally)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split("p_type", " ").alias("type_words"),
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", " ", "_").alias("underscored"),
+    )
+
+
+@register(
+    "str_levenshtein",
+    group="H",
+    oracle="""
+    select c_custkey,
+           levenshtein(c_name, reverse(c_name)) as dist_rev,
+           levenshtein(c_mktsegment, 'MACHINERY') as dist_seg
+    from customer
+    """,
+)
+def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: edit distance — the fuzzy-match primitive behind dedup (J2)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.reverse("c_name")).alias("dist_rev"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("dist_seg"),
+    )
+
+
+@register(
+    "date_parts",
+    group="H",
+    oracle="""
+    select o_orderkey,
+           date_part('year', o_orderdate) as yr,
+           date_part('month', o_orderdate) as mon,
+           date_part('day', o_orderdate) as dom,
+           date_part('quarter', o_orderdate) as qtr,
+           date_part('dow', o_orderdate) + 1 as dow,
+           date_part('doy', o_orderdate) as doy,
+           cast(date_trunc('month', o_orderdate) as timestamp) as month_start
+    from orders
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: date part extraction. DuckDB dow is 0-based Sunday → +1 to
+    match Spark's 1-based Sunday convention."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@register(
+    "date_arith",
+    group="H",
+    oracle="""
+    select o_orderkey,
+           date_diff('day', cast(o_orderdate as date), date '2000-01-01')
+               as days_to_y2k,
+           cast(cast(o_orderdate as date) + interval 3 month as date)
+               as plus_3_months,
+           last_day(cast(o_orderdate as date)) as month_end,
+           cast(epoch(o_orderdate) as bigint) as unix_sec,
+           cast(to_timestamp(cast(epoch(o_orderdate) as bigint)) as timestamp)
+               as round_trip
+    from orders
+    """,
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: datediff / add_months / last_day / unix round-trip. Spark's
+    datediff(end, start) maps to DuckDB date_diff('day', start, end) —
+    note the swapped argument order."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus_3_months"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("round_trip"),
+    )
+
+
+@register(
+    "math_fns",
+    group="H",
+    oracle="""
+    select p_partkey,
+           round(p_retailprice, 1) as price_r1,
+           abs(p_retailprice - 1500) as dist_from_1500,
+           cast(ceil(p_retailprice) as bigint) as price_ceil,
+           cast(floor(p_retailprice) as bigint) as price_floor,
+           round(sqrt(p_retailprice), 6) as price_sqrt,
+           round(ln(p_retailprice), 6) as price_ln,
+           round(pow(p_size, 2), 6) as size_sq,
+           p_size % 7 as size_mod,
+           cast(sign(p_retailprice - 1500.0) as double) as price_sign
+    from part
+    """,
+)
+def math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: math functions. ceil/floor cast to bigint (DuckDB returns
+    double); ln/pow rounded (libm last-ulp variance); avoid bround —
+    half-even has no DuckDB twin."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.abs(F.col("p_retailprice") - 1500).alias("dist_from_1500"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2)), 6).alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.signum(F.col("p_retailprice") - 1500.0).alias("price_sign"),
+    )
+
+
+@register(
+    "cond_fns",
+    group="H",
+    oracle="""
+    select c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') as seg_or_other,
+           nullif(c_nationkey, 0) as nation_nz,
+           greatest(c_acctbal, 0.0) as bal_floor0,
+           least(c_acctbal, 1000.0) as bal_cap1k
+    from customer
+    """,
+)
+def cond_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7: coalesce/nullif/greatest/least (nullif manufactures NULLs —
+    the fixtures have none)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nation_nz"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+    )
+
+
+@register(
+    "arr_basics",
+    group="H",
+    oracle="""
+    select doc_id,
+           len(string_split(text, ' ')) as n_tokens,
+           list_contains(string_split(text, ' '), 'table') as has_table,
+           string_split(text, ' ')[1:3] as first3,
+           list_sort(list_distinct(string_split(text, ' ')))[1:5] as vocab5
+    from documents
+    """,
+)
+def arr_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8: size/contains/slice + sorted distinct over tokenized text.
+    distinct is always sorted before output — element order after
+    dedup is engine-specific."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "table").alias("has_table"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("vocab5"),
+    )
+
+
+@register(
+    "arr_explode",
+    group="H",
+    oracle="""
+    select doc_id,
+           unnest(range(len(string_split(text, ' ')))) as pos,
+           unnest(string_split(text, ' ')) as tok
+    from documents
+    where doc_id < 50
+    """,
+)
+def arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9: posexplode tokens → (doc_id, pos, tok) rows. The DuckDB twin
+    zips two aligned unnests (no WITH ORDINALITY in DuckDB); Spark's
+    posexplode is 0-based, matching range()."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+
+
+@register(
+    "arr_higher_order",
+    group="H",
+    oracle="""
+    select vec_id,
+           round(list_aggregate(list_transform(embedding,
+                 x -> cast(x as double) * cast(x as double)), 'sum'), 6)
+               as sum_sq,
+           len(list_filter(embedding, x -> x > 0)) as n_positive,
+           round(list_aggregate(list_transform(list_zip(embedding, embedding),
+                 p -> cast(p[1] as double) * cast(p[2] as double)), 'sum'), 6)
+               as self_dot
+    from embeddings
+    """,
+)
+def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10: transform/filter/aggregate/zip_with lambdas over the
+    embedding vectors (all evaluate JVM-side — SQL lambda, not UDF).
+    Floats cast to double before arithmetic so both engines accumulate
+    in double; round(6) absorbs summation-order ulps (values ≈ 1)."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sum_sq = F.aggregate(
+        F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    self_dot = F.aggregate(
+        F.zip_with(emb, emb, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(sum_sq, 6).alias("sum_sq"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.round(self_dot, 6).alias("self_dot"),
+    )
+
+
+@register(
+    "map_json_get",
+    group="H",
+    oracle="""
+    select event_id,
+           props ->> '$.k' as k_str,
+           cast(props ->> '$.k' as int) as k_int,
+           json_keys(props) as prop_keys
+    from events
+    """,
+)
+def map_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H11: JSON scalar extraction from events.props (a JSON object
+    string like '{"k": 69}') + key listing via from_json → map."""
+    e = load(spark, sf_dir, "events")
+    as_map = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.map_keys(as_map).alias("prop_keys"),
+    )
+
+
+@register("json_schema_infer", group="H", oracle=None)
+def json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12: crawler JSON classification — schema_of_json on a sampled
+    props payload (rows-only: DDL strings are Spark-specific)."""
+    e = load(spark, sf_dir, "events")
+    sample = e.select("props").limit(1).collect()[0][0]
+    return e.select(
+        F.lit("props").alias("field"),
+        F.schema_of_json(F.lit(sample)).alias("inferred_schema"),
+    ).limit(1)
+
+
+@register(
+    "hash_fns",
+    group="H",
+    oracle="""
+    select doc_id,
+           sha256(lower(trim(text))) as text_sha256,
+           md5(lower(trim(text))) as text_md5
+    from documents
+    """,
+)
+def hash_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13: cross-engine-stable content hashes (dedup keys). xxhash64 is
+    Spark-internal (no DuckDB twin) — portable keys use sha2/md5 only
+    (SURVEY §2.L trap 7)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("text_sha256"),
+        F.md5(norm).alias("text_md5"),
+    )

@@ -1,1 +1,263 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group F — window functions (SURVEY.md §2.F) + headline top-k.
+
+Parity traps handled here (SURVEY §2.L trap 3):
+- every ORDER BY inside a window carries a unique tie-break key, so
+  rank/ntile/lag assignments are deterministic;
+- windowed SUMs go through decimal: DuckDB evaluates window aggregates
+  with a segment tree (different addition order than Spark's running
+  accumulation), so double sums would drift in the last ulp.
+
+Scale: a window = one shuffle on partitionBy keys + per-partition sort.
+Top-k per group (F1) filters rn<=k immediately after row_number — at
+100 TB Spark pushes a per-partition limit (WindowGroupLimit) before the
+shuffle, so the full ranked set never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+_DEC = "decimal(38,10)"
+
+_TOPK_ORACLE = """
+    select c_mktsegment, c_name, c_acctbal, rn from (
+        select c_mktsegment, c_name, c_acctbal,
+               row_number() over (partition by c_mktsegment
+                                  order by c_acctbal desc, c_custkey) as rn
+        from customer) t
+    where rn <= 5
+"""
+
+
+def _topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_name", "c_acctbal", "rn")
+    )
+
+
+@register("win_row_number_topk", group="F", oracle=_TOPK_ORACLE)
+def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: top-5 customers per segment by balance (unique c_custkey
+    tie-break makes row_number deterministic)."""
+    return _topk_per_group(spark, sf_dir)
+
+
+@register("topk_per_group_window", group="F", oracle=_TOPK_ORACLE)
+def topk_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline benchmark twin of F1 (BASELINE.md)."""
+    return _topk_per_group(spark, sf_dir)
+
+
+@register(
+    "win_rank_dense",
+    group="F",
+    oracle="""
+    select o_orderkey, o_orderstatus, o_orderpriority,
+           rank() over (partition by o_orderstatus order by o_orderpriority) as rnk,
+           dense_rank() over (partition by o_orderstatus
+                              order by o_orderpriority) as drnk
+    from orders
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: rank + dense_rank with massive ties (5 priorities) — tie
+    groups share rank values, so the result set is still deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile_percent",
+    group="F",
+    oracle="""
+    select c_custkey, c_mktsegment,
+           ntile(4) over w as quartile,
+           percent_rank() over w as pct_rank,
+           cume_dist() over w as cume
+    from customer
+    window w as (partition by c_mktsegment order by c_acctbal, c_custkey)
+    """,
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: ntile/percent_rank/cume_dist. (rank-1)/(n-1) and rank/n are
+    exact small-int divisions — identical doubles in both engines given
+    the deterministic (c_acctbal, c_custkey) order."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    group="F",
+    oracle="""
+    select event_id, user_id, value,
+           value - lag(value) over w as delta_prev,
+           lead(event_id) over w as next_event
+    from events
+    window w as (partition by user_id order by ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: per-user deltas via lag/lead (event_id breaks ts ties)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@register(
+    "win_running_sum",
+    group="F",
+    oracle=f"""
+    with daily as (
+        select cast(o_orderdate as date) as day,
+               sum(cast(o_totalprice as {_DEC})) as rev
+        from orders group by 1
+    )
+    select day,
+           cast(cast(rev as decimal(38,6)) as double) as day_rev,
+           cast(cast(sum(rev) over (order by day
+                     rows between unbounded preceding and current row)
+                as decimal(38,6)) as double) as cum_rev
+    from daily
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: cumulative revenue by day. Both the daily and the running sum
+    stay in decimal until the final cast (DuckDB's segment-tree window
+    accumulation would drift from Spark's running sum in double)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        F.col("rev").cast("decimal(38,6)").cast("double").alias("day_rev"),
+        F.sum("rev").over(w).cast("decimal(38,6)").cast("double").alias("cum_rev"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    group="F",
+    oracle=f"""
+    with daily as (
+        select date_diff('day', date '2024-01-01', cast(ts as date)) as day_num,
+               sum(cast(value as {_DEC})) as rev,
+               count(*) as n
+        from events group by 1
+    )
+    select day_num,
+           round(cast(sum(rev) over w as double) / sum(n) over w, 6) as avg_7d
+    from daily
+    window w as (order by day_num range between 6 preceding and current row)
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: 7-day moving average of event value — RANGE frame over an
+    integer day number (robust to missing days, unlike a rows frame).
+    Decimal numerator / exact count → deterministic division."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day_num"
+        )
+    ).agg(
+        F.sum(F.col("value").cast(_DEC)).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = W.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day_num",
+        F.round(
+            F.sum("rev").over(w).cast("double") / F.sum("n").over(w), 6
+        ).alias("avg_7d"),
+    )
+
+
+@register(
+    "win_first_last",
+    group="F",
+    oracle="""
+    select c_custkey, c_mktsegment, c_acctbal,
+           first_value(c_acctbal) over w as seg_min_bal,
+           last_value(c_acctbal) over w as seg_max_bal
+    from customer
+    window w as (partition by c_mktsegment order by c_acctbal, c_custkey
+                 rows between unbounded preceding and unbounded following)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: first/last value with an explicit full-partition frame (the
+    default frame would make last_value = current row)."""
+    c = load(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.first("c_acctbal").over(w).alias("seg_min_bal"),
+        F.last("c_acctbal").over(w).alias("seg_max_bal"),
+    )
+
+
+@register(
+    "win_agg_over",
+    group="F",
+    oracle=f"""
+    select o_orderkey, o_orderpriority, o_totalprice,
+           round(o_totalprice /
+                 cast(sum(cast(o_totalprice as {_DEC}))
+                      over (partition by o_orderpriority) as double),
+                 10) as ratio_to_group
+    from orders
+    """,
+)
+def win_agg_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: aggregate-as-window — each order's share of its priority
+    group's revenue. Group total computed in decimal (order-independent),
+    ratio rounded at 1e-10 (values ~1e-5, double ulp ~1e-21 → safe)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority")
+    total = F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") / total, 10).alias("ratio_to_group"),
+    )
