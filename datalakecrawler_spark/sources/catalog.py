@@ -1,1 +1,233 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group B — crawler/catalog operators (SURVEY.md §2.B): the reference
+system's core domain. A data-lake crawler walks datasets, infers
+schemas, profiles columns, and detects changes between crawl runs;
+each operator below is one of those catalog products as a DataFrame.
+
+Scale design (SURVEY §4): the profiler computes ALL statistics for ALL
+columns of a table in ONE aggregation pass (a single `agg(*exprs)` →
+one scan, map-side partials), then unpivots to catalog rows — never one
+job per column. Snapshot diff is `exceptAll` (shuffle on the full row),
+run on narrow key projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import TABLES, load
+from datalakecrawler_spark.registry import AVG_D, davg, register
+
+
+@register("catalog_infer_schema", group="B", oracle=None)
+def catalog_infer_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: dataset → schema_field catalog rows (field name, position,
+    Spark DDL type, nullability) for every fixture table. This is the
+    crawler's central artifact; rows-only because type names are
+    engine-specific (Spark DDL vs DuckDB types)."""
+    rows = []
+    for t in TABLES:
+        for i, f in enumerate(load(spark, sf_dir, t).schema.fields):
+            rows.append(
+                Row(
+                    dataset=t,
+                    field_name=f.name,
+                    position=i,
+                    spark_type=f.dataType.simpleString(),
+                    nullable=f.nullable,
+                )
+            )
+    return spark.createDataFrame(rows)
+
+
+_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "catalog_profile_numeric",
+    group="B",
+    oracle=" union all ".join(
+        f"""
+        select '{c}' as column_name,
+               count({c}) as cnt,
+               min({c}) as min_v,
+               max({c}) as max_v,
+               {AVG_D.format(c)} as avg_v,
+               round(stddev_samp({c}), 2) + 0 as std_v
+        from lineitem
+        """
+        for c in _NUM_COLS
+    ),
+)
+def catalog_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: numeric column profile — count/min/max/avg/stddev for every
+    numeric column in ONE scan (single agg pass, then unpivot with
+    stack), not one job per column."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _NUM_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__cnt"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            davg(c).alias(f"{c}__avg"),
+            (F.round(F.stddev_samp(c), 2) + F.lit(0.0)).alias(f"{c}__std"),
+        ]
+    wide = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', cast({c}__cnt as bigint), {c}__min, {c}__max, {c}__avg, {c}__std"
+        for c in _NUM_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_NUM_COLS)}, {stack_expr}) as "
+        "(column_name, cnt, min_v, max_v, avg_v, std_v)"
+    )
+
+
+@register("catalog_profile_distinct", group="B", oracle=None)
+def catalog_profile_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: approximate NDV per column via HLL — the 100 TB-scale
+    profiler path (constant memory per column; exact twin is B4).
+    Rows-only: HLL estimates are engine-specific."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    wide = o.agg(
+        *[F.approx_count_distinct(c).alias(f"{c}__ndv") for c in cols]
+    )
+    stack_expr = ", ".join(f"'{c}', {c}__ndv" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column_name, approx_ndv)"
+    )
+
+
+@register(
+    "catalog_profile_distinct_exact",
+    group="B",
+    oracle="""
+    select 'o_custkey' as column_name, count(distinct o_custkey) as ndv from orders
+    union all
+    select 'o_orderstatus', count(distinct o_orderstatus) from orders
+    union all
+    select 'o_orderpriority', count(distinct o_orderpriority) from orders
+    union all
+    select 'o_orderdate', count(distinct o_orderdate) from orders
+    """,
+)
+def catalog_profile_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: exact NDV per column (one pass, expand-based)."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    wide = o.agg(*[F.countDistinct(c).alias(f"{c}__ndv") for c in cols])
+    stack_expr = ", ".join(f"'{c}', {c}__ndv" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column_name, ndv)"
+    )
+
+
+@register(
+    "catalog_topk_values",
+    group="B",
+    oracle="""
+    select column_name, value, cnt, rk from (
+        select column_name, value, cnt,
+               row_number() over (partition by column_name
+                                  order by cnt desc, value) as rk
+        from (
+            select 'lang' as column_name, lang as value, count(*) as cnt
+            from documents group by 2
+            union all
+            select 'source', source, count(*) from documents group by 2
+        ) t
+    ) ranked where rk <= 10
+    """,
+)
+def catalog_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: top-k frequent values per categorical column (k=10) — the
+    profiler's most-common-values list. Deterministic (cnt desc, value)
+    tie-break."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy(F.lit("lang").alias("column_name"), F.col("lang").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionByName(
+            d.groupBy(
+                F.lit("source").alias("column_name"),
+                F.col("source").alias("value"),
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    )
+    w = W.partitionBy("column_name").orderBy(F.col("cnt").desc(), "value")
+    return counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+
+
+@register(
+    "catalog_null_fraction",
+    group="B",
+    oracle="""
+    select count(*) as n_rows,
+           sum(case when nullif(c_mktsegment, 'BUILDING') is null
+                    then 1 else 0 end) as n_null_seg,
+           round(sum(case when nullif(c_mktsegment, 'BUILDING') is null
+                          then 1 else 0 end) * 1.0 / count(*), 6) as null_frac
+    from customer
+    """,
+)
+def catalog_null_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: null count/fraction per column (profiler completeness stat).
+    Fixtures are null-free, so nullif manufactures the nulls."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    n_null = F.sum(seg.isNull().cast("long"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        n_null.alias("n_null_seg"),
+        F.round(n_null * 1.0 / F.count(F.lit(1)), 6).alias("null_frac"),
+    )
+
+
+@register(
+    "catalog_snapshot_diff",
+    group="B",
+    oracle="""
+    select o_orderkey, o_orderstatus from orders
+    except all
+    select o_orderkey, o_orderstatus from orders where o_orderstatus <> 'P'
+    """,
+)
+def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: crawl change detection — rows present in the new snapshot but
+    not the old (old simulated as the non-'P' subset). exceptAll keeps
+    multiplicity, the correct semantics for append-heavy lakes."""
+    o = load(spark, sf_dir, "orders")
+    new = o.select("o_orderkey", "o_orderstatus")
+    old = o.where(F.col("o_orderstatus") != "P").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return new.exceptAll(old)
+
+
+@register(
+    "catalog_row_count_estimate",
+    group="B",
+    oracle="""
+    select 'orders' as dataset, count(*) as n_rows from orders
+    union all select 'lineitem', count(*) from lineitem
+    union all select 'customer', count(*) from customer
+    union all select 'events', count(*) from events
+    """,
+)
+def catalog_row_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: per-dataset row counts (Parquet footer-only scan — Spark
+    serves count(*) from row-group metadata, no data pages read)."""
+    frames = [
+        load(spark, sf_dir, t).agg(
+            F.lit(t).alias("dataset"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in ["orders", "lineitem", "customer", "events"]
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

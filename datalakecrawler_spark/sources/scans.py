@@ -1,1 +1,123 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group A — scans, sources, sinks (SURVEY.md §2.A): the crawler's
+format surface. A crawler must read what it finds (Parquet/CSV/JSON,
+with schema inference) and persist what it produces (DataFrame writes,
+partitioned layouts) — BASELINE.json:7 "Spark SQL for metadata
+extraction + DataFrame writes".
+
+Scratch writes go to <repo>/.tmp (gitignored); every sink query writes
+then READS BACK through a fresh scan, so the returned DataFrame proves
+the round-trip, not just the write call.
+
+Scale notes: partitioned writes (A5) are the 100 TB layout primitive —
+partition column choices bound both write fan-out (files = partitions ×
+tasks) and read pruning. `input_file_name()` (A6) is the per-file
+lineage hook a crawler uses to map rows back to objects in the lake.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import SUM_D, dsum, register
+
+_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+def _tmp(name: str) -> str:
+    os.makedirs(_TMP, exist_ok=True)
+    return os.path.join(_TMP, name)
+
+
+@register(
+    "scan_parquet",
+    group="A",
+    oracle=f"""
+    select count(*) as n_rows,
+           count(distinct l_orderkey) as n_orders,
+           {SUM_D.format('l_extendedprice')} as checksum
+    from lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: full Parquet scan with count + content checksum."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_extendedprice").alias("checksum"),
+    )
+
+
+@register("scan_csv_infer", group="A", oracle=None)
+def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: CSV with header + schema inference (crawler format support).
+    Writes a CSV copy of `nation`, re-reads it inferring types, and
+    returns the typed rows (rows-only: file paths are env-specific)."""
+    path = _tmp("nation_csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(path)
+    )
+    # inference must recover integer keys — fail loudly if it didn't
+    assert dict(df.dtypes)["n_nationkey"] in ("int", "bigint"), df.dtypes
+    return df.orderBy("n_nationkey")
+
+
+@register("scan_json_infer", group="A", oracle=None)
+def scan_json_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: JSON-lines read with inferred schema (rows-only)."""
+    path = _tmp("region_json")
+    load(spark, sf_dir, "region").write.mode("overwrite").json(path)
+    return spark.read.json(path).orderBy("r_regionkey")
+
+
+@register("sink_parquet", group="A", oracle=None)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: DataFrame → Parquet → read-back round trip (rows-only; the
+    oracle-checkable content equivalence is asserted here directly)."""
+    path = _tmp("orders_roundtrip")
+    src = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    src.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    n_src, n_back = src.count(), back.count()
+    assert n_src == n_back, f"round-trip lost rows: {n_src} != {n_back}"
+    return back.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register("sink_partitioned", group="A", oracle=None)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: partitioned write + partition-pruned read-back. The filter on
+    the partition column prunes directories (no data read outside
+    l_returnflag=R) — verify with .explain → PartitionFilters."""
+    path = _tmp("lineitem_by_flag")
+    load(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(path)
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register("source_files_metadata", group="A", oracle=None)
+def source_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: crawler file inventory — per-input-file row counts via
+    input_file_name() (rows-only: absolute paths are env-specific)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.input_file_name().alias("file_path"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
+            "n_rows",
+        )
+    )
