@@ -1,1 +1,269 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group J (dedup) — exact and near-duplicate detection over the
+document corpus (SURVEY.md §2 J1/J2; BASELINE.json "dedup").
+
+Scale design (SURVEY §4): near-dup is LSH banding, never O(N²) —
+shingle → 64 portable MinHashes → 32 bands × 2 rows → shuffle join on
+(band, key) buckets → exact-Jaccard verify on candidates only. The
+oracle states the full-quadratic semantics; band parameters are chosen
+so P(miss | J ≥ 0.8) = (1-0.8²)³² ≈ 6e-15 — the LSH plan reproduces the
+exact answer on any realistic input while scaling linearly in shuffle
+volume.
+
+Portability: MinHash uses md5(seed || shingle) with *lexicographic* min
+— identical in any engine (SURVEY §2.L trap 7: never xxhash64/hash for
+cross-engine keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+_N_HASHES = 64
+_BAND_ROWS = 2  # 32 bands × 2 rows
+_TAU = 0.8
+_SHINGLE_K = 3
+
+
+@register(
+    "dedup_exact",
+    group="J",
+    oracle="""
+    with keyed as (
+        select doc_id, sha256(lower(trim(text))) as content_key
+        from documents
+    )
+    select content_key, min(doc_id) as keeper, count(*) as n_copies
+    from keyed group by 1 having count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: exact dedup by normalized-content sha256; keep min doc_id.
+    One shuffle on the 32-byte key — at 100 TB the key set is ~0.03% of
+    the text volume, so this is scan-bound, not shuffle-bound."""
+    d = load(spark, sf_dir, "documents")
+    key = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return (
+        d.select("doc_id", key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def _shingles(text_col: str = "text"):
+    """Distinct k-word shingles as an array column (element_at is
+    1-based, matching DuckDB list indexing)."""
+    toks = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - _SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + j + 1) for j in range(_SHINGLE_K)],
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_near_minhash",
+    group="J",
+    oracle=f"""
+    with sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3])) as shingles
+        from documents
+        where len(string_split(text, ' ')) >= {_SHINGLE_K}
+    )
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 len(list_distinct(a.shingles || b.shingles)), 6) as jaccard
+    from sh a join sh b on a.doc_id < b.doc_id
+    where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+          len(list_distinct(a.shingles || b.shingles)) >= {_TAU}
+    """,
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: near-dup pairs with shingle-Jaccard ≥ 0.8 via MinHash+LSH.
+
+    Pipeline: k=3 word shingles → 64 MinHashes (lexicographic min of
+    md5(seed|shingle)) → 32 band keys → explode + self-join on band
+    buckets → exact Jaccard verify. The oracle computes the quadratic
+    ground truth; see module docstring for the miss-probability bound.
+    """
+    d = load(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= _SHINGLE_K
+    )
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+
+    # 64 portable minhashes per doc
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASHES - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda x: F.md5(F.concat(s.cast("string"), F.lit("|"), x)),
+            )
+        ),
+    )
+    n_bands = _N_HASHES // _BAND_ROWS
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat_ws(
+            "#",
+            *[
+                F.element_at(F.col("mh"), b * _BAND_ROWS + j + 1)
+                for j in range(_BAND_ROWS)
+            ],
+        ),
+    )
+    banded = (
+        sh.withColumn("mh", mh)
+        .select("doc_id", "shingles", F.posexplode(bands).alias("band", "key"))
+    )
+
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band",
+        "key",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band",
+        "key",
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter * 1.0 / union
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .where(jac >= _TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_simhash",
+    group="J",
+    oracle=None,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature = sign of per-bit weighted sums
+    over token hashes; docs grouped by signature band for candidate
+    generation. Rows-only: the bit arithmetic uses Spark's crc32 (no
+    DuckDB twin); correctness covered by unit test (identical docs get
+    identical signatures, near-identical differ in few bits).
+
+    Scale: signature is 1 int per doc; banding on 16-bit halves gives
+    the same linear-shuffle profile as MinHash-LSH.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    # per-bit contribution: +1 if bit set else -1, summed over tokens.
+    # shiftright/shiftleft need literal shift amounts, so bit extraction
+    # uses pow(2, b) arithmetic — exact in double below 2^53.
+    def _bit(crc, b):
+        return F.floor(crc / F.pow(F.lit(2.0), b.cast("double"))).cast(
+            "long"
+        ) % 2
+
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.aggregate(
+            F.col("toks"),
+            F.lit(0),
+            lambda acc, t: acc + F.when(_bit(F.crc32(t), b) == 1, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            F.col("bit_sums"),
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda s, b: F.when(
+                s > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sigs = (
+        d.select("doc_id", toks.alias("toks"))
+        .withColumn("bit_sums", bit_sums)
+        .withColumn("simhash", sig)
+        .select("doc_id", "simhash")
+    )
+    # candidate groups: docs sharing the upper 16 bits
+    return (
+        sigs.withColumn("band_hi", F.floor(F.col("simhash") / F.lit(65536)).cast("long"))
+        .groupBy("band_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    group="J",
+    oracle=f"""
+    with sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) as grams
+        from documents
+    )
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                 len(list_distinct(a.grams || b.grams)), 6) as jaccard
+    from sh a join sh b on a.doc_id < b.doc_id
+    where len(list_intersect(a.grams, b.grams)) * 1.0 /
+          len(list_distinct(a.grams || b.grams)) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-Jaccard similarity, quadratic formulation — the exact-
+    verification primitive. At scale this shape only ever runs on LSH
+    candidate pairs (J2); running it standalone here documents the
+    semantics the LSH path must reproduce."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) * 1.0 / F.size(
+        F.array_union("g_a", "g_b")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,1 +1,268 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group J (similarity) — embedding similarity search (SURVEY.md §2
+J3/J4/J5/J13 + an IVF-bucketed ANN scale path).
+
+Vectors are L2-normalized (FIXTURES.md: ‖v‖≈1.0) → cosine ≡ dot
+product. Dot products are SQL-lambda folds over zip_with — JVM-side,
+no Python boundary; floats cast to double before multiplication so
+both engines accumulate identically (round(6) absorbs fold-order ulps).
+
+Scale designs (SURVEY §4):
+- top-k for ONE query (J3): broadcast the query row, per-partition
+  local top-k then global TakeOrderedAndProject — no shuffle of the
+  corpus.
+- k-NN join (J4): broadcast the (small) query block against the
+  corpus; at huge query counts, block the queries and union.
+- all-pairs ≥ τ (J5): exact at fixture scale; at 100 TB the candidate
+  generation must be bucketed (IVF below, or random-projection LSH) —
+  the exact dot is then only computed within buckets.
+- IVF (sim_topk_ivf): coarse-quantize corpus to nearest centroid once
+  (one shuffle), probe the top-nprobe centroid buckets per query —
+  the standard inverted-file ANN layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+_PAIR_TAU = 0.4  # measured sf0.01 max pairwise sim ≈ 0.513 → small result
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two float arrays, accumulated in double."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+# DuckDB twin of dot() — usage: _DOT_SQL.format("a.embedding", "b.embedding")
+_DOT_SQL = (
+    "list_aggregate(list_transform(list_zip({0}, {1}), "
+    "p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
+)
+
+
+_TOPK_ORACLE = f"""
+    with q as (select embedding as e from embeddings where vec_id = 0)
+    select vec_id,
+           round({_DOT_SQL.format('embedding', '(select e from q)')}, 6) as sim
+    from embeddings where vec_id <> 0
+    order by sim desc, vec_id limit 10
+"""
+
+
+def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dot("embedding", "q_emb"), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register("sim_topk_query", group="J", oracle=_TOPK_ORACLE)
+def sim_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: top-10 cosine neighbors of query vector vec_id=0 (brute-force
+    baseline; the scan is embarrassingly parallel, the limit is a
+    TakeOrdered — nothing shuffles)."""
+    return _topk_cosine(spark, sf_dir)
+
+
+@register("embedding_topk_cosine", group="J", oracle=_TOPK_ORACLE)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline benchmark twin of J3 (BASELINE.md)."""
+    return _topk_cosine(spark, sf_dir)
+
+
+@register(
+    "sim_knn_join",
+    group="J",
+    oracle=f"""
+    select qid, vec_id, sim, rk from (
+        select q.vec_id as qid, c.vec_id as vec_id,
+               round({_DOT_SQL.format('q.embedding', 'c.embedding')}, 6) as sim,
+               row_number() over (
+                   partition by q.vec_id
+                   order by round({_DOT_SQL.format('q.embedding', 'c.embedding')}, 6)
+                            desc, c.vec_id) as rk
+        from (select * from embeddings where vec_id < 5) q
+        join (select * from embeddings where vec_id >= 5) c on true
+    ) t where rk <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: k-NN join — top-3 corpus neighbors for each of 5 query
+    vectors. The query block broadcasts; the corpus never shuffles
+    (the window partitions by query id over the broadcast-joined
+    product)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    c = e.where(F.col("vec_id") >= 5)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id", F.round(dot("embedding", "q_emb"), 6).alias("sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("qid", "vec_id", "sim", "rk")
+    )
+
+
+@register(
+    "sim_pairwise_dups",
+    group="J",
+    oracle=f"""
+    select a.vec_id as vec_a, b.vec_id as vec_b,
+           round({_DOT_SQL.format('a.embedding', 'b.embedding')}, 6) as sim
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where round({_DOT_SQL.format('a.embedding', 'b.embedding')}, 6) >= {_PAIR_TAU}
+    """,
+)
+def sim_pairwise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: semantic near-dup pairs (cosine ≥ τ). Exact all-pairs at
+    fixture scale; the 100 TB path generates candidates from the IVF
+    buckets (or LSH bands) first and verifies exactly within them —
+    identical output, linear shuffle (see sim_topk_ivf / J2)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    sim = F.round(dot("e_a", "e_b"), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= _PAIR_TAU)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector via posexplode → (label, pos) decimal-avg →
+    re-assemble sorted by position (all JVM-side, one shuffle)."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("v"),
+            6,
+        ).alias("cv")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+        ).alias("cvec")
+    )
+
+
+_CENTROID_SQL = """
+    with flat as (
+        select label, unnest(range(len(embedding))) as pos,
+               unnest(embedding) as v
+        from embeddings
+    ),
+    cent as (
+        select label, pos,
+               round(cast(sum(cast(v as decimal(38,10))) as double)
+                     / count(v), 6) as cv
+        from flat group by 1, 2
+    ),
+    carr as (select label, list(cv order by pos) as cvec from cent group by label)
+"""
+
+
+@register(
+    "cluster_assign_centroid",
+    group="J",
+    oracle=_CENTROID_SQL
+    + f"""
+    select vec_id, label as true_label, assigned_label from (
+        select e.vec_id, e.label, c.label as assigned_label,
+               row_number() over (
+                   partition by e.vec_id
+                   order by round({_DOT_SQL.format('e.embedding', 'c.cvec')}, 6)
+                            desc, c.label) as rk
+        from embeddings e cross join carr c
+    ) t where rk = 1
+    """,
+)
+def cluster_assign_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: one k-means assignment step — nearest label-centroid per
+    vector (argmax dot, label tie-break). Centroids broadcast (10 rows);
+    the corpus scan is shuffle-free."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "cvec"
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.col("c_label"),
+        F.round(dot("embedding", "cvec"), 6).alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "c_label")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("assigned_label"))
+    )
+
+
+@register("sim_topk_ivf", group="J", oracle=None)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (the ANN scale path for J3):
+    1. coarse-quantize the corpus to its nearest label-centroid
+       (one-time, one shuffle — the "inverted file");
+    2. the query probes its top-3 centroids and scans ONLY those
+       buckets (~30% of the corpus here; 1/nlist·nprobe in general).
+    Rows-only: approximate by design; tests assert recall vs J3.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "cvec"
+    )
+    # corpus → bucket assignment
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "c_label")
+    bucketed = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "c_label",
+            F.round(dot("embedding", "cvec"), 6).alias("csim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("c_label").alias("bucket"))
+    )
+    # query probes its 3 nearest centroids
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .select("c_label", F.round(dot("cvec", "q_emb"), 6).alias("qsim"))
+        .orderBy(F.col("qsim").desc(), "c_label")
+        .limit(3)
+        .select(F.col("c_label").alias("bucket"))
+    )
+    return (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "bucket", F.round(dot("embedding", "q_emb"), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )

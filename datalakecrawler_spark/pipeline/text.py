@@ -1,1 +1,372 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group J (text) — training-data text analysis (SURVEY.md §2 J6-J10 +
+task-mandated extras: language-ID heuristic, quality scoring, BPE-ish
+token counting, document fingerprinting).
+
+All operators are pure DataFrame compositions (split/explode/window) —
+no Python in the hot path. Scale: explode(tokens) produces the token
+stream shuffled only by the downstream groupBy key; TF-IDF is joins +
+windows with no driver-side vocabulary materialization (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import davg, register
+
+_WORDCOUNT_ORACLE = """
+    select w as word, count(*) as cnt
+    from (select unnest(string_split(text, ' ')) as w from documents) t
+    group by 1 order by cnt desc, word limit 50
+"""
+
+
+def _wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(50)
+    )
+
+
+@register("text_tokenize_wordcount", group="J", oracle=_WORDCOUNT_ORACLE)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: tokenize + global top-50 word counts."""
+    return _wordcount(spark, sf_dir)
+
+
+@register("doc_wordcount", group="J", oracle=_WORDCOUNT_ORACLE)
+def doc_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline benchmark twin of J6 (BASELINE.md `doc_wordcount`)."""
+    return _wordcount(spark, sf_dir)
+
+
+@register(
+    "text_ngrams",
+    group="J",
+    oracle="""
+    select bigram, count(*) as cnt from (
+        select tok || ' ' || lead(tok) over (partition by doc_id
+                                             order by pos) as bigram
+        from (select doc_id,
+                     unnest(range(len(string_split(text, ' ')))) as pos,
+                     unnest(string_split(text, ' ')) as tok
+              from documents) flat
+    ) b where bigram is not null
+    group by 1 order by cnt desc, bigram limit 50
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: corpus bigram counts, top-50. Spark builds bigrams inside the
+    array (one transform over index positions — no shuffle until the
+    count); the oracle uses a lead() window over exploded tokens."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    group="J",
+    oracle="""
+    with flat as (
+        select doc_id, unnest(string_split(text, ' ')) as term from documents
+    ),
+    tf as (select doc_id, term, count(*) as tf from flat group by 1, 2),
+    df as (select term, count(distinct doc_id) as df from flat group by 1),
+    n as (select count(*) as n_docs from documents),
+    scored as (
+        select tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) as score
+        from tf join df using (term) cross join n
+    )
+    select doc_id, term, score, rk from (
+        select *, row_number() over (partition by doc_id
+                                     order by score desc, term) as rk
+        from scored) t
+    where rk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: TF-IDF top-3 terms per doc — pure joins/windows, the document
+    frequency table stays distributed (never collected to the driver)."""
+    d = load(spark, sf_dir, "documents")
+    flat = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = flat.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = flat.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar job, not a row materialization
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "score"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+@register(
+    "text_doc_stats",
+    group="J",
+    oracle=f"""
+    with base as (
+        select lang, n_chars, len(string_split(text, ' ')) as n_toks
+        from documents
+    ),
+    stats as (
+        select lang, count(*) as n_docs,
+               round(cast(sum(cast(n_chars as decimal(38,10))) as double) / count(n_chars), 6) as avg_chars,
+               round(cast(sum(cast(n_toks as decimal(38,10))) as double) / count(n_toks), 6) as avg_tokens
+        from base group by lang
+    ),
+    vocab as (
+        select lang, count(distinct tok) as vocab_size
+        from (select lang, unnest(string_split(text, ' ')) as tok
+              from documents) t
+        group by lang
+    )
+    select stats.lang, n_docs, avg_chars, avg_tokens, vocab_size
+    from stats join vocab using (lang)
+    """,
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: per-language corpus stats — doc count, mean chars/tokens,
+    vocabulary size (distinct-token agg joined back; the explode never
+    mixes with the row-level averages)."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "lang", "n_chars", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    stats = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        davg("n_toks").alias("avg_tokens"),
+    )
+    vocab = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    return stats.join(vocab, "lang")
+
+
+@register(
+    "text_lang_distribution",
+    group="J",
+    oracle="""
+    select lang, count(*) as n_docs,
+           round(count(*) * 100.0 /
+                 cast(sum(count(*)) over () as double), 6) as pct
+    from documents group by lang
+    """,
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: language histogram with percent-of-total (window over agg).
+    Integer counts → the division is deterministic in both engines."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy())
+    return counts.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") * 100.0 / total.cast("double"), 6).alias("pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Task-mandated text extras: langid / quality / token-count / fingerprint
+# ---------------------------------------------------------------------------
+
+# Marker vocabularies per language for the n-gram/keyword heuristic. The
+# fixture corpus is a synthetic analytics word-salad, so markers are
+# drawn from its vocabulary — the *mechanism* (per-lang marker overlap,
+# argmax with deterministic tie-break) is the real language-ID shape.
+_LANG_MARKERS = {
+    "de": ["table", "scan", "row"],
+    "en": ["key", "value", "fast"],
+    "es": ["agg", "slow", "index"],
+    "fr": ["join", "sort", "hash"],
+    "zh": ["query", "plan", "cost"],
+}
+
+
+@register(
+    "text_langid_heuristic",
+    group="J",
+    oracle="""
+    with scores as (
+        select doc_id, lang as true_lang,
+    """
+    + ",\n".join(
+        f"       len(list_intersect(list_distinct(string_split(text, ' ')), "
+        f"{words!r}::varchar[])) as s_{lang}"
+        for lang, words in _LANG_MARKERS.items()
+    )
+    + """
+        from documents
+    )
+    select doc_id, true_lang,
+           case greatest(s_de, s_en, s_es, s_fr, s_zh)
+                when s_de then 'de' when s_en then 'en' when s_es then 'es'
+                when s_fr then 'fr' else 'zh' end as pred_lang
+    from scores
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-vocabulary overlap: score each language as
+    |distinct tokens ∩ markers|, predict the argmax (first language in
+    de<en<es<fr<zh order wins ties — mirrored by the CASE order)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"s_{lang}")
+            for lang, words in _LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_MARKERS])
+    pred = F.when(F.col("s_de") == best, "de")
+    for lang in ["en", "es", "fr"]:
+        pred = pred.when(F.col(f"s_{lang}") == best, lang)
+    pred = pred.otherwise("zh")
+    return scores.select("doc_id", "true_lang", pred.alias("pred_lang"))
+
+
+_STOPWORDS = ["the", "a", "of", "and", "key", "value", "row"]
+
+
+@register(
+    "text_quality_score",
+    group="J",
+    oracle=f"""
+    with feat as (
+        select doc_id,
+               len(string_split(text, ' ')) as n_toks,
+               round(n_chars * 1.0 / len(string_split(text, ' ')), 6)
+                   as avg_word_len,
+               round(len(list_filter(string_split(text, ' '),
+                         t -> list_contains({_STOPWORDS!r}::varchar[], t)))
+                     * 1.0 / len(string_split(text, ' ')), 6) as stop_ratio
+        from documents
+    )
+    select doc_id, n_toks, avg_word_len, stop_ratio,
+           round(least(n_toks / 100.0, 1.0) * (1 - stop_ratio), 6) as quality
+    from feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: token count, mean
+    word length, stopword ratio, combined into a [0,1] quality score
+    (length-capped × non-stopword mass) — the C4/Gopher-rule shape."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        * 1.0
+        / n_toks,
+        6,
+    )
+    avg_word_len = F.round(F.col("n_chars") * 1.0 / n_toks, 6)
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+    ).withColumn(
+        "quality",
+        F.round(
+            F.least(F.col("n_toks") / 100.0, F.lit(1.0))
+            * (1 - F.col("stop_ratio")),
+            6,
+        ),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    group="J",
+    oracle="""
+    select doc_id,
+           len(string_split(text, ' ')) as ws_tokens,
+           cast(list_aggregate(list_transform(string_split(text, ' '),
+                w -> cast(ceil(length(w) / 4.0) as bigint)), 'sum') as bigint)
+               as bpe_tokens
+    from documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate (a real
+    BPE averages ~4 chars/token; ceil(len/4) per word is the standard
+    cheap estimator for budget planning)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bpe = F.aggregate(
+        F.transform(toks, lambda w: F.ceil(F.length(w) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    group="J",
+    oracle="""
+    with fp as (
+        select doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) as fingerprint
+        from documents
+    )
+    select fingerprint, count(*) as n_docs, min(doc_id) as keeper
+    from fp group by 1 having count(*) > 1
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content signature = md5 over the sorted
+    distinct vocabulary (order-normalized, portable across engines —
+    SURVEY §2.L trap 7). Groups sharing a fingerprint are vocabulary-
+    identical docs — the cheap pre-filter before MinHash (J2)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,1 +1,158 @@
-"""Placeholder — K-group UDF surface."""
+"""Group K — the UDF/UDAF/UDTF surface (SURVEY.md §2.K).
+
+These exist to prove the Python extension points, NOT as the preferred
+path: every K operator has a pure-SQL oracle twin, and the engine's own
+operators use built-in expressions wherever possible (UDFs block
+predicate pushdown and whole-stage codegen; pandas UDFs amortize the
+boundary via Arrow but still cost a serialization round trip).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+
+@register(
+    "udf_python_scalar",
+    group="K",
+    oracle="""
+    select doc_id,
+           trim(lower(regexp_replace(text, ' +', ' ', 'g'))) as norm_text
+    from documents where doc_id < 100
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: row-at-a-time Python UDF (text normalizer) — the slow path,
+    bounded to 100 rows on purpose; K2 shows the vectorized form."""
+
+    @F.udf(T.StringType())
+    def normalize(s: str) -> str:
+        return " ".join(s.lower().split())
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select("doc_id", normalize("text").alias("norm_text"))
+
+
+@register(
+    "udf_pandas_scalar",
+    group="K",
+    oracle="""
+    with q as (select embedding as e from embeddings where vec_id = 0)
+    select vec_id,
+           round(list_aggregate(list_transform(
+                 list_zip(embedding, (select e from q)),
+                 p -> cast(p[1] as double) * cast(p[2] as double)), 'sum'), 6)
+               as sim
+    from embeddings
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: vectorized Series→Series pandas UDF (Arrow batches) computing
+    the dot product against a broadcast query vector with numpy."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    q_vec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = spark.sparkContext.broadcast(np.asarray(q_vec, dtype=np.float64))
+
+    @F.pandas_udf(T.DoubleType())
+    def dot_q(col: pd.Series) -> pd.Series:
+        m = np.stack(col.map(lambda v: np.asarray(v, dtype=np.float64)))
+        return pd.Series(np.round(m @ q.value, 6))
+
+    return e.select("vec_id", dot_q("embedding").alias("sim"))
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    group="K",
+    oracle="""
+    select l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+               as weighted_avg_price
+    from lineitem group by l_returnflag
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: grouped-agg pandas UDF — quantity-weighted mean price. The
+    double ratio is ~1e4 with ~1e-10 accumulated error → round(6) is
+    far outside the noise."""
+
+    @F.pandas_udf(T.DoubleType())
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 6).alias(
+            "weighted_avg_price"
+        )
+    )
+
+
+@register(
+    "udtf_grouped_map",
+    group="K",
+    oracle="""
+    select c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) over (partition by c_mktsegment))
+                 / stddev_samp(c_acctbal) over (partition by c_mktsegment),
+                 6) as zscore
+    from customer
+    """,
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: grouped-map applyInPandas — per-segment z-score normalization
+    (whole group as one pandas frame in, frame out)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        pdf = pdf[["c_custkey", "c_mktsegment"]].copy()
+        pdf["zscore"] = ((bal - bal.mean()) / bal.std(ddof=1)).round(6)
+        return pdf
+
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, schema="c_custkey long, c_mktsegment string, zscore double"
+    )
+
+
+@register("udtf_arrow_table", group="K", oracle=None)
+def udtf_arrow_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: mapInArrow — zero-copy RecordBatch in/out (row-expanding:
+    each region emits one row per distinct name char). Rows-only:
+    exercises the raw Arrow extension point."""
+    import pyarrow as pa
+
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    out_schema = pa.schema(
+        [("r_regionkey", pa.int32()), ("ch", pa.string())]
+    )
+
+    def expand(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            keys, chars = [], []
+            for key, name in zip(
+                batch.column("r_regionkey").to_pylist(),
+                batch.column("r_name").to_pylist(),
+            ):
+                for ch in sorted(set(name)):
+                    keys.append(key)
+                    chars.append(ch)
+            yield pa.RecordBatch.from_pydict(
+                {"r_regionkey": keys, "ch": chars}, schema=out_schema
+            )
+
+    return r.mapInArrow(expand, schema="r_regionkey int, ch string").orderBy(
+        "r_regionkey", "ch"
+    )
