@@ -1,1 +1,265 @@
-"""Placeholder — operators land per SURVEY.md §7 build plan."""
+"""Group I — Structured Streaming over the events table (SURVEY.md §2.I).
+
+Batch/stream parity rule (SURVEY §2.I): every streaming operator is
+built by ONE plan-builder function applied to either a batch or a
+streaming DataFrame — the registered query runs the batch twin (DuckDB-
+checkable), and tests/test_streaming.py runs the identical builder over
+``readStream`` into a memory sink and asserts equality with the twin.
+That makes the oracle meaningful for streaming semantics, not just for
+a parallel batch reimplementation.
+
+Scale notes: all aggregations are keyed by (window, type) or session —
+state per key, bounded by the watermark (late state evicted); at 100 TB
+/day the state store moves to RocksDB and the source to Kafka, but the
+plan shapes below are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalakecrawler_spark.io import load, table_path
+from datalakecrawler_spark.registry import SUM_D, dsum, register
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see io._load_events)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of io.load(..., 'events'): parquet source with an
+    explicit schema (required for streams), nanos→µs rebuild."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source needs a directory: point at sf_dir and
+    # glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# ---------------------------------------------------------------------------
+# Plan builders — applied identically to batch and streaming frames
+# ---------------------------------------------------------------------------
+
+
+def build_tumbling_count(events: DataFrame) -> DataFrame:
+    """I1: 1-hour tumbling window, count + sum(value) per event_type."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value"
+        )
+    )
+
+
+def build_sliding_avg(events: DataFrame) -> DataFrame:
+    """I2: 1-hour window sliding every 15 minutes, avg(value)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "cnt", "avg_value")
+    )
+
+
+def build_session_window(events: DataFrame) -> DataFrame:
+    """I3: per-user session windows, 30-minute inactivity gap."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def build_dedup(events: DataFrame) -> DataFrame:
+    """I4: first event per (user_id, event_type) by event_id — the
+    deterministic formulation of streaming dropDuplicates (batch
+    dropDuplicates keeps an arbitrary row; min_by keeps the first
+    *arrival*, which is what the stream's state does)."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+def build_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """I5: enrich events with a static customer dim via the documented
+    user_id = c_custkey % 150 mapping (FIXTURES.md); the dim is reduced
+    to one deterministic representative per mapped key first."""
+    dim = (
+        customer.groupBy((F.col("c_custkey") % 150).alias("user_id"))
+        .agg(
+            F.min("c_custkey").alias("rep_custkey"),
+            F.min_by("c_mktsegment", "c_custkey").alias("segment"),
+        )
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+def build_late_flags(events: DataFrame) -> DataFrame:
+    """I6 (batch analytic form): mark events that a 10-minute watermark
+    would drop — ts older than the running max event-time over arrival
+    order (event_id IS arrival order per FIXTURES.md)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    high = F.max("ts").over(w)
+    return (
+        events.withColumn(
+            "late",
+            (F.col("ts") < high - F.expr("interval 10 minutes")).cast("int"),
+        )
+        .groupBy("late")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered batch twins (the oracle-checkable surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_count",
+    group="I",
+    oracle=f"""
+    select cast(date_trunc('hour', ts) as timestamp) as w_start, event_type,
+           count(*) as cnt, {SUM_D.format('value')} as sum_value
+    from events group by 1, 2
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 batch twin (stream equality asserted in test_streaming)."""
+    return build_tumbling_count(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_avg",
+    group="I",
+    oracle="""
+    select to_timestamp(cast(floor(epoch(ts) / 900) * 900 - k * 900 as bigint))
+               ::timestamp as w_start,
+           count(*) as cnt,
+           round(cast(sum(cast(value as decimal(38,10))) as double)
+                 / count(value), 6) as avg_value
+    from events cross join unnest(range(4)) as t(k)
+    group by 1
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 batch twin — the oracle expands each event into its 4
+    overlapping windows (1h length / 15m slide)."""
+    return build_sliding_avg(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_window",
+    group="I",
+    oracle="""
+    with ordered as (
+        select user_id, ts,
+               lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+        from events
+    ),
+    marked as (
+        select user_id, ts,
+               case when prev_ts is null
+                         or ts - prev_ts > interval 30 minutes
+                    then 1 else 0 end as new_session
+        from ordered
+    ),
+    sessions as (
+        select user_id, ts,
+               sum(new_session) over (partition by user_id order by ts
+                   rows between unbounded preceding and current row) as sid
+        from marked
+    )
+    select min(ts) as session_start, user_id, count(*) as n_events
+    from sessions group by user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 batch twin — oracle is the classic gaps-and-islands
+    formulation of session_window semantics."""
+    return build_session_window(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_watermark",
+    group="I",
+    oracle="""
+    select user_id, event_type, min(event_id) as first_event_id
+    from events group by 1, 2
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 batch twin of streaming dropDuplicates state semantics."""
+    return build_dedup(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_static_join",
+    group="I",
+    oracle=f"""
+    with dim as (
+        select c_custkey % 150 as user_id,
+               min(c_custkey) as rep_custkey,
+               arg_min(c_mktsegment, c_custkey) as segment
+        from customer group by 1
+    )
+    select segment, count(*) as n_events, {SUM_D.format('value')} as total_value
+    from events join dim using (user_id)
+    group by segment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 batch twin: stream-static broadcast enrich + aggregate."""
+    return build_static_join(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "stream_late_data",
+    group="I",
+    oracle="""
+    with flagged as (
+        select case when ts < max(ts) over (order by event_id
+                        rows between unbounded preceding and current row)
+                        - interval 10 minutes
+                    then 1 else 0 end as late
+        from events
+    )
+    select late, count(*) as n_events from flagged group by late
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 batch analytic twin: how many events a 10-minute watermark
+    would drop (the actual drop behavior is exercised in
+    test_streaming with a two-batch staged source)."""
+    return build_late_flags(load(spark, sf_dir, "events"))

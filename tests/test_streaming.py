@@ -1,0 +1,153 @@
+"""Streaming semantics tests: run each I-group plan builder over
+``readStream`` into a memory sink and assert equality with its batch
+twin (the oracle-checked surface), plus watermark late-drop behavior
+with a staged two-micro-batch source."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.streaming import ops
+from tests.conftest import SF_DIR, rows_canon
+
+_TMP = "/root/repo/.tmp/streaming_tests"
+
+
+def _run_stream(spark, df, name, mode="complete"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"select * from {name}")
+
+
+def _assert_same(batch_df, stream_df):
+    bcols, brows = batch_df.columns, [tuple(r) for r in batch_df.collect()]
+    scols, srows = stream_df.columns, [tuple(r) for r in stream_df.collect()]
+    assert sorted(bcols) == sorted(scols)
+    assert rows_canon(bcols, brows) == rows_canon(scols, srows)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return ops.read_events_stream(spark, SF_DIR)
+
+
+def test_stream_tumbling_equals_batch(spark, events_stream):
+    batch = ops.build_tumbling_count(load(spark, SF_DIR, "events"))
+    stream = _run_stream(
+        spark, ops.build_tumbling_count(events_stream), "t_tumbling"
+    )
+    _assert_same(batch, stream)
+
+
+def test_stream_sliding_equals_batch(spark, events_stream):
+    batch = ops.build_sliding_avg(load(spark, SF_DIR, "events"))
+    stream = _run_stream(spark, ops.build_sliding_avg(events_stream), "t_sliding")
+    _assert_same(batch, stream)
+
+
+def test_stream_session_equals_batch(spark, events_stream):
+    batch = ops.build_session_window(load(spark, SF_DIR, "events"))
+    stream = _run_stream(
+        spark, ops.build_session_window(events_stream), "t_session"
+    )
+    _assert_same(batch, stream)
+
+
+def test_stream_dedup_drops_duplicate_ids(spark):
+    """Streaming dropDuplicates on event_id: feed the same file twice →
+    every event_id still appears exactly once in the output."""
+    src = f"{_TMP}/dedup_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    e = load(spark, SF_DIR, "events").limit(500)
+    e.coalesce(1).write.mode("overwrite").parquet(f"{src}/a")
+    e.coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+
+    spark.conf.set("spark.sql.streaming.schemaInference", "true")
+    stream = (
+        spark.readStream.schema(load(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    out = _run_stream(spark, stream, "t_dedup", mode="append")
+    n_distinct = out.select("event_id").distinct().count()
+    assert out.count() == n_distinct == 500, (
+        out.count(),
+        n_distinct,
+    )
+
+
+def test_stream_static_join_equals_batch(spark, events_stream):
+    cust = load(spark, SF_DIR, "customer")
+    batch = ops.build_static_join(load(spark, SF_DIR, "events"), cust)
+    stream = _run_stream(
+        spark, ops.build_static_join(events_stream, cust), "t_static_join"
+    )
+    _assert_same(batch, stream)
+
+
+def test_stream_late_data_dropped(spark):
+    """Watermark drop across micro-batches. Spark ≥3.4 keeps TWO
+    watermarks per stateful op: late-event filtering uses the watermark
+    as of the END of batch N-1, eviction uses the current one (visible
+    as `StateStoreSave [...], Append, <late>, <evict>` in the plan). So
+    three ordered batches are needed: batch0 (recent) advances the
+    global watermark, batch1 (recent) promotes it into the late-filter
+    position, batch2 (events weeks older) must then be dropped."""
+    src = f"{_TMP}/late_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    e = load(spark, SF_DIR, "events")
+    recent = e.orderBy(F.col("ts").desc()).limit(200)
+    stale = e.orderBy(F.col("ts").asc()).limit(200)  # weeks earlier
+    half = recent.limit(100)
+    recent.exceptAll(half).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/a_recent"
+    )
+    time.sleep(1.1)  # file mtime order drives micro-batch order
+    half.coalesce(1).write.mode("overwrite").parquet(f"{src}/b_recent2")
+    time.sleep(1.1)
+    stale.coalesce(1).write.mode("overwrite").parquet(f"{src}/c_stale")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "cnt")
+    )
+    out = _run_stream(spark, stream, "t_late", mode="update")
+    got_windows = {r["w_start"] for r in out.collect()}
+    stale_windows = {
+        r["w"]
+        for r in stale.select(F.date_trunc("hour", "ts").alias("w")).distinct().collect()
+    }
+    recent_windows = {
+        r["w"]
+        for r in recent.select(F.date_trunc("hour", "ts").alias("w")).distinct().collect()
+    }
+    # all recent windows present; no stale-only window ever emitted
+    assert recent_windows <= got_windows
+    assert not (stale_windows - recent_windows) & got_windows, (
+        "late events leaked past the watermark"
+    )
