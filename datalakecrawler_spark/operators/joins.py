@@ -313,22 +313,32 @@ _Q3_ORACLE = f"""
 
 
 def _star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: pre-aggregate lineitem revenue per order FIRST (600k → 150k
+    rows, micro-unit long partial sums), then join the dims. After the
+    pre-agg each order is one row, so count(distinct o_orderkey)
+    becomes a plain count(*) — no expand, one fewer shuffle. Integer
+    micro-sums re-aggregate associatively, so the group revenue equals
+    the flat SUM_D the oracle states. At 100 TB the orderkey pre-agg
+    output is already hash-partitioned on the join key, so the
+    orders join reuses that partitioning when it can't broadcast."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
     )
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.floor(disc * 1e6 + 0.5)).alias("rev_micro")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_mktsegment")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum("rev_micro").cast("double") / 1e6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc(), "n_name", "c_mktsegment")
         .limit(20)
