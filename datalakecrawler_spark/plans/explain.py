@@ -1,0 +1,59 @@
+"""Plan-inspection helpers — the engine's own audit tooling.
+
+``audit(df)`` extracts the physical-plan facts that matter at 100 TB:
+did filters reach the Parquet scan (PushedFilters), did the projection
+prune columns (ReadSchema), which join strategies were chosen, how many
+exchanges (shuffles) the plan contains, and how much of it runs inside
+WholeStageCodegen. tests/test_plans.py pins these properties for the
+headline queries so a regression that silently de-optimizes a plan
+(e.g. a UDF blocking pushdown) fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanAudit:
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    joins: list[str] = field(default_factory=list)
+    n_exchanges: int = 0
+    n_codegen_stages: int = 0
+    has_python_eval: bool = False
+    text: str = ""
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    """The formatted physical plan via the public explain() API."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    """Parse the formatted physical plan into scale-relevant facts."""
+    text = plan_text(df)
+    a = PlanAudit(text=text)
+    a.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+    a.read_schemas = re.findall(r"ReadSchema: (\S+)", text)
+    a.joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)",
+        text,
+    )
+    a.n_exchanges = len(re.findall(r"\bExchange\b", text))
+    # codegen stage ids appear as "*(N)" only in simple explain mode
+    a.n_codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan_text(df, "simple"))))
+    a.has_python_eval = bool(
+        re.search(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", text)
+    )
+    return a

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: pin the scale-critical properties of
+headline plans (pushdown, broadcast choice, codegen, no accidental
+Python boundary) so a de-optimization fails here instead of on a
+cluster. Runs uncached (caching replaces the scan and hides pushdown).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datalakecrawler_spark import registry
+from datalakecrawler_spark.plans.explain import audit
+from tests.conftest import SF_DIR
+
+
+def _audit_uncached(spark, name):
+    import datalakecrawler_spark.io as io
+
+    old = io._CACHE_ON
+    io._CACHE_ON = False
+    try:
+        df = registry.all_queries()[name].fn(spark, SF_DIR)
+        df.collect()  # materialize AQE's final plan (codegen ids appear there)
+        return audit(df)
+    finally:
+        io._CACHE_ON = old
+
+
+def test_q1_filter_pushdown_and_codegen(spark):
+    a = _audit_uncached(spark, "q1_pricing_summary")
+    assert any("LessThanOrEqual(l_shipdate" in p for p in a.pushed_filters), (
+        a.pushed_filters
+    )
+    assert not a.has_python_eval
+    assert a.n_codegen_stages >= 1, "q1 must run inside WholeStageCodegen"
+
+
+def test_q3_broadcasts_dims(spark):
+    a = _audit_uncached(spark, "q3_star_join")
+    assert "BroadcastHashJoin" in a.joins
+    assert "CartesianProduct" not in a.joins
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in a.pushed_filters), (
+        "orders date filter must reach the scan"
+    )
+    assert not a.has_python_eval
+
+
+def test_theta_range_join_is_equi_not_nested_loop(spark):
+    """The bucketized range join must plan as a hash join on the bin
+    key — a BroadcastNestedLoopJoin/CartesianProduct here means the
+    O(N²) formulation leaked back in."""
+    a = _audit_uncached(spark, "join_theta_range")
+    assert "CartesianProduct" not in a.joins
+    assert "BroadcastNestedLoopJoin" not in a.joins
+    assert any(
+        j in a.joins for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), a.joins
+
+
+def test_no_python_eval_in_builtin_operators(spark):
+    """Only the K-group and multimodal stubs may cross into Python."""
+    allowed = {
+        "udf_python_scalar",
+        "udf_pandas_scalar",
+        "udaf_pandas_grouped_agg",
+        "udtf_grouped_map",
+        "udtf_arrow_table",
+        "mm_decode_stub",
+        "mm_frame_sample",
+    }
+    offenders = []
+    for name in ["q1_pricing_summary", "doc_wordcount", "embedding_topk_cosine",
+                 "dedup_near_minhash", "text_tfidf_topterms", "mm_embed_pooling",
+                 "sim_knn_join", "win_moving_avg", "catalog_profile_numeric"]:
+        assert name not in allowed
+        if _audit_uncached(spark, name).has_python_eval:
+            offenders.append(name)
+    assert not offenders, f"built-in operators crossed into Python: {offenders}"
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Spark 3.5+ pushes a per-partition WindowGroupLimit below the
+    shuffle for rn<=k filters — the property that makes top-k-per-group
+    viable at 100 TB."""
+    a = _audit_uncached(spark, "win_row_number_topk")
+    assert "WindowGroupLimit" in a.text, "rank filter not pushed into window"
