@@ -386,3 +386,44 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o1.o_orderkey").alias("orderkey"))
         .agg(F.min("o2.o_orderdate").alias("next_orderdate"))
     )
+
+
+@register(
+    "join_skew_salted",
+    group="D",
+    oracle=f"""
+    select l_returnflag, flag_desc, count(*) as cnt,
+           {SUM_D.format('l_quantity')} as sum_qty
+    from lineitem
+    join (values ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+         as dim(flag, flag_desc)
+      on l_returnflag = flag
+    group by 1, 2
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: salted join for pathologically skewed keys.
+
+    l_returnflag has only 3 values → a plain shuffle join puts ~200k
+    rows (sf0.1) in 3 reducer partitions while the rest idle. Salting:
+    the big side gets salt = crc32(rowid) % 16 (salt choice affects
+    ONLY partition placement, never results), the small side replicates
+    ×16, and the join key becomes (flag, salt) — 48 evenly-loaded
+    partitions. AQE's skew-join split handles moderate skew on its own;
+    explicit salting is the pattern for the extreme case (hot key >>
+    one executor's memory). The oracle states plain-join semantics —
+    results are salt-invariant by construction.
+    """
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        (F.crc32(F.concat_ws("#", "l_orderkey", "l_linenumber")) % 16).cast("int"),
+    )
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")],
+        ["flag", "flag_desc"],
+    ).crossJoin(spark.range(16).select(F.col("id").cast("int").alias("salt")))
+    return (
+        li.join(dim, (li.l_returnflag == dim.flag) & (li.salt == dim.salt))
+        .groupBy("l_returnflag", "flag_desc")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("sum_qty"))
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
-from datalakecrawler_spark.registry import register
+from datalakecrawler_spark.registry import SUM_D, register
 
 
 @register(
@@ -131,3 +131,65 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.select("o_custkey")
     b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     return a.exceptAll(b)
+
+
+@register(
+    "sql_cte_revenue",
+    group="G",
+    oracle=f"""
+    with order_rev as (
+        select o_custkey, {SUM_D.format('o_totalprice')} as total_spent,
+               count(*) as n_orders
+        from orders group by o_custkey
+    )
+    select c_name, total_spent, n_orders
+    from customer join order_rev on c_custkey = o_custkey
+    order by total_spent desc, c_name limit 15
+    """,
+)
+def sql_cte_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: the SQL-string entry path (SURVEY §3.3) — CTE + join +
+    top-n via spark.sql over registered temp views; Catalyst produces
+    the same plan as the DataFrame API."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        with order_rev as (
+            select o_custkey,
+                   cast(sum(floor(o_totalprice * 1e6 + 0.5)) as double) / 1e6
+                       as total_spent,
+                   count(*) as n_orders
+            from orders_v group by o_custkey
+        )
+        select c_name, total_spent, n_orders
+        from customer_v join order_rev on c_custkey = o_custkey
+        order by total_spent desc, c_name limit 15
+        """
+    )
+
+
+@register(
+    "sql_correlated_scalar",
+    group="G",
+    oracle="""
+    select n_name,
+           (select count(*) from customer c
+            where c.c_nationkey = n.n_nationkey) as n_customers
+    from nation n
+    """,
+)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: correlated scalar subquery — Catalyst decorrelates it into
+    an outer join + aggregate (RewriteCorrelatedScalarSubquery), so the
+    executed plan is shuffle-sane despite the per-row subquery syntax."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        select n_name,
+               (select count(*) from customer_v c
+                where c.c_nationkey = n.n_nationkey) as n_customers
+        from nation_v n
+        """
+    )

@@ -267,3 +267,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def _rp_planes(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    across sessions and engines (no RNG state)."""
+    import hashlib
+
+    def u(t: int, j: int, d: int) -> float:
+        h = hashlib.md5(f"rp|{t}|{j}|{d}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32 - 0.5
+
+    return [
+        [[u(t, j, d) for d in range(dim)] for j in range(n_bits)]
+        for t in range(n_tables)
+    ]
+
+
+@register("dedup_embedding_rplsh", group="J", oracle=None)
+def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via random-projection LSH (the scale
+    path for sim_pairwise_dups): 16 hash tables × 6 sign-bits; vectors
+    sharing a signature in ANY table become candidates; candidates are
+    verified with the exact dot product at τ=0.4.
+
+    Rows-only: LSH coverage is approximate (precision is exact — every
+    output pair carries its true cosine; tests assert output ⊆ the
+    exact pair set with identical sims). Shuffle cost is linear:
+    16 signature keys per vector instead of N² pairs.
+    """
+    n_tables, n_bits, dim, tau = 16, 6, 64, 0.4
+    planes = _rp_planes(n_tables, n_bits, dim)
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def plane_dot(plane: list[float]):
+        arr = F.array(*[F.lit(x) for x in plane])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), arr, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig_cols = [
+        F.concat_ws(
+            "",
+            F.lit(f"{t}|"),
+            *[
+                F.when(plane_dot(planes[t][j]) > 0, "1").otherwise("0")
+                for j in range(n_bits)
+            ],
+        )
+        for t in range(n_tables)
+    ]
+    keyed = e.select(
+        "vec_id", "embedding", F.explode(F.array(*sig_cols)).alias("sig")
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "sig"
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "sig"
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "sig")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("sim", F.round(dot_ab, 6))
+        .where(F.col("sim") >= tau)
+        .select("vec_a", "vec_b", "sim")
+    )

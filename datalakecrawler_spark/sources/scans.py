@@ -121,3 +121,58 @@ def source_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@register("scan_orc", group="A", oracle=None)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: ORC format support (crawlers meet ORC lakes as often as
+    Parquet ones). Write a fixture out as ORC, read it back through the
+    ORC reader (predicate pushdown works there too), verify count."""
+    path = _tmp("nation_orc")
+    src = load(spark, sf_dir, "nation")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == src.count()
+    return back.orderBy("n_nationkey")
+
+
+@register(
+    "catalog_crawl_run",
+    group="B",
+    oracle="""
+    select 'customer' as dataset, count(*) as n_rows,
+           count(distinct c_custkey) as pk_ndv from customer
+    union all select 'orders', count(*), count(distinct o_orderkey) from orders
+    union all select 'lineitem', count(*),
+           count(distinct l_orderkey * 10 + l_linenumber) from lineitem
+    union all select 'documents', count(*), count(distinct doc_id) from documents
+    """,
+)
+def catalog_crawl_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: one crawl_run log row per crawled dataset — row count +
+    primary-key NDV (the pair whose drift between runs signals dup
+    ingestion or key corruption). lineitem's composite PK is encoded as
+    orderkey*10+linenumber (≤ 7 lines/order in the fixtures)."""
+    c = load(spark, sf_dir, "customer").agg(
+        F.lit("customer").alias("dataset"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_custkey").alias("pk_ndv"),
+    )
+    o = load(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("dataset"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("pk_ndv"),
+    )
+    li = load(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("dataset"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(
+            F.col("l_orderkey") * 10 + F.col("l_linenumber")
+        ).alias("pk_ndv"),
+    )
+    d = load(spark, sf_dir, "documents").agg(
+        F.lit("documents").alias("dataset"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("pk_ndv"),
+    )
+    return c.unionByName(o).unionByName(li).unionByName(d)

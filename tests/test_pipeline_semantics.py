@@ -123,3 +123,22 @@ def test_approx_distinct_close_to_exact(spark):
     }
     for day, est in approx.items():
         assert abs(est - exact[day]) / exact[day] < 0.10
+
+
+def test_rplsh_subset_of_exact_pairs(spark):
+    """RP-LSH near-dup: perfect precision (every pair real, sims exact),
+    calibrated recall vs the exact all-pairs scan."""
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in _run(spark, "dedup_embedding_rplsh").collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in _run(spark, "sim_pairwise_dups").collect()
+    }
+    assert set(lsh) <= set(exact), f"false positives: {set(lsh) - set(exact)}"
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.15, f"RP-LSH recall collapsed: {recall:.2f}"
