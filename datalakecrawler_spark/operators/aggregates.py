@@ -386,3 +386,40 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("users"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "agg_unpivot",
+    group="E",
+    oracle="""
+    select l_returnflag, 'quantity' as measure, min(l_quantity) as min_v,
+           max(l_quantity) as max_v
+    from lineitem group by 1
+    union all
+    select l_returnflag, 'discount', min(l_discount), max(l_discount)
+    from lineitem group by 1
+    union all
+    select l_returnflag, 'tax', min(l_tax), max(l_tax)
+    from lineitem group by 1
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: unpivot (stack) — wide per-measure aggregates to long
+    (measure, min, max) rows; the long format is what catalog and
+    monitoring sinks ingest. One scan, one shuffle, stack is a no-op
+    row expansion after the aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.min("l_discount").alias("disc_min"),
+        F.max("l_discount").alias("disc_max"),
+        F.min("l_tax").alias("tax_min"),
+        F.max("l_tax").alias("tax_max"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', qty_min, qty_max,"
+        "         'discount', disc_min, disc_max,"
+        "         'tax', tax_min, tax_max) as (measure, min_v, max_v)",
+    )

@@ -427,3 +427,52 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "flag_desc")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("sum_qty"))
     )
+
+
+@register(
+    "q5_local_supplier",
+    group="D",
+    oracle=f"""
+    select n_name,
+           {SUM_D.format('l_extendedprice * (1 - l_discount)')} as revenue
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    join supplier on l_suppkey = s_suppkey
+    join nation on s_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    where r_name = 'ASIA'
+      and c_nationkey = s_nationkey
+      and o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate < timestamp '1997-01-01'
+    group by n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q5 shape — 6-table join with the local-supplier
+    constraint (customer and supplier share a nation). Join order:
+    facts first on their keys, dims broadcast; the region filter
+    reaches the region scan and cascades through the broadcast joins."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )

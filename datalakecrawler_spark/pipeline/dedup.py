@@ -344,3 +344,42 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sim") >= tau)
         .select("vec_a", "vec_b", "sim")
     )
+
+
+@register(
+    "dedup_keeplist",
+    group="J",
+    oracle=f"""
+    with sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3])) as shingles
+        from documents
+        where len(string_split(text, ' ')) >= {_SHINGLE_K}
+    ),
+    pairs as (
+        select b.doc_id as drop_id
+        from sh a join sh b on a.doc_id < b.doc_id
+        where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+              len(list_distinct(a.shingles || b.shingles)) >= {_TAU}
+    )
+    select doc_id from documents
+    where doc_id not in (select drop_id from pairs)
+    """,
+)
+def dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup deliverable: the doc_ids that SURVIVE near-dup
+    removal (drop every doc that is the higher-id member of a ≥τ pair —
+    the standard keep-first policy; exact transitive closure would need
+    iterative connected components, overkill for pair-sparse corpora).
+    Composes the J2 LSH pipeline; at 100 TB this is LSH + anti join."""
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_b")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.join(
+        pairs.withColumnRenamed("doc_b", "doc_id").distinct(),
+        "doc_id",
+        "left_anti",
+    )

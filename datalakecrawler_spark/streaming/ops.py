@@ -263,3 +263,50 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     would drop (the actual drop behavior is exercised in
     test_streaming with a two-batch staged source)."""
     return build_late_flags(load(spark, sf_dir, "events"))
+
+
+def build_user_stats_stateful(events: DataFrame) -> DataFrame:
+    """I-ext: custom stateful operator via applyInPandasWithState —
+    per-user running (event count, max value). This is the extension
+    point for stateful logic Spark's built-ins can't express (custom
+    sessionization, CEP, online features). State is one (long, double)
+    pair per user — bounded; at production scale back it with RocksDB.
+    Only valid on streaming DataFrames (tests drive it; the registered
+    batch twin below is the oracle surface)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        cnt, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            cnt += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((cnt, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="cnt long, mx double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "stream_stateful_user_stats",
+    group="I",
+    oracle="""
+    select user_id, count(*) as n_events, max(value) as max_value
+    from events group by user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState custom stateful operator
+    (stream equality asserted in test_streaming)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value")
+    )

@@ -151,3 +151,18 @@ def test_stream_late_data_dropped(spark):
     assert not (stale_windows - recent_windows) & got_windows, (
         "late events leaked past the watermark"
     )
+
+
+def test_stream_stateful_user_stats_equals_batch(spark, events_stream):
+    """applyInPandasWithState custom operator: the final per-user state
+    (one micro-batch here) must equal the batch aggregation twin."""
+    from datalakecrawler_spark import registry
+
+    batch = registry.all_queries()["stream_stateful_user_stats"].fn(spark, SF_DIR)
+    stream = _run_stream(
+        spark,
+        ops.build_user_stats_stateful(events_stream),
+        "t_stateful",
+        mode="update",
+    )
+    _assert_same(batch, stream)
