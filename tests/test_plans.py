@@ -10,7 +10,11 @@ import pytest
 
 from datalakecrawler_spark import registry
 from datalakecrawler_spark.plans.explain import audit
-from tests.conftest import SF_DIR
+
+# Audit on the sf0.001 tier: other test modules cache the sf0.01 tables,
+# and Spark's CacheManager substitutes InMemoryRelation into ANY new plan
+# over a cached path — which hides PushedFilters/ReadSchema from the scan.
+PLAN_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _audit_uncached(spark, name):
@@ -18,8 +22,10 @@ def _audit_uncached(spark, name):
 
     old = io._CACHE_ON
     io._CACHE_ON = False
+    spark.catalog.clearCache()  # CacheManager rewrites plans over cached
+    io._CACHE.clear()           # paths — drop both layers for a true scan
     try:
-        df = registry.all_queries()[name].fn(spark, SF_DIR)
+        df = registry.all_queries()[name].fn(spark, PLAN_SF_DIR)
         df.collect()  # materialize AQE's final plan (codegen ids appear there)
         return audit(df)
     finally:
