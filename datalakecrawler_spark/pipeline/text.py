@@ -370,3 +370,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
         .where(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "split_train_holdout",
+    group="J",
+    oracle="""
+    select case when (doc_id * 2654435761) % 100 < 90
+                then 'train' else 'holdout' end as split,
+           count(*) as n_docs,
+           min(doc_id) as min_id, max(doc_id) as max_id
+    from documents group by 1
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/holdout split by multiplicative hash of
+    the document key (Knuth constant) — reproducible across engines,
+    runs, and cluster sizes, unlike randomSplit. The membership
+    predicate is a pure Column expression, so downstream reads can push
+    it into the scan."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = F.when(bucket < 90, "train").otherwise("holdout")
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register("sample_stratified", group="J", oracle=None)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling per language (sampleBy with a fixed seed) —
+    the corpus-balancing primitive. Rows-only: Bernoulli sampling is
+    engine-specific; the pytest check asserts per-stratum fractions and
+    determinism across invocations."""
+    d = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -176,3 +176,29 @@ def catalog_crawl_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("pk_ndv"),
     )
     return c.unionByName(o).unionByName(li).unionByName(d)
+
+
+@register("sink_compact", group="A", oracle=None)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: small-files compaction — the lake-maintenance operator.
+    Stage orders as 32 small files (the pathological layout produced by
+    over-parallel writers), compact to 2 with a shuffle-free coalesce,
+    verify row preservation. At 100 TB this runs per-partition-dir with
+    target_size/maxPartitionBytes sizing; coalesce (not repartition)
+    keeps it a narrow, no-shuffle rewrite."""
+    small = _tmp("orders_small_files")
+    compacted = _tmp("orders_compacted")
+    src = load(spark, sf_dir, "orders")
+    src.repartition(32).write.mode("overwrite").parquet(small)
+    staged = spark.read.parquet(small)
+    staged.coalesce(2).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    n_files_small = len([f for f in os.listdir(small) if f.endswith(".parquet")])
+    n_files_comp = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert back.count() == src.count(), "compaction lost rows"
+    assert n_files_comp < n_files_small, (n_files_comp, n_files_small)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_files_small).alias("files_before"),
+        F.lit(n_files_comp).alias("files_after"),
+    )

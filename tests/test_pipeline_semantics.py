@@ -142,3 +142,22 @@ def test_rplsh_subset_of_exact_pairs(spark):
     if exact:
         recall = len(lsh) / len(exact)
         assert recall >= 0.15, f"RP-LSH recall collapsed: {recall:.2f}"
+
+
+def test_sample_stratified_deterministic_and_plausible(spark):
+    """Same seed → identical sample; en downsampled to ~50%, others kept."""
+    a = {r["lang"]: r["n_docs"] for r in _run(spark, "sample_stratified").collect()}
+    b = {r["lang"]: r["n_docs"] for r in _run(spark, "sample_stratified").collect()}
+    assert a == b, "sampleBy with fixed seed must be deterministic"
+    from datalakecrawler_spark.io import load
+
+    full = {
+        r["lang"]: r["n"]
+        for r in load(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang in ["de", "es", "fr", "zh"]:
+        assert a[lang] == full[lang], f"{lang} stratum must be kept whole"
+    assert 0.3 * full["en"] < a["en"] < 0.7 * full["en"]
