@@ -409,3 +409,205 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
     sampled = d.sampleBy("lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "text_redact_terms",
+    group="J",
+    oracle=r"""
+    select lang,
+           count(*) filter (len(regexp_extract_all(text, '\b(customer|value)\b')) > 0)
+               as docs_touched,
+           sum(len(regexp_extract_all(text, '\b(customer|value)\b'))) as n_redactions,
+           sum(len(regexp_replace(text, '\b(customer|value)\b', '<REDACTED>', 'g')))
+               as redacted_chars
+    from documents group by lang
+    """,
+)
+def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: term scrubbing — the PII-redaction plan shape (the
+    fixture corpus has no real PII, so 'customer|value' stands in for
+    the email/phone/SSN patterns a production scrubber would use; swap
+    the regex, the plan is identical). regexp_replace + regexp_extract_all
+    stay inside whole-stage codegen — one scan, no Python, no shuffle
+    until the per-lang rollup's partial agg."""
+    pat = r"\b(customer|value)\b"
+    d = load(spark, sf_dir, "documents")
+    hits = F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+    return (
+        d.select(
+            "lang",
+            hits.alias("n_hits"),
+            F.length(F.regexp_replace("text", pat, "<REDACTED>")).alias("red_len"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count_if(F.col("n_hits") > 0).alias("docs_touched"),
+            F.sum("n_hits").alias("n_redactions"),
+            F.sum("red_len").alias("redacted_chars"),
+        )
+    )
+
+
+@register(
+    "text_contamination_ngram",
+    group="J",
+    oracle="""
+    with toks as (
+        select doc_id, lang, string_split(text, ' ') as t from documents
+    ),
+    ng as (
+        select doc_id, lang, t[i + 1 : i + 5] as win
+        from toks, unnest(range(greatest(len(t) - 4, 0))) as u(i)
+    ),
+    grams as (
+        select doc_id, lang, array_to_string(win, ' ') as gram from ng
+    ),
+    bench as (
+        select distinct gram from grams where doc_id % 97 = 0
+    ),
+    hits as (
+        select g.doc_id, g.lang, count(distinct g.gram) as n_hits
+        from grams g join bench b using (gram)
+        where g.doc_id % 97 <> 0
+        group by 1, 2
+    )
+    select lang, count(*) as contaminated_docs, sum(n_hits) as overlap_ngrams
+    from hits group by lang
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: benchmark-contamination check — 5-gram overlap between the
+    corpus and a held-out benchmark set (stand-in: doc_id % 97 == 0).
+    The benchmark's distinct 5-grams are a small relation → broadcast
+    join against the exploded corpus grams; at 100 TB the corpus side
+    never shuffles, and the distinct-per-doc count is a partial agg on
+    the scan partitioning. This is the standard train/test-leakage gate
+    in LLM data pipelines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams5 = F.when(
+        F.size(toks) >= 5,
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 5),"
+            " i -> array_join(slice(split(text, ' '), i + 1, 5), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", "lang", F.explode(grams5).alias("gram"))
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("contaminated_docs"),
+            F.sum("n_hits").alias("overlap_ngrams"),
+        )
+    )
+
+
+@register(
+    "text_quality_rules",
+    group="J",
+    oracle="""
+    with m as (
+        select lang,
+               len(string_split(text, ' ')) as wc,
+               cast(len(replace(text, ' ', '')) as double)
+                   / len(string_split(text, ' ')) as mean_wlen,
+               cast(len(list_filter(string_split(text, ' '),
+                                    x -> x in ('the', 'a'))) as double)
+                   / len(string_split(text, ' ')) as stop_frac
+        from documents
+    )
+    select lang, count(*) as n_docs,
+           count(*) filter (wc between 40 and 10000) as pass_wordcount,
+           count(*) filter (mean_wlen between 3.2 and 4.6) as pass_meanlen,
+           count(*) filter (stop_frac >= 0.02) as pass_stopword,
+           count(*) filter (wc between 40 and 10000
+                            and mean_wlen between 3.2 and 4.6
+                            and stop_frac >= 0.02) as pass_all
+    from m group by lang
+    """,
+)
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Gopher-style quality gate — word-count bounds, mean word
+    length bounds, stopword-fraction floor (Rae et al. 2021, public).
+    All three signals are integer-derived ratios computed identically in
+    both engines (same int operands → same IEEE double → same compare),
+    so the boundary predicates hash-match. One scan, codegen'd, partial
+    agg per lang — the cheapest possible 100 TB quality sweep."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    wc = F.size(toks)
+    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    mean_wlen = chars.cast("double") / wc
+    stops = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    stop_frac = stops.cast("double") / wc
+    m = d.select(
+        "lang", wc.alias("wc"), mean_wlen.alias("mean_wlen"),
+        stop_frac.alias("stop_frac"),
+    )
+    p_wc = F.col("wc").between(40, 10000)
+    p_ml = F.col("mean_wlen").between(3.2, 4.6)
+    p_sw = F.col("stop_frac") >= 0.02
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(p_wc).alias("pass_wordcount"),
+        F.count_if(p_ml).alias("pass_meanlen"),
+        F.count_if(p_sw).alias("pass_stopword"),
+        F.count_if(p_wc & p_ml & p_sw).alias("pass_all"),
+    )
+
+
+@register(
+    "pack_sequences",
+    group="J",
+    oracle="""
+    with wc as (
+        select doc_id, doc_id % 16 as shard,
+               len(string_split(text, ' ')) as n_tokens
+        from documents
+    ),
+    packed as (
+        select shard, n_tokens,
+               cast(floor((sum(n_tokens) over (partition by shard
+                               order by doc_id
+                               rows between unbounded preceding and current row)
+                           - n_tokens) / 512.0) as bigint) as bin
+        from wc
+    )
+    select shard, bin, count(*) as n_docs, sum(n_tokens) as total_tokens
+    from packed group by shard, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: sequence packing — assign documents to ~512-token training
+    bins by running-offset within a shard (doc_id % 16). Shard-local
+    packing is the distributed form: each shard packs independently
+    under a partitioned window (no global sort, no single-partition
+    bottleneck), which is how 100 TB corpora are packed in practice —
+    exact first-fit packing is inherently sequential, so production
+    pipelines accept shard-local contiguity. Integer token counts →
+    exact cross-engine window sums."""
+    d = load(spark, sf_dir, "documents")
+    wc = d.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = wc.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -202,3 +202,25 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_files_small).alias("files_before"),
         F.lit(n_files_comp).alias("files_after"),
     )
+
+
+@register("scan_binary_files", group="A", oracle=None)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: binary-file ingest — the multimodal on-ramp. Spark's
+    binaryFile source lists files distributed and exposes (path,
+    modificationTime, length, content); image/audio/video corpora enter
+    the engine here before the mm_* decode/feature UDFs. Selecting only
+    path+length prunes the content column so the files are NOT read —
+    listing-only metadata pass, which is what a 100 TB crawl does first.
+    Rows-only (mtimes are environment-specific); pytest checks sizes
+    against the filesystem."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return files.select("path", "length").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.max("length").alias("max_bytes"),
+    )

@@ -265,6 +265,54 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_late_flags(load(spark, sf_dir, "events"))
 
 
+def build_stream_stream_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """I-ext: stream-stream interval join — purchases attributed to the
+    click by the same user within the preceding hour. Both sides carry
+    watermarks (required for state cleanup in append mode); the time-
+    range predicate bounds the join state to ~1 hour of events per side.
+    At 100 TB/day both streams are Kafka-partitioned by user_id, so the
+    shuffle is a co-partitioned state exchange, not a full repartition."""
+
+    def side(df: DataFrame, etype: str, prefix: str) -> DataFrame:
+        out = df.where(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+        if out.isStreaming:
+            out = out.withWatermark(f"{prefix}_ts", "10 minutes")
+        return out
+
+    clicks, buys = side(left, "click", "click"), side(right, "purchase", "buy")
+    return clicks.join(
+        buys,
+        (F.col("click_user") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+    ).select(
+        "click_id", F.col("buy_id").alias("purchase_id"),
+        F.col("click_user").alias("user_id"),
+    )
+
+
+@register(
+    "stream_stream_join",
+    group="I",
+    oracle="""
+    select l.event_id as click_id, r.event_id as purchase_id, l.user_id
+    from events l join events r
+      on l.user_id = r.user_id
+     and l.event_type = 'click' and r.event_type = 'purchase'
+     and r.ts >= l.ts and r.ts <= l.ts + interval 1 hour
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext batch twin of the stream-stream interval join (stream
+    equality asserted in test_streaming)."""
+    e = load(spark, sf_dir, "events")
+    return build_stream_stream_join(e, e)
+
+
 def build_user_stats_stateful(events: DataFrame) -> DataFrame:
     """I-ext: custom stateful operator via applyInPandasWithState —
     per-user running (event count, max value). This is the extension

@@ -161,3 +161,15 @@ def test_sample_stratified_deterministic_and_plausible(spark):
     for lang in ["de", "es", "fr", "zh"]:
         assert a[lang] == full[lang], f"{lang} stratum must be kept whole"
     assert 0.3 * full["en"] < a["en"] < 0.7 * full["en"]
+
+
+def test_scan_binary_files_matches_filesystem(spark):
+    """binaryFile listing must agree with os.stat over the same glob."""
+    import glob as _glob
+    import os
+
+    row = _run(spark, "scan_binary_files").collect()[0]
+    sizes = [os.path.getsize(p) for p in _glob.glob(f"{SF_DIR}/*.parquet")]
+    assert row["n_files"] == len(sizes)
+    assert row["total_bytes"] == sum(sizes)
+    assert row["max_bytes"] == max(sizes)

@@ -166,3 +166,17 @@ def test_stream_stateful_user_stats_equals_batch(spark, events_stream):
         mode="update",
     )
     _assert_same(batch, stream)
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream):
+    """Stream-stream interval join (self-join on the events stream) must
+    emit exactly the batch twin's pairs in append mode."""
+    e = load(spark, SF_DIR, "events")
+    batch = ops.build_stream_stream_join(e, e)
+    stream = _run_stream(
+        spark,
+        ops.build_stream_stream_join(events_stream, events_stream),
+        "t_ss_join",
+        mode="append",
+    )
+    _assert_same(batch, stream)
