@@ -383,3 +383,74 @@ def dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_anti",
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation: every node repeatedly adopts the smallest component id
+    seen across its edges until fixpoint. O(graph diameter) rounds, each
+    one shuffle on the node id; `localCheckpoint` truncates the plan
+    lineage so round N doesn't recompile rounds 1..N-1. Dedup-pair
+    graphs are near-degenerate (tiny diameter, forest of cliques), so
+    this converges in 2-3 rounds; for web-scale general graphs swap in
+    the large-star/small-star alternation (Kiveris et al., CC-MR) —
+    same join shapes, better worst-case round count.
+
+    edges: DataFrame(src bigint, dst bigint), undirected.
+    Returns DataFrame(node bigint, comp bigint).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "comp")
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") < F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if improved == 0:
+            break
+    return labels
+
+
+@register("dedup_components", group="J", oracle=None)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: near-dup CLUSTER resolution — pairwise LSH output is not a
+    dedup policy until transitive closure picks one canonical doc per
+    cluster (A~B, B~C ⇒ {A,B,C} is one cluster even if A≁C directly).
+    Runs connected components over the MinHash-LSH pair graph and
+    returns one row per multi-doc cluster: canonical keeper (min
+    doc_id) + cluster size. Rows-only: iterative fixpoint is not
+    single-statement ANSI SQL; tests/test_pipeline_semantics.py checks
+    exact equality against a Python union-find over the same pairs."""
+    from datalakecrawler_spark.registry import all_queries
+
+    pairs = all_queries()["dedup_near_minhash"].fn(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(edges)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_member"))
+        .select(F.col("comp").alias("keeper"), "n_docs", "max_member")
+    )

@@ -266,3 +266,39 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register("sim_ann_brp_lsh", group="J", oracle=None)
+def sim_ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: ANN candidate pairs via pyspark.ml
+    BucketedRandomProjectionLSH — the battle-tested library scale path
+    next to the hand-rolled RP-LSH (dedup_embedding_rplsh) and IVF
+    (sim_topk_ivf). approxSimilarityJoin hashes both sides into
+    random-projection buckets and joins bucket-local, so the candidate
+    join is linear in bucket occupancy, not quadratic in corpus size;
+    the exact euclidean distance is verified post-join. Rows-only
+    (bucket boundaries are model-seed-specific); pytest asserts every
+    returned pair is truly within the threshold and recall vs the
+    exact pair set."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes",
+        bucketLength=2.0, numHashTables=6, seed=42,
+    )
+    model = lsh.fit(v)
+    pairs = model.approxSimilarityJoin(v, v, 1.15, distCol="dist")
+    return (
+        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )

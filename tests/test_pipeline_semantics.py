@@ -173,3 +173,65 @@ def test_scan_binary_files_matches_filesystem(spark):
     assert row["n_files"] == len(sizes)
     assert row["total_bytes"] == sum(sizes)
     assert row["max_bytes"] == max(sizes)
+
+
+def test_dedup_components_match_union_find(spark):
+    """Connected components over the LSH pair graph must equal a Python
+    union-find over the exact same pairs (clusters, sizes, keepers)."""
+    from datalakecrawler_spark import registry
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in registry.all_queries()["dedup_near_minhash"].fn(spark, SF_DIR).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        want.setdefault(find(n), set()).add(n)
+    expected = sorted((min(m), len(m), max(m)) for m in want.values())
+
+    got = sorted(
+        (r["keeper"], r["n_docs"], r["max_member"])
+        for r in _run(spark, "dedup_components").collect()
+    )
+    assert got == expected
+
+
+def test_sim_ann_brp_lsh_pairs_valid_with_recall(spark):
+    """Every LSH pair must truly be within the distance threshold, and
+    recall vs the exact pair set must not collapse."""
+    import numpy as np
+
+    from datalakecrawler_spark.io import load
+
+    rows = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    diff = X[:, None, :] - X[None, :, :]
+    D = np.sqrt((diff * diff).sum(-1))
+    iu, ju = np.triu_indices(len(X), 1)
+    exact = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i, j in zip(iu[D[iu, ju] <= 1.15], ju[D[iu, ju] <= 1.15])
+    }
+
+    got = {(r["vec_a"], r["vec_b"]): r["dist"] for r in _run(spark, "sim_ann_brp_lsh").collect()}
+    for (a, b), dist in got.items():
+        i, j = int(np.where(ids == a)[0][0]), int(np.where(ids == b)[0][0])
+        assert abs(dist - D[i, j]) < 1e-4, (a, b)
+        assert dist <= 1.15 + 1e-9
+    assert set(got) <= exact | set()  # no false positives beyond threshold
+    if exact:
+        assert len(set(got) & exact) / len(exact) >= 0.5, (len(got), len(exact))
