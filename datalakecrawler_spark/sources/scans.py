@@ -224,3 +224,61 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("length").alias("total_bytes"),
         F.max("length").alias("max_bytes"),
     )
+
+
+@register(
+    "scan_text_lines",
+    group="A",
+    oracle="""
+    select count(*) as n_lines,
+           sum(len(text)) as total_chars,
+           min(len(text)) as min_chars,
+           max(len(text)) as max_chars
+    from documents
+    """,
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: line-oriented text source — raw-corpus ingestion (the
+    format most web-scrape dumps arrive in before they become parquet).
+    Writes documents.text as .txt lines, reads it back with
+    spark.read.text, and aggregates line stats; the oracle computes the
+    same stats from the source column, so a hash-match proves the
+    write→read round-trip is lossless. At 100 TB text files split by
+    line boundary into maxPartitionBytes tasks — no small-file penalty
+    as long as the writer salted the layout."""
+    path = _tmp("documents_text")
+    d = load(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_chars"),
+        F.max(F.length("value")).alias("max_chars"),
+    )
+
+
+@register(
+    "sink_csv_roundtrip",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as n_orders,
+           {SUM_D.format('o_totalprice')} as total_price
+    from orders group by o_orderstatus
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: CSV sink proven by content, not just by write success —
+    write orders to CSV (header, explicit timestamp format), re-read
+    with the original schema, aggregate; the oracle aggregates the
+    parquet source, so the hash-match certifies the CSV round-trip
+    preserved every value (the classic CSV hazards: type erasure,
+    quoting, timestamp formatting)."""
+    path = _tmp("orders_csv_roundtrip")
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(o.schema).option("header", "true").csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )

@@ -90,3 +90,55 @@ def test_topk_uses_window_group_limit(spark):
     viable at 100 TB."""
     a = _audit_uncached(spark, "win_row_number_topk")
     assert "WindowGroupLimit" in a.text, "rank filter not pushed into window"
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """The benchmark 5-gram set must broadcast — the corpus side of the
+    contamination gate never shuffles before the join at 100 TB."""
+    a = _audit_uncached(spark, "text_contamination_ngram")
+    assert "BroadcastHashJoin" in a.joins, a.joins
+    assert "CartesianProduct" not in a.joins
+    assert not a.has_python_eval
+
+
+def test_quality_rules_single_codegen_scan(spark):
+    """The quality sweep is one codegen'd scan + partial agg — no join,
+    no Python, nothing that would add a corpus-sized shuffle."""
+    a = _audit_uncached(spark, "text_quality_rules")
+    assert not a.joins, a.joins
+    assert not a.has_python_eval
+    assert a.n_codegen_stages >= 1
+    # exactly one logical shuffle: the per-lang final agg (AQE's formatted
+    # text repeats the Exchange node per stage, so count distinct keys)
+    import re
+
+    keys = {k.split("#")[0] for k in re.findall(r"hashpartitioning\((\w+#?\w*)", a.text)}
+    assert keys == {"lang"}, f"quality sweep shuffles on unexpected keys: {keys}"
+
+
+def test_stream_stream_join_twin_not_cartesian(spark):
+    """The interval join twin must hash/merge on user_id with the time
+    range as residual condition — a nested-loop here would explode."""
+    a = _audit_uncached(spark, "stream_stream_join")
+    assert "CartesianProduct" not in a.joins
+    assert "BroadcastNestedLoopJoin" not in a.joins
+    assert any(
+        j in a.joins for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), a.joins
+
+
+def test_pack_sequences_no_python_no_global_sort(spark):
+    """Packing is a partitioned window — per-shard sort, never a single
+    global ordering."""
+    a = _audit_uncached(spark, "pack_sequences")
+    assert not a.has_python_eval
+    import re
+
+    # the window's sort must be partition-local (formatted-mode Sort
+    # arguments are `[keys...], <global>, 0` — global must be false) and
+    # keyed by shard, and the only exchange hash-partitions on shard
+    # (never rangepartitioning, which would be a global sort)
+    sort_args = re.findall(r"Arguments: \[shard#\d+L ASC[^\]]*\], (\w+), \d+", a.text)
+    assert sort_args and all(g == "false" for g in sort_args), sort_args
+    assert "rangepartitioning" not in a.text, "packing must not global-sort"
+    assert re.search(r"hashpartitioning\(shard", a.text), "window exchange must key on shard"
