@@ -423,3 +423,83 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         'discount', disc_min, disc_max,"
         "         'tax', tax_min, tax_max) as (measure, min_v, max_v)",
     )
+
+
+@register(
+    "funnel_conversion",
+    group="E",
+    oracle="""
+    with v as (
+        select user_id, min(ts) as t_view from events
+        where event_type = 'view' group by 1
+    ),
+    c as (
+        select e.user_id, min(e.ts) as t_click
+        from events e join v using (user_id)
+        where e.event_type = 'click' and e.ts >= v.t_view
+        group by 1
+    ),
+    p as (
+        select e.user_id, min(e.ts) as t_purchase
+        from events e join c using (user_id)
+        where e.event_type = 'purchase' and e.ts >= c.t_click
+        group by 1
+    )
+    select (select count(*) from v) as n_view,
+           (select count(*) from c) as n_click_after_view,
+           (select count(*) from p) as n_purchase_after_click
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: ordered funnel (view → click → purchase) — how many users
+    advanced through each stage in event-time order. Each stage is a
+    keyed min-aggregation joined to the previous stage's per-user
+    timestamp; the stage tables shrink monotonically (users, not
+    events), so after the first per-user agg everything downstream is
+    dimension-sized — at 100 TB the events scan happens once per stage
+    filter but the joins are broadcast-sized."""
+    e = load(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None, prev_col: str) -> DataFrame:
+        s = e.where(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(F.broadcast(prev), "user_id").where(
+                F.col("ts") >= F.col(prev_col)
+            )
+        return s.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = stage("view", None, "")
+    c = stage("click", v, "t_view")
+    p = stage("purchase", c, "t_click")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register("agg_hll_mergeable", group="E", oracle=None)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: HLL sketch MERGEABILITY — the property that makes
+    distinct-counting distributable: per-shard sketches union losslessly
+    into the global sketch, so a 1000-executor count-distinct is
+    partial sketches + one small merge, never a row shuffle. Returns
+    the direct estimate, the two-level (per-status sketch → union)
+    estimate, and the exact count; pytest asserts direct == merged
+    exactly (same lgK ⇒ identical registers) and both within HLL error
+    of exact. Rows-only: sketch bytes are engine-specific."""
+    o = load(spark, sf_dir, "orders")
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias("est")
+    )
+    merged = (
+        o.groupBy("o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey", 12).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("n"))
+    return (
+        direct.select(F.col("est").alias("direct_estimate"))
+        .crossJoin(merged.select(F.col("est").alias("merged_estimate")))
+        .crossJoin(exact.select(F.col("n").alias("exact_distinct")))
+    )

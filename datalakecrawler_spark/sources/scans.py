@@ -282,3 +282,41 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+@register("crawl_incremental", group="B", oracle=None)
+def crawl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: incremental crawl by modification-time high-watermark —
+    the crawler primitive that makes re-crawling a 100 TB lake cheap:
+    list files (metadata only, no reads), keep max(modificationTime)
+    from the previous run, and re-profile only files newer than it.
+    Staged here: snapshot A (2 files) → record watermark → new file
+    arrives → the incremental pass must pick exactly the new file.
+    Listing is driver-distributed (binaryFile source); at 100 TB the
+    watermark lives in the catalog and the filter prunes the listing
+    before any scan task launches."""
+    import time
+
+    base = _tmp("incremental_crawl")
+    n = load(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "t0_a"))
+    n.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "t0_b"))
+
+    def listing() -> DataFrame:
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .load(base)
+            .select("path", "modificationTime", "length")
+        )
+
+    watermark = listing().agg(F.max("modificationTime")).collect()[0][0]
+    time.sleep(1.1)  # fs mtime granularity
+    n.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "t1_new"))
+
+    new_files = listing().where(F.col("modificationTime") > F.lit(watermark))
+    return new_files.agg(
+        F.count(F.lit(1)).alias("n_new_files"),
+        F.count_if(F.col("path").contains("t1_new")).alias("n_expected_new"),
+    )

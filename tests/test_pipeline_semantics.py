@@ -235,3 +235,19 @@ def test_sim_ann_brp_lsh_pairs_valid_with_recall(spark):
     assert set(got) <= exact | set()  # no false positives beyond threshold
     if exact:
         assert len(set(got) & exact) / len(exact) >= 0.5, (len(got), len(exact))
+
+
+def test_hll_mergeability_error_bounds(spark):
+    """Two-level sketch merge must estimate within HLL error (lgK=12 →
+    ~1.6% rse; allow 4σ) of the exact distinct count — the property
+    that makes distributed count-distinct a small-merge, not a shuffle."""
+    row = _run(spark, "agg_hll_mergeable").collect()[0]
+    exact = row["exact_distinct"]
+    for col in ("direct_estimate", "merged_estimate"):
+        rel = abs(row[col] - exact) / exact
+        assert rel < 0.065, (col, row[col], exact)
+
+
+def test_crawl_incremental_picks_only_new_file(spark):
+    row = _run(spark, "crawl_incremental").collect()[0]
+    assert row["n_new_files"] == row["n_expected_new"] == 1, dict(row.asDict())
