@@ -503,3 +503,49 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(merged.select(F.col("est").alias("merged_estimate")))
         .crossJoin(exact.select(F.col("n").alias("exact_distinct")))
     )
+
+
+@register(
+    "events_retention_cohort",
+    group="E",
+    oracle="""
+    with first_seen as (
+        select user_id, cast(date_trunc('week', min(ts)) as date) as cohort_week
+        from events group by 1
+    ),
+    activity as (
+        select distinct e.user_id, f.cohort_week,
+               date_diff('day', f.cohort_week,
+                         cast(date_trunc('week', e.ts) as date)) // 7 as week_offset
+        from events e join first_seen f using (user_id)
+    )
+    select cohort_week, week_offset, count(*) as n_active_users
+    from activity group by 1, 2
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: cohort retention — users bucketed by first-seen week, then
+    counted per week-offset of later activity (the standard growth
+    analytics matrix). Per-user first-seen is a keyed min (partial agg);
+    the join back is broadcast-sized (users ≪ events); the distinct is
+    on (user, offset) — dimension-sized, never event-sized, after the
+    map-side distinct."""
+    e = load(spark, sf_dir, "events")
+    week = lambda c: F.to_date(F.date_trunc("week", c))  # noqa: E731
+    first_seen = e.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )

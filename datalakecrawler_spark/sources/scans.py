@@ -320,3 +320,30 @@ def crawl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new_files"),
         F.count_if(F.col("path").contains("t1_new")).alias("n_expected_new"),
     )
+
+
+@register(
+    "catalog_skew_histogram",
+    group="B",
+    oracle="""
+    with per_key as (
+        select l_orderkey, count(*) as freq from lineitem group by 1
+    )
+    select freq, count(*) as n_keys,
+           min(l_orderkey) as sample_key
+    from per_key group by freq
+    """,
+)
+def catalog_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: join-key skew diagnostics — the multiplicity histogram of
+    a join key (how many keys occur once, twice, …, N times). This is
+    the measurement that decides between a plain shuffle join, AQE skew
+    splitting, and salting (join_skew_salted): a heavy tail here means
+    a straggler task there. Two partial-agg passes, output is
+    max-multiplicity-sized — O(10) rows regardless of corpus size."""
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("freq"))
+    return per_key.groupBy("freq").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("l_orderkey").alias("sample_key"),
+    )
