@@ -476,3 +476,53 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_Q10_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q10_returned_items",
+    group="D",
+    oracle=f"""
+    select c.c_custkey, c.c_name, n.n_name,
+           {SUM_D.format(_Q10_REV)} as revenue
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on o.o_orderkey = l.l_orderkey
+    join nation n on c.c_nationkey = n.n_nationkey
+    where l.l_returnflag = 'R'
+      and o.o_orderdate >= timestamp '1996-10-01'
+      and o.o_orderdate < timestamp '1997-01-01'
+    group by 1, 2, 3
+    order by revenue desc, c.c_custkey
+    limit 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q10 shape — top-20 customers by revenue lost to
+    returned items in one quarter. Plan: the returnflag filter pushes
+    into the lineitem scan and the date filter into orders (both prune
+    parquet row groups); lineitem⋈orders shuffles on orderkey (the
+    unavoidable fact⋈fact minimum); customer and nation broadcast, so
+    the aggregate's shuffle carries only (custkey → partial revenue).
+    Top-20 runs as TakeOrderedAndProject — no global sort. Revenue is
+    micro-unit-summed (order-independent), tiebreak on c_custkey so the
+    limit boundary is deterministic in both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -261,3 +261,113 @@ def win_agg_over(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round(F.col("o_totalprice") / total, 10).alias("ratio_to_group"),
     )
+
+
+@register(
+    "ts_gapfill_ffill",
+    group="F",
+    oracle="""
+    with bounds as (
+        select cast(min(ts) as date) as lo, cast(max(ts) as date) as hi
+        from events
+    ),
+    cal as (
+        select cast(unnest(generate_series(lo, hi, interval 1 day)) as date)
+               as day
+        from bounds
+    ),
+    daily as (
+        select cast(ts as date) as day, count(*) as n_events
+        from events where value > 300 group by 1
+    )
+    select c.day, d.n_events,
+           coalesce(last_value(d.n_events ignore nulls)
+                    over (order by c.day
+                          rows between unbounded preceding and current row),
+                    0) as n_filled
+    from cal c left join daily d using (day)
+    """,
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: time-series gap-fill + forward-fill — the resample step
+    every monitoring/feature pipeline needs. A dense calendar is
+    generated from the observed [min, max] day range (sequence+explode,
+    no driver round-trip), left-joined to the sparse daily counts, and
+    holes are carried forward with last(ignorenulls) over an ordered
+    running frame (0 before the first observation). Scale: the calendar
+    is O(days) — broadcast-sized for any horizon worth plotting — and
+    the single window is one shuffle; at 100 TB partition the window by
+    (series_id) so each series fills independently."""
+    e = load(spark, sf_dir, "events")
+    cal = e.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    ).select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    daily = (
+        e.filter(F.col("value") > 300)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return cal.join(daily, "day", "left").select(
+        "day",
+        "n_events",
+        F.coalesce(F.last("n_events", ignorenulls=True).over(w), F.lit(0)).alias(
+            "n_filled"
+        ),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    group="F",
+    oracle="""
+    with daily as (
+        select cast(ts as date) as day, count(*) as n_events
+        from events group by 1
+    ),
+    scored as (
+        select day, n_events,
+               avg(n_events) over win as mu,
+               stddev_samp(n_events) over win as sd,
+               count(*) over win as n_prior
+        from daily
+        window win as (order by day rows between 7 preceding and 1 preceding)
+    )
+    select day, n_events, round(mu, 2) as trailing_mean,
+           round((n_events - mu) / sd, 2) as zscore,
+           abs((n_events - mu) / sd) > 2 as is_anomaly
+    from scored where n_prior = 7 and sd <> 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: trailing-window anomaly detection — each day's event count
+    scored against the mean/stddev of the prior 7 days (the frame
+    excludes the current row, so an anomalous day can't mask itself).
+    Warm-up days (fewer than 7 priors) are dropped. Inputs to the
+    window stats are exact small integers, so mu is IEEE-exact and sd
+    divergence is sub-ulp; z rounded at 2 per the stat-family policy.
+    Scale: daily pre-aggregation reduces the window input to O(days)
+    rows; partition the window by series key when scoring many metrics."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    z = (F.col("n_events") - F.col("mu")) / F.col("sd")
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            F.avg("n_events").over(w).alias("mu"),
+            F.stddev_samp("n_events").over(w).alias("sd"),
+            F.count(F.lit(1)).over(w).alias("n_prior"),
+        )
+        .filter((F.col("n_prior") == 7) & (F.col("sd") != 0))
+        .select(
+            "day",
+            "n_events",
+            F.round("mu", 2).alias("trailing_mean"),
+            F.round(z, 2).alias("zscore"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )

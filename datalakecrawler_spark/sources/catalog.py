@@ -231,3 +231,118 @@ def catalog_row_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+@register(
+    "quality_constraint_suite",
+    group="B",
+    oracle="""
+    with checks as (
+        select 'orders_pk_unique' as constraint_name,
+               count(*) - count(distinct o_orderkey) as n_violations
+        from orders
+        union all
+        select 'lineitem_fk_orders', count(*)
+        from lineitem l
+        where not exists (select 1 from orders o
+                          where o.o_orderkey = l.l_orderkey)
+        union all
+        select 'lineitem_discount_range', count(*)
+        from lineitem where l_discount < 0 or l_discount > 0.1
+        union all
+        select 'customer_acctbal_complete', count(*)
+        from customer where c_acctbal is null
+        union all
+        select 'events_value_positive', count(*)
+        from events where value <= 0
+    )
+    select constraint_name, n_violations, n_violations = 0 as passed
+    from checks
+    """,
+)
+def quality_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: declarative data-quality constraint suite (the AWS-Deequ
+    capability a crawler publishes next to its catalog entries): PK
+    uniqueness, FK containment, value-range, completeness, and
+    positivity checks, one verdict row each. Every check is a single
+    aggregate over its table — uniqueness is count minus distinct-count,
+    FK containment a left-anti join (shuffle on the key, null-safe by
+    construction since fixtures are non-null) — so the suite costs one
+    scan per table and the output is O(#constraints). At 100 TB swap
+    exact distinct for approx_count_distinct and sample the range
+    checks; the verdict schema stays identical."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+
+    def verdict(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    checks = [
+        o.agg(
+            F.lit("orders_pk_unique").alias("constraint_name"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+        ),
+        verdict(
+            "lineitem_fk_orders",
+            li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        verdict(
+            "lineitem_discount_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        ),
+        verdict("customer_acctbal_complete", c.filter(F.col("c_acctbal").isNull())),
+        verdict("events_value_positive", e.filter(F.col("value") <= 0)),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+@register(
+    "catalog_histogram_numeric",
+    group="B",
+    oracle="""
+    with bounds as (
+        select min(o_totalprice) as lo, max(o_totalprice) as hi from orders
+    )
+    select least(cast(floor((o_totalprice - lo) / ((hi - lo) / 10)) as bigint),
+                 9) as bucket,
+           count(*) as n_rows
+    from orders, bounds
+    group by 1
+    """,
+)
+def catalog_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: equi-width histogram of a numeric column (10 buckets over
+    o_totalprice) — the distribution sketch a profiler stores beside
+    min/max/stddev. Two aggregation passes: bounds (O(1) rows, cross-
+    joined as a broadcast literal) then bucket counts; both have
+    map-side partials, output is O(buckets). The bucket expression is
+    per-row IEEE arithmetic in the same shape in both engines, so edge
+    values land identically. The max lands in a closed top bucket via
+    least(..., 9). At scale, substitute approx min/max from footer
+    stats to save the first pass."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10)
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

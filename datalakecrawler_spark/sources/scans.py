@@ -347,3 +347,66 @@ def catalog_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.min("l_orderkey").alias("sample_key"),
     )
+
+
+_ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,"
+    " o_orderpriority"
+)
+
+
+@register(
+    "sink_merge_upsert",
+    group="A",
+    oracle=f"""
+    with snapshot as (
+        select * from orders where o_orderkey % 3 <> 0
+    ),
+    changes as (
+        select o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.1 as o_totalprice, o_orderdate,
+               o_orderpriority
+        from orders where o_orderkey % 2 = 0
+    ),
+    merged as (
+        select {_ORDER_COLS} from changes
+        union all
+        select {_ORDER_COLS} from snapshot s
+        where not exists (select 1 from changes c
+                          where c.o_orderkey = s.o_orderkey)
+    )
+    select o_orderstatus, count(*) as n_rows,
+           {{SUM_D}} as total_price
+    from merged group by 1
+    """.replace("{SUM_D}", SUM_D.format("o_totalprice")),
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: MERGE/upsert sink — apply a changeset (updates for
+    existing keys + inserts of new keys) onto a snapshot and persist
+    the merged table. Snapshot = orders sans every 3rd key; changeset =
+    every 2nd key with a repriced total. Copy-on-write formulation:
+    changeset UNION ALL (snapshot ANTI JOIN changeset) — one shuffle on
+    the merge key, no row-at-a-time updates; this is the plan a Delta/
+    Iceberg MERGE compiles to. The merged result round-trips through a
+    parquet sink (doubles are bit-exact through parquet), then is
+    verified via a per-status micro-unit aggregate. Scale: partition
+    the table on a merge-key-aligned column so the anti join prunes to
+    touched partitions only, and let AQE size the rewrite tasks."""
+    o = load(spark, sf_dir, "orders")
+    snapshot = o.filter(F.col("o_orderkey") % 3 != 0)
+    changes = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merged = changes.unionByName(
+        snapshot.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    path = _tmp("orders_merged")
+    merged.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

@@ -142,3 +142,33 @@ def test_pack_sequences_no_python_no_global_sort(spark):
     assert sort_args and all(g == "false" for g in sort_args), sort_args
     assert "rangepartitioning" not in a.text, "packing must not global-sort"
     assert re.search(r"hashpartitioning\(shard", a.text), "window exchange must key on shard"
+
+
+def test_q10_pushdown_broadcast_takeordered(spark):
+    """Q10: returnflag + date filters must reach their scans, dims must
+    broadcast, and the top-20 must plan as TakeOrderedAndProject (no
+    global sort of the aggregate output)."""
+    a = _audit_uncached(spark, "q10_returned_items")
+    assert any("EqualTo(l_returnflag,R)" in p for p in a.pushed_filters), (
+        a.pushed_filters
+    )
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in a.pushed_filters)
+    assert "BroadcastHashJoin" in a.joins
+    assert "CartesianProduct" not in a.joins
+    assert "TakeOrderedAndProject" in a.text
+    assert not a.has_python_eval
+
+
+def test_merge_upsert_single_shuffle_anti_join(spark):
+    """The MERGE plan's anti join must be a hash join on the key, and
+    nothing may route through Python."""
+    a = _audit_uncached(spark, "sink_merge_upsert")
+    assert "CartesianProduct" not in a.joins
+    assert "BroadcastNestedLoopJoin" not in a.joins
+    assert not a.has_python_eval
+
+
+def test_constraint_suite_no_python_no_cartesian(spark):
+    a = _audit_uncached(spark, "quality_constraint_suite")
+    assert "CartesianProduct" not in a.joins
+    assert not a.has_python_eval
