@@ -549,3 +549,46 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    group="E",
+    oracle=f"""
+    select cast(date_trunc('month', o_orderdate) as date) as month,
+           count(*) as n_orders,
+           {SUM_D.format("o_totalprice")} as revenue
+    from orders group by 1
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: incremental materialized-view maintenance — a monthly
+    revenue MV kept fresh by merging the persisted base partials with
+    partials over newly-arrived rows, instead of recomputing from
+    scratch. The merge is exact because partials are kept mergeable:
+    counts add, and revenue partials are integer micro-unit sums (long)
+    whose merge is associative/order-independent — the same property
+    that makes them DuckDB-hash-matchable. The oracle is the FULL
+    recompute, so the hash-match proves incremental == full. Cost at
+    100 TB: O(delta rows + touched groups) per refresh vs O(history);
+    with the MV partitioned by month only delta months rewrite."""
+    o = load(spark, sf_dir, "orders")
+    cutoff = "2000-01-01"
+    month = F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("micro"),
+        )
+
+    base_mv = partials(o.filter(F.col("o_orderdate") < cutoff))  # "persisted"
+    delta = partials(o.filter(F.col("o_orderdate") >= cutoff))  # new arrivals
+    return (
+        base_mv.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            (F.sum("micro").cast("double") / 1e6).alias("revenue"),
+        )
+    )

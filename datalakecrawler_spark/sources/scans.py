@@ -410,3 +410,51 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "sink_bucketed_join",
+    group="A",
+    oracle=f"""
+    select o.o_orderstatus, count(*) as n_lines,
+           {SUM_D.format("l.l_extendedprice")} as total_price
+    from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+    group by 1
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: bucketed-table write + shuffle-free co-located join — the
+    single biggest join optimization available to a recurring pipeline.
+    Both fact tables are persisted with ``bucketBy(8, key).sortBy(key)``
+    (external tables, explicit paths), so every later join on that key
+    reads bucket i against bucket i: a SortMergeJoin with NO Exchange
+    on either input — the shuffle is paid once at write time and
+    amortized over every downstream run. At 100 TB this is the
+    difference between re-shuffling 100 TB per query and zero; pick
+    bucket counts ~= cluster cores × small factor and the same count on
+    both tables (plan pinned in tests/test_plans.py)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    for name, df, key in [
+        ("bkt_orders", o, "o_orderkey"),
+        ("bkt_lineitem", li, "l_orderkey"),
+    ]:
+        spark.sql(f"drop table if exists {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", _tmp(name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    bo = spark.table("bkt_orders")
+    bl = spark.table("bkt_lineitem")
+    return (
+        bo.hint("merge")
+        .join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )

@@ -172,3 +172,14 @@ def test_constraint_suite_no_python_no_cartesian(spark):
     a = _audit_uncached(spark, "quality_constraint_suite")
     assert "CartesianProduct" not in a.joins
     assert not a.has_python_eval
+
+
+def test_bucketed_join_no_shuffle_on_key(spark):
+    """Co-located bucketed join: neither side may shuffle on the join
+    key — the only allowed Exchange is the post-join aggregation's
+    (hashpartitioning on o_orderstatus)."""
+    a = _audit_uncached(spark, "sink_bucketed_join")
+    assert "SortMergeJoin" in a.joins
+    assert "hashpartitioning(o_orderkey" not in a.text
+    assert "hashpartitioning(l_orderkey" not in a.text
+    assert not a.has_python_eval
