@@ -371,3 +371,91 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    group="F",
+    oracle="""
+    with seq as (
+        select user_id, event_type,
+               lag(event_type) over (partition by user_id
+                                     order by ts, event_id) as prev_type
+        from events
+    )
+    select prev_type, event_type as next_type, count(*) as n_transitions
+    from seq where prev_type is not null
+    group by 1, 2
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: behavioral transition matrix — counts of consecutive
+    (prev event → next event) pairs per user, the input to Markov-chain
+    journey models and Sankey funnels. One lag window partitioned by
+    user (shuffle on user_id, per-user local sort with event_id as the
+    deterministic tiebreak for equal timestamps), then an O(types²)
+    aggregate. Scale: the window state is one row (lag-1), streaming-
+    friendly; skewed power-users are bounded by per-user event counts,
+    not corpus size."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+_RFM_MONETARY = (
+    "cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)) as double) / 1e6"
+)
+
+
+@register(
+    "customer_rfm_segmentation",
+    group="F",
+    oracle=f"""
+    with rfm as (
+        select o_custkey,
+               max(o_orderdate) as last_order,
+               count(*) as frequency,
+               {_RFM_MONETARY} as monetary
+        from orders group by 1
+    ),
+    scored as (
+        select ntile(4) over (order by last_order, o_custkey) as r_quartile,
+               ntile(4) over (order by frequency, o_custkey) as f_quartile,
+               ntile(4) over (order by monetary, o_custkey) as m_quartile
+        from rfm
+    )
+    select r_quartile, f_quartile, m_quartile, count(*) as n_customers
+    from scored group by 1, 2, 3
+    """,
+)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: RFM segmentation — each customer scored into quartiles of
+    recency (last order date), frequency (order count), and monetary
+    (micro-unit-exact revenue, so the quartile sort key is identical in
+    both engines), then counted per segment cell. The ntile windows are
+    global (no partitionBy) — safe ONLY because the input is the
+    per-customer aggregate, dimension-sized, not the fact table; at
+    100 TB replace global ntile with approx-percentile cut points
+    computed in one pass and a broadcast bucket join. Every orderBy
+    carries o_custkey as tiebreak (§2.L trap 3)."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast("double") / 1e6).alias(
+            "monetary"
+        ),
+    )
+    scored = rfm.select(
+        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r_quartile"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_quartile"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -454,3 +454,55 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_member"))
         .select(F.col("comp").alias("keeper"), "n_docs", "max_member")
     )
+
+
+@register(
+    "dedup_fuzzy_blocked",
+    group="J",
+    oracle="""
+    with names as (
+        select p_name, string_split(p_name, ' ')[2] as blk, count(*) as n
+        from part group by 1, 2
+    )
+    select a.p_name as name_a, b.p_name as name_b,
+           levenshtein(a.p_name, b.p_name) as dist,
+           a.n * b.n as n_record_pairs
+    from names a join names b
+      on a.blk = b.blk and a.p_name < b.p_name
+    where levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: blocked fuzzy dedup (entity resolution) — near-identical
+    part names found by Levenshtein ≤ 2, with two scale levers stacked:
+    (1) dedupe-distinct-first: edit distance runs on DISTINCT names
+    (64 here, millions of records reduce to thousands of values), each
+    pair reporting the implied record-pair count; (2) blocking: the
+    self-join is equi on a blocking key (the name's second token), so
+    the quadratic comparison is confined to blocks instead of the full
+    cross product. Levenshtein is a JVM built-in — no Python boundary.
+    At 100 TB, swap the blocking key for multiple redundant keys
+    (phonetic + prefix) and union, the standard record-linkage recipe."""
+    p = load(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), 2))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+            (F.col("a.n") * F.col("b.n")).alias("n_record_pairs"),
+        )
+    )

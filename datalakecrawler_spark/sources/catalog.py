@@ -346,3 +346,55 @@ def catalog_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "catalog_profile_quantiles",
+    group="B",
+    oracle="""
+    select 'l_quantity' as column_name,
+           round(quantile_cont(l_quantity, 0.25), 4) as p25,
+           round(quantile_cont(l_quantity, 0.50), 4) as p50,
+           round(quantile_cont(l_quantity, 0.75), 4) as p75
+    from lineitem
+    union all
+    select 'l_extendedprice',
+           round(quantile_cont(l_extendedprice, 0.25), 4),
+           round(quantile_cont(l_extendedprice, 0.50), 4),
+           round(quantile_cont(l_extendedprice, 0.75), 4)
+    from lineitem
+    union all
+    select 'l_discount',
+           round(quantile_cont(l_discount, 0.25), 4),
+           round(quantile_cont(l_discount, 0.50), 4),
+           round(quantile_cont(l_discount, 0.75), 4)
+    from lineitem
+    """,
+)
+def catalog_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: per-column quartile profile (the distribution half of the
+    catalog profile that min/max/stddev miss). All columns' percentiles
+    compute in ONE aggregation pass over one scan — the same
+    one-pass-per-table rule as the numeric profiler — then unpivot to
+    catalog rows via a stack(). Exact percentile_cont interpolation
+    matches DuckDB's quantile_cont (round(4) absorbs last-ulp
+    differences, per the E10 precedent). At 100 TB switch to
+    approx_percentile (t-digest, mergeable, one pass) and mark the
+    profile row as approximate."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    wide = li.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 4).alias(f"{c}__{tag}")
+            for c in cols
+            for q, tag in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75")]
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{c}', {c}__p25, {c}__p50, {c}__p75" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as (column_name, p25, p50, p75)"
+        )
+    )
