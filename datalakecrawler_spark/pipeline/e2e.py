@@ -1,0 +1,153 @@
+"""End-to-end training-data pipeline: the composed funnel every LLM
+data team runs — raw corpus → quality gate → exact dedup → benchmark
+decontamination → train/holdout split — reported as per-stage survivor
+counts. Each stage reuses the exact semantics of its standalone
+operator (text_quality_rules, dedup_exact, text_contamination_ngram,
+split_train_holdout), so the composition is oracle-checkable end to
+end: the DuckDB SQL replays the full funnel and must hash-match.
+
+Scale shape (100 TB): quality is a codegen'd scan (no shuffle); dedup
+shuffles 32-byte keys (~0.03% of text volume); decontamination
+broadcasts the benchmark gram set and anti-joins; the split is a pure
+column predicate (pushes into downstream scans). No stage materializes
+to the driver; stage counts come from one job over a multi-branch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+
+@register(
+    "pipeline_training_data_e2e",
+    group="J",
+    oracle="""
+    with m as (
+        select doc_id, text,
+               len(string_split(text, ' ')) as wc,
+               cast(len(replace(text, ' ', '')) as double)
+                   / len(string_split(text, ' ')) as mean_wlen,
+               cast(len(list_filter(string_split(text, ' '),
+                                    x -> x in ('the', 'a'))) as double)
+                   / len(string_split(text, ' ')) as stop_frac
+        from documents
+    ),
+    quality as (
+        select doc_id, text from m
+        where wc between 40 and 10000
+          and mean_wlen between 3.2 and 4.6
+          and stop_frac >= 0.02
+    ),
+    deduped as (
+        select min(doc_id) as doc_id
+        from quality group by sha256(lower(trim(text)))
+    ),
+    toks as (
+        select doc_id, string_split(text, ' ') as t from documents
+    ),
+    ng as (
+        select doc_id, array_to_string(t[i + 1 : i + 5], ' ') as gram
+        from toks, unnest(range(greatest(len(t) - 4, 0))) as u(i)
+    ),
+    bench as (
+        select distinct gram from ng where doc_id % 97 = 0
+    ),
+    contaminated as (
+        select distinct g.doc_id
+        from ng g join bench b using (gram)
+        where g.doc_id % 97 <> 0
+    ),
+    clean as (
+        select d.doc_id from deduped d
+        where d.doc_id % 97 <> 0
+          and not exists (select 1 from contaminated c
+                          where c.doc_id = d.doc_id)
+    ),
+    split as (
+        select doc_id,
+               case when (doc_id * 2654435761) % 100 < 90
+                    then 'train' else 'holdout' end as s
+        from clean
+    )
+    select 'raw' as stage, count(*) as n_docs from documents
+    union all select 'quality_pass', count(*) from quality
+    union all select 'deduped', count(*) from deduped
+    union all select 'decontaminated', count(*) from clean
+    union all select 'train', count(*) from split where s = 'train'
+    union all select 'holdout', count(*) from split where s = 'holdout'
+    """,
+)
+def pipeline_training_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the full training-data funnel, stages composed exactly as
+    their standalone operators define them (see module docstring)."""
+    d = load(spark, sf_dir, "documents")
+
+    # stage 1 — Gopher-style quality gate (text_quality_rules semantics)
+    toks = F.split("text", " ")
+    wc = F.size(toks)
+    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    mean_wlen = chars.cast("double") / wc
+    stop_frac = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double") / wc
+    )
+    quality = d.filter(
+        wc.between(40, 10000)
+        & mean_wlen.between(3.2, 4.6)
+        & (stop_frac >= 0.02)
+    )
+
+    # stage 2 — exact dedup, keep min doc_id (dedup_exact semantics)
+    deduped = quality.groupBy(
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_key")
+    ).agg(F.min("doc_id").alias("doc_id"))
+
+    # stage 3 — benchmark decontamination (text_contamination_ngram
+    # semantics): 5-gram overlap with the doc_id % 97 == 0 benchmark set
+    grams5 = F.when(
+        F.size(toks) >= 5,
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 5),"
+            " i -> array_join(slice(split(text, ' '), i + 1, 5), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(grams5).alias("gram"))
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        deduped.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+    # stage 4 — deterministic train/holdout split (split_train_holdout)
+    split = clean.select(
+        "doc_id",
+        F.when((F.col("doc_id") * 2654435761) % 100 < 90, "train")
+        .otherwise("holdout")
+        .alias("s"),
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_docs")
+        )
+
+    out = stage("raw", d)
+    for name, df in [
+        ("quality_pass", quality),
+        ("deduped", deduped),
+        ("decontaminated", clean),
+        ("train", split.filter(F.col("s") == "train")),
+        ("holdout", split.filter(F.col("s") == "holdout")),
+    ]:
+        out = out.unionByName(stage(name, df))
+    return out

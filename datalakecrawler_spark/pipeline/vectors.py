@@ -98,3 +98,81 @@ def mm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_norm"),
     )
+
+
+@register(
+    "mm_embed_quantize",
+    group="J",
+    oracle="""
+    with v as (
+        select label,
+               list_transform(embedding, x -> cast(x as double)) as e
+        from embeddings
+    ),
+    s as (
+        select label, e,
+               list_max(list_transform(e, x -> abs(x))) as scale
+        from v
+    ),
+    q as (
+        select label, scale, e,
+               list_transform(e, x -> cast(round(x / scale * 127) as int))
+                   as qv
+        from s
+    ),
+    err as (
+        select label,
+               list_sum(list_transform(range(len(e)),
+                        i -> abs(e[i+1] - qv[i+1] * scale / 127))) / len(e)
+                   as mae
+        from q
+    )
+    select label, count(*) as n_vecs,
+           round(cast(sum(cast(floor(mae * 1e6 + 0.5) as bigint)) as double)
+                 / count(mae) / 1e6, 6) as avg_mae,
+           round(max(mae), 6) as max_mae
+    from err group by 1
+    """,
+)
+def mm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: int8 scalar quantization of the embedding column — the
+    storage/bandwidth lever for vector corpora (float32→int8 is 4× off
+    disk and over the shuffle). Per vector: symmetric absmax scaling,
+    quantize q = round(x/scale·127), and the reconstruction
+    mean-absolute-error per label as the quality report. Everything is
+    higher-order SQL lambdas on the JVM — no Python boundary, codegen
+    keeps it in one scan + one tiny agg. The per-element arithmetic has
+    identical expression shape in both engines (exact float→double
+    widening, same IEEE op order), so the MAEs hash-match; per-label
+    averaging routes through micro-unit sums per the float policy."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    d = e.select(
+        "label",
+        emb.alias("e"),
+        scale.alias("scale"),
+    )
+    qv = F.transform(
+        F.col("e"), lambda x: F.round(x / F.col("scale") * 127).cast("int")
+    )
+    mae = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            qv,
+            lambda x, q: F.abs(x - q * F.col("scale") / 127),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(F.col("e"))
+    per_vec = d.select("label", mae.alias("mae"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.floor(F.col("mae") * 1e6 + 0.5)).cast("double")
+            / F.count("mae")
+            / 1e6,
+            6,
+        ).alias("avg_mae"),
+        F.round(F.max("mae"), 6).alias("max_mae"),
+    )

@@ -183,3 +183,19 @@ def test_bucketed_join_no_shuffle_on_key(spark):
     assert "hashpartitioning(o_orderkey" not in a.text
     assert "hashpartitioning(l_orderkey" not in a.text
     assert not a.has_python_eval
+
+
+def test_e2e_pipeline_broadcasts_and_stays_jvm(spark):
+    """The composed funnel must broadcast the benchmark gram set and the
+    contaminated-id set (both tiny), never cartesian, never Python."""
+    a = _audit_uncached(spark, "pipeline_training_data_e2e")
+    assert "BroadcastHashJoin" in a.joins, a.joins
+    assert "CartesianProduct" not in a.joins
+    assert not a.has_python_eval
+
+
+def test_embed_quantize_no_python(spark):
+    """Quantization is pure higher-order lambdas — JVM only."""
+    a = _audit_uncached(spark, "mm_embed_quantize")
+    assert not a.has_python_eval
+    assert not a.joins
