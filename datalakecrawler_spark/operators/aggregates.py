@@ -592,3 +592,35 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("micro").cast("double") / 1e6).alias("revenue"),
         )
     )
+
+
+@register(
+    "agg_heavy_hitters",
+    group="E",
+    oracle="""
+    with c as (select p_brand, count(*) as n from part group by 1),
+    t as (select sum(n) as total from c)
+    select p_brand, n, round(n * 1.0 / total, 6) as frac
+    from c, t where n * 50 > total
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: heavy hitters — values exceeding a 1/50 frequency support
+    threshold (the exact counterpart of Misra-Gries / count-min
+    sketches; `df.stat.freqItems` is the approximate twin). One partial-
+    agg groupBy, total via broadcast cross join, threshold as integer
+    compare (n·50 > total — no float in the predicate). At 100 TB the
+    group-by keyspace is the only memory bound; for unbounded keys
+    switch to the sketch and keep this exact pass for the verify stage."""
+    p = load(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 50 > F.col("total"))
+        .select(
+            "p_brand",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("frac"),
+        )
+    )

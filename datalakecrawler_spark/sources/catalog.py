@@ -398,3 +398,48 @@ def catalog_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack_args}) as (column_name, p25, p50, p75)"
         )
     )
+
+
+@register(
+    "catalog_footer_stats",
+    group="B",
+    oracle="""
+    select 'l_orderkey' as column_name,
+           cast(min(l_orderkey) as varchar) as min_value,
+           cast(max(l_orderkey) as varchar) as max_value,
+           count(*) as n_rows
+    from lineitem
+    union all
+    select 'l_quantity', cast(min(l_quantity) as varchar),
+           cast(max(l_quantity) as varchar), count(*) from lineitem
+    union all
+    select 'l_shipdate', cast(min(l_shipdate) as varchar),
+           cast(max(l_shipdate) as varchar), count(*) from lineitem
+    """,
+)
+def catalog_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: metadata-only profiling from the Parquet FOOTER — the
+    crawler's signature fast path: per-column min/max and row counts
+    read from row-group statistics without scanning a single data page.
+    Footer stats are aggregated across row groups (min of mins, max of
+    maxs). The oracle recomputes the same stats the slow way (full
+    scan), proving the footer tells the truth. At 100 TB this is the
+    difference between cataloging a lake in minutes (one footer read
+    per file, parallelized with a file-list RDD) and days; the same
+    stats drive row-group skipping for every pushed-down predicate."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    idx = {
+        md.row_group(0).column(i).path_in_schema: i
+        for i in range(md.row_group(0).num_columns)
+    }
+    rows = []
+    for col in ["l_orderkey", "l_quantity", "l_shipdate"]:
+        stats = [md.row_group(g).column(idx[col]).statistics for g in range(md.num_row_groups)]
+        rows.append(
+            (col, str(min(s.min for s in stats)), str(max(s.max for s in stats)), md.num_rows)
+        )
+    return spark.createDataFrame(
+        rows, "column_name string, min_value string, max_value string, n_rows long"
+    )

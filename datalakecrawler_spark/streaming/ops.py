@@ -358,3 +358,71 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value")
     )
+
+
+def build_user_value_partials(events: DataFrame) -> DataFrame:
+    """Mergeable per-user partials: count + micro-unit value sum.
+    Partials from separate micro-batches re-aggregate exactly (counts
+    add; int64 micro-sums are associative), which is what makes the
+    foreachBatch sink's merge-on-read exact."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1e6 + 0.5)).alias("micro"),
+    )
+
+
+def finalize_user_value_totals(partials: DataFrame) -> DataFrame:
+    """Merge partials → final per-user totals (double, policy-rounded)."""
+    return partials.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("micro").cast("double") / 1e6).alias("total_value"),
+    )
+
+
+def run_foreachbatch_upsert(
+    spark: SparkSession, src_dir: str, sink_dir: str
+) -> None:
+    """Streaming half of stream_foreachbatch_upsert: each micro-batch's
+    partials land at ``{sink_dir}/epoch=<id>`` with mode=overwrite, so a
+    retried epoch REPLACES its own output instead of double-counting —
+    the standard idempotent (effectively exactly-once) foreachBatch
+    recipe. Readers merge partials across epochs at query time."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        build_user_value_partials(batch_df).write.mode("overwrite").parquet(
+            f"{sink_dir}/epoch={epoch_id}"
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{sink_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    group="I",
+    oracle=f"""
+    select user_id, count(*) as n_events, {SUM_D.format("value")} as total_value
+    from events group by 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext batch twin: per-user event totals. The streaming half
+    (run_foreachbatch_upsert) writes per-epoch partial parquet with
+    overwrite-by-epoch idempotence; tests/test_streaming.py drives a
+    4-file source through it, REPLAYS an epoch to prove a retry cannot
+    double-count, and asserts the merged sink equals this twin."""
+    return finalize_user_value_totals(
+        build_user_value_partials(load(spark, sf_dir, "events"))
+    )

@@ -180,3 +180,47 @@ def test_stream_stream_join_equals_batch(spark, events_stream):
         mode="append",
     )
     _assert_same(batch, stream)
+
+
+def test_foreachbatch_upsert_idempotent(spark):
+    """The foreachBatch sink: (1) merged sink output equals the batch
+    twin; (2) replaying an epoch (simulated retry) leaves the merged
+    result unchanged — overwrite-by-epoch means no double counting."""
+    src = os.path.join(_TMP, "fb_src")
+    sink = os.path.join(_TMP, "fb_sink")
+    for d in (src, sink):
+        shutil.rmtree(d, ignore_errors=True)
+    # stage the events file as 4 schema-faithful source files → 4
+    # micro-batches (pyarrow slice keeps ts as raw nanos, matching
+    # EVENTS_SCHEMA's LongType + timestamp_micros rebuild)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    n = t.num_rows
+    step = (n + 3) // 4
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), os.path.join(src, f"part{i}.parquet"))
+
+    ops.run_foreachbatch_upsert(spark, src, sink)
+    epochs = sorted(
+        d for d in os.listdir(sink) if d.startswith("epoch=")
+    )
+    assert len(epochs) == 4, epochs
+
+    def merged():
+        return ops.finalize_user_value_totals(spark.read.parquet(f"{sink}/epoch=*"))
+
+    twin = ops.finalize_user_value_totals(
+        ops.build_user_value_partials(load(spark, SF_DIR, "events"))
+    )
+    _assert_same(twin, merged())
+
+    # simulated retry: re-run epoch 0's write over the same batch
+    batch0 = spark.read.parquet(os.path.join(src, "part0.parquet")).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    ops.build_user_value_partials(batch0).write.mode("overwrite").parquet(
+        f"{sink}/{epochs[0]}"
+    )
+    _assert_same(twin, merged())
