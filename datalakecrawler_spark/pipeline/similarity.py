@@ -302,3 +302,56 @@ def sim_ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 6).alias("dist"),
         )
     )
+
+
+_SEM_TAU = 0.45  # fixtures' max pairwise sim ≈ 0.513 → small drop set
+
+
+@register(
+    "dedup_semdedup",
+    group="J",
+    oracle=f"""
+    with pairs as (
+        select a.label, b.vec_id as dropped
+        from embeddings a join embeddings b
+          on a.label = b.label and a.vec_id < b.vec_id
+        where round({_DOT_SQL.format('a.embedding', 'b.embedding')}, 6)
+              >= {_SEM_TAU}
+    ),
+    d as (
+        select label, count(distinct dropped) as n_dropped
+        from pairs group by 1
+    ),
+    n as (select label, count(*) as n_vecs from embeddings group by 1)
+    select n.label, n.n_vecs, coalesce(d.n_dropped, 0) as n_dropped,
+           n.n_vecs - coalesce(d.n_dropped, 0) as n_kept
+    from n left join d using (label)
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    within each cluster (label standing in for the k-means cell), drop
+    every vector whose cosine to a LOWER-id vector exceeds τ — the
+    deterministic keep-min policy. The pairwise comparison is confined
+    to cluster blocks (equi-join on label), the exact analogue of
+    SemDeDup's intra-cluster pruning: quadratic only within cells, never
+    across the corpus. At 100 TB the labels come from a k-means fit
+    (cluster_assign_centroid) and cells are shuffle partitions; the
+    per-cell pair scan parallelizes per cluster."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = e.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("ida") < F.col("idb"))
+    ).where(F.round(dot("ea", "eb"), 6) >= _SEM_TAU)
+    d = pairs.groupBy("label").agg(F.countDistinct("idb").alias("n_dropped"))
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return n.join(d, "label", "left").select(
+        "label",
+        "n_vecs",
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+    )

@@ -611,3 +611,114 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    group="J",
+    oracle="""
+    with tok as (
+        select doc_id, lang, unnest(string_split(text, ' ')) as w
+        from documents
+    ),
+    cnt as (select w, count(*) as c from tok group by 1),
+    tot as (select sum(c) as n from cnt),
+    scored as (
+        select t.doc_id, t.lang,
+               sum(cast(floor(ln(c * 1.0 / n) * 1e4 + 0.5) as bigint))
+                   as micro,
+               count(*) as n_tok
+        from tok t join cnt on t.w = cnt.w cross join tot
+        group by 1, 2
+    ),
+    doc as (
+        select lang, cast(micro as double) / n_tok / 1e4 as logprob
+        from scored
+    )
+    select lang, count(*) as n_docs,
+           round(cast(sum(cast(floor(logprob * 1e4 + 0.5) as bigint))
+                      as double) / count(*) / 1e4, 4) as avg_logprob
+    from doc group by 1
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: unigram-LM quality score (the CCNet/perplexity-filter
+    family, public): a unigram model fit on the corpus itself scores
+    each document by mean token log-probability; low scores flag
+    gibberish, high scores flag boilerplate. All joins/aggs — token
+    counts join back to exploded tokens (the count table is vocab-sized
+    → broadcast), no driver materialization. Per-token log-probs are
+    quantized at 1e-4 into int64 before summing so the per-doc sum is
+    order-independent and engine-identical (libm last-ulp differences
+    vanish below the quantum); per-lang averaging repeats the trick.
+    At 100 TB fit the model on a sample, or swap in a KenLM scorer via
+    pandas UDF with the same output contract."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.floor(F.log(F.col("c") * 1.0 / F.col("n")) * 1e4 + 0.5)
+            ).alias("micro"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    doc = scored.select(
+        "lang", (F.col("micro").cast("double") / F.col("n_tok") / 1e4).alias("logprob")
+    )
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.floor(F.col("logprob") * 1e4 + 0.5)).cast("double")
+            / F.count(F.lit(1))
+            / 1e4,
+            4,
+        ).alias("avg_logprob"),
+    )
+
+
+@register(
+    "sample_quality_weighted",
+    group="J",
+    oracle="""
+    with s as (
+        select lang,
+               least(greatest(len(string_split(text, ' ')) / 200.0, 0.1),
+                     1.0) as p,
+               ('0x' || substr(md5(text), 1, 8))::bigint as u
+        from documents
+    )
+    select lang, count(*) as n_docs,
+           count(*) filter (u < p * 4294967296) as n_kept
+    from s group by 1
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: deterministic importance sampling — each document is kept
+    with probability proportional to a quality proxy (token count,
+    clamped to [0.1, 1]), decided by comparing an md5-derived uniform
+    against the per-doc acceptance threshold. Unlike rand()-based
+    sampling this is reproducible across engines, runs, retries, and
+    cluster sizes (the keep decision is a pure function of content),
+    which is what makes sampled pipelines auditable; it is also
+    stable under re-partitioning, so a resumed 100 TB job samples
+    identically. One codegen'd scan, no shuffle before the lang agg."""
+    d = load(spark, sf_dir, "documents")
+    p = F.least(
+        F.greatest(F.size(F.split("text", " ")) / F.lit(200.0), F.lit(0.1)),
+        F.lit(1.0),
+    )
+    u = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    return (
+        d.select("lang", p.alias("p"), u.alias("u"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("u") < F.col("p") * 4294967296).alias("n_kept"),
+        )
+    )
