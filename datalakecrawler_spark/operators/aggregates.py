@@ -14,6 +14,7 @@ materialization anywhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
@@ -622,5 +623,44 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "n",
             F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("frac"),
+        )
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    group="E",
+    oracle="""
+    with c as (
+        select l_returnflag, l_quantity, count(*) as n
+        from lineitem group by 1, 2
+    ),
+    r as (
+        select l_returnflag, l_quantity, n,
+               row_number() over (partition by l_returnflag
+                                  order by n desc, l_quantity) as rn
+        from c
+    )
+    select l_returnflag, l_quantity as mode_quantity, n as mode_count
+    from r where rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: per-group mode (most frequent value) with a pinned
+    tie-break (smallest value wins) — `F.mode`/DuckDB `mode()` leave
+    ties engine-defined, so the portable formulation is count +
+    row_number, which also generalizes to top-k modes. Two partial
+    aggs + one dimension-sized window; the WindowGroupLimit pushdown
+    applies to the rn=1 filter."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("l_quantity"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("n").alias("mode_count"),
         )
     )

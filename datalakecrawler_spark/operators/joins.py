@@ -526,3 +526,62 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "join_asof_tolerance",
+    group="D",
+    oracle="""
+    select p.event_id, p.user_id, p.ts as purchase_ts, c.ts as last_click_ts
+    from (select * from events where event_type = 'purchase') p
+    asof join (select * from events where event_type = 'click') c
+      on p.user_id = c.user_id and p.ts >= c.ts
+    where p.ts - c.ts <= interval 1 hour
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: as-of join with a tolerance bound (pandas merge_asof's
+    ``tolerance``): the matched prior click must be within 1 hour of
+    the purchase, else the pair is dropped. Identical linear union-tag
+    + running-last plan as join_asof, plus one post-window filter — the
+    tolerance costs nothing extra at any scale (contrast with a range
+    join, which widens with the tolerance)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(0).alias("is_click"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where(
+            (F.col("is_click") == 0)
+            & F.col("last_click_ts").isNotNull()
+            & (
+                # exact integer micros — matches DuckDB interval compare
+                F.unix_micros("ts") - F.unix_micros("last_click_ts")
+                <= 3_600_000_000
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )

@@ -355,3 +355,123 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
     )
+
+
+_KMEANS_ORACLE = f"""
+    with flat as (
+        select label, unnest(range(len(embedding))) as pos,
+               unnest(embedding) as v
+        from embeddings
+    ),
+    cent0 as (
+        select label, pos,
+               round(cast(sum(cast(v as decimal(38,10))) as double)
+                     / count(v), 6) as cv
+        from flat group by 1, 2
+    ),
+    carr0 as (
+        select label as c, list(cv order by pos) as cvec from cent0 group by 1
+    ),
+    a1 as (
+        select vec_id, c as assigned from (
+            select e.vec_id, c.c,
+                   row_number() over (partition by e.vec_id
+                       order by round({_DOT_SQL.format('e.embedding', 'c.cvec')},
+                                      6) desc, c.c) as rk
+            from embeddings e cross join carr0 c
+        ) t where rk = 1
+    ),
+    flat1 as (
+        select a1.assigned, unnest(range(len(e.embedding))) as pos,
+               unnest(e.embedding) as v
+        from embeddings e join a1 using (vec_id)
+    ),
+    cent1 as (
+        select assigned, pos,
+               round(cast(sum(cast(v as decimal(38,10))) as double)
+                     / count(v), 6) as cv
+        from flat1 group by 1, 2
+    ),
+    carr1 as (
+        select assigned as c, list(cv order by pos) as cvec from cent1 group by 1
+    ),
+    a2 as (
+        select vec_id, c as assigned, sim from (
+            select e.vec_id, c.c,
+                   round({_DOT_SQL.format('e.embedding', 'c.cvec')}, 6) as sim,
+                   row_number() over (partition by e.vec_id
+                       order by round({_DOT_SQL.format('e.embedding', 'c.cvec')},
+                                      6) desc, c.c) as rk
+            from embeddings e cross join carr1 c
+        ) t where rk = 1
+    )
+    select assigned as cluster, count(*) as n_members,
+           round(cast(sum(cast(floor(sim * 1e6 + 0.5) as bigint)) as double)
+                 / count(*) / 1e6, 6) as avg_sim
+    from a2 group by 1
+"""
+
+
+def _assign_step(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment: nearest centroid by rounded dot, label
+    tie-break. Centroids broadcast; corpus side shuffle-free."""
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "c_label",
+        F.round(dot("embedding", "cvec"), 6).alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "c_label")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("c_label").alias("assigned"), "sim")
+    )
+
+
+def _update_step(assigned: DataFrame) -> DataFrame:
+    """One Lloyd update: per-cluster decimal-exact mean per position,
+    re-assembled into centroid arrays (same shape as _label_centroids)."""
+    flat = assigned.select("assigned", F.posexplode("embedding").alias("pos", "v"))
+    cent = flat.groupBy("assigned", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("v"),
+            6,
+        ).alias("cv")
+    )
+    return cent.groupBy("assigned").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+        ).alias("cvec")
+    ).select(F.col("assigned").alias("c_label"), "cvec")
+
+
+@register("cluster_kmeans_lloyd", group="J", oracle=_KMEANS_ORACLE)
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: iterative k-means — two full Lloyd rounds (assign →
+    update → assign) as a pure DataFrame loop, initialized from the
+    label centroids. Each iteration is: broadcast the k centroid arrays
+    (k·d doubles — tiny), shuffle-free scored scan, one posexplode
+    shuffle keyed (cluster, pos) for the update. The driver never sees
+    a vector; iteration count is a Python loop over lazy plans, the
+    standard Spark pattern for fixed-point algorithms (MLlib KMeans
+    does the same with sampling tricks). The DuckDB oracle unrolls the
+    same two rounds as CTEs, so even the ITERATIVE path is
+    hash-checked, not just smoke-tested. At 100 TB: cache the corpus
+    between rounds, checkpoint every ~10 iterations to cut lineage."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "cvec"
+    )
+    a1 = _assign_step(e, cents)
+    cents1 = _update_step(a1)
+    a2 = _assign_step(e, cents1)
+    return a2.groupBy(F.col("assigned").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.floor(F.col("sim") * 1e6 + 0.5)).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("avg_sim"),
+    )
