@@ -585,3 +585,51 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_ts",
         )
     )
+
+
+@register(
+    "q18_large_orders",
+    group="D",
+    oracle=f"""
+    with big as (
+        select l_orderkey from lineitem
+        group by 1 having sum(l_quantity) > 150
+    )
+    select c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           {SUM_D.format("l.l_quantity")} as total_qty
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on o.o_orderkey = l.l_orderkey
+    where o.o_orderkey in (select l_orderkey from big)
+    group by 1, 2, 3, 4, 5
+    order by o.o_totalprice desc, o.o_orderkey
+    limit 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q18 shape — customers whose orders exceed a total
+    quantity threshold (HAVING-filtered subquery driving a semi-join).
+    Plan: the `big` aggregate is computed once (partial agg on the
+    lineitem scan), then applied as a LEFT SEMI join — never a
+    collected IN-list — so the filter is a broadcast of the tiny
+    qualifying-key set at any scale; customer broadcasts; top-100 is
+    TakeOrderedAndProject with a unique tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 1e6 + 0.5)).alias("qmicro"))
+        .filter(F.col("qmicro") > 150 * 1_000_000)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

@@ -199,3 +199,13 @@ def test_embed_quantize_no_python(spark):
     a = _audit_uncached(spark, "mm_embed_quantize")
     assert not a.has_python_eval
     assert not a.joins
+
+
+def test_q18_semi_join_and_takeordered(spark):
+    """Q18: the qualifying-keys filter must apply as a semi join (no
+    collected IN-list), and the top-100 as TakeOrderedAndProject."""
+    a = _audit_uncached(spark, "q18_large_orders")
+    assert "LeftSemi" in a.text, "HAVING subquery must become a semi join"
+    assert "CartesianProduct" not in a.joins
+    assert "TakeOrderedAndProject" in a.text
+    assert not a.has_python_eval
