@@ -664,3 +664,40 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    group="E",
+    oracle=f"""
+    select {SUM_D.format('l_extendedprice * l_discount')} as revenue,
+           count(*) as n_lines
+    from lineitem
+    where l_shipdate >= timestamp '1997-01-01'
+      and l_shipdate < timestamp '1998-01-01'
+      and l_discount >= 0.03 and l_discount <= 0.07
+      and l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: TPC-H Q6 shape — revenue-change forecast. Pure
+    scan→filter→scalar-aggregate with no grouping: every predicate is a
+    plain comparison on a scanned column, so all four reach the parquet
+    reader as PushedFilters (row-group min/max skip the out-of-range
+    year), and the aggregate is a single map-side partial per partition
+    + one 1-row merge — the cheapest distributed plan possible, at any
+    scale factor."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -633,3 +633,85 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+_Q14_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q14_promo_revenue",
+    group="D",
+    oracle=f"""
+    with s as (
+      select {SUM_D.format(f"case when p_type like 'PROMO%' then {_Q14_REV} else 0.0 end")} as promo,
+             {SUM_D.format(_Q14_REV)} as total
+      from lineitem join part on l_partkey = p_partkey
+      where l_shipdate >= timestamp '1997-09-01'
+        and l_shipdate < timestamp '1997-10-01'
+    )
+    select round(100.0 * promo / total, 6) as promo_revenue_pct from s
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q14 shape — share of one month's revenue from PROMO
+    parts. lineitem's date filter prunes at the scan; part broadcasts
+    (dimension side), so the only data movement is the dim broadcast —
+    the conditional and total sums come out of ONE aggregation pass.
+    Both sums are micro-unit-exact, and the final percent division
+    happens in the same order in both engines before the round-6."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum(
+                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+            ).alias("promo"),
+            dsum(rev).alias("total"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q4_late_shipment_priority",
+    group="D",
+    oracle="""
+    select o_orderpriority, count(*) as n_orders
+    from orders o
+    where exists (
+      select 1 from lineitem l
+      where l.l_orderkey = o.o_orderkey
+        and l.l_shipdate > o.o_orderdate + interval 90 day
+    )
+    group by o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q4 shape — orders per priority having at least one
+    line shipped >90 days after the order date. The EXISTS becomes a
+    left-semi join (each order emitted at most once, no post-dedup);
+    only (l_orderkey, l_shipdate) is scanned from the fact — column
+    pruning keeps the semi-join's shuffle narrow — and the non-equi
+    part of the predicate evaluates inside the join, not as a filter on
+    a joined product."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("interval 90 days")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

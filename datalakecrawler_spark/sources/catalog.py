@@ -443,3 +443,129 @@ def catalog_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, min_value string, max_value string, n_rows long"
     )
+
+
+# FK candidates probed by catalog_fk_discovery: the star-schema edges a
+# crawler would propose from column-name/type affinity (FIXTURES.md FK
+# graph — measured clean) plus one deliberately-false edge so the
+# containment score demonstrably separates true FKs from coincidences.
+_FK_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "part", "p_partkey"),  # false edge
+]
+
+
+@register(
+    "catalog_fk_discovery",
+    group="B",
+    oracle="\nunion all\n".join(
+        f"""
+    select '{ct}' as child_table, '{cc}' as child_column,
+           '{pt}' as parent_table, '{pc}' as parent_column,
+           (select count(distinct {cc}) from {ct}) as child_distinct,
+           (select count(distinct {cc}) from {ct}
+             where {cc} in (select {pc} from {pt})) as matched_distinct,
+           round(cast((select count(distinct {cc}) from {ct}
+                        where {cc} in (select {pc} from {pt})) as double)
+                 / (select count(distinct {cc}) from {ct}), 6) as containment
+        """
+        for ct, cc, pt, pc in _FK_CANDIDATES
+    ),
+)
+def catalog_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: foreign-key inference — the crawler scores each candidate
+    (child.col → parent.key) edge by value containment: the fraction of
+    the child column's DISTINCT values present in the parent column.
+    containment == 1.0 ⇒ a valid FK; the deliberate false edge scores
+    well below 1. Per edge: both sides reduce to distinct key sets
+    BEFORE the semi-join, so the join input is NDV-sized, not
+    row-count-sized — at 100 TB you'd feed the same comparison from
+    per-column distinct sketches in the catalog instead of rescanning,
+    but the containment definition is identical."""
+    out = None
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = load(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
+        parent = load(spark, sf_dir, pt).select(F.col(pc).alias("v")).distinct()
+        matched = child.join(parent, "v", "left_semi")
+        row = (
+            child.agg(F.count(F.lit(1)).alias("child_distinct"))
+            .crossJoin(matched.agg(F.count(F.lit(1)).alias("matched_distinct")))
+            .select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_column"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_column"),
+                "child_distinct",
+                "matched_distinct",
+                F.round(
+                    F.col("matched_distinct").cast("double")
+                    / F.col("child_distinct"),
+                    6,
+                ).alias("containment"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# (table, column) pairs probed for uniqueness: every table's documented
+# PK plus two known non-unique columns as negative probes.
+_PK_CANDIDATES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("lineitem", "l_orderkey"),  # non-unique: ~4 lines per order
+    ("orders", "o_custkey"),  # non-unique: many orders per customer
+]
+
+
+@register(
+    "catalog_pk_discovery",
+    group="B",
+    oracle="\nunion all\n".join(
+        f"""
+    select '{t}' as table_name, '{c}' as column_name,
+           count(*) as n_rows, count(distinct {c}) as n_distinct,
+           count(*) = count(distinct {c}) as is_unique
+    from {t}
+        """
+        for t, c in _PK_CANDIDATES
+    ),
+)
+def catalog_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: primary-key inference — a crawler flags a column as a PK
+    candidate when distinct-count equals row-count (and nulls are
+    absent; fixtures have none). One count+countDistinct aggregation
+    per probed column; at scale the screening pass would use
+    approx_count_distinct (B3's HLL machinery) and only exact-verify
+    columns whose estimate is within error of n_rows."""
+    out = None
+    for t, c in _PK_CANDIDATES:
+        row = (
+            load(spark, sf_dir, t)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+            )
+            .select(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
