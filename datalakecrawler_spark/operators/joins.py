@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
-from datalakecrawler_spark.registry import SUM_D, dsum, register
+from datalakecrawler_spark.registry import AVG_D, SUM_D, davg, dsum, register
 
 
 @register(
@@ -714,4 +714,217 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    group="D",
+    oracle=f"""
+    select n1.n_name as supp_nation, n2.n_name as cust_nation,
+           year(l_shipdate) as l_year,
+           {SUM_D.format(_Q14_REV)} as revenue
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join supplier on l_suppkey = s_suppkey
+    join customer on o_custkey = c_custkey
+    join nation n1 on s_nationkey = n1.n_nationkey
+    join nation n2 on c_nationkey = n2.n_nationkey
+    where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+        or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+      and l_shipdate >= timestamp '1996-01-01'
+      and l_shipdate < timestamp '1998-01-01'
+    group by 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q7 shape — bilateral trade volume between two
+    nations by ship year. Both nation dims are pre-filtered to the two
+    nations BEFORE joining, so the broadcast carries 2 rows each and
+    the inner joins themselves discard ~92% of the fact early; only
+    the cross-pair predicate (1↔2, not 1↔1) waits until both sides are
+    attached. The fact⋈fact shuffle on orderkey is the only large
+    exchange."""
+    two = ["NATION_1", "NATION_2"]
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(two))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(two))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    group="D",
+    oracle=f"""
+    select n_name as nation, year(o_orderdate) as o_year,
+           {SUM_D.format('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity')} as profit
+    from lineitem
+    join part on l_partkey = p_partkey
+    join supplier on l_suppkey = s_suppkey
+    join orders on l_orderkey = o_orderkey
+    join nation on s_nationkey = n_nationkey
+    where p_name like '%widget%'
+    group by 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q9 shape — profit on one product family by
+    supplier nation and order year. Fixtures have no partsupp table,
+    so cost is proxied as 60% of retail price × quantity (noted
+    adaptation; the plan shape — substring-filtered dim driving a
+    4-way join — is Q9's). The '%widget%' LIKE can't push to parquet
+    as a range, but it prunes `part` to ~1/6 before the broadcast, and
+    profit terms are micro-unit-summed for cross-engine parity."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    group="D",
+    oracle="""
+    with c_orders as (
+      select c_custkey, count(o_orderkey) as n_orders
+      from customer left join orders on c_custkey = o_custkey
+      group by c_custkey
+    )
+    select n_orders, count(*) as n_customers
+    from c_orders group by n_orders
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q13 shape — histogram of orders-per-customer
+    including the zero bucket (the left join keeps orderless
+    customers; count(o_orderkey) ignores the null row). Two
+    aggregations: the first shuffles on custkey (same key as the join,
+    so AQE plans them in one exchange), the second reduces to at most
+    a few dozen histogram buckets."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q19_disjunctive_predicates",
+    group="D",
+    oracle=f"""
+    select {SUM_D.format(_Q14_REV)} as revenue, count(*) as n_lines
+    from lineitem join part on l_partkey = p_partkey
+    where (p_brand = 'Brand#1' and p_size between 1 and 15
+           and l_quantity between 1 and 11)
+       or (p_brand = 'Brand#2' and p_size between 10 and 30
+           and l_quantity between 10 and 20)
+       or (p_brand = 'Brand#3' and p_size between 20 and 50
+           and l_quantity between 20 and 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q19 shape — a disjunction of (brand, size,
+    quantity) bands across the join. Catalyst extracts the common
+    sub-predicates: the OR of brands prunes `part` before broadcast
+    and the OR of quantity ranges (1-30 overall) pushes to the
+    lineitem scan, so the join evaluates the full disjunction only on
+    pre-filtered rows — the classic CNF-extraction test query."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(band).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    group="D",
+    oracle=f"""
+    with t as (select {AVG_D.format('c_acctbal')} as avg_bal from customer)
+    select count(*) as n_customers, {SUM_D.format('c.c_acctbal')} as total_bal
+    from customer c, t
+    where c.c_acctbal > t.avg_bal
+      and not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+    """,
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q22 shape — customers with above-average balance
+    and no orders (dormant sales opportunity). The scalar-subquery
+    threshold is a 1-row aggregate broadcast-crossed into the filter
+    (no correlated per-row subquery), computed under the round-6
+    micro-unit policy so the comparison boundary is bit-identical in
+    both engines; the NOT EXISTS is a left-anti join on custkey."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    thresh = c.agg(davg("c_acctbal").alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
     )
