@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -457,4 +459,58 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             dsum("l_extendedprice").alias("total_price"),
         )
+    )
+
+
+@register("crawl_format_detect", group="B", oracle=None)
+def crawl_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: content-based format detection — a crawler must classify
+    files that lie about (or lack) an extension before it can pick a
+    reader. Stage 1 lists candidates with the binaryFile source
+    selecting path only (content pruned → nothing is read). Stage 2
+    sniffs the leading magic bytes per file inside an Arrow-batched
+    pandas UDF: `PAR1` → parquet, `ORC` → orc, a `{`/`[` lead → JSON,
+    else delimited text. At 100 TB that is one 8-byte ranged GET per
+    object distributed over executors — never a full scan, never a
+    driver loop. Rows-only: paths/format mix are environment-specific;
+    pytest asserts each planted format is classified correctly."""
+
+    # Plant one file of each format (extension deliberately unhelpful).
+    root = _tmp("format_detect")
+    nation = load(spark, sf_dir, "nation").limit(5)
+    nation.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "a.data"))
+    nation.coalesce(1).write.mode("overwrite").orc(os.path.join(root, "b.data"))
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(
+        os.path.join(root, "c.data")
+    )
+    nation.coalesce(1).write.mode("overwrite").json(os.path.join(root, "d.data"))
+
+    @F.pandas_udf("string")
+    def sniff(paths: pd.Series) -> pd.Series:
+        def one(p: str) -> str:
+            with open(p.removeprefix("file:"), "rb") as f:
+                head = f.read(8)
+            if head[:4] == b"PAR1":
+                return "parquet"
+            if head[:3] == b"ORC":
+                return "orc"
+            lead = head.decode("utf-8", "ignore").lstrip()[:1]
+            if lead in ("{", "["):
+                return "json"
+            return "delimited"
+
+        return paths.map(one)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path")
+        .where(~F.element_at(F.split(F.col("path"), "/"), -1).startswith("_"))
+        .where(~F.col("path").endswith(".crc"))
+    )
+    return (
+        files.withColumn("detected_format", sniff(F.col("path")))
+        .groupBy("detected_format")
+        .agg(F.count(F.lit(1)).alias("n_files"))
     )

@@ -88,3 +88,13 @@ def test_connector_stubs_fail_actionably(spark):
                 connectors.open_table(spark, fmt, "/nonexistent")
     with pytest.raises(ValueError, match="unknown lakehouse format"):
         connectors.open_table(spark, "excel", "/x")
+
+
+def test_format_detect_classifies_all_planted_formats(spark):
+    """Magic-byte sniffing must classify each planted file (extensions
+    are deliberately unhelpful '.data') by content alone."""
+    from datalakecrawler_spark.registry import queries
+
+    rows = queries()["crawl_format_detect"](spark, "/root/testdata/sf0.001").collect()
+    got = {r["detected_format"]: r["n_files"] for r in rows}
+    assert got == {"parquet": 1, "orc": 1, "json": 1, "delimited": 1}

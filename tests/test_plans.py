@@ -209,3 +209,48 @@ def test_q18_semi_join_and_takeordered(spark):
     assert "CartesianProduct" not in a.joins
     assert "TakeOrderedAndProject" in a.text
     assert not a.has_python_eval
+
+
+def test_q6_all_predicates_pushed_scalar_agg(spark):
+    """Q6 is pure scan→filter→agg: every predicate must reach parquet
+    and nothing may leave codegen."""
+    a = _audit_uncached(spark, "q6_forecast_revenue")
+    joined = " ".join(a.pushed_filters)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in joined, (frag, a.pushed_filters)
+    assert not a.has_python_eval
+    assert a.n_codegen_stages >= 1
+
+
+def test_q7_broadcasts_dims_no_cartesian(spark):
+    a = _audit_uncached(spark, "q7_volume_shipping")
+    assert "BroadcastHashJoin" in a.joins
+    assert "CartesianProduct" not in a.joins
+    assert not a.has_python_eval
+
+
+def test_q19_disjunction_prunes_and_broadcasts(spark):
+    """The OR-of-brands must reach the part scan (CNF extraction) and
+    part must broadcast."""
+    a = _audit_uncached(spark, "q19_disjunctive_predicates")
+    assert "BroadcastHashJoin" in a.joins
+    assert any("p_brand" in p for p in a.pushed_filters), a.pushed_filters
+    assert not a.has_python_eval
+
+
+def test_q22_anti_join_no_per_row_subquery(spark):
+    """The NOT EXISTS must plan as one anti join; the scalar threshold
+    as a broadcast, not a correlated per-row subquery."""
+    a = _audit_uncached(spark, "q22_dormant_rich_customers")
+    assert "LeftAnti" in a.text, a.joins
+    assert "CartesianProduct" not in a.joins  # 1-row threshold must broadcast
+    assert not a.has_python_eval
+
+
+def test_fk_discovery_distinct_before_join(spark):
+    """FK containment must semi-join NDV-sized distinct sets, never raw
+    tables, and stay JVM-side."""
+    a = _audit_uncached(spark, "catalog_fk_discovery")
+    assert not a.has_python_eval
+    assert "LeftSemi" in a.text, a.joins
+    assert "HashAggregate" in a.text  # distinct runs as agg before the join
