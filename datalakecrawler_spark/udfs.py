@@ -156,3 +156,47 @@ def udtf_arrow_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.mapInArrow(expand, schema="r_regionkey int, ch string").orderBy(
         "r_regionkey", "ch"
     )
+
+
+@register(
+    "udtf_python_lateral",
+    group="K",
+    oracle="""
+    select doc_id,
+           tok || ' ' || lead(tok) over (partition by doc_id order by pos) as bigram,
+           pos
+    from (select doc_id,
+                 unnest(range(len(string_split(text, ' ')))) as pos,
+                 unnest(string_split(text, ' ')) as tok
+          from documents where doc_id < 20) flat
+    qualify bigram is not null
+    """,
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ext: a real Spark 4 Python UDTF (`@F.udtf`) applied laterally —
+    one input row expands to a variable number of output rows (here:
+    bigrams with positions), the table-function analogue of explode but
+    with arbitrary Python per row. Registered + invoked through
+    `spark.sql` with a LATERAL join, which is the UDTF's native call
+    syntax. Deterministic output → full DuckDB oracle via
+    generate_series lateral. The 20-doc slice keeps the Python-boundary
+    cost honest in bench terms; the scale path for this exact job is
+    the pure-SQL transform/sequence formulation in text_ngrams — UDTFs
+    are for logic SQL lambdas cannot express."""
+
+    @F.udtf(returnType="bigram string, pos bigint")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1], i)
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        select d.doc_id, g.bigram, g.pos
+        from documents_v d, lateral bigrams_udtf(d.text) g
+        where d.doc_id < 20
+        """
+    )
