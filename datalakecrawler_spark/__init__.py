@@ -26,6 +26,7 @@ def _load_all() -> None:
         filters,
         joins,
         sorts_setops,
+        subqueries,
         windows,
     )
     from datalakecrawler_spark.pipeline import (  # noqa: F401
