@@ -254,3 +254,76 @@ def test_fk_discovery_distinct_before_join(spark):
     assert not a.has_python_eval
     assert "LeftSemi" in a.text, a.joins
     assert "HashAggregate" in a.text  # distinct runs as agg before the join
+
+
+def _shuffle_keys(a):
+    import re
+
+    return {m.split("#")[0] for m in re.findall(r"hashpartitioning\((\w+)", a.text)}
+
+
+def test_q8_single_fact_shuffle_all_dims_broadcast(spark):
+    """Q8 market share: every dim broadcasts, the date filter reaches
+    the orders scan, and the only exchange is the final group-by-year
+    (share numerator and denominator come out of one pass)."""
+    a = _audit_uncached(spark, "q8_market_share")
+    assert set(a.joins) == {"BroadcastHashJoin"}, a.joins
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in a.pushed_filters)
+    assert _shuffle_keys(a) == {"_groupingexpression"}, _shuffle_keys(a)
+    assert not a.has_python_eval
+
+
+def test_q11_single_shuffle_scalar_total_on_agg_frame(spark):
+    """Q11: the global total must come from a window over the already
+    aggregated per-part frame — one l_partkey shuffle, never a second
+    scan-wide aggregation."""
+    a = _audit_uncached(spark, "q11_important_parts")
+    assert _shuffle_keys(a) == {"l_partkey"}, _shuffle_keys(a)
+    assert "BroadcastHashJoin" in a.joins
+    assert not a.has_python_eval
+
+
+def test_q15_scalar_max_no_second_fact_shuffle(spark):
+    """Q15: windowed max over the aggregated frame — the fact shuffles
+    once on l_suppkey and the max adds no keyed exchange."""
+    a = _audit_uncached(spark, "q15_top_supplier")
+    assert _shuffle_keys(a) == {"l_suppkey"}, _shuffle_keys(a)
+    assert any("GreaterThanOrEqual(l_shipdate" in p for p in a.pushed_filters)
+    assert not a.has_python_eval
+
+
+def test_q17_correlated_avg_broadcasts_back(spark):
+    """Q17: the per-part average frame must broadcast back onto the
+    brand-filtered fact (never a fact⋈fact shuffle join), and the brand
+    equality must reach the part scan."""
+    a = _audit_uncached(spark, "q17_small_quantity_revenue")
+    assert set(a.joins) == {"BroadcastHashJoin"}, a.joins
+    assert any("EqualTo(p_brand,Brand#3)" in p for p in a.pushed_filters)
+    assert _shuffle_keys(a) == {"l_partkey"}, _shuffle_keys(a)
+    assert not a.has_python_eval
+
+
+def test_q21_two_level_agg_reuses_orderkey_partitioning(spark):
+    """Q21: the (order, supplier) flag agg, the per-order counts, and
+    the sl⋈og join must all ride the same l_orderkey partitioning —
+    the only other exchange is the tiny final per-supplier count."""
+    a = _audit_uncached(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in a.joins
+    assert _shuffle_keys(a) <= {"l_orderkey", "s_name"}, _shuffle_keys(a)
+    assert not a.has_python_eval
+
+
+def test_q2_q16_q20_dim_filters_pushed_and_broadcast(spark):
+    """The remaining subquery shapes: filtered dims broadcast and their
+    predicates reach the scans (IN-list for Q16, LIKE-contains for
+    Q20, size bound for Q2)."""
+    for name, pushed in [
+        ("q2_min_cost_part", "LessThanOrEqual(p_size,25)"),
+        ("q16_part_supplier_counts", "In(p_size"),
+        ("q20_promotion_suppliers", "StringContains(p_name,widget)"),
+    ]:
+        a = _audit_uncached(spark, name)
+        assert "BroadcastHashJoin" in a.joins, (name, a.joins)
+        assert "CartesianProduct" not in a.joins, name
+        assert any(pushed in p for p in a.pushed_filters), (name, a.pushed_filters)
+        assert not a.has_python_eval, name
