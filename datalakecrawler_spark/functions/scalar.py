@@ -369,3 +369,36 @@ def hash_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(norm, 256).alias("text_sha256"),
         F.md5(norm).alias("text_md5"),
     )
+
+
+@register(
+    "str_more_fns",
+    group="H",
+    oracle="""
+    select p_partkey,
+           translate(p_name, 'aeiou', '12345') as translated,
+           reverse(p_name)                     as reversed,
+           strpos(p_name, 'a')                 as a_pos,
+           left(p_name, 4)                     as first4,
+           right(p_name, 3)                    as last3,
+           ascii(p_name)                       as first_cp,
+           repeat(left(p_name, 2), 3)          as doubled
+    from part where p_partkey < 200
+    """,
+)
+def str_more_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: second string-function sweep — translate, reverse,
+    position (instr/strpos), left/right slices, ascii codepoint,
+    repeat. All JVM-codegen'd expressions; both engines are 1-based
+    for position with 0 for absent."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "12345").alias("translated"),
+        F.reverse("p_name").alias("reversed"),
+        F.instr("p_name", "a").alias("a_pos"),
+        F.substring("p_name", 1, 4).alias("first4"),
+        F.expr("right(p_name, 3)").alias("last3"),
+        F.ascii("p_name").alias("first_cp"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("doubled"),
+    )

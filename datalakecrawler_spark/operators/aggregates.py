@@ -701,3 +701,27 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "agg_bool_logic",
+    group="E",
+    oracle="""
+    select o_orderpriority,
+           bool_and(o_totalprice > 1000)    as all_above_1k,
+           bool_or(o_orderstatus = 'O')     as any_open,
+           count(*) filter (where o_totalprice > 100000) as n_large
+    from orders group by 1
+    """,
+)
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: boolean aggregates — bool_and / bool_or / count_if, the
+    EVERY/ANY/FILTER family. These are single-pass, map-side-combinable
+    aggregates (a boolean partial state), so they scale like count():
+    one shuffle on the group key with trivially small partial state."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+        F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+    )

@@ -459,3 +459,43 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "win_trailing_interval_spend",
+    group="F",
+    oracle="""
+    select o_orderkey, o_custkey, o_orderdate,
+           round(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                 over (partition by o_custkey
+                       order by cast(epoch(o_orderdate) as bigint)
+                       range between 2592000 preceding and current row)
+                 as double) / 1e6, 6) as trailing_30d_spend
+    from orders where o_custkey < 100
+    """,
+)
+def win_trailing_interval_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: true time-interval RANGE frame at event granularity —
+    each order's trailing-30-day spend for its customer, frame keyed on
+    epoch seconds (not pre-aggregated day numbers like win_moving_avg).
+    RANGE on a physical-time key is the pattern hypertable rollups and
+    trailing-exposure queries need; both engines define the frame as
+    the closed interval [v-30d, v] including ties. The windowed sum
+    runs on int64 micro-units so incremental frame add/remove is exact
+    and order-independent. Scale: one shuffle on o_custkey; frames are
+    per-customer and never cross partitions."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    micro = F.floor(F.col("o_totalprice") * 1e6 + 0.5)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum(micro).over(w).cast("double") / 1e6, 6).alias(
+            "trailing_30d_spend"
+        ),
+    )

@@ -569,3 +569,149 @@ def catalog_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_CORR = (
+    "round((cast(n as double) * cast(s{x}{y} as double)"
+    " - cast(s{x} as double) * cast(s{y} as double))"
+    " / (sqrt(cast(n as double) * cast(s{x}{x} as double)"
+    "       - cast(s{x} as double) * cast(s{x} as double))"
+    "  * sqrt(cast(n as double) * cast(s{y}{y} as double)"
+    "       - cast(s{y} as double) * cast(s{y} as double))), 6)"
+)
+
+
+@register(
+    "catalog_column_correlation",
+    group="B",
+    oracle=f"""
+    with s as (
+      select count(*) as n,
+             sum(q)     as sq, sum(p)     as sp, sum(d)     as sd,
+             sum(q * q) as sqq, sum(p * p) as spp, sum(d * d) as sdd,
+             sum(q * p) as sqp, sum(q * d) as sqd, sum(p * d) as spd
+      from (select cast(floor(l_quantity + 0.5) as bigint)       as q,
+                   cast(floor(l_extendedprice + 0.5) as bigint)  as p,
+                   cast(floor(l_discount * 1e4 + 0.5) as bigint) as d
+            from lineitem)
+    )
+    select {_CORR.format(x='q', y='p')} as corr_qty_price,
+           {_CORR.format(x='q', y='d')} as corr_qty_disc,
+           {_CORR.format(x='p', y='d')} as corr_price_disc
+    from s
+    """,
+)
+def catalog_column_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: numeric column-correlation profiling — pairwise Pearson r
+    across (quantity, extendedprice, discount) in ONE aggregation pass
+    (10 integer sums), the way a profiler must do it at 100 TB: never
+    one job per pair. The inputs are quantized to integers first
+    (quantity and dollar units; discount in 1e-4 units) so every sum is
+    exact int64 arithmetic with no overflow headroom issues at sf1
+    (max |sum(p*p)| ≈ 6e16), and the final combination runs the
+    identical double expression in both engines → bit-identical r.
+    Spark's built-in F.corr is a streaming float accumulation whose
+    result is partitioning-dependent — unusable for cross-engine
+    hash-match, which is why the moment-sum formulation exists here."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    p = F.floor(F.col("l_extendedprice") + 0.5).cast("long")
+    d = F.floor(F.col("l_discount") * 1e4 + 0.5).cast("long")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"), F.sum(p).alias("sp"), F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"), F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"), F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"), F.sum(p * d).alias("spd"),
+    )
+
+    def corr(sx: str, sy: str, sxy: str, sxx: str, syy: str):
+        n = F.col("n").cast("double")
+        a = F.col(sx).cast("double")
+        b = F.col(sy).cast("double")
+        return F.round(
+            (n * F.col(sxy).cast("double") - a * b)
+            / (
+                F.sqrt(n * F.col(sxx).cast("double") - a * a)
+                * F.sqrt(n * F.col(syy).cast("double") - b * b)
+            ),
+            6,
+        )
+
+    return s.select(
+        corr("sq", "sp", "sqp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sq", "sd", "sqd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("sp", "sd", "spd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+@register(
+    "catalog_schema_drift",
+    group="B",
+    oracle="""
+    with old_s as (
+      select column_name, lower(column_type) as t
+      from (describe select * from lineitem)
+    ),
+    new_s as (
+      select column_name, lower(column_type) as t
+      from (describe select * exclude (l_tax, l_linenumber),
+                   cast(l_linenumber as bigint) as l_linenumber,
+                   l_extendedprice * (1 - l_discount) as l_netprice
+            from lineitem)
+    )
+    select coalesce(o.column_name, n.column_name) as field_name,
+           replace(replace(o.t, 'varchar', 'string'), 'integer', 'int') as old_type,
+           replace(replace(n.t, 'varchar', 'string'), 'integer', 'int') as new_type,
+           case when o.column_name is null then 'added'
+                when n.column_name is null then 'removed'
+                when o.t <> n.t then 'type_changed'
+                else 'unchanged' end as status
+    from old_s o full outer join new_s n on o.column_name = n.column_name
+    """,
+)
+def catalog_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: schema-drift detection between two crawl snapshots — the
+    re-crawl question "what changed about this dataset's shape?".
+    The new snapshot drops a column (l_tax), widens one
+    (l_linenumber int→bigint) and adds a derived one (l_netprice);
+    the drift report classifies every field as
+    added/removed/type_changed/unchanged via a full outer join of the
+    two inferred schemas. Schemas are metadata (a few dozen rows), so
+    the join is driver-cheap at any data scale — the crawler never
+    touches the data to diff shapes, only parquet footers. Cross-engine
+    parity: Spark DDL names and DuckDB type names are normalized to the
+    same vocabulary (string/int), which the oracle mirrors."""
+    old_df = load(spark, sf_dir, "lineitem")
+    new_df = (
+        old_df.drop("l_tax")
+        .withColumn("l_linenumber", F.col("l_linenumber").cast("bigint"))
+        .withColumn(
+            "l_netprice", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+    )
+
+    def fields(df: DataFrame):
+        return spark.createDataFrame(
+            [
+                Row(
+                    column_name=f.name,
+                    t=f.dataType.simpleString().replace("timestamp_ntz", "timestamp"),
+                )
+                for f in df.schema
+            ],
+            "column_name string, t string",
+        )
+
+    o, n = fields(old_df).alias("o"), fields(new_df).alias("n")
+    joined = o.join(n, F.col("o.column_name") == F.col("n.column_name"), "full_outer")
+    return joined.select(
+        F.coalesce("o.column_name", "n.column_name").alias("field_name"),
+        F.col("o.t").alias("old_type"),
+        F.col("n.t").alias("new_type"),
+        F.when(F.col("o.column_name").isNull(), "added")
+        .when(F.col("n.column_name").isNull(), "removed")
+        .when(F.col("o.t") != F.col("n.t"), "type_changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
