@@ -139,6 +139,35 @@ def build_late_flags(events: DataFrame) -> DataFrame:
     )
 
 
+def build_chained_window_agg(events: DataFrame) -> DataFrame:
+    """I-ext: CHAINED windowed aggregation — a 10-minute tumbling
+    count per event_type re-aggregated into 1-hour totals in the same
+    plan: ``window(window_col, '1 hour')`` over the first window's
+    struct column (two stateful operators in one streaming query,
+    Spark 3.5+). The pre-aggregation is the scale move: the hourly
+    state only ever sees 6 rows per (hour, type), not raw events —
+    the same partial-agg principle as map-side combine, applied to
+    stream state."""
+    ten = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt10"))
+    )
+    return (
+        ten.groupBy(F.window("w10", "1 hour").alias("w60"), "event_type")
+        .agg(
+            F.sum("cnt10").alias("cnt"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+        )
+        .select(
+            F.col("w60.start").alias("w_start"),
+            "event_type",
+            "cnt",
+            "n_subwindows",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered batch twins (the oracle-checkable surface)
 # ---------------------------------------------------------------------------
@@ -426,3 +455,23 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_user_value_totals(
         build_user_value_partials(load(spark, sf_dir, "events"))
     )
+
+
+@register(
+    "stream_chained_window_agg",
+    group="I",
+    oracle="""
+    with t10 as (
+      select to_timestamp(cast(floor(epoch(ts) / 600) * 600 as bigint))::timestamp as w10,
+             event_type, count(*) as cnt10
+      from events group by 1, 2
+    )
+    select to_timestamp(cast(floor(epoch(w10) / 3600) * 3600 as bigint))::timestamp as w_start,
+           event_type, sum(cnt10) as cnt, count(*) as n_subwindows
+    from t10 group by 1, 2
+    """,
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext batch twin of the chained two-level window aggregation
+    (stream equality asserted in test_streaming)."""
+    return build_chained_window_agg(load(spark, sf_dir, "events"))

@@ -224,3 +224,23 @@ def test_foreachbatch_upsert_idempotent(spark):
         f"{sink}/{epochs[0]}"
     )
     _assert_same(twin, merged())
+
+
+def test_stream_chained_window_equals_batch(spark, events_stream):
+    """Two stateful window operators chained in one streaming query.
+    Chained stateful aggs require append mode (complete mode trips the
+    global-watermark correctness check), so the stream emits only hours
+    finalized by the watermark (max ts - 10 min delay); the batch twin
+    is filtered to the same horizon for the comparison."""
+    events = load(spark, SF_DIR, "events")
+    wm = events.agg(
+        (F.max("ts") - F.expr("interval 10 minutes")).alias("wm")
+    ).collect()[0]["wm"]
+    batch = ops.build_chained_window_agg(events).where(
+        F.col("w_start") + F.expr("interval 1 hour") <= F.lit(wm)
+    )
+    stream = _run_stream(
+        spark, ops.build_chained_window_agg(events_stream), "t_chained", mode="append"
+    )
+    assert stream.count() > 0, "no finalized hourly windows emitted"
+    _assert_same(batch, stream)
