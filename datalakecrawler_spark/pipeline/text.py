@@ -722,3 +722,56 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("u") < F.col("p") * 4294967296).alias("n_kept"),
         )
     )
+
+
+@register(
+    "text_repetition_profile",
+    group="J",
+    oracle="""
+    with tok as (
+      select doc_id, unnest(string_split(text, ' ')) as tok from documents
+    ),
+    tc as (select doc_id, tok, count(*) as cnt from tok group by 1, 2),
+    st as (
+      select doc_id, sum(cnt) as n_tokens, count(*) as n_distinct,
+             max(cnt) as max_cnt
+      from tc group by 1
+    )
+    select doc_id, n_tokens, n_distinct,
+           round(1.0 - cast(n_distinct as double) / n_tokens, 6) as dup_ratio,
+           round(cast(max_cnt as double) / n_tokens, 6) as top_ratio
+    from st
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: within-document repetition signals — duplicate-token
+    fraction and most-common-token share, the Gopher repetition-filter
+    family (Rae et al. 2021, public) that catches boilerplate and
+    keyboard-mash documents which pass length/stopword gates.
+
+    Scale: the input is repartitioned by doc_id FIRST, so both
+    aggregation levels (per (doc, token) counts, then per-doc stats)
+    and everything downstream ride ONE exchange — hashpartitioning on
+    doc_id satisfies the (doc_id, tok) clustering requirement because
+    it is a prefix subset. The explode never shuffles raw tokens. All
+    ratios are int/int divisions → engine-identical doubles.
+    """
+    d = load(spark, sf_dir, "documents").repartition("doc_id")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    n = F.col("n_tokens")
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(1.0 - F.col("n_distinct").cast("double") / n, 6).alias("dup_ratio"),
+        F.round(F.col("max_cnt").cast("double") / n, 6).alias("top_ratio"),
+    )

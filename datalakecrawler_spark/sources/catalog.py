@@ -715,3 +715,46 @@ def catalog_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+@register(
+    "catalog_value_length_profile",
+    group="B",
+    oracle="""
+    select 'c_name' as column_name,
+           min(length(c_name)) as min_len, max(length(c_name)) as max_len,
+           round(cast(sum(length(c_name)) as double) / count(*), 6) as avg_len
+    from customer
+    union all
+    select 'c_mktsegment',
+           min(length(c_mktsegment)), max(length(c_mktsegment)),
+           round(cast(sum(length(c_mktsegment)) as double) / count(*), 6)
+    from customer
+    """,
+)
+def catalog_value_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: string value-length profiling (min/max/avg chars) for
+    every varchar column of a dataset in ONE aggregation pass — the
+    crawler's sizing signal for downstream storage and tokenizer cost.
+    The single-pass-over-all-columns shape is the profiler obligation
+    from SURVEY §4 (never one job per column); the per-column rows are
+    unpivoted from the one aggregate row with stack(). Lengths are
+    ints, the average is int/int → engine-identical."""
+    c = load(spark, sf_dir, "customer")
+    a = c.agg(
+        F.min(F.length("c_name")).alias("n_min"),
+        F.max(F.length("c_name")).alias("n_max"),
+        F.sum(F.length("c_name")).alias("n_sum"),
+        F.min(F.length("c_mktsegment")).alias("m_min"),
+        F.max(F.length("c_mktsegment")).alias("m_max"),
+        F.sum(F.length("c_mktsegment")).alias("m_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return a.select(
+        F.expr(
+            "stack(2, "
+            "'c_name', n_min, n_max, round(cast(n_sum as double) / n, 6), "
+            "'c_mktsegment', m_min, m_max, round(cast(m_sum as double) / n, 6)"
+            ") as (column_name, min_len, max_len, avg_len)"
+        )
+    )
