@@ -176,3 +176,92 @@ def mm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_mae"),
         F.round(F.max("mae"), 6).alias("max_mae"),
     )
+
+
+@register(
+    "mm_centroid_distances",
+    group="J",
+    oracle="""
+    with pe as (
+      select label, generate_subscripts(embedding, 1) - 1 as pos,
+             unnest(embedding) as v
+      from embeddings
+    ),
+    cent as (
+      select label, pos,
+             round(cast(sum(cast(floor(v * 1e6 + 0.5) as bigint)) as double)
+                   / count(*) / 1e6, 6) as va
+      from pe group by 1, 2
+    ),
+    norms as (
+      select label, sum(cast(floor(va * va * 1e12 + 0.5) as bigint)) as nsq
+      from cent group by 1
+    ),
+    dots as (
+      select a.label as label_a, b.label as label_b,
+             sum(cast(floor(a.va * b.va * 1e12 + 0.5) as bigint)) as dot
+      from cent a join cent b on a.pos = b.pos and a.label < b.label
+      group by 1, 2
+    )
+    select label_a, label_b,
+           round((cast(dot as double) / 1e12)
+                 / (sqrt(cast(na.nsq as double) / 1e12)
+                  * sqrt(cast(nb.nsq as double) / 1e12)), 6) as cosine
+    from dots
+    join norms na on label_a = na.label
+    join norms nb on label_b = nb.label
+    """,
+)
+def mm_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: inter-class centroid similarity matrix — mean-pool each
+    label's embeddings (posexplode + per-position avg, the Tungsten-side
+    pooling from mm_embed_pooling), then pairwise cosine between the 10
+    class centroids. This is the cluster-overlap diagnostic run before
+    semantic dedup: labels whose centroids sit close produce cross-label
+    near-dup pairs. Scale: after pooling everything is (labels × dims)
+    rows — the pairwise stage is dimension-sized no matter how many
+    input vectors. Per-position averages are micro-unit-rounded and the
+    dot/norm sums are 1e-12-quantized int64, so both engines hash-match
+    bit-exactly despite float inputs."""
+    e = load(spark, sf_dir, "embeddings")
+    pe = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = pe.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.floor(F.col("v") * 1e6 + 0.5)).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("va")
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.floor(F.col("va") * F.col("va") * 1e12 + 0.5)).alias("nsq")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.floor(F.col("a.va") * F.col("b.va") * 1e12 + 0.5)).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nsq").alias("nsq_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                (F.col("dot").cast("double") / 1e12)
+                / (
+                    F.sqrt(F.col("nsq_a").cast("double") / 1e12)
+                    * F.sqrt(F.col("nsq_b").cast("double") / 1e12)
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -514,3 +514,76 @@ def crawl_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("detected_format")
         .agg(F.count(F.lit(1)).alias("n_files"))
     )
+
+
+@register(
+    "source_date_spine",
+    group="A",
+    oracle="""
+    with b as (
+      select min(cast(o_orderdate as date)) as mn,
+             max(cast(o_orderdate as date)) as mx
+      from orders
+    ),
+    spine as (
+      select unnest(generate_series(mn, mx, interval 1 day))::date as day from b
+    ),
+    present as (select distinct cast(o_orderdate as date) as day from orders)
+    select year(s.day) as yr, count(*) as n_missing
+    from spine s left join present p on s.day = p.day
+    where p.day is null
+    group by 1
+    """,
+)
+def source_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: generated date-spine source — a calendar dimension built
+    with sequence()+explode spanning the data's own date range, anti-
+    joined to the observed order dates to report gap days per year (the
+    crawler's freshness/continuity check). The spine is generated, not
+    scanned — a few thousand rows regardless of data scale — so the
+    anti join broadcasts the spine side after `present` collapses the
+    fact to distinct dates (one shuffle, dimension-sized output)."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("mn"),
+        F.max(F.to_date("o_orderdate")).alias("mx"),
+    )
+    spine = b.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    present = o.select(F.to_date("o_orderdate").alias("day")).distinct()
+    return (
+        spine.join(present, "day", "left_anti")
+        .groupBy(F.year("day").cast("long").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+
+
+@register("join_partition_pruned_dynamic", group="A", oracle=None)
+def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: dynamic partition pruning — the fact table is laid out
+    partitioned by o_orderstatus; the join's dim side is filtered at
+    runtime, and DPP injects the surviving dim keys as a partition
+    filter into the fact scan, so unneeded partitions are never read.
+    This is THE mechanism that makes star joins over partitioned lakes
+    scan-efficient at 100 TB (static pruning can't see through a join).
+    Rows-only (tmp paths); the physical plan's dynamicpruning subquery
+    is pinned in tests/test_plans.py."""
+    fact_path = _tmp("orders_by_status")
+    dim_path = _tmp("status_dim")
+    load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(fact_path)
+    spark.createDataFrame(
+        [("F", "finalized"), ("O", "open"), ("P", "pending")],
+        "status string, status_name string",
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("status_name") == "finalized")
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.status)
+        .groupBy("o_orderstatus", "status_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -327,3 +327,16 @@ def test_q2_q16_q20_dim_filters_pushed_and_broadcast(spark):
         assert "CartesianProduct" not in a.joins, name
         assert any(pushed in p for p in a.pushed_filters), (name, a.pushed_filters)
         assert not a.has_python_eval, name
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """The partitioned-fact ⋈ filtered-dim join must inject a
+    dynamicpruning partition filter into the fact scan (DPP) — the
+    fact's non-matching partitions are never read."""
+    df = registry.all_queries()["join_partition_pruned_dynamic"].fn(
+        spark, PLAN_SF_DIR
+    )
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in text, "DPP did not fire on the fact scan"
+    assert "SubqueryBroadcast" in text, "DPP should reuse the broadcast dim"
