@@ -402,3 +402,30 @@ def str_more_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("p_name").alias("first_cp"),
         F.repeat(F.substring("p_name", 1, 2), 3).alias("doubled"),
     )
+
+
+@register(
+    "date_format_strings",
+    group="H",
+    oracle="""
+    select event_id,
+           strftime(ts, '%Y-%m')          as ym,
+           strftime(ts, '%Y-%m-%d')       as ymd,
+           strftime(ts, '%Y-%m-%d %H:%M') as ymdhm
+    from events where event_id < 100
+    """,
+)
+def date_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: timestamp → string formatting (date_format / strftime) —
+    the catalog's partition-label and report-key generator. Pattern
+    vocabulary differs (JDK letters vs strftime %codes) but the output
+    grammar is pinned to numeric-only fields, which both engines render
+    identically; locale-dependent fields (day/month names) are
+    deliberately excluded from the cross-engine surface."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ymd"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("ymdhm"),
+    )

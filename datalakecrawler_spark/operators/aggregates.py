@@ -725,3 +725,76 @@ def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
         F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
     )
+
+
+@register(
+    "events_rolling_active_users",
+    group="E",
+    oracle="""
+    with du as (
+      select distinct cast(ts as date) as day, user_id from events
+    ),
+    days as (select distinct day from du),
+    exp as (
+      select unnest(generate_series(cast(day as timestamp),
+                                    cast(day + 6 as timestamp),
+                                    interval 1 day))::date as rday,
+             user_id
+      from du
+    )
+    select e.rday, count(distinct e.user_id) as active_7d
+    from exp e join days d on e.rday = d.day
+    group by 1
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: rolling 7-day active users (WAU per day) — exact rolling
+    COUNT DISTINCT, which no window frame can express directly (distinct
+    isn't frame-decomposable). The scalable formulation: collapse events
+    to distinct (day, user) pairs, expand each pair to the 7 report days
+    it contributes to (sequence+explode — bounded 7× fan-out of the
+    already-collapsed pairs, never of raw events), then count distinct
+    per report day; report days are semi-joined to observed days so the
+    tail past the last event is not reported. At 100 TB the same shape
+    holds with the fan-out shuffle keyed on rday; the
+    constant-memory alternative is the HLL-sketch path
+    (agg_hll_mergeable)."""
+    e = load(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    exp = du.select(
+        F.explode(
+            F.sequence("day", F.date_add("day", 6), F.expr("interval 1 day"))
+        ).alias("rday"),
+        "user_id",
+    )
+    return (
+        exp.join(F.broadcast(days), exp.rday == days.day, "left_semi")
+        .groupBy("rday")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@register(
+    "agg_string_concat",
+    group="E",
+    oracle="""
+    select o_orderpriority,
+           string_agg(distinct o_orderstatus, ',' order by o_orderstatus) as statuses,
+           count(*) as cnt
+    from orders group by 1
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: ordered string aggregation (LISTAGG/string_agg) — the
+    catalog's human-readable value summaries. Deterministic by
+    construction: collect_set → array_sort → array_join, so the
+    concatenation order never depends on partitioning (§2.L trap 2
+    applied to strings)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count(F.lit(1)).alias("cnt"),
+    )

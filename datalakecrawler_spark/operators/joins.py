@@ -928,3 +928,42 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@register(
+    "join_null_safe_eq",
+    group="D",
+    oracle="""
+    with l as (
+      select c_custkey, nullif(c_mktsegment, 'BUILDING') as seg from customer
+    ),
+    r as (
+      select distinct nullif(c_mktsegment, 'BUILDING') as seg,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') as seg_name
+      from customer
+    )
+    select r.seg_name, count(*) as n_customers
+    from l join r on l.seg is not distinct from r.seg
+    group by 1
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) —
+    the semantics catalog reconciliation needs when NULL is a real
+    category (unclassified rows must match each other, which plain `=`
+    silently drops). Fixtures are null-free, so nullif manufactures the
+    NULL category. Plan note: Spark compiles `<=>` to a hashable key
+    (coalesce-to-sentinel internally), so this stays a broadcast/hash
+    join, not a nested loop."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    left = c.select("c_custkey", seg.alias("seg"))
+    right = (
+        c.select(seg.alias("seg"), F.coalesce(seg, F.lit("(none)")).alias("seg_name"))
+        .distinct()
+    )
+    return (
+        left.join(F.broadcast(right), left.seg.eqNullSafe(right.seg))
+        .groupBy("seg_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

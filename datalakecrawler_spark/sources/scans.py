@@ -587,3 +587,19 @@ def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_orderstatus", "status_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register("sink_jsonl_roundtrip", group="A", oracle=None)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: JSON-lines sink + re-crawl — write a typed projection to
+    newline-delimited JSON, read it back with schema inference (the
+    crawler's JSON format path), verify row fidelity. Timestamps round-
+    trip via ISO strings; the count assertion catches silent row loss.
+    Rows-only (tmp paths are env-specific)."""
+    path = _tmp("nation_jsonl")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    n_src, n_back = src.count(), back.count()
+    assert n_src == n_back, f"jsonl round-trip lost rows: {n_src} != {n_back}"
+    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
