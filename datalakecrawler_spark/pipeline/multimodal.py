@@ -114,3 +114,69 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         sample, schema="doc_id long, frame_idx int, frame_bytes binary"
     )
+
+
+def _model_weights():
+    """The deterministic stand-in for a learned scoring head: 64 fixed
+    weights derived from a Knuth-hash ramp, exactly representable the
+    same way in Python and in SQL literals (k/1000 parses to the same
+    IEEE double both ways)."""
+    return [((i * 2654435761) % 1000 - 500) / 1000 for i in range(64)]
+
+
+# ::double — DuckDB parses bare decimal literals as DECIMAL, which would
+# route the products through decimal arithmetic instead of IEEE doubles
+_W_VALUES = ", ".join(f"({i}, {w!r}::double)" for i, w in enumerate(_model_weights()))
+
+
+@register(
+    "mm_batch_inference",
+    group="J",
+    oracle=f"""
+    with w(pos, wv) as (values {_W_VALUES}),
+    pe as (
+      select vec_id, generate_subscripts(embedding, 1) - 1 as pos,
+             unnest(embedding) as v
+      from embeddings
+    ),
+    s as (
+      select vec_id, sum(cast(floor(v * wv * 1e9 + 0.5) as bigint)) as m
+      from pe join w using (pos) group by 1
+    )
+    select vec_id,
+           floor((cast(m as double) / 1e9) * 1e6 + 0.5) / 1e6 as score
+    from s
+    """,
+)
+def mm_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the batched-inference serving pattern — score every
+    embedding with a model head inside an ITERATOR pandas UDF
+    (Iterator[Series] → Iterator[Series]): the model loads ONCE per
+    task, then streams Arrow batches through vectorized numpy — the
+    shape used for real LLM/classifier scoring over a 100 TB corpus,
+    where per-row (or even per-batch) model loading is the difference
+    between feasible and not. No shuffle at all: scoring is a map-only
+    stage; the scan and the Python stage pipeline per partition.
+
+    The "model" here is a fixed linear head (deterministic weights), so
+    the scores are exactly reproducible in SQL: per-term products are
+    quantized to 1e-9 int64 before the (order-exact, < 2^53) row sum,
+    and the final rounding uses the same floor(x·1e6+0.5) both sides —
+    bit-identical across engines. Swapping in a torch module changes
+    only ``_load`` and the batch expression.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F811 (module-level import is the same object)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        w = np.array(_model_weights(), dtype=np.float64)  # load once per task
+        for batch in it:
+            arr = np.stack(batch.to_numpy()).astype(np.float64)
+            terms = np.floor(arr * w * 1e9 + 0.5)
+            m = terms.sum(axis=1)
+            yield pd.Series(np.floor((m / 1e9) * 1e6 + 0.5) / 1e6)
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", score("embedding").alias("score"))

@@ -340,3 +340,13 @@ def test_dynamic_partition_pruning_fires(spark):
     text = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in text, "DPP did not fire on the fact scan"
     assert "SubqueryBroadcast" in text, "DPP should reuse the broadcast dim"
+
+
+def test_batch_inference_is_map_only(spark):
+    """Batched inference must be a pure map stage: scan → Arrow-batched
+    Python → project. Any exchange here would shuffle the corpus for no
+    reason."""
+    a = _audit_uncached(spark, "mm_batch_inference")
+    assert a.has_python_eval  # the one op where Python IS the point
+    assert not a.joins, a.joins
+    assert "Exchange" not in a.text, "inference stage must not shuffle"
