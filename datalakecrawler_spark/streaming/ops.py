@@ -475,3 +475,71 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I-ext batch twin of the chained two-level window aggregation
     (stream equality asserted in test_streaming)."""
     return build_chained_window_agg(load(spark, sf_dir, "events"))
+
+
+def build_user_totals_tws(events: DataFrame) -> DataFrame:
+    """I-ext: Spark 4 transformWithStateInPandas — the successor API to
+    applyInPandasWithState: an object-oriented StatefulProcessor with
+    typed, composable state handles (ValueState here; ListState/
+    MapState/timers available), schema evolution, and a RocksDB-backed
+    store requirement. Keeps per-user running (count, int64 micro-unit
+    value total) — exact-merge state, the same policy as the batch
+    engine, so restarts and re-partitioning never drift the totals.
+    Only valid on streaming DataFrames (tests drive it; the registered
+    batch twin below is the oracle surface). Runtime dependency gate:
+    the API ships state through protobuf in the Python workers, so the
+    streaming test skips when google.protobuf is unavailable (as in
+    this container) — the builder itself stays importable."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("tot", "cnt long, micro long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, micro = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                micro += int(
+                    np.floor(pdf["value"].to_numpy(dtype="float64") * 1e6 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._state.update((cnt, micro))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "total_value": [micro / 1e6],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+@register(
+    "stream_tws_running_totals",
+    group="I",
+    oracle=f"""
+    select user_id, count(*) as n_events,
+           {SUM_D.format('value')} as total_value
+    from events group by user_id
+    """,
+)
+def stream_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the transformWithStateInPandas stateful processor
+    (stream equality asserted in test_streaming)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
+    )

@@ -244,3 +244,34 @@ def test_stream_chained_window_equals_batch(spark, events_stream):
     )
     assert stream.count() > 0, "no finalized hourly windows emitted"
     _assert_same(batch, stream)
+
+
+def test_transform_with_state_equals_batch(spark, events_stream):
+    """Spark 4 transformWithStateInPandas: per-user exact running
+    totals match the batch twin. Requires the RocksDB state store —
+    set for this query only, then restored. The API serializes state
+    through protobuf in the Python workers, so the whole test is
+    gated on that optional dependency (absent in this container)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf in Python workers",
+    )
+    from datalakecrawler_spark import registry
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = registry.all_queries()["stream_tws_running_totals"].fn(spark, SF_DIR)
+        stream = _run_stream(
+            spark, ops.build_user_totals_tws(events_stream), "t_tws", mode="update"
+        )
+        _assert_same(batch, stream)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
