@@ -429,3 +429,74 @@ def date_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("ymd"),
         F.date_format("ts", "yyyy-MM-dd HH:mm").alias("ymdhm"),
     )
+
+
+@register(
+    "bitwise_fns",
+    group="H",
+    oracle="""
+    select c_custkey,
+           c_custkey & 255            as and_255,
+           c_custkey | 4096           as or_4096,
+           xor(c_custkey, 1023)       as xor_1023,
+           c_custkey << 2             as shl_2,
+           c_custkey >> 3             as shr_3,
+           ~c_custkey                 as bit_not
+    from customer where c_custkey < 200
+    """,
+)
+def bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: bitwise operator sweep (AND/OR/XOR/shifts/NOT) — the
+    primitives under hash bucketing, bloom probes, and flag columns.
+    Pure codegen'd int64 ops, identical two's-complement semantics in
+    both engines."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        k.bitwiseAND(255).alias("and_255"),
+        k.bitwiseOR(4096).alias("or_4096"),
+        k.bitwiseXOR(1023).alias("xor_1023"),
+        F.shiftleft(k, 2).alias("shl_2"),
+        F.shiftright(k, 3).alias("shr_3"),
+        F.expr("~c_custkey").alias("bit_not"),
+    )
+
+
+@register(
+    "struct_ops",
+    group="H",
+    oracle="""
+    select c_custkey,
+           struct_extract(struct_pack(id := c_custkey, seg := c_mktsegment),
+                          'seg') as seg_from_struct,
+           struct_extract(
+             struct_extract(
+               struct_pack(outer_ := struct_pack(id := c_custkey,
+                                                 bal := c_acctbal)),
+               'outer_'),
+             'bal') as nested_bal
+    from customer where c_custkey < 150
+    """,
+)
+def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: struct construction and field access — the typed-record
+    column the crawler uses for nested dataset metadata (and the shape
+    `from_json` produces). Builds flat and nested structs, then
+    extracts fields by path; Catalyst collapses CreateStruct +
+    GetStructField pairs at optimization time, so none of this
+    materializes at runtime."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 150)
+    flat = F.struct(
+        F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("seg")
+    )
+    nested = F.struct(
+        F.struct(F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal")).alias(
+            "outer_"
+        )
+    )
+    return c.select(
+        "c_custkey",
+        flat.getField("seg").alias("seg_from_struct"),
+        nested.getField("outer_").getField("bal").alias("nested_bal"),
+    )

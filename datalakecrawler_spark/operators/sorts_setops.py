@@ -193,3 +193,44 @@ def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         from nation_v n
         """
     )
+
+
+@register(
+    "sql_lateral_topk",
+    group="G",
+    oracle="""
+    select r_name, nation_name, n_customers
+    from region r, lateral (
+      select n_name as nation_name, count(*) as n_customers
+      from nation n join customer c on c.c_nationkey = n.n_nationkey
+      where n.n_regionkey = r.r_regionkey
+      group by n_name
+      order by n_customers desc, n_name
+      limit 2
+    ) t
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: correlated LATERAL subquery — per-region top-2 nations by
+    customer count, the SQL-native form of top-k-per-group. Catalyst
+    decorrelates the lateral into the same join + ranked-window plan the
+    DataFrame top-k uses (win_row_number_topk), so the SQL surface and
+    the DataFrame surface share physical behavior: no per-outer-row
+    re-execution survives optimization. Deterministic (count desc,
+    name) tie-break inside the lateral."""
+    load(spark, sf_dir, "region").createOrReplaceTempView("region_l")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_l")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_l")
+    return spark.sql(
+        """
+        select r_name, nation_name, n_customers
+        from region_l r, lateral (
+          select n_name as nation_name, count(*) as n_customers
+          from nation_l n join customer_l c on c.c_nationkey = n.n_nationkey
+          where n.n_regionkey = r.r_regionkey
+          group by n_name
+          order by n_customers desc, n_name
+          limit 2
+        ) t
+        """
+    )

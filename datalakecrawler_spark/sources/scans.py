@@ -603,3 +603,50 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_src, n_back = src.count(), back.count()
     assert n_src == n_back, f"jsonl round-trip lost rows: {n_src} != {n_back}"
     return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
+
+@register("scan_csv_malformed", group="A", oracle=None)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: crawler robustness on dirty CSV — a file with rows whose
+    arity/types are broken is read three ways: PERMISSIVE (bad rows
+    null-filled and captured in a corrupt-record column), DROPMALFORMED
+    (bad rows silently dropped), and the counts reported side by side.
+    A real crawl must quantify malformedness, not die on it (FAILFAST
+    is the third mode, exercised in unit tests). Rows-only (tmp file).
+    """
+    import os
+
+    path = _tmp("malformed_csv")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/data.csv", "w") as f:
+        f.write("id,name,score\n")
+        for i in range(20):
+            f.write(f"{i},name_{i},{i * 1.5}\n")
+        f.write("21,toofew\n")                  # arity too low
+        f.write("22,name_22,notanumber\n")      # type error
+        f.write("23,name_23,3.5,extracol\n")    # arity too high
+    schema = "id int, name string, score double, _corrupt string"
+    permissive = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema)
+        .csv(f"{path}/data.csv")
+        .cache()
+    )
+    n_total = permissive.count()
+    n_corrupt = permissive.where(F.col("_corrupt").isNotNull()).count()
+    dropped = (
+        spark.read.option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .schema("id int, name string, score double")
+        .csv(f"{path}/data.csv")
+    )
+    # count() alone would column-prune the scan to zero fields, so the
+    # parser never sees the malformed values and drops nothing — a real
+    # crawler counting "clean rows" must force a full-row parse.
+    n_clean = len(dropped.collect())
+    return spark.createDataFrame(
+        [(n_total, n_corrupt, n_clean)],
+        "n_total long, n_corrupt long, n_dropmalformed_kept long",
+    )

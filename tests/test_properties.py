@@ -110,3 +110,76 @@ def test_fixture_embedding_invariants(spark):
     norms = _run(spark, "mm_vector_norms").collect()
     for r in norms:
         assert abs(r["min_norm"] - 1.0) < 0.01 and abs(r["max_norm"] - 1.0) < 0.01
+
+
+def test_date_spine_partitions_calendar(spark):
+    """spine = missing ∪ present: per-year gap days + observed distinct
+    days must equal the full calendar span."""
+    o = load(spark, SF_DIR, "orders")
+    lo, hi = o.agg(
+        F.min(F.to_date("o_orderdate")), F.max(F.to_date("o_orderdate"))
+    ).collect()[0]
+    span = (hi - lo).days + 1
+    present = o.select(F.to_date("o_orderdate")).distinct().count()
+    missing = sum(r["n_missing"] for r in _run(spark, "source_date_spine").collect())
+    assert present + missing == span
+
+
+def test_rolling_actives_dominate_daily(spark):
+    """WAU ≥ DAU for every day: the 7-day rolling distinct count can
+    never be below that day's own distinct users."""
+    e = load(spark, SF_DIR, "events")
+    dau = {
+        r["day"]: r["dau"]
+        for r in e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    for r in _run(spark, "events_rolling_active_users").collect():
+        if r["rday"] in dau:
+            assert r["active_7d"] >= dau[r["rday"]], r
+
+def test_repetition_profile_ranges(spark):
+    """dup/top ratios live in [0,1]; distinct ≤ total; top share ≥
+    uniform share."""
+    for r in _run(spark, "text_repetition_profile").collect():
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert 0.0 < r["top_ratio"] <= 1.0
+        assert r["n_distinct"] <= r["n_tokens"]
+        # 1e-6 slack: top_ratio is policy-rounded to 6 decimals
+        assert r["top_ratio"] >= 1.0 / r["n_distinct"] - 1e-6
+
+
+def test_centroid_distance_matrix_shape(spark):
+    """10 labels → 45 unordered pairs; cosine bounded by 1."""
+    rows = _run(spark, "mm_centroid_distances").collect()
+    assert len(rows) == 45
+    assert all(abs(r["cosine"]) <= 1.0 + 1e-9 for r in rows)
+    assert all(r["label_a"] < r["label_b"] for r in rows)
+
+
+def test_q15_winner_is_argmax(spark):
+    """q15's winner(s) carry exactly the maximum revenue of the
+    underlying per-supplier aggregation."""
+    rows = _run(spark, "q15_top_supplier").collect()
+    assert rows, "q15 returned no winner"
+    li = load(spark, SF_DIR, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        (F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + 0.5)
+        ).cast("double") / 1e6).alias("rev")
+    )
+    true_max = round(per_supp.agg(F.max("rev")).collect()[0][0], 6)
+    for r in rows:
+        assert abs(r["total_rev"] - true_max) < 1e-6
+
+
+def test_inference_scores_deterministic(spark):
+    """Two runs of the batched-inference scorer agree bit-for-bit
+    (model load + Arrow batching introduce no nondeterminism)."""
+    a = {r["vec_id"]: r["score"] for r in _run(spark, "mm_batch_inference").collect()}
+    b = {r["vec_id"]: r["score"] for r in _run(spark, "mm_batch_inference").collect()}
+    assert a == b
