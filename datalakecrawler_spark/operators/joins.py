@@ -967,3 +967,52 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "orders_market_basket",
+    group="D",
+    oracle="""
+    with ob as (
+      select distinct l_orderkey, p_brand
+      from lineitem join part on l_partkey = p_partkey
+    )
+    select a.p_brand as brand_a, b.p_brand as brand_b,
+           count(*) as support
+    from ob a join ob b
+      on a.l_orderkey = b.l_orderkey and a.p_brand < b.p_brand
+    group by 1, 2
+    having count(*) >= 5
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: market-basket co-occurrence — support counts for brand
+    pairs bought in the same order (the association-rule-mining
+    candidate-pair primitive). The self-join is confined to within an
+    order after collapsing lines to distinct (order, brand), so the
+    fan-out is bounded by basket size squared (~4 lines/order → ≤6
+    pairs), never corpus-quadratic; one shuffle on l_orderkey feeds
+    both join sides (Exchange reuse), then the pair count shuffles
+    dimension-sized keys. The same plan at 100 TB is the standard
+    first pass of Apriori/FP-growth candidate generation."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 5)
+    )

@@ -775,3 +775,37 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.col("n_distinct").cast("double") / n, 6).alias("dup_ratio"),
         F.round(F.col("max_cnt").cast("double") / n, 6).alias("top_ratio"),
     )
+
+
+@register(
+    "text_charset_profile",
+    group="J",
+    oracle="""
+    select lang,
+           round(cast(sum(length(regexp_replace(text, '[^a-z]', '', 'g'))) as double)
+                 / sum(length(text)), 6) as alpha_ratio,
+           round(cast(sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) as double)
+                 / sum(length(text)), 6) as digit_ratio,
+           round(cast(sum(length(regexp_replace(text, '[^ ]', '', 'g'))) as double)
+                 / sum(length(text)), 6) as space_ratio
+    from documents group by 1
+    """,
+)
+def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: character-class composition per language — lowercase /
+    digit / whitespace mass ratios, the cheap signal that separates
+    prose from tables, code, and binary-spill in a crawl. Implemented
+    as keep-class regex deletions + length deltas (both engines count
+    surviving chars identically; POSIX classes only, §2.L trap 4), one
+    codegen'd scan with integer sums → exact ratios."""
+    d = load(spark, sf_dir, "documents")
+
+    def mass(pattern: str):
+        return F.sum(F.length(F.regexp_replace("text", pattern, "")))
+
+    total = F.sum(F.length("text"))
+    return d.groupBy("lang").agg(
+        F.round(mass("[^a-z]").cast("double") / total, 6).alias("alpha_ratio"),
+        F.round(mass("[^0-9]").cast("double") / total, 6).alias("digit_ratio"),
+        F.round(mass("[^ ]").cast("double") / total, 6).alias("space_ratio"),
+    )

@@ -758,3 +758,27 @@ def catalog_value_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (column_name, min_len, max_len, avg_len)"
         )
     )
+
+
+@register(
+    "catalog_sample_rows",
+    group="B",
+    oracle="""
+    select n_nationkey, n_name
+    from nation
+    order by md5(cast(n_nationkey as varchar)), n_nationkey
+    limit 5
+    """,
+)
+def catalog_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: deterministic preview sample — the catalog's "show me 5
+    rows" feature, made reproducible across engines, runs, and cluster
+    sizes by ordering on md5(pk) instead of TABLESAMPLE (whose row
+    choice is partition-order dependent). At scale this is a
+    TakeOrderedAndProject over the hash — no global sort materializes."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.select("n_nationkey", "n_name")
+        .orderBy(F.md5(F.col("n_nationkey").cast("string")), "n_nationkey")
+        .limit(5)
+    )

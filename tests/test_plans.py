@@ -350,3 +350,40 @@ def test_batch_inference_is_map_only(spark):
     assert a.has_python_eval  # the one op where Python IS the point
     assert not a.joins, a.joins
     assert "Exchange" not in a.text, "inference stage must not shuffle"
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter): with a
+    selective filter on the dim side of a SHUFFLE join, Spark builds a
+    bloom filter from the dim keys and semi-filters the fact scan with
+    might_contain BEFORE the shuffle — at 100 TB this cuts the fact
+    exchange by the dim filter's selectivity. Thresholds are tuned down
+    here (they default to 10 MB / 10 GB cluster sizes); broadcast is
+    disabled to force the shuffle join the optimization targets."""
+    import datalakecrawler_spark.io as io
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = io.load(spark, PLAN_SF_DIR, "lineitem")
+        o = io.load(spark, PLAN_SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom filter was not injected:\n" + plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
