@@ -32,6 +32,7 @@ def _load_all() -> None:
     from datalakecrawler_spark.pipeline import (  # noqa: F401
         dedup,
         e2e,
+        features,
         multimodal,
         similarity,
         text,

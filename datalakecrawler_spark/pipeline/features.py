@@ -1,0 +1,161 @@
+"""Feature-engineering operators — the training-data prep steps between
+the catalog and the model: categorical encoding, numeric scaling,
+time-bounded behavior sequences. All pure DataFrame compositions; the
+fitted "state" (vocabularies, min/max stats) is itself a DataFrame that
+broadcasts back onto the data — no driver-side fitting, which is what
+keeps the transforms identical from sf0.001 to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+
+@register(
+    "feature_label_encode",
+    group="J",
+    oracle="""
+    with vocab as (
+      select p_brand, dense_rank() over (order by p_brand) - 1 as brand_idx
+      from (select distinct p_brand from part)
+    )
+    select p_partkey, p.p_brand, brand_idx
+    from part p join vocab v on p.p_brand = v.p_brand
+    where p_partkey < 300
+    """,
+)
+def feature_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: categorical label encoding — each distinct value mapped to
+    a contiguous index by sorted order (deterministic, unlike
+    StringIndexer's frequency ordering which ties arbitrarily). The
+    vocabulary is distinct + dense_rank over the *distinct* frame
+    (vocabulary-sized, so the global window is safe at any scale), then
+    broadcast back onto the data: the fit is a DataFrame, the transform
+    a broadcast join — nothing passes through the driver."""
+    p = load(spark, sf_dir, "part")
+    vocab = (
+        p.select("p_brand")
+        .distinct()
+        .withColumn(
+            "brand_idx", F.dense_rank().over(W.orderBy("p_brand")) - F.lit(1)
+        )
+    )
+    return (
+        p.where(F.col("p_partkey") < 300)
+        .join(F.broadcast(vocab), "p_brand")
+        .select("p_partkey", "p_brand", "brand_idx")
+    )
+
+
+@register(
+    "feature_minmax_scale",
+    group="J",
+    oracle="""
+    with stats as (
+      select l_returnflag, min(l_extendedprice) as mn, max(l_extendedprice) as mx
+      from lineitem group by 1
+    )
+    select l_orderkey, l_linenumber, l.l_returnflag,
+           round((l_extendedprice - mn) / (mx - mn), 6) as price_scaled
+    from lineitem l join stats s on l.l_returnflag = s.l_returnflag
+    where l_orderkey < 500
+    """,
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: per-group min-max scaling to [0,1] — numeric feature
+    normalization fit on the FULL table (the stats frame is
+    group-count-sized and broadcasts back), applied to the slice being
+    exported. min/max over parquet-read doubles are exact (no
+    accumulation), so the scaled value is one deterministic subtract/
+    divide in both engines, policy-rounded at 6."""
+    li = load(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    return (
+        li.where(F.col("l_orderkey") < 500)
+        .join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+                6,
+            ).alias("price_scaled"),
+        )
+    )
+
+
+@register(
+    "events_sequence_chains",
+    group="J",
+    oracle="""
+    with v as (select user_id, event_id, ts from events where event_type = 'view'),
+    c as (select user_id, ts from events where event_type = 'click'),
+    p as (select user_id, ts from events where event_type = 'purchase'),
+    vc as (
+      select v.user_id, v.event_id, min(c.ts) as click_ts
+      from v join c on v.user_id = c.user_id
+                   and c.ts > v.ts and c.ts <= v.ts + interval 30 minutes
+      group by 1, 2
+    ),
+    vcp as (
+      select vc.user_id, vc.event_id, min(p.ts) as purchase_ts
+      from vc join p on vc.user_id = p.user_id
+                    and p.ts > vc.click_ts
+                    and p.ts <= vc.click_ts + interval 30 minutes
+      group by 1, 2
+    )
+    select user_id, count(*) as n_chains
+    from vcp group by 1
+    """,
+)
+def events_sequence_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: time-bounded event-sequence detection (CEP-lite) — count
+    completed view → click(≤30 min) → purchase(≤30 min after the click)
+    chains per user, each stage anchored to the EARLIEST qualifying
+    successor (min-ts semantics make the result order-independent).
+    Unlike funnel_conversion's whole-history stages, every hop here is
+    deadline-bounded — the abandoned-cart/attribution query shape.
+
+    Scale: both stage joins are equi on user_id with the time bound as
+    residual predicate — partition by user, never a time-range
+    explosion; stage outputs shrink monotonically. The same plan
+    streams with two interval stream-stream joins."""
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    vc = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("ts"))
+            & (F.col("c_ts") <= F.col("ts") + F.expr("interval 30 minutes")),
+        )
+        .groupBy("user_id", "event_id")
+        .agg(F.min("c_ts").alias("click_ts"))
+    )
+    vcp = (
+        vc.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        )
+        .groupBy("user_id", "event_id")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    return vcp.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_chains"))
