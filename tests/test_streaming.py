@@ -275,3 +275,46 @@ def test_transform_with_state_equals_batch(spark, events_stream):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark):
+    """Checkpoint-based recovery: a file-sink query stopped after batch
+    A and restarted with the same checkpoint must process ONLY the new
+    file B — no replay of A, no gaps; the sink ends up with every
+    event exactly once."""
+    src = f"{_TMP}/ckpt_src"
+    out = f"{_TMP}/ckpt_out"
+    cp = f"{_TMP}/ckpt_state"
+    for d in (src, out, cp):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    e = load(spark, SF_DIR, "events").limit(600)
+    a = e.limit(300)
+    b = e.exceptAll(a)
+    a.coalesce(1).write.mode("overwrite").parquet(f"{src}/a")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .parquet(f"{src}/*")
+            .select("event_id", "user_id", (F.col("value") * 2).alias("v2"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_after_a = spark.read.parquet(out).count()
+    assert n_after_a == 300, n_after_a
+
+    b.coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 600, "restart replayed or skipped data"
+    assert final.select("event_id").distinct().count() == 600, "duplicates after recovery"
