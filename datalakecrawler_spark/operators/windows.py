@@ -499,3 +499,40 @@ def win_trailing_interval_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_30d_spend"
         ),
     )
+
+
+@register(
+    "events_longest_streak",
+    group="F",
+    oracle="""
+    with du as (select distinct user_id, cast(ts as date) as day from events),
+    grp as (
+      select user_id, day,
+             day - cast(row_number() over (partition by user_id order by day)
+                        as integer) as anchor
+      from du
+    ),
+    runs as (
+      select user_id, count(*) as run_len
+      from grp group by user_id, anchor
+    )
+    select user_id, max(run_len) as longest_streak
+    from runs group by 1
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: longest consecutive-active-day streak per user — the
+    gaps-and-islands identity: for sorted distinct days,
+    (day − row_number) is constant exactly along a consecutive run, so
+    grouping by that anchor measures every run with one window + one
+    aggregate. One shuffle on user_id; all windows partition-local.
+    The retention/engagement metric next to the cohort matrix
+    (events_retention_cohort)."""
+    e = load(spark, sf_dir, "events")
+    du = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = du.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(F.max("run_len").alias("longest_streak"))

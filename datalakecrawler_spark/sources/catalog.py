@@ -782,3 +782,70 @@ def catalog_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("n_nationkey").cast("string")), "n_nationkey")
         .limit(5)
     )
+
+
+@register(
+    "catalog_profile_moments",
+    group="B",
+    oracle="""
+    with s as (
+      select count(*) as n,
+             sum(d)           as s1,
+             sum(d * d)       as s2,
+             sum(d * d * d)   as s3,
+             sum(d * d * d * d) as s4
+      from (select cast(floor(l_discount * 1e3 + 0.5) as bigint) as d
+            from lineitem)
+    ),
+    m as (
+      select cast(n as double)  as n,
+             cast(s1 as double) / cast(n as double) as m1,
+             cast(s2 as double) / cast(n as double) as m2,
+             cast(s3 as double) / cast(n as double) as m3,
+             cast(s4 as double) / cast(n as double) as m4
+      from s
+    )
+    select round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / pow(m2 - m1 * m1, 1.5), 6) as skewness,
+           round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+                 / pow(m2 - m1 * m1, 2.0) - 3, 6) as excess_kurtosis
+    from m
+    """,
+)
+def catalog_profile_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: higher-moment profiling — population skewness and excess
+    kurtosis of l_discount from raw power sums (s1..s4) over
+    1e-3-quantized int64 values, combined with the standard
+    central-moment identities in an expression written identically in
+    both engines. Spark's built-in skewness()/kurtosis() are streaming
+    float accumulations (partitioning-dependent) — unusable for
+    hash-match, same reason as catalog_column_correlation. Overflow
+    envelope: d ≤ 1e3 → d⁴ ≤ 1e12 → |s4| ≤ 6e18 at sf1 (int64 max
+    9.2e18); for bigger data or wider domains drop the quantization
+    scale. One aggregation pass, map-side combinable."""
+    li = load(spark, sf_dir, "lineitem")
+    d = F.floor(F.col("l_discount") * 1e3 + 0.5).cast("long")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n_"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.sum(d * d * d).alias("s3"),
+        F.sum(d * d * d * d).alias("s4"),
+    )
+    n = F.col("n_").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    return s.select(
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+            / F.pow(var, 2.0)
+            - 3,
+            6,
+        ).alias("excess_kurtosis"),
+    )
