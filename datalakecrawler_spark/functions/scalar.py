@@ -500,3 +500,75 @@ def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.getField("seg").alias("seg_from_struct"),
         nested.getField("outer_").getField("bal").alias("nested_bal"),
     )
+
+
+@register(
+    "str_url_parse",
+    group="H",
+    oracle="""
+    with u as (
+      select doc_id,
+             'https://corpus.example.com/' || lang || '/doc-' || doc_id
+               || '?src=' || source || '&v=2' as url
+      from documents where doc_id < 50
+    )
+    select doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) as host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) as path,
+           regexp_extract(url, 'src=([^&]+)', 1) as src_param
+    from u
+    """,
+)
+def str_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: URL decomposition — host / path / query-parameter
+    extraction, the provenance-parsing step every web-crawl corpus
+    needs. Spark's dedicated parse_url() handles the general grammar;
+    the oracle mirrors it with anchored POSIX regexes, which agree for
+    well-formed http(s) URLs (the cross-engine surface is restricted to
+    those — parse_url's edge-case grammar is Spark-specific)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    url = F.concat(
+        F.lit("https://corpus.example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.lit("?src="),
+        F.col("source"),
+        F.lit("&v=2"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("src")).alias("src_param"),
+    )
+
+
+@register(
+    "arr_explode_outer",
+    group="H",
+    oracle="""
+    with toks as (
+      select doc_id,
+             list_filter(string_split(text, ' '), t -> length(t) >= 9) as longtoks
+      from documents where doc_id < 40
+    )
+    select t.doc_id, u.tok
+    from toks t left join
+         (select doc_id, unnest(longtoks) as tok from toks) u
+      on t.doc_id = u.doc_id
+    """,
+)
+def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: explode_outer — the null-preserving explode: a document
+    whose filtered token array is EMPTY still yields one row with a
+    NULL token, so downstream joins/aggregations never silently lose
+    parent rows (plain explode drops them — the classic lost-document
+    bug in tokenize-then-count pipelines). Oracle formulation: left
+    join against the unnested rows."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: F.length(t) >= 9).alias("longtoks"),
+    )
+    return toks.select("doc_id", F.explode_outer("longtoks").alias("tok"))

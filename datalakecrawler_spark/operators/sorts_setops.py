@@ -234,3 +234,30 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "limit_offset_pagination",
+    group="G",
+    oracle="""
+    select c_custkey, c_name, c_acctbal
+    from customer
+    order by c_acctbal desc, c_custkey
+    limit 20 offset 40
+    """,
+)
+def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: keyless pagination — ORDER BY ... LIMIT k OFFSET n (page 3
+    of the balance leaderboard), deterministic because the sort key is
+    unique. Spark plans offset+limit as a single global-limit stage
+    taking (n+k) per partition then trimming on the driver — fine for
+    page-sized n; for deep pagination at 100 TB use keyset pagination
+    (WHERE key < last_seen ORDER BY ... LIMIT k) instead, which this
+    op's unique sort key enables."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .offset(40)
+        .limit(20)
+    )
