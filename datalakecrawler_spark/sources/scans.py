@@ -650,3 +650,33 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_total, n_corrupt, n_clean)],
         "n_total long, n_corrupt long, n_dropmalformed_kept long",
     )
+
+
+@register("scan_parquet_schema_merge", group="A", oracle=None)
+def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: schema evolution on read — two parquet files written at
+    different 'crawl generations' (the newer one adds a column), read
+    together with mergeSchema=true: the union schema applies and the
+    older file's missing column is null-filled. This is the read-side
+    half of schema drift (catalog_schema_drift diffs the shapes; this
+    op proves the engine still reads the lake mid-evolution). Returns
+    per-generation row counts and null counts of the added column.
+    Rows-only (tmp paths)."""
+    path = _tmp("evolving_parquet")
+    n = load(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(f"{path}/gen=1")
+    n.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").alias("region_added")
+    ).write.mode("overwrite").parquet(f"{path}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "region_added" in merged.columns, merged.columns
+    return (
+        merged.groupBy("gen")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("region_added").isNull().cast("long")).alias(
+                "n_null_added_col"
+            ),
+        )
+        .orderBy("gen")
+    )
