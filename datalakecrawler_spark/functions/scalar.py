@@ -572,3 +572,33 @@ def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("text", " "), lambda t: F.length(t) >= 9).alias("longtoks"),
     )
     return toks.select("doc_id", F.explode_outer("longtoks").alias("tok"))
+
+
+@register(
+    "try_fns",
+    group="H",
+    oracle="""
+    select c_custkey,
+           try_cast(c_name as integer)  as name_as_int,
+           try_cast(c_mktsegment as timestamp) as seg_as_ts,
+           case when c_custkey % 7 = 0 then null
+                else round(c_acctbal / (c_custkey % 7), 6) end as safe_div
+    from customer where c_custkey < 100
+    """,
+)
+def try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: fault-tolerant expression family (try_cast / try_divide) —
+    NULL instead of a task-killing exception on bad values, the only
+    sane semantics for a crawler scoring dirty lakes (one malformed
+    value must not fail a 100 TB scan). DuckDB's `/` on doubles yields
+    inf rather than erroring, so the oracle encodes try_divide's
+    null-on-zero contract explicitly with CASE."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.expr("try_cast(c_name as integer)").alias("name_as_int"),
+        F.expr("try_cast(c_mktsegment as timestamp)").alias("seg_as_ts"),
+        F.round(
+            F.try_divide("c_acctbal", F.col("c_custkey") % 7), 6
+        ).alias("safe_div"),
+    )

@@ -680,3 +680,30 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gen")
     )
+
+
+@register("sink_compression_codecs", group="A", oracle=None)
+def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: storage-codec comparison — the same dataset written with
+    snappy / zstd / uncompressed parquet, re-read for fidelity, with
+    on-disk bytes reported per codec (the crawler's storage-tuning
+    signal; zstd typically wins at rest, snappy on CPU). Sizes are
+    environment-dependent → rows-only; the row-count fidelity assert is
+    the hard check."""
+    import os
+
+    src = load(spark, sf_dir, "documents")
+    n_src = src.count()
+    rows = []
+    for codec in ("snappy", "zstd", "none"):
+        path = _tmp(f"docs_codec_{codec}")
+        src.write.mode("overwrite").option("compression", codec).parquet(path)
+        n_back = spark.read.parquet(path).count()
+        assert n_back == n_src, (codec, n_back, n_src)
+        nbytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        rows.append((codec, n_back, nbytes))
+    return spark.createDataFrame(rows, "codec string, n_rows long, bytes long")
