@@ -30,6 +30,13 @@ HEADLINE = [
     "embedding_topk_cosine",
     "rollup_order_priority",
     "semi_anti_join",
+    # extended suite — measured in BASELINE.md alongside the original 8
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "text_tfidf_topterms",
+    "events_rolling_active_users",
+    "orders_market_basket",
+    "catalog_column_correlation",
 ]
 
 
