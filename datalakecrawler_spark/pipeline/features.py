@@ -159,3 +159,71 @@ def events_sequence_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p_ts").alias("purchase_ts"))
     )
     return vcp.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_chains"))
+
+
+@register(
+    "corpus_mixture_balance",
+    group="J",
+    oracle="""
+    with b as (
+      select lang, count(*) as n_docs,
+             sum(cast(n_chars as bigint)) as chars
+      from documents group by 1
+    ),
+    t as (
+      select lang, n_docs, chars,
+             sum(chars) over () as total_chars,
+             count(*) over ()  as n_langs
+      from b
+    )
+    select lang, n_docs, chars,
+           round(cast(chars as double) / cast(total_chars as double), 6)
+             as cur_share,
+           round(1.0 / n_langs, 6) as target_share,
+           round(least(1.0, (1.0 / n_langs) * 0.5
+                 * cast(total_chars as double) / cast(chars as double)), 6)
+             as sample_rate,
+           cast(floor(round(least(1.0, (1.0 / n_langs) * 0.5
+                 * cast(total_chars as double) / cast(chars as double)), 6)
+                 * cast(chars as double)) as bigint) as expected_chars
+    from t
+    """,
+)
+def corpus_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: training-mixture balancing — the data-recipe step: given a
+    uniform per-language target and a 50%-of-corpus token budget,
+    compute each language's current share and the per-bucket sampling
+    rate that hits the target (capped at 1.0 — upsampling is a separate
+    decision). This is the arithmetic behind every published LLM data
+    mixture; the output rates feed the deterministic sampler
+    (sample_quality_weighted / split_train_holdout's hash gate).
+
+    Scale: one aggregation to language granularity (dozens of rows), a
+    window over that tiny frame for totals, pure arithmetic after —
+    cost is one corpus scan regardless of size. Integer char sums and a
+    shared double expression keep both engines bit-identical; the final
+    expected_chars floors AFTER the policy-rounded rate so the two
+    engines floor the same double."""
+    d = load(spark, sf_dir, "documents")
+    b = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("chars"),
+    )
+    w = W.partitionBy()
+    t = b.withColumn("total_chars", F.sum("chars").over(w)).withColumn(
+        "n_langs", F.count(F.lit(1)).over(w)
+    )
+    chars_d = F.col("chars").cast("double")
+    total_d = F.col("total_chars").cast("double")
+    rate = F.round(
+        F.least(F.lit(1.0), (1.0 / F.col("n_langs")) * 0.5 * total_d / chars_d), 6
+    )
+    return t.select(
+        "lang",
+        "n_docs",
+        "chars",
+        F.round(chars_d / total_d, 6).alias("cur_share"),
+        F.round(1.0 / F.col("n_langs"), 6).alias("target_share"),
+        rate.alias("sample_rate"),
+        F.floor(rate * chars_d).cast("bigint").alias("expected_chars"),
+    )
