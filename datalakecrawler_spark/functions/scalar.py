@@ -602,3 +602,30 @@ def try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide("c_acctbal", F.col("c_custkey") % 7), 6
         ).alias("safe_div"),
     )
+
+
+@register(
+    "json_variant_ops",
+    group="H",
+    oracle="""
+    select event_id,
+           cast(json_extract(props, '$.k') as integer) as k_value,
+           json_extract_string(props, '$.k') as k_text
+    from events where event_id < 200
+    """,
+)
+def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: VARIANT — Spark 4's semi-structured type: parse the JSON
+    props string ONCE into a binary variant and extract typed paths
+    from it (variant_get), instead of re-parsing the string per
+    extraction like get_json_object does. At 100 TB the parse-once
+    economics dominate for multi-field access, and variant columns
+    shred into parquet. Oracle: DuckDB's JSON extraction on the same
+    paths."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_value"),
+        F.variant_get(v, "$.k", "string").alias("k_text"),
+    )
