@@ -1,0 +1,73 @@
+"""CLI entry point — `python -m datalakecrawler_spark <command>`.
+
+Commands:
+  crawl <lake_dir> [--out DIR]   run the crawler over a directory of
+                                 datasets, print (and optionally
+                                 persist) the catalog tables
+  query <name> [--sf-dir DIR]    run one registered operator and print
+                                 its result (default sf0.01 fixtures)
+  list [--group G]               list registered operators
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="datalakecrawler_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ap_crawl = sub.add_parser("crawl", help="crawl a lake directory")
+    ap_crawl.add_argument("lake_dir")
+    ap_crawl.add_argument("--out", default=None, help="persist catalog here")
+
+    ap_query = sub.add_parser("query", help="run a registered operator")
+    ap_query.add_argument("name")
+    ap_query.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap_query.add_argument("--limit", type=int, default=20)
+
+    ap_list = sub.add_parser("list", help="list registered operators")
+    ap_list.add_argument("--group", default=None)
+
+    args = ap.parse_args(argv)
+
+    import datalakecrawler_spark as dlc
+
+    if args.cmd == "list":
+        for name in sorted(dlc.registry.all_queries()):
+            q = dlc.registry.all_queries()[name]
+            if args.group and q.group != args.group:
+                continue
+            kind = "oracle" if q.oracle else "rows-only"
+            print(f"{q.group}  {name}  [{kind}]")
+        return 0
+
+    from datalakecrawler_spark.session import get_spark
+
+    spark = get_spark("dlc-cli")
+    if args.cmd == "crawl":
+        from datalakecrawler_spark import crawler
+
+        if args.out:
+            crawler.crawl_and_write(spark, args.lake_dir, args.out)
+            print(f"catalog written to {args.out}")
+        for name, df in crawler.crawl(spark, args.lake_dir).items():
+            print(f"== {name} ==")
+            df.show(50, truncate=False)
+        return 0
+
+    if args.cmd == "query":
+        qs = dlc.registry.all_queries()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r} — try `list`", file=sys.stderr)
+            return 2
+        qs[args.name].fn(spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

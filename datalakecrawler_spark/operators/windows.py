@@ -536,3 +536,47 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     runs = grp.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("run_len"))
     return runs.groupBy("user_id").agg(F.max("run_len").alias("longest_streak"))
+
+
+@register(
+    "events_trigram_paths",
+    group="F",
+    oracle="""
+    with seq as (
+      select user_id, ts, event_id, event_type,
+             lead(event_type, 1) over w as e2,
+             lead(event_type, 2) over w as e3
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    )
+    select event_type || '>' || e2 || '>' || e3 as path, count(*) as cnt
+    from seq where e3 is not null
+    group by 1
+    order by cnt desc, path
+    limit 10
+    """,
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: top user paths — the 3-step event-type sequences users
+    actually take (product-analytics path analysis; the n-gram
+    generalization of events_transition_matrix's pairs). Double lead()
+    over (user, time) builds the trigrams in one window pass — one
+    user_id shuffle, no self-joins; the top-10 is TakeOrdered with a
+    deterministic (cnt, path) tie-break."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "path")
+        .limit(10)
+    )

@@ -98,3 +98,17 @@ def test_format_detect_classifies_all_planted_formats(spark):
     rows = queries()["crawl_format_detect"](spark, "/root/testdata/sf0.001").collect()
     got = {r["detected_format"]: r["n_files"] for r in rows}
     assert got == {"parquet": 1, "orc": 1, "json": 1, "delimited": 1}
+
+
+def test_cli_list_and_query(capsys):
+    """`python -m datalakecrawler_spark` surface: list filters by group;
+    query runs a registered operator."""
+    from datalakecrawler_spark.__main__ import main
+
+    assert main(["list", "--group", "F"]) == 0
+    out = capsys.readouterr().out
+    assert "events_trigram_paths" in out and "win_agg_over" in out
+    assert main(["query", "catalog_sample_rows", "--sf-dir", SF_DIR]) == 0
+    out = capsys.readouterr().out
+    assert "NATION_" in out
+    assert main(["query", "no_such_query"]) == 2
