@@ -629,3 +629,28 @@ def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "int").alias("k_value"),
         F.variant_get(v, "$.k", "string").alias("k_text"),
     )
+
+
+@register(
+    "str_regexp_extract_all",
+    group="H",
+    oracle="""
+    select p_partkey,
+           regexp_extract_all(p_name, '[aeiou]+') as vowel_runs,
+           len(regexp_extract_all(p_name, '[aeiou]+')) as n_runs,
+           len(regexp_extract_all(p_name, '[0-9]+')) as n_numbers
+    from part where p_partkey < 250
+    """,
+)
+def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: regexp_extract_all — every match as an array (the token-
+    mining primitive regexp_extract's single-match form can't express),
+    plus match counts via array length. Match order is left-to-right in
+    both engines, so the arrays compare positionally without sorting."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") < 250)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0).alias("vowel_runs"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0)).alias("n_runs"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[0-9]+"), 0)).alias("n_numbers"),
+    )

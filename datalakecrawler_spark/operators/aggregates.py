@@ -798,3 +798,34 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "agg_percentile_disc",
+    group="E",
+    oracle="""
+    select l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) as p25,
+           quantile_disc(l_extendedprice, 0.50) as p50,
+           quantile_disc(l_extendedprice, 0.75) as p75
+    from lineitem group by 1
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: DISCRETE percentiles — the quantile that returns an actual
+    data value (smallest value whose cumulative distribution reaches p)
+    rather than an interpolation. Because the result is a value read
+    straight from parquet, both engines agree bit-for-bit with NO
+    rounding policy — the only quantile flavor with that property
+    (agg_percentile_exact needs interpolation-rule parity, approx needs
+    rows-only). SQL-standard WITHIN GROUP syntax on the Spark side."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pd")
+    return spark.sql(
+        """
+        select l_returnflag,
+               percentile_disc(0.25) within group (order by l_extendedprice) as p25,
+               percentile_disc(0.50) within group (order by l_extendedprice) as p50,
+               percentile_disc(0.75) within group (order by l_extendedprice) as p75
+        from lineitem_pd group by l_returnflag
+        """
+    )
