@@ -151,3 +151,48 @@ def pipeline_training_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(stage(name, df))
     return out
+
+
+@register(
+    "pipeline_observed_metrics",
+    group="J",
+    oracle="""
+    select count(*) as rows_in,
+           cast(sum(cast(floor(l_quantity * 1e6 + 0.5) as bigint)) as double)
+             / 1e6 as qty_in,
+           count(*) filter (where l_discount > 0.05) as rows_discounted
+    from lineitem
+    where l_shipdate >= timestamp '1996-01-01'
+    """,
+)
+def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: single-pass pipeline observability — the Observation API
+    attaches metric expressions to a flowing DataFrame, so data-quality
+    counters (rows in, quantity mass, discounted fraction) are computed
+    DURING the main job instead of by a second scan: at 100 TB the
+    difference between metrics-for-free and doubling the pipeline cost.
+    The observed values are collected after the action and returned as
+    a one-row frame; the oracle recomputes the same metrics directly.
+    This is the modern replacement for accumulators (exactly-once
+    semantics per action, no task-retry double counting)."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    obs = Observation("pipeline_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        (F.sum(F.floor(F.col("l_quantity") * 1e6 + 0.5)).cast("double") / 1e6).alias(
+            "qty_in"
+        ),
+        F.count_if(F.col("l_discount") > 0.05).alias("rows_discounted"),
+    )
+    # the "real" pipeline job — any action populates the observation
+    observed.groupBy("l_returnflag").count().collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_in"], m["qty_in"], m["rows_discounted"])],
+        "rows_in long, qty_in double, rows_discounted long",
+    )
