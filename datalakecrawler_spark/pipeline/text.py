@@ -107,13 +107,18 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: TF-IDF top-3 terms per doc — pure joins/windows, the document
-    frequency table stays distributed (never collected to the driver)."""
+    frequency table stays distributed (never collected to the driver).
+    The df table derives FROM the tf table (tf already has exactly one
+    row per (doc, term), so df is a plain count, not a countDistinct
+    over re-exploded tokens) — one explode and one exchange instead of
+    two of each; df is vocabulary-sized and broadcasts, so tf never
+    shuffles on term for the join."""
     d = load(spark, sf_dir, "documents")
     flat = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = flat.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = flat.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # scalar job, not a row materialization
-    scored = tf.join(df, "term").select(
+    scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
