@@ -580,3 +580,66 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "orders_abc_analysis",
+    group="F",
+    oracle="""
+    with pr as (
+      select l_partkey,
+             sum(cast(floor(l_extendedprice * 1e6 + 0.5) as bigint)) as rev_micro
+      from lineitem group by 1
+    ),
+    ranked as (
+      select l_partkey, rev_micro,
+             sum(rev_micro) over (order by rev_micro desc, l_partkey
+                                  rows between unbounded preceding
+                                  and current row) as cum_micro,
+             sum(rev_micro) over () as total_micro
+      from pr
+    ),
+    classed as (
+      select l_partkey, rev_micro,
+             case when cast(cum_micro as double) / cast(total_micro as double)
+                       <= 0.8 then 'A'
+                  when cast(cum_micro as double) / cast(total_micro as double)
+                       <= 0.95 then 'B'
+                  else 'C' end as abc_class
+      from ranked
+    )
+    select abc_class, count(*) as n_parts,
+           round(cast(sum(rev_micro) as double) / 1e6, 6) as class_revenue
+    from classed group by 1
+    """,
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: ABC / Pareto classification — parts bucketed by cumulative
+    revenue share (A: first 80%, B: to 95%, C: tail), the inventory-
+    prioritization classic. The running sum is a ROWS frame over the
+    *per-part aggregate* (|parts| rows, not |lineitems|) with a unique
+    (rev desc, partkey) order; cumulative and total come from the same
+    int64 micro-units so the 0.8/0.95 boundaries cut identically in
+    both engines. The global ordered window is safe because the frame
+    is dimension-sized; at extreme part counts, replace with
+    percentile cut points + broadcast bucket join (the RFM note)."""
+    li = load(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 1e6 + 0.5)).alias("rev_micro")
+    )
+    w_run = W.orderBy(F.col("rev_micro").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    ranked = pr.withColumn("cum_micro", F.sum("rev_micro").over(w_run)).withColumn(
+        "total_micro", F.sum("rev_micro").over(w_all)
+    )
+    share = F.col("cum_micro").cast("double") / F.col("total_micro").cast("double")
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev_micro").cast("double") / 1e6, 6).alias("class_revenue"),
+    )
