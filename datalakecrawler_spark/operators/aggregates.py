@@ -829,3 +829,44 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lineitem_pd group by l_returnflag
         """
     )
+
+
+@register(
+    "orders_seasonality_index",
+    group="E",
+    oracle="""
+    with m as (
+      select date_part('month', o_orderdate) as mon,
+             sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)) as rev_micro,
+             count(*) as n_orders
+      from orders group by 1
+    )
+    select mon, n_orders,
+           round(cast(rev_micro as double) / 1e6, 6) as revenue,
+           round((cast(rev_micro as double)
+                  / (sum(cast(rev_micro as double)) over () / 12)), 6)
+             as seasonal_index
+    from m
+    """,
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: month-of-year seasonality index — each calendar month's
+    revenue relative to the uniform-month expectation (index 1.0 = no
+    seasonality), the first diagnostic before any forecasting model.
+    One aggregation to 12 rows, then a window over that tiny frame;
+    micro-unit sums keep the index bit-identical across engines."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").cast("long").alias("mon")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("rev_micro"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.partitionBy()
+    rev_d = F.col("rev_micro").cast("double")
+    return m.select(
+        "mon",
+        "n_orders",
+        F.round(rev_d / 1e6, 6).alias("revenue"),
+        F.round(
+            rev_d / (F.sum(rev_d).over(w) / 12), 6
+        ).alias("seasonal_index"),
+    )

@@ -707,3 +707,46 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((codec, n_back, nbytes))
     return spark.createDataFrame(rows, "codec string, n_rows long, bytes long")
+
+
+@register("scan_format_fidelity", group="A", oracle=None)
+def scan_format_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: cross-format fidelity audit — the same dataset persisted
+    as parquet, CSV (schema re-inferred), and JSON-lines, re-read and
+    checksummed: counts and integer/micro-unit sums must agree across
+    all three, proving the crawler's format readers see one truth.
+    Catches the classic CSV silent-type-degradation class of bug.
+    Rows-only (tmp paths); the cross-format equality asserts are the
+    hard check."""
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+    def checksum(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s_suppkey").alias("key_sum"),
+            F.sum(F.floor(F.col("s_acctbal") * 1e6 + 0.5)).alias("bal_micro"),
+        ).collect()[0]
+        return (r["n"], r["key_sum"], r["bal_micro"])
+
+    base = checksum(src)
+    rows = [("parquet_src",) + base]
+    p1 = _tmp("fid_parquet")
+    src.write.mode("overwrite").parquet(p1)
+    rows.append(("parquet",) + checksum(spark.read.parquet(p1)))
+    p2 = _tmp("fid_csv")
+    src.write.mode("overwrite").option("header", True).csv(p2)
+    rows.append(
+        ("csv",)
+        + checksum(
+            spark.read.option("header", True).option("inferSchema", True).csv(p2)
+        )
+    )
+    p3 = _tmp("fid_json")
+    src.write.mode("overwrite").json(p3)
+    rows.append(("json",) + checksum(spark.read.json(p3)))
+    assert all(r[1:] == base for r in rows), rows
+    return spark.createDataFrame(
+        rows, "format string, n_rows long, key_sum long, bal_micro long"
+    )

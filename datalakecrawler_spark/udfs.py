@@ -225,3 +225,49 @@ def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return d.select("doc_id", tag("lang", "n_chars").alias("tag"))
+
+
+@register(
+    "udtf_dynamic_schema",
+    group="K",
+    oracle="""
+    select doc_id,
+           string_split(text, ' ')[1] as tok0,
+           string_split(text, ' ')[2] as tok1,
+           string_split(text, ' ')[3] as tok2
+    from documents where doc_id < 30
+    """,
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ext: Spark 4 UDTF with a static analyze() method — the output
+    SCHEMA is computed at plan time from the (constant) argument: here
+    first_tokens(text, 3) analyzes to three string columns tok0..tok2.
+    This is the polymorphic-table-function feature (SQL:2016 PTF) that
+    fixed-signature UDTFs can't express; with the width constant at the
+    call site the result is deterministic and fully oracle-checkable."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @F.udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"tok{i}", StringType()) for i in range(n.value)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_dyn")
+    return spark.sql(
+        """
+        select d.doc_id, f.tok0, f.tok1, f.tok2
+        from documents_dyn d, lateral first_tokens(d.text, 3) f
+        where d.doc_id < 30
+        """
+    )
