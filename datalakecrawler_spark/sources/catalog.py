@@ -849,3 +849,76 @@ def catalog_profile_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess_kurtosis"),
     )
+
+
+_SIM_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_SIM_DESCRIBES = " union all ".join(
+    f"select '{t}' as tbl, regexp_replace(column_name, '^[a-z]+_', '') as col"
+    f" from (describe select * from {t})"
+    for t in _SIM_TABLES
+)
+
+
+@register(
+    "catalog_table_similarity",
+    group="B",
+    oracle=f"""
+    with cols as ({_SIM_DESCRIBES}),
+    sizes as (select tbl, count(*) as n from cols group by 1),
+    inter as (
+      select a.tbl as tbl_a, b.tbl as tbl_b, count(*) as n_shared
+      from cols a join cols b on a.col = b.col and a.tbl < b.tbl
+      group by 1, 2
+    )
+    select tbl_a, tbl_b, n_shared,
+           round(cast(n_shared as double)
+                 / (sa.n + sb.n - n_shared), 6) as jaccard
+    from inter
+    join sizes sa on tbl_a = sa.tbl
+    join sizes sb on tbl_b = sb.tbl
+    where n_shared >= 2
+    """,
+)
+def catalog_table_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: dataset-relatedness discovery — pairwise Jaccard over
+    prefix-normalized column names (c_custkey/o_custkey → custkey), the
+    name-based half of join-key discovery that crawlers run before the
+    value-based containment check (catalog_fk_discovery). Pairs with ≥2
+    shared normalized names are candidate join partners. Schemas are
+    footer metadata: the whole computation is |columns| rows — no data
+    is scanned at any lake size."""
+    rows = []
+    for t in _SIM_TABLES:
+        for f in load(spark, sf_dir, t).schema.fields:
+            import re as _re
+
+            rows.append(Row(tbl=t, col=_re.sub(r"^[a-z]+_", "", f.name)))
+    cols = spark.createDataFrame(rows, "tbl string, col string")
+    sizes = cols.groupBy("tbl").agg(F.count(F.lit(1)).alias("n"))
+    a, b = cols.alias("a"), cols.alias("b")
+    inter = (
+        a.join(b, (F.col("a.col") == F.col("b.col")) & (F.col("a.tbl") < F.col("b.tbl")))
+        .groupBy(F.col("a.tbl").alias("tbl_a"), F.col("b.tbl").alias("tbl_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    sa = sizes.select(F.col("tbl").alias("tbl_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("tbl").alias("tbl_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "tbl_a")
+        .join(F.broadcast(sb), "tbl_b")
+        .select(
+            "tbl_a",
+            "tbl_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
