@@ -814,3 +814,109 @@ def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mass("[^0-9]").cast("double") / total, 6).alias("digit_ratio"),
         F.round(mass("[^ ]").cast("double") / total, 6).alias("space_ratio"),
     )
+
+
+@register(
+    "text_oov_rate",
+    group="J",
+    oracle="""
+    with tok as (
+      select lang, unnest(string_split(text, ' ')) as tok from documents
+    ),
+    vocab as (
+      select tok from (
+        select tok, count(*) as cnt from tok group by 1
+        order by cnt desc, tok limit 500
+      )
+    )
+    select lang,
+           count(*) as n_tokens,
+           count(*) filter (where v.tok is not null) as in_vocab,
+           round(1.0 - cast(count(*) filter (where v.tok is not null) as double)
+                 / count(*), 6) as oov_rate
+    from tok t left join vocab v on t.tok = v.tok
+    group by lang
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: tokenizer-vocabulary coverage — fit a top-500 vocabulary
+    on the corpus, then measure each language's out-of-vocabulary token
+    rate: the go/no-go signal for whether a tokenizer (or its vocab
+    budget) fits a corpus slice before training on it. The vocabulary
+    is a TakeOrdered top-k (deterministic (cnt, tok) tie-break) that
+    broadcasts into the coverage join — the corpus shuffles once for
+    the token counts and never for the join."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(500)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    joined = tok.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("in_v").alias("in_vocab"),
+        F.round(
+            1.0 - F.count("in_v").cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "search_trigram_candidates",
+    group="J",
+    oracle="""
+    with grams as (
+      select p_partkey, p_name,
+             unnest(list_distinct(list_transform(
+               range(1, length(p_name) - 1),
+               i -> substring(p_name, cast(i as integer), 3)))) as g
+      from part
+    ),
+    qgrams as (
+      select unnest(list_distinct(list_transform(
+               range(1, length('widget') - 1),
+               i -> substring('widget', cast(i as integer), 3)))) as g
+    )
+    select p_partkey, p_name, count(*) as shared_grams,
+           contains(p_name, 'widget') as exact_hit
+    from grams join qgrams using (g)
+    group by 1, 2
+    having count(*) >= 3
+    """,
+)
+def search_trigram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: trigram fuzzy search (the pg_trgm pattern) — an inverted
+    character-trigram index turns substring/typo-tolerant search into a
+    candidate join: names sharing ≥3 trigrams with the query term are
+    candidates, with the exact containment flag carried for ranking.
+    At 100 TB the gram→key index is materialized once (a parquet table
+    bucketed by gram) and each search probes its few query grams —
+    never a full-corpus LIKE scan. The query's grams broadcast."""
+    term = "widget"
+    p = load(spark, sf_dir, "part")
+    grams = p.select(
+        "p_partkey",
+        "p_name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(p_name) - 2),"
+                    " i -> substring(p_name, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    qgrams = spark.createDataFrame(
+        [(term[i : i + 3],) for i in range(len(term) - 2)], "g string"
+    ).distinct()
+    return (
+        grams.join(F.broadcast(qgrams), "g")
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .where(F.col("shared_grams") >= 3)
+        .withColumn("exact_hit", F.col("p_name").contains(term))
+    )
