@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     ap_list = sub.add_parser("list", help="list registered operators")
     ap_list.add_argument("--group", default=None)
 
+    ap_explain = sub.add_parser("explain", help="show an operator's physical plan")
+    ap_explain.add_argument("name")
+    ap_explain.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     args = ap.parse_args(argv)
 
     import datalakecrawler_spark as dlc
@@ -56,6 +60,30 @@ def main(argv: list[str] | None = None) -> int:
         for name, df in crawler.crawl(spark, args.lake_dir).items():
             print(f"== {name} ==")
             df.show(50, truncate=False)
+        return 0
+
+    if args.cmd == "explain":
+        import re
+
+        from datalakecrawler_spark.plans.explain import audit
+
+        qs = dlc.registry.all_queries()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r} — try `list`", file=sys.stderr)
+            return 2
+        df = qs[args.name].fn(spark, args.sf_dir)
+        df.collect()
+        a = audit(df)
+        keys = sorted(
+            {m.split("#")[0] for m in re.findall(r"hashpartitioning\((\w+)", a.text)}
+        )
+        print(f"joins: {sorted(set(a.joins)) or 'none'}")
+        print(f"shuffle keys: {keys or 'none'}")
+        print(f"codegen stages: {a.n_codegen_stages}  python: {a.has_python_eval}")
+        pushed = [x for x in a.pushed_filters if x]
+        if pushed:
+            print("pushed filters:", "; ".join(sorted(set(pushed))[:5]))
+        print(a.text.split("\n\n")[0])
         return 0
 
     if args.cmd == "query":
