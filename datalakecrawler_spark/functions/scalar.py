@@ -654,3 +654,50 @@ def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0)).alias("n_runs"),
         F.size(F.regexp_extract_all("p_name", F.lit("[0-9]+"), 0)).alias("n_numbers"),
     )
+
+
+@register(
+    "map_fns",
+    group="H",
+    oracle="""
+    with c as (
+        select o_orderpriority, o_orderstatus, count(*) as cnt
+        from orders group by 1, 2
+    )
+    select o_orderpriority,
+           list(o_orderstatus order by o_orderstatus) as statuses,
+           list(cnt order by o_orderstatus) as counts,
+           count(*) as n_statuses,
+           list(o_orderstatus order by o_orderstatus)
+               filter (where cnt > 100) as major_statuses,
+           list(cnt * 2 order by o_orderstatus) as doubled
+    from c group by o_orderpriority
+    """,
+)
+def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: MapType function sweep — map_from_entries, map_keys,
+    map_values, size, map_filter, transform_values. A status→count map
+    is assembled per priority from sorted entries, then inspected and
+    rewritten with map lambdas. Output is flattened to sorted arrays
+    (MapType itself is unordered and has no stable cross-engine hash;
+    DuckDB's oracle builds the same arrays with ordered list aggs).
+    The whole pipeline is two hash aggregations — entry construction is
+    an array op inside the second agg, no extra shuffle."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt")))
+    )
+    per_prio = counts.groupBy("o_orderpriority").agg(m.alias("m"))
+    return per_prio.select(
+        "o_orderpriority",
+        F.map_keys("m").alias("statuses"),
+        F.map_values("m").alias("counts"),
+        F.size("m").cast("long").alias("n_statuses"),
+        F.map_keys(F.map_filter("m", lambda k, v: v > 100)).alias("major_statuses"),
+        F.map_values(
+            F.transform_values("m", lambda k, v: v * 2)
+        ).alias("doubled"),
+    )

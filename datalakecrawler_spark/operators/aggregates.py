@@ -870,3 +870,43 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             rev_d / (F.sum(rev_d).over(w) / 12), 6
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    group="E",
+    oracle=f"""
+    select event_type, cast(date_trunc('day', ts) as date) as day,
+           arg_min(value, event_id) as open,
+           max(value) as high,
+           min(value) as low,
+           arg_max(value, event_id) as close,
+           {SUM_D.format('value')} as volume,
+           count(*) as n_events
+    from events
+    group by event_type, cast(date_trunc('day', ts) as date)
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: time-series downsampling to per-day OHLC bars (the
+    classic resample('1D').ohlc() / financial candlestick shape) per
+    event_type. Open/close select the value at the min/max arrival
+    position — keyed on event_id (unique, arrival-ordered) rather than
+    ts so ties in the timestamp cannot make the result
+    nondeterministic; high/low are plain min/max (selected values,
+    bit-identical across engines). One hash aggregation with map-side
+    partials — min_by/max_by partials are mergeable, so this stays a
+    single shuffle of #groups rows at any scale; day is cast to DATE
+    on both sides (DuckDB date_trunc('day') returns DATE, Spark's
+    returns TIMESTAMP — §2.L type trap)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.min_by("value", "event_id").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "event_id").alias("close"),
+        dsum("value").alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

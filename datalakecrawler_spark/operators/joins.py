@@ -1016,3 +1016,48 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 5)
     )
+
+
+@register(
+    "q12_priority_linecount",
+    group="D",
+    oracle="""
+    select l_returnflag,
+           count(*) filter (where o_orderpriority in ('1-URGENT', '2-HIGH'))
+               as high_line_count,
+           count(*) filter (where o_orderpriority not in ('1-URGENT', '2-HIGH'))
+               as low_line_count
+    from lineitem join orders on l_orderkey = o_orderkey
+    where l_shipdate > o_orderdate + interval 60 day
+      and l_shipdate >= timestamp '1996-01-01'
+      and l_shipdate <  timestamp '1997-01-01'
+    group by l_returnflag
+    """,
+)
+def q12_priority_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: TPC-H Q12 shape adapted to the fixture schema (no
+    l_shipmode/commitdate columns → l_returnflag stands in for the
+    shipmode group, "late" = shipped >60 days after order date). The
+    signature Q12 pattern is preserved: fact⋈fact equi join whose
+    output is immediately collapsed by conditional counts over a
+    low-cardinality group — the shuffle carries only the join, the agg
+    is map-side-partial over 3 groups. The l_shipdate year filter is a
+    plain Column predicate → pushed to the Parquet scan before the
+    join; the o_orderdate comparison is join-side (row-dependent) and
+    evaluates inside the joined iterator, never materializing a
+    filtered product."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )

@@ -261,3 +261,24 @@ def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@register(
+    "setop_intersect_all",
+    group="G",
+    oracle="""
+    select o_custkey from orders where o_orderstatus = 'F'
+    intersect all
+    select o_custkey from orders where o_orderstatus = 'O'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: multiset intersection (INTERSECT ALL) — each customer key
+    appears min(#F-orders, #O-orders) times, the bag-semantics twin of
+    G5's set intersect. Spark plans this as a single hash aggregation
+    counting per-side multiplicities then re-emitting the minimum — one
+    shuffle on the key, no join fan-out."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersectAll(b)

@@ -475,3 +475,37 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_sim"),
     )
+
+
+_RANGE_TAU = 0.25  # measured sf0.01: 14 corpus vectors within this radius of vec 0
+
+
+@register(
+    "sim_range_search",
+    group="J",
+    oracle=f"""
+    with q as (select embedding as e from embeddings where vec_id = 0)
+    select vec_id,
+           round({_DOT_SQL.format('embedding', '(select e from q)')}, 6) as sim
+    from embeddings
+    where vec_id <> 0
+      and round({_DOT_SQL.format('embedding', '(select e from q)')}, 6)
+          >= {_RANGE_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: radius (range) similarity search — ALL corpus vectors
+    with cosine ≥ τ to the query, the fixed-threshold complement of
+    J3's top-k (retrieval APIs expose both). Same scale shape as J3:
+    the query row is broadcast, the corpus is scanned once with a
+    per-row dot + filter and never shuffled — the result is the only
+    thing that moves. At 100 TB an IVF/LSH pre-filter bounds the
+    scanned buckets exactly as in sim_topk_ivf."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(dot("embedding", "qe"), 6).alias("sim"))
+        .where(F.col("sim") >= _RANGE_TAU)
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
-from datalakecrawler_spark.registry import davg, register
+from datalakecrawler_spark.registry import SUM_D, davg, dsum, register
 
 _WORDCOUNT_ORACLE = """
     select w as word, count(*) as cnt
@@ -919,4 +919,62 @@ def search_trigram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .where(F.col("shared_grams") >= 3)
         .withColumn("exact_hit", F.col("p_name").contains(term))
+    )
+
+
+@register(
+    "text_zipf_slope",
+    group="J",
+    oracle=f"""
+    with freq as (
+        select tok as word, count(*) as freq
+        from (select unnest(string_split(text, ' ')) as tok from documents)
+        group by 1
+    ),
+    ranked as (
+        select row_number() over (order by freq desc, word) as rank, freq
+        from freq
+    ),
+    xy as (select ln(rank) as x, ln(freq) as y from ranked)
+    select count(*) as n_words,
+           round((cast(count(*) as double) * ({SUM_D.format('x * y')})
+                  - ({SUM_D.format('x')}) * ({SUM_D.format('y')}))
+                 / (cast(count(*) as double) * ({SUM_D.format('x * x')})
+                    - ({SUM_D.format('x')}) * ({SUM_D.format('x')})), 6)
+               as zipf_slope
+    from xy
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Zipf-law fit of the corpus — the least-squares slope of
+    ln(freq) vs ln(rank) over the word-frequency table (natural text
+    sits near −1; a word-salad corpus sits much shallower, so the
+    statistic doubles as a synthetic-data detector). The regression is
+    closed-form from five sums; each sum runs through the micro-unit
+    integer policy so both engines accumulate order-independently, and
+    the final slope arithmetic is the identical IEEE expression on
+    identical doubles. The global row_number ranks only the vocabulary
+    (corpus-independent cardinality) — at 100 TB the token explode +
+    count shuffles, but the ranked table stays dimension-sized; a
+    built-in regr_slope would be accumulation-order-dependent and is
+    deliberately avoided (same reasoning as the moment-sum skewness)."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.select(
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), "word"))
+        .alias("rank"),
+        "freq",
+    )
+    xy = ranked.select(F.log("rank").alias("x"), F.log("freq").alias("y"))
+    n = F.count(F.lit(1)).cast("double")
+    slope = (n * dsum(F.col("x") * F.col("y")) - dsum("x") * dsum("y")) / (
+        n * dsum(F.col("x") * F.col("x")) - dsum("x") * dsum("x")
+    )
+    return xy.agg(
+        F.count(F.lit(1)).alias("n_words"), F.round(slope, 6).alias("zipf_slope")
     )
