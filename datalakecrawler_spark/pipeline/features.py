@@ -227,3 +227,147 @@ def corpus_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("sample_rate"),
         F.floor(rate * chars_d).cast("bigint").alias("expected_chars"),
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    group="J",
+    oracle="""
+    with g as (
+        select c_mktsegment, c_nationkey, count(*) as grp_size
+        from customer group by 1, 2
+    )
+    select count(*) as n_groups,
+           min(grp_size) as min_k,
+           count(*) filter (where grp_size < 5) as groups_below_k,
+           coalesce(sum(grp_size) filter (where grp_size < 5), 0)
+               as rows_at_risk
+    from g
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: k-anonymity audit over a quasi-identifier tuple
+    (c_mktsegment, c_nationkey) — the privacy gate a training-data
+    pipeline runs before releasing user-derived records: the dataset
+    is k-anonymous iff min group size ≥ k, and rows in groups below k
+    (here k=5) are re-identifiable and must be suppressed or
+    generalized. Two chained hash aggregations: the first shuffles the
+    quasi-identifier keys (map-side partials), the second collapses
+    group sizes to one audit row — group count, smallest equivalence
+    class, and the suppression workload. sum(bigint) would widen to
+    HUGEINT in DuckDB, so the at-risk row count stays a filtered sum
+    of int-cast sizes (both engines BIGINT)."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("grp_size")
+    )
+    below = F.col("grp_size") < 5
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp_size").alias("min_k"),
+        F.count_if(below).alias("groups_below_k"),
+        F.coalesce(
+            F.sum(F.when(below, F.col("grp_size"))), F.lit(0)
+        ).alias("rows_at_risk"),
+    )
+
+
+@register(
+    "events_funnel_ttc",
+    group="J",
+    oracle="""
+    with v as (
+        select user_id, min(ts) as t_view from events
+        where event_type = 'view' group by 1
+    ),
+    p as (
+        select e.user_id, min(e.ts) as t_purchase
+        from events e join v using (user_id)
+        where e.event_type = 'purchase' and e.ts >= v.t_view
+        group by 1
+    ),
+    gaps as (
+        select cast(epoch_us(p.t_purchase) - epoch_us(v.t_view) as double)
+               / 86400000000.0 as gap_days
+        from v join p using (user_id)
+    )
+    select count(*) as n_converted,
+           round(quantile_cont(gap_days, 0.25), 4) as p25_days,
+           round(quantile_cont(gap_days, 0.50), 4) as median_days,
+           round(quantile_cont(gap_days, 0.75), 4) as p75_days
+    from gaps
+    """,
+)
+def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: funnel time-to-convert — the latency distribution between
+    a user's first view and their first purchase at-or-after it
+    (funnel_conversion counts WHO converts; this measures HOW LONG).
+    Gaps are computed in exact epoch microseconds (no truncation
+    semantics to reconcile across engines) and only then divided to
+    double days; percentile_cont/quantile_cont share the standard
+    lo + (hi−lo)·frac interpolation, with round(4) absorbing last-ulp
+    drift. Both stage tables collapse events to one row per user
+    before joining, so the join sides are user-dimension-sized — at
+    100 TB the two event scans dominate and the rest is broadcast."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    gaps = v.join(p, "user_id").select(
+        (
+            (F.unix_micros("t_purchase") - F.unix_micros("t_view")).cast("double")
+            / 86400000000.0
+        ).alias("gap_days")
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("gap_days", F.lit(0.25)), 4).alias("p25_days"),
+        F.round(F.percentile("gap_days", F.lit(0.50)), 4).alias("median_days"),
+        F.round(F.percentile("gap_days", F.lit(0.75)), 4).alias("p75_days"),
+    )
+
+
+@register(
+    "feature_hash_bucket",
+    group="J",
+    oracle="""
+    with h as (
+        select cast(('0x' || substr(md5(c_mktsegment || '|' ||
+                                        cast(c_nationkey as varchar)), 1, 8))
+                    as bigint) % 32 as bucket
+        from customer
+    )
+    select bucket, count(*) as n_rows
+    from h group by bucket
+    """,
+)
+def feature_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the hashing trick — project a high-cardinality
+    categorical cross (segment × nation) into a fixed 32-bucket
+    feature space via a PORTABLE hash (first 8 hex chars of md5, the
+    same cross-engine recipe as the deterministic samplers; Spark's
+    xxhash64/hash have no DuckDB twin, §2.L trap 7). Output is the
+    bucket occupancy histogram a feature pipeline uses to check
+    collision balance before training. One narrow projection + one
+    32-key aggregation — scan-bound at any scale, and the hash is
+    reproducible across engines, runs, and languages, which is what
+    makes the feature stable between training and serving."""
+    c = load(spark, sf_dir, "customer")
+    key = F.concat_ws(
+        "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+    )
+    bucket = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 32)
+    return (
+        c.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -50,7 +50,10 @@ def audit(df: DataFrame) -> PlanAudit:
         r"BroadcastNestedLoopJoin|CartesianProduct)",
         text,
     )
-    a.n_exchanges = len(re.findall(r"\bExchange\b", text))
+    # AQE's formatted output appends an "== Initial Plan ==" section that
+    # repeats every node; count shuffles only in the plan that executed.
+    final_text = text.split("== Initial Plan ==")[0]
+    a.n_exchanges = len(re.findall(r"\bExchange\b", final_text))
     # codegen stage ids appear as "*(N)" only in simple explain mode
     a.n_codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan_text(df, "simple"))))
     a.has_python_eval = bool(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import TABLES, load
-from datalakecrawler_spark.registry import AVG_D, davg, register
+from datalakecrawler_spark.registry import AVG_D, SUM_D, davg, dsum, register
 
 
 @register("catalog_infer_schema", group="B", oracle=None)
@@ -921,4 +921,106 @@ def catalog_table_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+_ENTROPY_COLS = [
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+]
+
+# Shannon entropy in nats from a single aggregation pass, using the
+# identity -Σ p·ln p = ln(N) - (Σ c·ln c)/N over per-value counts c —
+# no window over the counts, no second shuffle.
+_ENTROPY_SQL = f"""
+    select '{{t}}' as tab, '{{c}}' as col,
+           count(*) as n_distinct,
+           round(ln(cast(sum(cnt) as double))
+                 - ({SUM_D.format('cnt * ln(cnt)')})
+                   / cast(sum(cnt) as double), 6) as entropy_nats
+    from (select {{c}}, count(*) as cnt from {{t}} group by 1)
+"""
+
+
+@register(
+    "catalog_column_entropy",
+    group="B",
+    oracle="\nunion all\n".join(
+        _ENTROPY_SQL.format(t=t, c=c) for t, c in _ENTROPY_COLS
+    ),
+)
+def catalog_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: Shannon entropy (nats) of each categorical column across
+    the lake — the information-density profile a cataloger reports next
+    to NDV (uniform 5-way ≈ ln 5 ≈ 1.609; a constant column is 0, a key
+    column is ln N). Uses the single-pass identity
+    -Σp·ln p = ln N − (Σ c·ln c)/N so each column costs one count
+    aggregation plus one scalar agg over its value histogram — the
+    per-term c·ln c sum goes through micro-unit integers, making the
+    result order-independent and engine-identical. Per-column jobs are
+    independent (a real crawler fans them out); each output is a single
+    row so the final union is free."""
+    out: DataFrame | None = None
+    for t, c in _ENTROPY_COLS:
+        cnt = load(spark, sf_dir, t).groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+        n = F.sum("cnt").cast("double")
+        one = cnt.agg(
+            F.lit(t).alias("tab"),
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.log(n) - dsum(F.col("cnt") * F.log("cnt")) / n, 6
+            ).alias("entropy_nats"),
+        )
+        out = one if out is None else out.unionByName(one)
+    assert out is not None
+    return out
+
+
+@register(
+    "catalog_freshness",
+    group="B",
+    oracle="""
+    select 'orders' as tab, cast(max(o_orderdate) as timestamp) as last_ts,
+           date_diff('day', cast(max(o_orderdate) as timestamp),
+                     timestamp '2002-01-01') as staleness_days
+    from orders
+    union all
+    select 'lineitem', cast(max(l_shipdate) as timestamp),
+           date_diff('day', cast(max(l_shipdate) as timestamp),
+                     timestamp '2002-01-01')
+    from lineitem
+    union all
+    select 'events', cast(max(ts) as timestamp),
+           date_diff('day', cast(max(ts) as timestamp), timestamp '2002-01-01')
+    from events
+    """,
+)
+def catalog_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: dataset freshness report — newest event-time per
+    time-bearing table and its staleness against a fixed audit anchor
+    (2002-01-01, just past every fixture's time domain). This is the
+    crawler's "is this dataset still being written?" signal. Each row
+    is a max() aggregate — Parquet column statistics could serve it
+    from footers alone; the DataFrame formulation keeps it engine-
+    checkable. datediff argument order differs across engines (§2.L):
+    Spark datediff(end, start) ≡ DuckDB date_diff('day', start, end)."""
+    anchor = F.lit("2002-01-01").cast("timestamp")
+
+    def one(t: str, col: str) -> DataFrame:
+        return load(spark, sf_dir, t).agg(
+            F.lit(t).alias("tab"),
+            F.max(col).alias("last_ts"),
+            F.datediff(anchor, F.max(col)).cast("long").alias("staleness_days"),
+        )
+
+    return (
+        one("orders", "o_orderdate")
+        .unionByName(one("lineitem", "l_shipdate"))
+        .unionByName(one("events", "ts"))
     )

@@ -387,3 +387,47 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q12_pushdown_and_join(spark):
+    """Q12 shape: the shipdate year-range predicate must reach the scan
+    (it is not join-dependent), and the fact⋈fact join must be an equi
+    hash/merge join, never a nested loop — the o_orderdate comparison
+    rides inside the equi join as a post-join condition."""
+    a = _audit_uncached(spark, "q12_priority_linecount")
+    assert any("GreaterThanOrEqual(l_shipdate" in p for p in a.pushed_filters), (
+        a.pushed_filters
+    )
+    assert any(
+        j in a.joins for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), a.joins
+    assert "CartesianProduct" not in a.joins
+    assert not a.has_python_eval
+
+
+def test_ohlc_single_aggregation_no_extra_shuffle(spark):
+    """The OHLC resample is one hash aggregation: exactly one shuffle
+    (partial → exchange on the group key → final), min_by/max_by
+    partials mergeable, everything JVM-side."""
+    a = _audit_uncached(spark, "ts_resample_ohlc")
+    assert a.n_exchanges == 1, a.text
+    assert not a.has_python_eval
+
+
+def test_range_search_never_shuffles_corpus(spark):
+    """Radius search must broadcast the single query row; any Exchange
+    of the embeddings side or a corpus-side sort means the scan-only
+    plan regressed."""
+    a = _audit_uncached(spark, "sim_range_search")
+    assert "SortMergeJoin" not in a.joins and "ShuffledHashJoin" not in a.joins
+    assert a.n_exchanges == 0, a.text
+    assert not a.has_python_eval
+
+
+def test_entropy_single_pass_per_column(spark):
+    """Per-column entropy uses the ln(N) − Σc·ln c / N identity — no
+    window over the counts, no Python, and one pair of exchanges per
+    column (count shuffle + scalar-agg collapse)."""
+    a = _audit_uncached(spark, "catalog_column_entropy")
+    assert not a.has_python_eval
+    assert "Window" not in a.text
