@@ -282,3 +282,55 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     return a.intersectAll(b)
+
+
+@register(
+    "sql_recursive_hierarchy",
+    group="G",
+    oracle=f"""
+    with recursive tree(key, depth) as (
+        select cast(p_partkey as bigint), 0 from part where p_partkey = 0
+        union all
+        select cast(p.p_partkey as bigint), t.depth + 1
+        from part p join tree t on (p.p_partkey - 1) // 2 = t.key
+        where p.p_partkey >= 1
+    )
+    select depth, count(*) as n_nodes,
+           {SUM_D.format('p_retailprice')} as level_value
+    from tree join part on key = p_partkey
+    group by depth
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: RECURSIVE CTE (new in Spark 4) — walk an implicit
+    binary-tree hierarchy over the part table (parent(k) = (k−1) div 2,
+    rooted at key 0; the dense PK makes this a complete binary tree,
+    the standard BOM/org-chart traversal shape) and report node count
+    and value per depth level. Each recursion step is one equi join of
+    the frontier against the dimension — Spark executes it as an
+    iterative union of join steps, ~log₂ N rounds deep, each
+    broadcast-sized here; the same plan walks a real parts-explosion
+    graph at scale. Every part key lands at exactly one depth, so the
+    level counts sum to the table's row count. The recursive arm must
+    exclude the root explicitly: integer division of negatives
+    TRUNCATES in Spark ((0−1) div 2 = 0 → the root becomes its own
+    child and recursion never exhausts) but FLOORS in DuckDB
+    ((−1)//2 = −1) — a cross-engine parity trap in the join key
+    itself."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        with recursive tree(key, depth) as (
+            select cast(p_partkey as bigint), 0 from part_v where p_partkey = 0
+            union all
+            select cast(p.p_partkey as bigint), t.depth + 1
+            from part_v p join tree t on (p.p_partkey - 1) div 2 = t.key
+            where p.p_partkey >= 1
+        )
+        select depth, count(*) as n_nodes,
+               cast(sum(floor(p_retailprice * 1e6 + 0.5)) as double) / 1e6
+                   as level_value
+        from tree join part_v on key = p_partkey
+        group by depth
+        """
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datalakecrawler_spark.io import load
-from datalakecrawler_spark.registry import register
+from datalakecrawler_spark.registry import SUM_D, register
 
 
 @register(
@@ -270,4 +270,48 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         from documents_dyn d, lateral first_tokens(d.text, 3) f
         where d.doc_id < 30
         """
+    )
+
+
+@register(
+    "sql_udf_scalar",
+    group="K",
+    oracle=f"""
+    select l_returnflag,
+           {SUM_D.format('l_extendedprice * (1 - l_discount)')} as net_revenue,
+           count(*) as n_lines
+    from lineitem
+    where l_quantity >= 25
+    group by l_returnflag
+    """,
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ext: SQL-defined scalar function (CREATE FUNCTION ... RETURN
+    expr, new in Spark 4) — the declarative cousin of the Python UDF
+    surface: the body is a SQL expression, so Catalyst INLINES it into
+    the calling plan (no Python worker, no codegen boundary, full
+    pushdown through it), which is why the micro-unit revenue sum
+    below still plans as a plain columnar aggregate. The same
+    definition is what a warehouse migrates instead of a UDF jar."""
+    spark.sql(
+        """
+        create or replace temporary function dlc_net_price(p double, d double)
+        returns double return p * (1 - d)
+        """
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        select l_returnflag,
+               cast(sum(floor(dlc_net_price(l_extendedprice, l_discount)
+                              * 1e6 + 0.5)) as bigint) as rev_micro,
+               count(*) as n_lines
+        from lineitem_v
+        where l_quantity >= 25
+        group by l_returnflag
+        """
+    ).selectExpr(
+        "l_returnflag",
+        "cast(rev_micro as double) / 1e6 as net_revenue",
+        "n_lines",
     )
