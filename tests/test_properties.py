@@ -183,3 +183,57 @@ def test_inference_scores_deterministic(spark):
     a = {r["vec_id"]: r["score"] for r in _run(spark, "mm_batch_inference").collect()}
     b = {r["vec_id"]: r["score"] for r in _run(spark, "mm_batch_inference").collect()}
     assert a == b
+
+
+def test_recursive_hierarchy_covers_every_part(spark):
+    """The binary-tree walk assigns each part key exactly one depth:
+    level counts sum to the table row count, and level k (except the
+    last) holds exactly 2^k nodes in a complete tree."""
+    rows = {r["depth"]: r["n_nodes"] for r in _run(spark, "sql_recursive_hierarchy").collect()}
+    n_parts = load(spark, SF_DIR, "part").count()
+    assert sum(rows.values()) == n_parts
+    for depth in sorted(rows)[:-1]:
+        assert rows[depth] == 2**depth
+
+
+def test_entropy_bounded_by_log_ndv(spark):
+    """0 ≤ H ≤ ln(NDV) for every profiled column, tight only for a
+    uniform distribution."""
+    import math
+
+    for r in _run(spark, "catalog_column_entropy").collect():
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-9, r
+
+
+def test_intersect_all_is_min_multiplicity(spark):
+    """|A ∩all B| per key = min(multiplicity_A, multiplicity_B)."""
+    o = load(spark, SF_DIR, "orders")
+    fa = o.where(F.col("o_orderstatus") == "F").groupBy("o_custkey").count()
+    fb = o.where(F.col("o_orderstatus") == "O").groupBy("o_custkey").count()
+    expected = (
+        fa.withColumnRenamed("count", "na")
+        .join(fb.withColumnRenamed("count", "nb"), "o_custkey")
+        .select(F.least("na", "nb").alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    assert _run(spark, "setop_intersect_all").count() == expected
+
+
+def test_k_anonymity_accounting(spark):
+    """Group counts and at-risk rows reconcile with the base table."""
+    r = _run(spark, "privacy_k_anonymity").collect()[0]
+    c = load(spark, SF_DIR, "customer")
+    n_groups = c.select("c_mktsegment", "c_nationkey").distinct().count()
+    assert r["n_groups"] == n_groups
+    assert 0 <= r["rows_at_risk"] <= c.count()
+    assert r["groups_below_k"] <= r["n_groups"]
+
+
+def test_ohlc_high_low_bracket_open_close(spark):
+    """Per bar: low ≤ open/close ≤ high, and bars partition the events."""
+    rows = _run(spark, "ts_resample_ohlc").collect()
+    assert sum(r["n_events"] for r in rows) == load(spark, SF_DIR, "events").count()
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
