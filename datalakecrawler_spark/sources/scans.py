@@ -750,3 +750,102 @@ def scan_format_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "format string, n_rows long, key_sum long, bal_micro long"
     )
+
+
+_Z_BITS = 16  # covers keys < 65536 (sf0.1 part/supplier keys fit easily)
+
+
+def _z_sql(a: str, b: str, shiftleft: str, shiftright: str) -> str:
+    """Z-value (Morton code) of two integer keys as a bit-interleave
+    expression, rendered per dialect (Spark: shiftleft/shiftright
+    functions; DuckDB: <</>> operators via the same format strings)."""
+    terms = []
+    for i in range(_Z_BITS):
+        bit_a = f"({shiftright.format(a, i)} & 1)"
+        bit_b = f"({shiftright.format(b, i)} & 1)"
+        terms.append(shiftleft.format(bit_a, 2 * i))
+        terms.append(shiftleft.format(bit_b, 2 * i + 1))
+    return " + ".join(terms)
+
+
+_Z_SPARK = _z_sql(
+    "l_partkey", "l_suppkey", "shiftleft({0}, {1})", "shiftright({0}, {1})"
+)
+_Z_DUCK = _z_sql("l_partkey", "l_suppkey", "(({0}) << {1})", "(({0}) >> {1})")
+
+
+@register(
+    "layout_zorder_cluster",
+    group="A",
+    oracle=f"""
+    with z as (
+        select l_partkey, l_suppkey,
+               ({_Z_DUCK}) >> 16 as z_bucket
+        from lineitem
+    )
+    select z_bucket, count(*) as n_rows,
+           min(l_partkey) as min_part, max(l_partkey) as max_part,
+           min(l_suppkey) as min_supp, max(l_suppkey) as max_supp
+    from z group by z_bucket
+    """,
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: Z-order (Morton) clustering — the multi-dimensional
+    layout primitive behind Delta/Iceberg OPTIMIZE ZORDER BY. Each
+    row's (l_partkey, l_suppkey) is bit-interleaved into a single
+    z-value; sorting/partitioning by it co-locates rows that are close
+    in BOTH dimensions, so min/max file statistics prune scans on
+    either key (a one-dimensional sort can only serve one). Here the
+    z-value is computed with pure integer bit arithmetic (identical
+    expression text in both engines — exact, no float anywhere) and
+    rows are summarized per coarse z-bucket (z >> 16, i.e. key bits ≥ 8 of each dimension): the per-bucket min/max
+    spans of BOTH keys are what a writer would persist as file-skipping
+    stats. At 100 TB: `repartitionByRange(z)` + `sortWithinPartitions(z)`
+    before the write turns these buckets into physical files."""
+    li = load(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.shiftright(F.expr(_Z_SPARK), 16).alias("z_bucket"),
+    )
+    return z.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+    )
+
+
+@register("sink_sorted_layout", group="A", oracle=None)
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext (rows-only: output keyed by env-specific file names) —
+    range-partitioned sorted write: `repartitionByRange(l_shipdate)` +
+    `sortWithinPartitions` before the Parquet write produces files with
+    DISJOINT shipdate ranges, so a date-filtered read prunes whole
+    files from their footer min/max alone (the 1-D complement of
+    layout_zorder_cluster). The read-back reports each file's row count
+    and shipdate span; tests assert the spans do not overlap. At
+    100 TB this is the standard time-series layout: range partitioner
+    samples the key distribution, so files are size-balanced even when
+    the key is skewed."""
+    path = _tmp("lineitem_sorted_by_shipdate")
+    li = load(spark, sf_dir, "lineitem")
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), "l_shipdate"
+    )
+    return (
+        back.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").alias("min_shipdate"),
+            F.max("l_shipdate").alias("max_shipdate"),
+        )
+        .orderBy("min_shipdate")
+    )

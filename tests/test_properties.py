@@ -237,3 +237,32 @@ def test_ohlc_high_low_bracket_open_close(spark):
     for r in rows:
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
+
+
+def test_sorted_layout_files_disjoint(spark):
+    """Range-partitioned sorted write: file shipdate spans must not
+    overlap (that disjointness is exactly what footer-stat pruning
+    needs), and rows are preserved."""
+    rows = sorted(
+        _run(spark, "sink_sorted_layout").collect(), key=lambda r: r["min_shipdate"]
+    )
+    assert sum(r["n_rows"] for r in rows) == load(spark, SF_DIR, "lineitem").count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["max_shipdate"] <= cur["min_shipdate"]
+
+
+def test_zorder_buckets_partition_the_fact(spark):
+    """Every lineitem row lands in exactly one z-bucket, and bucket key
+    spans are narrower than the global key range (the clustering that
+    makes z-order file stats selective)."""
+    rows = _run(spark, "layout_zorder_cluster").collect()
+    li = load(spark, SF_DIR, "lineitem")
+    assert sum(r["n_rows"] for r in rows) == li.count()
+    g = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_span"),
+    ).collect()[0]
+    multi = [r for r in rows if r["n_rows"] > 1]
+    assert multi, "expected at least one bucket with multiple rows"
+    avg_part_span = sum(r["max_part"] - r["min_part"] for r in multi) / len(multi)
+    assert avg_part_span < g["part_span"] / 2, (avg_part_span, g["part_span"])
