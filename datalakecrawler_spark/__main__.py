@@ -7,6 +7,9 @@ Commands:
   query <name> [--sf-dir DIR]    run one registered operator and print
                                  its result (default sf0.01 fixtures)
   list [--group G]               list registered operators
+  explain <name>                 physical-plan audit of one operator
+  verify [names...]              compare operators against the DuckDB
+                                 oracle (exit 1 on any mismatch/error)
 """
 
 from __future__ import annotations
@@ -34,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     ap_explain = sub.add_parser("explain", help="show an operator's physical plan")
     ap_explain.add_argument("name")
     ap_explain.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
+    ap_verify = sub.add_parser(
+        "verify", help="compare operators against the DuckDB oracle"
+    )
+    ap_verify.add_argument("names", nargs="*", help="default: every operator")
+    ap_verify.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
     args = ap.parse_args(argv)
 
@@ -85,6 +94,24 @@ def main(argv: list[str] | None = None) -> int:
             print("pushed filters:", "; ".join(sorted(set(pushed))[:5]))
         print(a.text.split("\n\n")[0])
         return 0
+
+    if args.cmd == "verify":
+        from datalakecrawler_spark.verify import verify_queries
+
+        qs = dlc.registry.all_queries()
+        unknown = [n for n in args.names if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown} — try `list`", file=sys.stderr)
+            return 2
+        results = verify_queries(spark, args.sf_dir, args.names or None)
+        counts: dict[str, int] = {}
+        for r in results:
+            counts[r.status] = counts.get(r.status, 0) + 1
+            if r.status in ("mismatch", "error"):
+                print(f"{r.status.upper():8s} {r.name}  {r.detail}")
+        summary = "  ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+        print(f"verified {len(results)} operators: {summary}")
+        return 0 if counts.get("mismatch", 0) + counts.get("error", 0) == 0 else 1
 
     if args.cmd == "query":
         qs = dlc.registry.all_queries()

@@ -112,3 +112,29 @@ def test_cli_list_and_query(capsys):
     out = capsys.readouterr().out
     assert "NATION_" in out
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_verify_module_reports_match_and_rows_only(spark):
+    """The self-verification surface agrees with the test harness: a
+    known-good oracle query reports match, a rows-only one reports
+    rows-only, and an induced mismatch is detected (not swallowed)."""
+    from datalakecrawler_spark import registry
+    from datalakecrawler_spark.verify import VerifyResult, verify_queries
+
+    res = {r.name: r for r in verify_queries(spark, SF_DIR, ["scan_parquet", "json_schema_infer"])}
+    assert res["scan_parquet"].status == "match"
+    assert res["json_schema_infer"].status == "rows-only"
+
+    # induce a mismatch through a doctored registry entry
+    good = registry.all_queries()["scan_parquet"]
+    bad = registry.Query(
+        "scan_parquet", good.fn, good.oracle.replace("lineitem", "orders"),
+        good.group, good.tags,
+    )
+    orig = registry._REGISTRY["scan_parquet"]
+    registry._REGISTRY["scan_parquet"] = bad
+    try:
+        r = verify_queries(spark, SF_DIR, ["scan_parquet"])[0]
+        assert isinstance(r, VerifyResult) and r.status in ("mismatch", "error")
+    finally:
+        registry._REGISTRY["scan_parquet"] = orig
