@@ -33,6 +33,7 @@ def _load_all() -> None:
         dedup,
         e2e,
         features,
+        mlprep,
         multimodal,
         similarity,
         text,

@@ -61,15 +61,26 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.parquet has shipped ``ts`` in two physical layouts across
+    fixture generations: TIMESTAMP(NANOS) (which Spark's Parquet reader
+    rejects, [PARQUET_TYPE_ILLEGAL] — readable only via the
+    nanos-as-long escape hatch) and plain TIMESTAMP(MICROS). Normalize
+    whatever arrived to session-zone TimestampType: a raw int64 of
+    nanoseconds is rebuilt with exact integer math (all fixture values
+    are µs-aligned — measured 0 rows with sub-µs remainder; ``div``
+    avoids the double-precision loss ``/`` would add above 2^53 ns),
+    and TIMESTAMP_NTZ is cast (UTC session → identical instants), so
+    downstream operators see one stable schema either way."""
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). All fixture values
-    are µs-aligned (measured: 0 rows with sub-µs remainder), so we read
-    nanos as raw int64 and rebuild a TimestampType column losslessly.
-    ``div`` (integer division) is required — ``/`` would go through
-    double and lose precision above 2^53 ns."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
+    df = normalize_events_ts(spark.read.parquet(table_path(sf_dir, "events")))
+    return df.select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -1,0 +1,325 @@
+"""ML-prep operators — the remaining fit/transform and temporal-modeling
+steps a training pipeline runs after the catalog and before the trainer:
+z-score scaling, quantile binning, k-fold assignment, slowly-changing
+dimension (SCD2) construction, period-over-period growth, and batch
+sessionization stats. All pure DataFrame compositions: fitted state is a
+small DataFrame broadcast back onto the data, never a driver-side
+object, so every transform scales from sf0.001 to 100 TB unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+
+@register(
+    "feature_standard_scale",
+    group="J",
+    oracle="""
+    with stats as (
+      select l_returnflag,
+             cast(sum(cast(l_quantity as bigint)) as double)
+               / count(*) as mu,
+             cast(sum(cast(l_quantity * l_quantity as bigint)) as double)
+               / count(*) as m2
+      from lineitem group by 1
+    )
+    select l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
+           round((l_quantity - mu) / sqrt(m2 - mu * mu), 6) as qty_z
+    from lineitem l join stats s on l.l_returnflag = s.l_returnflag
+    where l_orderkey < 500
+    """,
+)
+def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: per-group z-score standardization — the fit (mean and
+    population variance per returnflag) is one aggregation whose sums
+    stay EXACT because l_quantity is integer-valued (1..50, measured
+    FIXTURES.md): sum and sum-of-squares as bigint are order-independent
+    in both engines, so the derived mu/sigma are bit-identical and the
+    scaled value is deterministic arithmetic, policy-rounded at 6. The
+    stats frame is group-count-sized (3 rows) and broadcasts back onto
+    the fact — no driver round-trip, same plan shape at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    stats = li.groupBy("l_returnflag").agg(
+        (F.sum(q.cast("long")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum((q * q).cast("long")).cast("double") / F.count(F.lit(1))).alias(
+            "m2"
+        ),
+    )
+    mu, m2 = F.col("mu"), F.col("m2")
+    return (
+        li.where(F.col("l_orderkey") < 500)
+        .join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_quantity",
+            F.round((q - mu) / F.sqrt(m2 - mu * mu), 6).alias("qty_z"),
+        )
+    )
+
+
+@register(
+    "feature_quantile_bucket",
+    group="J",
+    oracle="""
+    with tiled as (
+      select ntile(10) over (order by c_acctbal, c_custkey) as decile,
+             c_acctbal
+      from customer
+    )
+    select decile, count(*) as n_rows,
+           round(min(c_acctbal), 6) as lo,
+           round(max(c_acctbal), 6) as hi
+    from tiled group by decile
+    """,
+)
+def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: equal-frequency (quantile) binning of a numeric feature —
+    ntile(10) over account balance with the PK as tiebreak (§2.L trap 3)
+    so bucket edges are deterministic, then per-bucket occupancy and
+    [lo, hi] edge report, which is the binning table a feature store
+    persists. The global ntile sort is the scale limit: at 100 TB you'd
+    swap the exact ntile for approx_percentile edges computed per
+    partition and merged (sketch path, same output contract); at catalog
+    profiling sizes the exact sort is one pass and hash-matchable."""
+    c = load(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.select(F.ntile(10).over(w).alias("decile"), "c_acctbal")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("c_acctbal"), 6).alias("lo"),
+            F.round(F.max("c_acctbal"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
+    "split_kfold",
+    group="J",
+    oracle="""
+    with folds as (
+      select cast(('0x' || substr(md5('fold|' || cast(doc_id as varchar)), 1, 8))
+                  as bigint) % 5 as fold,
+             n_chars
+      from documents
+    )
+    select fold, count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars
+    from folds group by fold
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: deterministic k-fold cross-validation assignment — fold =
+    portable_hash('fold|' || doc_id) mod 5, the same first-8-hex-of-md5
+    recipe as the samplers (§2.L trap 7: Spark xxhash64 has no DuckDB
+    twin). Hash-mod splitting is the only fold assignment that is stable
+    under re-partitioning, re-ordering, and incremental data arrival —
+    exactly what a 100 TB corpus needs so fold membership never shifts
+    between runs. Output is the per-fold size/char audit used to check
+    balance before training."""
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        d.select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "dim_scd2_build",
+    group="J",
+    oracle="""
+    with seg as (
+      select user_id, ts, event_type,
+             lag(event_type) over (partition by user_id order by ts, event_id)
+               as prev_type,
+             event_id
+      from events where user_id < 50
+    ), changes as (
+      select user_id, ts as valid_from, event_type, event_id
+      from seg
+      where prev_type is null or prev_type <> event_type
+    )
+    select user_id, event_type, valid_from,
+           coalesce(lead(valid_from) over (partition by user_id
+                                           order by valid_from, event_id),
+                    timestamp '9999-12-31 00:00:00') as valid_to,
+           cast(lead(valid_from) over (partition by user_id
+                                       order by valid_from, event_id) is null
+                as integer) as is_current
+    from changes
+    """,
+)
+def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: build a Type-2 slowly-changing dimension from an event
+    log — collapse consecutive identical states per user (lag-compare),
+    then derive [valid_from, valid_to) intervals with lead() and an
+    open-ended 9999-12-31 sentinel plus an is_current flag. This is the
+    canonical warehouse pattern for turning a 100 TB change stream into
+    a point-in-time joinable dimension; both windows partition by
+    user_id so the whole build is one shuffle on the natural key, and
+    event_id tiebreaks make interval edges deterministic (§2.L trap 3)."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seg.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", F.col("ts").alias("valid_from"), "event_type", "event_id")
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "win_period_growth",
+    group="F",
+    oracle="""
+    with monthly as (
+      select date_trunc('month', o_orderdate) as month,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)) as double)
+               / 1e6 as revenue
+      from orders group by 1
+    )
+    select month, round(revenue, 2) as revenue,
+           round(100.0 * (revenue - lag(revenue) over (order by month))
+                 / lag(revenue) over (order by month), 6) as mom_pct
+    from monthly
+    """,
+)
+def win_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: period-over-period growth — monthly revenue with
+    month-over-month percent change via lag() over the pre-aggregated
+    monthly frame. The window runs over ~tens of rows regardless of
+    input scale (aggregate first, window second — the only safe order
+    at 100 TB); revenue uses the micro-unit exact-sum policy so the
+    growth ratio is engine-identical before its round-at-6."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        # cast to DATE: DuckDB's date_trunc('month', ts) yields DATE,
+        # Spark's yields TIMESTAMP — align the output type for the hash
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        (F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast("double") / 1e6)
+        .alias("revenue")
+    )
+    prev = F.lag("revenue").over(W.orderBy("month"))
+    return monthly.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    )
+
+
+@register(
+    "events_session_stats",
+    group="J",
+    oracle="""
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over (partition by user_id
+                                     order by ts, event_id) is null
+                    or date_diff('second',
+                         lag(ts) over (partition by user_id
+                                       order by ts, event_id), ts) > 1800
+                  then 1 else 0 end as is_new
+      from events
+    ), sess as (
+      select user_id, ts, event_id,
+             sum(is_new) over (partition by user_id order by ts, event_id
+                               rows between unbounded preceding and current row)
+               as session_no
+      from marked
+    ), per_session as (
+      select user_id, session_no, count(*) as n_events,
+             date_diff('second', min(ts), max(ts)) as dur_s
+      from sess group by user_id, session_no
+    )
+    select count(*) as n_sessions,
+           round(avg(n_events), 6) as avg_events,
+           round(avg(dur_s), 6) as avg_dur_s,
+           max(n_events) as max_events
+    from per_session
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: batch sessionization audit — gaps-and-islands with a
+    30-minute inactivity gap (lag + cumulative sum of new-session
+    markers, the batch twin of stream_session_window's state machine),
+    then corpus-level session KPIs: count, mean events/session, mean
+    duration, max burst. Both windows and the per-session groupBy
+    partition on user_id, so the whole job is ONE shuffle of the event
+    log on its natural key — the layout a clickstream warehouse already
+    buckets by, making this scan-plus-one-exchange at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_ts.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "dur_s"
+        ),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.round(F.avg("dur_s"), 6).alias("avg_dur_s"),
+        F.max("n_events").alias("max_events"),
+    )

@@ -20,33 +20,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datalakecrawler_spark.io import load, table_path
+from datalakecrawler_spark.io import load, normalize_events_ts, table_path
 from datalakecrawler_spark.registry import SUM_D, dsum, register
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see io._load_events)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_source_schema(spark: SparkSession, path: str) -> T.StructType:
+    """The on-disk schema of an events parquet path, probed from the
+    file footer via a throwaway batch read. Streaming sources require
+    an explicit schema, and the fixtures have shipped ``ts`` as both
+    TIMESTAMP(NANOS) (→ bigint under the nanos-as-long flag) and
+    TIMESTAMP(MICROS) across generations — probing instead of
+    hardcoding keeps the stream readable under either layout."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of io.load(..., 'events'): parquet source with an
-    explicit schema (required for streams), nanos→µs rebuild."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    explicit footer-probed schema, ts normalized to TimestampType."""
+    path = sf_dir.rstrip("/")
+    schema = events_source_schema(spark, f"{path}/events.parquet")
     # the file-stream source needs a directory: point at sf_dir and
     # glob-filter to the events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
+        .parquet(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 # ---------------------------------------------------------------------------
@@ -416,11 +416,10 @@ def run_foreachbatch_upsert(
     retried epoch REPLACES its own output instead of double-counting —
     the standard idempotent (effectively exactly-once) foreachBatch
     recipe. Readers merge partials across epochs at query time."""
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    raw = normalize_events_ts(
+        spark.readStream.schema(events_source_schema(spark, src_dir))
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:

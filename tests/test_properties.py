@@ -266,3 +266,89 @@ def test_zorder_buckets_partition_the_fact(spark):
     assert multi, "expected at least one bucket with multiple rows"
     avg_part_span = sum(r["max_part"] - r["min_part"] for r in multi) / len(multi)
     assert avg_part_span < g["part_span"] / 2, (avg_part_span, g["part_span"])
+
+
+def test_standard_scale_zero_mean_unit_var(spark):
+    """Each row's z-score must agree with a direct recompute from its
+    own carried l_quantity and the full-population group stats.
+    (Row-self-contained on purpose: the regenerated fixtures have
+    duplicate (l_orderkey, l_linenumber) pairs, so no dict-by-key.)"""
+    rows = _run(spark, "feature_standard_scale").collect()
+    li = load(spark, SF_DIR, "lineitem")
+    q = F.col("l_quantity")
+    stats = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.avg(q).alias("mu"), F.var_pop(q).alias("v"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        s = stats[r["l_returnflag"]]
+        expect = (r["l_quantity"] - s["mu"]) / s["v"] ** 0.5
+        assert abs(r["qty_z"] - expect) < 1e-4
+
+
+def test_quantile_buckets_equal_frequency_and_ordered(spark):
+    """Deciles partition the table into near-equal, value-ordered bins."""
+    rows = sorted(_run(spark, "feature_quantile_bucket").collect(),
+                  key=lambda r: r["decile"])
+    c = load(spark, SF_DIR, "customer")
+    n = c.count()
+    assert sum(r["n_rows"] for r in rows) == n
+    assert len(rows) == 10
+    assert max(r["n_rows"] for r in rows) - min(r["n_rows"] for r in rows) <= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"] + 1e-9
+
+
+def test_kfold_covers_corpus_and_is_stable(spark):
+    """Folds partition the corpus; assignment is deterministic across runs."""
+    a = {r["fold"]: (r["n_docs"], r["total_chars"])
+         for r in _run(spark, "split_kfold").collect()}
+    b = {r["fold"]: (r["n_docs"], r["total_chars"])
+         for r in _run(spark, "split_kfold").collect()}
+    assert a == b
+    d = load(spark, SF_DIR, "documents")
+    assert sum(v[0] for v in a.values()) == d.count()
+    assert set(a) <= set(range(5))
+
+
+def test_scd2_intervals_chain_per_user(spark):
+    """Per user: exactly one open row; intervals are disjoint and
+    chained (each valid_to equals the next valid_from)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in _run(spark, "dim_scd2_build").collect():
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] == 1
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev["valid_to"] == cur["valid_from"]
+            assert prev["event_type"] != cur["event_type"]
+
+
+def test_period_growth_reconstructs_revenue(spark):
+    """Applying each month's growth to the prior month's revenue must
+    reproduce the series (internal consistency of lag + ratio)."""
+    rows = sorted(_run(spark, "win_period_growth").collect(),
+                  key=lambda r: r["month"])
+    assert rows[0]["mom_pct"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        expect = (cur["revenue"] - prev["revenue"]) / prev["revenue"] * 100.0
+        assert abs(cur["mom_pct"] - expect) < 1e-3
+
+
+def test_session_stats_reconcile_with_event_log(spark):
+    """Session counts bound by event count; KPIs internally consistent."""
+    r = _run(spark, "events_session_stats").collect()[0]
+    e = load(spark, SF_DIR, "events")
+    n_events, n_users = e.count(), e.select("user_id").distinct().count()
+    assert n_users <= r["n_sessions"] <= n_events
+    assert 1 <= r["avg_events"] <= n_events / r["n_sessions"] + 1e-9
+    assert r["max_events"] >= r["avg_events"]
+    assert r["avg_dur_s"] >= 0

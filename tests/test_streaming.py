@@ -191,8 +191,8 @@ def test_foreachbatch_upsert_idempotent(spark):
     for d in (src, sink):
         shutil.rmtree(d, ignore_errors=True)
     # stage the events file as 4 schema-faithful source files → 4
-    # micro-batches (pyarrow slice keeps ts as raw nanos, matching
-    # EVENTS_SCHEMA's LongType + timestamp_micros rebuild)
+    # micro-batches (pyarrow slice keeps ts in its on-disk layout;
+    # ops normalizes via the footer-probed schema)
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
@@ -217,8 +217,10 @@ def test_foreachbatch_upsert_idempotent(spark):
     _assert_same(twin, merged())
 
     # simulated retry: re-run epoch 0's write over the same batch
-    batch0 = spark.read.parquet(os.path.join(src, "part0.parquet")).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
+    from datalakecrawler_spark.io import normalize_events_ts
+
+    batch0 = normalize_events_ts(
+        spark.read.parquet(os.path.join(src, "part0.parquet"))
     )
     ops.build_user_value_partials(batch0).write.mode("overwrite").parquet(
         f"{sink}/{epochs[0]}"
