@@ -910,3 +910,52 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("volume"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "orders_backlog_aging",
+    group="E",
+    oracle="""
+    with anchored as (
+      select o_orderstatus,
+             date_diff('day', o_orderdate, timestamp '2002-01-01') as age_d,
+             o_totalprice
+      from orders
+    )
+    select o_orderstatus,
+           case when age_d <= 365 then '0-1y'
+                when age_d <= 3 * 365 then '1-3y'
+                when age_d <= 5 * 365 then '3-5y'
+                else '5y+' end as age_bucket,
+           count(*) as n_orders,
+           {sum_d} as open_value
+    from anchored
+    group by 1, 2
+    """.format(sum_d=SUM_D.format("o_totalprice")),
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: backlog aging report — orders bucketed by age (anchored
+    at 2002-01-01, just past the fixture time domain) within status,
+    with count and total value per bucket. The ops-dashboard shape:
+    CASE-bucket a derived day-age, then one small-cardinality hash
+    aggregation (3 statuses × 4 buckets) — fully map-side-combinable,
+    so the shuffle carries only #groups rows at any scale. datediff
+    argument order per §2.L: Spark datediff(end, start) ≡ DuckDB
+    date_diff('day', start, end)."""
+    o = load(spark, sf_dir, "orders")
+    anchor = F.lit("2002-01-01").cast("timestamp")
+    age = F.datediff(anchor, F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 365, "0-1y")
+        .when(age <= 3 * 365, "1-3y")
+        .when(age <= 5 * 365, "3-5y")
+        .otherwise("5y+")
+    )
+    return (
+        o.select("o_orderstatus", bucket.alias("age_bucket"), "o_totalprice")
+        .groupBy("o_orderstatus", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("open_value"),
+        )
+    )

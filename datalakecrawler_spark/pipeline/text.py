@@ -978,3 +978,85 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xy.agg(
         F.count(F.lit(1)).alias("n_words"), F.round(slope, 6).alias("zipf_slope")
     )
+
+
+@register(
+    "text_pmi_bigrams",
+    group="J",
+    oracle="""
+    with toks as (
+      select doc_id,
+             unnest(range(len(string_split(text, ' ')))) as pos,
+             unnest(string_split(text, ' ')) as tok
+      from documents
+    ), bigrams as (
+      select tok as w1,
+             lead(tok) over (partition by doc_id order by pos) as w2
+      from toks
+    ), bg as (
+      select w1, w2, count(*) as c12 from bigrams
+      where w2 is not null group by 1, 2
+    ), uni as (
+      select tok as w, count(*) as c from toks group by 1
+    ), tot as (
+      select cast(sum(c12) as double) as n_bg from bg
+    )
+    select w1, w2, c12,
+           round(ln((c12 / n_bg) /
+                    ((u1.c / n_bg) * (u2.c / n_bg))), 6) as pmi
+    from bg join uni u1 on bg.w1 = u1.w
+            join uni u2 on bg.w2 = u2.w
+            cross join tot
+    where c12 >= 25
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: pointwise mutual information for adjacent word pairs —
+    the collocation score (ln p(w1,w2)/(p(w1)p(w2))) that separates
+    real phrases from chance co-occurrence, a standard corpus-analysis
+    signal for tokenizer vocabulary building. Plan: ONE explode of the
+    token arrays feeds both the bigram counts (array-side transform,
+    no window) and the unigram counts; the unigram and total frames
+    are vocabulary-sized and broadcast back onto the bigram counts, so
+    the only data-sized shuffle is the bigram groupBy — at 100 TB that
+    shuffle is the irreducible cost and everything else rides on it.
+    Both probability ratios divide by the same bigram total, so the
+    expression is deterministic before its round-at-6; the c12 >= 25
+    floor keeps the output stable and small."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    bg = (
+        d.select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= 25)
+    )
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bigram total = tokens - docs (each doc of n tokens yields n-1)
+    tot = d.select(
+        (F.sum(F.size(toks)) - F.count(F.lit(1))).cast("double").alias("n_bg")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    n_bg = F.col("n_bg")
+    pmi = F.log(
+        (F.col("c12") / n_bg) / ((F.col("c1") / n_bg) * (F.col("c2") / n_bg))
+    )
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
+    )

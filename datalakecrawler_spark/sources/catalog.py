@@ -1024,3 +1024,93 @@ def catalog_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem", "l_shipdate"))
         .unionByName(one("events", "ts"))
     )
+
+
+@register(
+    "catalog_outlier_iqr",
+    group="B",
+    oracle="""
+    with f as (
+      select quantile_cont(c_acctbal, 0.25) as q1,
+             quantile_cont(c_acctbal, 0.75) as q3
+      from customer
+    )
+    select round(q1, 4) as q1, round(q3, 4) as q3,
+           round(q3 - q1, 4) as iqr,
+           count(*) filter (where c_acctbal < q1 - 1.5 * (q3 - q1)
+                               or c_acctbal > q3 + 1.5 * (q3 - q1))
+             as n_outliers,
+           count(*) as n_rows
+    from customer, f
+    group by q1, q3
+    """,
+)
+def catalog_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: Tukey-fence outlier audit — 1.5×IQR fences around
+    [Q1, Q3] of account balance, plus the count of rows outside them.
+    The profiling question every crawler answers before a table is
+    trusted for training: "how heavy are the tails?". Two passes: one
+    exact-percentile aggregate (Spark's percentile matches DuckDB's
+    quantile_cont interpolation, §2 E10), then a broadcast of the
+    1-row fence frame back over the scan for the filtered count —
+    at 100 TB the second pass swaps to approx_percentile fences with
+    identical plan shape (scan + broadcast + conditional count)."""
+    c = load(spark, sf_dir, "customer")
+    fences = c.agg(
+        F.percentile("c_acctbal", F.lit(0.25)).alias("q1"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("q3"),
+    )
+    q1, q3 = F.col("q1"), F.col("q3")
+    iqr = q3 - q1
+    out_pred = (F.col("c_acctbal") < q1 - 1.5 * iqr) | (
+        F.col("c_acctbal") > q3 + 1.5 * iqr
+    )
+    return (
+        c.crossJoin(F.broadcast(fences))
+        .groupBy()
+        .agg(
+            F.round(F.first("q1"), 4).alias("q1"),
+            F.round(F.first("q3"), 4).alias("q3"),
+            F.round(F.first(q3 - q1), 4).alias("iqr"),
+            F.sum(out_pred.cast("long")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "quality_dup_key_audit",
+    group="B",
+    oracle="""
+    with g as (
+      select l_orderkey, l_linenumber, count(*) as c
+      from lineitem group by 1, 2
+    )
+    select count(*) filter (where c > 1) as dup_groups,
+           cast(coalesce(sum(c) filter (where c > 1), 0) as bigint)
+             as rows_in_dup_groups,
+           cast(sum(c) as bigint) as total_rows,
+           max(c) as worst_multiplicity
+    from g
+    """,
+)
+def quality_dup_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: candidate-key violation audit — for a key the catalog
+    EXPECTS to be unique ((l_orderkey, l_linenumber); the regenerated
+    fixtures actually violate it, FIXTURES.md), report duplicate-group
+    count, rows involved, and the worst multiplicity. This is the
+    data-quality check that caught a real fixture regression in this
+    very repo. One hash aggregation on the key, then a tiny re-agg —
+    the map-side partial aggregation absorbs most of the shuffle at
+    100 TB because dup groups are rare by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey", "l_linenumber").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.col("c") > 1
+    return g.agg(
+        F.sum(dup.cast("long")).alias("dup_groups"),
+        F.coalesce(F.sum(F.when(dup, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("rows_in_dup_groups"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+        F.max("c").alias("worst_multiplicity"),
+    )

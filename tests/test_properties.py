@@ -352,3 +352,59 @@ def test_session_stats_reconcile_with_event_log(spark):
     assert 1 <= r["avg_events"] <= n_events / r["n_sessions"] + 1e-9
     assert r["max_events"] >= r["avg_events"]
     assert r["avg_dur_s"] >= 0
+
+
+def test_iqr_outliers_bounded_and_fences_ordered(spark):
+    """Fences bracket the quartiles; outliers are a strict minority."""
+    r = _run(spark, "catalog_outlier_iqr").collect()[0]
+    assert r["q1"] <= r["q3"]
+    assert abs(r["iqr"] - round(r["q3"] - r["q1"], 4)) < 1e-6
+    assert 0 <= r["n_outliers"] < r["n_rows"] * 0.25
+
+
+def test_dup_key_audit_reconciles(spark):
+    """total_rows equals the table; dup accounting is internally
+    consistent (each dup group contributes >= 2 rows)."""
+    r = _run(spark, "quality_dup_key_audit").collect()[0]
+    li = load(spark, SF_DIR, "lineitem")
+    assert r["total_rows"] == li.count()
+    if r["dup_groups"] == 0:
+        assert r["rows_in_dup_groups"] == 0
+    else:
+        assert r["rows_in_dup_groups"] >= 2 * r["dup_groups"]
+        assert r["worst_multiplicity"] >= 2
+
+
+def test_backlog_aging_partitions_orders(spark):
+    """Every order lands in exactly one (status, bucket) cell."""
+    rows = _run(spark, "orders_backlog_aging").collect()
+    o = load(spark, SF_DIR, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    assert {r["age_bucket"] for r in rows} <= {"0-1y", "1-3y", "3-5y", "5y+"}
+
+
+def test_pmi_consistent_with_counts(spark):
+    """PMI recomputed from carried c12 and independent unigram counts
+    must agree; high-count pairs exist above the floor."""
+    import math
+
+    rows = _run(spark, "text_pmi_bigrams").collect()
+    assert rows
+    d = load(spark, SF_DIR, "documents")
+    toks = F.split("text", " ")
+    uni = {
+        r["w"]: r["c"]
+        for r in d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_bg = d.select(
+        (F.sum(F.size(toks)) - F.count(F.lit(1))).alias("n")
+    ).collect()[0]["n"]
+    for r in rows:
+        assert r["c12"] >= 25
+        expect = math.log(
+            (r["c12"] / n_bg) / ((uni[r["w1"]] / n_bg) * (uni[r["w2"]] / n_bg))
+        )
+        assert abs(r["pmi"] - expect) < 1e-4
