@@ -959,3 +959,68 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("open_value"),
         )
     )
+
+
+@register(
+    "agg_kll_quantile_sketch",
+    group="E",
+    oracle=None,  # rows-only: KLL internals are engine-specific (§2.L trap 6)
+    tags=("sketch",),
+)
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: mergeable quantile sketches (Apache DataSketches KLL, a
+    Spark 4 built-in) — per-returnflag sketches of l_extendedprice are
+    built with ``kll_sketch_agg_double``, merged across groups with
+    ``kll_sketch_merge_double``, and probed for p25/p50/p75/p95. THIS
+    is the 100 TB quantile path: exact percentiles need a full sort
+    per group, while KLL partials combine associatively so the shuffle
+    carries one ~KB sketch per partition instead of the value stream —
+    and per-group sketches can be re-merged into region/global
+    rollups without touching the data again (the property test checks
+    merged-global vs direct-global consistency and that each probe
+    lies within the group's [min, max]). Rows-only: sketch layout and
+    rank interpolation are DataSketches-internal, no DuckDB twin;
+    the exact twin is agg_percentile_exact (E10)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    probes = [0.25, 0.5, 0.75, 0.95]
+    rows = per_group.select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        *[
+            F.round(
+                F.kll_sketch_get_quantile_double("sk", F.lit(p)), 4
+            ).alias(f"p{int(p * 100)}")
+            for p in probes
+        ],
+    )
+    # merge the (3) per-group sketches: collect into a group-count-sized
+    # array and fold with the scalar two-arg merge — the associative
+    # combine that at scale Spark would run as a partial aggregation
+    merged = (
+        per_group.agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.aggregate(
+                F.slice("sks", 2, 1_000_000),
+                F.element_at("sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sk")
+        )
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            F.lit(None).cast("double").alias("lo"),
+            F.lit(None).cast("double").alias("hi"),
+            *[
+                F.round(
+                    F.kll_sketch_get_quantile_double("sk", F.lit(p)), 4
+                ).alias(f"p{int(p * 100)}")
+                for p in probes
+            ],
+        )
+    )
+    return rows.unionByName(merged).orderBy("l_returnflag")

@@ -1061,3 +1061,82 @@ def q12_priority_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(~high).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "join_pit_scd2",
+    group="D",
+    oracle="""
+    with seg as (
+      select user_id, ts, event_type,
+             lag(event_type) over (partition by user_id order by ts, event_id)
+               as prev_type,
+             event_id
+      from events where user_id < 50
+    ), changes as (
+      select user_id, ts as valid_from, event_type as dim_state, event_id
+      from seg where prev_type is null or prev_type <> dim_state
+    ), dim as (
+      select user_id, dim_state, valid_from,
+             coalesce(lead(valid_from) over (partition by user_id
+                                             order by valid_from, event_id),
+                      timestamp '9999-12-31 00:00:00') as valid_to
+      from changes
+    )
+    select e.user_id, count(*) as n_events,
+           count(distinct d.dim_state) as n_states_seen
+    from events e
+    join dim d on e.user_id = d.user_id
+              and e.ts >= d.valid_from and e.ts < d.valid_to
+    where e.user_id < 50
+    group by e.user_id
+    """,
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: point-in-time join against a Type-2 dimension — each
+    event matched to the dimension interval containing its timestamp
+    ([valid_from, valid_to) built by dim_scd2_build's logic). This is
+    THE temporal-correctness join of training-data pipelines: features
+    must come from the dimension row valid AT event time, never a
+    later one (leakage). Implementation is an equi-join on the natural
+    key (user_id) with the interval predicate as a post-join filter —
+    Catalyst plans the equi-part as a hash join and the range part as
+    a cheap residual, so the shuffle is keyed exactly like the event
+    log; at 100 TB both sides are already bucketed by user and the
+    join is co-located. Summarized per user (event count, distinct
+    states seen) to keep the contract small and hash-stable."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id", "ts", "event_type", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seg.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("event_type").alias("dim_state"),
+        "event_id",
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = changes.select(
+        "user_id",
+        "dim_state",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w2),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    ev = e.select("user_id", "ts")
+    joined = ev.join(
+        dim,
+        (ev.user_id == dim.user_id)
+        & (ev.ts >= dim.valid_from)
+        & (ev.ts < dim.valid_to),
+    )
+    return joined.groupBy(ev.user_id.alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("dim_state").alias("n_states_seen"),
+    )

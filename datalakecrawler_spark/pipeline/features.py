@@ -13,7 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
-from datalakecrawler_spark.registry import register
+from datalakecrawler_spark.registry import dsum, register
 
 
 @register(
@@ -370,4 +370,111 @@ def feature_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "events_attribution_lastclick",
+    group="J",
+    oracle="""
+    with purchases as (
+      select event_id, user_id, ts
+      from events where event_type = 'purchase'
+    ), clicks as (
+      select user_id, ts from events where event_type = 'click'
+    ), attributed as (
+      select p.event_id, p.user_id,
+             max(c.ts) as click_ts
+      from purchases p
+      left join clicks c
+        on c.user_id = p.user_id
+       and c.ts <= p.ts
+       and c.ts >= p.ts - interval 7 day
+      group by p.event_id, p.user_id
+    )
+    select count(*) as n_purchases,
+           count(click_ts) as n_attributed,
+           round(count(click_ts) * 100.0 / count(*), 6) as attribution_pct
+    from attributed
+    """,
+)
+def events_attribution_lastclick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: last-click attribution — each purchase attributed to the
+    same user's most recent click within a 7-day lookback. The asof
+    family's marketing shape: equi-join on user + bounded range
+    residual, then max() picks the last qualifying touchpoint, so no
+    window over the raw log is needed. Shuffle is one exchange of both
+    event slices on user_id (the log's natural bucketing at 100 TB);
+    the lookback bound keeps the per-user join fan-out finite however
+    long the history grows. Output is the attribution summary a
+    marketing pipeline reports: purchases, attributed count, rate."""
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    attributed = (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts <= p.ts)
+            & (c.c_ts >= p.ts - F.expr("interval 7 days")),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.max("c_ts").alias("click_ts"))
+    )
+    n, attr = F.count(F.lit(1)), F.count("click_ts")
+    return attributed.agg(
+        n.alias("n_purchases"),
+        attr.alias("n_attributed"),
+        F.round(attr * 100.0 / n, 6).alias("attribution_pct"),
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    group="J",
+    oracle="""
+    with firsts as (
+      select o_custkey,
+             date_trunc('year', min(o_orderdate)) as cohort
+      from orders group by 1
+    ), joined as (
+      select cast(f.cohort as date) as cohort,
+             date_diff('year', f.cohort, o.o_orderdate) as age_years,
+             o.o_totalprice
+      from orders o join firsts f on o.o_custkey = f.o_custkey
+    )
+    select cohort, age_years,
+           count(*) as n_orders,
+           cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)) as double)
+             / 1e6 as revenue
+    from joined group by 1, 2
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: cohort lifetime-value matrix — customers grouped by
+    first-order year (the cohort), revenue accumulated by cohort age
+    in years. The (cohort × age) grid is how subscription/commerce
+    teams read retention-adjusted value; the same matrix over a
+    training corpus (source × time-since-crawl) tracks data aging.
+    Two aggregations: per-customer min(orderdate) (shuffle on
+    custkey — same key the orders table would be bucketed by), then a
+    broadcast-back join and a tiny (cohort, age) hash agg with exact
+    micro-unit revenue sums."""
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("year", F.min("o_orderdate")).alias("cohort")
+    )
+    joined = o.join(firsts, "o_custkey").select(
+        F.col("cohort").cast("date").alias("cohort"),
+        (F.year("o_orderdate") - F.year("cohort")).alias("age_years"),
+        "o_totalprice",
+    )
+    return joined.groupBy("cohort", "age_years").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
     )

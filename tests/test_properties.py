@@ -408,3 +408,51 @@ def test_pmi_consistent_with_counts(spark):
             (r["c12"] / n_bg) / ((uni[r["w1"]] / n_bg) * (uni[r["w2"]] / n_bg))
         )
         assert abs(r["pmi"] - expect) < 1e-4
+
+
+def test_pit_join_covers_all_events(spark):
+    """Every event of every user < 50 falls in exactly one SCD2
+    interval: per-user joined counts equal raw event counts."""
+    got = {r["user_id"]: r["n_events"] for r in _run(spark, "join_pit_scd2").collect()}
+    e = load(spark, SF_DIR, "events").where(F.col("user_id") < 50)
+    raw = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == raw
+
+
+def test_attribution_rate_bounds(spark):
+    """Attributed ≤ purchases; rate consistent with the two counts."""
+    r = _run(spark, "events_attribution_lastclick").collect()[0]
+    assert 0 <= r["n_attributed"] <= r["n_purchases"]
+    assert abs(r["attribution_pct"] - r["n_attributed"] * 100.0 / r["n_purchases"]) < 1e-4
+
+
+def test_cohort_ltv_accounts_every_order(spark):
+    """The (cohort × age) matrix partitions orders: counts sum to the
+    table, ages are non-negative, and revenue sums to total revenue."""
+    rows = _run(spark, "orders_cohort_ltv").collect()
+    o = load(spark, SF_DIR, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    assert all(r["age_years"] >= 0 for r in rows)
+    total = o.agg(
+        (F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast("double") / 1e6)
+    ).collect()[0][0]
+    assert abs(sum(r["revenue"] for r in rows) - total) < 1e-3
+
+
+def test_kll_quantiles_ordered_and_bounded(spark):
+    """Per group: p25 ≤ p50 ≤ p75 ≤ p95, each inside [lo, hi]; the
+    merged ALL row's quantiles lie within the groups' envelope."""
+    rows = {r["l_returnflag"]: r for r in _run(spark, "agg_kll_quantile_sketch").collect()}
+    groups = [r for k, r in rows.items() if k != "ALL"]
+    assert groups and "ALL" in rows
+    for r in groups:
+        assert r["lo"] <= r["p25"] <= r["p50"] <= r["p75"] <= r["p95"] <= r["hi"]
+    allr = rows["ALL"]
+    lo = min(r["lo"] for r in groups)
+    hi = max(r["hi"] for r in groups)
+    for p in ("p25", "p50", "p75", "p95"):
+        assert lo <= allr[p] <= hi
+    assert allr["p25"] <= allr["p50"] <= allr["p75"] <= allr["p95"]
