@@ -1024,3 +1024,49 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows.unionByName(merged).orderBy("l_returnflag")
+
+
+@register(
+    "agg_theta_sketch_setops",
+    group="E",
+    oracle=None,  # rows-only: theta sketch internals are engine-specific
+    tags=("sketch",),
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: distinct-count set algebra on theta sketches (Apache
+    DataSketches, Spark 4 built-in) — per-event-type sketches of
+    user_id, probed for approximate audience size, plus the
+    sketch-UNION estimate of the click∪view audience. Theta sketches
+    are what HLL cannot be: set-operable — union keeps the sketch form,
+    so overlap questions ("how many users did BOTH X and Y") run on
+    KB-sized summaries instead of re-scanning 100 TB of events. The
+    property test bounds every estimate against the exact distinct
+    counts (theta error at this cardinality is well under 1%).
+    Rows-only: sketch bytes and estimator are DataSketches-internal;
+    the exact twin is agg_count_distinct (E2)."""
+    e = load(spark, sf_dir, "events")
+    per_type = (
+        e.groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .withColumn("audience_est", F.theta_sketch_estimate("sk").cast("long"))
+    )
+    cv = per_type.where(F.col("event_type").isin("click", "view")).agg(
+        F.collect_list("sk").alias("sks")
+    )
+    union_row = cv.select(
+        F.lit("click_or_view").alias("event_type"),
+        F.theta_sketch_estimate(
+            F.aggregate(
+                F.slice("sks", 2, 1_000_000),
+                F.element_at("sks", 1),
+                lambda acc, x: F.theta_union(acc, x),
+            )
+        )
+        .cast("long")
+        .alias("audience_est"),
+    )
+    return (
+        per_type.select("event_type", "audience_est")
+        .unionByName(union_row)
+        .orderBy("event_type")
+    )

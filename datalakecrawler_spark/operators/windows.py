@@ -643,3 +643,84 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("rev_micro").cast("double") / 1e6, 6).alias("class_revenue"),
     )
+
+
+@register(
+    "win_trending_parts",
+    group="F",
+    oracle="""
+    with monthly as (
+      select cast(date_trunc('month', l_shipdate) as date) as month,
+             l_partkey,
+             cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                           as bigint)) as double) / 1e6 as revenue
+      from lineitem
+      where l_shipdate >= timestamp '1996-01-01'
+        and l_shipdate < timestamp '1996-07-01'
+      group by 1, 2
+    ), ranked as (
+      select month, l_partkey, round(revenue, 2) as revenue,
+             row_number() over (partition by month
+                                order by revenue desc, l_partkey) as rk
+      from monthly
+    ), with_prev as (
+      select r.*,
+             lag(rk) over (partition by l_partkey order by month) as prev_rk
+      from ranked r
+    )
+    select month, l_partkey, revenue, rk,
+           coalesce(prev_rk - rk, 0) as rank_delta
+    from with_prev where rk <= 5
+    """,
+)
+def win_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: trending items — monthly top-5 parts by discounted
+    revenue with each part's rank movement vs the previous month
+    (positive delta = climbing). The leaderboard-with-momentum shape
+    every commerce/trending dashboard runs. Aggregation first (the
+    only data-sized shuffle), then two windows over the tiny monthly
+    frame: rank within month, lag across months per part. Exact
+    micro-unit revenue sums and a partkey tiebreak keep the ranking
+    deterministic cross-engine (§2.L traps 1/3); rank_delta is
+    computed BEFORE the rk<=5 filter so a part entering the top-5
+    still sees its true climb from last month's rank."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    monthly = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+            "l_partkey",
+        )
+        .agg(
+            (F.sum(F.floor(rev * 1e6 + 0.5)).cast("double") / 1e6).alias(
+                "revenue"
+            )
+        )
+    )
+    w_rank = W.partitionBy("month").orderBy(
+        F.col("revenue").desc(), "l_partkey"
+    )
+    ranked = monthly.select(
+        "month",
+        "l_partkey",
+        F.round("revenue", 2).alias("revenue"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    w_prev = W.partitionBy("l_partkey").orderBy("month")
+    return (
+        ranked.withColumn("prev_rk", F.lag("rk").over(w_prev))
+        .where(F.col("rk") <= 5)
+        .select(
+            "month",
+            "l_partkey",
+            "revenue",
+            "rk",
+            F.coalesce(F.col("prev_rk") - F.col("rk"), F.lit(0)).alias(
+                "rank_delta"
+            ),
+        )
+    )

@@ -509,3 +509,99 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(dot("embedding", "qe"), 6).alias("sim"))
         .where(F.col("sim") >= _RANGE_TAU)
     )
+
+
+@register("sim_topk_pq", group="J", oracle=None)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k — the third ANN scale
+    path beside IVF (sim_topk_ivf) and random-projection LSH
+    (sim_ann_brp_lsh), and the one with the smallest memory footprint:
+    each 64-d vector compresses to M=8 one-byte codes.
+
+    1. Split dimensions into 8 subspaces of 8; per subspace pick 16
+       anchor vectors by smallest portable hash (md5(vec_id|m) — the
+       deterministic equivalent of k-means' random-sample init, so
+       both engines/runs see identical codebooks).
+    2. Encode: every vector's subspace slice → nearest anchor slice
+       (argmin L2 over a broadcast 128-row codebook).
+    3. Asymmetric-distance query: because the corpus is L2-normalized,
+       cosine decomposes as the sum of per-subspace dots — the query
+       precomputes dot(query_slice, anchor_slice) for all 128 anchors
+       (the "distance table"), and each vector's approximate sim is a
+       lookup-sum over its 8 codes.
+    4. Exact re-rank of the approximate top-50 → final top-10.
+
+    At 100 TB the codes table is 8 bytes/vector (vs 256 for floats),
+    the distance table broadcast is KBs, and the only data-sized
+    shuffle is the groupBy(vec_id) over 8 rows/vector; re-rank
+    touches 50 full vectors. Rows-only: approximate by design — the
+    property test measures recall against the exact scan (J3)."""
+    e = load(spark, sf_dir, "embeddings")
+    M, SUBD, K = 8, 8, 16
+    sub = (
+        e.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.expr(f"slice(embedding, m * {SUBD} + 1, {SUBD})").alias("sub"),
+        )
+    )
+    hrank = W.partitionBy("m").orderBy(
+        F.md5(F.concat_ws("|", F.col("vec_id"), F.col("m"))), "vec_id"
+    )
+    anchors = (
+        sub.withColumn("hr", F.row_number().over(hrank))
+        .where(F.col("hr") <= K)
+        .select(
+            "m", (F.col("hr") - 1).alias("code"), F.col("sub").alias("avec")
+        )
+    )
+    l2 = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+    enc_w = W.partitionBy("vec_id", "m").orderBy("d2", "code")
+    codes = (
+        sub.join(F.broadcast(anchors), "m")
+        .select("vec_id", "m", "code", l2("sub", "avec").alias("d2"))
+        .withColumn("rk", F.row_number().over(enc_w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "m", "code")
+    )
+    q = e.where(F.col("vec_id") == 0).select(
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
+        F.col("embedding").alias("q_emb"),
+    ).select(
+        "m", F.expr(f"slice(q_emb, m * {SUBD} + 1, {SUBD})").alias("qsub")
+    )
+    dist_table = (
+        anchors.join(F.broadcast(q), "m")
+        .select("m", "code", dot("qsub", "avec").alias("psim"))
+    )
+    approx = (
+        codes.where(F.col("vec_id") != 0)
+        .join(F.broadcast(dist_table), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("psim").alias("approx_sim"))
+        .orderBy(F.col("approx_sim").desc(), "vec_id")
+        .limit(50)
+    )
+    qfull = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        approx.join(e, "vec_id")
+        .crossJoin(F.broadcast(qfull))
+        .select(
+            "vec_id",
+            F.round("approx_sim", 6).alias("approx_sim"),
+            F.round(dot("embedding", "q_emb"), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )

