@@ -1070,3 +1070,88 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(union_row)
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_hourly_heatmap",
+    group="E",
+    oracle="""
+    select isodow(ts) as dow, hour(ts) as hr,
+           count(*) as n_events,
+           cast(sum(cast(floor(value * 1e6 + 0.5) as bigint)) as double)
+             / 1e6 as total_value
+    from events group by 1, 2
+    """,
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: day-of-week × hour activity heatmap — the traffic-shape
+    matrix every ops/capacity dashboard starts from (168 cells max).
+    Weekday convention is the §2.L trap: Spark dayofweek() is Sun=1
+    while DuckDB dow is Sun=0, so both sides use the ISO numbering
+    (Spark weekday()+1 ≡ DuckDB isodow, Mon=1..Sun=7). One
+    map-side-combinable hash aggregation over derived keys — shuffle
+    carries ≤168 rows per partition at any scale."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.weekday("ts") + 1).alias("dow"),
+            F.hour("ts").alias("hr"),
+            "value",
+        )
+        .groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 1e6 + 0.5)).cast("double") / 1e6)
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "orders_interarrival_stats",
+    group="E",
+    oracle="""
+    with gaps as (
+      select o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) over (partition by o_custkey
+                                              order by o_orderdate, o_orderkey),
+                       o_orderdate) as gap_d
+      from orders
+    )
+    select count(*) as n_gaps,
+           round(avg(gap_d), 6) as avg_gap_d,
+           cast(quantile_disc(gap_d, 0.5) as bigint) as median_gap_d,
+           max(gap_d) as max_gap_d
+    from gaps where gap_d is not null
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: order inter-arrival statistics — per-customer day gaps
+    between consecutive orders (lag over the customer's order
+    history), summarized corpus-wide: gap count, mean, discrete
+    median, max. The purchase-cadence profile behind churn/LTV
+    models; the same shape profiles crawl-to-crawl freshness gaps in
+    a catalog. One shuffle on o_custkey for the window (the orders
+    table's natural key), then a tiny global aggregate; gaps are
+    integer days so avg is exact-sum / count (order-independent) and
+    the discrete median (percentile_disc twin) picks an actual value,
+    both engine-identical. orderkey tiebreaks same-day orders
+    (§2.L trap 3)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_d")
+    ).where(F.col("gap_d").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            F.sum("gap_d").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_gap_d"),
+        F.expr("percentile_disc(0.5) within group (order by gap_d)")
+        .cast("bigint")
+        .alias("median_gap_d"),
+        F.max("gap_d").alias("max_gap_d"),
+    )

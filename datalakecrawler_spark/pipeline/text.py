@@ -1060,3 +1060,45 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
     )
+
+
+@register(
+    "text_hapax_ratio",
+    group="J",
+    oracle="""
+    with counts as (
+      select lang, tok, count(*) as c
+      from (select lang, unnest(string_split(text, ' ')) as tok
+            from documents) t
+      group by 1, 2
+    )
+    select lang,
+           count(*) as vocab,
+           count(*) filter (where c = 1) as hapax,
+           round(count(*) filter (where c = 1) * 1.0 / count(*), 6)
+             as hapax_ratio
+    from counts group by lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: hapax legomena ratio per language — the share of
+    vocabulary seen exactly once, the classic vocabulary-richness /
+    corpus-maturity signal (a crawl slice with an unusually high
+    hapax ratio is under-sampled or noisy; unusually low means
+    boilerplate). One explode + (lang, token) count, then a
+    vocabulary-sized re-aggregation — same two-stage shape as the
+    wordcount family, so the only data-sized shuffle is the token
+    count, map-side-combined before it moves."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum((F.col("c") == 1).cast("long"))
+    vocab = F.count(F.lit(1))
+    return counts.groupBy("lang").agg(
+        vocab.alias("vocab"),
+        hapax.alias("hapax"),
+        F.round(hapax * 1.0 / vocab, 6).alias("hapax_ratio"),
+    )

@@ -506,3 +506,42 @@ def test_pq_recall_against_exact(spark):
     exact = {r["vec_id"] for r in _run(spark, "sim_topk_query").collect()}
     recall = len({r["vec_id"] for r in pq_rows} & exact) / 10
     assert recall >= 0.5, recall
+
+
+def test_hourly_heatmap_partitions_events(spark):
+    """Cells partition the event log; keys use ISO numbering."""
+    rows = _run(spark, "events_hourly_heatmap").collect()
+    e = load(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == e.count()
+    assert all(1 <= r["dow"] <= 7 for r in rows)
+    assert all(0 <= r["hr"] <= 23 for r in rows)
+
+
+def test_interarrival_gaps_reconcile(spark):
+    """#gaps = #orders − #customers-with-orders; median ≤ max;
+    avg between min and max gap."""
+    r = _run(spark, "orders_interarrival_stats").collect()[0]
+    o = load(spark, SF_DIR, "orders")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert r["n_gaps"] == n_orders - n_cust
+    assert 0 <= r["median_gap_d"] <= r["max_gap_d"]
+    assert 0 <= r["avg_gap_d"] <= r["max_gap_d"]
+
+
+def test_hapax_bounds(spark):
+    """hapax ≤ vocab; ratio consistent; vocab matches a direct
+    distinct-token count per language."""
+    rows = _run(spark, "text_hapax_ratio").collect()
+    d = load(spark, SF_DIR, "documents")
+    direct = {
+        r["lang"]: r["v"]
+        for r in d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()
+    }
+    for r in rows:
+        assert r["hapax"] <= r["vocab"]
+        assert r["vocab"] == direct[r["lang"]]
+        assert abs(r["hapax_ratio"] - round(r["hapax"] / r["vocab"], 6)) < 1e-9
