@@ -22,7 +22,7 @@ Scale designs (SURVEY §4):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -605,3 +605,33 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register("sim_recall_eval", group="J", oracle=None)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-operator: recall@10 of every approximate ANN path
+    (IVF, BRP-LSH is pair-based so excluded, PQ) against the exact
+    brute-force top-10 for the standard query vector. Shipping the
+    evaluator as a first-class operator means an index-tuning sweep is
+    itself a Spark job — at scale you'd parameterize over many query
+    vectors and aggregate recall distributions instead of one query's
+    set overlap. Set intersection happens on 10-row frames; everything
+    upstream reuses the registered operators' plans unchanged."""
+    exact = set(
+        r["vec_id"]
+        for r in _topk_cosine(spark, sf_dir).select("vec_id").collect()
+    )
+
+    def recall(df: DataFrame) -> float:
+        got = set(r["vec_id"] for r in df.select("vec_id").collect())
+        return len(got & exact) / max(1, len(exact))
+
+    from datalakecrawler_spark import registry as _r
+
+    rows = [
+        Row(method="ivf", recall_at_10=recall(
+            _r.all_queries()["sim_topk_ivf"].fn(spark, sf_dir))),
+        Row(method="pq", recall_at_10=recall(
+            _r.all_queries()["sim_topk_pq"].fn(spark, sf_dir))),
+    ]
+    return spark.createDataFrame(rows)

@@ -1114,3 +1114,68 @@ def quality_dup_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("total_rows"),
         F.max("c").alias("worst_multiplicity"),
     )
+
+
+@register("catalog_semantic_type", group="B", oracle=None)
+def catalog_semantic_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: semantic column typing — the crawler heuristic that turns
+    a physical schema into catalog semantics: *_key/*_id and `key`
+    suffixes → identifier, timestamp/date types → temporal,
+    price/bal/value/tax/discount names → monetary-ish measure, other
+    numerics → measure, string with bounded NDV (profiled small
+    domain) → category, long strings → text. Built FROM the B1 schema
+    frame entirely with Column expressions (one small local frame —
+    classification is schema-sized, never data-sized; the NDV probe
+    reuses the distinct profiler's approx counts per column on a
+    single pass per table). Rows-only: the classification vocabulary
+    is ours, but the property test pins the known fixture semantics
+    (keys classified identifier, ts temporal, text textual)."""
+    schema_rows = []
+    for t in TABLES:
+        df = load(spark, sf_dir, t)
+        ndv_exprs = [
+            F.approx_count_distinct(f.name).alias(f.name)
+            for f in df.schema.fields
+        ]
+        ndvs = df.agg(*ndv_exprs).collect()[0].asDict()
+        n_rows = df.count()
+        for i, f in enumerate(df.schema.fields):
+            schema_rows.append(
+                Row(
+                    dataset=t,
+                    field_name=f.name,
+                    position=i,
+                    spark_type=f.dataType.simpleString(),
+                    ndv=int(ndvs[f.name]),
+                    n_rows=n_rows,
+                )
+            )
+    frame = spark.createDataFrame(schema_rows)
+    name, typ = F.col("field_name"), F.col("spark_type")
+    semantic = (
+        F.when(
+            name.rlike("(_key|_id|^key$|_custkey|_orderkey)$")
+            | name.rlike("_(key|id)$"),
+            "identifier",
+        )
+        .when(typ.isin("timestamp", "timestamp_ntz", "date"), "temporal")
+        .when(
+            name.rlike("(price|bal|value|tax|discount|charge)"),
+            "measure_monetary",
+        )
+        .when(typ.isin("double", "float"), "measure")
+        .when(
+            typ.isin("int", "bigint")
+            & (F.col("ndv") < F.greatest(F.lit(64), F.col("n_rows") / 100)),
+            "category_numeric",
+        )
+        .when(typ.isin("int", "bigint"), "measure")
+        .when(typ == "string", 
+              F.when(F.col("ndv") <= 64, "category").otherwise("text"))
+        .when(typ.startswith("array"), "vector")
+        .otherwise("other")
+    )
+    return frame.select(
+        "dataset", "field_name", "position", "spark_type", "ndv",
+        semantic.alias("semantic_type"),
+    )

@@ -545,3 +545,41 @@ def test_hapax_bounds(spark):
         assert r["hapax"] <= r["vocab"]
         assert r["vocab"] == direct[r["lang"]]
         assert abs(r["hapax_ratio"] - round(r["hapax"] / r["vocab"], 6)) < 1e-9
+
+
+def test_semantic_types_match_known_fixtures(spark):
+    """The classifier must assign the semantics we know the fixture
+    schema has: keys → identifier, ts → temporal, text → text,
+    embedding → vector, prices → monetary."""
+    rows = {
+        (r["dataset"], r["field_name"]): r["semantic_type"]
+        for r in _run(spark, "catalog_semantic_type").collect()
+    }
+    assert rows[("orders", "o_orderkey")] == "identifier"
+    assert rows[("lineitem", "l_orderkey")] == "identifier"
+    assert rows[("events", "ts")] == "temporal"
+    assert rows[("orders", "o_orderdate")] == "temporal"
+    assert rows[("documents", "text")] == "text"
+    assert rows[("embeddings", "embedding")] == "vector"
+    assert rows[("orders", "o_totalprice")] == "measure_monetary"
+    assert rows[("customer", "c_mktsegment")] == "category"
+    # every fixture column classified, none fall through to "other"
+    assert len(rows) == sum(
+        len(load(spark, SF_DIR, t).schema.fields)
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]
+    )
+    assert "other" not in set(rows.values())
+
+
+def test_recall_eval_consistent_with_direct_measure(spark):
+    """The evaluator's PQ recall equals a direct re-measure, and all
+    recalls live in [0, 1] with IVF ≥ 0.5 (3-of-10-bucket probe)."""
+    got = {r["method"]: r["recall_at_10"] for r in _run(spark, "sim_recall_eval").collect()}
+    assert set(got) == {"ivf", "pq"}
+    for v in got.values():
+        assert 0.0 <= v <= 1.0
+    assert got["ivf"] >= 0.5
+    exact = {r["vec_id"] for r in _run(spark, "sim_topk_query").collect()}
+    pq = {r["vec_id"] for r in _run(spark, "sim_topk_pq").collect()}
+    assert abs(got["pq"] - len(pq & exact) / 10) < 1e-9
