@@ -431,3 +431,46 @@ def test_entropy_single_pass_per_column(spark):
     a = _audit_uncached(spark, "catalog_column_entropy")
     assert not a.has_python_eval
     assert "Window" not in a.text
+
+
+def test_pit_join_single_natural_key_shuffle(spark):
+    """The point-in-time SCD2 join must shuffle only on user_id (the
+    windows AND the join share the natural key) and never plan a
+    cartesian/nested-loop for the interval residual."""
+    a = _audit_uncached(spark, "join_pit_scd2")
+    assert "CartesianProduct" not in a.joins
+    assert not a.has_python_eval
+    import re
+
+    keys = {
+        m.split(",")[0].split("#")[0].strip()
+        for m in re.findall(r"hashpartitioning\(([^)]*)\)", a.text)
+    }
+    assert keys <= {"user_id"}, keys
+
+
+def test_pmi_broadcasts_marginals(spark):
+    """PMI joins the bigram counts to vocabulary-sized unigram frames —
+    those must broadcast, never shuffle the bigram table on the word."""
+    a = _audit_uncached(spark, "text_pmi_bigrams")
+    assert "BroadcastHashJoin" in a.joins
+    assert "SortMergeJoin" not in a.joins, a.joins
+    assert not a.has_python_eval
+
+
+def test_trending_parts_aggregates_before_windows(spark):
+    """The leaderboard's data-sized shuffle is the monthly aggregation;
+    the two windows run over the monthly frame (month / l_partkey
+    partitioning), with the shipdate filter pushed to the scan."""
+    a = _audit_uncached(spark, "win_trending_parts")
+    assert any("l_shipdate" in p for p in a.pushed_filters), a.pushed_filters
+    assert not a.has_python_eval
+
+
+def test_attribution_shuffles_on_user_only(spark):
+    """Last-click attribution joins purchases to clicks on user_id with
+    a range residual — no cartesian, shuffles only user/event keys."""
+    a = _audit_uncached(spark, "events_attribution_lastclick")
+    assert "CartesianProduct" not in a.joins
+    assert "BroadcastNestedLoopJoin" not in a.joins
+    assert not a.has_python_eval
