@@ -45,3 +45,86 @@ def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
             "wiring needed."
         )
     return spark.read.format(spark_fmt).load(path)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source (Spark 4 API): the crawler's file-inventory
+# source. `spark.read.format("lakefiles").option("path", root)` turns a
+# lake directory into a DataFrame of file rows, listed in parallel —
+# one input partition per top-level entry, so a million-object prefix
+# fans out across executors instead of serializing through the driver
+# (the Python DataSource's partitions()/read() contract is exactly the
+# list-shard protocol an object-store crawler needs).
+# ---------------------------------------------------------------------------
+
+try:  # Spark ≥ 4 only; import-gated like the lakehouse formats above
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class LakeFilesDataSource(DataSource):
+        """Batch data source: rows = files under option 'path'."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "lakefiles"
+
+        def schema(self) -> str:
+            return (
+                "dir string, file_name string, ext string, size_bytes bigint"
+            )
+
+        def reader(self, schema):  # noqa: ANN001 - API signature
+            return _LakeFilesReader(self.options)
+
+    class _LakeFilesReader(DataSourceReader):
+        def __init__(self, options) -> None:  # noqa: ANN001
+            self.root = options.get("path")
+            if not self.root:
+                raise ValueError("lakefiles source requires option 'path'")
+
+        def partitions(self):
+            import os
+
+            entries = sorted(os.listdir(self.root))
+            return [InputPartition(e) for e in entries] or [
+                InputPartition(None)
+            ]
+
+        def read(self, partition):  # noqa: ANN001
+            import os
+
+            if partition.value is None:
+                return
+            top = os.path.join(self.root, partition.value)
+            if os.path.isfile(top):
+                yield self._row(self.root, partition.value)
+                return
+            for dirpath, _dirs, files in os.walk(top):
+                for f in sorted(files):
+                    yield self._row(dirpath, f)
+
+        @staticmethod
+        def _row(dirpath: str, fname: str):
+            import os
+
+            full = os.path.join(dirpath, fname)
+            ext = fname.rsplit(".", 1)[-1].lower() if "." in fname else ""
+            return (dirpath, fname, ext, os.path.getsize(full))
+
+    HAVE_PYTHON_DATASOURCE = True
+except ImportError:  # pragma: no cover - older Spark
+    HAVE_PYTHON_DATASOURCE = False
+
+
+def register_lakefiles(spark: SparkSession) -> bool:
+    """Register the custom source once per session; True if available."""
+    if not HAVE_PYTHON_DATASOURCE:
+        return False
+    key = "dlc.lakefiles.registered"
+    if spark.conf.get(key, None) != "1":
+        spark.dataSource.register(LakeFilesDataSource)
+        spark.conf.set(key, "1")
+    return True

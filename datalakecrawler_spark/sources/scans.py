@@ -849,3 +849,30 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_shipdate")
     )
+
+
+@register("source_python_datasource", group="A", oracle=None)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the crawler's file-inventory source built on Spark 4's
+    Python Data Source API (`spark.read.format("lakefiles")`) — the
+    lake directory becomes a DataFrame of file rows, listed in
+    PARALLEL: one input partition per top-level entry, executed by the
+    executors via the DataSource partitions()/read() contract (a real
+    object-store crawler shards its LIST calls exactly like this;
+    the driver never walks the tree). Summarized per extension so the
+    contract row set is stable. Rows-only: filesystem listing has no
+    DuckDB twin; the property test reconciles against a direct
+    os.walk of the same root."""
+    from datalakecrawler_spark.sources.connectors import register_lakefiles
+
+    if not register_lakefiles(spark):  # pragma: no cover - Spark < 4
+        raise NotImplementedError("Python DataSource API requires Spark 4")
+    inv = spark.read.format("lakefiles").option("path", sf_dir).load()
+    return (
+        inv.groupBy("ext")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").alias("total_bytes"),
+        )
+        .orderBy("ext")
+    )

@@ -583,3 +583,20 @@ def test_recall_eval_consistent_with_direct_measure(spark):
     exact = {r["vec_id"] for r in _run(spark, "sim_topk_query").collect()}
     pq = {r["vec_id"] for r in _run(spark, "sim_topk_pq").collect()}
     assert abs(got["pq"] - len(pq & exact) / 10) < 1e-9
+
+
+def test_python_datasource_matches_direct_walk(spark):
+    """The lakefiles custom source's inventory must reconcile with a
+    direct os.walk of the same directory (count and bytes per ext)."""
+    import os
+    from collections import defaultdict
+
+    rows = {r["ext"]: (r["n_files"], r["total_bytes"])
+            for r in _run(spark, "source_python_datasource").collect()}
+    direct = defaultdict(lambda: [0, 0])
+    for dirpath, _dirs, files in os.walk(SF_DIR):
+        for f in files:
+            ext = f.rsplit(".", 1)[-1].lower() if "." in f else ""
+            direct[ext][0] += 1
+            direct[ext][1] += os.path.getsize(os.path.join(dirpath, f))
+    assert rows == {k: tuple(v) for k, v in direct.items()}
