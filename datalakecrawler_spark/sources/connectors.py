@@ -128,3 +128,98 @@ def register_lakefiles(spark: SparkSession) -> bool:
         spark.dataSource.register(LakeFilesDataSource)
         spark.conf.set(key, "1")
     return True
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python Data Source: deterministic event REPLAY. The events
+# parquet replays through Structured Streaming in fixed-size offset
+# ranges — the standard backfill/reprocessing source shape: offsets are
+# row indices (exactly-once across restarts comes free from the offset
+# log), each micro-batch's range splits into fixed slices so the read
+# fans out across executors, and every slice is served by a pyarrow
+# row-range read of the same file (no driver materialization).
+# ---------------------------------------------------------------------------
+
+if HAVE_PYTHON_DATASOURCE:
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class EventReplayDataSource(DataSource):
+        """Streaming source: replay option 'path' parquet by row ranges."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "eventreplay"
+
+        def schema(self) -> str:
+            return (
+                "event_id bigint, user_id bigint, event_type string, "
+                "value double"
+            )
+
+        def streamReader(self, schema):  # noqa: ANN001 - API signature
+            return _EventReplayStreamReader(self.options)
+
+    class _ReplaySlice(InputPartition):
+        def __init__(self, path: str, start: int, end: int) -> None:
+            self.path = path
+            self.start = start
+            self.end = end
+
+    class _EventReplayStreamReader(DataSourceStreamReader):
+        BATCH_ROWS = 2500
+        SLICES = 4
+
+        def __init__(self, options) -> None:  # noqa: ANN001
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("eventreplay source requires option 'path'")
+            import pyarrow.parquet as pq
+
+            self.n_rows = pq.ParquetFile(self.path).metadata.num_rows
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def latestOffset(self):
+            # advance one batch per trigger until the file is replayed
+            if not hasattr(self, "_cur"):
+                self._cur = 0
+            self._cur = min(self._cur + self.BATCH_ROWS, self.n_rows)
+            return {"row": self._cur}
+
+        def partitions(self, start, end):  # noqa: ANN001
+            lo, hi = start["row"], end["row"]
+            step = max(1, (hi - lo + self.SLICES - 1) // self.SLICES)
+            return [
+                _ReplaySlice(self.path, s, min(s + step, hi))
+                for s in range(lo, hi, step)
+            ]
+
+        def read(self, partition):  # noqa: ANN001
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                partition.path,
+                columns=["event_id", "user_id", "event_type", "value"],
+            ).slice(partition.start, partition.end - partition.start)
+            for batch in t.to_batches():
+                yield from zip(
+                    batch.column(0).to_pylist(),
+                    batch.column(1).to_pylist(),
+                    batch.column(2).to_pylist(),
+                    batch.column(3).to_pylist(),
+                )
+
+        def commit(self, end) -> None:  # noqa: ANN001
+            pass
+
+
+def register_eventreplay(spark: SparkSession) -> bool:
+    """Register the streaming replay source once; True if available."""
+    if not HAVE_PYTHON_DATASOURCE:
+        return False
+    key = "dlc.eventreplay.registered"
+    if spark.conf.get(key, None) != "1":
+        spark.dataSource.register(EventReplayDataSource)
+        spark.conf.set(key, "1")
+    return True

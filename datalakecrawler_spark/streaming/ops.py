@@ -542,3 +542,26 @@ def stream_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
     )
+
+
+@register(
+    "stream_python_source_replay",
+    group="I",
+    oracle="""
+    select event_type, count(*) as cnt
+    from events group by event_type
+    """,
+)
+def stream_python_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext batch twin of the `eventreplay` streaming Python Data
+    Source (sources/connectors.py): the source replays the events
+    parquet through Structured Streaming in row-range offsets —
+    2500-row batches, 4 executor slices per batch, offsets persisted
+    in the checkpoint log so restart resumes exactly-once. The
+    streaming half aggregates per-type counts in complete mode and is
+    asserted equal to this batch aggregation in test_streaming. The
+    replay shape is the canonical backfill path: reprocess cold
+    history through the SAME streaming query that serves live data,
+    so one plan definition covers both regimes."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))

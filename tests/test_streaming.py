@@ -320,3 +320,44 @@ def test_stream_checkpoint_recovery_exactly_once(spark):
     final = spark.read.parquet(out)
     assert final.count() == 600, "restart replayed or skipped data"
     assert final.select("event_id").distinct().count() == 600, "duplicates after recovery"
+
+
+def test_python_stream_source_replay_equals_batch(spark):
+    """The eventreplay Python streaming source must reproduce the batch
+    per-type counts exactly after full replay (offset-range micro-
+    batches, executor-side pyarrow row-range reads)."""
+    from datalakecrawler_spark.sources.connectors import register_eventreplay
+
+    if not register_eventreplay(spark):
+        pytest.skip("Python DataSource API unavailable")
+    src = (
+        spark.readStream.format("eventreplay")
+        .option("path", os.path.join(SF_DIR, "events.parquet"))
+        .load()
+    )
+    q = (
+        src.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("replay_counts")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    expected = {
+        r["event_type"]: r["cnt"]
+        for r in ops.stream_python_source_replay(spark, SF_DIR).collect()
+    }
+    total = sum(expected.values())
+    deadline = time.time() + 120
+    got = {}
+    while time.time() < deadline:
+        got = {
+            r["event_type"]: r["count"]
+            for r in spark.sql("select * from replay_counts").collect()
+        }
+        if sum(got.values()) >= total:
+            break
+        time.sleep(1)
+    q.stop()
+    assert got == expected
