@@ -470,3 +470,45 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
+
+
+@register(
+    "sql_quantified_all_any",
+    group="G",
+    oracle="""
+    select c.c_nationkey,
+           count(*) filter (where c.c_acctbal >= all
+             (select c2.c_acctbal from customer c2
+              where c2.c_nationkey = c.c_nationkey)) as n_top,
+           count(*) filter (where c.c_acctbal < any
+             (select c2.c_acctbal from customer c2
+              where c2.c_nationkey = c.c_nationkey)) as n_dominated
+    from customer c
+    group by c.c_nationkey
+    """,
+)
+def sql_quantified_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: quantified comparisons (ALL / ANY correlated subqueries).
+    Spark's parser has no ALL/ANY quantifier, so the engine runs the
+    standard decorrelation a rewriter would produce: ``x >= ALL
+    (group)`` ⇔ ``x >= max(group)`` and ``x < ANY (group)`` ⇔
+    ``x < max(group)`` (on a non-empty, null-free group) — one
+    per-nation max aggregate broadcast back onto customer, then a
+    conditional count. The oracle keeps the literal quantified form so
+    DuckDB's native ALL/ANY evaluation referees the rewrite. Shuffle:
+    the nation-keyed aggregate only; the fact-side join is a
+    broadcast, making this scan-plus-broadcast at any scale."""
+    c = load(spark, sf_dir, "customer")
+    mx = c.groupBy("c_nationkey").agg(F.max("c_acctbal").alias("mx"))
+    return (
+        c.join(F.broadcast(mx), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum((F.col("c_acctbal") >= F.col("mx")).cast("long")).alias(
+                "n_top"
+            ),
+            F.sum((F.col("c_acctbal") < F.col("mx")).cast("long")).alias(
+                "n_dominated"
+            ),
+        )
+    )

@@ -724,3 +724,42 @@ def win_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_user_value_percentile",
+    group="F",
+    oracle="""
+    with per_user as (
+      select user_id,
+             cast(sum(cast(floor(value * 1e6 + 0.5) as bigint)) as double)
+               / 1e6 as total_value
+      from events group by user_id
+    )
+    select user_id, round(total_value, 2) as total_value,
+           round(percent_rank() over (order by total_value, user_id), 6)
+             as value_pctile,
+           ntile(10) over (order by total_value, user_id) as value_decile
+    from per_user
+    """,
+)
+def events_user_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: per-user lifetime-value percentile and decile — the
+    user-scoring table a personalization/billing pipeline exports.
+    Aggregate first (one user-keyed shuffle of the event log — its
+    natural bucketing), THEN rank the per-user frame: percent_rank
+    and ntile run over #users rows, not #events, and user_id
+    tiebreaks identical totals (§2.L trap 3). Exact micro-unit sums
+    make the rank keys engine-identical before the policy round."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (F.sum(F.floor(F.col("value") * 1e6 + 0.5)).cast("double") / 1e6)
+        .alias("total_value")
+    )
+    w = W.orderBy("total_value", "user_id")
+    return per_user.select(
+        "user_id",
+        F.round("total_value", 2).alias("total_value"),
+        F.round(F.percent_rank().over(w), 6).alias("value_pctile"),
+        F.ntile(10).over(w).alias("value_decile"),
+    )

@@ -600,3 +600,42 @@ def test_python_datasource_matches_direct_walk(spark):
             direct[ext][0] += 1
             direct[ext][1] += os.path.getsize(os.path.join(dirpath, f))
     assert rows == {k: tuple(v) for k, v in direct.items()}
+
+
+def test_quantified_all_counts_are_argmax_counts(spark):
+    """n_top per nation = multiplicity of the nation's max balance;
+    n_top + n_dominated = nation customer count."""
+    rows = {r["c_nationkey"]: r for r in _run(spark, "sql_quantified_all_any").collect()}
+    c = load(spark, SF_DIR, "customer")
+    per_nation = {
+        r["c_nationkey"]: r
+        for r in c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("c_acctbal").alias("mx"))
+        .collect()
+    }
+    top_mult = {
+        r["c_nationkey"]: r["m"]
+        for r in c.join(
+            c.groupBy("c_nationkey").agg(F.max("c_acctbal").alias("mx")),
+            "c_nationkey",
+        )
+        .where(F.col("c_acctbal") == F.col("mx"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .collect()
+    }
+    for nk, r in rows.items():
+        assert r["n_top"] == top_mult[nk]
+        assert r["n_top"] + r["n_dominated"] == per_nation[nk]["n"]
+
+
+def test_user_percentiles_cover_users_and_bound(spark):
+    """One row per user; percentiles in [0,1]; deciles near-equal."""
+    rows = _run(spark, "events_user_value_percentile").collect()
+    e = load(spark, SF_DIR, "events")
+    assert len(rows) == e.select("user_id").distinct().count()
+    assert all(0.0 <= r["value_pctile"] <= 1.0 for r in rows)
+    from collections import Counter
+
+    sizes = Counter(r["value_decile"] for r in rows)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
