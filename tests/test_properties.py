@@ -639,3 +639,34 @@ def test_user_percentiles_cover_users_and_bound(spark):
 
     sizes = Counter(r["value_decile"] for r in rows)
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_arrow_grouped_agg_matches_builtin(spark):
+    """The applyInArrow aggregation must equal the same statistics
+    computed with built-in JVM aggregates."""
+    got = {r["l_returnflag"]: r for r in _run(spark, "udaf_arrow_grouped").collect()}
+    li = load(spark, SF_DIR, "lineitem")
+    ref = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.floor(F.col("l_extendedprice") * 1e6 + 0.5)).cast(
+                    "double"
+                )
+                / 1e6
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_price"),
+            F.round(
+                F.max("l_extendedprice") - F.min("l_extendedprice"), 6
+            ).alias("rng"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k in got:
+        assert got[k]["n_rows"] == ref[k]["n"]
+        assert abs(got[k]["mean_price"] - ref[k]["mean_price"]) < 1e-9
+        assert abs(got[k]["price_range"] - ref[k]["rng"]) < 1e-9
