@@ -1155,3 +1155,162 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_gap_d"),
         F.max("gap_d").alias("max_gap_d"),
     )
+
+
+@register(
+    "events_value_mad_outliers",
+    group="E",
+    oracle="""
+    with med as (
+      select event_type, quantile_disc(value, 0.5) as med_v
+      from events group by 1
+    ), dev as (
+      select e.event_type, med_v,
+             abs(e.value - med_v) as adev
+      from events e join med on e.event_type = med.event_type
+    ), mad as (
+      select event_type, any_value(med_v) as med_v,
+             quantile_disc(adev, 0.5) as mad_v
+      from dev group by event_type
+    )
+    select e.event_type,
+           round(any_value(m.med_v), 6) as med_v,
+           round(any_value(m.mad_v), 6) as mad_v,
+           count(*) filter (where abs(e.value - m.med_v) > 3 * m.mad_v)
+             as n_outliers,
+           count(*) as n_events
+    from events e join mad m on e.event_type = m.event_type
+    group by e.event_type
+    """,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: robust outlier detection via median absolute deviation —
+    the estimator that survives what IQR fences and z-scores don't
+    (50% breakdown point vs 25% / 0%). Two grouped discrete-median
+    passes (per-type median, then median of absolute deviations — both
+    percentile_disc, so the statistic is a selected value and
+    engine-identical, §2.L trap 6 avoided by never interpolating),
+    then a broadcast of the per-type (median, MAD) frame back over the
+    scan for the 3×MAD flag count. Three passes over one column sounds
+    heavy until you note each is a single map-side-combinable
+    aggregate of the SAME scan — at 100 TB the cost is three scans of
+    one column, no data-sized shuffle anywhere."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) within group (order by value)").alias(
+            "med_v"
+        )
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_v",
+        "value",
+        F.abs(F.col("value") - F.col("med_v")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med_v").alias("med_v"),
+        F.expr("percentile_disc(0.5) within group (order by adev)").alias(
+            "mad_v"
+        ),
+    )
+    flagged = e.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med_v"), 6).alias("med_v"),
+        F.round(F.first("mad_v"), 6).alias("mad_v"),
+        F.sum(
+            (
+                F.abs(F.col("value") - F.col("med_v")) > 3 * F.col("mad_v")
+            ).cast("long")
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_pivot_multi",
+    group="E",
+    oracle="""
+    select l_returnflag,
+           count(*) filter (where l_linestatus = 'F') as f_cnt,
+           cast(sum(cast(floor(l_quantity * 1e6 + 0.5) as bigint))
+                filter (where l_linestatus = 'F') as double) / 1e6 as f_qty,
+           count(*) filter (where l_linestatus = 'O') as o_cnt,
+           cast(sum(cast(floor(l_quantity * 1e6 + 0.5) as bigint))
+                filter (where l_linestatus = 'O') as double) / 1e6 as o_qty
+    from lineitem group by l_returnflag
+    """,
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: pivot with MULTIPLE aggregates per pivoted value —
+    count and exact-sum quantity per linestatus column. Spark's
+    pivot(values).agg(a, b) names columns `<value>_<alias>`; the
+    select renames to the oracle's flat names. Pinning the pivot
+    value list (['F','O']) matters at scale: without it Spark runs an
+    extra distinct job to discover values before planning — with it,
+    one pass, map-side-combined like any groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.floor(F.col("l_quantity") * 1e6 + 0.5)).cast("double") / 1e6)
+            .alias("qty"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_cnt").alias("f_cnt"),
+        F.col("F_qty").alias("f_qty"),
+        F.col("O_cnt").alias("o_cnt"),
+        F.col("O_qty").alias("o_qty"),
+    )
+
+
+@register(
+    "supplier_part_coverage",
+    group="E",
+    oracle="""
+    with pairs as (
+      select distinct l_suppkey, l_partkey from lineitem
+    ), per_supp as (
+      select l_suppkey, count(*) as n_parts from pairs group by 1
+    )
+    select count(*) as n_suppliers,
+           cast(sum(n_parts) as bigint) as n_pairs,
+           round(cast(sum(n_parts) as double) /
+                 ((select count(*) from supplier) *
+                  (select count(*) from part)), 6) as density,
+           max(n_parts) as max_parts_per_supp,
+           round(avg(n_parts), 6) as avg_parts_per_supp
+    from per_supp
+    """,
+)
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: bipartite coverage profile of the supplier↔part relation
+    — distinct pair count, density against the full cross product,
+    and per-supplier fan-out stats. The relationship-cardinality
+    audit a catalog runs before trusting a join path (a density near
+    1.0 means the "relation" is a cross join in disguise; a max
+    fan-out outlier means skew in the making). One distinct over the
+    pair (the only data-sized shuffle, map-side-combined), then a
+    supplier-sized re-aggregation; the denominator counts are
+    metadata-cheap scalars."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    per_supp = pairs.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    n_supp = load(spark, sf_dir, "supplier").count()
+    n_part = load(spark, sf_dir, "part").count()
+    return per_supp.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("n_parts").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum("n_parts").cast("double") / F.lit(float(n_supp * n_part)), 6
+        ).alias("density"),
+        F.max("n_parts").alias("max_parts_per_supp"),
+        F.round(F.sum("n_parts").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_parts_per_supp"
+        ),
+    )

@@ -670,3 +670,36 @@ def test_arrow_grouped_agg_matches_builtin(spark):
         assert got[k]["n_rows"] == ref[k]["n"]
         assert abs(got[k]["mean_price"] - ref[k]["mean_price"]) < 1e-9
         assert abs(got[k]["price_range"] - ref[k]["rng"]) < 1e-9
+
+
+def test_mad_outliers_bounded_and_robust(spark):
+    """Outliers are a minority per type; MAD ≤ max deviation; every
+    event accounted for."""
+    rows = _run(spark, "events_value_mad_outliers").collect()
+    e = load(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == e.count()
+    for r in rows:
+        assert r["mad_v"] >= 0
+        assert 0 <= r["n_outliers"] < r["n_events"] * 0.5
+
+
+def test_pivot_multi_reconciles_with_groupby(spark):
+    """Pivoted counts per returnflag must sum to the plain group count."""
+    rows = {r["l_returnflag"]: r for r in _run(spark, "agg_pivot_multi").collect()}
+    li = load(spark, SF_DIR, "lineitem")
+    ref = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k, n in ref.items():
+        assert rows[k]["f_cnt"] + rows[k]["o_cnt"] == n
+
+
+def test_coverage_density_consistent(spark):
+    """density = n_pairs / (|supplier| × |part|); fan-out stats bound."""
+    r = _run(spark, "supplier_part_coverage").collect()[0]
+    n_supp = load(spark, SF_DIR, "supplier").count()
+    n_part = load(spark, SF_DIR, "part").count()
+    assert abs(r["density"] - round(r["n_pairs"] / (n_supp * n_part), 6)) < 1e-9
+    assert r["max_parts_per_supp"] >= r["avg_parts_per_supp"]
+    assert r["n_suppliers"] <= n_supp
