@@ -17,6 +17,7 @@ cross-engine keys).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
@@ -69,6 +70,36 @@ def _shingles(text_col: str = "text"):
     )
 
 
+def _band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingles) → exploded (doc_id, shingles, band, key):
+    64 portable MinHashes (lexicographic min of md5(seed|shingle)),
+    grouped into 32 two-row band keys. Shared by the self-join dedup
+    (J2) and the incremental batch-vs-corpus variant."""
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASHES - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda x: F.md5(F.concat(s.cast("string"), F.lit("|"), x)),
+            )
+        ),
+    )
+    n_bands = _N_HASHES // _BAND_ROWS
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat_ws(
+            "#",
+            *[
+                F.element_at(F.col("mh"), b * _BAND_ROWS + j + 1)
+                for j in range(_BAND_ROWS)
+            ],
+        ),
+    )
+    return sh.withColumn("mh", mh).select(
+        "doc_id", "shingles", F.posexplode(bands).alias("band", "key")
+    )
+
+
 @register(
     "dedup_near_minhash",
     group="J",
@@ -103,32 +134,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
     sh = d.select("doc_id", _shingles().alias("shingles"))
-
-    # 64 portable minhashes per doc
-    mh = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_HASHES - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda x: F.md5(F.concat(s.cast("string"), F.lit("|"), x)),
-            )
-        ),
-    )
-    n_bands = _N_HASHES // _BAND_ROWS
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.concat_ws(
-            "#",
-            *[
-                F.element_at(F.col("mh"), b * _BAND_ROWS + j + 1)
-                for j in range(_BAND_ROWS)
-            ],
-        ),
-    )
-    banded = (
-        sh.withColumn("mh", mh)
-        .select("doc_id", "shingles", F.posexplode(bands).alias("band", "key"))
-    )
+    banded = _band_signatures(sh)
 
     left = banded.select(
         F.col("doc_id").alias("doc_a"),
@@ -504,5 +510,110 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_name").alias("name_b"),
             "dist",
             (F.col("a.n") * F.col("b.n")).alias("n_record_pairs"),
+        )
+    )
+
+
+_INC_SPLIT = 400  # doc_id < split = existing corpus; >= split = new batch
+
+
+@register(
+    "dedup_incremental",
+    group="J",
+    oracle=f"""
+    with sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3])) as shingles
+        from documents
+        where len(string_split(text, ' ')) >= {_SHINGLE_K}
+    ),
+    scored as (
+        select b.doc_id,
+               c.doc_id as match_doc,
+               len(list_intersect(b.shingles, c.shingles)) * 1.0 /
+                 len(list_distinct(b.shingles || c.shingles)) as jac
+        from sh b join sh c
+          on b.doc_id >= {_INC_SPLIT} and c.doc_id < {_INC_SPLIT}
+        where len(list_intersect(b.shingles, c.shingles)) * 1.0 /
+                len(list_distinct(b.shingles || c.shingles)) >= {_TAU}
+    ),
+    best as (
+        select doc_id, match_doc, round(jac, 6) as jaccard
+        from (select *, row_number() over (partition by doc_id
+                                           order by jac desc, match_doc) rk
+              from scored) t
+        where rk = 1
+    )
+    select d.doc_id,
+           case when best.match_doc is null then 'admitted'
+                else 'near_dup' end as verdict,
+           best.match_doc, best.jaccard
+    from documents d left join best on d.doc_id = best.doc_id
+    where d.doc_id >= {_INC_SPLIT}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: INCREMENTAL near-dedup — the continuous-ingestion shape:
+    a new batch (doc_id ≥ split) is admitted or rejected against an
+    EXISTING corpus (doc_id < split) without ever comparing corpus to
+    corpus. Both sides run the shared MinHash/band signature stage
+    (_band_signatures — in production the corpus's banded signatures
+    are a stored table maintained across runs, so each ingest computes
+    signatures only for the new batch); candidates come from the
+    asymmetric band join (batch × corpus within equal band keys — the
+    join is linear in batch size, independent of corpus growth beyond
+    bucket occupancy), then exact Jaccard verifies and row_number
+    picks the best corpus match per new doc. Every batch doc gets a
+    verdict row: 'near_dup' with its match + jaccard, or 'admitted'.
+    The oracle recomputes the quadratic batch×corpus ground truth, so
+    the LSH shortcut is hash-checked against no-false-negative truth
+    at τ=0.8."""
+    d = load(spark, sf_dir, "documents")
+    eligible = d.where(F.size(F.split("text", " ")) >= _SHINGLE_K)
+    sh = eligible.select("doc_id", _shingles().alias("shingles"))
+    banded = _band_signatures(sh)
+    corpus = banded.where(F.col("doc_id") < _INC_SPLIT).select(
+        F.col("doc_id").alias("match_doc"),
+        F.col("shingles").alias("sh_c"),
+        "band",
+        "key",
+    )
+    batch = banded.where(F.col("doc_id") >= _INC_SPLIT).select(
+        "doc_id", F.col("shingles").alias("sh_b"), "band", "key"
+    )
+    cand = (
+        batch.join(corpus, ["band", "key"])
+        .select("doc_id", "match_doc", "sh_b", "sh_c")
+        .dropDuplicates(["doc_id", "match_doc"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_b", "sh_c"))
+        * 1.0
+        / F.size(F.array_union("sh_b", "sh_c"))
+    )
+    scored = cand.select(
+        "doc_id", "match_doc", jac.alias("jac")
+    ).where(F.col("jac") >= _TAU)
+    w = W.partitionBy("doc_id").orderBy(F.col("jac").desc(), "match_doc")
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "match_doc", F.round("jac", 6).alias("jaccard"))
+    )
+    return (
+        d.where(F.col("doc_id") >= _INC_SPLIT)
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("match_doc").isNull(), "admitted")
+            .otherwise("near_dup")
+            .alias("verdict"),
+            "match_doc",
+            "jaccard",
         )
     )

@@ -703,3 +703,28 @@ def test_coverage_density_consistent(spark):
     assert abs(r["density"] - round(r["n_pairs"] / (n_supp * n_part), 6)) < 1e-9
     assert r["max_parts_per_supp"] >= r["avg_parts_per_supp"]
     assert r["n_suppliers"] <= n_supp
+
+
+def test_incremental_dedup_consistent_with_pairwise(spark):
+    """Every batch doc gets exactly one verdict; the rejected set
+    equals the batch members of cross-split near-dup pairs (the
+    intra-corpus pairs must NOT reject batch docs)."""
+    rows = _run(spark, "dedup_incremental").collect()
+    d = load(spark, SF_DIR, "documents")
+    batch_ids = {
+        r["doc_id"] for r in d.where(F.col("doc_id") >= 400).collect()
+    }
+    assert {r["doc_id"] for r in rows} == batch_ids
+    rejected = {r["doc_id"] for r in rows if r["verdict"] == "near_dup"}
+    cross = set()
+    for r in _run(spark, "dedup_near_minhash").collect():
+        a_in = r["doc_a"] >= 400
+        b_in = r["doc_b"] >= 400
+        if a_in != b_in:
+            cross.add(r["doc_a"] if a_in else r["doc_b"])
+    assert rejected == cross
+    for r in rows:
+        if r["verdict"] == "near_dup":
+            assert r["jaccard"] >= 0.8 and r["match_doc"] < 400
+        else:
+            assert r["match_doc"] is None and r["jaccard"] is None
