@@ -478,3 +478,111 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+_BOOT_R = 20  # bootstrap replicates
+# Poisson(1) CDF cut points: P(X<=k) for k = 0..4; tail mass → 5
+_POIS_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340]
+
+
+@register(
+    "sample_poisson_bootstrap",
+    group="J",
+    oracle=f"""
+    with reps as (
+      select o_totalprice, r,
+             cast(('0x' || substr(md5('boot|' || cast(r as varchar) || '|' ||
+                                      cast(o_orderkey as varchar)), 1, 8))
+                  as bigint) / 4294967296.0 as u
+      from orders cross join unnest(range({_BOOT_R})) as t(r)
+    ), weighted as (
+      select r, o_totalprice,
+             case when u < {_POIS_CDF[0]} then 0
+                  when u < {_POIS_CDF[1]} then 1
+                  when u < {_POIS_CDF[2]} then 2
+                  when u < {_POIS_CDF[3]} then 3
+                  when u < {_POIS_CDF[4]} then 4
+                  else 5 end as w
+      from reps
+    ), per_rep as (
+      select r,
+             cast(sum(w * cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as double) / 1e6 / sum(w) as mean_price
+      from weighted group by r
+    )
+    select count(*) as n_replicates,
+           round(avg(mean_price), 4) as boot_mean,
+           round(stddev_samp(mean_price), 4) as boot_se,
+           round(min(mean_price), 4) as lo,
+           round(max(mean_price), 4) as hi
+    from per_rep
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Poisson bootstrap of the mean order price — the
+    resampling scheme that actually works distributed: instead of
+    drawing n rows with replacement (needs global coordination), each
+    row independently receives a Poisson(1) weight per replicate,
+    which converges to the same bootstrap distribution. Weights come
+    from the portable md5 hash mapped through the Poisson CDF, so
+    every replicate is deterministic and engine-identical —
+    'randomized' statistics with a hash-matchable oracle. One explode
+    (×20 replicates) + two tiny aggregations; per-replicate means use
+    the exact micro-unit sum. At 100 TB you run the same plan with
+    the explode pushed AFTER any filters, and the 20-replicate frame
+    is the only thing that leaves the scan. Output: bootstrap mean,
+    standard error, and range of the replicate means — the confidence
+    statement a profiler attaches to its point estimates. Replicate
+    means are ratios of exact integers (order-independent), and the
+    final stats are rounded at 4 where stddev's accumulation order
+    cannot flip a digit."""
+    o = load(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("boot"),
+                        F.col("r").cast("string"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .otherwise(5)
+    )
+    weighted = reps.select("r", "o_totalprice", w.alias("w"))
+    per_rep = weighted.groupBy("r").agg(
+        (
+            F.sum(
+                F.col("w") * F.floor(F.col("o_totalprice") * 1e6 + 0.5)
+            ).cast("double")
+            / 1e6
+            / F.sum("w")
+        ).alias("mean_price")
+    )
+    return per_rep.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("mean_price"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("mean_price"), 4).alias("boot_se"),
+        F.round(F.min("mean_price"), 4).alias("lo"),
+        F.round(F.max("mean_price"), 4).alias("hi"),
+    )

@@ -728,3 +728,20 @@ def test_incremental_dedup_consistent_with_pairwise(spark):
             assert r["jaccard"] >= 0.8 and r["match_doc"] < 400
         else:
             assert r["match_doc"] is None and r["jaccard"] is None
+
+
+def test_bootstrap_se_plausible(spark):
+    """Bootstrap SE must be in the right ballpark: within a factor 3 of
+    the CLT prediction sd/sqrt(n); range spans the mean estimate."""
+    r = _run(spark, "sample_poisson_bootstrap").collect()[0]
+    o = load(spark, SF_DIR, "orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    clt_se = stats["sd"] / stats["n"] ** 0.5
+    assert r["n_replicates"] == 20
+    assert r["lo"] <= r["boot_mean"] <= r["hi"]
+    assert clt_se / 3 <= r["boot_se"] <= clt_se * 3, (r["boot_se"], clt_se)
+    assert abs(r["boot_mean"] - stats["mu"]) < 5 * clt_se
