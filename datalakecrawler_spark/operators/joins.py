@@ -1140,3 +1140,73 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("dim_state").alias("n_states_seen"),
     )
+
+
+def _bloom_prefilter_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the bloom-prefiltered join plan (shared with the plan
+    regression test). Caller owns config save/restore."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(rev).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "join_bloom_prefilter",
+    group="D",
+    oracle=f"""
+    select l_returnflag,
+           count(*) as n_items,
+           {SUM_D.format('l_extendedprice * (1 - l_discount)')} as revenue
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    where o_orderpriority = '1-URGENT' and year(o_orderdate) = 1995
+    group by l_returnflag
+    order by l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: runtime Bloom-filter semi-join reduction — the shuffle
+    killer for selective fact⋈dim joins at 100 TB. When the dim side
+    carries a selective predicate (here: urgent 1995 orders) but is too
+    big to broadcast, a plain shuffle join moves the ENTIRE fact table;
+    Catalyst's InjectRuntimeFilter instead builds a Bloom filter over
+    the dim join keys (bloom_filter_agg, one small subquery) and pushes
+    `might_contain(key)` into the fact scan, so ~selectivity-fraction
+    of fact rows are dropped BEFORE the exchange. False positives only
+    let extra rows into the shuffle — the join itself stays exact, so
+    the result (and the oracle) is the plain join. Local-mode scan
+    sizes sit below the injection thresholds, so the fn lowers them
+    (and pins the join to the shuffle path: a broadcast join would not
+    need — or trigger — the filter), executes eagerly via
+    localCheckpoint, then restores session confs; at cluster scale the
+    default thresholds fire on their own. The plan regression test
+    asserts might_contain/bloom_filter_agg are present."""
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _bloom_prefilter_frames(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

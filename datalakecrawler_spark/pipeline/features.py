@@ -586,3 +586,51 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("mean_price"), 4).alias("lo"),
         F.round(F.max("mean_price"), 4).alias("hi"),
     )
+
+
+@register(
+    "privacy_l_diversity",
+    group="J",
+    oracle="""
+    with g as (
+        select c_mktsegment, c_nationkey,
+               count(distinct cast(floor(c_acctbal / 1000.0) as int)) as l,
+               count(*) as grp_size
+        from customer group by 1, 2
+    )
+    select count(*) as n_groups,
+           min(l) as min_l,
+           count(*) filter (where l < 3) as groups_below_l,
+           coalesce(sum(grp_size) filter (where l < 3), 0) as rows_at_risk,
+           round(cast(sum(l) as double) / count(*), 6) as avg_l
+    from g
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: l-diversity audit — the companion gate to
+    privacy_k_anonymity. k-anonymity only bounds group SIZE; a group of
+    50 people who all share the same sensitive value still leaks it
+    (homogeneity attack). l-diversity requires each quasi-identifier
+    equivalence class (c_mktsegment, c_nationkey) to contain ≥ l
+    distinct sensitive values — here the account-balance band
+    floor(c_acctbal/1000), l = 3. Same two-aggregation shape as the
+    k-audit (shuffle on the QI key with a distinct-count, then collapse
+    to one audit row), so the two gates share one scan in a combined
+    release pipeline. rows_at_risk counts members of homogeneous
+    groups needing suppression/generalization before release."""
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("int")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.countDistinct(band).alias("l"),
+        F.count(F.lit(1)).alias("grp_size"),
+    )
+    below = F.col("l") < 3
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").alias("min_l"),
+        F.count_if(below).alias("groups_below_l"),
+        F.coalesce(F.sum(F.when(below, F.col("grp_size"))), F.lit(0)).alias(
+            "rows_at_risk"
+        ),
+        F.round(F.sum("l").cast("double") / F.count(F.lit(1)), 6).alias("avg_l"),
+    )

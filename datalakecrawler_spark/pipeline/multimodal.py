@@ -180,3 +180,84 @@ def mm_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return e.select("vec_id", score("embedding").alias("score"))
+
+
+@register("mm_embed_pca", group="J", oracle=None)
+def mm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: PCA over the embedding column via a distributed Gram
+    matrix — the dimensionality/variance profile a pipeline computes
+    before deciding how aggressively vectors can be compressed (cf.
+    mm_embed_quantize / sim_topk_pq, which consume exactly this kind of
+    analysis). Classic two-phase reduce: mapInPandas emits ONE partial
+    per Arrow-batch — (n, Σx, upper-triangular ΣxxT) ≈ 2 k doubles — so
+    the driver receives O(partitions·d²) bytes regardless of row count;
+    at 100 TB the same pass works with the partials combined by a tiny
+    final agg, never by moving vectors. The d×d covariance is then
+    eigendecomposed on the driver (d = 64 → trivial), which is the
+    standard split: data-sized work distributed, model-sized work
+    local. Output: top-8 components with eigenvalue, cumulative
+    explained-variance ratio, and the dominant input dimension of each
+    component (sign-fixed so the loading is positive → deterministic
+    across runs). Rows-only: eigendecomposition has no SQL twin."""
+    import numpy as np
+
+    d = 64
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    iu = np.triu_indices(d)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(x) == 0:
+                continue
+            gram = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [gram[iu].tolist()],
+                }
+            )
+
+    rows = emb.mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(d)
+    gram = np.zeros((d, d))
+    # collect() preserves partition order → deterministic combine order
+    for r in rows:
+        s += np.asarray(r["s"])
+        gram[iu] += np.asarray(r["g"])
+    gram = gram + np.triu(gram, 1).T
+    cov = gram / n - np.outer(s / n, s / n)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    total = float(evals.sum())
+    out = []
+    cum = 0.0
+    for i in range(8):
+        vec = evecs[:, i]
+        top_dim = int(np.argmax(np.abs(vec)))
+        loading = float(vec[top_dim])
+        if loading < 0:
+            loading = -loading  # sign-fixed: eigenvector sign is arbitrary
+        cum += float(evals[i]) / total
+        out.append(
+            (
+                i,
+                round(float(evals[i]), 6),
+                round(float(evals[i]) / total, 6),
+                round(cum, 6),
+                top_dim,
+                round(loading, 6),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "component int, eigenvalue double, explained_ratio double,"
+        " cum_explained double, top_dim int, top_loading double",
+    )

@@ -13,6 +13,7 @@ run on narrow key projections.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import TABLES, load
@@ -1178,4 +1179,216 @@ def catalog_semantic_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame.select(
         "dataset", "field_name", "position", "spark_type", "ndv",
         semantic.alias("semantic_type"),
+    )
+
+
+@register(
+    "catalog_drift_psi",
+    group="B",
+    oracle="""
+    with binned as (
+      select least(9, cast(floor(o_totalprice / 50000.0) as int)) as bin,
+             count(*) filter (where year(o_orderdate) <= 1997) as n_base,
+             count(*) filter (where year(o_orderdate) >= 1998) as n_curr
+      from orders
+      group by 1
+    ),
+    tot as (
+      select bin, n_base, n_curr,
+             cast(n_base as double) / (select sum(cast(n_base as bigint)) from binned) as p_base,
+             cast(n_curr as double) / (select sum(cast(n_curr as bigint)) from binned) as p_curr
+      from binned
+    )
+    select bin, n_base, n_curr,
+           round(p_base, 6) as p_base,
+           round(p_curr, 6) as p_curr,
+           round(case when n_base > 0 and n_curr > 0
+                      then (p_base - p_curr) * ln(p_base / p_curr)
+                      else 0.0 end, 6) as psi_term
+    from tot
+    order by bin
+    """,
+)
+def catalog_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: value-distribution drift between two crawl snapshots via
+    the Population Stability Index — the monitoring statistic a catalog
+    computes when it re-crawls a dataset and wants "has this column's
+    distribution moved?" as a number, not a diff of rows
+    (catalog_snapshot_diff detects row churn; this detects
+    distributional churn even when every row changed). Baseline =
+    orders ≤ 1997, current = ≥ 1998, o_totalprice in ten fixed-width
+    50 k bins. Fixed bins (not quantiles) are deliberate: bin edges are
+    constants, so the two periods' histograms are ONE grouped
+    aggregation over one scan — at 100 TB a quantile-binned PSI would
+    need a sketch pass first, while this stays a single map-side
+    combinable pass. Each PSI term (p−q)·ln(p/q) is ≥ 0; bins empty on
+    either side contribute 0 (documented convention, matches the
+    coalesce-and-skip practice). Counts are exact ints; the p's are one
+    IEEE divide each; ln differs across libm implementations only in
+    the last ulp, absorbed by round 6."""
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    binc = F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000.0)).cast("int")
+    binned = o.groupBy(binc.alias("bin")).agg(
+        F.count_if(yr <= 1997).alias("n_base"),
+        F.count_if(yr >= 1998).alias("n_curr"),
+    )
+    w = W.partitionBy()
+    p_base = F.col("n_base").cast("double") / F.sum("n_base").over(w).cast("double")
+    p_curr = F.col("n_curr").cast("double") / F.sum("n_curr").over(w).cast("double")
+    term = F.when(
+        (F.col("n_base") > 0) & (F.col("n_curr") > 0),
+        (p_base - p_curr) * F.log(p_base / p_curr),
+    ).otherwise(F.lit(0.0))
+    return (
+        binned.select(
+            "bin", "n_base", "n_curr",
+            F.round(p_base, 6).alias("p_base"),
+            F.round(p_curr, 6).alias("p_curr"),
+            F.round(term, 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "catalog_benford_audit",
+    group="B",
+    oracle="""
+    with digits as (
+      select cast(floor(l_extendedprice
+                        / pow(10, floor(log10(l_extendedprice)))) as int)
+             as digit
+      from lineitem
+      where l_extendedprice > 0
+    )
+    select digit,
+           count(*) as n,
+           round(cast(count(*) as double)
+                 / (select count(*) from digits), 6) as observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) as benford_p,
+           round(cast(count(*) as double) / (select count(*) from digits)
+                 - log10(1.0 + 1.0 / digit), 6) as delta_p
+    from digits
+    group by digit
+    order by digit
+    """,
+)
+def catalog_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: Benford's-law first-digit audit — the classic
+    data-quality / fraud-detection screen a profiler runs over monetary
+    columns: natural multi-scale amounts follow P(d) = log10(1+1/d),
+    and a column whose leading-digit histogram deviates hard from that
+    curve was likely generated, capped, or tampered with. First digit
+    extracted arithmetically (x / 10^floor(log10 x)) — never via
+    cast-to-string, whose formatting differs across engines. One
+    grouped aggregation over one scan (9 groups); the expected curve is
+    a constant expression. log10 is exact on exact powers of ten in
+    both engines (Java Math.log10 spec; libm), and prices carry cents,
+    so the floor(log10) boundary race is not reachable in this data."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    digit = F.floor(
+        F.col("l_extendedprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("l_extendedprice")))
+    ).cast("int")
+    g = li.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return g.select(
+        "digit", "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(obs - benford, 6).alias("delta_p"),
+    ).orderBy("digit")
+
+
+@register(
+    "catalog_join_cardinality_est",
+    group="B",
+    oracle="""
+    with li_ord as (
+      select a.k as n_keys, a.c * b.c as contrib
+      from (select l_orderkey as key, count(*) as c, 1 as k from lineitem group by 1) a
+      join (select o_orderkey as key, count(*) as c from orders group by 1) b
+        using (key)
+    ),
+    li_part as (
+      select 1 as k, c * c as contrib
+      from (select l_partkey, count(*) as c from lineitem group by 1)
+    ),
+    li_supp as (
+      select 1 as k, c * c as contrib
+      from (select l_suppkey, count(*) as c from lineitem group by 1)
+    )
+    select 'lineitem_x_orders' as join_name,
+           count(*) as n_keys,
+           cast(sum(contrib) as bigint) as est_rows,
+           max(contrib) as max_key_contrib,
+           round(cast(max(contrib) as double)
+                 / cast(sum(contrib) as double), 6) as skew_share
+    from li_ord
+    union all
+    select 'lineitem_self_partkey', count(*), cast(sum(contrib) as bigint),
+           max(contrib),
+           round(cast(max(contrib) as double) / cast(sum(contrib) as double), 6)
+    from li_part
+    union all
+    select 'lineitem_self_suppkey', count(*), cast(sum(contrib) as bigint),
+           max(contrib),
+           round(cast(max(contrib) as double) / cast(sum(contrib) as double), 6)
+    from li_supp
+    """,
+)
+def catalog_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: join-output cardinality estimation from per-key count
+    histograms — the statistic that decides, before any shuffle is
+    paid, whether a planned join is safe (|A⋈B| = Σ_k cnt_A(k)·cnt_B(k),
+    exactly, for equi joins) and whether it is skewed (max single-key
+    contribution share → salting / AQE-skew-split trigger). The crawler
+    stores these per-key histograms per dataset; at plan time the
+    estimate costs a join of two SMALL key-count tables, not the real
+    fact⋈fact shuffle — the 100 TB payoff is catching a 10^14-row
+    accidental many-to-many before launching it. Three estimates here:
+    the lineitem⋈orders FK join (exact prediction of the real output)
+    and two self-join profiles (partkey/suppkey) whose est_rows would
+    be the blow-up size. Integer arithmetic throughout; only the skew
+    share is a rounded double. DuckDB widens sum(bigint) to HUGEINT, so
+    the oracle casts back to bigint."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def keycounts(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("key")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    def profile(name: str, pairs: DataFrame) -> DataFrame:
+        return pairs.agg(
+            F.lit(name).alias("join_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("contrib").alias("est_rows"),
+            F.max("contrib").alias("max_key_contrib"),
+            F.round(
+                F.max("contrib").cast("double")
+                / F.sum("contrib").cast("double"),
+                6,
+            ).alias("skew_share"),
+        )
+
+    fk = (
+        keycounts(li, "l_orderkey")
+        .join(keycounts(o, "o_orderkey").withColumnRenamed("c", "c2"), "key")
+        .select((F.col("c") * F.col("c2")).alias("contrib"))
+    )
+    selfp = keycounts(li, "l_partkey").select(
+        (F.col("c") * F.col("c")).alias("contrib")
+    )
+    selfs = keycounts(li, "l_suppkey").select(
+        (F.col("c") * F.col("c")).alias("contrib")
+    )
+    return (
+        profile("lineitem_x_orders", fk)
+        .unionByName(profile("lineitem_self_partkey", selfp))
+        .unionByName(profile("lineitem_self_suppkey", selfs))
     )

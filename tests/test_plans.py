@@ -474,3 +474,33 @@ def test_attribution_shuffles_on_user_only(spark):
     assert "CartesianProduct" not in a.joins
     assert "BroadcastNestedLoopJoin" not in a.joins
     assert not a.has_python_eval
+
+
+def test_bloom_prefilter_injects_runtime_filter(spark):
+    """The selective-dim shuffle join must carry an injected Bloom
+    runtime filter on the fact side (the 100 TB shuffle-reduction
+    pattern): bloom_filter_agg builds over the filtered dim keys and
+    might_contain prunes fact rows before the exchange."""
+    from datalakecrawler_spark.operators.joins import (
+        _BLOOM_CONFS,
+        _bloom_prefilter_frames,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_prefilter_frames(spark, PLAN_SF_DIR)
+        df.collect()
+        from datalakecrawler_spark.plans.explain import audit
+
+        a = audit(df)
+        assert "might_contain" in a.text, a.text[:2000]
+        assert "bloom_filter_agg" in a.text
+        assert any(j in ("SortMergeJoin", "ShuffledHashJoin") for j in a.joins)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

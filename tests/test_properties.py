@@ -745,3 +745,59 @@ def test_bootstrap_se_plausible(spark):
     assert r["lo"] <= r["boot_mean"] <= r["hi"]
     assert clt_se / 3 <= r["boot_se"] <= clt_se * 3, (r["boot_se"], clt_se)
     assert abs(r["boot_mean"] - stats["mu"]) < 5 * clt_se
+
+
+def test_psi_terms_nonnegative_and_bins_cover(spark):
+    """Each PSI term (p−q)·ln(p/q) is ≥ 0 by construction, and the two
+    period histograms jointly account for every order row."""
+    rows = _run(spark, "catalog_drift_psi").collect()
+    assert all(r["psi_term"] >= 0 for r in rows)
+    o = load(spark, SF_DIR, "orders")
+    assert sum(r["n_base"] + r["n_curr"] for r in rows) == o.count()
+
+
+def test_benford_observed_distribution_sums_to_one(spark):
+    rows = _run(spark, "catalog_benford_audit").collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
+    li = load(spark, SF_DIR, "lineitem")
+    assert sum(r["n"] for r in rows) == li.count()
+
+
+def test_join_cardinality_estimate_is_exact_for_fk_join(spark):
+    """For an equi join, Σ cnt_A(k)·cnt_B(k) is not an estimate — it IS
+    the output size. Verify against the real join."""
+    rows = {r["join_name"]: r for r in _run(spark, "catalog_join_cardinality_est").collect()}
+    li = load(spark, SF_DIR, "lineitem")
+    o = load(spark, SF_DIR, "orders")
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert rows["lineitem_x_orders"]["est_rows"] == actual
+    for r in rows.values():
+        assert 0 < r["skew_share"] <= 1
+        assert r["max_key_contrib"] <= r["est_rows"]
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark):
+    """Same quasi-identifier ⇒ same equivalence classes: the two
+    privacy audits must agree on the group count, and l is bounded by
+    group size."""
+    ldiv = _run(spark, "privacy_l_diversity").collect()[0]
+    kanon = _run(spark, "privacy_k_anonymity").collect()[0]
+    assert ldiv["n_groups"] == kanon["n_groups"]
+    assert 1 <= ldiv["min_l"] <= ldiv["avg_l"]
+    assert ldiv["groups_below_l"] <= ldiv["n_groups"]
+
+
+def test_embed_pca_spectrum_properties(spark):
+    """Eigenvalues non-increasing and non-negative (covariance is PSD);
+    cumulative explained ratio monotone and ≤ 1; output deterministic
+    across runs (partial-combine order is pinned)."""
+    rows1 = _run(spark, "mm_embed_pca").collect()
+    rows2 = _run(spark, "mm_embed_pca").collect()
+    assert rows1 == rows2
+    evs = [r["eigenvalue"] for r in rows1]
+    assert all(a >= b >= 0 for a, b in zip(evs, evs[1:]))
+    cums = [r["cum_explained"] for r in rows1]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+    assert cums[-1] <= 1.0 + 1e-9
+    assert all(r["top_loading"] >= 0 for r in rows1)
