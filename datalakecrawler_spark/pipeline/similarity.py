@@ -635,3 +635,87 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r.all_queries()["sim_topk_pq"].fn(spark, sf_dir))),
     ]
     return spark.createDataFrame(rows)
+
+
+@register(
+    "search_rrf_fusion",
+    group="J",
+    oracle=f"""
+    with sem as (
+      select vec_id as id,
+             row_number() over (
+                 order by round({_DOT_SQL.format('embedding',
+                     "(select embedding from embeddings where vec_id = 0)")}, 6)
+                          desc, vec_id) as r_sem
+      from embeddings where vec_id <> 0
+    ),
+    lex as (
+      select doc_id as id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t = 'spark')) as tf,
+             row_number() over (
+                 order by len(list_filter(string_split(lower(text), ' '),
+                              t -> t = 'spark')) desc, doc_id) as r_lex
+      from documents where doc_id <> 0
+    )
+    select id, r_sem, r_lex,
+           round(1.0 / (60 + r_sem) + 1.0 / (60 + r_lex), 6) as rrf_score
+    from sem join lex using (id)
+    order by rrf_score desc, id
+    limit 20
+    """,
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: hybrid retrieval via Reciprocal Rank Fusion — the
+    standard way a RAG/data-curation pipeline combines a semantic
+    ranker (embedding cosine) with a lexical ranker (keyword term
+    frequency) without score calibration: each ranker contributes
+    1/(k + rank), k = 60 (Cormack et al.'s constant), so rankings on
+    incomparable scales fuse by position only. Here doc_id ≡ vec_id
+    (1:1 fixtures): ranker A orders by cosine to query vector 0,
+    ranker B by tf of the term 'spark'; both rank with a deterministic
+    id tie-break, so the fused ordering is engine-identical. Scale
+    shape: each ranker is an independent top-N job over its own index
+    (ANN bucket probe / inverted-list probe — see sim_topk_ivf and
+    search_trigram_candidates for the 100 TB paths); fusion itself
+    joins two N-row rank lists — negligible. The full-corpus window
+    rank here is fixture-scale convenience; at scale each ranker emits
+    only its top-N and unranked docs drop out of the fusion."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    sem = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(dot("embedding", "q_emb"), 6).alias("sim"),
+        )
+        .withColumn(
+            "r_sem",
+            F.row_number().over(W.orderBy(F.col("sim").desc(), "id")),
+        )
+        .select("id", "r_sem")
+    )
+    d = load(spark, sf_dir, "documents")
+    tf = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t == F.lit("spark"))
+    )
+    lex = (
+        d.where(F.col("doc_id") != 0)
+        .select(F.col("doc_id").alias("id"), tf.alias("tf"))
+        .withColumn(
+            "r_lex",
+            F.row_number().over(W.orderBy(F.col("tf").desc(), "id")),
+        )
+        .select("id", "r_lex")
+    )
+    fused = sem.join(lex, "id").select(
+        "id",
+        "r_sem",
+        "r_lex",
+        F.round(
+            1.0 / (F.lit(60) + F.col("r_sem")) + 1.0 / (F.lit(60) + F.col("r_lex")),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "id").limit(20)

@@ -1102,3 +1102,95 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         hapax.alias("hapax"),
         F.round(hapax * 1.0 / vocab, 6).alias("hapax_ratio"),
     )
+
+
+@register(
+    "corpus_vocab_overlap",
+    group="J",
+    oracle="""
+    with flat as (
+      select lang, doc_id,
+             unnest(range(len(string_split(lower(text), ' ')))) as pos,
+             unnest(string_split(lower(text), ' ')) as tok
+      from documents
+    ),
+    vocab as (
+      select distinct lang,
+             tok || ' ' || lead(tok) over (partition by doc_id order by pos)
+               as bigram
+      from flat
+      qualify bigram is not null
+    ),
+    sizes as (select lang, count(*) as v from vocab group by 1),
+    inter as (
+      select a.lang as lang_a, b.lang as lang_b, count(*) as n_inter
+      from vocab a join vocab b on a.bigram = b.bigram and a.lang < b.lang
+      group by 1, 2
+    )
+    select lang_a, lang_b, sa.v as v_a, sb.v as v_b, n_inter,
+           round(cast(n_inter as double) / (sa.v + sb.v - n_inter), 6)
+             as jaccard,
+           round(cast(n_inter as double) / sa.v, 6) as containment_a_in_b
+    from inter
+    join sizes sa on sa.lang = lang_a
+    join sizes sb on sb.lang = lang_b
+    order by lang_a, lang_b
+    """,
+)
+def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: pairwise corpus-slice vocabulary overlap — the
+    dataset-relatedness measure over CONTENT (bigram vocabulary Jaccard
+    + containment) complementing catalog_table_similarity's
+    schema-level measure. A curation pipeline uses this to decide
+    whether two corpus slices are near-copies (high containment →
+    dedup across sources before mixing) or genuinely complementary.
+    Shape: vocab extraction collapses each slice to its distinct
+    bigram set FIRST (the only pass over full text), so the pairwise
+    join runs on vocab-sized tables — at 100 TB that's the difference
+    between joining corpora and joining dictionaries. Containment is
+    asymmetric (|A∩B|/|A|, reported a→b with lang_a < lang_b);
+    Jaccard symmetric. All counts exact ints."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    vocab = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.bigram") == F.col("b.bigram"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("v").alias("v_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a", "lang_b", "v_a", "v_b", "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("n_inter").cast("double") / F.col("v_a"), 6).alias(
+                "containment_a_in_b"
+            ),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

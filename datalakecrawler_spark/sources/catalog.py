@@ -1392,3 +1392,74 @@ def catalog_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("lineitem_self_partkey", selfp))
         .unionByName(profile("lineitem_self_suppkey", selfs))
     )
+
+
+@register(
+    "catalog_drift_ks",
+    group="B",
+    oracle="""
+    with vals as (
+      select o_totalprice as v,
+             count(*) filter (where year(o_orderdate) <= 1997) as n1,
+             count(*) filter (where year(o_orderdate) >= 1998) as n2
+      from orders
+      group by 1
+    ),
+    ecdf as (
+      select v,
+             cast(sum(n1) over (order by v
+                  rows between unbounded preceding and current row) as double)
+               / (select sum(cast(n1 as bigint)) from vals)
+             - cast(sum(n2) over (order by v
+                  rows between unbounded preceding and current row) as double)
+               / (select sum(cast(n2 as bigint)) from vals) as diff,
+             (select sum(cast(n1 as bigint)) from vals) as t1,
+             (select sum(cast(n2 as bigint)) from vals) as t2
+      from vals
+    ),
+    m as (select max(abs(diff)) as dmax from ecdf)
+    select cast(max(t1) as bigint) as n_base,
+           cast(max(t2) as bigint) as n_curr,
+           round((select dmax from m), 6) as ks_d,
+           round(min(v), 2) as ks_at
+    from ecdf where abs(diff) = (select dmax from m)
+    """,
+)
+def catalog_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: two-sample Kolmogorov–Smirnov drift statistic between
+    crawl snapshots — the bin-free companion to catalog_drift_psi.
+    PSI needs a binning choice and can miss drift that stays inside a
+    bin; KS D = max |ECDF₁(v) − ECDF₂(v)| is binning-free and locates
+    WHERE the distributions diverge most (ks_at). Shape: one grouped
+    count per distinct value (two filtered counts in one pass), one
+    global-ordered running sum, one max — cumulative counts are exact
+    integers, so the ECDF difference is bit-identical across engines
+    and the argmax filter (abs(diff) = dmax) is an exact double
+    compare of identically-computed values. The global window is the
+    scale limit: at 100 TB first quantize v to ~10⁴ bins (the PSI op's
+    trick) so the ordered pass is over bounded cardinality; the KS
+    value changes by at most one bin's mass."""
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    vals = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count_if(yr <= 1997).alias("n1"),
+        F.count_if(yr >= 1998).alias("n2"),
+    )
+    run = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = W.partitionBy()
+    diff = (
+        F.sum("n1").over(run).cast("double") / F.sum("n1").over(whole).cast("double")
+        - F.sum("n2").over(run).cast("double") / F.sum("n2").over(whole).cast("double")
+    )
+    ecdf = vals.select(
+        "v",
+        diff.alias("diff"),
+        F.sum("n1").over(whole).alias("t1"),
+        F.sum("n2").over(whole).alias("t2"),
+    ).withColumn("dmax", F.max(F.abs("diff")).over(whole))
+    return ecdf.where(F.abs("diff") == F.col("dmax")).agg(
+        F.max("t1").alias("n_base"),
+        F.max("t2").alias("n_curr"),
+        F.round(F.max("dmax"), 6).alias("ks_d"),
+        F.round(F.min("v"), 2).alias("ks_at"),
+    )

@@ -801,3 +801,30 @@ def test_embed_pca_spectrum_properties(spark):
     assert all(a <= b for a, b in zip(cums, cums[1:]))
     assert cums[-1] <= 1.0 + 1e-9
     assert all(r["top_loading"] >= 0 for r in rows1)
+
+
+def test_ks_statistic_bounded_and_covers(spark):
+    r = _run(spark, "catalog_drift_ks").collect()[0]
+    assert 0.0 <= r["ks_d"] <= 1.0
+    o = load(spark, SF_DIR, "orders")
+    assert r["n_base"] + r["n_curr"] == o.count()
+
+
+def test_rrf_fusion_scores_bounded_and_sorted(spark):
+    rows = _run(spark, "search_rrf_fusion").collect()
+    assert len(rows) == 20
+    assert len({r["id"] for r in rows}) == 20
+    scores = [r["rrf_score"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # each rank ≥ 1 → per-ranker contribution ≤ 1/61
+    assert all(0 < r["rrf_score"] <= 2 / 61 + 1e-9 for r in rows)
+    assert all(r["r_sem"] >= 1 and r["r_lex"] >= 1 for r in rows)
+
+
+def test_vocab_overlap_set_algebra(spark):
+    rows = _run(spark, "corpus_vocab_overlap").collect()
+    langs = {r["lang_a"] for r in rows} | {r["lang_b"] for r in rows}
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+    for r in rows:
+        assert r["n_inter"] <= min(r["v_a"], r["v_b"])
+        assert 0 <= r["jaccard"] <= r["containment_a_in_b"] <= 1
