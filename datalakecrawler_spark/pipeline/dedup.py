@@ -617,3 +617,102 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    group="J",
+    oracle="""
+    with d as (select doc_id, text from documents where len(text) >= 16),
+    pos as (select doc_id, text, unnest(range(1, len(text) - 14)) as i from d),
+    cuts as (
+      select doc_id, i + 16 as start from pos
+      where substr(md5(substr(text, i, 16)), 1, 1) = '0'
+      union all
+      select doc_id, 1 from d
+    ),
+    chunks as (
+      select c.doc_id,
+             substr(d.text, c.start,
+                    coalesce(lead(c.start) over (partition by c.doc_id
+                                                 order by c.start),
+                             len(d.text) + 1) - c.start) as chunk
+      from cuts c join d on c.doc_id = d.doc_id
+    ),
+    hashed as (
+      select doc_id, md5(chunk) as h, len(chunk) as chunk_len
+      from chunks where chunk <> ''
+    ),
+    by_hash as (
+      select h, count(*) as n, count(distinct doc_id) as n_docs,
+             max(chunk_len) as chunk_len
+      from hashed group by h
+    )
+    select count(*) as n_unique_chunks,
+           cast(sum(n) as bigint) as n_chunks,
+           count(*) filter (where n > 1) as n_dup_hashes,
+           count(*) filter (where n_docs > 1) as n_cross_doc_hashes,
+           cast(sum((n - 1) * chunk_len) as bigint) as dup_char_mass
+    from by_hash
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: content-defined chunking (CDC) duplicate analysis — the
+    sub-document dedup primitive from the training-data literature:
+    whole-document hashing (dedup_exact) misses the boilerplate
+    paragraph pasted into thousands of otherwise-distinct pages.
+    CDC cuts each document where a rolling content hash meets a
+    condition (here: md5 of the 16-char window starts with '0',
+    ≈ 1/16 rate → ~16-char expected chunks), so chunk boundaries are
+    CONTENT-anchored: insert one word at the top of a page and the
+    chunk set shifts by one chunk, not by all of them — the property
+    fixed-width shingles lack. Duplicated chunk hashes across docs
+    expose shared boilerplate; dup_char_mass is the byte-savings bound
+    for chunk-level dedup. Cross-engine note: the boundary hash is md5
+    (SURVEY §2.L trap 7 — never xxhash64 for oracle-checked keys).
+    Scale shape: position explosion → filter → per-doc window over
+    CUTS ONLY (the full text never shuffles with the positions; the
+    chunk substring is extracted after re-joining the ~1/16-density
+    cut list back to the doc row), then one hash aggregation. At
+    100 TB the window-size/boundary-rate pair trades index size
+    against dedup granularity exactly as in production CDC stores."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= 16)
+        .select("doc_id", "text")
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 15)).alias("i"),
+    )
+    cuts = (
+        pos.where(
+            F.md5(F.col("text").substr(F.col("i"), F.lit(16))).startswith("0")
+        )
+        .select("doc_id", (F.col("i") + 16).alias("start"))
+        .unionByName(d.select("doc_id", F.lit(1).alias("start")))
+    )
+    nxt = F.lead("start").over(W.partitionBy("doc_id").orderBy("start"))
+    spans = cuts.withColumn("next_start", nxt).join(d, "doc_id")
+    chunk = F.col("text").substr(
+        F.col("start"),
+        F.coalesce(F.col("next_start"), F.length("text") + 1) - F.col("start"),
+    )
+    hashed = (
+        spans.select("doc_id", chunk.alias("chunk"))
+        .where(F.col("chunk") != "")
+        .select("doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("chunk_len"))
+    )
+    by_hash = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("chunk_len").alias("chunk_len"),
+    )
+    return by_hash.agg(
+        F.count(F.lit(1)).alias("n_unique_chunks"),
+        F.sum("n").alias("n_chunks"),
+        F.count_if(F.col("n") > 1).alias("n_dup_hashes"),
+        F.count_if(F.col("n_docs") > 1).alias("n_cross_doc_hashes"),
+        F.sum((F.col("n") - 1) * F.col("chunk_len")).alias("dup_char_mass"),
+    )

@@ -828,3 +828,15 @@ def test_vocab_overlap_set_algebra(spark):
     for r in rows:
         assert r["n_inter"] <= min(r["v_a"], r["v_b"])
         assert 0 <= r["jaccard"] <= r["containment_a_in_b"] <= 1
+
+
+def test_cdc_chunks_reconcile_with_corpus(spark):
+    """Dup bounds hold and chunk counts stay within corpus size."""
+    r = _run(spark, "dedup_cdc_chunks").collect()[0]
+    assert r["n_unique_chunks"] <= r["n_chunks"]
+    assert r["n_cross_doc_hashes"] <= r["n_dup_hashes"]
+    # every dup hash has n ≥ 2 and len ≥ 1 → mass ≥ n_dup_hashes
+    assert r["dup_char_mass"] >= r["n_dup_hashes"]
+    d = load(spark, SF_DIR, "documents").where(F.length("text") >= 16)
+    total_chars = d.select(F.sum(F.length("text"))).collect()[0][0]
+    assert r["n_chunks"] <= total_chars
