@@ -40,6 +40,10 @@ HEADLINE = [
     # round-2 additions — measured in BASELINE.md "Round-2 additions"
     "win_trending_parts",
     "orders_cohort_ltv",
+    # drift/retrieval/chunking additions — BASELINE.md third table
+    "catalog_drift_psi",
+    "search_rrf_fusion",
+    "dedup_cdc_chunks",
 ]
 
 
