@@ -1314,3 +1314,144 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_parts_per_supp"
         ),
     )
+
+
+@register(
+    "sample_hash_reservoir",
+    group="J",
+    oracle="""
+    with ranked as (
+      select o_orderkey, o_totalprice,
+             row_number() over (order by md5(cast(o_orderkey as varchar)),
+                                o_orderkey) as rk
+      from orders
+    )
+    select count(*) as sample_n,
+           round(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                      as double) / 1e6 / count(*) , 4) as sample_avg_price,
+           min(o_orderkey) as min_key,
+           max(o_orderkey) as max_key
+    from ranked where rk <= 100
+    """,
+)
+def sample_hash_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: deterministic uniform k-sample via hash ranking — the
+    distributed replacement for reservoir sampling. A true reservoir
+    is sequential (one pass, one slot of state); ranking every row by
+    a content hash and keeping the global top-k gives the SAME
+    distribution (md5 order is uniform and independent of the data
+    order) while being embarrassingly parallel: per-partition top-k,
+    then merge — Spark's TakeOrdered path, no full sort, no shuffle of
+    non-survivors. Unlike rand()-based sampling it is reproducible
+    across engines, runs, and partitionings (SURVEY §2.L trap 7: md5,
+    never xxhash64, for cross-engine keys), which is what a
+    training-data pipeline needs for an auditable eval holdout.
+    k = 100 over orders; the audit row reports the sample's size, mean
+    price (micro-unit exact), and key range."""
+    o = load(spark, sf_dir, "orders")
+    rk = F.row_number().over(
+        W.orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+    )
+    sample = o.withColumn("rk", rk).where(F.col("rk") <= 100)
+    return sample.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        F.round(
+            F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast("double")
+            / 1e6
+            / F.count(F.lit(1)),
+            4,
+        ).alias("sample_avg_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_CM_SEEDS = [0, 1, 2, 3]   # d = 4 hash rows
+_CM_WIDTH = 256            # w = 256 buckets per row
+_CM_PROBES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "agg_countmin_sketch",
+    group="E",
+    oracle=f"""
+    with keyed as (
+      select o_orderpriority as key from orders
+    ),
+    sketch as (
+      select s.seed,
+             cast(concat('0x', substr(md5(concat(s.seed, key)), 1, 8))
+                  as bigint) % {_CM_WIDTH} as bucket,
+             count(*) as cnt
+      from keyed, (select unnest([0, 1, 2, 3]) as seed) s
+      group by 1, 2
+    ),
+    probes as (select unnest(['1-URGENT', '2-HIGH', '3-MEDIUM',
+                              '4-NOT SPECIFIED', '5-LOW']) as key),
+    est as (
+      select p.key, min(sk.cnt) as cm_estimate
+      from probes p
+      join sketch sk
+        on sk.bucket = cast(concat('0x',
+               substr(md5(concat(sk.seed, p.key)), 1, 8)) as bigint)
+               % {_CM_WIDTH}
+      group by p.key
+    ),
+    exact as (select key, count(*) as exact_cnt from keyed group by 1)
+    select e.key, x.exact_cnt, e.cm_estimate
+    from est e join exact x using (key)
+    order by e.key
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: count-min sketch — the mergeable frequency sketch
+    completing the sketch family (theta = set cardinality/algebra, KLL
+    = quantiles, HLL = distinct; CM = per-key counts). d = 4 hash rows
+    × w = 256 buckets of exact counters; a key's estimate is the MIN
+    of its d bucket counters, an upper bound on the true count that
+    overshoots only when all d buckets collide with heavy keys. Build
+    is one grouped count over (seed, bucket) — map-side combinable,
+    fixed d·w memory per partition regardless of key cardinality,
+    which is the whole point at 100 TB: the sketch table (1 k rows)
+    ships to the driver or joins against probes for free, and sketches
+    from different partitions/days merge by adding counters. Bucket
+    hash is md5-hex → int (conv/0x-cast agree across engines, checked
+    in tests) so build AND probe are oracle-verified, not just
+    rows-checked. Probes: the 5 order priorities; estimate ≥ exact
+    always (property-tested)."""
+    o = load(spark, sf_dir, "orders")
+    seeds = spark.createDataFrame([(s,) for s in _CM_SEEDS], "seed int")
+
+    def bucket(seed_col, key_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(seed_col.cast("string"), key_col)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CM_WIDTH
+        )
+
+    sketch = (
+        o.select(F.col("o_orderpriority").alias("key"))
+        .crossJoin(F.broadcast(seeds))
+        .groupBy("seed", bucket(F.col("seed"), F.col("key")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame([(p,) for p in _CM_PROBES], "key string")
+    est = (
+        F.broadcast(probes)
+        .crossJoin(sketch)
+        .where(F.col("bucket") == bucket(F.col("seed"), F.col("key")))
+        .groupBy("key")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    exact = (
+        o.groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "key")
+        .select("key", "exact_cnt", "cm_estimate")
+        .orderBy("key")
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
-from datalakecrawler_spark.registry import register
+from datalakecrawler_spark.registry import SUM_D, dsum, register
 
 _DEC = "decimal(38,10)"
 
@@ -762,4 +762,131 @@ def events_user_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value"),
         F.round(F.percent_rank().over(w), 6).alias("value_pctile"),
         F.ntile(10).over(w).alias("value_decile"),
+    )
+
+
+@register(
+    "ts_exp_smoothing",
+    group="F",
+    oracle=f"""
+    with monthly as (
+      select date_trunc('month', o_orderdate) as mth,
+             {SUM_D.format('o_totalprice')} as revenue
+      from orders group by 1
+    ),
+    ranked as (
+      select mth, revenue,
+             row_number() over (order by mth) as i
+      from monthly
+    )
+    select n.mth,
+           round(n.revenue, 2) as actual,
+           round(sum(case when p.i = 1 then pow(0.7, n.i - 1) * p.revenue
+                          else 0.3 * pow(0.7, n.i - p.i) * p.revenue
+                     end), 4) as ses_level
+    from ranked n
+    join ranked p on p.i <= n.i
+    group by n.mth, n.revenue
+    order by n.mth
+    """,
+)
+def ts_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: simple exponential smoothing of monthly revenue
+    (α = 0.3) — the short-horizon forecasting level a pipeline keeps
+    per series. The textbook recursion s_n = αx_n + (1−α)s_{n−1} is
+    sequential — useless distributed — so this uses the closed form
+    s_n = Σᵢ wᵢxᵢ with wᵢ = α(1−α)^{n−i} (and the s₁ = x₁ boundary
+    carrying (1−α)^{n−1}): a self-join of the MONTHLY table (≈ 80
+    rows however big the fact table is; the only data-sized work is
+    the monthly dsum rollup). The closed form is also the cross-engine
+    safe one: a running-state formulation would hit DuckDB's
+    segment-tree window summation (different add order), while here
+    each sₙ is one grouped sum of ≤ n explicitly-constructed terms —
+    order still differs, but term magnitudes (≤ x_max) put the
+    reorder error ~1e-9, absorbed by round 4. Monthly inputs are
+    exact via micro-unit sums."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("mth")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    ranked = monthly.withColumn("i", F.row_number().over(W.orderBy("mth")))
+    n = ranked.alias("n")
+    p = ranked.alias("p")
+    weight = F.when(
+        F.col("p.i") == 1, F.pow(F.lit(0.7), F.col("n.i") - 1)
+    ).otherwise(F.lit(0.3) * F.pow(F.lit(0.7), F.col("n.i") - F.col("p.i")))
+    return (
+        n.join(p, F.col("p.i") <= F.col("n.i"))
+        .groupBy(F.col("n.mth").alias("mth"), F.col("n.revenue").alias("revenue"))
+        .agg(F.round(F.sum(weight * F.col("p.revenue")), 4).alias("ses_level"))
+        .select("mth", F.round("revenue", 2).alias("actual"), "ses_level")
+        .orderBy("mth")
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    group="F",
+    oracle="""
+    with daily as (
+      select date_trunc('day', ts) as day, count(*) as x
+      from events group by 1
+    ),
+    stats as (
+      select count(*) as n_days,
+             cast(sum(x) as bigint) as total
+      from daily
+    ),
+    cusum as (
+      select day,
+             cast(sum(x) over (order by day
+                  rows between unbounded preceding and current row) as double)
+             - (row_number() over (order by day))
+               * (cast((select total from stats) as double)
+                  / (select n_days from stats)) as s
+      from daily
+    ),
+    m as (select max(abs(s)) as smax from cusum)
+    select (select n_days from stats) as n_days,
+           round(cast((select total from stats) as double)
+                 / (select n_days from stats), 6) as mu,
+           round((select smax from m), 6) as max_abs_cusum,
+           min(day) as change_day
+    from cusum where abs(s) = (select smax from m)
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: CUSUM changepoint detection over the daily event-count
+    series — the classic sequential drift monitor: Sₙ = Σᵢ≤ₙ(xᵢ − μ)
+    drifts away from 0 after the point where the level shifts, and
+    argmax |Sₙ| is the maximum-likelihood single changepoint under a
+    mean-shift model. Cross-engine trick: Sₙ = Cₙ − n·μ where Cₙ is
+    the cumulative INTEGER count — the running sum stays exact int64
+    (immune to DuckDB's segment-tree float reordering) and only the
+    final subtraction is float, identically computed per row. The
+    argmax filter compares identically-derived doubles; min(day)
+    breaks exact ties deterministically. Daily rollup is the only
+    data-sized pass."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    whole = W.partitionBy()
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    mu = F.sum("x").over(whole).cast("double") / F.count(F.lit(1)).over(whole)
+    s = (
+        F.sum("x").over(run).cast("double")
+        - F.row_number().over(W.orderBy("day")) * mu
+    )
+    cusum = daily.select(
+        "day",
+        s.alias("s"),
+        mu.alias("mu"),
+        F.count(F.lit(1)).over(whole).alias("n_days"),
+    ).withColumn("smax", F.max(F.abs("s")).over(whole))
+    return cusum.where(F.abs("s") == F.col("smax")).agg(
+        F.max("n_days").alias("n_days"),
+        F.round(F.max("mu"), 6).alias("mu"),
+        F.round(F.max("smax"), 6).alias("max_abs_cusum"),
+        F.min("day").alias("change_day"),
     )

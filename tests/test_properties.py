@@ -840,3 +840,43 @@ def test_cdc_chunks_reconcile_with_corpus(spark):
     d = load(spark, SF_DIR, "documents").where(F.length("text") >= 16)
     total_chars = d.select(F.sum(F.length("text"))).collect()[0][0]
     assert r["n_chunks"] <= total_chars
+
+
+def test_ses_level_is_convex_combination(spark):
+    """Each smoothed level is a convex combination of history → bounded
+    by the running min/max of actuals; first month equals its actual."""
+    rows = _run(spark, "ts_exp_smoothing").orderBy("mth").collect()
+    assert abs(rows[0]["ses_level"] - round(rows[0]["actual"], 4)) < 0.01
+    lo, hi = rows[0]["actual"], rows[0]["actual"]
+    for r in rows:
+        lo, hi = min(lo, r["actual"]), max(hi, r["actual"])
+        assert lo - 0.01 <= r["ses_level"] <= hi + 0.01
+
+
+def test_cusum_reconciles_with_event_totals(spark):
+    r = _run(spark, "events_cusum_changepoint").collect()[0]
+    e = load(spark, SF_DIR, "events")
+    assert r["max_abs_cusum"] >= 0
+    assert abs(r["mu"] * r["n_days"] - e.count()) < 0.01
+    days = e.select(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.min("d"), F.max("d")).collect()[0]
+    assert days[0] <= r["change_day"] <= days[1]
+
+
+def test_hash_reservoir_deterministic_and_bounded(spark):
+    r1 = _run(spark, "sample_hash_reservoir").collect()[0]
+    r2 = _run(spark, "sample_hash_reservoir").collect()[0]
+    assert r1 == r2
+    assert r1["sample_n"] == 100
+    o = load(spark, SF_DIR, "orders")
+    b = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    assert b[0] <= r1["sample_avg_price"] <= b[1]
+
+
+def test_countmin_estimate_upper_bounds_exact(spark):
+    rows = _run(spark, "agg_countmin_sketch").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_cnt"]
+    o = load(spark, SF_DIR, "orders")
+    assert sum(r["exact_cnt"] for r in rows) == o.count()
