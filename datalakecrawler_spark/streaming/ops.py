@@ -565,3 +565,133 @@ def stream_python_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     so one plan definition covers both regimes."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_DRIFT_SPLIT = "2024-01-11"  # baseline = first 10 days of the fixture month
+
+
+def baseline_value_hist(events_batch: DataFrame) -> DataFrame:
+    """Static baseline histogram for drift monitoring: value binned to
+    ten fixed-width 50-unit bins over the pre-split period, with each
+    bin's probability mass. Exact integer counts → identical doubles
+    in every engine. This is the crawl artifact a monitor loads; the
+    stream never re-reads baseline data."""
+    binc = F.least(F.lit(9), F.floor(F.col("value") / 50)).cast("int")
+    hist = (
+        events_batch.where(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"))
+        .groupBy(binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = hist.agg(F.sum("c").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(t))
+        .select("bin", (F.col("c").cast("double") / F.col("t")).alias("p_base"))
+    )
+
+
+def build_drift_psi(events: DataFrame, baseline_hist: DataFrame) -> DataFrame:
+    """I-ext builder: per-day PSI of the event value distribution
+    against a static baseline histogram — continuous drift monitoring
+    as a streaming query. PSI is not a plain sum (each term needs the
+    window's TOTAL count), so the windowed form uses the algebraic
+    decomposition
+
+        PSI = (A − B)/T − (Tv/T)·lnT − D + C·lnT + E
+
+    with A = Σc·ln c, B = Σc·ln q, C = Σq, D = Σq·ln c, E = Σq·ln q
+    over bins valid on both sides, T = all events in the window, Tv =
+    events in valid bins — every component a plain SUM, so the whole
+    thing runs as two chained stateful aggregations (bin counts per
+    day window, then the component sums per day) with bounded state:
+    ≤ 10 bin rows per window at level 1, one row per window at level
+    2. The static side is a broadcast stream-static join — stateless.
+    Late events update their window's PSI until the watermark closes
+    it. Deployment note: Spark's multi-stateful-operator correctness
+    check conservatively flags any join sandwiched between stateful
+    aggs; the stream-static join here is stateless (delays no rows,
+    emits nothing late), so running this plan requires
+    spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
+    false — sound for this shape, asserted equal to the batch twin in
+    tests/test_streaming.py."""
+    binc = F.least(F.lit(9), F.floor(F.col("value") / 50)).cast("int")
+    cur = (
+        events.where(F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    j = cur.join(F.broadcast(baseline_hist), "bin", "left")
+    c = F.col("cnt").cast("double")
+    q = F.col("p_base")
+    valid = q.isNotNull() & (q > 0)
+    z = F.lit(0.0)
+    comp = j.groupBy(F.window("w", "1 day").alias("w2")).agg(
+        F.sum("cnt").alias("t_all"),
+        F.sum(F.when(valid, F.col("cnt")).otherwise(F.lit(0))).alias("t_valid"),
+        F.sum(F.when(valid, c * F.log(c)).otherwise(z)).alias("a"),
+        F.sum(F.when(valid, c * F.log(q)).otherwise(z)).alias("b"),
+        F.sum(F.when(valid, q).otherwise(z)).alias("cc"),
+        F.sum(F.when(valid, q * F.log(c)).otherwise(z)).alias("d"),
+        F.sum(F.when(valid, q * F.log(q)).otherwise(z)).alias("e"),
+    )
+    t = F.col("t_all").cast("double")
+    tv = F.col("t_valid").cast("double")
+    lnt = F.log(t)
+    psi = (
+        (F.col("a") - F.col("b")) / t
+        - (tv / t) * lnt
+        - F.col("d")
+        + F.col("cc") * lnt
+        + F.col("e")
+    )
+    return comp.select(
+        F.col("w2.start").alias("window_start"),
+        F.col("t_all").alias("n_events"),
+        F.round(psi, 6).alias("psi"),
+    )
+
+
+@register(
+    "stream_drift_psi",
+    group="I",
+    oracle=f"""
+    with bh as (
+      select least(9, cast(floor(value / 50) as int)) as bin,
+             cast(count(*) as double)
+               / (select count(*) from events
+                  where ts < timestamp '{_DRIFT_SPLIT}') as p_base
+      from events where ts < timestamp '{_DRIFT_SPLIT}'
+      group by 1
+    ),
+    cur as (
+      select date_trunc('day', ts) as d,
+             least(9, cast(floor(value / 50) as int)) as bin,
+             count(*) as cnt
+      from events where ts >= timestamp '{_DRIFT_SPLIT}'
+      group by 1, 2
+    ),
+    tot as (select d, cast(sum(cnt) as bigint) as t from cur group by 1)
+    select cast(cur.d as timestamp) as window_start,
+           max(tot.t) as n_events,
+           round(sum(case when bh.p_base > 0 then
+                 (cast(cnt as double) / tot.t - bh.p_base)
+                 * ln((cast(cnt as double) / tot.t) / bh.p_base)
+                 else 0.0 end), 6) as psi
+    from cur
+    join tot using (d)
+    left join bh using (bin)
+    group by cur.d
+    order by cur.d
+    """,
+)
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext: streaming distribution-drift monitor — per-day PSI of
+    event values against a static pre-split baseline (the streaming
+    face of catalog_drift_psi). Registered as its batch twin; the
+    oracle computes PSI in the direct per-bin form, pinning that the
+    decomposed streaming-safe algebra in build_drift_psi is the same
+    statistic (float paths differ at ~1e-14, absorbed by round 6).
+    tests/test_streaming.py runs the identical builder over
+    readStream and asserts batch/stream equality."""
+    e = load(spark, sf_dir, "events")
+    return build_drift_psi(e, baseline_value_hist(e)).orderBy("window_start")

@@ -361,3 +361,26 @@ def test_python_stream_source_replay_equals_batch(spark):
         time.sleep(1)
     q.stop()
     assert got == expected
+
+
+def test_stream_drift_psi_equals_batch(spark, events_stream):
+    """The decomposed streaming PSI over readStream matches the batch
+    twin (same builder, same static baseline histogram). Spark's
+    multi-stateful-operator correctness check is conservative: it
+    flags ANY join between two stateful aggs, but a broadcast
+    stream-static join is stateless and delays no rows, so disabling
+    the check is sound for this plan (documented in build_drift_psi)."""
+    key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        base = ops.baseline_value_hist(load(spark, SF_DIR, "events"))
+        batch = ops.build_drift_psi(load(spark, SF_DIR, "events"), base)
+        stream = ops.build_drift_psi(events_stream, base)
+        out = _run_stream(spark, stream, "drift_psi_sink", mode="complete")
+        _assert_same(batch, out)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
