@@ -51,15 +51,11 @@ SURVEY_INVENTORY = {
     "udtf_grouped_map", "udtf_arrow_table",
 }
 
-HEADLINE = {
-    "q1_pricing_summary", "q3_star_join", "topk_per_group_window",
-    "distinct_users_daily", "doc_wordcount", "embedding_topk_cosine",
-    "rollup_order_priority", "semi_anti_join",
-    # extended suite (BASELINE.md "extended suite" table)
-    "q8_market_share", "q21_waiting_suppliers", "text_tfidf_topterms",
-    "events_rolling_active_users", "orders_market_basket",
-    "catalog_column_correlation",
-}
+# single source of truth for the headline suite is bench.py (what the
+# driver actually times); COVERAGE.md and PLANS.md follow it.
+from bench import HEADLINE as _BENCH_HEADLINE  # noqa: E402
+
+HEADLINE = set(_BENCH_HEADLINE)
 
 
 def test_survey_inventory_complete():
