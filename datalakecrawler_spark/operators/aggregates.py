@@ -1455,3 +1455,78 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "exact_cnt", "cm_estimate")
         .orderBy("key")
     )
+
+
+@register(
+    "agg_groupwise_ols",
+    group="E",
+    oracle="""
+    with s as (
+      select l_returnflag,
+             count(*) as n,
+             sum(cast(floor(l_quantity + 0.5) as bigint)) as sx,
+             sum(cast(floor(l_extendedprice + 0.5) as bigint)) as sy,
+             sum(cast(floor(l_quantity + 0.5) as bigint)
+                 * cast(floor(l_quantity + 0.5) as bigint)) as sxx,
+             sum(cast(floor(l_quantity + 0.5) as bigint)
+                 * cast(floor(l_extendedprice + 0.5) as bigint)) as sxy,
+             sum(cast(floor(l_extendedprice + 0.5) as bigint)
+                 * cast(floor(l_extendedprice + 0.5) as bigint)) as syy
+      from lineitem
+      group by 1
+    )
+    select l_returnflag,
+           n,
+           round((cast(n as double) * sxy - cast(sx as double) * sy)
+                 / (cast(n as double) * sxx - cast(sx as double) * sx), 6)
+             as slope,
+           round((cast(sy as double)
+                  - ((cast(n as double) * sxy - cast(sx as double) * sy)
+                     / (cast(n as double) * sxx - cast(sx as double) * sx))
+                    * cast(sx as double)) / n, 6) as intercept,
+           round(pow(cast(n as double) * sxy - cast(sx as double) * sy, 2)
+                 / ((cast(n as double) * sxx - cast(sx as double) * sx)
+                    * (cast(n as double) * syy - cast(sy as double) * sy)),
+                 6) as r2
+    from s
+    order by l_returnflag
+    """,
+)
+def agg_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: group-wise ordinary least squares — per-group linear
+    fits (price vs quantity per return flag) computed from closed-form
+    moment sums, the way regression runs at 100 TB: ONE hash
+    aggregation collecting (n, Σx, Σy, Σx², Σxy, Σy²) per group —
+    map-side combinable, 6 numbers of state per group — then slope /
+    intercept / R² as driver-free final expressions. Never per-group
+    model fitting in Python. Inputs quantize to integer units
+    (quantity units, whole dollars) so every moment is exact int64
+    (Σy² envelope: 1.1e10 per row × 6e6 rows at sf1 ≈ 6.6e16 « 9.2e18)
+    and the final double arithmetic is bit-identical across engines —
+    same parity scheme as catalog_column_correlation, extended with
+    the fit coefficients."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") + 0.5).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov_n = n * F.col("sxy") - sx * sy
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / F.col("n"), 6).alias("intercept"),
+        F.round(F.pow(cov_n, 2) / (var_x * var_y), 6).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -880,3 +880,22 @@ def test_countmin_estimate_upper_bounds_exact(spark):
         assert r["cm_estimate"] >= r["exact_cnt"]
     o = load(spark, SF_DIR, "orders")
     assert sum(r["exact_cnt"] for r in rows) == o.count()
+
+
+def test_ols_r2_bounded_and_slope_consistent(spark):
+    """R² ∈ [0,1]; regression line passes through the group mean; group
+    sizes sum to the table size."""
+    rows = _run(spark, "agg_groupwise_ols").collect()
+    li = load(spark, SF_DIR, "lineitem")
+    assert sum(r["n"] for r in rows) == li.count()
+    means = {
+        r["l_returnflag"]: (r["mx"], r["my"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.avg("l_quantity").alias("mx"), F.avg("l_extendedprice").alias("my"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["r2"] <= 1.0
+        mx, my = means[r["l_returnflag"]]
+        # ŷ(mean x) ≈ mean y (exact in OLS; quantization adds < 1 unit)
+        assert abs(r["intercept"] + r["slope"] * mx - my) < 1.0
