@@ -1,0 +1,179 @@
+"""A-ext — minimal versioned transaction log ("lakelet"): the
+Delta/Iceberg-style ACID layer a lake engine needs over raw parquet
+directories, reduced to its load-bearing core:
+
+- every write is a COMMIT: data lands in an immutable per-version
+  directory, then a JSON manifest (version, mode, adds, removes,
+  row counts) is published by atomic rename — readers never see a
+  half-written version because the manifest IS the visibility switch.
+- a snapshot at version V is "replay manifests 0..V": overwrite
+  manifests drop all previously-active directories, append manifests
+  add one. Time travel = stop the replay early.
+- vacuum deletes directories no longer active at HEAD (breaking time
+  travel behind the retained version — same contract as Delta VACUUM).
+
+Single-writer by construction here (version = max existing + 1); at
+cluster scale the publish step becomes a conditional put / rename-if-
+absent on the object store — the optimistic-concurrency pattern — and
+manifests would carry file-level stats for data skipping. Reads stay
+plain `spark.read.parquet(*active_dirs)`, so every downstream operator
+(including the DuckDB oracle, pointed at the same directories) sees an
+ordinary parquet dataset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+_TMP_BASE = "/root/repo/.tmp/txlog"
+
+
+def _manifest_dir(base: str) -> str:
+    return os.path.join(base, "_txlog")
+
+
+def _versions(base: str) -> list[int]:
+    mdir = _manifest_dir(base)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f.split(".")[0]) for f in os.listdir(mdir) if f.endswith(".json")
+    )
+
+
+def _read_manifest(base: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(base), f"{version:05d}.json")) as fh:
+        return json.load(fh)
+
+
+def txlog_write(df: DataFrame, base: str, mode: str = "append") -> int:
+    """Commit `df` as the next version. mode: 'append' | 'overwrite'.
+    Data first (immutable dir), manifest last (atomic rename) — the
+    commit point is the rename."""
+    assert mode in ("append", "overwrite"), mode
+    os.makedirs(_manifest_dir(base), exist_ok=True)
+    version = (_versions(base)[-1] + 1) if _versions(base) else 0
+    data_dir = os.path.join(base, f"v{version:05d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    n_rows = df.sparkSession.read.parquet(data_dir).count()
+    removes = active_dirs(base) if mode == "overwrite" else []
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "adds": [f"v{version:05d}"],
+        "removes": [os.path.basename(d) for d in removes],
+        "rows_added": n_rows,
+    }
+    tmp = os.path.join(_manifest_dir(base), f".{version:05d}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(base), f"{version:05d}.json"))
+    return version
+
+
+def active_dirs(base: str, version: int | None = None) -> list[str]:
+    """Replay manifests 0..version → currently-visible data dirs."""
+    active: list[str] = []
+    for v in _versions(base):
+        if version is not None and v > version:
+            break
+        m = _read_manifest(base, v)
+        active = [d for d in active if d not in m["removes"]]
+        active.extend(m["adds"])
+    return [os.path.join(base, d) for d in active]
+
+
+def txlog_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of `version` (None = HEAD)."""
+    dirs = active_dirs(base, version)
+    if not dirs:
+        raise ValueError(f"no active data at version {version} in {base}")
+    for d in dirs:
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"version {version} references vacuumed data dir {d}"
+            )
+    return spark.read.parquet(*dirs)
+
+
+def txlog_history(spark: SparkSession, base: str) -> DataFrame:
+    rows = [
+        (
+            m["version"],
+            m["mode"],
+            len(m["adds"]),
+            len(m["removes"]),
+            m["rows_added"],
+        )
+        for m in (_read_manifest(base, v) for v in _versions(base))
+    ]
+    return spark.createDataFrame(
+        rows, "version int, mode string, n_adds int, n_removes int, rows_added long"
+    )
+
+
+def txlog_vacuum(base: str) -> int:
+    """Delete data dirs not active at HEAD. Returns #dirs removed.
+    Breaks time travel to versions that referenced them (the VACUUM
+    contract)."""
+    head_active = {os.path.basename(d) for d in active_dirs(base)}
+    removed = 0
+    for entry in sorted(os.listdir(base)):
+        if entry.startswith("v") and entry not in head_active:
+            shutil.rmtree(os.path.join(base, entry))
+            removed += 1
+    return removed
+
+
+@register(
+    "sink_txlog_versioned",
+    group="A",
+    oracle="""
+    with c as (
+      select year(o_orderdate) as y, count(*) as c from orders group by 1
+    )
+    select 0 as version,
+           cast((select sum(c) from c where y <= 1995) as bigint) as n_rows
+    union all
+    select 1, cast((select sum(c) from c where y <= 1996) as bigint)
+    union all
+    select 2, cast((select sum(c) from c where y = 1997) as bigint)
+    union all
+    select 3, cast((select sum(c) from c where y in (1997, 1998)) as bigint)
+    order by version
+    """,
+)
+def sink_txlog_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: versioned-table lifecycle — four commits (append, append,
+    OVERWRITE, append) against the transaction log, then a time-travel
+    read of every version. The oracle derives each version's expected
+    row count from the source predicates, so the whole ACID replay
+    chain (manifest ordering, overwrite-removes-everything semantics,
+    append accumulation) is value-checked, not just smoke-tested.
+    Commit = data dir + atomically-renamed JSON manifest; see module
+    docstring for the cluster-scale mapping (conditional put,
+    file-stats for skipping)."""
+    base = os.path.join(_TMP_BASE, "demo")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    txlog_write(o.where(yr <= 1995), base, "append")
+    txlog_write(o.where(yr == 1996), base, "append")
+    txlog_write(o.where(yr == 1997), base, "overwrite")
+    txlog_write(o.where(yr == 1998), base, "append")
+    counts = [
+        (v, txlog_snapshot(spark, base, v).count()) for v in range(4)
+    ]
+    return spark.createDataFrame(counts, "version int, n_rows long").orderBy(
+        "version"
+    )

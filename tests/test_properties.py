@@ -899,3 +899,35 @@ def test_ols_r2_bounded_and_slope_consistent(spark):
         mx, my = means[r["l_returnflag"]]
         # ŷ(mean x) ≈ mean y (exact in OLS; quantization adds < 1 unit)
         assert abs(r["intercept"] + r["slope"] * mx - my) < 1.0
+
+
+def test_txlog_time_travel_and_vacuum_contract(spark):
+    """Transaction-log invariants: history replay matches snapshots,
+    HEAD survives vacuum unchanged, vacuumed old versions become
+    unreadable (the VACUUM contract), and a new commit after vacuum
+    continues the version sequence."""
+    import pytest as _pytest
+
+    from datalakecrawler_spark.sources import txlog
+
+    base = "/root/repo/.tmp/txlog/props"
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, SF_DIR, "orders")
+    v0 = txlog.txlog_write(o.limit(100), base, "append")
+    v1 = txlog.txlog_write(o.limit(50), base, "append")
+    v2 = txlog.txlog_write(o.limit(30), base, "overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert txlog.txlog_snapshot(spark, base, 1).count() == 150
+    assert txlog.txlog_snapshot(spark, base).count() == 30
+    hist = {r["version"]: r for r in txlog.txlog_history(spark, base).collect()}
+    assert hist[2]["mode"] == "overwrite" and hist[2]["n_removes"] == 2
+    removed = txlog.txlog_vacuum(base)
+    assert removed == 2
+    assert txlog.txlog_snapshot(spark, base).count() == 30  # HEAD intact
+    with _pytest.raises(ValueError):
+        txlog.txlog_snapshot(spark, base, 1)  # time travel broken by vacuum
+    v3 = txlog.txlog_write(o.limit(10), base, "append")
+    assert v3 == 3
+    assert txlog.txlog_snapshot(spark, base).count() == 40
