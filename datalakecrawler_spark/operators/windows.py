@@ -890,3 +890,78 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("smax"), 6).alias("max_abs_cusum"),
         F.min("day").alias("change_day"),
     )
+
+
+@register(
+    "ts_theil_sen_trend",
+    group="F",
+    oracle=f"""
+    with monthly as (
+      select date_trunc('month', o_orderdate) as mth,
+             {SUM_D.format('o_totalprice')} as revenue
+      from orders group by 1
+    ),
+    ranked as (
+      select revenue, row_number() over (order by mth) as i from monthly
+    ),
+    slopes as (
+      select (b.revenue - a.revenue) / (b.i - a.i) as s
+      from ranked a join ranked b on a.i < b.i
+    ),
+    ts as (select quantile_cont(s, 0.5) as slope from slopes)
+    select (select count(*) from ranked) as n_months,
+           cast((select count(*) from slopes) as bigint) as n_pairs,
+           round((select slope from ts), 4) as ts_slope,
+           round((select quantile_cont(revenue - (select slope from ts) * i,
+                                       0.5) from ranked), 4) as ts_intercept
+    """,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: Theil–Sen robust trend of monthly revenue — the
+    median-of-pairwise-slopes estimator, the standard robust companion
+    to OLS (agg_groupwise_ols): a single wild month moves the OLS line
+    but not the median of C(n,2) slopes (breakdown point ≈ 29%).
+    Scale shape mirrors ts_exp_smoothing: the only data-sized work is
+    the monthly rollup; the O(n²) pair join runs on the ~80-row series
+    table (3 k pairs — trivial; for series with ≥10⁵ points switch to
+    the repeated-median or sampling variant). Slopes are differences
+    of micro-unit-exact revenues over integer index gaps → identical
+    doubles in both engines; the median uses the shared
+    percentile_cont interpolation (parity established by
+    agg_percentile_exact) and rounds at 4."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mth")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    ranked = monthly.withColumn("i", F.row_number().over(W.orderBy("mth")))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    slopes = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        (
+            (F.col("b.revenue") - F.col("a.revenue"))
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("s")
+    )
+    stats = slopes.agg(
+        F.percentile("s", F.lit(0.5)).alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    resid = (
+        ranked.crossJoin(F.broadcast(stats))
+        .select(
+            (F.col("revenue") - F.col("slope") * F.col("i")).alias("r"),
+            "slope",
+            "n_pairs",
+        )
+        .groupBy("slope", "n_pairs")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.percentile("r", F.lit(0.5)).alias("intercept"),
+        )
+    )
+    return resid.select(
+        "n_months",
+        "n_pairs",
+        F.round("slope", 4).alias("ts_slope"),
+        F.round("intercept", 4).alias("ts_intercept"),
+    )

@@ -324,3 +324,73 @@ def scan_txlog_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_year").alias("n_years"),
     )
+
+
+def txlog_write_commit(
+    df: DataFrame,
+    base: str,
+    mode: str = "append",
+    stats_cols: tuple = (),
+    epoch: int | None = None,
+) -> int | None:
+    """Exactly-once variant of txlog_write for streaming sinks: if a
+    manifest already records `epoch`, the commit is a no-op (a retried
+    micro-batch cannot double-commit). The epoch check + rename is the
+    idempotence point — stronger than overwrite-by-path, because a
+    replayed epoch neither rewrites data nor adds a version."""
+    if epoch is not None:
+        for v in _versions(base):
+            if _read_manifest(base, v).get("epoch") == epoch:
+                return None
+    version = txlog_write(df, base, mode, stats_cols)
+    if epoch is not None:
+        # annotate the just-written manifest (single-writer; see module doc)
+        path = os.path.join(_manifest_dir(base), f"{version:05d}.json")
+        m = _read_manifest(base, version)
+        m["epoch"] = epoch
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.rename(tmp, path)
+    return version
+
+
+@register(
+    "sink_txlog_schema_evolution",
+    group="A",
+    oracle="""
+    select cast(count(*) as bigint) as n_rows,
+           cast(count(*) filter (where year(o_orderdate) <= 1995) as bigint)
+             as n_without_flag,
+           cast(count(*) filter (where year(o_orderdate) = 1996) as bigint)
+             as n_with_flag
+    from orders where year(o_orderdate) <= 1996
+    """,
+)
+def sink_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: additive schema evolution on the versioned table — v0
+    commits two columns, v1 appends the same shape PLUS a new o_flag
+    column; the snapshot read merges schemas (mergeSchema), so v0 rows
+    surface the new column as NULL. That null/non-null split is the
+    oracle check: rows without the flag must be exactly the v0
+    predicate's rows. Additive evolution is the only kind this layer
+    permits (same contract as Delta's schema-on-write default);
+    renames/drops require an explicit overwrite commit."""
+    base = os.path.join(_TMP_BASE, "evolve_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    txlog_write(o.where(yr <= 1995).select("o_orderkey", "o_totalprice"), base)
+    txlog_write(
+        o.where(yr == 1996).select(
+            "o_orderkey", "o_totalprice", F.lit("backfilled").alias("o_flag")
+        ),
+        base,
+    )
+    dirs = active_dirs(base)
+    snap = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_flag").isNull()).alias("n_without_flag"),
+        F.count_if(F.col("o_flag").isNotNull()).alias("n_with_flag"),
+    )

@@ -695,3 +695,54 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream and asserts batch/stream equality."""
     e = load(spark, sf_dir, "events")
     return build_drift_psi(e, baseline_value_hist(e)).orderBy("window_start")
+
+
+def run_txlog_stream_sink(spark: SparkSession, src_dir: str, base: str) -> None:
+    """Streaming half of stream_txlog_sink: every micro-batch commits
+    one transaction-log version via the exactly-once epoch guard
+    (txlog_write_commit) — a replayed epoch is a no-op, so the table
+    never double-counts, and each commit is atomic (manifest rename).
+    This upgrades the overwrite-by-epoch foreachBatch recipe: readers
+    get snapshot isolation and time travel over the stream's history
+    for free."""
+    from datalakecrawler_spark.sources.txlog import txlog_write_commit
+
+    raw = normalize_events_ts(
+        spark.readStream.schema(events_source_schema(spark, src_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        txlog_write_commit(batch_df, base, "append", epoch=epoch_id)
+
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+@register(
+    "stream_txlog_sink",
+    group="I",
+    oracle=f"""
+    select event_type, count(*) as n, {SUM_D.format("value")} as total_value
+    from events group by 1 order by 1
+    """,
+)
+def stream_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext batch twin: per-type event totals. The streaming half
+    (run_txlog_stream_sink) commits each micro-batch as a transaction-
+    log version with an exactly-once epoch guard;
+    tests/test_streaming.py drives it, REPLAYS an epoch to prove the
+    guard, and asserts the HEAD snapshot aggregates to this twin."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .orderBy("event_type")
+    )

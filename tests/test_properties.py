@@ -931,3 +931,27 @@ def test_txlog_time_travel_and_vacuum_contract(spark):
     v3 = txlog.txlog_write(o.limit(10), base, "append")
     assert v3 == 3
     assert txlog.txlog_snapshot(spark, base).count() == 40
+
+
+def test_theil_sen_slope_within_slope_range(spark):
+    """The median pairwise slope lies between the min and max pairwise
+    slopes, and pair count is C(n,2)."""
+    r = _run(spark, "ts_theil_sen_trend").collect()[0]
+    n = r["n_months"]
+    assert r["n_pairs"] == n * (n - 1) // 2
+    exp = _run(spark, "ts_exp_smoothing").collect()
+    rev = [x["actual"] for x in sorted(exp, key=lambda y: y["mth"])]
+    slopes = [
+        (rev[j] - rev[i]) / (j - i)
+        for i in range(len(rev))
+        for j in range(i + 1, len(rev))
+    ]
+    assert min(slopes) - 1e-6 <= r["ts_slope"] <= max(slopes) + 1e-6
+
+
+def test_txlog_schema_evolution_nullability(spark):
+    """Evolved snapshot: rows from the pre-evolution version carry NULL
+    for the new column; totals reconcile with the source."""
+    r = _run(spark, "sink_txlog_schema_evolution").collect()[0]
+    assert r["n_rows"] == r["n_without_flag"] + r["n_with_flag"]
+    assert r["n_without_flag"] > 0 and r["n_with_flag"] > 0

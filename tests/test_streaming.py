@@ -384,3 +384,49 @@ def test_stream_drift_psi_equals_batch(spark, events_stream):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_stream_txlog_sink_exactly_once(spark):
+    """Each micro-batch becomes one txlog version; a replayed epoch is
+    a no-op (version count unchanged); HEAD aggregates to the batch
+    twin."""
+    import shutil
+
+    from datalakecrawler_spark.sources import txlog
+
+    base = "/root/repo/.tmp/txlog/stream_sink"
+    src = "/root/repo/.tmp/txlog/stream_src"
+    for d in (base, src):
+        shutil.rmtree(d, ignore_errors=True)
+    # stage the events file as 4 source files → 4 micro-batches
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    step = (t.num_rows + 3) // 4
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), os.path.join(src, f"part{i}.parquet"))
+    ops.run_txlog_stream_sink(spark, src, base)
+    versions = txlog.txlog_history(spark, base).count()
+    assert versions == 4
+    head = txlog.txlog_snapshot(spark, base)
+    # replay epoch 0 with different data: must be ignored
+    v = txlog.txlog_write_commit(
+        head.limit(5), base, "append", epoch=0
+    )
+    assert v is None
+    assert txlog.txlog_history(spark, base).count() == versions
+    got = (
+        head.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 1e6 + 0.5)).cast("double") / 1e6).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    from datalakecrawler_spark.registry import queries
+
+    twin = queries()["stream_txlog_sink"](spark, SF_DIR)
+    _assert_same(twin, got)
