@@ -10,6 +10,9 @@ Commands:
   explain <name>                 physical-plan audit of one operator
   verify [names...]              compare operators against the DuckDB
                                  oracle (exit 1 on any mismatch/error)
+  lint [names...] [--strict]     plan lints (Cartesian products, Python
+                                 eval, excess shuffles) over the
+                                 headline suite or named operators
 """
 
 from __future__ import annotations
@@ -43,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap_verify.add_argument("names", nargs="*", help="default: every operator")
     ap_verify.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    ap_lint = sub.add_parser("lint", help="plan lints over operators")
+    ap_lint.add_argument("names", nargs="*", help="default: headline suite")
+    ap_lint.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap_lint.add_argument("--strict", action="store_true", help="exit 1 on findings")
 
     args = ap.parse_args(argv)
 
@@ -112,6 +120,35 @@ def main(argv: list[str] | None = None) -> int:
         summary = "  ".join(f"{k}={v}" for k, v in sorted(counts.items()))
         print(f"verified {len(results)} operators: {summary}")
         return 0 if counts.get("mismatch", 0) + counts.get("error", 0) == 0 else 1
+
+    if args.cmd == "lint":
+        from bench import HEADLINE
+        from datalakecrawler_spark.plans.explain import audit, lint
+
+        qs = dlc.registry.all_queries()
+        names = args.names or [n for n in HEADLINE if n in qs]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown} — try `list`", file=sys.stderr)
+            return 2
+        n_findings = 0
+        for name in names:
+            q = qs[name]
+            df = q.fn(spark, args.sf_dir)
+            df.collect()
+            a = audit(df)
+            issues = lint(a, name, q.group)
+            n_findings += len(issues)
+            flag = "CLEAN" if not issues else "LINT "
+            print(
+                f"{flag} {name}: joins={sorted(set(a.joins)) or '-'} "
+                f"exchanges={a.n_exchanges} codegen={a.n_codegen_stages} "
+                f"python={a.has_python_eval}"
+            )
+            for i in issues:
+                print(f"      - {i}")
+        print(f"linted {len(names)} plans: {n_findings} finding(s)")
+        return 1 if (args.strict and n_findings) else 0
 
     if args.cmd == "query":
         qs = dlc.registry.all_queries()

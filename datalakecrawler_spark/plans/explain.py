@@ -60,3 +60,32 @@ def audit(df: DataFrame) -> PlanAudit:
         re.search(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", text)
     )
     return a
+
+
+# Groups whose operators legitimately cross into Python (UDF surface,
+# multimodal decode) or intentionally use nested-loop shapes.
+_PYTHON_OK_GROUPS = {"K"}
+_PYTHON_OK_PREFIXES = ("mm_", "udf_", "udaf_", "udtf_", "stream_stateful",
+                       "source_python", "stream_python", "cluster_kmeans",
+                       "sample_", "pipeline_")
+
+
+def lint(a: PlanAudit, name: str = "", group: str = "") -> list[str]:
+    """Plan lints — the de-optimizations that silently cost orders of
+    magnitude at 100 TB. Returns human-readable findings (empty =
+    clean). Used by the `lint` CLI subcommand and pinned to zero for
+    the headline benchmark suite in tests/test_plans.py."""
+    findings: list[str] = []
+    if "CartesianProduct" in a.joins and not name.endswith("_cross"):
+        findings.append("CartesianProduct: unbounded pairwise blow-up at scale")
+    if a.has_python_eval and group not in _PYTHON_OK_GROUPS and not any(
+        name.startswith(p) for p in _PYTHON_OK_PREFIXES
+    ):
+        findings.append(
+            "Python eval in a built-in-operator plan: blocks codegen + pushdown"
+        )
+    if a.n_exchanges >= 8:
+        findings.append(
+            f"{a.n_exchanges} exchanges: check for a reusable partitioning"
+        )
+    return findings

@@ -504,3 +504,20 @@ def test_bloom_prefilter_injects_runtime_filter(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_headline_suite_lints_clean(spark):
+    """Zero plan lints across the whole headline benchmark suite: no
+    Cartesian products, no Python eval in built-in plans, no
+    excess-shuffle plans."""
+    from bench import HEADLINE
+    from datalakecrawler_spark.plans.explain import lint
+
+    findings = {}
+    for name in HEADLINE:
+        q = registry.all_queries()[name]
+        a = _audit_uncached(spark, name)
+        issues = lint(a, name, q.group)
+        if issues:
+            findings[name] = issues
+    assert not findings, findings
