@@ -409,6 +409,11 @@ def test_stream_txlog_sink_exactly_once(spark):
     ops.run_txlog_stream_sink(spark, src, base)
     versions = txlog.txlog_history(spark, base).count()
     assert versions == 4
+    # restart the whole query against the same checkpoint: the source
+    # offsets are committed, so a restart commits NOTHING new —
+    # exactly-once across restarts, not just within-run epoch retries
+    ops.run_txlog_stream_sink(spark, src, base)
+    assert txlog.txlog_history(spark, base).count() == versions
     head = txlog.txlog_snapshot(spark, base)
     # replay epoch 0 with different data: must be ignored
     v = txlog.txlog_write_commit(
