@@ -965,3 +965,84 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 4).alias("ts_slope"),
         F.round("intercept", 4).alias("ts_intercept"),
     )
+
+
+@register(
+    "events_markov_stationary",
+    group="F",
+    oracle="""
+    with seq as (
+      select event_type,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev_type
+      from events
+    ),
+    trans as (
+      select prev_type, event_type as next_type, count(*) as n
+      from seq where prev_type is not null group by 1, 2
+    ),
+    p as (
+      select prev_type, next_type,
+             cast(n as double)
+               / sum(cast(n as bigint)) over (partition by prev_type) as prob
+      from trans
+    ),
+    states as (select distinct prev_type as s from trans),
+    pi0 as (
+      select s, 1.0 / (select count(*) from states) as pi from states
+    ),
+    pi1 as (
+      select p.next_type as s, sum(pi0.pi * p.prob) as pi
+      from pi0 join p on p.prev_type = pi0.s group by 1
+    ),
+    pi2 as (
+      select p.next_type as s, sum(pi1.pi * p.prob) as pi
+      from pi1 join p on p.prev_type = pi1.s group by 1
+    )
+    select s as event_type, round(pi, 6) as pi_2step
+    from pi2 order by s
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: Markov stationary-distribution estimate by UNROLLED power
+    iteration — two steps of π ← πP from a uniform start over the
+    user-journey transition matrix (events_transition_matrix is the
+    count form; this normalizes rows to probabilities and iterates).
+    Same engine pattern as cluster_kmeans_lloyd: an iterative
+    algorithm run as a bounded DataFrame loop whose every round is
+    hash-checked by an unrolled-CTE oracle. Each iteration is a join
+    of the π vector (|states| rows) with P (|states|² rows) — at scale
+    the matrix broadcasts and iterations are cheap; convergence
+    checking would compare successive π vectors (‖π₂−π₁‖, driver-side
+    scalar). Probabilities are exact-count ratios → identical doubles;
+    the per-state dot products sum ≤ |states| terms, reorder error
+    ~1e-17, absorbed by round 6."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_w = W.partitionBy("prev_type")
+    p = trans.select(
+        "prev_type",
+        "next_type",
+        (F.col("n").cast("double") / F.sum("n").over(row_w).cast("double")).alias(
+            "prob"
+        ),
+    )
+    states = trans.select(F.col("prev_type").alias("s")).distinct()
+    n_states = states.count()
+    pi = states.select("s", F.lit(1.0 / n_states).alias("pi"))
+    for _ in range(2):
+        pi = (
+            pi.join(F.broadcast(p), pi.s == p.prev_type)
+            .groupBy(F.col("next_type").alias("s_next"))
+            .agg(F.sum(F.col("pi") * F.col("prob")).alias("pi"))
+            .withColumnRenamed("s_next", "s")
+        )
+    return pi.select(
+        F.col("s").alias("event_type"), F.round("pi", 6).alias("pi_2step")
+    ).orderBy("event_type")

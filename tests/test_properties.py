@@ -955,3 +955,18 @@ def test_txlog_schema_evolution_nullability(spark):
     r = _run(spark, "sink_txlog_schema_evolution").collect()[0]
     assert r["n_rows"] == r["n_without_flag"] + r["n_with_flag"]
     assert r["n_without_flag"] > 0 and r["n_with_flag"] > 0
+
+
+def test_markov_pi_is_probability_vector(spark):
+    """After each power step π stays a probability vector: entries
+    positive, summing to 1 (the transition matrix is row-stochastic)."""
+    rows = _run(spark, "events_markov_stationary").collect()
+    total = sum(r["pi_2step"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    assert all(r["pi_2step"] > 0 for r in rows)
+    types = {r["event_type"] for r in rows}
+    e_types = {
+        r["event_type"]
+        for r in load(spark, SF_DIR, "events").select("event_type").distinct().collect()
+    }
+    assert types <= e_types
