@@ -1046,3 +1046,124 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select(
         F.col("s").alias("event_type"), F.round("pi", 6).alias("pi_2step")
     ).orderBy("event_type")
+
+
+@register(
+    "ts_max_drawdown",
+    group="F",
+    oracle=f"""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as rev_micro
+      from orders group by 1
+    ),
+    dd as (
+      select day, rev_micro,
+             max(rev_micro) over (order by day
+               rows between unbounded preceding and current row) as peak
+      from daily
+    )
+    select count(*) as n_days,
+           round(cast(max(peak - rev_micro) as double) / 1e6, 2)
+             as max_drawdown,
+           min(day) filter (where peak - rev_micro =
+               (select max(peak - rev_micro) from dd)) as trough_day
+    from dd
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: maximum drawdown of the daily revenue series — the
+    running-peak-minus-current statistic (finance's risk measure;
+    here 'worst single-day drop from the best day so far', the alarm
+    a revenue monitor raises). Note the series monitored is the DAILY
+    level, not the cumulative sum — a cumulative sum of positive
+    values never draws down. Every running quantity stays in exact
+    micro-unit int64 (running max of exact ints is order-safe), so
+    the window chain is engine-deterministic; only the final drawdown
+    converts to double. One ordered window over the ~160-row daily
+    series (the day rollup is the only data-sized pass); trough day
+    tie-breaks by min(day)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("rev_micro"))
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dd = daily.withColumn("peak", F.max("rev_micro").over(run)).select(
+        "day", (F.col("peak") - F.col("rev_micro")).alias("draw")
+    )
+    whole = W.partitionBy()
+    dd = dd.withColumn("dmax", F.max("draw").over(whole))
+    return dd.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max("dmax").cast("double") / 1e6, 2).alias("max_drawdown"),
+        F.min(F.when(F.col("draw") == F.col("dmax"), F.col("day"))).alias(
+            "trough_day"
+        ),
+    )
+
+
+@register(
+    "agg_pct_of_parent",
+    group="E",
+    oracle=f"""
+    with rev as (
+      select r.r_name as region, n.n_name as nation,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as rev_micro
+      from orders o
+      join customer c on o.o_custkey = c.c_custkey
+      join nation n on c.c_nationkey = n.n_nationkey
+      join region r on n.n_regionkey = r.r_regionkey
+      group by 1, 2
+    )
+    select region, nation,
+           round(cast(rev_micro as double) / 1e6, 2) as revenue,
+           round(cast(rev_micro as double)
+                 / cast(sum(rev_micro) over (partition by region) as double),
+                 6) as pct_of_region,
+           round(cast(sum(rev_micro) over (partition by region) as double)
+                 / cast(sum(rev_micro) over () as double), 6)
+             as region_pct_of_total
+    from rev
+    order by region, nation
+    """,
+)
+def agg_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: percent-of-parent hierarchical shares — each nation's
+    share of its region and each region's share of the total, in one
+    pass: aggregate once at the leaf grain (nation), then two
+    window-sums re-derive the parent levels WITHOUT rescanning facts
+    (the rollup-cube alternative when you need ratios, not subtotal
+    rows). Denominators are window sums of exact micro-unit ints —
+    order-independent across engines — and the dims broadcast into the
+    fact join. ~25 leaf rows after the aggregation; everything above
+    the leaf agg is free."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("rev_micro"))
+    )
+    by_region = W.partitionBy("region")
+    whole = W.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("rev_micro").cast("double") / 1e6, 2).alias("revenue"),
+        F.round(
+            F.col("rev_micro").cast("double")
+            / F.sum("rev_micro").over(by_region).cast("double"),
+            6,
+        ).alias("pct_of_region"),
+        F.round(
+            F.sum("rev_micro").over(by_region).cast("double")
+            / F.sum("rev_micro").over(whole).cast("double"),
+            6,
+        ).alias("region_pct_of_total"),
+    ).orderBy("region", "nation")

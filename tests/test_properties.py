@@ -970,3 +970,30 @@ def test_markov_pi_is_probability_vector(spark):
         for r in load(spark, SF_DIR, "events").select("event_type").distinct().collect()
     }
     assert types <= e_types
+
+
+def test_max_drawdown_bounds_and_reconciles(spark):
+    """Drawdown is non-negative and bounded by (max − min) daily
+    revenue; pct-of-parent shares sum to 1 within each level."""
+    r = _run(spark, "ts_max_drawdown").collect()[0]
+    daily = (
+        load(spark, SF_DIR, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg((F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)) / 1e6).alias("rev"))
+    )
+    b = daily.agg(F.min("rev"), F.max("rev"), F.count(F.lit(1))).collect()[0]
+    assert 0 <= r["max_drawdown"] <= b[1] - b[0] + 0.01
+    assert r["n_days"] == b[2]
+
+
+def test_pct_of_parent_shares_sum_to_one(spark):
+    rows = _run(spark, "agg_pct_of_parent").collect()
+    by_region = {}
+    region_share = {}
+    for r in rows:
+        by_region.setdefault(r["region"], 0.0)
+        by_region[r["region"]] += r["pct_of_region"]
+        region_share[r["region"]] = r["region_pct_of_total"]
+    for region, total in by_region.items():
+        assert abs(total - 1.0) < 1e-4, (region, total)
+    assert abs(sum(region_share.values()) - 1.0) < 1e-4
