@@ -1210,3 +1210,88 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "orders_basket_lift",
+    group="D",
+    oracle="""
+    with ob as (
+      select distinct l_orderkey, p_brand
+      from lineitem join part on l_partkey = p_partkey
+    ),
+    n_orders as (select count(distinct l_orderkey) as n from ob),
+    brand as (select p_brand, count(*) as s from ob group by 1),
+    pairs as (
+      select a.p_brand as brand_a, b.p_brand as brand_b,
+             count(*) as support
+      from ob a join ob b
+        on a.l_orderkey = b.l_orderkey and a.p_brand < b.p_brand
+      group by 1, 2
+      having count(*) >= 10
+    )
+    select brand_a, brand_b, support,
+           round(cast(support as double) / ba.s, 6) as confidence_a_to_b,
+           round(cast(support as double) * (select n from n_orders)
+                 / (cast(ba.s as double) * bb.s), 6) as lift
+    from pairs
+    join brand ba on ba.p_brand = brand_a
+    join brand bb on bb.p_brand = brand_b
+    order by brand_a, brand_b
+    """,
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: association rules from basket co-occurrence —
+    confidence P(b|a) and lift P(a,b)/(P(a)P(b)) over the
+    orders_market_basket pair supports (support alone ranks popular
+    pairs; lift separates genuinely-associated pairs from
+    popular-with-everything ones, the step that turns co-occurrence
+    counts into recommendations). The per-brand marginals come from
+    the SAME collapsed (order, brand) table as the pairs — one scan
+    feeds pairs, marginals, and the order count; the rule computation
+    joins dimension-sized tables only. All inputs exact ints; ratios
+    are identically-computed doubles rounded at 6."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    brand = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 10)
+    )
+    ba = brand.select(F.col("p_brand").alias("brand_a"), F.col("s").alias("s_a"))
+    bb = brand.select(F.col("p_brand").alias("brand_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("s_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("support").cast("double")
+                * F.lit(n_orders)
+                / (F.col("s_a").cast("double") * F.col("s_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

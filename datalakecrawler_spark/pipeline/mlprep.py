@@ -323,3 +323,72 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dur_s"), 6).alias("avg_dur_s"),
         F.max("n_events").alias("max_events"),
     )
+
+
+@register(
+    "mlprep_negative_sampling",
+    group="J",
+    oracle="""
+    with anchors as (
+      select vec_id as anchor_id, label as anchor_label
+      from embeddings where vec_id < 100
+    ),
+    ranked as (
+      select anchor_id, e.vec_id as neg_vec_id, e.label as neg_label,
+             row_number() over (
+               partition by anchor_id
+               order by md5(concat(cast(anchor_id as varchar), '-',
+                                   cast(e.vec_id as varchar))), e.vec_id
+             ) as neg_rank
+      from anchors a
+      join embeddings e
+        on e.vec_id <> a.anchor_id and e.label <> a.anchor_label
+    )
+    select anchor_id, neg_rank, neg_vec_id, neg_label
+    from ranked where neg_rank <= 3
+    order by anchor_id, neg_rank
+    """,
+)
+def mlprep_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: deterministic negative sampling for contrastive training
+    — for each anchor vector, k=3 negatives drawn from OTHER classes,
+    ranked by a content hash md5(anchor-candidate) instead of rand():
+    the sample is reproducible across engines, runs, and
+    partitionings, so a training run can be audited and exactly
+    re-materialized (same argument as sample_hash_reservoir, applied
+    per-anchor). The class constraint (label ≠ anchor label) is what
+    makes these true negatives rather than potential false ones.
+    Anchor set bounded to 100 for the demo; at 100 TB the candidate
+    join is hash-bucketed (join on a truncated-hash band instead of
+    the full cross product) — the per-anchor top-k then probes one
+    bucket, the same pre-filter pattern as the LSH dedup family."""
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    cands = e.select(
+        F.col("vec_id").alias("neg_vec_id"), F.col("label").alias("neg_label")
+    )
+    pairs = anchors.join(
+        cands,
+        (F.col("neg_vec_id") != F.col("anchor_id"))
+        & (F.col("neg_label") != F.col("anchor_label")),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("anchor_id").orderBy(
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit("-"),
+                    F.col("neg_vec_id").cast("string"),
+                )
+            ),
+            "neg_vec_id",
+        )
+    )
+    return (
+        pairs.withColumn("neg_rank", rk)
+        .where(F.col("neg_rank") <= 3)
+        .select("anchor_id", "neg_rank", "neg_vec_id", "neg_label")
+        .orderBy("anchor_id", "neg_rank")
+    )

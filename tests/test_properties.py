@@ -997,3 +997,31 @@ def test_pct_of_parent_shares_sum_to_one(spark):
     for region, total in by_region.items():
         assert abs(total - 1.0) < 1e-4, (region, total)
     assert abs(sum(region_share.values()) - 1.0) < 1e-4
+
+
+def test_negative_samples_are_true_negatives(spark):
+    """Every sampled negative has a different label than its anchor,
+    each anchor gets exactly k=3, and the sample is deterministic."""
+    rows1 = _run(spark, "mlprep_negative_sampling").collect()
+    rows2 = _run(spark, "mlprep_negative_sampling").collect()
+    assert rows1 == rows2
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
+    }
+    per_anchor = {}
+    for r in rows1:
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+        assert r["neg_label"] != labels[r["anchor_id"]]
+        assert r["neg_vec_id"] != r["anchor_id"]
+    assert all(len(v) == 3 for v in per_anchor.values())
+    assert len(per_anchor) == 100
+
+
+def test_basket_lift_consistent_with_support(spark):
+    """Lift and confidence re-derive from supports; confidence ≤ 1."""
+    rows = _run(spark, "orders_basket_lift").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["confidence_a_to_b"] <= 1
+        assert r["lift"] > 0
