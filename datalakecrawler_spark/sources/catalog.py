@@ -1463,3 +1463,56 @@ def catalog_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("dmax"), 6).alias("ks_d"),
         F.round(F.min("v"), 2).alias("ks_at"),
     )
+
+
+@register(
+    "crawl_partition_catalog",
+    group="B",
+    oracle="""
+    select cast(year(o_orderdate) as varchar) as partition_value,
+           count(*) as n_rows,
+           1 as n_files
+    from orders
+    group by 1
+    order by 1
+    """,
+)
+def crawl_partition_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: partition discovery — the crawler's `partition` catalog
+    entity (SURVEY §1.1): walk a hive-partitioned dataset layout
+    (key=value directories), extract each partition's value, and
+    record per-partition row and file counts. The crawl is
+    Spark-native: one read of the partitioned root (partition column
+    comes from directory names, not data), then a group-by on
+    (partition value, input_file_name) — no driver-side directory
+    walking over data files, which is what lets the same crawl run
+    partition-parallel over a million-partition table. The fixture
+    dataset is written here (orders partitioned by year, one file per
+    partition via repartition(1) so file counts are deterministic and
+    the whole catalog row is oracle-checkable — n_rows per partition
+    must match the source predicate exactly)."""
+    base = "/root/repo/.tmp/partition_catalog"
+    import shutil as _shutil
+
+    _shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    (
+        o.repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(base)
+    )
+    crawled = spark.read.parquet(base).select(
+        F.col("o_year").cast("string").alias("partition_value"),
+        F.input_file_name().alias("f"),  # projected first: nondeterministic
+    )                                    # exprs can't sit inside an agg
+    return (
+        crawled.groupBy("partition_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("f").cast("int").alias("n_files"),
+        )
+        .orderBy("partition_value")
+    )
