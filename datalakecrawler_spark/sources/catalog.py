@@ -1516,3 +1516,112 @@ def crawl_partition_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_value")
     )
+
+
+_PII_DETECTORS = {
+    # POSIX-simple patterns only — must behave identically in Spark's
+    # Java regex and DuckDB's RE2 (SURVEY §2.L: no lookaround, no \d
+    # shorthand differences — spell out classes).
+    "email": "^[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}$",
+    "phone_us": "^[0-9]{3}-[0-9]{3}-[0-9]{4}$",
+    "numeric_id": "^[0-9]{6,}$",
+}
+
+
+@register(
+    "catalog_pii_detect",
+    group="B",
+    oracle=f"""
+    with synth as (
+      select lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '.', 'g'))
+               || '@example.com' as email_col,
+             lpad(cast(c_custkey % 1000 as varchar), 3, '0') || '-'
+               || lpad(cast(c_nationkey * 37 % 1000 as varchar), 3, '0') || '-'
+               || lpad(cast(c_custkey * 7 % 10000 as varchar), 4, '0')
+               as phone_col,
+             c_name as name_col,
+             cast(c_custkey + 1000000 as varchar) as id_col
+      from customer
+    ),
+    hits as (
+      select 'email_col' as column_name, 'email' as detector,
+             count(*) as n_rows,
+             count(*) filter (where regexp_matches(email_col,
+                 '{_PII_DETECTORS["email"]}')) as n_hits
+      from synth
+      union all
+      select 'phone_col', 'phone_us', count(*),
+             count(*) filter (where regexp_matches(phone_col,
+                 '{_PII_DETECTORS["phone_us"]}'))
+      from synth
+      union all
+      select 'name_col', 'email', count(*),
+             count(*) filter (where regexp_matches(lower(name_col),
+                 '{_PII_DETECTORS["email"]}'))
+      from synth
+      union all
+      select 'id_col', 'numeric_id', count(*),
+             count(*) filter (where regexp_matches(id_col,
+                 '{_PII_DETECTORS["numeric_id"]}'))
+      from synth
+    )
+    select column_name, detector, n_rows, n_hits,
+           round(cast(n_hits as double) / n_rows, 6) as hit_rate,
+           cast(n_hits as double) / n_rows >= 0.8 as flagged_pii
+    from hits
+    order by column_name, detector
+    """,
+)
+def catalog_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: PII detection — the governance scan a crawler runs per
+    column before a dataset is released: regex detectors (email, US
+    phone, long numeric identifier) evaluated over the column, a
+    hit-rate per (column, detector), and a flag when ≥80% of values
+    match (rate-based, so a stray match in a free-text column doesn't
+    quarantine the dataset). Fixtures carry no real PII, so the
+    PII-shaped columns are synthesized deterministically from customer
+    fields — the detector machinery (pattern set, rate computation,
+    thresholding) is the artifact under test, and every count is
+    oracle-checked. Patterns stay POSIX-simple: Java regex (Spark) and
+    RE2 (DuckDB) agree only on the common subset — no lookaround, no
+    shorthand classes. One pass over the column set; at 100 TB the
+    scan samples (catalog_sample_rows) instead of reading full
+    columns, trading certainty for a bounded scan — same detectors,
+    same thresholds."""
+    c = load(spark, sf_dir, "customer")
+    synth = c.select(
+        F.concat(
+            F.lower(F.regexp_replace(F.col("c_name"), "[^a-zA-Z0-9]", ".")),
+            F.lit("@example.com"),
+        ).alias("email_col"),
+        F.concat(
+            F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("c_nationkey") * 37 % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("c_custkey") * 7 % 10000).cast("string"), 4, "0"),
+        ).alias("phone_col"),
+        F.col("c_name").alias("name_col"),
+        (F.col("c_custkey") + 1000000).cast("string").alias("id_col"),
+    )
+    probes = [
+        ("email_col", "email", F.col("email_col")),
+        ("phone_col", "phone_us", F.col("phone_col")),
+        ("name_col", "email", F.lower(F.col("name_col"))),
+        ("id_col", "numeric_id", F.col("id_col")),
+    ]
+    out = None
+    for col_name, det, expr in probes:
+        part = synth.agg(
+            F.lit(col_name).alias("column_name"),
+            F.lit(det).alias("detector"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(expr.rlike(_PII_DETECTORS[det])).alias("n_hits"),
+        )
+        out = part if out is None else out.unionByName(part)
+    rate = F.col("n_hits").cast("double") / F.col("n_rows")
+    return out.select(
+        "column_name", "detector", "n_rows", "n_hits",
+        F.round(rate, 6).alias("hit_rate"),
+        (rate >= 0.8).alias("flagged_pii"),
+    ).orderBy("column_name", "detector")

@@ -1025,3 +1025,16 @@ def test_basket_lift_consistent_with_support(spark):
     for r in rows:
         assert 0 < r["confidence_a_to_b"] <= 1
         assert r["lift"] > 0
+
+
+def test_pii_detector_flags_and_clears_correctly(spark):
+    """The synthesized PII columns are flagged; the plain name column
+    is not; rates bounded."""
+    rows = {(r["column_name"], r["detector"]): r
+            for r in _run(spark, "catalog_pii_detect").collect()}
+    assert rows[("email_col", "email")]["flagged_pii"]
+    assert rows[("id_col", "numeric_id")]["flagged_pii"]
+    assert not rows[("name_col", "email")]["flagged_pii"]
+    for r in rows.values():
+        assert 0.0 <= r["hit_rate"] <= 1.0
+        assert r["n_hits"] <= r["n_rows"]
