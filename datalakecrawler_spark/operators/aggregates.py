@@ -1530,3 +1530,66 @@ def agg_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / F.col("n"), 6).alias("intercept"),
         F.round(F.pow(cov_n, 2) / (var_x * var_y), 6).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "orders_gini_concentration",
+    group="E",
+    oracle="""
+    with per_cust as (
+      select o_custkey,
+             sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)) as rev_micro
+      from orders group by 1
+    ),
+    ranked as (
+      select rev_micro,
+             row_number() over (order by rev_micro, o_custkey) as i
+      from per_cust
+    ),
+    s as (
+      select count(*) as n,
+             cast(sum(rev_micro) as bigint) as total,
+             cast(sum(i * rev_micro) as bigint) as weighted
+      from ranked
+    )
+    select n as n_customers,
+           round(cast(total as double) / 1e6, 2) as total_revenue,
+           round((2.0 * weighted) / (cast(n as double) * total)
+                 - (cast(n as double) + 1) / n, 6) as gini
+    from s
+    """,
+)
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: Gini coefficient of customer revenue — the concentration
+    scalar behind the ABC/Pareto classes (orders_abc_analysis buckets
+    customers; this measures HOW unequal the distribution is as one
+    number in [0,1), comparable across datasets and over time — a
+    drift input). Computed by the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenue sorted ascending:
+    per-customer revenue and the rank-weighted sum stay exact
+    micro-unit int64 (Σ i·xᵢ envelope at sf1: 1.5e5 ranks × 5e11
+    micro ≈ 7.5e16 « 9.2e18), so both engines feed identical integers
+    into one final double expression. Rank ties break on the customer
+    key. One groupBy + one ordered window over the customer-grain
+    table (the documented quantize-first path applies if the GROUPED
+    table ever stops fitting an ordered pass)."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("rev_micro")
+    )
+    ranked = per_cust.withColumn(
+        "i", F.row_number().over(W.orderBy("rev_micro", "o_custkey"))
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_micro").alias("total"),
+        F.sum(F.col("i") * F.col("rev_micro")).alias("weighted"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("total").cast("double") / 1e6, 2).alias("total_revenue"),
+        F.round(
+            (2.0 * F.col("weighted")) / (n * F.col("total")) - (n + 1) / n, 6
+        ).alias("gini"),
+    )

@@ -634,3 +634,78 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("l").cast("double") / F.count(F.lit(1)), 6).alias("avg_l"),
     )
+
+
+@register(
+    "events_ab_ztest",
+    group="J",
+    oracle="""
+    with assign as (
+      select user_id, user_id % 2 as variant,
+             max(case when event_type = 'purchase' then 1 else 0 end)
+               as converted
+      from events group by 1
+    ),
+    arms as (
+      select variant, count(*) as n,
+             cast(sum(converted) as bigint) as conv
+      from assign group by 1
+    ),
+    w as (
+      select max(case when variant = 0 then n end) as n0,
+             max(case when variant = 0 then conv end) as c0,
+             max(case when variant = 1 then n end) as n1,
+             max(case when variant = 1 then conv end) as c1
+      from arms
+    )
+    select n0, c0, n1, c1,
+           round(cast(c0 as double) / n0, 6) as p0,
+           round(cast(c1 as double) / n1, 6) as p1,
+           round((cast(c1 as double) / n1 - cast(c0 as double) / n0)
+                 / sqrt((cast(c0 + c1 as double) / (n0 + n1))
+                        * (1 - cast(c0 + c1 as double) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) as z_score
+    from w
+    """,
+)
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: two-proportion z-test — the experimentation primitive:
+    users deterministically assigned to arms (user_id parity — in
+    production, a hash bucket), per-user conversion = any purchase
+    event, and the pooled-variance z-score for the conversion-rate
+    difference. The whole statistic reduces to four exact integers
+    (per-arm users and conversions) collected in one aggregation over
+    the per-user collapse — at 100 TB the z-test costs one groupBy
+    regardless of event volume, and the same four counters stream
+    incrementally (they're plain sums). The final expression is
+    identical IEEE arithmetic in both engines, rounded at 6."""
+    e = load(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("variant"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0 = F.col("n0").cast("double")
+    c0 = F.col("c0").cast("double")
+    n1 = F.col("n1").cast("double")
+    c1 = F.col("c1").cast("double")
+    pooled = (c0 + c1) / (n0 + n1)
+    z = (c1 / n1 - c0 / n0) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / n0 + 1.0 / n1)
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(c0 / n0, 6).alias("p0"),
+        F.round(c1 / n1, 6).alias("p1"),
+        F.round(z, 6).alias("z_score"),
+    )

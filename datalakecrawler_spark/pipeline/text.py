@@ -1194,3 +1194,52 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@register(
+    "text_template_mining",
+    group="J",
+    oracle="""
+    with norm as (
+      select regexp_replace(text, '[0-9]+', '#', 'g') as template
+      from documents
+    ),
+    t as (
+      select md5(template) as template_hash,
+             count(*) as n_docs,
+             min(len(template)) as template_len
+      from norm group by template
+    )
+    select template_hash, n_docs, template_len
+    from t where n_docs >= 2
+    order by n_docs desc, template_hash
+    limit 20
+    """,
+)
+def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: template mining — detect machine-generated/boilerplate
+    documents by collapsing variable slots (digit runs → '#') and
+    grouping on the normalized skeleton: pages that differ only in
+    numbers (ids, prices, dates) collapse to one template, and a
+    template with thousands of instances is generator output a
+    curation pipeline down-weights or caps (complementing
+    dedup_near_minhash, which needs textual overlap — templated docs
+    can share almost no raw shingles if the slots dominate). One
+    normalize + hash aggregation; the skeleton hash (md5, §2.L trap 7)
+    is the groupable fingerprint at 100 TB. DuckDB's regexp_replace
+    needs the explicit 'g' flag to match Spark's replace-all."""
+    d = load(spark, sf_dir, "documents")
+    norm = d.select(
+        F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("template")
+    )
+    return (
+        norm.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.length("template")).alias("template_len"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(F.md5("template").alias("template_hash"), "n_docs", "template_len")
+        .orderBy(F.col("n_docs").desc(), "template_hash")
+        .limit(20)
+    )

@@ -1038,3 +1038,31 @@ def test_pii_detector_flags_and_clears_correctly(spark):
     for r in rows.values():
         assert 0.0 <= r["hit_rate"] <= 1.0
         assert r["n_hits"] <= r["n_rows"]
+
+
+def test_template_mining_counts_bounded(spark):
+    rows = _run(spark, "text_template_mining").collect()
+    d = load(spark, SF_DIR, "documents")
+    n_docs = d.count()
+    assert sum(r["n_docs"] for r in rows) <= n_docs
+    assert all(r["n_docs"] >= 2 for r in rows)
+
+
+def test_ab_ztest_reconciles_with_user_counts(spark):
+    r = _run(spark, "events_ab_ztest").collect()[0]
+    e = load(spark, SF_DIR, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert r["n0"] + r["n1"] == n_users
+    assert 0 <= r["c0"] <= r["n0"] and 0 <= r["c1"] <= r["n1"]
+    # z-score sign agrees with the rate difference
+    if r["p1"] > r["p0"]:
+        assert r["z_score"] > 0
+    elif r["p1"] < r["p0"]:
+        assert r["z_score"] < 0
+
+
+def test_gini_in_valid_range_and_scale_free(spark):
+    r = _run(spark, "orders_gini_concentration").collect()[0]
+    assert 0.0 <= r["gini"] < 1.0
+    o = load(spark, SF_DIR, "orders")
+    assert r["n_customers"] == o.select("o_custkey").distinct().count()
