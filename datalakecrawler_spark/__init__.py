@@ -26,6 +26,7 @@ def _load_all() -> None:
         filters,
         joins,
         sorts_setops,
+        stats,
         subqueries,
         windows,
     )

@@ -1,0 +1,385 @@
+"""Statistical inference operators — hypothesis tests and rank
+statistics over the fixture tables.
+
+The reference ships an experimentation/analysis toolkit beyond plain
+aggregation (SURVEY.md §2.J ext; the two-proportion z-test in
+pipeline/features.py is the first member). This module adds the
+classical test battery a data-quality / experimentation pipeline needs:
+chi-square independence, Welch's unequal-variance t-test,
+Mann-Whitney U, and Spearman rank correlation.
+
+Determinism strategy (registry module doc): every statistic reduces to
+a handful of EXACT integer sums (counts, micro-unit sums, integer
+ranks) collected distributively, then a single closed-form double
+expression evaluated in identical operation order in Spark and DuckDB,
+rounded at 6. No double is ever summed across rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+
+@register(
+    "stats_chi2_independence",
+    group="J",
+    oracle="""
+    with cells as (
+      select user_id % 2 as variant, event_type, count(*) as o
+      from events group by 1, 2
+    ),
+    tot as (
+      select variant, event_type, o,
+             sum(o) over (partition by variant) as row_tot,
+             sum(o) over (partition by event_type) as col_tot,
+             sum(o) over () as n
+      from cells
+    ),
+    terms as (
+      select variant, event_type, o,
+             cast(row_tot as double) * col_tot / n as e
+      from tot
+    )
+    select count(*) as n_cells,
+           (count(distinct variant) - 1)
+             * (count(distinct event_type) - 1) as dof,
+           round(cast(sum(cast(floor(
+               (o - e) * (o - e) / e * 1e6 + 0.5) as bigint)) as double)
+             / 1e6, 6) as chi2
+    from terms
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: chi-square test of independence between experiment arm
+    (user_id parity — a hash bucket in production) and event_type —
+    the categorical companion to events_ab_ztest: 'did the variant
+    change the MIX of actions', not just one conversion rate. The
+    contingency table is one groupBy (map-side combinable counts);
+    marginals are windows over the ~10-cell table, so data-sized work
+    is a single pass regardless of event volume, and the counters are
+    plain sums → the statistic updates incrementally under streaming.
+    Each (o-e)²/e term is computed from exact integers in identical
+    IEEE order in both engines, micro-quantized, and integer-summed
+    across cells (cross-cell double addition would be order-dependent)."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.col("user_id") % 2).alias("variant"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.select(
+        "variant",
+        "event_type",
+        "o",
+        F.sum("o").over(W.partitionBy("variant")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("event_type")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    terms = tot.select(
+        "variant",
+        "event_type",
+        "o",
+        (F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")).alias(
+            "e"
+        ),
+    )
+    d = F.col("o") - F.col("e")
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct("variant") - 1)
+            * (F.count_distinct("event_type") - 1)
+        ).alias("dof"),
+        F.round(
+            F.sum(F.floor(d * d / F.col("e") * 1e6 + 0.5)).cast("double")
+            / 1e6,
+            6,
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "stats_ttest_welch",
+    group="J",
+    oracle="""
+    with g as (
+      select case when o_orderpriority = '1-URGENT' then 1 else 0
+             end as grp,
+             count(*) as n,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as s_micro,
+             cast(sum(cast(floor(o_totalprice * o_totalprice + 0.5)
+                  as bigint)) as bigint) as sq
+      from orders group by 1
+    ),
+    w as (
+      select max(case when grp = 1 then n end) as n1,
+             max(case when grp = 1 then s_micro end) as s1,
+             max(case when grp = 1 then sq end) as q1,
+             max(case when grp = 0 then n end) as n0,
+             max(case when grp = 0 then s_micro end) as s0,
+             max(case when grp = 0 then sq end) as q0
+      from g
+    ),
+    m as (
+      select n1, n0,
+             cast(s1 as double) / 1e6 / n1 as m1,
+             cast(s0 as double) / 1e6 / n0 as m0,
+             (cast(q1 as double)
+               - n1 * (cast(s1 as double) / 1e6 / n1)
+                    * (cast(s1 as double) / 1e6 / n1)) / (n1 - 1) as v1,
+             (cast(q0 as double)
+               - n0 * (cast(s0 as double) / 1e6 / n0)
+                    * (cast(s0 as double) / 1e6 / n0)) / (n0 - 1) as v0
+      from w
+    )
+    select n1 as n_urgent, n0 as n_rest,
+           round(m1, 2) as mean_urgent, round(m0, 2) as mean_rest,
+           round((m1 - m0) / sqrt(v1 / n1 + v0 / n0), 6) as t_stat,
+           round((v1 / n1 + v0 / n0) * (v1 / n1 + v0 / n0)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v0 / n0) * (v0 / n0) / (n0 - 1)), 2) as df_welch
+    from m
+    """,
+)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Welch's unequal-variance t-test — do URGENT orders have a
+    different mean value than the rest? The distributed shape is the
+    canonical moment-sum reduction: per group (n, Σx, Σx²) — three
+    map-side-combinable integer counters — then the t statistic and
+    Welch–Satterthwaite df in closed form on the driver-sized 2-row
+    table. Σx is micro-unit-exact (dsum envelope); Σx² is quantized at
+    unit scale (x² ≈ 2.5e11 per row — 1e6 scaling would overflow
+    int64; unit scale keeps |Σ| ≤ ~4e15 at sf0.1 with ≤4e-12 relative
+    error, far below the round-6 gate). Both engines evaluate the
+    identical expression tree on identical integers → identical
+    doubles. DuckDB accumulates sum(bigint) in int128, Spark in long —
+    both exact in the envelope."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("s_micro"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.col("o_totalprice") + 0.5)
+        ).alias("sq"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s_micro"))).alias("s1"),
+        F.max(F.when(F.col("grp") == 1, F.col("sq"))).alias("q1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s_micro"))).alias("s0"),
+        F.max(F.when(F.col("grp") == 0, F.col("sq"))).alias("q0"),
+    )
+    m1 = F.col("s1").cast("double") / 1e6 / F.col("n1")
+    m0 = F.col("s0").cast("double") / 1e6 / F.col("n0")
+    v1 = (F.col("q1").cast("double") - F.col("n1") * m1 * m1) / (
+        F.col("n1") - 1
+    )
+    v0 = (F.col("q0").cast("double") - F.col("n0") * m0 * m0) / (
+        F.col("n0") - 1
+    )
+    se2_1 = v1 / F.col("n1")
+    se2_0 = v0 / F.col("n0")
+    return w.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n0").alias("n_rest"),
+        F.round(m1, 2).alias("mean_urgent"),
+        F.round(m0, 2).alias("mean_rest"),
+        F.round((m1 - m0) / F.sqrt(se2_1 + se2_0), 6).alias("t_stat"),
+        F.round(
+            (se2_1 + se2_0)
+            * (se2_1 + se2_0)
+            / (
+                se2_1 * se2_1 / (F.col("n1") - 1)
+                + se2_0 * se2_0 / (F.col("n0") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "stats_mannwhitney_u",
+    group="J",
+    oracle="""
+    with v as (
+      select o_totalprice as x,
+             case when o_orderpriority = '1-URGENT' then 1 else 0
+             end as grp
+      from orders
+    ),
+    r as (
+      select grp,
+             2 * rank() over (order by x)
+               + count(*) over (partition by x) - 1 as rank2x
+      from v
+    ),
+    ties as (
+      select cast(sum(t * t * t - t) as bigint) as tie_corr
+      from (select count(*) as t from v group by x) tt
+    ),
+    s as (
+      select cast(sum(case when grp = 1 then rank2x end) as bigint)
+               as r1_2x,
+             cast(sum(case when grp = 1 then 1 else 0 end) as bigint)
+               as n1,
+             cast(sum(case when grp = 0 then 1 else 0 end) as bigint)
+               as n0
+      from r
+    )
+    select n1, n0,
+           round((cast(r1_2x as double)
+                  - n1 * (cast(n1 as double) + 1)) / 2, 1) as u1,
+           round(((cast(r1_2x as double)
+                   - n1 * (cast(n1 as double) + 1)) / 2
+                  - cast(n1 as double) * n0 / 2)
+                 / sqrt(cast(n1 as double) * n0 / 12
+                        * ((n1 + n0 + 1)
+                           - cast(tie_corr as double)
+                             / ((n1 + n0) * (cast(n1 as double) + n0 - 1)))),
+                 6) as z_stat
+    from s, ties
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric
+    counterpart to stats_ttest_welch on the same split: robust to the
+    heavy right tail of order values. Average ranks with ties are kept
+    INTEGRAL via the 2×-rank trick: 2·avg_rank = 2·rank_min + t - 1
+    (rank() + a count window), so the rank sum is an exact bigint and
+    the tie-correction Σ(t³-t) is exact too; only the final U/z
+    expression touches doubles, in identical order both engines. The
+    global rank is one total-order sort — the one genuinely
+    all-to-all step (Spark range-partitions it); everything after is
+    a single reduction. Normal approximation with tie-corrected
+    variance; z rounded at 6."""
+    o = load(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    r = v.select(
+        "grp",
+        (
+            2 * F.rank().over(W.orderBy("x"))
+            + F.count(F.lit(1)).over(W.partitionBy("x"))
+            - 1
+        ).alias("rank2x"),
+    )
+    ties = (
+        v.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_corr")
+        )
+    )
+    s = r.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("rank2x"))).alias("r1_2x"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    j = s.crossJoin(F.broadcast(ties))
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    u1 = (F.col("r1_2x").cast("double") - F.col("n1") * (n1d + 1)) / 2
+    sigma = F.sqrt(
+        n1d
+        * n0d
+        / 12
+        * (
+            (F.col("n1") + F.col("n0") + 1)
+            - F.col("tie_corr").cast("double")
+            / ((F.col("n1") + F.col("n0")) * (n1d + n0d - 1))
+        )
+    )
+    return j.select(
+        "n1",
+        "n0",
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - n1d * n0d / 2) / sigma, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "stats_spearman_corr",
+    group="J",
+    oracle="""
+    with r as (
+      select 2 * rank() over (order by l_quantity)
+               + count(*) over (partition by l_quantity) - 1 as rx,
+             2 * rank() over (order by l_extendedprice)
+               + count(*) over (partition by l_extendedprice) - 1 as ry
+      from lineitem
+    ),
+    s as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(rx) as bigint) as sx,
+             cast(sum(ry) as bigint) as sy,
+             cast(sum(rx * ry) as bigint) as sxy,
+             cast(sum(rx * rx) as bigint) as sxx,
+             cast(sum(ry * ry) as bigint) as syy
+      from r
+    )
+    select n,
+           round((cast(n as double) * sxy
+                  - cast(sx as double) * sy)
+                 / sqrt((cast(n as double) * sxx
+                         - cast(sx as double) * sx)
+                        * (cast(n as double) * syy
+                           - cast(sy as double) * sy)), 6) as spearman_rho
+    from s
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Spearman rank correlation between quantity and extended
+    price — the monotone-association measure a profiler reports where
+    Pearson (catalog_column_correlation) misleads on skewed columns.
+    Ranks use the same integral 2×-average-rank trick as
+    stats_mannwhitney_u, so ALL six moment sums (n, Σrx, Σry, Σrxy,
+    Σrx², Σry²) are exact bigints — Pearson-on-ranks then evaluates as
+    one fixed-order double expression. Envelope: rx ≤ 2n, so Σrx² ≤
+    4n³ ≈ 8.6e17 at sf0.1 (fits int64); at sf1+ switch ranks to a
+    1e-3-scaled double or spill to Spark decimal. Two total-order
+    sorts (one per column) are the scale cost — at 100 TB use the
+    sampled/approximate Spearman or bucketed ranks. Casts >2^53 round
+    identically in both engines (same IEEE nearest-even on the same
+    integers), so round-6 parity holds."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.select(
+        (
+            2 * F.rank().over(W.orderBy("l_quantity"))
+            + F.count(F.lit(1)).over(W.partitionBy("l_quantity"))
+            - 1
+        ).alias("rx"),
+        (
+            2 * F.rank().over(W.orderBy("l_extendedprice"))
+            + F.count(F.lit(1)).over(W.partitionBy("l_extendedprice"))
+            - 1
+        ).alias("ry"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select("n", F.round(num / den, 6).alias("spearman_rho"))
