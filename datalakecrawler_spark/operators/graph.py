@@ -1,0 +1,336 @@
+"""Graph analytics over the part co-purchase graph.
+
+The reference's analytics surface includes relationship/graph queries
+(SURVEY.md §2.J ext — market-basket lift and dedup connected-components
+are the first members). This module materializes the canonical retail
+graph — nodes = parts, an undirected edge (a,b) when both parts appear
+in the same order in ≥2 distinct orders (support pruning) — and runs
+the standard structural battery: degree distribution, triangle count,
+unrolled PageRank, and common-neighbor Jaccard (link prediction).
+
+Scale shape: the only data-sized pass is the distinct (order, part)
+projection; the pair self-join is per-order (orders are small groups,
+so the blow-up is Σ lines_per_order² — bounded by the basket-size cap,
+not table size), and support-≥2 pruning keeps the derived graph sparse
+(sf0.01: 115k raw pairs → 3.4k edges over 2k nodes). All downstream
+joins run on the pruned edge table, which broadcasts at any realistic
+scale; at 100 TB the same plan holds because baskets don't grow with
+row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+# Shared oracle prelude: distinct (order, part) pairs -> support-pruned
+# undirected edges (pa < pb, weight = number of shared orders >= 2).
+_EDGE_CTE = """
+    lp as (select distinct l_orderkey, l_partkey from lineitem),
+    edges as (
+      select a.l_partkey as pa, b.l_partkey as pb, count(*) as w
+      from lp a join lp b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+      group by 1, 2 having count(*) >= 2
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-pruned co-purchase edge list (pa < pb, w >= 2)."""
+    li = load(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.alias("a")
+    b = lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Symmetrized (both directions) edge list: src, dst."""
+    return edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    sym as (
+      select pa as src from edges union all select pb as src from edges
+    ),
+    deg as (select src, count(*) as degree from sym group by 1)
+    select degree, count(*) as n_nodes
+    from deg group by 1 order by degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: degree distribution of the co-purchase graph — the first
+    thing a graph profiler reports (is the graph scale-free? where is
+    the hub tail?). Degree = count of the symmetrized edge list per
+    node, then a count-per-degree rollup — two map-combinable
+    aggregations over the broadcast-sized pruned edge table. Exact
+    integers throughout; no float gate needed."""
+    deg = (
+        _sym(_edges(spark, sf_dir))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    e as (select pa, pb from edges),
+    tri as (
+      select count(*) as n_triangles
+      from e e1
+      join e e2 on e2.pa = e1.pb
+      join e e3 on e3.pa = e1.pa and e3.pb = e2.pb
+    )
+    select (select count(*) from (
+              select pa from e union select pb from e) n) as n_nodes,
+           (select count(*) from e) as n_edges,
+           n_triangles,
+           round(cast(3 * n_triangles as double)
+                 / nullif((select sum(d * (d - 1) / 2) from (
+                     select count(*) as d from (
+                       select pa as v from e
+                       union all select pb as v from e) s
+                     group by v) dd), 0), 6) as clustering_coeff
+    from tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: global triangle count + clustering coefficient of the
+    co-purchase graph. Triangles are enumerated once each via the
+    oriented-edge join (pa < pb everywhere, so each triangle a<b<c
+    matches exactly one (e1=(a,b), e2=(b,c), e3=(a,c)) assignment) —
+    the standard distributed algorithm; at scale the classic
+    degree-ordering optimization bounds wedge fan-out, and here the
+    support-pruned edge table broadcasts so both joins are
+    shuffle-free. Clustering coefficient = 3·triangles / open wedges
+    (Σ d(d−1)/2) — an exact-integer ratio rounded at 6."""
+    e = _edges(spark, sf_dir).select("pa", "pb")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("pa").alias("v"))
+        .union(e.select(F.col("pb").alias("v")))
+        .distinct()
+    )
+    wedges = (
+        _sym(e.withColumn("w", F.lit(1)))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
+        )
+    )
+    counts = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(
+                (3 * F.col("n_triangles")).cast("double")
+                / F.nullif(F.col("wedges"), F.lit(0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+@register(
+    "graph_pagerank",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    sym as (
+      select pa as src, pb as dst from edges
+      union all
+      select pb as src, pa as dst from edges
+    ),
+    deg as (select src, count(*) as deg from sym group by 1),
+    n as (select count(*) as n_nodes from deg),
+    pr0 as (
+      select src as v, round(1.0 / n_nodes, 9) as pr from deg, n
+    ),
+    pr1 as (
+      select sym.dst as v,
+             round(0.15 / (select n_nodes from n)
+                   + 0.85 * sum(pr0.pr / deg.deg), 9) as pr
+      from pr0 join sym on sym.src = pr0.v join deg on deg.src = pr0.v
+      group by 1
+    ),
+    pr2 as (
+      select sym.dst as v,
+             round(0.15 / (select n_nodes from n)
+                   + 0.85 * sum(pr1.pr / deg.deg), 9) as pr
+      from pr1 join sym on sym.src = pr1.v join deg on deg.src = pr1.v
+      group by 1
+    ),
+    pr3 as (
+      select sym.dst as v,
+             round(0.15 / (select n_nodes from n)
+                   + 0.85 * sum(pr2.pr / deg.deg), 9) as pr
+      from pr2 join sym on sym.src = pr2.v join deg on deg.src = pr2.v
+      group by 1
+    )
+    select v as part, round(pr * 1000, 6) as pagerank_x1000
+    from pr3
+    order by pr desc, v limit 20
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: PageRank over the co-purchase graph — 'structurally
+    central' parts, the recommendation-seed ranking. Three unrolled
+    power iterations (engine pattern of events_markov_stationary /
+    cluster_kmeans_lloyd: bounded DataFrame loop, unrolled-CTE
+    oracle). Every node has degree ≥ 1 by construction, so there is
+    no dangling-mass term. Determinism: each iteration re-quantizes
+    pr at 9 dp, so both engines enter every round with bit-identical
+    vectors; the per-node neighbor sum reorders ≤ max-degree doubles
+    of magnitude ≤ 1 (error ~1e-16, absorbed by the 9-dp re-round).
+    Each iteration is one join of the pr vector against the broadcast
+    edge table + a keyed sum — at 1000 executors the vector stays
+    partitioned by node and only the (tiny) edge table replicates."""
+    edges = _edges(spark, sf_dir)
+    sym = _sym(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    pr = deg.select("src", F.round(F.lit(1.0 / n_nodes), 9).alias("pr"))
+    sym_deg = F.broadcast(
+        sym.join(deg, "src").select("src", "dst", "deg")
+    )
+    for _ in range(3):
+        pr = (
+            pr.join(sym_deg, pr.src == sym_deg.src)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(
+                F.round(
+                    0.15 / n_nodes
+                    + 0.85 * F.sum(F.col("pr") / F.col("deg")),
+                    9,
+                ).alias("pr")
+            )
+            .withColumnRenamed("v", "src")
+        )
+    return (
+        pr.select(
+            F.col("src").alias("part"),
+            F.round(F.col("pr") * 1000, 6).alias("pagerank_x1000"),
+        )
+        .orderBy(F.col("pagerank_x1000").desc(), "part")
+        .limit(20)
+    )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    sym as (
+      select pa as src, pb as dst from edges
+      union all
+      select pb as src, pa as dst from edges
+    ),
+    deg as (select src, count(*) as deg from sym group by 1),
+    common as (
+      select a.src as pa, b.src as pb, count(*) as c
+      from sym a join sym b
+        on a.dst = b.dst and a.src < b.src
+      group by 1, 2 having count(*) >= 2
+    )
+    select common.pa, common.pb, c as n_common,
+           round(cast(c as double) / (da.deg + db.deg - c), 6) as jaccard
+    from common
+    join deg da on da.src = common.pa
+    join deg db on db.src = common.pb
+    order by jaccard desc, common.pa, common.pb limit 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: neighbor-set Jaccard similarity — the classic
+    link-prediction / 'parts bought in similar contexts' score:
+    |N(a)∩N(b)| / |N(a)∪N(b)| for node pairs sharing ≥2 neighbors.
+    Common-neighbor counts come from the wedge self-join on the
+    shared endpoint (same fan-out bound as triangle counting); the
+    union size is inclusion-exclusion deg(a)+deg(b)−common, so no
+    second set operation is needed. Exact-integer ratio, round 6;
+    top-20 with deterministic (jaccard, pa, pb) tie-break."""
+    sym = _sym(_edges(spark, sf_dir))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = sym.alias("a")
+    b = sym.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("pa"), F.col("b.src").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    da = deg.select(F.col("src").alias("pa"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("src").alias("pb"), F.col("deg").alias("degb"))
+    return (
+        common.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("c").alias("n_common"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("dega") + F.col("degb") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "pa", "pb")
+        .limit(20)
+    )
