@@ -709,3 +709,252 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c1 / n1, 6).alias("p1"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "feature_target_encode",
+    group="J",
+    oracle="""
+    with j as (
+      select c.c_mktsegment as segment,
+             cast(floor(o.o_totalprice * 1e6 + 0.5) as bigint) as p_micro
+      from orders o join customer c on c.c_custkey = o.o_custkey
+    ),
+    g as (
+      select cast(count(*) as bigint) as n_all,
+             cast(sum(p_micro) as bigint) as s_all
+      from j
+    ),
+    seg as (
+      select segment, cast(count(*) as bigint) as n_seg,
+             cast(sum(p_micro) as bigint) as s_seg
+      from j group by 1
+    )
+    select segment, n_seg as n_orders,
+           round(cast(s_seg as double) / 1e6 / n_seg, 2) as raw_mean,
+           round((cast(s_seg as double) / 1e6
+                  + 50 * (cast(s_all as double) / 1e6 / n_all))
+                 / (n_seg + 50), 6) as encoded
+    from seg, g
+    order by segment
+    """,
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: smoothed mean target encoding — the workhorse categorical
+    feature for tabular models: replace c_mktsegment with a
+    shrunk-toward-global mean of the target (order value),
+    enc = (Σ_seg + m·ȳ_global)/(n_seg + m), m = 50. The additive
+    smoothing is what keeps rare categories from memorizing noise —
+    with n→0 the code degrades to the global mean. Distributed shape:
+    one broadcast join (customer dim) + one map-combinable rollup;
+    per-segment and global sums are micro-unit-exact ints, the
+    shrinkage formula is a single fixed-order double expression.
+    At 100 TB the encoding table is |categories| rows — it broadcasts
+    back onto the fact table for the actual transform (same pattern
+    as feature_label_encode)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c), c.c_custkey == o.o_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 1e6 + 0.5).alias("p_micro"),
+    )
+    g = j.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("p_micro").alias("s_all")
+    )
+    seg = j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_seg"), F.sum("p_micro").alias("s_seg")
+    )
+    gmean = F.col("s_all").cast("double") / 1e6 / F.col("n_all")
+    return (
+        seg.crossJoin(F.broadcast(g))
+        .select(
+            "segment",
+            F.col("n_seg").alias("n_orders"),
+            F.round(
+                F.col("s_seg").cast("double") / 1e6 / F.col("n_seg"), 2
+            ).alias("raw_mean"),
+            F.round(
+                (F.col("s_seg").cast("double") / 1e6 + 50 * gmean)
+                / (F.col("n_seg") + 50),
+                6,
+            ).alias("encoded"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "privacy_t_closeness",
+    group="J",
+    oracle="""
+    with base as (
+      select c_mktsegment as segment,
+             cast(floor(c_acctbal / 1000) as bigint) as bucket
+      from customer
+    ),
+    buckets as (select distinct bucket from base),
+    segs as (
+      select segment, count(*) as n_seg from base group by 1
+    ),
+    gdist as (
+      select bucket, count(*) as n_b from base group by 1
+    ),
+    n as (select count(*) as n_all, count(distinct bucket) as k from base),
+    grid as (
+      select s.segment, b.bucket, s.n_seg,
+             coalesce(c.cnt, 0) as cnt
+      from segs s cross join buckets b
+      left join (select segment, bucket, count(*) as cnt
+                 from base group by 1, 2) c
+        on c.segment = s.segment and c.bucket = b.bucket
+    ),
+    cum as (
+      select segment, bucket, n_seg,
+             sum(cast(cnt as double) / n_seg)
+               over (partition by segment order by bucket) as cum_p,
+             sum(cast(n_b as double) / n_all)
+               over (partition by segment order by bucket) as cum_q
+      from grid
+      join gdist using (bucket) cross join n
+    )
+    select segment, max(n_seg) as n_rows,
+           round(cast(sum(cast(floor(
+               abs(cum_p - cum_q) * 1e9 + 0.5) as bigint)) as double)
+             / 1e9 / (max(k) - 1), 6) as t_emd
+    from cum cross join n
+    group by segment
+    order by segment
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: t-closeness — the third rung of the anonymity ladder
+    after privacy_k_anonymity / privacy_l_diversity: how far each
+    quasi-identifier group's SENSITIVE-value distribution (account
+    balance, bucketed to $1000 bands) drifts from the global one,
+    measured by the ordered-attribute Earth Mover's Distance
+    EMD = Σ|cumP − cumQ| / (k−1). A group that passes k and l can
+    still leak by skew; t-closeness catches it. Distributed shape:
+    two count rollups + a |segments|×|buckets| grid (trivially
+    broadcastable); cumulative sums run in a deterministic bucket
+    order (sequential window — same addition order both engines),
+    and the final Σ|·| is nano-quantized before crossing rows."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bucket"),
+    )
+    buckets = base.select("bucket").distinct()
+    segs = base.groupBy("segment").agg(F.count(F.lit(1)).alias("n_seg"))
+    glob = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    n = base.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count_distinct("bucket").alias("k"),
+    )
+    cnts = base.groupBy("segment", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = (
+        segs.crossJoin(F.broadcast(buckets))
+        .join(cnts, ["segment", "bucket"], "left")
+        .na.fill({"cnt": 0})
+    )
+    w = W.partitionBy("segment").orderBy("bucket")
+    cum = (
+        grid.join(F.broadcast(glob), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "segment",
+            "bucket",
+            "n_seg",
+            "k",
+            F.sum(
+                F.col("cnt").cast("double") / F.col("n_seg")
+            ).over(w).alias("cum_p"),
+            F.sum(
+                F.col("n_b").cast("double") / F.col("n_all")
+            ).over(w).alias("cum_q"),
+        )
+    )
+    return (
+        cum.groupBy("segment")
+        .agg(
+            F.max("n_seg").alias("n_rows"),
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.abs(F.col("cum_p") - F.col("cum_q")) * 1e9 + 0.5
+                    )
+                ).cast("double")
+                / 1e9
+                / (F.max("k") - 1),
+                6,
+            ).alias("t_emd"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "split_time_based",
+    group="J",
+    oracle="""
+    with s as (
+      select o_orderkey, o_custkey,
+             case when o_orderdate < timestamp '1999-01-01'
+                  then 'train' else 'test' end as split
+      from orders
+    )
+    select
+      (select count(*) from s where split = 'train') as n_train,
+      (select count(*) from s where split = 'test') as n_test,
+      (select count(*) from (
+         select o_custkey from s where split = 'train'
+         intersect
+         select o_custkey from s where split = 'test') t)
+        as n_customers_in_both,
+      (select count(distinct o_custkey) from s where split = 'test'
+         and o_custkey not in
+           (select o_custkey from s where split = 'train'))
+        as n_coldstart_customers
+    """,
+)
+def split_time_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: time-based train/test split with leakage audit — the
+    split discipline for forecasting/recommendation training data
+    (random splits leak the future; split_train_holdout is the IID
+    variant, this is the temporal one). Cutoff 1999-01-01. Beyond the
+    partition counts it reports the two quantities that decide model
+    evaluation design: customers present on BOTH sides (their test
+    rows are warm-start) and test-only cold-start customers. Shape:
+    one predicate pass + two distinct-key set ops on the (small)
+    customer-key projections; at scale the intersect is a broadcast
+    semi-join on the distinct keys, not a data-sized shuffle."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"),
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    train_k = s.filter(F.col("split") == "train").select("o_custkey")
+    test_k = s.filter(F.col("split") == "test").select("o_custkey")
+    counts = s.agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+    )
+    both = (
+        train_k.distinct()
+        .intersect(test_k.distinct())
+        .agg(F.count(F.lit(1)).alias("n_customers_in_both"))
+    )
+    cold = (
+        test_k.distinct()
+        .join(train_k.distinct(), "o_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_coldstart_customers"))
+    )
+    return counts.crossJoin(F.broadcast(both)).crossJoin(F.broadcast(cold))

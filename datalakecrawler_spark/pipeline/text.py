@@ -1243,3 +1243,120 @@ def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "template_hash")
         .limit(20)
     )
+
+
+@register(
+    "search_bm25",
+    group="J",
+    oracle="""
+    with docs as (
+      select doc_id, string_split(text, ' ') as toks,
+             len(string_split(text, ' ')) as dl
+      from documents
+    ),
+    stats as (
+      select count(*) as n_docs,
+             cast(sum(dl) as bigint) as total_toks
+      from docs
+    ),
+    terms as (select * from (values ('spark'), ('join'), ('merge')) t(term)),
+    tf as (
+      select d.doc_id, t.term, d.dl,
+             len(list_filter(d.toks, x -> x = t.term)) as tf
+      from docs d cross join terms t
+    ),
+    df as (
+      select term, count(*) filter (where tf > 0) as df from tf group by 1
+    ),
+    scored as (
+      select tf.doc_id,
+             cast(floor(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75
+                  + 0.75 * tf.dl
+                    / (cast(s.total_toks as double) / s.n_docs)))
+               * 1e9 + 0.5) as bigint) as s9
+      from tf join df on df.term = tf.term cross join stats s
+      where tf.tf > 0
+    )
+    select doc_id,
+           round(cast(sum(s9) as double) / 1e9, 6) as bm25
+    from scored group by 1
+    order by bm25 desc, doc_id limit 15
+    """,
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: BM25 ranking — the standard lexical retrieval scorer
+    (the 'sparse' half of hybrid search; search_rrf_fusion fuses it
+    with the dense side). Fixed query ('spark join merge'), k1=1.2,
+    b=0.75. Distributed shape: tokenize once per doc (JVM split, no
+    Python), tf per (doc, query-term) via a higher-order list filter,
+    df as a tiny per-term rollup that broadcasts back. All inputs to
+    the scoring formula are exact integers plus avgdl (one exact
+    int/int division), so each per-term score is the identical IEEE
+    expression in both engines; per-doc summation over terms is
+    nano-quantized to kill reorder sensitivity. At 100 TB the doc
+    scan dominates and is embarrassingly parallel; the df/stats
+    side-tables are bytes."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_toks"),
+    )
+    terms = spark.createDataFrame(
+        [("spark",), ("join",), ("merge",)], ["term"]
+    )
+    tf = d.crossJoin(F.broadcast(terms)).select(
+        "doc_id",
+        "term",
+        "dl",
+        F.size(
+            F.filter("toks", lambda x: x == F.col("term"))
+        ).alias("tf"),
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
+    scored = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (1.2 + 1))
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        1
+                        - 0.75
+                        + 0.75
+                        * F.col("dl")
+                        / (
+                            F.col("total_toks").cast("double")
+                            / F.col("n_docs")
+                        )
+                    )
+                )
+                * 1e9
+                + 0.5
+            ).alias("s9"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s9").cast("double") / 1e9, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
