@@ -1593,3 +1593,79 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2.0 * F.col("weighted")) / (n * F.col("total")) - (n + 1) / n, 6
         ).alias("gini"),
     )
+
+
+@register(
+    "orders_pareto_point",
+    group="E",
+    oracle="""
+    with cust as (
+      select o_custkey,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as rev_micro
+      from orders group by 1
+    ),
+    ranked as (
+      select o_custkey, rev_micro,
+             row_number() over (order by rev_micro desc, o_custkey) as rk,
+             sum(rev_micro) over (order by rev_micro desc, o_custkey
+               rows between unbounded preceding and current row) as cum,
+             sum(rev_micro) over () as total,
+             count(*) over () as n_cust
+      from cust
+    ),
+    hit as (
+      select min(rk) as n_top, max(n_cust) as n_customers,
+             max(total) as total
+      from ranked where cum * 5 >= total * 4
+    )
+    select n_customers, n_top,
+           round(cast(n_top as double) / n_customers, 6) as pct_customers,
+           round((select cast(min(cum) as double) from ranked
+                  where cum * 5 >= total * 4) / total, 6)
+             as revenue_share
+    from hit
+    """,
+)
+def orders_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: the Pareto point — the smallest top-revenue customer
+    prefix covering 80% of revenue ('is this an 80/20 business?');
+    the scalar summary of the concentration curve whose area is
+    orders_gini_concentration and whose banding is
+    orders_abc_analysis. The per-customer rollup is the data-sized
+    pass; the ranked cumulative scan runs on the customer aggregate.
+    Everything stays in exact micro-unit int64 — including the 80%
+    threshold test, written as cum·5 ≥ total·4 so the comparison is
+    pure integer arithmetic (no 0.8·total double rounding at the
+    boundary); row_number ties break by custkey."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("rev_micro")
+    )
+    wo = W.orderBy(F.col("rev_micro").desc(), "o_custkey")
+    ranked = cust.select(
+        "o_custkey",
+        "rev_micro",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("rev_micro")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("rev_micro").over(W.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_cust"),
+    )
+    hit = ranked.filter(F.col("cum") * 5 >= F.col("total") * 4).agg(
+        F.min("rk").alias("n_top"),
+        F.max("n_cust").alias("n_customers"),
+        F.max("total").alias("total"),
+        F.min("cum").alias("cum_at_hit"),
+    )
+    return hit.select(
+        "n_customers",
+        "n_top",
+        F.round(
+            F.col("n_top").cast("double") / F.col("n_customers"), 6
+        ).alias("pct_customers"),
+        F.round(
+            F.col("cum_at_hit").cast("double") / F.col("total"), 6
+        ).alias("revenue_share"),
+    )

@@ -383,3 +383,211 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
     return s.select("n", F.round(num / den, 6).alias("spearman_rho"))
+
+
+@register(
+    "ts_acf",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(floor(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5)
+                  as bigint)) as double) / 1e9 + 0.5) as bigint) as xk
+      from orders group by 1
+    ),
+    r as (
+      select xk, row_number() over (order by day) as i from daily
+    ),
+    lags as (select * from (values (1), (2), (3), (4), (5), (6), (7)) l(lag)),
+    pairs as (
+      select l.lag, a.xk as x, b.xk as y
+      from lags l
+      join r a on true
+      join r b on b.i = a.i + l.lag
+    ),
+    m as (
+      select lag, cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(x * x) as bigint) as sxx,
+             cast(sum(y * y) as bigint) as syy
+      from pairs group by 1
+    )
+    select lag, n as n_pairs,
+           round((cast(n as double) * sxy - cast(sx as double) * sy)
+                 / sqrt((cast(n as double) * sxx
+                         - cast(sx as double) * sx)
+                        * (cast(n as double) * syy
+                           - cast(sy as double) * sy)), 6) as acf
+    from m order by lag
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: the correlogram — lag-1..7 autocorrelation of the daily
+    revenue series (the diagnostic behind 'is there weekly
+    seasonality' and ARIMA order selection; the sample-Pearson-per-lag
+    estimator). The day rollup is the only data-sized pass; the
+    series table (~a few thousand rows) then self-joins per lag — at
+    100 TB of events the series is still tiny because its length is
+    the CALENDAR, not the row count. Daily revenue is micro-unit
+    exact, then re-quantized to kilodollar ints (xk = rev/1e3,
+    deterministic double→int), so all six per-lag moment sums are
+    exact bigints and the Pearson expression is fixed-order IEEE —
+    same parity argument as stats_spearman_corr."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast("double")
+            / 1e9
+            + 0.5
+        ).alias("xk")
+    )
+    r = daily.select(
+        "xk", F.row_number().over(W.orderBy("day")).alias("i")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = r.alias("a")
+    b = r.alias("b")
+    pairs = F.broadcast(lags).join(
+        a, F.lit(True)
+    ).join(b, F.col("b.i") == F.col("a.i") + F.col("lag")).select(
+        "lag", F.col("a.xk").alias("x"), F.col("b.xk").alias("y")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "lag", F.col("n").alias("n_pairs"), F.round(num / den, 6).alias("acf")
+    ).orderBy("lag")
+
+
+@register(
+    "stats_covariance_matrix",
+    group="B",
+    oracle="""
+    with q as (
+      select cast(floor(l_quantity * 1e2 + 0.5) as bigint) as q2,
+             cast(floor(l_extendedprice * 1e1 + 0.5) as bigint) as p1,
+             cast(floor(l_discount * 1e4 + 0.5) as bigint) as d4
+      from lineitem
+    ),
+    m as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(q2) as bigint) as sq, cast(sum(p1) as bigint) as sp,
+             cast(sum(d4) as bigint) as sd,
+             cast(sum(q2 * p1) as bigint) as sqp,
+             cast(sum(q2 * d4) as bigint) as sqd,
+             cast(sum(p1 * d4) as bigint) as spd,
+             cast(sum(q2 * q2) as bigint) as sqq,
+             cast(sum(p1 * p1) as bigint) as spp,
+             cast(sum(d4 * d4) as bigint) as sdd
+      from q
+    )
+    select x_col, y_col,
+           round((sxy - sx * sy / n) / (n - 1), 4) as cov,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             as corr
+    from (
+      select 'l_quantity' as x_col, 'l_extendedprice' as y_col,
+             cast(n as double) as n,
+             cast(sq as double) / 1e2 as sx, cast(sp as double) / 1e1 as sy,
+             cast(sqp as double) / 1e3 as sxy,
+             cast(sqq as double) / 1e4 as sxx,
+             cast(spp as double) / 1e2 as syy
+      from m
+      union all
+      select 'l_quantity', 'l_discount', cast(n as double),
+             cast(sq as double) / 1e2, cast(sd as double) / 1e4,
+             cast(sqd as double) / 1e6,
+             cast(sqq as double) / 1e4, cast(sdd as double) / 1e8
+      from m
+      union all
+      select 'l_extendedprice', 'l_discount', cast(n as double),
+             cast(sp as double) / 1e1, cast(sd as double) / 1e4,
+             cast(spd as double) / 1e5,
+             cast(spp as double) / 1e2, cast(sdd as double) / 1e8
+      from m
+    ) pairs
+    order by x_col, y_col
+    """,
+)
+def stats_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: the pairwise covariance/correlation matrix over the
+    numeric lineitem measures — the profiler output behind feature
+    selection and multicollinearity checks (catalog_column_correlation
+    is the single-pair bench variant; this is the full long-format
+    matrix from ONE pass). All nine moment sums are collected in a
+    single map-combinable aggregate over per-column fixed-point ints
+    (quantity at 1e2, price at 1e1, discount at 1e4 — scales chosen
+    so every Σproduct fits int64 through sf1: max |Σp1²| ≈ 6e17 at
+    sf0.1). The 3-row matrix projection is then driver-sized; cov
+    uses the (Σxy − ΣxΣy/n)/(n−1) form and corr the same fixed-order
+    Pearson as stats_spearman_corr. One shuffle-free pass at any
+    scale; extending to k columns is k(k+1)/2 counters, still one
+    pass."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.floor(F.col("l_quantity") * 1e2 + 0.5).alias("q2"),
+        F.floor(F.col("l_extendedprice") * 1e1 + 0.5).alias("p1"),
+        F.floor(F.col("l_discount") * 1e4 + 0.5).alias("d4"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q2").alias("sq"),
+        F.sum("p1").alias("sp"),
+        F.sum("d4").alias("sd"),
+        F.sum(F.col("q2") * F.col("p1")).alias("sqp"),
+        F.sum(F.col("q2") * F.col("d4")).alias("sqd"),
+        F.sum(F.col("p1") * F.col("d4")).alias("spd"),
+        F.sum(F.col("q2") * F.col("q2")).alias("sqq"),
+        F.sum(F.col("p1") * F.col("p1")).alias("spp"),
+        F.sum(F.col("d4") * F.col("d4")).alias("sdd"),
+    )
+
+    def pair(x_col, y_col, sx, sy, sxy, sxx, syy, kx, ky):
+        nd = F.col("n").cast("double")
+        sxd = F.col(sx).cast("double") / kx
+        syd = F.col(sy).cast("double") / ky
+        sxyd = F.col(sxy).cast("double") / (kx * ky)
+        sxxd = F.col(sxx).cast("double") / (kx * kx)
+        syyd = F.col(syy).cast("double") / (ky * ky)
+        return m.select(
+            F.lit(x_col).alias("x_col"),
+            F.lit(y_col).alias("y_col"),
+            F.round((sxyd - sxd * syd / nd) / (nd - 1), 4).alias("cov"),
+            F.round(
+                (nd * sxyd - sxd * syd)
+                / F.sqrt(
+                    (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+                ),
+                6,
+            ).alias("corr"),
+        )
+
+    out = (
+        pair("l_quantity", "l_extendedprice", "sq", "sp", "sqp", "sqq",
+             "spp", 1e2, 1e1)
+        .unionAll(
+            pair("l_quantity", "l_discount", "sq", "sd", "sqd", "sqq",
+                 "sdd", 1e2, 1e4)
+        )
+        .unionAll(
+            pair("l_extendedprice", "l_discount", "sp", "sd", "spd",
+                 "spp", "sdd", 1e1, 1e4)
+        )
+    )
+    return out.orderBy("x_col", "y_col")

@@ -958,3 +958,84 @@ def split_time_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_coldstart_customers"))
     )
     return counts.crossJoin(F.broadcast(both)).crossJoin(F.broadcast(cold))
+
+
+@register(
+    "feature_winsorize",
+    group="J",
+    oracle="""
+    with p as (
+      select quantile_disc(o_totalprice, 0.05) as p05,
+             quantile_disc(o_totalprice, 0.95) as p95
+      from orders
+    ),
+    w as (
+      select case when o_totalprice < p05 then p05
+                  when o_totalprice > p95 then p95
+                  else o_totalprice end as xw,
+             o_totalprice as x, p05, p95
+      from orders, p
+    )
+    select max(p05) as p05, max(p95) as p95,
+           count(*) filter (where x < p05) as n_clipped_low,
+           count(*) filter (where x > p95) as n_clipped_high,
+           round(cast(sum(cast(floor(x * 1e6 + 0.5) as bigint)) as double)
+                 / count(*) / 1e6, 6) as mean_raw,
+           round(cast(sum(cast(floor(xw * 1e6 + 0.5) as bigint)) as double)
+                 / count(*) / 1e6, 6) as mean_winsorized
+    from w
+    """,
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: winsorization at [p05, p95] — the outlier treatment that
+    caps rather than drops (feature_minmax_scale's robust sibling;
+    events_value_mad_outliers flags, this repairs). Cut points use
+    DISCRETE percentiles (actual data values — bit-exact across
+    engines, the agg_percentile_disc property), broadcast back onto
+    the fact table for the clip pass; means are micro-unit-exact.
+    Two passes over the data (quantile, then clip+aggregate) — the
+    classic trade; at 100 TB swap the exact quantile for the KLL
+    sketch (agg_kll_quantile_sketch) and it becomes one pass with a
+    bounded cut-point error."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_wz")
+    p = spark.sql(
+        """
+        select percentile_disc(0.05) within group (order by o_totalprice)
+                 as p05,
+               percentile_disc(0.95) within group (order by o_totalprice)
+                 as p95
+        from orders_wz
+        """
+    )
+    w = o.crossJoin(F.broadcast(p)).select(
+        F.col("o_totalprice").alias("x"),
+        "p05",
+        "p95",
+        F.when(F.col("o_totalprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("o_totalprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("xw"),
+    )
+    return w.agg(
+        F.max("p05").alias("p05"),
+        F.max("p95").alias("p95"),
+        F.count(F.when(F.col("x") < F.col("p05"), 1)).alias(
+            "n_clipped_low"
+        ),
+        F.count(F.when(F.col("x") > F.col("p95"), 1)).alias(
+            "n_clipped_high"
+        ),
+        F.round(
+            F.sum(F.floor(F.col("x") * 1e6 + 0.5)).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(F.floor(F.col("xw") * 1e6 + 0.5)).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("mean_winsorized"),
+    )
