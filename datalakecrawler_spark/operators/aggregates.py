@@ -1669,3 +1669,119 @@ def orders_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_at_hit").cast("double") / F.col("total"), 6
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    group="E",
+    oracle="""
+    with w as (
+      select l_extendedprice as x,
+             cast(floor(l_quantity + 0.5) as bigint) as wt
+      from lineitem
+    ),
+    c as (
+      select x, wt,
+             sum(wt) over (order by x, wt
+               rows between unbounded preceding and current row) as cum,
+             sum(wt) over () as total
+      from w
+    )
+    select max(total) as total_weight,
+           min(x) filter (where cum * 2 >= total) as weighted_median
+    from c
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: weighted median — the 50% point of extended price
+    weighted by quantity ('the price level at which half the UNITS
+    ship', vs agg_percentile_exact's per-line median). Weights are
+    exact ints (quantity is integral in TPC-H); the cumulative weight
+    is an ordered running int sum, and the crossing test cum·2 ≥
+    total is pure integer arithmetic (same boundary-exactness trick
+    as orders_pareto_point). The answer is a value read straight from
+    the data → bit-exact across engines, no rounding policy (the
+    percentile_disc property). One total-order sort of the (x, wt)
+    projection; at 100 TB swap in a weighted KLL sketch for one-pass
+    approximation."""
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_extendedprice").alias("x"),
+        F.floor(F.col("l_quantity") + 0.5).alias("wt"),
+    )
+    c = w.select(
+        "x",
+        F.sum("wt")
+        .over(
+            W.orderBy("x", "wt").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("wt").over(W.partitionBy()).alias("total"),
+    )
+    return c.agg(
+        F.max("total").alias("total_weight"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("x"))).alias(
+            "weighted_median"
+        ),
+    )
+
+
+@register(
+    "orders_fulfillment_sla",
+    group="E",
+    oracle="""
+    with lag as (
+      select o.o_orderpriority as priority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) as lag_days
+      from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+    )
+    select priority,
+           count(*) as n_lines,
+           cast(quantile_disc(lag_days, 0.50) as bigint) as p50_days,
+           cast(quantile_disc(lag_days, 0.90) as bigint) as p90_days,
+           cast(quantile_disc(lag_days, 0.99) as bigint) as p99_days,
+           round(cast(count(*) filter (where lag_days <= 30) as double)
+                 / count(*), 6) as pct_within_30d
+    from lag group by 1 order by priority
+    """,
+)
+def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: fulfillment-latency SLA — ship-lag percentiles (p50/p90/
+    p99) and 30-day attainment per order priority, the operational
+    latency report (q4_late_shipment_priority counts violations;
+    this gives the full latency distribution). Lag is an exact
+    integer day difference; percentiles are DISCRETE (bit-exact
+    values from data, the agg_percentile_disc property) and the SLA
+    rate is an exact-count ratio. The orders join broadcasts at
+    fixture scale and shuffles on o_orderkey at 100 TB — the same
+    co-partitioned key both tables would be bucketed on
+    (sink_bucketed_join)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lag = li.join(
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    lag.createOrReplaceTempView("sla_lag")
+    return spark.sql(
+        """
+        select priority,
+               count(*) as n_lines,
+               cast(percentile_disc(0.50) within group (order by lag_days)
+                 as bigint) as p50_days,
+               cast(percentile_disc(0.90) within group (order by lag_days)
+                 as bigint) as p90_days,
+               cast(percentile_disc(0.99) within group (order by lag_days)
+                 as bigint) as p99_days,
+               round(cast(count(if(lag_days <= 30, 1, null)) as double)
+                     / count(*), 6) as pct_within_30d
+        from sla_lag group by priority order by priority
+        """
+    )

@@ -1039,3 +1039,120 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_winsorized"),
     )
+
+
+@register(
+    "events_stickiness_ratio",
+    group="J",
+    oracle="""
+    with base as (
+      select cast(date_trunc('month', ts) as date) as month,
+             cast(date_trunc('day', ts) as date) as day,
+             user_id
+      from events
+    ),
+    m as (
+      select month,
+             cast(count(distinct (day, user_id)) as bigint) as user_days,
+             cast(count(distinct day) as bigint) as n_days,
+             cast(count(distinct user_id) as bigint) as mau
+      from base group by 1
+    )
+    select month, n_days, mau,
+           round(cast(user_days as double) / n_days, 6) as avg_dau,
+           round(cast(user_days as double) / n_days / mau, 6)
+             as stickiness
+    from m order by month
+    """,
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: DAU/MAU stickiness — the engagement-quality ratio
+    (stickiness 1.0 = every monthly user active every observed day;
+    typical products sit 0.1–0.3). avg-DAU = distinct (day,user)
+    pairs / observed days, over each calendar month;
+    events_rolling_active_users is the trailing-window cousin, this
+    is the calendar-month management metric. One pass: the distinct
+    pair count is a two-key rollup (partial-agg friendly via
+    per-partition hash dedup); all three counters are exact ints, so
+    the two ratios are fixed-order double divisions. At 100 TB the
+    per-month groups are huge but the distinct-count shuffle keys
+    (month, day, user) are well-spread — no skew; the approximate
+    variant swaps in HLL (agg_hll_mergeable) for a one-shuffle
+    sketch."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+    )
+    m = base.groupBy("month").agg(
+        F.count_distinct("day", "user_id").alias("user_days"),
+        F.count_distinct("day").alias("n_days"),
+        F.count_distinct("user_id").alias("mau"),
+    )
+    return m.select(
+        "month",
+        "n_days",
+        "mau",
+        F.round(
+            F.col("user_days").cast("double") / F.col("n_days"), 6
+        ).alias("avg_dau"),
+        F.round(
+            F.col("user_days").cast("double") / F.col("n_days") / F.col("mau"),
+            6,
+        ).alias("stickiness"),
+    ).orderBy("month")
+
+
+@register(
+    "events_power_user_curve",
+    group="J",
+    oracle="""
+    with per_user as (
+      select user_id, cast(count(*) as bigint) as cnt
+      from events group by 1
+    ),
+    dec as (
+      select cnt,
+             ntile(10) over (order by cnt desc, user_id) as decile,
+             sum(cnt) over () as total
+      from per_user
+    )
+    select decile,
+           count(*) as n_users,
+           cast(sum(cnt) as bigint) as n_events,
+           round(cast(sum(cnt) as double) / max(total), 6) as event_share
+    from dec group by 1 order by decile
+    """,
+)
+def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the power-user curve — activity share by user decile
+    (decile 1 = heaviest users), the engagement-concentration
+    profile ('do 10% of users generate 60% of events?') that pairs
+    with orders_gini_concentration on the revenue side. Per-user
+    counts are one map-combinable rollup; the ntile runs over the
+    user aggregate (users ≪ events), with (cnt desc, user_id)
+    ordering making decile boundaries deterministic. Integer sums
+    throughout; the share is one double division. At scale the
+    global ntile is a single range-partitioned sort of the user
+    table — the event scan dominates."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    dec = per_user.select(
+        "cnt",
+        F.ntile(10)
+        .over(W.orderBy(F.col("cnt").desc(), "user_id"))
+        .alias("decile"),
+        F.sum("cnt").over(W.partitionBy()).alias("total"),
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("n_events"),
+            F.round(
+                F.sum("cnt").cast("double") / F.max("total"), 6
+            ).alias("event_share"),
+        )
+        .orderBy("decile")
+    )

@@ -1360,3 +1360,134 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
     )
+
+
+@register(
+    "text_keyness_logodds",
+    group="J",
+    oracle="""
+    with toks as (
+      select source, unnest(string_split(text, ' ')) as w
+      from documents
+    ),
+    counts as (
+      select w,
+             cast(count(*) filter (where source = 'src0') as bigint) as a,
+             cast(count(*) filter (where source <> 'src0') as bigint) as b
+      from toks group by 1 having count(*) >= 10
+    ),
+    tot as (
+      select cast(sum(a) as bigint) as ta, cast(sum(b) as bigint) as tb
+      from counts
+    )
+    select w as word, a as n_focus, b as n_rest,
+           round(ln((a + 0.5) / (ta - a + 0.5))
+                 - ln((b + 0.5) / (tb - b + 0.5)), 6) as log_odds
+    from counts, tot
+    order by log_odds desc, w limit 15
+    """,
+)
+def text_keyness_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: corpus keyness by log-odds ratio — 'which words
+    characterize source src0 against the rest of the corpus', the
+    source-profiling signal behind mixture decisions
+    (corpus_mixture_balance says how MUCH of each source;
+    this says what the source is MADE OF). Haldane +0.5 smoothing
+    keeps zero cells finite — the informative-Dirichlet-prior variant
+    (Monroe et al.'s 'Fightin' Words') adds a background prior and a
+    variance normalizer; the prior-free form here is its core. One
+    tokenize+count pass (map-combinable), a two-scalar totals row
+    broadcast back, and a fixed-order double expression over exact
+    ints, rounded at 6. Min corpus frequency 10 suppresses
+    hapax noise."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = (
+        toks.groupBy("w")
+        .agg(
+            F.count(F.when(F.col("source") == "src0", 1)).alias("a"),
+            F.count(F.when(F.col("source") != "src0", 1)).alias("b"),
+        )
+        .filter(F.col("a") + F.col("b") >= 10)
+    )
+    tot = counts.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    score = F.log(
+        (F.col("a") + 0.5) / (F.col("ta") - F.col("a") + 0.5)
+    ) - F.log((F.col("b") + 0.5) / (F.col("tb") - F.col("b") + 0.5))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("word"),
+            F.col("a").alias("n_focus"),
+            F.col("b").alias("n_rest"),
+            F.round(score, 6).alias("log_odds"),
+        )
+        .orderBy(F.col("log_odds").desc(), "word")
+        .limit(15)
+    )
+
+
+@register(
+    "text_burstiness",
+    group="J",
+    oracle="""
+    with toks as (
+      select doc_id, unnest(string_split(text, ' ')) as w
+      from documents
+    ),
+    per_doc as (
+      select w, doc_id, cast(count(*) as bigint) as c
+      from toks group by 1, 2
+    ),
+    n as (select cast(count(*) as bigint) as n_docs from documents),
+    agg as (
+      select w, cast(sum(c) as bigint) as total,
+             cast(sum(c * c) as bigint) as sq
+      from per_doc group by 1
+    )
+    select w as word, total,
+           round((cast(sq as double) / n_docs
+                  - (cast(total as double) / n_docs)
+                    * (cast(total as double) / n_docs))
+                 / (cast(total as double) / n_docs), 6) as burstiness_vmr
+    from agg, n
+    order by total desc, w limit 20
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: word burstiness — the variance-to-mean ratio (Fano
+    factor) of per-document counts for the top-20 corpus words. VMR
+    ≈ 1 is Poisson ('function word', spread evenly); VMR ≫ 1 is
+    bursty ('content/topic word', clumped in few docs) — the
+    classical Church-Gale signal, and a cheap topicality feature for
+    quality filtering that TF-IDF (text_tfidf_topterms) only proxies.
+    Zero-count documents contribute nothing to Σc and Σc², so no
+    dense grid is materialized: VMR = (Σc²/N − (Σc/N)²)/(Σc/N) from
+    two exact integer sums per word + the document count. One
+    tokenize + two rollups, all map-combinable."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    per_doc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_doc.groupBy("w").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    mean = F.col("total").cast("double") / n_docs
+    vmr = (F.col("sq").cast("double") / n_docs - mean * mean) / mean
+    return (
+        agg.select(
+            F.col("w").alias("word"),
+            "total",
+            F.round(vmr, 6).alias("burstiness_vmr"),
+        )
+        .orderBy(F.col("total").desc(), "word")
+        .limit(20)
+    )
