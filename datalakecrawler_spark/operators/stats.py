@@ -591,3 +591,289 @@ def stats_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("x_col", "y_col")
+
+
+@register(
+    "stats_mutual_information",
+    group="J",
+    oracle="""
+    with cells as (
+      select l_returnflag as x, l_linestatus as y,
+             cast(count(*) as bigint) as c
+      from lineitem group by 1, 2
+    ),
+    m as (
+      select x, y, c,
+             sum(c) over (partition by x) as cx,
+             sum(c) over (partition by y) as cy,
+             sum(c) over () as n
+      from cells
+    ),
+    terms as (
+      select n,
+             cast(floor(cast(c as double) / n
+                  * ln(cast(c as double) * n / (cast(cx as double) * cy))
+                  * 1e9 + 0.5) as bigint) as mi9,
+             case when y = (select min(y) from cells)
+                  then cast(floor(-(cast(cx as double) / n)
+                       * ln(cast(cx as double) / n) * 1e9 + 0.5) as bigint)
+                  else 0 end as hx9,
+             case when x = (select min(x) from cells)
+                  then cast(floor(-(cast(cy as double) / n)
+                       * ln(cast(cy as double) / n) * 1e9 + 0.5) as bigint)
+                  else 0 end as hy9
+      from m
+    )
+    select max(n) as n,
+           round(cast(sum(mi9) as double) / 1e9, 6) as mi_nats,
+           round(cast(sum(hx9) as double) / 1e9, 6) as h_x,
+           round(cast(sum(hy9) as double) / 1e9, 6) as h_y,
+           round(cast(sum(mi9) as double)
+                 / sqrt(cast(sum(hx9) as double)
+                        * cast(sum(hy9) as double)), 6) as nmi
+    from terms
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: mutual information between return flag and line status —
+    the model-free dependence measure a profiler reports for
+    categorical pairs (catalog_column_correlation's categorical
+    counterpart; MI = 0 ⟺ independence, and unlike chi-square it IS
+    the KL divergence from independence, in nats). Also reports both
+    marginal entropies (catalog_column_entropy per column) and the
+    sqrt-normalized NMI ∈ [0,1]. One contingency rollup + windows
+    over the tiny cell table; each p·ln(p/q) term is computed from
+    exact integers in identical IEEE order and nano-quantized before
+    the cross-cell sum. Marginal entropy terms are attached to one
+    designated cell per row/column (min partner key) so the same
+    single pass yields all three statistics."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    min_y = cells.agg(F.min("y").alias("min_y"))
+    min_x = cells.agg(F.min("x").alias("min_x"))
+    m = (
+        cells.select(
+            "x",
+            "y",
+            "c",
+            F.sum("c").over(W.partitionBy("x")).alias("cx"),
+            F.sum("c").over(W.partitionBy("y")).alias("cy"),
+            F.sum("c").over(W.partitionBy()).alias("n"),
+        )
+        .crossJoin(F.broadcast(min_y))
+        .crossJoin(F.broadcast(min_x))
+    )
+    cd = F.col("c").cast("double")
+    cxd = F.col("cx").cast("double")
+    cyd = F.col("cy").cast("double")
+    nd = F.col("n")
+    terms = m.select(
+        "n",
+        F.floor(
+            cd / nd * F.log(cd * nd / (cxd * F.col("cy"))) * 1e9 + 0.5
+        ).alias("mi9"),
+        F.when(
+            F.col("y") == F.col("min_y"),
+            F.floor(-(cxd / nd) * F.log(cxd / nd) * 1e9 + 0.5),
+        )
+        .otherwise(0)
+        .alias("hx9"),
+        F.when(
+            F.col("x") == F.col("min_x"),
+            F.floor(-(cyd / nd) * F.log(cyd / nd) * 1e9 + 0.5),
+        )
+        .otherwise(0)
+        .alias("hy9"),
+    )
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.round(F.sum("mi9").cast("double") / 1e9, 6).alias("mi_nats"),
+        F.round(F.sum("hx9").cast("double") / 1e9, 6).alias("h_x"),
+        F.round(F.sum("hy9").cast("double") / 1e9, 6).alias("h_y"),
+        F.round(
+            F.sum("mi9").cast("double")
+            / F.sqrt(
+                F.sum("hx9").cast("double") * F.sum("hy9").cast("double")
+            ),
+            6,
+        ).alias("nmi"),
+    )
+
+
+@register(
+    "stats_cramers_v",
+    group="J",
+    oracle="""
+    with cells as (
+      select l_returnflag as x, l_linestatus as y,
+             cast(count(*) as bigint) as c
+      from lineitem group by 1, 2
+    ),
+    m as (
+      select x, y, c,
+             sum(c) over (partition by x) as cx,
+             sum(c) over (partition by y) as cy,
+             sum(c) over () as n
+      from cells
+    ),
+    chi as (
+      select max(n) as n,
+             count(distinct x) as r, count(distinct y) as s,
+             cast(sum(cast(floor(
+               (c - cast(cx as double) * cy / n)
+               * (c - cast(cx as double) * cy / n)
+               / (cast(cx as double) * cy / n) * 1e6 + 0.5)
+               as bigint)) as double) / 1e6 as chi2
+      from m
+    )
+    select n, (r - 1) * (s - 1) as dof,
+           round(chi2, 4) as chi2,
+           round(sqrt(chi2 / (n * least(r - 1, s - 1))), 6) as cramers_v
+    from chi
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Cramér's V — the normalized effect size for categorical
+    association (chi-square tells you IF the dependence is
+    significant — at 100 TB everything is significant; V ∈ [0,1]
+    tells you WHETHER IT MATTERS, sample-size-free). Same
+    contingency-table plumbing as stats_chi2_independence applied to
+    the returnflag × linestatus pair, with V = √(χ²/(n·min(r−1,s−1)))
+    on top. Exact-count cells, micro-quantized term sum, fixed-order
+    final expression."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = cells.select(
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(W.partitionBy("x")).alias("cx"),
+        F.sum("c").over(W.partitionBy("y")).alias("cy"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("cx").cast("double") * F.col("cy") / F.col("n")
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("x").alias("r"),
+        F.count_distinct("y").alias("s"),
+        (
+            F.sum(
+                F.floor((F.col("c") - e) * (F.col("c") - e) / e * 1e6 + 0.5)
+            ).cast("double")
+            / 1e6
+        ).alias("chi2"),
+    )
+    return chi.select(
+        "n",
+        ((F.col("r") - 1) * (F.col("s") - 1)).alias("dof"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("s") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "ts_seasonal_naive_error",
+    group="F",
+    oracle="""
+    with monthly as (
+      select date_trunc('month', o_orderdate) as mth,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as rev_micro
+      from orders group by 1
+    ),
+    r as (
+      select rev_micro, row_number() over (order by mth) as i from monthly
+    ),
+    sn as (
+      select a.rev_micro as actual, b.rev_micro as pred
+      from r a join r b on b.i = a.i - 12
+    ),
+    n1 as (
+      select a.rev_micro as actual, b.rev_micro as pred
+      from r a join r b on b.i = a.i - 1
+    )
+    select (select count(*) from sn) as n_forecasts,
+           cast(floor((select cast(sum(abs(actual - pred)) as double)
+                  / count(*) from sn) / 1e4 + 0.5) as double) / 100
+             as mae_seasonal,
+           round(((select cast(sum(abs(actual - pred)) as double)
+                   / count(*) from sn)
+                  / (select cast(sum(abs(actual - pred)) as double)
+                     / count(*) from n1)), 6) as mase_vs_naive1,
+           round((select cast(sum(cast(floor(
+               2.0 * abs(actual - pred)
+               / (cast(actual as double) + pred) * 1e9 + 0.5) as bigint))
+               as double) / count(*) from sn) / 1e9, 6) as smape
+    """,
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: forecast-baseline backtest — the seasonal-naive
+    predictor (month m forecast = month m−12 actual) scored with
+    MAE, MASE (scaled against the naive-1 walk-forward error — the
+    scale-free accuracy standard; MASE < 1 beats last-value
+    carry-forward) and sMAPE. This is the evaluation harness every
+    forecasting operator (ts_exp_smoothing, ts_theil_sen_trend)
+    should be judged against before shipping. Monthly revenues are
+    micro-unit exact ints, so MAE/MASE numerators are EXACT integer
+    sums; only sMAPE needs per-term doubles, nano-quantized. The
+    series table is calendar-sized regardless of fact volume — all
+    joins are on the ~80-row monthly frame."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mth")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("rev_micro")
+    )
+    r = monthly.select(
+        "rev_micro", F.row_number().over(W.orderBy("mth")).alias("i")
+    )
+    a = r.alias("a")
+    b = r.alias("b")
+    sn = a.join(b, F.col("b.i") == F.col("a.i") - 12).select(
+        F.col("a.rev_micro").alias("actual"),
+        F.col("b.rev_micro").alias("pred"),
+    )
+    n1 = a.join(b, F.col("b.i") == F.col("a.i") - 1).select(
+        F.col("a.rev_micro").alias("actual"),
+        F.col("b.rev_micro").alias("pred"),
+    )
+    err = F.abs(F.col("actual") - F.col("pred"))
+    sn_agg = sn.agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae_sn"),
+        (
+            F.sum(
+                F.floor(
+                    2.0
+                    * err
+                    / (F.col("actual").cast("double") + F.col("pred"))
+                    * 1e9
+                    + 0.5
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("smape9"),
+    )
+    n1_agg = n1.agg(
+        (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae_n1")
+    )
+    return sn_agg.crossJoin(F.broadcast(n1_agg)).select(
+        "n_forecasts",
+        (
+            F.floor(F.col("mae_sn") / 1e4 + 0.5).cast("double") / 100
+        ).alias("mae_seasonal"),
+        F.round(F.col("mae_sn") / F.col("mae_n1"), 6).alias(
+            "mase_vs_naive1"
+        ),
+        F.round(F.col("smape9") / 1e9, 6).alias("smape"),
+    )

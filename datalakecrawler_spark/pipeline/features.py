@@ -1156,3 +1156,68 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "events_interevent_hist",
+    group="J",
+    oracle="""
+    with gaps as (
+      select epoch_us(ts)
+             - epoch_us(lag(ts) over (partition by user_id
+                    order by ts, event_id)) as gap_us
+      from events
+    ),
+    g as (select gap_us // 1000000 as gap_s from gaps
+          where gap_us is not null),
+    b as (
+      select case when gap_s = 0 then -1
+                  else length(printf('%b', gap_s)) - 1 end as bucket,
+             gap_s
+      from g
+    )
+    select bucket, count(*) as n_gaps,
+           cast(min(gap_s) as bigint) as min_gap_s,
+           cast(max(gap_s) as bigint) as max_gap_s
+    from b group by 1 order by bucket
+    """,
+)
+def events_interevent_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: inter-event-time histogram on log2 buckets — the
+    user-tempo fingerprint (bot traffic shows sub-second spikes,
+    human sessions cluster at minutes, returns at days; the bucket
+    boundaries feed the sessionization gap threshold that
+    events_session_stats hard-codes). The log2 bucket is computed by
+    BINARY LENGTH (bits(gap)−1), not floor(log2(x)) — a float log at
+    an exact power-of-two boundary can land on either side by one
+    ulp across engines, while bit length is pure integer arithmetic.
+    One lag window per user (co-partitioned by user_id — the same
+    shuffle every per-user operator shares) and a tiny rollup."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    b = gaps.select(
+        F.when(F.col("gap_s") == 0, -1)
+        .otherwise(F.length(F.bin(F.col("gap_s"))) - 1)
+        .cast("bigint")
+        .alias("bucket"),
+        "gap_s",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("bucket")
+    )
