@@ -392,3 +392,237 @@ def mlprep_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_rank", "neg_vec_id", "neg_label")
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+@register(
+    "sample_balanced_classes",
+    group="J",
+    oracle="""
+    with ranked as (
+      select lang, doc_id,
+             row_number() over (partition by lang
+               order by md5(cast(doc_id as varchar)), doc_id) as rk
+      from documents
+    ),
+    mins as (
+      select min(cnt) as min_cnt from (
+        select count(*) as cnt from documents group by lang) c
+    ),
+    kept as (
+      select lang from ranked, mins where rk <= min_cnt
+    )
+    select r.lang,
+           count(*) as n_before,
+           (select count(*) from kept k where k.lang = r.lang) as n_after
+    from documents r
+    group by r.lang
+    order by r.lang
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: class-balanced downsampling — truncate every language to
+    the minority-class count so a classifier's training mix is
+    uniform (the complement of sample_stratified, which PRESERVES
+    proportions; this EQUALIZES them). Selection must be deterministic
+    AND unbiased, so rows are ranked by md5(doc_id) — a stable
+    pseudo-random order both engines compute identically — and the
+    first min_count per class are kept. One window over
+    lang-partitioned docs + a broadcast scalar; at 100 TB the
+    full-sort-per-class becomes a per-class threshold on the hash
+    value instead (keep if hash < quota/class_count quantile), which
+    needs no sort at all — same keys, same statistical guarantee."""
+    d = load(spark, sf_dir, "documents")
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    mins = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("min_cnt"))
+    )
+    kept = ranked.crossJoin(F.broadcast(mins)).filter(
+        F.col("rk") <= F.col("min_cnt")
+    )
+    before = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        before.join(after, "lang", "left")
+        .na.fill({"n_after": 0})
+        .orderBy("lang")
+    )
+
+
+@register(
+    "mlprep_curriculum_buckets",
+    group="J",
+    oracle="""
+    with staged as (
+      select lang, n_chars,
+             ntile(5) over (order by n_chars, doc_id) as stage
+      from documents
+    )
+    select stage,
+           count(*) as n_docs,
+           cast(min(n_chars) as bigint) as min_chars,
+           cast(max(n_chars) as bigint) as max_chars,
+           round(cast(sum(n_chars) as double) / count(*), 4) as avg_chars,
+           count(distinct lang) as n_langs
+    from staged group by 1 order by stage
+    """,
+)
+def mlprep_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: curriculum staging — order the corpus by a difficulty
+    proxy (document length) and cut it into 5 equal training stages,
+    reporting each stage's composition (the curriculum-learning
+    prep: short/simple docs first, long ones last; pack_sequences
+    then packs each stage). ntile over (n_chars, doc_id) is fully
+    deterministic; per-stage stats are exact ints and one exact
+    ratio. The global ntile is a single range-partitioned sort — at
+    100 TB replace with percentile_disc cut points (one pass) +
+    a bucketing join, same stages without the total order."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "lang",
+        "n_chars",
+        F.ntile(5).over(W.orderBy("n_chars", "doc_id")).alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    group="J",
+    oracle="""
+    with h as (
+      select source, md5(text) as th from documents
+    ),
+    dup as (
+      select th, count(*) as n from h group by 1
+    )
+    select h.source,
+           count(*) as n_docs,
+           count(*) filter (where dup.n > 1) as n_in_dup_groups,
+           round(cast(count(*) filter (where dup.n > 1) as double)
+                 / count(*), 6) as dup_rate
+    from h join dup on dup.th = h.th
+    group by 1 order by h.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: duplication rate per source — the contamination
+    scorecard that decides which feeds get down-weighted in the
+    corpus mixture (dedup_exact removes duplicates; this ATTRIBUTES
+    them: a source whose rows mostly collide with the corpus is a
+    scraper echo). A doc is 'in a dup group' when its exact text
+    hash occurs >1 time corpus-wide — note cross-source collisions
+    count for both sources, which is the point. One hash projection,
+    one group count, one hash-keyed join back (shuffle on th, both
+    sides pre-aggregated); exact-count ratio at 6."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("th"))
+    dup = h.groupBy("th").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        h.join(dup, "th")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n") > 1, 1)).alias("n_in_dup_groups"),
+            F.round(
+                F.count(F.when(F.col("n") > 1, 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_entropy_per_user",
+    group="J",
+    oracle="""
+    with uc as (
+      select user_id, event_type, cast(count(*) as bigint) as c
+      from events group by 1, 2
+    ),
+    ut as (
+      select user_id, event_type, c,
+             sum(c) over (partition by user_id) as n
+      from uc
+    ),
+    ue as (
+      select user_id,
+             sum(cast(floor(-(cast(c as double) / n)
+                 * ln(cast(c as double) / n) * 1e9 + 0.5) as bigint))
+               as h9,
+             count(*) as n_types
+      from ut group by 1
+    )
+    select count(*) as n_users,
+           round(cast(sum(h9) as double) / count(*) / 1e9, 6)
+             as avg_entropy_nats,
+           round(cast(min(h9) as double) / 1e9, 6) as min_entropy,
+           round(cast(max(h9) as double) / 1e9, 6) as max_entropy,
+           round(cast(count(*) filter (where n_types = 1) as double)
+                 / count(*), 6) as single_type_user_rate
+    from ue
+    """,
+)
+def events_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: behavioral entropy per user — how diverse each user's
+    action mix is (0 nats = single-action bots/scrapers; high =
+    engaged explorers), aggregated to the population summary a
+    monitoring dashboard tracks. catalog_column_entropy is the
+    COLUMN-level version; this is the per-ENTITY distribution. Each
+    −p·ln p term is nano-quantized BEFORE the per-user sum (the ≤5
+    per-type terms would otherwise add in engine-specific order), so
+    per-user entropies are exact ints and every population statistic
+    (mean, min, max, bot-rate) is integer-derived. Two rollups on
+    the same user_id shuffle key."""
+    e = load(spark, sf_dir, "events")
+    uc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ut = uc.select(
+        "user_id",
+        "c",
+        F.sum("c").over(W.partitionBy("user_id")).alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ue = ut.groupBy("user_id").agg(
+        F.sum(F.floor(-p * F.log(p) * 1e9 + 0.5)).alias("h9"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return ue.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum("h9").cast("double") / F.count(F.lit(1)) / 1e9, 6
+        ).alias("avg_entropy_nats"),
+        F.round(F.min("h9").cast("double") / 1e9, 6).alias("min_entropy"),
+        F.round(F.max("h9").cast("double") / 1e9, 6).alias("max_entropy"),
+        F.round(
+            F.count(F.when(F.col("n_types") == 1, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("single_type_user_rate"),
+    )
