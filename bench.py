@@ -44,6 +44,14 @@ HEADLINE = [
     "catalog_drift_psi",
     "search_rrf_fusion",
     "dedup_cdc_chunks",
+    # stats/graph/retrieval additions — BASELINE.md fourth table
+    "search_bm25",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "stats_spearman_corr",
+    "stats_covariance_matrix",
+    "stats_mutual_information",
+    "events_power_user_curve",
 ]
 
 
