@@ -141,43 +141,39 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = e.alias("e2")
     e3 = e.alias("e3")
     tri = (
-        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        e1.join(F.broadcast(e2), F.col("e2.pa") == F.col("e1.pb"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.pa") == F.col("e1.pa"))
             & (F.col("e3.pb") == F.col("e2.pb")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    nodes = (
-        e.select(F.col("pa").alias("v"))
-        .union(e.select(F.col("pb").alias("v")))
-        .distinct()
-    )
-    wedges = (
-        _sym(e.withColumn("w", F.lit(1)))
+    # One degree rollup yields nodes, edges AND wedges in a single
+    # aggregate: every endpoint appears once in sym, so n_nodes =
+    # |deg|, n_edges = Σd/2 (each edge counted at both ends), open
+    # wedges = Σ d(d−1)/2. Collapsing three scalar subqueries into one
+    # removes two SinglePartition exchanges and the union-distinct
+    # shuffle from the plan (plan-lint guarded).
+    stats = (
+        _sym(e)
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
         .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum("d") / 2).cast("bigint").alias("n_edges"),
             F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
         )
     )
-    counts = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
-        e.agg(F.count(F.lit(1)).alias("n_edges"))
-    )
-    return (
-        counts.crossJoin(F.broadcast(tri))
-        .crossJoin(F.broadcast(wedges))
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_triangles",
-            F.round(
-                (3 * F.col("n_triangles")).cast("double")
-                / F.nullif(F.col("wedges"), F.lit(0)),
-                6,
-            ).alias("clustering_coeff"),
-        )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(
+            (3 * F.col("n_triangles")).cast("double")
+            / F.nullif(F.col("wedges"), F.lit(0)),
+            6,
+        ).alias("clustering_coeff"),
     )
 
 
