@@ -1221,3 +1221,136 @@ def events_interevent_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "orders_survival_km",
+    group="J",
+    oracle="""
+    with firsts as (
+      select o_custkey,
+             min(o_orderdate) as first_dt,
+             min(case when rn = 2 then o_orderdate end) as second_dt
+      from (
+        select o_custkey, o_orderdate,
+               row_number() over (partition by o_custkey
+                 order by o_orderdate, o_orderkey) as rn
+        from orders) t
+      group by 1
+    ),
+    horizon as (select max(o_orderdate) as max_dt from orders),
+    durations as (
+      select case when second_dt is not null
+                  then date_diff('day', first_dt, second_dt) // 7
+                  else date_diff('day', first_dt, max_dt) // 7
+             end as t_week,
+             case when second_dt is not null then 1 else 0 end as event
+      from firsts, horizon
+    ),
+    weekly as (
+      select t_week,
+             cast(sum(event) as bigint) as d,
+             cast(count(*) as bigint) as ending
+      from durations group by 1
+    ),
+    risk as (
+      select t_week, d,
+             sum(ending) over (order by t_week desc
+               rows between unbounded preceding and current row) as n
+      from weekly
+    ),
+    km as (
+      select t_week, d, n,
+             sum(cast(floor(ln(1 - cast(d as double) / n) * 1e9 - 0.5)
+                 as bigint))
+               over (order by t_week
+                 rows between unbounded preceding and current row) as l9
+      from risk where d > 0 and d < n
+    )
+    select t_week, d as n_repeats, n as n_at_risk,
+           round(exp(cast(l9 as double) / 1e9), 6) as survival
+    from km order by t_week limit 30
+    """,
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Kaplan-Meier survival curve of time-to-second-purchase —
+    the censoring-correct repeat-purchase model (a plain histogram of
+    repeat lags is biased: customers whose window was cut short by
+    the data horizon never got the CHANCE to repeat; KM divides
+    deaths by the risk set that was still observable). Weekly
+    buckets; customers without a second order are censored at the
+    data horizon. The risk set n(t) is a reverse-cumulative count
+    (exact ints); the product Π(1−d/n) runs in log space with each
+    ln term FLOOR-quantized at 1e9 (floor(x·1e9 − 0.5) on the
+    negative values — symmetric to the +0.5 convention on positives)
+    so the cumulative sum is integer-exact and engine-identical; one
+    exp at the end, round 6. Per-customer collapse is one window
+    over the custkey shuffle; everything after runs on the ~100-row
+    weekly table."""
+    o = load(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    firsts = (
+        o.select("o_custkey", "o_orderdate", rn.alias("rn"))
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_dt"),
+            F.min(
+                F.when(F.col("rn") == 2, F.col("o_orderdate"))
+            ).alias("second_dt"),
+        )
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("max_dt"))
+    durations = firsts.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("second_dt").isNotNull(),
+            F.floor(
+                F.datediff(F.col("second_dt"), F.col("first_dt")) / 7
+            ),
+        )
+        .otherwise(
+            F.floor(F.datediff(F.col("max_dt"), F.col("first_dt")) / 7)
+        )
+        .alias("t_week"),
+        F.when(F.col("second_dt").isNotNull(), 1).otherwise(0).alias(
+            "event"
+        ),
+    )
+    weekly = durations.groupBy("t_week").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("ending")
+    )
+    w_desc = W.orderBy(F.col("t_week").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = weekly.select(
+        "t_week", "d", F.sum("ending").over(w_desc).alias("n")
+    )
+    w_asc = W.orderBy("t_week").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    km = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n"))).select(
+        "t_week",
+        "d",
+        "n",
+        F.sum(
+            F.floor(
+                F.log(1 - F.col("d").cast("double") / F.col("n")) * 1e9
+                - 0.5
+            )
+        )
+        .over(w_asc)
+        .alias("l9"),
+    )
+    return (
+        km.select(
+            "t_week",
+            F.col("d").alias("n_repeats"),
+            F.col("n").alias("n_at_risk"),
+            F.round(F.exp(F.col("l9").cast("double") / 1e9), 6).alias(
+                "survival"
+            ),
+        )
+        .orderBy("t_week")
+        .limit(30)
+    )

@@ -1491,3 +1491,65 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total").desc(), "word")
         .limit(20)
     )
+
+
+@register(
+    "text_simpson_diversity",
+    group="J",
+    oracle="""
+    with toks as (
+      select source, unnest(string_split(text, ' ')) as w
+      from documents
+    ),
+    wc as (
+      select source, w, cast(count(*) as bigint) as c
+      from toks group by 1, 2
+    ),
+    agg as (
+      select source,
+             cast(sum(c) as bigint) as n_tokens,
+             cast(count(*) as bigint) as vocab,
+             cast(sum(c * c) as bigint) as sum_c2
+      from wc group by 1
+    )
+    select source, n_tokens, vocab,
+           round(cast(sum_c2 as double)
+                 / (cast(n_tokens as double) * n_tokens), 9)
+             as simpson_lambda,
+           round(cast(n_tokens as double) * n_tokens / sum_c2, 4)
+             as inv_simpson
+    from agg order by source
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Simpson diversity per source — λ = Σ(c/N)², the
+    probability two random tokens coincide; 1/λ is the 'effective
+    vocabulary size' (ecology's effective-species-number applied to
+    corpora — a source whose inverse Simpson collapses relative to
+    its raw vocab is template/boilerplate-dominated; complements the
+    entropy view in catalog_column_entropy and the per-word view in
+    text_burstiness). Computed as the exact rational Σc²/N² — two
+    integer sums, zero per-term float quantization — so parity is
+    trivially bit-stable. One tokenize + two map-combinable rollups
+    keyed by (source, word) then source."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(F.col("sum_c2").cast("double") / (nd * nd), 9).alias(
+            "simpson_lambda"
+        ),
+        F.round(nd * nd / F.col("sum_c2"), 4).alias("inv_simpson"),
+    ).orderBy("source")
