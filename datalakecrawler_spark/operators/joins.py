@@ -1295,3 +1295,120 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+@register(
+    "join_asof_nearest",
+    group="D",
+    oracle="""
+    with tagged as (
+      select user_id, ts, event_id,
+             case when event_type = 'click' then ts end as click_ts,
+             case when event_type = 'click' then 1 else 0 end as is_click
+      from events
+      where event_type in ('click', 'purchase')
+    ),
+    back as (
+      select *,
+             last_value(click_ts ignore nulls) over (
+               partition by user_id
+               order by ts asc, is_click desc, event_id
+               rows between unbounded preceding and current row)
+               as prev_click_ts
+      from tagged
+    ),
+    both_dir as (
+      select *,
+             first_value(click_ts ignore nulls) over (
+               partition by user_id
+               order by ts asc, is_click asc, event_id
+               rows between current row and unbounded following)
+               as next_click_ts
+      from back
+    )
+    select event_id, user_id, ts as purchase_ts,
+           case
+             when prev_click_ts is null then next_click_ts
+             when next_click_ts is null then prev_click_ts
+             when epoch_us(ts) - epoch_us(prev_click_ts)
+                  <= epoch_us(next_click_ts) - epoch_us(ts)
+               then prev_click_ts
+             else next_click_ts
+           end as nearest_click_ts,
+           case
+             when prev_click_ts is null then 'forward'
+             when next_click_ts is null then 'backward'
+             when epoch_us(ts) - epoch_us(prev_click_ts)
+                  <= epoch_us(next_click_ts) - epoch_us(ts)
+               then 'backward'
+             else 'forward'
+           end as direction
+    from both_dir
+    where is_click = 0
+      and (prev_click_ts is not null or next_click_ts is not null)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext: NEAREST-direction as-of join — each purchase matched to
+    the temporally closest click in EITHER direction (pandas
+    merge_asof(direction='nearest'); join_asof is the backward-only
+    form, join_asof_tolerance the bounded one). Same
+    union-tag-and-sweep engine shape: one shuffle on user_id, one
+    ascending pass carrying the last click (backward candidate), one
+    descending-frame pass carrying the next click (forward
+    candidate), then an exact integer-microsecond distance compare
+    with ties broken backward (the pandas convention). Still linear
+    in rows — no range join, no candidate explosion; both window
+    orders are made total with (ts, is_click, event_id) so engines
+    agree on every frame."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "is_click"
+        ),
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc(), "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    both = tagged.withColumn(
+        "prev_click_ts", F.last("click_ts", ignorenulls=True).over(wb)
+    ).withColumn(
+        "next_click_ts", F.first("click_ts", ignorenulls=True).over(wf)
+    )
+    d_prev = F.unix_micros("ts") - F.unix_micros("prev_click_ts")
+    d_next = F.unix_micros("next_click_ts") - F.unix_micros("ts")
+    backward_wins = F.col("prev_click_ts").isNotNull() & (
+        F.col("next_click_ts").isNull() | (d_prev <= d_next)
+    )
+    return both.where(
+        (F.col("is_click") == 0)
+        & (
+            F.col("prev_click_ts").isNotNull()
+            | F.col("next_click_ts").isNotNull()
+        )
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(backward_wins, F.col("prev_click_ts"))
+        .otherwise(F.col("next_click_ts"))
+        .alias("nearest_click_ts"),
+        F.when(backward_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

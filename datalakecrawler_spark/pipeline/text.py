@@ -1553,3 +1553,115 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(nd * nd / F.col("sum_c2"), 4).alias("inv_simpson"),
     ).orderBy("source")
+
+
+@register(
+    "text_js_divergence_sources",
+    group="J",
+    oracle="""
+    with toks as (
+      select source, unnest(string_split(text, ' ')) as w
+      from documents
+    ),
+    wc as (
+      select source, w, cast(count(*) as bigint) as c
+      from toks group by 1, 2
+    ),
+    tot as (
+      select source, cast(sum(c) as bigint) as n from wc group by 1
+    ),
+    probs as (
+      select wc.source, wc.w, wc.c, tot.n from wc join tot using (source)
+    ),
+    pairs as (
+      select a.source as s1, b.source as s2,
+             cast(a.c as double) / a.n as p,
+             cast(b.c as double) / b.n as q
+      from probs a join probs b
+        on a.w = b.w and a.source < b.source
+    ),
+    shared as (
+      select s1, s2,
+             sum(cast(floor((p * ln(2 * p / (p + q))
+                             + q * ln(2 * q / (p + q))) * 1e9
+                            + 0.5) as bigint)) as core9,
+             sum(cast(floor(p * 1e9 + 0.5) as bigint)) as pmass9,
+             sum(cast(floor(q * 1e9 + 0.5) as bigint)) as qmass9
+      from pairs group by 1, 2
+    )
+    select s1, s2,
+           round(0.5 * (cast(core9 as double) / 1e9)
+                 + 0.5 * ln(2)
+                   * ((1 - cast(pmass9 as double) / 1e9)
+                      + (1 - cast(qmass9 as double) / 1e9)), 6)
+             as js_divergence
+    from shared
+    order by js_divergence, s1, s2 limit 10
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: pairwise Jensen-Shannon divergence between source
+    unigram DISTRIBUTIONS — the principled source-similarity measure
+    (corpus_vocab_overlap compares vocab SETS; JS weighs by usage,
+    is symmetric, bounded by ln 2, and is the metric behind corpus
+    clustering / mixture dedup decisions). The union-support sum is
+    folded into an intersection-only join via the identity: words
+    exclusive to one source contribute exactly 0.5·ln2·(their
+    probability mass), and exclusive mass = 1 − shared mass — so one
+    word-keyed self-join of the per-source probability table covers
+    the whole formula with no full-outer join. Per-term
+    nano-quantization before the cross-word sums; top-10 most
+    similar pairs. The self-join fans out per word across |sources|²
+    pairs — at many-source scale, block by a minhash prefilter of
+    source vocabularies first."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("c").alias("n"))
+    probs = wc.join(F.broadcast(tot), "source")
+    a = probs.alias("a")
+    b = probs.alias("b")
+    p = F.col("a.c").cast("double") / F.col("a.n")
+    q = F.col("b.c").cast("double") / F.col("b.n")
+    pairs = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("s1"),
+        F.col("b.source").alias("s2"),
+        p.alias("p"),
+        q.alias("q"),
+    )
+    pp = F.col("p")
+    qq = F.col("q")
+    shared = pairs.groupBy("s1", "s2").agg(
+        F.sum(
+            F.floor(
+                (
+                    pp * F.log(2 * pp / (pp + qq))
+                    + qq * F.log(2 * qq / (pp + qq))
+                )
+                * 1e9
+                + 0.5
+            )
+        ).alias("core9"),
+        F.sum(F.floor(pp * 1e9 + 0.5)).alias("pmass9"),
+        F.sum(F.floor(qq * 1e9 + 0.5)).alias("qmass9"),
+    )
+    js = 0.5 * (F.col("core9").cast("double") / 1e9) + 0.5 * float(
+        __import__("math").log(2)
+    ) * (
+        (1 - F.col("pmass9").cast("double") / 1e9)
+        + (1 - F.col("qmass9").cast("double") / 1e9)
+    )
+    return (
+        shared.select(
+            "s1", "s2", F.round(js, 6).alias("js_divergence")
+        )
+        .orderBy("js_divergence", "s1", "s2")
+        .limit(10)
+    )

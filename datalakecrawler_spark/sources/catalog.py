@@ -1625,3 +1625,78 @@ def catalog_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("hit_rate"),
         (rate >= 0.8).alias("flagged_pii"),
     ).orderBy("column_name", "detector")
+
+
+@register(
+    "catalog_composite_pk_mining",
+    group="B",
+    oracle="""
+    with m as (
+      select cast(count(*) as bigint) as n,
+             count(distinct (o_custkey, o_orderdate)) as d_cust_date,
+             count(distinct (o_custkey, o_orderpriority)) as d_cust_prio,
+             count(distinct (o_custkey, o_orderstatus)) as d_cust_stat,
+             count(distinct (o_orderdate, o_orderpriority)) as d_date_prio,
+             count(distinct (o_orderdate, o_orderstatus)) as d_date_stat,
+             count(distinct (o_orderpriority, o_orderstatus)) as d_prio_stat
+      from orders
+    )
+    select col_pair, n, n_distinct,
+           round(cast(n_distinct as double) / n, 6) as uniqueness,
+           n_distinct = n as is_key
+    from (
+      select 'o_custkey,o_orderdate' as col_pair, n,
+             d_cust_date as n_distinct from m
+      union all select 'o_custkey,o_orderpriority', n, d_cust_prio from m
+      union all select 'o_custkey,o_orderstatus', n, d_cust_stat from m
+      union all select 'o_orderdate,o_orderpriority', n, d_date_prio from m
+      union all select 'o_orderdate,o_orderstatus', n, d_date_stat from m
+      union all select 'o_orderpriority,o_orderstatus', n, d_prio_stat
+                from m
+    ) t
+    order by uniqueness desc, col_pair
+    """,
+)
+def catalog_composite_pk_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: composite-key mining — test every non-trivial column
+    PAIR of orders for uniqueness (catalog_pk_discovery finds single-
+    column keys; real lake tables often key on composites like
+    (entity, date)). All six pairwise distinct counts are collected
+    in ONE aggregation pass (count_distinct over a struct per pair —
+    Spark expands this via a single expand + one shuffle rather than
+    six scans); the long-format report is a literal 6-row projection.
+    Uniqueness ratio is an exact-count ratio; at 100 TB swap
+    count_distinct for HLL (approx_count_distinct) per pair and keep
+    the same single-pass shape, gating candidates before an exact
+    confirm pass — the standard two-phase key-discovery trick."""
+    o = load(spark, sf_dir, "orders")
+    pairs = [
+        ("o_custkey", "o_orderdate", "d_cust_date"),
+        ("o_custkey", "o_orderpriority", "d_cust_prio"),
+        ("o_custkey", "o_orderstatus", "d_cust_stat"),
+        ("o_orderdate", "o_orderpriority", "d_date_prio"),
+        ("o_orderdate", "o_orderstatus", "d_date_stat"),
+        ("o_orderpriority", "o_orderstatus", "d_prio_stat"),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.count_distinct(F.struct(a, b)).alias(alias)
+        for a, b, alias in pairs
+    ]
+    m = o.agg(*aggs)
+    rows = None
+    for a, b, alias in pairs:
+        row = m.select(
+            F.lit(f"{a},{b}").alias("col_pair"),
+            "n",
+            F.col(alias).alias("n_distinct"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows.select(
+        "col_pair",
+        "n",
+        "n_distinct",
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n"), 6
+        ).alias("uniqueness"),
+        (F.col("n_distinct") == F.col("n")).alias("is_key"),
+    ).orderBy(F.col("uniqueness").desc(), "col_pair")
