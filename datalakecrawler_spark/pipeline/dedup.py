@@ -716,3 +716,78 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("n_docs") > 1).alias("n_cross_doc_hashes"),
         F.sum((F.col("n") - 1) * F.col("chunk_len")).alias("dup_char_mass"),
     )
+
+
+@register(
+    "dedup_lsh_band_stats",
+    group="J",
+    oracle=f"""
+    with sh as (
+      select doc_id,
+             list_distinct(list_transform(
+                 range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])) as shingles
+      from documents
+      where len(string_split(text, ' ')) >= {_SHINGLE_K}
+    ),
+    mh as (
+      select doc_id,
+             list_transform(range({_N_HASHES}),
+               s -> list_min(list_transform(shingles,
+                    x -> md5(cast(s as varchar) || '|' || x)))) as sig
+      from sh
+    ),
+    banded as (
+      select doc_id, b.band,
+             sig[{_BAND_ROWS} * b.band + 1] || '#'
+               || sig[{_BAND_ROWS} * b.band + 2] as key
+      from mh, (select unnest(range({_N_HASHES // _BAND_ROWS}))
+                as band) b
+    ),
+    buckets as (
+      select band, key, cast(count(*) as bigint) as k
+      from banded group by 1, 2
+    )
+    select band,
+           count(*) as n_buckets,
+           cast(sum(k) as bigint) as n_docs,
+           cast(max(k) as bigint) as max_bucket,
+           cast(sum(k * (k - 1) / 2) as bigint) as candidate_pairs
+    from buckets group by 1 order by band
+    """,
+)
+def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: LSH banding diagnostics — per-band bucket statistics for
+    the exact MinHash pipeline dedup_near_minhash runs (same shingles,
+    same 64 md5-minhashes, same 32×2 banding — the oracle replicates
+    the full signature computation, making this also a cross-engine
+    proof that the banding itself is portable, not just its output).
+    candidate_pairs = Σ k(k−1)/2 per band is THE tuning number: it is
+    the exact join fan-out the self-join pays, and a band whose
+    max_bucket explodes (a too-common band key, e.g. boilerplate
+    shingles) is the skew cell to salt. At 100 TB this query is the
+    cheap pre-flight run before committing to the quadratic-risk
+    candidate join; the signature pass is embarrassingly parallel and
+    the bucket rollup shuffles only (band, key) pairs."""
+    d = load(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= _SHINGLE_K
+    )
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    banded = _band_signatures(sh)
+    buckets = banded.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("k").alias("n_docs"),
+            F.max("k").alias("max_bucket"),
+            F.sum(
+                (F.col("k") * (F.col("k") - 1) / 2).cast("bigint")
+            ).alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )

@@ -1354,3 +1354,255 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t_week")
         .limit(30)
     )
+
+
+@register(
+    "events_transition_entropy",
+    group="J",
+    oracle="""
+    with seq as (
+      select event_type,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev_type
+      from events
+    ),
+    trans as (
+      select prev_type, event_type as next_type,
+             cast(count(*) as bigint) as c
+      from seq where prev_type is not null group by 1, 2
+    ),
+    m as (
+      select prev_type, next_type, c,
+             sum(c) over (partition by prev_type) as cp,
+             sum(c) over () as n
+      from trans
+    )
+    select max(n) as n_transitions,
+           count(distinct prev_type) as n_states,
+           round(cast(sum(cast(floor(
+               -(cast(c as double) / n)
+               * ln(cast(c as double) / cp) * 1e9 + 0.5) as bigint))
+               as double) / 1e9, 6) as entropy_rate_nats,
+           round(exp(cast(sum(cast(floor(
+               -(cast(c as double) / n)
+               * ln(cast(c as double) / cp) * 1e9 + 0.5) as bigint))
+               as double) / 1e9), 4) as perplexity
+    from m
+    """,
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: entropy rate of the user-journey Markov chain —
+    H(next|prev) = −Σ p(prev,next)·ln p(next|prev) over the empirical
+    transition distribution, with perplexity e^H ('how many
+    effectively-random next actions'). This is the predictability
+    ceiling of the journey model events_transition_matrix /
+    events_markov_stationary parameterize: near-zero means journeys
+    are deterministic funnels; near ln(|states|) means navigation is
+    noise. Same lag-window + count plumbing as the transition matrix;
+    each joint-probability term is computed from exact counts in
+    fixed IEEE order and nano-quantized before the cross-cell sum."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = trans.select(
+        "prev_type",
+        "c",
+        F.sum("c").over(W.partitionBy("prev_type")).alias("cp"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    term = F.floor(
+        -(F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("c").cast("double") / F.col("cp"))
+        * 1e9
+        + 0.5
+    )
+    return m.agg(
+        F.max("n").alias("n_transitions"),
+        F.count_distinct("prev_type").alias("n_states"),
+        F.round(F.sum(term).cast("double") / 1e9, 6).alias(
+            "entropy_rate_nats"
+        ),
+        F.round(F.exp(F.sum(term).cast("double") / 1e9), 4).alias(
+            "perplexity"
+        ),
+    )
+
+
+@register(
+    "orders_discount_elasticity",
+    group="J",
+    oracle="""
+    with lv as (
+      select cast(floor(l_discount * 100 + 0.5) as bigint) as d_pct,
+             cast(count(*) as bigint) as w,
+             cast(sum(cast(floor(ln(l_quantity) * 1e9 + 0.5) as bigint))
+                  as bigint) as sly9
+      from lineitem group by 1
+    ),
+    pts as (
+      select d_pct, w,
+             ln(1 + cast(d_pct as double) / 100) as x,
+             cast(sly9 as double) / 1e9 / w as y
+      from lv
+    ),
+    m as (
+      select cast(sum(w) as bigint) as sw,
+             sum(cast(floor(w * x * 1e9 + 0.5) as bigint)) as swx9,
+             sum(cast(floor(w * y * 1e9 + 0.5) as bigint)) as swy9,
+             sum(cast(floor(w * x * x * 1e9 + 0.5) as bigint)) as swxx9,
+             sum(cast(floor(w * x * y * 1e9 + 0.5) as bigint)) as swxy9,
+             count(*) as n_levels
+      from pts
+    )
+    select n_levels, sw as n_lines,
+           round((cast(swxy9 as double) / 1e9
+                  - (cast(swx9 as double) / 1e9)
+                    * (cast(swy9 as double) / 1e9) / sw)
+                 / (cast(swxx9 as double) / 1e9
+                    - (cast(swx9 as double) / 1e9)
+                      * (cast(swx9 as double) / 1e9) / sw), 6)
+             as elasticity_loglog
+    from m
+    """,
+)
+def orders_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: discount elasticity of demand — the weighted log-log OLS
+    slope of quantity on (1+discount) across the 11 discrete discount
+    levels: the pricing-analytics primitive ('a 1% deeper discount
+    moves quantity by β%'). Distributed shape: one rollup to discount
+    levels carrying count + Σln(quantity) (per-row ln nano-quantized
+    → exact int sums), then closed-form weighted OLS over ≤11 points
+    (the same moment-sum pattern as agg_groupwise_ols, with weights).
+    Level means are exact ratios; the 11 weighted moments are
+    re-quantized before the cross-level sums so both engines sum
+    identical integers."""
+    li = load(spark, sf_dir, "lineitem")
+    lv = li.groupBy(
+        F.floor(F.col("l_discount") * 100 + 0.5).alias("d_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(
+            F.floor(F.log(F.col("l_quantity")) * 1e9 + 0.5)
+        ).alias("sly9"),
+    )
+    pts = lv.select(
+        "d_pct",
+        "w",
+        F.log(1 + F.col("d_pct").cast("double") / 100).alias("x"),
+        (F.col("sly9").cast("double") / 1e9 / F.col("w")).alias("y"),
+    )
+    m = pts.agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.floor(F.col("w") * F.col("x") * 1e9 + 0.5)).alias("swx9"),
+        F.sum(F.floor(F.col("w") * F.col("y") * 1e9 + 0.5)).alias("swy9"),
+        F.sum(
+            F.floor(F.col("w") * F.col("x") * F.col("x") * 1e9 + 0.5)
+        ).alias("swxx9"),
+        F.sum(
+            F.floor(F.col("w") * F.col("x") * F.col("y") * 1e9 + 0.5)
+        ).alias("swxy9"),
+        F.count(F.lit(1)).alias("n_levels"),
+    )
+    swd = F.col("sw")
+    swx = F.col("swx9").cast("double") / 1e9
+    swy = F.col("swy9").cast("double") / 1e9
+    swxx = F.col("swxx9").cast("double") / 1e9
+    swxy = F.col("swxy9").cast("double") / 1e9
+    return m.select(
+        "n_levels",
+        F.col("sw").alias("n_lines"),
+        F.round(
+            (swxy - swx * swy / swd) / (swxx - swx * swx / swd), 6
+        ).alias("elasticity_loglog"),
+    )
+
+
+@register(
+    "events_session_bounce_rate",
+    group="J",
+    oracle="""
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                    or epoch_us(ts) - epoch_us(lag(ts) over w)
+                       > 1800 * 1000000
+                  then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    sess as (
+      select user_id, ts,
+             sum(is_new) over (partition by user_id
+               order by ts, event_id
+               rows between unbounded preceding and current row)
+               as session_id
+      from marked
+    ),
+    per_sess as (
+      select user_id, session_id,
+             cast(date_trunc('day', min(ts)) as date) as day,
+             count(*) as n_events
+      from sess group by 1, 2
+    )
+    select day,
+           count(*) as n_sessions,
+           count(*) filter (where n_events = 1) as n_bounces,
+           round(cast(count(*) filter (where n_events = 1) as double)
+                 / count(*), 6) as bounce_rate
+    from per_sess group by 1 order by day
+    """,
+)
+def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: daily bounce rate — share of sessions (30-minute-gap
+    sessionization, the events_session_stats state machine) that
+    contain exactly one event, keyed by session START day: the
+    landing-quality KPI. Gap tests use exact integer microseconds
+    (the events_interevent_hist lesson — second-truncated subtraction
+    differs across engines on sub-second timestamps). Everything
+    partitions on user_id through sessionization, then re-keys on
+    day for the report — two shuffles total, both on natural keys."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            gap_us.isNull() | (gap_us > 1800 * 1000000), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = marked.select(
+        "user_id", "ts", F.sum("is_new").over(wc).alias("session_id")
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_sess.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count(F.when(F.col("n_events") == 1, 1)).alias(
+                "n_bounces"
+            ),
+            F.round(
+                F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
