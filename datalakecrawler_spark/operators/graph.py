@@ -330,3 +330,181 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "pa", "pb")
         .limit(20)
     )
+
+
+@register(
+    "graph_kcore_decomposition",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    e0 as (select pa, pb from edges),
+    d1 as (
+      select v, count(*) as d from (
+        select pa as v from e0 union all select pb as v from e0) s
+      group by 1
+    ),
+    k1 as (select v from d1 where d >= 3),
+    e1 as (
+      select pa, pb from e0
+      where pa in (select v from k1) and pb in (select v from k1)
+    ),
+    d2 as (
+      select v, count(*) as d from (
+        select pa as v from e1 union all select pb as v from e1) s
+      group by 1
+    ),
+    k2 as (select v from d2 where d >= 3),
+    e2 as (
+      select pa, pb from e1
+      where pa in (select v from k2) and pb in (select v from k2)
+    ),
+    d3 as (
+      select v, count(*) as d from (
+        select pa as v from e2 union all select pb as v from e2) s
+      group by 1
+    ),
+    k3 as (select v from d3 where d >= 3),
+    e3 as (
+      select pa, pb from e2
+      where pa in (select v from k3) and pb in (select v from k3)
+    )
+    select * from (
+      select 0 as round, (select count(*) from d1) as n_nodes,
+             (select count(*) from e0) as n_edges
+      union all
+      select 1, (select count(*) from k1), (select count(*) from e1)
+      union all
+      select 2, (select count(*) from k2), (select count(*) from e2)
+      union all
+      select 3, (select count(*) from k3), (select count(*) from e3)
+    ) t order by round
+    """,
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: 3-core peeling — iteratively drop nodes with degree < 3
+    and report the shrinking (nodes, edges) per round: the standard
+    'dense backbone' extraction (the surviving core is where
+    community structure and recommendation signal live; the peeled
+    fringe is one-off co-purchases). Three unrolled peel rounds as a
+    bounded DataFrame loop (the events_markov_stationary engine
+    pattern) with an unrolled-CTE oracle; every quantity is an exact
+    integer count. Each round is a degree rollup + two semi-joins
+    against the (tiny, broadcast) surviving-node set — at 100 TB the
+    peeling converges in few rounds precisely because degrees are
+    basket-bounded.
+
+    Engine note: the pruned edge list is localCheckpoint()ed once and
+    per round — the peel loop issues two actions per round, and
+    without cutting lineage each action would replay the whole
+    distinct→self-join→rollup chain from parquet (O(rounds²) rescans;
+    measured ~38 s → ~2 s at sf0.001). The checkpointed frame is a few
+    thousand rows — the standard iterative-algorithm discipline on
+    Spark (the same reason GraphX/MLlib iterate on materialized,
+    lineage-cut frames)."""
+    e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    rounds = []
+    cur = e
+    deg = (
+        _sym(cur).groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    )
+    rounds.append((0, deg.count(), cur.count()))
+    for r in range(1, 4):
+        keep = deg.filter(F.col("d") >= 3).select(
+            F.col("src").alias("v")
+        )
+        n_keep = keep.count()
+        cur = (
+            cur.join(F.broadcast(keep), cur.pa == keep.v, "left_semi")
+            .join(F.broadcast(keep), F.col("pb") == keep.v, "left_semi")
+            .localCheckpoint()
+        )
+        deg = (
+            _sym(cur).groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        )
+        rounds.append((r, n_keep, cur.count()))
+    return spark.createDataFrame(
+        rounds, "round int, n_nodes bigint, n_edges bigint"
+    ).orderBy("round")
+
+
+@register(
+    "graph_label_propagation",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    sym as (
+      select pa as src, pb as dst from edges
+      union all
+      select pb as src, pa as dst from edges
+    ),
+    l0 as (select distinct src as v, src as lbl from sym),
+    votes1 as (
+      select sym.src as v, l0.lbl, count(*) as c
+      from sym join l0 on l0.v = sym.dst
+      group by 1, 2
+    ),
+    l1 as (
+      select v, min(lbl) filter (where rk = 1) as lbl from (
+        select v, lbl,
+               rank() over (partition by v order by c desc) as rk
+        from votes1) t
+      group by 1
+    ),
+    votes2 as (
+      select sym.src as v, l1.lbl, count(*) as c
+      from sym join l1 on l1.v = sym.dst
+      group by 1, 2
+    ),
+    l2 as (
+      select v, min(lbl) filter (where rk = 1) as lbl from (
+        select v, lbl,
+               rank() over (partition by v order by c desc) as rk
+        from votes2) t
+      group by 1
+    ),
+    sizes as (select lbl, count(*) as sz from l2 group by 1)
+    select sz as community_size, count(*) as n_communities
+    from sizes group by 1 order by community_size
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: label-propagation community detection, 2 synchronous
+    rounds with a DETERMINISTIC tie rule (each node adopts its
+    neighbors' most frequent label, ties → smallest label id —
+    classic LPA is run-order random; the min-tie-break variant is
+    reproducible and therefore oracle-checkable), reporting the
+    community-size histogram. Each round is one join of the label
+    vector against the broadcast symmetrized edges + a vote rollup +
+    a rank — all exact integer operations. dedup_components computes
+    exact connected components via iterated min; LPA differs by
+    splitting dense components into COMMUNITIES (majority vote, not
+    reachability). At scale the label vector stays partitioned by
+    node; rounds are map-side against broadcast edges."""
+    sym = _sym(_edges(spark, sf_dir))
+    l = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(2):
+        votes = (
+            sym.join(
+                F.broadcast(l.withColumnRenamed("v", "nbr")),
+                F.col("dst") == F.col("nbr"),
+            )
+            .groupBy(F.col("src").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rk = F.rank().over(
+            W.partitionBy("v").orderBy(F.col("c").desc())
+        )
+        l = (
+            votes.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    sizes = l.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("community_size"))
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .orderBy("community_size")
+    )

@@ -891,3 +891,206 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("smape9") / 1e9, 6).alias("smape"),
     )
+
+
+@register(
+    "events_value_gini_by_type",
+    group="J",
+    oracle="""
+    with v as (
+      select event_type,
+             cast(floor(value * 1e6 + 0.5) as bigint) as x,
+             event_id
+      from events where value is not null
+    ),
+    r as (
+      select event_type, x,
+             row_number() over (partition by event_type
+               order by x, event_id) as i,
+             count(*) over (partition by event_type) as n,
+             sum(x) over (partition by event_type) as sx
+      from v
+    )
+    select event_type,
+           max(n) as n_events,
+           round(cast(max(sx) as double) / 1e6, 2) as total_value,
+           round((2.0 * cast(sum(i * x) as bigint))
+                   / (cast(max(n) as double) * max(sx))
+                 - (cast(max(n) as double) + 1) / max(n), 6) as gini
+    from r group by event_type
+    order by event_type
+    """,
+)
+def events_value_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: per-group Gini concentration of event values —
+    orders_gini_concentration generalized to grouped data: is value
+    concentration a property of one event type (a few whale
+    purchases) or uniform across behaviors? Uses the rank-sum
+    identity G = 2Σi·xᵢ/(nΣx) − (n+1)/n on ascending-sorted exact
+    micro-unit ints (Σi·x ≤ n²·x̄ ≈ 2e17 at sf0.1 — inside int64);
+    the sort is PER GROUP (partitioned window — no global funnel),
+    ties ordered by event_id for engine-identical ranks. One shuffle
+    on event_type, exact integers until the final two divisions."""
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 1e6 + 0.5).alias("x"),
+        "event_id",
+    )
+    wp = W.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "x",
+        F.row_number().over(wp.orderBy("x", "event_id")).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+    )
+    nd = F.max("n").cast("double")
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.round(F.max("sx").cast("double") / 1e6, 2).alias(
+                "total_value"
+            ),
+            F.round(
+                (2.0 * F.sum(F.col("i") * F.col("x")))
+                / (nd * F.max("sx"))
+                - (nd + 1) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_permutation_null",
+    group="J",
+    oracle="""
+    with reps as (select unnest(range(20)) as b),
+    assign as (
+      select r.b, e.user_id,
+             ascii(substr(md5(cast(e.user_id as varchar) || '|'
+                   || cast(r.b as varchar)), 1, 1)) % 2 as arm,
+             max(case when e.event_type = 'purchase' then 1 else 0 end)
+               as conv
+      from events e cross join reps r
+      group by 1, 2, 3
+    ),
+    per_b as (
+      select b,
+             cast(sum(case when arm = 1 then conv else 0 end) as double)
+               / sum(case when arm = 1 then 1 else 0 end)
+             - cast(sum(case when arm = 0 then conv else 0 end) as double)
+               / sum(case when arm = 0 then 1 else 0 end) as diff
+      from assign group by 1
+    ),
+    obs as (
+      select cast(sum(case when user_id % 2 = 1 then conv else 0 end)
+                  as double)
+               / sum(case when user_id % 2 = 1 then 1 else 0 end)
+             - cast(sum(case when user_id % 2 = 0 then conv else 0 end)
+                    as double)
+               / sum(case when user_id % 2 = 0 then 1 else 0 end)
+               as observed
+      from (select user_id,
+                   max(case when event_type = 'purchase' then 1 else 0
+                       end) as conv
+            from events group by 1) u
+    )
+    select count(*) as n_replicates,
+           round((select observed from obs), 6) as observed_diff,
+           count(*) filter (where abs(diff)
+             >= abs((select observed from obs))) as n_as_extreme,
+           round((count(*) filter (where abs(diff)
+                  >= abs((select observed from obs))) + 1.0)
+                 / (count(*) + 1), 6) as p_value_mc
+    from per_b
+    """,
+)
+def stats_permutation_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: permutation-test null distribution by DETERMINISTIC
+    hash re-randomization — 20 pseudo-permutations reassign each user to
+    an arm via md5(user_id|replicate) parity and recompute the
+    conversion-rate difference; the Monte-Carlo p-value (with the +1
+    add-one correction) locates the observed events_ab_ztest diff in
+    its own null. Hash assignment is the distributed-systems answer
+    to 'shuffle the labels': no global permutation state, perfectly
+    reproducible, embarrassingly parallel (the same trick behind
+    sample_poisson_bootstrap). One grid expansion (users × 20 — the
+    per-user collapse keeps it entity-sized, not event-sized) and
+    exact-count ratios; comparisons run on identical doubles."""
+    e = load(spark, sf_dir, "events")
+    reps = spark.range(20).select(F.col("id").alias("b"))
+    assign = (
+        e.crossJoin(F.broadcast(reps))
+        .groupBy(
+            "b",
+            "user_id",
+            (
+                F.ascii(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("user_id").cast("string"),
+                                F.lit("|"),
+                                F.col("b").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    )
+                )
+                % 2
+            ).alias("arm"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    arm1 = F.when(F.col("arm") == 1, 1).otherwise(0)
+    arm0 = F.when(F.col("arm") == 0, 1).otherwise(0)
+    per_b = assign.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            .cast("double")
+            / F.sum(arm1)
+            - F.sum(
+                F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)
+            ).cast("double")
+            / F.sum(arm0)
+        ).alias("diff")
+    )
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    p1 = F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)
+    p0 = F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+    obs = u.agg(
+        (
+            F.sum(
+                F.when(F.col("user_id") % 2 == 1, F.col("conv")).otherwise(0)
+            ).cast("double")
+            / F.sum(p1)
+            - F.sum(
+                F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0)
+            ).cast("double")
+            / F.sum(p0)
+        ).alias("observed")
+    )
+    j = per_b.crossJoin(F.broadcast(obs))
+    extreme = F.abs(F.col("diff")) >= F.abs(F.col("observed"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.max("observed"), 6).alias("observed_diff"),
+        F.count(F.when(extreme, 1)).alias("n_as_extreme"),
+        F.round(
+            (F.count(F.when(extreme, 1)) + 1.0) / (F.count(F.lit(1)) + 1),
+            6,
+        ).alias("p_value_mc"),
+    )
