@@ -1606,3 +1606,148 @@ def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_conversion_by_segment",
+    group="J",
+    oracle="""
+    with u as (
+      select user_id,
+             max(case when event_type = 'purchase' then 1 else 0 end)
+               as converted,
+             cast(count(*) as bigint) as n_events,
+             cast(sum(cast(floor(coalesce(value, 0) * 1e6 + 0.5)
+                  as bigint)) as bigint) as value_micro
+      from events group by 1
+    ),
+    j as (
+      select c.c_mktsegment as segment, u.*
+      from u join customer c on c.c_custkey = u.user_id
+    )
+    select segment,
+           count(*) as n_users,
+           cast(sum(converted) as bigint) as n_converted,
+           round(cast(sum(converted) as double) / count(*), 6)
+             as conversion_rate,
+           round(cast(sum(value_micro) as double) / 1e6
+                 / sum(n_events), 6) as value_per_event
+    from j group by 1 order by segment
+    """,
+)
+def events_conversion_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: behavioral KPIs joined to a CRM dimension — conversion
+    rate and value-per-event by market segment, the cross-dataset
+    join (event log × customer dim on user_id = custkey) every
+    product-analytics warehouse runs hourly. The per-user collapse
+    happens BEFORE the dimension join — entity-grain first, then a
+    broadcast hash join against the small dim — so the join input is
+    users, not raw events (the aggregate-then-join rewrite Catalyst
+    cannot always derive itself because the collapse changes grain).
+    Exact counters; two fixed-order ratios."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0)) * 1e6 + 0.5)
+        ).alias("value_micro"),
+    )
+    j = u.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        u.user_id == F.col("c_custkey"),
+    )
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+            F.round(
+                F.sum("value_micro").cast("double")
+                / 1e6
+                / F.sum("n_events"),
+                6,
+            ).alias("value_per_event"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "orders_priority_mix_shift",
+    group="B",
+    oracle="""
+    with split as (
+      select o_orderpriority as prio,
+             case when o_orderdate < timestamp '1998-01-01'
+                  then 'a' else 'b' end as period
+      from orders
+    ),
+    cnt as (
+      select prio,
+             cast(sum(case when period = 'a' then 1 else 0 end)
+                  as bigint) as ca,
+             cast(sum(case when period = 'b' then 1 else 0 end)
+                  as bigint) as cb
+      from split group by 1
+    ),
+    tot as (
+      select cast(sum(ca) as bigint) as ta, cast(sum(cb) as bigint) as tb
+      from cnt
+    )
+    select prio,
+           ca as n_before, cb as n_after,
+           round(cast(ca as double) / ta, 6) as share_before,
+           round(cast(cb as double) / tb, 6) as share_after,
+           round((cast(cb as double) / tb - cast(ca as double) / ta)
+                 * ln((cast(cb as double) / tb)
+                      / (cast(ca as double) / ta)), 6) as psi_term
+    from cnt, tot
+    order by prio
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: categorical-mix drift — the per-category PSI terms for
+    order priority before/after a cutover date (catalog_drift_psi is
+    the NUMERIC-binned form; categorical columns drift too, and the
+    per-category term decomposition shows WHICH category moved, which
+    the summed statistic hides). Exact counts per (category, period)
+    in one pass; each (q−p)·ln(q/p) term is a fixed-order expression
+    on exact ratios, reported per category (the monitor alarms on
+    Σterms > 0.2). All categories present in both periods here;
+    production code adds Laplace smoothing for empty cells."""
+    o = load(spark, sf_dir, "orders")
+    split = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            "a",
+        )
+        .otherwise("b")
+        .alias("period"),
+    )
+    cnt = split.groupBy("prio").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    p = F.col("ca").cast("double") / F.col("ta")
+    q = F.col("cb").cast("double") / F.col("tb")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "prio",
+            F.col("ca").alias("n_before"),
+            F.col("cb").alias("n_after"),
+            F.round(p, 6).alias("share_before"),
+            F.round(q, 6).alias("share_after"),
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+        .orderBy("prio")
+    )

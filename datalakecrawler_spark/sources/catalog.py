@@ -1700,3 +1700,80 @@ def catalog_composite_pk_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uniqueness"),
         (F.col("n_distinct") == F.col("n")).alias("is_key"),
     ).orderBy(F.col("uniqueness").desc(), "col_pair")
+
+
+@register(
+    "catalog_decimal_precision_audit",
+    group="B",
+    oracle="""
+    with vals as (
+      select 'l_quantity' as col, l_quantity as x from lineitem
+      union all
+      select 'l_discount', l_discount from lineitem
+      union all
+      select 'l_tax', l_tax from lineitem
+      union all
+      select 'l_extendedprice', l_extendedprice from lineitem
+    ),
+    scaled as (
+      select col,
+             case
+               when floor(x * 1 + 0.5) / 1 = x then 0
+               when floor(x * 10 + 0.5) / 10 = x then 1
+               when floor(x * 100 + 0.5) / 100 = x then 2
+               when floor(x * 1000 + 0.5) / 1000 = x then 3
+               when floor(x * 10000 + 0.5) / 10000 = x then 4
+               else 5
+             end as scale_needed
+      from vals
+    )
+    select col,
+           count(*) as n_values,
+           cast(max(scale_needed) as bigint) as max_scale,
+           round(cast(count(*) filter (where scale_needed = 0)
+                 as double) / count(*), 6) as integer_fraction
+    from scaled group by 1 order by col
+    """,
+)
+def catalog_decimal_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: decimal-scale audit — the smallest fixed-point scale
+    that represents every value of each numeric column exactly (the
+    schema-tightening recommendation a crawler emits: l_quantity
+    needs scale 0 → store as int; prices need 2 → decimal(·,2);
+    storing them as doubles wastes bits AND invites the float-sum
+    traps SURVEY §2.L catalogs). The scale test floor(x·10^k+0.5)/10^k
+    = x is pure IEEE arithmetic on identical doubles — deterministic
+    in both engines (both read the same parquet bit patterns). One
+    unpivoted pass; counts and max are exact."""
+    li = load(spark, sf_dir, "lineitem")
+    vals = None
+    for col in ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]:
+        part = li.select(
+            F.lit(col).alias("col"), F.col(col).alias("x")
+        )
+        vals = part if vals is None else vals.unionAll(part)
+    x = F.col("x")
+    scale = (
+        F.when(F.floor(x * 1 + 0.5) / 1 == x, 0)
+        .when(F.floor(x * 10 + 0.5) / 10 == x, 1)
+        .when(F.floor(x * 100 + 0.5) / 100 == x, 2)
+        .when(F.floor(x * 1000 + 0.5) / 1000 == x, 3)
+        .when(F.floor(x * 10000 + 0.5) / 10000 == x, 4)
+        .otherwise(5)
+    )
+    scaled = vals.select("col", scale.alias("scale_needed"))
+    return (
+        scaled.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.max("scale_needed").cast("bigint").alias("max_scale"),
+            F.round(
+                F.count(F.when(F.col("scale_needed") == 0, 1)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("integer_fraction"),
+        )
+        .orderBy("col")
+    )
