@@ -1751,3 +1751,98 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@register(
+    "customer_order_gap_regularity",
+    group="J",
+    oracle="""
+    with gaps as (
+      select o_custkey,
+             date_diff('day',
+               lag(o_orderdate) over (partition by o_custkey
+                 order by o_orderdate, o_orderkey),
+               o_orderdate) as gap_d
+      from orders
+    ),
+    per_cust as (
+      select o_custkey,
+             cast(count(*) as bigint) as n_gaps,
+             cast(sum(gap_d) as bigint) as s,
+             cast(sum(gap_d * gap_d) as bigint) as sq
+      from gaps where gap_d is not null
+      group by 1 having count(*) >= 2
+    ),
+    cv as (
+      select o_custkey, n_gaps,
+             cast(floor(
+               sqrt((cast(sq as double)
+                     - n_gaps * (cast(s as double) / n_gaps)
+                       * (cast(s as double) / n_gaps)) / (n_gaps - 1))
+               / (cast(s as double) / n_gaps) * 1e9 + 0.5) as bigint)
+               as cv9
+      from per_cust where s > 0
+    )
+    select count(*) as n_customers,
+           round(cast(sum(cv9) as double) / count(*) / 1e9, 6)
+             as mean_cv,
+           round(cast(count(*) filter (where cv9 < 500000000) as double)
+                 / count(*), 6) as regular_rate,
+           round(cast(count(*) filter (where cv9 > 1000000000) as double)
+                 / count(*), 6) as bursty_rate
+    from cv
+    """,
+)
+def customer_order_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: purchase-rhythm regularity — the coefficient of
+    variation of each customer's inter-order gaps, summarized as the
+    population mean CV plus the regular (CV < 0.5, clockwork
+    replenishers) and bursty (CV > 1, Poisson-or-worse) shares: the
+    temporal dimension RFM (customer_rfm_segmentation) ignores, and
+    the feature that separates subscription-like behavior from
+    sporadic. Gaps are exact integer days from a lag window on the
+    custkey shuffle; per-customer (n, Σ, Σ²) are exact ints, the CV
+    is one fixed-order expression nano-quantized per customer, and
+    the population rollup is integer sums + threshold counts done on
+    the quantized ints (5e8 = CV 0.5) so boundaries are exact."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_d"),
+    ).filter(F.col("gap_d").isNotNull())
+    per_cust = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_d").alias("s"),
+            F.sum(F.col("gap_d") * F.col("gap_d")).alias("sq"),
+        )
+        .filter((F.col("n_gaps") >= 2) & (F.col("s") > 0))
+    )
+    mean = F.col("s").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(
+        (F.col("sq").cast("double") - F.col("n_gaps") * mean * mean)
+        / (F.col("n_gaps") - 1)
+    )
+    cv = per_cust.select(
+        F.floor(sd / mean * 1e9 + 0.5).alias("cv9")
+    )
+    return cv.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum("cv9").cast("double") / F.count(F.lit(1)) / 1e9, 6
+        ).alias("mean_cv"),
+        F.round(
+            F.count(F.when(F.col("cv9") < 500000000, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("regular_rate"),
+        F.round(
+            F.count(F.when(F.col("cv9") > 1000000000, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bursty_rate"),
+    )

@@ -265,3 +265,115 @@ def mm_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@register(
+    "mm_embed_silhouette",
+    group="J",
+    oracle="""
+    with pe as (
+      select vec_id, label, generate_subscripts(embedding, 1) - 1 as pos,
+             unnest(embedding) as v
+      from embeddings
+    ),
+    cent as (
+      select label, pos,
+             round(cast(sum(cast(floor(v * 1e6 + 0.5) as bigint)) as double)
+                   / count(*) / 1e6, 6) as va
+      from pe group by 1, 2
+    ),
+    d2 as (
+      select pe.vec_id, pe.label as own_label, cent.label as c_label,
+             sum(cast(floor((pe.v - cent.va) * (pe.v - cent.va) * 1e12
+                 + 0.5) as bigint)) as dsq12
+      from pe join cent on cent.pos = pe.pos
+      group by 1, 2, 3
+    ),
+    ab as (
+      select vec_id, own_label,
+             max(case when c_label = own_label then dsq12 end) as a12,
+             min(case when c_label <> own_label then dsq12 end) as b12
+      from d2 group by 1, 2
+    ),
+    s as (
+      select own_label,
+             cast(floor((sqrt(cast(b12 as double) / 1e12)
+                         - sqrt(cast(a12 as double) / 1e12))
+                        / greatest(sqrt(cast(a12 as double) / 1e12),
+                                   sqrt(cast(b12 as double) / 1e12))
+                        * 1e9 + 0.5) as bigint) as s9
+      from ab
+    )
+    select own_label as label,
+           count(*) as n_vecs,
+           round(cast(sum(s9) as double) / count(*) / 1e9, 6)
+             as mean_silhouette
+    from s group by 1 order by label
+    """,
+)
+def mm_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: centroid-silhouette score per label — the clustering
+    quality diagnostic, in the O(n·k) centroid approximation (true
+    silhouette is O(n²) pairwise; the centroid form a = dist to own
+    centroid, b = nearest other centroid is the standard large-scale
+    surrogate and what sklearn users switch to beyond ~1e5 points).
+    Labels with mean s near 0 overlap their neighbor — the classes
+    semantic dedup (dedup_semdedup) will merge across. Determinism
+    layering: centroids are micro-quantized means re-rounded at 6
+    (exact doubles), per-(vector, centroid) squared distances are
+    pico-quantized int sums over positions, sqrt/ratio runs in fixed
+    IEEE order, and the per-vector silhouette is nano-quantized
+    before the label mean. Scale: one posexplode pass, centroid table
+    broadcasts (k×dims rows), distances are a map-side join — linear
+    in vectors at any corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = pe.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.floor(F.col("v") * 1e6 + 0.5)).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("va")
+    )
+    c = F.broadcast(
+        cent.select(
+            F.col("label").alias("c_label"), "pos", "va"
+        )
+    )
+    diff = F.col("v") - F.col("va")
+    d2 = (
+        pe.join(c, "pos")
+        .groupBy(
+            "vec_id", F.col("label").alias("own_label"), "c_label"
+        )
+        .agg(
+            F.sum(F.floor(diff * diff * 1e12 + 0.5)).alias("dsq12")
+        )
+    )
+    ab = d2.groupBy("vec_id", "own_label").agg(
+        F.max(
+            F.when(F.col("c_label") == F.col("own_label"), F.col("dsq12"))
+        ).alias("a12"),
+        F.min(
+            F.when(F.col("c_label") != F.col("own_label"), F.col("dsq12"))
+        ).alias("b12"),
+    )
+    da = F.sqrt(F.col("a12").cast("double") / 1e12)
+    db = F.sqrt(F.col("b12").cast("double") / 1e12)
+    s = ab.select(
+        "own_label",
+        F.floor((db - da) / F.greatest(da, db) * 1e9 + 0.5).alias("s9"),
+    )
+    return (
+        s.groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("s9").cast("double") / F.count(F.lit(1)) / 1e9, 6
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

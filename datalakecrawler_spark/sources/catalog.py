@@ -1777,3 +1777,101 @@ def catalog_decimal_precision_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("col")
     )
+
+
+@register(
+    "catalog_string_pattern_profile",
+    group="B",
+    oracle="""
+    with vals as (
+      select 'c_name' as col, c_name as s from customer
+      union all
+      select 'c_mktsegment', c_mktsegment from customer
+      union all
+      select 'o_orderpriority', o_orderpriority from orders
+    ),
+    masked as (
+      select col,
+             regexp_replace(regexp_replace(regexp_replace(
+               s, '[A-Za-z]', 'A', 'g'), '[0-9]', '9', 'g'),
+               'A+', 'A', 'g') as mask
+      from vals
+    ),
+    counts as (
+      select col, mask, cast(count(*) as bigint) as n
+      from masked group by 1, 2
+    ),
+    ranked as (
+      select col, mask, n,
+             row_number() over (partition by col
+               order by n desc, mask) as rk,
+             sum(n) over (partition by col) as tot
+      from counts
+    )
+    select col, mask, n,
+           round(cast(n as double) / tot, 6) as share
+    from ranked where rk <= 3
+    order by col, n desc, mask
+    """,
+)
+def catalog_string_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: string pattern-mask profiling — collapse every value to a
+    shape mask (letter runs → 'A', digits → '9', punctuation kept)
+    and report the top-3 masks per column with coverage: the
+    classical profiler move (Potter's Wheel / Trifacta lineage) that
+    reveals format contracts ('Customer#000000001' → 'A#999999999')
+    and flags mixed-format columns — the precursor to
+    catalog_semantic_type's dictionary matching. Mask computation is
+    three chained regexp_replace calls (JVM-side, codegen'd); the
+    rollup shuffles (col, mask) pairs — at 100 TB masks concentrate
+    into few groups so partial aggregation absorbs almost all rows
+    map-side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    vals = (
+        c.select(F.lit("c_name").alias("col"), F.col("c_name").alias("s"))
+        .unionAll(
+            c.select(
+                F.lit("c_mktsegment").alias("col"),
+                F.col("c_mktsegment").alias("s"),
+            )
+        )
+        .unionAll(
+            o.select(
+                F.lit("o_orderpriority").alias("col"),
+                F.col("o_orderpriority").alias("s"),
+            )
+        )
+    )
+    mask = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), "[A-Za-z]", "A"), "[0-9]", "9"
+        ),
+        "A+",
+        "A",
+    )
+    counts = vals.select("col", mask.alias("mask")).groupBy(
+        "col", "mask"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = W.partitionBy("col")
+    ranked = counts.select(
+        "col",
+        "mask",
+        "n",
+        F.row_number()
+        .over(wp.orderBy(F.col("n").desc(), "mask"))
+        .alias("rk"),
+        F.sum("n").over(wp).alias("tot"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 3)
+        .select(
+            "col",
+            "mask",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("col", F.col("n").desc(), "mask")
+    )
