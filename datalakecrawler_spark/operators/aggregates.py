@@ -1785,3 +1785,80 @@ def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         from sla_lag group by priority order by priority
         """
     )
+
+
+@register(
+    "part_price_dispersion",
+    group="E",
+    oracle="""
+    with up as (
+      select l_partkey, l_suppkey,
+             cast(floor(l_extendedprice / l_quantity * 1e4 + 0.5)
+                  as bigint) as unit4
+      from lineitem where l_quantity > 0
+    ),
+    per_part as (
+      select l_partkey,
+             count(distinct l_suppkey) as n_suppliers,
+             cast(count(*) as bigint) as n_lines,
+             cast(min(unit4) as bigint) as min4,
+             cast(max(unit4) as bigint) as max4
+      from up group by 1 having count(distinct l_suppkey) >= 3
+    )
+    select l_partkey as partkey, n_suppliers, n_lines,
+           round(cast(min4 as double) / 1e4, 4) as min_unit_price,
+           round(cast(max4 as double) / 1e4, 4) as max_unit_price,
+           round((cast(max4 as double) - min4) / min4, 6)
+             as price_spread_ratio
+    from per_part
+    order by price_spread_ratio desc, partkey limit 20
+    """,
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: cross-supplier unit-price dispersion per part — the
+    procurement-arbitrage report (q2_min_cost_part finds the
+    cheapest supplier; this quantifies how much NOT choosing it
+    costs: spread ratio (max−min)/min over parts quoted by ≥3
+    suppliers). Unit price = extendedprice/quantity quantized to
+    1e-4 at the ROW level (one IEEE division on identical doubles,
+    then exact int min/max — no float aggregation at all). One
+    rollup keyed on partkey; the distinct-supplier count rides the
+    same shuffle. Top-20 by spread with key tie-break."""
+    li = load(spark, sf_dir, "lineitem")
+    up = li.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") / F.col("l_quantity") * 1e4 + 0.5
+        ).alias("unit4"),
+    )
+    per_part = (
+        up.groupBy("l_partkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("unit4").alias("min4"),
+            F.max("unit4").alias("max4"),
+        )
+        .filter(F.col("n_suppliers") >= 3)
+    )
+    return (
+        per_part.select(
+            F.col("l_partkey").alias("partkey"),
+            "n_suppliers",
+            "n_lines",
+            F.round(F.col("min4").cast("double") / 1e4, 4).alias(
+                "min_unit_price"
+            ),
+            F.round(F.col("max4").cast("double") / 1e4, 4).alias(
+                "max_unit_price"
+            ),
+            F.round(
+                (F.col("max4").cast("double") - F.col("min4"))
+                / F.col("min4"),
+                6,
+            ).alias("price_spread_ratio"),
+        )
+        .orderBy(F.col("price_spread_ratio").desc(), "partkey")
+        .limit(20)
+    )

@@ -1846,3 +1846,72 @@ def customer_order_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("bursty_rate"),
     )
+
+
+@register(
+    "events_new_vs_returning",
+    group="J",
+    oracle="""
+    with firsts as (
+      select user_id,
+             cast(date_trunc('day', min(ts)) as date) as first_day
+      from events group by 1
+    ),
+    daily as (
+      select cast(date_trunc('day', e.ts) as date) as day,
+             e.user_id, f.first_day
+      from events e join firsts f using (user_id)
+      group by 1, 2, 3
+    )
+    select day,
+           count(*) as n_active,
+           count(*) filter (where day = first_day) as n_new,
+           count(*) filter (where day > first_day) as n_returning,
+           round(cast(count(*) filter (where day > first_day) as double)
+                 / count(*), 6) as returning_share
+    from daily group by 1 order by day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: daily new-vs-returning split — each active day's users
+    partitioned by whether it is their FIRST-seen day: the growth-
+    accounting decomposition (DAU = new + retained) that
+    events_retention_cohort expands into the full cohort matrix and
+    events_stickiness_ratio compresses into one ratio. First-seen is
+    a per-user min (one rollup on the user shuffle), joined back to
+    the distinct (day, user) activity pairs — both map-combinable;
+    exact counts throughout. At 100 TB first-seen is maintained
+    incrementally as a keep-min upsert (sink_merge_upsert) instead of
+    recomputed."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily = (
+        e.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(
+                F.when(F.col("day") == F.col("first_day"), 1)
+            ).alias("n_new"),
+            F.count(
+                F.when(F.col("day") > F.col("first_day"), 1)
+            ).alias("n_returning"),
+            F.round(
+                F.count(
+                    F.when(F.col("day") > F.col("first_day"), 1)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("returning_share"),
+        )
+        .orderBy("day")
+    )
