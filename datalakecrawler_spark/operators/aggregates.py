@@ -1862,3 +1862,154 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("price_spread_ratio").desc(), "partkey")
         .limit(20)
     )
+
+
+@register(
+    "orders_hhi_by_segment",
+    group="E",
+    oracle="""
+    with cust as (
+      select c.c_mktsegment as segment, o.o_custkey,
+             cast(sum(cast(floor(o.o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as rev_micro
+      from orders o join customer c on c.c_custkey = o.o_custkey
+      group by 1, 2
+    ),
+    seg as (
+      select segment,
+             count(*) as n_customers,
+             cast(sum(rev_micro) as bigint) as tot
+      from cust group by 1
+    ),
+    sq as (
+      select c.segment,
+             sum(cast(floor(
+               (cast(c.rev_micro as double) / s.tot)
+               * (cast(c.rev_micro as double) / s.tot) * 1e12 + 0.5)
+               as bigint)) as hhi12
+      from cust c join seg s using (segment)
+      group by 1
+    )
+    select seg.segment, seg.n_customers,
+           round(cast(sq.hhi12 as double) / 1e12, 6) as hhi,
+           round(1e12 / sq.hhi12, 2) as effective_customers
+    from seg join sq using (segment)
+    order by seg.segment
+    """,
+)
+def orders_hhi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: Herfindahl-Hirschman revenue concentration per market
+    segment — HHI = Σ shareᵢ² over customers, with 1/HHI the
+    'effective number of customers' (the antitrust-style measure;
+    orders_gini_concentration curves the SHAPE of inequality, HHI
+    compresses to the collision probability and is mergeable from
+    share sums). Per-customer revenue is micro-unit exact; each
+    squared share is one fixed-order double expression pico-quantized
+    before the per-segment sum. Two rollups riding the same
+    customer→segment broadcast join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), "o_custkey"
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1e6 + 0.5)
+            ).alias("rev_micro")
+        )
+    )
+    seg = cust.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_micro").alias("tot"),
+    )
+    share = F.col("rev_micro").cast("double") / F.col("tot")
+    sq = (
+        cust.join(F.broadcast(seg), "segment")
+        .groupBy("segment")
+        .agg(
+            F.sum(F.floor(share * share * 1e12 + 0.5)).alias("hhi12")
+        )
+    )
+    return (
+        seg.join(sq, "segment")
+        .select(
+            "segment",
+            "n_customers",
+            F.round(F.col("hhi12").cast("double") / 1e12, 6).alias("hhi"),
+            F.round(1e12 / F.col("hhi12"), 2).alias(
+                "effective_customers"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "agg_mean_family",
+    group="E",
+    oracle="""
+    with up as (
+      select l_returnflag,
+             l_extendedprice / l_quantity as unit
+      from lineitem where l_quantity > 0
+    ),
+    m as (
+      select l_returnflag,
+             cast(count(*) as bigint) as n,
+             cast(sum(cast(floor(unit * 1e6 + 0.5) as bigint)) as bigint)
+               as s_arith6,
+             cast(sum(cast(floor(ln(unit) * 1e9 + 0.5) as bigint))
+                  as bigint) as s_ln9,
+             cast(sum(cast(floor(1e9 / unit + 0.5) as bigint)) as bigint)
+               as s_inv9
+      from up group by 1
+    )
+    select l_returnflag,
+           n,
+           round(cast(s_arith6 as double) / 1e6 / n, 4) as mean_arith,
+           round(exp(cast(s_ln9 as double) / 1e9 / n), 4) as mean_geom,
+           round(cast(n as double) / (cast(s_inv9 as double) / 1e9), 4)
+             as mean_harmonic
+    from m order by l_returnflag
+    """,
+)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: the Pythagorean mean family per group — arithmetic,
+    geometric (exp of mean log) and harmonic (reciprocal of mean
+    reciprocal) of unit price. Each mean answers a different
+    question (arith: total/volume; geom: typical multiplicative
+    level, robust to right tails — the mean to report for skewed
+    prices; harmonic: correct average of RATES, e.g. price per unit
+    when aggregating over fixed spend) and the AM ≥ GM ≥ HM ordering
+    is a free sanity invariant. All three reduce to one
+    map-combinable rollup: Σ of micro-quantized units, nano-quantized
+    logs, and nano-scaled reciprocals — exact int sums, three
+    fixed-order finals."""
+    li = load(spark, sf_dir, "lineitem")
+    up = li.filter(F.col("l_quantity") > 0).select(
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    m = up.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("unit") * 1e6 + 0.5)).alias("s_arith6"),
+        F.sum(F.floor(F.log("unit") * 1e9 + 0.5)).alias("s_ln9"),
+        F.sum(F.floor(1e9 / F.col("unit") + 0.5)).alias("s_inv9"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            F.col("s_arith6").cast("double") / 1e6 / F.col("n"), 4
+        ).alias("mean_arith"),
+        F.round(
+            F.exp(F.col("s_ln9").cast("double") / 1e9 / F.col("n")), 4
+        ).alias("mean_geom"),
+        F.round(
+            F.col("n").cast("double")
+            / (F.col("s_inv9").cast("double") / 1e9),
+            4,
+        ).alias("mean_harmonic"),
+    ).orderBy("l_returnflag")

@@ -1665,3 +1665,93 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("js_divergence", "s1", "s2")
         .limit(10)
     )
+
+
+@register(
+    "text_bigram_novelty",
+    group="J",
+    oracle="""
+    with toks as (
+      select doc_id, source, string_split(text, ' ') as w
+      from documents
+    ),
+    bg as (
+      select doc_id, source,
+             unnest(list_transform(range(len(w) - 1),
+                    i -> w[i+1] || ' ' || w[i+2])) as b
+      from toks
+    ),
+    per_doc as (
+      select doc_id, source, b, cast(count(*) as bigint) as c
+      from bg group by 1, 2, 3
+    ),
+    corpus as (
+      select b, cast(sum(c) as bigint) as tot from per_doc group by 1
+    ),
+    novelty as (
+      select p.doc_id, p.source,
+             cast(sum(p.c) as bigint) as n_bigrams,
+             cast(sum(case when corpus.tot = p.c then p.c else 0 end)
+                  as bigint) as n_unique
+      from per_doc p join corpus using (b)
+      group by 1, 2
+    )
+    select source,
+           count(*) as n_docs,
+           cast(sum(n_bigrams) as bigint) as total_bigrams,
+           round(cast(sum(n_unique) as double) / sum(n_bigrams), 6)
+             as novelty_rate
+    from novelty group by 1 order by source
+    """,
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: bigram novelty rate per source — the fraction of a
+    source's bigram occurrences that exist NOWHERE else in the corpus
+    (corpus count == own count): low novelty = the source re-states
+    what the corpus already contains (boilerplate / scraper echo —
+    the soft version of dedup_rate_by_source's exact collisions, and
+    the memorization-risk proxy text_contamination_ngram applies
+    across train/eval splits). One bigram explode, a corpus rollup
+    keyed by bigram, and a join back on the same key — two shuffles
+    on a well-spread key; counts exact, one final ratio."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            )
+        ).alias("b"),
+    )
+    per_doc = bg.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    corpus = per_doc.groupBy("b").agg(F.sum("c").alias("tot"))
+    novelty = (
+        per_doc.join(corpus, "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("tot") == F.col("c"), F.col("c")).otherwise(0)
+            ).alias("n_unique"),
+        )
+    )
+    return (
+        novelty.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.round(
+                F.sum("n_unique").cast("double") / F.sum("n_bigrams"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
