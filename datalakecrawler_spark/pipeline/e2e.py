@@ -196,3 +196,158 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_in"], m["qty_in"], m["rows_discounted"])],
         "rows_in long, qty_in double, rows_discounted long",
     )
+
+
+@register(
+    "pipeline_readiness_scorecard",
+    group="J",
+    oracle="""
+    with orphan as (
+      select count(*) as n_orphans
+      from lineitem l
+      where not exists (select 1 from orders o
+                        where o.o_orderkey = l.l_orderkey)
+    ),
+    nulls as (
+      select count(*) filter (where o_custkey is null) as n_null_cust,
+             count(*) as n_orders
+      from orders
+    ),
+    dup as (
+      select count(*) as n_docs,
+             count(*) - count(distinct md5(text)) as n_dup_docs
+      from documents
+    ),
+    neg as (
+      select count(*) filter (where o_totalprice <= 0) as n_nonpos
+      from orders
+    ),
+    fresh as (
+      select date_diff('day', max(o_orderdate),
+                       (select max(ts) from events)) as lag_days
+      from orders
+    )
+    select check_name, round(value, 6) as value, pass
+    from (
+      select 'lineitem_fk_orphan_rate' as check_name,
+             cast(n_orphans as double)
+               / (select count(*) from lineitem) as value,
+             n_orphans = 0 as pass
+      from orphan
+      union all
+      select 'orders_custkey_null_rate',
+             cast(n_null_cust as double) / n_orders,
+             n_null_cust = 0
+      from nulls
+      union all
+      select 'documents_exact_dup_rate',
+             cast(n_dup_docs as double) / n_docs,
+             cast(n_dup_docs as double) / n_docs < 0.25
+      from dup
+      union all
+      select 'orders_nonpositive_price_rate',
+             cast(n_nonpos as double) / (select n_orders from nulls),
+             n_nonpos = 0
+      from neg
+      union all
+      select 'events_vs_orders_freshness_days',
+             cast(lag_days as double),
+             lag_days is not null
+      from fresh
+    ) t
+    order by check_name
+    """,
+)
+def pipeline_readiness_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the one-page data-readiness scorecard — five
+    cross-table go/no-go checks a pipeline gate evaluates before a
+    training run or a mart publish: referential integrity (lineitem
+    orphan rate, the anti-join quality_dup_key_audit's sibling),
+    key-null rate, exact-duplicate pressure, domain violations
+    (non-positive prices), and cross-dataset freshness skew (events
+    clock vs orders clock). Each check is a scalar aggregate over its
+    own table — Spark runs them as independent single-pass jobs and
+    the union is driver-sized; at 100 TB the scorecard is the cheap
+    daily job whose failures decide whether the expensive ones run
+    (the Deequ pattern; quality_constraint_suite is the per-table
+    deep version). Exact counts; ratios fixed-order; statuses are
+    integer comparisons."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "events")
+    orphan = (
+        li.join(
+            o.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .crossJoin(
+            F.broadcast(li.agg(F.count(F.lit(1)).alias("n_lines")))
+        )
+        .select(
+            F.lit("lineitem_fk_orphan_rate").alias("check_name"),
+            F.round(
+                F.col("n_orphans").cast("double") / F.col("n_lines"), 6
+            ).alias("value"),
+            (F.col("n_orphans") == 0).alias("pass"),
+        )
+    )
+    o_agg = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_null"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_nonpos"),
+        F.max("o_orderdate").alias("max_od"),
+    )
+    null_check = o_agg.select(
+        F.lit("orders_custkey_null_rate").alias("check_name"),
+        F.round(
+            F.col("n_null").cast("double") / F.col("n_orders"), 6
+        ).alias("value"),
+        (F.col("n_null") == 0).alias("pass"),
+    )
+    nonpos_check = o_agg.select(
+        F.lit("orders_nonpositive_price_rate").alias("check_name"),
+        F.round(
+            F.col("n_nonpos").cast("double") / F.col("n_orders"), 6
+        ).alias("value"),
+        (F.col("n_nonpos") == 0).alias("pass"),
+    )
+    dup_check = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias(
+            "n_dup"
+        ),
+    ).select(
+        F.lit("documents_exact_dup_rate").alias("check_name"),
+        F.round(
+            F.col("n_dup").cast("double") / F.col("n_docs"), 6
+        ).alias("value"),
+        (F.col("n_dup").cast("double") / F.col("n_docs") < 0.25).alias(
+            "pass"
+        ),
+    )
+    fresh = (
+        o_agg.crossJoin(
+            F.broadcast(e.agg(F.max("ts").alias("max_ts")))
+        )
+        .select(
+            F.lit("events_vs_orders_freshness_days").alias("check_name"),
+            F.round(
+                F.datediff(
+                    F.col("max_ts").cast("date"),
+                    F.col("max_od").cast("date"),
+                ).cast("double"),
+                6,
+            ).alias("value"),
+            F.col("max_ts").isNotNull().alias("pass"),
+        )
+    )
+    return (
+        orphan.unionAll(null_check)
+        .unionAll(dup_check)
+        .unionAll(nonpos_check)
+        .unionAll(fresh)
+        .orderBy("check_name")
+    )
