@@ -1094,3 +1094,92 @@ def stats_permutation_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_value_mc"),
     )
+
+
+@register(
+    "events_anomaly_seasonal_zscore",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', ts) as date) as day,
+             isodow(cast(date_trunc('day', ts) as date)) as dow,
+             cast(count(*) as bigint) as c
+      from events group by 1, 2
+    ),
+    dow_stats as (
+      select dow,
+             cast(count(*) as bigint) as n,
+             cast(sum(c) as bigint) as s,
+             cast(sum(c * c) as bigint) as sq
+      from daily group by 1
+    ),
+    z as (
+      select d.day, d.dow, d.c,
+             (cast(d.c as double) - cast(s.s as double) / s.n)
+             / sqrt((cast(s.sq as double)
+                     - s.n * (cast(s.s as double) / s.n)
+                       * (cast(s.s as double) / s.n))
+                    / (s.n - 1)) as zscore
+      from daily d join dow_stats s using (dow)
+      where s.n >= 3
+    )
+    select day, dow, c as n_events, round(zscore, 6) as seasonal_z
+    from z
+    where abs(zscore) >= 2
+    order by day
+    """,
+)
+def events_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: day-of-week-adjusted anomaly detection — each day's
+    event count scored against ITS WEEKDAY's mean/std, flagging
+    |z| ≥ 2 (events_anomaly_zscore scores against the global
+    distribution, which falsely alarms every weekend when traffic is
+    weekly-seasonal; conditioning on dow is the minimum viable
+    seasonal model before STL). Daily counts are exact ints; per-dow
+    (n, Σ, Σ²) are exact int sums over the ≤7-group rollup; the z
+    expression is fixed-order IEEE on identical operands. The |z|≥2
+    gate compares identical doubles — deterministic. Calendar-sized
+    working set after one count pass."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = daily.select(
+        "day", F.dayofweek("day").alias("dow_sun1"), "c"
+    ).select(
+        "day",
+        # isodow: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
+        F.when(F.col("dow_sun1") == 1, 7)
+        .otherwise(F.col("dow_sun1") - 1)
+        .alias("dow"),
+        "c",
+    )
+    stats = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("sq").cast("double") - F.col("n") * mean * mean)
+        / (F.col("n") - 1)
+    )
+    z = (
+        daily.join(F.broadcast(stats.filter(F.col("n") >= 3)), "dow")
+        .select(
+            "day",
+            "dow",
+            "c",
+            ((F.col("c").cast("double") - mean) / sd).alias("zscore"),
+        )
+    )
+    return (
+        z.filter(F.abs(F.col("zscore")) >= 2)
+        .select(
+            "day",
+            "dow",
+            F.col("c").alias("n_events"),
+            F.round("zscore", 6).alias("seasonal_z"),
+        )
+        .orderBy("day")
+    )

@@ -512,3 +512,99 @@ def sql_quantified_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sql_pivot_syntax",
+    group="G",
+    oracle="""
+    select o_orderpriority,
+           cast(count(*) filter (where o_orderstatus = 'F') as bigint)
+             as status_f,
+           cast(count(*) filter (where o_orderstatus = 'O') as bigint)
+             as status_o,
+           cast(count(*) filter (where o_orderstatus = 'P') as bigint)
+             as status_p
+    from orders
+    group by 1 order by o_orderpriority
+    """,
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: the SQL PIVOT clause — the same rotation agg_pivot does
+    with the DataFrame API, expressed in Spark SQL's native
+    `PIVOT (agg FOR col IN (...))` syntax (ANSI-adjacent surface
+    users port from Snowflake/BigQuery; the explicit IN list is what
+    keeps the output schema static and plannable — Catalyst rewrites
+    it to exactly the filtered-count aggregate the oracle states).
+    One map-combinable aggregation, no shuffle beyond the groupBy."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    return spark.sql(
+        """
+        select * from (
+          select o_orderpriority, o_orderstatus from orders_pv
+        )
+        pivot (count(*) for o_orderstatus in
+               ('F' as status_f, 'O' as status_o, 'P' as status_p))
+        order by o_orderpriority
+        """
+    ).na.fill(0, ["status_f", "status_o", "status_p"])
+
+
+@register(
+    "date_edge_fns",
+    group="H",
+    oracle="""
+    with d as (
+      select cast(date_trunc('day', o_orderdate) as date) as od
+      from orders
+    ),
+    fx as (
+      select od,
+             last_day(od) as month_end,
+             od + cast((7 - isodow(od)) % 7 + 1 as integer) as next_monday,
+             cast(date_trunc('quarter', od) as date) as quarter_start,
+             date_diff('day', od, last_day(od)) as days_to_month_end
+      from d
+    )
+    select month_end,
+           count(*) as n_orders,
+           count(distinct next_monday) as n_distinct_next_mondays,
+           min(quarter_start) as quarter_start,
+           cast(max(days_to_month_end) as bigint) as max_days_to_eom
+    from fx group by 1 order by month_end
+    """,
+)
+def date_edge_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: calendar-edge function coverage — last_day, next_day
+    (next Monday), quarter trunc, and days-remaining-in-month, the
+    fiscal-calendar helpers behind month-end cutoffs and SLA 'due by
+    EOM' logic. Spark's next_day('Mon') is mirrored in the oracle by
+    integer isodow arithmetic (DuckDB has no next_day) — both are
+    exact integer date math, no timezone or DST hazards at day
+    grain. Rolled up by month-end so the output stays
+    calendar-sized."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").cast("date").alias("od"))
+    fx = d.select(
+        "od",
+        F.last_day("od").alias("month_end"),
+        F.next_day("od", "Mon").alias("next_monday"),
+        F.date_trunc("quarter", "od").cast("date").alias("quarter_start"),
+        F.datediff(F.last_day("od"), F.col("od")).alias(
+            "days_to_month_end"
+        ),
+    )
+    return (
+        fx.groupBy("month_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("next_monday").alias(
+                "n_distinct_next_mondays"
+            ),
+            F.min("quarter_start").alias("quarter_start"),
+            F.max("days_to_month_end").cast("bigint").alias(
+                "max_days_to_eom"
+            ),
+        )
+        .orderBy("month_end")
+    )
