@@ -1183,3 +1183,249 @@ def events_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+@register(
+    "agg_skewness_kurtosis",
+    group="E",
+    oracle="""
+    with k as (
+      select o_orderpriority,
+             cast(floor(o_totalprice + 0.5) as bigint) as x
+      from orders
+    ),
+    m as (
+      select o_orderpriority,
+             cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as s1,
+             cast(sum(x * x) as bigint) as s2,
+             sum(cast(x as double) * x * x) as s3,
+             sum(cast(x as double) * x * x * x) as s4
+      from k group by 1
+    ),
+    mom as (
+      select o_orderpriority, n,
+             cast(s1 as double) / n as mu,
+             cast(s2 as double) / n as r2,
+             s3 / n as r3,
+             s4 / n as r4
+      from m
+    )
+    select o_orderpriority, n,
+           round((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                 / pow(r2 - mu * mu, 1.5), 6) as skewness,
+           round((r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                  - 3 * mu * mu * mu * mu)
+                 / ((r2 - mu * mu) * (r2 - mu * mu)) - 3, 6)
+             as excess_kurtosis
+    from mom order by o_orderpriority
+    """,
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: third and fourth standardized moments per group —
+    skewness (tail asymmetry) and excess kurtosis (tail weight), the
+    profiler stats that decide whether mean±std summaries
+    (agg_stats) are even meaningful for a column. One-pass raw-moment
+    reduction: values rounded to whole units (prices — well below
+    any distributional signal), Σx and Σx² exact int64; Σx³/Σx⁴ would
+    overflow int64 (x⁴ ≈ 1e23) so they accumulate as DOUBLES — safe
+    here because summing same-sign doubles of similar magnitude is
+    reorder-stable to ~1e-13 relative, absorbed by round 6 after the
+    standardization divides; the population formulas expand raw
+    moments around the mean in fixed order. DuckDB sums the identical
+    per-row doubles (int multiplication promoted identically)."""
+    o = load(spark, sf_dir, "orders")
+    k = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") + 0.5).alias("x"),
+    )
+    xd = F.col("x").cast("double")
+    m = k.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3") / F.col("n")
+    r4 = F.col("s4") / F.col("n")
+    var = r2 - mu * mu
+    skew = (r3 - 3 * mu * r2 + 2 * mu * mu * mu) / F.pow(var, 1.5)
+    kurt = (
+        r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    ) / (var * var) - 3
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "customer_nation_segment_mix",
+    group="J",
+    oracle="""
+    with cells as (
+      select n.n_name as nation, c.c_mktsegment as segment,
+             cast(count(*) as bigint) as o
+      from customer c join nation n on n.n_nationkey = c.c_nationkey
+      group by 1, 2
+    ),
+    m as (
+      select nation, segment, o,
+             sum(o) over (partition by nation) as rt,
+             sum(o) over (partition by segment) as ct,
+             sum(o) over () as n
+      from cells
+    ),
+    r as (
+      select nation, segment, o,
+             cast(rt as double) * ct / n as e,
+             (o - cast(rt as double) * ct / n)
+               / sqrt(cast(rt as double) * ct / n) as resid
+      from m
+    )
+    select nation, segment, o as n_customers,
+           round(e, 4) as expected,
+           round(resid, 6) as std_residual
+    from r
+    order by abs(resid) desc, nation, segment limit 15
+    """,
+)
+def customer_nation_segment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: standardized Pearson residuals of the nation × segment
+    contingency table — the DRILL-DOWN companion to
+    stats_chi2_independence/stats_cramers_v: the summed statistic
+    says dependence exists; the per-cell residual (o−e)/√e says WHICH
+    nation over/under-indexes on which segment (|resid| > 2 ≈
+    cell-level significance — the geo-marketing anomaly list). One
+    broadcast dim join + contingency rollup + windows over the
+    ~125-cell table; residuals are fixed-order expressions on exact
+    counts, top-15 by |residual| with full tie-break."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cells = (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = cells.select(
+        "nation",
+        "segment",
+        "o",
+        F.sum("o").over(W.partitionBy("nation")).alias("rt"),
+        F.sum("o").over(W.partitionBy("segment")).alias("ct"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    resid = (F.col("o") - e) / F.sqrt(e)
+    return (
+        m.select(
+            "nation",
+            "segment",
+            F.col("o").alias("n_customers"),
+            F.round(e, 4).alias("expected"),
+            F.round(resid, 6).alias("std_residual"),
+        )
+        .orderBy(F.abs(F.col("std_residual")).desc(), "nation", "segment")
+        .limit(15)
+    )
+
+
+@register(
+    "text_anova_two_way",
+    group="J",
+    oracle="""
+    with base as (
+      select lang, source, cast(n_chars as bigint) as x
+      from documents
+    ),
+    cell as (
+      select lang, source,
+             cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as s
+      from base group by 1, 2
+    ),
+    marg as (
+      select cell.*,
+             sum(s) over (partition by lang) as s_lang,
+             sum(n) over (partition by lang) as n_lang,
+             sum(s) over (partition by source) as s_src,
+             sum(n) over (partition by source) as n_src,
+             sum(s) over () as s_all,
+             sum(n) over () as n_all
+      from cell
+    ),
+    eff as (
+      select lang, source, n,
+             cast(s as double) / n as cell_mean,
+             cast(s_all as double) / n_all as grand,
+             cast(s_lang as double) / n_lang
+               - cast(s_all as double) / n_all as lang_effect,
+             cast(s_src as double) / n_src
+               - cast(s_all as double) / n_all as src_effect
+      from marg
+    )
+    select lang, source, n as n_docs,
+           round(cell_mean, 4) as cell_mean,
+           round(lang_effect, 4) as lang_effect,
+           round(src_effect, 4) as source_effect,
+           round(cell_mean - grand - lang_effect - src_effect, 4)
+             as interaction_resid
+    from eff
+    order by abs(cell_mean - grand - lang_effect - src_effect) desc,
+             lang, source
+    limit 15
+    """,
+)
+def text_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: two-way effects decomposition of document length over
+    lang × source — the additive-model read: cell mean = grand mean
+    + language effect + source effect + interaction residual. A large
+    residual is the interesting finding ('THIS source's German docs
+    are unusually long — its de-scraper differs'), invisible to
+    one-way groupBys. All sums are exact ints (n_chars is integral);
+    marginal and grand means are exact-int ratios; effects and
+    residuals are fixed-order double arithmetic rounded at 4. One
+    cell rollup + windows over the |langs|×|sources| table — 100-cell
+    working set at any fact scale."""
+    d = load(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    )
+    marg = cell.select(
+        "lang",
+        "source",
+        "n",
+        "s",
+        F.sum("s").over(W.partitionBy("lang")).alias("s_lang"),
+        F.sum("n").over(W.partitionBy("lang")).alias("n_lang"),
+        F.sum("s").over(W.partitionBy("source")).alias("s_src"),
+        F.sum("n").over(W.partitionBy("source")).alias("n_src"),
+        F.sum("s").over(W.partitionBy()).alias("s_all"),
+        F.sum("n").over(W.partitionBy()).alias("n_all"),
+    )
+    cell_mean = F.col("s").cast("double") / F.col("n")
+    grand = F.col("s_all").cast("double") / F.col("n_all")
+    le = F.col("s_lang").cast("double") / F.col("n_lang") - grand
+    se = F.col("s_src").cast("double") / F.col("n_src") - grand
+    resid = cell_mean - grand - le - se
+    return (
+        marg.select(
+            "lang",
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(cell_mean, 4).alias("cell_mean"),
+            F.round(le, 4).alias("lang_effect"),
+            F.round(se, 4).alias("source_effect"),
+            F.round(resid, 4).alias("interaction_resid"),
+        )
+        .orderBy(F.abs(resid).desc(), "lang", "source")
+        .limit(15)
+    )
