@@ -746,3 +746,84 @@ def stream_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
         .orderBy("event_type")
     )
+
+
+def build_first_touch_state(events: DataFrame) -> DataFrame:
+    """I-ext builder: per-user acquisition state — the keyed
+    (first_seen_day, n_events) pair maintained with
+    applyInPandasWithState: the streaming half of
+    events_new_vs_returning's growth accounting. first_seen is a
+    KEEP-MIN merge and the count a plain sum — both exact-merge
+    state transitions, so replays/restarts converge to the batch
+    answer (the idempotence policy every stateful op here follows).
+    Update-mode emission: one row per user per touched batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("first_day", T.DateType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("first_day_ord", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import datetime as dt
+
+        if state.exists:
+            first_ord, cnt = state.get
+        else:
+            first_ord, cnt = None, 0
+        for pdf in pdfs:
+            days = pd.to_datetime(pdf["ts"]).dt.date
+            mn = min(days).toordinal()
+            first_ord = mn if first_ord is None else min(first_ord, mn)
+            cnt += len(pdf)
+        state.update((first_ord, cnt))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_day": [dt.date.fromordinal(first_ord)],
+                "n_events": [cnt],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_first_touch_state",
+    group="I",
+    oracle="""
+    select user_id,
+           cast(date_trunc('day', min(ts)) as date) as first_day,
+           count(*) as n_events
+    from events group by user_id
+    """,
+)
+def stream_first_touch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext batch twin of build_first_touch_state (stream equality
+    asserted in test_streaming): per-user first-seen day + lifetime
+    event count — the acquisition ledger events_new_vs_returning
+    aggregates into the daily new/returning split. Keep-min +
+    counter state merges exactly, so the streaming version converges
+    to this batch rollup under any replay."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -435,3 +435,20 @@ def test_stream_txlog_sink_exactly_once(spark):
 
     twin = queries()["stream_txlog_sink"](spark, SF_DIR)
     _assert_same(twin, got)
+
+
+def test_stream_first_touch_equals_batch(spark, events_stream):
+    """Keyed first-touch state (keep-min day + count) converges to the
+    batch groupBy under streaming execution."""
+    from datalakecrawler_spark import registry
+
+    batch = registry.all_queries()["stream_first_touch_state"].fn(
+        spark, SF_DIR
+    )
+    stream = _run_stream(
+        spark,
+        ops.build_first_touch_state(events_stream),
+        "t_first_touch",
+        mode="update",
+    )
+    _assert_same(batch, stream)
