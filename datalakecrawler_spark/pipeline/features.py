@@ -1915,3 +1915,182 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "repair_impute_group_median",
+    group="J",
+    oracle="""
+    with flagged as (
+      select l_returnflag,
+             case when l_discount = 0 then null else l_discount end
+               as disc
+      from lineitem
+    ),
+    med as (
+      select l_returnflag,
+             quantile_disc(disc, 0.5) as group_median
+      from flagged where disc is not null group by 1
+    ),
+    repaired as (
+      select f.l_returnflag,
+             f.disc is null as was_missing,
+             coalesce(f.disc, m.group_median) as disc_repaired
+      from flagged f join med m using (l_returnflag)
+    )
+    select l_returnflag,
+           count(*) as n_rows,
+           count(*) filter (where was_missing) as n_imputed,
+           round(max(case when was_missing then disc_repaired end), 4)
+             as imputed_value,
+           round(cast(sum(cast(floor(disc_repaired * 1e6 + 0.5)
+                 as bigint)) as double) / count(*) / 1e6, 6)
+             as mean_after_repair
+    from repaired group by 1 order by l_returnflag
+    """,
+)
+def repair_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: group-median imputation — the standard numeric repair
+    (fill missing with the GROUP's median, not the global one:
+    conditioning on returnflag preserves between-group structure
+    that global imputation erases). 'Missing' is modeled as
+    zero-discount rows (the fixture has no physical nulls; the
+    repair path — null detection, per-group percentile_disc cut,
+    coalesce broadcast-back — is exactly what production runs).
+    Median is DISCRETE (bit-exact, the agg_percentile_disc
+    property); counts exact; post-repair mean micro-quantized. Two
+    passes: quantile then repair — same shape as feature_winsorize,
+    same KLL-sketch single-pass variant at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    flagged = li.select(
+        "l_returnflag",
+        F.when(F.col("l_discount") == 0, None)
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+    )
+    flagged.filter(F.col("disc").isNotNull()).createOrReplaceTempView(
+        "rep_nn"
+    )
+    med = spark.sql(
+        """
+        select l_returnflag,
+               percentile_disc(0.5) within group (order by disc)
+                 as group_median
+        from rep_nn group by l_returnflag
+        """
+    )
+    repaired = flagged.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.col("disc").isNull().alias("was_missing"),
+        F.coalesce("disc", "group_median").alias("disc_repaired"),
+    )
+    return (
+        repaired.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("was_missing"), 1)).alias("n_imputed"),
+            F.round(
+                F.max(
+                    F.when(F.col("was_missing"), F.col("disc_repaired"))
+                ),
+                4,
+            ).alias("imputed_value"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("disc_repaired") * 1e6 + 0.5)
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("mean_after_repair"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "supplier_balance_zscore_by_nation",
+    group="J",
+    oracle="""
+    with m as (
+      select s_nationkey,
+             cast(count(*) as bigint) as n,
+             cast(sum(cast(floor(s_acctbal * 1e6 + 0.5) as bigint))
+                  as bigint) as s_micro,
+             cast(sum(cast(floor(s_acctbal * s_acctbal + 0.5) as bigint))
+                  as bigint) as sq
+      from supplier group by 1 having count(*) >= 5
+    ),
+    z as (
+      select s.s_suppkey, s.s_name, n.n_name as nation, s.s_acctbal,
+             (s.s_acctbal - cast(m.s_micro as double) / 1e6 / m.n)
+             / sqrt((cast(m.sq as double)
+                     - m.n * (cast(m.s_micro as double) / 1e6 / m.n)
+                       * (cast(m.s_micro as double) / 1e6 / m.n))
+                    / (m.n - 1)) as zscore
+      from supplier s
+      join m on m.s_nationkey = s.s_nationkey
+      join nation n on n.n_nationkey = s.s_nationkey
+    )
+    select s_suppkey, s_name, nation,
+           round(s_acctbal, 2) as acctbal,
+           round(zscore, 6) as zscore
+    from z where abs(zscore) >= 2
+    order by abs(zscore) desc, s_suppkey limit 20
+    """,
+)
+def supplier_balance_zscore_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: within-nation account-balance outliers — each supplier
+    scored against its NATION's mean/std (a supplier normal for
+    Germany may be 3σ for Kenya; grouping first is what makes the
+    flag meaningful — the events_anomaly_seasonal_zscore principle
+    applied to a dimension table). Group moments are the exact-int
+    (n, Σmicro, Σx²-unit) triple; z is fixed-order IEEE on identical
+    operands; the ≥5-supplier floor keeps variances stable. Two
+    broadcast joins (moments + nation names) onto one supplier scan;
+    top-20 by |z| with key tie-break."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    m = (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("s_acctbal") * 1e6 + 0.5)).alias(
+                "s_micro"
+            ),
+            F.sum(
+                F.floor(F.col("s_acctbal") * F.col("s_acctbal") + 0.5)
+            ).alias("sq"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    mean = F.col("s_micro").cast("double") / 1e6 / F.col("n")
+    sd = F.sqrt(
+        (F.col("sq").cast("double") - F.col("n") * mean * mean)
+        / (F.col("n") - 1)
+    )
+    z = (
+        s.join(F.broadcast(m), "s_nationkey")
+        .join(
+            F.broadcast(n), n.n_nationkey == F.col("s_nationkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "s_acctbal",
+            ((F.col("s_acctbal") - mean) / sd).alias("zscore"),
+        )
+    )
+    return (
+        z.filter(F.abs(F.col("zscore")) >= 2)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round("zscore", 6).alias("zscore"),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), "s_suppkey")
+        .limit(20)
+    )
