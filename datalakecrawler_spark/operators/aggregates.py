@@ -2013,3 +2013,103 @@ def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_harmonic"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "events_funnel_maxgap",
+    group="E",
+    oracle="""
+    with v as (
+      select user_id, min(ts) as t_view
+      from events where event_type = 'view' group by 1
+    ),
+    c as (
+      select e.user_id, min(e.ts) as t_click
+      from events e join v on v.user_id = e.user_id
+      where e.event_type = 'click' and e.ts >= v.t_view
+        and epoch_us(e.ts) - epoch_us(v.t_view) <= cast(72 as bigint) * 3600 * 1000000
+      group by 1
+    ),
+    p as (
+      select e.user_id, min(e.ts) as t_purchase
+      from events e join c on c.user_id = e.user_id
+      where e.event_type = 'purchase' and e.ts >= c.t_click
+        and epoch_us(e.ts) - epoch_us(c.t_click)
+            <= cast(72 as bigint) * 3600 * 1000000
+      group by 1
+    )
+    select (select count(*) from v) as n_view,
+           (select count(*) from c) as n_click_72h,
+           (select count(*) from p) as n_purchase_72h,
+           round((select count(*) from c) * 1.0
+                 / (select count(*) from v), 6) as view_to_click,
+           round((select count(*) from p) * 1.0
+                 / nullif((select count(*) from c), 0), 6)
+             as click_to_purchase
+    """,
+)
+def events_funnel_maxgap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: time-bounded ordered funnel — view → click → purchase
+    where each step must land within 72 h of the previous one
+    (funnel_conversion is the unbounded form; real funnel KPIs
+    always carry a window, else a purchase a year later still
+    'converts'). Gap tests are exact integer microseconds. Same
+    shrinking-stage shape: per-user min timestamps, each stage a
+    keyed join against the previous stage's (small) user table —
+    after the first rollup everything is entity-sized. The 72 h
+    constraint composes per step (not cumulative), matching
+    product-analytics tools' default window semantics."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    max_gap = 72 * 3600 * 1000000
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(
+            (F.col("ts") >= F.col("t_view"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("t_view")
+                <= max_gap
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(
+            (F.col("ts") >= F.col("t_click"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("t_click")
+                <= max_gap
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_72h"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_72h"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_72h",
+            "n_purchase_72h",
+            F.round(
+                F.col("n_click_72h") * 1.0 / F.col("n_view"), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase_72h")
+                * 1.0
+                / F.nullif(F.col("n_click_72h"), F.lit(0)),
+                6,
+            ).alias("click_to_purchase"),
+        )
+    )

@@ -1755,3 +1755,94 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_crossentropy_sources",
+    group="J",
+    oracle="""
+    with toks as (
+      select source, unnest(string_split(text, ' ')) as w
+      from documents
+    ),
+    src_counts as (
+      select source, w, cast(count(*) as bigint) as c
+      from toks group by 1, 2
+    ),
+    corpus as (
+      select w, cast(sum(c) as bigint) as cw from src_counts group by 1
+    ),
+    totals as (
+      select cast(sum(cw) as bigint) as n_corpus,
+             cast(count(*) as bigint) as v
+      from corpus
+    ),
+    ce as (
+      select s.source,
+             cast(sum(s.c) as bigint) as n_src,
+             sum(cast(floor(
+               -s.c * ln((cast(corpus.cw as double) + 1)
+                         / (totals.n_corpus + totals.v)) * 1e6 + 0.5)
+               as bigint)) as h6
+      from src_counts s
+      join corpus using (w) cross join totals
+      group by 1
+    )
+    select source, n_src as n_tokens,
+           round(cast(h6 as double) / 1e6 / n_src, 6)
+             as crossentropy_nats,
+           round(exp(cast(h6 as double) / 1e6 / n_src), 4)
+             as perplexity_vs_corpus
+    from ce order by source
+    """,
+)
+def text_crossentropy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: cross-entropy of each source under the corpus unigram
+    LM (add-one smoothed) — the language-model fit score: sources
+    whose perplexity under the corpus model is high are
+    distributionally alien (the LM-based quality filter of the
+    CCNet/KenLM lineage, here with the corpus itself as the model;
+    text_unigram_logprob scores DOCS under the model, this scores
+    SOURCES). H(src‖corpus) = −Σ_w c_w·ln p̂(w) / N_src with
+    p̂ add-one smoothed — all counts exact, each c·ln p term
+    micro-quantized before the per-source sum (c ≤ 1e4 keeps the
+    quantized product inside int64 comfortably). One token rollup,
+    one corpus rollup on the same key, one join back."""
+    d = load(spark, sf_dir, "documents")
+    src_counts = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = src_counts.groupBy("w").agg(F.sum("c").alias("cw"))
+    totals = corpus.agg(
+        F.sum("cw").alias("n_corpus"), F.count(F.lit(1)).alias("v")
+    )
+    term = F.floor(
+        -F.col("c")
+        * F.log(
+            (F.col("cw").cast("double") + 1)
+            / (F.col("n_corpus") + F.col("v"))
+        )
+        * 1e6
+        + 0.5
+    )
+    ce = (
+        src_counts.join(corpus, "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_src"),
+            F.sum(term).alias("h6"),
+        )
+    )
+    return ce.select(
+        "source",
+        F.col("n_src").alias("n_tokens"),
+        F.round(
+            F.col("h6").cast("double") / 1e6 / F.col("n_src"), 6
+        ).alias("crossentropy_nats"),
+        F.round(
+            F.exp(F.col("h6").cast("double") / 1e6 / F.col("n_src")), 4
+        ).alias("perplexity_vs_corpus"),
+    ).orderBy("source")
