@@ -791,3 +791,78 @@ def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    group="J",
+    oracle=f"""
+    with sh as (
+      select doc_id,
+             list_distinct(list_transform(
+                 range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])) as shingles
+      from documents
+      where len(string_split(text, ' ')) >= {_SHINGLE_K}
+    ),
+    pairs as (
+      select len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             len(list_distinct(a.shingles || b.shingles)) as j
+      from sh a join sh b on a.doc_id < b.doc_id
+      where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+            len(list_distinct(a.shingles || b.shingles)) >= 0.5
+    ),
+    th as (select unnest([0.5, 0.6, 0.7, 0.8, 0.9]) as tau)
+    select tau,
+           cast(count(*) filter (where j >= tau) as bigint) as n_pairs
+    from th cross join pairs
+    group by tau order by tau
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the dedup threshold sensitivity curve — how many
+    near-dup pairs each Jaccard cutoff τ ∈ {0.5..0.9} would merge
+    (dedup_near_minhash commits to τ = 0.8; this query is HOW that
+    number gets chosen: the knee of the curve separates 'template
+    siblings' from 'true dups', and a curve that hasn't flattened by
+    0.9 means the corpus needs a stricter τ). Candidate pairs come
+    from the same shingle space, pre-filtered at the loosest τ so
+    the sweep is one pass over one pair set (each threshold is a
+    filtered count of the SAME exact-Jaccard column — exact integer
+    set sizes, one IEEE division; τ comparison on identical
+    doubles). At 100 TB the pair source is the banded candidate set,
+    not the quadratic join."""
+    d = load(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= _SHINGLE_K
+    )
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    )
+    union = F.size(
+        F.array_union(F.col("a.shingles"), F.col("b.shingles"))
+    )
+    jac = inter * 1.0 / union
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(jac.alias("j"))
+        .where(F.col("j") >= 0.5)
+    )
+    th = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], ["tau"]
+    )
+    return (
+        F.broadcast(th)
+        .crossJoin(pairs)
+        .groupBy("tau")
+        .agg(
+            F.count(F.when(F.col("j") >= F.col("tau"), 1)).alias(
+                "n_pairs"
+            )
+        )
+        .orderBy("tau")
+    )

@@ -2094,3 +2094,122 @@ def supplier_balance_zscore_by_nation(spark: SparkSession, sf_dir: str) -> DataF
         .orderBy(F.abs(F.col("zscore")).desc(), "s_suppkey")
         .limit(20)
     )
+
+
+@register(
+    "events_retention_halflife",
+    group="J",
+    oracle="""
+    with wk as (
+      select user_id,
+             cast(floor(date_diff('day', timestamp '2024-01-01', ts)
+                  / 7) as bigint) as w
+      from events
+    ),
+    firsts as (select user_id, min(w) as w0 from wk group by 1),
+    active as (select distinct user_id, w from wk),
+    ages as (
+      select a.w - f.w0 as age, count(distinct a.user_id) as retained
+      from active a join firsts f using (user_id)
+      group by 1
+    ),
+    base as (
+      select cast((select count(*) from firsts) as bigint) as cohort
+    ),
+    pts as (
+      select cast(age as double) as x,
+             ln(cast(retained as double) / cohort) as y
+      from ages, base
+      where age >= 1 and retained > 0
+    ),
+    m as (
+      select cast(count(*) as bigint) as n,
+             sum(cast(floor(x * 1e6 + 0.5) as bigint)) as sx6,
+             sum(cast(floor(y * 1e9 + 0.5) as bigint)) as sy9,
+             sum(cast(floor(x * y * 1e9 + 0.5) as bigint)) as sxy9,
+             sum(cast(floor(x * x * 1e6 + 0.5) as bigint)) as sxx6
+      from pts
+    )
+    select n as n_ages,
+           round((cast(sxy9 as double) / 1e9
+                  - (cast(sx6 as double) / 1e6)
+                    * (cast(sy9 as double) / 1e9) / n)
+                 / (cast(sxx6 as double) / 1e6
+                    - (cast(sx6 as double) / 1e6)
+                      * (cast(sx6 as double) / 1e6) / n), 6)
+             as decay_rate_per_week,
+           round(-ln(2)
+                 / ((cast(sxy9 as double) / 1e9
+                     - (cast(sx6 as double) / 1e6)
+                       * (cast(sy9 as double) / 1e9) / n)
+                    / (cast(sxx6 as double) / 1e6
+                       - (cast(sx6 as double) / 1e6)
+                         * (cast(sx6 as double) / 1e6) / n)), 4)
+             as halflife_weeks
+    from m
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: retention half-life — fit ln(retention) = a + b·age by
+    OLS over weekly ages and report b (decay per week) and
+    −ln2/b (weeks to lose half the cohort): the single number that
+    summarizes the retention triangle events_retention_cohort
+    tabulates, and the metric growth teams actually track. Pooled
+    cohort (all users, age = weeks since each user's first week);
+    retention counts are exact distinct-user integers, the ln points
+    are quantized into integer moment sums (the weighted-OLS
+    pattern of orders_discount_elasticity), and both engines
+    evaluate the identical slope expression. Week indexing is
+    anchored at a fixed epoch so cohort and age are exact integer
+    arithmetic."""
+    e = load(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            / 7
+        ).alias("w"),
+    )
+    firsts = wk.groupBy("user_id").agg(F.min("w").alias("w0"))
+    active = wk.distinct()
+    ages = (
+        active.join(firsts, "user_id")
+        .groupBy((F.col("w") - F.col("w0")).alias("age"))
+        .agg(F.count_distinct("user_id").alias("retained"))
+    )
+    base = firsts.agg(F.count(F.lit(1)).alias("cohort"))
+    pts = (
+        ages.crossJoin(F.broadcast(base))
+        .filter((F.col("age") >= 1) & (F.col("retained") > 0))
+        .select(
+            F.col("age").cast("double").alias("x"),
+            F.log(
+                F.col("retained").cast("double") / F.col("cohort")
+            ).alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1e6 + 0.5)).alias("sx6"),
+        F.sum(F.floor(F.col("y") * 1e9 + 0.5)).alias("sy9"),
+        F.sum(F.floor(F.col("x") * F.col("y") * 1e9 + 0.5)).alias(
+            "sxy9"
+        ),
+        F.sum(F.floor(F.col("x") * F.col("x") * 1e6 + 0.5)).alias(
+            "sxx6"
+        ),
+    )
+    sx = F.col("sx6").cast("double") / 1e6
+    sy = F.col("sy9").cast("double") / 1e9
+    sxy = F.col("sxy9").cast("double") / 1e9
+    sxx = F.col("sxx6").cast("double") / 1e6
+    slope = (sxy - sx * sy / F.col("n")) / (sxx - sx * sx / F.col("n"))
+    return m.select(
+        F.col("n").alias("n_ages"),
+        F.round(slope, 6).alias("decay_rate_per_week"),
+        F.round(-float(__import__("math").log(2)) / slope, 4).alias(
+            "halflife_weeks"
+        ),
+    )

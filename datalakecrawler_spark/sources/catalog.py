@@ -1875,3 +1875,83 @@ def catalog_string_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("col", F.col("n").desc(), "mask")
     )
+
+
+@register(
+    "catalog_temporal_coverage_gaps",
+    group="B",
+    oracle="""
+    with days as (
+      select distinct cast(date_trunc('day', o_orderdate) as date) as d
+      from orders
+    ),
+    ranked as (
+      select d, row_number() over (order by d) as rn from days
+    ),
+    islands as (
+      select min(d) as island_start, max(d) as island_end, count(*) as n_days
+      from (select d, rn, d - cast(rn as integer) as grp from ranked) t
+      group by grp
+    ),
+    gaps as (
+      select island_end + 1 as gap_start,
+             lead(island_start) over (order by island_start) - 1 as gap_end
+      from islands
+    )
+    select gap_start, gap_end,
+           date_diff('day', gap_start, gap_end) + 1 as gap_days
+    from gaps
+    where gap_end is not null and gap_end >= gap_start
+    order by gap_days desc, gap_start limit 10
+    """,
+)
+def catalog_temporal_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: temporal coverage audit — the longest missing-day runs
+    in the orders date column, via the gaps-and-islands idiom
+    (consecutive days share d − row_number; islands collapse to
+    ranges; the space BETWEEN islands is the gap list). A freshness
+    check (catalog_freshness) says the table is current; this says
+    whether its HISTORY is contiguous — silent backfill holes are
+    the classic partition-loss symptom a crawler must flag. Distinct
+    days first (calendar-sized), so the window runs on ≤ a few
+    thousand rows regardless of fact volume; all pure integer date
+    arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    days = o.select(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).distinct()
+    ranked = days.select(
+        "d", F.row_number().over(W.orderBy("d")).alias("rn")
+    )
+    islands = (
+        ranked.select(
+            "d", F.date_sub(F.col("d"), F.col("rn")).alias("grp")
+        )
+        .groupBy("grp")
+        .agg(
+            F.min("d").alias("island_start"),
+            F.max("d").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    gaps = islands.select(
+        F.date_add(F.col("island_end"), 1).alias("gap_start"),
+        F.date_sub(
+            F.lead("island_start").over(W.orderBy("island_start")), 1
+        ).alias("gap_end"),
+    )
+    return (
+        gaps.filter(
+            F.col("gap_end").isNotNull()
+            & (F.col("gap_end") >= F.col("gap_start"))
+        )
+        .select(
+            "gap_start",
+            "gap_end",
+            (
+                F.datediff(F.col("gap_end"), F.col("gap_start")) + 1
+            ).alias("gap_days"),
+        )
+        .orderBy(F.col("gap_days").desc(), "gap_start")
+        .limit(10)
+    )
