@@ -2113,3 +2113,191 @@ def events_funnel_maxgap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+@register(
+    "orders_revenue_bridge",
+    group="E",
+    oracle="""
+    with rev as (
+      select l.l_partkey,
+             case when o.o_orderdate < timestamp '1999-01-01'
+                  then 'a' else 'b' end as period,
+             cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 1e6 + 0.5) as bigint)) as bigint) as r_micro
+      from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+      group by 1, 2
+    ),
+    wide as (
+      select l_partkey,
+             cast(sum(case when period = 'a' then r_micro else 0 end)
+                  as bigint) as ra,
+             cast(sum(case when period = 'b' then r_micro else 0 end)
+                  as bigint) as rb
+      from rev group by 1
+    ),
+    tot as (
+      select cast(sum(rb - ra) as bigint) as total_delta from wide
+    )
+    select l_partkey as partkey,
+           round(cast(ra as double) / 1e6, 2) as rev_before,
+           round(cast(rb as double) / 1e6, 2) as rev_after,
+           round(cast(rb - ra as double) / 1e6, 2) as delta,
+           round(cast(rb - ra as double) / abs(cast(total_delta
+                 as double)), 6) as share_of_total_delta
+    from wide, tot
+    order by abs(rb - ra) desc, l_partkey limit 15
+    """,
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: the revenue bridge — which parts EXPLAIN the
+    period-over-period revenue change: per-part before/after revenue,
+    delta, and signed share of the total delta (the waterfall/bridge
+    decomposition every business review runs after 'revenue moved
+    X%' — additive by construction, so the top-15 shares plus a
+    remainder reconcile exactly to the total). One join + one
+    two-period rollup in a single pass (conditional sums, no second
+    scan); deltas are exact micro-int differences and the total is
+    their exact sum — the ranking key |Δ| is integer arithmetic.
+    At 100 TB this is the same shuffle as q9's profit rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    rev = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_partkey",
+            F.when(
+                F.col("o_orderdate")
+                < F.lit("1999-01-01").cast("timestamp"),
+                "a",
+            )
+            .otherwise("b")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 1e6
+                    + 0.5
+                )
+            ).alias("r_micro")
+        )
+    )
+    wide = rev.groupBy("l_partkey").agg(
+        F.sum(
+            F.when(F.col("period") == "a", F.col("r_micro")).otherwise(0)
+        ).alias("ra"),
+        F.sum(
+            F.when(F.col("period") == "b", F.col("r_micro")).otherwise(0)
+        ).alias("rb"),
+    )
+    tot = wide.agg(
+        F.sum(F.col("rb") - F.col("ra")).alias("total_delta")
+    )
+    delta = F.col("rb") - F.col("ra")
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("ra").cast("double") / 1e6, 2).alias(
+                "rev_before"
+            ),
+            F.round(F.col("rb").cast("double") / 1e6, 2).alias(
+                "rev_after"
+            ),
+            F.round(delta.cast("double") / 1e6, 2).alias("delta"),
+            F.round(
+                delta.cast("double")
+                / F.abs(F.col("total_delta").cast("double")),
+                6,
+            ).alias("share_of_total_delta"),
+            F.abs(delta).alias("_absd"),
+        )
+        .orderBy(F.col("_absd").desc(), "partkey")
+        .drop("_absd")
+        .limit(15)
+    )
+
+
+@register(
+    "ts_peak_detection",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(count(*) as bigint) as c
+      from orders group by 1
+    ),
+    ctx as (
+      select day, c,
+             lag(c) over (order by day) as prev_c,
+             lead(c) over (order by day) as next_c,
+             cast(sum(c) over (order by day
+               rows between 3 preceding and 3 following) as bigint)
+               as w_sum,
+             cast(count(*) over (order by day
+               rows between 3 preceding and 3 following) as bigint)
+               as w_n
+      from daily
+    )
+    select day, c as n_orders,
+           round(cast(c as double) * w_n / w_sum, 6) as prominence
+    from ctx
+    where prev_c is not null and next_c is not null
+      and c > prev_c and c > next_c
+      and cast(c as double) * w_n * 4 > cast(w_sum as double) * 5
+    order by prominence desc, day limit 10
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: peak detection on the daily order-count series — local
+    maxima (strictly above both neighbors) whose level exceeds 1.25×
+    the centered 7-day mean, ranked by prominence (value / local
+    mean): the spike-finding primitive behind campaign-impact and
+    incident timelines (events_cusum_changepoint finds sustained
+    LEVEL SHIFTS; this finds isolated SPIKES). The 1.25× gate is
+    evaluated as the cross-multiplied integer inequality
+    c·w_n·4 > w_sum·5 — no float threshold at the boundary; the
+    prominence ratio is one fixed-order division rounded at 6. One
+    ordered window over the calendar-sized daily rollup."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wd = W.orderBy("day")
+    wr = wd.rowsBetween(-3, 3)
+    ctx = daily.select(
+        "day",
+        "c",
+        F.lag("c").over(wd).alias("prev_c"),
+        F.lead("c").over(wd).alias("next_c"),
+        F.sum("c").over(wr).alias("w_sum"),
+        F.count(F.lit(1)).over(wr).alias("w_n"),
+    )
+    return (
+        ctx.filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("c") > F.col("prev_c"))
+            & (F.col("c") > F.col("next_c"))
+            & (
+                F.col("c") * F.col("w_n") * 4
+                > F.col("w_sum") * 5
+            )
+        )
+        .select(
+            "day",
+            F.col("c").alias("n_orders"),
+            F.round(
+                F.col("c").cast("double") * F.col("w_n") / F.col("w_sum"),
+                6,
+            ).alias("prominence"),
+        )
+        .orderBy(F.col("prominence").desc(), "day")
+        .limit(10)
+    )
