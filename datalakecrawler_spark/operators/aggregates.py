@@ -2301,3 +2301,154 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("prominence").desc(), "day")
         .limit(10)
     )
+
+
+@register(
+    "part_return_rate_by_brand",
+    group="E",
+    oracle="""
+    with j as (
+      select p.p_brand, l.l_returnflag
+      from lineitem l join part p on p.p_partkey = l.l_partkey
+    ),
+    br as (
+      select p_brand,
+             cast(count(*) as bigint) as n_lines,
+             cast(count(*) filter (where l_returnflag = 'R') as bigint)
+               as n_returned
+      from j group by 1
+    ),
+    g as (
+      select cast(sum(n_lines) as bigint) as tn,
+             cast(sum(n_returned) as bigint) as tr
+      from br
+    )
+    select p_brand, n_lines, n_returned,
+           round(cast(n_returned as double) / n_lines, 6) as return_rate,
+           round((cast(n_returned as double) / n_lines)
+                 / (cast(tr as double) / tn), 6) as lift_vs_global
+    from br, g
+    where n_lines >= 100
+    order by lift_vs_global desc, p_brand limit 15
+    """,
+)
+def part_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: return-rate lift by brand — which brands get returned
+    disproportionately (rate / global rate, the quality-escalation
+    list; the ≥100-line floor suppresses small-sample noise the lift
+    ratio would otherwise amplify). One broadcast dim join
+    (part is the classic small side) + one rollup with a conditional
+    count riding the same pass; the global baseline is a two-scalar
+    re-aggregation of the brand table. Exact counts, two fixed-order
+    ratios. The same shape generalizes to any defect-rate-by-
+    dimension drill (supplier, type, size)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    br = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(
+                F.when(F.col("l_returnflag") == "R", 1)
+            ).alias("n_returned"),
+        )
+    )
+    g = br.agg(
+        F.sum("n_lines").alias("tn"), F.sum("n_returned").alias("tr")
+    )
+    rate = F.col("n_returned").cast("double") / F.col("n_lines")
+    grate = F.col("tr").cast("double") / F.col("tn")
+    return (
+        br.crossJoin(F.broadcast(g))
+        .filter(F.col("n_lines") >= 100)
+        .select(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            F.round(rate, 6).alias("return_rate"),
+            F.round(rate / grate, 6).alias("lift_vs_global"),
+        )
+        .orderBy(F.col("lift_vs_global").desc(), "p_brand")
+        .limit(15)
+    )
+
+
+@register(
+    "ts_seasonal_strength",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             date_part('month', o_orderdate) as mon,
+             cast(sum(cast(floor(o_totalprice * 1e3 + 0.5) as bigint))
+                  as bigint) as rev_milli
+      from orders group by 1, 2
+    ),
+    m as (
+      select mon,
+             cast(count(*) as bigint) as n,
+             cast(sum(rev_milli) as bigint) as s,
+             sum(cast(rev_milli as double) * rev_milli) as sq
+      from daily group by 1
+    ),
+    tot as (
+      select cast(sum(n) as bigint) as tn,
+             cast(sum(s) as bigint) as ts,
+             sum(sq) as tsq,
+             sum(cast(s as double) * s / n) as ssb_part
+      from m
+    )
+    select tn as n_days,
+           round((ssb_part - cast(ts as double) * ts / tn)
+                 / (tsq - cast(ts as double) * ts / tn), 6)
+             as seasonal_strength_eta2
+    from tot
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: seasonal strength as η² — the fraction of daily-revenue
+    variance explained by month-of-year (one-way ANOVA between/total
+    sum-of-squares ratio): η² ≈ 0 means orders_seasonality_index's
+    monthly indices are noise; η² near 1 means the calendar IS the
+    signal and forecasting should be seasonal-first (the
+    ts_seasonal_naive_error pairing). Daily revenues are
+    milli-quantized ints; within-month (n, Σ, Σx²) reduce
+    map-side; Σx² and Σ(S²/n) accumulate as same-sign doubles
+    (reorder-stable to ~1e-13 relative, absorbed by round 6 — the
+    agg_skewness_kurtosis envelope argument). One rollup to days,
+    one to 12 months, one scalar row."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+        F.month("o_orderdate").alias("mon"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e3 + 0.5)).alias(
+            "rev_milli"
+        )
+    )
+    m = daily.groupBy("mon").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_milli").alias("s"),
+        F.sum(
+            F.col("rev_milli").cast("double") * F.col("rev_milli")
+        ).alias("sq"),
+    )
+    tot = m.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("sq").alias("tsq"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("ssb_part"),
+    )
+    grand = F.col("ts").cast("double") * F.col("ts") / F.col("tn")
+    return tot.select(
+        F.col("tn").alias("n_days"),
+        F.round(
+            (F.col("ssb_part") - grand) / (F.col("tsq") - grand), 6
+        ).alias("seasonal_strength_eta2"),
+    )

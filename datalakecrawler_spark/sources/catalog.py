@@ -1955,3 +1955,91 @@ def catalog_temporal_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("gap_days").desc(), "gap_start")
         .limit(10)
     )
+
+
+@register(
+    "catalog_encoding_advisor",
+    group="B",
+    oracle="""
+    with stats as (
+      select 'o_orderpriority' as col,
+             cast(count(*) as bigint) as n,
+             cast(count(distinct o_orderpriority) as bigint) as d,
+             round(cast(sum(length(o_orderpriority)) as double)
+                   / count(*), 4) as avg_len
+      from orders
+      union all
+      select 'o_orderstatus', count(*), count(distinct o_orderstatus),
+             round(cast(sum(length(o_orderstatus)) as double)
+                   / count(*), 4)
+      from orders
+      union all
+      select 'c_name', count(*), count(distinct c_name),
+             round(cast(sum(length(c_name)) as double) / count(*), 4)
+      from customer
+      union all
+      select 'c_mktsegment', count(*), count(distinct c_mktsegment),
+             round(cast(sum(length(c_mktsegment)) as double)
+                   / count(*), 4)
+      from customer
+    )
+    select col, n, d as n_distinct,
+           round(cast(d as double) / n, 6) as distinct_ratio,
+           avg_len,
+           case
+             when d * 100 <= n then 'dictionary'
+             when cast(d as double) / n > 0.9 then 'plain'
+             else 'dictionary_check_block_size'
+           end as suggested_encoding
+    from stats order by col
+    """,
+)
+def catalog_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: columnar-encoding advisor — per string column: distinct
+    ratio + average width → a parquet encoding recommendation
+    (distinct ≤ 1% of rows → dictionary pays for itself; ratio near
+    1 → plain, a dictionary would just add an indirection; the
+    middle → dictionary per row-group, check block sizes). This is
+    the storage-layout half of what catalog_decimal_precision_audit
+    does for numerics — together they are the crawler's 'tighten
+    your schema' report, worth real money at 100 TB (dictionary-
+    encoding a 5-value priority column is ~10× on that column's
+    bytes). The 1% gate is the cross-multiplied integer test
+    d·100 ≤ n — no float threshold. One aggregate per column,
+    unioned driver-sized."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def stat(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(col)).alias("d"),
+            F.round(
+                F.sum(F.length(F.col(col))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_len"),
+        )
+
+    stats = (
+        stat(o, "o_orderpriority")
+        .unionAll(stat(o, "o_orderstatus"))
+        .unionAll(stat(c, "c_name"))
+        .unionAll(stat(c, "c_mktsegment"))
+    )
+    return stats.select(
+        "col",
+        "n",
+        F.col("d").alias("n_distinct"),
+        F.round(F.col("d").cast("double") / F.col("n"), 6).alias(
+            "distinct_ratio"
+        ),
+        "avg_len",
+        F.when(F.col("d") * 100 <= F.col("n"), "dictionary")
+        .when(
+            F.col("d").cast("double") / F.col("n") > 0.9, "plain"
+        )
+        .otherwise("dictionary_check_block_size")
+        .alias("suggested_encoding"),
+    ).orderBy("col")
