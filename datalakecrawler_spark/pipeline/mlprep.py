@@ -626,3 +626,166 @@ def events_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("single_type_user_rate"),
     )
+
+
+@register(
+    "mlprep_dataset_card",
+    group="J",
+    oracle="""
+    with tagged as (
+      select doc_id, lang, source, n_chars, md5(text) as th,
+             case when (doc_id * 2654435761) % 100 < 80
+                  then 'train' else 'holdout' end as split
+      from documents
+    ),
+    dup as (select th, count(*) as k from tagged group by 1),
+    j as (select t.*, dup.k from tagged t join dup using (th)),
+    langs as (
+      select split, lang, cast(count(*) as bigint) as c
+      from j group by 1, 2
+    ),
+    ltot as (
+      select split, cast(sum(c) as bigint) as tc from langs group by 1
+    ),
+    lang_h as (
+      select langs.split,
+             cast(floor(-(cast(c as double) / tc)
+                 * ln(cast(c as double) / tc) * 1e9 + 0.5) as bigint)
+               as h9
+      from langs join ltot using (split)
+    ),
+    hh as (select split, cast(sum(h9) as bigint) as h9 from lang_h
+           group by 1)
+    select j.split,
+           count(*) as n_docs,
+           cast(sum(j.n_chars) as bigint) as total_chars,
+           count(distinct j.lang) as n_langs,
+           count(distinct j.source) as n_sources,
+           round(cast(count(*) filter (where j.k > 1) as double)
+                 / count(*), 6) as dup_rate,
+           round(cast(max(hh.h9) as double) / 1e9, 6) as lang_entropy
+    from j join hh on hh.split = j.split
+    group by 1 order by j.split
+    """,
+)
+def mlprep_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the dataset card — per split (deterministic 80/20 Knuth
+    multiplicative-hash assignment, the split_train_holdout rule): row count, total
+    characters, language/source cardinalities, exact-dup pressure,
+    and language-mix entropy. This is the datasheet artifact a
+    training-data release ships (Datasheets for Datasets /
+    Model Cards lineage) and the summary every downstream consumer
+    reads FIRST — composed entirely from operators the repo already
+    proves individually (hash split, dup audit, entropy), here as
+    ONE plan so the card is internally consistent (same snapshot,
+    same split). Entropy terms nano-quantized; everything else exact
+    counts. Two shuffles: the dup rollup on text hash and the split
+    rollup."""
+    d = load(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("th"),
+        F.when(
+            (F.col("doc_id") * 2654435761) % 100 < 80, "train"
+        )
+        .otherwise("holdout")
+        .alias("split"),
+    )
+    dup = tagged.groupBy("th").agg(F.count(F.lit(1)).alias("k"))
+    j = tagged.join(dup, "th")
+    langs = j.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot_w = W.partitionBy("split")
+    p = F.col("c").cast("double") / F.sum("c").over(tot_w)
+    lang_h = langs.select(
+        "split", F.floor(-p * F.log(p) * 1e9 + 0.5).alias("h9")
+    )
+    hh = lang_h.groupBy("split").agg(F.sum("h9").alias("h9"))
+    return (
+        j.join(F.broadcast(hh), "split")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.round(
+                F.count(F.when(F.col("k") > 1, 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+            F.round(F.max("h9").cast("double") / 1e9, 6).alias(
+                "lang_entropy"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "corpus_importance_weights",
+    group="J",
+    oracle="""
+    with src as (
+      select source, cast(count(*) as bigint) as c from documents
+      group by 1
+    ),
+    tot as (
+      select cast(sum(c) as bigint) as n,
+             cast(count(*) as bigint) as k
+      from src
+    )
+    select source, c as n_docs,
+           round(cast(c as double) / n, 6) as current_share,
+           round(1.0 / k, 6) as target_share,
+           round((1.0 / k) / (cast(c as double) / n), 6) as weight,
+           round((cast(n as double) * n / k / k) / c, 4)
+             as effective_docs
+    from src, tot
+    order by source
+    """,
+)
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: importance weights to reach a target corpus mixture —
+    per source: weight = target_share / current_share (uniform
+    target here; any target vector drops in), plus the per-source
+    effective sample size n·w²-normalized ((Σw)²/Σw² with constant
+    within-source weights collapses to n_target²/c) — the number
+    that says how much statistical power survives the reweighting
+    (a 10× upweighted source contributes many epochs of the same
+    few docs). This is the sampling-weights half of
+    corpus_mixture_balance's diagnosis, and what
+    sample_quality_weighted consumes. One rollup + a two-scalar
+    broadcast; all exact-count ratios in fixed order."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = src.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    cur = F.col("c").cast("double") / F.col("n")
+    tgt = 1.0 / F.col("k")
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("c").alias("n_docs"),
+            F.round(cur, 6).alias("current_share"),
+            F.round(tgt, 6).alias("target_share"),
+            F.round(tgt / cur, 6).alias("weight"),
+            F.round(
+                (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    / F.col("k")
+                    / F.col("k")
+                )
+                / F.col("c"),
+                4,
+            ).alias("effective_docs"),
+        )
+        .orderBy("source")
+    )
