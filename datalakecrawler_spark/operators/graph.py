@@ -508,3 +508,79 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_communities"))
         .orderBy("community_size")
     )
+
+
+@register(
+    "graph_assortativity",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    sym as (
+      select pa as src, pb as dst from edges
+      union all
+      select pb as src, pa as dst from edges
+    ),
+    deg as (select src, cast(count(*) as bigint) as d from sym
+            group by 1),
+    ends as (
+      select da.d as x, db.d as y
+      from sym
+      join deg da on da.src = sym.src
+      join deg db on db.src = sym.dst
+    ),
+    m as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx,
+             cast(sum(y) as bigint) as sy,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(x * x) as bigint) as sxx,
+             cast(sum(y * y) as bigint) as syy
+      from ends
+    )
+    select n as n_directed_ends,
+           round((cast(n as double) * sxy
+                  - cast(sx as double) * sy)
+                 / sqrt((cast(n as double) * sxx
+                         - cast(sx as double) * sx)
+                        * (cast(n as double) * syy
+                           - cast(sy as double) * sy)), 6)
+             as assortativity
+    from m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: degree assortativity — the Pearson correlation of
+    degrees across edge endpoints (Newman's r): positive = hubs
+    connect to hubs (social-network flavor), negative = hubs serve
+    leaves (hub-and-spoke retail, the typical co-purchase shape —
+    staple parts attach to everything). Computed over the
+    symmetrized edge list so both orientations contribute (the
+    standard estimator); degrees are exact ints, so all six moment
+    sums are exact bigints and the correlation is the same
+    fixed-order Pearson as stats_spearman_corr. Two broadcast
+    degree joins onto the (tiny) edge table."""
+    sym = _sym(_edges(spark, sf_dir))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("src").alias("s_"), F.col("d").alias("x"))
+    db = deg.select(F.col("src").alias("t_"), F.col("d").alias("y"))
+    ends = sym.join(
+        F.broadcast(da), F.col("src") == F.col("s_")
+    ).join(F.broadcast(db), F.col("dst") == F.col("t_"))
+    m = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_directed_ends"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

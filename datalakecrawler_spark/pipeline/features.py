@@ -2213,3 +2213,64 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             "halflife_weeks"
         ),
     )
+
+
+@register(
+    "events_cumulative_reach",
+    group="F",
+    oracle="""
+    with firsts as (
+      select user_id,
+             cast(date_trunc('day', min(ts)) as date) as first_day
+      from events group by 1
+    ),
+    daily_new as (
+      select first_day as day, cast(count(*) as bigint) as n_new
+      from firsts group by 1
+    ),
+    tot as (select cast(count(*) as bigint) as n_users from firsts)
+    select day, n_new,
+           cast(sum(n_new) over (order by day
+             rows between unbounded preceding and current row)
+             as bigint) as cumulative_reach,
+           round(cast(sum(n_new) over (order by day
+             rows between unbounded preceding and current row)
+             as double) / n_users, 6) as reach_share
+    from daily_new, tot
+    order by day
+    """,
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: cumulative reach — running count of distinct users ever
+    seen, by day (the audience-growth S-curve; its derivative is
+    events_new_vs_returning's n_new and its plateau is total
+    addressable reach). Counting cumulative DISTINCT users naively
+    needs a growing state set; collapsing to per-user FIRST day
+    turns it into a plain cumulative SUM of daily first-appearance
+    counts — exact, mergeable, and calendar-sized after the user
+    rollup (the standard rewrite for cumulative-distinct at scale).
+    One user-keyed rollup, one ordered window over the day table."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily_new = firsts.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    tot = firsts.agg(F.count(F.lit(1)).alias("n_users"))
+    wc = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        daily_new.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_new",
+            F.sum("n_new").over(wc).alias("cumulative_reach"),
+            F.round(
+                F.sum("n_new").over(wc).cast("double") / F.col("n_users"),
+                6,
+            ).alias("reach_share"),
+        )
+        .orderBy("day")
+    )
