@@ -1429,3 +1429,118 @@ def text_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(resid).desc(), "lang", "source")
         .limit(15)
     )
+
+
+@register(
+    "events_absorption_prob",
+    group="J",
+    oracle="""
+    with seq as (
+      select event_type,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev_type
+      from events
+    ),
+    trans as (
+      select prev_type, event_type as next_type,
+             cast(count(*) as bigint) as n
+      from seq where prev_type is not null group by 1, 2
+    ),
+    p as (
+      select prev_type, next_type,
+             cast(n as double)
+               / sum(cast(n as bigint)) over (partition by prev_type)
+               as prob
+      from trans
+    ),
+    a1 as (
+      select prev_type as s,
+             round(coalesce(max(case when next_type = 'purchase'
+                   then prob end), 0), 9) as a
+      from p group by 1
+    ),
+    a2 as (
+      select p.prev_type as s,
+             round(sum(case when p.next_type = 'purchase' then p.prob
+                       else p.prob * a1.a end), 9) as a
+      from p join a1 on a1.s = p.next_type
+      group by 1
+    ),
+    a3 as (
+      select p.prev_type as s,
+             round(sum(case when p.next_type = 'purchase' then p.prob
+                       else p.prob * a2.a end), 9) as a
+      from p join a2 on a2.s = p.next_type
+      group by 1
+    )
+    select s as state, round(a, 6) as p_purchase_within_3
+    from a3 order by s
+    """,
+)
+def events_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: absorption probability — from each behavioral state, the
+    probability the user's NEXT ≤3 transitions reach 'purchase'
+    (treating purchase as absorbing: a(s) = P(s→purchase) +
+    Σ_{s'≠purchase} P(s→s')·a_{k−1}(s'), unrolled 3 steps from
+    a₀ = 0). This converts the descriptive transition matrix
+    (events_transition_matrix) into the decision-relevant 'how close
+    is each state to conversion' score — the Markov-chain framing of
+    funnel position that events_funnel_maxgap measures empirically.
+    Same bounded-unroll engine pattern as graph_pagerank: each step
+    is a join of the state vector (|states| rows, broadcast) with
+    P; probabilities re-quantized at 9 dp per step so both engines
+    iterate on identical vectors."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = trans.select(
+        "prev_type",
+        "next_type",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("prev_type"))
+        ).alias("prob"),
+    )
+    a = (
+        p.groupBy(F.col("prev_type").alias("s"))
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("next_type") == "purchase",
+                            F.col("prob"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("a")
+        )
+    )
+    for _ in range(2):
+        joined = p.join(
+            F.broadcast(a.withColumnRenamed("s", "nt")),
+            F.col("next_type") == F.col("nt"),
+        )
+        a = joined.groupBy(F.col("prev_type").alias("s")).agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("next_type") == "purchase", F.col("prob")
+                    ).otherwise(F.col("prob") * F.col("a"))
+                ),
+                9,
+            ).alias("a")
+        )
+    return a.select(
+        F.col("s").alias("state"),
+        F.round("a", 6).alias("p_purchase_within_3"),
+    ).orderBy("state")
