@@ -2452,3 +2452,104 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ssb_part") - grand) / (F.col("tsq") - grand), 6
         ).alias("seasonal_strength_eta2"),
     )
+
+
+@register(
+    "orders_abc_migration",
+    group="E",
+    oracle="""
+    with rev as (
+      select o_custkey,
+             case when o_orderdate < timestamp '1999-01-01'
+                  then 'p1' else 'p2' end as period,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as r
+      from orders group by 1, 2
+    ),
+    ranked as (
+      select o_custkey, period, r,
+             sum(r) over (partition by period
+               order by r desc, o_custkey
+               rows between unbounded preceding and current row) as cum,
+             sum(r) over (partition by period) as tot
+      from rev
+    ),
+    classed as (
+      select o_custkey, period,
+             case when cum * 10 <= tot * 8 then 'A'
+                  when cum * 100 <= tot * 95 then 'B'
+                  else 'C' end as cls
+      from ranked
+    ),
+    mig as (
+      select coalesce(a.cls, '-') as class_before,
+             coalesce(b.cls, '-') as class_after,
+             count(*) as n_customers
+      from (select o_custkey, cls from classed where period = 'p1') a
+      full outer join
+           (select o_custkey, cls from classed where period = 'p2') b
+        using (o_custkey)
+      group by 1, 2
+    )
+    select class_before, class_after, n_customers
+    from mig order by class_before, class_after
+    """,
+)
+def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: ABC-class migration matrix — each customer classified
+    A/B/C (top-80% / next-15% / tail of cumulative revenue, the
+    orders_abc_analysis banding) independently in two periods, then
+    the transition counts including entries ('-'→A: new customers)
+    and exits (A→'-': churned A-accounts) via a full outer join on
+    the customer key. This is the churn-risk report ABC analysis
+    exists to feed — a static A-list is vanity; A→C migration is
+    the alarm. Class boundaries are integer cross-multiplications
+    on exact micro-unit cumulative sums (cum·10 ≤ tot·8 — no float
+    at the band edge); the per-period ranking windows partition by
+    period so both periods sort concurrently."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"),
+            "p1",
+        )
+        .otherwise("p2")
+        .alias("period"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("r")
+    )
+    wp = W.partitionBy("period").orderBy(
+        F.col("r").desc(), "o_custkey"
+    )
+    ranked = rev.select(
+        "o_custkey",
+        "period",
+        F.sum("r")
+        .over(wp.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("r").over(W.partitionBy("period")).alias("tot"),
+    )
+    classed = ranked.select(
+        "o_custkey",
+        "period",
+        F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    a = classed.filter(F.col("period") == "p1").select(
+        "o_custkey", F.col("cls").alias("cls_a")
+    )
+    b = classed.filter(F.col("period") == "p2").select(
+        "o_custkey", F.col("cls").alias("cls_b")
+    )
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("cls_a", F.lit("-")).alias("class_before"),
+            F.coalesce("cls_b", F.lit("-")).alias("class_after"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("class_before", "class_after")
+    )

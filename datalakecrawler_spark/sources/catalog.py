@@ -2043,3 +2043,102 @@ def catalog_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("dictionary_check_block_size")
         .alias("suggested_encoding"),
     ).orderBy("col")
+
+
+@register(
+    "catalog_key_domain_consistency",
+    group="B",
+    oracle="""
+    with sides as (
+      select 'custkey: customer vs orders' as key_pair,
+             (select count(distinct c_custkey) from customer) as d_dim,
+             (select count(distinct o_custkey) from orders) as d_fact,
+             (select count(*) from orders o
+              where not exists (select 1 from customer c
+                                where c.c_custkey = o.o_custkey))
+               as n_orphan_fact,
+             (select count(*) from customer c
+              where not exists (select 1 from orders o
+                                where o.o_custkey = c.c_custkey))
+               as n_unused_dim
+      union all
+      select 'partkey: part vs lineitem',
+             (select count(distinct p_partkey) from part),
+             (select count(distinct l_partkey) from lineitem),
+             (select count(*) from lineitem l
+              where not exists (select 1 from part p
+                                where p.p_partkey = l.l_partkey)),
+             (select count(*) from part p
+              where not exists (select 1 from lineitem l
+                                where l.l_partkey = p.p_partkey))
+      union all
+      select 'suppkey: supplier vs lineitem',
+             (select count(distinct s_suppkey) from supplier),
+             (select count(distinct l_suppkey) from lineitem),
+             (select count(*) from lineitem l
+              where not exists (select 1 from supplier s
+                                where s.s_suppkey = l.l_suppkey)),
+             (select count(*) from supplier s
+              where not exists (select 1 from lineitem l
+                                where l.l_suppkey = s.s_suppkey))
+    )
+    select key_pair, d_dim as n_distinct_dim, d_fact as n_distinct_fact,
+           n_orphan_fact, n_unused_dim,
+           round(cast(d_fact as double) / d_dim, 6) as domain_coverage
+    from sides order by key_pair
+    """,
+)
+def catalog_key_domain_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: cross-table key-domain consistency — for each dim↔fact
+    key pair: distinct counts on both sides, orphaned fact rows
+    (FK violations — must be 0), unused dim rows (normal: not every
+    part sells) and the domain-coverage ratio. This is
+    catalog_fk_discovery's CONFIRMATION pass — discovery proposes
+    candidate joins, this audits the ones the schema claims, and at
+    100 TB it is the per-ingest regression check that catches a
+    partial dim load before every downstream join silently drops
+    rows. Each side is an anti-join count (broadcast semi-join
+    shape) + distinct counts that ride the same scans."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+
+    def pair(name, dim, dk, fact, fk):
+        d_dim = dim.agg(F.count_distinct(F.col(dk)).alias("d_dim"))
+        d_fact = fact.agg(F.count_distinct(F.col(fk)).alias("d_fact"))
+        orphan = fact.join(
+            dim.select(F.col(dk)), fact[fk] == dim[dk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphan_fact"))
+        unused = dim.join(
+            fact.select(F.col(fk)), dim[dk] == fact[fk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_unused_dim"))
+        return (
+            d_dim.crossJoin(F.broadcast(d_fact))
+            .crossJoin(F.broadcast(orphan))
+            .crossJoin(F.broadcast(unused))
+            .select(
+                F.lit(name).alias("key_pair"),
+                F.col("d_dim").alias("n_distinct_dim"),
+                F.col("d_fact").alias("n_distinct_fact"),
+                "n_orphan_fact",
+                "n_unused_dim",
+                F.round(
+                    F.col("d_fact").cast("double") / F.col("d_dim"), 6
+                ).alias("domain_coverage"),
+            )
+        )
+
+    return (
+        pair("custkey: customer vs orders", c, "c_custkey", o, "o_custkey")
+        .unionAll(
+            pair("partkey: part vs lineitem", p, "p_partkey", li,
+                 "l_partkey")
+        )
+        .unionAll(
+            pair("suppkey: supplier vs lineitem", s, "s_suppkey", li,
+                 "l_suppkey")
+        )
+        .orderBy("key_pair")
+    )
