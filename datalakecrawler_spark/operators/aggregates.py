@@ -2553,3 +2553,73 @@ def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("class_before", "class_after")
     )
+
+
+@register(
+    "orders_value_band_transitions",
+    group="E",
+    oracle="""
+    with banded as (
+      select o_custkey, o_orderdate, o_orderkey,
+             case when o_totalprice < 50000 then 'S'
+                  when o_totalprice < 200000 then 'M'
+                  else 'L' end as band
+      from orders
+    ),
+    seq as (
+      select band,
+             lag(band) over (partition by o_custkey
+               order by o_orderdate, o_orderkey) as prev_band
+      from banded
+    ),
+    trans as (
+      select prev_band, band as next_band,
+             cast(count(*) as bigint) as n
+      from seq where prev_band is not null group by 1, 2
+    )
+    select prev_band, next_band, n,
+           round(cast(n as double)
+                 / sum(n) over (partition by prev_band), 6)
+             as p_transition
+    from trans
+    order by prev_band, next_band
+    """,
+)
+def orders_value_band_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: order-value band transition matrix — consecutive orders
+    per customer classified Small/Medium/Large, with the conditional
+    probability of each band following each band: the
+    trade-up/trade-down dynamic (P(L|L) high = whale stability;
+    P(S|L) high = big orders are one-offs) — the MONETARY sibling of
+    events_transition_matrix's behavioral chain, feeding next-order-
+    value expectations. Band edges are fixed literals compared on
+    raw doubles (identical in both engines); sequencing is one lag
+    window on the custkey shuffle; probabilities are exact-count
+    ratios per row-band."""
+    o = load(spark, sf_dir, "orders")
+    banded = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "S")
+        .when(F.col("o_totalprice") < 200000, "M")
+        .otherwise("L")
+        .alias("band"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = banded.select(
+        "band", F.lag("band").over(w).alias("prev_band")
+    ).filter(F.col("prev_band").isNotNull())
+    trans = seq.groupBy(
+        "prev_band", F.col("band").alias("next_band")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return trans.select(
+        "prev_band",
+        "next_band",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("prev_band")),
+            6,
+        ).alias("p_transition"),
+    ).orderBy("prev_band", "next_band")

@@ -1846,3 +1846,96 @@ def text_crossentropy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.col("h6").cast("double") / 1e6 / F.col("n_src")), 4
         ).alias("perplexity_vs_corpus"),
     ).orderBy("source")
+
+
+@register(
+    "text_vocab_growth_heaps",
+    group="J",
+    oracle="""
+    with toks as (
+      select doc_id, unnest(string_split(text, ' ')) as w
+      from documents
+    ),
+    firsts as (
+      select w, min(doc_id) as first_doc from toks group by 1
+    ),
+    doc_tokens as (
+      select doc_id, cast(count(*) as bigint) as nt
+      from toks group by 1
+    ),
+    n as (select max(doc_id) as max_id from documents),
+    checkpoints as (
+      select unnest(range(1, 11)) as decile
+    ),
+    cp as (
+      select decile,
+             (select cast(sum(nt) as bigint) from doc_tokens, n
+              where doc_id <= (max_id + 1) * decile / 10 - 1)
+               as tokens_seen,
+             (select cast(count(*) as bigint) from firsts, n
+              where first_doc <= (max_id + 1) * decile / 10 - 1)
+               as vocab_seen
+      from checkpoints
+    )
+    select decile, tokens_seen, vocab_seen,
+           round(ln(cast(vocab_seen as double))
+                 / ln(cast(tokens_seen as double)), 6)
+             as heaps_beta_point
+    from cp order by decile
+    """,
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Heaps'-law vocabulary growth — distinct vocabulary vs
+    tokens seen at ten corpus prefixes (by doc_id order), with the
+    pointwise Heaps exponent ln V / ln N (V ≈ K·N^β; a corpus whose
+    β stays high keeps yielding new vocabulary — more worth
+    training on; a flattening curve is saturating/templated). The
+    naive computation rescans the corpus per checkpoint; this uses
+    the FIRST-OCCURRENCE rewrite: each token type contributes to
+    every checkpoint after its first doc, so V(checkpoint) = count
+    of types with first_doc ≤ cutoff — one rollup for first
+    occurrences, one for token counts, then 10 threshold counts on
+    entity-sized tables (the events_cumulative_reach rewrite
+    applied to vocabulary). Exact integers; one ln ratio at 6."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    n = d.agg(F.max("doc_id").alias("max_id"))
+    cps = spark.range(1, 11).select(F.col("id").alias("decile"))
+    grid = F.broadcast(cps).crossJoin(F.broadcast(n)).select(
+        "decile",
+        ((F.col("max_id") + 1) * F.col("decile") / 10 - 1)
+        .cast("bigint")
+        .alias("cutoff"),
+    )
+    tokens_seen = (
+        grid.join(
+            doc_tokens, doc_tokens.doc_id <= grid.cutoff, "left"
+        )
+        .groupBy("decile")
+        .agg(F.sum("nt").alias("tokens_seen"))
+    )
+    vocab_seen = (
+        grid.join(firsts, firsts.first_doc <= grid.cutoff, "left")
+        .groupBy("decile")
+        .agg(F.count(F.col("w")).alias("vocab_seen"))
+    )
+    return (
+        tokens_seen.join(vocab_seen, "decile")
+        .select(
+            "decile",
+            "tokens_seen",
+            "vocab_seen",
+            F.round(
+                F.log(F.col("vocab_seen").cast("double"))
+                / F.log(F.col("tokens_seen").cast("double")),
+                6,
+            ).alias("heaps_beta_point"),
+        )
+        .orderBy("decile")
+    )
