@@ -1544,3 +1544,84 @@ def events_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("state"),
         F.round("a", 6).alias("p_purchase_within_3"),
     ).orderBy("state")
+
+
+@register(
+    "ts_pattern_vshape",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(count(*) as bigint) as c
+      from orders group by 1
+    ),
+    ctx as (
+      select day, c,
+             lag(c, 2) over (order by day) as m2,
+             lag(c, 1) over (order by day) as m1,
+             lead(c, 1) over (order by day) as p1,
+             lead(c, 2) over (order by day) as p2
+      from daily
+    )
+    select day as trough_day, c as trough_count,
+           m2 as minus2, m1 as minus1, p1 as plus1, p2 as plus2,
+           round((cast(m2 as double) + p2) / (2 * c), 6) as depth_ratio
+    from ctx
+    where m2 is not null and m1 is not null
+      and p1 is not null and p2 is not null
+      and m2 > m1 and m1 > c and c < p1 and p1 < p2
+    order by depth_ratio desc, day limit 10
+    """,
+)
+def ts_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: V-shape pattern matching — strict
+    down-down-trough-up-up sequences in the daily order-count
+    series, ranked by depth (shoulder average / trough): the
+    dip-and-recovery signature of outages and stock-outs
+    (ts_peak_detection's mirror; together they cover the
+    MATCH_RECOGNIZE-style row-pattern surface with plain lag/lead
+    chains, which is how Spark — lacking MATCH_RECOGNIZE — expresses
+    fixed-length patterns; variable-length patterns escalate to
+    events_sequence_chains' stateful scan). Pure integer
+    comparisons on an ordered calendar-sized window; the one ratio
+    is fixed-order, round 6."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wd = W.orderBy("day")
+    ctx = daily.select(
+        "day",
+        "c",
+        F.lag("c", 2).over(wd).alias("m2"),
+        F.lag("c", 1).over(wd).alias("m1"),
+        F.lead("c", 1).over(wd).alias("p1"),
+        F.lead("c", 2).over(wd).alias("p2"),
+    )
+    return (
+        ctx.filter(
+            F.col("m2").isNotNull()
+            & F.col("m1").isNotNull()
+            & F.col("p1").isNotNull()
+            & F.col("p2").isNotNull()
+            & (F.col("m2") > F.col("m1"))
+            & (F.col("m1") > F.col("c"))
+            & (F.col("c") < F.col("p1"))
+            & (F.col("p1") < F.col("p2"))
+        )
+        .select(
+            F.col("day").alias("trough_day"),
+            F.col("c").alias("trough_count"),
+            F.col("m2").alias("minus2"),
+            F.col("m1").alias("minus1"),
+            F.col("p1").alias("plus1"),
+            F.col("p2").alias("plus2"),
+            F.round(
+                (F.col("m2").cast("double") + F.col("p2"))
+                / (2 * F.col("c")),
+                6,
+            ).alias("depth_ratio"),
+        )
+        .orderBy(F.col("depth_ratio").desc(), "trough_day")
+        .limit(10)
+    )

@@ -2274,3 +2274,103 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_attribution_linear",
+    group="J",
+    oracle="""
+    with purchases as (
+      select event_id as p_id, user_id, ts as p_ts,
+             cast(floor(coalesce(value, 0) * 1e6 + 0.5) as bigint)
+               as v_micro
+      from events where event_type = 'purchase'
+    ),
+    clicks as (
+      select user_id, ts as c_ts,
+             cast(date_trunc('day', ts) as date) as c_day
+      from events where event_type = 'click'
+    ),
+    touch as (
+      select p.p_id, p.v_micro, c.c_day,
+             count(*) over (partition by p.p_id) as k
+      from purchases p join clicks c
+        on c.user_id = p.user_id
+       and c.c_ts <= p.p_ts
+       and epoch_us(p.p_ts) - epoch_us(c.c_ts)
+           <= cast(7 as bigint) * 86400 * 1000000
+    ),
+    credit as (
+      select c_day,
+             sum(cast(floor(cast(v_micro as double) / k + 0.5)
+                 as bigint)) as credit_micro,
+             count(*) as n_touches
+      from touch group by 1
+    )
+    select c_day as day, n_touches,
+           round(cast(credit_micro as double) / 1e6, 2)
+             as credited_value
+    from credit order by day
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: LINEAR multi-touch attribution — every click in the 7
+    days before a purchase shares the purchase value equally
+    (events_attribution_lastclick gives the final touch everything;
+    linear is the other canonical model, and the delta between the
+    two reports is itself the 'how top-heavy is our funnel'
+    diagnostic). Credit per touch = value/k computed identically in
+    both engines and HALF-EVEN-quantized per touch before the
+    per-day sum, so no cross-engine penny drift; the touch window
+    is exact integer microseconds. One user-keyed join bounded by
+    the 7-day predicate + a per-purchase count window — at 100 TB
+    the join prunes by time-bucketing both sides (the join_asof
+    machinery) before the pair expansion."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 1e6 + 0.5).alias(
+            "v_micro"
+        ),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.date_trunc("day", "ts").cast("date").alias("c_day"),
+    )
+    week_us = 7 * 86400 * 1000000
+    touch = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            <= F.lit(week_us)
+        ),
+    ).select(
+        "p_id",
+        "v_micro",
+        "c_day",
+        F.count(F.lit(1)).over(W.partitionBy("p_id")).alias("k"),
+    )
+    return (
+        touch.groupBy(F.col("c_day").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("v_micro").cast("double") / F.col("k") + 0.5
+                )
+            ).alias("credit_micro"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .select(
+            "day",
+            "n_touches",
+            F.round(
+                F.col("credit_micro").cast("double") / 1e6, 2
+            ).alias("credited_value"),
+        )
+        .orderBy("day")
+    )
