@@ -1625,3 +1625,136 @@ def ts_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("depth_ratio").desc(), "trough_day")
         .limit(10)
     )
+
+
+@register(
+    "events_error_rate_wilson",
+    group="J",
+    oracle="""
+    with hourly as (
+      select date_trunc('hour', ts) as hour,
+             cast(count(*) as bigint) as n,
+             cast(count(*) filter (where event_type = 'error')
+                  as bigint) as errs
+      from events group by 1
+    ),
+    w as (
+      select hour, n, errs,
+             cast(errs as double) / n as p
+      from hourly where n >= 30
+    )
+    select hour, n, errs,
+           round(p, 6) as error_rate,
+           round((p + 1.959964 * 1.959964 / (2 * n)
+                  - 1.959964 * sqrt(p * (1 - p) / n
+                    + 1.959964 * 1.959964 / (4.0 * n * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) as wilson_low,
+           round((p + 1.959964 * 1.959964 / (2 * n)
+                  + 1.959964 * sqrt(p * (1 - p) / n
+                    + 1.959964 * 1.959964 / (4.0 * n * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) as wilson_high
+    from w
+    order by wilson_low desc, hour limit 15
+    """,
+)
+def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: hourly error rate with Wilson 95% score intervals —
+    the monitoring primitive done right: a raw rate of 2/40 and
+    200/4000 both read '5%', but their Wilson lower bounds differ
+    hugely, and ALERTING ON THE LOWER BOUND is what stops
+    small-sample hours from paging on-call (the same reason Reddit/
+    Wilson ranking beats naive proportion sorting). Top-15 hours by
+    lower bound = the hours where elevated error rate is
+    statistically real. Closed-form score interval from exact
+    (n, errors) counts; z = 1.959964 as an exact literal; ≥30-event
+    floor. One hourly rollup — counts merge map-side, and the same
+    two counters stream (stream_tumbling_count's shape)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias(
+            "errs"
+        ),
+    )
+    z = 1.959964
+    w = hourly.filter(F.col("n") >= 30).select(
+        "hour",
+        "n",
+        "errs",
+        (F.col("errs").cast("double") / F.col("n")).alias("p"),
+    )
+    nd = F.col("n")
+    p = F.col("p")
+    half = z * F.sqrt(
+        p * (1 - p) / nd + z * z / (4.0 * nd * nd)
+    )
+    center = p + z * z / (2 * nd)
+    denom = 1 + z * z / nd
+    return (
+        w.select(
+            "hour",
+            "n",
+            "errs",
+            F.round(p, 6).alias("error_rate"),
+            F.round((center - half) / denom, 6).alias("wilson_low"),
+            F.round((center + half) / denom, 6).alias("wilson_high"),
+        )
+        .orderBy(F.col("wilson_low").desc(), "hour")
+        .limit(15)
+    )
+
+
+@register(
+    "agg_trimmed_mean",
+    group="E",
+    oracle="""
+    with r as (
+      select o_totalprice as x,
+             row_number() over (order by o_totalprice, o_orderkey)
+               as rn,
+             count(*) over () as n
+      from orders
+    ),
+    trimmed as (
+      select x, n from r
+      where rn > n / 20 and rn <= n - n / 20
+    )
+    select max(n) as n_total,
+           count(*) as n_kept,
+           round(cast(sum(cast(floor(x * 1e6 + 0.5) as bigint))
+                 as double) / count(*) / 1e6, 6) as trimmed_mean_5pct
+    from trimmed
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: 5% two-sided trimmed mean — DROP the tails entirely
+    (feature_winsorize CLIPS them; the trimmed mean is the more
+    aggressive robust-location estimator, the one Olympic scoring
+    uses). Trim boundaries are exact integer ranks (n/20 integer
+    division — no percentile interpolation at the cut), membership
+    is a rank-range predicate, and the kept-set mean is
+    micro-unit-exact. One total-order rank (range-partitioned sort
+    at scale) + one reduction; the KLL-sketch variant replaces the
+    sort with quantile cuts when n makes the sort the bottleneck."""
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.row_number()
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    trimmed = r.filter(
+        (F.col("rn") > F.expr("n div 20"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 20"))
+    )
+    return trimmed.agg(
+        F.max("n").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum(F.floor(F.col("x") * 1e6 + 0.5)).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("trimmed_mean_5pct"),
+    )
