@@ -1758,3 +1758,91 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean_5pct"),
     )
+
+
+@register(
+    "stats_multi_segment_ztest",
+    group="J",
+    oracle="""
+    with u as (
+      select e.user_id, c.c_mktsegment as segment,
+             max(case when e.event_type = 'purchase' then 1 else 0 end)
+               as conv
+      from events e join customer c on c.c_custkey = e.user_id
+      group by 1, 2
+    ),
+    seg as (
+      select segment, cast(count(*) as bigint) as n,
+             cast(sum(conv) as bigint) as x
+      from u group by 1
+    ),
+    g as (
+      select cast(sum(n) as bigint) as tn, cast(sum(x) as bigint) as tx,
+             cast(count(*) as bigint) as k
+      from seg
+    ),
+    z as (
+      select s.segment, s.n, s.x, g.k,
+             (cast(s.x as double) / s.n - cast(g.tx as double) / g.tn)
+             / sqrt((cast(g.tx as double) / g.tn)
+                    * (1 - cast(g.tx as double) / g.tn) / s.n) as zs
+      from seg s cross join g
+    )
+    select segment, n as n_users, x as n_converted,
+           round(zs, 6) as z_vs_global,
+           abs(zs) > 2.807034 as significant_bonferroni_5pct
+    from z
+    order by segment
+    """,
+)
+def stats_multi_segment_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: simultaneous segment-vs-global conversion tests with
+    Bonferroni control — each market segment's conversion rate
+    z-scored against the pooled rate, flagged significant only past
+    the α/k-corrected threshold (k = 5 segments → two-sided
+    z* = 2.807034, the exact literal both engines compare against).
+    Testing every segment at raw α = 0.05 false-alarms ~1 segment in
+    4 dashboards by chance — the multiplicity correction is the part
+    naive segment drilldowns skip (events_ab_ztest tests ONE
+    comparison; this is the many-comparison discipline). Counts
+    exact; z fixed-order; the flag is a comparison of identical
+    doubles."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    u = (
+        e.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            e.user_id == F.col("c_custkey"),
+        )
+        .groupBy("user_id", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    seg = u.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    g = seg.agg(
+        F.sum("n").alias("tn"),
+        F.sum("x").alias("tx"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p0 = F.col("tx").cast("double") / F.col("tn")
+    zs = (F.col("x").cast("double") / F.col("n") - p0) / F.sqrt(
+        p0 * (1 - p0) / F.col("n")
+    )
+    return (
+        seg.crossJoin(F.broadcast(g))
+        .select(
+            "segment",
+            F.col("n").alias("n_users"),
+            F.col("x").alias("n_converted"),
+            F.round(zs, 6).alias("z_vs_global"),
+            (F.abs(zs) > 2.807034).alias(
+                "significant_bonferroni_5pct"
+            ),
+        )
+        .orderBy("segment")
+    )

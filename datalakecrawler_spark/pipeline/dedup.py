@@ -866,3 +866,87 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau")
     )
+
+
+@register(
+    "dedup_component_size_hist",
+    group="J",
+    oracle=f"""
+    with recursive sh as (
+      select doc_id,
+             list_distinct(list_transform(
+                 range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])) as shingles
+      from documents
+      where len(string_split(text, ' ')) >= {_SHINGLE_K}
+    ),
+    pairs as (
+      select a.doc_id as src, b.doc_id as dst
+      from sh a join sh b on a.doc_id < b.doc_id
+      where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+            len(list_distinct(a.shingles || b.shingles)) >= {_TAU}
+    ),
+    sym as (
+      select src, dst from pairs
+      union select dst, src from pairs
+    ),
+    reach as (
+      select src as node, dst as r from sym
+      union
+      select reach.node, sym.dst as r
+      from reach join sym on sym.src = reach.r
+      where sym.dst <> reach.node
+    ),
+    comp as (
+      select node, least(node, min(r)) as comp
+      from reach group by 1
+    ),
+    sizes as (
+      select comp, cast(count(*) as bigint) as sz from comp group by 1
+    )
+    select sz as cluster_size, count(*) as n_clusters
+    from sizes group by 1 order by cluster_size
+    """,
+)
+def dedup_component_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: near-dup cluster-size histogram — the shape of
+    duplication (many pairs = scattered twins; a few giant clusters
+    = one template exploded; the histogram decides whether keep-one
+    dedup saves 2% or 40% of the corpus). Spark runs the iterative
+    min-label connected components (dedup_components engine) over
+    the EXACT-Jaccard ≥ τ pair graph; the oracle closes the same
+    graph with a RECURSIVE transitive-closure CTE and takes
+    min(reachable) per node — making this the repo's proof that the
+    ITERATIVE component algorithm (not just its inputs) matches a
+    declarative fixpoint cross-engine. Pair graphs are forests of
+    near-cliques, so both closures are tiny regardless of corpus
+    size."""
+    d = load(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= _SHINGLE_K
+    )
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    )
+    union = F.size(
+        F.array_union(F.col("a.shingles"), F.col("b.shingles"))
+    )
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(inter * 1.0 / union >= _TAU)
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+        )
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
