@@ -2623,3 +2623,62 @@ def orders_value_band_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("p_transition"),
     ).orderBy("prev_band", "next_band")
+
+
+@register(
+    "quality_double_billing_scan",
+    group="B",
+    oracle="""
+    with pairs as (
+      select a.o_orderkey as key_a, b.o_orderkey as key_b,
+             a.o_custkey,
+             round(a.o_totalprice, 2) as amount,
+             abs(date_diff('day', a.o_orderdate, b.o_orderdate))
+               as days_apart
+      from orders a join orders b
+        on a.o_custkey = b.o_custkey
+       and a.o_totalprice = b.o_totalprice
+       and a.o_orderkey < b.o_orderkey
+       and abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7
+    )
+    select key_a, key_b, o_custkey as custkey, amount,
+           cast(days_apart as bigint) as days_apart
+    from pairs
+    order by amount desc, key_a, key_b limit 20
+    """,
+)
+def quality_double_billing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: double-billing candidates — same customer, identical
+    amount, within 7 days: the classic payments-integrity scan
+    (exact-dup detection on a SEMANTIC key subset + a temporal
+    window, where quality_dup_key_audit checks the PHYSICAL key).
+    The self-join blocks on (custkey, totalprice) equality — both
+    high-cardinality, so fan-out is per-customer-amount group sizes
+    (≈1), not quadratic; the ±7-day band then filters survivors.
+    Exact price equality on identical stored doubles is
+    deterministic; day distance is integer. Top-20 by amount —
+    triage order for a billing team."""
+    o = load(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    days = F.abs(
+        F.datediff(F.col("a.o_orderdate"), F.col("b.o_orderdate"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(days <= 7)
+        .select(
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.col("a.o_custkey").alias("custkey"),
+            F.round(F.col("a.o_totalprice"), 2).alias("amount"),
+            days.cast("bigint").alias("days_apart"),
+        )
+        .orderBy(F.col("amount").desc(), "key_a", "key_b")
+        .limit(20)
+    )

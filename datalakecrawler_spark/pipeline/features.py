@@ -2374,3 +2374,67 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_dwell_time_profile",
+    group="J",
+    oracle="""
+    with g as (
+      select event_type,
+             epoch_us(lead(ts) over (partition by user_id
+               order by ts, event_id)) - epoch_us(ts) as dwell_us
+      from events
+    ),
+    d as (select event_type, dwell_us // 1000000 as dwell_s
+          from g where dwell_us is not null)
+    select event_type,
+           count(*) as n_dwells,
+           cast(quantile_disc(dwell_s, 0.5) as bigint) as p50_s,
+           cast(quantile_disc(dwell_s, 0.9) as bigint) as p90_s,
+           round(cast(sum(dwell_s) as double) / count(*), 4)
+             as mean_dwell_s
+    from d group by 1 order by event_type
+    """,
+)
+def events_dwell_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: dwell time by action — how long users linger AFTER each
+    event type before their next action (lead-gap attribution to the
+    PRECEDING event, the convention engagement analytics uses: a
+    long dwell after 'view' is reading; after 'error' it's
+    abandonment-in-progress). Exact integer microsecond gaps
+    (events_interevent_hist discipline) floor-divided to seconds;
+    p50/p90 are DISCRETE quantiles (bit-exact values), mean is an
+    exact-int ratio. One lead window on the user shuffle + a
+    per-type rollup; the per-type quantile sort runs on gap values,
+    not raw events."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        e.select(
+            "event_type",
+            (
+                F.unix_micros(F.lead("ts").over(w))
+                - F.unix_micros("ts")
+            ).alias("dwell_us"),
+        )
+        .filter(F.col("dwell_us").isNotNull())
+        .select(
+            "event_type",
+            F.expr("dwell_us div 1000000").alias("dwell_s"),
+        )
+    )
+    g.createOrReplaceTempView("dwell_g")
+    return spark.sql(
+        """
+        select event_type,
+               count(*) as n_dwells,
+               cast(percentile_disc(0.5) within group (order by dwell_s)
+                 as bigint) as p50_s,
+               cast(percentile_disc(0.9) within group (order by dwell_s)
+                 as bigint) as p90_s,
+               round(cast(sum(dwell_s) as double) / count(*), 4)
+                 as mean_dwell_s
+        from dwell_g group by event_type order by event_type
+        """
+    )
