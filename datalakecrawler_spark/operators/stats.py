@@ -1846,3 +1846,94 @@ def stats_multi_segment_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "ts_ccf_view_purchase",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', ts) as date) as day,
+             cast(count(*) filter (where event_type = 'view')
+                  as bigint) as v,
+             cast(count(*) filter (where event_type = 'purchase')
+                  as bigint) as p
+      from events group by 1
+    ),
+    r as (
+      select v, p, row_number() over (order by day) as i from daily
+    ),
+    lags as (select * from (values (0), (1), (2), (3)) l(lag)),
+    pairs as (
+      select l.lag, a.v as x, b.p as y
+      from lags l
+      join r a on true
+      join r b on b.i = a.i + l.lag
+    ),
+    m as (
+      select lag, cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(x * x) as bigint) as sxx,
+             cast(sum(y * y) as bigint) as syy
+      from pairs group by 1
+    )
+    select lag, n as n_pairs,
+           round((cast(n as double) * sxy - cast(sx as double) * sy)
+                 / sqrt((cast(n as double) * sxx
+                         - cast(sx as double) * sx)
+                        * (cast(n as double) * syy
+                           - cast(sy as double) * sy)), 6) as ccf
+    from m order by lag
+    """,
+)
+def ts_ccf_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: cross-correlation function — daily view counts vs
+    purchase counts lagged 0–3 days: does today's browsing predict
+    purchases tomorrow, and with what lead time? (ts_acf correlates
+    a series WITH ITSELF; the CCF across two series is the demand-
+    sensing primitive that calibrates marketing lead-lag models.)
+    Both daily series are exact integer counts, so all per-lag
+    moment sums are exact bigints and the Pearson is the shared
+    fixed-order form. The series table is calendar-sized; the
+    per-lag self-join is over ~30 rows × 4 lags."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "p"
+        ),
+    )
+    r = daily.select(
+        "v", "p", F.row_number().over(W.orderBy("day")).alias("i")
+    )
+    lags = spark.range(0, 4).select(F.col("id").alias("lag"))
+    a = r.alias("a")
+    b = r.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .select(
+            "lag", F.col("a.v").alias("x"), F.col("b.p").alias("y")
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "lag", F.col("n").alias("n_pairs"), F.round(num / den, 6).alias("ccf")
+    ).orderBy("lag")

@@ -377,3 +377,73 @@ def mm_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "mm_embed_dim_profile",
+    group="J",
+    oracle="""
+    with pe as (
+      select generate_subscripts(embedding, 1) - 1 as pos,
+             unnest(embedding) as v
+      from embeddings
+    ),
+    m as (
+      select pos,
+             cast(count(*) as bigint) as n,
+             cast(sum(cast(floor(v * 1e6 + 0.5) as bigint)) as bigint)
+               as s6,
+             cast(sum(cast(floor(v * v * 1e9 + 0.5) as bigint))
+                  as bigint) as sq9
+      from pe group by 1
+    ),
+    stats as (
+      select pos, n,
+             cast(s6 as double) / 1e6 / n as mu,
+             (cast(sq9 as double) / 1e9
+              - n * (cast(s6 as double) / 1e6 / n)
+                * (cast(s6 as double) / 1e6 / n)) / (n - 1) as var
+      from m
+    )
+    select pos as dim,
+           round(mu, 6) as mean,
+           round(var, 6) as variance,
+           var < 0.001 as is_low_variance
+    from stats
+    order by variance, dim limit 16
+    """,
+)
+def mm_embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: per-dimension embedding statistics — mean and variance
+    for every vector position, surfacing the 16 lowest-variance
+    dimensions (dead or collapsed dims carry no information: they
+    waste index bytes, and in cosine space a high-|mean|
+    low-variance dim acts as a hub bias — the diagnosis that decides
+    whether to drop dims before mm_embed_pca or re-center before
+    LSH). One posexplode pass with per-position micro/nano-quantized
+    moment sums — exact ints, dimension-sized output (64 rows at
+    any corpus size); the low-variance flag compares identical
+    doubles against an exact literal."""
+    emb = load(spark, sf_dir, "embeddings")
+    pe = emb.select(F.posexplode("embedding").alias("pos", "v"))
+    m = pe.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("v") * 1e6 + 0.5)).alias("s6"),
+        F.sum(F.floor(F.col("v") * F.col("v") * 1e9 + 0.5)).alias(
+            "sq9"
+        ),
+    )
+    mu = F.col("s6").cast("double") / 1e6 / F.col("n")
+    var = (F.col("sq9").cast("double") / 1e9 - F.col("n") * mu * mu) / (
+        F.col("n") - 1
+    )
+    return (
+        m.select(
+            F.col("pos").alias("dim"),
+            F.round(mu, 6).alias("mean"),
+            F.round(var, 6).alias("variance"),
+            (var < 0.001).alias("is_low_variance"),
+        )
+        .orderBy("variance", "dim")
+        .limit(16)
+    )
