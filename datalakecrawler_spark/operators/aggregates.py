@@ -2682,3 +2682,89 @@ def quality_double_billing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("amount").desc(), "key_a", "key_b")
         .limit(20)
     )
+
+
+@register(
+    "orders_aov_decomposition",
+    group="E",
+    oracle="""
+    with monthly as (
+      select cast(date_trunc('month', o_orderdate) as date) as mth,
+             cast(count(*) as bigint) as n,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as rev_micro
+      from orders group by 1
+    ),
+    ctx as (
+      select mth, n, rev_micro,
+             lag(n) over (order by mth) as pn,
+             lag(rev_micro) over (order by mth) as prev
+      from monthly
+    ),
+    d as (
+      select mth, n, pn,
+             cast(rev_micro as double) / 1e6 as rev,
+             cast(prev as double) / 1e6 as prev_rev,
+             cast(rev_micro as double) / 1e6 / n as aov,
+             cast(prev as double) / 1e6 / pn as prev_aov
+      from ctx where pn is not null
+    )
+    select mth,
+           cast(floor((rev - prev_rev) * 100 + 0.5) as double) / 100
+             as delta_revenue,
+           cast(floor((n - pn) * prev_aov * 100 + 0.5) as double) / 100
+             as volume_effect,
+           cast(floor(pn * (aov - prev_aov) * 100 + 0.5) as double) / 100
+             as aov_effect,
+           cast(floor((n - pn) * (aov - prev_aov) * 100 + 0.5)
+                as double) / 100 as mix_effect
+    from d
+    order by mth
+    """,
+)
+def orders_aov_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: month-over-month revenue-change decomposition —
+    ΔRev = Δn·AOV₀ (volume effect) + n₀·ΔAOV (price/basket effect)
+    + Δn·ΔAOV (mix cross-term), the exact algebraic split (terms sum
+    to ΔRev by construction — a free reconciliation invariant) that
+    answers 'did revenue move because of MORE orders or BIGGER
+    orders?' — the first decomposition any revenue review asks for
+    (orders_revenue_bridge splits the same Δ by PRODUCT; this splits
+    it by MECHANISM). Monthly inputs are micro-unit-exact; the lag
+    window runs on the calendar-sized monthly table; all effect
+    terms are fixed-order double products rounded at 2."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mth")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias(
+            "rev_micro"
+        ),
+    )
+    wd = W.orderBy("mth")
+    ctx = monthly.select(
+        "mth",
+        "n",
+        "rev_micro",
+        F.lag("n").over(wd).alias("pn"),
+        F.lag("rev_micro").over(wd).alias("prev"),
+    ).filter(F.col("pn").isNotNull())
+    rev = F.col("rev_micro").cast("double") / 1e6
+    prev_rev = F.col("prev").cast("double") / 1e6
+    aov = rev / F.col("n")
+    prev_aov = prev_rev / F.col("pn")
+    def cents(x):
+        return F.floor(x * 100 + 0.5).cast("double") / 100
+
+    return ctx.select(
+        "mth",
+        cents(rev - prev_rev).alias("delta_revenue"),
+        cents((F.col("n") - F.col("pn")) * prev_aov).alias(
+            "volume_effect"
+        ),
+        cents(F.col("pn") * (aov - prev_aov)).alias("aov_effect"),
+        cents((F.col("n") - F.col("pn")) * (aov - prev_aov)).alias(
+            "mix_effect"
+        ),
+    ).orderBy("mth")

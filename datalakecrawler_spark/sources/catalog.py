@@ -2142,3 +2142,66 @@ def catalog_key_domain_consistency(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("key_pair")
     )
+
+
+@register(
+    "catalog_rare_category_report",
+    group="B",
+    oracle="""
+    with vc as (
+      select p_brand as val, cast(count(*) as bigint) as c
+      from part group by 1
+    ),
+    tot as (select cast(sum(c) as bigint) as n,
+                   cast(count(*) as bigint) as k from vc)
+    select
+      (select k from tot) as n_levels,
+      cast(count(*) filter (where c * 200 < (select n from tot))
+           as bigint) as n_rare_levels,
+      cast(coalesce(sum(c) filter (where c * 200 < (select n from tot)),
+           0) as bigint) as n_rare_rows,
+      round(cast(coalesce(sum(c) filter (where c * 200
+            < (select n from tot)), 0) as double)
+            / (select n from tot), 6) as rare_row_share,
+      cast((select k from tot) - count(*) filter (where c * 200
+           < (select n from tot)) + 1 as bigint)
+        as levels_after_other_bucket
+    from vc
+    """,
+)
+def catalog_rare_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: rare-level report for a categorical column — levels
+    below 0.5% support, the rows they cover, and the cardinality
+    after collapsing them into one 'other' bucket: the feature-prep
+    decision (feature_label_encode on a long-tailed column wastes
+    embedding capacity on noise levels; catalog_topk_values shows
+    the head, this quantifies the TAIL and the payoff of bucketing
+    it). The 0.5% gate is the integer cross-multiplication c·200 < n
+    — no float threshold. One value rollup + one scalar pass over
+    the level table."""
+    p = load(spark, sf_dir, "part")
+    vc = p.groupBy(F.col("p_brand").alias("val")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = vc.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    j = vc.crossJoin(F.broadcast(tot))
+    rare = F.col("c") * 200 < F.col("n")
+    return j.agg(
+        F.max("k").alias("n_levels"),
+        F.count(F.when(rare, 1)).alias("n_rare_levels"),
+        F.coalesce(
+            F.sum(F.when(rare, F.col("c"))), F.lit(0)
+        ).alias("n_rare_rows"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(rare, F.col("c"))), F.lit(0)
+            ).cast("double")
+            / F.max("n"),
+            6,
+        ).alias("rare_row_share"),
+        (
+            F.max("k") - F.count(F.when(rare, 1)) + 1
+        ).alias("levels_after_other_bucket"),
+    )
