@@ -1937,3 +1937,68 @@ def ts_ccf_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lag", F.col("n").alias("n_pairs"), F.round(num / den, 6).alias("ccf")
     ).orderBy("lag")
+
+
+@register(
+    "events_ab_srm_check",
+    group="J",
+    oracle="""
+    with arms as (
+      select user_id % 2 as arm, count(*) as n_users
+      from (select distinct user_id from events) u
+      group by 1
+    ),
+    w as (
+      select cast(max(case when arm = 0 then n_users end) as bigint)
+               as n0,
+             cast(max(case when arm = 1 then n_users end) as bigint)
+               as n1
+      from arms
+    )
+    select n0, n1,
+           round(cast(floor(
+             ((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+              + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0))
+             / ((n0 + n1) / 2.0) * 1e6 + 0.5) as double) / 1e6, 6)
+             as srm_chi2,
+           ((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+            + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0))
+           / ((n0 + n1) / 2.0) > 3.841459 as srm_alarm
+    from w
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Sample Ratio Mismatch — the experiment-validity gate
+    that runs BEFORE any effect readout (events_ab_ztest /
+    stats_permutation_null are meaningless if assignment itself is
+    broken): chi-square goodness-of-fit of observed arm sizes
+    against the designed 50/50, alarm past the df=1 95% critical
+    value 3.841459 (exact literal). An SRM fires on redirect bugs,
+    bot filtering applied to one arm, logging loss — the silent
+    killers of A/B programs (Kohavi's checklist item #1). One
+    distinct-user rollup; the statistic is a fixed-order expression
+    on two exact integers, micro-quantized."""
+    e = load(spark, sf_dir, "events")
+    arms = (
+        e.select("user_id")
+        .distinct()
+        .groupBy((F.col("user_id") % 2).alias("arm"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+    )
+    exp = (F.col("n0") + F.col("n1")) / 2.0
+    chi2 = (
+        (F.col("n0") - exp) * (F.col("n0") - exp)
+        + (F.col("n1") - exp) * (F.col("n1") - exp)
+    ) / exp
+    return w.select(
+        "n0",
+        "n1",
+        F.round(
+            F.floor(chi2 * 1e6 + 0.5).cast("double") / 1e6, 6
+        ).alias("srm_chi2"),
+        (chi2 > 3.841459).alias("srm_alarm"),
+    )

@@ -9,6 +9,7 @@ Arrow boundary for nothing), higher-order lambdas for norms.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
@@ -446,4 +447,101 @@ def mm_embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variance", "dim")
         .limit(16)
+    )
+
+
+@register(
+    "sim_1nn_label_consistency",
+    group="J",
+    oracle="""
+    with sub as (
+      select vec_id, label, embedding from embeddings
+      where vec_id < 300
+    ),
+    pairs as (
+      select a.vec_id as qa, a.label as la,
+             b.vec_id as qb, b.label as lb,
+             list_sum(list_transform(
+               list_zip(a.embedding, b.embedding),
+               p -> cast(floor(cast(p[1] as double) * p[2] * 1e12
+                          + 0.5) as bigint))) as dot12
+      from sub a join sub b on a.vec_id <> b.vec_id
+    ),
+    nn as (
+      select qa, la, lb,
+             row_number() over (partition by qa
+               order by dot12 desc, qb) as rk
+      from pairs
+    )
+    select la as label,
+           count(*) as n_queries,
+           cast(count(*) filter (where la = lb) as bigint) as n_match,
+           round(cast(count(*) filter (where la = lb) as double)
+                 / count(*), 6) as consistency_1nn
+    from nn where rk = 1
+    group by 1 order by label
+    """,
+)
+def sim_1nn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: leave-one-out 1-NN label consistency — for each vector
+    (300-vector evaluation slice), does its nearest neighbor (by
+    inner product) share its label? The per-class consistency rate
+    is the standard embedding-quality probe (high = classes are
+    locally separable = semantic dedup and kNN search will behave;
+    mm_embed_silhouette measures the same thing via centroids —
+    this is the local, sample-level view). Each pairwise dot is a
+    per-dimension pico-quantized integer sum (the mm_centroid
+    technique applied to raw pairs), so the neighbor ranking and
+    the tie-break (vec_id) are exact-integer deterministic. At
+    corpus scale the eval slice stays fixed-size — this is a
+    bounded diagnostic, not the ANN path (sim_topk_ivf is)."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot12 = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: F.floor(
+                x.cast("double") * y * 1e12 + 0.5
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = a.join(
+        b, F.col("a.vec_id") != F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("qa"),
+        F.col("a.label").alias("la"),
+        F.col("b.vec_id").alias("qb"),
+        F.col("b.label").alias("lb"),
+        dot12.alias("dot12"),
+    )
+    nn = pairs.select(
+        "qa",
+        "la",
+        "lb",
+        F.row_number()
+        .over(
+            W.partitionBy("qa").orderBy(F.col("dot12").desc(), "qb")
+        )
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return (
+        nn.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.count(F.when(F.col("la") == F.col("lb"), 1)).alias(
+                "n_match"
+            ),
+            F.round(
+                F.count(
+                    F.when(F.col("la") == F.col("lb"), 1)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("consistency_1nn"),
+        )
+        .orderBy("label")
     )
