@@ -2438,3 +2438,85 @@ def events_dwell_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         from dwell_g group by event_type order by event_type
         """
     )
+
+
+@register(
+    "events_abandonment_rate",
+    group="J",
+    oracle="""
+    with clicks as (
+      select user_id, ts as c_ts,
+             cast(date_trunc('day', ts) as date) as day
+      from events where event_type = 'click'
+    ),
+    converted as (
+      select distinct c.user_id, c.c_ts
+      from clicks c join events p
+        on p.user_id = c.user_id
+       and p.event_type = 'purchase'
+       and p.ts >= c.c_ts
+       and epoch_us(p.ts) - epoch_us(c.c_ts)
+           <= cast(72 as bigint) * 3600 * 1000000
+    )
+    select day,
+           count(*) as n_clicks,
+           count(*) filter (where cv.user_id is null) as n_abandoned,
+           round(cast(count(*) filter (where cv.user_id is null)
+                 as double) / count(*), 6) as abandonment_rate
+    from clicks c
+    left join converted cv
+      on cv.user_id = c.user_id and cv.c_ts = c.c_ts
+    group by 1 order by day
+    """,
+)
+def events_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: abandonment rate — clicks with NO purchase by the same
+    user within 72 h, per day: the complement of
+    events_funnel_maxgap's conversion edge (what the funnel DROPS,
+    tracked as its own KPI because its spikes localize breakage to
+    a day). The converted set is an existence join (left-anti
+    semantics via left join + null test — both engines agree on
+    null semantics here because the join key is never null), with
+    the window as exact integer microseconds; counts exact. At
+    100 TB both sides time-bucket before the join — the same
+    pruning the attribution operators use."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    win = 72 * 3600 * 1000000
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (
+                F.unix_micros("p_ts") - F.unix_micros("c_ts")
+                <= F.lit(win)
+            ),
+        )
+        .select("user_id", "c_ts")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    j = clicks.join(converted, ["user_id", "c_ts"], "left")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count(F.when(F.col("hit").isNull(), 1)).alias(
+                "n_abandoned"
+            ),
+            F.round(
+                F.count(F.when(F.col("hit").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("abandonment_rate"),
+        )
+        .orderBy("day")
+    )

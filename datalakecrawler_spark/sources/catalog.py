@@ -2205,3 +2205,58 @@ def catalog_rare_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k") - F.count(F.when(rare, 1)) + 1
         ).alias("levels_after_other_bucket"),
     )
+
+
+@register(
+    "catalog_timestamp_precision_audit",
+    group="B",
+    oracle="""
+    with t as (
+      select epoch_us(ts) as us from events
+    ),
+    cls as (
+      select case
+               when us % 1000000 = 0 then 'second'
+               when us % 1000 = 0 then 'millisecond'
+               else 'microsecond'
+             end as precision_used
+      from t
+    )
+    select precision_used, count(*) as n_values,
+           round(cast(count(*) as double)
+                 / (select count(*) from t), 6) as share
+    from cls group by 1 order by precision_used
+    """,
+)
+def catalog_timestamp_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: timestamp precision audit — what granularity the ts
+    column ACTUALLY uses (all-zero sub-second fields mean the
+    producer logs at second grain and the schema's microsecond
+    width is free to truncate — the temporal sibling of
+    catalog_decimal_precision_audit, and the audit that caught the
+    events_interevent_hist engine divergence: sub-second values DO
+    exist here, so second-truncating arithmetic is lossy). Pure
+    integer modulus tests on exact epoch microseconds; one pass,
+    three-row output."""
+    e = load(spark, sf_dir, "events")
+    t = e.select(F.unix_micros("ts").alias("us"))
+    n = t.agg(F.count(F.lit(1)).alias("n_all"))
+    cls = t.select(
+        F.when(F.col("us") % 1000000 == 0, "second")
+        .when(F.col("us") % 1000 == 0, "millisecond")
+        .otherwise("microsecond")
+        .alias("precision_used")
+    )
+    return (
+        cls.groupBy("precision_used")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "precision_used",
+            "n_values",
+            F.round(
+                F.col("n_values").cast("double") / F.col("n_all"), 6
+            ).alias("share"),
+        )
+        .orderBy("precision_used")
+    )
