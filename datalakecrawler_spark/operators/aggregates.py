@@ -2768,3 +2768,131 @@ def orders_aov_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_effect"
         ),
     ).orderBy("mth")
+
+
+@register(
+    "customer_clv_discounted",
+    group="E",
+    oracle="""
+    with firsts as (
+      select o_custkey, min(o_orderdate) as first_dt from orders
+      group by 1
+    ),
+    contrib as (
+      select o.o_custkey,
+             cast(floor(
+               o.o_totalprice
+               * pow(0.95, date_diff('month', f.first_dt, o.o_orderdate))
+               * 1e4 + 0.5) as bigint) as dv4
+      from orders o join firsts f using (o_custkey)
+    )
+    select o_custkey as custkey,
+           count(*) as n_orders,
+           round(cast(sum(dv4) as double) / 1e4, 2) as clv_discounted
+    from contrib
+    group by 1
+    order by clv_discounted desc, custkey limit 20
+    """,
+)
+def customer_clv_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: discounted customer lifetime value — each order's value
+    decayed by 0.95^(months since the customer's first order), the
+    finance-grade CLV that weights NEAR money over far money
+    (orders_cohort_ltv reports the undiscounted cohort matrix; the
+    discount factor is what makes CLVs comparable across customers
+    who joined at different times). The month offset is exact
+    integer calendar arithmetic; pow(0.95, k) on integer exponents
+    is the same IEEE value in both engines; each discounted
+    contribution is quantized at 1e-4 BEFORE the per-customer sum
+    so accumulation is exact-int. One join to the per-customer
+    first-date rollup on the custkey shuffle both sides share."""
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    # Boundary-crossing month count — matches DuckDB date_diff('month'):
+    # (year*12 + month) difference, day-of-month ignored. months_between
+    # would give fractional day-based months (different k → different
+    # discount factors).
+    months = (
+        (F.year("o_orderdate") - F.year("first_dt")) * 12
+        + (F.month("o_orderdate") - F.month("first_dt"))
+    )
+    contrib = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        F.floor(
+            F.col("o_totalprice") * F.pow(F.lit(0.95), months) * 1e4
+            + 0.5
+        ).alias("dv4"),
+    )
+    return (
+        contrib.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("dv4").cast("double") / 1e4, 2).alias(
+                "clv_discounted"
+            ),
+        )
+        .orderBy(F.col("clv_discounted").desc(), "custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "orders_revenue_waterfall",
+    group="E",
+    oracle="""
+    select cast(date_trunc('month', o.o_orderdate) as date) as mth,
+           round(cast(sum(cast(floor(l.l_extendedprice * 1e6 + 0.5)
+                 as bigint)) as double) / 1e6, 2) as gross,
+           round(cast(sum(cast(floor(l.l_extendedprice * l.l_discount
+                 * 1e6 + 0.5) as bigint)) as double) / 1e6, 2)
+             as discount_given,
+           round(cast(sum(cast(floor(l.l_extendedprice
+                 * (1 - l.l_discount) * l.l_tax * 1e6 + 0.5) as bigint))
+                 as double) / 1e6, 2) as tax_collected,
+           round(cast(sum(cast(floor(l.l_extendedprice
+                 * (1 - l.l_discount) * (1 + l.l_tax) * 1e6 + 0.5)
+                 as bigint)) as double) / 1e6, 2) as net_billed
+    from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+    group by 1 order by mth
+    """,
+)
+def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: the monthly revenue waterfall — gross list revenue,
+    discount given back, tax collected, and the net billed amount
+    (the q1_pricing_summary expressions re-cut as a TIME series and
+    separated into the bridge stages a finance close reconciles:
+    gross − discount + tax ≈ net, with the ≈ being per-row rounding
+    — exactly the penny-reconciliation a billing system must own).
+    Every stage is an independent micro-unit-exact dsum riding ONE
+    join + ONE monthly rollup (four conditional sums in the same
+    aggregate, not four passes). The orderdate join is the standard
+    orderkey co-partition."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    ep = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    tax = F.col("l_tax")
+
+    def dsum2(expr):
+        return F.round(
+            F.sum(F.floor(expr * 1e6 + 0.5)).cast("double") / 1e6, 2
+        )
+
+    return (
+        j.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mth")
+        )
+        .agg(
+            dsum2(ep).alias("gross"),
+            dsum2(ep * disc).alias("discount_given"),
+            dsum2(ep * (1 - disc) * tax).alias("tax_collected"),
+            dsum2(ep * (1 - disc) * (1 + tax)).alias("net_billed"),
+        )
+        .orderBy("mth")
+    )
