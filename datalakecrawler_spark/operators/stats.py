@@ -2002,3 +2002,79 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("srm_chi2"),
         (chi2 > 3.841459).alias("srm_alarm"),
     )
+
+
+@register(
+    "stats_mde_power",
+    group="J",
+    oracle="""
+    with assign as (
+      select user_id, user_id % 2 as variant,
+             max(case when event_type = 'purchase' then 1 else 0 end)
+               as converted
+      from events group by 1, 2
+    ),
+    arms as (
+      select cast(sum(n_arm) as bigint) as n_total,
+             cast(min(n_arm) as bigint) as n_min,
+             cast(sum(conv) as bigint) as conv_total
+      from (
+        select variant, count(*) as n_arm,
+               sum(converted) as conv
+        from assign group by 1) a
+    )
+    select n_total, n_min,
+           round(cast(conv_total as double) / n_total, 6) as base_rate,
+           round((1.959964 + 0.841621)
+                 * sqrt(2 * (cast(conv_total as double) / n_total)
+                        * (1 - cast(conv_total as double) / n_total)
+                        / n_min), 6) as mde_abs_80pct_power,
+           round((1.959964 + 0.841621)
+                 * sqrt(2 * (cast(conv_total as double) / n_total)
+                        * (1 - cast(conv_total as double) / n_total)
+                        / n_min)
+                 / (cast(conv_total as double) / n_total), 6)
+             as mde_relative
+    from arms
+    """,
+)
+def stats_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: minimum detectable effect at 80% power — given the
+    experiment's ACTUAL arm sizes and base conversion rate, the
+    smallest absolute (and relative) lift a two-proportion test can
+    reliably detect: MDE = (z_{α/2} + z_β)·√(2p(1−p)/n_min) with
+    the exact literals 1.959964 (α = 5%, two-sided) and 0.841621
+    (β = 20%). This is the pre-readout sanity every experiment
+    review demands — events_ab_ztest says what WAS seen;
+    this says what COULD have been seen, and a 40% relative MDE
+    means the 'flat' result is uninformative, not null. Same
+    per-user collapse as the z-test; the statistic is one
+    fixed-order expression over three exact integers."""
+    e = load(spark, sf_dir, "events")
+    assign = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    per_arm = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("converted").alias("conv"),
+    )
+    arms = per_arm.agg(
+        F.sum("n_arm").alias("n_total"),
+        F.min("n_arm").alias("n_min"),
+        F.sum("conv").alias("conv_total"),
+    )
+    p = F.col("conv_total").cast("double") / F.col("n_total")
+    mde = (1.959964 + 0.841621) * F.sqrt(
+        2 * p * (1 - p) / F.col("n_min")
+    )
+    return arms.select(
+        "n_total",
+        "n_min",
+        F.round(p, 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde_abs_80pct_power"),
+        F.round(mde / p, 6).alias("mde_relative"),
+    )

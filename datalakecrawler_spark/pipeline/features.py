@@ -2520,3 +2520,108 @@ def events_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_concurrency_peak",
+    group="F",
+    oracle="""
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                    or epoch_us(ts) - epoch_us(lag(ts) over w)
+                       > 1800 * 1000000
+                  then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    sess_rows as (
+      select user_id, ts,
+             sum(is_new) over (partition by user_id
+               order by ts, event_id
+               rows between unbounded preceding and current row)
+               as session_id
+      from marked
+    ),
+    sessions as (
+      select user_id, session_id,
+             min(ts) as s_start,
+             max(ts) + interval 30 minute as s_end
+      from sess_rows group by 1, 2
+    ),
+    deltas as (
+      select s_start as t, 1 as d from sessions
+      union all
+      select s_end as t, -1 from sessions
+    ),
+    sweep as (
+      select t,
+             sum(d) over (order by t, d desc
+               rows between unbounded preceding and current row)
+               as concurrent
+      from deltas
+    ),
+    daily as (
+      select cast(date_trunc('day', t) as date) as day,
+             cast(max(concurrent) as bigint) as peak_concurrent
+      from sweep group by 1
+    )
+    select day, peak_concurrent
+    from daily order by peak_concurrent desc, day limit 15
+    """,
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: peak concurrent sessions per day — the capacity-planning
+    number (licensing, connection pools, autoscaling floors) via the
+    classic interval sweep: sessions (30-min-gap sessionization, end
+    = last event + 30 min) become +1/−1 boundary events, the running
+    sum is instantaneous concurrency, per-day max is the peak.
+    Boundary ordering puts +1 before −1 at identical timestamps
+    (order by t, d desc — the 'touching intervals overlap'
+    convention) so both engines sweep identically; all integers.
+    The global sweep is one ordered window over session boundaries
+    (2 rows per session — session-scale, not event-scale); at
+    extreme scale the sweep shards by day with carry-in offsets."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = (
+        marked.select(
+            "user_id", "ts", F.sum("is_new").over(wc).alias("session_id")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("interval 30 minutes")).alias("s_end"),
+        )
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    ws = W.orderBy(F.col("t"), F.col("d").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sweep = deltas.select(
+        "t", F.sum("d").over(ws).alias("concurrent")
+    )
+    return (
+        sweep.groupBy(
+            F.date_trunc("day", "t").cast("date").alias("day")
+        )
+        .agg(F.max("concurrent").alias("peak_concurrent"))
+        .orderBy(F.col("peak_concurrent").desc(), "day")
+        .limit(15)
+    )
