@@ -2896,3 +2896,53 @@ def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mth")
     )
+
+
+@register(
+    "orders_basket_diversity",
+    group="E",
+    oracle="""
+    with per_order as (
+      select l_orderkey,
+             cast(count(*) as bigint) as n_lines,
+             cast(count(distinct l_partkey) as bigint) as n_parts
+      from lineitem group by 1
+    )
+    select n_lines,
+           count(*) as n_orders,
+           round(cast(sum(n_parts) as double) / sum(n_lines), 6)
+             as avg_distinct_ratio,
+           cast(count(*) filter (where n_parts < n_lines) as bigint)
+             as n_with_repeats
+    from per_order
+    group by 1 order by n_lines
+    """,
+)
+def orders_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: basket diversity by basket size — for each order size,
+    the distinct-part ratio and how many baskets repeat a part
+    across lines (repeats = split shipments or quantity-line
+    modeling; the ratio trend by size tells whether big baskets are
+    broad or deep — the assortment signal behind
+    orders_market_basket's pair mining). One per-order rollup
+    (orderkey shuffle, count + count-distinct in the same pass) and
+    a size-keyed re-aggregation. Exact integers and one exact
+    ratio."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_order.groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum("n_parts").cast("double") / F.sum("n_lines"), 6
+            ).alias("avg_distinct_ratio"),
+            F.count(
+                F.when(F.col("n_parts") < F.col("n_lines"), 1)
+            ).alias("n_with_repeats"),
+        )
+        .orderBy("n_lines")
+    )

@@ -2625,3 +2625,91 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("peak_concurrent").desc(), "day")
         .limit(15)
     )
+
+
+@register(
+    "events_bot_flags",
+    group="J",
+    oracle="""
+    with gaps as (
+      select user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) over (
+                partition by user_id order by ts, event_id)))
+               // 1000000 as gap_s
+      from events
+    ),
+    gap_med as (
+      select user_id,
+             cast(quantile_disc(gap_s, 0.5) as bigint) as med_gap_s
+      from gaps where gap_s is not null group by 1
+    ),
+    profile as (
+      select user_id,
+             cast(count(*) as bigint) as n_events,
+             cast(count(distinct event_type) as bigint) as n_types
+      from events group by 1
+    )
+    select p.user_id, p.n_events, p.n_types, g.med_gap_s,
+           g.med_gap_s <= 2 as flag_rapid_fire,
+           p.n_types = 1 as flag_single_action,
+           (g.med_gap_s <= 2 and p.n_types = 1) as flag_bot_likely
+    from profile p join gap_med g using (user_id)
+    where g.med_gap_s <= 2 or p.n_types = 1
+    order by p.user_id
+    """,
+)
+def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: rule-based bot flags — users whose median inter-event
+    gap is ≤2 s (rapid fire) or whose action repertoire is a single
+    type (replay/scraper), with the conjunction as the
+    high-confidence flag: the triage list a traffic-quality pipeline
+    feeds to review before excluding from events_ab_ztest (bots in
+    one arm are how SRM and fake lifts happen — the composite
+    policy over signals events_interevent_hist and
+    events_entropy_per_user profile in aggregate). Median gap is
+    DISCRETE on exact integer seconds (bit-exact); flags are
+    integer comparisons. Two rollups on the user shuffle."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "user_id",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    gaps.createOrReplaceTempView("bot_gaps")
+    gap_med = spark.sql(
+        """
+        select user_id,
+               cast(percentile_disc(0.5) within group (order by gap_s)
+                 as bigint) as med_gap_s
+        from bot_gaps group by user_id
+        """
+    )
+    profile = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    j = profile.join(gap_med, "user_id")
+    return (
+        j.filter(
+            (F.col("med_gap_s") <= 2) | (F.col("n_types") == 1)
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "med_gap_s",
+            (F.col("med_gap_s") <= 2).alias("flag_rapid_fire"),
+            (F.col("n_types") == 1).alias("flag_single_action"),
+            (
+                (F.col("med_gap_s") <= 2) & (F.col("n_types") == 1)
+            ).alias("flag_bot_likely"),
+        )
+        .orderBy("user_id")
+    )
