@@ -2713,3 +2713,84 @@ def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "customer_lifecycle_stages",
+    group="J",
+    oracle="""
+    with snap as (
+      select max(o_orderdate) as as_of from orders
+    ),
+    cust as (
+      select o_custkey,
+             cast(count(*) as bigint) as n_orders,
+             min(o_orderdate) as first_dt,
+             max(o_orderdate) as last_dt
+      from orders group by 1
+    ),
+    staged as (
+      select o_custkey, n_orders,
+             date_diff('day', last_dt, as_of) as recency_d,
+             date_diff('day', first_dt, as_of) as tenure_d,
+             case
+               when date_diff('day', first_dt, as_of) <= 90 then 'new'
+               when date_diff('day', last_dt, as_of) <= 180
+                 then 'active'
+               when date_diff('day', last_dt, as_of) <= 365
+                 then 'at_risk'
+               else 'churned'
+             end as stage
+      from cust, snap
+    )
+    select stage,
+           count(*) as n_customers,
+           round(cast(sum(n_orders) as double) / count(*), 4)
+             as avg_orders,
+           cast(min(recency_d) as bigint) as min_recency_d,
+           cast(max(recency_d) as bigint) as max_recency_d
+    from staged group by 1 order by stage
+    """,
+)
+def customer_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: lifecycle stage classification — every customer binned
+    new (≤90 d tenure) / active (ordered within 180 d) / at-risk
+    (180–365 d silent) / churned (>1 y silent) as of the data
+    horizon: the CRM state machine whose stage-count trend is the
+    health dashboard, and whose at-risk list is the win-back
+    campaign input (customer_rfm_segmentation scores; this assigns
+    the OPERATIONAL state; orders_survival_km calibrates where the
+    thresholds should sit). Per-customer first/last/count ride one
+    rollup; stage rules are integer day comparisons against the
+    broadcast as-of scalar."""
+    o = load(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("as_of"))
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_dt"),
+        F.max("o_orderdate").alias("last_dt"),
+    )
+    j = cust.crossJoin(F.broadcast(snap))
+    recency = F.datediff(F.col("as_of"), F.col("last_dt"))
+    tenure = F.datediff(F.col("as_of"), F.col("first_dt"))
+    staged = j.select(
+        "n_orders",
+        recency.alias("recency_d"),
+        F.when(tenure <= 90, "new")
+        .when(recency <= 180, "active")
+        .when(recency <= 365, "at_risk")
+        .otherwise("churned")
+        .alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("n_orders").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_orders"),
+            F.min("recency_d").cast("bigint").alias("min_recency_d"),
+            F.max("recency_d").cast("bigint").alias("max_recency_d"),
+        )
+        .orderBy("stage")
+    )

@@ -1939,3 +1939,75 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "text_char_entropy_compressibility",
+    group="J",
+    oracle="""
+    with chars as (
+      select source, unnest(string_split_regex(text, '')) as ch
+      from documents
+    ),
+    cc as (
+      select source, ch, cast(count(*) as bigint) as c
+      from chars where ch <> '' group by 1, 2
+    ),
+    tot as (
+      select source, cast(sum(c) as bigint) as n from cc group by 1
+    ),
+    terms as (
+      select cc.source,
+             cast(floor(-(cast(c as double) / n)
+                  * ln(cast(c as double) / n) / ln(2) * 1e9 + 0.5)
+                  as bigint) as h9
+      from cc join tot using (source)
+    )
+    select terms.source,
+           max(tot.n) as n_chars,
+           round(cast(sum(h9) as double) / 1e9, 6) as bits_per_char,
+           round(cast(sum(h9) as double) / 1e9 / 8, 6)
+             as est_compression_ratio
+    from terms join tot using (source)
+    group by 1 order by terms.source
+    """,
+)
+def text_char_entropy_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: character-level entropy per source — bits/char of the
+    order-0 character model, and entropy/8 as the zero-order bound
+    on compression ratio (real codecs with context models do
+    better; the BOUND is what flags anomalies: a source whose
+    bits/char jumps is suddenly shipping base64/binary-in-text —
+    the encoding-corruption detector, complementing
+    text_charset_profile's class counts with an information
+    measure). One character explode (JVM regex split) + two rollups
+    keyed by (source, char); each p·log₂p term nano-quantized
+    before the cross-char sum."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "source", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    cc = chars.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ln2 = float(__import__("math").log(2))
+    terms = cc.join(F.broadcast(tot), "source").select(
+        "source",
+        "n",
+        F.floor(-p * F.log(p) / ln2 * 1e9 + 0.5).alias("h9"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.round(F.sum("h9").cast("double") / 1e9, 6).alias(
+                "bits_per_char"
+            ),
+            F.round(
+                F.sum("h9").cast("double") / 1e9 / 8, 6
+            ).alias("est_compression_ratio"),
+        )
+        .orderBy("source")
+    )
