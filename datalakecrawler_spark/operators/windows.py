@@ -1167,3 +1167,87 @@ def agg_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_pct_of_total"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "win_nth_value",
+    group="F",
+    oracle="""
+    with j as (
+      select o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             row_number() over w as rn,
+             nth_value(o_totalprice, 2) over w as second_value,
+             nth_value(o_totalprice, 3) over w as third_value,
+             first_value(o_totalprice) over w as first_value
+      from orders
+      window w as (partition by o_custkey
+                   order by o_orderdate, o_orderkey
+                   rows between unbounded preceding
+                   and current row)
+    ),
+    lastrow as (
+      select o_custkey, first_value, second_value, third_value,
+             row_number() over (partition by o_custkey
+               order by rn desc) as inv
+      from j
+    )
+    select o_custkey as custkey,
+           round(first_value, 2) as first_order_value,
+           round(second_value, 2) as second_order_value,
+           round(third_value, 2) as third_order_value
+    from lastrow
+    where inv = 1 and third_value is not null
+    order by custkey limit 25
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: nth_value over a growing frame — each customer's 1st,
+    2nd and 3rd order values read positionally from the
+    chronological window (the onboarding-trajectory feature: 'does
+    the second order grow?' — the input to second-order-uplift
+    analyses; lag/lead give RELATIVE offsets, nth_value gives
+    ABSOLUTE positions within the frame, the less-used half of the
+    window spec). The growing frame makes nth_value null until the
+    position exists — the final per-customer row (selected by an
+    inverse row_number) carries the settled values; customers with
+    ≥3 orders only. Values are read directly from data → bit-exact;
+    one custkey-partitioned window chain."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    j = o.select(
+        "o_custkey",
+        F.row_number().over(
+            W.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        ).alias("rn"),
+        F.first("o_totalprice").over(w).alias("first_value"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_value"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_value"),
+    )
+    lastrow = j.select(
+        "o_custkey",
+        "first_value",
+        "second_value",
+        "third_value",
+        F.row_number()
+        .over(W.partitionBy("o_custkey").orderBy(F.col("rn").desc()))
+        .alias("inv"),
+    )
+    return (
+        lastrow.filter(
+            (F.col("inv") == 1) & F.col("third_value").isNotNull()
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.round("first_value", 2).alias("first_order_value"),
+            F.round("second_value", 2).alias("second_order_value"),
+            F.round("third_value", 2).alias("third_order_value"),
+        )
+        .orderBy("custkey")
+        .limit(25)
+    )

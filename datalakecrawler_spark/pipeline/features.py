@@ -2794,3 +2794,85 @@ def customer_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@register(
+    "events_daypart_mix",
+    group="J",
+    oracle="""
+    with parted as (
+      select event_type,
+             case
+               when date_part('hour', ts) between 6 and 11
+                 then 'morning'
+               when date_part('hour', ts) between 12 and 17
+                 then 'afternoon'
+               when date_part('hour', ts) between 18 and 23
+                 then 'evening'
+               else 'night'
+             end as daypart
+      from events
+    ),
+    cells as (
+      select event_type, daypart, cast(count(*) as bigint) as c
+      from parted group by 1, 2
+    ),
+    m as (
+      select event_type, daypart, c,
+             sum(c) over (partition by event_type) as ct,
+             sum(c) over (partition by daypart) as cd,
+             sum(c) over () as n
+      from cells
+    )
+    select event_type, daypart, c as n_events,
+           round(cast(c as double) / ct, 6) as share_of_type,
+           round((cast(c as double) / ct)
+                 / (cast(cd as double) / n), 6) as index_vs_overall
+    from m
+    order by event_type, daypart
+    """,
+)
+def events_daypart_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: daypart mix with over-index — each action type's
+    distribution across morning/afternoon/evening/night, and its
+    index against the overall daypart mix (index > 1 = the action
+    over-concentrates in that daypart; purchases indexing high at
+    night is the fraud/timezone smell, errors indexing at one
+    daypart localizes a batch-job collision). Hour extraction uses
+    the session-pinned UTC zone in both engines; the contingency +
+    marginal windows run on the 20-cell table; exact counts, two
+    fixed-order ratios."""
+    e = load(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    parted = e.select(
+        "event_type",
+        F.when(hour.between(6, 11), "morning")
+        .when(hour.between(12, 17), "afternoon")
+        .when(hour.between(18, 23), "evening")
+        .otherwise("night")
+        .alias("daypart"),
+    )
+    cells = parted.groupBy("event_type", "daypart").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = cells.select(
+        "event_type",
+        "daypart",
+        "c",
+        F.sum("c").over(W.partitionBy("event_type")).alias("ct"),
+        F.sum("c").over(W.partitionBy("daypart")).alias("cd"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    return m.select(
+        "event_type",
+        "daypart",
+        F.col("c").alias("n_events"),
+        F.round(F.col("c").cast("double") / F.col("ct"), 6).alias(
+            "share_of_type"
+        ),
+        F.round(
+            (F.col("c").cast("double") / F.col("ct"))
+            / (F.col("cd").cast("double") / F.col("n")),
+            6,
+        ).alias("index_vs_overall"),
+    ).orderBy("event_type", "daypart")
