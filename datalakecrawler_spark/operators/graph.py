@@ -654,3 +654,79 @@ def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_reach").desc(), "part")
         .limit(20)
     )
+
+
+@register(
+    "graph_gcc_fraction",
+    group="J",
+    oracle=f"""
+    with recursive {_EDGE_CTE},
+    sym as (
+      select pa as src, pb as dst from edges
+      union all
+      select pb as src, pa as dst from edges
+    ),
+    reach as (
+      select src as node, dst as r from sym
+      union
+      select reach.node, sym.dst as r
+      from reach join sym on sym.src = reach.r
+      where sym.dst <> reach.node
+    ),
+    comp as (
+      select node, least(node, min(r)) as comp
+      from reach group by 1
+    ),
+    sizes as (
+      select comp, cast(count(*) as bigint) as sz from comp group by 1
+    ),
+    tot as (
+      select cast(sum(sz) as bigint) as n_nodes,
+             cast(count(*) as bigint) as n_components,
+             cast(max(sz) as bigint) as gcc_size
+      from sizes
+    )
+    select n_nodes, n_components, gcc_size,
+           round(cast(gcc_size as double) / n_nodes, 6) as gcc_fraction
+    from tot
+    """,
+)
+def graph_gcc_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: giant-connected-component fraction — how much of the
+    co-purchase graph is ONE connected market vs fragmented niches
+    (GCC fraction near 1 = recommendations can walk anywhere; many
+    components = segmented catalogs that need per-component models).
+    Spark runs the iterative min-label components
+    (connected_components engine, localCheckpoint-per-round); the
+    oracle closes the same graph with a recursive transitive-closure
+    CTE — a second cross-engine fixpoint proof on a DENSER graph
+    than dedup_component_size_hist's near-clique forests. Exact
+    integer sizes; one ratio."""
+    e = _edges(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    )
+    comp = connected_components_graph(e)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.sum("sz").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_components"),
+        F.max("sz").alias("gcc_size"),
+    ).select(
+        "n_nodes",
+        "n_components",
+        "gcc_size",
+        F.round(
+            F.col("gcc_size").cast("double") / F.col("n_nodes"), 6
+        ).alias("gcc_fraction"),
+    )
+
+
+def connected_components_graph(edges: DataFrame) -> DataFrame:
+    """Min-label connected components (the pipeline.dedup algorithm,
+    re-exported here for graph-module callers without a circular
+    import)."""
+    from datalakecrawler_spark.pipeline.dedup import (
+        connected_components,
+    )
+
+    return connected_components(edges)

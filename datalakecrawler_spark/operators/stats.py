@@ -2078,3 +2078,88 @@ def stats_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs_80pct_power"),
         F.round(mde / p, 6).alias("mde_relative"),
     )
+
+
+@register(
+    "stats_jarque_bera",
+    group="J",
+    oracle="""
+    with k as (
+      select l_returnflag,
+             cast(floor(l_extendedprice + 0.5) as bigint) as x
+      from lineitem
+    ),
+    m as (
+      select l_returnflag,
+             cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as s1,
+             cast(sum(x * x) as bigint) as s2,
+             sum(cast(x as double) * x * x) as s3,
+             sum(cast(x as double) * x * x * x) as s4
+      from k group by 1
+    ),
+    mom as (
+      select l_returnflag, n,
+             cast(s1 as double) / n as mu,
+             cast(s2 as double) / n as r2,
+             s3 / n as r3, s4 / n as r4
+      from m
+    ),
+    sk as (
+      select l_returnflag, n,
+             (r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+               / pow(r2 - mu * mu, 1.5) as s,
+             (r4 - 4 * mu * r3 + 6 * mu * mu * r2
+              - 3 * mu * mu * mu * mu)
+               / ((r2 - mu * mu) * (r2 - mu * mu)) - 3 as ek
+      from mom
+    )
+    select l_returnflag, n,
+           round(s, 6) as skewness,
+           round(ek, 6) as excess_kurtosis,
+           round(n / 6.0 * (s * s + ek * ek / 4), 4) as jarque_bera,
+           n / 6.0 * (s * s + ek * ek / 4) > 5.991465 as reject_normal
+    from sk order by l_returnflag
+    """,
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Jarque-Bera normality test per group — JB =
+    n/6·(S² + K²/4) from the same one-pass raw moments as
+    agg_skewness_kurtosis, against the χ²(2) 95% critical value
+    5.991465 (exact literal). The test that formalizes 'is mean±σ
+    reporting valid for this column' — at large n it rejects for
+    any real revenue column (heavy tails), which is itself the
+    point: the profiler should steer consumers to quantiles
+    (agg_percentile_disc) instead. Same moment-envelope argument as
+    the skew/kurt operator; JB adds only fixed-order arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    k = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") + 0.5).alias("x"),
+    )
+    xd = F.col("x").cast("double")
+    m = k.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3") / F.col("n")
+    r4 = F.col("s4") / F.col("n")
+    var = r2 - mu * mu
+    sk = (r3 - 3 * mu * r2 + 2 * mu * mu * mu) / F.pow(var, 1.5)
+    ek = (
+        r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    ) / (var * var) - 3
+    jb = F.col("n") / 6.0 * (sk * sk + ek * ek / 4)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sk, 6).alias("skewness"),
+        F.round(ek, 6).alias("excess_kurtosis"),
+        F.round(jb, 4).alias("jarque_bera"),
+        (jb > 5.991465).alias("reject_normal"),
+    ).orderBy("l_returnflag")
