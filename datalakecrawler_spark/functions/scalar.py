@@ -701,3 +701,45 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform_values("m", lambda k, v: v * 2)
         ).alias("doubled"),
     )
+
+
+@register(
+    "str_padding_fns",
+    group="H",
+    oracle="""
+    select o_orderpriority,
+           lpad(cast(o_orderkey as varchar), 12, '0') as padded_key,
+           rpad(o_orderstatus, 4, '.') as padded_status,
+           repeat('*', cast(length(o_orderpriority) as integer))
+             as masked,
+           replace(o_orderpriority, '-', ' ') as spaced
+    from orders
+    where o_orderkey <= 64
+    order by o_orderkey
+    """,
+)
+def str_padding_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: padding/repetition string functions — lpad (zero-pad
+    keys for lexicographic = numeric ordering, the sort-key trick
+    file layouts rely on), rpad, repeat (mask generation), replace.
+    All JVM-side builtins with byte-identical semantics across
+    engines on ASCII; the fixed-key predicate keeps output
+    deterministic and tiny."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") <= 64)
+        .select(
+            "o_orderpriority",
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias(
+                "padded_key"
+            ),
+            F.rpad("o_orderstatus", 4, ".").alias("padded_status"),
+            F.repeat(
+                F.lit("*"), F.length("o_orderpriority")
+            ).alias("masked"),
+            F.replace(
+                F.col("o_orderpriority"), F.lit("-"), F.lit(" ")
+            ).alias("spaced"),
+        )
+        .orderBy(F.col("padded_key"))
+    )

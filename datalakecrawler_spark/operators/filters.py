@@ -148,3 +148,45 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qty_band")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "filter_rlike_patterns",
+    group="C",
+    oracle="""
+    select
+      cast(count(*) filter (where regexp_matches(c_name,
+           'Customer#0*1[0-9]{2}$')) as bigint) as name_100_199,
+      cast(count(*) filter (where regexp_matches(c_mktsegment,
+           '^(AUTO|BUIL)')) as bigint) as seg_auto_buil,
+      cast(count(*) filter (where not regexp_matches(c_name,
+           '^Customer#[0-9]+$')) as bigint) as name_malformed,
+      cast(count(*) as bigint) as n_total
+    from customer
+    """,
+)
+def filter_rlike_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-ext: regex predicate filtering (rlike) — anchored match,
+    alternation-prefix match, and the NEGATED full-format check
+    (the validation predicate: rows NOT matching the expected
+    format — must be 0 for a contract-clean column; the predicate
+    form of catalog_string_pattern_profile's discovery). Regex
+    evaluation is JVM-side (codegen'd) and the java.util.regex /
+    RE2-style subset used here ({m,n}, classes, anchors,
+    alternation) behaves identically in DuckDB's RE2. Conditional
+    counts collapse all three predicates into ONE scan."""
+    c = load(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(
+            F.when(F.col("c_name").rlike("Customer#0*1[0-9]{2}$"), 1)
+        ).alias("name_100_199"),
+        F.count(
+            F.when(F.col("c_mktsegment").rlike("^(AUTO|BUIL)"), 1)
+        ).alias("seg_auto_buil"),
+        F.count(
+            F.when(
+                ~F.col("c_name").rlike("^Customer#[0-9]+$"), 1
+            )
+        ).alias("name_malformed"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

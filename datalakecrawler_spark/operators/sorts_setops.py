@@ -334,3 +334,39 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by depth
         """
     )
+
+
+@register(
+    "sort_null_placement",
+    group="G",
+    oracle="""
+    with v as (
+      select o_orderkey,
+             nullif(o_orderpriority, '3-MEDIUM') as prio
+      from orders
+    )
+    select o_orderkey, prio
+    from v
+    order by prio asc nulls first, o_orderkey
+    limit 15
+    """,
+)
+def sort_null_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: explicit NULL placement in ORDER BY — ASC NULLS FIRST,
+    the spot where engines' DEFAULTS diverge (Spark ascending sorts
+    put nulls first, DuckDB/Postgres put them LAST), so portable
+    ordered output must say it explicitly — the §2.L-trap companion
+    for sort semantics, exercised by injecting nulls via nullif.
+    Deterministic total order with the key tie-break; values read
+    straight from data."""
+    o = load(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias(
+            "prio"
+        ),
+    )
+    return (
+        v.orderBy(F.col("prio").asc_nulls_first(), "o_orderkey")
+        .limit(15)
+    )
