@@ -370,3 +370,60 @@ def sort_null_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.orderBy(F.col("prio").asc_nulls_first(), "o_orderkey")
         .limit(15)
     )
+
+
+@register(
+    "setop_symmetric_diff",
+    group="G",
+    oracle="""
+    with p1 as (
+      select distinct o_custkey from orders
+      where o_orderdate < timestamp '1999-01-01'
+    ),
+    p2 as (
+      select distinct o_custkey from orders
+      where o_orderdate >= timestamp '1999-01-01'
+    ),
+    only1 as (select o_custkey from p1 except select o_custkey from p2),
+    only2 as (select o_custkey from p2 except select o_custkey from p1)
+    select
+      (select count(*) from p1) as n_before,
+      (select count(*) from p2) as n_after,
+      (select count(*) from only1) as n_lapsed,
+      (select count(*) from only2) as n_new,
+      (select count(*) from only1) + (select count(*) from only2)
+        as n_symmetric_diff
+    """,
+)
+def setop_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: symmetric difference of two keyed sets — customers
+    active ONLY before vs ONLY after a cutover ((A∖B) ∪ (B∖A)): the
+    set-algebra form of churn/acquisition accounting
+    (orders_abc_migration's '-' rows, computed as pure set ops —
+    EXCEPT each way then union of counts). Both EXCEPTs are
+    distinct-key anti-joins on the same custkey shuffle; at scale
+    the distinct projections are entity-sized. Exact counts."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    p1 = o.where(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    p2 = (
+        o.where(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    )
+    only1 = p1.exceptAll(p2).agg(F.count(F.lit(1)).alias("n_lapsed"))
+    only2 = p2.exceptAll(p1).agg(F.count(F.lit(1)).alias("n_new"))
+    n1 = p1.agg(F.count(F.lit(1)).alias("n_before"))
+    n2 = p2.agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(only1))
+        .crossJoin(F.broadcast(only2))
+        .select(
+            "n_before",
+            "n_after",
+            "n_lapsed",
+            "n_new",
+            (F.col("n_lapsed") + F.col("n_new")).alias(
+                "n_symmetric_diff"
+            ),
+        )
+    )

@@ -2876,3 +2876,111 @@ def events_daypart_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("index_vs_overall"),
     ).orderBy("event_type", "daypart")
+
+
+@register(
+    "events_returning_conversion_lift",
+    group="J",
+    oracle="""
+    with firsts as (
+      select user_id, cast(date_trunc('day', min(ts)) as date)
+               as first_day
+      from events group by 1
+    ),
+    daily_user as (
+      select e.user_id,
+             cast(date_trunc('day', e.ts) as date) as day,
+             max(case when e.event_type = 'purchase' then 1 else 0 end)
+               as purchased
+      from events e group by 1, 2
+    ),
+    tagged as (
+      select d.purchased,
+             case when d.day = f.first_day then 'new'
+                  else 'returning' end as cohort
+      from daily_user d join firsts f using (user_id)
+    ),
+    g as (
+      select cohort, cast(count(*) as bigint) as n_user_days,
+             cast(sum(purchased) as bigint) as n_converted
+      from tagged group by 1
+    ),
+    w as (
+      select max(case when cohort = 'new' then n_user_days end) as nn,
+             max(case when cohort = 'new' then n_converted end) as cn,
+             max(case when cohort = 'returning' then n_user_days end)
+               as nr,
+             max(case when cohort = 'returning' then n_converted end)
+               as cr
+      from g
+    )
+    select nn as new_user_days, cn as new_conversions,
+           nr as returning_user_days, cr as returning_conversions,
+           round(cast(cn as double) / nn, 6) as new_rate,
+           round(cast(cr as double) / nr, 6) as returning_rate,
+           round((cast(cr as double) / nr)
+                 / (cast(cn as double) / nn), 6) as returning_lift
+    from w
+    """,
+)
+def events_returning_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: returning-vs-new conversion lift — per user-day, does a
+    RETURNING visit convert more often than a first visit? The ratio
+    of the two day-level conversion rates is the retention-value
+    argument in one number ('a returning visit is worth 1.8 first
+    visits'), joining events_new_vs_returning's traffic split to
+    outcome quality. Day-level grain avoids survivor bias from
+    heavy users dominating user-level rates. Exact counts from two
+    rollups sharing the user shuffle; fixed-order ratios."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily_user = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchased")
+    )
+    tagged = daily_user.join(firsts, "user_id").select(
+        "purchased",
+        F.when(F.col("day") == F.col("first_day"), "new")
+        .otherwise("returning")
+        .alias("cohort"),
+    )
+    g = tagged.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum("purchased").alias("n_converted"),
+    )
+    w = g.agg(
+        F.max(
+            F.when(F.col("cohort") == "new", F.col("n_user_days"))
+        ).alias("nn"),
+        F.max(
+            F.when(F.col("cohort") == "new", F.col("n_converted"))
+        ).alias("cn"),
+        F.max(
+            F.when(F.col("cohort") == "returning", F.col("n_user_days"))
+        ).alias("nr"),
+        F.max(
+            F.when(F.col("cohort") == "returning", F.col("n_converted"))
+        ).alias("cr"),
+    )
+    return w.select(
+        F.col("nn").alias("new_user_days"),
+        F.col("cn").alias("new_conversions"),
+        F.col("nr").alias("returning_user_days"),
+        F.col("cr").alias("returning_conversions"),
+        F.round(F.col("cn").cast("double") / F.col("nn"), 6).alias(
+            "new_rate"
+        ),
+        F.round(F.col("cr").cast("double") / F.col("nr"), 6).alias(
+            "returning_rate"
+        ),
+        F.round(
+            (F.col("cr").cast("double") / F.col("nr"))
+            / (F.col("cn").cast("double") / F.col("nn")),
+            6,
+        ).alias("returning_lift"),
+    )
