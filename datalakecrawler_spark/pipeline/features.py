@@ -2984,3 +2984,133 @@ def events_returning_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFr
             6,
         ).alias("returning_lift"),
     )
+
+
+@register(
+    "events_session_action_lift",
+    group="J",
+    oracle="""
+    with marked as (
+      select user_id, ts, event_id, event_type,
+             case when lag(ts) over w is null
+                    or epoch_us(ts) - epoch_us(lag(ts) over w)
+                       > 1800 * 1000000
+                  then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    sess as (
+      select user_id, event_type,
+             sum(is_new) over (partition by user_id
+               order by ts, event_id
+               rows between unbounded preceding and current row)
+               as session_id
+      from marked
+    ),
+    sa as (
+      select distinct user_id, session_id, event_type from sess
+    ),
+    n as (
+      select cast(count(distinct (user_id, session_id)) as bigint)
+               as n_sessions
+      from sa
+    ),
+    singles as (
+      select event_type, cast(count(*) as bigint) as c
+      from sa group by 1
+    ),
+    pairs as (
+      select a.event_type as t1, b.event_type as t2,
+             cast(count(*) as bigint) as c12
+      from sa a join sa b
+        on a.user_id = b.user_id and a.session_id = b.session_id
+       and a.event_type < b.event_type
+      group by 1, 2
+    )
+    select t1, t2, c12 as n_cooccur,
+           round(cast(c12 as double) * n.n_sessions
+                 / (s1.c * cast(s2.c as double)), 6) as lift
+    from pairs
+    join singles s1 on s1.event_type = t1
+    join singles s2 on s2.event_type = t2
+    cross join n
+    order by t1, t2
+    """,
+)
+def events_session_action_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: within-session action co-occurrence lift — for every
+    action pair, P(both in a session)/(P(a)·P(b)): the behavioral
+    basket analysis (orders_market_basket over SESSIONS instead of
+    orders — lift > 1 pairs define flows worth bundling in UX;
+    error co-occurring with purchase above chance is a checkout-bug
+    signal). Sessionization shares the 30-min machinery; the
+    distinct (session, action) projection collapses to
+    session-grain before the pair self-join (fan-out ≤ 5²/2 pairs
+    per session). Exact counts; one fixed-order lift expression."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sa = (
+        marked.select(
+            "user_id",
+            "event_type",
+            F.sum("is_new").over(wc).alias("session_id"),
+        )
+        .distinct()
+    )
+    n = sa.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    singles = sa.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = sa.alias("a")
+    b = sa.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    s1 = singles.select(
+        F.col("event_type").alias("t1"), F.col("c").alias("c1")
+    )
+    s2 = singles.select(
+        F.col("event_type").alias("t2"), F.col("c").alias("c2")
+    )
+    return (
+        pairs.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t1",
+            "t2",
+            F.col("c12").alias("n_cooccur"),
+            F.round(
+                F.col("c12").cast("double")
+                * F.col("n_sessions")
+                / (F.col("c1") * F.col("c2").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("t1", "t2")
+    )

@@ -2011,3 +2011,61 @@ def text_char_entropy_compressibility(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    group="J",
+    oracle="""
+    with per_doc as (
+      select lang,
+             cast(len(string_split(text, ' ')) as bigint) as words,
+             cast(list_aggregate(list_transform(string_split(text, ' '),
+                  w -> cast(ceil(length(w) / 4.0) as bigint)), 'sum')
+                  as bigint) as bpe
+      from documents
+    )
+    select lang,
+           count(*) as n_docs,
+           cast(sum(words) as bigint) as total_words,
+           cast(sum(bpe) as bigint) as total_bpe_tokens,
+           round(cast(sum(bpe) as double) / sum(words), 6)
+             as fertility
+    from per_doc group by 1 order by lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: tokenizer fertility by language — BPE-ish tokens per
+    whitespace word (text_token_count_bpe's estimator aggregated to
+    the per-language ratio): THE multilingual-budget number — a
+    language with fertility 2× pays twice the context window and
+    compute per word, which skews both training-mix token
+    accounting (corpus_mixture_balance counts DOCS; budgets are
+    paid in TOKENS) and per-language effective batch sizes. Exact
+    integer token sums per language; one ratio. One tokenize pass
+    with the same higher-order-function estimator, rolled up by
+    lang."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bpe = F.aggregate(
+        F.transform(toks, lambda w: F.ceil(F.length(w) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("words"),
+        bpe.alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("total_words"),
+            F.sum("bpe").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("bpe").cast("double") / F.sum("words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
