@@ -2946,3 +2946,87 @@ def orders_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+@register(
+    "part_top3_share_by_brand",
+    group="E",
+    oracle="""
+    with rev as (
+      select p.p_brand, l.l_partkey,
+             cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 1e6 + 0.5) as bigint)) as bigint) as r
+      from lineitem l join part p on p.p_partkey = l.l_partkey
+      group by 1, 2
+    ),
+    ranked as (
+      select p_brand, l_partkey, r,
+             row_number() over (partition by p_brand
+               order by r desc, l_partkey) as rk,
+             sum(r) over (partition by p_brand) as brand_total
+      from rev
+    )
+    select p_brand,
+           count(*) as n_parts_total,
+           round(cast(sum(case when rk <= 3 then r else 0 end)
+                 as double) / max(brand_total), 6) as top3_share,
+           round(cast(max(brand_total) as double) / 1e6, 2)
+             as brand_revenue
+    from ranked
+    group by 1 order by p_brand
+    """,
+)
+def part_top3_share_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: hero-product concentration — the revenue share of each
+    brand's top-3 parts (the portfolio-dependence metric: a brand
+    living off three SKUs is fragile to one delisting;
+    orders_hhi_by_segment measures concentration over CUSTOMERS,
+    this over PRODUCTS within brand). One dim join + part-grain
+    rollup, then a brand-partitioned rank window — the rank runs on
+    the part AGGREGATE, not raw lines. Micro-exact revenue ints;
+    the share is one fixed-order division."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 1e6
+                    + 0.5
+                )
+            ).alias("r")
+        )
+    )
+    wb = W.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        "r",
+        F.row_number()
+        .over(wb.orderBy(F.col("r").desc(), "l_partkey"))
+        .alias("rk"),
+        F.sum("r").over(wb).alias("brand_total"),
+    )
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_total"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rk") <= 3, F.col("r")).otherwise(0)
+                ).cast("double")
+                / F.max("brand_total"),
+                6,
+            ).alias("top3_share"),
+            F.round(
+                F.max("brand_total").cast("double") / 1e6, 2
+            ).alias("brand_revenue"),
+        )
+        .orderBy("p_brand")
+    )

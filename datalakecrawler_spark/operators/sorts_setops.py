@@ -10,6 +10,7 @@ shuffle on the full row — keep projections narrow before them.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
@@ -426,4 +427,75 @@ def setop_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_symmetric_diff"
             ),
         )
+    )
+
+
+@register(
+    "orders_skyline_frontier",
+    group="G",
+    oracle="""
+    with pts as (
+      select distinct
+             cast(floor(o_totalprice * 100 + 0.5) as bigint) as price_c,
+             cast(o_orderdate as date) as od
+      from orders
+    ),
+    ranked as (
+      select price_c, od,
+             max(od) over (order by price_c asc, od desc
+               rows between unbounded preceding and 1 preceding)
+               as best_prev_date
+      from pts
+    ),
+    sky as (
+      select price_c, od from ranked
+      where best_prev_date is null or od > best_prev_date
+    )
+    select round(cast(price_c as double) / 100, 2) as price,
+           od as order_date
+    from sky
+    order by price_c
+    """,
+)
+def orders_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: the SKYLINE operator — the Pareto frontier of
+    (minimize price, maximize recency) over distinct order points: a
+    point survives iff nothing is both cheaper-or-equal AND
+    newer-or-equal with one strict ('best deals that aren't stale').
+    Skylines are the classic can't-express-with-one-aggregate
+    operator; the 2-D case collapses to a SINGLE window pass: sort
+    by (price asc, date desc) and keep points whose date strictly
+    beats the running max over all predecessors — predecessors are
+    exactly the cheaper (or equal-price newer) points, so the
+    running max IS the dominance test. O(n log n) total, one
+    range-partitioned sort at scale (vs the naive quadratic
+    anti-join); d ≥ 3 dimensions escalate to block-nested-loop over
+    partitions. Distinct-point dedup first makes tie semantics
+    exact; prices compare as exact cent integers."""
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("price_c"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    ).distinct()
+    w = (
+        W.orderBy(F.col("price_c").asc(), F.col("od").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = pts.select(
+        "price_c", "od", F.max("od").over(w).alias("best_prev_date")
+    )
+    return (
+        ranked.filter(
+            F.col("best_prev_date").isNull()
+            | (F.col("od") > F.col("best_prev_date"))
+        )
+        .select(
+            F.round(F.col("price_c").cast("double") / 100, 2).alias(
+                "price"
+            ),
+            F.col("od").alias("order_date"),
+            F.col("price_c").alias("_pc"),
+        )
+        .orderBy("_pc")
+        .drop("_pc")
     )
