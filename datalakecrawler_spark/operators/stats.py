@@ -2163,3 +2163,184 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 4).alias("jarque_bera"),
         (jb > 5.991465).alias("reject_normal"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "events_arrival_dispersion",
+    group="J",
+    oracle="""
+    with days as (
+      select distinct cast(date_trunc('day', ts) as date) as day
+      from events
+    ),
+    types as (select distinct event_type from events),
+    counts as (
+      select cast(date_trunc('day', ts) as date) as day, event_type,
+             cast(count(*) as bigint) as c
+      from events group by 1, 2
+    ),
+    grid as (
+      select t.event_type, d.day, coalesce(c.c, 0) as c
+      from types t cross join days d
+      left join counts c
+        on c.day = d.day and c.event_type = t.event_type
+    ),
+    m as (
+      select event_type,
+             cast(count(*) as bigint) as n_days,
+             cast(sum(c) as bigint) as total,
+             cast(sum(c * c) as bigint) as sq
+      from grid group by 1
+    )
+    select event_type, n_days, total,
+           round((cast(sq as double) / n_days
+                  - (cast(total as double) / n_days)
+                    * (cast(total as double) / n_days))
+                 / (cast(total as double) / n_days), 6)
+             as dispersion_index,
+           (cast(sq as double) / n_days
+            - (cast(total as double) / n_days)
+              * (cast(total as double) / n_days))
+           / (cast(total as double) / n_days)
+           > 1 + 2 * sqrt(2.0 / n_days) as overdispersed
+    from m order by event_type
+    """,
+)
+def events_arrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: arrival overdispersion per event type — the index of
+    dispersion (variance/mean of DAILY counts, zero days included
+    via the full day×type grid) with a 2σ Poisson gate: index ≈ 1 is
+    Poisson-like steady arrival (alerting can use Poisson bands),
+    index ≫ 1 is bursty/campaign-driven (Poisson alert thresholds
+    will false-fire; use events_anomaly_seasonal_zscore instead).
+    The word-level twin is text_burstiness — same statistic, columns
+    vs arrivals — but HERE zero cells matter, hence the explicit
+    calendar grid (calendar-sized, broadcast). Exact int sums; the
+    gate compares identical doubles."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(counts, ["day", "event_type"], "left")
+        .na.fill({"c": 0})
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    mean = F.col("total").cast("double") / F.col("n_days")
+    vmr = (F.col("sq").cast("double") / F.col("n_days") - mean * mean) / mean
+    return m.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.round(vmr, 6).alias("dispersion_index"),
+        (vmr > 1 + 2 * F.sqrt(2.0 / F.col("n_days"))).alias(
+            "overdispersed"
+        ),
+    ).orderBy("event_type")
+
+
+@register(
+    "stats_ks_orders_periods",
+    group="J",
+    oracle="""
+    with tagged as (
+      select cast(floor(o_totalprice * 100 + 0.5) as bigint) as v,
+             case when o_orderdate < timestamp '1999-01-01'
+                  then 1 else 0 end as in_a
+      from orders
+    ),
+    counts as (
+      select v,
+             cast(sum(in_a) as bigint) as ca,
+             cast(sum(1 - in_a) as bigint) as cb
+      from tagged group by 1
+    ),
+    tot as (
+      select cast(sum(ca) as bigint) as na,
+             cast(sum(cb) as bigint) as nb
+      from counts
+    ),
+    ecdf as (
+      select v,
+             sum(ca) over (order by v
+               rows between unbounded preceding and current row)
+               as cum_a,
+             sum(cb) over (order by v
+               rows between unbounded preceding and current row)
+               as cum_b
+      from counts
+    ),
+    d as (
+      select max(abs(cast(cum_a as double) / na
+                     - cast(cum_b as double) / nb)) as ks
+      from ecdf, tot
+    )
+    select na as n_before, nb as n_after,
+           round(ks, 6) as ks_statistic,
+           ks > 1.358102 * sqrt((na + cast(nb as double)) / (na * cast(nb as double)))
+             as reject_same_dist_5pct
+    from d, tot
+    """,
+)
+def stats_ks_orders_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: two-sample Kolmogorov-Smirnov between the order-value
+    distributions of two periods — the distribution-level drift
+    question ('did the SHAPE of spending change', where
+    orders_aov_decomposition explains only the MEAN) with the
+    α = 5% decision line D > c(α)·√((n₁+n₂)/(n₁n₂)), c = 1.358102
+    exact literal. The ECDF-difference maximum runs on exact integer
+    cumulative counts over cent-quantized distinct values (the
+    catalog_drift_ks machinery pointed at a time split); the only
+    sort is over DISTINCT values. Exact ints until the final
+    divisions."""
+    o = load(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("v"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(1 - F.col("in_a")).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = counts.select(
+        F.sum("ca").over(wv).alias("cum_a"),
+        F.sum("cb").over(wv).alias("cum_b"),
+    )
+    d = ecdf.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("na")
+                - F.col("cum_b").cast("double") / F.col("nb")
+            )
+        ).alias("ks")
+    )
+    j = d.crossJoin(F.broadcast(tot))
+    crit = 1.358102 * F.sqrt(
+        (F.col("na") + F.col("nb").cast("double"))
+        / (F.col("na") * F.col("nb").cast("double"))
+    )
+    return j.select(
+        F.col("na").alias("n_before"),
+        F.col("nb").alias("n_after"),
+        F.round("ks", 6).alias("ks_statistic"),
+        (F.col("ks") > crit).alias("reject_same_dist_5pct"),
+    )
