@@ -2069,3 +2069,80 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_langid_confusion",
+    group="J",
+    oracle="""
+    with scores as (
+        select doc_id, lang as true_lang,
+    """
+    + ",\n".join(
+        f"       len(list_intersect(list_distinct(string_split(text, ' ')), "
+        f"{words!r}::varchar[])) as s_{lang}"
+        for lang, words in _LANG_MARKERS.items()
+    )
+    + """
+        from documents
+    ),
+    pred as (
+      select true_lang,
+             case greatest(s_de, s_en, s_es, s_fr, s_zh)
+                  when s_de then 'de' when s_en then 'en'
+                  when s_es then 'es' when s_fr then 'fr'
+                  else 'zh' end as pred_lang
+      from scores
+    ),
+    cm as (
+      select true_lang, pred_lang, cast(count(*) as bigint) as n
+      from pred group by 1, 2
+    ),
+    tot as (select cast(sum(n) as bigint) as n_all,
+                   cast(sum(case when true_lang = pred_lang then n
+                            else 0 end) as bigint) as n_correct
+            from cm)
+    select cm.true_lang, cm.pred_lang, cm.n,
+           round(cast(tot.n_correct as double) / tot.n_all, 6)
+             as overall_accuracy
+    from cm cross join tot
+    order by cm.true_lang, cm.pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: language-ID confusion matrix — the marker-vocabulary
+    classifier (text_langid_heuristic) evaluated against the stored
+    labels, as the full (true, predicted, count) matrix with overall
+    accuracy attached to every row: WHERE the heuristic fails (es↔fr
+    confusion from shared Romance markers is the expected cell) is
+    what decides whether to ship it or escalate to char-n-gram
+    models. Composes the registered classifier AS A SUBROUTINE —
+    the Spark side literally calls the other operator's DataFrame,
+    exercising operator-composition through the registry. Exact
+    counts; one ratio."""
+    from datalakecrawler_spark.registry import all_queries
+
+    pred = all_queries()["text_langid_heuristic"].fn(spark, sf_dir)
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.agg(
+        F.sum("n").alias("n_all"),
+        F.sum(
+            F.when(
+                F.col("true_lang") == F.col("pred_lang"), F.col("n")
+            ).otherwise(0)
+        ).alias("n_correct"),
+    )
+    return (
+        cm.crossJoin(F.broadcast(tot))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_all"), 6
+            ).alias("overall_accuracy"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

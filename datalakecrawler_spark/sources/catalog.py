@@ -2260,3 +2260,83 @@ def catalog_timestamp_precision_audit(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("precision_used")
     )
+
+
+@register(
+    "catalog_histogram_equiheight",
+    group="B",
+    oracle="""
+    with edges as (
+      select quantile_disc(o_totalprice,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) as qs
+      from orders
+    ),
+    binned as (
+      select case
+               when o_totalprice <= qs[1] then 0
+               when o_totalprice <= qs[2] then 1
+               when o_totalprice <= qs[3] then 2
+               when o_totalprice <= qs[4] then 3
+               when o_totalprice <= qs[5] then 4
+               when o_totalprice <= qs[6] then 5
+               when o_totalprice <= qs[7] then 6
+               else 7
+             end as bin,
+             o_totalprice
+      from orders, edges
+    )
+    select bin,
+           cast(count(*) as bigint) as n_rows,
+           round(min(o_totalprice), 2) as bin_min,
+           round(max(o_totalprice), 2) as bin_max
+    from binned group by 1 order by bin
+    """,
+)
+def catalog_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: equi-HEIGHT histogram — 8 buckets holding ~equal row
+    counts with data-dependent boundaries (catalog_histogram_numeric
+    is the equi-WIDTH form: fixed boundaries, wildly unequal counts
+    on skewed data). Equi-height is what optimizer statistics
+    actually store (selectivity ≈ fraction of buckets spanned, error
+    bounded by bucket height regardless of skew). Boundaries are
+    DISCRETE octile values (bit-exact across engines); binning is
+    ≤-comparison against broadcast exact values; per-bin min/max
+    read from data. Two passes (quantile, then bin+rollup) — the
+    KLL sketch collapses it to one at scale."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_eh")
+    edges = spark.sql(
+        """
+        select
+          percentile_disc(0.125) within group (order by o_totalprice) as q1,
+          percentile_disc(0.25) within group (order by o_totalprice) as q2,
+          percentile_disc(0.375) within group (order by o_totalprice) as q3,
+          percentile_disc(0.5) within group (order by o_totalprice) as q4,
+          percentile_disc(0.625) within group (order by o_totalprice) as q5,
+          percentile_disc(0.75) within group (order by o_totalprice) as q6,
+          percentile_disc(0.875) within group (order by o_totalprice) as q7
+        from orders_eh
+        """
+    )
+    x = F.col("o_totalprice")
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        x.alias("o_totalprice"),
+        F.when(x <= F.col("q1"), 0)
+        .when(x <= F.col("q2"), 1)
+        .when(x <= F.col("q3"), 2)
+        .when(x <= F.col("q4"), 3)
+        .when(x <= F.col("q5"), 4)
+        .when(x <= F.col("q6"), 5)
+        .when(x <= F.col("q7"), 6)
+        .otherwise(7)
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
