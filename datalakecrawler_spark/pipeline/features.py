@@ -3114,3 +3114,51 @@ def events_session_action_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t1", "t2")
     )
+
+
+@register(
+    "events_prop_value_profile",
+    group="J",
+    oracle="""
+    with ex as (
+      select cast(json_extract(props, '$.k') as bigint) as k,
+             event_type
+      from events where props is not null
+    )
+    select event_type,
+           count(*) as n_events,
+           cast(count(distinct k) as bigint) as n_distinct_k,
+           cast(min(k) as bigint) as min_k,
+           cast(max(k) as bigint) as max_k,
+           round(cast(sum(k) as double) / count(*), 6) as mean_k
+    from ex group by 1 order by event_type
+    """,
+)
+def events_prop_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: semi-structured property profiling — extract the
+    numeric `k` from the JSON props payload and profile it per
+    event type (the schema-on-read drill: the crawler's numeric
+    profiler (catalog_profile_numeric) applied THROUGH a JSON
+    path, which is how event instrumentation actually ships
+    fields; map_json_get covers extraction mechanics, this is the
+    downstream statistics pass). JSON path evaluation is JVM-side
+    in both engines with identical integer results; all stats are
+    exact ints + one exact ratio."""
+    e = load(spark, sf_dir, "events")
+    ex = e.where(F.col("props").isNotNull()).select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        "event_type",
+    )
+    return (
+        ex.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("k").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_k"),
+        )
+        .orderBy("event_type")
+    )
