@@ -3030,3 +3030,65 @@ def part_top3_share_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "orders_quarter_end_loading",
+    group="E",
+    oracle="""
+    with tagged as (
+      select cast(date_trunc('quarter', o_orderdate) as date) as qtr,
+             cast(floor(o_totalprice * 1e6 + 0.5) as bigint) as v,
+             date_diff('day', o_orderdate,
+               cast(date_trunc('quarter', o_orderdate) as date)
+                 + interval 3 month - interval 1 day) <= 6 as last_week
+      from orders
+    )
+    select qtr,
+           cast(count(*) as bigint) as n_orders,
+           round(cast(sum(case when last_week then v else 0 end)
+                 as double) / sum(v), 6) as last_week_revenue_share,
+           round(cast(count(*) filter (where last_week) as double)
+                 / count(*), 6) as last_week_order_share
+    from tagged group by 1 order by qtr
+    """,
+)
+def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: quarter-end loading — the share of each quarter's
+    revenue and orders landing in its final 7 days (the
+    sales-pathology audit: heavy quarter-end loading signals quota
+    gaming / channel stuffing, and predicts next-quarter returns —
+    a governance query finance actually runs). Quarter-end date is
+    exact calendar arithmetic (quarter start + 3 months − 1 day);
+    the membership test is an integer day comparison; revenue
+    shares are micro-exact ratios. One pass with conditional
+    sums."""
+    o = load(spark, sf_dir, "orders")
+    qstart = F.date_trunc("quarter", "o_orderdate").cast("date")
+    qend = F.date_sub(F.add_months(qstart, 3), 1)
+    tagged = o.select(
+        qstart.alias("qtr"),
+        F.floor(F.col("o_totalprice") * 1e6 + 0.5).alias("v"),
+        (
+            F.datediff(qend, F.col("o_orderdate").cast("date")) <= 6
+        ).alias("last_week"),
+    )
+    return (
+        tagged.groupBy("qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.when(F.col("last_week"), F.col("v")).otherwise(0)
+                ).cast("double")
+                / F.sum("v"),
+                6,
+            ).alias("last_week_revenue_share"),
+            F.round(
+                F.count(F.when(F.col("last_week"), 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("last_week_order_share"),
+        )
+        .orderBy("qtr")
+    )

@@ -950,3 +950,66 @@ def dedup_component_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "dedup_normalized_vs_raw",
+    group="J",
+    oracle="""
+    with h as (
+      select md5(text) as raw_h,
+             md5(lower(regexp_replace(trim(text), ' +', ' ', 'g')))
+               as norm_h
+      from documents
+    ),
+    r as (
+      select (select count(*) from documents) as n_docs,
+             (select count(distinct raw_h) from h) as n_raw_unique,
+             (select count(distinct norm_h) from h) as n_norm_unique
+    )
+    select n_docs,
+           n_docs - n_raw_unique as raw_dups,
+           n_docs - n_norm_unique as norm_dups,
+           (n_raw_unique - n_norm_unique) as extra_caught_by_norm,
+           round(cast(n_docs - n_norm_unique as double) / n_docs, 6)
+             as norm_dup_rate
+    from r
+    """,
+)
+def dedup_normalized_vs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: canonicalization payoff — exact-dup counts under RAW
+    hashing vs NORMALIZED hashing (trim, whitespace-collapse,
+    lowercase): the 'extra caught by normalization' delta is what
+    justifies (or not) a canonicalization pass before dedup_exact —
+    real corpora hide most near-exact dups behind whitespace/case
+    jitter that MinHash is overkill for. Normalization is JVM
+    regex/string ops with identical semantics in DuckDB's RE2;
+    distinct-hash counts are exact. One scan computing both hashes,
+    three count-distincts."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        F.md5("text").alias("raw_h"),
+        F.md5(
+            F.lower(
+                F.regexp_replace(F.trim(F.col("text")), " +", " ")
+            )
+        ).alias("norm_h"),
+    )
+    r = h.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("raw_h").alias("n_raw_unique"),
+        F.count_distinct("norm_h").alias("n_norm_unique"),
+    )
+    return r.select(
+        "n_docs",
+        (F.col("n_docs") - F.col("n_raw_unique")).alias("raw_dups"),
+        (F.col("n_docs") - F.col("n_norm_unique")).alias("norm_dups"),
+        (F.col("n_raw_unique") - F.col("n_norm_unique")).alias(
+            "extra_caught_by_norm"
+        ),
+        F.round(
+            (F.col("n_docs") - F.col("n_norm_unique")).cast("double")
+            / F.col("n_docs"),
+            6,
+        ).alias("norm_dup_rate"),
+    )
