@@ -3092,3 +3092,54 @@ def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qtr")
     )
+
+
+@register(
+    "orders_price_endings",
+    group="E",
+    oracle="""
+    with cents as (
+      select cast(floor(o_totalprice * 100 + 0.5) as bigint) % 100
+               as ending
+      from orders
+    ),
+    hist as (
+      select ending, cast(count(*) as bigint) as n
+      from cents group by 1
+    ),
+    tot as (select cast(sum(n) as bigint) as total from hist)
+    select ending, n,
+           round(cast(n as double) / total, 6) as share
+    from hist, tot
+    order by n desc, ending limit 10
+    """,
+)
+def orders_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: price-ending digit audit — the distribution of cent
+    endings (top-10): human-set prices pile on .99/.95/.00 while
+    machine-derived totals spread uniformly, so the ending profile
+    separates list prices from computed sums — and a sudden ending-
+    mix shift flags a repricing-engine bug (catalog_benford_audit
+    checks LEADING digits for fabrication; endings are the TRAILING-
+    digit complement). Exact integer cents via the shared micro-
+    quantization; pure count histogram."""
+    o = load(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.floor(F.col("o_totalprice") * 100 + 0.5) % 100).alias(
+            "ending"
+        )
+    )
+    hist = cents.groupBy("ending").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum("n").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "ending",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "ending")
+        .limit(10)
+    )

@@ -831,3 +831,127 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wpagerank_x1000").desc(), "part")
         .limit(20)
     )
+
+
+@register(
+    "graph_modularity",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    sym as (
+      select pa as src, pb as dst from edges
+      union all
+      select pb as src, pa as dst from edges
+    ),
+    l0 as (select distinct src as v, src as lbl from sym),
+    votes1 as (
+      select sym.src as v, l0.lbl, count(*) as c
+      from sym join l0 on l0.v = sym.dst
+      group by 1, 2
+    ),
+    l1 as (
+      select v, min(lbl) filter (where rk = 1) as lbl from (
+        select v, lbl,
+               rank() over (partition by v order by c desc) as rk
+        from votes1) t
+      group by 1
+    ),
+    votes2 as (
+      select sym.src as v, l1.lbl, count(*) as c
+      from sym join l1 on l1.v = sym.dst
+      group by 1, 2
+    ),
+    l2 as (
+      select v, min(lbl) filter (where rk = 1) as lbl from (
+        select v, lbl,
+               rank() over (partition by v order by c desc) as rk
+        from votes2) t
+      group by 1
+    ),
+    m as (select cast(count(*) as bigint) as m2 from sym),
+    intra as (
+      select la.lbl, cast(count(*) as bigint) as e2_c
+      from sym
+      join l2 la on la.v = sym.src
+      join l2 lb on lb.v = sym.dst
+      where la.lbl = lb.lbl
+      group by 1
+    ),
+    degs as (
+      select l2.lbl, cast(count(*) as bigint) as d_c
+      from sym join l2 on l2.v = sym.src
+      group by 1
+    ),
+    q as (
+      select degs.lbl,
+             cast(coalesce(intra.e2_c, 0) as double) / m.m2
+             - (cast(degs.d_c as double) / m.m2)
+               * (cast(degs.d_c as double) / m.m2) as q_c
+      from degs left join intra using (lbl) cross join m
+    )
+    select count(*) as n_communities,
+           round(cast(sum(cast(floor(q_c * 1e9 + 0.5) as bigint))
+                 as double) / 1e9, 6) as modularity
+    from q
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Newman modularity of the 2-round LPA partition —
+    Q = Σ_c [intra_c/2m − (deg_c/2m)²], the number that says whether
+    graph_label_propagation found STRUCTURE (Q ≳ 0.3) or noise
+    (Q ≈ 0): detection without a quality score is a demo, with one
+    it's a tool, and Q is also the convergence criterion that
+    decides whether to run more LPA rounds. Re-runs the
+    deterministic LPA (same unrolled rounds as the community
+    operator — the oracle replays them in CTEs), then two
+    label-joined rollups over the broadcast edge list; per-community
+    terms are nano-quantized before the final sum."""
+    sym = _sym(_edges(spark, sf_dir))
+    l = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(2):
+        votes = (
+            sym.join(
+                F.broadcast(l.withColumnRenamed("v", "nbr")),
+                F.col("dst") == F.col("nbr"),
+            )
+            .groupBy(F.col("src").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rk = F.rank().over(W.partitionBy("v").orderBy(F.col("c").desc()))
+        l = (
+            votes.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    m2 = sym.count()
+    la = l.select(F.col("v").alias("sv"), F.col("lbl").alias("la"))
+    lb = l.select(F.col("v").alias("dv"), F.col("lbl").alias("lb"))
+    joined = sym.join(
+        F.broadcast(la), F.col("src") == F.col("sv")
+    ).join(F.broadcast(lb), F.col("dst") == F.col("dv"))
+    intra = (
+        joined.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("e2_c"))
+    )
+    degs = joined.groupBy(F.col("la").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("d_c")
+    )
+    q = degs.join(intra, "lbl", "left").na.fill({"e2_c": 0}).select(
+        (
+            F.col("e2_c").cast("double") / m2
+            - (F.col("d_c").cast("double") / m2)
+            * (F.col("d_c").cast("double") / m2)
+        ).alias("q_c")
+    )
+    return q.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.round(
+            F.sum(F.floor(F.col("q_c") * 1e9 + 0.5)).cast("double")
+            / 1e9,
+            6,
+        ).alias("modularity"),
+    )
