@@ -3143,3 +3143,80 @@ def orders_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "ending")
         .limit(10)
     )
+
+
+@register(
+    "orders_first_vs_repeat_value",
+    group="E",
+    oracle="""
+    with seq as (
+      select o_totalprice,
+             row_number() over (partition by o_custkey
+               order by o_orderdate, o_orderkey) as rn
+      from orders
+    ),
+    g as (
+      select case when rn = 1 then 'first' else 'repeat' end as kind,
+             cast(count(*) as bigint) as n,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as s
+      from seq group by 1
+    ),
+    w as (
+      select max(case when kind = 'first' then n end) as nf,
+             max(case when kind = 'first' then s end) as sf,
+             max(case when kind = 'repeat' then n end) as nr,
+             max(case when kind = 'repeat' then s end) as sr
+      from g
+    )
+    select nf as n_first, nr as n_repeat,
+           round(cast(sf as double) / 1e6 / nf, 2) as avg_first_value,
+           round(cast(sr as double) / 1e6 / nr, 2) as avg_repeat_value,
+           round((cast(sr as double) / 1e6 / nr)
+                 / (cast(sf as double) / 1e6 / nf), 6)
+             as repeat_to_first_ratio
+    from w
+    """,
+)
+def orders_first_vs_repeat_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: first-order vs repeat-order value — do customers spend
+    more once trust is established? The repeat/first ratio is the
+    LTV-expansion coefficient (ratio > 1 justifies acquisition
+    spend beyond first-order economics; win_nth_value shows the
+    per-customer trajectory, this is the population answer). One
+    custkey-partitioned row_number to tag order rank, one
+    two-group rollup with micro-exact sums, fixed-order ratios."""
+    o = load(spark, sf_dir, "orders")
+    seq = o.select(
+        "o_totalprice",
+        F.row_number()
+        .over(
+            W.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+    )
+    g = seq.groupBy(
+        F.when(F.col("rn") == 1, "first").otherwise("repeat").alias(
+            "kind"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("s"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("kind") == "first", F.col("n"))).alias("nf"),
+        F.max(F.when(F.col("kind") == "first", F.col("s"))).alias("sf"),
+        F.max(F.when(F.col("kind") == "repeat", F.col("n"))).alias("nr"),
+        F.max(F.when(F.col("kind") == "repeat", F.col("s"))).alias("sr"),
+    )
+    favg = F.col("sf").cast("double") / 1e6 / F.col("nf")
+    ravg = F.col("sr").cast("double") / 1e6 / F.col("nr")
+    return w.select(
+        F.col("nf").alias("n_first"),
+        F.col("nr").alias("n_repeat"),
+        F.round(favg, 2).alias("avg_first_value"),
+        F.round(ravg, 2).alias("avg_repeat_value"),
+        F.round(ravg / favg, 6).alias("repeat_to_first_ratio"),
+    )

@@ -2340,3 +2340,78 @@ def catalog_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_SCHEMA_COLS = [
+    ("customer", "c_custkey"), ("customer", "c_nationkey"),
+    ("orders", "o_custkey"), ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"), ("part", "p_partkey"),
+    ("supplier", "s_suppkey"), ("supplier", "s_nationkey"),
+    ("nation", "n_nationkey"), ("nation", "n_regionkey"),
+    ("region", "r_regionkey"),
+]
+
+
+@register(
+    "catalog_schema_matching",
+    group="B",
+    oracle="""
+    with cols(tbl, col) as (values
+      ('customer', 'c_custkey'), ('customer', 'c_nationkey'),
+      ('orders', 'o_custkey'), ('orders', 'o_orderkey'),
+      ('lineitem', 'l_orderkey'), ('lineitem', 'l_partkey'),
+      ('lineitem', 'l_suppkey'), ('part', 'p_partkey'),
+      ('supplier', 's_suppkey'), ('supplier', 's_nationkey'),
+      ('nation', 'n_nationkey'), ('nation', 'n_regionkey'),
+      ('region', 'r_regionkey')
+    ),
+    stem as (
+      select tbl, col, substr(col, 3) as root from cols
+    ),
+    pairs as (
+      select a.tbl as tbl_a, a.col as col_a,
+             b.tbl as tbl_b, b.col as col_b,
+             levenshtein(a.root, b.root) as dist
+      from stem a join stem b
+        on a.tbl < b.tbl
+      where levenshtein(a.root, b.root) <= 1
+    )
+    select tbl_a, col_a, tbl_b, col_b,
+           cast(dist as bigint) as name_distance
+    from pairs
+    order by tbl_a, col_a, tbl_b, col_b
+    """,
+)
+def catalog_schema_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: schema matching by column-name similarity — cross-table
+    key-column pairs whose prefix-stripped stems are within edit
+    distance 1 (custkey↔custkey, nationkey↔nationkey …): the
+    NAME-based half of join-path discovery, which
+    catalog_fk_discovery then confirms with VALUE-based inclusion
+    (classic schema-matching literature: name matchers propose,
+    instance matchers verify). The column inventory is a literal
+    VALUES relation (the crawler would read it from its own catalog
+    table); levenshtein is the shared H-surface primitive. Output is
+    catalog-sized — the entire computation broadcasts."""
+    stem = spark.createDataFrame(
+        _SCHEMA_COLS, ["tbl", "col"]
+    ).select("tbl", "col", F.expr("substr(col, 3)").alias("root"))
+    a = stem.alias("a")
+    b = stem.alias("b")
+    return (
+        a.join(b, F.col("a.tbl") < F.col("b.tbl"))
+        .where(
+            F.levenshtein(F.col("a.root"), F.col("b.root")) <= 1
+        )
+        .select(
+            F.col("a.tbl").alias("tbl_a"),
+            F.col("a.col").alias("col_a"),
+            F.col("b.tbl").alias("tbl_b"),
+            F.col("b.col").alias("col_b"),
+            F.levenshtein(F.col("a.root"), F.col("b.root"))
+            .cast("bigint")
+            .alias("name_distance"),
+        )
+        .orderBy("tbl_a", "col_a", "tbl_b", "col_b")
+    )
