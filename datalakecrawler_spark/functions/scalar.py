@@ -743,3 +743,44 @@ def str_padding_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("padded_key"))
     )
+
+
+@register(
+    "str_translate_reverse_fns",
+    group="H",
+    oracle="""
+    select o_orderpriority,
+           translate(o_orderpriority, '-', '_') as underscored,
+           reverse(o_orderstatus) as status_rev,
+           ascii(o_orderstatus) as status_code,
+           chr(cast(ascii(o_orderstatus) + 1 as integer)) as next_char,
+           count(*) as n
+    from orders
+    group by 1, 2, 3, 4, 5
+    order by o_orderpriority, status_rev
+    """,
+)
+def str_translate_reverse_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: character-level string functions — translate
+    (char-for-char mapping, the sanitizer primitive), reverse
+    (suffix-indexing trick: a reversed-key sort turns suffix
+    lookups into prefix scans), ascii/chr round-trip. Grouped so the
+    output enumerates the small (priority × status) domain rather
+    than row-per-row noise; byte-identical semantics on ASCII in
+    both engines."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderpriority",
+            F.translate(
+                F.col("o_orderpriority"), "-", "_"
+            ).alias("underscored"),
+            F.reverse(F.col("o_orderstatus")).alias("status_rev"),
+            F.ascii(F.col("o_orderstatus")).alias("status_code"),
+            F.chr(F.ascii(F.col("o_orderstatus")) + 1).alias(
+                "next_char"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority", "status_rev")
+    )
