@@ -955,3 +955,63 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+@register(
+    "graph_degree_gini",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    sym as (
+      select pa as src from edges union all select pb as src from edges
+    ),
+    deg as (select src, cast(count(*) as bigint) as d from sym
+            group by 1),
+    r as (
+      select d,
+             row_number() over (order by d, src) as i,
+             count(*) over () as n,
+             sum(d) over () as sd
+      from deg
+    )
+    select max(n) as n_nodes,
+           cast(max(sd) as bigint) as n_degree_sum,
+           round((2.0 * cast(sum(i * d) as bigint))
+                   / (cast(max(n) as double) * max(sd))
+                 - (cast(max(n) as double) + 1) / max(n), 6)
+             as degree_gini
+    from r
+    """,
+)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Gini coefficient of the degree distribution — hub
+    concentration in one number (Gini ≈ 0: egalitarian lattice-like
+    co-purchase; high: a few staple parts dominate connectivity —
+    the robustness question: high-Gini graphs shatter when hubs are
+    delisted). Reuses the exact rank-sum Gini identity
+    (events_value_gini_by_type) on integer degrees with (d, src)
+    tie-ordering; the sort runs over nodes of the pruned graph.
+    Completes the structural profile: degree DISTRIBUTION (shape),
+    assortativity (mixing), Gini (inequality)."""
+    deg = (
+        _sym(_edges(spark, sf_dir))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    r = deg.select(
+        "d",
+        F.row_number().over(W.orderBy("d", "src")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("d").over(W.partitionBy()).alias("sd"),
+    )
+    nd = F.max("n").cast("double")
+    return r.agg(
+        F.max("n").alias("n_nodes"),
+        F.max("sd").alias("n_degree_sum"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("d")))
+            / (nd * F.max("sd"))
+            - (nd + 1) / F.max("n"),
+            6,
+        ).alias("degree_gini"),
+    )

@@ -2344,3 +2344,78 @@ def stats_ks_orders_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ks", 6).alias("ks_statistic"),
         (F.col("ks") > crit).alias("reject_same_dist_5pct"),
     )
+
+
+@register(
+    "ts_yoy_growth",
+    group="F",
+    oracle="""
+    with monthly as (
+      select cast(date_trunc('month', o_orderdate) as date) as mth,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as rev_micro,
+             cast(count(*) as bigint) as n_orders
+      from orders group by 1
+    ),
+    j as (
+      select mth, rev_micro, n_orders,
+             lag(rev_micro, 12) over (order by mth) as prev_rev,
+             lag(n_orders, 12) over (order by mth) as prev_n
+      from monthly
+    )
+    select mth,
+           round(cast(rev_micro as double) / 1e6, 2) as revenue,
+           round(100.0 * (cast(rev_micro as double) - prev_rev)
+                 / prev_rev, 6) as yoy_revenue_pct,
+           round(100.0 * (cast(n_orders as double) - prev_n)
+                 / prev_n, 6) as yoy_orders_pct
+    from j
+    where prev_rev is not null
+    order by mth
+    """,
+)
+def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: year-over-year growth — each month against the SAME
+    month last year (lag 12 on the monthly series), for both revenue
+    and order count: the seasonality-free growth read
+    (win_period_growth's MoM is dominated by the seasonal cycle
+    ts_seasonal_strength quantifies; YoY differences it away —
+    which is also why YoY is 12 months SLOWER to see trend breaks,
+    the ts_seasonal_naive_error trade-off). Monthly inputs
+    micro-exact; growth ratios on exact operands; lag-12 runs on
+    the calendar-sized series."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mth")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias(
+            "rev_micro"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wd = W.orderBy("mth")
+    j = monthly.select(
+        "mth",
+        "rev_micro",
+        "n_orders",
+        F.lag("rev_micro", 12).over(wd).alias("prev_rev"),
+        F.lag("n_orders", 12).over(wd).alias("prev_n"),
+    ).filter(F.col("prev_rev").isNotNull())
+    return j.select(
+        "mth",
+        F.round(F.col("rev_micro").cast("double") / 1e6, 2).alias(
+            "revenue"
+        ),
+        F.round(
+            100.0
+            * (F.col("rev_micro").cast("double") - F.col("prev_rev"))
+            / F.col("prev_rev"),
+            6,
+        ).alias("yoy_revenue_pct"),
+        F.round(
+            100.0
+            * (F.col("n_orders").cast("double") - F.col("prev_n"))
+            / F.col("prev_n"),
+            6,
+        ).alias("yoy_orders_pct"),
+    ).orderBy("mth")
