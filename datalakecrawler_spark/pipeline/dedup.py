@@ -1013,3 +1013,89 @@ def dedup_normalized_vs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("norm_dup_rate"),
     )
+
+
+def _shingles_k(k: int):
+    toks = F.split("text", " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + j + 1) for j in range(k)],
+            ),
+        )
+    )
+
+
+def _k_cte(k: int) -> str:
+    joined = " || ' ' || ".join(
+        f"string_split(text, ' ')[i+{j + 1}]" for j in range(k)
+    )
+    return f"""
+      select {k} as k, a.doc_id as da, b.doc_id as db
+      from (
+        select doc_id,
+               list_distinct(list_transform(
+                 range(len(string_split(text, ' ')) - {k - 1}),
+                 i -> {joined})) as sh
+        from documents
+        where len(string_split(text, ' ')) >= {k}
+      ) a join (
+        select doc_id,
+               list_distinct(list_transform(
+                 range(len(string_split(text, ' ')) - {k - 1}),
+                 i -> {joined})) as sh
+        from documents
+        where len(string_split(text, ' ')) >= {k}
+      ) b on a.doc_id < b.doc_id
+      where len(list_intersect(a.sh, b.sh)) * 1.0 /
+            len(list_distinct(a.sh || b.sh)) >= 0.8
+    """
+
+
+@register(
+    "dedup_shingle_k_sweep",
+    group="J",
+    oracle="""
+    with pairs as (
+    """
+    + "\n      union all\n".join(_k_cte(k) for k in (2, 3, 4))
+    + """
+    )
+    select k as shingle_k, cast(count(*) as bigint) as n_dup_pairs
+    from pairs group by 1 order by shingle_k
+    """,
+)
+def dedup_shingle_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: shingle-size sensitivity — near-dup pair counts at
+    τ = 0.8 for k ∈ {2, 3, 4} word shingles: the OTHER dedup tuning
+    axis (dedup_threshold_sweep fixes k and sweeps τ; this fixes τ
+    and sweeps k — small k over-merges by sharing common word pairs,
+    large k under-merges by fragmenting at every edit; the k where
+    the count stabilizes is the right granularity for the corpus).
+    Three exact-Jaccard passes over per-k distinct shingle sets;
+    counts exact. Production uses the banded candidate sets per k,
+    not the quadratic join."""
+    d = load(spark, sf_dir, "documents")
+    out = None
+    for k in (2, 3, 4):
+        sh = d.where(F.size(F.split("text", " ")) >= k).select(
+            "doc_id", _shingles_k(k).alias("sh")
+        )
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = F.size(
+            F.array_intersect(F.col("a.sh"), F.col("b.sh"))
+        )
+        union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+        cnt = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .where(inter * 1.0 / union >= 0.8)
+            .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+            .select(
+                F.lit(k).alias("shingle_k"), "n_dup_pairs"
+            )
+        )
+        out = cnt if out is None else out.unionAll(cnt)
+    return out.orderBy("shingle_k")

@@ -3162,3 +3162,76 @@ def events_prop_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_post_error_behavior",
+    group="J",
+    oracle="""
+    with seq as (
+      select event_type,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev_type
+      from events
+    ),
+    post_err as (
+      select event_type as next_type, cast(count(*) as bigint) as c
+      from seq where prev_type = 'error' group by 1
+    ),
+    base as (
+      select event_type as next_type, cast(count(*) as bigint) as b
+      from seq where prev_type is not null group by 1
+    ),
+    tot as (
+      select (select cast(sum(c) as bigint) from post_err) as tc,
+             (select cast(sum(b) as bigint) from base) as tb
+    )
+    select p.next_type,
+           p.c as n_after_error,
+           round(cast(p.c as double) / tot.tc, 6) as p_after_error,
+           round(cast(base.b as double) / tot.tb, 6) as p_baseline,
+           round((cast(p.c as double) / tot.tc)
+                 / (cast(base.b as double) / tot.tb), 6) as lift
+    from post_err p join base using (next_type) cross join tot
+    order by p.next_type
+    """,
+)
+def events_post_error_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: post-error behavior — the next-action distribution
+    immediately after an error vs the overall next-action baseline,
+    as a lift per action (lift < 1 on 'purchase' after errors
+    quantifies revenue damage per error; lift > 1 on 'error'
+    measures error cascading — the single transition-matrix ROW
+    that operations actually stares at, pulled out with its
+    significance-ready counts). Same lag plumbing as
+    events_transition_matrix; exact counts; fixed-order lift."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    post_err = (
+        seq.filter(F.col("prev_type") == "error")
+        .groupBy(F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base = seq.groupBy(F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    tc = post_err.agg(F.sum("c").alias("tc"))
+    tb = base.agg(F.sum("b").alias("tb"))
+    j = (
+        post_err.join(base, "next_type")
+        .crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(tb))
+    )
+    pa = F.col("c").cast("double") / F.col("tc")
+    pb = F.col("b").cast("double") / F.col("tb")
+    return j.select(
+        "next_type",
+        F.col("c").alias("n_after_error"),
+        F.round(pa, 6).alias("p_after_error"),
+        F.round(pb, 6).alias("p_baseline"),
+        F.round(pa / pb, 6).alias("lift"),
+    ).orderBy("next_type")
