@@ -3235,3 +3235,80 @@ def events_post_error_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("p_baseline"),
         F.round(pa / pb, 6).alias("lift"),
     ).orderBy("next_type")
+
+
+@register(
+    "events_user_type_overlap",
+    group="J",
+    oracle="""
+    with ut as (
+      select distinct event_type, user_id from events
+    ),
+    sizes as (
+      select event_type, cast(count(*) as bigint) as n
+      from ut group by 1
+    ),
+    inter as (
+      select a.event_type as t1, b.event_type as t2,
+             cast(count(*) as bigint) as both_users
+      from ut a join ut b
+        on a.user_id = b.user_id and a.event_type < b.event_type
+      group by 1, 2
+    )
+    select t1, t2, both_users,
+           round(cast(both_users as double)
+                 / (s1.n + s2.n - both_users), 6) as user_jaccard
+    from inter
+    join sizes s1 on s1.event_type = t1
+    join sizes s2 on s2.event_type = t2
+    order by t1, t2
+    """,
+)
+def events_user_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: audience overlap between behaviors — Jaccard of USER
+    SETS per action pair ('are viewers and purchasers the same
+    people?'): near-1 overlap means one engaged population (segment
+    by intensity, not action); low purchase∩error overlap would
+    clear errors of revenue impact — the audience-level complement
+    to events_session_action_lift's session-level co-occurrence.
+    Distinct (type, user) projection → pair intersection via
+    user-keyed self-join → inclusion-exclusion union; exact counts,
+    one ratio; entity-sized throughout."""
+    e = load(spark, sf_dir, "events")
+    ut = e.select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .agg(F.count(F.lit(1)).alias("both_users"))
+    )
+    s1 = sizes.select(
+        F.col("event_type").alias("t1"), F.col("n").alias("n1")
+    )
+    s2 = sizes.select(
+        F.col("event_type").alias("t2"), F.col("n").alias("n2")
+    )
+    return (
+        inter.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "both_users",
+            F.round(
+                F.col("both_users").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("both_users")),
+                6,
+            ).alias("user_jaccard"),
+        )
+        .orderBy("t1", "t2")
+    )

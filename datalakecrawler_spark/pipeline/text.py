@@ -2146,3 +2146,55 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register(
+    "text_truncation_loss",
+    group="J",
+    oracle="""
+    with per_doc as (
+      select source,
+             cast(len(string_split(text, ' ')) as bigint) as toks
+      from documents
+    )
+    select source,
+           count(*) as n_docs,
+           cast(sum(toks) as bigint) as total_tokens,
+           count(*) filter (where toks > 64) as n_truncated_docs,
+           cast(sum(greatest(toks - 64, 0)) as bigint) as tokens_lost,
+           round(cast(sum(greatest(toks - 64, 0)) as double)
+                 / sum(toks), 6) as loss_share
+    from per_doc group by 1 order by source
+    """,
+)
+def text_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: truncation loss at a 64-token context budget — per
+    source: docs that would truncate, tokens falling off the end,
+    and the lost-token share (the context-window budgeting table:
+    choosing max_seq_len is a trade between padding waste on short
+    docs (pack_sequences fixes that) and TRUNCATION loss on long
+    ones — this measures the second half; a source losing 40% of
+    its tokens is effectively a different corpus after truncation).
+    One tokenize-count pass; greatest(x−64, 0) is exact integer
+    arithmetic; all counts exact."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    lost = F.greatest(F.col("toks") - 64, F.lit(0))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.count(F.when(F.col("toks") > 64, 1)).alias(
+                "n_truncated_docs"
+            ),
+            F.sum(lost).alias("tokens_lost"),
+            F.round(
+                F.sum(lost).cast("double") / F.sum("toks"), 6
+            ).alias("loss_share"),
+        )
+        .orderBy("source")
+    )
