@@ -351,3 +351,138 @@ def pipeline_readiness_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(fresh)
         .orderBy("check_name")
     )
+
+
+@register(
+    "pipeline_experiment_readout",
+    group="J",
+    oracle="""
+    with assign as (
+      select user_id, user_id % 2 as variant,
+             max(case when event_type = 'purchase' then 1 else 0 end)
+               as conv
+      from events group by 1, 2
+    ),
+    arms as (
+      select variant, cast(count(*) as bigint) as n,
+             cast(sum(conv) as bigint) as x
+      from assign group by 1
+    ),
+    w as (
+      select max(case when variant = 0 then n end) as n0,
+             max(case when variant = 0 then x end) as x0,
+             max(case when variant = 1 then n end) as n1,
+             max(case when variant = 1 then x end) as x1
+      from arms
+    ),
+    stats as (
+      select n0, n1, x0, x1,
+             ((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+              + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0))
+             / ((n0 + n1) / 2.0) as srm_chi2,
+             (cast(x1 as double) / n1 - cast(x0 as double) / n0)
+             / sqrt((cast(x0 + x1 as double) / (n0 + n1))
+                    * (1 - cast(x0 + x1 as double) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) as z,
+             (1.959964 + 0.841621)
+             * sqrt(2 * (cast(x0 + x1 as double) / (n0 + n1))
+                    * (1 - cast(x0 + x1 as double) / (n0 + n1))
+                    / least(n0, n1))
+             / (cast(x0 + x1 as double) / (n0 + n1)) as mde_rel
+      from w
+    )
+    select metric, round(value, 6) as value, pass
+    from (
+      select 'srm_chi2' as metric, srm_chi2 as value,
+             srm_chi2 <= 3.841459 as pass from stats
+      union all
+      select 'effect_zscore', z, abs(z) <= 1.959964 or true from stats
+      union all
+      select 'mde_relative', mde_rel, mde_rel < 0.5 from stats
+      union all
+      select 'arm_balance_ratio',
+             cast(least(n0, n1) as double) / greatest(n0, n1),
+             cast(least(n0, n1) as double) / greatest(n0, n1) > 0.9
+      from stats
+    ) t
+    order by metric
+    """,
+)
+def pipeline_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the one-page experiment readout — validity gates and
+    effect statistics in a single composed plan: SRM chi-square
+    (assignment integrity), arm-balance ratio, the two-proportion
+    effect z-score, and the relative MDE at 80% power ('was this
+    experiment even capable of detecting what it sought'). Each
+    number exists as a standalone operator (events_ab_srm_check /
+    events_ab_ztest / stats_mde_power); the readout composes them
+    from ONE per-user collapse so every statistic refers to the
+    same population snapshot — the internal-consistency property a
+    dashboard assembled from separate queries silently loses. The
+    z row's pass field is informational (true): significance is a
+    decision, not a health check."""
+    e = load(spark, sf_dir, "events")
+    assign = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    x0 = F.col("x0").cast("double")
+    x1 = F.col("x1").cast("double")
+    exp = (F.col("n0") + F.col("n1")) / 2.0
+    srm = (
+        (F.col("n0") - exp) * (F.col("n0") - exp)
+        + (F.col("n1") - exp) * (F.col("n1") - exp)
+    ) / exp
+    pooled = (x0 + x1) / (n0 + n1)
+    z = (x1 / n1 - x0 / n0) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / n0 + 1.0 / n1)
+    )
+    mde = (
+        (1.959964 + 0.841621)
+        * F.sqrt(2 * pooled * (1 - pooled) / F.least(n0, n1))
+        / pooled
+    )
+    balance = F.least(n0, n1) / F.greatest(n0, n1)
+    rows = (
+        w.select(
+            F.lit("srm_chi2").alias("metric"),
+            F.round(srm, 6).alias("value"),
+            (srm <= 3.841459).alias("pass"),
+        )
+        .unionAll(
+            w.select(
+                F.lit("effect_zscore").alias("metric"),
+                F.round(z, 6).alias("value"),
+                ((F.abs(z) <= 1.959964) | F.lit(True)).alias("pass"),
+            )
+        )
+        .unionAll(
+            w.select(
+                F.lit("mde_relative").alias("metric"),
+                F.round(mde, 6).alias("value"),
+                (mde < 0.5).alias("pass"),
+            )
+        )
+        .unionAll(
+            w.select(
+                F.lit("arm_balance_ratio").alias("metric"),
+                F.round(balance, 6).alias("value"),
+                (balance > 0.9).alias("pass"),
+            )
+        )
+    )
+    return rows.orderBy("metric")

@@ -2198,3 +2198,93 @@ def text_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_ngram_coverage_curve",
+    group="J",
+    oracle="""
+    with bg as (
+      select w[i+1] || ' ' || w[i+2] as b
+      from (select string_split(text, ' ') as w from documents) t,
+           unnest(range(len(w) - 1)) as u(i)
+    ),
+    counts as (
+      select b, cast(count(*) as bigint) as c from bg group by 1
+    ),
+    ranked as (
+      select c,
+             row_number() over (order by c desc, b) as rk,
+             sum(c) over () as total
+      from counts
+    ),
+    cum as (
+      select rk,
+             sum(c) over (order by rk
+               rows between unbounded preceding and current row)
+               as cum_c,
+             total
+      from ranked
+    )
+    select k,
+           round(cast(max(cum_c) filter (where rk <= k) as double)
+                 / max(total), 6) as coverage
+    from cum
+    cross join (select unnest([10, 100, 1000, 10000]) as k) ks
+    where rk <= k
+    group by k order by k
+    """,
+)
+def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: bigram coverage curve — the share of all bigram
+    OCCURRENCES covered by the top-k most frequent bigrams, at
+    k ∈ {10, 100, 1k, 10k}: the Zipf-integral view that sizes
+    phrase vocabularies (if 1k bigrams cover 80%, a 1k phrase table
+    captures most of the distribution — the statistic behind
+    subword-vocab and collocation-list sizing; text_zipf_slope fits
+    the decay law, this integrates it). Rank by count with bigram
+    tie-break, one cumulative window over DISTINCT bigrams, then
+    four threshold reads. Exact integer counts; one ratio."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bg = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            )
+        ).alias("b")
+    )
+    counts = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), "b"))
+        .alias("rk"),
+        F.sum("c").over(W.partitionBy()).alias("total"),
+    )
+    cum = ranked.select(
+        "rk",
+        F.sum("c")
+        .over(
+            W.orderBy("rk").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum_c"),
+        "total",
+    )
+    ks = spark.createDataFrame(
+        [(10,), (100,), (1000,), (10000,)], ["k"]
+    )
+    return (
+        F.broadcast(ks)
+        .join(cum, cum.rk <= ks.k)
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.max(F.col("cum_c")).cast("double") / F.max("total"), 6
+            ).alias("coverage")
+        )
+        .orderBy("k")
+    )
