@@ -545,3 +545,137 @@ def sim_1nn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "sim_quantized_recall",
+    group="J",
+    oracle="""
+    with sub as (
+      select vec_id, embedding from embeddings where vec_id < 200
+    ),
+    q as (select embedding as qe from sub where vec_id = 0),
+    scales as (
+      select vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(cast(x as double)))) as sc
+      from sub
+    ),
+    qs as (
+      select list_max(list_transform(qe,
+               x -> abs(cast(x as double)))) as qsc, qe
+      from q
+    ),
+    full_rank as (
+      select s.vec_id,
+             row_number() over (order by
+               list_sum(list_transform(list_zip(s.embedding, q.qe),
+                 p -> cast(floor(cast(p[1] as double) * p[2] * 1e12
+                      + 0.5) as bigint))) desc, s.vec_id) as rk
+      from sub s cross join q
+      where s.vec_id <> 0
+    ),
+    quant_rank as (
+      select s.vec_id,
+             row_number() over (order by
+               list_sum(list_transform(
+                 list_zip(s.embedding, qs.qe),
+                 p -> cast(floor(cast(p[1] as double) / s.sc * 127
+                           + 0.5) as bigint)
+                      * cast(floor(cast(p[2] as double) / qs.qsc * 127
+                           + 0.5) as bigint))) desc, s.vec_id) as rk
+      from scales s cross join qs
+      where s.vec_id <> 0
+    )
+    select cast((select count(*) from full_rank) as bigint)
+             as n_candidates,
+           cast((select count(*) from full_rank f
+                 join quant_rank qr on qr.vec_id = f.vec_id
+                 where f.rk <= 10 and qr.rk <= 10) as bigint)
+             as top10_overlap,
+           round((select count(*) from full_rank f
+                  join quant_rank qr on qr.vec_id = f.vec_id
+                  where f.rk <= 10 and qr.rk <= 10) / 10.0, 6)
+             as recall_at_10
+    """,
+)
+def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: int8-quantization impact on retrieval — recall@10 of
+    the max-abs int8 index (mm_embed_quantize's scheme) against the
+    full-precision ranking for a fixed query: the accuracy-per-byte
+    deal memo (4× memory saved; this measures what it costs —
+    sim_recall_eval scores the ANN bucketing paths, this scores the
+    CODEC). Both rankings use exact-integer deterministic scores:
+    full precision via per-dim pico-quantized products, int8 via
+    exact integer dot products of floor-quantized codes; ties break
+    on vec_id. Fixed 200-vector eval slice — a bounded diagnostic
+    like sim_1nn_label_consistency."""
+    sub = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    q = sub.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = sub.where(F.col("vec_id") != 0)
+    full_dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qe"),
+            lambda x, y: F.floor(
+                x.cast("double") * y * 1e12 + 0.5
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    full_rank = (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(W.orderBy(full_dot.desc(), "vec_id"))
+            .alias("rk"),
+        )
+    )
+    sc = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    qsc = F.array_max(
+        F.transform(F.col("qe"), lambda x: F.abs(x.cast("double")))
+    )
+    scaled = cand.select("vec_id", "embedding", sc.alias("sc"))
+    qs = q.select("qe", qsc.alias("qsc"))
+    quant_dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qe"),
+            lambda x, y: (
+                F.floor(
+                    x.cast("double") / F.col("sc") * 127 + 0.5
+                ).cast("long")
+                * F.floor(
+                    y.cast("double") / F.col("qsc") * 127 + 0.5
+                ).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    quant_rank = (
+        scaled.crossJoin(F.broadcast(qs))
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(W.orderBy(quant_dot.desc(), "vec_id"))
+            .alias("rk"),
+        )
+    )
+    f10 = full_rank.where(F.col("rk") <= 10).select("vec_id")
+    q10 = quant_rank.where(F.col("rk") <= 10).select("vec_id")
+    overlap = f10.join(q10, "vec_id").agg(
+        F.count(F.lit(1)).alias("top10_overlap")
+    )
+    n = full_rank.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return n.crossJoin(F.broadcast(overlap)).select(
+        "n_candidates",
+        "top10_overlap",
+        F.round(F.col("top10_overlap") / 10.0, 6).alias("recall_at_10"),
+    )
