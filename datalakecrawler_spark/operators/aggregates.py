@@ -3220,3 +3220,127 @@ def orders_first_vs_repeat_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ravg, 2).alias("avg_repeat_value"),
         F.round(ravg / favg, 6).alias("repeat_to_first_ratio"),
     )
+
+
+@register(
+    "orders_abc_cross_matrix",
+    group="E",
+    oracle="""
+    with crev as (
+      select o.o_custkey,
+             cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 1e6 + 0.5) as bigint)) as bigint) as r
+      from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+      group by 1
+    ),
+    cclass as (
+      select o_custkey,
+             case when sum(r) over (order by r desc, o_custkey
+                    rows between unbounded preceding and current row)
+                    * 10 <= sum(r) over () * 8 then 'A'
+                  else 'BC' end as c_cls
+      from crev
+    ),
+    prev as (
+      select l.l_partkey,
+             cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 1e6 + 0.5) as bigint)) as bigint) as r
+      from lineitem l group by 1
+    ),
+    pclass as (
+      select l_partkey,
+             case when sum(r) over (order by r desc, l_partkey
+                    rows between unbounded preceding and current row)
+                    * 10 <= sum(r) over () * 8 then 'A'
+                  else 'BC' end as p_cls
+      from prev
+    ),
+    cells as (
+      select cc.c_cls, pc.p_cls,
+             cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 1e6 + 0.5) as bigint)) as bigint) as r
+      from lineitem l
+      join orders o on o.o_orderkey = l.l_orderkey
+      join cclass cc on cc.o_custkey = o.o_custkey
+      join pclass pc on pc.l_partkey = l.l_partkey
+      group by 1, 2
+    ),
+    tot as (select cast(sum(r) as bigint) as t from cells)
+    select c_cls as customer_class, p_cls as part_class,
+           round(cast(r as double) / 1e6, 2) as revenue,
+           round(cast(r as double) / t, 6) as revenue_share
+    from cells, tot
+    order by customer_class, part_class
+    """,
+)
+def orders_abc_cross_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: two-axis concentration — revenue cross-classified by
+    customer class (A = top-80% customers) × part class (A = top-80%
+    parts): the cell shares answer whether concentration AXES ALIGN
+    ('do our best customers buy our best products, or do A-customers
+    actually live on the tail catalog?' — the assortment-strategy
+    fact that neither one-axis ABC view shows). Two independent
+    cumulative-share classifications (integer cross-multiplied band
+    edges, the orders_abc_migration machinery) broadcast back onto
+    one line-grain pass. Micro-exact sums; two fixed-order
+    ratios."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    rev_expr = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + 0.5
+    )
+    crev = (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(rev_expr).alias("r"))
+    )
+
+    def classify(df, key):
+        wcum = (
+            W.orderBy(F.col("r").desc(), key)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return df.select(
+            key,
+            F.when(
+                F.sum("r").over(wcum) * 10
+                <= F.sum("r").over(W.partitionBy()) * 8,
+                "A",
+            )
+            .otherwise("BC")
+            .alias("cls"),
+        )
+
+    cclass = classify(crev, "o_custkey").withColumnRenamed(
+        "cls", "c_cls"
+    )
+    prev = li.groupBy("l_partkey").agg(F.sum(rev_expr).alias("r"))
+    pclass = classify(prev, "l_partkey").withColumnRenamed(
+        "cls", "p_cls"
+    )
+    cells = (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cclass), "o_custkey")
+        .join(F.broadcast(pclass), "l_partkey")
+        .groupBy("c_cls", "p_cls")
+        .agg(F.sum(rev_expr).alias("r"))
+    )
+    tot = cells.agg(F.sum("r").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c_cls").alias("customer_class"),
+            F.col("p_cls").alias("part_class"),
+            F.round(F.col("r").cast("double") / 1e6, 2).alias("revenue"),
+            F.round(F.col("r").cast("double") / F.col("t"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("customer_class", "part_class")
+    )

@@ -2415,3 +2415,71 @@ def catalog_schema_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl_a", "col_a", "tbl_b", "col_b")
     )
+
+
+@register(
+    "catalog_sample_accuracy_probe",
+    group="B",
+    oracle="""
+    with s as (
+      select o_totalprice,
+             (o_orderkey * 2654435761) % 10 = 0 as in_sample
+      from orders
+    ),
+    m as (
+      select cast(count(*) as bigint) as n_all,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as s_all,
+             cast(count(*) filter (where in_sample) as bigint) as n_s,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  filter (where in_sample) as bigint) as s_s
+      from s
+    )
+    select n_all, n_s,
+           round(cast(s_all as double) / 1e6 / n_all, 4) as exact_mean,
+           round(cast(s_s as double) / 1e6 / n_s, 4) as sample_mean,
+           round(abs(cast(s_s as double) / 1e6 / n_s
+                     - cast(s_all as double) / 1e6 / n_all)
+                 / (cast(s_all as double) / 1e6 / n_all), 6)
+             as relative_error
+    from m
+    """,
+)
+def catalog_sample_accuracy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: sampling accuracy probe — the exact mean vs the mean
+    from a deterministic 10% hash sample (Knuth-hash bucket 0 of
+    10), with the realized relative error: the calibration evidence
+    behind every 'profile on a sample' shortcut
+    (catalog_sample_rows ships the sample; this quantifies what
+    estimates from it are worth, and re-running it per table is how
+    a crawler auto-decides sample-vs-full profiling). Hash
+    membership is exact integer arithmetic — the same sample
+    everywhere; both means are micro-exact ratios evaluated in
+    fixed order."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        "o_totalprice",
+        ((F.col("o_orderkey") * 2654435761) % 10 == 0).alias(
+            "in_sample"
+        ),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("s_all"),
+        F.count(F.when(F.col("in_sample"), 1)).alias("n_s"),
+        F.sum(
+            F.when(
+                F.col("in_sample"),
+                F.floor(F.col("o_totalprice") * 1e6 + 0.5),
+            )
+        ).alias("s_s"),
+    )
+    exact = F.col("s_all").cast("double") / 1e6 / F.col("n_all")
+    samp = F.col("s_s").cast("double") / 1e6 / F.col("n_s")
+    return m.select(
+        "n_all",
+        "n_s",
+        F.round(exact, 4).alias("exact_mean"),
+        F.round(samp, 4).alias("sample_mean"),
+        F.round(F.abs(samp - exact) / exact, 6).alias("relative_error"),
+    )
