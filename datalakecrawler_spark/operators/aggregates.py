@@ -3344,3 +3344,54 @@ def orders_abc_cross_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("customer_class", "part_class")
     )
+
+
+@register(
+    "orders_multi_supplier_share",
+    group="E",
+    oracle="""
+    with per_order as (
+      select l_orderkey,
+             cast(count(distinct l_suppkey) as bigint) as n_supp
+      from lineitem group by 1
+    )
+    select cast(count(*) as bigint) as n_orders,
+           cast(count(*) filter (where n_supp > 1) as bigint)
+             as n_multi_supplier,
+           round(cast(count(*) filter (where n_supp > 1) as double)
+                 / count(*), 6) as multi_supplier_share,
+           round(cast(sum(n_supp) as double) / count(*), 6)
+             as avg_suppliers_per_order,
+           cast(max(n_supp) as bigint) as max_suppliers
+    from per_order
+    """,
+)
+def orders_multi_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: order fulfillment fragmentation — the share of orders
+    sourced from more than one supplier, mean suppliers per order,
+    and the worst case: each extra supplier on an order is an extra
+    shipment, consolidation point and partial-delivery risk (the
+    operational 'split-shipment rate' a fulfillment team drives
+    down; q21_waiting_suppliers finds the suppliers CAUSING late
+    multi-supplier orders — this sizes the exposure). One per-order
+    distinct-count rollup + a scalar pass; exact integers and exact
+    ratios."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("n_supp") > 1, 1)).alias(
+            "n_multi_supplier"
+        ),
+        F.round(
+            F.count(F.when(F.col("n_supp") > 1, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("multi_supplier_share"),
+        F.round(
+            F.sum("n_supp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_suppliers_per_order"),
+        F.max("n_supp").alias("max_suppliers"),
+    )

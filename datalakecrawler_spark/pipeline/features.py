@@ -3312,3 +3312,54 @@ def events_user_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t1", "t2")
     )
+
+
+@register(
+    "events_value_by_position",
+    group="J",
+    oracle="""
+    with pos as (
+      select coalesce(value, 0) as v,
+             least(row_number() over (partition by user_id,
+               cast(date_trunc('day', ts) as date)
+               order by ts, event_id), 10) as position
+      from events
+    )
+    select cast(position as bigint) as position_capped_10,
+           count(*) as n_events,
+           round(cast(sum(cast(floor(v * 1e6 + 0.5) as bigint))
+                 as double) / count(*) / 1e6, 6) as avg_value
+    from pos group by 1 order by position_capped_10
+    """,
+)
+def events_value_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: value by within-day event position — average event
+    value at the 1st, 2nd, … 10th+ action of a user's day (position
+    capped at 10): the engagement-depth value curve ('do later
+    actions in a visit monetize better?' — rising curves justify
+    session-extension features, falling ones front-load). Position
+    is a per-(user, day) row_number — the same user_id shuffle every
+    per-user operator rides; value sums micro-exact."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy(
+        "user_id", F.date_trunc("day", "ts").cast("date")
+    ).orderBy("ts", "event_id")
+    pos = e.select(
+        F.coalesce(F.col("value"), F.lit(0)).alias("v"),
+        F.least(F.row_number().over(w), F.lit(10)).alias("position"),
+    )
+    return (
+        pos.groupBy(
+            F.col("position").cast("bigint").alias("position_capped_10")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.floor(F.col("v") * 1e6 + 0.5)).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("avg_value"),
+        )
+        .orderBy("position_capped_10")
+    )
