@@ -789,3 +789,109 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mlprep_epoch_shuffle_stats",
+    group="J",
+    oracle="""
+    with r as (
+      select doc_id,
+             row_number() over (order by
+               md5(cast(doc_id as varchar) || '|0'), doc_id) as rk0,
+             row_number() over (order by
+               md5(cast(doc_id as varchar) || '|1'), doc_id) as rk1
+      from documents
+    ),
+    m as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(rk0) as bigint) as s0,
+             cast(sum(rk1) as bigint) as s1,
+             cast(sum(rk0 * rk1) as bigint) as s01,
+             cast(sum(rk0 * rk0) as bigint) as s00,
+             cast(sum(rk1 * rk1) as bigint) as s11
+      from r
+    ),
+    head_overlap as (
+      select cast(count(*) as bigint) as k
+      from r, m where rk0 * 10 <= n and rk1 * 10 <= n
+    )
+    select m.n as n_docs,
+           round((cast(m.n as double) * s01
+                  - cast(s0 as double) * s1)
+                 / sqrt((cast(m.n as double) * s00
+                         - cast(s0 as double) * s0)
+                        * (cast(m.n as double) * s11
+                           - cast(s1 as double) * s1)), 6)
+             as epoch_rank_correlation,
+           head_overlap.k as first_decile_overlap,
+           round(cast(head_overlap.k as double)
+                 / (cast(m.n as double) / 10), 6)
+             as head_overlap_vs_random
+    from m, head_overlap
+    """,
+)
+def mlprep_epoch_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: epoch-shuffle decorrelation audit — two training epochs
+    order the corpus by md5(doc|epoch); this verifies the orders are
+    actually independent: rank correlation between epoch-0 and
+    epoch-1 positions (should be ≈ 0 — a correlated shuffle means
+    the model sees near-identical batch sequences every epoch,
+    hurting convergence) plus the first-decile overlap against its
+    random expectation (ratio ≈ 1). Hash-ranked shuffling is the
+    distributed, resumable way to shuffle (no global RNG state —
+    the sample_balanced_classes discipline); this operator is its
+    unit-test-as-query. Integer ranks, exact moment sums, the
+    shared fixed-order Pearson."""
+    d = load(spark, sf_dir, "documents")
+    r = d.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("|0"))),
+                "doc_id",
+            )
+        )
+        .alias("rk0"),
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("|1"))),
+                "doc_id",
+            )
+        )
+        .alias("rk1"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rk0").alias("s0"),
+        F.sum("rk1").alias("s1"),
+        F.sum(F.col("rk0") * F.col("rk1")).alias("s01"),
+        F.sum(F.col("rk0") * F.col("rk0")).alias("s00"),
+        F.sum(F.col("rk1") * F.col("rk1")).alias("s11"),
+    )
+    overlap = (
+        r.crossJoin(F.broadcast(m.select("n")))
+        .where(
+            (F.col("rk0") * 10 <= F.col("n"))
+            & (F.col("rk1") * 10 <= F.col("n"))
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("s01") - F.col("s0").cast("double") * F.col("s1")
+    den = F.sqrt(
+        (nd * F.col("s00") - F.col("s0").cast("double") * F.col("s0"))
+        * (nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1"))
+    )
+    return m.crossJoin(F.broadcast(overlap)).select(
+        F.col("n").alias("n_docs"),
+        F.round(num / den, 6).alias("epoch_rank_correlation"),
+        F.col("k").alias("first_decile_overlap"),
+        F.round(F.col("k").cast("double") / (nd / 10), 6).alias(
+            "head_overlap_vs_random"
+        ),
+    )
