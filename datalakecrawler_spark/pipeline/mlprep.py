@@ -826,7 +826,7 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              as epoch_rank_correlation,
            head_overlap.k as first_decile_overlap,
            round(cast(head_overlap.k as double)
-                 / (cast(m.n as double) / 10), 6)
+                 / (cast(m.n as double) / 100), 6)
              as head_overlap_vs_random
     from m, head_overlap
     """,
@@ -838,7 +838,8 @@ def mlprep_epoch_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-1 positions (should be ≈ 0 — a correlated shuffle means
     the model sees near-identical batch sequences every epoch,
     hurting convergence) plus the first-decile overlap against its
-    random expectation (ratio ≈ 1). Hash-ranked shuffling is the
+    random expectation n/100 (ratio ≈ 1; ≫1 means the two epochs
+    front-load the same documents). Hash-ranked shuffling is the
     distributed, resumable way to shuffle (no global RNG state —
     the sample_balanced_classes discipline); this operator is its
     unit-test-as-query. Integer ranks, exact moment sums, the
@@ -891,7 +892,7 @@ def mlprep_epoch_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_docs"),
         F.round(num / den, 6).alias("epoch_rank_correlation"),
         F.col("k").alias("first_decile_overlap"),
-        F.round(F.col("k").cast("double") / (nd / 10), 6).alias(
+        F.round(F.col("k").cast("double") / (nd / 100), 6).alias(
             "head_overlap_vs_random"
         ),
     )
