@@ -3395,3 +3395,116 @@ def orders_multi_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_suppliers_per_order"),
         F.max("n_supp").alias("max_suppliers"),
     )
+
+
+@register(
+    "part_brand_switching",
+    group="E",
+    oracle="""
+    with spend as (
+      select o.o_custkey, p.p_brand,
+             case when o.o_orderdate < timestamp '1999-01-01'
+                  then 'p1' else 'p2' end as period,
+             cast(sum(cast(floor(l.l_extendedprice * 1e6 + 0.5)
+                  as bigint)) as bigint) as s
+      from lineitem l
+      join orders o on o.o_orderkey = l.l_orderkey
+      join part p on p.p_partkey = l.l_partkey
+      group by 1, 2, 3
+    ),
+    top_brand as (
+      select o_custkey, period, p_brand,
+             row_number() over (partition by o_custkey, period
+               order by s desc, p_brand) as rk
+      from spend
+    ),
+    fav as (
+      select o_custkey, period, p_brand from top_brand where rk = 1
+    ),
+    switch as (
+      select a.p_brand as brand_p1, b.p_brand as brand_p2,
+             cast(count(*) as bigint) as n_customers
+      from fav a join fav b
+        on a.o_custkey = b.o_custkey
+       and a.period = 'p1' and b.period = 'p2'
+      group by 1, 2
+    )
+    select brand_p1, brand_p2, n_customers,
+           brand_p1 = brand_p2 as is_loyal
+    from switch
+    where n_customers >= 3
+    order by n_customers desc, brand_p1, brand_p2 limit 20
+    """,
+)
+def part_brand_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: favorite-brand switching matrix — each customer's
+    top-spend brand per period, joined across periods: the diagonal
+    is brand loyalty, off-diagonal cells are substitution flows
+    (brand A bleeding share specifically to B is the
+    cannibalization fact a brand manager acts on — invisible in
+    aggregate share trends, which orders_priority_mix_shift-style
+    views report). Favorite = deterministic rank-1 by (spend desc,
+    brand); the period self-join is per-customer (entity-sized);
+    ≥3-customer floor suppresses noise cells. Micro-exact spend;
+    exact counts."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    spend = (
+        li.join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            "o_custkey",
+            "p_brand",
+            F.when(
+                F.col("o_orderdate")
+                < F.lit("1999-01-01").cast("timestamp"),
+                "p1",
+            )
+            .otherwise("p2")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 1e6 + 0.5)
+            ).alias("s")
+        )
+    )
+    fav = (
+        spend.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("o_custkey", "period").orderBy(
+                    F.col("s").desc(), "p_brand"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("o_custkey", "period", "p_brand")
+    )
+    a = fav.filter(F.col("period") == "p1").select(
+        "o_custkey", F.col("p_brand").alias("brand_p1")
+    )
+    b = fav.filter(F.col("period") == "p2").select(
+        "o_custkey", F.col("p_brand").alias("brand_p2")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("brand_p1", "brand_p2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") >= 3)
+        .select(
+            "brand_p1",
+            "brand_p2",
+            "n_customers",
+            (F.col("brand_p1") == F.col("brand_p2")).alias("is_loyal"),
+        )
+        .orderBy(F.col("n_customers").desc(), "brand_p1", "brand_p2")
+        .limit(20)
+    )

@@ -3363,3 +3363,106 @@ def events_value_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position_capped_10")
     )
+
+
+@register(
+    "events_onboarding_predictor",
+    group="J",
+    oracle="""
+    with firsts as (
+      select user_id,
+             cast(date_trunc('day', min(ts)) as date) as first_day
+      from events group by 1
+    ),
+    first_day_events as (
+      select e.user_id, cast(count(*) as bigint) as x
+      from events e join firsts f using (user_id)
+      where cast(date_trunc('day', e.ts) as date) = f.first_day
+      group by 1
+    ),
+    retained as (
+      select e.user_id,
+             max(case when date_diff('day', f.first_day,
+                   cast(date_trunc('day', e.ts) as date)) >= 14
+                 then 1 else 0 end) as y
+      from events e join firsts f using (user_id)
+      group by 1
+    ),
+    j as (
+      select fd.x, r.y
+      from first_day_events fd join retained r using (user_id)
+    ),
+    m as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx,
+             cast(sum(y) as bigint) as sy,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(x * x) as bigint) as sxx
+      from j
+    )
+    select n as n_users,
+           round(cast(sy as double) / n, 6) as retained_14d_rate,
+           round((cast(n as double) * sxy
+                  - cast(sx as double) * sy)
+                 / sqrt((cast(n as double) * sxx
+                         - cast(sx as double) * sx)
+                        * (cast(n as double) * sy
+                           - cast(sy as double) * sy)), 6)
+             as pointbiserial_corr
+    from m
+    """,
+)
+def events_onboarding_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: does day-one intensity predict retention? The
+    point-biserial correlation between first-day event count and a
+    14-day-return flag — the canonical 'aha-moment' analysis
+    (Facebook's 7-friends-in-10-days genre): a strong correlation
+    justifies optimizing onboarding for depth, a weak one debunks
+    the vanity metric. Point-biserial is Pearson with a binary y,
+    so Σy = Σy² — five exact integer moment sums and the shared
+    fixed-order formula. Two user-keyed rollups on the same
+    shuffle."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    j = e.join(firsts, "user_id")
+    fd = (
+        j.where(
+            F.date_trunc("day", "ts").cast("date") == F.col("first_day")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ret = j.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                F.datediff(
+                    F.date_trunc("day", "ts").cast("date"),
+                    F.col("first_day"),
+                )
+                >= 14,
+                1,
+            ).otherwise(0)
+        ).alias("y")
+    )
+    m = fd.join(ret, "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("sy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("sy").cast("double") / F.col("n"), 6).alias(
+            "retained_14d_rate"
+        ),
+        F.round(num / den, 6).alias("pointbiserial_corr"),
+    )
