@@ -3508,3 +3508,65 @@ def part_brand_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_customers").desc(), "brand_p1", "brand_p2")
         .limit(20)
     )
+
+
+@register(
+    "orders_reactivation_stats",
+    group="E",
+    oracle="""
+    with gaps as (
+      select o_custkey, o_orderdate,
+             cast(floor(o_totalprice * 1e6 + 0.5) as bigint) as v,
+             date_diff('day',
+               lag(o_orderdate) over (partition by o_custkey
+                 order by o_orderdate, o_orderkey),
+               o_orderdate) as gap_d
+      from orders
+    )
+    select cast(count(distinct o_custkey)
+                filter (where gap_d > 365) as bigint)
+             as n_reactivated_customers,
+           cast(count(*) filter (where gap_d > 365) as bigint)
+             as n_reactivation_orders,
+           cast(max(gap_d) as bigint) as longest_gap_days,
+           round(cast(sum(v) filter (where gap_d > 365) as double)
+                 / 1e6, 2) as reactivation_revenue,
+           round(cast(sum(v) filter (where gap_d > 365) as double)
+                 / sum(v), 6) as share_of_revenue
+    from gaps
+    """,
+)
+def orders_reactivation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: reactivation accounting — orders placed after a >1-year
+    silence: how many customers came back, what they spent, and its
+    share of total revenue (the win-back business case in one row:
+    if reactivation revenue is material, the at-risk list from
+    customer_lifecycle_stages is worth a campaign; if ~0, churned
+    means gone). Gap is the lag-window integer day difference on
+    the custkey shuffle; all sums micro-exact with conditional
+    aggregation in one pass."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 1e6 + 0.5).alias("v"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_d"),
+    )
+    react = F.col("gap_d") > 365
+    return gaps.agg(
+        F.count_distinct(
+            F.when(react, F.col("o_custkey"))
+        ).alias("n_reactivated_customers"),
+        F.count(F.when(react, 1)).alias("n_reactivation_orders"),
+        F.max("gap_d").alias("longest_gap_days"),
+        F.round(
+            F.sum(F.when(react, F.col("v"))).cast("double") / 1e6, 2
+        ).alias("reactivation_revenue"),
+        F.round(
+            F.sum(F.when(react, F.col("v"))).cast("double")
+            / F.sum("v"),
+            6,
+        ).alias("share_of_revenue"),
+    )

@@ -3466,3 +3466,91 @@ def events_onboarding_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(num / den, 6).alias("pointbiserial_corr"),
     )
+
+
+@register(
+    "events_session_depth_curve",
+    group="J",
+    oracle="""
+    with marked as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                    or epoch_us(ts) - epoch_us(lag(ts) over w)
+                       > 1800 * 1000000
+                  then 1 else 0 end as is_new
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ),
+    sess as (
+      select user_id,
+             sum(is_new) over (partition by user_id
+               order by ts, event_id
+               rows between unbounded preceding and current row)
+               as session_id
+      from marked
+    ),
+    depth as (
+      select cast(count(*) as bigint) as d
+      from sess group by user_id, session_id
+    ),
+    tot as (select cast(count(*) as bigint) as n_sessions from depth),
+    ks as (select unnest(range(1, 11)) as k)
+    select k as min_depth,
+           cast(count(*) filter (where d >= k) as bigint) as n_sessions,
+           round(cast(count(*) filter (where d >= k) as double)
+                 / max(tot.n_sessions), 6) as share_reaching
+    from ks cross join depth cross join tot
+    group by k order by k
+    """,
+)
+def events_session_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: session-depth survival curve — the share of sessions
+    reaching at least k events, k = 1..10 (the engagement funnel in
+    its purest form: each step's drop-off is where sessions die,
+    and the curve's area is mean session depth —
+    events_session_bounce_rate is exactly the k=2 complement).
+    Session depths from the shared 30-min sessionization; the curve
+    is ten threshold counts over the session-grain table. Exact
+    counts throughout."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    depth = (
+        marked.select(
+            "user_id", F.sum("is_new").over(wc).alias("session_id")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tot = depth.agg(F.count(F.lit(1)).alias("n_sessions"))
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    return (
+        F.broadcast(ks)
+        .crossJoin(depth)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").alias("min_depth"))
+        .agg(
+            F.count(F.when(F.col("d") >= F.col("k"), 1)).alias(
+                "n_sessions"
+            ),
+            F.round(
+                F.count(
+                    F.when(F.col("d") >= F.col("k"), 1)
+                ).cast("double")
+                / F.max("n_sessions"),
+                6,
+            ).alias("share_reaching"),
+        )
+        .orderBy("min_depth")
+    )
