@@ -2419,3 +2419,92 @@ def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_orders_pct"),
     ).orderBy("mth")
+
+
+@register(
+    "ts_rolling_slope",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(floor(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5)
+                  as bigint)) as double) / 1e9 + 0.5) as bigint) as yk
+      from orders group by 1
+    ),
+    r as (
+      select day, yk,
+             cast(row_number() over (order by day) as bigint) as i
+      from daily
+    ),
+    wins as (
+      select day,
+             cast(count(*) over w as bigint) as n,
+             cast(sum(i) over w as bigint) as sx,
+             cast(sum(yk) over w as bigint) as sy,
+             cast(sum(i * yk) over w as bigint) as sxy,
+             cast(sum(i * i) over w as bigint) as sxx
+      from r
+      window w as (order by day
+        rows between 29 preceding and current row)
+    )
+    select day,
+           n as window_days,
+           round((cast(n as double) * sxy - cast(sx as double) * sy)
+                 / (cast(n as double) * sxx
+                    - cast(sx as double) * sx), 6)
+             as slope_kusd_per_day
+    from wins
+    where n = 30
+    order by day desc limit 20
+    """,
+)
+def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: rolling 30-day regression slope of daily revenue — the
+    trailing trend estimate a monitor plots as 'momentum'
+    (ts_theil_sen_trend fits ONE global line; the rolling OLS slope
+    is its windowed form, reacting within the window length and
+    smoother than day-over-day deltas). The trick: ALL five OLS
+    moment sums are plain windowed integer sums (x = row index,
+    y = kilodollar-quantized revenue — the ts_acf scaling), so the
+    closed-form slope per window needs no per-window refit and the
+    whole series costs one ordered window pass. Complete 30-day
+    windows only; latest 20 shown."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast(
+                "double"
+            )
+            / 1e9
+            + 0.5
+        ).alias("yk")
+    )
+    r = daily.select(
+        "day",
+        "yk",
+        F.row_number().over(W.orderBy("day")).cast("long").alias("i"),
+    )
+    wv = W.orderBy("day").rowsBetween(-29, W.currentRow)
+    wins = r.select(
+        "day",
+        F.count(F.lit(1)).over(wv).alias("n"),
+        F.sum("i").over(wv).alias("sx"),
+        F.sum("yk").over(wv).alias("sy"),
+        F.sum(F.col("i") * F.col("yk")).over(wv).alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).over(wv).alias("sxx"),
+    ).filter(F.col("n") == 30)
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return (
+        wins.select(
+            "day",
+            F.col("n").alias("window_days"),
+            F.round(slope, 6).alias("slope_kusd_per_day"),
+        )
+        .orderBy(F.col("day").desc())
+        .limit(20)
+    )
