@@ -3570,3 +3570,108 @@ def orders_reactivation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_revenue"),
     )
+
+
+@register(
+    "orders_topset_stability",
+    group="E",
+    oracle="""
+    with rev as (
+      select o_custkey,
+             case when o_orderdate < timestamp '1999-01-01'
+                  then 'p1' else 'p2' end as period,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as r
+      from orders group by 1, 2
+    ),
+    ranked as (
+      select o_custkey, period,
+             row_number() over (partition by period
+               order by r desc, o_custkey) as rk,
+             count(*) over (partition by period) as n
+      from rev
+    ),
+    tops as (
+      select o_custkey, period from ranked where rk * 5 <= n
+    ),
+    t1 as (select o_custkey from tops where period = 'p1'),
+    t2 as (select o_custkey from tops where period = 'p2'),
+    inter as (
+      select cast(count(*) as bigint) as both_top
+      from t1 join t2 using (o_custkey)
+    )
+    select (select count(*) from t1) as n_top_before,
+           (select count(*) from t2) as n_top_after,
+           both_top,
+           round(cast(both_top as double)
+                 / ((select count(*) from t1)
+                    + (select count(*) from t2) - both_top), 6)
+             as topset_jaccard,
+           round(cast(both_top as double)
+                 / (select count(*) from t1), 6) as retention_of_top
+    from inter
+    """,
+)
+def orders_topset_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: top-set stability — the Jaccard between the top-revenue-
+    quintile customer sets of two periods, plus what share of the
+    old top stayed on top: the temporal-robustness check on every
+    'focus on the top 20%' strategy (a top set that churns 60% per
+    period means segment-level targeting, not account lists;
+    orders_abc_migration gives the full matrix, this is the scalar
+    leadership-stability KPI). Quintile membership is the integer
+    test rk·5 ≤ n on deterministic (revenue desc, key) ranks; the
+    overlap is an entity-sized key join. Exact counts, two exact
+    ratios."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"),
+            "p1",
+        )
+        .otherwise("p2")
+        .alias("period"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("r"))
+    ranked = rev.select(
+        "o_custkey",
+        "period",
+        F.row_number()
+        .over(
+            W.partitionBy("period").orderBy(
+                F.col("r").desc(), "o_custkey"
+            )
+        )
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("period")).alias("n"),
+    )
+    tops = ranked.filter(F.col("rk") * 5 <= F.col("n"))
+    t1 = tops.filter(F.col("period") == "p1").select("o_custkey")
+    t2 = tops.filter(F.col("period") == "p2").select("o_custkey")
+    inter = t1.join(t2, "o_custkey").agg(
+        F.count(F.lit(1)).alias("both_top")
+    )
+    n1 = t1.agg(F.count(F.lit(1)).alias("n_top_before"))
+    n2 = t2.agg(F.count(F.lit(1)).alias("n_top_after"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            "n_top_before",
+            "n_top_after",
+            "both_top",
+            F.round(
+                F.col("both_top").cast("double")
+                / (
+                    F.col("n_top_before")
+                    + F.col("n_top_after")
+                    - F.col("both_top")
+                ),
+                6,
+            ).alias("topset_jaccard"),
+            F.round(
+                F.col("both_top").cast("double") / F.col("n_top_before"),
+                6,
+            ).alias("retention_of_top"),
+        )
+    )
