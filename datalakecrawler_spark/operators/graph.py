@@ -40,7 +40,17 @@ _EDGE_CTE = """
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-pruned co-purchase edge list (pa < pb, w >= 2)."""
+    """Support-pruned co-purchase edge list (pa < pb, w >= 2).
+
+    The result is localCheckpoint()ed: every graph operator reuses
+    this table several times (symmetrization, degree rollups,
+    per-iteration joins), and without cutting lineage each reuse
+    re-derives the distinct→self-join→rollup chain from parquet —
+    the unrolled PageRank plan carried 49 exchanges and a ~47 s cold
+    run from exactly that recomputation. The materialized frame is a
+    few thousand rows (support pruning bounds it by co-purchase
+    support, not table size); this is the same iterative-algorithm
+    discipline as connected_components/k-core."""
     li = load(spark, sf_dir, "lineitem")
     lp = li.select("l_orderkey", "l_partkey").distinct()
     a = lp.alias("a")
@@ -57,6 +67,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
+        .localCheckpoint()
     )
 
 
