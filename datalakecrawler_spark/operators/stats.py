@@ -2508,3 +2508,182 @@ def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("day").desc())
         .limit(20)
     )
+
+
+@register(
+    "stats_simpsons_paradox_check",
+    group="J",
+    oracle="""
+    with q as (
+      select l_returnflag,
+             cast(floor(l_quantity * 1e2 + 0.5) as bigint) as x2,
+             cast(floor(l_extendedprice * 1e1 + 0.5) as bigint) as y1
+      from lineitem
+    ),
+    g as (
+      select l_returnflag,
+             cast(count(*) as bigint) as n,
+             cast(sum(x2) as bigint) as sx,
+             cast(sum(y1) as bigint) as sy,
+             cast(sum(x2 * y1) as bigint) as sxy,
+             cast(sum(x2 * x2) as bigint) as sxx
+      from q group by 1
+    ),
+    overall as (
+      select cast(sum(n) as bigint) as n,
+             cast(sum(sx) as bigint) as sx,
+             cast(sum(sy) as bigint) as sy,
+             cast(sum(sxy) as bigint) as sxy,
+             cast(sum(sxx) as bigint) as sxx
+      from g
+    ),
+    slopes as (
+      select (cast(overall.n as double) * overall.sxy
+              - cast(overall.sx as double) * overall.sy)
+             / (cast(overall.n as double) * overall.sxx
+                - cast(overall.sx as double) * overall.sx)
+               * 10 as overall_slope,
+             (select sum(cast(floor(
+                ((cast(n as double) * sxy - cast(sx as double) * sy)
+                 / (cast(n as double) * sxx
+                    - cast(sx as double) * sx)) * 10
+                * n * 1e9 + 0.5) as bigint)) from g) as wsum9,
+             (select cast(sum(n) as bigint) from g) as tn
+      from overall
+    )
+    select round(overall_slope, 6) as overall_slope,
+           round(cast(wsum9 as double) / 1e9 / tn, 6)
+             as pooled_within_slope,
+           sign(overall_slope)
+             <> sign(cast(wsum9 as double) / 1e9 / tn)
+             as paradox_flag
+    from slopes
+    """,
+)
+def stats_simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Simpson's-paradox detector — the OLS slope of price on
+    quantity computed OVERALL vs the size-weighted mean of
+    WITHIN-GROUP slopes (by returnflag): when the signs disagree,
+    aggregation direction reverses under conditioning — the classic
+    trap that turns dashboard conclusions wrong, and the reason
+    segment-level drill-downs (events_conversion_by_segment et al.)
+    must accompany totals. Both slopes derive from the SAME
+    fixed-point moment sums (quantity 1e2 / price 1e1 — the
+    stats_covariance_matrix scales): group sums roll up exactly to
+    the overall sums, so the comparison is internally consistent by
+    construction. Per-group slopes are nano-quantized before the
+    weighted pooling."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 1e2 + 0.5).alias("x2"),
+        F.floor(F.col("l_extendedprice") * 1e1 + 0.5).alias("y1"),
+    )
+    g = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x2").alias("sx"),
+        F.sum("y1").alias("sy"),
+        F.sum(F.col("x2") * F.col("y1")).alias("sxy"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sxx"),
+    )
+
+    def slope():
+        nd = F.col("n").cast("double")
+        return (
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ) * 10
+
+    overall = g.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+    ).select(slope().alias("overall_slope"))
+    within = g.select(
+        F.floor(slope() * F.col("n") * 1e9 + 0.5).alias("w9"),
+        "n",
+    ).agg(
+        F.sum("w9").alias("wsum9"), F.sum("n").alias("tn")
+    )
+    j = overall.crossJoin(F.broadcast(within))
+    pooled = F.col("wsum9").cast("double") / 1e9 / F.col("tn")
+    return j.select(
+        F.round("overall_slope", 6).alias("overall_slope"),
+        F.round(pooled, 6).alias("pooled_within_slope"),
+        (
+            F.signum(F.col("overall_slope")) != F.signum(pooled)
+        ).alias("paradox_flag"),
+    )
+
+
+@register(
+    "events_hourly_eta2",
+    group="F",
+    oracle="""
+    with hourly as (
+      select date_trunc('hour', ts) as hr,
+             date_part('hour', ts) as hod,
+             cast(count(*) as bigint) as c
+      from events group by 1, 2
+    ),
+    m as (
+      select hod,
+             cast(count(*) as bigint) as n,
+             cast(sum(c) as bigint) as s,
+             cast(sum(c * c) as bigint) as sq
+      from hourly group by 1
+    ),
+    tot as (
+      select cast(sum(n) as bigint) as tn,
+             cast(sum(s) as bigint) as ts,
+             cast(sum(sq) as bigint) as tsq,
+             sum(cast(s as double) * s / n) as ssb_part
+      from m
+    )
+    select tn as n_hours,
+           round((ssb_part - cast(ts as double) * ts / tn)
+                 / (cast(tsq as double)
+                    - cast(ts as double) * ts / tn), 6)
+             as hour_of_day_eta2
+    from tot
+    """,
+)
+def events_hourly_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: intraday seasonality strength — η² of hour-of-day on
+    hourly event counts (ts_seasonal_strength's method at the
+    intraday grain): near 1 means the daily load curve is the
+    dominant signal (autoscale on the clock), near 0 means arrivals
+    ignore the clock (scale on raw rate instead) — the single
+    number behind choosing events_hourly_heatmap vs a flat
+    threshold for capacity. Hourly counts exact; the same
+    between/total sum-of-squares decomposition with exact-int group
+    moments."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = hourly.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    tot = m.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("sq").alias("tsq"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("ssb_part"),
+    )
+    grand = F.col("ts").cast("double") * F.col("ts") / F.col("tn")
+    return tot.select(
+        F.col("tn").alias("n_hours"),
+        F.round(
+            (F.col("ssb_part") - grand)
+            / (F.col("tsq").cast("double") - grand),
+            6,
+        ).alias("hour_of_day_eta2"),
+    )
