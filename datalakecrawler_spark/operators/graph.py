@@ -1026,3 +1026,108 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("degree_gini"),
     )
+
+
+@register(
+    "graph_pagerank_delta",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    sym as (
+      select pa as src, pb as dst from edges
+      union all
+      select pb as src, pa as dst from edges
+    ),
+    deg as (select src, count(*) as deg from sym group by 1),
+    n as (select count(*) as n_nodes from deg),
+    pr0 as (
+      select src as v, round(1.0 / n_nodes, 9) as pr from deg, n
+    ),
+    pr1 as (
+      select sym.dst as v,
+             round(0.15 / (select n_nodes from n)
+                   + 0.85 * sum(pr0.pr / deg.deg), 9) as pr
+      from pr0 join sym on sym.src = pr0.v join deg on deg.src = pr0.v
+      group by 1
+    ),
+    pr2 as (
+      select sym.dst as v,
+             round(0.15 / (select n_nodes from n)
+                   + 0.85 * sum(pr1.pr / deg.deg), 9) as pr
+      from pr1 join sym on sym.src = pr1.v join deg on deg.src = pr1.v
+      group by 1
+    ),
+    pr3 as (
+      select sym.dst as v,
+             round(0.15 / (select n_nodes from n)
+                   + 0.85 * sum(pr2.pr / deg.deg), 9) as pr
+      from pr2 join sym on sym.src = pr2.v join deg on deg.src = pr2.v
+      group by 1
+    ),
+    delta as (
+      select cast(round(abs(pr3.pr - pr2.pr) * 1e9) as bigint) as d9
+      from pr2 join pr3 using (v)
+    )
+    select (select n_nodes from n) as n_nodes,
+           round(cast(sum(d9) as double) / 1e9, 9) as l1_delta,
+           round(cast(max(d9) as double) / 1e9, 9) as linf_delta,
+           max(d9) <= 1000 as converged_at_1e_minus6
+    from delta
+    """,
+)
+def graph_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: PageRank convergence diagnostics — the L1 and L∞
+    distance between iterations 2 and 3 of the unrolled power
+    method, with a 1e-6 convergence verdict: the number that decides
+    whether graph_pagerank's 3 rounds were ENOUGH (the driver-side
+    stopping rule a production iterative job would check each round,
+    here materialized as a query so the decision itself is
+    oracle-checkable). Both iteration vectors are 9-dp re-quantized
+    (exact ints ×1e9), so the deltas are exact integer differences —
+    the convergence test is pure integer comparison. Two extra
+    |V|-row joins on the checkpointed edge table."""
+    edges = _edges(spark, sf_dir)
+    sym = _sym(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    pr = deg.select("src", F.round(F.lit(1.0 / n_nodes), 9).alias("pr"))
+    sym_deg = F.broadcast(
+        sym.join(deg, "src").select("src", "dst", "deg")
+    )
+    vecs = []
+    for i in range(3):
+        pr = (
+            pr.join(sym_deg, pr.src == sym_deg.src)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(
+                F.round(
+                    0.15 / n_nodes
+                    + 0.85 * F.sum(F.col("pr") / F.col("deg")),
+                    9,
+                ).alias("pr")
+            )
+            .withColumnRenamed("v", "src")
+        )
+        if i >= 1:
+            vecs.append(pr)
+    pr2, pr3 = vecs
+    delta = (
+        pr2.select(F.col("src").alias("v"), F.col("pr").alias("p2"))
+        .join(
+            pr3.select(F.col("src").alias("v"), F.col("pr").alias("p3")),
+            "v",
+        )
+        .select(
+            F.round(F.abs(F.col("p3") - F.col("p2")) * 1e9)
+            .cast("long")
+            .alias("d9")
+        )
+    )
+    return delta.agg(
+        F.lit(n_nodes).alias("n_nodes"),
+        F.round(F.sum("d9").cast("double") / 1e9, 9).alias("l1_delta"),
+        F.round(F.max("d9").cast("double") / 1e9, 9).alias(
+            "linf_delta"
+        ),
+        (F.max("d9") <= 1000).alias("converged_at_1e_minus6"),
+    )

@@ -1251,3 +1251,57 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("custkey")
         .limit(25)
     )
+
+
+@register(
+    "win_cume_dist",
+    group="F",
+    oracle="""
+    with cd as (
+      select o_orderpriority, o_orderkey, o_totalprice,
+             cume_dist() over (partition by o_orderpriority
+               order by o_totalprice) as cd
+      from orders
+    )
+    select o_orderpriority,
+           cast(count(*) filter (where cd <= 0.5) as bigint)
+             as n_below_median_cd,
+           round(min(case when cd >= 0.5 then o_totalprice end), 2)
+             as median_by_cd,
+           round(max(o_totalprice), 2) as max_price
+    from cd group by 1 order by o_orderpriority
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: cume_dist — the cumulative-distribution window function
+    (fraction of partition rows ≤ current by the sort key; ties
+    share a value, unlike percent_rank's rank-based form in
+    win_ntile_percent), exercised by reading each priority's median
+    off the CDF (smallest price with cd ≥ 0.5 — which must equal
+    percentile_disc(0.5), a cross-operator invariant). Tie semantics
+    are engine-identical because cume_dist counts peers inclusively
+    in both; the rollup reduces the per-row CDF to deterministic
+    summaries."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cd = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        cd.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("cd") <= 0.5, 1)).alias(
+                "n_below_median_cd"
+            ),
+            F.round(
+                F.min(
+                    F.when(F.col("cd") >= 0.5, F.col("o_totalprice"))
+                ),
+                2,
+            ).alias("median_by_cd"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
