@@ -2687,3 +2687,108 @@ def events_hourly_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hour_of_day_eta2"),
     )
+
+
+@register(
+    "events_ab_cuped",
+    group="J",
+    oracle="""
+    with split as (
+      select user_id,
+             cast(count(*) filter (where ts < timestamp '2024-01-11')
+                  as bigint) as x,
+             cast(max(case when ts >= timestamp '2024-01-11'
+                  and event_type = 'purchase' then 1 else 0 end)
+                  as bigint) as y
+      from events group by 1
+    ),
+    m as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx,
+             cast(sum(y) as bigint) as sy,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(x * x) as bigint) as sxx,
+             cast(sum(y * y) as bigint) as syy
+      from split
+    ),
+    t as (
+      select n, sx, sy, syy,
+             (cast(sxy as double) - cast(sx as double) * sy / n)
+             / (cast(sxx as double) - cast(sx as double) * sx / n)
+               as theta,
+             (cast(sxy as double) - cast(sx as double) * sy / n)
+             * ((cast(sxy as double) - cast(sx as double) * sy / n)
+                / ((cast(sxx as double) - cast(sx as double) * sx / n)
+                   * (cast(syy as double)
+                      - cast(sy as double) * sy / n))) as rho2_num
+      from m
+    )
+    select t.n as n_users,
+           round(cast(t.sy as double) / t.n, 6) as post_conversion_rate,
+           round(t.theta, 6) as theta,
+           round(t.rho2_num
+                 / (cast(m.sxy as double)
+                    - cast(m.sx as double) * m.sy / m.n),
+                 6) as corr_xy_squared,
+           round(1 - t.rho2_num
+                 / (cast(m.sxy as double)
+                    - cast(m.sx as double) * m.sy / m.n),
+                 6) as variance_ratio_after_cuped
+    from t, m
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: CUPED variance reduction — θ = cov(X,Y)/var(X) for
+    pre-period activity X (events before the fixture's day-10
+    split, the stream_drift_psi baseline boundary) against
+    post-period conversion Y, with ρ²(X,Y) and the resulting
+    variance ratio 1−ρ²: the technique that makes experiments read
+    out FASTER for free (a ρ² of 0.3 cuts required sample size by
+    30% — Microsoft's CUPED, now every platform's default;
+    stats_mde_power says what the raw design detects, CUPED is how
+    to beat it). All from six exact integer moment sums in one
+    per-user collapse; θ and ρ² are fixed-order expressions
+    (ρ² written as (covXY/varX)·(covXY/varY) via the covariance
+    numerators to keep both engines in the same operation order)."""
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-11").cast("timestamp")
+    split = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).alias("x"),
+        F.max(
+            F.when(
+                (F.col("ts") >= cut)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    m = split.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n")
+    covxy = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy") / nd
+    varx = F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx") / nd
+    vary = F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy") / nd
+    theta = covxy / varx
+    rho2_num = covxy * (covxy / (varx * vary))
+    rho2 = rho2_num / covxy
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("sy").cast("double") / nd, 6).alias(
+            "post_conversion_rate"
+        ),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("corr_xy_squared"),
+        F.round(1 - rho2, 6).alias("variance_ratio_after_cuped"),
+    )
