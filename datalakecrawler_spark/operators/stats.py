@@ -2697,8 +2697,7 @@ def events_hourly_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
       select user_id,
              cast(count(*) filter (where ts < timestamp '2024-01-11')
                   as bigint) as x,
-             cast(max(case when ts >= timestamp '2024-01-11'
-                  and event_type = 'purchase' then 1 else 0 end)
+             cast(count(*) filter (where ts >= timestamp '2024-01-11')
                   as bigint) as y
       from events group by 1
     ),
@@ -2724,7 +2723,7 @@ def events_hourly_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
       from m
     )
     select t.n as n_users,
-           round(cast(t.sy as double) / t.n, 6) as post_conversion_rate,
+           round(cast(t.sy as double) / t.n, 6) as post_mean_activity,
            round(t.theta, 6) as theta,
            round(t.rho2_num
                  / (cast(m.sxy as double)
@@ -2741,7 +2740,7 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-ext: CUPED variance reduction — θ = cov(X,Y)/var(X) for
     pre-period activity X (events before the fixture's day-10
     split, the stream_drift_psi baseline boundary) against
-    post-period conversion Y, with ρ²(X,Y) and the resulting
+    post-period activity Y, with ρ²(X,Y) and the resulting
     variance ratio 1−ρ²: the technique that makes experiments read
     out FASTER for free (a ρ² of 0.3 cuts required sample size by
     30% — Microsoft's CUPED, now every platform's default;
@@ -2754,13 +2753,7 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("2024-01-11").cast("timestamp")
     split = e.groupBy("user_id").agg(
         F.count(F.when(F.col("ts") < cut, 1)).alias("x"),
-        F.max(
-            F.when(
-                (F.col("ts") >= cut)
-                & (F.col("event_type") == "purchase"),
-                1,
-            ).otherwise(0)
-        ).alias("y"),
+        F.count(F.when(F.col("ts") >= cut, 1)).alias("y"),
     )
     m = split.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2786,7 +2779,7 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_users"),
         F.round(F.col("sy").cast("double") / nd, 6).alias(
-            "post_conversion_rate"
+            "post_mean_activity"
         ),
         F.round(theta, 6).alias("theta"),
         F.round(rho2, 6).alias("corr_xy_squared"),
