@@ -3675,3 +3675,64 @@ def orders_topset_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_of_top"),
         )
     )
+
+
+@register(
+    "orders_late_value_exposure",
+    group="E",
+    oracle="""
+    with lag as (
+      select o.o_orderpriority as priority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) as lag_days,
+             cast(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6
+                  + 0.5) as bigint) as v
+      from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+    )
+    select priority,
+           round(cast(sum(v) as double) / 1e6, 2) as total_value,
+           round(cast(sum(case when lag_days > 90 then v else 0 end)
+                 as double) / 1e6, 2) as late_value,
+           round(cast(sum(case when lag_days > 90 then v else 0 end)
+                 as double) / sum(v), 6) as late_value_share
+    from lag group by 1 order by priority
+    """,
+)
+def orders_late_value_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: value-weighted lateness exposure — the revenue sitting
+    on lines that shipped more than 90 days after order, per
+    priority (orders_fulfillment_sla counts LINES; contracts and
+    penalty clauses care about DOLLARS — a priority whose late-line
+    share is 10% but late-VALUE share is 30% is failing its biggest
+    orders specifically, the worst pattern). One join + one rollup
+    with conditional micro-exact sums; integer day comparison."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    v = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + 0.5
+    )
+    lag = li.join(
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+        v.alias("v"),
+    )
+    late = F.when(F.col("lag_days") > 90, F.col("v")).otherwise(0)
+    return (
+        lag.groupBy("priority")
+        .agg(
+            F.round(F.sum("v").cast("double") / 1e6, 2).alias(
+                "total_value"
+            ),
+            F.round(F.sum(late).cast("double") / 1e6, 2).alias(
+                "late_value"
+            ),
+            F.round(
+                F.sum(late).cast("double") / F.sum("v"), 6
+            ).alias("late_value_share"),
+        )
+        .orderBy("priority")
+    )

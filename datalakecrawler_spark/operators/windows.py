@@ -1305,3 +1305,86 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "win_ignore_nulls_fns",
+    group="F",
+    oracle="""
+    with sparse as (
+      select o_custkey, o_orderdate, o_orderkey,
+             case when o_orderpriority = '1-URGENT'
+                  then o_totalprice end as urgent_price
+      from orders
+    ),
+    filled as (
+      select o_custkey, o_orderdate, o_orderkey, urgent_price,
+             last_value(urgent_price ignore nulls) over w
+               as last_urgent_price,
+             first_value(urgent_price ignore nulls) over w
+               as first_urgent_price
+      from sparse
+      window w as (partition by o_custkey
+                   order by o_orderdate, o_orderkey
+                   rows between unbounded preceding and current row)
+    )
+    select count(*) as n_rows,
+           cast(count(urgent_price) as bigint) as n_nonnull_source,
+           cast(count(last_urgent_price) as bigint) as n_filled_last,
+           cast(count(first_urgent_price) as bigint) as n_filled_first,
+           round(cast(sum(cast(floor(coalesce(last_urgent_price, 0)
+                 * 1e6 + 0.5) as bigint)) as double) / 1e6, 2)
+             as checksum_last
+    from filled
+    """,
+)
+def win_ignore_nulls_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: IGNORE NULLS window navigation — last_value and
+    first_value skipping nulls over a growing frame (the
+    forward-fill primitive: 'carry each customer's most recent
+    urgent-order price forward across non-urgent orders' — the same
+    mechanism join_asof and ts_gapfill_ffill build on, here
+    exercised as the bare windowed function with a checksum).
+    Sparse column synthesized by a CASE; fill counts are exact and
+    the checksum is micro-quantized per row before summation."""
+    o = load(spark, sf_dir, "orders")
+    sparse = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.col("o_totalprice"),
+        ).alias("urgent_price"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = sparse.select(
+        "urgent_price",
+        F.last("urgent_price", ignorenulls=True)
+        .over(w)
+        .alias("last_urgent_price"),
+        F.first("urgent_price", ignorenulls=True)
+        .over(w)
+        .alias("first_urgent_price"),
+    )
+    return filled.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("urgent_price").alias("n_nonnull_source"),
+        F.count("last_urgent_price").alias("n_filled_last"),
+        F.count("first_urgent_price").alias("n_filled_first"),
+        F.round(
+            F.sum(
+                F.floor(
+                    F.coalesce(F.col("last_urgent_price"), F.lit(0))
+                    * 1e6
+                    + 0.5
+                )
+            ).cast("double")
+            / 1e6,
+            2,
+        ).alias("checksum_last"),
+    )
