@@ -499,3 +499,60 @@ def orders_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_pc")
         .drop("_pc")
     )
+
+
+@register(
+    "setop_union_by_name",
+    group="G",
+    oracle="""
+    with a as (
+      select o_orderkey as k, o_totalprice as price,
+             cast(null as varchar) as status
+      from orders where o_orderpriority = '1-URGENT'
+    ),
+    b as (
+      select o_orderkey as k, cast(null as double) as price,
+             o_orderstatus as status
+      from orders where o_orderpriority = '5-LOW'
+    ),
+    u as (select * from a union all by name select * from b)
+    select cast(count(*) as bigint) as n_rows,
+           cast(count(price) as bigint) as n_with_price,
+           cast(count(status) as bigint) as n_with_status,
+           round(cast(sum(cast(floor(coalesce(price, 0) * 1e6 + 0.5)
+                 as bigint)) as double) / 1e6, 2) as price_checksum
+    from u
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: union by NAME with missing columns — the
+    schema-evolution set op (position-based UNION silently pairs
+    wrong columns when sides diverge; name-based union with missing
+    columns null-filled is how heterogeneous batches append in an
+    evolving lake — the read-side twin of
+    sink_txlog_schema_evolution). Spark: unionByName(
+    allowMissingColumns=True); DuckDB: UNION ALL BY NAME. Counts of
+    null-filled cells and a micro-quantized checksum pin the
+    alignment."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_with_price"),
+        F.count("status").alias("n_with_status"),
+        F.round(
+            F.sum(
+                F.floor(F.coalesce(F.col("price"), F.lit(0)) * 1e6 + 0.5)
+            ).cast("double")
+            / 1e6,
+            2,
+        ).alias("price_checksum"),
+    )

@@ -1099,3 +1099,80 @@ def dedup_shingle_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = cnt if out is None else out.unionAll(cnt)
     return out.orderBy("shingle_k")
+
+
+@register(
+    "dedup_mixture_impact",
+    group="J",
+    oracle="""
+    with keep as (
+      select source, md5(text) as th,
+             row_number() over (partition by md5(text)
+               order by doc_id) as rk
+      from documents
+    ),
+    before as (
+      select source, cast(count(*) as bigint) as n_before
+      from documents group by 1
+    ),
+    after as (
+      select source, cast(count(*) as bigint) as n_after
+      from keep where rk = 1 group by 1
+    ),
+    tot as (
+      select (select cast(sum(n_before) as bigint) from before) as tb,
+             (select cast(sum(n_after) as bigint) from after) as ta
+    )
+    select b.source, b.n_before, a.n_after,
+           round(cast(b.n_before as double) / tot.tb, 6)
+             as share_before,
+           round(cast(a.n_after as double) / tot.ta, 6) as share_after,
+           round(cast(a.n_after as double) / tot.ta
+                 - cast(b.n_before as double) / tot.tb, 6)
+             as share_shift
+    from before b join after a using (source) cross join tot
+    order by b.source
+    """,
+)
+def dedup_mixture_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: dedup's effect on the corpus mixture — per-source share
+    BEFORE vs AFTER keep-first exact dedup (min doc_id per text
+    hash): dedup is not mixture-neutral — a source that mostly
+    echoes others loses share, so a carefully balanced mixture
+    (corpus_importance_weights) drifts the moment dedup runs, and
+    the share_shift column is the correction to feed back. Keeper
+    selection is the deterministic (hash, doc_id) rank used across
+    the dedup family; counts exact; shifts are fixed-order
+    differences of exact ratios."""
+    d = load(spark, sf_dir, "documents")
+    keep = d.select(
+        "source",
+        F.row_number()
+        .over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("rk"),
+    )
+    before = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = (
+        keep.filter(F.col("rk") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    tb = before.agg(F.sum("n_before").alias("tb"))
+    ta = after.agg(F.sum("n_after").alias("ta"))
+    j = (
+        before.join(after, "source")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+    )
+    sb = F.col("n_before").cast("double") / F.col("tb")
+    sa = F.col("n_after").cast("double") / F.col("ta")
+    return j.select(
+        "source",
+        "n_before",
+        "n_after",
+        F.round(sb, 6).alias("share_before"),
+        F.round(sa, 6).alias("share_after"),
+        F.round(sa - sb, 6).alias("share_shift"),
+    ).orderBy("source")
