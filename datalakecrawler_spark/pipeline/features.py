@@ -3554,3 +3554,122 @@ def events_session_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_depth")
     )
+
+
+@register(
+    "events_attribution_position",
+    group="J",
+    oracle="""
+    with purchases as (
+      select event_id as p_id, user_id, ts as p_ts,
+             cast(floor(coalesce(value, 0) * 1e6 + 0.5) as bigint)
+               as v_micro
+      from events where event_type = 'purchase'
+    ),
+    touch as (
+      select p.p_id, p.v_micro,
+             cast(date_trunc('day', c.ts) as date) as c_day,
+             row_number() over (partition by p.p_id
+               order by c.ts, c.event_id) as pos,
+             count(*) over (partition by p.p_id) as k
+      from purchases p join events c
+        on c.user_id = p.user_id
+       and c.event_type = 'click'
+       and c.ts <= p.p_ts
+       and epoch_us(p.p_ts) - epoch_us(c.ts)
+           <= cast(7 as bigint) * 86400 * 1000000
+    ),
+    credited as (
+      select c_day,
+             cast(floor(cast(v_micro as double) *
+               case
+                 when k = 1 then 1.0
+                 when k = 2 then 0.5
+                 when pos = 1 then 0.4
+                 when pos = k then 0.4
+                 else 0.2 / (k - 2)
+               end + 0.5) as bigint) as credit,
+             case when pos = 1 or pos = k then 'endpoint'
+                  else 'middle' end as role
+      from touch
+    )
+    select c_day as day, role,
+           count(*) as n_touches,
+           round(cast(sum(credit) as double) / 1e6, 2)
+             as credited_value
+    from credited group by 1, 2 order by day, role
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: position-based (U-shaped) attribution — 40% of purchase
+    credit to the FIRST touch, 40% to the LAST, 20% split across the
+    middle (the model that values discovery and closing over
+    mid-journey noise; with last-click and linear this completes the
+    standard three-model comparison set — the spread between models
+    IS the channel-mix uncertainty band). Touch positions are
+    deterministic window ranks inside the 7-day exact-microsecond
+    window; per-touch credit is quantized before the per-day/role
+    sums so the U-weights reconcile to purchase totals within
+    per-touch rounding."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 1e6 + 0.5).alias(
+            "v_micro"
+        ),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.date_trunc("day", "ts").cast("date").alias("c_day"),
+    )
+    week_us = 7 * 86400 * 1000000
+    touch = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            <= F.lit(week_us)
+        ),
+    ).select(
+        "p_id",
+        "v_micro",
+        "c_day",
+        F.row_number()
+        .over(W.partitionBy("p_id").orderBy("c_ts", "c_id"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(W.partitionBy("p_id")).alias("k"),
+    )
+    weight = (
+        F.when(F.col("k") == 1, 1.0)
+        .when(F.col("k") == 2, 0.5)
+        .when(F.col("pos") == 1, 0.4)
+        .when(F.col("pos") == F.col("k"), 0.4)
+        .otherwise(0.2 / (F.col("k") - 2))
+    )
+    credited = touch.select(
+        "c_day",
+        F.floor(
+            F.col("v_micro").cast("double") * weight + 0.5
+        ).alias("credit"),
+        F.when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("k")),
+            "endpoint",
+        )
+        .otherwise("middle")
+        .alias("role"),
+    )
+    return (
+        credited.groupBy(F.col("c_day").alias("day"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(
+                F.sum("credit").cast("double") / 1e6, 2
+            ).alias("credited_value"),
+        )
+        .orderBy("day", "role")
+    )
