@@ -2785,3 +2785,119 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rho2, 6).alias("corr_xy_squared"),
         F.round(1 - rho2, 6).alias("variance_ratio_after_cuped"),
     )
+
+
+@register(
+    "ts_dominant_period",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(floor(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5)
+                  as bigint)) as double) / 1e9 + 0.5) as bigint) as xk
+      from orders group by 1
+    ),
+    r as (
+      select xk, row_number() over (order by day) as i from daily
+    ),
+    lags as (select unnest(range(2, 15)) as lag),
+    pairs as (
+      select l.lag, a.xk as x, b.xk as y
+      from lags l
+      join r a on true
+      join r b on b.i = a.i + l.lag
+    ),
+    m as (
+      select lag, cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(x * x) as bigint) as sxx,
+             cast(sum(y * y) as bigint) as syy
+      from pairs group by 1
+    ),
+    acf as (
+      select lag,
+             (cast(n as double) * sxy - cast(sx as double) * sy)
+             / sqrt((cast(n as double) * sxx
+                     - cast(sx as double) * sx)
+                    * (cast(n as double) * syy
+                       - cast(sy as double) * sy)) as a
+      from m
+    ),
+    best as (
+      select lag, a,
+             row_number() over (order by a desc, lag) as rk
+      from acf
+    )
+    select lag as dominant_period_days,
+           round(a, 6) as acf_at_peak,
+           a > 0.2 as periodicity_detected
+    from best where rk = 1
+    """,
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: dominant-period detection — the lag (2..14 days)
+    maximizing the autocorrelation of daily revenue, with a 0.2
+    significance gate: the poor-man's spectral peak (a full FFT
+    needs complex arithmetic; for calendar periodicities the argmax
+    over a bounded ACF window finds the same answer — 7 for weekly
+    rhythm — and composes entirely from ts_acf's machinery). The
+    argmax is a deterministic rank over ≤13 identical-IEEE values;
+    everything below it is the exact-int moment pipeline."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast(
+                "double"
+            )
+            / 1e9
+            + 0.5
+        ).alias("xk")
+    )
+    r = daily.select(
+        "xk", F.row_number().over(W.orderBy("day")).alias("i")
+    )
+    lags = spark.range(2, 15).select(F.col("id").alias("lag"))
+    a = r.alias("a")
+    b = r.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .select("lag", F.col("a.xk").alias("x"), F.col("b.xk").alias("y"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    acf = m.select(
+        "lag",
+        (
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx")
+                 - F.col("sx").cast("double") * F.col("sx"))
+                * (nd * F.col("syy")
+                   - F.col("sy").cast("double") * F.col("sy"))
+            )
+        ).alias("a"),
+    )
+    best = acf.select(
+        "lag",
+        "a",
+        F.row_number()
+        .over(W.orderBy(F.col("a").desc(), "lag"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("lag").alias("dominant_period_days"),
+        F.round("a", 6).alias("acf_at_peak"),
+        (F.col("a") > 0.2).alias("periodicity_detected"),
+    )

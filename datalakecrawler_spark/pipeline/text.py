@@ -2288,3 +2288,176 @@ def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "corpus_source_league_table",
+    group="J",
+    oracle="""
+    with h as (
+      select source, md5(text) as th from documents
+    ),
+    dupg as (select th, count(*) as n from h group by 1),
+    dup_rate as (
+      select h.source,
+             cast(count(*) filter (where dupg.n > 1) as double)
+               / count(*) as dup_rate
+      from h join dupg using (th) group by 1
+    ),
+    toks as (
+      select source, unnest(string_split(text, ' ')) as w
+      from documents
+    ),
+    src_counts as (
+      select source, w, cast(count(*) as bigint) as c
+      from toks group by 1, 2
+    ),
+    corpus as (
+      select w, cast(sum(c) as bigint) as cw from src_counts group by 1
+    ),
+    totals as (
+      select cast(sum(cw) as bigint) as n_corpus,
+             cast(count(*) as bigint) as v from corpus
+    ),
+    ce as (
+      select s.source,
+             cast(sum(s.c) as bigint) as n_src,
+             sum(cast(floor(
+               -s.c * ln((cast(corpus.cw as double) + 1)
+                         / (totals.n_corpus + totals.v)) * 1e6 + 0.5)
+               as bigint)) as h6
+      from src_counts s join corpus using (w) cross join totals
+      group by 1
+    ),
+    xent as (
+      select source,
+             cast(h6 as double) / 1e6 / n_src as crossentropy
+      from ce
+    ),
+    simpson as (
+      select source,
+             cast(sum(c * c) as bigint) as sum_c2,
+             cast(sum(c) as bigint) as nt
+      from src_counts group by 1
+    ),
+    metrics as (
+      select d.source, d.dup_rate, x.crossentropy,
+             cast(s.nt as double) * s.nt / s.sum_c2 as inv_simpson
+      from dup_rate d
+      join xent x using (source)
+      join simpson s using (source)
+    ),
+    ranked as (
+      select source,
+             row_number() over (order by dup_rate, source)
+               as rk_dup,
+             row_number() over (order by crossentropy, source)
+               as rk_xent,
+             row_number() over (order by inv_simpson desc, source)
+               as rk_div,
+             dup_rate, crossentropy, inv_simpson
+      from metrics
+    )
+    select source,
+           round(dup_rate, 6) as dup_rate,
+           round(crossentropy, 6) as crossentropy_nats,
+           round(inv_simpson, 4) as inv_simpson,
+           cast(rk_dup + rk_xent + rk_div as bigint) as rank_sum,
+           row_number() over (order by rk_dup + rk_xent + rk_div,
+                              source) as league_position
+    from ranked
+    order by league_position limit 10
+    """,
+)
+def corpus_source_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the source quality league table — every source ranked
+    on three orthogonal health axes computed in ONE plan: exact-dup
+    rate (lower better), cross-entropy under the corpus LM (lower =
+    distributionally typical), and inverse-Simpson lexical diversity
+    (higher better); league position = rank-sum (the Borda count —
+    scale-free aggregation that needs no weight tuning). This is the
+    capstone composition of the per-source diagnostics
+    (dedup_rate_by_source / text_crossentropy_sources /
+    text_simpson_diversity): a data-sourcing review reads THIS
+    table first and drills into the per-metric operators after.
+    Rank ties break on source; all inputs are the established
+    exact-integer constructions."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("th"))
+    dupg = h.groupBy("th").agg(F.count(F.lit(1)).alias("n"))
+    dup_rate = (
+        h.join(dupg, "th")
+        .groupBy("source")
+        .agg(
+            (
+                F.count(F.when(F.col("n") > 1, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_rate")
+        )
+    )
+    src_counts = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = src_counts.groupBy("w").agg(F.sum("c").alias("cw"))
+    totals = corpus.agg(
+        F.sum("cw").alias("n_corpus"), F.count(F.lit(1)).alias("v")
+    )
+    term = F.floor(
+        -F.col("c")
+        * F.log(
+            (F.col("cw").cast("double") + 1)
+            / (F.col("n_corpus") + F.col("v"))
+        )
+        * 1e6
+        + 0.5
+    )
+    xent = (
+        src_counts.join(corpus, "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(term).cast("double") / 1e6 / F.sum("c")
+            ).alias("crossentropy")
+        )
+    )
+    simpson = src_counts.groupBy("source").agg(
+        (
+            F.sum("c").cast("double")
+            * F.sum("c")
+            / F.sum(F.col("c") * F.col("c"))
+        ).alias("inv_simpson")
+    )
+    metrics = dup_rate.join(xent, "source").join(simpson, "source")
+    ranked = metrics.select(
+        "source",
+        "dup_rate",
+        "crossentropy",
+        "inv_simpson",
+        F.row_number()
+        .over(W.orderBy("dup_rate", "source"))
+        .alias("rk_dup"),
+        F.row_number()
+        .over(W.orderBy("crossentropy", "source"))
+        .alias("rk_xent"),
+        F.row_number()
+        .over(W.orderBy(F.col("inv_simpson").desc(), "source"))
+        .alias("rk_div"),
+    )
+    rank_sum = F.col("rk_dup") + F.col("rk_xent") + F.col("rk_div")
+    return (
+        ranked.select(
+            "source",
+            F.round("dup_rate", 6).alias("dup_rate"),
+            F.round("crossentropy", 6).alias("crossentropy_nats"),
+            F.round("inv_simpson", 4).alias("inv_simpson"),
+            rank_sum.cast("bigint").alias("rank_sum"),
+            F.row_number()
+            .over(W.orderBy(rank_sum, "source"))
+            .alias("league_position"),
+        )
+        .orderBy("league_position")
+        .limit(10)
+    )
