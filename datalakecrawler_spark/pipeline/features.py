@@ -3673,3 +3673,125 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "role")
     )
+
+
+@register(
+    "events_growth_accounting",
+    group="J",
+    oracle="""
+    with mu as (
+      select distinct user_id,
+             cast(date_trunc('month', ts) as date) as m
+      from events
+    ),
+    firsts as (
+      select user_id, min(m) as first_m from mu group by 1
+    ),
+    months as (select distinct m from mu),
+    curr as (
+      select mu.m, mu.user_id, f.first_m,
+             exists (select 1 from mu p
+                     where p.user_id = mu.user_id
+                       and p.m = mu.m - interval 1 month) as was_prev
+      from mu join firsts f using (user_id)
+    ),
+    flows as (
+      select m,
+             count(*) filter (where m = first_m) as new_users,
+             count(*) filter (where m <> first_m and was_prev)
+               as retained,
+             count(*) filter (where m <> first_m and not was_prev)
+               as resurrected
+      from curr group by 1
+    ),
+    churn as (
+      select cast(p.m + interval 1 month as date) as m,
+             cast(count(*) as bigint) as churned
+      from mu p
+      where not exists (select 1 from mu c
+                        where c.user_id = p.user_id
+                          and c.m = p.m + interval 1 month)
+        and exists (select 1 from months mm
+                    where mm.m = cast(p.m + interval 1 month as date))
+      group by 1
+    )
+    select f.m as month,
+           cast(f.new_users + f.retained + f.resurrected as bigint)
+             as mau,
+           cast(f.new_users as bigint) as new_users,
+           cast(f.retained as bigint) as retained,
+           cast(f.resurrected as bigint) as resurrected,
+           cast(coalesce(c.churned, 0) as bigint) as churned_from_prev
+    from flows f left join churn c using (m)
+    order by f.m
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: monthly growth accounting — MAU decomposed into the
+    standard four flows: new (first month), retained (also active
+    last month), resurrected (returning after a gap), churned
+    (active last month, absent now) — with the identity MAU_t =
+    new + retained + resurrected and ΔMAU = new + resurrected −
+    churned holding exactly (the Social-Capital/a16z growth
+    accounting framework; events_new_vs_returning is its daily
+    2-flow shadow, events_retention_halflife its decay model). All
+    set memberships from the distinct (user, month) frame via
+    keyed self-joins (entity-sized); churn attributes to the month
+    the user went missing, only for months that exist in the data.
+    Exact counts throughout."""
+    e = load(spark, sf_dir, "events")
+    mu = e.select(
+        "user_id",
+        F.date_trunc("month", "ts").cast("date").alias("m"),
+    ).distinct()
+    firsts = mu.groupBy("user_id").agg(F.min("m").alias("first_m"))
+    prev = mu.select(
+        "user_id", F.add_months(F.col("m"), 1).alias("m")
+    ).withColumn("was_prev", F.lit(True))
+    curr = (
+        mu.join(firsts, "user_id")
+        .join(prev, ["user_id", "m"], "left")
+        .na.fill({"was_prev": False})
+    )
+    flows = curr.groupBy("m").agg(
+        F.count(F.when(F.col("m") == F.col("first_m"), 1)).alias(
+            "new_users"
+        ),
+        F.count(
+            F.when(
+                (F.col("m") != F.col("first_m")) & F.col("was_prev"), 1
+            )
+        ).alias("retained"),
+        F.count(
+            F.when(
+                (F.col("m") != F.col("first_m")) & ~F.col("was_prev"), 1
+            )
+        ).alias("resurrected"),
+    )
+    months = mu.select("m").distinct()
+    nxt = mu.select(
+        "user_id", F.add_months(F.col("m"), 1).alias("m")
+    )
+    churn = (
+        nxt.join(mu, ["user_id", "m"], "left_anti")
+        .join(months, "m", "left_semi")
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        flows.join(churn, "m", "left")
+        .na.fill({"churned": 0})
+        .select(
+            F.col("m").alias("month"),
+            (
+                F.col("new_users")
+                + F.col("retained")
+                + F.col("resurrected")
+            ).alias("mau"),
+            "new_users",
+            "retained",
+            "resurrected",
+            F.col("churned").alias("churned_from_prev"),
+        )
+        .orderBy("month")
+    )
