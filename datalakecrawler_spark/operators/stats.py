@@ -2901,3 +2901,167 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("a", 6).alias("acf_at_peak"),
         (F.col("a") > 0.2).alias("periodicity_detected"),
     )
+
+
+@register(
+    "ts_record_days",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                  as bigint) as rev_micro
+      from orders group by 1
+    ),
+    runs as (
+      select day, rev_micro,
+             max(rev_micro) over (order by day
+               rows between unbounded preceding and 1 preceding)
+               as prev_best
+      from daily
+    )
+    select day as record_day,
+           round(cast(rev_micro as double) / 1e6, 2) as revenue,
+           round(cast(rev_micro - coalesce(prev_best, 0) as double)
+                 / 1e6, 2) as margin_over_prior_best
+    from runs
+    where prev_best is null or rev_micro > prev_best
+    order by day desc limit 15
+    """,
+)
+def ts_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: record-setting days — days whose revenue beat every
+    prior day, with the margin over the previous best (the
+    'all-time high' ticker; the cadence of records is itself a
+    statistic — under a stationary series the k-th record waits
+    e^k days, so records clustering late = genuine growth, the
+    record-counting test from extreme-value theory). Running max of
+    exact micro-ints over the calendar-sized daily series; strict
+    integer comparisons; latest 15 records."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias(
+            "rev_micro"
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    runs = daily.select(
+        "day",
+        "rev_micro",
+        F.max("rev_micro").over(w).alias("prev_best"),
+    )
+    return (
+        runs.filter(
+            F.col("prev_best").isNull()
+            | (F.col("rev_micro") > F.col("prev_best"))
+        )
+        .select(
+            F.col("day").alias("record_day"),
+            F.round(F.col("rev_micro").cast("double") / 1e6, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                (
+                    F.col("rev_micro")
+                    - F.coalesce(F.col("prev_best"), F.lit(0))
+                ).cast("double")
+                / 1e6,
+                2,
+            ).alias("margin_over_prior_best"),
+        )
+        .orderBy(F.col("record_day").desc())
+        .limit(15)
+    )
+
+
+@register(
+    "stats_ratio_metric_se",
+    group="J",
+    oracle="""
+    with per_user as (
+      select user_id,
+             cast(sum(cast(floor(coalesce(value, 0) * 1e6 + 0.5)
+                  as bigint)) as bigint) as x_micro,
+             cast(count(*) as bigint) as y
+      from events group by 1
+    ),
+    m as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(x_micro) as bigint) as sx,
+             cast(sum(y) as bigint) as sy,
+             sum(cast(x_micro as double) * y) as sxy,
+             sum(cast(x_micro as double) * x_micro) as sxx,
+             cast(sum(y * y) as bigint) as syy
+      from per_user
+    ),
+    t as (
+      select n, sx, sy,
+             cast(sx as double) / sy as r_micro,
+             (sxx - cast(sx as double) * sx / n) / (n - 1) as vx,
+             (cast(syy as double) - cast(sy as double) * sy / n)
+               / (n - 1) as vy,
+             (sxy - cast(sx as double) * sy / n) / (n - 1) as cxy,
+             cast(sy as double) / n as ybar
+      from m
+    )
+    select n as n_users,
+           round(r_micro / 1e6, 6) as value_per_event,
+           round(sqrt((vx - 2 * r_micro * cxy
+                       + r_micro * r_micro * vy)
+                      / (ybar * ybar * n)) / 1e6, 6)
+             as se_delta_method
+    from t
+    """,
+)
+def stats_ratio_metric_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: delta-method standard error for a RATIO metric —
+    value-per-event = Σvalue/Σevents is a ratio of two random
+    per-user sums, and its naive 'treat events as independent' SE
+    is wrong because users cluster; the delta method
+    Var(x̄/ȳ) ≈ (σ²x − 2Rσxy + R²σ²y)/(ȳ²n) with USER-level
+    moments is how experimentation platforms report ratio-metric
+    uncertainty (the companion to events_ab_cuped — both
+    corrections operate at the randomization-unit grain). Six
+    moment sums in one per-user collapse; Σx² accumulates as
+    double (micro² exceeds int64 — same-sign reorder-stable, the
+    agg_skewness_kurtosis envelope); the SE is one fixed-order
+    expression."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0)) * 1e6 + 0.5)
+        ).alias("x_micro"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    xd = F.col("x_micro").cast("double")
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_micro").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x_micro")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n")
+    r = F.col("sx").cast("double") / F.col("sy")
+    vx = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / nd) / (
+        nd - 1
+    )
+    vy = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / nd
+    ) / (nd - 1)
+    cxy = (
+        F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / nd
+    ) / (nd - 1)
+    ybar = F.col("sy").cast("double") / nd
+    se = F.sqrt(
+        (vx - 2 * r * cxy + r * r * vy) / (ybar * ybar * nd)
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(r / 1e6, 6).alias("value_per_event"),
+        F.round(se / 1e6, 6).alias("se_delta_method"),
+    )
