@@ -3065,3 +3065,94 @@ def stats_ratio_metric_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r / 1e6, 6).alias("value_per_event"),
         F.round(se / 1e6, 6).alias("se_delta_method"),
     )
+
+
+@register(
+    "events_ab_value_ttest",
+    group="J",
+    oracle="""
+    with per_user as (
+      select user_id, user_id % 2 as variant,
+             cast(sum(cast(floor(coalesce(value, 0) * 1e4 + 0.5)
+                  as bigint)) as bigint) as v4
+      from events group by 1, 2
+    ),
+    g as (
+      select variant,
+             cast(count(*) as bigint) as n,
+             cast(sum(v4) as bigint) as s,
+             sum(cast(v4 as double) * v4) as sq
+      from per_user group by 1
+    ),
+    w as (
+      select max(case when variant = 1 then n end) as n1,
+             max(case when variant = 1 then s end) as s1,
+             max(case when variant = 1 then sq end) as q1,
+             max(case when variant = 0 then n end) as n0,
+             max(case when variant = 0 then s end) as s0,
+             max(case when variant = 0 then sq end) as q0
+      from g
+    ),
+    m as (
+      select n1, n0,
+             cast(s1 as double) / n1 as m1,
+             cast(s0 as double) / n0 as m0,
+             (q1 - n1 * (cast(s1 as double) / n1)
+                   * (cast(s1 as double) / n1)) / (n1 - 1) as v1,
+             (q0 - n0 * (cast(s0 as double) / n0)
+                   * (cast(s0 as double) / n0)) / (n0 - 1) as v0
+      from w
+    )
+    select n1 as n_treatment, n0 as n_control,
+           round(m1 / 1e4, 4) as mean_value_treatment,
+           round(m0 / 1e4, 4) as mean_value_control,
+           round((m1 - m0) / sqrt(v1 / n1 + v0 / n0), 6) as t_stat
+    from m
+    """,
+)
+def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the continuous-metric experiment readout — Welch's t on
+    PER-USER total value by arm (events_ab_ztest answers 'did more
+    users convert'; this answers 'did users generate more VALUE' —
+    the revenue metric most experiments actually optimize, and
+    per-user aggregation first is the non-negotiable step: testing
+    at event grain violates independence, the
+    stats_ratio_metric_se lesson). Per-user values quantized at
+    1e-4; per-arm (n, Σ, Σ²) with Σ² as same-sign double
+    accumulation (micro² range); the t statistic is the
+    stats_ttest_welch fixed-order expression."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0)) * 1e4 + 0.5)
+        ).alias("v4")
+    )
+    vd = F.col("v4").cast("double")
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v4").alias("s"),
+        F.sum(vd * F.col("v4")).alias("sq"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("variant") == 1, F.col("sq"))).alias("q1"),
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("variant") == 0, F.col("sq"))).alias("q0"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    v1 = (F.col("q1") - F.col("n1") * m1 * m1) / (F.col("n1") - 1)
+    v0 = (F.col("q0") - F.col("n0") * m0 * m0) / (F.col("n0") - 1)
+    return w.select(
+        F.col("n1").alias("n_treatment"),
+        F.col("n0").alias("n_control"),
+        F.round(m1 / 1e4, 4).alias("mean_value_treatment"),
+        F.round(m0 / 1e4, 4).alias("mean_value_control"),
+        F.round(
+            (m1 - m0) / F.sqrt(v1 / F.col("n1") + v0 / F.col("n0")), 6
+        ).alias("t_stat"),
+    )
