@@ -3736,3 +3736,70 @@ def orders_late_value_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "part_dead_stock_scan",
+    group="E",
+    oracle="""
+    with last_ship as (
+      select l_partkey, max(l_shipdate) as last_dt
+      from lineitem group by 1
+    ),
+    horizon as (select max(l_shipdate) as h from lineitem),
+    dead as (
+      select p.p_partkey, p.p_brand, p.p_retailprice, ls.last_dt
+      from part p
+      left join last_ship ls on ls.l_partkey = p.p_partkey
+      cross join horizon
+      where ls.l_partkey is null
+         or date_diff('day', ls.last_dt, horizon.h) > 365
+    )
+    select cast(count(*) as bigint) as n_dead_parts,
+           cast((select count(*) from part) as bigint) as n_parts_total,
+           round(cast(count(*) as double)
+                 / (select count(*) from part), 6) as dead_share,
+           round(cast(sum(cast(floor(p_retailprice * 100 + 0.5)
+                 as bigint)) as double) / 100, 2) as listed_value_at_risk
+    from dead
+    """,
+)
+def part_dead_stock_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: dead-stock scan — parts with NO shipment in the year up
+    to the data horizon (or never shipped at all: the left-join-null
+    case that an inner-join formulation silently drops), with their
+    listed value as the capital-at-risk figure: the assortment-
+    pruning input (pair with catalog_rare_category_report's
+    level-bucketing on the analytics side). One per-part max-date
+    rollup + a broadcast horizon scalar; date arithmetic exact; the
+    value sum uses the raw retailprice (no aggregation-order issue:
+    summed once, round 2 after a deterministic single-node final)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    last_ship = li.groupBy("l_partkey").agg(
+        F.max("l_shipdate").alias("last_dt")
+    )
+    horizon = li.agg(F.max("l_shipdate").alias("h"))
+    n_parts = p.count()
+    dead = (
+        p.join(last_ship, p.p_partkey == last_ship.l_partkey, "left")
+        .crossJoin(F.broadcast(horizon))
+        .where(
+            F.col("l_partkey").isNull()
+            | (F.datediff(F.col("h"), F.col("last_dt")) > 365)
+        )
+    )
+    return dead.agg(
+        F.count(F.lit(1)).alias("n_dead_parts"),
+        F.lit(n_parts).cast("long").alias("n_parts_total"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / n_parts, 6
+        ).alias("dead_share"),
+        F.round(
+            F.sum(
+                F.floor(F.col("p_retailprice") * 100 + 0.5)
+            ).cast("double")
+            / 100,
+            2,
+        ).alias("listed_value_at_risk"),
+    )

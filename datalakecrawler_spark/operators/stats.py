@@ -3156,3 +3156,104 @@ def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (m1 - m0) / F.sqrt(v1 / F.col("n1") + v0 / F.col("n0")), 6
         ).alias("t_stat"),
     )
+
+
+@register(
+    "events_ab_funnel_compare",
+    group="J",
+    oracle="""
+    with v as (
+      select user_id, user_id % 2 as variant, min(ts) as t_view
+      from events where event_type = 'view' group by 1, 2
+    ),
+    c as (
+      select e.user_id, min(e.ts) as t_click
+      from events e join v on v.user_id = e.user_id
+      where e.event_type = 'click' and e.ts >= v.t_view
+      group by 1
+    ),
+    p as (
+      select e.user_id, min(e.ts) as t_purchase
+      from events e join c on c.user_id = e.user_id
+      where e.event_type = 'purchase' and e.ts >= c.t_click
+      group by 1
+    ),
+    stages as (
+      select v.variant,
+             cast(count(*) as bigint) as n_view,
+             cast(count(c.user_id) as bigint) as n_click,
+             cast(count(p.user_id) as bigint) as n_purchase
+      from v
+      left join c on c.user_id = v.user_id
+      left join p on p.user_id = v.user_id
+      group by 1
+    )
+    select variant, n_view, n_click, n_purchase,
+           round(cast(n_click as double) / n_view, 6) as view_to_click,
+           round(cast(n_purchase as double)
+                 / nullif(n_click, 0), 6) as click_to_purchase
+    from stages order by variant
+    """,
+)
+def events_ab_funnel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the funnel split by experiment arm — ordered
+    view→click→purchase stage counts and step rates per variant:
+    WHERE a treatment moves the funnel (a lift concentrated in
+    view→click is an awareness effect; in click→purchase a
+    checkout effect — the topline z-test (events_ab_ztest) can't
+    localize this). Same shrinking-stage per-user min-timestamp
+    machinery as funnel_conversion with the arm key carried
+    through; left joins preserve stage drop-out. Exact counts,
+    fixed-order step rates."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(v.select("user_id", "t_view")), "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = (
+        v.join(
+            c.select("user_id", F.lit(1).alias("clicked")),
+            "user_id",
+            "left",
+        )
+        .join(
+            p.select("user_id", F.lit(1).alias("purchased")),
+            "user_id",
+            "left",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("clicked").alias("n_click"),
+            F.count("purchased").alias("n_purchase"),
+        )
+    )
+    return stages.select(
+        "variant",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(
+            F.col("n_click").cast("double") / F.col("n_view"), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.col("n_purchase").cast("double")
+            / F.nullif(F.col("n_click"), F.lit(0)),
+            6,
+        ).alias("click_to_purchase"),
+    ).orderBy("variant")
