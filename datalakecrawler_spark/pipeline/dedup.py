@@ -1176,3 +1176,73 @@ def dedup_mixture_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sa, 6).alias("share_after"),
         F.round(sa - sb, 6).alias("share_shift"),
     ).orderBy("source")
+
+
+@register(
+    "dedup_keeper_policy_compare",
+    group="J",
+    oracle="""
+    with h as (
+      select doc_id, n_chars, md5(text) as th from documents
+    ),
+    ranked as (
+      select n_chars,
+             row_number() over (partition by th
+               order by doc_id) as rk_first,
+             row_number() over (partition by th
+               order by n_chars desc, doc_id) as rk_longest,
+             row_number() over (partition by th
+               order by n_chars asc, doc_id) as rk_shortest
+      from h
+    )
+    select
+      cast(count(*) filter (where rk_first = 1) as bigint)
+        as n_kept,
+      cast(sum(n_chars) filter (where rk_first = 1) as bigint)
+        as chars_keep_first,
+      cast(sum(n_chars) filter (where rk_longest = 1) as bigint)
+        as chars_keep_longest,
+      cast(sum(n_chars) filter (where rk_shortest = 1) as bigint)
+        as chars_keep_shortest,
+      round(cast(sum(n_chars) filter (where rk_longest = 1) as double)
+            / sum(n_chars) filter (where rk_shortest = 1), 6)
+        as longest_vs_shortest_ratio
+    from ranked
+    """,
+)
+def dedup_keeper_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: survivorship-policy comparison — exact-dup groups keep
+    ONE doc, but WHICH one changes the corpus: keep-first (stable,
+    the dedup_exact default), keep-longest (maximizes retained
+    text), keep-shortest (minimizes). All three policies evaluated
+    in one pass via three deterministic in-group rankings, reporting
+    retained characters per policy and the longest/shortest spread —
+    if the ratio is ~1 the policy choice is free; a large spread
+    means duplicates differ materially and 'exact dup' deserves a
+    second look (probably near-dups with padding). Exact integer
+    character sums; identical group counts by construction."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id", "n_chars", F.md5("text").alias("th"))
+    wp = W.partitionBy("th")
+    ranked = h.select(
+        "n_chars",
+        F.row_number().over(wp.orderBy("doc_id")).alias("rk_first"),
+        F.row_number()
+        .over(wp.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rk_longest"),
+        F.row_number()
+        .over(wp.orderBy(F.col("n_chars").asc(), "doc_id"))
+        .alias("rk_shortest"),
+    )
+    kf = F.when(F.col("rk_first") == 1, F.col("n_chars"))
+    kl = F.when(F.col("rk_longest") == 1, F.col("n_chars"))
+    ks = F.when(F.col("rk_shortest") == 1, F.col("n_chars"))
+    return ranked.agg(
+        F.count(F.when(F.col("rk_first") == 1, 1)).alias("n_kept"),
+        F.sum(kf).alias("chars_keep_first"),
+        F.sum(kl).alias("chars_keep_longest"),
+        F.sum(ks).alias("chars_keep_shortest"),
+        F.round(
+            F.sum(kl).cast("double") / F.sum(ks), 6
+        ).alias("longest_vs_shortest_ratio"),
+    )
