@@ -679,3 +679,116 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top10_overlap",
         F.round(F.col("top10_overlap") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+@register(
+    "sim_ndcg_label_eval",
+    group="J",
+    oracle="""
+    with sub as (
+      select vec_id, label, embedding from embeddings
+      where vec_id < 300
+    ),
+    q as (select embedding as qe, label as ql from sub
+          where vec_id = 0),
+    ranked as (
+      select s.vec_id,
+             case when s.label = q.ql then 1 else 0 end as rel,
+             row_number() over (order by
+               list_sum(list_transform(list_zip(s.embedding, q.qe),
+                 p -> cast(floor(cast(p[1] as double) * p[2] * 1e12
+                      + 0.5) as bigint))) desc, s.vec_id) as rk
+      from sub s cross join q
+      where s.vec_id <> 0
+    ),
+    dcg as (
+      select cast(sum(cast(floor(
+               rel / (ln(rk + 1) / ln(2)) * 1e9 + 0.5) as bigint))
+               as bigint) as dcg9,
+             cast(sum(rel) as bigint) as n_rel_in_10
+      from ranked where rk <= 10
+    ),
+    ideal as (
+      select cast(sum(cast(floor(
+               1.0 / (ln(i + 1) / ln(2)) * 1e9 + 0.5) as bigint))
+               as bigint) as idcg9
+      from (select unnest(range(1, 11)) as i) t,
+           (select least(cast(10 as bigint),
+                   (select count(*) from ranked where rel = 1)) as m) mm
+      where i <= mm.m
+    )
+    select n_rel_in_10,
+           round(cast(dcg9 as double) / 1e9, 6) as dcg_at_10,
+           round(cast(idcg9 as double) / 1e9, 6) as idcg_at_10,
+           round(cast(dcg9 as double) / idcg9, 6) as ndcg_at_10
+    from dcg, ideal
+    """,
+)
+def sim_ndcg_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: nDCG@10 of the inner-product ranking against same-label
+    relevance — the GRADED ranking metric the retrieval stack should
+    be judged by (sim_recall_eval counts hits anywhere in the top-k;
+    nDCG rewards putting them EARLY, which is what users and RAG
+    context windows actually experience). Binary relevance = label
+    match; DCG discounts are 1/log₂(rank+1) nano-quantized per rank
+    (ln ratios are identical IEEE both engines); the ideal DCG uses
+    min(10, #relevant) positions so nDCG ∈ [0, 1] exactly. The
+    ranking reuses the exact-integer dot products of
+    sim_1nn_label_consistency — same eval slice, same
+    determinism."""
+    sub = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    q = sub.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("ql")
+    )
+    cand = sub.where(F.col("vec_id") != 0)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qe"),
+            lambda x, y: F.floor(
+                x.cast("double") * y * 1e12 + 0.5
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    ranked = cand.crossJoin(F.broadcast(q)).select(
+        F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias(
+            "rel"
+        ),
+        F.row_number()
+        .over(W.orderBy(dot.desc(), "vec_id"))
+        .alias("rk"),
+    )
+    ln2 = float(__import__("math").log(2))
+    dcg = ranked.where(F.col("rk") <= 10).agg(
+        F.sum(
+            F.floor(
+                F.col("rel")
+                / (F.log(F.col("rk") + 1) / ln2)
+                * 1e9
+                + 0.5
+            )
+        ).alias("dcg9"),
+        F.sum("rel").alias("n_rel_in_10"),
+    )
+    n_rel_total = ranked.where(F.col("rel") == 1).count()
+    m = min(10, n_rel_total)
+    import math as _m
+
+    idcg9 = sum(
+        int(_m.floor(1.0 / (_m.log(i + 1) / _m.log(2)) * 1e9 + 0.5))
+        for i in range(1, m + 1)
+    )
+    return dcg.select(
+        "n_rel_in_10",
+        F.round(F.col("dcg9").cast("double") / 1e9, 6).alias(
+            "dcg_at_10"
+        ),
+        F.round(F.lit(idcg9).cast("double") / 1e9, 6).alias(
+            "idcg_at_10"
+        ),
+        F.round(
+            F.col("dcg9").cast("double") / F.lit(idcg9), 6
+        ).alias("ndcg_at_10"),
+    )
