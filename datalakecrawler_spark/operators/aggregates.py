@@ -3803,3 +3803,110 @@ def part_dead_stock_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("listed_value_at_risk"),
     )
+
+
+@register(
+    "orders_discount_cap_whatif",
+    group="E",
+    oracle="""
+    with l as (
+      select cast(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+               as bigint) as net_now,
+             cast(floor(l_extendedprice
+               * (1 - least(l_discount, 0.05)) * 1e6 + 0.5) as bigint)
+               as net_capped,
+             l_discount > 0.05 as affected
+      from lineitem
+    )
+    select cast(count(*) as bigint) as n_lines,
+           cast(count(*) filter (where affected) as bigint)
+             as n_affected,
+           round(cast(sum(net_now) as double) / 1e6, 2) as revenue_now,
+           round(cast(sum(net_capped) as double) / 1e6, 2)
+             as revenue_capped,
+           round(cast(sum(net_capped) - sum(net_now) as double)
+                 / 1e6, 2) as uplift,
+           round(cast(sum(net_capped) - sum(net_now) as double)
+                 / sum(net_now), 6) as uplift_pct
+    from l
+    """,
+)
+def orders_discount_cap_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: counterfactual pricing — revenue under a 5% discount cap
+    vs actual (the what-if every discount-policy review runs;
+    STATIC counterfactual: quantity response is NOT modeled — pair
+    with orders_discount_elasticity's β to shade the answer, which
+    is exactly how a pricing analyst composes the two). Both
+    scenarios are micro-quantized per line in one pass (the
+    counterfactual is just a second conditional expression — no
+    second scan); the uplift is an exact integer difference."""
+    li = load(spark, sf_dir, "lineitem")
+    net_now = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + 0.5
+    )
+    net_capped = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.least(F.col("l_discount"), F.lit(0.05)))
+        * 1e6
+        + 0.5
+    )
+    l = li.select(
+        net_now.alias("net_now"),
+        net_capped.alias("net_capped"),
+        (F.col("l_discount") > 0.05).alias("affected"),
+    )
+    return l.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("affected"), 1)).alias("n_affected"),
+        F.round(F.sum("net_now").cast("double") / 1e6, 2).alias(
+            "revenue_now"
+        ),
+        F.round(F.sum("net_capped").cast("double") / 1e6, 2).alias(
+            "revenue_capped"
+        ),
+        F.round(
+            (F.sum("net_capped") - F.sum("net_now")).cast("double")
+            / 1e6,
+            2,
+        ).alias("uplift"),
+        F.round(
+            (F.sum("net_capped") - F.sum("net_now")).cast("double")
+            / F.sum("net_now"),
+            6,
+        ).alias("uplift_pct"),
+    )
+
+
+@register(
+    "quality_tax_rate_whitelist",
+    group="B",
+    oracle="""
+    with rates as (
+      select cast(floor(l_tax * 100 + 0.5) as bigint) as tax_pct,
+             cast(count(*) as bigint) as n
+      from lineitem group by 1
+    )
+    select tax_pct, n,
+           tax_pct between 0 and 8 as in_whitelist
+    from rates
+    order by tax_pct
+    """,
+)
+def quality_tax_rate_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: domain-whitelist audit — the observed tax-rate levels
+    against the contractual 0–8% whitelist (a rate outside the set
+    is an upstream fault: wrong jurisdiction table, unit confusion —
+    the per-LEVEL view that quality_constraint_suite's pass/fail
+    bound compresses away; seeing WHICH alien level appeared and how
+    often is what routes the bug). Rates are exact integer percents
+    via the shared quantization; the whitelist test is an integer
+    range check."""
+    li = load(spark, sf_dir, "lineitem")
+    rates = li.groupBy(
+        F.floor(F.col("l_tax") * 100 + 0.5).alias("tax_pct")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return rates.select(
+        "tax_pct",
+        "n",
+        F.col("tax_pct").between(0, 8).alias("in_whitelist"),
+    ).orderBy("tax_pct")
