@@ -3795,3 +3795,90 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "customer_quadrant_analysis",
+    group="J",
+    oracle="""
+    with rev as (
+      select c.c_custkey, c.c_acctbal,
+             cast(coalesce(sum(cast(floor(o.o_totalprice * 1e6 + 0.5)
+                  as bigint)), 0) as bigint) as r
+      from customer c
+      left join orders o on o.o_custkey = c.c_custkey
+      group by 1, 2
+    ),
+    med as (
+      select quantile_disc(c_acctbal, 0.5) as bal_med,
+             quantile_disc(r, 0.5) as rev_med
+      from rev
+    ),
+    quad as (
+      select case when c_acctbal > med.bal_med then 'hi_bal'
+                  else 'lo_bal' end as balance_side,
+             case when r > med.rev_med then 'hi_rev'
+                  else 'lo_rev' end as revenue_side
+      from rev, med
+    )
+    select balance_side, revenue_side,
+           cast(count(*) as bigint) as n_customers,
+           round(cast(count(*) as double)
+                 / sum(count(*)) over (), 6) as share
+    from quad group by 1, 2
+    order by balance_side, revenue_side
+    """,
+)
+def customer_quadrant_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: balance × revenue quadrant — customers split at the
+    medians of account balance and total spend into the classic 2×2
+    (hi-bal/lo-rev = untapped capacity, the acquisition-free growth
+    list; lo-bal/hi-rev = credit-risk watch). Median splits use
+    DISCRETE quantiles (bit-exact cut points) on exact micro-int
+    revenue including zero-order customers via the left join —
+    dropping them (inner join) would bias the revenue median up.
+    One dim-fact rollup + a broadcast two-scalar row; exact
+    counts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)),
+                F.lit(0),
+            ).alias("r")
+        )
+    )
+    rev.createOrReplaceTempView("cq_rev")
+    med = spark.sql(
+        """
+        select percentile_disc(0.5) within group (order by c_acctbal)
+                 as bal_med,
+               percentile_disc(0.5) within group (order by r)
+                 as rev_med
+        from cq_rev
+        """
+    )
+    quad = rev.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("c_acctbal") > F.col("bal_med"), "hi_bal")
+        .otherwise("lo_bal")
+        .alias("balance_side"),
+        F.when(F.col("r") > F.col("rev_med"), "hi_rev")
+        .otherwise("lo_rev")
+        .alias("revenue_side"),
+    )
+    counts = quad.groupBy("balance_side", "revenue_side").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return counts.select(
+        "balance_side",
+        "revenue_side",
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(W.partitionBy()),
+            6,
+        ).alias("share"),
+    ).orderBy("balance_side", "revenue_side")
