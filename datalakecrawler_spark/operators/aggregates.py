@@ -3910,3 +3910,155 @@ def quality_tax_rate_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("tax_pct").between(0, 8).alias("in_whitelist"),
     ).orderBy("tax_pct")
+
+
+@register(
+    "quality_negative_lag_scan",
+    group="B",
+    oracle="""
+    with j as (
+      select date_diff('day', o.o_orderdate, l.l_shipdate) as lag_d
+      from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+    )
+    select cast(count(*) as bigint) as n_lines,
+           cast(count(*) filter (where lag_d < 0) as bigint)
+             as n_negative_lag,
+           cast(count(*) filter (where lag_d = 0) as bigint)
+             as n_same_day,
+           cast(min(lag_d) as bigint) as worst_lag_days
+    from j
+    """,
+)
+def quality_negative_lag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: temporal-causality audit — lines whose ship date
+    precedes their order date (impossible unless clocks, timezones
+    or backdated corrections are broken; same-day ships reported
+    separately as the legitimate boundary). The cross-column
+    ordering constraint quality_constraint_suite's single-column
+    rules can't see. One join + conditional counts; integer day
+    arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_d"
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("lag_d") < 0, 1)).alias("n_negative_lag"),
+        F.count(F.when(F.col("lag_d") == 0, 1)).alias("n_same_day"),
+        F.min("lag_d").alias("worst_lag_days"),
+    )
+
+
+@register(
+    "orders_same_day_splits",
+    group="E",
+    oracle="""
+    with per_day as (
+      select o_custkey, cast(date_trunc('day', o_orderdate) as date)
+               as d, cast(count(*) as bigint) as k
+      from orders group by 1, 2
+    )
+    select cast(count(*) as bigint) as n_customer_days,
+           cast(count(*) filter (where k > 1) as bigint)
+             as n_multi_order_days,
+           cast(max(k) as bigint) as max_orders_one_day,
+           round(cast(count(*) filter (where k > 1) as double)
+                 / count(*), 6) as split_day_rate
+    from per_day
+    """,
+)
+def orders_same_day_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: same-day multi-order scan — customer-days carrying more
+    than one order (split carts, retry submissions, or integration
+    double-posts — quality_double_billing_scan flags the
+    equal-amount subset; this is the volume view feeding order-
+    consolidation logic). One (customer, day) rollup; exact counts."""
+    o = load(spark, sf_dir, "orders")
+    per_day = o.groupBy(
+        "o_custkey",
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return per_day.agg(
+        F.count(F.lit(1)).alias("n_customer_days"),
+        F.count(F.when(F.col("k") > 1, 1)).alias(
+            "n_multi_order_days"
+        ),
+        F.max("k").alias("max_orders_one_day"),
+        F.round(
+            F.count(F.when(F.col("k") > 1, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("split_day_rate"),
+    )
+
+
+@register(
+    "part_realized_vs_list_price",
+    group="E",
+    oracle="""
+    with j as (
+      select p.p_brand,
+             cast(floor(l.l_extendedprice / l.l_quantity * 1e4 + 0.5)
+                  as bigint) as unit4,
+             cast(floor(p.p_retailprice * 1e4 + 0.5) as bigint)
+               as list4
+      from lineitem l join part p on p.p_partkey = l.l_partkey
+      where l.l_quantity > 0
+    )
+    select p_brand,
+           cast(count(*) as bigint) as n_lines,
+           round(cast(sum(unit4) as double) / sum(list4), 6)
+             as realized_to_list_ratio,
+           cast(count(*) filter (where unit4 > list4) as bigint)
+             as n_above_list
+    from j group by 1
+    order by realized_to_list_ratio, p_brand limit 15
+    """,
+)
+def part_realized_vs_list_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: realized vs list price by brand — the ratio of summed
+    realized unit prices to summed list prices (price-realization,
+    the CPG KPI for discount discipline), plus the above-list line
+    count (premium sales or data errors — either is worth a look).
+    Unit prices quantized at the row (one IEEE division), list
+    prices likewise; the ratio-of-sums form weights by volume
+    correctly where an average-of-ratios would not
+    (the stats_ratio_metric_se theme). Broadcast dim join, one
+    rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = (
+        li.where(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.floor(
+                F.col("l_extendedprice") / F.col("l_quantity") * 1e4
+                + 0.5
+            ).alias("unit4"),
+            F.floor(F.col("p_retailprice") * 1e4 + 0.5).alias("list4"),
+        )
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum("unit4").cast("double") / F.sum("list4"), 6
+            ).alias("realized_to_list_ratio"),
+            F.count(
+                F.when(F.col("unit4") > F.col("list4"), 1)
+            ).alias("n_above_list"),
+        )
+        .orderBy("realized_to_list_ratio", "p_brand")
+        .limit(15)
+    )

@@ -3882,3 +3882,113 @@ def customer_quadrant_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     ).orderBy("balance_side", "revenue_side")
+
+
+@register(
+    "catalog_value_null_by_type",
+    group="B",
+    oracle="""
+    select event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(count(*) filter (where value is null) as bigint)
+             as n_null_value,
+           round(cast(count(*) filter (where value is null) as double)
+                 / count(*), 6) as null_rate
+    from events group by 1 order by event_type
+    """,
+)
+def catalog_value_null_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: CONDITIONAL null profiling — the value column's null
+    rate per event type (catalog_null_fraction reports the marginal
+    rate; nulls concentrated in specific types are usually SCHEMA
+    SEMANTICS — 'view has no value' — while nulls spread evenly are
+    instrumentation loss; the split decides whether to fix the
+    pipeline or document the contract). One conditional-count
+    rollup."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("value").isNull(), 1)).alias(
+                "n_null_value"
+            ),
+            F.round(
+                F.count(F.when(F.col("value").isNull(), 1)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("null_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_error_burst_runs",
+    group="F",
+    oracle="""
+    with seq as (
+      select user_id, ts, event_id,
+             case when event_type = 'error' then 1 else 0 end as is_err,
+             row_number() over (partition by user_id
+               order by ts, event_id) as i
+      from events
+    ),
+    err as (
+      select user_id, i,
+             i - row_number() over (partition by user_id
+               order by i) as grp
+      from seq where is_err = 1
+    ),
+    runs as (
+      select user_id, cast(count(*) as bigint) as run_len
+      from err group by user_id, grp
+    )
+    select cast(count(*) as bigint) as n_error_runs,
+           cast(max(run_len) as bigint) as longest_run,
+           round(cast(sum(run_len) as double) / count(*), 6)
+             as mean_run_len,
+           cast(count(*) filter (where run_len >= 3) as bigint)
+             as n_runs_ge3
+    from runs
+    """,
+)
+def events_error_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: error-burst run lengths — consecutive-error streaks per
+    user via gaps-and-islands (i − row_number over errors groups
+    contiguous error positions), summarized as run count, longest
+    burst, mean length and ≥3 bursts (a mean near 1 = independent
+    errors; long runs = users STUCK in an error loop, the signal
+    events_post_error_behavior quantifies transition-wise). Two
+    windows on the user shuffle; exact integer runs."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_err"
+        ),
+        F.row_number().over(w).alias("i"),
+    )
+    err = seq.filter(F.col("is_err") == 1).select(
+        "user_id",
+        (
+            F.col("i")
+            - F.row_number().over(
+                W.partitionBy("user_id").orderBy("i")
+            )
+        ).alias("grp"),
+    )
+    runs = err.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.agg(
+        F.count(F.lit(1)).alias("n_error_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.round(
+            F.sum("run_len").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_run_len"),
+        F.count(F.when(F.col("run_len") >= 3, 1)).alias("n_runs_ge3"),
+    )

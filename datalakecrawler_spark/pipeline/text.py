@@ -2461,3 +2461,50 @@ def corpus_source_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("league_position")
         .limit(10)
     )
+
+
+@register(
+    "text_short_doc_scan",
+    group="J",
+    oracle="""
+    with t as (
+      select source,
+             cast(len(string_split(text, ' ')) as bigint) as toks
+      from documents
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(count(*) filter (where toks < 20) as bigint)
+             as n_short,
+           round(cast(count(*) filter (where toks < 20) as double)
+                 / count(*), 6) as short_rate,
+           cast(min(toks) as bigint) as min_tokens
+    from t group by 1 order by source
+    """,
+)
+def text_short_doc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: short-document scan — docs under 20 tokens per source
+    (stubs, nav fragments, truncated fetches: the length-floor
+    filter every corpus pipeline applies first because short docs
+    cost metadata overhead and teach nothing; text_truncation_loss
+    budgets the LONG tail, this gates the SHORT one — together they
+    bracket the usable length band). One tokenize-count pass;
+    exact counts."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("toks") < 20, 1)).alias("n_short"),
+            F.round(
+                F.count(F.when(F.col("toks") < 20, 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("short_rate"),
+            F.min("toks").alias("min_tokens"),
+        )
+        .orderBy("source")
+    )
