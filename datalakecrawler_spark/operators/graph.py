@@ -1131,3 +1131,158 @@ def graph_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max("d9") <= 1000).alias("converged_at_1e_minus6"),
     )
+
+
+@register(
+    "graph_partition_rand_index",
+    group="J",
+    oracle=f"""
+    with recursive {_EDGE_CTE},
+    sym as (
+      select pa as src, pb as dst from edges
+      union all
+      select pb as src, pa as dst from edges
+    ),
+    reach as (
+      select src as node, dst as r from sym
+      union
+      select reach.node, sym.dst as r
+      from reach join sym on sym.src = reach.r
+      where sym.dst <> reach.node
+    ),
+    comp as (
+      select node as v, least(node, min(r)) as c
+      from reach group by 1
+    ),
+    l0 as (select distinct src as v, src as lbl from sym),
+    votes1 as (
+      select sym.src as v, l0.lbl, count(*) as cnt
+      from sym join l0 on l0.v = sym.dst
+      group by 1, 2
+    ),
+    l1 as (
+      select v, min(lbl) filter (where rk = 1) as lbl from (
+        select v, lbl,
+               rank() over (partition by v order by cnt desc) as rk
+        from votes1) t
+      group by 1
+    ),
+    votes2 as (
+      select sym.src as v, l1.lbl, count(*) as cnt
+      from sym join l1 on l1.v = sym.dst
+      group by 1, 2
+    ),
+    l2 as (
+      select v, min(lbl) filter (where rk = 1) as lbl from (
+        select v, lbl,
+               rank() over (partition by v order by cnt desc) as rk
+        from votes2) t
+      group by 1
+    ),
+    both_lbl as (
+      select comp.v, comp.c, l2.lbl from comp join l2 using (v)
+    ),
+    n as (select cast(count(*) as bigint) as n from both_lbl),
+    cell as (
+      select c, lbl, cast(count(*) as bigint) as k
+      from both_lbl group by 1, 2
+    ),
+    rowm as (select c, cast(sum(k) as bigint) as a from cell group by 1),
+    colm as (select lbl, cast(sum(k) as bigint) as b from cell
+             group by 1),
+    sums as (
+      select (select cast(sum(k * (k - 1) / 2) as bigint) from cell)
+               as s_cell,
+             (select cast(sum(a * (a - 1) / 2) as bigint) from rowm)
+               as s_row,
+             (select cast(sum(b * (b - 1) / 2) as bigint) from colm)
+               as s_col,
+             (select n * (n - 1) / 2 from n) as s_tot
+      from n
+    )
+    select (select n from n) as n_nodes,
+           round(cast(s_cell + s_tot - s_row - s_col + s_cell
+                 as double) / s_tot, 6) as rand_index
+    from sums
+    """,
+)
+def graph_partition_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Rand index between the CONNECTED-COMPONENT partition and
+    the 2-round LPA COMMUNITY partition — pair-counting agreement
+    (same-cluster-in-both + different-in-both over all node pairs):
+    the principled answer to 'did LPA just rediscover components or
+    find finer structure?' (RI ≈ 1 → LPA adds nothing over
+    reachability; graph_modularity scores the partition against the
+    GRAPH, RI scores it against another PARTITION). Both labelings
+    are the repo's deterministic fixpoints; agreement terms reduce
+    to contingency-cell and marginal C(k,2) sums — pure integer
+    arithmetic from one label join."""
+    edges = _edges(spark, sf_dir)
+    sym = _sym(edges)
+    comp = connected_components_graph(
+        edges.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst")
+        )
+    ).select(F.col("node").alias("v"), F.col("comp").alias("c"))
+    l = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(2):
+        votes = (
+            sym.join(
+                F.broadcast(l.withColumnRenamed("v", "nbr")),
+                F.col("dst") == F.col("nbr"),
+            )
+            .groupBy(F.col("src").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rk = F.rank().over(
+            W.partitionBy("v").orderBy(F.col("cnt").desc())
+        )
+        l = (
+            votes.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    both = comp.join(l, "v").localCheckpoint()
+    cell = both.groupBy("c", "lbl").agg(F.count(F.lit(1)).alias("k"))
+    s_cell = cell.agg(
+        F.sum(F.col("k") * (F.col("k") - 1) / 2)
+        .cast("long")
+        .alias("s_cell")
+    )
+    s_row = (
+        both.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .agg(
+            F.sum(F.col("a") * (F.col("a") - 1) / 2)
+            .cast("long")
+            .alias("s_row")
+        )
+    )
+    s_col = (
+        both.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .agg(
+            F.sum(F.col("b") * (F.col("b") - 1) / 2)
+            .cast("long")
+            .alias("s_col")
+        )
+    )
+    n_row = both.agg(F.count(F.lit(1)).alias("n_nodes"))
+    j = (
+        n_row.crossJoin(F.broadcast(s_cell))
+        .crossJoin(F.broadcast(s_row))
+        .crossJoin(F.broadcast(s_col))
+    )
+    s_tot = (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2).cast(
+        "long"
+    )
+    ri = (
+        F.col("s_cell") + s_tot - F.col("s_row") - F.col("s_col")
+        + F.col("s_cell")
+    ).cast("double") / s_tot
+    return j.select(
+        "n_nodes", F.round(ri, 6).alias("rand_index")
+    )

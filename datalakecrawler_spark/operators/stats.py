@@ -3257,3 +3257,112 @@ def events_ab_funnel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("click_to_purchase"),
     ).orderBy("variant")
+
+
+@register(
+    "events_ab_guardrails",
+    group="J",
+    oracle="""
+    with per_user as (
+      select user_id, user_id % 2 as variant,
+             cast(count(*) as bigint) as n_events,
+             cast(count(*) filter (where event_type = 'error')
+                  as bigint) as n_errors
+      from events group by 1, 2
+    ),
+    arms as (
+      select variant,
+             cast(count(*) as bigint) as n_users,
+             cast(sum(n_events) as bigint) as events,
+             cast(sum(n_errors) as bigint) as errors
+      from per_user group by 1
+    ),
+    w as (
+      select max(case when variant = 1 then n_users end) as nu1,
+             max(case when variant = 1 then events end) as e1,
+             max(case when variant = 1 then errors end) as x1,
+             max(case when variant = 0 then n_users end) as nu0,
+             max(case when variant = 0 then events end) as e0,
+             max(case when variant = 0 then errors end) as x0
+      from arms
+    )
+    select nu1 as n_treatment_users, nu0 as n_control_users,
+           round(cast(x1 as double) / e1, 6) as error_rate_treatment,
+           round(cast(x0 as double) / e0, 6) as error_rate_control,
+           cast(x1 as double) * e0 * 10 > cast(x0 as double) * e1 * 11
+             as guardrail_error_breach,
+           round(cast(e1 as double) / nu1, 6) as events_per_user_t,
+           round(cast(e0 as double) / nu0, 6) as events_per_user_c,
+           cast(e1 as double) * nu0 * 10 < cast(e0 as double) * nu1 * 9
+             as guardrail_engagement_breach
+    from w
+    """,
+)
+def events_ab_guardrails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: experiment guardrails — the DO-NO-HARM metrics every
+    launch review checks alongside the success metric: error rate
+    must not exceed control by >10% and engagement (events/user)
+    must not drop >10% (breaching either vetoes a 'winning'
+    treatment — the asymmetry between optimizing one metric and
+    protecting the rest). Both breach tests are integer
+    cross-multiplications (x1·e0·10 > x0·e1·11 ⟺ rate ratio > 1.1)
+    — no float at the decision boundary. One per-user collapse +
+    per-arm rollup shared with the readout family."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias(
+            "n_errors"
+        ),
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("events"),
+        F.sum("n_errors").alias("errors"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias(
+            "nu1"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("events"))).alias(
+            "e1"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("errors"))).alias(
+            "x1"
+        ),
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias(
+            "nu0"
+        ),
+        F.max(F.when(F.col("variant") == 0, F.col("events"))).alias(
+            "e0"
+        ),
+        F.max(F.when(F.col("variant") == 0, F.col("errors"))).alias(
+            "x0"
+        ),
+    )
+    return w.select(
+        F.col("nu1").alias("n_treatment_users"),
+        F.col("nu0").alias("n_control_users"),
+        F.round(
+            F.col("x1").cast("double") / F.col("e1"), 6
+        ).alias("error_rate_treatment"),
+        F.round(
+            F.col("x0").cast("double") / F.col("e0"), 6
+        ).alias("error_rate_control"),
+        (
+            F.col("x1").cast("double") * F.col("e0") * 10
+            > F.col("x0").cast("double") * F.col("e1") * 11
+        ).alias("guardrail_error_breach"),
+        F.round(
+            F.col("e1").cast("double") / F.col("nu1"), 6
+        ).alias("events_per_user_t"),
+        F.round(
+            F.col("e0").cast("double") / F.col("nu0"), 6
+        ).alias("events_per_user_c"),
+        (
+            F.col("e1").cast("double") * F.col("nu0") * 10
+            < F.col("e0").cast("double") * F.col("nu1") * 9
+        ).alias("guardrail_engagement_breach"),
+    )
