@@ -3992,3 +3992,87 @@ def events_error_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_run_len"),
         F.count(F.when(F.col("run_len") >= 3, 1)).alias("n_runs_ge3"),
     )
+
+
+@register(
+    "events_daily_metrics_long",
+    group="J",
+    oracle="""
+    with d as (
+      select cast(date_trunc('day', ts) as date) as day,
+             cast(count(*) as bigint) as events,
+             cast(count(distinct user_id) as bigint) as dau,
+             cast(count(*) filter (where event_type = 'purchase')
+                  as bigint) as purchases,
+             cast(count(*) filter (where event_type = 'error')
+                  as bigint) as errors
+      from events group by 1
+    )
+    select day, metric, value from (
+      select day, 'events' as metric, cast(events as double) as value
+      from d
+      union all
+      select day, 'dau', cast(dau as double) from d
+      union all
+      select day, 'purchases', cast(purchases as double) from d
+      union all
+      select day, 'error_rate',
+             round(cast(errors as double) / events, 6) from d
+    ) t
+    order by day, metric
+    """,
+)
+def events_daily_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the metrics-store export — four daily KPIs (events, DAU,
+    purchases, error rate) in LONG format (day, metric, value): the
+    contract shape every metrics layer and dashboard ingests, where
+    adding a metric adds ROWS not columns (schema-stable under
+    metric growth — the reason semantic layers standardize on long
+    form; the wide per-metric operators remain the computation, this
+    is the publishing surface). One rollup computes all four; the
+    unpivot is a 4-way literal projection. Counts exact; the one
+    ratio fixed-order."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.count_distinct("user_id").alias("dau"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias(
+            "errors"
+        ),
+    )
+    rows = (
+        d.select(
+            "day",
+            F.lit("events").alias("metric"),
+            F.col("events").cast("double").alias("value"),
+        )
+        .unionAll(
+            d.select(
+                "day",
+                F.lit("dau").alias("metric"),
+                F.col("dau").cast("double").alias("value"),
+            )
+        )
+        .unionAll(
+            d.select(
+                "day",
+                F.lit("purchases").alias("metric"),
+                F.col("purchases").cast("double").alias("value"),
+            )
+        )
+        .unionAll(
+            d.select(
+                "day",
+                F.lit("error_rate").alias("metric"),
+                F.round(
+                    F.col("errors").cast("double") / F.col("events"), 6
+                ).alias("value"),
+            )
+        )
+    )
+    return rows.orderBy("day", "metric")

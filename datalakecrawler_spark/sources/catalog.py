@@ -2483,3 +2483,44 @@ def catalog_sample_accuracy_probe(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(samp, 4).alias("sample_mean"),
         F.round(F.abs(samp - exact) / exact, 6).alias("relative_error"),
     )
+
+
+@register(
+    "catalog_table_manifest",
+    group="B",
+    oracle="""
+    select tbl, n_rows from (
+      select 'region' as tbl, cast(count(*) as bigint) as n_rows
+      from region
+      union all select 'nation', count(*) from nation
+      union all select 'customer', count(*) from customer
+      union all select 'supplier', count(*) from supplier
+      union all select 'part', count(*) from part
+      union all select 'orders', count(*) from orders
+      union all select 'lineitem', count(*) from lineitem
+      union all select 'events', count(*) from events
+      union all select 'documents', count(*) from documents
+      union all select 'embeddings', count(*) from embeddings
+    ) t order by tbl
+    """,
+)
+def catalog_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: the table manifest — exact row counts for every fixture
+    table in one result: the crawler's top-level inventory row
+    (catalog_crawl_run profiles WITHIN tables; this is the
+    cross-table census whose deltas between runs are the cheapest
+    possible change-detection signal, and the first thing a
+    downstream consumer sanity-checks against). Ten single-pass
+    counts unioned driver-sized; at 100 TB each count comes free
+    from parquet footer metadata (catalog_footer_stats) rather than
+    a scan — same output, no read."""
+    from datalakecrawler_spark.io import TABLES
+
+    out = None
+    for t in sorted(TABLES):
+        row = load(spark, sf_dir, t).agg(
+            F.lit(t).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("tbl")
