@@ -3366,3 +3366,141 @@ def events_ab_guardrails(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("e0").cast("double") * F.col("nu1") * 9
         ).alias("guardrail_engagement_breach"),
     )
+
+
+@register(
+    "events_ab_z_timeline",
+    group="J",
+    oracle="""
+    with users as (
+      select user_id, user_id % 2 as variant,
+             cast(date_trunc('day', min(ts)) as date) as enter_day,
+             cast(date_trunc('day', min(case when event_type =
+               'purchase' then ts end)) as date) as conv_day
+      from events group by 1, 2
+    ),
+    days as (
+      select distinct cast(date_trunc('day', ts) as date) as d
+      from events
+    ),
+    cum as (
+      select d.d,
+             cast(count(*) filter (where u.variant = 0
+               and u.enter_day <= d.d) as bigint) as n0,
+             cast(count(*) filter (where u.variant = 0
+               and u.conv_day <= d.d) as bigint) as c0,
+             cast(count(*) filter (where u.variant = 1
+               and u.enter_day <= d.d) as bigint) as n1,
+             cast(count(*) filter (where u.variant = 1
+               and u.conv_day <= d.d) as bigint) as c1
+      from days d cross join users u
+      group by 1
+    )
+    select d as day, n0 + n1 as users_entered,
+           round((cast(c1 as double) / n1 - cast(c0 as double) / n0)
+                 / sqrt((cast(c0 + c1 as double) / (n0 + n1))
+                        * (1 - cast(c0 + c1 as double) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) as z_to_date,
+           abs((cast(c1 as double) / n1 - cast(c0 as double) / n0)
+               / sqrt((cast(c0 + c1 as double) / (n0 + n1))
+                      * (1 - cast(c0 + c1 as double) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))) > 1.959964
+             as significant_to_date
+    from cum
+    where n0 > 0 and n1 > 0
+      and c0 + c1 > 0 and c0 + c1 < n0 + n1
+    order by d desc limit 15
+    """,
+)
+def events_ab_z_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the experiment z-score TIMELINE — the two-proportion z
+    recomputed on the data available through each day (users who had
+    entered, conversions that had happened): the peeking curve. Its
+    whole point is cautionary — the day the curve first crosses
+    ±1.96 is NOT a valid stopping time (repeated looks inflate α;
+    the fix is sequential boundaries or the permutation/CUPED
+    machinery) — but every experimenter looks, so the platform must
+    render the look honestly. Per-user entry/conversion days from
+    one collapse; the day grid × users cross join is entity-sized
+    per day; all counts exact and the z expression is the shared
+    fixed-order form. Degenerate days (no users in an arm, zero or
+    saturated conversions) are excluded."""
+    e = load(spark, sf_dir, "events")
+    users = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias(
+            "enter_day"
+        ),
+        F.date_trunc(
+            "day",
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("ts")
+                )
+            ),
+        )
+        .cast("date")
+        .alias("conv_day"),
+    )
+    days = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    cum = (
+        days.crossJoin(users)
+        .groupBy("d")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("variant") == 0)
+                    & (F.col("enter_day") <= F.col("d")),
+                    1,
+                )
+            ).alias("n0"),
+            F.count(
+                F.when(
+                    (F.col("variant") == 0)
+                    & (F.col("conv_day") <= F.col("d")),
+                    1,
+                )
+            ).alias("c0"),
+            F.count(
+                F.when(
+                    (F.col("variant") == 1)
+                    & (F.col("enter_day") <= F.col("d")),
+                    1,
+                )
+            ).alias("n1"),
+            F.count(
+                F.when(
+                    (F.col("variant") == 1)
+                    & (F.col("conv_day") <= F.col("d")),
+                    1,
+                )
+            ).alias("c1"),
+        )
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    c0 = F.col("c0").cast("double")
+    c1 = F.col("c1").cast("double")
+    pooled = (c0 + c1) / (n0 + n1)
+    z = (c1 / n1 - c0 / n0) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / n0 + 1.0 / n1)
+    )
+    return (
+        cum.where(
+            (F.col("n0") > 0)
+            & (F.col("n1") > 0)
+            & (F.col("c0") + F.col("c1") > 0)
+            & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+        )
+        .select(
+            F.col("d").alias("day"),
+            (F.col("n0") + F.col("n1")).alias("users_entered"),
+            F.round(z, 6).alias("z_to_date"),
+            (F.abs(z) > 1.959964).alias("significant_to_date"),
+        )
+        .orderBy(F.col("day").desc())
+        .limit(15)
+    )
