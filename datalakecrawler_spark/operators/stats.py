@@ -3504,3 +3504,91 @@ def events_ab_z_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("day").desc())
         .limit(15)
     )
+
+
+@register(
+    "events_ab_lift_ci",
+    group="J",
+    oracle="""
+    with assign as (
+      select user_id, user_id % 2 as variant,
+             max(case when event_type = 'purchase' then 1 else 0 end)
+               as conv
+      from events group by 1, 2
+    ),
+    arms as (
+      select variant, cast(count(*) as bigint) as n,
+             cast(sum(conv) as bigint) as x
+      from assign group by 1
+    ),
+    w as (
+      select max(case when variant = 0 then n end) as n0,
+             max(case when variant = 0 then x end) as x0,
+             max(case when variant = 1 then n end) as n1,
+             max(case when variant = 1 then x end) as x1
+      from arms
+    ),
+    t as (
+      select n0, n1,
+             cast(x1 as double) / n1 - cast(x0 as double) / n0 as diff,
+             sqrt((cast(x0 as double) / n0)
+                  * (1 - cast(x0 as double) / n0) / n0
+                  + (cast(x1 as double) / n1)
+                    * (1 - cast(x1 as double) / n1) / n1) as se
+      from w
+    )
+    select n0 as n_control, n1 as n_treatment,
+           round(diff, 6) as lift_abs,
+           round(diff - 1.959964 * se, 6) as ci_low,
+           round(diff + 1.959964 * se, 6) as ci_high,
+           (diff - 1.959964 * se) > 0 or (diff + 1.959964 * se) < 0
+             as ci_excludes_zero
+    from t
+    """,
+)
+def events_ab_lift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the Wald 95% confidence interval on the conversion-rate
+    difference — the readout decision-makers actually consume
+    (a z-score says 'significant'; the interval says HOW MUCH and
+    with what uncertainty, and a CI spanning zero but mostly
+    positive reads very differently from one centered on zero —
+    exactly the nuance a binary verdict destroys). Unpooled SE per
+    the interval convention (the z-test pools under H₀ — the two
+    deliberately differ); exact counters, fixed-order arithmetic,
+    the exclusion flag compares identical doubles. Completes the
+    readout family: z (verdict), CI (magnitude), MDE (capability),
+    CUPED (precision), SRM/guardrails (validity), timeline
+    (honesty)."""
+    e = load(spark, sf_dir, "events")
+    assign = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    diff = p1 - p0
+    se = F.sqrt(
+        p0 * (1 - p0) / F.col("n0") + p1 * (1 - p1) / F.col("n1")
+    )
+    lo = diff - 1.959964 * se
+    hi = diff + 1.959964 * se
+    return w.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round(diff, 6).alias("lift_abs"),
+        F.round(lo, 6).alias("ci_low"),
+        F.round(hi, 6).alias("ci_high"),
+        ((lo > 0) | (hi < 0)).alias("ci_excludes_zero"),
+    )
