@@ -299,7 +299,12 @@ def crawl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any scan task launches."""
     import time
 
-    base = _tmp("incremental_crawl")
+    # Per-process staging dir: the watermark logic is mtime-ordering
+    # sensitive, so two sessions staging into one directory interleave
+    # writes and corrupt each other's "what is new" answer (observed
+    # when the pytest suite and a driver-sim sweep overlap). Content
+    # is identical per process; only isolation matters.
+    base = _tmp(f"incremental_crawl_{os.getpid()}")
     n = load(spark, sf_dir, "nation")
     n.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "t0_a"))
     n.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "t0_b"))
