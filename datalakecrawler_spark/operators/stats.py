@@ -3592,3 +3592,71 @@ def events_ab_lift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hi, 6).alias("ci_high"),
         ((lo > 0) | (hi < 0)).alias("ci_excludes_zero"),
     )
+
+
+@register(
+    "orders_interarrival_cv_trend",
+    group="F",
+    oracle="""
+    with gaps as (
+      select cast(date_trunc('quarter', o_orderdate) as date) as qtr,
+             date_diff('day',
+               lag(o_orderdate) over (partition by o_custkey
+                 order by o_orderdate, o_orderkey),
+               o_orderdate) as g
+      from orders
+    ),
+    q as (
+      select qtr,
+             cast(count(*) as bigint) as n,
+             cast(sum(g) as bigint) as s,
+             cast(sum(g * g) as bigint) as sq
+      from gaps where g is not null and g > 0
+      group by 1 having count(*) >= 30
+    )
+    select qtr, n as n_gaps,
+           round(cast(s as double) / n, 4) as mean_gap_days,
+           round(sqrt((cast(sq as double)
+                       - n * (cast(s as double) / n)
+                         * (cast(s as double) / n)) / (n - 1))
+                 / (cast(s as double) / n), 6) as cv
+    from q order by qtr
+    """,
+)
+def orders_interarrival_cv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: demand-regularity trend — the coefficient of variation
+    of inter-order gaps per QUARTER (customer_order_gap_regularity
+    is the per-customer cross-section; this is the time series:
+    a rising CV means demand is getting lumpier, which drives
+    safety-stock and staffing models — the operations read of the
+    same statistic). Per-quarter (n, Σ, Σ²) exact-int moments over
+    lag-window gaps on the custkey shuffle; ≥30-gap floor for
+    stable variances; fixed-order CV."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull() & (F.col("g") > 0))
+    q = (
+        gaps.groupBy("qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(F.col("g") * F.col("g")).alias("sq"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("sq").cast("double") - F.col("n") * mean * mean)
+        / (F.col("n") - 1)
+    )
+    return q.select(
+        "qtr",
+        F.col("n").alias("n_gaps"),
+        F.round(mean, 4).alias("mean_gap_days"),
+        F.round(sd / mean, 6).alias("cv"),
+    ).orderBy("qtr")
