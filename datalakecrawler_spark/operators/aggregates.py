@@ -4062,3 +4062,74 @@ def part_realized_vs_list_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("realized_to_list_ratio", "p_brand")
         .limit(15)
     )
+
+
+@register(
+    "part_type_rollup_share",
+    group="E",
+    oracle="""
+    with j as (
+      select split_part(p.p_type, ' ', 1) as type_l1,
+             p.p_type as type_full,
+             cast(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6
+                  + 0.5) as bigint) as v
+      from lineitem l join part p on p.p_partkey = l.l_partkey
+    ),
+    lvl as (
+      select type_l1, cast(sum(v) as bigint) as r,
+             cast(count(distinct type_full) as bigint) as n_subtypes
+      from j group by 1
+    ),
+    tot as (select cast(sum(r) as bigint) as t from lvl)
+    select type_l1, n_subtypes,
+           round(cast(r as double) / 1e6, 2) as revenue,
+           round(cast(r as double) / t, 6) as revenue_share
+    from lvl, tot
+    order by r desc, type_l1
+    """,
+)
+def part_type_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: derived-hierarchy rollup — p_type's first token treated
+    as a category level ('STANDARD ANODIZED BRASS' → 'STANDARD'),
+    with revenue share per level-1 class and its subtype count: the
+    string-derived-dimension pattern (real catalogs bury hierarchy
+    in composite codes; split_part extracts it without a dim table —
+    the poor-man's snowflake that precedes proper dimensional
+    modeling). Micro-exact revenue, broadcast dim join, one
+    rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias(
+            "type_l1"
+        ),
+        F.col("p_type").alias("type_full"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+            + 0.5
+        ).alias("v"),
+    )
+    lvl = j.groupBy("type_l1").agg(
+        F.sum("v").alias("r"),
+        F.count_distinct("type_full").alias("n_subtypes"),
+    )
+    tot = lvl.agg(F.sum("r").alias("t"))
+    return (
+        lvl.crossJoin(F.broadcast(tot))
+        .select(
+            "type_l1",
+            "n_subtypes",
+            F.round(F.col("r").cast("double") / 1e6, 2).alias(
+                "revenue"
+            ),
+            F.round(F.col("r").cast("double") / F.col("t"), 6).alias(
+                "revenue_share"
+            ),
+            F.col("r").alias("_r"),
+        )
+        .orderBy(F.col("_r").desc(), "type_l1")
+        .drop("_r")
+    )
