@@ -1286,3 +1286,119 @@ def graph_partition_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "n_nodes", F.round(ri, 6).alias("rand_index")
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    e as (select pa, pb from edges),
+    sym as (
+      select pa as src from e union all select pb from e
+    ),
+    deg as (select src, cast(count(*) as bigint) as d from sym group by 1),
+    tris as (
+      select e1.pa as a, e1.pb as b, e2.pb as c
+      from e e1
+      join e e2 on e2.pa = e1.pb
+      join e e3 on e3.pa = e1.pa and e3.pb = e2.pb
+    ),
+    tn as (
+      select a as node from tris
+      union all select b from tris
+      union all select c from tris
+    ),
+    tcount as (
+      select node, cast(count(*) as bigint) as t from tn group by 1
+    ),
+    loc as (
+      select deg.src, deg.d, coalesce(t, 0) as t
+      from deg left join tcount on deg.src = tcount.node
+      where deg.d >= 2
+    ),
+    q as (
+      select cast(count(*) as bigint) as n_nodes,
+             cast(sum(cast(floor(2.0 * t / (d * (d - 1)) * 1e9 + 0.5)
+                  as bigint)) as bigint) as s9,
+             cast(sum(d * (d - 1)) as bigint) as wedges_x2,
+             cast(sum(t) as bigint) as t3
+      from loc
+    )
+    select n_nodes, t3 // 3 as n_triangles, wedges_x2 // 2 as n_wedges,
+           round(cast(s9 as double) / 1e9 / n_nodes, 6) as avg_local_cc,
+           round(2 * cast(t3 as double) / wedges_x2, 6) as transitivity
+    from q
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: clustering coefficients of the co-purchase graph — both
+    the average LOCAL coefficient (mean over deg>=2 nodes of
+    2*t_i/d_i(d_i-1)) and the GLOBAL transitivity (3*triangles /
+    wedges), which answer different questions (local: 'are my
+    neighbors connected'; global: wedge-closure probability — hub
+    nodes dominate). Reuses graph_triangle_count's ordered-triple
+    enumeration on the checkpointed support-pruned edge table (the
+    oriented a<b<c join bounds intermediate size by the edge list's
+    adjacency, the standard distributed-triangle trick); per-node
+    coefficients are exact rationals nano-quantized before the
+    cross-node sum, so no float accumulates in group order."""
+    edges = _edges(spark, sf_dir)
+    e = edges.select("pa", "pb")
+    deg = (
+        _sym(edges)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    tn = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    tcount = tn.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    loc = (
+        deg.join(tcount, deg.src == tcount.node, "left")
+        .select(
+            "d", F.coalesce(F.col("t"), F.lit(0)).alias("t")
+        )
+        .filter(F.col("d") >= 2)
+    )
+    q = loc.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(
+            F.floor(
+                2.0
+                * F.col("t")
+                / (F.col("d") * (F.col("d") - 1))
+                * 1e9
+                + 0.5
+            )
+        ).alias("s9"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("wedges_x2"),
+        F.sum("t").alias("t3"),
+    )
+    return q.select(
+        "n_nodes",
+        (F.col("t3") / 3).cast("long").alias("n_triangles"),
+        (F.col("wedges_x2") / 2).cast("long").alias("n_wedges"),
+        F.round(
+            F.col("s9").cast("double") / 1e9 / F.col("n_nodes"), 6
+        ).alias("avg_local_cc"),
+        F.round(
+            2 * F.col("t3").cast("double") / F.col("wedges_x2"), 6
+        ).alias("transitivity"),
+    )

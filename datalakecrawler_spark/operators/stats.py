@@ -3660,3 +3660,686 @@ def orders_interarrival_cv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 4).alias("mean_gap_days"),
         F.round(sd / mean, 6).alias("cv"),
     ).orderBy("qtr")
+
+
+@register(
+    "stats_kendall_tau",
+    group="J",
+    oracle="""
+    with cells as (
+      select cast(floor(l_quantity + 0.5) as bigint) as q,
+             cast(floor(l_discount * 100 + 0.5) as bigint) as d,
+             cast(count(*) as bigint) as n
+      from lineitem group by 1, 2
+    ),
+    pairs as (
+      select cast(sum(case when a.q < b.q and a.d < b.d
+                           then a.n * b.n else 0 end) as bigint) as nc,
+             cast(sum(case when a.q < b.q and a.d > b.d
+                           then a.n * b.n else 0 end) as bigint) as nd
+      from cells a cross join cells b
+    ),
+    tot as (select cast(sum(n) as bigint) as n from cells),
+    tx as (
+      select cast(sum(nq * (nq - 1)) as bigint) as t1x2
+      from (select q, cast(sum(n) as bigint) as nq from cells group by 1)
+    ),
+    ty as (
+      select cast(sum(nd2 * (nd2 - 1)) as bigint) as t2x2
+      from (select d, cast(sum(n) as bigint) as nd2 from cells group by 1)
+    )
+    select n as n_rows, nc as concordant, nd as discordant,
+           round((cast(nc as double) - cast(nd as double))
+                 / sqrt((cast(n as double) * (n - 1) / 2
+                         - cast(t1x2 as double) / 2)
+                        * (cast(n as double) * (n - 1) / 2
+                           - cast(t2x2 as double) / 2)), 6) as tau_b
+    from pairs, tot, tx, ty
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Kendall's tau-b rank correlation between l_quantity and
+    l_discount — the ordinal-association companion to
+    stats_spearman_corr (tau is preferred when the marginals are
+    heavily tied, exactly this pair: 50 x 11 distinct values). The
+    O(n^2) pair count collapses to the CONTINGENCY TABLE: one
+    data-sized groupBy to ~550 cells, then a 550x550 broadcast cross
+    join counts concordant/discordant mass as exact products of cell
+    counts — at 100 TB the cell table is still bounded by the value
+    domains, not the row count. Tie corrections from the cell
+    margins; everything integer until the single closed-form tau-b
+    expression (products ~1e13 are exactly representable doubles)."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.floor(F.col("l_quantity") + 0.5).alias("q"),
+            F.floor(F.col("l_discount") * 100 + 0.5).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("a.q") < F.col("b.q")) & (F.col("a.d") < F.col("b.d")),
+                F.col("a.n") * F.col("b.n"),
+            ).otherwise(F.lit(0))
+        ).alias("nc"),
+        F.sum(
+            F.when(
+                (F.col("a.q") < F.col("b.q")) & (F.col("a.d") > F.col("b.d")),
+                F.col("a.n") * F.col("b.n"),
+            ).otherwise(F.lit(0))
+        ).alias("nd"),
+    )
+    tot = cells.agg(F.sum("n").alias("n"))
+    tx = (
+        cells.groupBy("q")
+        .agg(F.sum("n").alias("nq"))
+        .agg(F.sum(F.col("nq") * (F.col("nq") - 1)).alias("t1x2"))
+    )
+    ty = (
+        cells.groupBy("d")
+        .agg(F.sum("n").alias("nd2"))
+        .agg(F.sum(F.col("nd2") * (F.col("nd2") - 1)).alias("t2x2"))
+    )
+    j = pairs.crossJoin(tot).crossJoin(tx).crossJoin(ty)
+    n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    denom = F.sqrt(
+        (n0 - F.col("t1x2").cast("double") / 2)
+        * (n0 - F.col("t2x2").cast("double") / 2)
+    )
+    return j.select(
+        F.col("n").alias("n_rows"),
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        F.round(
+            (F.col("nc").cast("double") - F.col("nd").cast("double")) / denom, 6
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "stats_levene_bf",
+    group="J",
+    oracle="""
+    with x as (
+      select o_orderpriority as grp,
+             cast(floor(o_totalprice + 0.5) as bigint) as xi
+      from orders
+    ),
+    med as (
+      select grp,
+             cast(floor(2 * quantile_cont(xi, 0.5) + 0.5) as bigint) as med2
+      from x group by 1
+    ),
+    z as (
+      select x.grp, abs(2 * xi - med2) as z
+      from x join med on x.grp = med.grp
+    ),
+    g as (
+      select grp, cast(count(*) as bigint) as nj,
+             cast(sum(z) as bigint) as sz,
+             cast(sum(z * z) as bigint) as szz
+      from z group by 1
+    ),
+    t as (
+      select cast(sum(nj) as bigint) as n,
+             cast(count(*) as bigint) as k,
+             cast(sum(sz) as bigint) as szt
+      from g
+    ),
+    terms as (
+      select cast(sum(cast(floor(nj
+                 * (cast(sz as double) / nj - cast(szt as double) / n)
+                 * (cast(sz as double) / nj - cast(szt as double) / n)
+                 * 1e4 + 0.5) as bigint)) as bigint) as ssb4,
+             cast(sum(cast(floor((szz
+                 - cast(sz as double) * sz / nj) + 0.5)
+                 as bigint)) as bigint) as ssw0,
+             any_value(n) as n, any_value(k) as k
+      from g, t
+    )
+    select n as n_rows, k as n_groups,
+           round((cast(ssb4 as double) / 1e4 / (k - 1))
+                 / (cast(ssw0 as double) / (n - k)), 6) as f_bf
+    from terms
+    """,
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity of o_totalprice across the five order priorities —
+    the gate before any pooled-variance comparison
+    (stats_ttest_welch's diagnostic sibling). Prices quantized to
+    integer dollars so group medians interpolate to exact halves
+    (carried as 2*median bigint) and the absolute deviations z are
+    EXACT integers; per-group moment sums are exact bigints; the two
+    sums of squares collapse to per-group closed-form doubles that
+    are deci-milli/unit-quantized and integer-summed across the 5
+    groups (group iteration order never touches a float
+    accumulation). One data-sized pass for medians (5-row broadcast
+    back), one for moments."""
+    o = load(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") + 0.5).alias("xi"),
+    )
+    med = x.groupBy("grp").agg(
+        F.floor(2 * F.percentile("xi", F.lit(0.5)) + 0.5).alias("med2")
+    )
+    z = x.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("xi") - F.col("med2")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    t = g.agg(
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("szt"),
+    )
+    gt = g.crossJoin(F.broadcast(t))
+    dev = (
+        F.col("sz").cast("double") / F.col("nj")
+        - F.col("szt").cast("double") / F.col("n")
+    )
+    terms = gt.agg(
+        F.sum(F.floor(F.col("nj") * dev * dev * 1e4 + 0.5)).alias("ssb4"),
+        F.sum(
+            F.floor(
+                (
+                    F.col("szz")
+                    - F.col("sz").cast("double") * F.col("sz") / F.col("nj")
+                )
+                + 0.5
+            )
+        ).alias("ssw0"),
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+    )
+    return terms.select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.round(
+            (F.col("ssb4").cast("double") / 1e4 / (F.col("k") - 1))
+            / (F.col("ssw0").cast("double") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_bf"),
+    )
+
+
+@register(
+    "ts_ljung_box",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(floor(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5)
+                  as bigint)) as double) / 1e9 + 0.5) as bigint) as xk
+      from orders group by 1
+    ),
+    r as (
+      select xk, row_number() over (order by day) as i from daily
+    ),
+    nn as (select cast(count(*) as bigint) as n from r),
+    lags as (select * from (values (1), (2), (3), (4), (5), (6), (7)) l(lag)),
+    pairs as (
+      select l.lag, a.xk as x, b.xk as y
+      from lags l
+      join r a on true
+      join r b on b.i = a.i + l.lag
+    ),
+    m as (
+      select lag, cast(count(*) as bigint) as np,
+             cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(x * x) as bigint) as sxx,
+             cast(sum(y * y) as bigint) as syy
+      from pairs group by 1
+    ),
+    rho as (
+      select lag,
+             (cast(np as double) * sxy - cast(sx as double) * sy)
+             / sqrt((cast(np as double) * sxx - cast(sx as double) * sx)
+                    * (cast(np as double) * syy - cast(sy as double) * sy))
+               as acf
+      from m
+    ),
+    q as (
+      select cast(sum(cast(floor(acf * acf
+                 / ((select n from nn) - lag) * 1e12 + 0.5) as bigint))
+             as bigint) as s12
+      from rho
+    )
+    select (select n from nn) as n_days, 7 as dof,
+           round((select n from nn) * ((select n from nn) + 2)
+                 * cast(s12 as double) / 1e12, 6) as q_stat
+    from q
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: Ljung-Box portmanteau statistic Q = n(n+2) * sum_k
+    rho_k^2/(n-k) over lags 1..7 of the daily-revenue series — the
+    standard 'is there ANY autocorrelation' white-noise gate that
+    turns ts_acf's per-lag correlogram into one decision number
+    (compare against chi-square(7)). Reuses ts_acf's construction
+    exactly: calendar-sized series, kilodollar-int values, exact
+    per-lag moment bigints; each rho_k is a fixed-order IEEE
+    expression whose squared/(n-k) term is pico-quantized and
+    integer-summed across the 7 lags, so the lag-combination order
+    never sums floats."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast("double")
+            / 1e9
+            + 0.5
+        ).alias("xk")
+    )
+    r = daily.select(
+        "xk", F.row_number().over(W.orderBy("day")).alias("i")
+    ).localCheckpoint()
+    n_days = r.count()
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a, b = r.alias("a"), r.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .select("lag", F.col("a.xk").alias("x"), F.col("b.xk").alias("y"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    npd = F.col("np").cast("double")
+    acf = (npd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (npd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (npd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    q = m.select("lag", acf.alias("acf")).agg(
+        F.sum(
+            F.floor(
+                F.col("acf") * F.col("acf") / (F.lit(n_days) - F.col("lag")) * 1e12
+                + 0.5
+            )
+        ).alias("s12")
+    )
+    return q.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.lit(7).cast("int").alias("dof"),
+        F.round(
+            F.lit(n_days) * (F.lit(n_days) + 2) * F.col("s12").cast("double") / 1e12,
+            6,
+        ).alias("q_stat"),
+    )
+
+
+@register(
+    "events_poisson_rate_test",
+    group="J",
+    oracle="""
+    with c as (
+      select cast(sum(case when ts < timestamp '2024-01-16'
+                           then 1 else 0 end) as bigint) as c1,
+             cast(sum(case when ts >= timestamp '2024-01-16'
+                           then 1 else 0 end) as bigint) as c2
+      from events where event_type = 'purchase'
+    )
+    select c1 as first_half, c2 as second_half,
+           round(cast(c1 as double) / c2, 6) as rate_ratio,
+           round((cast(c1 as double) - c2)
+                 / sqrt(cast(c1 as double) + c2), 6) as z
+    from c
+    """,
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: two-sample Poisson rate test on purchase events across
+    the two equal 15-day halves of the fixture month — 'did the
+    purchase rate change?' as a single score-test z = (c1-c2)/
+    sqrt(c1+c2) (the conditional-binomial approximation with equal
+    exposure). The counts are one filtered map-combinable aggregation;
+    the statistic is a closed-form expression of two exact integers,
+    so parity is unconditional. The weekly/monthly re-run of this op
+    is the canonical pipeline-health alarm (ingestion rate drop)."""
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "purchase").agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1).otherwise(0)
+        ).alias("c1"),
+        F.sum(
+            F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1).otherwise(
+                0
+            )
+        ).alias("c2"),
+    )
+    c1d = F.col("c1").cast("double")
+    c2d = F.col("c2").cast("double")
+    return c.select(
+        F.col("c1").alias("first_half"),
+        F.col("c2").alias("second_half"),
+        F.round(c1d / F.col("c2"), 6).alias("rate_ratio"),
+        F.round((c1d - F.col("c2")) / F.sqrt(c1d + F.col("c2")), 6).alias("z"),
+    )
+
+
+@register(
+    "stats_fdr_bh",
+    group="J",
+    oracle="""
+    with hourly as (
+      select cast(date_part('hour', ts) as int) as hour,
+             cast(count(*) as bigint) as n,
+             cast(sum(case when event_type = 'error' then 1 else 0 end)
+                  as bigint) as e
+      from events group by 1
+    ),
+    g0 as (
+      select cast(sum(e) as double) / sum(n) as p0 from hourly
+    ),
+    zt as (
+      select hour, n, e,
+             (cast(e as double) / n - p0)
+               / sqrt(p0 * (1 - p0) / n) as z
+      from hourly, g0
+    ),
+    pv as (
+      select hour, n, e, z,
+             2 * (exp(-abs(z) * abs(z) / 2) / 2.5066282746310002)
+               * ((1 / (1 + 0.2316419 * abs(z)))
+                  * (0.319381530 + (1 / (1 + 0.2316419 * abs(z)))
+                     * (-0.356563782 + (1 / (1 + 0.2316419 * abs(z)))
+                        * (1.781477937 + (1 / (1 + 0.2316419 * abs(z)))
+                           * (-1.821255978 + (1 / (1 + 0.2316419 * abs(z)))
+                              * 1.330274429))))) as p
+      from zt
+    ),
+    ranked as (
+      select hour, n, e, z, p,
+             row_number() over (order by p, hour) as rk,
+             count(*) over () as m
+      from pv
+    ),
+    cut as (
+      select *,
+             max(case when p <= rk * 0.05 / m then rk else 0 end)
+               over () as rk_max
+      from ranked
+    )
+    select hour, n as n_events, e as n_errors,
+           round(z, 6) as z, round(p, 6) as p_value,
+           rk <= rk_max as rejected
+    from cut order by hour
+    """,
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: Benjamini-Hochberg FDR control over a 24-hypothesis
+    family — per-hour-of-day error-rate z-tests against the global
+    rate, step-up rejection at q=0.05. This is the multiple-testing
+    discipline every segment-scan operator in this repo feeds
+    (scanning 24 segments at alpha=.05 yields ~1 false alarm per run
+    by construction; BH caps the false-discovery RATE instead).
+    Counts are exact ints; z is fixed-order IEEE; the normal tail
+    probability uses the Abramowitz-Stegun 26.2.17 polynomial written
+    in identical Horner order in both engines (exp is the one
+    transcendental — a last-ulp divergence would need p within 5e-13
+    of a rounding boundary to surface). The step-up cut is a window
+    max over rank*indicator — no iteration."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("e"),
+    )
+    glob = hourly.agg(
+        (F.sum("e").cast("double") / F.sum("n")).alias("p0")
+    )
+    zt = hourly.crossJoin(F.broadcast(glob)).select(
+        "hour",
+        "n",
+        "e",
+        (
+            (F.col("e").cast("double") / F.col("n") - F.col("p0"))
+            / F.sqrt(F.col("p0") * (1 - F.col("p0")) / F.col("n"))
+        ).alias("z"),
+    )
+    az = F.abs(F.col("z"))
+    t = 1 / (1 + 0.2316419 * az)
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    p = 2 * (F.exp(-az * az / 2) / 2.5066282746310002) * poly
+    pv = zt.select("hour", "n", "e", "z", p.alias("p"))
+    wr = W.orderBy("p", "hour")
+    ranked = pv.select(
+        "hour",
+        "n",
+        "e",
+        "z",
+        "p",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    cut = ranked.withColumn(
+        "rk_max",
+        F.max(
+            F.when(F.col("p") <= F.col("rk") * 0.05 / F.col("m"), F.col("rk")).otherwise(
+                0
+            )
+        ).over(W.partitionBy()),
+    )
+    return cut.select(
+        "hour",
+        F.col("n").alias("n_events"),
+        F.col("e").alias("n_errors"),
+        F.round("z", 6).alias("z"),
+        F.round("p", 6).alias("p_value"),
+        (F.col("rk") <= F.col("rk_max")).alias("rejected"),
+    ).orderBy("hour")
+
+
+@register(
+    "orders_xmr_control_chart",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(floor(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5)
+                  as bigint)) as double) / 1e9 + 0.5) as bigint) as xk
+      from orders group by 1
+    ),
+    mr as (
+      select day, xk,
+             abs(xk - lag(xk) over (order by day)) as r
+      from daily
+    ),
+    lims as (
+      select cast(count(*) as bigint) as n_days,
+             cast(sum(xk) as bigint) as sx,
+             cast(sum(r) as bigint) as sr,
+             cast(count(r) as bigint) as nr
+      from mr
+    ),
+    z as (
+      select n_days,
+             cast(sx as double) / n_days as xbar,
+             cast(sr as double) / nr as mrbar
+      from lims
+    )
+    select n_days,
+           round(xbar, 6) as mean_k,
+           round(mrbar, 6) as mr_mean_k,
+           round(xbar + 2.66 * mrbar, 6) as ucl_k,
+           round(xbar - 2.66 * mrbar, 6) as lcl_k,
+           (select cast(count(*) as bigint) from mr, z
+             where xk > xbar + 2.66 * mrbar) as n_above_ucl,
+           (select cast(count(*) as bigint) from mr, z
+             where xk < xbar - 2.66 * mrbar) as n_below_lcl
+    from z
+    """,
+)
+def orders_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: XmR (individuals / moving-range) control chart over the
+    daily-revenue series — Shewhart limits xbar ± 2.66*MRbar (the
+    2.66 = 3/d2 constant for n=2 subgroups), with counts of
+    out-of-control days. This is the SPC monitor a pipeline puts on
+    every daily metric: unlike z-score anomaly detection it derives
+    its dispersion from CONSECUTIVE differences, so slow drifts don't
+    inflate the limits that are supposed to catch them. The series is
+    calendar-sized (kilodollar-int, same construction as ts_acf);
+    moving ranges are exact ints via one lag window; limits are two
+    single-division doubles and the flag counts compare exact ints
+    against one deterministic double."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast("double")
+            / 1e9
+            + 0.5
+        ).alias("xk")
+    )
+    mr = daily.select(
+        "day",
+        "xk",
+        F.abs(F.col("xk") - F.lag("xk").over(W.orderBy("day"))).alias("r"),
+    ).localCheckpoint()
+    lims = mr.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("xk").alias("sx"),
+        F.sum("r").alias("sr"),
+        F.count("r").alias("nr"),
+    )
+    xbar = F.col("sx").cast("double") / F.col("n_days")
+    mrbar = F.col("sr").cast("double") / F.col("nr")
+    z = lims.select(
+        "n_days", xbar.alias("xbar"), mrbar.alias("mrbar")
+    )
+    flags = mr.crossJoin(F.broadcast(z)).agg(
+        F.sum(
+            F.when(F.col("xk") > F.col("xbar") + 2.66 * F.col("mrbar"), 1).otherwise(0)
+        ).alias("n_above_ucl"),
+        F.sum(
+            F.when(F.col("xk") < F.col("xbar") - 2.66 * F.col("mrbar"), 1).otherwise(0)
+        ).alias("n_below_lcl"),
+    )
+    return z.crossJoin(flags).select(
+        "n_days",
+        F.round(F.col("xbar"), 6).alias("mean_k"),
+        F.round(F.col("mrbar"), 6).alias("mr_mean_k"),
+        F.round(F.col("xbar") + 2.66 * F.col("mrbar"), 6).alias("ucl_k"),
+        F.round(F.col("xbar") - 2.66 * F.col("mrbar"), 6).alias("lcl_k"),
+        "n_above_ucl",
+        "n_below_lcl",
+    )
+
+
+@register(
+    "stats_ols_two_factor",
+    group="J",
+    oracle="""
+    with q as (
+      select cast(floor(l_quantity + 0.5) as bigint) as x1,
+             cast(floor(l_discount * 100 + 0.5) as bigint) as x2,
+             cast(floor(l_extendedprice * 10 + 0.5) as bigint) as y1
+      from lineitem
+    ),
+    m as (
+      select cast(count(*) as bigint) as n,
+             cast(sum(x1) as bigint) as s1,
+             cast(sum(x2) as bigint) as s2,
+             cast(sum(y1) as bigint) as sy,
+             cast(sum(x1 * x1) as bigint) as s11,
+             cast(sum(x1 * x2) as bigint) as s12,
+             cast(sum(x2 * x2) as bigint) as s22,
+             cast(sum(x1 * y1) as bigint) as s1y,
+             cast(sum(x2 * y1) as bigint) as s2y
+      from q
+    ),
+    c as (
+      select n,
+             cast(n as double) * s11 - cast(s1 as double) * s1 as a11,
+             cast(n as double) * s12 - cast(s1 as double) * s2 as a12,
+             cast(n as double) * s22 - cast(s2 as double) * s2 as a22,
+             cast(n as double) * s1y - cast(s1 as double) * sy as b1,
+             cast(n as double) * s2y - cast(s2 as double) * sy as b2,
+             cast(s1 as double) / n as m1,
+             cast(s2 as double) / n as m2,
+             cast(sy as double) / n as my
+      from m
+    ),
+    sol as (
+      select n, m1, m2, my,
+             (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) as beta1,
+             (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) as beta2
+      from c
+    )
+    select n as n_rows,
+           round((my - beta1 * m1 - beta2 * m2) / 10, 6) as intercept,
+           round(beta1 / 10, 6) as beta_quantity,
+           round(beta2 / 10, 6) as beta_discount_pct
+    from sol
+    """,
+)
+def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: two-regressor OLS via the normal equations —
+    l_extendedprice ~ quantity + discount, solved in closed form with
+    Cramer's rule on the centered 2x2 system (the multi-feature
+    sibling of agg_groupwise_ols). One map-combinable moment pass
+    (9 exact integer sums — inputs quantized to unit/centi/deci ints
+    so every moment is an exact bigint at sf1), then a fixed-order
+    IEEE solve; coefficients are de-scaled back to dollars at the
+    end. At 100 TB this is THE way to fit small linear models in a
+    warehouse: no iteration, no driver data, one shuffle of 9
+    numbers."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.floor(F.col("l_quantity") + 0.5).alias("x1"),
+        F.floor(F.col("l_discount") * 100 + 0.5).alias("x2"),
+        F.floor(F.col("l_extendedprice") * 10 + 0.5).alias("y1"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y1").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y1")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y1")).alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1")
+    a12 = nd * F.col("s12") - F.col("s1").cast("double") * F.col("s2")
+    a22 = nd * F.col("s22") - F.col("s2").cast("double") * F.col("s2")
+    b1 = nd * F.col("s1y") - F.col("s1").cast("double") * F.col("sy")
+    b2 = nd * F.col("s2y") - F.col("s2").cast("double") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round((my - beta1 * m1 - beta2 * m2) / 10, 6).alias("intercept"),
+        F.round(beta1 / 10, 6).alias("beta_quantity"),
+        F.round(beta2 / 10, 6).alias("beta_discount_pct"),
+    )

@@ -1246,3 +1246,66 @@ def dedup_keeper_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kl).cast("double") / F.sum(ks), 6
         ).alias("longest_vs_shortest_ratio"),
     )
+
+
+@register(
+    "dedup_containment",
+    group="J",
+    oracle="""
+    with sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) as grams
+        from documents
+    )
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                 len(a.grams), 6) as containment_ab,
+           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                 len(b.grams), 6) as containment_ba
+    from sh a join sh b on a.doc_id < b.doc_id
+    where len(list_intersect(a.grams, b.grams)) * 2
+          >= greatest(len(a.grams), len(b.grams))
+    order by doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: bigram-set CONTAINMENT (asymmetric Jaccard, Broder's
+    other resemblance measure) — |A∩B|/|A| and |A∩B|/|B| for pairs
+    where the overlap covers at least half of the larger set. Jaccard
+    misses subset-duplicates (a doc pasted inside a longer one scores
+    low Jaccard but containment ≈ 1) — this is the detector for
+    quote-expansion and boilerplate-wrapping dup classes that J2's
+    symmetric threshold passes over. Same quadratic-on-candidates
+    shape as dedup_ngram_jaccard: at scale this stage only ever runs
+    on LSH candidate pairs; the integer gate (2*|∩| >= max(|A|,|B|))
+    keeps the filter exact across engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(
+            inter * 2 >= F.greatest(F.size("g_a"), F.size("g_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter * 1.0 / F.size("g_a"), 6).alias("containment_ab"),
+            F.round(inter * 1.0 / F.size("g_b"), 6).alias("containment_ba"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -4076,3 +4076,206 @@ def events_daily_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows.orderBy("day", "metric")
+
+
+@register(
+    "feature_onehot_encode",
+    group="J",
+    oracle="""
+    with topk as (
+      select p_brand, row_number() over (
+               order by count(*) desc, p_brand) as rk
+      from part group by 1
+    ),
+    keep as (select p_brand from topk where rk <= 5),
+    enc as (
+      select p.p_partkey,
+             case when k.p_brand is not null
+                  then 'brand=' || p.p_brand
+                  else 'brand=__other__' end as feature
+      from part p left join keep k on p.p_brand = k.p_brand
+      where p.p_partkey <= 50
+    )
+    select p_partkey, feature, 1 as value
+    from enc order by p_partkey, feature
+    """,
+)
+def feature_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: learned top-k one-hot encoding in LONG format — the top-5
+    brands by frequency become 'brand=X' features, the tail collapses
+    to 'brand=__other__' (the standard vocabulary-capped one-hot that
+    keeps feature width bounded no matter the category cardinality —
+    at 100 TB the vocabulary is learned with one map-combinable
+    count and broadcast back; the encode pass is embarrassingly
+    parallel). Long format (row, feature, value) keeps the schema
+    STATIC regardless of k — the pivot to wide columns is a separate,
+    schema-known step (agg_pivot). Deterministic tie-break on brand
+    name; output restricted to 50 audit rows."""
+    p = load(spark, sf_dir, "part")
+    topk = (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "p_brand",
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), "p_brand"))
+            .alias("rk"),
+        )
+    )
+    keep = topk.filter(F.col("rk") <= 5).select(
+        F.col("p_brand").alias("kb")
+    )
+    enc = (
+        p.filter(F.col("p_partkey") <= 50)
+        .join(F.broadcast(keep), F.col("p_brand") == F.col("kb"), "left")
+        .select(
+            "p_partkey",
+            F.when(
+                F.col("kb").isNotNull(),
+                F.concat(F.lit("brand="), F.col("p_brand")),
+            )
+            .otherwise(F.lit("brand=__other__"))
+            .alias("feature"),
+        )
+    )
+    return enc.select(
+        "p_partkey", "feature", F.lit(1).cast("int").alias("value")
+    ).orderBy("p_partkey", "feature")
+
+
+@register(
+    "privacy_dp_count_noise",
+    group="J",
+    oracle="""
+    with c as (
+      select c_mktsegment, cast(count(*) as bigint) as true_count
+      from customer group by 1
+    ),
+    u as (
+      select c_mktsegment, true_count,
+             cast(('0x' || substr(md5('dp|' || c_mktsegment), 1, 8))
+                  as bigint) / 4294967296.0 as u
+      from c
+    )
+    select c_mktsegment,
+           round(true_count
+                 + (case when u < 0.5 then 1.0 else -1.0 end)
+                   * ln(1 - 2 * abs(u - 0.5)), 3) as noisy_count
+    from u order by c_mktsegment
+    """,
+)
+def privacy_dp_count_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: epsilon=1 Laplace-mechanism noisy counts per customer
+    segment — the differential-privacy release primitive for catalog
+    statistics (count sensitivity 1 → Laplace(1/eps) noise). The
+    noise draw is DERANDOMIZED the way every sampler in this repo is
+    (§2.L trap 7): u = first-8-hex-of-md5(segment)/2^32 is a
+    reproducible uniform, inverted through the Laplace CDF
+    -sign(u-1/2)*ln(1-2|u-1/2|). In production the seed would be a
+    per-release secret salt — the PLUMBING (group sizes never leave
+    the engine un-noised) is what the operator proves. True counts
+    exact; one ln per group row, round-3 gated."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp|"), F.col("c_mktsegment"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 4294967296.0
+    )
+    noise = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * F.log(
+        1 - 2 * F.abs(u - 0.5)
+    )
+    return c.select(
+        "c_mktsegment",
+        F.round(F.col("true_count") + noise, 3).alias("noisy_count"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "events_odds_ratio_ci",
+    group="J",
+    oracle="""
+    with assign as (
+      select user_id, user_id % 2 as variant,
+             max(case when event_type = 'purchase' then 1 else 0 end)
+               as converted
+      from events group by 1
+    ),
+    cells as (
+      select cast(sum(case when variant = 1 and converted = 1
+                           then 1 else 0 end) as bigint) as a,
+             cast(sum(case when variant = 1 and converted = 0
+                           then 1 else 0 end) as bigint) as b,
+             cast(sum(case when variant = 0 and converted = 1
+                           then 1 else 0 end) as bigint) as c,
+             cast(sum(case when variant = 0 and converted = 0
+                           then 1 else 0 end) as bigint) as d
+      from assign
+    )
+    select a as t_conv, b as t_nonconv, c as c_conv, d as c_nonconv,
+           round(cast(a as double) * d / (cast(b as double) * c), 6)
+             as odds_ratio,
+           round(exp(ln(cast(a as double) * d / (cast(b as double) * c))
+                 - 1.959963985 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             as ci_lo,
+           round(exp(ln(cast(a as double) * d / (cast(b as double) * c))
+                 + 1.959963985 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             as ci_hi
+    from cells
+    """,
+)
+def events_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: conversion odds ratio between experiment arms with the
+    Woolf log-normal 95% CI — exp(ln OR ± 1.96*sqrt(1/a+1/b+1/c+1/d)).
+    The odds ratio is the effect measure that stays stable under
+    outcome-dependent sampling (unlike the risk ratio), so it is the
+    readout of record when conversion events are downsampled into the
+    warehouse — a routine reality at 100 TB event volume. One per-user
+    rollup (shuffle on user_id) then a 2x2 exact-integer table; the
+    CI is fixed-order IEEE with ln/exp round-6 gated."""
+    e = load(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("variant"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    cells = assign.agg(
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 0), 1).otherwise(0)
+        ).alias("d"),
+    )
+    orr = (
+        F.col("a").cast("double")
+        * F.col("d")
+        / (F.col("b").cast("double") * F.col("c"))
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return cells.select(
+        F.col("a").alias("t_conv"),
+        F.col("b").alias("t_nonconv"),
+        F.col("c").alias("c_conv"),
+        F.col("d").alias("c_nonconv"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - 1.959963985 * se), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(orr) + 1.959963985 * se), 6).alias("ci_hi"),
+    )

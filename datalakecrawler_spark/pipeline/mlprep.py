@@ -896,3 +896,136 @@ def mlprep_epoch_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head_overlap_vs_random"
         ),
     )
+
+
+@register(
+    "split_leakage_audit",
+    group="J",
+    oracle="""
+    with tagged as (
+      select md5(text) as th,
+             case when (doc_id * 2654435761) % 100 < 80
+                  then 'train' else 'holdout' end as split
+      from documents
+    ),
+    grp as (
+      select th, cast(count(*) as bigint) as k,
+             cast(count(distinct split) as bigint) as n_splits,
+             cast(sum(case when split = 'holdout' then 1 else 0 end)
+                  as bigint) as n_holdout
+      from tagged group by 1
+    ),
+    tot as (
+      select cast(count(*) as bigint) as n_groups,
+             cast(sum(case when k > 1 then 1 else 0 end) as bigint)
+               as n_dup_groups,
+             cast(sum(case when k > 1 and n_splits = 2 then 1 else 0 end)
+                  as bigint) as n_leaking_groups,
+             cast(sum(case when k > 1 and n_splits = 2 then n_holdout
+                           else 0 end) as bigint) as n_holdout_docs_leaked
+      from grp
+    )
+    select n_groups, n_dup_groups, n_leaking_groups, n_holdout_docs_leaked,
+           round(cast(n_leaking_groups as double)
+                 / nullif(n_dup_groups, 0), 6) as leak_rate
+    from tot
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: train/holdout contamination audit — exact-duplicate text
+    groups (md5 of raw text, the dedup_exact key) whose members
+    STRADDLE the hash split (the same multiplicative-hash assignment
+    as mlprep_dataset_card / split_train_holdout). Eval leakage via
+    duplicated documents is the canonical silent benchmark inflation
+    in LLM training; this is the pre-training gate that catches it.
+    One hash rollup carrying (size, distinct-splits, holdout-member
+    count) — map-combinable, linear at 100 TB; the verdict row is
+    four exact integers and one gated ratio."""
+    d = load(spark, sf_dir, "documents")
+    tagged = d.select(
+        F.md5("text").alias("th"),
+        F.when((F.col("doc_id") * 2654435761) % 100 < 80, "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+    grp = tagged.groupBy("th").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct("split").alias("n_splits"),
+        F.sum(F.when(F.col("split") == "holdout", 1).otherwise(0)).alias(
+            "n_holdout"
+        ),
+    )
+    leak = F.col("k") > 1
+    straddle = leak & (F.col("n_splits") == 2)
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(leak, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(straddle, 1).otherwise(0)).alias("n_leaking_groups"),
+        F.sum(F.when(straddle, F.col("n_holdout")).otherwise(0)).alias(
+            "n_holdout_docs_leaked"
+        ),
+    )
+    return tot.select(
+        "n_groups",
+        "n_dup_groups",
+        "n_leaking_groups",
+        "n_holdout_docs_leaked",
+        F.round(
+            F.col("n_leaking_groups").cast("double")
+            / F.nullif(F.col("n_dup_groups"), F.lit(0)),
+            6,
+        ).alias("leak_rate"),
+    )
+
+
+@register(
+    "corpus_sampling_plan",
+    group="J",
+    oracle="""
+    with tok as (
+      select source,
+             cast(sum(len(string_split(text, ' '))) as bigint) as toks
+      from documents group by 1
+    ),
+    tot as (
+      select cast(sum(toks) as bigint) as total,
+             cast(count(*) as bigint) as ns
+      from tok
+    )
+    select source, toks as n_tokens,
+           round(1.0 / ns, 6) as target_weight,
+           round(least(1.0, (0.5 * total / ns) / toks), 6) as sample_rate,
+           cast(ceil((0.5 * total / ns) / toks) as bigint) as epochs
+    from tok, tot order by source
+    """,
+)
+def corpus_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: training-mixture sampling plan — given a token budget
+    (50% of the corpus) and a target mixture (uniform across
+    sources), the per-source sample RATE (downsample factor for
+    over-represented sources) and EPOCH count (repeat factor for
+    under-represented ones). This is the data-mixology table every
+    LLM pretraining run is driven by (the Llama/Pile-style 'weights
+    and epochs' sheet), derived here entirely warehouse-side: one
+    token-count rollup (map-combinable size(split()) — no Python),
+    then closed-form planning math on a source-sized table. Token
+    counts exact ints; rate/epochs are fixed-order IEEE with one
+    division chain."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    tot = tok.agg(
+        F.sum("toks").alias("total"), F.count(F.lit(1)).alias("ns")
+    )
+    j = tok.crossJoin(F.broadcast(tot))
+    needed = 0.5 * F.col("total") / F.col("ns")
+    return j.select(
+        "source",
+        F.col("toks").alias("n_tokens"),
+        F.round(1.0 / F.col("ns"), 6).alias("target_weight"),
+        F.round(F.least(F.lit(1.0), needed / F.col("toks")), 6).alias(
+            "sample_rate"
+        ),
+        F.ceil(needed / F.col("toks")).cast("long").alias("epochs"),
+    ).orderBy("source")

@@ -719,3 +719,229 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "id").limit(20)
+
+
+def _dot12(a: Column | str, b: Column | str) -> Column:
+    """Exact-integer dot product: per-element pico-quantized products
+    summed as longs — engine-identical regardless of fold order."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * 1e12 + 0.5
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+# DuckDB twin of _dot12()
+_DOT12_SQL = (
+    "cast(list_sum(list_transform(list_zip({0}, {1}), "
+    "p -> cast(floor(cast(p[1] as double) * cast(p[2] as double) * 1e12"
+    " + 0.5) as bigint))) as bigint)"
+)
+
+
+@register(
+    "sim_reciprocal_nn_pairs",
+    group="J",
+    oracle=f"""
+    with sub as (
+      select vec_id, label, embedding from embeddings where vec_id < 200
+    ),
+    pairs as (
+      select a.vec_id as qa, b.vec_id as qb,
+             {_DOT12_SQL.format('a.embedding', 'b.embedding')} as d12
+      from sub a join sub b on a.vec_id <> b.vec_id
+    ),
+    ranked as (
+      select qa, qb, d12,
+             row_number() over (partition by qa
+                                order by d12 desc, qb) as rk
+      from pairs
+    )
+    select r1.qa as vec_a, r1.qb as vec_b,
+           r1.rk as rank_ab, r2.rk as rank_ba,
+           round(cast(r1.d12 as double) / 1e12, 6) as sim
+    from ranked r1
+    join ranked r2 on r2.qa = r1.qb and r2.qb = r1.qa
+    where r1.rk <= 3 and r2.rk <= 3 and r1.qa < r1.qb
+    order by vec_a, vec_b
+    """,
+)
+def sim_reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: mutual-kNN pairs — vectors that appear in EACH OTHER's
+    top-3 neighbor lists (k-reciprocal matching: far more precise than
+    one-directional kNN for entity-resolution / near-dup candidate
+    mining, the standard re-ranking trick from person-reid and record
+    linkage). Bounded probe subset (vec_id < 200) keeps the exact
+    N^2 formulation honest; the scale path swaps the pair source for
+    LSH/IVF candidates and keeps THIS ranking+mutuality stage
+    unchanged. Pico-int dot products make rank order engine-exact;
+    the mutuality join is a self-join on the ranked pair table."""
+    sub = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    a = sub.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("ea"))
+    b = sub.select(F.col("vec_id").alias("qb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("qa") != F.col("qb")).select(
+        "qa", "qb", _dot12("ea", "eb").alias("d12")
+    )
+    wr = W.partitionBy("qa").orderBy(F.col("d12").desc(), "qb")
+    ranked = pairs.select(
+        "qa", "qb", "d12", F.row_number().over(wr).alias("rk")
+    ).localCheckpoint()
+    r1 = ranked.alias("r1")
+    r2 = ranked.alias("r2")
+    return (
+        r1.join(
+            r2,
+            (F.col("r2.qa") == F.col("r1.qb"))
+            & (F.col("r2.qb") == F.col("r1.qa")),
+        )
+        .where(
+            (F.col("r1.rk") <= 3)
+            & (F.col("r2.rk") <= 3)
+            & (F.col("r1.qa") < F.col("r1.qb"))
+        )
+        .select(
+            F.col("r1.qa").alias("vec_a"),
+            F.col("r1.qb").alias("vec_b"),
+            F.col("r1.rk").alias("rank_ab"),
+            F.col("r2.rk").alias("rank_ba"),
+            F.round(F.col("r1.d12").cast("double") / 1e12, 6).alias("sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "sim_mmr_diversified",
+    group="J",
+    oracle=f"""
+    with q as (select embedding as e from embeddings where vec_id = 0),
+    cand as (
+      select vec_id,
+             {_DOT12_SQL.format('embedding', '(select e from q)')} as rel12,
+             embedding
+      from embeddings where vec_id <> 0
+      order by rel12 desc, vec_id limit 8
+    ),
+    pair as (
+      select a.vec_id as pa, b.vec_id as pb,
+             {_DOT12_SQL.format('a.embedding', 'b.embedding')} as s12
+      from cand a join cand b on a.vec_id <> b.vec_id
+    ),
+    s1 as (select vec_id, rel12 from cand order by rel12 desc, vec_id limit 1),
+    s2 as (
+      select c.vec_id, c.rel12 from cand c
+      join pair p on p.pa = c.vec_id
+        and p.pb in (select vec_id from s1)
+      where c.vec_id not in (select vec_id from s1)
+      group by c.vec_id, c.rel12
+      order by 0.7 * c.rel12 - 0.3 * max(p.s12) desc, c.vec_id limit 1
+    ),
+    s3 as (
+      select c.vec_id, c.rel12 from cand c
+      join pair p on p.pa = c.vec_id
+        and p.pb in (select vec_id from s1 union all select vec_id from s2)
+      where c.vec_id not in
+        (select vec_id from s1 union all select vec_id from s2)
+      group by c.vec_id, c.rel12
+      order by 0.7 * c.rel12 - 0.3 * max(p.s12) desc, c.vec_id limit 1
+    ),
+    s4 as (
+      select c.vec_id, c.rel12 from cand c
+      join pair p on p.pa = c.vec_id
+        and p.pb in (select vec_id from s1 union all select vec_id from s2
+                     union all select vec_id from s3)
+      where c.vec_id not in
+        (select vec_id from s1 union all select vec_id from s2
+         union all select vec_id from s3)
+      group by c.vec_id, c.rel12
+      order by 0.7 * c.rel12 - 0.3 * max(p.s12) desc, c.vec_id limit 1
+    )
+    select 1 as step, vec_id, round(cast(rel12 as double) / 1e12, 6)
+             as relevance from s1
+    union all
+    select 2, vec_id, round(cast(rel12 as double) / 1e12, 6) from s2
+    union all
+    select 3, vec_id, round(cast(rel12 as double) / 1e12, 6) from s3
+    union all
+    select 4, vec_id, round(cast(rel12 as double) / 1e12, 6) from s4
+    order by step
+    """,
+)
+def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: maximal-marginal-relevance re-ranking — greedy selection
+    of 4 results from the top-8 cosine candidates, each step maximizing
+    0.7*relevance - 0.3*max-similarity-to-already-selected (the
+    classic Carbonell-Goldstein diversifier every RAG retrieval stack
+    bolts onto top-k). The candidate pool is a bounded top-k (the
+    expensive part, reusing J3's broadcast-scan plan); the greedy
+    loop then runs over an 8-row checkpointed frame — 4 unrolled
+    DataFrame steps, no driver-side collect of corpus data. Pico-int
+    dots make every argmax engine-exact; ties break on vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", _dot12("embedding", "qe").alias("rel12"), "embedding"
+        )
+        .orderBy(F.col("rel12").desc(), "vec_id")
+        .limit(8)
+        .localCheckpoint()
+    )
+    ca = cand.select(
+        F.col("vec_id").alias("pa"), F.col("embedding").alias("ea")
+    )
+    cb = cand.select(
+        F.col("vec_id").alias("pb"), F.col("embedding").alias("eb")
+    )
+    pair = (
+        ca.join(cb, F.col("pa") != F.col("pb"))
+        .select("pa", "pb", _dot12("ea", "eb").alias("s12"))
+        .localCheckpoint()
+    )
+    sel = (
+        cand.orderBy(F.col("rel12").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel12")
+        .withColumn("step", F.lit(1))
+    )
+    out = sel
+    for step in (2, 3, 4):
+        chosen = out.select(F.col("vec_id").alias("sv"))
+        pen = (
+            pair.join(chosen, pair.pb == F.col("sv"))
+            .groupBy("pa")
+            .agg(F.max("s12").alias("pen12"))
+        )
+        nxt = (
+            cand.join(chosen, cand.vec_id == F.col("sv"), "left_anti")
+            .join(pen, cand.vec_id == pen.pa)
+            .orderBy(
+                (0.7 * F.col("rel12") - 0.3 * F.col("pen12")).desc(),
+                "vec_id",
+            )
+            .limit(1)
+            .select("vec_id", "rel12")
+            .withColumn("step", F.lit(step))
+        )
+        out = out.unionByName(nxt)
+    return out.select(
+        F.col("step").cast("int").alias("step"),
+        "vec_id",
+        F.round(F.col("rel12").cast("double") / 1e12, 6).alias("relevance"),
+    ).orderBy("step")

@@ -2508,3 +2508,68 @@ def text_short_doc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_chunked_ttr",
+    group="J",
+    oracle="""
+    with toks as (
+      select doc_id, lang,
+             unnest(string_split(text, ' ')) as tok,
+             generate_subscripts(string_split(text, ' '), 1) - 1 as pos
+      from documents
+    ),
+    chunks as (
+      select doc_id, lang, pos // 20 as chunk,
+             cast(count(*) as bigint) as n_tok,
+             cast(count(distinct tok) as bigint) as n_types
+      from toks group by 1, 2, 3
+    ),
+    complete as (
+      select * from chunks where n_tok = 20
+    )
+    select lang,
+           cast(count(distinct doc_id) as bigint) as n_docs,
+           cast(count(*) as bigint) as n_chunks,
+           round(cast(sum(n_types) as double) / (20 * count(*)), 6)
+             as chunked_ttr
+    from complete group by lang order by lang
+    """,
+)
+def text_chunked_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: chunked type-token ratio per language — lexical
+    diversity measured on fixed 20-token chunks (plain TTR shrinks
+    with document length, so the standard fix is averaging TTR over
+    constant-size windows; incomplete tail chunks are excluded).
+    Low chunked-TTR flags templated/repetitive corpora slices the
+    dedup family won't catch (no two chunks identical, all of them
+    stale). Per-(doc,chunk) distinct counts shuffle on a bounded
+    composite key; the per-lang verdict is exact integer sums with
+    one final division."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    chunks = toks.groupBy(
+        "doc_id", "lang", (F.col("pos") / 20).cast("long").alias("chunk")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct("tok").alias("n_types"),
+    )
+    complete = chunks.filter(F.col("n_tok") == 20)
+    return (
+        complete.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(
+                F.sum("n_types").cast("double")
+                / (20 * F.count(F.lit(1))),
+                6,
+            ).alias("chunked_ttr"),
+        )
+        .orderBy("lang")
+    )

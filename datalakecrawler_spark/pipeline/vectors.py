@@ -792,3 +792,100 @@ def sim_ndcg_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dcg9").cast("double") / F.lit(idcg9), 6
         ).alias("ndcg_at_10"),
     )
+
+
+@register(
+    "mm_embed_outlier_mahalanobis",
+    group="J",
+    oracle="""
+    with pe as (
+      select vec_id, label,
+             generate_subscripts(embedding, 1) - 1 as pos,
+             unnest(embedding) as v
+      from embeddings
+    ),
+    m as (
+      select label, pos,
+             cast(count(*) as bigint) as n,
+             cast(sum(cast(floor(v * 1e6 + 0.5) as bigint)) as bigint) as s6,
+             cast(sum(cast(floor(v * v * 1e9 + 0.5) as bigint)) as bigint)
+               as sq9
+      from pe group by 1, 2
+    ),
+    stats as (
+      select label, pos,
+             cast(s6 as double) / 1e6 / n as mu,
+             (cast(sq9 as double) / 1e9
+              - n * (cast(s6 as double) / 1e6 / n)
+                * (cast(s6 as double) / 1e6 / n)) / (n - 1) as var
+      from m
+    ),
+    scored as (
+      select pe.vec_id, pe.label,
+             cast(sum(cast(floor(
+               (cast(pe.v as double) - mu) * (cast(pe.v as double) - mu)
+               / (var + 1e-9) * 1e6 + 0.5) as bigint)) as bigint) as s6
+      from pe join stats
+        on pe.label = stats.label and pe.pos = stats.pos
+      group by 1, 2
+    )
+    select vec_id, label,
+           round(cast(s6 as double) / 1e6, 6) as mahalanobis_sq
+    from scored
+    order by mahalanobis_sq desc, vec_id limit 10
+    """,
+)
+def mm_embed_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: per-label diagonal-covariance Mahalanobis outlier scan —
+    each vector scored by sum_d (v_d - mu_{label,d})^2 /
+    (sigma^2_{label,d} + eps), the top-10 most out-of-class vectors
+    reported. This is the embedding-space mislabeled-sample /
+    corrupted-row detector that runs after every batch-inference job
+    (full covariance needs a per-label 64x64 solve — the diagonal
+    approximation is the standard first pass and stays in pure SQL).
+    Plan: one posexplode, per-(label,pos) exact micro/nano moment
+    sums (640 rows at any scale), broadcast back, and a per-vector
+    micro-quantized integer sum so the 64-term addition order never
+    touches a float accumulation. Shuffles on (label,pos) then
+    vec_id — both key-bounded."""
+    emb = load(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    m = pe.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("v") * 1e6 + 0.5)).alias("s6"),
+        F.sum(F.floor(F.col("v") * F.col("v") * 1e9 + 0.5)).alias("sq9"),
+    )
+    mu = F.col("s6").cast("double") / 1e6 / F.col("n")
+    var = (
+        F.col("sq9").cast("double") / 1e9 - F.col("n") * mu * mu
+    ) / (F.col("n") - 1)
+    stats = m.select("label", "pos", mu.alias("mu"), var.alias("var"))
+    vd = F.col("v").cast("double")
+    scored = (
+        pe.join(F.broadcast(stats), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.floor(
+                    (vd - F.col("mu"))
+                    * (vd - F.col("mu"))
+                    / (F.col("var") + 1e-9)
+                    * 1e6
+                    + 0.5
+                )
+            ).alias("s6")
+        )
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            F.round(F.col("s6").cast("double") / 1e6, 6).alias(
+                "mahalanobis_sq"
+            ),
+        )
+        .orderBy(F.col("mahalanobis_sq").desc(), "vec_id")
+        .limit(10)
+    )

@@ -2524,3 +2524,266 @@ def catalog_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("tbl")
+
+
+@register(
+    "catalog_sequence_gap_audit",
+    group="B",
+    oracle="""
+    with ks as (
+      select 'orders.o_orderkey' as col, o_orderkey as k from orders
+      union all
+      select 'part.p_partkey', p_partkey from part
+      union all
+      select 'customer.c_custkey', c_custkey from customer
+    ),
+    d as (select distinct col, k from ks),
+    gaps as (
+      select col, k - lag(k) over (partition by col order by k) - 1 as gap
+      from d
+    ),
+    span as (
+      select col, cast(min(k) as bigint) as k_min,
+             cast(max(k) as bigint) as k_max,
+             cast(count(*) as bigint) as n_distinct
+      from d group by 1
+    ),
+    g as (
+      select col, cast(coalesce(max(gap), 0) as bigint) as max_gap,
+             cast(sum(case when gap > 0 then 1 else 0 end) as bigint)
+               as n_gap_runs
+      from gaps group by 1
+    )
+    select s.col, k_min, k_max, n_distinct,
+           k_max - k_min + 1 - n_distinct as n_missing,
+           max_gap, n_gap_runs
+    from span s join g on s.col = g.col
+    order by s.col
+    """,
+)
+def catalog_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: surrogate-key continuity audit — for each key column,
+    the span (min..max), distinct count, number of MISSING ids in the
+    span, the largest single gap, and how many gap runs exist. Gaps in
+    an 'auto-increment' key are the classic sign of silently dropped
+    ingestion batches or deleted-but-unreconciled rows; the crawler
+    reports this per snapshot so drift shows up as a diff. One
+    distinct-projection per key (map-side combinable) and a lag
+    window partitioned BY COLUMN — each key's ordered pass is
+    independent, so at 100 TB the three audits parallelize and no
+    single global sort appears. Exact integers throughout."""
+    frames = []
+    for tbl, col in [
+        ("orders", "o_orderkey"),
+        ("part", "p_partkey"),
+        ("customer", "c_custkey"),
+    ]:
+        frames.append(
+            load(spark, sf_dir, tbl).select(
+                F.lit(f"{tbl}.{col}").alias("col"), F.col(col).alias("k")
+            )
+        )
+    ks = frames[0].unionAll(frames[1]).unionAll(frames[2]).distinct()
+    w = W.partitionBy("col").orderBy("k")
+    gaps = ks.select(
+        "col", (F.col("k") - F.lag("k").over(w) - 1).alias("gap")
+    )
+    span = ks.groupBy("col").agg(
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    g = gaps.groupBy("col").agg(
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
+        F.sum(F.when(F.col("gap") > 0, 1).otherwise(0)).alias("n_gap_runs"),
+    )
+    return (
+        span.join(g, "col")
+        .select(
+            "col",
+            "k_min",
+            "k_max",
+            "n_distinct",
+            (F.col("k_max") - F.col("k_min") + 1 - F.col("n_distinct")).alias(
+                "n_missing"
+            ),
+            "max_gap",
+            "n_gap_runs",
+        )
+        .orderBy("col")
+    )
+
+
+@register(
+    "catalog_bloom_fpp_advisor",
+    group="B",
+    oracle="""
+    with ndv as (
+      select 'orders.o_custkey' as col,
+             cast(count(distinct o_custkey) as bigint) as n from orders
+      union all
+      select 'lineitem.l_partkey',
+             cast(count(distinct l_partkey) as bigint) from lineitem
+      union all
+      select 'events.user_id',
+             cast(count(distinct user_id) as bigint) from events
+    ),
+    cfg as (select * from (values (8), (16), (24)) c(bits_per_key)),
+    plan as (
+      select col, n, bits_per_key,
+             cast(floor(bits_per_key * 0.6931471805599453 + 0.5) as bigint)
+               as k_hashes
+      from ndv cross join cfg
+    )
+    select col, n as ndv, bits_per_key, k_hashes,
+           round(pow(1 - exp(-(cast(k_hashes as double) / bits_per_key)),
+                     cast(k_hashes as double)), 6) as expected_fpp,
+           round(cast(n as double) * bits_per_key / 8 / 1048576, 6)
+             as filter_mib
+    from plan
+    order by col, bits_per_key
+    """,
+)
+def catalog_bloom_fpp_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: Bloom-filter sizing advisor for join-key columns — for
+    each key's exact NDV and a bits-per-key budget (8/16/24), the
+    optimal hash count k = round(bits*ln2) and the expected false-
+    positive rate (1-e^{-k/bits})^k, plus the filter's memory
+    footprint. This is the planning table behind join_bloom_prefilter
+    and Spark's own `spark.sql.optimizer.runtime.bloomFilter.*`
+    knobs: at 100 TB you size the runtime filter from the crawler's
+    NDV profile BEFORE the join runs, not by trial. NDVs are one
+    exact count-distinct per key (the only data-sized pass); the
+    advisory math is a 9-row closed-form grid, identical IEEE in both
+    engines (ln2 is a literal; exp/pow round-6-gated)."""
+    ndvs = []
+    for tbl, col in [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("events", "user_id"),
+    ]:
+        ndvs.append(
+            load(spark, sf_dir, tbl).agg(
+                F.lit(f"{tbl}.{col}").alias("col"),
+                F.count_distinct(F.col(col)).alias("n"),
+            )
+        )
+    ndv = ndvs[0].unionAll(ndvs[1]).unionAll(ndvs[2])
+    cfg = spark.createDataFrame(
+        [(8,), (16,), (24,)], "bits_per_key int"
+    )
+    plan = ndv.crossJoin(F.broadcast(cfg)).withColumn(
+        "k_hashes",
+        F.floor(F.col("bits_per_key") * 0.6931471805599453 + 0.5),
+    )
+    kd = F.col("k_hashes").cast("double")
+    return plan.select(
+        "col",
+        F.col("n").alias("ndv"),
+        "bits_per_key",
+        "k_hashes",
+        F.round(
+            F.pow(1 - F.exp(-(kd / F.col("bits_per_key"))), kd), 6
+        ).alias("expected_fpp"),
+        F.round(
+            F.col("n").cast("double") * F.col("bits_per_key") / 8 / 1048576, 6
+        ).alias("filter_mib"),
+    ).orderBy("col", "bits_per_key")
+
+
+@register(
+    "crawl_type_inference",
+    group="B",
+    oracle="""
+    with long as (
+      select 'o_orderkey' as col, cast(o_orderkey as varchar) as val
+      from orders
+      union all
+      select 'o_totalprice', cast(o_totalprice as varchar) from orders
+      union all
+      select 'o_orderdate', cast(o_orderdate as varchar) from orders
+      union all
+      select 'o_orderpriority', o_orderpriority from orders
+    ),
+    flags as (
+      select col,
+             cast(count(*) as bigint) as n,
+             cast(sum(case when regexp_matches(val, '^-?[0-9]+$')
+                           then 1 else 0 end) as bigint) as n_int,
+             cast(sum(case when regexp_matches(val,
+                             '^-?[0-9]+(\\.[0-9]+)?$')
+                           then 1 else 0 end) as bigint) as n_num,
+             cast(sum(case when regexp_matches(val,
+                 '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}')
+                           then 1 else 0 end) as bigint) as n_ts
+      from long group by 1
+    )
+    select col, n,
+           round(cast(n_int as double) / n, 6) as pct_int,
+           round(cast(n_num as double) / n, 6) as pct_numeric,
+           round(cast(n_ts as double) / n, 6) as pct_timestamp,
+           case when n_int = n then 'bigint'
+                when n_num = n then 'double'
+                when n_ts = n then 'timestamp'
+                else 'varchar' end as inferred_type
+    from flags order by col
+    """,
+)
+def crawl_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: CSV-style type inference from STRING data — the
+    crawler's classifier pass when a format carries no schema
+    (`inferSchema` reimplemented as an auditable operator): every
+    value of every column is pattern-tested against the candidate
+    ladder integer → numeric → timestamp, and a column gets the
+    narrowest type that matches 100% of its values. Done with
+    anchored POSIX regexes (engine-portable — cast-failure semantics
+    differ between engines, pattern matches don't). One unpivoted
+    pass, map-combinable counters; per-column verdicts are exact
+    integer comparisons. Orders is stringified in-plan to stand in
+    for a headerless CSV."""
+    o = load(spark, sf_dir, "orders")
+    pairs = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_totalprice", F.col("o_totalprice").cast("string")),
+        ("o_orderdate", F.col("o_orderdate").cast("string")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    long = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("col"), c.alias("val")
+                    )
+                    for n, c in pairs
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col", "kv.val")
+    is_int = F.col("val").rlike("^-?[0-9]+$")
+    is_num = F.col("val").rlike("^-?[0-9]+(\\.[0-9]+)?$")
+    is_ts = F.col("val").rlike(
+        "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}"
+    )
+    flags = long.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_int, 1).otherwise(0)).alias("n_int"),
+        F.sum(F.when(is_num, 1).otherwise(0)).alias("n_num"),
+        F.sum(F.when(is_ts, 1).otherwise(0)).alias("n_ts"),
+    )
+    return flags.select(
+        "col",
+        "n",
+        F.round(F.col("n_int").cast("double") / F.col("n"), 6).alias("pct_int"),
+        F.round(F.col("n_num").cast("double") / F.col("n"), 6).alias(
+            "pct_numeric"
+        ),
+        F.round(F.col("n_ts").cast("double") / F.col("n"), 6).alias(
+            "pct_timestamp"
+        ),
+        F.when(F.col("n_int") == F.col("n"), "bigint")
+        .when(F.col("n_num") == F.col("n"), "double")
+        .when(F.col("n_ts") == F.col("n"), "timestamp")
+        .otherwise("varchar")
+        .alias("inferred_type"),
+    ).orderBy("col")

@@ -827,3 +827,53 @@ def stream_first_touch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.min("ts")).cast("date").alias("first_day"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def build_error_rate_alarm(events: DataFrame) -> DataFrame:
+    """I-ext: per-hour error-rate monitor with an exact-integer alarm
+    gate (5*errors > total ⇔ rate > 20%) — the streaming health alarm
+    every ingestion pipeline runs. Pure windowed aggregation +
+    projection: fully incremental under watermark, no ranking or
+    stateful custom logic, so the SAME plan object serves batch and
+    stream (batch/stream parity asserted in test_streaming)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_err"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "n",
+            "n_err",
+            F.round(F.col("n_err") / F.col("n"), 6).alias("err_rate"),
+            (F.col("n_err") * 5 > F.col("n")).alias("alarm"),
+        )
+    )
+
+
+@register(
+    "stream_error_rate_alarm",
+    group="I",
+    oracle="""
+    with h as (
+      select to_timestamp(cast(floor(epoch(ts) / 3600) * 3600 as bigint))
+               ::timestamp as w_start,
+             cast(count(*) as bigint) as n,
+             cast(sum(case when event_type = 'error' then 1 else 0 end)
+                  as bigint) as n_err
+      from events group by 1
+    )
+    select w_start, n, n_err,
+           round(cast(n_err as double) / n, 6) as err_rate,
+           n_err * 5 > n as alarm
+    from h
+    """,
+)
+def stream_error_rate_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext batch twin of the hourly error-rate alarm (stream
+    equality asserted in test_streaming)."""
+    return build_error_rate_alarm(load(spark, sf_dir, "events"))

@@ -452,3 +452,11 @@ def test_stream_first_touch_equals_batch(spark, events_stream):
         mode="update",
     )
     _assert_same(batch, stream)
+
+
+def test_stream_error_rate_alarm_equals_batch(spark, events_stream):
+    batch = ops.build_error_rate_alarm(load(spark, SF_DIR, "events"))
+    stream = _run_stream(
+        spark, ops.build_error_rate_alarm(events_stream), "t_err_alarm"
+    )
+    _assert_same(batch, stream)
