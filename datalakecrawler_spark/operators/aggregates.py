@@ -4133,3 +4133,82 @@ def part_type_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_r").desc(), "type_l1")
         .drop("_r")
     )
+
+
+@register(
+    "part_price_index_laspeyres",
+    group="E",
+    oracle="""
+    with pm as (
+      select l_partkey,
+             cast(date_trunc('month', l_shipdate) as date) as mon,
+             cast(sum(cast(floor(l_extendedprice * 1e6 + 0.5) as bigint))
+                  as bigint) as ext6,
+             cast(sum(cast(floor(l_quantity + 0.5) as bigint)) as bigint)
+               as qty
+      from lineitem group by 1, 2
+    ),
+    base as (
+      select l_partkey, ext6 as ext6_0, qty as qty_0
+      from pm where mon = date '1995-01-01'
+    ),
+    joined as (
+      select pm.mon, pm.l_partkey,
+             cast(pm.ext6 as double) / 1e6 / pm.qty as p_t,
+             cast(base.ext6_0 as double) / 1e6 / base.qty_0 as p_0,
+             base.qty_0
+      from pm join base on pm.l_partkey = base.l_partkey
+    ),
+    terms as (
+      select mon,
+             cast(count(*) as bigint) as n_parts,
+             cast(sum(cast(floor(p_t * qty_0 * 1e4 + 0.5) as bigint))
+                  as bigint) as num4,
+             cast(sum(cast(floor(p_0 * qty_0 * 1e4 + 0.5) as bigint))
+                  as bigint) as den4
+      from joined group by 1
+    )
+    select mon, n_parts,
+           round(cast(num4 as double) / den4, 6) as laspeyres_index
+    from terms order by mon
+    """,
+)
+def part_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: monthly Laspeyres price index — realized unit prices per
+    (part, month) weighted by each part's BASE-month (1995-01)
+    quantity basket: sum(p_t*q_0)/sum(p_0*q_0), restricted to parts
+    traded in the base month. This is the standard fixed-basket
+    inflation measure that separates price movement from mix shift
+    (the revenue-bridge decomposition's economic cousin). One
+    part×month rollup with exact micro-int sums, a broadcast-sized
+    base-basket join keyed on part, and deci-milli-quantized
+    numerator/denominator terms so the cross-part sum order is
+    integer-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mon"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 1e6 + 0.5)).alias("ext6"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5)).alias("qty"),
+    ).localCheckpoint()
+    base = pm.filter(F.col("mon") == F.lit("1995-01-01").cast("date")).select(
+        "l_partkey",
+        F.col("ext6").alias("ext6_0"),
+        F.col("qty").alias("qty_0"),
+    )
+    j = pm.join(base, "l_partkey")
+    p_t = F.col("ext6").cast("double") / 1e6 / F.col("qty")
+    p_0 = F.col("ext6_0").cast("double") / 1e6 / F.col("qty_0")
+    terms = j.groupBy("mon").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.floor(p_t * F.col("qty_0") * 1e4 + 0.5)).alias("num4"),
+        F.sum(F.floor(p_0 * F.col("qty_0") * 1e4 + 0.5)).alias("den4"),
+    )
+    return terms.select(
+        "mon",
+        "n_parts",
+        F.round(
+            F.col("num4").cast("double") / F.col("den4"), 6
+        ).alias("laspeyres_index"),
+    ).orderBy("mon")

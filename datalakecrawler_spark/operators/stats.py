@@ -4343,3 +4343,66 @@ def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta1 / 10, 6).alias("beta_quantity"),
         F.round(beta2 / 10, 6).alias("beta_discount_pct"),
     )
+
+
+@register(
+    "ts_rolling_median_band",
+    group="F",
+    oracle="""
+    with daily as (
+      select cast(date_trunc('day', o_orderdate) as date) as day,
+             cast(floor(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5)
+                  as bigint)) as double) / 1e9 + 0.5) as bigint) as xk
+      from orders group by 1
+    ),
+    med as (
+      select day, xk,
+             quantile_cont(xk, 0.5) over (order by day
+               rows between 6 preceding and current row) as m
+      from daily
+    )
+    select day, xk,
+           round(m, 6) as rolling_median_k,
+           round((xk - m) / m, 6) as deviation,
+           abs(xk - m) > 0.25 * m as is_outlier
+    from med order by day
+    """,
+)
+def ts_rolling_median_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: 7-day ROLLING-MEDIAN band over daily revenue with a
+    ±25% deviation flag — the robust-filter sibling of
+    events_anomaly_zscore (a single spike inflates a rolling mean and
+    masks itself; the median band doesn't). Spark has no median
+    window function, so the frame's values (integers, ≤7 of them)
+    are collect_list'ed, sorted, and midpoint-interpolated — exact
+    arithmetic on kilodollar ints that reproduces quantile_cont(0.5)
+    bit-for-bit. The series is calendar-sized; the global-order
+    window is bounded by the calendar, not the fact table (same
+    argument as ts_acf)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast("double")
+            / 1e9
+            + 0.5
+        ).alias("xk")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("xk").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (F.floor((n - 1) / 2) + 1).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    med = daily.select(
+        "day", "xk", ((lo + hi) / 2.0).alias("m")
+    )
+    return med.select(
+        "day",
+        "xk",
+        F.round("m", 6).alias("rolling_median_k"),
+        F.round((F.col("xk") - F.col("m")) / F.col("m"), 6).alias("deviation"),
+        (F.abs(F.col("xk") - F.col("m")) > 0.25 * F.col("m")).alias(
+            "is_outlier"
+        ),
+    ).orderBy("day")

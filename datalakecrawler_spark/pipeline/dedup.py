@@ -1309,3 +1309,120 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_lsh_scurve",
+    group="J",
+    oracle="""
+    with s as (
+      select cast(g as double) / 20 as sim
+      from generate_series(1, 19) t(g)
+    )
+    select round(sim, 6) as jaccard,
+           round(1 - pow(1 - pow(sim, 2), 32), 6) as p_candidate,
+           1 - pow(1 - pow(sim, 2), 32) >= 0.5 as likely_caught
+    from s order by jaccard
+    """,
+)
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the analytic LSH S-curve for this repo's MinHash banding
+    parameters (32 bands x 2 rows, dedup_near_minhash) — candidate
+    probability 1-(1-s^r)^b for Jaccard s in 0.05 steps, with the
+    'caught with >= 50% probability' flag. This is the tuning artifact
+    that justifies the band choice: the curve's inflection
+    (~(1/b)^(1/r) = 0.18 here) is the effective dedup threshold, and
+    re-running the sweep for other (r, b) is how a 100 TB dedup run
+    budgets recall vs candidate volume BEFORE shuffling anything.
+    Pure closed-form math on a generated grid — no data scan; pow is
+    round-6 gated."""
+    s = spark.range(1, 20).select(
+        (F.col("id").cast("double") / 20).alias("sim")
+    )
+    p = 1 - F.pow(1 - F.pow(F.col("sim"), 2), 32)
+    return s.select(
+        F.round("sim", 6).alias("jaccard"),
+        F.round(p, 6).alias("p_candidate"),
+        (p >= 0.5).alias("likely_caught"),
+    ).orderBy("jaccard")
+
+
+@register(
+    "dedup_simhash_portable",
+    group="J",
+    oracle="""
+    with toks as (
+      select distinct doc_id, unnest(string_split(text, ' ')) as tok
+      from documents where doc_id < 300
+    ),
+    bits as (
+      select doc_id, b.bit,
+             cast(('0x' || substr(md5(tok), 1, 8)) as bigint) as h
+      from toks cross join (select unnest(range(16)) as bit) b
+    ),
+    votes as (
+      select doc_id, bit,
+             cast(sum(case when (h // cast(pow(2, bit) as bigint)) % 2 = 1
+                           then 1 else -1 end) as bigint) as s
+      from bits group by 1, 2
+    ),
+    sig as (
+      select doc_id,
+             cast(sum(case when s > 0
+                           then cast(pow(2, bit) as bigint)
+                           else 0 end) as bigint) as simhash
+      from votes group by 1
+    ),
+    dists as (
+      select bit_count(xor(a.simhash, b.simhash)) as hamming
+      from sig a join sig b on a.doc_id < b.doc_id
+    )
+    select hamming, cast(count(*) as bigint) as n_pairs
+    from dists group by 1 order by hamming
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: ENGINE-PORTABLE 16-bit SimHash with a pairwise Hamming
+    histogram — the oracle-checkable twin of dedup_simhash (which
+    uses Spark-internal xxhash64, §2.L trap 7). Each token votes ±1
+    per bit from its md5-derived hash; the per-doc signature packs
+    the majority signs; near-dups concentrate at small Hamming
+    distances (the Charikar/Manku-Jain-Sarma web-dedup detector).
+    Per-(doc,bit) votes are one bounded-key rollup (16x token rows);
+    the probe subset (doc_id < 300) keeps the exact pair histogram
+    honest — at 100 TB the histogram runs on bit-bucket candidates,
+    not all pairs. bit_count(xor) is exact integer in both engines."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    bits = toks.crossJoin(
+        F.broadcast(spark.range(16).select(F.col("id").alias("bit")))
+    ).select(
+        "doc_id",
+        "bit",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bitmask = F.expr("cast(shiftleft(1L, cast(bit as int)) as bigint)")
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when((F.col("h").bitwiseAND(bitmask)) != 0, 1).otherwise(-1)
+        ).alias("s")
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, bitmask).otherwise(0)
+        ).alias("simhash")
+    )
+    a = sig.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    dists = a.join(b, F.col("da") < F.col("db")).select(
+        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming")
+    )
+    return (
+        dists.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )

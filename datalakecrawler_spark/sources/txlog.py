@@ -394,3 +394,62 @@ def sink_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_flag").isNull()).alias("n_without_flag"),
         F.count_if(F.col("o_flag").isNotNull()).alias("n_with_flag"),
     )
+
+
+@register(
+    "txlog_time_travel_diff",
+    group="A",
+    oracle="""
+    with c as (
+      select year(o_orderdate) as y, cast(count(*) as bigint) as c
+      from orders group by 1
+    )
+    select 0 as v_from, 1 as v_to,
+           (select c from c where y = 1996) as n_inserted,
+           cast(0 as bigint) as n_deleted
+    union all
+    select 1, 2,
+           (select c from c where y = 1997),
+           (select sum(c) from c where y <= 1996)
+    union all
+    select 2, 3,
+           (select c from c where y = 1998),
+           cast(0 as bigint)
+    order by v_from
+    """,
+)
+def txlog_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: version-to-version CHANGE FEED over the transaction log —
+    for each adjacent version pair of the demo table (append 1995-,
+    append 1996, OVERWRITE with 1997, append 1998), the count of
+    inserted and deleted rows computed by key anti-joins between the
+    two time-travel snapshots. This is Delta CDF / Iceberg
+    changelog-scan semantics reconstructed from plain snapshots — the
+    operator a downstream incremental consumer runs when the table
+    doesn't materialize a change feed. Anti-joins shuffle on the key
+    only; the oracle derives expected counts from the source
+    predicates, so overwrite-drops-everything and append-accumulates
+    are value-checked across the whole replay chain."""
+    base = os.path.join(_TMP_BASE, f"ttdiff-{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    txlog_write(o.where(yr <= 1995), base, "append")
+    txlog_write(o.where(yr == 1996), base, "append")
+    txlog_write(o.where(yr == 1997), base, "overwrite")
+    txlog_write(o.where(yr == 1998), base, "append")
+    rows = []
+    for v in range(3):
+        prev = txlog_snapshot(spark, base, v).select("o_orderkey")
+        curr = txlog_snapshot(spark, base, v + 1).select("o_orderkey")
+        rows.append(
+            (
+                v,
+                v + 1,
+                curr.join(prev, "o_orderkey", "left_anti").count(),
+                prev.join(curr, "o_orderkey", "left_anti").count(),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "v_from int, v_to int, n_inserted long, n_deleted long"
+    ).orderBy("v_from")

@@ -370,3 +370,60 @@ def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="l_returnflag string, n_rows bigint, mean_price double, "
         "price_range double",
     )
+
+
+@register(
+    "udf_pandas_struct_metrics",
+    group="K",
+    oracle="""
+    select doc_id,
+           cast(length(text) as bigint) as n_chars,
+           cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+           round(cast(length(text) as double)
+                 / len(string_split(text, ' ')), 6) as avg_token_len,
+           cast(length(text) - length(replace(text, 'e', '')) as bigint)
+             as n_e
+    from documents where doc_id < 100
+    """,
+)
+def udf_pandas_struct_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ext: struct-RETURNING vectorized pandas UDF — one Arrow
+    round-trip computes four text metrics and ships them back as a
+    single StructType column that is then flattened. This is the
+    pattern for feature-extraction UDFs at 100 TB: N metrics per
+    document must not mean N Python round-trips; batch once, return a
+    struct, let Spark project fields. Metrics chosen to be
+    SQL-checkable (char count, token count, mean token length,
+    letter-frequency count) so the Arrow path itself is what's under
+    test; integer metrics are exact, the one ratio is round-6."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("avg_token_len", T.DoubleType()),
+            T.StructField("n_e", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def metrics(text: pd.Series) -> pd.DataFrame:
+        n_chars = text.str.len().astype("int64")
+        n_tokens = text.str.split(" ").str.len().astype("int64")
+        avg = np.round(n_chars.to_numpy() / n_tokens.to_numpy(), 6)
+        n_e = text.str.count("e").astype("int64")
+        return pd.DataFrame(
+            {
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "avg_token_len": avg,
+                "n_e": n_e,
+            }
+        )
+
+    return d.select("doc_id", metrics("text").alias("m")).select(
+        "doc_id", "m.n_chars", "m.n_tokens", "m.avg_token_len", "m.n_e"
+    )
