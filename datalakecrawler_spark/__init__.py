@@ -24,6 +24,7 @@ def _load_all() -> None:
     from datalakecrawler_spark.operators import (  # noqa: F401
         aggregates,
         filters,
+        geo,
         graph,
         joins,
         sorts_setops,

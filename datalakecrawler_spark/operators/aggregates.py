@@ -4212,3 +4212,49 @@ def part_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num4").cast("double") / F.col("den4"), 6
         ).alias("laspeyres_index"),
     ).orderBy("mon")
+
+
+@register(
+    "agg_bitmap_distinct",
+    group="E",
+    oracle="""
+    with chunks as (
+      select event_type,
+             user_id // 60 as chunk,
+             bit_or(1::bigint << cast(user_id % 60 as integer)) as bits
+      from events
+      group by event_type, user_id // 60
+    )
+    select event_type,
+           cast(sum(bit_count(bits)) as bigint) as n_users_bitmap,
+           (select count(distinct user_id) from events e
+             where e.event_type = chunks.event_type) as n_users_exact
+    from chunks group by event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-based exact distinct (roaring-bitmap pattern, flat-int64
+    edition): map each user to a (chunk, bit) slot — chunk = id/60,
+    bit = id%60, unique per id — OR the per-chunk masks with bit_or,
+    then popcount-sum the chunks. Unlike count(distinct), the chunk
+    bitmaps are MERGEABLE partial states: at 100 TB they combine
+    map-side, shuffle only (key, chunk)-sized state, and can be stored
+    per-partition and unioned later (incremental distinct across
+    snapshots). 60-bit slots keep ``1 << bit`` inside non-negative
+    int64 for engine parity (DuckDB raises on 1<<63). The exact twin
+    column double-checks the bitmap path against count(distinct)."""
+    e = load(spark, sf_dir, "events")
+    chunks = e.groupBy(
+        "event_type", (F.col("user_id") / 60).cast("long").alias("chunk")
+    ).agg(
+        # F.shiftleft only takes a literal shift amount — the SQL form
+        # accepts an expression.
+        F.bit_or(F.expr("shiftleft(1L, cast(user_id % 60 as int))")).alias("bits")
+    )
+    bitmap = chunks.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users_bitmap")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return bitmap.join(exact, "event_type")

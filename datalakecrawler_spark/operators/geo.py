@@ -1,0 +1,193 @@
+"""Geospatial operators — haversine distance, blocked nearest-neighbor,
+grid density (extension family; no geo columns exist in the fixtures, so
+coordinates are derived deterministically from keys with the portable
+md5-uniform idiom used across the engine — both engines synthesize the
+exact same (lat, lon) per row, making the family fully oracle-checkable).
+
+Scale notes (100 TB): the NN join is BLOCKED on nation (an equi-join
+key), never an all-pairs cross product — at planetary cardinalities the
+same shape generalizes to geohash/grid-cell blocking (equi-join on cell
+plus a bounded neighborhood fan-out, exactly like the price-bin pattern
+in ``join_theta_range``). Haversine itself is pure codegen'd math —
+no UDF, no shuffle beyond the block join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.registry import register
+
+EARTH_R_KM = 6371.0
+
+# Portable synthetic coordinate: u = md5-uniform(key|salt) ∈ [0,1);
+# lat ∈ [-85, 85) (poles avoided), lon ∈ [-180, 180).
+_U = "cast(('0x' || substring(md5(cast({k} as varchar) || '|{s}'), 1, 8)) as bigint) / 4294967296.0"
+_LAT_SQL = f"({_U.format(k='{k}', s='lat')} * 170.0 - 85.0)"
+_LON_SQL = f"({_U.format(k='{k}', s='lon')} * 360.0 - 180.0)"
+
+
+def _u(key: Column, salt: str) -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit("|" + salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
+def synth_lat(key: Column) -> Column:
+    return _u(key, "lat") * 170.0 - 85.0
+
+
+def synth_lon(key: Column) -> Column:
+    return _u(key, "lon") * 360.0 - 180.0
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km. Pure built-in math — whole-stage
+    codegen, no Python. Trig libm vs java.lang.Math can differ in the
+    last ulp; every consumer rounds to ≥4 decimals, absorbing it."""
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2.0 * EARTH_R_KM * F.asin(F.sqrt(a))
+
+
+_HAV_SQL = (
+    "2.0 * 6371.0 * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2.0), 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * pow(sin(radians(({lon2}) - ({lon1})) / 2.0), 2)))"
+)
+
+
+@register(
+    "geo_haversine_nn",
+    group="D",
+    oracle=f"""
+    with c as (
+      select c_custkey, c_nationkey,
+             {_LAT_SQL.format(k='c_custkey')} as lat,
+             {_LON_SQL.format(k='c_custkey')} as lon
+      from customer
+    ),
+    s as (
+      select s_suppkey, s_nationkey,
+             {_LAT_SQL.format(k='s_suppkey')} as lat,
+             {_LON_SQL.format(k='s_suppkey')} as lon
+      from supplier
+    ),
+    nn as (
+      select c.c_custkey, c.c_nationkey,
+             min({_HAV_SQL.format(lat1='c.lat', lon1='c.lon', lat2='s.lat', lon2='s.lon')}) as nearest_km
+      from c join s on s.s_nationkey = c.c_nationkey
+      group by c.c_custkey, c.c_nationkey
+    )
+    select c_nationkey,
+           count(*) as n_customers,
+           round(avg(nearest_km), 4) as avg_nearest_km,
+           round(min(nearest_km), 4) as min_nearest_km,
+           round(max(nearest_km), 4) as max_nearest_km
+    from nn group by c_nationkey
+    """,
+)
+def geo_haversine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked nearest-neighbor: distance from each customer to its
+    nearest same-nation supplier (synthetic coordinates), rolled up per
+    nation. The join is an equi-join on nationkey (supplier side is tiny
+    → broadcast), so the candidate set per customer is bounded by the
+    block size — the geohash-cell pattern at planetary scale."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        synth_lat(F.col("c_custkey")).alias("clat"),
+        synth_lon(F.col("c_custkey")).alias("clon"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey"),
+        synth_lat(F.col("s_suppkey")).alias("slat"),
+        synth_lon(F.col("s_suppkey")).alias("slon"),
+    )
+    nn = (
+        c.join(F.broadcast(s), "c_nationkey")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.min(
+                haversine_km(
+                    F.col("clat"), F.col("clon"), F.col("slat"), F.col("slon")
+                )
+            ).alias("nearest_km")
+        )
+    )
+    return nn.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("nearest_km"), 4).alias("avg_nearest_km"),
+        F.round(F.min("nearest_km"), 4).alias("min_nearest_km"),
+        F.round(F.max("nearest_km"), 4).alias("max_nearest_km"),
+    )
+
+
+@register(
+    "geo_grid_density",
+    group="E",
+    oracle=f"""
+    with pts as (
+      select {_LAT_SQL.format(k='c_custkey')} as lat,
+             {_LON_SQL.format(k='c_custkey')} as lon
+      from customer
+      union all
+      select {_LAT_SQL.format(k='s_suppkey')} as lat,
+             {_LON_SQL.format(k='s_suppkey')} as lon
+      from supplier
+    ),
+    cells as (
+      select cast(floor(lat / 30.0) as bigint) as cell_lat,
+             cast(floor(lon / 30.0) as bigint) as cell_lon,
+             count(*) as n_points
+      from pts group by 1, 2
+    )
+    select cell_lat, cell_lon, n_points,
+           round(n_points * 1.0 / sum(n_points) over (), 6) as density_share
+    from cells
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell density map: 30°×30° cells over the union of customer
+    and supplier synthetic coordinates, with share-of-total. One union,
+    one grouped count, one scalar window — the spatial-histogram shape a
+    catalog profiler emits for geo columns. At 100 TB the cell id is the
+    natural partition key (a geohash prefix), so the count is a plain
+    map-side-combinable aggregation."""
+    c = load(spark, sf_dir, "customer").select(
+        synth_lat(F.col("c_custkey")).alias("lat"),
+        synth_lon(F.col("c_custkey")).alias("lon"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        synth_lat(F.col("s_suppkey")).alias("lat"),
+        synth_lon(F.col("s_suppkey")).alias("lon"),
+    )
+    pts = c.unionByName(s)
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / 30.0).cast("long").alias("cell_lat"),
+        F.floor(F.col("lon") / 30.0).cast("long").alias("cell_lon"),
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+    from pyspark.sql.window import Window
+
+    return cells.select(
+        "cell_lat",
+        "cell_lon",
+        "n_points",
+        F.round(
+            F.col("n_points")
+            / F.sum("n_points").over(Window.partitionBy()),
+            6,
+        ).alias("density_share"),
+    )

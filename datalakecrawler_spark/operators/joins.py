@@ -1412,3 +1412,72 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    group="D",
+    oracle="""
+    with win as (
+      select o_orderkey, o_custkey,
+             min(o_orderdate) as w_start,
+             max(l_shipdate) as w_end
+      from orders join lineitem on l_orderkey = o_orderkey
+      group by o_orderkey, o_custkey
+    )
+    select a.o_custkey,
+           count(*) as n_overlapping_pairs,
+           min(a.o_orderkey) as sample_order
+    from win a join win b
+      on a.o_custkey = b.o_custkey
+     and a.o_orderkey < b.o_orderkey
+     and a.w_start <= b.w_end
+     and b.w_start <= a.w_end
+    group by a.o_custkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each order's fulfillment window is
+    [orderdate, last shipdate of its lines]; count pairs of
+    overlapping windows per customer (concurrently-open orders — the
+    classic temporal-join shape). The pair join is BLOCKED on the
+    customer key: candidate sets are per-customer order lists (tens of
+    rows), never a global interval cross product. At 100 TB with fat
+    blocks the same query adds interval-bin fan-out exactly like
+    join_theta_range's price bins. Two shuffles total (window rollup,
+    block join)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    win = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("w_start"),
+            F.max("l_shipdate").alias("w_end"),
+        )
+    )
+    a = win.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("a_key"),
+        F.col("w_start").alias("a_start"),
+        F.col("w_end").alias("a_end"),
+    )
+    b = win.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("b_key"),
+        F.col("w_start").alias("b_start"),
+        F.col("w_end").alias("b_end"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .where(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping_pairs"),
+            F.min("a_key").alias("sample_order"),
+        )
+    )

@@ -4406,3 +4406,62 @@ def ts_rolling_median_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     ).orderBy("day")
+
+
+@register(
+    "stats_cohens_d",
+    group="E",
+    oracle="""
+    with j as (
+      select c_mktsegment as seg, o_totalprice as x
+      from orders join customer on c_custkey = o_custkey
+      where c_mktsegment in ('BUILDING', 'MACHINERY')
+    ),
+    g as (
+      select seg, count(*) as n, avg(x) as m, var_samp(x) as v
+      from j group by seg
+    )
+    select a.n as n_building, b.n as n_machinery,
+           round(a.m, 2) as mean_building,
+           round(b.m, 2) as mean_machinery,
+           round((a.m - b.m)
+                 / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                        / (a.n + b.n - 2)), 6) as cohens_d
+    from (select * from g where seg = 'BUILDING') a,
+         (select * from g where seg = 'MACHINERY') b
+    """,
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between two customer
+    segments' order values — the magnitude companion to the
+    significance tests in this family (stats_ttest_welch gives p, this
+    gives "does it matter"). Pooled-SD formula with sample variances;
+    one broadcast-joined grouped pass over the fact table, two rows of
+    state. Variances stay raw doubles (numerically-stable single-pass
+    moments in both engines agree to ~1e-10 relative); only the final
+    standardized ratio is rounded."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    j = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x"))
+    g = j.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("v"),
+    )
+    a = g.where(F.col("seg") == "BUILDING").alias("a")
+    b = g.where(F.col("seg") == "MACHINERY").alias("b")
+    pooled = F.sqrt(
+        ((F.col("a.n") - 1) * F.col("a.v") + (F.col("b.n") - 1) * F.col("b.v"))
+        / (F.col("a.n") + F.col("b.n") - 2)
+    )
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_building"),
+        F.col("b.n").alias("n_machinery"),
+        F.round(F.col("a.m"), 2).alias("mean_building"),
+        F.round(F.col("b.m"), 2).alias("mean_machinery"),
+        F.round((F.col("a.m") - F.col("b.m")) / pooled, 6).alias("cohens_d"),
+    )

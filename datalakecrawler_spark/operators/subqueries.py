@@ -608,3 +608,43 @@ def date_edge_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_end")
     )
+
+
+@register(
+    "sql_group_by_all",
+    group="G",
+    oracle="""
+    select n_name,
+           year(o_orderdate) as order_year,
+           count(*) as n_orders,
+           round(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                 as double) / 1e6, 2) as revenue
+    from orders
+    join customer on c_custkey = o_custkey
+    join nation on n_nationkey = c_nationkey
+    group by all
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: GROUP BY ALL (Spark ≥3.4 / DuckDB both support it) —
+    every non-aggregate select item becomes a grouping key. The modern
+    analyst-SQL surface; Catalyst resolves it to the identical grouped
+    aggregate, so the plan (two broadcast joins on the dims, one
+    map-combinable agg) is the same as the explicit form. Revenue sums
+    in exact micro-units (registry float-parity policy)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_gba")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_gba")
+    return spark.sql(
+        """
+        select n_name,
+               year(o_orderdate) as order_year,
+               count(*) as n_orders,
+               round(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint))
+                     as double) / 1e6, 2) as revenue
+        from orders_gba
+        join customer_gba on c_custkey = o_custkey
+        join nation_gba on n_nationkey = c_nationkey
+        group by all
+        """
+    )

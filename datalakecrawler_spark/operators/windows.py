@@ -1388,3 +1388,84 @@ def win_ignore_nulls_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("checksum_last"),
     )
+
+
+@register(
+    "win_exclude_current",
+    group="F",
+    oracle="""
+    select o_orderkey, o_custkey,
+           round(o_totalprice, 2) as price,
+           round(avg(o_totalprice) over (
+             partition by o_custkey
+             rows between unbounded preceding and unbounded following
+             exclude current row), 4) as loo_avg,
+           round(o_totalprice / nullif(avg(o_totalprice) over (
+             partition by o_custkey
+             rows between unbounded preceding and unbounded following
+             exclude current row), 0), 4) as vs_peers
+    from orders
+    where o_orderdate >= timestamp '1995-01-01'
+      and o_orderdate <  timestamp '1995-04-01'
+    """,
+)
+def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-exclusion window (SQL:2011 EXCLUDE CURRENT ROW): each
+    order's price vs the leave-one-out mean of the same customer's other
+    orders in the quarter. Spark has no EXCLUDE clause, so it is
+    emulated algebraically — loo_avg = (sum − x) / (n − 1), null when
+    the row is alone — which is also the scale-friendly form: one
+    partition-wide sum+count window (a single shuffle on the partition
+    key), no per-row frame re-scan. DuckDB's oracle uses the native
+    EXCLUDE clause, pinning the emulation to the standard semantics."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    w = W.partitionBy("o_custkey")
+    n = F.count(F.lit(1)).over(w)
+    loo = F.when(
+        n > 1,
+        (F.sum("o_totalprice").over(w) - F.col("o_totalprice")) / (n - 1),
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(loo, 4).alias("loo_avg"),
+        F.round(F.col("o_totalprice") / F.nullif(loo, F.lit(0)), 4).alias("vs_peers"),
+    )
+
+
+@register(
+    "win_distinct_count",
+    group="F",
+    oracle="""
+    select o_orderkey, o_custkey,
+           count(distinct o_orderpriority) over (partition by o_custkey)
+             as n_priorities_used,
+           count(*) over (partition by o_custkey) as n_orders
+    from orders
+    where o_orderdate >= timestamp '1997-01-01'
+    """,
+)
+def win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) OVER — Spark rejects DISTINCT aggregates in
+    window frames, so it is emulated with size(collect_set(...) over w):
+    the set state is bounded by the attribute's cardinality (5
+    priorities here), which is exactly when a windowed distinct is
+    sensible at scale — for unbounded attributes the right tool is the
+    dense_rank-max trick or a pre-aggregated join, not per-row set
+    state. DuckDB's oracle uses its native windowed DISTINCT, pinning
+    the emulation to standard semantics. One shuffle on the partition
+    key."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    w = W.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(F.collect_set("o_orderpriority").over(w)).alias("n_priorities_used"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    )

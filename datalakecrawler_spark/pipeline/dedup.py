@@ -1426,3 +1426,95 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@register(
+    "dedup_fellegi_sunter",
+    group="J",
+    oracle="""
+    with pairs as (
+      select a.c_custkey as id_a, b.c_custkey as id_b,
+             cast(a.c_mktsegment = b.c_mktsegment as integer) as agr_segment,
+             cast(floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+                  as integer) as agr_balband,
+             cast(length(a.c_name) = length(b.c_name) as integer) as agr_namelen,
+             cast(sign(a.c_acctbal) = sign(b.c_acctbal) as integer) as agr_balsign
+      from customer a join customer b
+        on a.c_nationkey = b.c_nationkey and a.c_custkey < b.c_custkey
+    ),
+    scored as (
+      select id_a, id_b,
+             round(cast(
+                     (case when agr_segment = 1 then 2.169925
+                           else -3.0 end)
+                   + (case when agr_balband = 1 then 3.087463
+                           else -2.584963 end)
+                   + (case when agr_namelen = 1 then 1.415037
+                           else -1.807355 end)
+                   + (case when agr_balsign = 1 then 0.925999
+                           else -3.321928 end) as double), 4) as score
+      from pairs
+    )
+    select score,
+           count(*) as n_pairs,
+           cast(score >= 3.0 as integer) as is_match_candidate
+    from scored group by score
+    """,
+)
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi–Sunter 1969, public
+    method): candidate pairs are generated only WITHIN nation blocks
+    (an equi self-join — never the O(N²) cross product; at 100 TB the
+    block key comes from a cheap blocking function exactly like the
+    LSH bands in dedup_near_minhash), each pair gets an
+    agreement vector over four comparator fields, and each field
+    contributes log2(m/u) on agreement / log2((1−m)/(1−u)) on
+    disagreement with fixed published-style m/u priors. The result is
+    the match-score histogram with the θ≥3 candidate flag — the
+    decision curve an ER pipeline thresholds. All comparators are
+    codegen'd expressions; one shuffle for the block join, one for the
+    histogram."""
+    c = load(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.length("c_name").alias("nlen_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.length("c_name").alias("nlen_b"),
+    )
+    # log2(m/u) agreement / log2((1-m)/(1-u)) disagreement weights,
+    # pre-rounded to 6 decimals and used as the SAME literals in the
+    # oracle SQL — libm log2 can differ across engines by an ulp, a
+    # shared literal cannot.
+    def w(agree, on: float, off: float):
+        return F.when(agree, F.lit(on)).otherwise(F.lit(off))
+
+    pairs = a.join(b, "nk").where(F.col("id_a") < F.col("id_b"))
+    score = F.round(
+        w(F.col("seg_a") == F.col("seg_b"), 2.169925, -3.0)
+        + w(
+            F.floor(F.col("bal_a") / 1000.0) == F.floor(F.col("bal_b") / 1000.0),
+            3.087463,
+            -2.584963,
+        )
+        + w(F.col("nlen_a") == F.col("nlen_b"), 1.415037, -1.807355)
+        + w(F.signum("bal_a") == F.signum("bal_b"), 0.925999, -3.321928),
+        4,
+    ).alias("score")
+    return (
+        pairs.select(score)
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "score",
+            "n_pairs",
+            (F.col("score") >= 3.0).cast("int").alias("is_match_candidate"),
+        )
+    )

@@ -4279,3 +4279,59 @@ def events_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(orr) - 1.959963985 * se), 6).alias("ci_lo"),
         F.round(F.exp(F.log(orr) + 1.959963985 * se), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "sample_weighted_ares",
+    group="J",
+    oracle="""
+    with keyed as (
+      select doc_id, lang, n_chars,
+             -ln((cast(('0x' || substring(md5(cast(doc_id as varchar) || '|ares'), 1, 8))
+                   as bigint) + 0.5) / 4294967296.0) / n_chars as expkey
+      from documents
+    )
+    select doc_id, lang, n_chars, round(expkey * 1e6, 4) as key_micro
+    from keyed
+    order by expkey, doc_id
+    limit 20
+    """,
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res, 2006 — public algorithm): each row draws a deterministic
+    md5-uniform u ∈ (0,1) and gets the exponential key −ln(u)/w with
+    weight w = n_chars; the global k smallest keys ARE a weighted
+    sample without replacement. Distribution-friendly by construction:
+    the key is computed row-local (no shuffle), and top-k by key is
+    Spark's TakeOrderedAndProject — per-partition local top-k then a
+    k-sized merge on the driver, never a global sort. The (u + 0.5)
+    offset keeps u strictly positive so ln is finite."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ares"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    expkey = -F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            expkey.alias("expkey"),
+        )
+        .orderBy("expkey", "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("expkey") * 1e6, 4).alias("key_micro"),
+        )
+    )

@@ -2787,3 +2787,164 @@ def crawl_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("varchar")
         .alias("inferred_type"),
     ).orderBy("col")
+
+
+@register(
+    "catalog_ndv_sample_estimate",
+    group="B",
+    oracle="""
+    with sampled as (
+      select o_custkey
+      from orders
+      where cast(('0x' || substring(md5(cast(o_orderkey as varchar) || '|ndv'), 1, 8))
+              as bigint) < 0.25 * 4294967296
+    ),
+    freq as (
+      select o_custkey, count(*) as cnt from sampled group by o_custkey
+    ),
+    est as (
+      select count(*) filter (where cnt = 1) as f1,
+             count(*) filter (where cnt > 1) as f_multi,
+             count(*) as d_sample,
+             sum(cnt) as n_sampled
+      from freq
+    )
+    select n_sampled, d_sample,
+           cast(2.0 * f1 + f_multi as double) as ndv_estimate,
+           (select count(distinct o_custkey) from orders) as ndv_exact,
+           round(abs(2.0 * f1 + f_multi
+                     - (select count(distinct o_custkey) from orders))
+                 / (select count(distinct o_custkey) from orders), 6) as rel_error
+    from est
+    """,
+)
+def catalog_ndv_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV estimation from a Bernoulli row sample (Charikar et al.'s
+    GEE estimator, public: D̂ = √(1/q)·f₁ + Σ_{j≥2} fⱼ with q = 25 %) —
+    how a crawler profiles distinct counts WITHOUT scanning the full
+    column: sample rows by a deterministic md5 coin on the row key,
+    count value frequencies in the sample, and scale the singletons.
+    The exact-NDV twin and relative error are emitted alongside — the
+    accuracy report a catalog stores next to the estimate. At 100 TB
+    the sample predicate pushes into the scan and the estimator
+    touches q·N rows; the exact twin is the thing you can no longer
+    afford (that's the point)."""
+    o = load(spark, sf_dir, "orders")
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("|ndv"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    sampled = o.where(coin < F.lit(0.25) * 4294967296)
+    freq = sampled.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    est = freq.agg(
+        F.count_if(F.col("cnt") == 1).alias("f1"),
+        F.count_if(F.col("cnt") > 1).alias("f_multi"),
+        F.count(F.lit(1)).alias("d_sample"),
+        F.sum("cnt").alias("n_sampled"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("ndv_exact"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "n_sampled",
+            "d_sample",
+            (2.0 * F.col("f1") + F.col("f_multi")).cast("double").alias("ndv_estimate"),
+            "ndv_exact",
+            F.round(
+                F.abs(2.0 * F.col("f1") + F.col("f_multi") - F.col("ndv_exact"))
+                / F.col("ndv_exact"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+@register(
+    "catalog_fd_mining",
+    group="B",
+    oracle="""
+    with checks as (
+      select 'part: p_brand -> p_type' as fd,
+             count(*) as n_lhs_values,
+             count(*) filter (where n_rhs > 1) as n_violating_lhs,
+             sum(cnt) filter (where n_rhs > 1) as n_violating_rows
+      from (select p_brand, count(distinct p_type) as n_rhs, count(*) as cnt
+            from part group by p_brand)
+      union all
+      select 'part: p_type -> p_size',
+             count(*),
+             count(*) filter (where n_rhs > 1),
+             sum(cnt) filter (where n_rhs > 1)
+      from (select p_type, count(distinct p_size) as n_rhs, count(*) as cnt
+            from part group by p_type)
+      union all
+      select 'nation: n_nationkey -> n_regionkey',
+             count(*),
+             count(*) filter (where n_rhs > 1),
+             sum(cnt) filter (where n_rhs > 1)
+      from (select n_nationkey, count(distinct n_regionkey) as n_rhs,
+                   count(*) as cnt
+            from nation group by n_nationkey)
+      union all
+      select 'orders: o_custkey -> o_orderpriority',
+             count(*),
+             count(*) filter (where n_rhs > 1),
+             sum(cnt) filter (where n_rhs > 1)
+      from (select o_custkey, count(distinct o_orderpriority) as n_rhs,
+                   count(*) as cnt
+            from orders group by o_custkey)
+    )
+    select fd, n_lhs_values,
+           cast(n_violating_lhs as bigint) as n_violating_lhs,
+           cast(coalesce(n_violating_rows, 0) as bigint) as n_violating_rows,
+           cast(n_violating_lhs = 0 as integer) as holds
+    from checks
+    """,
+)
+def catalog_fd_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (the Metanome/profiling-suite
+    capability, public technique): test candidate FDs A → B by grouping
+    on the determinant and counting distinct dependent values — an FD
+    holds iff every group has exactly one. Emits per-candidate violation
+    stats (how many LHS values break it, how many rows are involved) —
+    what a crawler records so downstream users know which columns are
+    safe join/normalization keys. Each check is one map-combinable
+    grouped pass; candidates over the same table could share a scan via
+    grouping sets at scale."""
+
+    def check(df: DataFrame, fd: str, lhs: str, rhs: str) -> DataFrame:
+        g = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs"), F.count(F.lit(1)).alias("cnt")
+        )
+        return g.agg(
+            F.lit(fd).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs_values"),
+            F.count_if(F.col("n_rhs") > 1).alias("n_violating_lhs"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_rhs") > 1, F.col("cnt"))), F.lit(0)
+            ).alias("n_violating_rows"),
+        )
+
+    p = load(spark, sf_dir, "part")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    out = (
+        check(p, "part: p_brand -> p_type", "p_brand", "p_type")
+        .unionByName(check(p, "part: p_type -> p_size", "p_type", "p_size"))
+        .unionByName(
+            check(n, "nation: n_nationkey -> n_regionkey", "n_nationkey", "n_regionkey")
+        )
+        .unionByName(
+            check(o, "orders: o_custkey -> o_orderpriority", "o_custkey", "o_orderpriority")
+        )
+    )
+    return out.select(
+        "fd",
+        "n_lhs_values",
+        "n_violating_lhs",
+        "n_violating_rows",
+        (F.col("n_violating_lhs") == 0).cast("int").alias("holds"),
+    )

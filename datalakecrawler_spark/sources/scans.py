@@ -881,3 +881,28 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ext")
     )
+
+
+@register("scan_xml_infer", group="A", oracle=None)
+def scan_xml_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: XML read with schema inference (Spark ≥4 ships the XML
+    datasource natively — no external package). Stages `region` as an
+    XML document, re-reads it with rowTag inference, and asserts the
+    integer key type was recovered. Rows-only: staging paths are
+    env-specific. At scale XML lands as many files and the reader
+    parallelizes per-file like every other DataSource V2 format."""
+    path = _tmp("region_xml")
+    rows = load(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "region.xml"), "w") as f:
+        f.write("<regions>\n")
+        for r in rows:
+            name = r["r_name"].replace("&", "&amp;").replace("<", "&lt;")
+            f.write(
+                f"  <region><r_regionkey>{r['r_regionkey']}</r_regionkey>"
+                f"<r_name>{name}</r_name></region>\n"
+            )
+        f.write("</regions>\n")
+    df = spark.read.option("rowTag", "region").format("xml").load(path)
+    assert dict(df.dtypes)["r_regionkey"] in ("int", "bigint"), df.dtypes
+    return df.select("r_regionkey", "r_name").orderBy("r_regionkey")

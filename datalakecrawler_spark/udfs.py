@@ -427,3 +427,132 @@ def udf_pandas_struct_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", metrics("text").alias("m")).select(
         "doc_id", "m.n_chars", "m.n_tokens", "m.avg_token_len", "m.n_e"
     )
+
+
+@register("ts_holt_forecast", group="F", oracle=None)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (public textbook
+    method; α=0.3, β=0.1) over the weekly revenue series — the
+    two-state recurrence lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ is inherently sequential, so it runs
+    as a grouped-map applyInPandas over the (tiny, pre-aggregated)
+    series — the distributed shape is one group per series key: a
+    fleet of independent recurrences, each over at most a few thousand
+    points, parallel across millions of series at 100 TB while the
+    data-sized work (the weekly rollup) stays in codegen'd SQL.
+    Rows-only: the recurrence is not ANSI-SQL-expressible without
+    recursive CTEs; tests/test_pipeline_semantics.py re-runs the
+    recurrence in plain Python against this output."""
+    o = load(spark, sf_dir, "orders")
+    weekly = (
+        o.groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("wk"))
+        .agg(F.round(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5) / 100), 2).alias("revenue"))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("wk", T.DateType()),
+            T.StructField("actual", T.DoubleType()),
+            T.StructField("fitted", T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+        ]
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("wk").reset_index(drop=True)
+        x = pdf["revenue"].to_numpy()
+        n = len(x)
+        alpha, beta = 0.3, 0.1
+        level = [0.0] * n
+        trend = [0.0] * n
+        fitted = [float("nan")] * n
+        if n:
+            level[0] = x[0]
+            trend[0] = x[1] - x[0] if n > 1 else 0.0
+        for t in range(1, n):
+            prev = level[t - 1] + trend[t - 1]
+            fitted[t] = prev
+            level[t] = alpha * x[t] + (1 - alpha) * prev
+            trend[t] = beta * (level[t] - level[t - 1]) + (1 - beta) * trend[t - 1]
+        return pd.DataFrame(
+            {
+                "wk": pdf["wk"],
+                "actual": [round(v, 2) for v in x],
+                "fitted": [round(v, 4) for v in fitted],
+                "level": [round(v, 4) for v in level],
+                "trend": [round(v, 4) for v in trend],
+            }
+        )
+
+    return (
+        weekly.withColumn("series", F.lit(1))
+        .groupBy("series")
+        .applyInPandas(holt, out_schema)
+    )
+
+
+@register("ts_holt_winters_seasonal", group="F", oracle=None)
+def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + seasonal, public textbook
+    method; α=0.3, β=0.05, γ=0.2, period m=12) over the monthly revenue
+    series. Seasonal indices are initialized from the first year's
+    deviations-from-mean; the three-state recurrence then runs
+    sequentially inside one grouped-map applyInPandas — same
+    distributed shape as ts_holt_forecast: the heavy rollup is
+    codegen'd SQL, the recurrence is O(#months) per series, parallel
+    across series keys at scale. Rows-only (recursive — not
+    ANSI-expressible); tests/test_pipeline_semantics.py replays the
+    recurrence in plain Python."""
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("mth"))
+        .agg(F.round(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5) / 100), 2).alias("revenue"))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("mth", T.DateType()),
+            T.StructField("actual", T.DoubleType()),
+            T.StructField("fitted", T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("seasonal", T.DoubleType()),
+        ]
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("mth").reset_index(drop=True)
+        x = pdf["revenue"].to_numpy()
+        n, m = len(x), 12
+        alpha, beta, gamma = 0.3, 0.05, 0.2
+        if n < 2 * m:  # not enough history: emit empty frame, stable schema
+            return pd.DataFrame(
+                {c: pd.Series(dtype="float64") for c in
+                 ["actual", "fitted", "level", "trend", "seasonal"]}
+            ).assign(mth=pd.Series(dtype="datetime64[ns]"))[
+                ["mth", "actual", "fitted", "level", "trend", "seasonal"]
+            ]
+        base = float(x[:m].mean())
+        seas = [float(v) - base for v in x[:m]]
+        level = base
+        trend = (float(x[m:2 * m].mean()) - base) / m
+        rows = []
+        for t in range(n):
+            s = seas[t % m]
+            fitted = level + trend + s
+            new_level = alpha * (x[t] - s) + (1 - alpha) * (level + trend)
+            new_trend = beta * (new_level - level) + (1 - beta) * trend
+            seas[t % m] = gamma * (x[t] - new_level) + (1 - gamma) * s
+            rows.append(
+                (pdf["mth"][t], round(float(x[t]), 2), round(fitted, 4),
+                 round(new_level, 4), round(new_trend, 4), round(seas[t % m], 4))
+            )
+            level, trend = new_level, new_trend
+        return pd.DataFrame(
+            rows, columns=["mth", "actual", "fitted", "level", "trend", "seasonal"]
+        )
+
+    return (
+        monthly.withColumn("series", F.lit(1))
+        .groupBy("series")
+        .applyInPandas(hw, out_schema)
+    )

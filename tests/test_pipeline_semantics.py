@@ -251,3 +251,60 @@ def test_hll_mergeability_error_bounds(spark):
 def test_crawl_incremental_picks_only_new_file(spark):
     row = _run(spark, "crawl_incremental").collect()[0]
     assert row["n_new_files"] == row["n_expected_new"] == 1, dict(row.asDict())
+
+
+def test_holt_forecast_recurrence(spark):
+    """ts_holt_forecast must equal the plain-Python Holt recurrence
+    (α=0.3, β=0.1) recomputed from its own actuals — the grouped-map
+    must be a faithful, sorted, single-pass recurrence."""
+    import math
+
+    rows = sorted(_run(spark, "ts_holt_forecast").collect(), key=lambda r: r["wk"])
+    assert len(rows) > 10
+    x = [r["actual"] for r in rows]
+    alpha, beta = 0.3, 0.1
+    level, trend = x[0], x[1] - x[0]
+    assert rows[0]["level"] == round(level, 4)
+    assert rows[0]["trend"] == round(trend, 4)
+    # pandas NaN crosses Arrow as null
+    assert rows[0]["fitted"] is None or math.isnan(rows[0]["fitted"])
+    for t in range(1, len(x)):
+        prev = level + trend
+        new_level = alpha * x[t] + (1 - alpha) * prev
+        new_trend = beta * (new_level - level) + (1 - beta) * trend
+        assert abs(rows[t]["fitted"] - round(prev, 4)) < 1e-6, t
+        assert abs(rows[t]["level"] - round(new_level, 4)) < 1e-6, t
+        assert abs(rows[t]["trend"] - round(new_trend, 4)) < 1e-6, t
+        level, trend = new_level, new_trend
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    """The bitmap popcount path must agree with count(distinct) on
+    every event_type (both columns are in the operator's own output)."""
+    for r in _run(spark, "agg_bitmap_distinct").collect():
+        assert r["n_users_bitmap"] == r["n_users_exact"], r
+
+
+def test_holt_winters_seasonal_recurrence(spark):
+    """ts_holt_winters_seasonal must equal the plain-Python additive
+    Holt-Winters recurrence replayed from its own actuals."""
+    rows = sorted(
+        _run(spark, "ts_holt_winters_seasonal").collect(), key=lambda r: r["mth"]
+    )
+    assert len(rows) >= 24, "needs ≥2 seasonal periods of monthly history"
+    x = [r["actual"] for r in rows]
+    m, alpha, beta, gamma = 12, 0.3, 0.05, 0.2
+    base = sum(x[:m]) / m
+    seas = [v - base for v in x[:m]]
+    level = base
+    trend = (sum(x[m : 2 * m]) / m - base) / m
+    for t in range(len(x)):
+        s = seas[t % m]
+        fitted = level + trend + s
+        new_level = alpha * (x[t] - s) + (1 - alpha) * (level + trend)
+        new_trend = beta * (new_level - level) + (1 - beta) * trend
+        seas[t % m] = gamma * (x[t] - new_level) + (1 - gamma) * s
+        assert abs(rows[t]["fitted"] - round(fitted, 4)) < 1e-6, t
+        assert abs(rows[t]["level"] - round(new_level, 4)) < 1e-6, t
+        assert abs(rows[t]["seasonal"] - round(seas[t % m], 4)) < 1e-6, t
+        level, trend = new_level, new_trend
