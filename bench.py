@@ -52,6 +52,11 @@ HEADLINE = [
     "stats_covariance_matrix",
     "stats_mutual_information",
     "events_power_user_curve",
+    # geo/linkage/collocation/walk additions — BASELINE.md fifth table
+    "geo_haversine_nn",
+    "dedup_fellegi_sunter",
+    "text_collocation_llr",
+    "graph_random_walks",
 ]
 
 

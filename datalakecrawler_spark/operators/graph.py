@@ -1402,3 +1402,120 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.col("t3").cast("double") / F.col("wedges_x2"), 6
         ).alias("transitivity"),
     )
+
+
+@register(
+    "graph_random_walks",
+    group="J",
+    oracle=f"""
+    with {_EDGE_CTE},
+    sym as (
+      select pa as src, pb as dst from edges
+      union all
+      select pb as src, pa as dst from edges
+    ),
+    seeds as (
+      select src as walk, src as cur
+      from (select src, count(*) as deg from sym group by src)
+      order by deg desc, src limit 10
+    ),
+    s1 as (
+      select walk, dst as cur from (
+        select s.walk, e.dst,
+               row_number() over (partition by s.walk order by
+                 md5(cast(s.walk as varchar) || '|1|' || cast(s.cur as varchar)
+                     || '|' || cast(e.dst as varchar)), e.dst) as rn
+        from seeds s join sym e on e.src = s.cur
+      ) where rn = 1
+    ),
+    s2 as (
+      select walk, dst as cur from (
+        select s.walk, e.dst,
+               row_number() over (partition by s.walk order by
+                 md5(cast(s.walk as varchar) || '|2|' || cast(s.cur as varchar)
+                     || '|' || cast(e.dst as varchar)), e.dst) as rn
+        from s1 s join sym e on e.src = s.cur
+      ) where rn = 1
+    ),
+    s3 as (
+      select walk, dst as cur from (
+        select s.walk, e.dst,
+               row_number() over (partition by s.walk order by
+                 md5(cast(s.walk as varchar) || '|3|' || cast(s.cur as varchar)
+                     || '|' || cast(e.dst as varchar)), e.dst) as rn
+        from s2 s join sym e on e.src = s.cur
+      ) where rn = 1
+    ),
+    s4 as (
+      select walk, dst as cur from (
+        select s.walk, e.dst,
+               row_number() over (partition by s.walk order by
+                 md5(cast(s.walk as varchar) || '|4|' || cast(s.cur as varchar)
+                     || '|' || cast(e.dst as varchar)), e.dst) as rn
+        from s3 s join sym e on e.src = s.cur
+      ) where rn = 1
+    ),
+    allv as (
+      select walk, cur from seeds union all
+      select walk, cur from s1 union all
+      select walk, cur from s2 union all
+      select walk, cur from s3 union all
+      select walk, cur from s4
+    )
+    select cur as node,
+           count(*) as n_visits,
+           count(distinct walk) as n_walks
+    from allv group by cur
+    """,
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random-walk sampling over the co-purchase graph
+    (public method: Perozzi et al. 2014) with DETERMINISTIC hash-driven
+    transitions: at step t the walk at node v moves to the neighbor
+    minimizing md5(walk|t|v|neighbor) — a reproducible stand-in for a
+    uniform draw that both engines replay bit-identically (the property
+    a training pipeline needs to re-materialize walk corpora). Each
+    step is one equi-join current-frontier ⋈ edges plus a per-walk
+    argmin window; the frontier stays (walks × 1) rows, so 100 TB
+    scale is walks-parallel — millions of independent walks, edge
+    table hash-partitioned by src, per-step shuffle bounded by frontier
+    size. Output is the node-visit histogram (the skip-gram corpus
+    feed). Walk length 4, seeds = top-10 nodes by degree."""
+    edges = _edges(spark, sf_dir)
+    sym = edges.selectExpr("pa as src", "pb as dst").unionByName(
+        edges.selectExpr("pb as src", "pa as dst")
+    ).localCheckpoint()
+    seeds = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.col("deg").desc(), "src")
+        .limit(10)
+        .select(F.col("src").alias("walk"), F.col("src").alias("cur"))
+    )
+    frames = [seeds]
+    cur = seeds
+    for t in range(1, 5):
+        coin = F.md5(
+            F.concat(
+                F.col("walk").cast("string"),
+                F.lit(f"|{t}|"),
+                F.col("cur").cast("string"),
+                F.lit("|"),
+                F.col("dst").cast("string"),
+            )
+        )
+        w = W.partitionBy("walk").orderBy(coin.alias("coin"), F.col("dst"))
+        cur = (
+            cur.join(sym, cur.cur == sym.src)
+            .select("walk", "dst", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select("walk", F.col("dst").alias("cur"))
+        )
+        frames.append(cur)
+    allv = frames[0]
+    for f in frames[1:]:
+        allv = allv.unionByName(f)
+    return allv.groupBy(F.col("cur").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.countDistinct("walk").alias("n_walks"),
+    )

@@ -2573,3 +2573,247 @@ def text_chunked_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_collocation_llr",
+    group="J",
+    oracle="""
+    with toks as (
+      select doc_id,
+             unnest(range(len(string_split(text, ' ')))) as pos,
+             unnest(string_split(text, ' ')) as tok
+      from documents
+    ), bigrams as (
+      select tok as w1,
+             lead(tok) over (partition by doc_id order by pos) as w2
+      from toks
+    ), bg as (
+      select w1, w2, count(*) as c12 from bigrams
+      where w2 is not null group by 1, 2
+    ), marg as (
+      select bg.w1, bg.w2, bg.c12,
+             r.r1, c.c2,
+             (select sum(c12) from bg) as n
+      from bg
+      join (select w1, sum(c12) as r1 from bg group by w1) r using (w1)
+      join (select w2, sum(c12) as c2 from bg group by w2) c using (w2)
+    )
+    select w1, w2, c12,
+           round(2.0 * (
+               c12 * ln(c12 * n / (1.0 * r1 * c2))
+             + (case when r1 - c12 > 0
+                then (r1 - c12) * ln((r1 - c12) * n / (1.0 * r1 * (n - c2)))
+                else 0 end)
+             + (case when c2 - c12 > 0
+                then (c2 - c12) * ln((c2 - c12) * n / (1.0 * (n - r1) * c2))
+                else 0 end)
+             + (case when n - r1 - c2 + c12 > 0
+                then (n - r1 - c2 + c12)
+                     * ln((n - r1 - c2 + c12) * n / (1.0 * (n - r1) * (n - c2)))
+                else 0 end)), 4) as llr
+    from marg
+    where c12 >= 25
+    """,
+)
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning's log-likelihood-ratio collocation test (1993, public
+    method) — the statistically-sound alternative to raw PMI for
+    phrase mining on skewed counts: a 2×2 contingency table per
+    adjacent bigram (k11 = bigram count, marginals from the bigram
+    table itself), scored 2·Σ kᵢⱼ·ln(kᵢⱼN / rᵢcⱼ) over the non-zero
+    cells. Same plan skeleton as text_pmi_bigrams: ONE explode feeds
+    the bigram groupBy (the only data-sized shuffle); the two marginal
+    frames are vocabulary-sized and broadcast back. ln parity across
+    engines is absorbed by round-4 on a statistic of magnitude
+    10¹-10³."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    bg = (
+        d.select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    r = bg.groupBy("w1").agg(F.sum("c12").alias("r1"))
+    c = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = bg.agg(F.sum("c12").alias("n"))
+    m = (
+        bg.join(F.broadcast(r), "w1")
+        .join(F.broadcast(c), "w2")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("c12") >= 25)
+    )
+
+    k11 = F.col("c12")
+    k12 = F.col("r1") - k11
+    k21 = F.col("c2") - k11
+    k22 = F.col("n") - F.col("r1") - F.col("c2") + k11
+    llr = 2.0 * (
+        k11 * F.log(k11 * F.col("n") / (1.0 * F.col("r1") * F.col("c2")))
+        + F.when(
+            k12 > 0,
+            k12 * F.log(k12 * F.col("n") / (1.0 * F.col("r1") * (F.col("n") - F.col("c2")))),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            k21 > 0,
+            k21 * F.log(k21 * F.col("n") / (1.0 * (F.col("n") - F.col("r1")) * F.col("c2"))),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            k22 > 0,
+            k22
+            * F.log(
+                k22
+                * F.col("n")
+                / (1.0 * (F.col("n") - F.col("r1")) * (F.col("n") - F.col("c2")))
+            ),
+        ).otherwise(F.lit(0.0))
+    )
+    return m.select("w1", "w2", "c12", F.round(llr, 4).alias("llr"))
+
+
+@register(
+    "text_bpe_train_lite",
+    group="J",
+    oracle="""
+    with words as (
+      select word, count(*) as n from (
+        select unnest(string_split(text, ' ')) as word from documents
+      ) where word <> '' group by word
+    ),
+    s0 as (
+      select ' ' || rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' as seq,
+             n from words
+    ),
+    p1 as (
+      select pr as pair, sum(n) as cnt from (
+        select unnest(list_transform(range(1, len(string_split(trim(seq), ' '))),
+                      i -> string_split(trim(seq), ' ')[i] || ' ' ||
+                           string_split(trim(seq), ' ')[i + 1])) as pr, n
+        from s0
+      ) group by pr
+    ),
+    t1 as (select pair, cnt from p1 order by cnt desc, pair limit 1),
+    s1 as (
+      select replace(seq, ' ' || t1.pair || ' ',
+                     ' ' || replace(t1.pair, ' ', '') || ' ') as seq, n
+      from s0, t1
+    ),
+    p2 as (
+      select pr as pair, sum(n) as cnt from (
+        select unnest(list_transform(range(1, len(string_split(trim(seq), ' '))),
+                      i -> string_split(trim(seq), ' ')[i] || ' ' ||
+                           string_split(trim(seq), ' ')[i + 1])) as pr, n
+        from s1
+      ) group by pr
+    ),
+    t2 as (select pair, cnt from p2 order by cnt desc, pair limit 1),
+    s2 as (
+      select replace(seq, ' ' || t2.pair || ' ',
+                     ' ' || replace(t2.pair, ' ', '') || ' ') as seq, n
+      from s1, t2
+    ),
+    p3 as (
+      select pr as pair, sum(n) as cnt from (
+        select unnest(list_transform(range(1, len(string_split(trim(seq), ' '))),
+                      i -> string_split(trim(seq), ' ')[i] || ' ' ||
+                           string_split(trim(seq), ' ')[i + 1])) as pr, n
+        from s2
+      ) group by pr
+    ),
+    t3 as (select pair, cnt from p3 order by cnt desc, pair limit 1)
+    select 1 as merge_round, pair, replace(pair, ' ', '') as fused,
+           cast(cnt as bigint) as pair_count from t1
+    union all
+    select 2, pair, replace(pair, ' ', ''), cast(cnt as bigint) from t2
+    union all
+    select 3, pair, replace(pair, ' ', ''), cast(cnt as bigint) from t3
+    """,
+)
+def text_bpe_train_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+    public method), 3 merge rounds over the corpus vocabulary: word
+    frequencies once (the only corpus-sized pass), then each round
+    counts weighted adjacent symbol pairs, picks the most frequent
+    (count desc, pair asc tie-break — deterministic), and fuses it in
+    every symbol sequence via leftmost-non-overlapping literal replace
+    (verified engine-identical). The merge decision is a one-row frame
+    cross-joined back — NO driver collect, the whole train is one
+    declarative plan; at 100 TB the vocabulary table (≪ corpus) is the
+    only state between rounds, exactly how distributed tokenizer
+    training shards. Emits the learned merge table (round, pair, fused,
+    weighted count) — the artifact a tokenizer ships."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seq = words.select(
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace("word", "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("seq"),
+        "n",
+    )
+
+    def pair_counts(s: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col("seq")), " ")
+        # guard: single-symbol sequences have no pairs (sequence(0,-1)
+        # would DESCEND and index 0 is invalid for element_at)
+        prs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat(
+                    F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            s.select(F.explode(prs).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+        )
+
+    outs = []
+    for r in (1, 2, 3):
+        top = (
+            pair_counts(seq)
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .select("pair", "cnt")
+        )
+        outs.append(
+            top.select(
+                F.lit(r).alias("merge_round"),
+                "pair",
+                F.replace("pair", F.lit(" "), F.lit("")).alias("fused"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        seq = seq.crossJoin(F.broadcast(top)).select(
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace("pair", F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("seq"),
+            "n",
+        ).localCheckpoint()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
