@@ -2750,6 +2750,29 @@ def text_bpe_train_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     only state between rounds, exactly how distributed tokenizer
     training shards. Emits the learned merge table (round, pair, fused,
     weighted count) — the artifact a tokenizer ships."""
+    tops, _ = _bpe_rounds(spark, sf_dir, rounds=3)
+    outs = [
+        top.select(
+            F.lit(r).alias("merge_round"),
+            "pair",
+            F.replace("pair", F.lit(" "), F.lit("")).alias("fused"),
+            F.col("cnt").alias("pair_count"),
+        )
+        for r, top in enumerate(tops, start=1)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _bpe_rounds(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE trainer core: returns ([one-row (pair, cnt) per merge
+    round], final (word, seq, n) symbol table after all merges). The
+    word column rides along so apply-side ops can join per-language
+    counts back on it."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -2758,6 +2781,7 @@ def text_bpe_train_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     seq = words.select(
+        "word",
         F.concat(
             F.lit(" "),
             F.rtrim(F.regexp_replace("word", "(.)", "$1 ")),
@@ -2785,23 +2809,17 @@ def text_bpe_train_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n").alias("cnt"))
         )
 
-    outs = []
-    for r in (1, 2, 3):
+    tops = []
+    for _ in range(rounds):
         top = (
             pair_counts(seq)
             .orderBy(F.col("cnt").desc(), "pair")
             .limit(1)
             .select("pair", "cnt")
         )
-        outs.append(
-            top.select(
-                F.lit(r).alias("merge_round"),
-                "pair",
-                F.replace("pair", F.lit(" "), F.lit("")).alias("fused"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
+        tops.append(top)
         seq = seq.crossJoin(F.broadcast(top)).select(
+            "word",
             F.replace(
                 F.col("seq"),
                 F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
@@ -2813,7 +2831,116 @@ def text_bpe_train_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
             "n",
         ).localCheckpoint()
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return tops, seq
+
+
+# Shared oracle-SQL fragments for the BPE family: the training chain
+# (words → s0 → 3 × (pair-count → top-1 → replace)) with the word
+# column retained, so apply-side oracles can join language counts back.
+_BPE_PAIRS = """
+      select word, pr as pair, n from (
+        select word,
+               unnest(list_transform(range(1, len(string_split(trim(seq), ' '))),
+                      i -> string_split(trim(seq), ' ')[i] || ' ' ||
+                           string_split(trim(seq), ' ')[i + 1])) as pr, n
+        from {src}
+      )
+"""
+
+_BPE_TRAIN_CTES = f"""
+    words as (
+      select word, count(*) as n from (
+        select unnest(string_split(text, ' ')) as word from documents
+      ) where word <> '' group by word
+    ),
+    s0 as (
+      select word,
+             ' ' || rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' as seq,
+             n from words
+    ),
+    p1 as (select pair, sum(n) as cnt from ({_BPE_PAIRS.format(src='s0')}) group by pair),
+    t1 as (select pair, cnt from p1 order by cnt desc, pair limit 1),
+    s1 as (
+      select word, replace(seq, ' ' || t1.pair || ' ',
+                     ' ' || replace(t1.pair, ' ', '') || ' ') as seq, n
+      from s0, t1
+    ),
+    p2 as (select pair, sum(n) as cnt from ({_BPE_PAIRS.format(src='s1')}) group by pair),
+    t2 as (select pair, cnt from p2 order by cnt desc, pair limit 1),
+    s2 as (
+      select word, replace(seq, ' ' || t2.pair || ' ',
+                     ' ' || replace(t2.pair, ' ', '') || ' ') as seq, n
+      from s1, t2
+    ),
+    p3 as (select pair, sum(n) as cnt from ({_BPE_PAIRS.format(src='s2')}) group by pair),
+    t3 as (select pair, cnt from p3 order by cnt desc, pair limit 1),
+    s3 as (
+      select word, replace(seq, ' ' || t3.pair || ' ',
+                     ' ' || replace(t3.pair, ' ', '') || ' ') as seq, n
+      from s2, t3
+    )
+"""
+
+
+@register(
+    "text_bpe_apply_stats",
+    group="J",
+    oracle=f"""
+    with {_BPE_TRAIN_CTES},
+    wl as (
+      select lang, word, count(*) as m from (
+        select lang, unnest(string_split(text, ' ')) as word from documents
+      ) where word <> '' group by lang, word
+    ),
+    joined as (
+      select wl.lang, wl.m,
+             length(wl.word) as n_chars,
+             len(string_split(trim(s3.seq), ' ')) as n_tokens
+      from wl join s3 on wl.word = s3.word
+    )
+    select lang,
+           cast(sum(m) as bigint) as n_words,
+           round(sum(m * n_chars) * 1.0 / sum(m), 4) as avg_chars,
+           round(sum(m * n_tokens) * 1.0 / sum(m), 4) as avg_tokens,
+           round(sum(m * n_chars) * 1.0 / sum(m * n_tokens), 4)
+             as chars_per_token
+    from joined group by lang
+    """,
+)
+def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY side: segment the corpus with the merges
+    text_bpe_train_lite learned and report per-language compression —
+    words, average chars, average post-merge tokens, and chars/token
+    (the fertility metric tokenizer teams track per language). The
+    trained symbol table is vocabulary-sized, so application is one
+    broadcast-friendly join of (lang, word) counts onto it; the corpus
+    is never re-scanned per merge. All ratios are exact integer-sum
+    divisions rounded once."""
+    _, seq = _bpe_rounds(spark, sf_dir, rounds=3)
+    d = load(spark, sf_dir, "documents")
+    wl = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    joined = wl.join(seq.select("word", "seq"), "word").select(
+        "lang",
+        "m",
+        F.length("word").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_tokens"),
+    )
+    return joined.groupBy("lang").agg(
+        F.sum("m").alias("n_words"),
+        F.round(F.sum(F.col("m") * F.col("n_chars")) / F.sum("m"), 4).alias(
+            "avg_chars"
+        ),
+        F.round(F.sum(F.col("m") * F.col("n_tokens")) / F.sum("m"), 4).alias(
+            "avg_tokens"
+        ),
+        F.round(
+            F.sum(F.col("m") * F.col("n_chars"))
+            / F.sum(F.col("m") * F.col("n_tokens")),
+            4,
+        ).alias("chars_per_token"),
+    )

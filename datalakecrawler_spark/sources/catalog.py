@@ -2948,3 +2948,143 @@ def catalog_fd_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violating_rows",
         (F.col("n_violating_lhs") == 0).cast("int").alias("holds"),
     )
+
+
+@register(
+    "catalog_incremental_profile_merge",
+    group="B",
+    oracle="""
+    with part_a as (
+      select * from orders where o_orderdate < timestamp '1996-07-01'
+    ),
+    part_b as (
+      select * from orders where o_orderdate >= timestamp '1996-07-01'
+    ),
+    prof as (
+      select 'a' as split,
+             count(*) as n_rows,
+             sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)) as sum_micro,
+             min(o_totalprice) as min_price,
+             max(o_totalprice) as max_price
+      from part_a
+      union all
+      select 'b', count(*),
+             sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)),
+             min(o_totalprice), max(o_totalprice)
+      from part_b
+    ),
+    chunks as (
+      select split, chunk, bit_or(mask) as bits from (
+        select 'a' as split, o_custkey // 60 as chunk,
+               1::bigint << cast(o_custkey % 60 as integer) as mask from part_a
+        union all
+        select 'b', o_custkey // 60,
+               1::bigint << cast(o_custkey % 60 as integer) from part_b
+      ) group by split, chunk
+    ),
+    merged as (
+      select sum(n_rows) as n_rows,
+             cast(sum(sum_micro) as double) / 1e6 as total_price,
+             min(min_price) as min_price,
+             max(max_price) as max_price
+      from prof
+    ),
+    merged_ndv as (
+      select cast(sum(bit_count(bits)) as bigint) as ndv_custkey
+      from (select chunk, bit_or(bits) as bits from chunks group by chunk)
+    ),
+    full_scan as (
+      select count(*) as n_rows,
+             cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)) as double)
+               / 1e6 as total_price,
+             min(o_totalprice) as min_price,
+             max(o_totalprice) as max_price,
+             count(distinct o_custkey) as ndv_custkey
+      from orders
+    )
+    select m.n_rows, round(m.total_price, 2) as total_price,
+           round(m.min_price, 2) as min_price,
+           round(m.max_price, 2) as max_price,
+           mn.ndv_custkey,
+           cast(m.n_rows = f.n_rows
+                and m.total_price = f.total_price
+                and m.min_price = f.min_price
+                and m.max_price = f.max_price
+                and mn.ndv_custkey = f.ndv_custkey as integer) as merge_exact
+    from merged m, merged_ndv mn, full_scan f
+    """,
+)
+def catalog_incremental_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental profiling with MERGEABLE state — the property that
+    lets a crawler profile only new partitions and combine: each split
+    (here, two date halves of orders) produces count / exact micro-unit
+    sum / min / max / per-chunk distinct bitmaps; merging is add, min,
+    max and bit_or — NO re-scan of old data. The merged profile is then
+    checked cell-for-cell against a full-table scan (merge_exact = 1 is
+    the contract). At 100 TB this is the difference between profiling
+    a day's partition and re-profiling the lake; the bitmap NDV chunks
+    are the same engine-portable roaring pattern as
+    agg_bitmap_distinct."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1996-07-01").cast("timestamp")
+    splits = {"a": o.where(F.col("o_orderdate") < cut), "b": o.where(F.col("o_orderdate") >= cut)}
+
+    profs = []
+    chunkframes = []
+    for name, df in splits.items():
+        profs.append(
+            df.agg(
+                F.lit(name).alias("split"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("sum_micro"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+            )
+        )
+        chunkframes.append(
+            df.groupBy((F.col("o_custkey") / 60).cast("long").alias("chunk")).agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, cast(o_custkey % 60 as int))")
+                ).alias("bits")
+            )
+        )
+    prof = profs[0].unionByName(profs[1])
+    chunks = chunkframes[0].unionByName(chunkframes[1])
+    merged = prof.agg(
+        F.sum("n_rows").alias("n_rows"),
+        (F.sum("sum_micro").cast("double") / 1e6).alias("total_price"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+    )
+    merged_ndv = (
+        chunks.groupBy("chunk")
+        .agg(F.bit_or("bits").alias("bits"))
+        .agg(F.sum(F.bit_count("bits")).alias("ndv_custkey"))
+    )
+    full = o.agg(
+        F.count(F.lit(1)).alias("f_rows"),
+        (F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).cast("double") / 1e6).alias(
+            "f_total"
+        ),
+        F.min("o_totalprice").alias("f_min"),
+        F.max("o_totalprice").alias("f_max"),
+        F.countDistinct("o_custkey").alias("f_ndv"),
+    )
+    return (
+        merged.crossJoin(F.broadcast(merged_ndv))
+        .crossJoin(F.broadcast(full))
+        .select(
+            "n_rows",
+            F.round("total_price", 2).alias("total_price"),
+            F.round("min_price", 2).alias("min_price"),
+            F.round("max_price", 2).alias("max_price"),
+            "ndv_custkey",
+            (
+                (F.col("n_rows") == F.col("f_rows"))
+                & (F.col("total_price") == F.col("f_total"))
+                & (F.col("min_price") == F.col("f_min"))
+                & (F.col("max_price") == F.col("f_max"))
+                & (F.col("ndv_custkey") == F.col("f_ndv"))
+            ).cast("int").alias("merge_exact"),
+        )
+    )

@@ -877,3 +877,60 @@ def stream_error_rate_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I-ext batch twin of the hourly error-rate alarm (stream
     equality asserted in test_streaming)."""
     return build_error_rate_alarm(load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_watermark_lateness_profile",
+    group="I",
+    oracle="""
+    with arr as (
+      select ts,
+             max(ts) over (order by event_id
+                           rows between unbounded preceding and current row)
+               as high_watermark
+      from events
+    ),
+    lat as (
+      select cast(floor((epoch(high_watermark) - epoch(ts)) / 600.0)
+                  as bigint) as late_bucket_10m
+      from arr
+    )
+    select late_bucket_10m,
+           count(*) as n_events,
+           round(count(*) * 1.0 / sum(count(*)) over (), 6) as share
+    from lat group by late_bucket_10m
+    """,
+)
+def events_watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the measurement that CHOOSES a
+    watermark: replay events in arrival order (event_id is the ingest
+    sequence), track the running max event-time (exactly Structured
+    Streaming's watermark input), and histogram each event's lateness
+    behind it in 10-minute buckets. The share column reads directly as
+    'a watermark of X minutes would have dropped this fraction'.
+    Batch formulation of streaming-internal state; at scale arrival
+    order is per-source-partition, so the window partitions by source
+    shard and the buckets merge — one sort, one grouped count."""
+    from pyspark.sql import Window as W
+
+    e = normalize_events_ts(load(spark, sf_dir, "events"))
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    arr = e.select(
+        "ts", F.max("ts").over(w).alias("high_watermark")
+    )
+    lat = arr.select(
+        F.floor(
+            (F.col("high_watermark").cast("long") - F.col("ts").cast("long"))
+            / F.lit(600.0)
+        ).alias("late_bucket_10m")
+    )
+    tot = W.partitionBy()
+    return (
+        lat.groupBy("late_bucket_10m")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "late_bucket_10m",
+            "n_events",
+            F.round(F.col("n_events") / F.sum("n_events").over(tot), 6).alias("share"),
+        )
+    )
