@@ -261,3 +261,87 @@ def mm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, eigenvalue double, explained_ratio double,"
         " cum_explained double, top_dim int, top_loading double",
     )
+
+
+@register("mm_image_resize_stub", group="J", oracle=None)
+def mm_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over binary payloads via mapInPandas: each payload
+    is 'decoded' (stub — _fake_decode), resized to fit a 224×224
+    training square preserving aspect ratio, and re-emitted as a
+    (smaller) binary thumbnail with the new dimensions as typed
+    metadata. The resize ARITHMETIC (aspect-preserving fit, scale
+    factor, output byte budget) and the Arrow batch plumbing are real;
+    only pixel resampling is faked as byte truncation — swapping in
+    PIL's Image.resize is a one-line change inside the iterator.
+    Rows-only: binary output is engine-specific."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    target = 224
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ = _fake_decode(payload)
+                scale = min(target / w, target / h, 1.0)
+                new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))
+                # stub resample: proportional byte budget of the payload
+                budget = max(1, int(len(payload) * (new_w * new_h) / (w * h)))
+                rows.append(
+                    (doc_id, w, h, new_w, new_h, round(scale, 6),
+                     bytes(payload[:budget]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_w", "src_h", "out_w", "out_h",
+                         "scale", "thumb"],
+            )
+
+    schema = (
+        "doc_id bigint, src_w int, src_h int, out_w int, out_h int, "
+        "scale double, thumb binary"
+    )
+    out = d.mapInPandas(resize_batches, schema)
+    # rows-only self-checks: aspect ratio preserved, bounded output
+    return out.select(
+        "doc_id", "src_w", "src_h", "out_w", "out_h", "scale",
+        F.octet_length("thumb").alias("thumb_bytes"),
+    )
+
+
+@register("mm_audio_frame_features", group="J", oracle=None)
+def mm_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing: treat the payload as a mono
+    PCM byte stream, window it into 25 ms frames with 10 ms hop
+    (400/160 samples at 16 kHz — the standard ASR framing), and emit
+    per-frame energy + zero-crossing-count computed on the stub
+    'samples' (signed byte values). The framing arithmetic, row
+    explosion (one row per frame) and Arrow batching are the real
+    production shape; a real pipeline swaps the byte view for
+    soundfile/librosa decoding. Frame count is capped at 8 per doc to
+    bound output. Rows-only."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    win, hop, cap = 400, 160, 8
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = [b - 128 for b in payload]
+                n_frames = max(0, 1 + (len(samples) - win) // hop)
+                for i in range(min(n_frames, cap)):
+                    fr = samples[i * hop : i * hop + win]
+                    energy = sum(s * s for s in fr) / len(fr)
+                    zc = sum(
+                        1 for a, b in zip(fr, fr[1:]) if (a >= 0) != (b >= 0)
+                    )
+                    rows.append((doc_id, i, round(energy, 4), zc))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "energy", "zero_crossings"]
+            )
+
+    schema = "doc_id bigint, frame_idx int, energy double, zero_crossings int"
+    return d.mapInPandas(frame_batches, schema)

@@ -308,3 +308,31 @@ def test_holt_winters_seasonal_recurrence(spark):
         assert abs(rows[t]["level"] - round(new_level, 4)) < 1e-6, t
         assert abs(rows[t]["seasonal"] - round(seas[t % m], 4)) < 1e-6, t
         level, trend = new_level, new_trend
+
+
+def test_image_resize_stub_invariants(spark):
+    """Resize plumbing: output fits 224², aspect ratio preserved within
+    integer truncation, thumbnail no larger than the source budget."""
+    rows = _run(spark, "mm_image_resize_stub").collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["out_w"] <= 224 and r["out_h"] <= 224
+        assert r["out_w"] >= 1 and r["out_h"] >= 1
+        if r["scale"] < 1.0:  # downscaled: the larger side hits ~224
+            assert max(r["out_w"], r["out_h"]) >= 220
+        assert r["thumb_bytes"] >= 1
+
+
+def test_audio_frame_features_shape(spark):
+    """ASR framing: ≤8 frames per doc, contiguous indices from 0,
+    energy non-negative, zero-crossings < window length."""
+    rows = _run(spark, "mm_audio_frame_features").collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        assert r["energy"] >= 0
+        assert 0 <= r["zero_crossings"] < 400
+    for idxs in list(by_doc.values())[:50]:
+        assert sorted(idxs) == list(range(len(idxs)))
+        assert len(idxs) <= 8
