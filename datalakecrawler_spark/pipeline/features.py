@@ -4335,3 +4335,46 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("expkey") * 1e6, 4).alias("key_micro"),
         )
     )
+
+
+@register(
+    "privacy_column_masking",
+    group="J",
+    oracle="""
+    select c_custkey,
+           'cust_' || substring(md5('pepper|' || cast(c_custkey as varchar)), 1, 12)
+             as pseudonym,
+           regexp_replace(c_name, '[0-9]', '*', 'g') as name_masked,
+           case when c_acctbal < 0 then 'NEGATIVE' else 'NON-NEGATIVE' end
+             as acctbal_band,
+           c_mktsegment
+    from customer
+    """,
+)
+def privacy_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking / pseudonymization — the governance
+    transform a catalog applies before sharing: a keyed deterministic
+    pseudonym (md5 with a pepper; same input → same token, so joins
+    across masked datasets still work), digit redaction on the name,
+    and value generalization (balance → sign band). All pure codegen'd
+    expressions — masking at 100 TB is a map-only projection with zero
+    shuffle, and the pseudonym stays portable across engines. The
+    pepper would come from a secret store in production; the literal
+    here keeps the op oracle-checkable."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("cust_"),
+            F.substring(
+                F.md5(F.concat(F.lit("pepper|"), F.col("c_custkey").cast("string"))),
+                1,
+                12,
+            ),
+        ).alias("pseudonym"),
+        F.regexp_replace("c_name", "[0-9]", "*").alias("name_masked"),
+        F.when(F.col("c_acctbal") < 0, "NEGATIVE")
+        .otherwise("NON-NEGATIVE")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )

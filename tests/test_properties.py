@@ -1139,3 +1139,58 @@ def test_experiment_readout_consistent_with_parts(spark):
     else:
         assert abs(readout["effect_zscore"] - z) < 1e-6
     assert abs(readout["srm_chi2"] - srm) < 1e-6
+
+
+def test_geo_nn_ordering_invariants(spark):
+    """Per nation: min ≤ avg ≤ max nearest distance, all non-negative,
+    and customer counts sum to the full customer table."""
+    rows = _run(spark, "geo_haversine_nn").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["min_nearest_km"] <= r["avg_nearest_km"] <= r["max_nearest_km"]
+        # half the earth's circumference bounds any great-circle distance
+        assert r["max_nearest_km"] <= 20016
+    n_cust = load(spark, SF_DIR, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+
+
+def test_bpe_merge_counts_non_increasing(spark):
+    """BPE's greedy property: each round's winning pair count cannot
+    exceed the previous round's (merges only remove or fuse mass)."""
+    rows = sorted(
+        _run(spark, "text_bpe_train_lite").collect(), key=lambda r: r["merge_round"]
+    )
+    assert len(rows) == 3
+    counts = [r["pair_count"] for r in rows]
+    assert counts[0] >= counts[1] >= counts[2]
+    for r in rows:
+        assert r["fused"] == r["pair"].replace(" ", "")
+
+
+def test_fd_mining_violation_bounds(spark):
+    """FD checks: violating LHS count bounded by LHS cardinality;
+    holds flag consistent; the PK-determined FD must hold."""
+    rows = {r["fd"]: r for r in _run(spark, "catalog_fd_mining").collect()}
+    for r in rows.values():
+        assert 0 <= r["n_violating_lhs"] <= r["n_lhs_values"]
+        assert r["holds"] == (1 if r["n_violating_lhs"] == 0 else 0)
+    assert rows["nation: n_nationkey -> n_regionkey"]["holds"] == 1
+
+
+def test_watermark_lateness_profile_mass(spark):
+    """Lateness histogram: shares sum to 1, bucket 0 (on-time within
+    10 min) exists, no negative buckets (watermark never runs behind
+    an already-seen event)."""
+    rows = _run(spark, "events_watermark_lateness_profile").collect()
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    buckets = {r["late_bucket_10m"] for r in rows}
+    assert 0 in buckets
+    assert min(buckets) >= 0
+
+
+def test_incremental_profile_merge_is_exact(spark):
+    """The merged split profiles must equal the full scan bit-for-bit
+    (the operator's own merge_exact flag)."""
+    row = _run(spark, "catalog_incremental_profile_merge").collect()[0]
+    assert row["merge_exact"] == 1
