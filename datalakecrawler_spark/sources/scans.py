@@ -54,11 +54,15 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_csv_infer", group="A", oracle=None)
+@register(
+    "scan_csv_infer",
+    group="A",
+    oracle="select * from nation",
+)
 def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: CSV with header + schema inference (crawler format support).
     Writes a CSV copy of `nation`, re-reads it inferring types, and
-    returns the typed rows (rows-only: file paths are env-specific)."""
+    returns the typed rows — content-checked against the source table."""
     path = _tmp("nation_csv")
     load(spark, sf_dir, "nation").write.mode("overwrite").option(
         "header", True
@@ -73,18 +77,29 @@ def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("n_nationkey")
 
 
-@register("scan_json_infer", group="A", oracle=None)
+@register(
+    "scan_json_infer",
+    group="A",
+    oracle="select * from region",
+)
 def scan_json_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: JSON-lines read with inferred schema (rows-only)."""
+    """A3: JSON-lines read with inferred schema, content-checked."""
     path = _tmp("region_json")
     load(spark, sf_dir, "region").write.mode("overwrite").json(path)
     return spark.read.json(path).orderBy("r_regionkey")
 
 
-@register("sink_parquet", group="A", oracle=None)
+@register(
+    "sink_parquet",
+    group="A",
+    oracle="""
+    select o_orderkey, o_custkey, o_totalprice
+    from orders where o_orderstatus = 'P'
+    """,
+)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: DataFrame → Parquet → read-back round trip (rows-only; the
-    oracle-checkable content equivalence is asserted here directly)."""
+    """A4: DataFrame → Parquet → read-back round trip; the oracle
+    checks the read-back CONTENT equals the source selection."""
     path = _tmp("orders_roundtrip")
     src = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
     src.write.mode("overwrite").parquet(path)
@@ -94,11 +109,21 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
-@register("sink_partitioned", group="A", oracle=None)
+@register(
+    "sink_partitioned",
+    group="A",
+    oracle=f"""
+    select l_returnflag, l_linestatus, count(*) as cnt,
+           {SUM_D.format('l_quantity')} as sum_qty
+    from lineitem where l_returnflag = 'R'
+    group by l_returnflag, l_linestatus
+    """,
+)
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: partitioned write + partition-pruned read-back. The filter on
     the partition column prunes directories (no data read outside
-    l_returnflag=R) — verify with .explain → PartitionFilters."""
+    l_returnflag=R) — verify with .explain → PartitionFilters. The
+    oracle checks the pruned read-back content against the source."""
     path = _tmp("lineitem_by_flag")
     load(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
         "l_returnflag"
@@ -125,7 +150,11 @@ def source_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_orc", group="A", oracle=None)
+@register(
+    "scan_orc",
+    group="A",
+    oracle="select * from nation",
+)
 def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: ORC format support (crawlers meet ORC lakes as often as
     Parquet ones). Write a fixture out as ORC, read it back through the
@@ -594,7 +623,11 @@ def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("sink_jsonl_roundtrip", group="A", oracle=None)
+@register(
+    "sink_jsonl_roundtrip",
+    group="A",
+    oracle="select n_nationkey, n_name, n_regionkey from nation",
+)
 def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: JSON-lines sink + re-crawl — write a typed projection to
     newline-delimited JSON, read it back with schema inference (the
@@ -657,7 +690,16 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_parquet_schema_merge", group="A", oracle=None)
+@register(
+    "scan_parquet_schema_merge",
+    group="A",
+    oracle="""
+    select 1 as gen, count(*) as n_rows, count(*) as n_null_added_col
+    from nation
+    union all
+    select 2, count(*), 0 from nation
+    """,
+)
 def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: schema evolution on read — two parquet files written at
     different 'crawl generations' (the newer one adds a column), read
