@@ -20,7 +20,34 @@ from datalakecrawler_spark.io import TABLES, load
 from datalakecrawler_spark.registry import AVG_D, SUM_D, davg, dsum, register
 
 
-@register("catalog_infer_schema", group="B", oracle=None)
+@register(
+    "catalog_infer_schema",
+    group="B",
+    oracle="""
+    select table_name as dataset, column_name as field_name,
+           ordinal_position - 1 as position,
+           case
+             -- events.ts is written with isAdjustedToUTC=true (instant
+             -- semantics -> Spark TimestampType); the other fixtures'
+             -- timestamps are NTZ. DuckDB's information_schema shows
+             -- both as TIMESTAMP, so the one instant column is pinned.
+             when table_name = 'events' and column_name = 'ts'
+               then 'timestamp'
+             else case data_type
+             when 'INTEGER' then 'int'
+             when 'BIGINT' then 'bigint'
+             when 'VARCHAR' then 'string'
+             when 'DOUBLE' then 'double'
+             when 'TIMESTAMP' then 'timestamp_ntz'
+             when 'FLOAT[]' then 'array<float>'
+             else lower(data_type) end
+           end as spark_type,
+           true as nullable
+    from information_schema.columns
+    where table_name in ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+)
 def catalog_infer_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: dataset → schema_field catalog rows (field name, position,
     Spark DDL type, nullability) for every fixture table. This is the

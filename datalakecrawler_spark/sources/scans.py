@@ -595,7 +595,15 @@ def source_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("join_partition_pruned_dynamic", group="A", oracle=None)
+@register(
+    "join_partition_pruned_dynamic",
+    group="A",
+    oracle="""
+    select 'F' as o_orderstatus, 'finalized' as status_name,
+           count(*) as n_orders
+    from orders where o_orderstatus = 'F'
+    """,
+)
 def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: dynamic partition pruning — the fact table is laid out
     partitioned by o_orderstatus; the join's dim side is filtered at
@@ -756,7 +764,21 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "codec string, n_rows long, bytes long")
 
 
-@register("scan_format_fidelity", group="A", oracle=None)
+@register(
+    "scan_format_fidelity",
+    group="A",
+    oracle="""
+    with cs as (
+      select count(*) as n, sum(s_suppkey) as k,
+             sum(cast(floor(s_acctbal * 1e6 + 0.5) as bigint)) as b
+      from supplier
+    )
+    select 'parquet_src' as format, n as n_rows, k as key_sum, b as bal_micro from cs
+    union all select 'parquet', n, k, b from cs
+    union all select 'csv', n, k, b from cs
+    union all select 'json', n, k, b from cs
+    """,
+)
 def scan_format_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: cross-format fidelity audit — the same dataset persisted
     as parquet, CSV (schema re-inferred), and JSON-lines, re-read and
@@ -925,7 +947,11 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_xml_infer", group="A", oracle=None)
+@register(
+    "scan_xml_infer",
+    group="A",
+    oracle="select r_regionkey, r_name from region",
+)
 def scan_xml_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: XML read with schema inference (Spark ≥4 ships the XML
     datasource natively — no external package). Stages `region` as an

@@ -126,7 +126,16 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_arrow_table", group="K", oracle=None)
+@register(
+    "udtf_arrow_table",
+    group="K",
+    oracle="""
+    select distinct r_regionkey, substring(r_name, i, 1) as ch
+    from (select r_regionkey, r_name,
+                 unnest(range(1, length(r_name) + 1)) as i
+          from region)
+    """,
+)
 def udtf_arrow_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5: mapInArrow — zero-copy RecordBatch in/out (row-expanding:
     each region emits one row per distinct name char). Rows-only:
