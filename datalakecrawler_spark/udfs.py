@@ -438,7 +438,39 @@ def udf_pandas_struct_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ts_holt_forecast", group="F", oracle=None)
+@register(
+    "ts_holt_forecast",
+    group="F",
+    oracle="""
+    with recursive wk as (
+      select row_number() over (order by w) as i, w as wk, revenue from (
+        select cast(date_trunc('week', o_orderdate) as date) as w,
+               cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))
+                    as double) / 100 as revenue
+        from orders group by 1)
+    ),
+    rec as (
+      select 1 as i, wk, revenue as actual,
+             cast(null as double) as fitted,
+             revenue as level,
+             (select revenue from wk where i = 2) - revenue as trend
+      from wk where i = 1
+      union all
+      select w.i, w.wk, w.revenue,
+             r.level + r.trend,
+             0.3 * w.revenue + 0.7 * (r.level + r.trend),
+             0.1 * ((0.3 * w.revenue + 0.7 * (r.level + r.trend)) - r.level)
+               + 0.9 * r.trend
+      from rec r join wk w on w.i = r.i + 1
+    )
+    select wk,
+           floor(actual * 1e4 + 0.5) / 1e4 as actual,
+           floor(fitted * 1e4 + 0.5) / 1e4 as fitted,
+           floor(level * 1e4 + 0.5) / 1e4 as level,
+           floor(trend * 1e4 + 0.5) / 1e4 as trend
+    from rec
+    """,
+)
 def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend exponential smoothing (public textbook
     method; α=0.3, β=0.1) over the weekly revenue series — the
@@ -453,9 +485,15 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTEs; tests/test_pipeline_semantics.py re-runs the
     recurrence in plain Python against this output."""
     o = load(spark, sf_dir, "orders")
+    # exact integer-cent sum -> identical double in both engines (the
+    # recurrence then runs the SAME IEEE expression tree on both sides,
+    # so even a sequential algorithm is hash-checkable)
     weekly = (
         o.groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("wk"))
-        .agg(F.round(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5) / 100), 2).alias("revenue"))
+        .agg(
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).cast("double") / 100)
+            .alias("revenue")
+        )
     )
     out_schema = T.StructType(
         [
@@ -483,13 +521,22 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             fitted[t] = prev
             level[t] = alpha * x[t] + (1 - alpha) * prev
             trend[t] = beta * (level[t] - level[t - 1]) + (1 - beta) * trend[t - 1]
+        def r4(v):  # half-up via the same floor(x*1e4+0.5)/1e4 as the oracle
+            import math as _m
+
+            return (
+                float("nan")
+                if _m.isnan(v)
+                else _m.floor(v * 1e4 + 0.5) / 1e4
+            )
+
         return pd.DataFrame(
             {
                 "wk": pdf["wk"],
-                "actual": [round(v, 2) for v in x],
-                "fitted": [round(v, 4) for v in fitted],
-                "level": [round(v, 4) for v in level],
-                "trend": [round(v, 4) for v in trend],
+                "actual": [r4(float(v)) for v in x],
+                "fitted": [r4(float(v)) for v in fitted],
+                "level": [r4(float(v)) for v in level],
+                "trend": [r4(float(v)) for v in trend],
             }
         )
 

@@ -256,25 +256,30 @@ def test_crawl_incremental_picks_only_new_file(spark):
 def test_holt_forecast_recurrence(spark):
     """ts_holt_forecast must equal the plain-Python Holt recurrence
     (α=0.3, β=0.1) recomputed from its own actuals — the grouped-map
-    must be a faithful, sorted, single-pass recurrence."""
+    must be a faithful, sorted, single-pass recurrence. Rounding is
+    the engine-portable floor(x·1e4+0.5)/1e4 half-up (matches the
+    recursive-CTE oracle bit-for-bit)."""
     import math
+
+    def r4(v):
+        return math.floor(v * 1e4 + 0.5) / 1e4
 
     rows = sorted(_run(spark, "ts_holt_forecast").collect(), key=lambda r: r["wk"])
     assert len(rows) > 10
     x = [r["actual"] for r in rows]
     alpha, beta = 0.3, 0.1
     level, trend = x[0], x[1] - x[0]
-    assert rows[0]["level"] == round(level, 4)
-    assert rows[0]["trend"] == round(trend, 4)
+    assert rows[0]["level"] == r4(level)
+    assert rows[0]["trend"] == r4(trend)
     # pandas NaN crosses Arrow as null
     assert rows[0]["fitted"] is None or math.isnan(rows[0]["fitted"])
     for t in range(1, len(x)):
         prev = level + trend
         new_level = alpha * x[t] + (1 - alpha) * prev
         new_trend = beta * (new_level - level) + (1 - beta) * trend
-        assert abs(rows[t]["fitted"] - round(prev, 4)) < 1e-6, t
-        assert abs(rows[t]["level"] - round(new_level, 4)) < 1e-6, t
-        assert abs(rows[t]["trend"] - round(new_trend, 4)) < 1e-6, t
+        assert abs(rows[t]["fitted"] - r4(prev)) < 1e-6, t
+        assert abs(rows[t]["level"] - r4(new_level)) < 1e-6, t
+        assert abs(rows[t]["trend"] - r4(new_trend)) < 1e-6, t
         level, trend = new_level, new_trend
 
 
