@@ -547,7 +547,55 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ts_holt_winters_seasonal", group="F", oracle=None)
+@register(
+    "ts_holt_winters_seasonal",
+    group="F",
+    oracle="""
+    with recursive mth as (
+      select row_number() over (order by m) as i, m as mth,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))
+                  as double) as cents
+      from (select cast(date_trunc('month', o_orderdate) as date) as m,
+                   o_totalprice from orders)
+      group by m
+    ),
+    init as (
+      select (select sum(cents) from mth where i <= 12) / 12 as base,
+             ((select sum(cents) from mth where i between 13 and 24) / 12
+              - (select sum(cents) from mth where i <= 12) / 12) / 12 as trend0
+    ),
+    seas0 as (
+      select list(cents - (select base from init) order by i) as seas
+      from mth where i <= 12
+    ),
+    rec as (
+      select 0 as i, cast(null as date) as mth,
+             cast(null as double) as cents,
+             cast(null as double) as fitted,
+             (select base from init) as level,
+             (select trend0 from init) as trend,
+             (select seas from seas0) as seas
+      union all
+      select w.i, w.mth, w.cents,
+             r.level + r.trend + r.seas[(r.i % 12) + 1],
+             (0.3 * (w.cents - r.seas[(r.i % 12) + 1]) + 0.7 * (r.level + r.trend)),
+             0.05 * ((0.3 * (w.cents - r.seas[(r.i % 12) + 1]) + 0.7 * (r.level + r.trend)) - r.level) + 0.95 * r.trend,
+             list_transform(range(1, 13), j ->
+               case when j = (r.i % 12) + 1
+                 then 0.2 * (w.cents - (0.3 * (w.cents - r.seas[(r.i % 12) + 1]) + 0.7 * (r.level + r.trend)))
+                      + 0.8 * r.seas[(r.i % 12) + 1]
+                 else r.seas[j] end)
+      from rec r join mth w on w.i = r.i + 1
+    )
+    select mth,
+           floor((cents / 100) * 1e4 + 0.5) / 1e4 as actual,
+           floor((fitted / 100) * 1e4 + 0.5) / 1e4 as fitted,
+           floor((level / 100) * 1e4 + 0.5) / 1e4 as level,
+           floor((trend / 100) * 1e4 + 0.5) / 1e4 as trend,
+           floor((seas[((i - 1) % 12) + 1] / 100) * 1e4 + 0.5) / 1e4 as seasonal
+    from rec where i >= 1
+    """,
+)
 def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (level + trend + seasonal, public textbook
     method; α=0.3, β=0.05, γ=0.2, period m=12) over the monthly revenue
@@ -560,9 +608,16 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI-expressible); tests/test_pipeline_semantics.py replays the
     recurrence in plain Python."""
     o = load(spark, sf_dir, "orders")
+    # integer-cent monthly sums: exact in both engines, so the whole
+    # three-state recurrence runs the same IEEE expression tree on both
+    # sides and hash-matches (same discipline as ts_holt_forecast)
     monthly = (
         o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("mth"))
-        .agg(F.round(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5) / 100), 2).alias("revenue"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+            .cast("double")
+            .alias("cents")
+        )
     )
     out_schema = T.StructType(
         [
@@ -576,8 +631,13 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math as _m
+
+        def r4d(v):  # cents -> dollars, half-up at 4 decimals (oracle-identical)
+            return _m.floor((v / 100) * 1e4 + 0.5) / 1e4
+
         pdf = pdf.sort_values("mth").reset_index(drop=True)
-        x = pdf["revenue"].to_numpy()
+        x = pdf["cents"].to_numpy()
         n, m = len(x), 12
         alpha, beta, gamma = 0.3, 0.05, 0.2
         if n < 2 * m:  # not enough history: emit empty frame, stable schema
@@ -587,10 +647,10 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).assign(mth=pd.Series(dtype="datetime64[ns]"))[
                 ["mth", "actual", "fitted", "level", "trend", "seasonal"]
             ]
-        base = float(x[:m].mean())
+        base = float(x[:m].sum()) / m
         seas = [float(v) - base for v in x[:m]]
         level = base
-        trend = (float(x[m:2 * m].mean()) - base) / m
+        trend = (float(x[m:2 * m].sum()) / m - base) / m
         rows = []
         for t in range(n):
             s = seas[t % m]
@@ -599,8 +659,8 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_trend = beta * (new_level - level) + (1 - beta) * trend
             seas[t % m] = gamma * (x[t] - new_level) + (1 - gamma) * s
             rows.append(
-                (pdf["mth"][t], round(float(x[t]), 2), round(fitted, 4),
-                 round(new_level, 4), round(new_trend, 4), round(seas[t % m], 4))
+                (pdf["mth"][t], r4d(float(x[t])), r4d(fitted),
+                 r4d(new_level), r4d(new_trend), r4d(seas[t % m]))
             )
             level, trend = new_level, new_trend
         return pd.DataFrame(
