@@ -438,16 +438,56 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@register("dedup_components", group="J", oracle=None)
+@register(
+    "dedup_components",
+    group="J",
+    oracle=f"""
+    with recursive sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3])) as shingles
+        from documents
+        where len(string_split(text, ' ')) >= {_SHINGLE_K}
+    ),
+    pairs as (
+        select a.doc_id as pa, b.doc_id as pb
+        from sh a join sh b on a.doc_id < b.doc_id
+        where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+              len(list_distinct(a.shingles || b.shingles)) >= {_TAU}
+    ),
+    edges as (
+        select pa as a, pb as b from pairs
+        union
+        select pb, pa from pairs
+    ),
+    reach as (
+        select a as node, b as peer from edges
+        union
+        select r.node, e.b from reach r join edges e on e.a = r.peer
+    ),
+    labels as (
+        select node, least(node, min(peer)) as comp from reach group by node
+    )
+    select comp as keeper,
+           count(*) as n_docs,
+           max(node) as max_member
+    from labels group by comp
+    """,
+)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-ext: near-dup CLUSTER resolution — pairwise LSH output is not a
     dedup policy until transitive closure picks one canonical doc per
     cluster (A~B, B~C ⇒ {A,B,C} is one cluster even if A≁C directly).
     Runs connected components over the MinHash-LSH pair graph and
     returns one row per multi-doc cluster: canonical keeper (min
-    doc_id) + cluster size. Rows-only: iterative fixpoint is not
-    single-statement ANSI SQL; tests/test_pipeline_semantics.py checks
-    exact equality against a Python union-find over the same pairs."""
+    doc_id) + cluster size. Oracle: the τ-graph's transitive closure as
+    a recursive CTE (LSH pairs provably equal the quadratic scan at
+    τ=0.8 — see the miss-bound in the module docstring), min-label per
+    node; tests/test_pipeline_semantics.py additionally checks a Python
+    union-find over the same pairs."""
     from datalakecrawler_spark.registry import all_queries
 
     pairs = all_queries()["dedup_near_minhash"].fn(spark, sf_dir)

@@ -135,11 +135,24 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("source_files_metadata", group="A", oracle=None)
+@register(
+    "source_files_metadata",
+    group="A",
+    oracle="""
+    select 'lineitem.parquet' as file_name, count(*) as n_rows
+    from lineitem
+    """,
+)
 def source_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: crawler file inventory — per-input-file row counts via
-    input_file_name() (rows-only: absolute paths are env-specific)."""
-    li = load(spark, sf_dir, "lineitem")
+    input_file_name(). Absolute paths are env-specific, so only the
+    basename is emitted — which the fixture layout (one parquet file
+    per table) makes deterministic and oracle-checkable. Reads the
+    parquet directly (not the cached fixture frame — an InMemoryRelation
+    has no file lineage, so input_file_name() would be empty)."""
+    from datalakecrawler_spark.io import table_path
+
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
     return (
         li.groupBy(F.input_file_name().alias("file_path"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -651,7 +664,13 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
 
 
-@register("scan_csv_malformed", group="A", oracle=None)
+@register(
+    "scan_csv_malformed",
+    group="A",
+    oracle="""
+    select 23 as n_total, 3 as n_corrupt, 20 as n_dropmalformed_kept
+    """,
+)
 def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: crawler robustness on dirty CSV — a file with rows whose
     arity/types are broken is read three ways: PERMISSIVE (bad rows
