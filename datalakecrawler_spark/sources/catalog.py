@@ -1144,7 +1144,83 @@ def quality_dup_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("catalog_semantic_type", group="B", oracle=None)
+@register(
+    "catalog_semantic_type",
+    group="B",
+    oracle="""
+    with cols as (
+      select 'region' as dataset, 'r_regionkey' as field_name, 0 as position, 'int' as spark_type, count(distinct r_regionkey) as ndv, count(*) as n_rows from region
+      union all select 'region' as dataset, 'r_name' as field_name, 1 as position, 'string' as spark_type, count(distinct r_name) as ndv, count(*) as n_rows from region
+      union all select 'nation' as dataset, 'n_nationkey' as field_name, 0 as position, 'int' as spark_type, count(distinct n_nationkey) as ndv, count(*) as n_rows from nation
+      union all select 'nation' as dataset, 'n_name' as field_name, 1 as position, 'string' as spark_type, count(distinct n_name) as ndv, count(*) as n_rows from nation
+      union all select 'nation' as dataset, 'n_regionkey' as field_name, 2 as position, 'int' as spark_type, count(distinct n_regionkey) as ndv, count(*) as n_rows from nation
+      union all select 'customer' as dataset, 'c_custkey' as field_name, 0 as position, 'bigint' as spark_type, count(distinct c_custkey) as ndv, count(*) as n_rows from customer
+      union all select 'customer' as dataset, 'c_name' as field_name, 1 as position, 'string' as spark_type, count(distinct c_name) as ndv, count(*) as n_rows from customer
+      union all select 'customer' as dataset, 'c_nationkey' as field_name, 2 as position, 'int' as spark_type, count(distinct c_nationkey) as ndv, count(*) as n_rows from customer
+      union all select 'customer' as dataset, 'c_acctbal' as field_name, 3 as position, 'double' as spark_type, count(distinct c_acctbal) as ndv, count(*) as n_rows from customer
+      union all select 'customer' as dataset, 'c_mktsegment' as field_name, 4 as position, 'string' as spark_type, count(distinct c_mktsegment) as ndv, count(*) as n_rows from customer
+      union all select 'supplier' as dataset, 's_suppkey' as field_name, 0 as position, 'bigint' as spark_type, count(distinct s_suppkey) as ndv, count(*) as n_rows from supplier
+      union all select 'supplier' as dataset, 's_name' as field_name, 1 as position, 'string' as spark_type, count(distinct s_name) as ndv, count(*) as n_rows from supplier
+      union all select 'supplier' as dataset, 's_nationkey' as field_name, 2 as position, 'int' as spark_type, count(distinct s_nationkey) as ndv, count(*) as n_rows from supplier
+      union all select 'supplier' as dataset, 's_acctbal' as field_name, 3 as position, 'double' as spark_type, count(distinct s_acctbal) as ndv, count(*) as n_rows from supplier
+      union all select 'part' as dataset, 'p_partkey' as field_name, 0 as position, 'bigint' as spark_type, count(distinct p_partkey) as ndv, count(*) as n_rows from part
+      union all select 'part' as dataset, 'p_name' as field_name, 1 as position, 'string' as spark_type, count(distinct p_name) as ndv, count(*) as n_rows from part
+      union all select 'part' as dataset, 'p_brand' as field_name, 2 as position, 'string' as spark_type, count(distinct p_brand) as ndv, count(*) as n_rows from part
+      union all select 'part' as dataset, 'p_type' as field_name, 3 as position, 'string' as spark_type, count(distinct p_type) as ndv, count(*) as n_rows from part
+      union all select 'part' as dataset, 'p_size' as field_name, 4 as position, 'int' as spark_type, count(distinct p_size) as ndv, count(*) as n_rows from part
+      union all select 'part' as dataset, 'p_retailprice' as field_name, 5 as position, 'double' as spark_type, count(distinct p_retailprice) as ndv, count(*) as n_rows from part
+      union all select 'orders' as dataset, 'o_orderkey' as field_name, 0 as position, 'bigint' as spark_type, count(distinct o_orderkey) as ndv, count(*) as n_rows from orders
+      union all select 'orders' as dataset, 'o_custkey' as field_name, 1 as position, 'bigint' as spark_type, count(distinct o_custkey) as ndv, count(*) as n_rows from orders
+      union all select 'orders' as dataset, 'o_orderstatus' as field_name, 2 as position, 'string' as spark_type, count(distinct o_orderstatus) as ndv, count(*) as n_rows from orders
+      union all select 'orders' as dataset, 'o_totalprice' as field_name, 3 as position, 'double' as spark_type, count(distinct o_totalprice) as ndv, count(*) as n_rows from orders
+      union all select 'orders' as dataset, 'o_orderdate' as field_name, 4 as position, 'timestamp_ntz' as spark_type, count(distinct o_orderdate) as ndv, count(*) as n_rows from orders
+      union all select 'orders' as dataset, 'o_orderpriority' as field_name, 5 as position, 'string' as spark_type, count(distinct o_orderpriority) as ndv, count(*) as n_rows from orders
+      union all select 'lineitem' as dataset, 'l_orderkey' as field_name, 0 as position, 'bigint' as spark_type, count(distinct l_orderkey) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_partkey' as field_name, 1 as position, 'bigint' as spark_type, count(distinct l_partkey) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_suppkey' as field_name, 2 as position, 'bigint' as spark_type, count(distinct l_suppkey) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_linenumber' as field_name, 3 as position, 'int' as spark_type, count(distinct l_linenumber) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_quantity' as field_name, 4 as position, 'double' as spark_type, count(distinct l_quantity) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_extendedprice' as field_name, 5 as position, 'double' as spark_type, count(distinct l_extendedprice) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_discount' as field_name, 6 as position, 'double' as spark_type, count(distinct l_discount) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_tax' as field_name, 7 as position, 'double' as spark_type, count(distinct l_tax) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_returnflag' as field_name, 8 as position, 'string' as spark_type, count(distinct l_returnflag) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_linestatus' as field_name, 9 as position, 'string' as spark_type, count(distinct l_linestatus) as ndv, count(*) as n_rows from lineitem
+      union all select 'lineitem' as dataset, 'l_shipdate' as field_name, 10 as position, 'timestamp_ntz' as spark_type, count(distinct l_shipdate) as ndv, count(*) as n_rows from lineitem
+      union all select 'events' as dataset, 'event_id' as field_name, 0 as position, 'bigint' as spark_type, count(distinct event_id) as ndv, count(*) as n_rows from events
+      union all select 'events' as dataset, 'ts' as field_name, 1 as position, 'timestamp' as spark_type, count(distinct ts) as ndv, count(*) as n_rows from events
+      union all select 'events' as dataset, 'user_id' as field_name, 2 as position, 'bigint' as spark_type, count(distinct user_id) as ndv, count(*) as n_rows from events
+      union all select 'events' as dataset, 'event_type' as field_name, 3 as position, 'string' as spark_type, count(distinct event_type) as ndv, count(*) as n_rows from events
+      union all select 'events' as dataset, 'value' as field_name, 4 as position, 'double' as spark_type, count(distinct value) as ndv, count(*) as n_rows from events
+      union all select 'events' as dataset, 'props' as field_name, 5 as position, 'string' as spark_type, count(distinct props) as ndv, count(*) as n_rows from events
+      union all select 'documents' as dataset, 'doc_id' as field_name, 0 as position, 'bigint' as spark_type, count(distinct doc_id) as ndv, count(*) as n_rows from documents
+      union all select 'documents' as dataset, 'text' as field_name, 1 as position, 'string' as spark_type, count(distinct text) as ndv, count(*) as n_rows from documents
+      union all select 'documents' as dataset, 'lang' as field_name, 2 as position, 'string' as spark_type, count(distinct lang) as ndv, count(*) as n_rows from documents
+      union all select 'documents' as dataset, 'source' as field_name, 3 as position, 'string' as spark_type, count(distinct source) as ndv, count(*) as n_rows from documents
+      union all select 'documents' as dataset, 'n_chars' as field_name, 4 as position, 'bigint' as spark_type, count(distinct n_chars) as ndv, count(*) as n_rows from documents
+      union all select 'embeddings' as dataset, 'vec_id' as field_name, 0 as position, 'bigint' as spark_type, count(distinct vec_id) as ndv, count(*) as n_rows from embeddings
+      union all select 'embeddings' as dataset, 'embedding' as field_name, 1 as position, 'array<float>' as spark_type, count(distinct cast(embedding as varchar)) as ndv, count(*) as n_rows from embeddings
+      union all select 'embeddings' as dataset, 'label' as field_name, 2 as position, 'int' as spark_type, count(distinct label) as ndv, count(*) as n_rows from embeddings
+    )
+    select dataset, field_name, position, spark_type, ndv,
+           case
+             when regexp_matches(field_name, '(_key|_id|^key$|_custkey|_orderkey)$')
+                  or regexp_matches(field_name, '_(key|id)$') then 'identifier'
+             when spark_type in ('timestamp', 'timestamp_ntz', 'date')
+               then 'temporal'
+             when regexp_matches(field_name, '(price|bal|value|tax|discount|charge)')
+               then 'measure_monetary'
+             when spark_type in ('double', 'float') then 'measure'
+             when spark_type in ('int', 'bigint')
+                  and ndv < greatest(64, n_rows / 100) then 'category_numeric'
+             when spark_type in ('int', 'bigint') then 'measure'
+             when spark_type = 'string' then
+               case when ndv <= 64 then 'category' else 'text' end
+             when starts_with(spark_type, 'array') then 'vector'
+             else 'other'
+           end as semantic_type
+    from cols
+    """,
+)
 def catalog_semantic_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-ext: semantic column typing — the crawler heuristic that turns
     a physical schema into catalog semantics: *_key/*_id and `key`
@@ -1155,15 +1231,17 @@ def catalog_semantic_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame entirely with Column expressions (one small local frame —
     classification is schema-sized, never data-sized; the NDV probe
     reuses the distinct profiler's approx counts per column on a
-    single pass per table). Rows-only: the classification vocabulary
-    is ours, but the property test pins the known fixture semantics
-    (keys classified identifier, ts temporal, text textual)."""
+    single pass per table; exact countDistinct so the classifier is
+    oracle-checkable — the HLL one-pass variant of the same probe lives
+    in catalog_profile_distinct). The oracle re-implements the full
+    classification vocabulary in SQL over the pinned fixture schema;
+    the property test additionally pins known semantics (keys →
+    identifier, ts → temporal, text → textual)."""
     schema_rows = []
     for t in TABLES:
         df = load(spark, sf_dir, t)
         ndv_exprs = [
-            F.approx_count_distinct(f.name).alias(f.name)
-            for f in df.schema.fields
+            F.countDistinct(f.name).alias(f.name) for f in df.schema.fields
         ]
         ndvs = df.agg(*ndv_exprs).collect()[0].asDict()
         n_rows = df.count()
