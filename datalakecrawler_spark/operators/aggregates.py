@@ -4258,3 +4258,54 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users_exact")
     )
     return bitmap.join(exact, "event_type")
+
+
+@register(
+    "part_newsvendor_stock",
+    group="E",
+    oracle="""
+    with demand as (
+      select p_brand,
+             cast(date_trunc('month', o_orderdate) as date) as mth,
+             cast(sum(cast(l_quantity as bigint)) as bigint) as qty
+      from lineitem
+      join orders on o_orderkey = l_orderkey
+      join part on p_partkey = l_partkey
+      group by 1, 2
+    )
+    select p_brand,
+           count(*) as n_months,
+           round(avg(qty), 4) as mean_demand,
+           round(quantile_cont(qty, 0.8), 4) as stock_cr80,
+           round(quantile_cont(qty, 0.95), 4) as stock_cr95
+    from demand group by p_brand
+    """,
+)
+def part_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking decision (classic inventory model, public):
+    the optimal stock level is the demand quantile at the critical
+    ratio cu/(cu+co) — computed per brand from the monthly demand
+    series at CR = 0.8 and 0.95 alongside the mean. One fact-table
+    rollup (the only data-sized pass) then exact interpolated
+    percentiles over the small per-brand series; Spark's percentile()
+    matches quantile_cont's linear interpolation (the agg_percentile_
+    exact parity op pins that). Quantities are integral, so the rollup
+    sums exactly in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    demand = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mth"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    return demand.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.avg("qty"), 4).alias("mean_demand"),
+        F.round(F.percentile("qty", F.lit(0.8)), 4).alias("stock_cr80"),
+        F.round(F.percentile("qty", F.lit(0.95)), 4).alias("stock_cr95"),
+    )

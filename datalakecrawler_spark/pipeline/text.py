@@ -2944,3 +2944,111 @@ def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "text_keyphrase_rake",
+    group="J",
+    oracle="""
+    with toks as (
+      select doc_id, pos, tok,
+             cast(tok in ('a', 'the') as integer) as is_stop
+      from (
+        select doc_id,
+               unnest(range(len(string_split(text, ' ')))) as pos,
+               unnest(string_split(text, ' ')) as tok
+        from documents
+      ) where tok <> ''
+    ),
+    islands as (
+      select doc_id, pos, tok,
+             sum(is_stop) over (partition by doc_id order by pos
+                                rows unbounded preceding) as island
+      from toks
+      qualify is_stop = 0
+    ),
+    phrases as (
+      select doc_id, island,
+             string_agg(tok, ' ' order by pos) as phrase,
+             count(*) as plen
+      from islands group by doc_id, island
+    ),
+    words as (
+      select u.t as word, count(*) as freq, sum(p.plen) as deg
+      from phrases p,
+           unnest(string_split(p.phrase, ' ')) as u(t)
+      group by u.t
+    ),
+    scored as (
+      select p.phrase, count(*) as n_occurrences,
+             round(sum_score, 4) as rake_score
+      from phrases p join (
+        select ph.doc_id, ph.island,
+               sum(w.deg * 1.0 / w.freq) as sum_score
+        from phrases ph,
+             unnest(string_split(ph.phrase, ' ')) as u(t)
+        join words w on w.word = u.t
+        group by ph.doc_id, ph.island
+      ) sc on sc.doc_id = p.doc_id and sc.island = p.island
+      group by p.phrase, round(sum_score, 4)
+    )
+    select phrase, n_occurrences, rake_score
+    from scored
+    order by rake_score desc, phrase limit 20
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, public method):
+    candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands via a running stopword count per doc), each word
+    scores degree/frequency (degree = summed length of phrases it
+    appears in), and a phrase scores the sum of its words — top-20
+    phrases by score. Plan: one explode feeds the island window (one
+    shuffle on doc_id), phrase rollup, a vocabulary-sized word-stats
+    frame broadcast back onto phrase words, and a TakeOrdered top-k.
+    The stopword list is the corpus's own function words. All ratios
+    round-4 before the final ordering."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .where(F.col("tok") != "")
+        .withColumn("is_stop", F.col("tok").isin("a", "the").cast("int"))
+    )
+    w_doc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    islands = (
+        toks.withColumn("island", F.sum("is_stop").over(w_doc))
+        .where(F.col("is_stop") == 0)
+    )
+    phrases = islands.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    pw = phrases.select(
+        "doc_id", "island", "plen", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    words = pw.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    phrase_scores = (
+        pw.join(F.broadcast(words), "word")
+        .groupBy("doc_id", "island")
+        .agg(F.round(F.sum(F.col("deg") / F.col("freq")), 4).alias("rake_score"))
+    )
+    return (
+        phrases.join(phrase_scores, ["doc_id", "island"])
+        .groupBy("phrase", "rake_score")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select("phrase", "n_occurrences", "rake_score")
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(20)
+    )
