@@ -4465,3 +4465,49 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b.m"), 2).alias("mean_machinery"),
         F.round((F.col("a.m") - F.col("b.m")) / pooled, 6).alias("cohens_d"),
     )
+
+
+@register(
+    "stats_iv_wald",
+    group="E",
+    oracle="""
+    with j as (
+      select cast(p_size as double) as z,
+             l_extendedprice / l_quantity as x,
+             l_quantity as y
+      from lineitem join part on p_partkey = l_partkey
+    )
+    select count(*) as n,
+           round(covar_samp(z, y) / covar_samp(z, x), 6) as iv_wald_slope,
+           round(covar_samp(x, y) / var_samp(x), 6) as ols_slope,
+           round(corr(z, x), 6) as instrument_strength
+    from j
+    """,
+)
+def stats_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable estimation, Wald form (textbook
+    econometrics, public): when price and quantity are simultaneously
+    determined, the OLS slope is biased; an instrument z that shifts
+    price but not demand directly identifies the causal slope as
+    cov(z,y)/cov(z,x). Here z = part size (a cost shifter), x = unit
+    price, y = quantity. Emits the IV slope, the naive OLS slope for
+    contrast, and the first-stage correlation (instrument strength —
+    the weak-instrument diagnostic). One joined pass of second-moment
+    aggregates — all map-side combinable; the broadcast side is the
+    part dim. Covariances are numerically-stable one-pass moments in
+    both engines (~1e-10 relative agreement), rounded at 6."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_size").cast("double").alias("z"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.covar_samp("z", "y") / F.covar_samp("z", "x"), 6).alias(
+            "iv_wald_slope"
+        ),
+        F.round(F.covar_samp("x", "y") / F.var_samp("x"), 6).alias("ols_slope"),
+        F.round(F.corr("z", "x"), 6).alias("instrument_strength"),
+    )

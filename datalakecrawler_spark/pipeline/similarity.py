@@ -945,3 +945,88 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("rel12").cast("double") / 1e12, 6).alias("relevance"),
     ).orderBy("step")
+
+
+@register(
+    "sim_matryoshka_prefix_recall",
+    group="J",
+    oracle=f"""
+    with q as (select embedding as qe from embeddings where vec_id = 0),
+    scored as (
+      select e.vec_id,
+             {_DOT12_SQL.format('e.embedding', '(select qe from q)')} as d_full,
+             {_DOT12_SQL.format('(e.embedding)[1:16]', '((select qe from q))[1:16]')} as d16,
+             {_DOT12_SQL.format('(e.embedding)[1:32]', '((select qe from q))[1:32]')} as d32
+      from embeddings e where e.vec_id <> 0
+    ),
+    rk as (
+      select vec_id,
+             row_number() over (order by d_full desc, vec_id) as r_full,
+             row_number() over (order by d16 desc, vec_id) as r16,
+             row_number() over (order by d32 desc, vec_id) as r32
+      from scored
+    )
+    select 16 as prefix_dim,
+           cast(count(*) filter (where r16 <= 10 and r_full <= 10) as bigint)
+             as n_hits,
+           round(count(*) filter (where r16 <= 10 and r_full <= 10) / 10.0, 2)
+             as recall_at_10
+    from rk
+    union all
+    select 32,
+           cast(count(*) filter (where r32 <= 10 and r_full <= 10) as bigint),
+           round(count(*) filter (where r32 <= 10 and r_full <= 10) / 10.0, 2)
+    from rk
+    """,
+)
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-embedding evaluation (public practice:
+    Kusupati et al. 2022): score the corpus against the query with the
+    full 64-d vector AND with its 16-/32-d prefixes, and report
+    recall@10 of each prefix against the full-dim top-10 — the
+    measurement that decides how many dims the ANN index actually
+    needs. Dot products are pico-quantized exact longs (fold-order
+    independent), so ranks and recalls are bit-stable across engines.
+    One scan computes all three scores; ranking is three windows over
+    the corpus-sized score frame; at 100 TB the same evaluation runs on
+    a sampled query set with per-query TakeOrdered top-k instead of
+    global windows."""
+    e = load(spark, sf_dir, "embeddings")
+    q_struct = (
+        e.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qe"))
+    )
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q_struct))
+        .select(
+            "vec_id",
+            _dot12("embedding", "qe").alias("d_full"),
+            _dot12(F.slice("embedding", 1, 16), F.slice("qe", 1, 16)).alias("d16"),
+            _dot12(F.slice("embedding", 1, 32), F.slice("qe", 1, 32)).alias("d32"),
+        )
+    )
+    w_full = W.orderBy(F.col("d_full").desc(), "vec_id")
+    w16 = W.orderBy(F.col("d16").desc(), "vec_id")
+    w32 = W.orderBy(F.col("d32").desc(), "vec_id")
+    rk = scored.select(
+        "vec_id",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w16).alias("r16"),
+        F.row_number().over(w32).alias("r32"),
+    )
+    out16 = rk.agg(
+        F.lit(16).alias("prefix_dim"),
+        F.count_if((F.col("r16") <= 10) & (F.col("r_full") <= 10)).alias("n_hits"),
+        F.round(
+            F.count_if((F.col("r16") <= 10) & (F.col("r_full") <= 10)) / 10.0, 2
+        ).alias("recall_at_10"),
+    )
+    out32 = rk.agg(
+        F.lit(32).alias("prefix_dim"),
+        F.count_if((F.col("r32") <= 10) & (F.col("r_full") <= 10)).alias("n_hits"),
+        F.round(
+            F.count_if((F.col("r32") <= 10) & (F.col("r_full") <= 10)) / 10.0, 2
+        ).alias("recall_at_10"),
+    )
+    return out16.unionByName(out32)

@@ -3052,3 +3052,83 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), "phrase")
         .limit(20)
     )
+
+
+@register(
+    "text_quality_buckets_ccnet",
+    group="J",
+    oracle="""
+    with tok as (
+        select doc_id, lang, unnest(string_split(text, ' ')) as w
+        from documents
+    ),
+    cnt as (select w, count(*) as c from tok group by 1),
+    tot as (select sum(c) as n from cnt),
+    doc as (
+        select t.doc_id, t.lang,
+               cast(sum(cast(floor(ln(c * 1.0 / n) * 1e4 + 0.5) as bigint))
+                    as double) / count(*) / 1e4 as logprob
+        from tok t join cnt on t.w = cnt.w cross join tot
+        group by 1, 2
+    ),
+    cut as (
+      select quantile_cont(logprob, 1.0/3) as t1,
+             quantile_cont(logprob, 2.0/3) as t2
+      from doc
+    ),
+    bucketed as (
+      select lang,
+             case when logprob >= t2 then 'head'
+                  when logprob >= t1 then 'middle'
+                  else 'tail' end as bucket
+      from doc, cut
+    )
+    select lang, bucket, count(*) as n_docs
+    from bucketed group by lang, bucket
+    """,
+)
+def text_quality_buckets_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, public
+    method): score every document with the corpus unigram LM (same
+    quantized-exact per-doc log-prob as text_unigram_logprob), cut the
+    score distribution at terciles, and assign head/middle/tail — the
+    partition CCNet uses to keep head+middle for LM training. The
+    tercile cutpoints are two scalar quantiles (broadcast back); the
+    only data-sized passes are the token explode and the per-doc
+    rollup. Interpolated-percentile parity is pinned by
+    agg_percentile_exact; per-doc scores are integer-quantized so the
+    cut comparisons see identical doubles in both engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    doc = (
+        tok.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.log(F.col("c") * 1.0 / F.col("n")) * 1e4 + 0.5).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1e4
+            ).alias("logprob")
+        )
+    )
+    cut = doc.agg(
+        F.percentile("logprob", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("logprob", F.lit(2.0 / 3)).alias("t2"),
+    )
+    bucketed = doc.crossJoin(F.broadcast(cut)).select(
+        "lang",
+        F.when(F.col("logprob") >= F.col("t2"), "head")
+        .when(F.col("logprob") >= F.col("t1"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
