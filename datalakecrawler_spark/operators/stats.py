@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
-from datalakecrawler_spark.registry import register
+from datalakecrawler_spark.registry import davg, register
 
 
 @register(
@@ -4510,4 +4510,81 @@ def stats_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.covar_samp("x", "y") / F.var_samp("x"), 6).alias("ols_slope"),
         F.round(F.corr("z", "x"), 6).alias("instrument_strength"),
+    )
+
+
+@register(
+    "stats_did_estimate",
+    group="E",
+    oracle="""
+    with j as (
+      select cast(c_mktsegment = 'BUILDING' as integer) as treated,
+             cast(o_orderdate >= timestamp '1996-01-01' as integer) as post,
+             o_totalprice as y
+      from orders join customer on c_custkey = o_custkey
+      where c_mktsegment in ('BUILDING', 'MACHINERY')
+    ),
+    cells as (
+      select treated, post, count(*) as n,
+             round(cast(sum(cast(floor(y * 1e6 + 0.5) as bigint)) as double)
+                   / count(y) / 1e6, 6) as m
+      from j group by treated, post
+    )
+    select round(t1.m - t0.m - (c1.m - c0.m), 4) as did_estimate,
+           round(t1.m - t0.m, 4) as treated_delta,
+           round(c1.m - c0.m, 4) as control_delta,
+           t0.n as n_treat_pre, t1.n as n_treat_post,
+           c0.n as n_ctrl_pre, c1.n as n_ctrl_post
+    from (select * from cells where treated = 1 and post = 0) t0,
+         (select * from cells where treated = 1 and post = 1) t1,
+         (select * from cells where treated = 0 and post = 0) c0,
+         (select * from cells where treated = 0 and post = 1) c1
+    """,
+)
+def stats_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (canonical 2×2 design, public
+    econometrics): treated = BUILDING-segment customers, control =
+    MACHINERY, pre/post split at 1996-01-01; the DiD estimate
+    (ΔT − ΔC) removes both the level difference between groups and the
+    common time trend. One grouped pass produces the four cell means
+    (exact micro-unit sums → identical doubles), then scalar algebra.
+    The parallel-trends assumption is the analyst's to defend; the
+    per-cell Ns are emitted for the power check."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treated"),
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cells = j.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), davg("y").alias("m")
+    )
+
+    def cell(tr, po, alias):
+        return (
+            cells.where((F.col("treated") == tr) & (F.col("post") == po))
+            .select(F.col("n").alias(f"n_{alias}"), F.col("m").alias(f"m_{alias}"))
+        )
+
+    wide = (
+        cell(1, 0, "t0")
+        .crossJoin(cell(1, 1, "t1"))
+        .crossJoin(cell(0, 0, "c0"))
+        .crossJoin(cell(0, 1, "c1"))
+    )
+    return wide.select(
+        F.round(
+            F.col("m_t1") - F.col("m_t0") - (F.col("m_c1") - F.col("m_c0")), 4
+        ).alias("did_estimate"),
+        F.round(F.col("m_t1") - F.col("m_t0"), 4).alias("treated_delta"),
+        F.round(F.col("m_c1") - F.col("m_c0"), 4).alias("control_delta"),
+        F.col("n_t0").alias("n_treat_pre"),
+        F.col("n_t1").alias("n_treat_post"),
+        F.col("n_c0").alias("n_ctrl_pre"),
+        F.col("n_c1").alias("n_ctrl_post"),
     )

@@ -1029,3 +1029,97 @@ def corpus_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.ceil(needed / F.col("toks")).cast("long").alias("epochs"),
     ).orderBy("source")
+
+
+@register(
+    "mlprep_padding_efficiency",
+    group="J",
+    oracle="""
+    with lens as (
+      select doc_id, len(string_split(text, ' ')) as n_tok,
+             cast(('0x' || substring(md5(cast(doc_id as varchar) || '|pad'), 1, 8))
+               as bigint) as coin
+      from documents
+    ),
+    rnd as (
+      select n_tok,
+             (row_number() over (order by coin, doc_id) - 1) // 32 as batch
+      from lens
+    ),
+    srt as (
+      select n_tok,
+             (row_number() over (order by n_tok, doc_id) - 1) // 32 as batch
+      from lens
+    ),
+    r as (
+      select sum(mx * n - s) as pad, sum(s) as tok from (
+        select max(n_tok) as mx, count(*) as n, sum(n_tok) as s
+        from rnd group by batch)
+    ),
+    s as (
+      select sum(mx * n - s) as pad, sum(s) as tok from (
+        select max(n_tok) as mx, count(*) as n, sum(n_tok) as s
+        from srt group by batch)
+    )
+    select 'random' as strategy,
+           cast(pad as bigint) as padding_tokens,
+           cast(tok as bigint) as real_tokens,
+           round(pad * 1.0 / (pad + tok), 6) as waste_fraction
+    from r
+    union all
+    select 'length_sorted', cast(pad as bigint), cast(tok as bigint),
+           round(pad * 1.0 / (pad + tok), 6)
+    from s
+    """,
+)
+def mlprep_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency audit for batch assembly (the public
+    length-grouped-batching practice in LLM trainers): form batch-32
+    groups two ways — deterministic-random order (md5 coin) vs sorted
+    by token length — and compare padding waste (each batch pads to
+    its max length). The waste delta IS the throughput argument for
+    length-grouped batching. Length computation is one scan; each
+    strategy is a row_number window + grouped rollup. At 100 TB the
+    sort becomes a bucketed length-quantile assignment (no global
+    window), same arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|pad"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long").alias("coin"),
+    )
+
+    def waste(df: DataFrame, order_cols, strategy: str) -> DataFrame:
+        w = W.orderBy(*order_cols)
+        batched = df.select(
+            "n_tok",
+            ((F.row_number().over(w) - 1) / 32).cast("long").alias("batch"),
+        )
+        per_batch = batched.groupBy("batch").agg(
+            F.max("n_tok").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tok").alias("s"),
+        )
+        return per_batch.agg(
+            F.lit(strategy).alias("strategy"),
+            F.sum(F.col("mx") * F.col("n") - F.col("s")).alias("padding_tokens"),
+            F.sum("s").alias("real_tokens"),
+            F.round(
+                F.sum(F.col("mx") * F.col("n") - F.col("s"))
+                / (
+                    F.sum(F.col("mx") * F.col("n") - F.col("s"))
+                    + F.sum("s")
+                ),
+                6,
+            ).alias("waste_fraction"),
+        )
+
+    rnd = waste(lens, [F.col("coin"), F.col("doc_id")], "random")
+    srt = waste(lens, [F.col("n_tok"), F.col("doc_id")], "length_sorted")
+    return rnd.unionByName(srt)
