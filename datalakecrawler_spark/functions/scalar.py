@@ -784,3 +784,54 @@ def str_translate_reverse_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority", "status_rev")
     )
+
+
+@register(
+    "arr_functions_extended",
+    group="H",
+    oracle="""
+    with t as (
+      select doc_id, string_split(text, ' ')[1:8] as toks
+      from documents where doc_id < 50
+    )
+    select doc_id,
+           cast(coalesce(list_position(toks, 'the'), 0) as integer) as pos_the,
+           list_filter(toks, x -> x <> 'a') as no_a,
+           cast(list_has_any(toks, ['table', 'query', 'scan']) as integer)
+             as mentions_sql,
+           list_sort(list_intersect(toks, ['the', 'a', 'row', 'key']))
+             as common_words,
+           flatten([toks[1:2], toks[3:4]]) as resequenced
+    from t
+    """,
+)
+def arr_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: the wider array-function surface — array_position (1-based
+    in both engines; 0/NULL-when-absent normalized to 0), lambda
+    filter, arrays_overlap, array_intersect (sorted for set compare),
+    and flatten — over bounded 8-token slices. All SQL lambdas compile
+    into codegen (no Python); the slice bound keeps output size
+    O(docs), not O(corpus tokens). DuckDB twins are the list_*
+    family."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.slice(F.split("text", " "), 1, 8)
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.coalesce(
+            F.nullif(F.array_position(F.col("toks"), "the"), F.lit(0)), F.lit(0)
+        ).cast("int").alias("pos_the"),
+        F.filter(F.col("toks"), lambda x: x != "a").alias("no_a"),
+        F.arrays_overlap(
+            F.col("toks"), F.array(F.lit("table"), F.lit("query"), F.lit("scan"))
+        ).cast("int").alias("mentions_sql"),
+        F.array_sort(
+            F.array_intersect(
+                F.col("toks"),
+                F.array(F.lit("the"), F.lit("a"), F.lit("row"), F.lit("key")),
+            )
+        ).alias("common_words"),
+        F.flatten(
+            F.array(F.slice(F.col("toks"), 1, 2), F.slice(F.col("toks"), 3, 2))
+        ).alias("resequenced"),
+    )
