@@ -147,19 +147,19 @@ def source_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: crawler file inventory — per-input-file row counts via
     input_file_name(). Absolute paths are env-specific, so only the
     basename is emitted — which the fixture layout (one parquet file
-    per table) makes deterministic and oracle-checkable. Reads the
-    parquet directly (not the cached fixture frame — an InMemoryRelation
-    has no file lineage, so input_file_name() would be empty)."""
+    per table) makes deterministic and oracle-checkable. Uses the
+    `_metadata.file_name` hidden column on a direct parquet read: the
+    metadata column makes the scan's logical plan distinct from the
+    cached fixture frame, so Spark's CacheManager cannot substitute the
+    InMemoryRelation (which has no file lineage — input_file_name()
+    over it silently returns empty strings)."""
     from datalakecrawler_spark.io import table_path
 
     li = spark.read.parquet(table_path(sf_dir, "lineitem"))
     return (
-        li.groupBy(F.input_file_name().alias("file_path"))
+        li.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(
-            F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
-            "n_rows",
-        )
     )
 
 
