@@ -4309,3 +4309,89 @@ def part_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("qty", F.lit(0.8)), 4).alias("stock_cr80"),
         F.round(F.percentile("qty", F.lit(0.95)), 4).alias("stock_cr95"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    group="E",
+    oracle="""
+    select o_orderpriority, o_orderstatus,
+           cast(grouping(o_orderpriority, o_orderstatus) as integer) as gid,
+           count(*) as n,
+           case grouping(o_orderpriority, o_orderstatus)
+             when 0 then 'cell' when 1 then 'priority_total'
+             when 2 then 'status_total' else 'grand_total' end as level_name
+    from orders
+    group by cube(o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-ext: the GROUPING_ID bitmask over a CUBE — how downstream
+    consumers of a rollup distinguish real NULL keys from subtotal
+    rows (bit i set = dimension i aggregated away). Spark's
+    grouping_id() and DuckDB's grouping(a, b) emit the same bitmask;
+    the named level decode is the catalog-friendly form. Same single
+    map-combinable aggregation as any cube."""
+    o = load(spark, sf_dir, "orders")
+    gid = F.grouping_id().cast("int")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "gid",
+            "n",
+            F.when(F.col("gid") == 0, "cell")
+            .when(F.col("gid") == 1, "priority_total")
+            .when(F.col("gid") == 2, "status_total")
+            .otherwise("grand_total")
+            .alias("level_name"),
+        )
+    )
+
+
+@register(
+    "catalog_column_group_stats",
+    group="B",
+    oracle="""
+    select count(distinct o_orderpriority) as ndv_priority,
+           count(distinct o_orderstatus) as ndv_status,
+           count(distinct o_orderpriority || '|' || o_orderstatus) as ndv_pair,
+           count(distinct o_orderpriority) * count(distinct o_orderstatus)
+             as independence_bound,
+           round(count(distinct o_orderpriority || '|' || o_orderstatus) * 1.0
+                 / (count(distinct o_orderpriority)
+                    * count(distinct o_orderstatus)), 6) as correlation_factor
+    from orders
+    """,
+)
+def catalog_column_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-group statistics (the CBO feature behind multi-predicate
+    selectivity): NDV of the (priority, status) pair vs the
+    independence bound NDV(a)·NDV(b); the ratio is the correlation
+    factor an optimizer multiplies into joint-predicate estimates
+    (1.0 = independent, « 1 = correlated columns). One aggregation
+    pass; the pair NDV keys on a delimited concat, portable across
+    engines."""
+    o = load(spark, sf_dir, "orders")
+    pair = F.concat_ws("|", "o_orderpriority", "o_orderstatus")
+    return o.agg(
+        F.countDistinct("o_orderpriority").alias("ndv_priority"),
+        F.countDistinct("o_orderstatus").alias("ndv_status"),
+        F.countDistinct(pair).alias("ndv_pair"),
+        (
+            F.countDistinct("o_orderpriority") * F.countDistinct("o_orderstatus")
+        ).alias("independence_bound"),
+        F.round(
+            F.countDistinct(pair)
+            / (
+                F.countDistinct("o_orderpriority")
+                * F.countDistinct("o_orderstatus")
+            ),
+            6,
+        ).alias("correlation_factor"),
+    )
