@@ -4588,3 +4588,61 @@ def stats_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_c0").alias("n_ctrl_pre"),
         F.col("n_c1").alias("n_ctrl_post"),
     )
+
+
+@register(
+    "stats_negbin_moments",
+    group="E",
+    oracle="""
+    with per_cust as (
+      select c_mktsegment as seg, c_custkey, count(o_orderkey) as k
+      from customer left join orders on o_custkey = c_custkey
+      group by c_mktsegment, c_custkey
+    ),
+    mom as (
+      select seg, count(*) as n_customers,
+             avg(k) as m, var_samp(k) as v
+      from per_cust group by seg
+    )
+    select seg, n_customers,
+           round(m, 6) as mean_orders,
+           round(v, 6) as var_orders,
+           round(case when v > m then m * m / (v - m) end, 4) as nb_r,
+           round(case when v > m then m / v end, 6) as nb_p,
+           cast(v > m as integer) as overdispersed
+    from mom
+    """,
+)
+def stats_negbin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit by method of moments (textbook count-data
+    modeling, public): per-customer order counts per segment give mean
+    m and variance v; overdispersion (v > m) rejects Poisson and
+    identifies NB parameters r = m²/(v−m), p = m/v — the distribution
+    a demand model samples from. The left join keeps zero-order
+    customers (the zeros ARE the dispersion signal). Two grouped
+    passes, both map-combinable; counts are integers so the moments
+    agree across engines to ~1e-12, rounded past it."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("seg"), "c_custkey")
+        .agg(F.count("o_orderkey").alias("k"))
+    )
+    mom = per_cust.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.avg("k").alias("m"),
+        F.var_samp("k").alias("v"),
+    )
+    over = F.col("v") > F.col("m")
+    return mom.select(
+        "seg",
+        "n_customers",
+        F.round("m", 6).alias("mean_orders"),
+        F.round("v", 6).alias("var_orders"),
+        F.round(
+            F.when(over, F.col("m") * F.col("m") / (F.col("v") - F.col("m"))), 4
+        ).alias("nb_r"),
+        F.round(F.when(over, F.col("m") / F.col("v")), 6).alias("nb_p"),
+        over.cast("int").alias("overdispersed"),
+    )

@@ -3193,3 +3193,81 @@ def catalog_incremental_profile_merge(spark: SparkSession, sf_dir: str) -> DataF
             ).cast("int").alias("merge_exact"),
         )
     )
+
+
+@register(
+    "catalog_fk_fanout_profile",
+    group="B",
+    oracle="""
+    with f1 as (
+      select 'orders.o_custkey -> customer.c_custkey' as fk,
+             count(*) as n_children,
+             count(distinct o_custkey) as n_parents_referenced,
+             (select count(*) from customer) as n_parents_total
+      from orders
+    ),
+    f2 as (
+      select 'lineitem.l_orderkey -> orders.o_orderkey',
+             count(*), count(distinct l_orderkey),
+             (select count(*) from orders)
+      from lineitem
+    ),
+    f3 as (
+      select 'lineitem.l_partkey -> part.p_partkey',
+             count(*), count(distinct l_partkey),
+             (select count(*) from part)
+      from lineitem
+    ),
+    u as (
+      select * from f1 union all select * from f2 union all select * from f3
+    )
+    select fk, n_children, n_parents_referenced, n_parents_total,
+           round(n_children * 1.0 / n_parents_referenced, 4) as avg_fanout,
+           round(n_parents_referenced * 1.0 / n_parents_total, 6)
+             as parent_coverage
+    from u
+    """,
+)
+def catalog_fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK fan-out profiling — the cardinality shape a catalog records
+    per relationship: children per referenced parent (the join
+    multiplier a planner needs) and parent coverage (what fraction of
+    the dimension is ever referenced — low coverage flags dead rows or
+    filtered extracts). One aggregation per fact table; no joins at
+    all, since fan-out only needs the child side plus the parent
+    count."""
+
+    def prof(child: DataFrame, fk_col: str, parent: DataFrame, label: str) -> DataFrame:
+        stats = child.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_children"),
+            F.countDistinct(fk_col).alias("n_parents_referenced"),
+        )
+        ptotal = parent.agg(F.count(F.lit(1)).alias("n_parents_total"))
+        return stats.crossJoin(F.broadcast(ptotal))
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    u = (
+        prof(o, "o_custkey", c, "orders.o_custkey -> customer.c_custkey")
+        .unionByName(
+            prof(li, "l_orderkey", o, "lineitem.l_orderkey -> orders.o_orderkey")
+        )
+        .unionByName(
+            prof(li, "l_partkey", p, "lineitem.l_partkey -> part.p_partkey")
+        )
+    )
+    return u.select(
+        "fk",
+        "n_children",
+        "n_parents_referenced",
+        "n_parents_total",
+        F.round(F.col("n_children") / F.col("n_parents_referenced"), 4).alias(
+            "avg_fanout"
+        ),
+        F.round(
+            F.col("n_parents_referenced") / F.col("n_parents_total"), 6
+        ).alias("parent_coverage"),
+    )
