@@ -3271,3 +3271,66 @@ def catalog_fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_parents_referenced") / F.col("n_parents_total"), 6
         ).alias("parent_coverage"),
     )
+
+
+@register("catalog_analyze_table_stats", group="B", oracle=None)
+def catalog_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE → catalog statistics — the handshake between a
+    crawler and Spark's cost-based optimizer: persist a table, run
+    ANALYZE ... COMPUTE STATISTICS FOR COLUMNS, and read back what the
+    CBO will use (row count, size, per-column NDV (HLL-approximate)/nulls/min/max) via
+    DESCRIBE EXTENDED. Rows-only: byte sizes are layout-specific; the
+    numeric fields are asserted against their ground truth here, which
+    is the point — the stats pipeline must agree with the data it
+    describes."""
+    import shutil
+
+    src = load(spark, sf_dir, "supplier")
+    spark.sql("drop table if exists dlc_stats_supplier")
+    # a crashed previous run can leave the managed location behind with
+    # no catalog entry — saveAsTable refuses then, so clear it first
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/dlc_stats_supplier", ignore_errors=True)
+    src.write.mode("overwrite").saveAsTable("dlc_stats_supplier")
+    spark.sql(
+        "analyze table dlc_stats_supplier compute statistics"
+        " for columns s_suppkey, s_nationkey, s_acctbal"
+    )
+    rows = []
+    n_true = src.count()
+    for col in ["s_suppkey", "s_nationkey", "s_acctbal"]:
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                f"describe extended dlc_stats_supplier {col}"
+            ).collect()
+        }
+        rows.append(
+            (
+                col,
+                int(desc.get("distinct_count") or -1),
+                int(desc.get("num_nulls") or -1),
+                desc.get("min"),
+                desc.get("max"),
+            )
+        )
+    out = spark.createDataFrame(
+        rows, "column string, ndv long, n_nulls long, min_val string, max_val string"
+    )
+    # the CBO stats must agree with ground truth
+    truth = {
+        r["c"]: r["ndv"]
+        for r in src.selectExpr(
+            "'s_suppkey' as c", "count(distinct s_suppkey) as ndv"
+        )
+        .unionAll(
+            src.selectExpr("'s_nationkey'", "count(distinct s_nationkey)")
+        )
+        .collect()
+    }
+    got = {r[0]: r[1] for r in rows}
+    # ANALYZE's distinct_count is HLL-approximate — allow 5% error
+    for c in ("s_suppkey", "s_nationkey"):
+        assert abs(got[c] - truth[c]) <= max(1, 0.05 * truth[c]), (got, truth)
+    assert all(r[2] == 0 for r in rows), rows
+    return out
