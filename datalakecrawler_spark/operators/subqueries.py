@@ -648,3 +648,67 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by all
         """
     )
+
+
+@register(
+    "sql_lateral_alias",
+    group="G",
+    oracle="""
+    select o_orderkey,
+           floor(o_totalprice * 0.07 * 1e4 + 0.5) / 1e4 as tax,
+           floor((floor(o_totalprice * 0.07 * 1e4 + 0.5) / 1e4 + o_totalprice)
+                 * 1e4 + 0.5) / 1e4 as gross,
+           floor((floor((floor(o_totalprice * 0.07 * 1e4 + 0.5) / 1e4
+                         + o_totalprice) * 1e4 + 0.5) / 1e4) / 12 * 1e4 + 0.5)
+             / 1e4 as monthly
+    from orders where o_orderkey < 1000
+    """,
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: lateral column aliases (Spark ≥3.4) — a select item
+    referencing an alias defined earlier in the SAME select list,
+    the ergonomic layer users expect from DuckDB/Snowflake. Catalyst
+    inlines the alias chain, so the plan is identical to writing the
+    expressions out; the oracle states the expanded form. Rounding
+    is the portable floor-half-up (Spark's round() re-decimalizes the
+    double and resolves /12 half-ties upward where DuckDB rounds the
+    binary value — the floor form sees identical doubles)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lca")
+    return spark.sql(
+        """
+        select o_orderkey,
+               floor(o_totalprice * 0.07 * 1e4 + 0.5) / 1e4 as tax,
+               floor((tax + o_totalprice) * 1e4 + 0.5) / 1e4 as gross,
+               floor(gross / 12 * 1e4 + 0.5) / 1e4 as monthly
+        from orders_lca where o_orderkey < 1000
+        """
+    )
+
+
+@register(
+    "sql_parameterized_query",
+    group="G",
+    oracle="""
+    select o_orderpriority, count(*) as n_orders
+    from orders
+    where o_totalprice > 150000.0 and o_orderstatus = 'O'
+    group by o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: named-parameter SQL binding (Spark ≥3.4
+    `spark.sql(query, args=...)`) — the injection-safe templating
+    surface an API layer uses instead of string interpolation.
+    Parameter markers bind as literals BEFORE analysis, so constant
+    folding and predicate pushdown see them exactly like inline
+    constants; the oracle states the bound form."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        select o_orderpriority, count(*) as n_orders
+        from orders_param
+        where o_totalprice > :min_price and o_orderstatus = :status
+        group by o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "O"},
+    )

@@ -993,3 +993,59 @@ def scan_xml_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.option("rowTag", "region").format("xml").load(path)
     assert dict(df.dtypes)["r_regionkey"] in ("int", "bigint"), df.dtypes
     return df.select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@register("crawl_rename_detect", group="B", oracle=None)
+def crawl_rename_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler rename detection: between two crawl listings, a file
+    whose content hash matches but whose path changed is a RENAME, not
+    a delete+add — getting this right preserves dataset lineage and
+    avoids re-profiling terabytes. Stages two generations (one file
+    kept, one renamed, one genuinely new), lists both with binaryFile,
+    and full-outer-joins on content md5: matched-both-sides+path-diff →
+    renamed; right-only → added; left-only → deleted. The hash join is
+    the only shuffle; content hashing streams file bytes on executors
+    (binaryFile source), never the driver. Rows-only: staging paths
+    are env-specific; the classification set is asserted here."""
+    import os
+    import shutil
+
+    root = _tmp(f"rename_detect_{os.getpid()}")
+    v1, v2 = f"{root}/v1", f"{root}/v2"
+    for d in (v1, v2):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    with open(f"{v1}/stable.csv", "w") as f:
+        f.write("a,b\n1,2\n")
+    with open(f"{v1}/oldname.csv", "w") as f:
+        f.write("x,y\n3,4\n")
+    shutil.copy(f"{v1}/stable.csv", f"{v2}/stable.csv")
+    shutil.copy(f"{v1}/oldname.csv", f"{v2}/newname.csv")
+    with open(f"{v2}/brandnew.csv", "w") as f:
+        f.write("p,q\n5,6\n")
+
+    def listing(path: str, gen: str) -> DataFrame:
+        return (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select(
+                F.element_at(F.split("path", "/"), -1).alias(f"name_{gen}"),
+                F.md5("content").alias("content_md5"),
+            )
+        )
+
+    a = listing(v1, "v1")
+    b = listing(v2, "v2")
+    j = a.join(b, "content_md5", "full_outer").select(
+        "content_md5",
+        "name_v1",
+        "name_v2",
+        F.when(F.col("name_v1").isNull(), "added")
+        .when(F.col("name_v2").isNull(), "deleted")
+        .when(F.col("name_v1") != F.col("name_v2"), "renamed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    changes = {r["change"] for r in j.collect()}
+    assert changes == {"unchanged", "renamed", "added"}, changes
+    return j.select("name_v1", "name_v2", "change")
