@@ -1030,3 +1030,63 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_at_10"),
     )
     return out16.unionByName(out32)
+
+
+@register(
+    "sim_reliability_diagram",
+    group="J",
+    oracle=f"""
+    with pairs as (
+      select a.vec_id as va, b.vec_id as vb,
+             cast(a.label = b.label as integer) as same_label,
+             {_DOT12_SQL.format('a.embedding', 'b.embedding')} as d12
+      from embeddings a join embeddings b on a.vec_id < b.vec_id
+      where a.vec_id < 100
+    )
+    select cast(floor(cast(d12 as double) / 1e12 / 0.1) as bigint) as sim_bin,
+           count(*) as n_pairs,
+           cast(sum(same_label) as bigint) as n_same_label,
+           round(sum(same_label) * 1.0 / count(*), 6) as same_label_rate
+    from pairs group by 1
+    """,
+)
+def sim_reliability_diagram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-score calibration (the reliability-diagram eval for
+    semantic dedup thresholds): cosine similarity of vector pairs,
+    binned at 0.1, against the rate at which the pair shares a label —
+    the curve that justifies (or indicts) a chosen dedup/retrieval τ.
+    Pairs are blocked to the first 100 query vectors (a sample at
+    scale); dots are pico-quantized exact longs so the binning is
+    engine-identical at bin edges. One blocked join, one grouped
+    pass."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("la"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("lb"),
+    )
+    pairs = a.join(b, F.col("va") < F.col("vb")).select(
+        (F.col("la") == F.col("lb")).cast("int").alias("same_label"),
+        _dot12(F.col("ea"), F.col("eb")).alias("d12"),
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("d12").cast("double") / 1e12 / 0.1)
+            .cast("long")
+            .alias("sim_bin"),
+            "same_label",
+        )
+        .groupBy("sim_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("same_label").alias("n_same_label"),
+            F.round(F.sum("same_label") / F.count(F.lit(1)), 6).alias(
+                "same_label_rate"
+            ),
+        )
+    )

@@ -3132,3 +3132,57 @@ def text_quality_buckets_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "text_stopword_discovery",
+    group="J",
+    oracle="""
+    with df as (
+      select tok, count(distinct doc_id) as doc_freq, count(*) as term_freq
+      from (
+        select doc_id, unnest(string_split(text, ' ')) as tok
+        from documents
+      ) where tok <> ''
+      group by tok
+    ),
+    n as (select count(*) as n_docs from documents)
+    select tok,
+           doc_freq,
+           term_freq,
+           round(doc_freq * 1.0 / n_docs, 6) as doc_frac,
+           round(term_freq * 1.0 / doc_freq, 4) as burst_ratio
+    from df, n
+    where doc_freq * 1.0 / n_docs >= 0.5
+    order by doc_freq desc, tok
+    """,
+)
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven stopword discovery (the corpus-statistics route —
+    no hand list): terms present in ≥50% of documents, with their
+    document fraction and burst ratio (total occurrences per containing
+    doc — function words repeat within docs, topical terms cluster).
+    This is where the stopword list OTHER text operators consume comes
+    from; the oracle keeps the discovery honest. One explode + one
+    grouped pass; the candidate set is vocabulary-sized."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    df_ = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df_.crossJoin(F.broadcast(n))
+        .where(F.col("doc_freq") / F.col("n_docs") >= 0.5)
+        .select(
+            "tok",
+            "doc_freq",
+            "term_freq",
+            F.round(F.col("doc_freq") / F.col("n_docs"), 6).alias("doc_frac"),
+            F.round(F.col("term_freq") / F.col("doc_freq"), 4).alias("burst_ratio"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "tok")
+    )
