@@ -1123,3 +1123,105 @@ def mlprep_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnd = waste(lens, [F.col("coin"), F.col("doc_id")], "random")
     srt = waste(lens, [F.col("n_tok"), F.col("doc_id")], "length_sorted")
     return rnd.unionByName(srt)
+
+
+@register(
+    "mlprep_dedup_aware_split",
+    group="J",
+    oracle="""
+    with recursive sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3])) as shingles
+        from documents
+        where len(string_split(text, ' ')) >= 3
+    ),
+    prs as (
+        select a.doc_id as pa, b.doc_id as pb
+        from sh a join sh b on a.doc_id < b.doc_id
+        where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+              len(list_distinct(a.shingles || b.shingles)) >= 0.8
+    ),
+    edges as (
+        select pa as a, pb as b from prs union select pb, pa from prs
+    ),
+    reach as (
+        select a as node, b as peer from edges
+        union
+        select r.node, e.b from reach r join edges e on e.a = r.peer
+    ),
+    labels as (
+        select node, least(node, min(peer)) as comp from reach group by node
+    ),
+    clustered as (
+      select d.doc_id, coalesce(l.comp, d.doc_id) as cluster_key
+      from documents d left join labels l on l.node = d.doc_id
+    ),
+    assigned as (
+      select doc_id, cluster_key,
+             case when cast(('0x' || substring(md5(cast(cluster_key as varchar)
+                    || '|split'), 1, 8)) as bigint) < 0.8 * 4294967296
+                  then 'train' else 'holdout' end as side
+      from clustered
+    )
+    select side,
+           count(*) as n_docs,
+           count(distinct cluster_key) as n_clusters,
+           (select count(*) from (
+              select cluster_key from assigned
+              group by cluster_key having count(distinct side) > 1))
+             as n_leaky_clusters
+    from assigned group by side
+    """,
+)
+def mlprep_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/holdout split — the leakage control an LLM
+    data pipeline MUST have: near-duplicate documents (MinHash-LSH
+    τ-graph components) are assigned to a side as a CLUSTER, keyed by
+    a deterministic md5 coin on the cluster keeper, so no near-dup
+    pair ever straddles the split (the n_leaky_clusters column proves
+    0). Singletons are their own cluster. Composes the components
+    operator with the hash-split discipline of split_train_holdout;
+    one extra broadcast join over the doc table at any scale."""
+    from datalakecrawler_spark.pipeline.dedup import connected_components
+    from datalakecrawler_spark.registry import all_queries
+
+    d = load(spark, sf_dir, "documents")
+    pairs = all_queries()["dedup_near_minhash"].fn(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges)
+    clustered = d.join(
+        F.broadcast(labels.withColumnRenamed("node", "doc_id")), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_key")
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("cluster_key").cast("string"), F.lit("|split"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    assigned = clustered.withColumn(
+        "side",
+        F.when(coin < F.lit(0.8) * 4294967296, "train").otherwise("holdout"),
+    )
+    leaky = (
+        assigned.groupBy("cluster_key")
+        .agg(F.countDistinct("side").alias("n_sides"))
+        .where(F.col("n_sides") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_clusters"))
+    )
+    return (
+        assigned.groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_key").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+    )

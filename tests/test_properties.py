@@ -1194,3 +1194,14 @@ def test_incremental_profile_merge_is_exact(spark):
     (the operator's own merge_exact flag)."""
     row = _run(spark, "catalog_incremental_profile_merge").collect()[0]
     assert row["merge_exact"] == 1
+
+
+def test_dedup_aware_split_no_leakage(spark):
+    """Near-dup clusters must never straddle the split, and the sides
+    must partition the corpus."""
+    rows = _run(spark, "mlprep_dedup_aware_split").collect()
+    assert {r["side"] for r in rows} == {"train", "holdout"}
+    for r in rows:
+        assert r["n_leaky_clusters"] == 0
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
