@@ -1469,3 +1469,100 @@ def win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("o_orderpriority").over(w)).alias("n_priorities_used"),
         F.count(F.lit(1)).over(w).alias("n_orders"),
     )
+
+
+@register(
+    "ts_forecast_combination",
+    group="F",
+    oracle="""
+    with mth as (
+      select row_number() over (order by m) as i,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))
+                  as double) / 100 as x
+      from (select cast(date_trunc('month', o_orderdate) as date) as m,
+                   o_totalprice from orders) group by m
+    ),
+    n as (select max(i) as n_months from mth),
+    ses as (
+      -- closed-form SES level through month t (alpha = 0.3)
+      select t.i,
+             sum(case when p.i = 1 then pow(0.7, t.i - 1) * p.x
+                      else 0.3 * pow(0.7, t.i - p.i) * p.x end) as level
+      from mth t join mth p on p.i <= t.i
+      group by t.i
+    ),
+    fc as (
+      select m.i, m.x as actual,
+             s.level as ses_fc,
+             lag12.x as naive_fc,
+             (s.level + lag12.x) / 2 as combo_fc
+      from mth m
+      join ses s on s.i = m.i - 1
+      join mth lag12 on lag12.i = m.i - 12
+      cross join n
+      where m.i > n.n_months - 12
+    )
+    select 'ses' as method,
+           round(avg(abs(actual - ses_fc)), 4) as mae from fc
+    union all
+    select 'seasonal_naive', round(avg(abs(actual - naive_fc)), 4) from fc
+    union all
+    select 'combination', round(avg(abs(actual - combo_fc)), 4) from fc
+    """,
+)
+def ts_forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast combination backtest (Bates–Granger 1969, public: the
+    mean of two weak forecasters usually beats either): one-step SES
+    (closed-form level through t−1) and seasonal-naive (month t−12)
+    forecasts for the last 12 months, plus their 50/50 combination,
+    scored by MAE. The monthly rollup is the only data-sized pass; the
+    closed-form SES is the same ~80-row self-join as ts_exp_smoothing.
+    MAE of ~1e8-magnitude doubles: reorder noise ~1e-7, rounded at 4
+    absorbs it."""
+    o = load(spark, sf_dir, "orders")
+    mth = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("m"))
+        .agg(
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).cast("double") / 100)
+            .alias("x")
+        )
+        .withColumn("i", F.row_number().over(W.orderBy("m")))
+        .select("i", "x")
+    )
+    n = mth.agg(F.max("i").alias("n_months"))
+    t = mth.alias("t")
+    p = mth.alias("p")
+    weight = F.when(
+        F.col("p.i") == 1, F.pow(F.lit(0.7), F.col("t.i") - 1)
+    ).otherwise(F.lit(0.3) * F.pow(F.lit(0.7), F.col("t.i") - F.col("p.i")))
+    ses = (
+        t.join(p, F.col("p.i") <= F.col("t.i"))
+        .groupBy(F.col("t.i").alias("i"))
+        .agg(F.sum(weight * F.col("p.x")).alias("level"))
+    )
+    m = mth.alias("m")
+    lag12 = mth.select(F.col("i").alias("li"), F.col("x").alias("lx"))
+    fc = (
+        m.join(ses.select(F.col("i").alias("si"), "level"), F.col("si") == F.col("m.i") - 1)
+        .join(lag12, F.col("li") == F.col("m.i") - 12)
+        .crossJoin(F.broadcast(n))
+        .where(F.col("m.i") > F.col("n_months") - 12)
+        .select(
+            F.col("m.x").alias("actual"),
+            F.col("level").alias("ses_fc"),
+            F.col("lx").alias("naive_fc"),
+            ((F.col("level") + F.col("lx")) / 2).alias("combo_fc"),
+        )
+    )
+
+    def mae(col, name):
+        return fc.agg(
+            F.lit(name).alias("method"),
+            F.round(F.avg(F.abs(F.col("actual") - F.col(col))), 4).alias("mae"),
+        )
+
+    return (
+        mae("ses_fc", "ses")
+        .unionByName(mae("naive_fc", "seasonal_naive"))
+        .unionByName(mae("combo_fc", "combination"))
+    )
