@@ -835,3 +835,70 @@ def arr_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.slice(F.col("toks"), 1, 2), F.slice(F.col("toks"), 3, 2))
         ).alias("resequenced"),
     )
+
+
+@register(
+    "date_business_days",
+    group="H",
+    oracle="""
+    with lag as (
+      select date_trunc('month', o_orderdate) as mth,
+             len(list_filter(
+                   generate_series(least(cast(o_orderdate as date),
+                                         cast(l_shipdate as date)),
+                                   greatest(cast(o_orderdate as date),
+                                            cast(l_shipdate as date)),
+                                   interval 1 day),
+                   d -> dayofweek(d) between 1 and 5)) - 1 as biz_days,
+             date_diff('day', cast(o_orderdate as date),
+                       cast(l_shipdate as date)) as cal_days
+      from lineitem join orders on o_orderkey = l_orderkey
+      where l_linenumber = 1
+    )
+    select cast(mth as date) as mth,
+           count(*) as n_orders,
+           round(avg(biz_days), 4) as avg_biz_days,
+           round(avg(cal_days), 4) as avg_cal_days
+    from lag group by mth
+    """,
+)
+def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: business-day arithmetic — order-to-ship lag counted in
+    weekdays (the SLA clock ops teams actually use) vs calendar days,
+    averaged per order month. The weekday count is a date-sequence +
+    lambda filter (pure codegen higher-order functions, no explode, no
+    UDF); the only shuffle is the monthly rollup. Dayofweek origins
+    differ across engines (Spark Sun=1..Sat=7, DuckDB Sun=0..Sat=6) —
+    each side states Mon..Fri in its own convention, the §2.L trap
+    handled at the source; reversed spans (the fixtures contain
+    ship-before-order rows) are normalized via least/greatest. First
+    line per order only, bounding the sequence work to one span per
+    order."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    d1 = F.col("o_orderdate").cast("date")
+    d2 = F.col("l_shipdate").cast("date")
+    # fixture ship dates can precede order dates (see
+    # quality_negative_lag_scan) — span over [least, greatest] so the
+    # sequence never descends (engines disagree on reversed ranges)
+    lo, hi = F.least(d1, d2), F.greatest(d1, d2)
+    biz = (
+        F.size(
+            F.filter(
+                F.sequence(lo, hi),
+                lambda d: F.dayofweek(d).between(2, 6),
+            )
+        )
+        - 1
+    )
+    lag = j.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mth"),
+        biz.alias("biz_days"),
+        F.datediff(d2, d1).alias("cal_days"),
+    )
+    return lag.groupBy("mth").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("biz_days"), 4).alias("avg_biz_days"),
+        F.round(F.avg("cal_days"), 4).alias("avg_cal_days"),
+    )
