@@ -61,7 +61,8 @@ def str_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="H",
     oracle="""
     select p_partkey,
-           string_split(p_type, ' ') as type_words,
+           array_to_string(string_split(p_type, ' '), '|') as type_words,
+           len(string_split(p_type, ' ')) as n_words,
            regexp_extract(p_type, '^([A-Z]+)', 1) as first_word,
            regexp_replace(p_type, ' ', '_', 'g') as underscored
     from part
@@ -69,11 +70,16 @@ def str_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def str_split_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2: split / regexp_extract / regexp_replace ('g' flag on the
-    DuckDB side — Spark always replaces globally)."""
+    DuckDB side — Spark always replaces globally). The split array is
+    serialized with array_join('|') — the driver's canonicalizer cannot
+    hash nested columns (VERDICT r1 What's-wrong §1), and '|' never
+    occurs in p_type."""
     p = load(spark, sf_dir, "part")
+    toks = F.split("p_type", " ")
     return p.select(
         "p_partkey",
-        F.split("p_type", " ").alias("type_words"),
+        F.array_join(toks, "|").alias("type_words"),
+        F.size(toks).cast("long").alias("n_words"),
         F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("first_word"),
         F.regexp_replace("p_type", " ", "_").alias("underscored"),
     )
@@ -233,23 +239,29 @@ def cond_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     select doc_id,
            len(string_split(text, ' ')) as n_tokens,
            list_contains(string_split(text, ' '), 'table') as has_table,
-           string_split(text, ' ')[1:3] as first3,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] as vocab5
+           array_to_string(string_split(text, ' ')[1:3], '|') as first3,
+           array_to_string(
+               list_sort(list_distinct(string_split(text, ' ')))[1:5], '|')
+             as vocab5
     from documents
     """,
 )
 def arr_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H8: size/contains/slice + sorted distinct over tokenized text.
     distinct is always sorted before output — element order after
-    dedup is engine-specific."""
+    dedup is engine-specific. Array outputs are serialized with
+    array_join('|'): the driver's canonicalizer cannot hash nested
+    columns (VERDICT r1 What's-wrong §1)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "table").alias("has_table"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("vocab5"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), "|"
+        ).alias("vocab5"),
     )
 
 
@@ -319,20 +331,23 @@ def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     select event_id,
            props ->> '$.k' as k_str,
            cast(props ->> '$.k' as int) as k_int,
-           json_keys(props) as prop_keys
+           array_to_string(list_sort(json_keys(props)), '|') as prop_keys
     from events
     """,
 )
 def map_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H11: JSON scalar extraction from events.props (a JSON object
-    string like '{"k": 69}') + key listing via from_json → map."""
+    string like '{"k": 69}') + key listing via from_json → map. Keys
+    are sorted and joined to a flat string (map/array outputs crash the
+    driver's canonicalizer — VERDICT r1 What's-wrong §1 — and key order
+    is engine-specific)."""
     e = load(spark, sf_dir, "events")
     as_map = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
-        F.map_keys(as_map).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(as_map)), "|").alias("prop_keys"),
     )
 
 
@@ -636,7 +651,9 @@ def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="H",
     oracle="""
     select p_partkey,
-           regexp_extract_all(p_name, '[aeiou]+') as vowel_runs,
+           coalesce(array_to_string(regexp_extract_all(p_name, '[aeiou]+'),
+                                    '|'), '')
+             as vowel_runs,
            len(regexp_extract_all(p_name, '[aeiou]+')) as n_runs,
            len(regexp_extract_all(p_name, '[0-9]+')) as n_numbers
     from part where p_partkey < 250
@@ -646,11 +663,15 @@ def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H-ext: regexp_extract_all — every match as an array (the token-
     mining primitive regexp_extract's single-match form can't express),
     plus match counts via array length. Match order is left-to-right in
-    both engines, so the arrays compare positionally without sorting."""
+    both engines, so the match list compares positionally; it is
+    serialized with array_join('|') because the driver's canonicalizer
+    cannot hash nested columns (VERDICT r1 What's-wrong §1)."""
     p = load(spark, sf_dir, "part").where(F.col("p_partkey") < 250)
     return p.select(
         "p_partkey",
-        F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0).alias("vowel_runs"),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0), "|"
+        ).alias("vowel_runs"),
         F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0)).alias("n_runs"),
         F.size(F.regexp_extract_all("p_name", F.lit("[0-9]+"), 0)).alias("n_numbers"),
     )
@@ -665,12 +686,14 @@ def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         from orders group by 1, 2
     )
     select o_orderpriority,
-           list(o_orderstatus order by o_orderstatus) as statuses,
-           list(cnt order by o_orderstatus) as counts,
+           array_to_string(list(o_orderstatus order by o_orderstatus), '|')
+             as statuses,
+           array_to_string(list(cnt order by o_orderstatus), '|') as counts,
            count(*) as n_statuses,
-           list(o_orderstatus order by o_orderstatus)
-               filter (where cnt > 100) as major_statuses,
-           list(cnt * 2 order by o_orderstatus) as doubled
+           coalesce(array_to_string(list(o_orderstatus order by o_orderstatus)
+               filter (where cnt > 100), '|'), '') as major_statuses,
+           array_to_string(list(cnt * 2 order by o_orderstatus), '|')
+             as doubled
     from c group by o_orderpriority
     """,
 )
@@ -679,8 +702,10 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     map_values, size, map_filter, transform_values. A status→count map
     is assembled per priority from sorted entries, then inspected and
     rewritten with map lambdas. Output is flattened to sorted arrays
-    (MapType itself is unordered and has no stable cross-engine hash;
-    DuckDB's oracle builds the same arrays with ordered list aggs).
+    serialized as '|'-joined strings (MapType is unordered with no
+    stable cross-engine hash, and the driver's canonicalizer cannot
+    hash nested columns at all — VERDICT r1 What's-wrong §1; DuckDB's
+    oracle builds the same strings with ordered list aggs).
     The whole pipeline is two hash aggregations — entry construction is
     an array op inside the second agg, no extra shuffle."""
     o = load(spark, sf_dir, "orders")
@@ -690,15 +715,21 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.map_from_entries(
         F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt")))
     )
+
+    def joined(arr):  # serialize any array to a '|'-joined string
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), "|")
+
     per_prio = counts.groupBy("o_orderpriority").agg(m.alias("m"))
     return per_prio.select(
         "o_orderpriority",
-        F.map_keys("m").alias("statuses"),
-        F.map_values("m").alias("counts"),
+        joined(F.map_keys("m")).alias("statuses"),
+        joined(F.map_values("m")).alias("counts"),
         F.size("m").cast("long").alias("n_statuses"),
-        F.map_keys(F.map_filter("m", lambda k, v: v > 100)).alias("major_statuses"),
-        F.map_values(
-            F.transform_values("m", lambda k, v: v * 2)
+        joined(
+            F.map_keys(F.map_filter("m", lambda k, v: v > 100))
+        ).alias("major_statuses"),
+        joined(
+            F.map_values(F.transform_values("m", lambda k, v: v * 2))
         ).alias("doubled"),
     )
 
@@ -796,12 +827,16 @@ def str_translate_reverse_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     select doc_id,
            cast(coalesce(list_position(toks, 'the'), 0) as integer) as pos_the,
-           list_filter(toks, x -> x <> 'a') as no_a,
+           coalesce(array_to_string(list_filter(toks, x -> x <> 'a'), '|'), '')
+             as no_a,
            cast(list_has_any(toks, ['table', 'query', 'scan']) as integer)
              as mentions_sql,
-           list_sort(list_intersect(toks, ['the', 'a', 'row', 'key']))
+           coalesce(array_to_string(
+               list_sort(list_intersect(toks, ['the', 'a', 'row', 'key'])),
+               '|'), '')
              as common_words,
-           flatten([toks[1:2], toks[3:4]]) as resequenced
+           coalesce(array_to_string(flatten([toks[1:2], toks[3:4]]), '|'), '')
+             as resequenced
     from t
     """,
 )
@@ -812,7 +847,8 @@ def arr_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     and flatten — over bounded 8-token slices. All SQL lambdas compile
     into codegen (no Python); the slice bound keeps output size
     O(docs), not O(corpus tokens). DuckDB twins are the list_*
-    family."""
+    family. Array outputs are '|'-joined flat strings — the driver's
+    canonicalizer cannot hash nested columns (VERDICT r1 + ADVICE)."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     toks = F.slice(F.split("text", " "), 1, 8)
     t = d.select("doc_id", toks.alias("toks"))
@@ -821,18 +857,26 @@ def arr_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.nullif(F.array_position(F.col("toks"), "the"), F.lit(0)), F.lit(0)
         ).cast("int").alias("pos_the"),
-        F.filter(F.col("toks"), lambda x: x != "a").alias("no_a"),
+        F.array_join(
+            F.filter(F.col("toks"), lambda x: x != "a"), "|"
+        ).alias("no_a"),
         F.arrays_overlap(
             F.col("toks"), F.array(F.lit("table"), F.lit("query"), F.lit("scan"))
         ).cast("int").alias("mentions_sql"),
-        F.array_sort(
-            F.array_intersect(
-                F.col("toks"),
-                F.array(F.lit("the"), F.lit("a"), F.lit("row"), F.lit("key")),
-            )
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(
+                    F.col("toks"),
+                    F.array(F.lit("the"), F.lit("a"), F.lit("row"), F.lit("key")),
+                )
+            ),
+            "|",
         ).alias("common_words"),
-        F.flatten(
-            F.array(F.slice(F.col("toks"), 1, 2), F.slice(F.col("toks"), 3, 2))
+        F.array_join(
+            F.flatten(
+                F.array(F.slice(F.col("toks"), 1, 2), F.slice(F.col("toks"), 3, 2))
+            ),
+            "|",
         ).alias("resequenced"),
     )
 

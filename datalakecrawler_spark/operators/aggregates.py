@@ -313,20 +313,35 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     group="E",
     oracle="""
-    select n_nationkey, list(s_suppkey order by s_suppkey) as suppliers
+    select n_nationkey,
+           array_to_string(list(s_suppkey order by s_suppkey), '|')
+             as suppliers,
+           count(*) as n_suppliers
     from nation join supplier on s_nationkey = n_nationkey
     group by n_nationkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12: per-group sorted value list — array_sort(collect_list) because
-    collect_list order is nondeterministic (SURVEY §2.L trap 2)."""
+    collect_list order is nondeterministic (SURVEY §2.L trap 2). The
+    list is serialized with array_join('|'): the driver's canonicalizer
+    cannot hash nested columns (VERDICT r1 What's-wrong §1)."""
     n = load(spark, sf_dir, "nation")
     s = load(spark, sf_dir, "supplier")
+    suppliers = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("s_suppkey")),
+            lambda x: x.cast("string"),
+        ),
+        "|",
+    )
     return (
         n.join(s, s.s_nationkey == n.n_nationkey)
         .groupBy("n_nationkey")
-        .agg(F.array_sort(F.collect_list("s_suppkey")).alias("suppliers"))
+        .agg(
+            suppliers.alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
     )
 
 
@@ -4242,10 +4257,17 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition and unioned later (incremental distinct across
     snapshots). 60-bit slots keep ``1 << bit`` inside non-negative
     int64 for engine parity (DuckDB raises on 1<<63). The exact twin
-    column double-checks the bitmap path against count(distinct)."""
+    column double-checks the bitmap path against count(distinct).
+
+    Key-domain assumption (shared with catalog_incremental_profile_merge):
+    user_id ≥ 0 — ``div``/``%`` diverge from DuckDB's ``//`` on
+    negatives (truncation vs floor) and a negative shift amount is
+    engine-undefined; fixtures honor this (min user_id = 0, asserted
+    in tests). Spark side uses integer ``div`` (ADVICE r1: the earlier
+    ``/``-then-cast took the double path and truncated toward zero)."""
     e = load(spark, sf_dir, "events")
     chunks = e.groupBy(
-        "event_type", (F.col("user_id") / 60).cast("long").alias("chunk")
+        "event_type", F.expr("user_id div 60").alias("chunk")
     ).agg(
         # F.shiftleft only takes a literal shift amount — the SQL form
         # accepts an expression.

@@ -17,6 +17,20 @@ from pyspark.sql import functions as F
 from datalakecrawler_spark.io import load
 from datalakecrawler_spark.registry import SUM_D, davg, dsum, register
 
+
+def _bigram_positions(toks):
+    """Adjacent-bigram index array [0 .. size−2], empty-safe: the naive
+    F.sequence(0, size−2) DESCENDS to [0,−1] on <2-token docs and
+    element_at(toks, 0) raises at runtime (ADVICE r1; fixtures mask it
+    at ≥10 tokens/doc). slice-of-sequence is branch-free and
+    type-stable: sequence(0, n) sliced to its first n−1 elements is
+    [0..n−2], and slice length 0 yields []."""
+    return F.slice(
+        F.sequence(F.lit(0), F.size(toks)),
+        1,
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+    )
+
 _WORDCOUNT_ORACLE = """
     select w as word, count(*) as cnt
     from (select unnest(string_split(text, ' ')) as w from documents) t
@@ -69,7 +83,7 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
+        _bigram_positions(toks),
         lambda i: F.concat_ws(
             " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
@@ -1026,7 +1040,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
+        _bigram_positions(toks),
         lambda i: F.struct(
             F.element_at(toks, i + 1).alias("w1"),
             F.element_at(toks, i + 2).alias("w2"),
@@ -1153,7 +1167,7 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), " ")
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
+        _bigram_positions(toks),
         lambda i: F.concat_ws(
             " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
@@ -1721,7 +1735,7 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.size(w) - 2),
+                _bigram_positions(w),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at(w, i + 1),
@@ -2250,7 +2264,7 @@ def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.size(w) - 2),
+                _bigram_positions(w),
                 lambda i: F.concat_ws(
                     " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
                 ),
@@ -2630,7 +2644,7 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
+        _bigram_positions(toks),
         lambda i: F.struct(
             F.element_at(toks, i + 1).alias("w1"),
             F.element_at(toks, i + 2).alias("w2"),
@@ -2797,7 +2811,7 @@ def _bpe_rounds(
         prs = F.when(
             F.size(toks) >= 2,
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
+                _bigram_positions(toks),
                 lambda i: F.concat(
                     F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
                 ),

@@ -85,7 +85,19 @@ def assert_parity(spark, ddb, name, min_rows=0):
     from datalakecrawler_spark import registry
 
     q = registry.all_queries()[name]
-    scols, srows = spark_result(q.fn(spark, SF_DIR))
+    df = q.fn(spark, SF_DIR)
+    # Driver-canon safety: the external driver's canonicalizer cannot
+    # hash nested values (VERDICT r1: TypeError on numpy.ndarray), so no
+    # registered query may emit ARRAY/MAP/STRUCT output columns.
+    from pyspark.sql import types as T
+
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not nested, f"{name}: nested output columns {nested} break the driver canonicalizer"
+    scols, srows = spark_result(df)
     assert len(srows) >= min_rows, f"{name}: expected ≥{min_rows} rows, got {len(srows)}"
     if q.oracle is None:
         return srows  # rows-only operator: caller asserts semantics itself

