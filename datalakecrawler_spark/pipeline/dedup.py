@@ -55,6 +55,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to the session's default parallelism ahead of a
+    COMPUTE-dense stage (MinHash signatures, quadratic exact-Jaccard
+    verify). Partition counts are normally sized by input bytes
+    (maxPartitionBytes), which is right for scan-bound work — but a
+    signature pass does ~10⁴ hash evaluations per input row, so a
+    byte-sized partitioning under-splits it by orders of magnitude: at
+    fixture scale the whole corpus is ONE parquet split and the pass
+    runs serially. One explicit shuffle (tiny: rows, not signatures)
+    buys full-core fan-out; at 100 TB the same call right-sizes
+    oversized scan partitions for compute instead."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
+
+
 def _gram_positions(toks, k: int):
     """k-gram start indices [0 .. size−k], empty-safe: the naive
     F.sequence(0, size−k) DESCENDS on <k-token docs and element_at
@@ -92,7 +107,12 @@ def _band_signatures(sh: DataFrame) -> DataFrame:
     join shingles back by doc_id at verify time, so the LSH shuffle
     moves (doc_id, band, key) triples instead of 32 copies of every
     document's shingle set — at 100 TB that is the difference between
-    shuffling keys and shuffling the corpus."""
+    shuffling keys and shuffling the corpus.
+
+    The input is _spread first: the signature pass is the compute-dense
+    stage of the whole dedup family (64 md5 evaluations per shingle),
+    so its parallelism must be sized by compute, not input bytes."""
+    sh = _spread(sh, "doc_id")
     mh = F.transform(
         F.sequence(F.lit(0), F.lit(_N_HASHES - 1)),
         lambda s: F.array_min(
@@ -156,7 +176,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
     sh = d.select("doc_id", _shingles().alias("shingles"))
-    banded = _band_signatures(sh)
+    # Materialize the signatures ONCE: the band self-join references
+    # this subtree from both sides, and without the checkpoint Catalyst
+    # plans two independent signature passes (self-joins do not share
+    # subtrees). At scale this is "persist the signature table before
+    # joining it to itself" — standard LSH practice.
+    banded = _band_signatures(sh).localCheckpoint()
 
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
@@ -297,7 +322,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    g = d.select("doc_id", grams.alias("grams"), F.size(grams).alias("n"))
+    # _spread + checkpoint: the gram table feeds three consumers (the
+    # prefix explode and both verify joins) — materialize it once,
+    # partitioned for compute.
+    g = _spread(
+        d.select("doc_id", grams.alias("grams"), F.size(grams).alias("n")),
+        "doc_id",
+    ).localCheckpoint()
     flat = g.select("doc_id", "n", F.explode("grams").alias("gram"))
     dfreq = flat.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = W.partitionBy("doc_id").orderBy("df", "gram")
@@ -368,7 +399,12 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tables, n_bits, dim, tau = 16, 6, 64, 0.4
     planes = _rp_planes(n_tables, n_bits, dim)
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # _spread BEFORE the signature projection: 96 plane dots per vector
+    # is compute-dense and must fan out across cores, not run inside
+    # the single byte-sized input partition.
+    e = _spread(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id"
+    )
 
     def plane_dot(plane: list[float]):
         arr = F.array(*[F.lit(x) for x in plane])
@@ -391,9 +427,11 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for t in range(n_tables)
     ]
+    # checkpoint: the signature table feeds both sides of the
+    # self-join — materialize the plane projections once.
     keyed = e.select(
         "vec_id", "embedding", F.explode(F.array(*sig_cols)).alias("sig")
-    )
+    ).localCheckpoint()
     a = keyed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "sig"
     )
@@ -468,9 +506,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     edges: DataFrame(src bigint, dst bigint), undirected.
     Returns DataFrame(node bigint, comp bigint).
     """
+    # Checkpoint the edge set BEFORE iterating: every propagation round
+    # joins against `sym`, and without this the full upstream pipeline
+    # that produced the edges (e.g. the MinHash-LSH candidate join) is
+    # re-executed once per round — measured 174 s vs ~5 s at sf0.01 for
+    # dedup_components. Iterative algorithms must pin their loop
+    # invariants to storage; same reason each round's labels checkpoint.
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -678,7 +722,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     eligible = d.where(F.size(F.split("text", " ")) >= _SHINGLE_K)
     sh = eligible.select("doc_id", _shingles().alias("shingles"))
-    banded = _band_signatures(sh)
+    # one signature pass feeds both the corpus and batch sides
+    banded = _band_signatures(sh).localCheckpoint()
     corpus = banded.where(F.col("doc_id") < _INC_SPLIT).select(
         F.col("doc_id").alias("match_doc"), "band", "key"
     )
@@ -948,7 +993,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
-    sh = d.select("doc_id", _shingles().alias("shingles"))
+    # _spread: the exact-Jaccard scan is compute-dense (array set ops
+    # per pair); the streamed side of the range self-join must carry
+    # full-core partitioning or the whole scan runs in one task.
+    sh = _spread(d.select("doc_id", _shingles().alias("shingles")), "doc_id")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(
@@ -1037,7 +1085,8 @@ def dedup_component_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
-    sh = d.select("doc_id", _shingles().alias("shingles"))
+    # _spread: parallelize the exact-Jaccard scan (see threshold_sweep)
+    sh = _spread(d.select("doc_id", _shingles().alias("shingles")), "doc_id")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(
@@ -1191,8 +1240,12 @@ def dedup_shingle_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     out = None
     for k in (2, 3, 4):
-        sh = d.where(F.size(F.split("text", " ")) >= k).select(
-            "doc_id", _shingles_k(k).alias("sh")
+        # _spread: parallelize each k's exact-Jaccard scan
+        sh = _spread(
+            d.where(F.size(F.split("text", " ")) >= k).select(
+                "doc_id", _shingles_k(k).alias("sh")
+            ),
+            "doc_id",
         )
         a = sh.alias("a")
         b = sh.alias("b")
@@ -1403,7 +1456,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    g = d.select("doc_id", grams.alias("grams"))
+    # _spread: parallelize the pair scan (see dedup_threshold_sweep)
+    g = _spread(d.select("doc_id", grams.alias("grams")), "doc_id")
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))

@@ -153,7 +153,13 @@ def sim_pairwise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian. Fixture labels stand in for the k-means cells (10
     buckets; radii are wide at sf scale, so pruning is modest here —
     the pytest parity gate proves output identity, not speed)."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from datalakecrawler_spark.pipeline.dedup import _spread
+
+    # _spread: the centroid-assignment pass does nlist 64-dim dots per
+    # vector — compute-dense, must not run in one byte-sized partition
+    e = _spread(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id"
+    )
     cents = _label_centroids(spark, sf_dir).select(
         F.col("label").alias("c_label"), "cvec"
     )
@@ -178,6 +184,8 @@ def sim_pairwise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("vec_id", "embedding", F.col("c_label").alias("bucket"), "theta")
+        # three consumers (radii, both join sides) — assign once
+        .localCheckpoint()
     )
     # 2. per-bucket angular radius (tiny: nlist rows)
     radii = assigned.groupBy("bucket").agg(F.max("theta").alias("radius"))
