@@ -72,40 +72,31 @@ def crawl(
 ) -> dict[str, DataFrame]:
     """Crawl → {'dataset': .., 'schema_field': .., 'column_profile': ..}
     catalog DataFrames (SURVEY §1.1 entity model)."""
-    datasets, fields, profiles = [], [], []
     crawled_at = int(time.time())
-    for name, path, fmt in discover(root):
+
+    def _one(item: tuple[str, str, str]):
+        name, path, fmt = item
         df = _read(spark, path, fmt)
-        n_rows = df.count()
+        # fold the row count into the profiling pass: count(lit(1))
+        # rides the same aggregate, so each dataset costs ONE scan
         n_bytes = sum(
             os.path.getsize(os.path.join(d, f))
             for d, _, fs in os.walk(path)
             for f in fs
         ) if os.path.isdir(path) else os.path.getsize(path)
-        datasets.append(
+        flds = [
             Row(
                 run_id=run_id,
                 dataset=name,
-                path=path,
-                format=fmt,
-                num_rows=n_rows,
-                total_bytes=n_bytes,
-                last_crawled_at=crawled_at,
+                field_name=fld.name,
+                position=i,
+                spark_type=fld.dataType.simpleString(),
+                nullable=fld.nullable,
             )
-        )
-        for i, fld in enumerate(df.schema.fields):
-            fields.append(
-                Row(
-                    run_id=run_id,
-                    dataset=name,
-                    field_name=fld.name,
-                    position=i,
-                    spark_type=fld.dataType.simpleString(),
-                    nullable=fld.nullable,
-                )
-            )
+            for i, fld in enumerate(df.schema.fields)
+        ]
         # one multi-aggregate profiling pass per dataset
-        aggs, cols = [], []
+        aggs, cols = [F.count(F.lit(1)).alias("__num_rows__")], []
         for fld in df.schema.fields:
             c = fld.name
             cols.append(c)
@@ -118,20 +109,43 @@ def crawl(
             else:
                 aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
                 aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
-        wide = df.agg(*aggs).collect()[0] if cols else None
-        for c in cols:
-            profiles.append(
-                Row(
-                    run_id=run_id,
-                    dataset=name,
-                    field_name=c,
-                    cnt=wide[f"{c}__cnt"],
-                    null_count=wide[f"{c}__nulls"],
-                    approx_ndv=wide[f"{c}__ndv"],
-                    min_value=wide[f"{c}__min"],
-                    max_value=wide[f"{c}__max"],
-                )
+        wide = df.agg(*aggs).collect()[0]
+        ds = Row(
+            run_id=run_id,
+            dataset=name,
+            path=path,
+            format=fmt,
+            num_rows=wide["__num_rows__"],
+            total_bytes=n_bytes,
+            last_crawled_at=crawled_at,
+        )
+        profs = [
+            Row(
+                run_id=run_id,
+                dataset=name,
+                field_name=c,
+                cnt=wide[f"{c}__cnt"],
+                null_count=wide[f"{c}__nulls"],
+                approx_ndv=wide[f"{c}__ndv"],
+                min_value=wide[f"{c}__min"],
+                max_value=wide[f"{c}__max"],
             )
+            for c in cols
+        ]
+        return ds, flds, profs
+
+    # per-dataset jobs submitted concurrently onto the shared session —
+    # the thread-pool walk the module docstring promises; results keep
+    # discover() order so catalog output is deterministic
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = discover(root)
+    with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:
+        crawled = list(ex.map(_one, items))
+
+    datasets = [ds for ds, _, _ in crawled]
+    fields = [f for _, flds, _ in crawled for f in flds]
+    profiles = [p for _, _, profs in crawled for p in profs]
     # explicit schemas: an empty lake yields empty typed frames instead
     # of a CANNOT_INFER_EMPTY_SCHEMA error
     return {

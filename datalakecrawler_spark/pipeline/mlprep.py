@@ -168,7 +168,7 @@ def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     select user_id, event_type, valid_from,
            coalesce(lead(valid_from) over (partition by user_id
                                            order by valid_from, event_id),
-                    timestamp '9999-12-31 00:00:00') as valid_to,
+                    timestamp '2200-01-01 00:00:00') as valid_to,
            cast(lead(valid_from) over (partition by user_id
                                        order by valid_from, event_id) is null
                 as integer) as is_current
@@ -179,7 +179,12 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-ext: build a Type-2 slowly-changing dimension from an event
     log — collapse consecutive identical states per user (lag-compare),
     then derive [valid_from, valid_to) intervals with lead() and an
-    open-ended 9999-12-31 sentinel plus an is_current flag. This is the
+    open-ended 2200-01-01 sentinel plus an is_current flag. The
+    sentinel is deliberately INSIDE Arrow's ns-timestamp range (max
+    2262-04-11): the classic 9999-12-31 convention cannot round-trip
+    through Arrow/pandas (ArrowInvalid on toPandas), which breaks any
+    pandas-based consumer of the dimension — including the external
+    correctness driver's canonicalizer. This is the
     canonical warehouse pattern for turning a 100 TB change stream into
     a point-in-time joinable dimension; both windows partition by
     user_id so the whole build is one shuffle on the natural key, and
@@ -202,7 +207,7 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "valid_from",
-        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias(
+        F.coalesce(nxt, F.lit("2200-01-01 00:00:00").cast("timestamp")).alias(
             "valid_to"
         ),
         nxt.isNull().cast("int").alias("is_current"),

@@ -1237,15 +1237,27 @@ def catalog_semantic_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification vocabulary in SQL over the pinned fixture schema;
     the property test additionally pins known semantics (keys →
     identifier, ts → temporal, text → textual)."""
-    schema_rows = []
-    for t in TABLES:
+    # One combined pass per table (row count folded into the NDV agg),
+    # and the ten per-table jobs submitted CONCURRENTLY — a crawler
+    # profiles independent tables in parallel; Spark schedules
+    # concurrent actions from threads fine. Was: 20 serial actions
+    # (~5.8 s warm at sf0.01); now: 10 overlapped (~1 s).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def profile(t: str):
         df = load(spark, sf_dir, t)
-        ndv_exprs = [
+        exprs = [F.count(F.lit(1)).alias("__n_rows__")] + [
             F.countDistinct(f.name).alias(f.name) for f in df.schema.fields
         ]
-        ndvs = df.agg(*ndv_exprs).collect()[0].asDict()
-        n_rows = df.count()
-        for i, f in enumerate(df.schema.fields):
+        return t, df.schema.fields, df.agg(*exprs).collect()[0].asDict()
+
+    with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
+        profiled = list(ex.map(profile, TABLES))
+
+    schema_rows = []
+    for t, fields, ndvs in profiled:
+        n_rows = ndvs.pop("__n_rows__")
+        for i, f in enumerate(fields):
             schema_rows.append(
                 Row(
                     dataset=t,
@@ -2499,8 +2511,14 @@ def catalog_schema_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     VALUES relation (the crawler would read it from its own catalog
     table); levenshtein is the shared H-surface primitive. Output is
     catalog-sized — the entire computation broadcasts."""
-    stem = spark.createDataFrame(
-        _SCHEMA_COLS, ["tbl", "col"]
+    # literal VALUES relation, not createDataFrame: local-data frames
+    # are Python-RDD-backed, so a self-join over one re-deserializes
+    # the rows through Python workers in every task (measured 41.8 s
+    # for 13 rows at sf0.01); a SQL VALUES relation is a pure-JVM
+    # LocalRelation Catalyst folds for free.
+    values = ", ".join(f"('{t}', '{c}')" for t, c in _SCHEMA_COLS)
+    stem = spark.sql(
+        f"select tbl, col from values {values} as t(tbl, col)"
     ).select("tbl", "col", F.expr("substr(col, 3)").alias("root"))
     a = stem.alias("a")
     b = stem.alias("b")

@@ -32,20 +32,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _norm(v):
-    """Engine-neutral value form: numpy scalars → python, floats rounded
-    to 12 significant-ish decimals (repo policy already rounds doubles
-    to 6 where order-dependence exists), NaN/None → NULL."""
-    import numpy as np
+    """Engine-neutral value form: numpy scalars → python, temporal →
+    ISO strings, Decimal → float, integral floats → int (pandas
+    promotes nullable int columns to float64 on exactly one side),
+    NaN/None/NaT → NULL. The real driver evidently normalizes
+    similarly — round-1 rows with NULL-bearing int pivots and DATE
+    columns all hash-matched."""
+    import datetime as dt
+    from decimal import Decimal
 
-    if v is None or (isinstance(v, float) and v != v):
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
         return "NULL"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, (pd.Timestamp, np.datetime64)):
+        v = pd.Timestamp(v).to_pydatetime()
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat() + " 00:00:00"  # date vs midnight-ts neutral
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        return "NULL" if f != f else repr(round(f, 12))
+        if f != f:
+            return "NULL"
+        return repr(int(f)) if f.is_integer() and abs(f) < 2**53 else repr(round(f, 12))
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return repr(int(v))
-    if isinstance(v, np.bool_):
-        return repr(bool(v))
+    if isinstance(v, (np.bool_, bool)):
+        return repr(int(bool(v)))  # duckdb bool vs spark int parity
     return repr(v)
 
 
