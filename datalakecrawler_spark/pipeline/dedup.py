@@ -1683,3 +1683,107 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score") >= 3.0).cast("int").alias("is_match_candidate"),
         )
     )
+
+
+@register(
+    "dedup_duplicate_spans",
+    group="J",
+    oracle="""
+    with toks as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ),
+    grams as (
+      select doc_id,
+             unnest(range(greatest(len(t) - 4, 0))) as pos,
+             unnest(list_transform(range(greatest(len(t) - 4, 0)),
+                    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                         t[i+4] || ' ' || t[i+5])) as g
+      from toks
+    ),
+    dupg as (
+      select g from grams group by g having count(distinct doc_id) > 1
+    ),
+    starts as (
+      select distinct doc_id, pos from grams join dupg using (g)
+    ),
+    covered as (
+      select distinct doc_id, pos + unnest(range(5)) as tok from starts
+    ),
+    base as (
+      select doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tokens
+      from documents
+    )
+    select b.doc_id, b.n_tokens,
+           coalesce(s.n_starts, 0) as n_dup_spans,
+           coalesce(c.n_cov, 0) as n_dup_tokens,
+           round(coalesce(c.n_cov, 0) * 1.0 / b.n_tokens, 6)
+             as dup_token_fraction
+    from base b
+    left join (select doc_id, cast(count(*) as bigint) as n_starts
+               from starts group by 1) s using (doc_id)
+    left join (select doc_id, cast(count(*) as bigint) as n_cov
+               from covered group by 1) c using (doc_id)
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: corpus-duplicated SPAN profiling — the C4/RefinedWeb
+    boilerplate detector: a 5-gram occurring in more than one document
+    marks its 5-token span as duplicated; per document we report the
+    duplicated-span count and the fraction of tokens covered by the
+    UNION of those spans (distinct covered token indices, so
+    overlapping spans don't double-count). This is the measurement
+    behind span-level dedup ("remove any window repeated verbatim
+    across documents"), which catches templated headers/footers that
+    whole-document Jaccard (J2) scores as unique.
+
+    Plan shape, all linear: gram explode (corpus token volume) → one
+    shuffle on the gram to find cross-doc grams → shuffle join back on
+    the gram → 5× index explode → distinct per (doc, token index) →
+    per-doc counts. No self-join, no quadratic term; at 100 TB the
+    cross-doc gram table is the only wide shuffle and it is
+    count-distinct-combinable map-side."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    k = 5
+    grams_arr = F.transform(
+        _gram_positions(toks, k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    grams = d.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos", "g")
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    starts = grams.join(dupg, "g").select("doc_id", "pos").distinct()
+    covered = (
+        starts.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+                "tok"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
+    n_spans = starts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_starts"))
+    base = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return (
+        base.join(n_spans, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_starts", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_cov", F.lit(0)).alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_cov", F.lit(0)) * 1.0 / F.col("n_tokens"), 6
+            ).alias("dup_token_fraction"),
+        )
+    )

@@ -1230,3 +1230,87 @@ def mlprep_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leaky))
     )
+
+
+@register(
+    "mlprep_pack_concat_chunks",
+    group="J",
+    oracle="""
+    with docs as (
+      select source, doc_id,
+             cast(len(string_split(text, ' ')) as bigint) as n_tok
+      from documents
+    ),
+    off as (
+      select source, doc_id, n_tok,
+             sum(n_tok) over (partition by source order by doc_id
+                              rows unbounded preceding) as off_end
+      from docs
+    ),
+    marked as (
+      select source, n_tok,
+             (off_end - n_tok) // 256 as first_bin,
+             (off_end - 1) // 256 as last_bin
+      from off
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_tok) as bigint) as total_tokens,
+           cast(max(last_bin) + 1 as bigint) as n_bins,
+           cast(count(*) filter (where last_bin > first_bin) as bigint)
+             as n_boundary_docs,
+           round(sum(n_tok) * 1.0 / ((max(last_bin) + 1) * 256), 6)
+             as utilization
+    from marked group by source order by source
+    """,
+)
+def mlprep_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: concat-and-chunk sequence packing — the GPT-style packing
+    plan: per source shard, documents are concatenated in doc_id order
+    and sliced into fixed 256-token context windows; reported per
+    source: window count, how many documents straddle a window
+    boundary (these get split across training sequences — the
+    cross-document-attention contamination the packing policy must
+    budget for), and utilization (1.0 minus tail padding; concat-chunk
+    pads only the final window, which is WHY it beats pad-per-doc —
+    compare mlprep_padding_efficiency's waste numbers).
+
+    Everything is one running-sum window per shard: a doc spans
+    [off_end − n_tok, off_end) in the concatenated token stream, so
+    its first/last window ids are integer divisions — no explode of
+    the token stream. Partitioning by source keeps the window
+    parallel (packing needs per-shard order, not global order — the
+    property that makes this scale; a global orderBy would serialize
+    at 100 TB)."""
+    B = 256
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    off = docs.withColumn("off_end", F.sum("n_tok").over(w))
+    marked = off.select(
+        "source",
+        "n_tok",
+        F.expr(f"(off_end - n_tok) div {B}").alias("first_bin"),
+        F.expr(f"(off_end - 1) div {B}").alias("last_bin"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.max("last_bin") + 1).alias("n_bins"),
+            F.sum(
+                (F.col("last_bin") > F.col("first_bin")).cast("long")
+            ).alias("n_boundary_docs"),
+            F.round(
+                F.sum("n_tok") * 1.0 / ((F.max("last_bin") + 1) * B), 6
+            ).alias("utilization"),
+        )
+        .orderBy("source")
+    )
