@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_fellegi_sunter",
     "text_collocation_llr",
     "graph_random_walks",
+    "dedup_duplicate_spans",
+    "mlprep_pack_concat_chunks",
 ]
 
 # DuckDB warm ms at sf0.1 from BASELINE.md (measured 2026-08-13/14) —
@@ -78,6 +80,7 @@ BASELINE_WARM_MS = {
     "events_power_user_curve": 7, "geo_haversine_nn": 137,
     "dedup_fellegi_sunter": 666, "text_collocation_llr": 103,
     "graph_random_walks": 1972,
+    "dedup_duplicate_spans": 1309, "mlprep_pack_concat_chunks": 52,
 }
 
 
