@@ -4646,3 +4646,78 @@ def stats_negbin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(over, F.col("m") / F.col("v")), 6).alias("nb_p"),
         over.cast("int").alias("overdispersed"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    group="J",
+    oracle="""
+    with med as (
+      select event_type, round(quantile_cont(value, 0.5), 6) as med
+      from events group by 1
+    ),
+    mad as (
+      select e.event_type, m.med,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) as mad
+      from events e join med m using (event_type)
+      group by 1, 2
+    )
+    select e.event_type,
+           cast(count(*) as bigint) as n_events,
+           m.med, m.mad,
+           cast(count(*) filter (
+             where round(abs(e.value - m.med) / (1.4826 * m.mad), 4) > 3.5)
+             as bigint) as n_outliers,
+           round(count(*) filter (
+             where round(abs(e.value - m.med) / (1.4826 * m.mad), 4) > 3.5)
+             * 1.0 / count(*), 6) as outlier_rate
+    from events e join mad m using (event_type)
+    group by 1, 3, 4
+    order by 1
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: robust outlier detection via the MAD rule — per event
+    type, flag values whose MODIFIED Z-SCORE |x − median| / (1.4826 ·
+    MAD) exceeds 3.5 (Iglewicz & Hoaglin's classic cutoff). Unlike the
+    3σ rule, median/MAD have a 50% breakdown point, so the anomalies
+    themselves cannot drag the threshold — the property that matters
+    when profiling a 100 TB event stream whose tail is exactly what
+    you're hunting.
+
+    Cross-engine hardening: the two location estimates are exact
+    interpolated percentiles ROUNDED to 6 decimals before the z
+    arithmetic (both engines derive z from the identical shared
+    values), and the cutoff compares round(z, 4) so a last-ulp
+    interpolation difference cannot flip boundary membership. Plan:
+    two aggregation passes with the 5-row estimate frames broadcast
+    back — the standard fit-then-transform shape, no sort of the fact
+    table."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type", "med").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+        ).alias("mad")
+    )
+    z = F.round(
+        F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((z > 3.5).cast("long")).alias("n_outliers"),
+            F.round(
+                F.sum((z > 3.5).cast("long")) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("outlier_rate"),
+        )
+        .select(
+            "event_type", "n_events", "med", "mad", "n_outliers", "outlier_rate"
+        )
+        .orderBy("event_type")
+    )

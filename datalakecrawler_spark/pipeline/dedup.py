@@ -1806,3 +1806,52 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_fraction"),
         )
     )
+
+
+@register(
+    "dedup_prefix_fingerprint",
+    group="J",
+    oracle="""
+    with fp as (
+      select doc_id, source,
+             md5(lower(array_to_string(string_split(text, ' ')[1:12], ' ')))
+               as prefix_fp
+      from documents
+    ),
+    clusters as (
+      select prefix_fp,
+             cast(count(*) as bigint) as n_docs,
+             cast(count(distinct source) as bigint) as n_sources,
+             min(doc_id) as keeper
+      from fp group by prefix_fp having count(*) > 1
+    )
+    select prefix_fp, n_docs, n_sources, keeper
+    from clusters order by n_docs desc, prefix_fp
+    """,
+)
+def dedup_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: prefix-fingerprint dup clusters — md5 over the first 12
+    lowercased tokens. The web-crawl workhorse for the 'same page,
+    different tail' dup class (mirrored articles with distinct
+    boilerplate endings, truncation variants, pagination copies) that
+    whole-document hashing (J1) misses and shingle-Jaccard only
+    catches when the shared prefix dominates the length. Reporting
+    n_sources per cluster separates same-source re-crawls from true
+    cross-source syndication — the signal that decides keep-one vs
+    keep-per-source policy. One hash + one shuffle on the 16-byte
+    fingerprint; linear at any scale (same shape as dedup_exact)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.lower(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12)))
+    )
+    return (
+        d.select("doc_id", "source", fp.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), "prefix_fp")
+    )

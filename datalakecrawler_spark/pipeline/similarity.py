@@ -1168,3 +1168,73 @@ def sim_reliability_diagram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sim_hubness_profile",
+    group="J",
+    oracle="""
+    with dots as (
+      select a.vec_id as qid, b.vec_id as nid,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> cast(p[1] as double) * cast(p[2] as double)))
+               as sim
+      from embeddings a join embeddings b on a.vec_id <> b.vec_id
+    ),
+    topk as (
+      select nid from (
+        select nid, row_number() over (partition by qid
+                                       order by sim desc, nid) as rn
+        from dots) t
+      where rn <= 5
+    ),
+    occ as (
+      select e.vec_id,
+             coalesce(k.c, 0) as k_occurrence
+      from embeddings e
+      left join (select nid, cast(count(*) as bigint) as c
+                 from topk group by nid) k on k.nid = e.vec_id
+    )
+    select k_occurrence, cast(count(*) as bigint) as n_vectors
+    from occ group by k_occurrence order by k_occurrence
+    """,
+)
+def sim_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: HUBNESS diagnostic — the k-occurrence histogram (how many
+    vectors list each vector among their exact top-5 neighbors). High-
+    dimensional embedding spaces grow 'hubs' (vectors that appear in
+    everyone's neighbor list) and anti-hubs (k-occurrence 0); a heavy
+    hubness tail (Radovanović et al., JMLR 2010) degrades both kNN
+    label quality and IVF recall, so this histogram is the health
+    check run BEFORE trusting sim_knn_join / sim_topk_ivf output.
+
+    Exact formulation at fixture scale: all-pairs dot + per-query
+    WindowGroupLimit top-5 → neighbor occurrence counts → histogram
+    (anti-hubs kept by a left join back to the corpus). At 100 TB the
+    identical aggregation runs over the IVF candidate top-k
+    (sim_topk_ivf) instead of the exact pair set — the histogram
+    SHAPE, not its exact counts, is the diagnostic."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
+    topk = (
+        a.join(b, F.col("qid") != F.col("nid"))
+        .select("qid", "nid", dot("ea", "eb").alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+    occ = (
+        e.select("vec_id")
+        .join(
+            topk.groupBy("nid").agg(F.count(F.lit(1)).alias("c")),
+            e.vec_id == F.col("nid"),
+            "left",
+        )
+        .select(F.coalesce("c", F.lit(0)).alias("k_occurrence"))
+    )
+    return (
+        occ.groupBy("k_occurrence")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("k_occurrence")
+    )
