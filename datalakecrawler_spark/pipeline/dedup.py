@@ -97,6 +97,107 @@ def _shingles(text_col: str = "text"):
     )
 
 
+def _jac_pairs_sql(
+    k: int = _SHINGLE_K,
+    tau: float = _TAU,
+    pred: str = "a.doc_id < b.doc_id",
+    prefix: str = "",
+) -> str:
+    """DuckDB CTE block computing EXACT shingle-Jaccard pairs in
+    explode/count form — |A∩B| as a gram-equi-join group count, then
+    J = c / (nₐ + n_b − c), which is identical (same integers, same
+    single IEEE division) to len(list_intersect)/len(list_distinct(a||b))
+    on distinct shingle sets. Replaces the quadratic list_intersect
+    self-join the round-1 oracles used: on the sf0.01 fixture the
+    all-pairs form costs ~10 s per oracle (125k pairs × O(|set|)
+    list intersections) while this form is ~0.1 s, because only pairs
+    that SHARE a shingle are ever scored — the same inverted-index
+    insight (Bayardo et al. WWW'07) the Spark side uses. A fast
+    oracle matters operationally: the external driver's correctness
+    window is time-boxed, and the dedup family's oracles were ~140 s
+    of its budget in round 1.
+
+    Emits CTEs `{prefix}sh/{prefix}sizes/{prefix}flat/{prefix}inter/
+    {prefix}jpairs` (jpairs: doc_a, doc_b, jac ≥ tau); `pred`
+    restricts the pair orientation (default upper triangle).
+    `materialized` pins the pair set so recursive-closure consumers
+    don't re-run the join per iteration (DuckDB inlines CTEs by
+    default — that inlining is what blew dedup_components' oracle to
+    32 s in round 1)."""
+    p = prefix
+    joined = " || ' ' || ".join(f"tk[i+{j + 1}]" for j in range(k))
+    return f"""
+    {p}sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(len(tk) - {k - 1}), i -> {joined})) as shingles
+        from (select doc_id, string_split(text, ' ') as tk
+              from documents)
+        where len(tk) >= {k}
+    ),
+    {p}shsizes as (select doc_id, len(shingles) as n from {p}sh),
+    {p}flat as (select doc_id, unnest(shingles) as g from {p}sh),
+    {p}inter as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as c
+        from {p}flat a join {p}flat b on a.g = b.g and {pred}
+        group by 1, 2
+    ),
+    {p}jpairs as materialized (
+        select doc_a, doc_b,
+               c * 1.0 / (sa.n + sb.n - c) as jac
+        from {p}inter
+        join {p}shsizes sa on sa.doc_id = doc_a
+        join {p}shsizes sb on sb.doc_id = doc_b
+        where c * 1.0 / (sa.n + sb.n - c) >= {tau}
+    )"""
+
+
+def _exact_jac_pairs(sh: DataFrame, tau: float) -> DataFrame:
+    """Spark twin of `_jac_pairs_sql`: exact Jaccard ≥ τ pairs from a
+    (doc_id, shingles) frame via the inverted-index join — explode to
+    (doc_id, gram), equi-join on gram, count shared grams per pair,
+    J = c/(nₐ+n_b−c). Scores ONLY pairs sharing ≥1 shingle (J>0 ⊆
+    candidates, so output equals the all-pairs scan for any τ>0), and
+    every operator is a JVM equi-join/agg — no O(N²) array
+    intersections. At 100 TB, cap gram fan-out with df-based prefix
+    filtering (see dedup_ngram_jaccard) — the diagnostics ops here
+    run it un-pruned because their whole corpus passes through τ
+    anyway. Shingle arrays are already distinct, so count(*) is
+    exactly |A∩B|."""
+    sh = sh.select("doc_id", "shingles").localCheckpoint()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    flat = sh.select("doc_id", F.explode("shingles").alias("g"))
+    inter = (
+        flat.alias("a")
+        .join(
+            flat.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jac",
+            F.col("c") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("c")),
+        )
+        .where(F.col("jac") >= tau)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
 def _band_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, shingles) → exploded KEYS-ONLY (doc_id, band, key):
     64 portable MinHashes (lexicographic min of md5(seed|shingle)),
@@ -142,22 +243,8 @@ def _band_signatures(sh: DataFrame) -> DataFrame:
     "dedup_near_minhash",
     group="J",
     oracle=f"""
-    with sh as (
-        select doc_id,
-               list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3])) as shingles
-        from documents
-        where len(string_split(text, ' ')) >= {_SHINGLE_K}
-    )
-    select a.doc_id as doc_a, b.doc_id as doc_b,
-           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-                 len(list_distinct(a.shingles || b.shingles)), 6) as jaccard
-    from sh a join sh b on a.doc_id < b.doc_id
-    where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-          len(list_distinct(a.shingles || b.shingles)) >= {_TAU}
+    with {_jac_pairs_sql()}
+    select doc_a, doc_b, round(jac, 6) as jaccard from jpairs
     """,
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,20 +366,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     group="J",
     oracle=f"""
-    with sh as (
-        select doc_id,
-               list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - 1),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2])) as grams
-        from documents
-    )
-    select a.doc_id as doc_a, b.doc_id as doc_b,
-           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
-                 len(list_distinct(a.grams || b.grams)), 6) as jaccard
-    from sh a join sh b on a.doc_id < b.doc_id
-    where len(list_intersect(a.grams, b.grams)) * 1.0 /
-          len(list_distinct(a.grams || b.grams)) >= 0.5
+    with {_jac_pairs_sql(k=2, tau=0.5)}
+    select doc_a, doc_b, round(jac, 6) as jaccard from jpairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,24 +551,9 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keeplist",
     group="J",
     oracle=f"""
-    with sh as (
-        select doc_id,
-               list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3])) as shingles
-        from documents
-        where len(string_split(text, ' ')) >= {_SHINGLE_K}
-    ),
-    pairs as (
-        select b.doc_id as drop_id
-        from sh a join sh b on a.doc_id < b.doc_id
-        where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-              len(list_distinct(a.shingles || b.shingles)) >= {_TAU}
-    )
+    with {_jac_pairs_sql()}
     select doc_id from documents
-    where doc_id not in (select drop_id from pairs)
+    where doc_id not in (select doc_b from jpairs)
     """,
 )
 def dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,26 +628,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     "dedup_components",
     group="J",
     oracle=f"""
-    with recursive sh as (
-        select doc_id,
-               list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3])) as shingles
-        from documents
-        where len(string_split(text, ' ')) >= {_SHINGLE_K}
-    ),
-    pairs as (
-        select a.doc_id as pa, b.doc_id as pb
-        from sh a join sh b on a.doc_id < b.doc_id
-        where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-              len(list_distinct(a.shingles || b.shingles)) >= {_TAU}
-    ),
-    edges as (
-        select pa as a, pb as b from pairs
+    with recursive {_jac_pairs_sql()},
+    edges as materialized (
+        select doc_a as a, doc_b as b from jpairs
         union
-        select pb, pa from pairs
+        select doc_b, doc_a from jpairs
     ),
     reach as (
         select a as node, b as peer from edges
@@ -687,31 +732,15 @@ _INC_SPLIT = 400  # doc_id < split = existing corpus; >= split = new batch
     "dedup_incremental",
     group="J",
     oracle=f"""
-    with sh as (
-        select doc_id,
-               list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3])) as shingles
-        from documents
-        where len(string_split(text, ' ')) >= {_SHINGLE_K}
-    ),
-    scored as (
-        select b.doc_id,
-               c.doc_id as match_doc,
-               len(list_intersect(b.shingles, c.shingles)) * 1.0 /
-                 len(list_distinct(b.shingles || c.shingles)) as jac
-        from sh b join sh c
-          on b.doc_id >= {_INC_SPLIT} and c.doc_id < {_INC_SPLIT}
-        where len(list_intersect(b.shingles, c.shingles)) * 1.0 /
-                len(list_distinct(b.shingles || c.shingles)) >= {_TAU}
-    ),
+    with {_jac_pairs_sql(
+        pred=f"a.doc_id >= {_INC_SPLIT} and b.doc_id < {_INC_SPLIT}"
+    )},
     best as (
-        select doc_id, match_doc, round(jac, 6) as jaccard
-        from (select *, row_number() over (partition by doc_id
-                                           order by jac desc, match_doc) rk
-              from scored) t
+        select doc_a as doc_id, doc_b as match_doc,
+               round(jac, 6) as jaccard
+        from (select *, row_number() over (partition by doc_a
+                                           order by jac desc, doc_b) rk
+              from jpairs) t
         where rk = 1
     )
     select d.doc_id,
@@ -972,27 +1001,11 @@ def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_threshold_sweep",
     group="J",
     oracle=f"""
-    with sh as (
-      select doc_id,
-             list_distinct(list_transform(
-                 range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
-                 i -> string_split(text, ' ')[i+1] || ' ' ||
-                      string_split(text, ' ')[i+2] || ' ' ||
-                      string_split(text, ' ')[i+3])) as shingles
-      from documents
-      where len(string_split(text, ' ')) >= {_SHINGLE_K}
-    ),
-    pairs as (
-      select len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-             len(list_distinct(a.shingles || b.shingles)) as j
-      from sh a join sh b on a.doc_id < b.doc_id
-      where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-            len(list_distinct(a.shingles || b.shingles)) >= 0.5
-    ),
+    with {_jac_pairs_sql(tau=0.5)},
     th as (select unnest([0.5, 0.6, 0.7, 0.8, 0.9]) as tau)
     select tau,
-           cast(count(*) filter (where j >= tau) as bigint) as n_pairs
-    from th cross join pairs
+           cast(count(*) filter (where jac >= tau) as bigint) as n_pairs
+    from th cross join jpairs
     group by tau order by tau
     """,
 )
@@ -1003,33 +1016,18 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     number gets chosen: the knee of the curve separates 'template
     siblings' from 'true dups', and a curve that hasn't flattened by
     0.9 means the corpus needs a stricter τ). Candidate pairs come
-    from the same shingle space, pre-filtered at the loosest τ so
-    the sweep is one pass over one pair set (each threshold is a
-    filtered count of the SAME exact-Jaccard column — exact integer
-    set sizes, one IEEE division; τ comparison on identical
-    doubles). At 100 TB the pair source is the banded candidate set,
-    not the quadratic join."""
+    from the shared inverted-index exact-Jaccard scan
+    (_exact_jac_pairs) at the loosest τ, so the sweep is one pass
+    over one pair set (each threshold is a filtered count of the
+    SAME exact-Jaccard column — exact integer set sizes, one IEEE
+    division; τ comparison on identical doubles). At 100 TB the pair
+    source gains df-ordered prefix filtering (dedup_ngram_jaccard's
+    plan) — the gram join replaces the round-1 quadratic self-join."""
     d = load(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
-    # _spread: the exact-Jaccard scan is compute-dense (array set ops
-    # per pair); the streamed side of the range self-join must carry
-    # full-core partitioning or the whole scan runs in one task.
     sh = _spread(d.select("doc_id", _shingles().alias("shingles")), "doc_id")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(
-        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
-    )
-    union = F.size(
-        F.array_union(F.col("a.shingles"), F.col("b.shingles"))
-    )
-    jac = inter * 1.0 / union
-    pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(jac.alias("j"))
-        .where(F.col("j") >= 0.5)
-    )
+    pairs = _exact_jac_pairs(sh, 0.5).select(F.col("jac").alias("j"))
     th = spark.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], ["tau"]
     )
@@ -1050,25 +1048,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_component_size_hist",
     group="J",
     oracle=f"""
-    with recursive sh as (
-      select doc_id,
-             list_distinct(list_transform(
-                 range(len(string_split(text, ' ')) - {_SHINGLE_K - 1}),
-                 i -> string_split(text, ' ')[i+1] || ' ' ||
-                      string_split(text, ' ')[i+2] || ' ' ||
-                      string_split(text, ' ')[i+3])) as shingles
-      from documents
-      where len(string_split(text, ' ')) >= {_SHINGLE_K}
-    ),
-    pairs as (
-      select a.doc_id as src, b.doc_id as dst
-      from sh a join sh b on a.doc_id < b.doc_id
-      where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-            len(list_distinct(a.shingles || b.shingles)) >= {_TAU}
-    ),
-    sym as (
-      select src, dst from pairs
-      union select dst, src from pairs
+    with recursive {_jac_pairs_sql()},
+    sym as materialized (
+      select doc_a as src, doc_b as dst from jpairs
+      union select doc_b, doc_a from jpairs
     ),
     reach as (
       select src as node, dst as r from sym
@@ -1106,21 +1089,8 @@ def dedup_component_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # _spread: parallelize the exact-Jaccard scan (see threshold_sweep)
     sh = _spread(d.select("doc_id", _shingles().alias("shingles")), "doc_id")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(
-        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
-    )
-    union = F.size(
-        F.array_union(F.col("a.shingles"), F.col("b.shingles"))
-    )
-    pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(inter * 1.0 / union >= _TAU)
-        .select(
-            F.col("a.doc_id").alias("src"),
-            F.col("b.doc_id").alias("dst"),
-        )
+    pairs = _exact_jac_pairs(sh, _TAU).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs)
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
@@ -1207,39 +1177,17 @@ def _shingles_k(k: int):
     )
 
 
-def _k_cte(k: int) -> str:
-    joined = " || ' ' || ".join(
-        f"string_split(text, ' ')[i+{j + 1}]" for j in range(k)
-    )
-    return f"""
-      select {k} as k, a.doc_id as da, b.doc_id as db
-      from (
-        select doc_id,
-               list_distinct(list_transform(
-                 range(len(string_split(text, ' ')) - {k - 1}),
-                 i -> {joined})) as sh
-        from documents
-        where len(string_split(text, ' ')) >= {k}
-      ) a join (
-        select doc_id,
-               list_distinct(list_transform(
-                 range(len(string_split(text, ' ')) - {k - 1}),
-                 i -> {joined})) as sh
-        from documents
-        where len(string_split(text, ' ')) >= {k}
-      ) b on a.doc_id < b.doc_id
-      where len(list_intersect(a.sh, b.sh)) * 1.0 /
-            len(list_distinct(a.sh || b.sh)) >= 0.8
-    """
-
-
 @register(
     "dedup_shingle_k_sweep",
     group="J",
-    oracle="""
-    with pairs as (
+    oracle="with "
+    + ",".join(_jac_pairs_sql(k=k, tau=0.8, prefix=f"k{k}_") for k in (2, 3, 4))
+    + """,
+    pairs as (
     """
-    + "\n      union all\n".join(_k_cte(k) for k in (2, 3, 4))
+    + "\n      union all\n".join(
+        f"select {k} as k from k{k}_jpairs" for k in (2, 3, 4)
+    )
     + """
     )
     select k as shingle_k, cast(count(*) as bigint) as n_dup_pairs
@@ -1253,32 +1201,24 @@ def dedup_shingle_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sweeps k — small k over-merges by sharing common word pairs,
     large k under-merges by fragmenting at every edit; the k where
     the count stabilizes is the right granularity for the corpus).
-    Three exact-Jaccard passes over per-k distinct shingle sets;
-    counts exact. Production uses the banded candidate sets per k,
-    not the quadratic join."""
+    Three exact-Jaccard passes over per-k distinct shingle sets via
+    the shared inverted-index join (_exact_jac_pairs); counts exact.
+    At 100 TB each k's pass gains df-ordered prefix filtering
+    (dedup_ngram_jaccard's plan) — no quadratic join anywhere."""
     d = load(spark, sf_dir, "documents")
     out = None
     for k in (2, 3, 4):
         # _spread: parallelize each k's exact-Jaccard scan
         sh = _spread(
             d.where(F.size(F.split("text", " ")) >= k).select(
-                "doc_id", _shingles_k(k).alias("sh")
+                "doc_id", _shingles_k(k).alias("shingles")
             ),
             "doc_id",
         )
-        a = sh.alias("a")
-        b = sh.alias("b")
-        inter = F.size(
-            F.array_intersect(F.col("a.sh"), F.col("b.sh"))
-        )
-        union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
         cnt = (
-            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-            .where(inter * 1.0 / union >= 0.8)
+            _exact_jac_pairs(sh, 0.8)
             .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
-            .select(
-                F.lit(k).alias("shingle_k"), "n_dup_pairs"
-            )
+            .select(F.lit(k).alias("shingle_k"), "n_dup_pairs")
         )
         out = cnt if out is None else out.unionAll(cnt)
     return out.orderBy("shingle_k")

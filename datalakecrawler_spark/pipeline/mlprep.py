@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
+from datalakecrawler_spark.pipeline.dedup import _jac_pairs_sql
 from datalakecrawler_spark.registry import register
 
 
@@ -1133,25 +1134,12 @@ def mlprep_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mlprep_dedup_aware_split",
     group="J",
-    oracle="""
-    with recursive sh as (
-        select doc_id,
-               list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - 2),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3])) as shingles
-        from documents
-        where len(string_split(text, ' ')) >= 3
-    ),
-    prs as (
-        select a.doc_id as pa, b.doc_id as pb
-        from sh a join sh b on a.doc_id < b.doc_id
-        where len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-              len(list_distinct(a.shingles || b.shingles)) >= 0.8
-    ),
-    edges as (
-        select pa as a, pb as b from prs union select pb, pa from prs
+    oracle="with recursive "
+    + _jac_pairs_sql(k=3, tau=0.8)
+    + """,
+    edges as materialized (
+        select doc_a as a, doc_b as b from jpairs
+        union select doc_b, doc_a from jpairs
     ),
     reach as (
         select a as node, b as peer from edges
