@@ -909,14 +909,19 @@ def arr_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H-ext: business-day arithmetic — order-to-ship lag counted in
     weekdays (the SLA clock ops teams actually use) vs calendar days,
-    averaged per order month. The weekday count is a date-sequence +
-    lambda filter (pure codegen higher-order functions, no explode, no
-    UDF); the only shuffle is the monthly rollup. Dayofweek origins
-    differ across engines (Spark Sun=1..Sat=7, DuckDB Sun=0..Sat=6) —
-    each side states Mon..Fri in its own convention, the §2.L trap
-    handled at the source; reversed spans (the fixtures contain
-    ship-before-order rows) are normalized via least/greatest. First
-    line per order only, bounding the sequence work to one span per
+    averaged per order month. The Spark side counts weekdays in
+    CLOSED FORM (5·full-weeks + a head/wrap partial-week adjustment
+    from the span's starting weekday) — pure integer codegen, no
+    per-row date array — while the oracle materializes the actual
+    date sequence and filters it, so the identity
+    closed-form == enumerate-and-count is proven cross-engine on
+    every span in the fixture (including the ship-before-order rows,
+    normalized via least/greatest on both sides). At 100 TB the
+    closed form is the difference between arithmetic and allocating
+    a ~100-element array per row. Dayofweek origins differ across
+    engines (Spark Sun=1..Sat=7, DuckDB Sun=0..Sat=6) — each side
+    states its own convention, the §2.L trap handled at the source.
+    First line per order only, bounding the work to one span per
     order."""
     li = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -925,17 +930,17 @@ def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = F.col("l_shipdate").cast("date")
     # fixture ship dates can precede order dates (see
     # quality_negative_lag_scan) — span over [least, greatest] so the
-    # sequence never descends (engines disagree on reversed ranges)
+    # span never descends (engines disagree on reversed ranges)
     lo, hi = F.least(d1, d2), F.greatest(d1, d2)
-    biz = (
-        F.size(
-            F.filter(
-                F.sequence(lo, hi),
-                lambda d: F.dayofweek(d).between(2, 6),
-            )
-        )
-        - 1
-    )
+    # weekday count of n consecutive days starting on weekday d0
+    # (Mon=0..Sun=6): 5 per full week, plus the weekdays of the
+    # length-rem tail — indices d0..d0+rem-1, split at the Sunday wrap
+    n = F.datediff(hi, lo) + 1
+    d0 = (F.dayofweek(lo) + 5) % 7
+    rem = n % 7
+    head = F.greatest(F.lit(0), F.least(rem, 5 - d0))
+    wrap = F.greatest(F.lit(0), F.least(d0 + rem - 7, F.lit(5)))
+    biz = F.floor(n / 7) * 5 + head + wrap - 1
     lag = j.select(
         F.date_trunc("month", "o_orderdate").cast("date").alias("mth"),
         biz.alias("biz_days"),

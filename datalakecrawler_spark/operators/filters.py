@@ -190,3 +190,77 @@ def filter_rlike_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name_malformed"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+@register(
+    "filter_exists_subquery",
+    group="C",
+    oracle="""
+    select c_custkey, c_name, c_acctbal
+    from customer c
+    where exists (select 1 from orders o
+                  where o.o_custkey = c.c_custkey
+                    and o.o_orderpriority = '1-URGENT')
+      and not exists (select 1 from orders o
+                      where o.o_custkey = c.c_custkey
+                        and o.o_totalprice > 300000)
+    """,
+)
+def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-ext: correlated EXISTS / NOT EXISTS predicates — customers
+    with at least one urgent order but no jumbo order. Catalyst
+    rewrites the pair into a LEFT SEMI + LEFT ANTI join
+    (RewritePredicateSubquery), so the 'subquery per row' a naive
+    engine would execute becomes two hash joins on o_custkey — both
+    broadcastable when the filtered order sets are small, both
+    shuffle-partitioned on the same key otherwise (one exchange of
+    customer feeds both). That rewrite is the entire 100 TB story:
+    EXISTS never re-scans orders per customer."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_x")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_x")
+    return spark.sql(
+        """
+        select c_custkey, c_name, c_acctbal
+        from customer_x c
+        where exists (select 1 from orders_x o
+                      where o.o_custkey = c.c_custkey
+                        and o.o_orderpriority = '1-URGENT')
+          and not exists (select 1 from orders_x o
+                          where o.o_custkey = c.c_custkey
+                            and o.o_totalprice > 300000)
+        """
+    )
+
+
+@register(
+    "filter_deterministic_sample",
+    group="C",
+    oracle="""
+    select o_orderkey, o_custkey, o_totalprice
+    from orders
+    where cast(('0x' || substr(md5(cast(o_orderkey as varchar)), 1, 8))
+               as bigint) % 16 = 0
+    """,
+)
+def filter_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-ext: DETERMINISTIC hash sampling — keep rows whose
+    md5(key) mod 16 == 0 (a ~1/16 sample). TABLESAMPLE and
+    df.sample() draw from an RNG: different rows per run, per
+    partition layout, per engine — useless for reproducible
+    pipeline-debug slices, A/B-stable eval sets, or cross-engine
+    verification. Hashing the KEY makes the sample a pure function
+    of the data: stable across reruns, engines (md5 is portable —
+    same trick as the dedup family's portable MinHash), cluster
+    sizes, and file layouts, and it composes (the same predicate at
+    sf0.01 and 100 TB selects the 'same' logical population). The
+    predicate is a scalar expression, so it pipelines inside the
+    scan with zero shuffle; selecting on a UNIFORM hash also never
+    biases toward any value range, unlike `key % 16` on skewed
+    keys."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 16
+    return o.where(bucket == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

@@ -1378,19 +1378,25 @@ def dedup_keeper_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     with sh as (
         select doc_id,
                list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - 1),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2])) as grams
-        from documents
+                   range(len(tk) - 1),
+                   i -> tk[i+1] || ' ' || tk[i+2])) as grams
+        from (select doc_id, string_split(text, ' ') as tk
+              from documents)
+    ),
+    sizes as (select doc_id, len(grams) as n from sh),
+    flat as (select doc_id, unnest(grams) as g from sh),
+    inter as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as c
+        from flat a join flat b on a.g = b.g and a.doc_id < b.doc_id
+        group by 1, 2
     )
-    select a.doc_id as doc_a, b.doc_id as doc_b,
-           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
-                 len(a.grams), 6) as containment_ab,
-           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
-                 len(b.grams), 6) as containment_ba
-    from sh a join sh b on a.doc_id < b.doc_id
-    where len(list_intersect(a.grams, b.grams)) * 2
-          >= greatest(len(a.grams), len(b.grams))
+    select doc_a, doc_b,
+           round(c * 1.0 / sa.n, 6) as containment_ab,
+           round(c * 1.0 / sb.n, 6) as containment_ba
+    from inter
+    join sizes sa on sa.doc_id = doc_a
+    join sizes sb on sb.doc_id = doc_b
+    where c * 2 >= greatest(sa.n, sb.n)
     order by doc_a, doc_b
     """,
 )
@@ -1401,10 +1407,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses subset-duplicates (a doc pasted inside a longer one scores
     low Jaccard but containment ≈ 1) — this is the detector for
     quote-expansion and boilerplate-wrapping dup classes that J2's
-    symmetric threshold passes over. Same quadratic-on-candidates
-    shape as dedup_ngram_jaccard: at scale this stage only ever runs
-    on LSH candidate pairs; the integer gate (2*|∩| >= max(|A|,|B|))
-    keeps the filter exact across engines."""
+    symmetric threshold passes over. Inverted-index pair generation
+    (shared-gram equi-join, see _exact_jac_pairs); at scale this
+    stage only ever runs on LSH candidate pairs; the integer gate
+    (2*|∩| >= max(|A|,|B|)) keeps the filter exact across engines."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     grams = F.array_distinct(
@@ -1415,21 +1421,40 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # _spread: parallelize the pair scan (see dedup_threshold_sweep)
-    g = _spread(d.select("doc_id", grams.alias("grams")), "doc_id")
-    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
-    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
-    inter = F.size(F.array_intersect("g_a", "g_b"))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(
-            inter * 2 >= F.greatest(F.size("g_a"), F.size("g_b"))
+    # Inverted-index form (see _exact_jac_pairs): only pairs sharing a
+    # gram are scored, and the containment gate 2c >= max(|A|,|B|)
+    # implies c >= 1 for any non-empty set, so output is identical.
+    g = _spread(d.select("doc_id", grams.alias("grams")), "doc_id").localCheckpoint()
+    sizes = g.select("doc_id", F.size("grams").alias("n"))
+    flat = g.select("doc_id", F.explode("grams").alias("g"))
+    inter = (
+        flat.alias("a")
+        .join(
+            flat.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .where(F.col("c") * 2 >= F.greatest("n_a", "n_b"))
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter * 1.0 / F.size("g_a"), 6).alias("containment_ab"),
-            F.round(inter * 1.0 / F.size("g_b"), 6).alias("containment_ba"),
+            F.round(F.col("c") * 1.0 / F.col("n_a"), 6).alias("containment_ab"),
+            F.round(F.col("c") * 1.0 / F.col("n_b"), 6).alias("containment_ba"),
         )
         .orderBy("doc_a", "doc_b")
     )

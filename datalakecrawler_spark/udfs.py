@@ -672,3 +672,34 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("series")
         .applyInPandas(hw, out_schema)
     )
+
+
+@register(
+    "udf_pandas_iterator",
+    group="K",
+    oracle="""
+    select o_orderkey,
+           round((o_totalprice - 150000.0) / 75000.0, 6) as price_z
+    from orders where o_orderkey < 2000
+    """,
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ext: ITERATOR-of-Series pandas UDF (SCALAR_ITER) — the Arrow
+    variant for UDFs with expensive one-time state: the generator
+    body runs ONCE per Python worker, so model loading / dictionary
+    building happens once per partition stream instead of once per
+    batch (the plain Series→Series form re-enters the function every
+    ~10k rows). Here the 'state' is just the standardization
+    constants, kept deliberately deterministic so the DuckDB oracle
+    is a closed-form expression — the point under test is the
+    iterator protocol: batches must stream through one at a time
+    (constant memory) and preserve order/length exactly."""
+
+    @F.pandas_udf(T.DoubleType())
+    def z(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        mu, sigma = 150000.0, 75000.0  # once-per-worker init point
+        for s in batches:
+            yield ((s - mu) / sigma).round(6)
+
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select("o_orderkey", z("o_totalprice").alias("price_z"))
