@@ -565,3 +565,49 @@ def test_connected_components_edges_pinned(spark):
     labels = connected_components(edges, max_iter=1)
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:1000]
+
+
+def test_dedup_pair_scans_are_inverted_index_joins(spark):
+    """The dedup diagnostics that score exact Jaccard (threshold
+    sweep, component histogram, shingle-k sweep, containment) must
+    plan their pair generation as an EQUI-join on the exploded gram —
+    a CartesianProduct means the round-1 quadratic
+    a.doc_id < b.doc_id self-join leaked back in. threshold_sweep
+    additionally carries one BENIGN BroadcastNestedLoopJoin (the
+    5-row broadcast-tau crossJoin), so the strict no-BNLJ assertion
+    runs on the other three and on _exact_jac_pairs itself."""
+    from pyspark.sql import functions as F
+
+    from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.pipeline.dedup import (
+        _exact_jac_pairs,
+        _shingles,
+    )
+    from datalakecrawler_spark.plans.explain import audit
+
+    for name in (
+        "dedup_threshold_sweep",
+        "dedup_component_size_hist",
+        "dedup_shingle_k_sweep",
+        "dedup_containment",
+    ):
+        a = _audit_uncached(spark, name)
+        assert "CartesianProduct" not in a.joins, (name, a.joins)
+        if name != "dedup_threshold_sweep":
+            assert "BroadcastNestedLoopJoin" not in a.joins, (name, a.joins)
+        if name != "dedup_component_size_hist":
+            # size_hist's pair join hides behind the checkpointed
+            # component labels (LogicalRDD leaf); its pair generation
+            # is covered by the _exact_jac_pairs audit below.
+            assert any(
+                j in a.joins
+                for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+            ), (name, a.joins)
+
+    d = load(spark, PLAN_SF_DIR, "documents").limit(50)
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    pairs = _exact_jac_pairs(sh, 0.8)
+    pairs.collect()
+    a = audit(pairs)
+    assert "CartesianProduct" not in a.joins, a.joins
+    assert "BroadcastNestedLoopJoin" not in a.joins, a.joins
