@@ -431,6 +431,57 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified_hash",
+    group="J",
+    oracle="""
+    with rates as (
+        select * from (values ('en', 8), ('de', 16), ('es', 16),
+                              ('fr', 16), ('zh', 16)) r(lang, keep_of_16)
+    )
+    select d.lang,
+           cast(count(*) as bigint) as n_docs,
+           min(d.doc_id) as min_id,
+           max(d.doc_id) as max_id
+    from documents d join rates on rates.lang = d.lang
+    where cast(('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))
+               as bigint) % 16 < rates.keep_of_16
+    group by d.lang
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: DETERMINISTIC stratified sampling — the oracle-checkable
+    twin of sample_stratified: per-language keep rates (en 8/16,
+    others 16/16) applied by bucketing md5(doc_id) instead of drawing
+    from an RNG. sampleBy's Bernoulli draw gives a different sample
+    per engine, per run order, per partition layout — fine for a
+    one-off estimate, wrong for a CORPUS-BALANCING decision that must
+    be reproducible and auditable (which docs were dropped? re-run
+    and get the same answer). Hash-bucketing makes membership a pure
+    function of (doc_id, rate): exact cross-engine agreement, stable
+    under repartitioning, and the rate is adjustable in 1/16 steps by
+    moving the threshold. The rate table is broadcast (5 rows); the
+    membership predicate pipelines inside the scan."""
+    d = load(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 8), ("de", 16), ("es", 16), ("fr", 16), ("zh", 16)],
+        ["lang", "keep_of_16"],
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 16
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("keep_of_16"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@register(
     "text_redact_terms",
     group="J",
     oracle=r"""
