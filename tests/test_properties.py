@@ -1213,3 +1213,42 @@ def test_dedup_aware_split_no_leakage(spark):
         assert r["n_leaky_clusters"] == 0
     n_docs = load(spark, SF_DIR, "documents").count()
     assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_business_day_closed_form_exhaustive(spark):
+    """The closed-form weekday count in date_business_days must equal
+    brute-force enumeration for EVERY (starting weekday, span length)
+    equivalence class: 7 distinct starting weekdays × lengths 1..60
+    (covering zero, partial, exactly-one and multi full weeks, both
+    with and without the Sunday wrap). The fixture oracle only proves
+    the spans that occur in the data; this pins the formula itself."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.date(2024, 1, 1)  # a Monday
+    grid = spark.createDataFrame(
+        [(s, n) for s in range(7) for n in range(1, 61)],
+        "start_off int, span int",
+    )
+    lo = F.date_add(F.lit(base), F.col("start_off"))
+    hi = F.date_add(lo, F.col("span") - 1)
+    n = F.datediff(hi, lo) + 1
+    d0 = (F.dayofweek(lo) + 5) % 7
+    rem = n % 7
+    head = F.greatest(F.lit(0), F.least(rem, 5 - d0))
+    wrap = F.greatest(F.lit(0), F.least(d0 + rem - 7, F.lit(5)))
+    closed = F.floor(n / 7) * 5 + head + wrap
+    got = {
+        (r["start_off"], r["span"]): r["biz"]
+        for r in grid.select("start_off", "span", closed.alias("biz")).collect()
+    }
+    for s in range(7):
+        for span in range(1, 61):
+            start = base + dt.timedelta(days=s)
+            want = sum(
+                1
+                for i in range(span)
+                if (start + dt.timedelta(days=i)).weekday() < 5
+            )
+            assert got[(s, span)] == want, (s, span, got[(s, span)], want)
