@@ -951,3 +951,37 @@ def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("biz_days"), 4).alias("avg_biz_days"),
         F.round(F.avg("cal_days"), 4).alias("avg_cal_days"),
     )
+
+
+@register(
+    "str_collation_compare",
+    group="H",
+    oracle="""
+    select cast(count(*) filter (where lower(c_mktsegment) = 'building')
+                as bigint) as n_building_ci,
+           cast(count(*) filter (where c_mktsegment = 'BUILDING')
+                as bigint) as n_building_cs,
+           cast(count(distinct lower(c_mktsegment)) as bigint)
+               as n_segments_ci
+    from customer
+    """,
+)
+def str_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-ext: Spark 4 COLLATIONS — case-insensitive comparison via
+    `collate UTF8_LCASE` instead of wrapping every operand in
+    lower(). The collation travels WITH the expression type, so
+    comparisons, GROUP BY and DISTINCT under it are collation-aware
+    inside codegen — and unlike lower()-wrapping, a collated
+    predicate on a collated column stays sargable (pushdown-eligible)
+    at 100 TB. Oracle: DuckDB expresses the same semantics with
+    lower(), proving the collation path computes textbook
+    case-folding and nothing engine-magical."""
+    c = load(spark, sf_dir, "customer")
+    seg_ci = F.expr("c_mktsegment collate UTF8_LCASE")
+    return c.agg(
+        F.count(F.when(seg_ci == F.lit("building"), 1)).alias("n_building_ci"),
+        F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias(
+            "n_building_cs"
+        ),
+        F.count_distinct(seg_ci).alias("n_segments_ci"),
+    )

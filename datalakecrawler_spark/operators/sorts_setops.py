@@ -556,3 +556,38 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("price_checksum"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    group="G",
+    oracle=f"""
+    select o_orderpriority,
+           cast(count(*) as bigint) as n_orders,
+           {SUM_D.format('o_totalprice')} as revenue
+    from orders
+    where o_orderstatus = 'F'
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-ext: Spark 4 SQL PIPE syntax (`|>`) — the linear query form
+    (FROM ... |> WHERE ... |> AGGREGATE ... |> ORDER BY) that reads in
+    execution order instead of the inside-out SELECT nesting. Catalyst
+    parses it to the IDENTICAL logical plan as the standard form — the
+    oracle is the same query in classic SQL, so the hash-match proves
+    the two syntaxes are one plan. Purely a parser feature: pushdown,
+    partial aggregation and every other plan property are unchanged."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_p")
+    return spark.sql(
+        """
+        from orders_p
+        |> where o_orderstatus = 'F'
+        |> aggregate count(*) as n_orders,
+                     cast(sum(floor(o_totalprice * 1e6 + 0.5)) as double) / 1e6
+                         as revenue
+           group by o_orderpriority
+        |> order by o_orderpriority
+        """
+    )
