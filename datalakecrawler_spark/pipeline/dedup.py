@@ -4,10 +4,13 @@ document corpus (SURVEY.md §2 J1/J2; BASELINE.json "dedup").
 Scale design (SURVEY §4): near-dup is LSH banding, never O(N²) —
 shingle → 64 portable MinHashes → 32 bands × 2 rows → shuffle join on
 (band, key) buckets → exact-Jaccard verify on candidates only. The
-oracle states the full-quadratic semantics; band parameters are chosen
-so P(miss | J ≥ 0.8) = (1-0.8²)³² ≈ 6e-15 — the LSH plan reproduces the
-exact answer on any realistic input while scaling linearly in shuffle
-volume.
+oracle states the exact all-pairs SEMANTICS, computed in the
+inverted-index form (`_jac_pairs_sql`: gram equi-join + count, J =
+c/(nₐ+n_b−c) — same pairs as the quadratic scan for any τ>0); band
+parameters are chosen so P(miss | J ≥ 0.8) = (1-0.8²)³² ≈ 6e-15 — the
+LSH plan reproduces the exact answer on any realistic input while
+scaling linearly in shuffle volume (BASELINE.md "Dedup family" has the
+measured three-formulation ladder).
 
 Portability: MinHash uses md5(seed || shingle) with *lexicographic* min
 — identical in any engine (SURVEY §2.L trap 7: never xxhash64/hash for

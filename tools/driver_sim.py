@@ -88,6 +88,14 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--names", default="")
     ap.add_argument("--out", default="/tmp/driver_sim.json")
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help="build the session the way an uncooperative external driver "
+        "might (non-UTC timezone, 200 shuffle partitions, Arrow off) — "
+        "the registry wrapper must auto-correct; a parity diff under "
+        "this flag is a real bug in configure_session coverage",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -96,7 +104,20 @@ def main() -> None:
     from datalakecrawler_spark.io import TABLES, table_path
     from datalakecrawler_spark.session import get_spark
 
-    spark = get_spark("driver-sim")
+    if args.hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("driver-sim-hostile")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.shuffle.partitions", "200")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "false")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("driver-sim")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
