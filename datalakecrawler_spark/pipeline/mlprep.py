@@ -1302,3 +1302,79 @@ def mlprep_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mlprep_token_budget_plan",
+    group="J",
+    oracle="""
+    with w as (
+        select * from (values ('en', 0.4), ('de', 0.2), ('es', 0.2),
+                              ('fr', 0.1), ('zh', 0.1)) w(lang, weight)
+    ),
+    avail as (
+        select lang,
+               cast(sum(len(string_split(text, ' '))) as bigint)
+                   as available_tokens
+        from documents group by lang
+    ),
+    tot as (
+        select cast(sum(available_tokens) as bigint) as total_avail
+        from avail
+    )
+    select a.lang,
+           a.available_tokens,
+           cast(round(w.weight * 0.6 * tot.total_avail, 0) as bigint)
+               as target_tokens,
+           round(w.weight * 0.6 * tot.total_avail
+                 / a.available_tokens, 6) as sample_rate,
+           cast(ceil(w.weight * 0.6 * tot.total_avail
+                     / a.available_tokens) as bigint) as n_epochs,
+           w.weight * 0.6 * tot.total_avail > a.available_tokens
+               as needs_repeat
+    from avail a join w on w.lang = a.lang cross join tot
+    order by a.lang
+    """,
+)
+def mlprep_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data BUDGET planning — the calculation every LLM run
+    does before touching a byte: given target mixture weights per
+    language and a total token budget (0.6× the corpus here), derive
+    per-stratum sampling rate and epoch count. rate < 1 → subsample
+    (hand the rate to sample_stratified_hash / filter_deterministic_
+    sample so the subsample is reproducible); rate > 1 → the stratum
+    must REPEAT (needs_repeat), and n_epochs = ⌈rate⌉ is the repeat
+    factor whose last epoch is partial. The whole plan is one
+    per-stratum aggregate + a broadcast 5-row weight table + one
+    scalar total — no shuffle beyond the rollup, closed-form
+    arithmetic on exact integer token counts, so the plan (not just
+    the counts) is identical cross-engine at any corpus size. At
+    100 TB this runs on the catalog's token-count statistics instead
+    of a raw scan — same query, different input table."""
+    d = load(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("en", 0.4), ("de", 0.2), ("es", 0.2), ("fr", 0.1), ("zh", 0.1)],
+        ["lang", "weight"],
+    )
+    avail = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias(
+            "available_tokens"
+        )
+    )
+    tot = avail.agg(F.sum("available_tokens").alias("total_avail"))
+    target = F.col("weight") * 0.6 * F.col("total_avail")
+    return (
+        avail.join(F.broadcast(weights), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "available_tokens",
+            F.round(target, 0).cast("bigint").alias("target_tokens"),
+            F.round(target / F.col("available_tokens"), 6).alias("sample_rate"),
+            F.ceil(target / F.col("available_tokens"))
+            .cast("bigint")
+            .alias("n_epochs"),
+            (target > F.col("available_tokens")).alias("needs_repeat"),
+        )
+        .orderBy("lang")
+    )
