@@ -4458,7 +4458,11 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("a.n") - 1) * F.col("a.v") + (F.col("b.n") - 1) * F.col("b.v"))
         / (F.col("a.n") + F.col("b.n") - 2)
     )
-    return a.crossJoin(b).select(
+    # broadcast the 1-row side: an unhinted crossJoin of two scalar
+    # frames plans as CartesianProduct, which the plan linter treats
+    # as a scale hazard — the hint makes the intent (scalar combine)
+    # explicit in the physical plan
+    return a.crossJoin(F.broadcast(b)).select(
         F.col("a.n").alias("n_building"),
         F.col("b.n").alias("n_machinery"),
         F.round(F.col("a.m"), 2).alias("mean_building"),
@@ -4571,11 +4575,13 @@ def stats_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n").alias(f"n_{alias}"), F.col("m").alias(f"m_{alias}"))
         )
 
+    # broadcast-hint the scalar cells: unhinted crossJoins of 1-row
+    # frames plan as CartesianProduct (see stats_cohens_d)
     wide = (
         cell(1, 0, "t0")
-        .crossJoin(cell(1, 1, "t1"))
-        .crossJoin(cell(0, 0, "c0"))
-        .crossJoin(cell(0, 1, "c1"))
+        .crossJoin(F.broadcast(cell(1, 1, "t1")))
+        .crossJoin(F.broadcast(cell(0, 0, "c0")))
+        .crossJoin(F.broadcast(cell(0, 1, "c1")))
     )
     return wide.select(
         F.round(
