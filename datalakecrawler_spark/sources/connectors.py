@@ -17,17 +17,40 @@ _FORMAT_PROBES = {
     "delta": ("delta", "delta", "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"),
     "iceberg": ("pyiceberg", "iceberg", "spark.sql.catalog.* (Iceberg catalog)"),
     "hudi": ("hudi", "hudi", "spark.serializer=KryoSerializer"),
+    # Avro is Spark-bundled but an EXTERNAL module since 2.4: the
+    # spark-avro jar must be on the classpath (--packages
+    # org.apache.spark:spark-avro_2.13:<spark version>). No Python
+    # module exists, so the probe looks for the jar itself.
+    "avro": (None, "avro", "--packages org.apache.spark:spark-avro_2.13"),
 }
 
 
+def _jar_present(stem: str) -> bool:
+    import glob
+    import os
+
+    spark_home = os.environ.get("SPARK_HOME")
+    if not spark_home:
+        try:
+            import pyspark
+
+            spark_home = os.path.dirname(pyspark.__file__)
+        except Exception:
+            return False
+    return bool(glob.glob(os.path.join(spark_home, "jars", f"{stem}*.jar")))
+
+
 def available_formats() -> dict[str, bool]:
-    """Which lakehouse formats are usable in this environment."""
+    """Which gated formats are usable in this environment."""
     import importlib.util
 
-    return {
-        name: importlib.util.find_spec(probe[0]) is not None
-        for name, probe in _FORMAT_PROBES.items()
-    }
+    out = {}
+    for name, (module, _fmt, _hint) in _FORMAT_PROBES.items():
+        if module is None:
+            out[name] = _jar_present(f"spark-{name}")
+        else:
+            out[name] = importlib.util.find_spec(module) is not None
+    return out
 
 
 def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
@@ -37,9 +60,14 @@ def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
         raise ValueError(f"unknown lakehouse format {fmt!r}; one of {list(_FORMAT_PROBES)}")
     module, spark_fmt, conf_hint = _FORMAT_PROBES[fmt]
     if not available_formats()[fmt]:
+        dep = (
+            f"the '{module}' package and its Spark jars"
+            if module
+            else f"the spark-{fmt} jar"
+        )
         raise NotImplementedError(
-            f"{fmt} support requires the '{module}' package and its Spark jars "
-            f"on the classpath (plus {conf_hint}); neither ships in this image. "
+            f"{fmt} support requires {dep} on the classpath "
+            f"(plus {conf_hint}); not shipped in this image. "
             "The engine's operators are format-agnostic — once the jar is "
             f"present, spark.read.format({spark_fmt!r}).load(path) is the only "
             "wiring needed."
