@@ -81,7 +81,7 @@ def test_connector_stubs_fail_actionably(spark):
     from datalakecrawler_spark.sources import connectors
 
     avail = connectors.available_formats()
-    assert set(avail) == {"delta", "iceberg", "hudi"}
+    assert set(avail) == {"delta", "iceberg", "hudi", "avro"}
     for fmt, ok in avail.items():
         if not ok:
             with pytest.raises(NotImplementedError, match=fmt):
