@@ -3352,3 +3352,81 @@ def catalog_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert abs(got[c] - truth[c]) <= max(1, 0.05 * truth[c]), (got, truth)
     assert all(r[2] == 0 for r in rows), rows
     return out
+
+
+@register(
+    "catalog_sample_profile_accuracy",
+    group="B",
+    oracle=f"""
+    with tagged as (
+        select o_totalprice,
+               cast(('0x' || substr(md5(cast(o_orderkey as varchar)), 1, 8))
+                    as bigint) % 16 = 0 as in_sample
+        from orders
+    ),
+    exact as (
+        select cast(count(*) as bigint) as n,
+               {AVG_D.format('o_totalprice')} as mean_price
+        from tagged
+    ),
+    sampled as (
+        select cast(count(*) as bigint) as n,
+               {AVG_D.format('o_totalprice')} as mean_price
+        from tagged where in_sample
+    )
+    select e.n as n_exact,
+           s.n as n_sample,
+           e.mean_price as mean_exact,
+           s.mean_price as mean_sample,
+           round(abs(s.mean_price - e.mean_price) / e.mean_price, 6)
+               as mean_rel_err,
+           round(s.n * 16.0 / e.n, 6) as sample_coverage_x16
+    from exact e cross join sampled s
+    """,
+)
+def catalog_sample_profile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: SAMPLED profiling with a measured error bar — the scale
+    escape hatch for the column profiler: at 100 TB the crawler
+    profiles a deterministic md5-hash sample (reproducible, engine-
+    portable — same predicate as filter_deterministic_sample) instead
+    of the full table, and THIS query is the calibration that says how
+    much accuracy that trades: exact mean vs 1/16-sample mean, the
+    relative error, and the realized sampling rate (×16 ≈ 1 when the
+    hash is uniform). Both estimates are computed in one pass over one
+    scan (the sample membership is a flag, not a second read), both
+    use the exact micro-unit mean (davg) so the comparison itself
+    carries no float noise, and the whole readout is deterministic —
+    the oracle reproduces every column bit-for-bit. The same pattern
+    calibrates NDV/null-fraction sampling; mean is the demonstrator."""
+    o = load(spark, sf_dir, "orders")
+    in_sample = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 16
+        == 0
+    )
+    tagged = o.select("o_totalprice", in_sample.alias("in_sample"))
+    exact = tagged.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        davg("o_totalprice").alias("mean_exact"),
+    )
+    sampled = tagged.where("in_sample").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        davg("o_totalprice").alias("mean_sample"),
+    )
+    j = exact.crossJoin(F.broadcast(sampled))
+    return j.select(
+        "n_exact",
+        "n_sample",
+        "mean_exact",
+        "mean_sample",
+        F.round(
+            F.abs(F.col("mean_sample") - F.col("mean_exact"))
+            / F.col("mean_exact"),
+            6,
+        ).alias("mean_rel_err"),
+        F.round(F.col("n_sample") * 16.0 / F.col("n_exact"), 6).alias(
+            "sample_coverage_x16"
+        ),
+    )
