@@ -1238,3 +1238,80 @@ def sim_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("k_occurrence")
     )
+
+
+@register("sim_ivf_nprobe_sweep", group="J", oracle=None)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the IVF TUNING CURVE — recall@10 and fraction-of-corpus
+    scanned for nprobe ∈ {1, 2, 3, 5}: the ANN analogue of
+    dedup_threshold_sweep (that one prices the dedup τ; this prices
+    the recall/compute trade every 100 TB vector deployment must
+    choose). The corpus is coarse-quantized ONCE (localCheckpoint —
+    the inverted file is built once however many probe settings are
+    evaluated, exactly like the stored index in production); each
+    nprobe setting is then a bucket-rank filter + top-10 over only
+    the probed buckets. Recall compares against the exact
+    brute-force top-10 (the J3 operator). Rows-only like the other
+    ANN paths (approximate by design); deterministic because
+    centroids, bucket assignment and all tie-breaks are md5/id
+    ordered, so the curve itself is reproducible cross-run."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "cvec"
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "c_label")
+    bucketed = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "c_label",
+            F.round(dot("embedding", "cvec"), 6).alias("csim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("c_label").alias("bucket"))
+        .localCheckpoint()
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cent_rank = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "c_label",
+            F.row_number()
+            .over(W.orderBy(F.round(dot("cvec", "q_emb"), 6).desc(), "c_label"))
+            .alias("crank"),
+        )
+        .select(F.col("c_label").alias("bucket"), "crank")
+    )
+    scored = (
+        bucketed.join(F.broadcast(cent_rank), "bucket")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "crank", F.round(dot("embedding", "q_emb"), 6).alias("sim"))
+        .localCheckpoint()
+    )
+    n_corpus = scored.count()
+    exact = set(
+        r["vec_id"]
+        for r in _topk_cosine(spark, sf_dir).select("vec_id").collect()
+    )
+    rows = []
+    for nprobe in (1, 2, 3, 5):
+        cand = scored.where(F.col("crank") <= nprobe)
+        n_cand = cand.count()
+        got = set(
+            r["vec_id"]
+            for r in cand.orderBy(F.col("sim").desc(), "vec_id")
+            .limit(10)
+            .collect()
+        )
+        rows.append(
+            Row(
+                nprobe=nprobe,
+                n_candidates=n_cand,
+                frac_scanned=round(n_cand / max(1, n_corpus), 6),
+                recall_at_10=round(len(got & exact) / max(1, len(exact)), 4),
+            )
+        )
+    return spark.createDataFrame(rows)

@@ -350,3 +350,21 @@ def test_audio_frame_features_shape(spark):
     for idxs in list(by_doc.values())[:50]:
         assert sorted(idxs) == list(range(len(idxs)))
         assert len(idxs) <= 8
+
+
+def test_ivf_nprobe_sweep_monotone(spark):
+    """The nprobe tuning curve must be monotone: more probed buckets
+    can only add candidates, so n_candidates, frac_scanned and
+    recall@10 are all non-decreasing in nprobe, and frac_scanned
+    stays strictly below 1 (otherwise the 'index' is a full scan)."""
+    rows = sorted(
+        _run(spark, "sim_ivf_nprobe_sweep").collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 3, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] >= a["n_candidates"]
+        assert b["frac_scanned"] >= a["frac_scanned"]
+        assert b["recall_at_10"] >= a["recall_at_10"]
+    assert rows[-1]["frac_scanned"] < 1.0
+    assert rows[-1]["recall_at_10"] >= 0.5
