@@ -1063,3 +1063,65 @@ def crawl_rename_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = {r["change"] for r in j.collect()}
     assert changes == {"unchanged", "renamed", "added"}, changes
     return j.select("name_v1", "name_v2", "change")
+
+
+@register("crawl_duplicate_files", group="B", oracle=None)
+def crawl_duplicate_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler FILE-level dedup: find byte-identical files under
+    different paths — the storage-reclamation / copy-detection pass a
+    lake crawler runs before any row-level dedup (a re-uploaded or
+    team-copied dataset wastes its full size and double-counts in
+    every downstream profile). Stages a small lake (two distinct
+    files, one exact copy under a different subdir/name), lists it
+    with the binaryFile source, hashes content on the EXECUTORS
+    (sha2-256 streams the bytes; the driver never sees content), and
+    rolls up per content hash: duplicate groups, reclaimable bytes,
+    canonical keeper (lexicographically first path — deterministic).
+    At 100 TB the content hash comes from the object store's ETag /
+    a first-MB fingerprint instead of a full read, and the rollup
+    shuffles 32-byte digests — the same linear shape as dedup_exact.
+    Rows-only: staging paths are env-specific; invariants asserted
+    here (exactly one dup group, reclaimable == duplicated size)."""
+    import os
+    import shutil
+
+    root = _tmp(f"dupfiles_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/teamA", exist_ok=True)
+    os.makedirs(f"{root}/teamB", exist_ok=True)
+    with open(f"{root}/teamA/metrics.csv", "w") as f:
+        f.write("day,clicks\n1,10\n2,20\n")
+    with open(f"{root}/teamA/users.csv", "w") as f:
+        f.write("uid,name\n1,ann\n2,bo\n")
+    shutil.copy(f"{root}/teamA/metrics.csv", f"{root}/teamB/metrics_copy.csv")
+
+    inv = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(
+            "path",
+            "length",
+            F.sha2("content", 256).alias("content_sha"),
+        )
+    )
+    groups = inv.groupBy("content_sha").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("path").alias("keeper_path"),
+        F.max("length").alias("file_bytes"),
+        ((F.count(F.lit(1)) - 1) * F.max("length")).alias("reclaimable_bytes"),
+    )
+    out = (
+        groups.select(
+            F.element_at(F.split("keeper_path", "/"), -1).alias("keeper"),
+            "n_copies",
+            "file_bytes",
+            "reclaimable_bytes",
+        )
+        .orderBy(F.col("n_copies").desc(), "keeper")
+    )
+    rows = out.collect()
+    dup = [r for r in rows if r["n_copies"] > 1]
+    assert len(dup) == 1 and dup[0]["n_copies"] == 2, rows
+    assert dup[0]["reclaimable_bytes"] == dup[0]["file_bytes"], rows
+    return out
