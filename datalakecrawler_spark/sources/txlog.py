@@ -453,3 +453,76 @@ def txlog_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "v_from int, v_to int, n_inserted long, n_deleted long"
     ).orderBy("v_from")
+
+
+@register("txlog_vacuum_audit", group="A", oracle=None)
+def txlog_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the VACUUM leg of the transaction-log lifecycle — build a
+    lakelet whose history strands data (append, append, OVERWRITE: the
+    overwrite's manifest removes both earlier dirs from visibility but
+    their bytes stay on disk), then vacuum and audit the contract:
+    (1) only non-HEAD-active dirs are deleted and their byte count is
+    the reclaim, (2) the HEAD snapshot is BIT-IDENTICAL before/after
+    (vacuum must never touch visible data), (3) time travel to the
+    pre-overwrite version now fails loudly (the documented trade —
+    same contract as Delta VACUUM), (4) history metadata survives
+    (manifests are never vacuumed, only data dirs). At 100 TB this is
+    an object-store LIST + prefix-delete planned from manifests alone
+    — no data read. Rows-only: directory layout is env-specific; the
+    four contract clauses are asserted in-op."""
+    base = os.path.join(_TMP_BASE, f"vacuum_audit_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    txlog_write(n.where(F.col("n_nationkey") < 10), base, mode="append")
+    txlog_write(
+        n.where((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        base,
+        mode="append",
+    )
+    txlog_write(n.where(F.col("n_nationkey") >= 20), base, mode="overwrite")
+
+    def _dir_bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    stranded = [
+        d
+        for d in (os.path.join(base, e) for e in sorted(os.listdir(base)))
+        if os.path.basename(d).startswith("v")
+        and d not in active_dirs(base)
+    ]
+    expect_reclaim = sum(_dir_bytes(d) for d in stranded)
+    head_before = sorted(
+        tuple(r) for r in txlog_snapshot(spark, base).collect()
+    )
+    n_versions_before = len(_versions(base))
+
+    n_removed = txlog_vacuum(base)
+
+    head_after = sorted(tuple(r) for r in txlog_snapshot(spark, base).collect())
+    assert head_after == head_before, "vacuum touched HEAD-visible data"
+    assert n_removed == len(stranded) == 2, (n_removed, stranded)
+    assert len(_versions(base)) == n_versions_before, "manifests vacuumed"
+    time_travel_broken = False
+    try:
+        txlog_snapshot(spark, base, version=1).count()
+    except ValueError:
+        time_travel_broken = True
+    assert time_travel_broken, "time travel to vacuumed version must fail"
+
+    return spark.createDataFrame(
+        [
+            (
+                n_removed,
+                int(expect_reclaim),
+                len(head_after),
+                n_versions_before,
+                time_travel_broken,
+            )
+        ],
+        "n_dirs_vacuumed int, bytes_reclaimed bigint, head_rows int, "
+        "n_manifests int, time_travel_broken boolean",
+    )
