@@ -1252,3 +1252,47 @@ def test_business_day_closed_form_exhaustive(spark):
                 if (start + dt.timedelta(days=i)).weekday() < 5
             )
             assert got[(s, span)] == want, (s, span, got[(s, span)], want)
+
+
+def test_exact_jac_pairs_equals_bruteforce(spark):
+    """_exact_jac_pairs (the inverted-index pair scorer every dedup
+    diagnostic now routes through) must equal the quadratic
+    brute-force scan on an adversarial synthetic corpus: tiny
+    alphabet (hot shared grams), duplicated docs, subset docs,
+    singleton docs with no overlap, and an empty-overlap isolate.
+    Seeded PRNG → deterministic corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datalakecrawler_spark.pipeline.dedup import _exact_jac_pairs
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]  # tiny alphabet → heavy sharing
+    docs = []
+    for i in range(40):
+        k = rng.randint(1, 9)
+        docs.append((i, sorted(set(rng.choices(vocab, k=k)))))
+    docs.append((40, docs[3][1]))          # exact duplicate
+    docs.append((41, docs[5][1][:1]))      # subset of another doc
+    docs.append((42, ["zz_unique"]))       # isolate: shares nothing
+    sh = spark.createDataFrame(
+        [(i, g) for i, g in docs], "doc_id int, shingles array<string>"
+    )
+    tau = 0.3
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jac"], 9)
+        for r in _exact_jac_pairs(sh, tau).collect()
+    }
+    want = {}
+    for i, (ida, sa) in enumerate(docs):
+        for idb, sb in docs[i + 1 :]:
+            a, b = set(sa), set(sb)
+            lo, hi = (ida, idb) if ida < idb else (idb, ida)
+            j = len(a & b) / len(a | b)
+            if j >= tau:
+                want[(lo, hi)] = round(j, 9)
+    assert got == want, (
+        len(got), len(want),
+        sorted(set(got) ^ set(want))[:5],
+    )
