@@ -318,6 +318,117 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_gapfill_interpolate",
+    group="F",
+    oracle="""
+    with bounds as (
+        select cast(min(ts) as date) as lo, cast(max(ts) as date) as hi
+        from events
+    ),
+    cal as (
+        select cast(unnest(generate_series(lo, hi, interval 1 day)) as date)
+               as day
+        from bounds
+    ),
+    daily as (
+        select event_type, cast(ts as date) as day, count(*) as n
+        from events where value > 300 group by 1, 2
+    ),
+    spine as (
+        select t.event_type, c.day
+        from cal c cross join (select distinct event_type from daily) t
+    ),
+    j as (
+        select s.event_type, s.day, d.n
+        from spine s left join daily d using (event_type, day)
+    ),
+    scored as (
+        select event_type, day, n,
+               last_value(n ignore nulls) over wp as prev_v,
+               last_value(case when n is not null then day end ignore nulls)
+                   over wp as prev_d,
+               first_value(n ignore nulls) over wn as next_v,
+               first_value(case when n is not null then day end ignore nulls)
+                   over wn as next_d
+        from j
+        window
+          wp as (partition by event_type order by day
+                 rows between unbounded preceding and current row),
+          wn as (partition by event_type order by day
+                 rows between current row and unbounded following)
+    )
+    select event_type, day, n as observed,
+           round(case
+               when n is not null then cast(n as double)
+               when prev_v is null then cast(next_v as double)
+               when next_v is null then cast(prev_v as double)
+               else prev_v + (next_v - prev_v) * (day - prev_d)
+                    / cast(next_d - prev_d as double)
+           end, 4) as filled
+    from scored
+    """,
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext: gap-fill by LINEAR INTERPOLATION between the bracketing
+    observations — the `interpolate()` sibling of ts_gapfill_ffill
+    (TimescaleDB/pandas semantics): interior holes get
+    prev + (next−prev)·Δt_left/Δt_span; leading holes back-fill from
+    the first observation and trailing holes carry the last one
+    forward. Per-series fill via partitionBy(event_type): a forward
+    running frame supplies (prev value, prev day), a backward frame
+    supplies (next value, next day) — same partitioning + ordering, so
+    Catalyst evaluates both frames after ONE shuffle and sort. The
+    arithmetic keeps int·int products exact on both engines and makes
+    the single double division last (round-4 absorbs sub-ulp). Scale:
+    spine is O(days × series) — generated distributed (sequence +
+    explode × broadcast dim), never on the driver; each series fills
+    inside its own partition, so 10⁶ series parallelize cleanly."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value") > 300)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cal = e.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    ).select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    spine = cal.crossJoin(F.broadcast(daily.select("event_type").distinct()))
+    j = spine.join(daily, ["event_type", "day"], "left")
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    prev_v = F.last("n", ignorenulls=True).over(wp)
+    prev_d = F.last(obs_day, ignorenulls=True).over(wp)
+    next_v = F.first("n", ignorenulls=True).over(wn)
+    next_d = F.first(obs_day, ignorenulls=True).over(wn)
+    filled = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(prev_v.isNull(), next_v.cast("double"))
+        .when(next_v.isNull(), prev_v.cast("double"))
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * F.datediff(F.col("day"), prev_d)
+            / F.datediff(next_d, prev_d)
+        )
+    )
+    return j.select(
+        "event_type",
+        "day",
+        F.col("n").alias("observed"),
+        F.round(filled, 4).alias("filled"),
+    )
+
+
+@register(
     "events_anomaly_zscore",
     group="F",
     oracle="""
