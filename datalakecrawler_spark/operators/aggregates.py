@@ -1702,7 +1702,7 @@ def orders_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(wt) over () as total
       from w
     )
-    select max(total) as total_weight,
+    select cast(max(total) as bigint) as total_weight,
            min(x) filter (where cum * 2 >= total) as weighted_median
     from c
     """,

@@ -166,7 +166,7 @@ def geo_haversine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     select c_nationkey,
            count(*) as n_customers,
-           sum(n_within) as n_pairs,
+           cast(sum(n_within) as bigint) as n_pairs,
            round(avg(n_within), 6) as avg_within,
            max(n_within) as max_within
     from per group by c_nationkey

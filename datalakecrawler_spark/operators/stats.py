@@ -638,7 +638,7 @@ def stats_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                   else 0 end as hy9
       from m
     )
-    select max(n) as n,
+    select cast(max(n) as bigint) as n,
            round(cast(sum(mi9) as double) / 1e9, 6) as mi_nats,
            round(cast(sum(hx9) as double) / 1e9, 6) as h_x,
            round(cast(sum(hy9) as double) / 1e9, 6) as h_y,
@@ -742,7 +742,7 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
                as bigint)) as double) / 1e6 as chi2
       from m
     )
-    select n, (r - 1) * (s - 1) as dof,
+    select cast(n as bigint) as n, (r - 1) * (s - 1) as dof,
            round(chi2, 4) as chi2,
            round(sqrt(chi2 / (n * least(r - 1, s - 1))), 6) as cramers_v
     from chi

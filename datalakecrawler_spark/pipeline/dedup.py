@@ -1020,7 +1020,7 @@ def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="J",
     oracle=f"""
     with {_jac_pairs_sql(tau=0.5)},
-    th as (select unnest([0.5, 0.6, 0.7, 0.8, 0.9]) as tau)
+    th as (select cast(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) as double) as tau)
     select tau,
            cast(count(*) filter (where jac >= tau) as bigint) as n_pairs
     from th cross join jpairs

@@ -176,7 +176,7 @@ def events_sequence_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) over ()  as n_langs
       from b
     )
-    select lang, n_docs, chars,
+    select lang, n_docs, cast(chars as bigint) as chars,
            round(cast(chars as double) / cast(total_chars as double), 6)
              as cur_share,
            round(1.0 / n_langs, 6) as target_share,
@@ -240,8 +240,8 @@ def corpus_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     select count(*) as n_groups,
            min(grp_size) as min_k,
            count(*) filter (where grp_size < 5) as groups_below_k,
-           coalesce(sum(grp_size) filter (where grp_size < 5), 0)
-               as rows_at_risk
+           cast(coalesce(sum(grp_size) filter (where grp_size < 5), 0)
+               as bigint) as rows_at_risk
     from g
     """,
 )
@@ -601,7 +601,8 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     select count(*) as n_groups,
            min(l) as min_l,
            count(*) filter (where l < 3) as groups_below_l,
-           coalesce(sum(grp_size) filter (where l < 3), 0) as rows_at_risk,
+           cast(coalesce(sum(grp_size) filter (where l < 3), 0) as bigint)
+               as rows_at_risk,
            round(cast(sum(l) as double) / count(*), 6) as avg_l
     from g
     """,
@@ -1267,7 +1268,7 @@ def events_interevent_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rows between unbounded preceding and current row) as l9
       from risk where d > 0 and d < n
     )
-    select t_week, d as n_repeats, n as n_at_risk,
+    select t_week, d as n_repeats, cast(n as bigint) as n_at_risk,
            round(exp(cast(l9 as double) / 1e9), 6) as survival
     from km order by t_week limit 30
     """,
@@ -1377,7 +1378,7 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(c) over () as n
       from trans
     )
-    select max(n) as n_transitions,
+    select cast(max(n) as bigint) as n_transitions,
            count(distinct prev_type) as n_states,
            round(cast(sum(cast(floor(
                -(cast(c as double) / n)

@@ -488,9 +488,10 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     select lang,
            count(*) filter (len(regexp_extract_all(text, '\b(customer|value)\b')) > 0)
                as docs_touched,
-           sum(len(regexp_extract_all(text, '\b(customer|value)\b'))) as n_redactions,
-           sum(len(regexp_replace(text, '\b(customer|value)\b', '<REDACTED>', 'g')))
-               as redacted_chars
+           cast(sum(len(regexp_extract_all(text, '\b(customer|value)\b')))
+               as bigint) as n_redactions,
+           cast(sum(len(regexp_replace(text, '\b(customer|value)\b', '<REDACTED>', 'g')))
+               as bigint) as redacted_chars
     from documents group by lang
     """,
 )
@@ -542,7 +543,8 @@ def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         where g.doc_id % 97 <> 0
         group by 1, 2
     )
-    select lang, count(*) as contaminated_docs, sum(n_hits) as overlap_ngrams
+    select lang, count(*) as contaminated_docs,
+           cast(sum(n_hits) as bigint) as overlap_ngrams
     from hits group by lang
     """,
 )
@@ -649,7 +651,8 @@ def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                            - n_tokens) / 512.0) as bigint) as bin
         from wc
     )
-    select shard, bin, count(*) as n_docs, sum(n_tokens) as total_tokens
+    select shard, bin, count(*) as n_docs,
+           cast(sum(n_tokens) as bigint) as total_tokens
     from packed group by shard, bin
     """,
 )
@@ -807,7 +810,7 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(cnt) as max_cnt
       from tc group by 1
     )
-    select doc_id, n_tokens, n_distinct,
+    select doc_id, cast(n_tokens as bigint) as n_tokens, n_distinct,
            round(1.0 - cast(n_distinct as double) / n_tokens, 6) as dup_ratio,
            round(cast(max_cnt as double) / n_tokens, 6) as top_ratio
     from st

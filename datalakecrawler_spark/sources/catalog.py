@@ -195,8 +195,8 @@ def catalog_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="B",
     oracle="""
     select count(*) as n_rows,
-           sum(case when nullif(c_mktsegment, 'BUILDING') is null
-                    then 1 else 0 end) as n_null_seg,
+           cast(sum(case when nullif(c_mktsegment, 'BUILDING') is null
+                    then 1 else 0 end) as bigint) as n_null_seg,
            round(sum(case when nullif(c_mktsegment, 'BUILDING') is null
                           then 1 else 0 end) * 1.0 / count(*), 6) as null_frac
     from customer
@@ -2932,7 +2932,7 @@ def crawl_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(cnt) as n_sampled
       from freq
     )
-    select n_sampled, d_sample,
+    select cast(n_sampled as bigint) as n_sampled, d_sample,
            cast(2.0 * f1 + f_multi as double) as ndv_estimate,
            (select count(distinct o_custkey) from orders) as ndv_exact,
            round(abs(2.0 * f1 + f_multi
@@ -3125,7 +3125,8 @@ def catalog_fd_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(distinct o_custkey) as ndv_custkey
       from orders
     )
-    select m.n_rows, round(m.total_price, 2) as total_price,
+    select cast(m.n_rows as bigint) as n_rows,
+           round(m.total_price, 2) as total_price,
            round(m.min_price, 2) as min_price,
            round(m.max_price, 2) as max_price,
            mn.ndv_custkey,

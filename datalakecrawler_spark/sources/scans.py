@@ -275,7 +275,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="A",
     oracle="""
     select count(*) as n_lines,
-           sum(len(text)) as total_chars,
+           cast(sum(len(text)) as bigint) as total_chars,
            min(len(text)) as min_chars,
            max(len(text)) as max_chars
     from documents
@@ -799,8 +799,8 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="A",
     oracle="""
     with cs as (
-      select count(*) as n, sum(s_suppkey) as k,
-             sum(cast(floor(s_acctbal * 1e6 + 0.5) as bigint)) as b
+      select count(*) as n, cast(sum(s_suppkey) as bigint) as k,
+             cast(sum(cast(floor(s_acctbal * 1e6 + 0.5) as bigint)) as bigint) as b
       from supplier
     )
     select 'parquet_src' as format, n as n_rows, k as key_sum, b as bal_micro from cs

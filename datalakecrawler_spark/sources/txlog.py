@@ -410,7 +410,7 @@ def sink_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     union all
     select 1, 2,
            (select c from c where y = 1997),
-           (select sum(c) from c where y <= 1996)
+           (select cast(sum(c) as bigint) from c where y <= 1996)
     union all
     select 2, 3,
            (select c from c where y = 1998),

@@ -466,7 +466,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       from events group by 1, 2
     )
     select to_timestamp(cast(floor(epoch(w10) / 3600) * 3600 as bigint))::timestamp as w_start,
-           event_type, sum(cnt10) as cnt, count(*) as n_subwindows
+           event_type, cast(sum(cnt10) as bigint) as cnt,
+           count(*) as n_subwindows
     from t10 group by 1, 2
     """,
 )

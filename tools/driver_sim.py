@@ -151,7 +151,26 @@ def main() -> None:
                 odf = con.execute(oracles[name]).fetchdf()
                 rec["duckdb_sec"] = round(time.perf_counter() - t0, 3)
                 o_n, o_cols, o_hash = _canon(odf)
-                ok = (s_n == o_n) and (s_cols == o_cols) and (s_hash == o_hash)
+                # The real driver does NOT coerce integral floats back to
+                # int (CORRECTNESS_r02 catalog_null_fraction: DuckDB
+                # HUGEINT → pandas float64 `302.0` hash-diverged from
+                # Spark int64 `302` even though _norm above matches them).
+                # Model that: a column whose pandas dtype *kind* is
+                # integer on one side and float on the other is a FAIL
+                # here even when the coerced hash matches.
+                asym = sorted(
+                    c
+                    for c in set(pdf.columns) & set(odf.columns)
+                    if {pdf[c].dtype.kind, odf[c].dtype.kind} == {"i", "f"}
+                )
+                ok = (
+                    (s_n == o_n)
+                    and (s_cols == o_cols)
+                    and (s_hash == o_hash)
+                    and not asym
+                )
+                if asym:
+                    rec["dtype_asym"] = asym
                 rec["status"] = "pass" if ok else "FAIL"
                 if not ok:
                     rec["detail"] = {
