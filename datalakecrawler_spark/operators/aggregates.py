@@ -113,16 +113,34 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", group="E", oracle=None)
+@register(
+    "agg_approx_distinct",
+    group="E",
+    oracle="""
+    select cast(ts as date) as day,
+           count(distinct user_id) as exact_users,
+           true as approx_ok
+    from events group by 1
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3: HLL approx distinct users per day (rows-only: HLL sketches are
-    engine-specific — SURVEY §2.L trap 6; exact twin is E2)."""
+    """E3: HLL approx distinct users per day. HLL sketch values are
+    engine-specific (SURVEY §2.L trap 6), so the hashable content is the
+    exact count plus a Spark-computed tolerance verdict: the HLL++
+    estimate (rsd 0.05) must land within 15% (3σ) of the exact count.
+    The oracle emits the exact count and literal true — deterministic,
+    hash-matchable, and the approx algorithm is still exercised (a
+    broken sketch flips approx_ok to false and fails the hash). HLL
+    merges are order-independent, so the verdict is run-stable."""
     e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.to_date("ts").alias("day"))
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
-        .orderBy("day")
+    agg = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
     )
+    tol = F.abs(F.col("approx_users") - F.col("exact_users")) <= (
+        0.15 * F.col("exact_users")
+    )
+    return agg.select("day", "exact_users", tol.alias("approx_ok"))
 
 
 @register(
@@ -297,16 +315,36 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx", group="E", oracle=None)
+@register(
+    "agg_percentile_approx",
+    group="E",
+    oracle="""
+    select event_type,
+           round(quantile_cont(value, 0.95), 4) as p95_exact,
+           true as approx_ok
+    from events group by event_type
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E11: approximate p95 per event_type (rows-only: sketch algorithms
-    differ across engines — SURVEY §2.L trap 6)."""
+    """E11: approximate p95 per event_type. Quantile-sketch outputs are
+    engine-specific (SURVEY §2.L trap 6), so the hashable content is
+    the exact p95 plus a rank-band verdict on the sketch: Spark's
+    percentile_approx (accuracy 10000 → rank error 1e-4) must land
+    inside the exact [p90, p99] value band — ~400× looser than the
+    sketch's guarantee, so the verdict is stable across merge orders
+    while still failing on a broken sketch. The oracle computes the
+    exact p95 and literal true."""
     e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(F.percentile_approx("value", 0.95).alias("p95_value"))
-        .orderBy("event_type")
+    agg = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_exact"),
+        F.percentile("value", F.lit(0.90)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
     )
+    band = (F.col("p95_approx") >= F.col("p90")) & (
+        F.col("p95_approx") <= F.col("p99")
+    )
+    return agg.select("event_type", "p95_exact", band.alias("approx_ok"))
 
 
 @register(

@@ -4672,10 +4672,12 @@ def stats_negbin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(count(*) as bigint) as n_events,
            m.med, m.mad,
            cast(count(*) filter (
-             where round(abs(e.value - m.med) / (1.4826 * m.mad), 4) > 3.5)
+             where m.mad > 0
+               and round(abs(e.value - m.med) / (1.4826 * m.mad), 4) > 3.5)
              as bigint) as n_outliers,
            round(count(*) filter (
-             where round(abs(e.value - m.med) / (1.4826 * m.mad), 4) > 3.5)
+             where m.mad > 0
+               and round(abs(e.value - m.med) / (1.4826 * m.mad), 4) > 3.5)
              * 1.0 / count(*), 6) as outlier_rate
     from events e join mad m using (event_type)
     group by 1, 3, 4
@@ -4712,14 +4714,20 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.round(
         F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4
     )
+    # mad = 0 guard (ADVICE r2): a degenerate group whose values all
+    # equal the median would otherwise divide by zero and lean on
+    # cross-engine Inf/NaN comparison semantics; gate the cutoff on
+    # mad > 0 in BOTH engines so such groups deterministically report
+    # 0 outliers.
+    is_out = (F.col("mad") > 0) & (z > 3.5)
     return (
         e.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med", "mad")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum((z > 3.5).cast("long")).alias("n_outliers"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
             F.round(
-                F.sum((z > 3.5).cast("long")) * 1.0 / F.count(F.lit(1)), 6
+                F.sum(is_out.cast("long")) * 1.0 / F.count(F.lit(1)), 6
             ).alias("outlier_rate"),
         )
         .select(

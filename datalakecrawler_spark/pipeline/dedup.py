@@ -402,8 +402,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard on candidates only. Rare-first ordering bounds join-key
     skew (high-frequency grams land in suffixes), so the explode→join
     stays linear-ish at 100 TB while the output is identical to the
-    quadratic formulation — the pytest parity gate proves it against
-    the unchanged all-pairs DuckDB oracle."""
+    quadratic formulation. Equivalence evidence: the DuckDB oracle is
+    the shared inverted-index form (_jac_pairs_sql), and
+    test_prefix_filter_pairs_equals_bruteforce pins _prefix_filter_pairs
+    to a quadratic brute-force scan on an adversarial synthetic corpus
+    (heavy gram sharing, df ties, duplicates, subsets, isolates)."""
     tau = 0.5
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -422,6 +425,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", grams.alias("grams"), F.size(grams).alias("n")),
         "doc_id",
     ).localCheckpoint()
+    return _prefix_filter_pairs(g, tau).select("doc_a", "doc_b", "jaccard")
+
+
+def _prefix_filter_pairs(g: DataFrame, tau: float) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact-Jaccard pairs ≥ τ.
+
+    ``g`` must carry (doc_id, grams array<string> DISTINCT, n = size).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, identical to
+    the quadratic all-pairs scan (pinned by
+    test_prefix_filter_pairs_equals_bruteforce on an adversarial
+    corpus). Global gram order: rarest-first by document frequency,
+    gram text tie-break — any total order is correct (the prefix bound
+    holds per document); rare-first is the one that also bounds join
+    skew."""
     flat = g.select("doc_id", "n", F.explode("grams").alias("gram"))
     dfreq = flat.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = W.partitionBy("doc_id").orderBy("df", "gram")
@@ -458,7 +475,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .where(jac >= tau)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -520,10 +536,21 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id"
     )
     flat = e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    # Each plane dot is summed in exact integer pico-units: a plain
+    # double sum's partial-aggregation order varies run to run, and a
+    # projection near zero could flip its sign bit between runs,
+    # silently changing the candidate set (ADVICE r2). Per-element
+    # quantization is IEEE-deterministic, the long sum is
+    # order-independent, and |product| ≤ 1 × 64 elems keeps the pico
+    # sum ≪ int64 range. Sign test runs on the exact integer.
     dots = (
         flat.join(F.broadcast(pl), "pos")
         .groupBy("vec_id", "t", "j")
-        .agg(F.sum(F.col("v").cast("double") * F.col("w")).alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * F.col("w") * 1e12 + 0.5)
+            ).alias("d")
+        )
     )
     sig = (
         dots.groupBy("vec_id", "t")

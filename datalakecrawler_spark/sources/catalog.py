@@ -112,19 +112,41 @@ def catalog_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("catalog_profile_distinct", group="B", oracle=None)
+@register(
+    "catalog_profile_distinct",
+    group="B",
+    oracle="""
+    select 'o_custkey' as column_name,
+           count(distinct o_custkey) as ndv_exact, true as approx_ok
+    from orders
+    union all
+    select 'o_orderstatus', count(distinct o_orderstatus), true from orders
+    union all
+    select 'o_orderpriority', count(distinct o_orderpriority), true from orders
+    union all
+    select 'o_orderdate', count(distinct o_orderdate), true from orders
+    """,
+)
 def catalog_profile_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3: approximate NDV per column via HLL — the 100 TB-scale
     profiler path (constant memory per column; exact twin is B4).
-    Rows-only: HLL estimates are engine-specific."""
+    HLL estimates are engine-specific, so the hashable content is the
+    exact NDV plus a Spark-computed tolerance verdict: the HLL++
+    estimate (rsd 0.05) must land within 15% (3σ) of the exact count.
+    HLL merges are order-independent → the verdict is run-stable; a
+    broken sketch flips approx_ok and fails the hash."""
     o = load(spark, sf_dir, "orders")
     cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
     wide = o.agg(
-        *[F.approx_count_distinct(c).alias(f"{c}__ndv") for c in cols]
+        *[F.approx_count_distinct(c, 0.05).alias(f"{c}__andv") for c in cols],
+        *[F.count_distinct(c).alias(f"{c}__ndv") for c in cols],
     )
-    stack_expr = ", ".join(f"'{c}', {c}__ndv" for c in cols)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__ndv, abs({c}__andv - {c}__ndv) <= 0.15 * {c}__ndv"
+        for c in cols
+    )
     return wide.selectExpr(
-        f"stack({len(cols)}, {stack_expr}) as (column_name, approx_ndv)"
+        f"stack({len(cols)}, {stack_expr}) as (column_name, ndv_exact, approx_ok)"
     )
 
 

@@ -706,81 +706,71 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "udf_jaro_winkler_linkage",
+    "udf_edit_similarity_linkage",
     group="K",
     oracle="""
     with best as (
       select c.c_custkey, c.c_name, s.s_name,
-             jaro_winkler_similarity(c.c_name, s.s_name) as jw,
+             1.0 - cast(levenshtein(c.c_name, s.s_name) as double)
+                   / greatest(len(c.c_name), len(s.s_name)) as sim,
              row_number() over (
                partition by c.c_custkey
-               order by jaro_winkler_similarity(c.c_name, s.s_name) desc,
+               order by 1.0 - cast(levenshtein(c.c_name, s.s_name) as double)
+                              / greatest(len(c.c_name), len(s.s_name)) desc,
                         s.s_suppkey
              ) as rn
       from customer c
       join supplier s on s.s_nationkey = c.c_nationkey
     )
     select c_custkey, c_name, s_name as best_s_name,
-           round(jw, 6) as jw_best
+           round(sim, 6) as sim_best
     from best where rn = 1
     """,
 )
-def udf_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def udf_edit_similarity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-ext: fuzzy record linkage scored by a PYTHON-IMPLEMENTED
-    Jaro-Winkler inside an Arrow-batched pandas UDF, verified
-    value-for-value against DuckDB's NATIVE jaro_winkler_similarity —
-    an independent C++ implementation of the same public definition
-    (Winkler 1990: p=0.1, boost threshold 0.7, prefix cap 4), so the
-    oracle actually checks the UDF's string algorithm, not an SQL
-    restatement of it. Shape is the standard blocked-linkage plan:
-    equi-join on the blocking key (nation), score candidates in the
-    UDF, keep each customer's best match via row_number (score desc,
-    suppkey tie-break). Ranking is cross-engine stable: JW scores are
-    rationals with denominators ≤ 3·|a|·|b|·m, so distinct scores
-    differ by ≫ 1 ulp and exact ties fall to the integer tie-break.
+    Levenshtein DP inside an Arrow-batched pandas UDF, verified
+    value-for-value against DuckDB's NATIVE levenshtein — an
+    independent C++ implementation of the same exact integer metric,
+    so the oracle checks the UDF's string algorithm, not an SQL
+    restatement of it. (This op replaced a Jaro-Winkler-scored
+    variant: JW's greedy match alignment tie-breaks differently
+    across implementations on repeated characters — VERDICT r2
+    What's-wrong §3 — so the two engines were provably NOT twins;
+    edit distance is alignment-free and has one exact answer.)
+    Similarity = 1 − lev/max(|a|,|b|): a rational with denominator
+    ≤ max name length (~25), so distinct scores differ by ≫ 1 ulp
+    and exact ties fall to the integer suppkey tie-break — ranking
+    is cross-engine stable. Shape is the standard blocked-linkage
+    plan: equi-join on the blocking key (nation), score candidates
+    in the UDF, keep each customer's best match via row_number.
     Scale: candidate count = block fan-out, never |C|×|S|; the UDF
     sees Arrow batches (no per-row Python), and at 100 TB the block
     key shifts to phonetic/sorted-neighborhood keys — same plan."""
 
-    def _jw(a: str, b: str) -> float:
-        la, lb = len(a), len(b)
-        if la == 0 or lb == 0:
-            return 0.0
-        win = max(la, lb) // 2 - 1
-        ma = [False] * la
-        mb = [False] * lb
-        m = 0
-        for i, ch in enumerate(a):
-            lo, hi = max(0, i - win), min(lb, i + win + 1)
-            for j in range(lo, hi):
-                if not mb[j] and b[j] == ch:
-                    ma[i] = mb[j] = True
-                    m += 1
-                    break
-        if m == 0:
-            return 0.0
-        t = 0
-        j = 0
-        for i in range(la):
-            if ma[i]:
-                while not mb[j]:
-                    j += 1
-                if a[i] != b[j]:
-                    t += 1
-                j += 1
-        jaro = (m / la + m / lb + (m - t / 2) / m) / 3.0
-        if jaro <= 0.7:
-            return jaro
-        p = 0
-        for x, y in zip(a[:4], b[:4]):
-            if x != y:
-                break
-            p += 1
-        return jaro + p * 0.1 * (1.0 - jaro)
+    def _lev(a: str, b: str) -> int:
+        # One-row DP, O(|a|·|b|) ints — bit-exact vs any correct impl.
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
 
     @F.pandas_udf(T.DoubleType())
-    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([_jw(x, y) for x, y in zip(a, b)], dtype="float64")
+    def sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                1.0 - _lev(x, y) / max(len(x), len(y)) if x or y else 1.0
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
 
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_name"
@@ -792,9 +782,9 @@ def udf_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = c.join(
         F.broadcast(s), s.s_nationkey == c.c_nationkey
-    ).withColumn("jw", jw("c_name", "s_name"))
+    ).withColumn("sim", sim("c_name", "s_name"))
     w = Window.partitionBy("c_custkey").orderBy(
-        F.col("jw").desc(), F.col("s_suppkey")
+        F.col("sim").desc(), F.col("s_suppkey")
     )
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -803,6 +793,6 @@ def udf_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             F.col("s_name").alias("best_s_name"),
-            F.round("jw", 6).alias("jw_best"),
+            F.round("sim", 6).alias("sim_best"),
         )
     )

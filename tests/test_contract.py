@@ -13,6 +13,10 @@ from datalakecrawler_spark.contract import CONTRACT
 
 # §2 rows where the inventory itself designates a weaker rows-only
 # check (approx sketches, env-specific paths, engine-specific output).
+# The three approx-sketch ops were promoted to exact-value +
+# within-tolerance content oracles in round 3 (VERDICT r2 Next-round
+# §3), so every contract slot in the driver's 50-entry window now
+# hash-checks.
 ROWS_ONLY_OK = {
     "scan_csv_infer",
     "scan_json_infer",
@@ -20,9 +24,6 @@ ROWS_ONLY_OK = {
     "sink_partitioned",
     "source_files_metadata",
     "catalog_infer_schema",
-    "catalog_profile_distinct",
-    "agg_approx_distinct",
-    "agg_percentile_approx",
     "json_schema_infer",
     "stream_late_data",
 }

@@ -112,19 +112,28 @@ def test_frame_sample_expands_rows(spark):
 
 
 def test_approx_distinct_close_to_exact(spark):
-    """HLL estimate within 10% of the exact NDV per day."""
-    approx = {r["day"]: r["approx_users"] for r in _run(spark, "agg_approx_distinct").collect()}
+    """HLL estimate within tolerance of the exact NDV per day: the op
+    emits the exact count plus the Spark-computed verdict (the sketch
+    value itself is engine-specific and left out of the hashed output);
+    the raw estimate is re-derived here and held to a tighter 10%."""
+    rows = _run(spark, "agg_approx_distinct").collect()
+    assert rows and all(r["approx_ok"] for r in rows)
     from datalakecrawler_spark.io import load
 
     e = load(spark, SF_DIR, "events")
-    exact = {
-        r["day"]: r["u"]
+    both = {
+        r["day"]: (r["u"], r["a"])
         for r in e.groupBy(F.to_date("ts").alias("day"))
-        .agg(F.countDistinct("user_id").alias("u"))
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.approx_count_distinct("user_id", 0.05).alias("a"),
+        )
         .collect()
     }
-    for day, est in approx.items():
-        assert abs(est - exact[day]) / exact[day] < 0.10
+    exact_from_op = {r["day"]: r["exact_users"] for r in rows}
+    for day, (u, a) in both.items():
+        assert exact_from_op[day] == u
+        assert abs(a - u) / u < 0.10
 
 
 def test_rplsh_subset_of_exact_pairs(spark):

@@ -1296,3 +1296,48 @@ def test_exact_jac_pairs_equals_bruteforce(spark):
         len(got), len(want),
         sorted(set(got) ^ set(want))[:5],
     )
+
+
+def test_prefix_filter_pairs_equals_bruteforce(spark):
+    """_prefix_filter_pairs (the AllPairs/PPJoin candidate path behind
+    dedup_ngram_jaccard) must equal the quadratic brute-force scan on
+    an adversarial synthetic corpus engineered against the prefix
+    bound specifically: tiny alphabet so document frequencies TIE
+    heavily (the rare-first global order then falls to the gram-text
+    tie-break — a wrong tie-break silently drops candidates),
+    duplicated docs, subset docs, size-filter boundary pairs, and an
+    isolate. Two τ values cross the ceil() boundary of the prefix
+    length both ways. Seeded PRNG → deterministic corpus."""
+    import random
+
+    from datalakecrawler_spark.pipeline.dedup import _prefix_filter_pairs
+
+    rng = random.Random(20260815)
+    vocab = [f"g{i}" for i in range(10)]  # heavy sharing → df ties
+    docs = []
+    for i in range(45):
+        k = rng.randint(1, 8)
+        docs.append((i, sorted(set(rng.choices(vocab, k=k)))))
+    docs.append((45, docs[7][1]))            # exact duplicate
+    docs.append((46, docs[11][1][:2] or docs[11][1]))  # subset doc
+    docs.append((47, ["zz_isolate"]))        # shares nothing
+    g = spark.createDataFrame(
+        [(i, gr, len(gr)) for i, gr in docs],
+        "doc_id int, grams array<string>, n int",
+    )
+    for tau in (0.5, 0.34):
+        got = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+            for r in _prefix_filter_pairs(g, tau).collect()
+        }
+        want = {}
+        for i, (ida, sa) in enumerate(docs):
+            for idb, sb in docs[i + 1 :]:
+                a, b = set(sa), set(sb)
+                j = len(a & b) / len(a | b)
+                if j >= tau:
+                    want[(min(ida, idb), max(ida, idb))] = round(j, 6)
+        assert got == want, (
+            tau, len(got), len(want),
+            sorted(set(got) ^ set(want))[:5],
+        )
