@@ -96,6 +96,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
 
     times: dict[str, float] = {}
+    replan_times: dict[str, float] = {}
     replan_total = 0.0
     for name in names:
         # prepared-statement protocol: build/analyze the plan once, time
@@ -116,14 +117,14 @@ def main() -> None:
         # analysis each call (reported for transparency)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
-        replan_total += time.perf_counter() - t0
+        replan_times[name] = round(time.perf_counter() - t0, 4)
+        replan_total += replan_times[name]
 
     total = round(sum(times.values()), 4)
     baseline_total = round(
         sum(BASELINE_WARM_MS[n] for n in names if n in BASELINE_WARM_MS) / 1000, 4
     )
-    print(
-        json.dumps(
+    payload = (
             {
                 "metric": "headline_suite_warm_total",
                 "value": total,
@@ -132,6 +133,7 @@ def main() -> None:
                 "sf": float(sf),
                 "n_queries": len(names),
                 "replan_total_sec": round(replan_total, 4),
+                "replan_queries": replan_times,
                 "baseline_warm_total_sec": baseline_total,
                 "suite_ratio_vs_baseline": round(total / baseline_total, 4)
                 if baseline_total
@@ -147,8 +149,16 @@ def main() -> None:
                     "pushed-down plan are overhead-bound, not plan defects."
                 ),
             }
-        )
     )
+    # Sidecar (VERDICT r2 "What's missing" §4): the driver captures
+    # stdout with a tail that truncated BENCH_r02's first 10 per-query
+    # times; the full payload is also written to a file so the bench
+    # evidence can never be clipped.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

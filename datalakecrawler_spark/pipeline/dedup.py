@@ -930,15 +930,23 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("text") >= 16)
         .select("doc_id", "text")
     )
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 15)).alias("i"),
+    # Boundary scan in the ARRAY domain: the 16-char windows are built
+    # by a transform and exploded as (doc_id, i, window) — 16 bytes per
+    # exploded row. The previous shape exploded bare positions WITH the
+    # text column, so every one of the ~|text| rows carried a full copy
+    # of the document through the Tungsten rows (O(len²) bytes/doc;
+    # measured 2.5 s → ~1 s replan at sf0.1).
+    wins = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 15),
+        lambda i: F.struct(
+            i.alias("i"), F.col("text").substr(i, F.lit(16)).alias("w")
+        ),
+    )
+    pos = d.select("doc_id", F.explode(wins).alias("p")).select(
+        "doc_id", F.col("p.i").alias("i"), F.col("p.w").alias("w")
     )
     cuts = (
-        pos.where(
-            F.md5(F.col("text").substr(F.col("i"), F.lit(16))).startswith("0")
-        )
+        pos.where(F.md5(F.col("w")).startswith("0"))
         .select("doc_id", (F.col("i") + 16).alias("start"))
         .unionByName(d.select("doc_id", F.lit(1).alias("start")))
     )
@@ -1771,8 +1779,14 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc counts. No self-join, no quadratic term; at 100 TB the
     cross-doc gram table is the only wide shuffle and it is
     count-distinct-combinable map-side."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Materialize the token array in its own projection FIRST: inlining
+    # `split(text)` into the transform lambda would re-split the whole
+    # document for every element_at reference (5 per gram position —
+    # O(len²) work per doc; measured 11.4 s → ~1 s cold at sf0.1).
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    toks = F.col("t")
     k = 5
     grams_arr = F.transform(
         _gram_positions(toks, k),

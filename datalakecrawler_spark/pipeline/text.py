@@ -80,8 +80,10 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: corpus bigram counts, top-50. Spark builds bigrams inside the
     array (one transform over index positions — no shuffle until the
     count); the oracle uses a lead() window over exploded tokens."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # tokens materialized first: inlining split(text) into the lambda
+    # re-splits the document per element_at reference (O(len²)/doc).
+    d = load(spark, sf_dir, "documents").select(F.split("text", " ").alias("t"))
+    toks = F.col("t")
     bigrams = F.transform(
         _bigram_positions(toks),
         lambda i: F.concat_ws(
@@ -1091,8 +1093,9 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both probability ratios divide by the same bigram total, so the
     expression is deterministic before its round-at-6; the c12 >= 25
     floor keeps the output stable and small."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # tokens materialized first (same O(len²) re-split fix as J7).
+    d = load(spark, sf_dir, "documents").select(F.split("text", " ").alias("t"))
+    toks = F.col("t")
     bigrams = F.transform(
         _bigram_positions(toks),
         lambda i: F.struct(
@@ -1218,8 +1221,10 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     between joining corpora and joining dictionaries. Containment is
     asymmetric (|A∩B|/|A|, reported a→b with lang_a < lang_b);
     Jaccard symmetric. All counts exact ints."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.split(F.lower("text"), " ").alias("t")
+    )
+    toks = F.col("t")
     bigrams = F.transform(
         _bigram_positions(toks),
         lambda i: F.concat_ws(
@@ -2695,8 +2700,9 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames are vocabulary-sized and broadcast back. ln parity across
     engines is absorbed by round-4 on a statistic of magnitude
     10¹-10³."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # tokens materialized first (same O(len²) re-split fix as J7).
+    d = load(spark, sf_dir, "documents").select(F.split("text", " ").alias("t"))
+    toks = F.col("t")
     bigrams = F.transform(
         _bigram_positions(toks),
         lambda i: F.struct(
