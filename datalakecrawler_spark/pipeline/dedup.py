@@ -88,7 +88,12 @@ def _gram_positions(toks, k: int):
 
 def _shingles(text_col: str = "text"):
     """Distinct k-word shingles as an array column (element_at is
-    1-based, matching DuckDB list indexing)."""
+    1-based, matching DuckDB list indexing).
+
+    Expression form — ONLY for small/test inputs: the split is inlined
+    into the transform lambda, so every element_at re-splits the text
+    (k per gram position, O(len²)/doc). Operators over the corpus use
+    ``_shingled`` below, which materializes the token array first."""
     toks = F.split(text_col, " ")
     return F.array_distinct(
         F.transform(
@@ -99,6 +104,26 @@ def _shingles(text_col: str = "text"):
             ),
         )
     )
+
+
+def _shingled(d: DataFrame, *keep_cols: str, alias: str = "shingles") -> DataFrame:
+    """(keep_cols…, shingles) with the token array materialized in its
+    own projection first, so the per-element element_at references read
+    the array column instead of re-splitting the document (the O(len²)
+    hazard above; Catalyst's CollapseProject keeps the two projections
+    apart because the alias is referenced k× non-cheaply)."""
+    t = d.select(*keep_cols, F.split("text", " ").alias("__t"))
+    toks = F.col("__t")
+    sh = F.array_distinct(
+        F.transform(
+            _gram_positions(toks, _SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + j + 1) for j in range(_SHINGLE_K)],
+            ),
+        )
+    )
+    return t.select(*keep_cols, sh.alias(alias))
 
 
 def _jac_pairs_sql(
@@ -277,7 +302,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
-    sh = d.select("doc_id", _shingles().alias("shingles"))
+    sh = _shingled(d, "doc_id")
     # Materialize the signatures ONCE: the band self-join references
     # this subtree from both sides, and without the checkpoint Catalyst
     # plans two independent signature passes (self-joins do not share
@@ -408,8 +433,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a quadratic brute-force scan on an adversarial synthetic corpus
     (heavy gram sharing, df ties, duplicates, subsets, isolates)."""
     tau = 0.5
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # tokens materialized first (O(len²) re-split hazard, see _shingled)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    toks = F.col("t")
     grams = F.array_distinct(
         F.transform(
             _gram_positions(toks, 2),
@@ -814,7 +842,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     at τ=0.8."""
     d = load(spark, sf_dir, "documents")
     eligible = d.where(F.size(F.split("text", " ")) >= _SHINGLE_K)
-    sh = eligible.select("doc_id", _shingles().alias("shingles"))
+    sh = _shingled(eligible, "doc_id")
     # one signature pass feeds both the corpus and batch sides
     banded = _band_signatures(sh).localCheckpoint()
     corpus = banded.where(F.col("doc_id") < _INC_SPLIT).select(
@@ -1031,7 +1059,7 @@ def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
-    sh = d.select("doc_id", _shingles().alias("shingles"))
+    sh = _shingled(d, "doc_id")
     banded = _band_signatures(sh)
     buckets = banded.groupBy("band", "key").agg(
         F.count(F.lit(1)).alias("k")
@@ -1079,7 +1107,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
-    sh = _spread(d.select("doc_id", _shingles().alias("shingles")), "doc_id")
+    sh = _spread(_shingled(d, "doc_id"), "doc_id")
     pairs = _exact_jac_pairs(sh, 0.5).select(F.col("jac").alias("j"))
     th = spark.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], ["tau"]
@@ -1141,7 +1169,7 @@ def dedup_component_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")) >= _SHINGLE_K
     )
     # _spread: parallelize the exact-Jaccard scan (see threshold_sweep)
-    sh = _spread(d.select("doc_id", _shingles().alias("shingles")), "doc_id")
+    sh = _spread(_shingled(d, "doc_id"), "doc_id")
     pairs = _exact_jac_pairs(sh, _TAU).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -1218,7 +1246,9 @@ def dedup_normalized_vs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_k(k: int):
-    toks = F.split("text", " ")
+    # NOTE: expression form inlines the split into the lambda (O(len²)
+    # per doc) — callers must pre-materialize via _shingled_k below.
+    toks = F.col("__t")
     return F.array_distinct(
         F.transform(
             _gram_positions(toks, k),
@@ -1228,6 +1258,13 @@ def _shingles_k(k: int):
             ),
         )
     )
+
+
+def _shingled_k(d: DataFrame, k: int, *keep_cols: str) -> DataFrame:
+    """(keep_cols…, shingles) for arbitrary k with the token array
+    materialized first (same O(len²) fix as _shingled)."""
+    t = d.select(*keep_cols, F.split("text", " ").alias("__t"))
+    return t.select(*keep_cols, _shingles_k(k).alias("shingles"))
 
 
 @register(
@@ -1263,8 +1300,8 @@ def dedup_shingle_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in (2, 3, 4):
         # _spread: parallelize each k's exact-Jaccard scan
         sh = _spread(
-            d.where(F.size(F.split("text", " ")) >= k).select(
-                "doc_id", _shingles_k(k).alias("shingles")
+            _shingled_k(
+                d.where(F.size(F.split("text", " ")) >= k), k, "doc_id"
             ),
             "doc_id",
         )
@@ -1464,8 +1501,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shared-gram equi-join, see _exact_jac_pairs); at scale this
     stage only ever runs on LSH candidate pairs; the integer gate
     (2*|∩| >= max(|A|,|B|)) keeps the filter exact across engines."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # tokens materialized first (O(len²) re-split hazard, see _shingled)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    toks = F.col("t")
     grams = F.array_distinct(
         F.transform(
             _gram_positions(toks, 2),

@@ -558,13 +558,17 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles, and the distinct-per-doc count is a partial agg on
     the scan partitioning. This is the standard train/test-leakage gate
     in LLM data pipelines."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # tokens materialized first: the previous SQL transform inlined
+    # split(text) into slice() per element (O(len²) per doc).
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    toks = F.col("t")
     grams5 = F.when(
         F.size(toks) >= 5,
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 5),"
-            " i -> array_join(slice(split(text, ' '), i + 1, 5), ' '))"
+            "transform(sequence(0, size(t) - 5),"
+            " i -> array_join(slice(t, i + 1, 5), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = d.select("doc_id", "lang", F.explode(grams5).alias("gram"))
@@ -1787,8 +1791,12 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     across train/eval splits). One bigram explode, a corpus rollup
     keyed by bigram, and a join back on the same key — two shuffles
     on a well-spread key; counts exact, one final ratio."""
-    d = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # tokens materialized first (O(len²) re-split hazard; see the
+    # bigram operators above).
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    w = F.col("t")
     bg = d.select(
         "doc_id",
         "source",
@@ -2318,8 +2326,9 @@ def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decay law, this integrates it). Rank by count with bigram
     tie-break, one cumulative window over DISTINCT bigrams, then
     four threshold reads. Exact integer counts; one ratio."""
-    d = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # tokens materialized first (O(len²) re-split hazard).
+    d = load(spark, sf_dir, "documents").select(F.split("text", " ").alias("t"))
+    w = F.col("t")
     bg = d.select(
         F.explode(
             F.transform(
