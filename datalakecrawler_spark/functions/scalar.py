@@ -351,16 +351,54 @@ def map_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("json_schema_infer", group="H", oracle=None)
+@register(
+    "json_schema_infer",
+    group="H",
+    oracle="""
+    with s as (
+      select json_structure(json(props)) as j
+      from events where event_id = (select min(event_id) from events)
+    ),
+    k as (select j, unnest(json_keys(j)) as field_name from s)
+    select field_name,
+           case lower(json_extract_string(j, field_name))
+             when 'ubigint' then 'bigint'
+             when 'bigint' then 'bigint'
+             when 'double' then 'double'
+             when 'varchar' then 'string'
+             when 'boolean' then 'boolean'
+             else lower(json_extract_string(j, field_name)) end as field_type
+    from k
+    """,
+)
 def json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H12: crawler JSON classification — schema_of_json on a sampled
-    props payload (rows-only: DDL strings are Spark-specific)."""
+    props payload. Raw DDL strings are Spark-specific, so the hashable
+    content is the NEUTRALIZED per-field schema (field name + engine-
+    neutral type) both engines can state: Spark parses its own
+    schema_of_json DDL back through StructType.fromDDL and maps
+    simpleStrings to the neutral vocabulary; DuckDB's json_structure
+    over the same deterministically-sampled payload (min event_id)
+    maps its type names through the identical CASE. A broken inference
+    path on either side changes the hashed rows."""
     e = load(spark, sf_dir, "events")
-    sample = e.select("props").limit(1).collect()[0][0]
-    return e.select(
-        F.lit("props").alias("field"),
-        F.schema_of_json(F.lit(sample)).alias("inferred_schema"),
-    ).limit(1)
+    sample = e.orderBy("event_id").select("props").limit(1).collect()[0][0]
+    ddl = e.select(F.schema_of_json(F.lit(sample)).alias("s")).limit(1).collect()[
+        0
+    ][0]
+    st = T.StructType.fromDDL(ddl)
+    neutral = {
+        "bigint": "bigint",
+        "int": "bigint",
+        "double": "double",
+        "string": "string",
+        "boolean": "boolean",
+    }
+    rows = [
+        (f.name, neutral.get(f.dataType.simpleString(), f.dataType.simpleString()))
+        for f in st.fields
+    ]
+    return spark.createDataFrame(rows, "field_name string, field_type string")
 
 
 @register(

@@ -24,7 +24,6 @@ ROWS_ONLY_OK = {
     "sink_partitioned",
     "source_files_metadata",
     "catalog_infer_schema",
-    "json_schema_infer",
     "stream_late_data",
 }
 

@@ -121,9 +121,14 @@ def test_verify_module_reports_match_and_rows_only(spark):
     from datalakecrawler_spark import registry
     from datalakecrawler_spark.verify import VerifyResult, verify_queries
 
-    res = {r.name: r for r in verify_queries(spark, SF_DIR, ["scan_parquet", "json_schema_infer"])}
+    res = {
+        r.name: r
+        for r in verify_queries(
+            spark, SF_DIR, ["scan_parquet", "dedup_embedding_rplsh"]
+        )
+    }
     assert res["scan_parquet"].status == "match"
-    assert res["json_schema_infer"].status == "rows-only"
+    assert res["dedup_embedding_rplsh"].status == "rows-only"
 
     # induce a mismatch through a doctored registry entry
     good = registry.all_queries()["scan_parquet"]
