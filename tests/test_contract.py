@@ -11,21 +11,12 @@ from __future__ import annotations
 import datalakecrawler_spark as dlc
 from datalakecrawler_spark.contract import CONTRACT
 
-# §2 rows where the inventory itself designates a weaker rows-only
-# check (approx sketches, env-specific paths, engine-specific output).
-# The three approx-sketch ops were promoted to exact-value +
-# within-tolerance content oracles in round 3 (VERDICT r2 Next-round
-# §3), so every contract slot in the driver's 50-entry window now
-# hash-checks.
-ROWS_ONLY_OK = {
-    "scan_csv_infer",
-    "scan_json_infer",
-    "sink_parquet",
-    "sink_partitioned",
-    "source_files_metadata",
-    "catalog_infer_schema",
-    "stream_late_data",
-}
+# §2 rows where the inventory designates a weaker rows-only check.
+# Round 3 emptied the set: the three approx-sketch ops carry
+# exact-value + within-tolerance content oracles (VERDICT r2
+# Next-round §3) and json_schema_infer hashes its neutralized schema,
+# so all 97 contract operators are oracle-backed.
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_contract_is_97():
