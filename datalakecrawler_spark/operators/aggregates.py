@@ -532,30 +532,52 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_mergeable", group="E", oracle=None)
+@register(
+    "agg_hll_mergeable",
+    group="E",
+    oracle="""
+    select count(distinct o_custkey) as exact_distinct,
+           true as direct_ok,
+           true as merged_ok
+    from orders
+    """,
+)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E-ext: HLL sketch MERGEABILITY — the property that makes
     distinct-counting distributable: per-shard sketches union losslessly
     into the global sketch, so a 1000-executor count-distinct is
-    partial sketches + one small merge, never a row shuffle. Returns
-    the direct estimate, the two-level (per-status sketch → union)
-    estimate, and the exact count; pytest asserts direct == merged
-    exactly (same lgK ⇒ identical registers) and both within HLL error
-    of exact. Rows-only: sketch bytes are engine-specific."""
+    partial sketches + one small merge, never a row shuffle. Sketch
+    estimates are engine-specific, so the hashable content is the
+    exact count plus two Spark-computed verdicts: the direct estimate
+    AND the two-level (per-status sketch → union) estimate each within
+    10% of exact (lgK=12 ⇒ rse ≈ 1.6%, so the bound is ~6σ; the union
+    path re-estimates from merged registers, so it is tolerance- not
+    bit-equal to direct). The oracle computes the exact count and
+    literal true/true."""
     o = load(spark, sf_dir, "orders")
     direct = o.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias("est")
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias("direct")
     )
     merged = (
         o.groupBy("o_orderstatus")
         .agg(F.hll_sketch_agg("o_custkey", 12).alias("sk"))
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged"))
     )
-    exact = o.agg(F.countDistinct("o_custkey").alias("n"))
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
     return (
-        direct.select(F.col("est").alias("direct_estimate"))
-        .crossJoin(merged.select(F.col("est").alias("merged_estimate")))
-        .crossJoin(exact.select(F.col("n").alias("exact_distinct")))
+        direct.crossJoin(merged)
+        .crossJoin(exact)
+        .select(
+            "exact_distinct",
+            (
+                F.abs(F.col("direct") - F.col("exact_distinct"))
+                <= 0.10 * F.col("exact_distinct")
+            ).alias("direct_ok"),
+            (
+                F.abs(F.col("merged") - F.col("exact_distinct"))
+                <= 0.10 * F.col("exact_distinct")
+            ).alias("merged_ok"),
+        )
     )
 
 
@@ -1017,7 +1039,27 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_kll_quantile_sketch",
     group="E",
-    oracle=None,  # rows-only: KLL internals are engine-specific (§2.L trap 6)
+    oracle="""
+    select l_returnflag,
+           round(min(l_extendedprice), 2) as lo,
+           round(max(l_extendedprice), 2) as hi,
+           round(quantile_cont(l_extendedprice, 0.25), 4) as p25_exact,
+           round(quantile_cont(l_extendedprice, 0.50), 4) as p50_exact,
+           round(quantile_cont(l_extendedprice, 0.75), 4) as p75_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 4) as p95_exact,
+           true as approx_ok
+    from lineitem group by l_returnflag
+    union all
+    select 'ALL',
+           round(min(l_extendedprice), 2),
+           round(max(l_extendedprice), 2),
+           round(quantile_cont(l_extendedprice, 0.25), 4),
+           round(quantile_cont(l_extendedprice, 0.50), 4),
+           round(quantile_cont(l_extendedprice, 0.75), 4),
+           round(quantile_cont(l_extendedprice, 0.95), 4),
+           true
+    from lineitem
+    """,
     tags=("sketch",),
 )
 def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,52 +1071,89 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group, while KLL partials combine associatively so the shuffle
     carries one ~KB sketch per partition instead of the value stream —
     and per-group sketches can be re-merged into region/global
-    rollups without touching the data again (the property test checks
-    merged-global vs direct-global consistency and that each probe
-    lies within the group's [min, max]). Rows-only: sketch layout and
-    rank interpolation are DataSketches-internal, no DuckDB twin;
-    the exact twin is agg_percentile_exact (E10)."""
+    rollups without touching the data again. KLL probe values are
+    DataSketches-internal (§2.L trap 6), so the hashable content is
+    the exact percentile surface plus a rank-band verdict: every
+    probe (including the merged-ALL sketch's) must land inside the
+    exact [p−5%, p+5%] rank band — ~30× looser than KLL's k=200 rank
+    error (~1.65%), so the verdict is stable while a broken sketch
+    or merge still flips it. Oracle: exact quantile_cont + true."""
     li = load(spark, sf_dir, "lineitem")
+    probes = [0.25, 0.5, 0.75, 0.95]
+
+    def exact_cols():
+        return [
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(
+                f"p{int(p * 100)}_exact"
+            )
+            for p in probes
+        ]
+
     per_group = li.groupBy("l_returnflag").agg(
         F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
-    )
-    probes = [0.25, 0.5, 0.75, 0.95]
-    rows = per_group.select(
-        "l_returnflag",
-        "lo",
-        "hi",
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        *exact_cols(),
         *[
-            F.round(
-                F.kll_sketch_get_quantile_double("sk", F.lit(p)), 4
-            ).alias(f"p{int(p * 100)}")
+            F.percentile("l_extendedprice", F.lit(max(p - 0.05, 0.0))).alias(
+                f"b{int(p*100)}lo"
+            )
+            for p in probes
+        ],
+        *[
+            F.percentile("l_extendedprice", F.lit(min(p + 0.05, 1.0))).alias(
+                f"b{int(p*100)}hi"
+            )
             for p in probes
         ],
     )
+
+    def ok_expr(sk_col):
+        cond = F.lit(True)
+        for p in probes:
+            q = F.kll_sketch_get_quantile_double(sk_col, F.lit(p))
+            cond = cond & (q >= F.col(f"b{int(p*100)}lo")) & (
+                q <= F.col(f"b{int(p*100)}hi")
+            )
+        return cond
+
+    keep = ["l_returnflag", "lo", "hi"] + [
+        f"p{int(p*100)}_exact" for p in probes
+    ]
+    rows = per_group.select(*keep, ok_expr(F.col("sk")).alias("approx_ok"))
     # merge the (3) per-group sketches: collect into a group-count-sized
     # array and fold with the scalar two-arg merge — the associative
     # combine that at scale Spark would run as a partial aggregation
-    merged = (
-        per_group.agg(F.collect_list("sk").alias("sks"))
-        .select(
-            F.aggregate(
-                F.slice("sks", 2, 1_000_000),
-                F.element_at("sks", 1),
-                lambda acc, x: F.kll_sketch_merge_double(acc, x),
-            ).alias("sk")
-        )
-        .select(
-            F.lit("ALL").alias("l_returnflag"),
-            F.lit(None).cast("double").alias("lo"),
-            F.lit(None).cast("double").alias("hi"),
-            *[
-                F.round(
-                    F.kll_sketch_get_quantile_double("sk", F.lit(p)), 4
-                ).alias(f"p{int(p * 100)}")
-                for p in probes
-            ],
-        )
+    merged_sk = per_group.agg(F.collect_list("sk").alias("sks")).select(
+        F.aggregate(
+            F.slice("sks", 2, 1_000_000),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk")
+    )
+    global_exact = li.agg(
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        *exact_cols(),
+        *[
+            F.percentile("l_extendedprice", F.lit(max(p - 0.05, 0.0))).alias(
+                f"b{int(p*100)}lo"
+            )
+            for p in probes
+        ],
+        *[
+            F.percentile("l_extendedprice", F.lit(min(p + 0.05, 1.0))).alias(
+                f"b{int(p*100)}hi"
+            )
+            for p in probes
+        ],
+    )
+    merged = global_exact.crossJoin(F.broadcast(merged_sk)).select(
+        F.lit("ALL").alias("l_returnflag"),
+        "lo",
+        "hi",
+        *[f"p{int(p*100)}_exact" for p in probes],
+        ok_expr(F.col("sk")).alias("approx_ok"),
     )
     return rows.unionByName(merged).orderBy("l_returnflag")
 
@@ -1082,7 +1161,14 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_theta_sketch_setops",
     group="E",
-    oracle=None,  # rows-only: theta sketch internals are engine-specific
+    oracle="""
+    select event_type, count(distinct user_id) as audience_exact,
+           true as within_tolerance
+    from events group by event_type
+    union all
+    select 'click_or_view', count(distinct user_id), true
+    from events where event_type in ('click', 'view')
+    """,
     tags=("sketch",),
 )
 def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,37 +1178,48 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-UNION estimate of the click∪view audience. Theta sketches
     are what HLL cannot be: set-operable — union keeps the sketch form,
     so overlap questions ("how many users did BOTH X and Y") run on
-    KB-sized summaries instead of re-scanning 100 TB of events. The
-    property test bounds every estimate against the exact distinct
-    counts (theta error at this cardinality is well under 1%).
-    Rows-only: sketch bytes and estimator are DataSketches-internal;
-    the exact twin is agg_count_distinct (E2)."""
+    KB-sized summaries instead of re-scanning 100 TB of events.
+    Sketch estimates are DataSketches-internal, so the hashable
+    content is the exact audience plus a Spark-computed verdict:
+    every estimate (including the sketch-union's) within 10% of its
+    exact twin (theta error at this cardinality is well under 1%).
+    The oracle computes the exact distinct counts and literal true."""
     e = load(spark, sf_dir, "events")
-    per_type = (
-        e.groupBy("event_type")
-        .agg(F.theta_sketch_agg("user_id").alias("sk"))
-        .withColumn("audience_est", F.theta_sketch_estimate("sk").cast("long"))
+    per_type = e.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("audience_exact"),
+    )
+    est = F.theta_sketch_estimate("sk").cast("long")
+    rows = per_type.select(
+        "event_type",
+        "audience_exact",
+        (
+            F.abs(est - F.col("audience_exact"))
+            <= 0.10 * F.col("audience_exact")
+        ).alias("within_tolerance"),
     )
     cv = per_type.where(F.col("event_type").isin("click", "view")).agg(
         F.collect_list("sk").alias("sks")
     )
-    union_row = cv.select(
-        F.lit("click_or_view").alias("event_type"),
-        F.theta_sketch_estimate(
-            F.aggregate(
-                F.slice("sks", 2, 1_000_000),
-                F.element_at("sks", 1),
-                lambda acc, x: F.theta_union(acc, x),
-            )
+    cv_exact = e.where(F.col("event_type").isin("click", "view")).agg(
+        F.countDistinct("user_id").alias("audience_exact")
+    )
+    union_est = F.theta_sketch_estimate(
+        F.aggregate(
+            F.slice("sks", 2, 1_000_000),
+            F.element_at("sks", 1),
+            lambda acc, x: F.theta_union(acc, x),
         )
-        .cast("long")
-        .alias("audience_est"),
+    ).cast("long")
+    union_row = cv.crossJoin(F.broadcast(cv_exact)).select(
+        F.lit("click_or_view").alias("event_type"),
+        "audience_exact",
+        (
+            F.abs(union_est - F.col("audience_exact"))
+            <= 0.10 * F.col("audience_exact")
+        ).alias("within_tolerance"),
     )
-    return (
-        per_type.select("event_type", "audience_est")
-        .unionByName(union_row)
-        .orderBy("event_type")
-    )
+    return rows.unionByName(union_row).orderBy("event_type")
 
 
 @register(

@@ -251,12 +251,27 @@ def test_sim_ann_brp_lsh_pairs_valid_with_recall(spark):
 def test_hll_mergeability_error_bounds(spark):
     """Two-level sketch merge must estimate within HLL error (lgK=12 →
     ~1.6% rse; allow 4σ) of the exact distinct count — the property
-    that makes distributed count-distinct a small-merge, not a shuffle."""
+    that makes distributed count-distinct a small-merge, not a shuffle.
+    The op emits exact + verdicts (sketch values are engine-specific);
+    the raw estimates are re-derived here and held to the tighter 6.5%."""
     row = _run(spark, "agg_hll_mergeable").collect()[0]
     exact = row["exact_distinct"]
-    for col in ("direct_estimate", "merged_estimate"):
-        rel = abs(row[col] - exact) / exact
-        assert rel < 0.065, (col, row[col], exact)
+    assert row["direct_ok"] and row["merged_ok"]
+    from datalakecrawler_spark.io import load
+
+    o = load(spark, SF_DIR, "orders")
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias("d")
+    ).collect()[0][0]
+    merged = (
+        o.groupBy("o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey", 12).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m"))
+        .collect()[0][0]
+    )
+    for name, est in (("direct", direct), ("merged", merged)):
+        rel = abs(est - exact) / exact
+        assert rel < 0.065, (name, est, exact)
 
 
 def test_crawl_incremental_picks_only_new_file(spark):
