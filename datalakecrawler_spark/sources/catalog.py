@@ -3314,16 +3314,31 @@ def catalog_fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("catalog_analyze_table_stats", group="B", oracle=None)
+@register(
+    "catalog_analyze_table_stats",
+    group="B",
+    oracle="""
+    select 's_suppkey' as column, count(distinct s_suppkey) as ndv_exact,
+           cast(0 as bigint) as n_nulls, true as ndv_ok
+    from supplier
+    union all
+    select 's_nationkey', count(distinct s_nationkey), cast(0 as bigint), true
+    from supplier
+    union all
+    select 's_acctbal', count(distinct s_acctbal), cast(0 as bigint), true
+    from supplier
+    """,
+)
 def catalog_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE → catalog statistics — the handshake between a
     crawler and Spark's cost-based optimizer: persist a table, run
     ANALYZE ... COMPUTE STATISTICS FOR COLUMNS, and read back what the
-    CBO will use (row count, size, per-column NDV (HLL-approximate)/nulls/min/max) via
-    DESCRIBE EXTENDED. Rows-only: byte sizes are layout-specific; the
-    numeric fields are asserted against their ground truth here, which
-    is the point — the stats pipeline must agree with the data it
-    describes."""
+    CBO will use (per-column NDV (HLL-approximate), null count) via
+    DESCRIBE EXTENDED. DESCRIBE output (byte sizes, value rendering)
+    is engine/layout-specific, so the hashable content is the exact
+    NDV + null count plus a verdict that ANALYZE's HLL distinct_count
+    landed within 10% of exact — the stats pipeline must agree with
+    the data it describes, and a broken ANALYZE flips ndv_ok."""
     import shutil
 
     src = load(spark, sf_dir, "supplier")
@@ -3355,26 +3370,28 @@ def catalog_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 desc.get("max"),
             )
         )
-    out = spark.createDataFrame(
-        rows, "column string, ndv long, n_nulls long, min_val string, max_val string"
-    )
-    # the CBO stats must agree with ground truth
+    cols = ["s_suppkey", "s_nationkey", "s_acctbal"]
     truth = {
-        r["c"]: r["ndv"]
-        for r in src.selectExpr(
-            "'s_suppkey' as c", "count(distinct s_suppkey) as ndv"
+        c: n
+        for c, n in zip(
+            cols,
+            src.agg(
+                *[F.count_distinct(c).alias(c) for c in cols]
+            ).collect()[0],
         )
-        .unionAll(
-            src.selectExpr("'s_nationkey'", "count(distinct s_nationkey)")
-        )
-        .collect()
     }
-    got = {r[0]: r[1] for r in rows}
-    # ANALYZE's distinct_count is HLL-approximate — allow 5% error
-    for c in ("s_suppkey", "s_nationkey"):
-        assert abs(got[c] - truth[c]) <= max(1, 0.05 * truth[c]), (got, truth)
-    assert all(r[2] == 0 for r in rows), rows
-    return out
+    out_rows = [
+        (
+            c,
+            truth[c],
+            n_nulls,
+            abs(ndv_desc - truth[c]) <= max(1, 0.10 * truth[c]),
+        )
+        for (c, ndv_desc, n_nulls, _mn, _mx) in rows
+    ]
+    return spark.createDataFrame(
+        out_rows, "column string, ndv_exact long, n_nulls long, ndv_ok boolean"
+    )
 
 
 @register(
