@@ -1362,3 +1362,45 @@ def test_prefix_filter_pairs_equals_bruteforce(spark):
             tau, len(got), len(want),
             sorted(set(got) ^ set(want))[:5],
         )
+
+
+def test_shingled_matches_expression_form(spark):
+    """_shingled / _shingled_k (the materialized-token-array builders
+    the dedup family now routes through) must produce exactly the
+    shingle sets of the original expression form — the O(len²) fix
+    must be a pure evaluation-strategy change, not a semantic one.
+    Includes docs shorter than k (empty shingle set) and repeated
+    tokens (array_distinct path)."""
+    from datalakecrawler_spark.pipeline.dedup import (
+        _shingled,
+        _shingled_k,
+        _shingles,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a a a a a a"),
+        (3, "x y"),                      # shorter than k=5
+        (4, "p q r s t p q r s t"),      # duplicate shingles
+        (5, "solo"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    want = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in d.select("doc_id", _shingles().alias("sh")).collect()
+    }
+    got = {
+        r["doc_id"]: sorted(r["shingles"])
+        for r in _shingled(d, "doc_id").collect()
+    }
+    assert got == want
+    got2 = {
+        r["doc_id"]: sorted(r["shingles"])
+        for r in _shingled_k(d, 2, "doc_id").collect()
+    }
+    toks = {i: t.split(" ") for i, t in rows}
+    want2 = {
+        i: sorted({" ".join(t[j : j + 2]) for j in range(len(t) - 1)})
+        for i, t in toks.items()
+    }
+    assert got2 == want2
