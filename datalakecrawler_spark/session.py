@@ -41,15 +41,13 @@ def shuffle_partitions_for() -> str:
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime parity confs to an existing session (idempotent).
 
-    Marker-gated: every registered operator funnels through here (the
-    registry wrapper), so after the first application the whole pass is
-    one conf.get instead of ~9 py4j round-trips per query — measurable
-    across a 600-query driver sweep. A hostile driver that re-sets a
-    parity conf mid-session would also have had to clear the marker;
-    the hostile-session test builds a FRESH session, which starts
-    unmarked and is fully re-configured."""
-    if spark.conf.get("dlc.parity.configured", None) == "1":
-        return spark
+    Runs UNCONDITIONALLY on every registered-operator call: a driver
+    may mutate parity confs between queries (the hostile-session test
+    does exactly that), and correction-on-every-call is the only
+    behavior that makes oracle semantics independent of who owns the
+    session. The ~9 py4j round-trips cost single-digit milliseconds —
+    a marker-gated skip was tried in round 3 and reverted for exactly
+    this mid-session-mutation hole."""
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -59,10 +57,6 @@ def configure_session(spark: SparkSession) -> SparkSession:
         cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if cur > 64:  # default 200 → size for local mode
             spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions_for())
-    except Exception:
-        pass
-    try:
-        spark.conf.set("dlc.parity.configured", "1")
     except Exception:
         pass
     return spark
