@@ -521,17 +521,67 @@ def _rp_planes(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]:
     ]
 
 
-@register("dedup_embedding_rplsh", group="J", oracle=None)
+_RPLSH_DOT = (
+    "list_aggregate(list_transform(list_zip({0}, {1}), "
+    "p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
+)
+
+
+@register(
+    "dedup_embedding_rplsh",
+    group="J",
+    oracle=f"""
+    with planes as (
+      select tt.t, jj.j, dd.d,
+             cast(('0x' || substr(md5('rp|' || tt.t || '|' || jj.j || '|' || dd.d), 1, 8))
+                  as bigint) / 4294967296.0 - 0.5 as w
+      from range(16) tt(t), range(6) jj(j), range(64) dd(d)
+    ),
+    flat as (
+      select vec_id,
+             generate_subscripts(embedding, 1) - 1 as d,
+             unnest(embedding) as v
+      from embeddings
+    ),
+    dots as (
+      select f.vec_id, p.t, p.j,
+             sum(cast(floor(cast(f.v as double) * p.w * 1e12 + 0.5) as bigint)) as dd
+      from flat f join planes p using (d)
+      group by 1, 2, 3
+    ),
+    sigs as (
+      select vec_id, t,
+             string_agg(case when dd > 0 then '1' else '0' end, '' order by j) as bits
+      from dots group by 1, 2
+    ),
+    keyed as (select vec_id, t || '|' || bits as sig from sigs),
+    cand as (
+      select distinct a.vec_id as vec_a, b.vec_id as vec_b
+      from keyed a join keyed b using (sig)
+      where a.vec_id < b.vec_id
+    )
+    select vec_a, vec_b,
+           round({_RPLSH_DOT.format('ea.embedding', 'eb.embedding')}, 6) as sim
+    from cand
+    join embeddings ea on ea.vec_id = cand.vec_a
+    join embeddings eb on eb.vec_id = cand.vec_b
+    where round({_RPLSH_DOT.format('ea.embedding', 'eb.embedding')}, 6) >= 0.4
+    """,
+)
 def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via random-projection LSH (the scale
     path for sim_pairwise_dups): 16 hash tables × 6 sign-bits; vectors
     sharing a signature in ANY table become candidates; candidates are
     verified with the exact dot product at τ=0.4.
 
-    Rows-only: LSH coverage is approximate (precision is exact — every
-    output pair carries its true cosine; tests assert output ⊆ the
-    exact pair set with identical sims). Shuffle cost is linear:
-    16 signature keys per vector instead of N² pairs.
+    FULLY oracle-checked (promoted round 3): the hyperplanes are
+    md5-derived (int(hex[:8],16)/2³² − 0.5 — exact powers-of-two
+    arithmetic, bit-identical doubles in both engines), the plane
+    dots accumulate exact integer pico-units (order-independent), and
+    the sign test runs on the integer — so the SIGNATURES themselves,
+    the candidate set, and the verified pairs are all deterministic
+    and reproduced by the DuckDB twin from the same formula. Shuffle
+    cost is linear: 16 signature keys per vector instead of N² pairs.
     """
     n_tables, n_bits, dim, tau = 16, 6, 64, 0.4
     planes = _rp_planes(n_tables, n_bits, dim)
