@@ -298,14 +298,47 @@ def cluster_assign_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_ivf", group="J", oracle=None)
+@register(
+    "sim_topk_ivf",
+    group="J",
+    oracle=_CENTROID_SQL
+    + f""",
+    bucketed as (
+        select vec_id, embedding, bucket from (
+            select e.vec_id, e.embedding, c.label as bucket,
+                   row_number() over (
+                       partition by e.vec_id
+                       order by round({_DOT_SQL.format('e.embedding', 'c.cvec')}, 6)
+                                desc, c.label) as rk
+            from embeddings e cross join carr c
+        ) t where rk = 1
+    ),
+    q as (select embedding as q_emb from embeddings where vec_id = 0),
+    probes as (
+        select label as bucket
+        from carr cross join q
+        order by round({_DOT_SQL.format('cvec', 'q_emb')}, 6) desc, label
+        limit 3
+    )
+    select vec_id, bucket,
+           round({_DOT_SQL.format('b.embedding', 'q.q_emb')}, 6) as sim
+    from bucketed b join probes using (bucket) cross join q
+    where vec_id <> 0
+    order by sim desc, vec_id limit 10
+    """,
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (the ANN scale path for J3):
     1. coarse-quantize the corpus to its nearest label-centroid
        (one-time, one shuffle — the "inverted file");
     2. the query probes its top-3 centroids and scans ONLY those
        buckets (~30% of the corpus here; 1/nlist·nprobe in general).
-    Rows-only: approximate by design; tests assert recall vs J3.
+    FULLY oracle-checked (promoted round 3): centroids are
+    decimal-summed round-6 label means (the cluster_assign_centroid
+    twin), bucket assignment / probe selection / final top-10 are all
+    totally ordered by (round-6 sim desc, id) — so the whole
+    approximate index, not just its recall, is value-checked against
+    the DuckDB twin. Tests additionally assert recall vs exact J3.
     """
     e = load(spark, sf_dir, "embeddings")
     cents = _label_centroids(spark, sf_dir).select(
@@ -589,7 +622,66 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_pq", group="J", oracle=None)
+_PQ_L2 = (
+    "list_aggregate(list_transform(list_zip({0}, {1}), "
+    "p -> cast((p[1] - p[2]) * (p[1] - p[2]) as double)), 'sum')"
+)
+
+
+@register(
+    "sim_topk_pq",
+    group="J",
+    oracle=f"""
+    with sub as (
+        select vec_id, mm.m, embedding[mm.m * 8 + 1 : mm.m * 8 + 8] as sub
+        from embeddings, range(8) mm(m)
+    ),
+    anchors as (
+        select m, hr - 1 as code, sub as avec from (
+            select m, sub,
+                   row_number() over (
+                       partition by m
+                       order by md5(vec_id || '|' || m), vec_id) as hr
+            from sub) t
+        where hr <= 16
+    ),
+    codes as (
+        select vec_id, m, code from (
+            select s.vec_id, s.m, a.code,
+                   row_number() over (
+                       partition by s.vec_id, s.m
+                       order by {_PQ_L2.format('s.sub', 'a.avec')}, a.code) as rk
+            from sub s join anchors a using (m)) t
+        where rk = 1
+    ),
+    q as (
+        select mm.m, embedding[mm.m * 8 + 1 : mm.m * 8 + 8] as qsub
+        from embeddings, range(8) mm(m)
+        where vec_id = 0
+    ),
+    dist as (
+        select a.m, a.code,
+               {_DOT_SQL.format('q.qsub', 'a.avec')} as psim
+        from anchors a join q using (m)
+    ),
+    approx as (
+        select c.vec_id,
+               sum(cast(floor(d.psim * 1e12 + 0.5) as bigint)) as ps
+        from codes c join dist d using (m, code)
+        where c.vec_id <> 0
+        group by 1
+        order by ps desc, vec_id limit 50
+    ),
+    qf as (select embedding as q_emb from embeddings where vec_id = 0)
+    select a.vec_id,
+           round(cast(a.ps as double) / 1e12, 6) as approx_sim,
+           round({_DOT_SQL.format('e.embedding', 'qf.q_emb')}, 6) as sim
+    from approx a
+    join embeddings e using (vec_id)
+    cross join qf
+    order by sim desc, a.vec_id limit 10
+    """,
+)
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-k — the third ANN scale
     path beside IVF (sim_topk_ivf) and random-projection LSH
@@ -612,8 +704,12 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the codes table is 8 bytes/vector (vs 256 for floats),
     the distance table broadcast is KBs, and the only data-sized
     shuffle is the groupBy(vec_id) over 8 rows/vector; re-rank
-    touches 50 full vectors. Rows-only: approximate by design — the
-    property test measures recall against the exact scan (J3)."""
+    touches 50 full vectors. FULLY oracle-checked (promoted round 3):
+    md5-ranked anchor selection, float-exact L2 encoding, and the
+    integer pico-unit lookup-sum make codebooks, codes, the top-50
+    shortlist and the re-ranked top-10 all deterministic and
+    reproduced by the DuckDB twin; the property test additionally
+    measures recall against the exact scan (J3)."""
     e = load(spark, sf_dir, "embeddings")
     M, SUBD, K = 8, 8, 16
     sub = (
@@ -661,13 +757,18 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchors.join(F.broadcast(q), "m")
         .select("m", "code", dot("qsub", "avec").alias("psim"))
     )
+    # per-vector lookup-sum in exact integer pico-units: a plain double
+    # sum's partial-agg order varies run to run and a boundary ulp could
+    # flip top-50 membership (and the round-6 output); the quantized
+    # integer sum is order-independent and engine-identical.
     approx = (
         codes.where(F.col("vec_id") != 0)
         .join(F.broadcast(dist_table), ["m", "code"])
         .groupBy("vec_id")
-        .agg(F.sum("psim").alias("approx_sim"))
-        .orderBy(F.col("approx_sim").desc(), "vec_id")
+        .agg(F.sum(F.floor(F.col("psim") * 1e12 + 0.5)).alias("ps"))
+        .orderBy(F.col("ps").desc(), "vec_id")
         .limit(50)
+        .select("vec_id", (F.col("ps").cast("double") / 1e12).alias("approx_sim"))
     )
     qfull = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
@@ -1240,7 +1341,66 @@ def sim_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_nprobe_sweep", group="J", oracle=None)
+@register(
+    "sim_ivf_nprobe_sweep",
+    group="J",
+    oracle=_CENTROID_SQL
+    + f""",
+    bucketed as (
+        select vec_id, embedding, bucket from (
+            select e.vec_id, e.embedding, c.label as bucket,
+                   row_number() over (
+                       partition by e.vec_id
+                       order by round({_DOT_SQL.format('e.embedding', 'c.cvec')}, 6)
+                                desc, c.label) as rk
+            from embeddings e cross join carr c
+        ) t where rk = 1
+    ),
+    q as (select embedding as q_emb from embeddings where vec_id = 0),
+    cent_rank as (
+        select label as bucket,
+               row_number() over (
+                   order by round({_DOT_SQL.format('cvec', 'q_emb')}, 6)
+                            desc, label) as crank
+        from carr cross join q
+    ),
+    scored as (
+        select b.vec_id, cr.crank,
+               round({_DOT_SQL.format('b.embedding', 'q.q_emb')}, 6) as sim
+        from bucketed b join cent_rank cr using (bucket) cross join q
+        where b.vec_id <> 0
+    ),
+    exact as (
+        select vec_id
+        from embeddings cross join q
+        where vec_id <> 0
+        order by round({_DOT_SQL.format('embedding', 'q_emb')}, 6) desc, vec_id
+        limit 10
+    ),
+    np as (select unnest([1, 2, 3, 5]) as nprobe),
+    cands as (
+        select np.nprobe, s.vec_id, s.sim
+        from np join scored s on s.crank <= np.nprobe
+    ),
+    got as (
+        select nprobe, vec_id from (
+            select nprobe, vec_id,
+                   row_number() over (partition by nprobe
+                                      order by sim desc, vec_id) as rk
+            from cands) t
+        where rk <= 10
+    ),
+    ncorpus as (select count(*) as n from scored)
+    select cast(c.nprobe as bigint) as nprobe,
+           cast(count(*) as bigint) as n_candidates,
+           round(count(*) * 1.0 / max(nc.n), 6) as frac_scanned,
+           (select round(count(*) / 10.0, 4)
+            from got g join exact e using (vec_id)
+            where g.nprobe = c.nprobe) as recall_at_10
+    from cands c cross join ncorpus nc
+    group by c.nprobe
+    """,
+)
 def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-ext: the IVF TUNING CURVE — recall@10 and fraction-of-corpus
     scanned for nprobe ∈ {1, 2, 3, 5}: the ANN analogue of
@@ -1251,10 +1411,12 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated, exactly like the stored index in production); each
     nprobe setting is then a bucket-rank filter + top-10 over only
     the probed buckets. Recall compares against the exact
-    brute-force top-10 (the J3 operator). Rows-only like the other
-    ANN paths (approximate by design); deterministic because
-    centroids, bucket assignment and all tie-breaks are md5/id
-    ordered, so the curve itself is reproducible cross-run."""
+    brute-force top-10 (the J3 operator). FULLY oracle-checked
+    (promoted round 3, same basis as sim_topk_ivf): centroids,
+    bucket assignment and all tie-breaks are deterministic round-6 /
+    id orderings, so the DuckDB twin reproduces the entire tuning
+    curve — candidate counts, scan fractions AND recalls — not just
+    its shape."""
     e = load(spark, sf_dir, "embeddings")
     cents = _label_centroids(spark, sf_dir).select(
         F.col("label").alias("c_label"), "cvec"
