@@ -786,7 +786,96 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_recall_eval", group="J", oracle=None)
+@register(
+    "sim_recall_eval",
+    group="J",
+    oracle=_CENTROID_SQL
+    + f""",
+    qv as (select embedding as q_emb from embeddings where vec_id = 0),
+    exact as (
+        select vec_id from embeddings cross join qv
+        where vec_id <> 0
+        order by round({_DOT_SQL.format('embedding', 'q_emb')}, 6) desc, vec_id
+        limit 10
+    ),
+    ivf_bucketed as (
+        select vec_id, embedding, bucket from (
+            select e.vec_id, e.embedding, c.label as bucket,
+                   row_number() over (
+                       partition by e.vec_id
+                       order by round({_DOT_SQL.format('e.embedding', 'c.cvec')}, 6)
+                                desc, c.label) as rk
+            from embeddings e cross join carr c
+        ) t where rk = 1
+    ),
+    ivf_probes as (
+        select label as bucket from carr cross join qv
+        order by round({_DOT_SQL.format('cvec', 'q_emb')}, 6) desc, label
+        limit 3
+    ),
+    ivf_top as (
+        select b.vec_id
+        from ivf_bucketed b join ivf_probes using (bucket) cross join qv
+        where b.vec_id <> 0
+        order by round({_DOT_SQL.format('b.embedding', 'q_emb')}, 6) desc,
+                 b.vec_id
+        limit 10
+    ),
+    pq_sub as (
+        select vec_id, mm.m, embedding[mm.m * 8 + 1 : mm.m * 8 + 8] as sub
+        from embeddings, range(8) mm(m)
+    ),
+    pq_anchors as (
+        select m, hr - 1 as code, sub as avec from (
+            select m, sub,
+                   row_number() over (
+                       partition by m
+                       order by md5(vec_id || '|' || m), vec_id) as hr
+            from pq_sub) t
+        where hr <= 16
+    ),
+    pq_codes as (
+        select vec_id, m, code from (
+            select s.vec_id, s.m, a.code,
+                   row_number() over (
+                       partition by s.vec_id, s.m
+                       order by {_PQ_L2.format('s.sub', 'a.avec')}, a.code) as rk
+            from pq_sub s join pq_anchors a using (m)) t
+        where rk = 1
+    ),
+    pq_q as (
+        select mm.m, embedding[mm.m * 8 + 1 : mm.m * 8 + 8] as qsub
+        from embeddings, range(8) mm(m)
+        where vec_id = 0
+    ),
+    pq_dist as (
+        select a.m, a.code, {_DOT_SQL.format('q.qsub', 'a.avec')} as psim
+        from pq_anchors a join pq_q q using (m)
+    ),
+    pq_approx as (
+        select c.vec_id,
+               sum(cast(floor(d.psim * 1e12 + 0.5) as bigint)) as ps
+        from pq_codes c join pq_dist d using (m, code)
+        where c.vec_id <> 0
+        group by 1
+        order by ps desc, vec_id limit 50
+    ),
+    pq_top as (
+        select a.vec_id
+        from pq_approx a join embeddings e using (vec_id) cross join qv
+        order by round({_DOT_SQL.format('e.embedding', 'q_emb')}, 6) desc,
+                 a.vec_id
+        limit 10
+    )
+    select 'ivf' as method,
+           round((select count(*) from ivf_top join exact using (vec_id))
+                 / 10.0, 4) as recall_at_10
+    union all
+    select 'pq',
+           round((select count(*) from pq_top join exact using (vec_id))
+                 / 10.0, 4)
+    """,
+)
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation-as-operator: recall@10 of every approximate ANN path
     (IVF, BRP-LSH is pair-based so excluded, PQ) against the exact
@@ -795,7 +884,11 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself a Spark job — at scale you'd parameterize over many query
     vectors and aggregate recall distributions instead of one query's
     set overlap. Set intersection happens on 10-row frames; everything
-    upstream reuses the registered operators' plans unchanged."""
+    upstream reuses the registered operators' plans unchanged.
+    FULLY oracle-checked (promoted round 3): both evaluated index
+    paths are deterministic (see sim_topk_ivf / sim_topk_pq), so the
+    DuckDB twin recomputes both approximate top-10 sets AND the exact
+    set and reports the identical recalls."""
     exact = set(
         r["vec_id"]
         for r in _topk_cosine(spark, sf_dir).select("vec_id").collect()
