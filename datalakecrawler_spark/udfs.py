@@ -705,6 +705,24 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", z("o_totalprice").alias("price_z"))
 
 
+def _lev(a: str, b: str) -> int:
+    """One-row-DP Levenshtein, O(|a|·|b|) ints — bit-exact vs any
+    correct implementation (pinned against DuckDB's native
+    levenshtein on an adversarial corpus in
+    test_python_levenshtein_matches_duckdb)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
 @register(
     "udf_edit_similarity_linkage",
     group="K",
@@ -747,20 +765,6 @@ def udf_edit_similarity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate count = block fan-out, never |C|×|S|; the UDF
     sees Arrow batches (no per-row Python), and at 100 TB the block
     key shifts to phonetic/sorted-neighborhood keys — same plan."""
-
-    def _lev(a: str, b: str) -> int:
-        # One-row DP, O(|a|·|b|) ints — bit-exact vs any correct impl.
-        if len(a) < len(b):
-            a, b = b, a
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(
-                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-                )
-            prev = cur
-        return prev[-1]
 
     @F.pandas_udf(T.DoubleType())
     def sim(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -1404,3 +1404,31 @@ def test_shingled_matches_expression_form(spark):
         for i, t in toks.items()
     }
     assert got2 == want2
+
+
+def test_python_levenshtein_matches_duckdb(ddb):
+    """The Python Levenshtein DP inside udf_edit_similarity_linkage
+    must equal DuckDB's native levenshtein on adversarial strings —
+    the exact bug class that killed the Jaro-Winkler op (VERDICT r2
+    What's-wrong §3) was an implementation divergence invisible on
+    textbook pairs: repeated characters, empty strings, 1-char
+    strings, prefix/suffix overlaps. Seeded PRNG over a tiny alphabet
+    maximizes repeats."""
+    import random
+
+    from datalakecrawler_spark.udfs import _lev as lev
+
+    rng = random.Random(20260815)
+    cases = [("", ""), ("", "a"), ("a", "a"), ("a", "b"),
+             ("aaaa", "aa"), ("abab", "baba"), ("Supplier#000000012",
+             "Customer#000001204")]
+    for _ in range(200):
+        la, lb = rng.randint(0, 12), rng.randint(0, 12)
+        a = "".join(rng.choices("abc#01", k=la))
+        b = "".join(rng.choices("abc#01", k=lb))
+        cases.append((a, b))
+    for a, b in cases:
+        want = ddb.execute(
+            "select levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert lev(a, b) == want, (a, b, lev(a, b), want)
