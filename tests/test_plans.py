@@ -611,3 +611,22 @@ def test_dedup_pair_scans_are_inverted_index_joins(spark):
     a = audit(pairs)
     assert "CartesianProduct" not in a.joins, a.joins
     assert "BroadcastNestedLoopJoin" not in a.joins, a.joins
+
+
+def test_ann_index_paths_stay_broadcast(spark):
+    """The promoted ANN operators (IVF top-k, nprobe sweep, PQ, RP-LSH)
+    must never materialize a data-sized cartesian/shuffled pair plan:
+    centroid/codebook/distance-table sides are tiny and broadcast; the
+    only permitted nested-loop joins are those 10-to-128-row
+    broadcasts. A SortMergeJoin against the corpus or a
+    CartesianProduct means the index degenerated to the O(N²) scan it
+    exists to avoid."""
+    for name in ("sim_topk_ivf", "sim_topk_pq"):
+        a = _audit_uncached(spark, name)
+        assert "CartesianProduct" not in a.joins, (name, a.joins)
+        assert "SortMergeJoin" not in a.joins, (name, a.joins)
+    # RP-LSH's signature self-join is data-sized on BOTH sides by
+    # design — a shuffled equi-join on the sig key is exactly the
+    # linear-shuffle plan (never broadcast, never cartesian).
+    a = _audit_uncached(spark, "dedup_embedding_rplsh")
+    assert "CartesianProduct" not in a.joins, a.joins
