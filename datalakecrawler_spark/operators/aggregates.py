@@ -2993,17 +2993,17 @@ def customer_clv_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="E",
     oracle="""
     select cast(date_trunc('month', o.o_orderdate) as date) as mth,
-           round(cast(sum(cast(floor(l.l_extendedprice * 1e6 + 0.5)
-                 as bigint)) as double) / 1e6, 2) as gross,
-           round(cast(sum(cast(floor(l.l_extendedprice * l.l_discount
-                 * 1e6 + 0.5) as bigint)) as double) / 1e6, 2)
+           cast((sum(cast(floor(l.l_extendedprice * 1e6 + 0.5)
+                 as bigint)) + 5000) // 10000 as double) / 100 as gross,
+           cast((sum(cast(floor(l.l_extendedprice * l.l_discount
+                 * 1e6 + 0.5) as bigint)) + 5000) // 10000 as double) / 100
              as discount_given,
-           round(cast(sum(cast(floor(l.l_extendedprice
+           cast((sum(cast(floor(l.l_extendedprice
                  * (1 - l.l_discount) * l.l_tax * 1e6 + 0.5) as bigint))
-                 as double) / 1e6, 2) as tax_collected,
-           round(cast(sum(cast(floor(l.l_extendedprice
+                 + 5000) // 10000 as double) / 100 as tax_collected,
+           cast((sum(cast(floor(l.l_extendedprice
                  * (1 - l.l_discount) * (1 + l.l_tax) * 1e6 + 0.5)
-                 as bigint)) as double) / 1e6, 2) as net_billed
+                 as bigint)) + 5000) // 10000 as double) / 100 as net_billed
     from lineitem l join orders o on o.o_orderkey = l.l_orderkey
     group by 1 order by mth
     """,
@@ -3030,9 +3030,18 @@ def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax = F.col("l_tax")
 
     def dsum2(expr):
-        return F.round(
-            F.sum(F.floor(expr * 1e6 + 0.5)).cast("double") / 1e6, 2
-        )
+        # Cent-rounding in EXACT integer arithmetic: round(x, 2) of the
+        # micro-unit quotient is engine-divergent at half-cent
+        # boundaries (Spark rounds the exact binary value via
+        # BigDecimal; DuckDB scales by 100 first, and the scaling ulp
+        # can cross the .5 — observed at sf0.001). Half-up to cents on
+        # the integer micro sum instead: +5000 then strip the 1e4
+        # remainder (pmod keeps it integral, the final /1e4 and /100
+        # are exact-dividend double ops) — both engines land on the
+        # identical double.
+        m = F.sum(F.floor(expr * 1e6 + 0.5)) + F.lit(5000)
+        cents = (m - F.pmod(m, F.lit(10000))) / F.lit(10000)
+        return cents.cast("double") / 100
 
     return (
         j.groupBy(

@@ -2309,7 +2309,7 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
       from touch group by 1
     )
     select c_day as day, n_touches,
-           round(cast(credit_micro as double) / 1e6, 2)
+           cast((credit_micro + 5000) // 10000 as double) / 100
              as credited_value
     from credit order by day
     """,
@@ -2369,8 +2369,18 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             "n_touches",
-            F.round(
-                F.col("credit_micro").cast("double") / 1e6, 2
+            # exact-integer cent rounding (see orders_revenue_waterfall
+            # dsum2): round(x, 2) on the micro quotient is
+            # engine-divergent at half-cent boundaries
+            (
+                (
+                    (
+                        (F.col("credit_micro") + 5000)
+                        - F.pmod(F.col("credit_micro") + 5000, F.lit(10000))
+                    )
+                    / F.lit(10000)
+                ).cast("double")
+                / 100
             ).alias("credited_value"),
         )
         .orderBy("day")
