@@ -1699,12 +1699,13 @@ def agg_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     s as (
       select count(*) as n,
              cast(sum(rev_micro) as bigint) as total,
-             cast(sum(i * rev_micro) as bigint) as weighted
+             sum(i * rev_micro) as weighted
       from ranked
     )
     select n as n_customers,
            round(cast(total as double) / 1e6, 2) as total_revenue,
-           round((2.0 * weighted) / (cast(n as double) * total)
+           round((2.0 * cast(weighted as double))
+                 / (cast(n as double) * cast(total as double))
                  - (cast(n as double) + 1) / n, 6) as gini
     from s
     """,
@@ -1716,11 +1717,13 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     number in [0,1), comparable across datasets and over time — a
     drift input). Computed by the rank formula
     G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenue sorted ascending:
-    per-customer revenue and the rank-weighted sum stay exact
-    micro-unit int64 (Σ i·xᵢ envelope at sf1: 1.5e5 ranks × 5e11
-    micro ≈ 7.5e16 « 9.2e18), so both engines feed identical integers
-    into one final double expression. Rank ties break on the customer
-    key. One groupBy + one ordered window over the customer-grain
+    per-customer revenue stays exact micro-unit int64, while the
+    rank-weighted sum Σ i·xᵢ grows as n²·avg(x) (~1.7e20 already at
+    sf0.1 — past int64) and is therefore summed in wide exact
+    integers on both engines — decimal(38,0) in Spark, DuckDB's
+    native INT128 sum — so both feed the identical integer into one
+    final double expression (exact through sf≈1e18 revenue-micro
+    scale). Rank ties break on the customer key. One groupBy + one ordered window over the customer-grain
     table (the documented quantize-first path applies if the GROUPED
     table ever stops fitting an ordered pass)."""
     o = load(spark, sf_dir, "orders")
@@ -1733,14 +1736,20 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev_micro").alias("total"),
-        F.sum(F.col("i") * F.col("rev_micro")).alias("weighted"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)")
+            * F.col("rev_micro").cast("decimal(19,0)")
+        ).alias("weighted"),
     )
     n = F.col("n").cast("double")
     return s.select(
         F.col("n").alias("n_customers"),
         F.round(F.col("total").cast("double") / 1e6, 2).alias("total_revenue"),
         F.round(
-            (2.0 * F.col("weighted")) / (n * F.col("total")) - (n + 1) / n, 6
+            (2.0 * F.col("weighted").cast("double"))
+            / (n * F.col("total").cast("double"))
+            - (n + 1) / n,
+            6,
         ).alias("gini"),
     )
 

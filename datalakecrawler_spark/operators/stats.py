@@ -914,7 +914,7 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     select event_type,
            max(n) as n_events,
            round(cast(max(sx) as double) / 1e6, 2) as total_value,
-           round((2.0 * cast(sum(i * x) as bigint))
+           round((2.0 * cast(sum(i * x) as double))
                    / (cast(max(n) as double) * max(sx))
                  - (cast(max(n) as double) + 1) / max(n), 6) as gini
     from r group by event_type
@@ -927,8 +927,10 @@ def events_value_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration a property of one event type (a few whale
     purchases) or uniform across behaviors? Uses the rank-sum
     identity G = 2Σi·xᵢ/(nΣx) − (n+1)/n on ascending-sorted exact
-    micro-unit ints (Σi·x ≤ n²·x̄ ≈ 2e17 at sf0.1 — inside int64);
-    the sort is PER GROUP (partitioned window — no global funnel),
+    micro-unit ints; Σi·x grows as n²·x̄ (~2e17 at sf0.1), so it is
+    summed in wide exact integers on both engines — decimal(38,0)
+    in Spark, DuckDB's native INT128 — before one final double
+    expression; the sort is PER GROUP (partitioned window — no global funnel),
     ties ordered by event_id for engine-identical ranks. One shuffle
     on event_type, exact integers until the final two divisions."""
     e = load(spark, sf_dir, "events")
@@ -954,7 +956,13 @@ def events_value_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value"
             ),
             F.round(
-                (2.0 * F.sum(F.col("i") * F.col("x")))
+                (
+                    2.0
+                    * F.sum(
+                        F.col("i").cast("decimal(19,0)")
+                        * F.col("x").cast("decimal(19,0)")
+                    ).cast("double")
+                )
                 / (nd * F.max("sx"))
                 - (nd + 1) / F.max("n"),
                 6,
