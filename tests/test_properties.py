@@ -1432,3 +1432,32 @@ def test_python_levenshtein_matches_duckdb(ddb):
             "select levenshtein(?, ?)", [a, b]
         ).fetchone()[0]
         assert lev(a, b) == want, (a, b, lev(a, b), want)
+
+
+def test_lev_batch_matches_scalar():
+    """The numpy batch-lane Levenshtein (_lev_batch, the hot path in
+    udf_edit_similarity_linkage) must equal the scalar DP (_lev,
+    itself pinned against DuckDB above) pair-for-pair on a corpus
+    engineered for its failure modes: empty strings, pairs much
+    shorter than the batch max (garbage-lane isolation), repeated
+    characters, and length skew inside one batch."""
+    import random
+
+    from datalakecrawler_spark.udfs import _lev, _lev_batch
+
+    rng = random.Random(20260815)
+    a_list, b_list = [], []
+    for la, lb in [(0, 0), (0, 7), (7, 0), (1, 1), (1, 25), (25, 1)]:
+        a_list.append("".join(rng.choices("ab#0", k=la)))
+        b_list.append("".join(rng.choices("ab#0", k=lb)))
+    for _ in range(300):
+        a_list.append(
+            "".join(rng.choices("abc#01", k=rng.randint(0, 25)))
+        )
+        b_list.append(
+            "".join(rng.choices("abc#01", k=rng.randint(0, 25)))
+        )
+    got = _lev_batch(a_list, b_list)
+    for k, (a, b) in enumerate(zip(a_list, b_list)):
+        assert got[k] == _lev(a, b), (a, b, got[k], _lev(a, b))
+    assert len(_lev_batch([], [])) == 0
