@@ -1080,47 +1080,44 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     or merge still flips it. Oracle: exact quantile_cont + true."""
     li = load(spark, sf_dir, "lineitem")
     probes = [0.25, 0.5, 0.75, 0.95]
+    # ONE exact-percentile aggregate per group, not 12: percentile()
+    # takes an array of percentages and shares a single value map —
+    # the 12 independent aggregates each built their own (30 s → 3 s
+    # at sf0.1). Layout per probe k (element_at is 1-based):
+    # 3k+1 = exact p, 3k+2 = band lo (p−5%), 3k+3 = band hi (p+5%).
+    qps: list[float] = []
+    for p in probes:
+        qps += [p, max(p - 0.05, 0.0), min(p + 0.05, 1.0)]
+    qarr = F.array(*[F.lit(x) for x in qps])
 
     def exact_cols():
         return [
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(
+            F.round(F.element_at("qs", 3 * k + 1), 4).alias(
                 f"p{int(p * 100)}_exact"
             )
-            for p in probes
+            for k, p in enumerate(probes)
         ]
 
     per_group = li.groupBy("l_returnflag").agg(
         F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
-        *exact_cols(),
-        *[
-            F.percentile("l_extendedprice", F.lit(max(p - 0.05, 0.0))).alias(
-                f"b{int(p*100)}lo"
-            )
-            for p in probes
-        ],
-        *[
-            F.percentile("l_extendedprice", F.lit(min(p + 0.05, 1.0))).alias(
-                f"b{int(p*100)}hi"
-            )
-            for p in probes
-        ],
+        F.percentile("l_extendedprice", qarr).alias("qs"),
     )
 
     def ok_expr(sk_col):
         cond = F.lit(True)
-        for p in probes:
+        for k, p in enumerate(probes):
             q = F.kll_sketch_get_quantile_double(sk_col, F.lit(p))
-            cond = cond & (q >= F.col(f"b{int(p*100)}lo")) & (
-                q <= F.col(f"b{int(p*100)}hi")
+            cond = cond & (q >= F.element_at("qs", 3 * k + 2)) & (
+                q <= F.element_at("qs", 3 * k + 3)
             )
         return cond
 
-    keep = ["l_returnflag", "lo", "hi"] + [
-        f"p{int(p*100)}_exact" for p in probes
-    ]
-    rows = per_group.select(*keep, ok_expr(F.col("sk")).alias("approx_ok"))
+    rows = per_group.select(
+        "l_returnflag", "lo", "hi", *exact_cols(),
+        ok_expr(F.col("sk")).alias("approx_ok"),
+    )
     # merge the (3) per-group sketches: collect into a group-count-sized
     # array and fold with the scalar two-arg merge — the associative
     # combine that at scale Spark would run as a partial aggregation
@@ -1134,25 +1131,13 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_exact = li.agg(
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
-        *exact_cols(),
-        *[
-            F.percentile("l_extendedprice", F.lit(max(p - 0.05, 0.0))).alias(
-                f"b{int(p*100)}lo"
-            )
-            for p in probes
-        ],
-        *[
-            F.percentile("l_extendedprice", F.lit(min(p + 0.05, 1.0))).alias(
-                f"b{int(p*100)}hi"
-            )
-            for p in probes
-        ],
+        F.percentile("l_extendedprice", qarr).alias("qs"),
     )
     merged = global_exact.crossJoin(F.broadcast(merged_sk)).select(
         F.lit("ALL").alias("l_returnflag"),
         "lo",
         "hi",
-        *[f"p{int(p*100)}_exact" for p in probes],
+        *exact_cols(),
         ok_expr(F.col("sk")).alias("approx_ok"),
     )
     return rows.unionByName(merged).orderBy("l_returnflag")

@@ -1409,7 +1409,12 @@ def sim_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim_topk_ivf) instead of the exact pair set — the histogram
     SHAPE, not its exact counts, is the diagnostic."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
+    # spread the query side first: the corpus parquet is one split, so
+    # the nested-loop pair scan otherwise lands on ONE task and
+    # serializes all |V|² dot products (measured 32 s → 3 s at sf0.1)
+    a = e.repartition(32).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea")
+    )
     b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
     topk = (
