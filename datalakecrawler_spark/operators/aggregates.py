@@ -306,12 +306,21 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10: exact percentiles (percentile_cont interpolation in both
-    engines); round(4) absorbs last-ulp interpolation differences."""
+    engines); round(4) absorbs last-ulp interpolation differences.
+    One percentile aggregate with an array of percentages — a single
+    shared value map per group, not one map per probe."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    qarr = F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", qarr).alias("qs"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.element_at("qs", i + 1), 4).alias(tag)
+                for i, tag in enumerate(["p25", "p50", "p75"])
+            ],
+        )
     )
 
 
@@ -336,15 +345,19 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact p95 and literal true."""
     e = load(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_exact"),
-        F.percentile("value", F.lit(0.90)).alias("p90"),
-        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.percentile(
+            "value", F.array(F.lit(0.95), F.lit(0.90), F.lit(0.99))
+        ).alias("qs"),
         F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
     )
-    band = (F.col("p95_approx") >= F.col("p90")) & (
-        F.col("p95_approx") <= F.col("p99")
+    band = (F.col("p95_approx") >= F.element_at("qs", 2)) & (
+        F.col("p95_approx") <= F.element_at("qs", 3)
     )
-    return agg.select("event_type", "p95_exact", band.alias("approx_ok"))
+    return agg.select(
+        "event_type",
+        F.round(F.element_at("qs", 1), 4).alias("p95_exact"),
+        band.alias("approx_ok"),
+    )
 
 
 @register(

@@ -433,11 +433,17 @@ def catalog_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile row as approximate."""
     li = load(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # one percentile aggregate per COLUMN (array of percentages shares
+    # a single value map), not one per (column, probe) — 9 independent
+    # value maps cost ~7 s at sf0.1, 3 shared ones ~1 s
+    qarr = F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
     wide = li.agg(
+        *[F.percentile(c, qarr).alias(f"{c}__qs") for c in cols]
+    ).select(
         *[
-            F.round(F.percentile(c, F.lit(q)), 4).alias(f"{c}__{tag}")
+            F.round(F.element_at(f"{c}__qs", i + 1), 4).alias(f"{c}__{tag}")
             for c in cols
-            for q, tag in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75")]
+            for i, tag in enumerate(["p25", "p50", "p75"])
         ]
     )
     stack_args = ", ".join(

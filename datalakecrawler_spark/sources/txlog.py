@@ -426,10 +426,16 @@ def txlog_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     two time-travel snapshots. This is Delta CDF / Iceberg
     changelog-scan semantics reconstructed from plain snapshots — the
     operator a downstream incremental consumer runs when the table
-    doesn't materialize a change feed. Anti-joins shuffle on the key
-    only; the oracle derives expected counts from the source
-    predicates, so overwrite-drops-everything and append-accumulates
-    are value-checked across the whole replay chain."""
+    doesn't materialize a change feed. Computed as ONE job, not one
+    anti-join pair per version step: every snapshot is tagged with
+    its version, one shuffle on the key collects each key's version-
+    membership set, and all adjacent-pair insert/delete counts fall
+    out of a single aggregation — per-pair anti-joins re-shuffle the
+    table once per version step, which is the wrong shape for a
+    change feed over a long history. The oracle derives expected
+    counts from the source predicates, so overwrite-drops-everything
+    and append-accumulates are value-checked across the whole replay
+    chain."""
     base = os.path.join(_TMP_BASE, f"ttdiff-{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     o = load(spark, sf_dir, "orders")
@@ -438,20 +444,38 @@ def txlog_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog_write(o.where(yr == 1996), base, "append")
     txlog_write(o.where(yr == 1997), base, "overwrite")
     txlog_write(o.where(yr == 1998), base, "append")
-    rows = []
-    for v in range(3):
-        prev = txlog_snapshot(spark, base, v).select("o_orderkey")
-        curr = txlog_snapshot(spark, base, v + 1).select("o_orderkey")
-        rows.append(
-            (
-                v,
-                v + 1,
-                curr.join(prev, "o_orderkey", "left_anti").count(),
-                prev.join(curr, "o_orderkey", "left_anti").count(),
-            )
+    n_vers = 4
+    tagged = None
+    for v in range(n_vers):
+        t = txlog_snapshot(spark, base, v).select(
+            "o_orderkey", F.lit(v).alias("v")
         )
-    return spark.createDataFrame(
-        rows, "v_from int, v_to int, n_inserted long, n_deleted long"
+        tagged = t if tagged is None else tagged.unionByName(t)
+    membership = tagged.groupBy("o_orderkey").agg(
+        F.collect_set("v").alias("vs")
+    )
+    wide = membership.agg(
+        *[
+            F.count_if(
+                F.array_contains("vs", v + 1) & ~F.array_contains("vs", v)
+            ).alias(f"ins_{v}")
+            for v in range(n_vers - 1)
+        ],
+        *[
+            F.count_if(
+                F.array_contains("vs", v) & ~F.array_contains("vs", v + 1)
+            ).alias(f"del_{v}")
+            for v in range(n_vers - 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{v}, {v + 1}, ins_{v}, del_{v}" for v in range(n_vers - 1)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({n_vers - 1}, {stack_args}) "
+            "as (v_from, v_to, n_inserted, n_deleted)"
+        )
     ).orderBy("v_from")
 
 
