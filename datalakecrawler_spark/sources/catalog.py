@@ -1265,35 +1265,39 @@ def catalog_semantic_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification vocabulary in SQL over the pinned fixture schema;
     the property test additionally pins known semantics (keys →
     identifier, ts → temporal, text → textual)."""
-    # One combined pass per table (row count folded into the NDV agg),
-    # and the ten per-table jobs submitted CONCURRENTLY — a crawler
-    # profiles independent tables in parallel; Spark schedules
-    # concurrent actions from threads fine. Was: 20 serial actions
-    # (~5.8 s warm at sf0.01); now: 10 overlapped (~1 s).
+    # ONE job per (table, column), all submitted concurrently. The
+    # earlier one-agg-per-table form folded every column into a single
+    # multi-countDistinct, which Catalyst executes as an Expand with
+    # one input copy PER distinct column — for lineitem a 12× blowup of
+    # the full row stream (2.9 s alone at sf0.1). Per-column jobs scan
+    # only their own parquet column (columnar pruning makes each scan
+    # ~1/12th of the table) and shuffle only that column's partial
+    # distinct sets — the column-store-native NDV shape a 100 TB
+    # crawler wants (0.9 s for all 12 lineitem columns at sf0.1).
     from concurrent.futures import ThreadPoolExecutor
 
-    def profile(t: str):
-        df = load(spark, sf_dir, t)
-        exprs = [F.count(F.lit(1)).alias("__n_rows__")] + [
-            F.countDistinct(f.name).alias(f.name) for f in df.schema.fields
-        ]
-        return t, df.schema.fields, df.agg(*exprs).collect()[0].asDict()
+    dfs = {t: load(spark, sf_dir, t) for t in TABLES}
 
-    with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
-        profiled = list(ex.map(profile, TABLES))
+    def ndv_job(job):
+        t, c = job
+        return t, c, dfs[t].select(c).agg(F.countDistinct(c)).collect()[0][0]
+
+    jobs = [(t, f.name) for t in TABLES for f in dfs[t].schema.fields]
+    with ThreadPoolExecutor(max_workers=32) as ex:
+        counts = dict(ex.map(lambda t: (t, dfs[t].count()), TABLES))
+        ndvs = {(t, c): v for t, c, v in ex.map(ndv_job, jobs)}
 
     schema_rows = []
-    for t, fields, ndvs in profiled:
-        n_rows = ndvs.pop("__n_rows__")
-        for i, f in enumerate(fields):
+    for t in TABLES:
+        for i, f in enumerate(dfs[t].schema.fields):
             schema_rows.append(
                 Row(
                     dataset=t,
                     field_name=f.name,
                     position=i,
                     spark_type=f.dataType.simpleString(),
-                    ndv=int(ndvs[f.name]),
-                    n_rows=n_rows,
+                    ndv=int(ndvs[(t, f.name)]),
+                    n_rows=counts[t],
                 )
             )
     frame = spark.createDataFrame(schema_rows)
