@@ -1253,10 +1253,17 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are identically-computed doubles rounded at 6."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
+    # Materialize the collapsed basket table ONCE: the pair self-join
+    # references it from both sides and the marginals/order-count read
+    # it again — without the checkpoint Catalyst re-runs the
+    # lineitem⋈part distinct four times (self-joins do not share
+    # subtrees). This IS the docstring's "one scan feeds pairs,
+    # marginals, and the order count".
     ob = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint()
     )
     n_orders = ob.select("l_orderkey").distinct().count()
     brand = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))

@@ -1063,10 +1063,13 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut list back to the doc row), then one hash aggregation. At
     100 TB the window-size/boundary-rate pair trades index size
     against dedup granularity exactly as in production CDC stores."""
-    d = (
+    # _spread: the boundary scan evaluates one md5 per text position —
+    # compute-dense; a 1-split corpus would roll the hash serially.
+    d = _spread(
         load(spark, sf_dir, "documents")
         .where(F.length("text") >= 16)
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        "doc_id",
     )
     # Boundary scan in the ARRAY domain: the 16-char windows are built
     # by a transform and exploded as (doc_id, i, window) — 16 bytes per

@@ -430,30 +430,62 @@ def catalog_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches DuckDB's quantile_cont (round(4) absorbs last-ulp
     differences, per the E10 precedent). At 100 TB switch to
     approx_percentile (t-digest, mergeable, one pass) and mark the
-    profile row as approximate."""
+    profile row as approximate.
+
+    Engine: sort-rank, not the ``percentile`` aggregate — even with a
+    shared value map per column, three 583k-entry boxed maps merge
+    single-threaded (~2.3 s at sf0.1). percentile_cont(p) reads sorted
+    positions ⌊p·(n−1)⌋+1 and ⌈p·(n−1)⌉+1 and interpolates (the same
+    formula both engines' aggregates use), so one row_number sort per
+    column plus a six-rank filter produces identical values in ~0.6 s.
+    """
+    import math
+
     li = load(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    # one percentile aggregate per COLUMN (array of percentages shares
-    # a single value map), not one per (column, probe) — 9 independent
-    # value maps cost ~7 s at sf0.1, 3 shared ones ~1 s
-    qarr = F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
-    wide = li.agg(
-        *[F.percentile(c, qarr).alias(f"{c}__qs") for c in cols]
-    ).select(
-        *[
-            F.round(F.element_at(f"{c}__qs", i + 1), 4).alias(f"{c}__{tag}")
-            for c in cols
-            for i, tag in enumerate(["p25", "p50", "p75"])
-        ]
-    )
-    stack_args = ", ".join(
-        f"'{c}', {c}__p25, {c}__p50, {c}__p75" for c in cols
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) as (column_name, p25, p50, p75)"
+    probes = {"p25": 0.25, "p50": 0.50, "p75": 0.75}
+    n = li.count()
+    # per probe: (1-based) bracketing ranks + interpolation weight —
+    # identical for every column (same n)
+    spec = {}
+    want: set[int] = set()
+    for tag, p in probes.items():
+        idx = p * (n - 1)
+        lo, hi = math.floor(idx) + 1, math.ceil(idx) + 1
+        spec[tag] = (lo, hi, idx - math.floor(idx))
+        want.update((lo, hi))
+    # one pruned-scan sort job per column, submitted concurrently (the
+    # unpivot-to-one-window variant shuffles 3×|table| (column, value)
+    # rows into only 3 sort partitions — measured slower than three
+    # overlapped single-column sorts); the six bracketing values per
+    # column come back to the driver and the 3-row catalog frame is
+    # assembled locally, same as the other schema-sized profilers
+    from concurrent.futures import ThreadPoolExecutor
+
+    ranks = sorted(want)
+
+    def probe_col(c: str):
+        ranked = li.select(c).withColumn(
+            "rn", F.row_number().over(W.orderBy(c))
         )
-    )
+        got = {
+            r["rn"]: r[c]
+            for r in ranked.where(F.col("rn").isin(ranks)).collect()
+        }
+        return c, got
+
+    with ThreadPoolExecutor(max_workers=len(cols)) as ex:
+        by_col = dict(ex.map(probe_col, cols))
+
+    rows = []
+    for c in cols:
+        got = by_col[c]
+        row = {"column_name": c}
+        for tag, (lo, hi, frac) in spec.items():
+            v_lo, v_hi = got[lo], got[hi]
+            row[tag] = round(v_lo + frac * (v_hi - v_lo), 4)
+        rows.append(Row(**row))
+    return spark.createDataFrame(rows)
 
 
 @register(
@@ -2451,21 +2483,34 @@ def catalog_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISCRETE octile values (bit-exact across engines); binning is
     ≤-comparison against broadcast exact values; per-bin min/max
     read from data. Two passes (quantile, then bin+rollup) — the
-    KLL sketch collapses it to one at scale."""
+    KLL sketch collapses it to one at scale.
+
+    Octile edges come from the sort-rank engine (value at sorted
+    position ceil(p·n)), not ``percentile_disc`` aggregates: seven
+    within-group aggregates each build and single-threadedly merge a
+    boxed value→count map (2.9 s at sf0.1 for 150k near-distinct
+    doubles); one sort + seven rank probes reads the same seven
+    values in ~0.3 s."""
     o = load(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_eh")
-    edges = spark.sql(
-        """
-        select
-          percentile_disc(0.125) within group (order by o_totalprice) as q1,
-          percentile_disc(0.25) within group (order by o_totalprice) as q2,
-          percentile_disc(0.375) within group (order by o_totalprice) as q3,
-          percentile_disc(0.5) within group (order by o_totalprice) as q4,
-          percentile_disc(0.625) within group (order by o_totalprice) as q5,
-          percentile_disc(0.75) within group (order by o_totalprice) as q6,
-          percentile_disc(0.875) within group (order by o_totalprice) as q7
-        from orders_eh
-        """
+    n_rows = o.count()
+    octiles = [i / 8.0 for i in range(1, 8)]
+    w = W.orderBy("o_totalprice")
+    ranked = o.select("o_totalprice").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    import math
+
+    targets = {f"q{i + 1}": math.ceil(p * n_rows) for i, p in enumerate(octiles)}
+    edges = (
+        ranked.where(F.col("rn").isin(list(targets.values())))
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("rn") == rn, F.col("o_totalprice"))
+                ).alias(name)
+                for name, rn in targets.items()
+            ]
+        )
     )
     x = F.col("o_totalprice")
     binned = o.crossJoin(F.broadcast(edges)).select(
