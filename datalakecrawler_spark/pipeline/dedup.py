@@ -366,25 +366,65 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     group="J",
-    oracle=None,
+    oracle="""
+    with toks as (
+      select doc_id, unnest(list_distinct(string_split(text, ' '))) as t
+      from documents
+    ),
+    hashed as (
+      select doc_id, cast(('0x' || substr(md5(t), 1, 8)) as bigint) as h
+      from toks
+    ),
+    bits as (
+      select doc_id, b.b,
+             cast(sum(case when ((h >> cast(b.b as integer)) & 1) = 1
+                           then 1 else -1 end) as bigint) as s
+      from hashed cross join range(32) b(b)
+      group by 1, 2
+    ),
+    sigs as (
+      select doc_id,
+             cast(sum(case when s > 0
+                           then (cast(1 as bigint) << cast(b as integer))
+                           else 0 end) as bigint) as simhash
+      from bits group by 1
+    )
+    select simhash // 65536 as band_hi,
+           cast(count(*) as bigint) as n_docs,
+           string_agg(cast(doc_id as varchar), '|' order by doc_id) as doc_ids
+    from sigs
+    group by 1
+    having count(*) > 1
+    """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit signature = sign of per-bit weighted sums
     over token hashes; docs grouped by signature band for candidate
-    generation. Rows-only: the bit arithmetic uses Spark's crc32 (no
-    DuckDB twin); correctness covered by unit test (identical docs get
-    identical signatures, near-identical differ in few bits).
+    generation.
+
+    FULLY oracle-checked (promoted round 3, same determinism argument
+    as dedup_embedding_rplsh): token hashes are md5-derived 32-bit ints
+    (int(md5_hex[:8], 16) — identical in both engines), the per-bit
+    ±1 sums are exact integers (order-independent), and the sign test
+    and band extraction are integer arithmetic — so the SIGNATURES and
+    the bucket contents are bit-identical across engines.
 
     Scale: signature is 1 int per doc; banding on 16-bit halves gives
     the same linear-shuffle profile as MinHash-LSH.
     """
     d = load(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split("text", " "))
+    # md5-derived 32-bit token hash — the cross-engine-exact hash family
+    # (crc32 has no DuckDB twin). h < 2^32 < 2^53, so the pow(2, b)
+    # double arithmetic below stays exact.
+    def _h32(t):
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
     # per-bit contribution: +1 if bit set else -1, summed over tokens.
     # shiftright/shiftleft need literal shift amounts, so bit extraction
     # uses pow(2, b) arithmetic — exact in double below 2^53.
-    def _bit(crc, b):
-        return F.floor(crc / F.pow(F.lit(2.0), b.cast("double"))).cast(
+    def _bit(h, b):
+        return F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast(
             "long"
         ) % 2
 
@@ -393,7 +433,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda b: F.aggregate(
             F.col("toks"),
             F.lit(0),
-            lambda acc, t: acc + F.when(_bit(F.crc32(t), b) == 1, 1).otherwise(-1),
+            lambda acc, t: acc + F.when(_bit(_h32(t), b) == 1, 1).otherwise(-1),
         ),
     )
     sig = F.aggregate(
