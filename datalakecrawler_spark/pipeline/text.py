@@ -420,16 +420,45 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified", group="J", oracle=None)
+@register(
+    "sample_stratified",
+    group="J",
+    oracle="""
+    select lang, cast(count(*) as bigint) as n_total, true as sample_ok
+    from documents
+    where lang in ('en', 'de', 'es', 'fr', 'zh')
+    group by lang
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling per language (sampleBy with a fixed seed) —
-    the corpus-balancing primitive. Rows-only: Bernoulli sampling is
-    engine-specific; the pytest check asserts per-stratum fractions and
-    determinism across invocations."""
+    the corpus-balancing primitive.
+
+    Oracle-checked via the exact-value + tolerance-verdict pattern
+    (the same promotion as the DataSketches ops): the Bernoulli draw
+    is engine-specific, so the hashable content is the exact stratum
+    total plus a Spark-computed verdict that the sampled count lands
+    within 3σ of the binomial expectation (frac·n ± 3·√(frac·(1−frac)·n);
+    exact equality for the frac=1.0 strata). The DuckDB twin emits the
+    exact totals and literal true — a broken sampler flips sample_ok
+    and fails the hash, while the sample itself stays free to vary by
+    engine. Deterministic per engine (fixed seed), verified by pytest."""
     d = load(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
     sampled = d.sampleBy("lang", fractions, seed=42)
-    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = (
+        d.where(F.col("lang").isin(list(fractions)))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    smp = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    frac = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("lang")]
+    j = tot.join(smp, "lang", "left").na.fill({"n_sampled": 0})
+    bound = F.lit(3.0) * F.sqrt(frac * (F.lit(1.0) - frac) * F.col("n_total"))
+    ok = F.abs(F.col("n_sampled") - frac * F.col("n_total")) <= bound
+    return j.select("lang", "n_total", ok.alias("sample_ok"))
 
 
 @register(

@@ -156,9 +156,17 @@ def test_rplsh_subset_of_exact_pairs(spark):
 
 
 def test_sample_stratified_deterministic_and_plausible(spark):
-    """Same seed → identical sample; en downsampled to ~50%, others kept."""
-    a = {r["lang"]: r["n_docs"] for r in _run(spark, "sample_stratified").collect()}
-    b = {r["lang"]: r["n_docs"] for r in _run(spark, "sample_stratified").collect()}
+    """Same seed → identical verdicts; en within the 3σ binomial band,
+    other strata kept whole (frac=1.0 ⇒ bound 0 ⇒ exact equality is
+    what sample_ok asserts for them)."""
+    a = {
+        r["lang"]: (r["n_total"], r["sample_ok"])
+        for r in _run(spark, "sample_stratified").collect()
+    }
+    b = {
+        r["lang"]: (r["n_total"], r["sample_ok"])
+        for r in _run(spark, "sample_stratified").collect()
+    }
     assert a == b, "sampleBy with fixed seed must be deterministic"
     from datalakecrawler_spark.io import load
 
@@ -169,9 +177,10 @@ def test_sample_stratified_deterministic_and_plausible(spark):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    for lang in ["de", "es", "fr", "zh"]:
-        assert a[lang] == full[lang], f"{lang} stratum must be kept whole"
-    assert 0.3 * full["en"] < a["en"] < 0.7 * full["en"]
+    for lang in ["en", "de", "es", "fr", "zh"]:
+        n_total, ok = a[lang]
+        assert n_total == full[lang], f"{lang} exact total wrong"
+        assert ok, f"{lang} sampled count outside the 3σ binomial band"
 
 
 def test_scan_binary_files_matches_filesystem(spark):
