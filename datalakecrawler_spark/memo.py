@@ -1,0 +1,127 @@
+"""Bounded per-application memo for localCheckpoint'ed DataFrames.
+
+Several operator families memoize an expensive shared intermediate (the
+LSH banded-signature table, IVF centroids/inverted file, the
+co-purchase edge list, connected components) as a localCheckpoint'ed
+DataFrame keyed by ``(applicationId, sf_dir)``. Checkpointed RDD blocks
+live in executor storage until the SparkContext dies, so an unbounded
+memo in a long-lived driver that iterates many ``sf_dir`` values (a
+multi-tenant catalog service, a test matrix over scale factors) would
+accumulate storage indefinitely (ADVICE r3 item 3).
+
+This module gives every memo the same discipline:
+
+- **Bounded**: keep at most ``keep`` entries per ``applicationId``
+  (insertion order; oldest evicted first). Entries from dead
+  applications are dropped opportunistically too.
+- **Unpersist on eviction**: ``DataFrame.localCheckpoint`` persists the
+  underlying RDD at MEMORY_AND_DISK, but the returned Dataset is backed
+  by a ``LogicalRDD`` — ``Dataset.unpersist()`` is a cache-manager
+  no-op for it. The only honest release is via the context's persistent
+  -RDD registry: we snapshot ``JavaSparkContext.getPersistentRDDs()``
+  around the checkpoint call, attribute the newly-persistent RDD ids to
+  the memo entry, and call ``JavaRDD.unpersist(false)`` on exactly
+  those ids when the entry is evicted. Best-effort by design: if the
+  py4j probe fails (API drift, context already stopped) the eviction
+  still happens and only the storage release is skipped.
+- **Serialized builds**: one lock per process. Builds are heavyweight
+  (that is why they are memoized), so serializing them costs nothing
+  and prevents the id-attribution snapshot from racing a concurrent
+  checkpoint in another thread (the catalog profilers run thread pools
+  within a single query).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOCK = threading.RLock()
+
+# RDD ids already attributed to a live memo entry (any memo). Nested
+# memoized builds (_copurchase_components builds on the memoized
+# _edges table) would otherwise double-attribute the inner entry's
+# blocks to the outer entry, and evicting the outer would unpersist
+# blocks the inner still serves — a lost-checkpoint job failure.
+_CLAIMED: set = set()
+
+# how many (applicationId, sf_dir, …) entries each memo keeps per app:
+# the test matrix touches sf0.001/0.01/0.1 plus a couple of tmp dirs.
+DEFAULT_KEEP = 4
+
+
+def _persistent_rdd_ids(sc) -> set:
+    """Snapshot the ids of all persistent RDDs in the context."""
+    out = set()
+    it = sc._jsc.getPersistentRDDs().keySet().iterator()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
+def _unpersist_ids(sc, rdd_ids) -> None:
+    """Release specific persistent RDDs by id (non-blocking)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
+def memoized_checkpoint(
+    memo: dict,
+    spark: SparkSession,
+    key_extra,
+    build: Callable[[], DataFrame],
+    keep: int = DEFAULT_KEEP,
+) -> DataFrame:
+    """Return ``memo``'s entry for ``(applicationId, key_extra)``,
+    building it via ``build().localCheckpoint()`` on first use and
+    evicting (with storage release) beyond ``keep`` entries per app.
+
+    ``build`` must return a NON-checkpointed DataFrame; the checkpoint
+    happens here so the newly-persisted RDD ids can be attributed to
+    the memo entry for later release.
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    key = (app, key_extra)
+    with _LOCK:
+        hit = memo.get(key)
+        if hit is not None:
+            return hit[0]
+        try:
+            before = _persistent_rdd_ids(sc)
+        except Exception:
+            before = None
+        df = build().localCheckpoint()
+        new_ids: set = set()
+        if before is not None:
+            try:
+                new_ids = _persistent_rdd_ids(sc) - before - _CLAIMED
+            except Exception:
+                new_ids = set()
+        _CLAIMED.update(new_ids)
+        memo[key] = (df, new_ids)
+        _evict(memo, sc, app, keep)
+        return df
+
+
+def _evict(memo: dict, sc, app: str, keep: int) -> None:
+    """Drop entries beyond ``keep`` for ``app`` (oldest first) and any
+    entries whose application is not the live one (their context — and
+    with it every checkpointed block — is already gone)."""
+    dead = [k for k in memo if k[0] != app]
+    for k in dead:
+        _df, rdd_ids = memo.pop(k)  # storage died with that context
+        _CLAIMED.difference_update(rdd_ids)
+    mine = [k for k in memo if k[0] == app]
+    while len(mine) > keep:
+        victim = mine.pop(0)  # dicts preserve insertion order
+        _df, rdd_ids = memo.pop(victim)
+        _CLAIMED.difference_update(rdd_ids)
+        try:
+            _unpersist_ids(sc, rdd_ids)
+        except Exception:
+            pass  # best-effort: eviction still bounds the memo

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
+from datalakecrawler_spark.memo import memoized_checkpoint
 from datalakecrawler_spark.registry import register
 
 # Shared oracle prelude: distinct (order, part) pairs -> support-pruned
@@ -104,16 +105,18 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'ed few-thousand-row frame; the key is the Spark
     applicationId (checkpointed RDDs live and die with the
     SparkContext), so a fresh driver process never sees a stale
-    entry."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _EDGE_MEMO.get(key)
-    if hit is not None:
-        return hit
+    entry; bounded + unpersist-on-evict via memo.py (ADVICE r3)."""
+    return memoized_checkpoint(
+        _EDGE_MEMO, spark, sf_dir, lambda: _edges_plan(spark, sf_dir)
+    )
+
+
+def _edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     lp = li.select("l_orderkey", "l_partkey").distinct()
     a = lp.alias("a")
     b = lp.alias("b")
-    out = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -125,10 +128,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
-        .localCheckpoint()
     )
-    _EDGE_MEMO[key] = out
-    return out
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -801,16 +801,13 @@ def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single most expensive stage in the graph family — paying it
     once per checker process instead of per query halves the
     family's driver cost."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _CC_MEMO.get(key)
-    if hit is not None:
-        return hit
-    e = _edges(spark, sf_dir).select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    )
-    out = connected_components_graph(e).localCheckpoint()
-    _CC_MEMO[key] = out
-    return out
+    def build() -> DataFrame:
+        e = _edges(spark, sf_dir).select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst")
+        )
+        return connected_components_graph(e)
+
+    return memoized_checkpoint(_CC_MEMO, spark, sf_dir, build)
 
 
 @register(

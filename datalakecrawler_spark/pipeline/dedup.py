@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
+from datalakecrawler_spark.memo import memoized_checkpoint
 from datalakecrawler_spark.registry import register
 
 _N_HASHES = 64
@@ -289,13 +290,14 @@ def _banded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise every signature consumer pays again. Same memo-safety
     story as _MINHASH_PAIR_MEMO: keyed by (applicationId, sf_dir);
     checkpointed RDDs die with the context, so a fresh driver can
-    never observe a stale entry."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _BANDED_MEMO.get(key)
-    if hit is None:
-        hit = _band_signatures(_eligible_shingled(spark, sf_dir)).localCheckpoint()
-        _BANDED_MEMO[key] = hit
-    return hit
+    never observe a stale entry; the memo itself is bounded (keep-last-4
+    per app, evicted entries unpersisted — see memo.py, ADVICE r3)."""
+    return memoized_checkpoint(
+        _BANDED_MEMO,
+        spark,
+        sf_dir,
+        lambda: _band_signatures(_eligible_shingled(spark, sf_dir)),
+    )
 
 
 @register(
@@ -325,10 +327,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     once instead of four times. The memo holds a localCheckpoint'ed
     few-row pair frame; checkpointed RDDs die with the context, so a
     fresh driver never sees a stale entry."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _MINHASH_PAIR_MEMO.get(key)
-    if hit is not None:
-        return hit
+    return memoized_checkpoint(
+        _MINHASH_PAIR_MEMO, spark, sf_dir, lambda: _minhash_pairs_plan(spark, sf_dir)
+    )
+
+
+def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed MinHash-LSH verified-pair plan (see caller)."""
     sh = _eligible_shingled(spark, sf_dir)
     # Materialized signatures (memoized checkpoint): the band self-join
     # references this subtree from both sides, and without the
@@ -351,16 +356,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter * 1.0 / union
-    out = (
+    return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .where(jac >= _TAU)
         .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint()
     )
-    _MINHASH_PAIR_MEMO[key] = out
-    return out
 
 
 @register(
@@ -539,7 +541,9 @@ def _prefix_filter_pairs(g: DataFrame, tau: float) -> DataFrame:
     Verify stage mechanics (the cost center when the corpus is gram-
     dense and the prefix filter prunes little): grams are relabeled to
     distinct int64 ids — monotonically_increasing_id over the distinct-
-    gram table, unique by construction, NO global-window funnel, and
+    gram table, unique by construction, NO global-window funnel, FROZEN
+    by a localCheckpoint so every consumer branch sees one labeling
+    (mid is order-nondeterministic after a shuffle), and
     intersection counts are relabel-invariant so exactness is
     untouched — then |A∩B| runs array_intersect on int arrays (no
     string hashing) and |A∪B| = n_a + n_b − |A∩B| from the already-
@@ -554,9 +558,20 @@ def _prefix_filter_pairs(g: DataFrame, tau: float) -> DataFrame:
     at corpus scale."""
     flat = g.select("doc_id", "n", F.explode("grams").alias("gram"))
     dfreq = flat.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # The gid labeling MUST be materialized: monotonically_increasing_id
+    # after a shuffle is nondeterministic in post-shuffle row order, and
+    # flat_id feeds four plan branches (both candidate-join sides, both
+    # verify array tables). Without the checkpoint, an AQE replan or a
+    # recomputed shuffle stage could hand the same gram different gids
+    # on different branches, silently corrupting the gid equi-join
+    # (ADVICE r3, medium). The distinct-gram table is vocabulary-sized
+    # (≪ corpus), so freezing it is cheap; a deterministic
+    # xxhash64(gram) gid would avoid the materialization but admits
+    # birthday collisions (expected >1 at ~10^10 grams), which would
+    # break the pinned exactness — frozen labels are exact at any scale.
     ids = dfreq.select(
         "gram", "df", F.monotonically_increasing_id().alias("gid")
-    )
+    ).localCheckpoint()
     flat_id = flat.join(ids, "gram")
     w = W.partitionBy("doc_id").orderBy("df", "gram")
     prefix = (

@@ -27,6 +27,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
+from datalakecrawler_spark.memo import memoized_checkpoint
 from datalakecrawler_spark.registry import register
 
 _PAIR_TAU = 0.4  # measured sf0.01 max pairwise sim ≈ 0.513 → small result
@@ -239,11 +240,14 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table (the stored coarse quantizer of a production ANN
     index), and the decimal-sum explode is the expensive part of each.
     Checkpointed RDDs die with the context — a fresh driver can never
-    observe a stale entry."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _CENTROID_MEMO.get(key)
-    if hit is not None:
-        return hit
+    observe a stale entry; the memo is bounded with unpersist-on-evict
+    (memo.py, ADVICE r3)."""
+    return memoized_checkpoint(
+        _CENTROID_MEMO, spark, sf_dir, lambda: _label_centroids_plan(spark, sf_dir)
+    )
+
+
+def _label_centroids_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     flat = e.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent = flat.groupBy("label", "pos").agg(
@@ -252,18 +256,12 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cv")
     )
-    out = (
-        cent.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s.cv,
-            ).alias("cvec")
-        )
-        .localCheckpoint()
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s.cv,
+        ).alias("cvec")
     )
-    _CENTROID_MEMO[key] = out
-    return out
 
 
 _IVF_MEMO: dict = {}
@@ -278,10 +276,12 @@ def _ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries and tuning sweeps follow. The assignment pass is _spread
     first — nlist 64-dim dots per vector is compute-dense and must not
     run in one byte-sized scan partition."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _IVF_MEMO.get(key)
-    if hit is not None:
-        return hit
+    return memoized_checkpoint(
+        _IVF_MEMO, spark, sf_dir, lambda: _ivf_bucketed_plan(spark, sf_dir)
+    )
+
+
+def _ivf_bucketed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalakecrawler_spark.pipeline.dedup import _spread
 
     e = _spread(
@@ -292,7 +292,7 @@ def _ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("c_label"), "cvec"
     )
     w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "c_label")
-    out = (
+    return (
         e.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
@@ -303,10 +303,7 @@ def _ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("vec_id", "embedding", F.col("c_label").alias("bucket"))
-        .localCheckpoint()
     )
-    _IVF_MEMO[key] = out
-    return out
 
 
 _CENTROID_SQL = """

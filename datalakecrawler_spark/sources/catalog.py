@@ -477,13 +477,20 @@ def catalog_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=len(cols)) as ex:
         by_col = dict(ex.map(probe_col, cols))
 
+    def round4_half_away(x: float) -> float:
+        # Python round() is half-to-even; the oracle's round() (and
+        # Spark's F.round) are half-away-from-zero. A value landing on
+        # an exact half at 1e-4 would hash-diverge under banker's
+        # rounding (ADVICE r3, low) — round the way the oracle does.
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+
     rows = []
     for c in cols:
         got = by_col[c]
         row = {"column_name": c}
         for tag, (lo, hi, frac) in spec.items():
             v_lo, v_hi = got[lo], got[hi]
-            row[tag] = round(v_lo + frac * (v_hi - v_lo), 4)
+            row[tag] = round4_half_away(v_lo + frac * (v_hi - v_lo))
         rows.append(Row(**row))
     return spark.createDataFrame(rows)
 
