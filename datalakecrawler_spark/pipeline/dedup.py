@@ -19,6 +19,8 @@ cross-engine keys).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -332,9 +334,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The un-checkpointed MinHash-LSH verified-pair plan (see caller)."""
-    sh = _eligible_shingled(spark, sf_dir)
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket candidate pairs (pre-verify) — the shuffle-volume
+    driver of the MinHash family and the SCALING.md growth probe."""
     # Materialized signatures (memoized checkpoint): the band self-join
     # references this subtree from both sides, and without the
     # checkpoint Catalyst plans two independent signature passes
@@ -342,15 +344,20 @@ def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature table before joining it to itself" — standard LSH
     # practice; see _banded_corpus.
     banded = _banded_corpus(spark, sf_dir)
-
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    cand = (
+    return (
         left.join(right, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed MinHash-LSH verified-pair plan (see caller)."""
+    sh = _eligible_shingled(spark, sf_dir)
+    cand = _minhash_candidates(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -647,11 +654,16 @@ _RPLSH_DOT = (
     "dedup_embedding_rplsh",
     group="J",
     oracle=f"""
-    with planes as (
+    with params as (
+      select greatest(6, cast(ceil(log2(count(*) / 8.0)) as integer)) as nb
+      from embeddings
+    ),
+    planes as (
       select tt.t, jj.j, dd.d,
              cast(('0x' || substr(md5('rp|' || tt.t || '|' || jj.j || '|' || dd.d), 1, 8))
                   as bigint) / 4294967296.0 - 0.5 as w
-      from range(16) tt(t), range(6) jj(j), range(64) dd(d)
+      from range(16) tt(t), range(40) jj(j), range(64) dd(d), params p
+      where jj.j < p.nb
     ),
     flat as (
       select vec_id,
@@ -699,7 +711,38 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reproduced by the DuckDB twin from the same formula. Shuffle
     cost is linear: 16 signature keys per vector instead of N² pairs.
     """
-    n_tables, n_bits, dim, tau = 16, 6, 64, 0.4
+    tau = 0.4
+    keyed = _rplsh_keyed(spark, sf_dir)
+    cand = _rplsh_candidates(keyed)
+    dot_ab = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("sim", F.round(dot_ab, 6))
+        .where(F.col("sim") >= tau)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def _rplsh_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RP-LSH signature table (vec_id, embedding, sig) — 16 keys
+    per vector, localCheckpoint'ed (it feeds both self-join sides).
+
+    The signature width ADAPTS to corpus size: n_bits =
+    max(6, ⌈log2(N/8)⌉), i.e. ~8 vectors per bucket regardless of N.
+    A FIXED width makes candidate pairs grow as N²·T·2^-b (quadratic
+    with a small constant — the same asymptote class the r3
+    Fellegi–Sunter blocking was flagged for); constant occupancy makes
+    them ~N·T·occ/2 — linear. The DuckDB oracle computes the identical
+    width from the identical count (params CTE), so signatures stay
+    bit-matched at every scale factor; at sf0.001/0.01 the formula
+    yields the historical 6 bits, so prior-round hashes are unchanged.
+    The count() is a parquet-metadata read, not a scan."""
+    n_tables, dim = 16, 64
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    n_bits = max(6, math.ceil(math.log2(n_vecs / 8.0)))
     planes = _rp_planes(n_tables, n_bits, dim)
 
     # The 16×6 plane projections are computed as a SPARSE MATMUL BY
@@ -764,25 +807,23 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # checkpoint: the signature table feeds both sides of the
     # self-join — materialize the plane projections once.
-    keyed = sig.join(e, "vec_id").localCheckpoint()
+    return sig.join(e, "vec_id").localCheckpoint()
+
+
+def _rplsh_candidates(keyed: DataFrame) -> DataFrame:
+    """Signature-bucket candidate pairs (pre-verify) from the keyed
+    (vec_id, embedding, sig) table — the SCALING.md growth probe for
+    the RP-LSH family."""
     a = keyed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "sig"
     )
     b = keyed.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "sig"
     )
-    dot_ab = F.aggregate(
-        F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return (
         a.join(b, "sig")
         .where(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("sim", F.round(dot_ab, 6))
-        .where(F.col("sim") >= tau)
-        .select("vec_a", "vec_b", "sim")
     )
 
 
@@ -1838,15 +1879,19 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_fellegi_sunter",
     group="J",
     oracle="""
-    with pairs as (
+    with r as (
+      select c_custkey, c_mktsegment, c_acctbal, c_name,
+             row_number() over (order by c_acctbal, c_custkey) as rn
+      from customer
+    ),
+    pairs as (
       select a.c_custkey as id_a, b.c_custkey as id_b,
              cast(a.c_mktsegment = b.c_mktsegment as integer) as agr_segment,
              cast(floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
                   as integer) as agr_balband,
              cast(length(a.c_name) = length(b.c_name) as integer) as agr_namelen,
              cast(sign(a.c_acctbal) = sign(b.c_acctbal) as integer) as agr_balsign
-      from customer a join customer b
-        on a.c_nationkey = b.c_nationkey and a.c_custkey < b.c_custkey
+      from r a join r b on b.rn between a.rn + 1 and a.rn + 9
     ),
     scored as (
       select id_a, id_b,
@@ -1869,32 +1914,34 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage (Fellegi–Sunter 1969, public
-    method): candidate pairs are generated only WITHIN nation blocks
-    (an equi self-join — never the O(N²) cross product; at 100 TB the
-    block key comes from a cheap blocking function exactly like the
-    LSH bands in dedup_near_minhash), each pair gets an
-    agreement vector over four comparator fields, and each field
-    contributes log2(m/u) on agreement / log2((1−m)/(1−u)) on
-    disagreement with fixed published-style m/u priors. The result is
+    method) with SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo,
+    SIGMOD 1995): records are ranked by the blocking sort key
+    (c_acctbal, c_custkey — total order, tie-free) and each record is
+    compared only to its next w−1 = 9 neighbors in rank order, so the
+    candidate count is exactly ~N·(w−1) — LINEAR in data size. This
+    replaces the r3 nation-block equi-join, whose 25 fixed blocks made
+    candidates grow quadratically (VERDICT r3 "What's wrong" §1; any
+    fixed-cardinality attribute block has the same asymptote).
+
+    Scale shape: the global rank is NOT a single-partition window — it
+    is range-partition (repartitionByRange on the sort key) →
+    per-partition row_number → plus cumulative per-partition offsets
+    (a ≤#partitions-row collect, the distributed zipWithIndex shape).
+    Rank = local rank + offset is exact for ANY boundary placement
+    because range partitions are disjoint and ordered. Candidate
+    generation is an explode of the 9 rank offsets + an equi-join on
+    rn — no range join, no skew (every rank key is unique). Each pair
+    gets an agreement vector over four comparator fields, each
+    contributing log2(m/u) on agreement / log2((1−m)/(1−u)) on
+    disagreement with fixed published-style m/u priors; the result is
     the match-score histogram with the θ≥3 candidate flag — the
-    decision curve an ER pipeline thresholds. All comparators are
-    codegen'd expressions; one shuffle for the block join, one for the
-    histogram."""
-    c = load(spark, sf_dir, "customer")
-    a = c.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_mktsegment").alias("seg_a"),
-        F.col("c_acctbal").alias("bal_a"),
-        F.length("c_name").alias("nlen_a"),
-    )
-    b = c.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_mktsegment").alias("seg_b"),
-        F.col("c_acctbal").alias("bal_b"),
-        F.length("c_name").alias("nlen_b"),
-    )
+    decision curve an ER pipeline thresholds. In production SNM runs
+    several passes with different sort keys (name phonetics, address)
+    and unions the candidates; one pass is registered here and the
+    oracle mirrors it exactly (row_number over the same total order).
+    """
+    pairs = _snm_candidate_pairs(spark, sf_dir)
+
     # log2(m/u) agreement / log2((1-m)/(1-u)) disagreement weights,
     # pre-rounded to 6 decimals and used as the SAME literals in the
     # oracle SQL — libm log2 can differ across engines by an ulp, a
@@ -1902,7 +1949,6 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     def w(agree, on: float, off: float):
         return F.when(agree, F.lit(on)).otherwise(F.lit(off))
 
-    pairs = a.join(b, "nk").where(F.col("id_a") < F.col("id_b"))
     score = F.round(
         w(F.col("seg_a") == F.col("seg_b"), 2.169925, -3.0)
         + w(
@@ -1924,6 +1970,67 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score") >= 3.0).cast("int").alias("is_match_candidate"),
         )
     )
+
+
+def _snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sorted-neighborhood candidate generator for
+    dedup_fellegi_sunter (and the SCALING.md growth probe): attribute
+    pairs for each record vs its next w−1 rank neighbors. Exactly
+    ~N·(w−1) rows — linear in data."""
+    w_win = 10  # SNM window: compare to the next w-1 = 9 neighbors
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal", F.length("c_name").alias("nlen")
+    )
+    # --- distributed global rank over (c_acctbal, c_custkey) ---------
+    # localCheckpoint freezes the partition layout so the offset
+    # collect and the two join branches all see one assignment (same
+    # determinism discipline as _prefix_filter_pairs' gid table).
+    part = (
+        c.repartitionByRange(32, "c_acctbal", "c_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lrn",
+            F.row_number().over(
+                W.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+            ),
+        )
+        .localCheckpoint()
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in part.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(sizes):
+        offs.append((pid, acc))
+        acc += sizes[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offs, "pid int, off long")
+    )
+    ranked = part.join(off_df, "pid").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "nlen",
+        (F.col("lrn") + F.col("off")).alias("rn"),
+    )
+    a = ranked.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.col("nlen").alias("nlen_a"),
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(i) for i in range(1, w_win)])
+        ).alias("rn_b"),
+    )
+    b = ranked.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.col("nlen").alias("nlen_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return a.join(b, "rn_b")
 
 
 @register(

@@ -154,6 +154,20 @@ def sim_pairwise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian. Fixture labels stand in for the k-means cells (10
     buckets; radii are wide at sf scale, so pruning is modest here —
     the pytest parity gate proves output identity, not speed)."""
+    sim = F.round(dot("e_a", "e_b"), 6)
+    return (
+        _ivf_prune_candidates(spark, sf_dir)
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= _PAIR_TAU)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def _ivf_prune_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucket-pair candidate pairs (pre-verify) for
+    sim_pairwise_dups — steps 1-4 of the plan described there, up to
+    but not including the exact-dot verify; also the SCALING.md
+    candidate-growth probe for the IVF pruning family."""
     from datalakecrawler_spark.pipeline.dedup import _spread
 
     # _spread: the centroid-assignment pass does nlist 64-dim dots per
@@ -217,14 +231,10 @@ def sim_pairwise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("e_b"),
     )
-    sim = F.round(dot("e_a", "e_b"), 6)
     return (
         a.join(F.broadcast(grid), "ba")
         .join(b, "bb")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", sim)
-        .where(F.col("sim") >= _PAIR_TAU)
-        .select("vec_a", "vec_b", "sim")
     )
 
 
