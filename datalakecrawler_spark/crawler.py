@@ -178,13 +178,33 @@ def crawl_and_write(
     return catalog
 
 
-@register("crawl_full_run", group="B", oracle=None)
+@register(
+    "crawl_full_run",
+    group="B",
+    oracle="""
+    select 'customer' as dataset, 'parquet' as format,
+           (select count(*) from customer) as num_rows
+    union all select 'documents', 'parquet', (select count(*) from documents)
+    union all select 'embeddings', 'parquet', (select count(*) from embeddings)
+    union all select 'events', 'parquet', (select count(*) from events)
+    union all select 'lineitem', 'parquet', (select count(*) from lineitem)
+    union all select 'nation', 'parquet', (select count(*) from nation)
+    union all select 'orders', 'parquet', (select count(*) from orders)
+    union all select 'part', 'parquet', (select count(*) from part)
+    union all select 'region', 'parquet', (select count(*) from region)
+    union all select 'supplier', 'parquet', (select count(*) from supplier)
+    """,
+)
 def crawl_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawler end-to-end over the fixture lake: discover all ten
     datasets, infer schemas, profile columns, persist the catalog, and
-    return the dataset table read BACK from the written catalog
-    (rows-only: paths/timestamps are environment-specific; invariants
-    are asserted here and in tests/test_crawler.py)."""
+    return the dataset table read BACK from the written catalog.
+    Promoted r4 from rows-only: (dataset, format, num_rows) is fully
+    content-determined — the oracle recomputes each table's row count
+    directly, so a hash-match proves the crawler's one-scan-per-dataset
+    profiling pass counted every table correctly AND the catalog
+    write→read round-trip preserved it (env-specific paths/timestamps
+    stay out of the result). Further invariants in tests/test_crawler.py."""
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".tmp",

@@ -20,7 +20,7 @@ import os
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
@@ -222,14 +222,28 @@ def catalog_crawl_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(o).unionByName(li).unionByName(d)
 
 
-@register("sink_compact", group="A", oracle=None)
+@register(
+    "sink_compact",
+    group="A",
+    oracle="""
+    select count(*) as n_rows,
+           cast(32 as integer) as files_before,
+           cast(2 as integer) as files_after
+    from orders
+    """,
+)
 def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: small-files compaction — the lake-maintenance operator.
     Stage orders as 32 small files (the pathological layout produced by
     over-parallel writers), compact to 2 with a shuffle-free coalesce,
     verify row preservation. At 100 TB this runs per-partition-dir with
     target_size/maxPartitionBytes sizing; coalesce (not repartition)
-    keeps it a narrow, no-shuffle rewrite."""
+    keeps it a narrow, no-shuffle rewrite.
+
+    Promoted r4 from rows-only: the layout outcome is deterministic —
+    repartition(32) writes exactly 32 non-empty part files, coalesce(2)
+    exactly 2 — and n_rows is re-counted from the compacted files, so
+    the oracle pins both row preservation and the file-count contract."""
     small = _tmp("orders_small_files")
     compacted = _tmp("orders_compacted")
     src = load(spark, sf_dir, "orders")
@@ -248,7 +262,15 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_binary_files", group="A", oracle=None)
+@register(
+    "scan_binary_files",
+    group="A",
+    oracle="""
+    select cast(10 as bigint) as n_files,
+           cast(1 as integer) as sizes_match_os,
+           cast(1 as integer) as all_nonempty
+    """,
+)
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: binary-file ingest — the multimodal on-ramp. Spark's
     binaryFile source lists files distributed and exposes (path,
@@ -256,17 +278,27 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine here before the mm_* decode/feature UDFs. Selecting only
     path+length prunes the content column so the files are NOT read —
     listing-only metadata pass, which is what a 100 TB crawl does first.
-    Rows-only (mtimes are environment-specific); pytest checks sizes
-    against the filesystem."""
+
+    Promoted r4 from rows-only (verdict-boolean pattern): absolute
+    byte totals are environment-specific, so the result carries the
+    CHECKS instead — the listing must see exactly the 10 fixture
+    tables, every listed length must equal the size an independent
+    os.stat reports, and every file must be non-empty. The oracle pins
+    the verdicts as literals; pytest additionally reconciles the raw
+    listing."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(sf_dir)
     )
-    return files.select("path", "length").agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum("length").alias("total_bytes"),
-        F.max("length").alias("max_bytes"),
+    listed = [
+        (r["path"].removeprefix("file:"), r["length"])
+        for r in files.select("path", "length").collect()
+    ]
+    sizes_ok = all(os.path.getsize(p) == n for p, n in listed)
+    return spark.createDataFrame(
+        [(len(listed), int(sizes_ok), int(all(n > 0 for _, n in listed)))],
+        "n_files long, sizes_match_os int, all_nonempty int",
     )
 
 
@@ -328,9 +360,20 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("crawl_incremental", group="B", oracle=None)
+@register(
+    "crawl_incremental",
+    group="B",
+    oracle="""
+    select cast(1 as bigint) as n_new_files,
+           cast(1 as bigint) as n_expected_new
+    """,
+)
 def crawl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B-ext: incremental crawl by modification-time high-watermark —
+    """(Promoted r4 from rows-only: the staged outcome is fully
+    deterministic — exactly ONE file is newer than the watermark and it
+    is the planted one — so the oracle states it as literals.)
+
+    B-ext: incremental crawl by modification-time high-watermark —
     the crawler primitive that makes re-crawling a 100 TB lake cheap:
     list files (metadata only, no reads), keep max(modificationTime)
     from the previous run, and re-profile only files newer than it.
@@ -509,7 +552,16 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("crawl_format_detect", group="B", oracle=None)
+@register(
+    "crawl_format_detect",
+    group="B",
+    oracle="""
+    select 'parquet' as detected_format, cast(1 as bigint) as n_files
+    union all select 'orc', 1
+    union all select 'json', 1
+    union all select 'delimited', 1
+    """,
+)
 def crawl_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-ext: content-based format detection — a crawler must classify
     files that lie about (or lack) an extension before it can pick a
@@ -519,8 +571,9 @@ def crawl_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas UDF: `PAR1` → parquet, `ORC` → orc, a `{`/`[` lead → JSON,
     else delimited text. At 100 TB that is one 8-byte ranged GET per
     object distributed over executors — never a full scan, never a
-    driver loop. Rows-only: paths/format mix are environment-specific;
-    pytest asserts each planted format is classified correctly."""
+    driver loop. Promoted r4 from rows-only: one file of each format is
+    planted (coalesce(1)), so the classification histogram is exactly
+    one file per format and the oracle states it as literals."""
 
     # Plant one file of each format (extension deliberately unhelpful).
     root = _tmp("format_detect")
@@ -767,31 +820,61 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_compression_codecs", group="A", oracle=None)
+@register(
+    "sink_compression_codecs",
+    group="A",
+    oracle="""
+    select 'snappy' as codec, count(*) as n_rows,
+           cast(1 as integer) as readback_ok,
+           cast(1 as integer) as compresses
+    from documents
+    union all
+    select 'zstd', count(*), 1, 1 from documents
+    union all
+    select 'none', count(*), 1, 1 from documents
+    """,
+)
 def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: storage-codec comparison — the same dataset written with
     snappy / zstd / uncompressed parquet, re-read for fidelity, with
-    on-disk bytes reported per codec (the crawler's storage-tuning
-    signal; zstd typically wins at rest, snappy on CPU). Sizes are
-    environment-dependent → rows-only; the row-count fidelity assert is
-    the hard check."""
+    on-disk bytes measured per codec (the crawler's storage-tuning
+    signal; zstd typically wins at rest, snappy on CPU).
+
+    Promoted r4 from rows-only (verdict-boolean pattern): absolute
+    byte counts are environment-dependent, so the result carries the
+    row-count (content check, oracle-recomputed from the source table)
+    plus two measured verdicts — the re-read returned every row, and
+    each compressed codec produced strictly fewer bytes than the
+    uncompressed write ('none' reports its trivially-true baseline).
+    Text documents compress several-fold, so the strict inequality is
+    robust at any sf."""
     import os
 
     src = load(spark, sf_dir, "documents")
     n_src = src.count()
-    rows = []
+    measured = {}
     for codec in ("snappy", "zstd", "none"):
         path = _tmp(f"docs_codec_{codec}")
         src.write.mode("overwrite").option("compression", codec).parquet(path)
         n_back = spark.read.parquet(path).count()
-        assert n_back == n_src, (codec, n_back, n_src)
         nbytes = sum(
             os.path.getsize(os.path.join(path, f))
             for f in os.listdir(path)
             if f.endswith(".parquet")
         )
-        rows.append((codec, n_back, nbytes))
-    return spark.createDataFrame(rows, "codec string, n_rows long, bytes long")
+        measured[codec] = (n_back, nbytes)
+    rows = [
+        (
+            codec,
+            measured[codec][0],
+            int(measured[codec][0] == n_src),
+            int(codec == "none" or measured[codec][1] < measured["none"][1]),
+        )
+        for codec in ("snappy", "zstd", "none")
+    ]
+    return spark.createDataFrame(
+        rows, "codec string, n_rows long, readback_ok int, compresses int"
+    )
 
 
 @register(
@@ -916,18 +999,36 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_sorted_layout", group="A", oracle=None)
+@register(
+    "sink_sorted_layout",
+    group="A",
+    oracle="""
+    select count(*) as n_rows,
+           cast(4 as bigint) as n_files,
+           cast(1 as integer) as spans_disjoint,
+           min(l_shipdate) as min_shipdate,
+           max(l_shipdate) as max_shipdate
+    from lineitem
+    """,
+)
 def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A-ext (rows-only: output keyed by env-specific file names) —
-    range-partitioned sorted write: `repartitionByRange(l_shipdate)` +
-    `sortWithinPartitions` before the Parquet write produces files with
-    DISJOINT shipdate ranges, so a date-filtered read prunes whole
-    files from their footer min/max alone (the 1-D complement of
-    layout_zorder_cluster). The read-back reports each file's row count
-    and shipdate span; tests assert the spans do not overlap. At
-    100 TB this is the standard time-series layout: range partitioner
-    samples the key distribution, so files are size-balanced even when
-    the key is skewed."""
+    """A-ext: range-partitioned sorted write —
+    `repartitionByRange(l_shipdate)` + `sortWithinPartitions` before
+    the Parquet write produces files with DISJOINT shipdate ranges, so
+    a date-filtered read prunes whole files from their footer min/max
+    alone (the 1-D complement of layout_zorder_cluster). At 100 TB this
+    is the standard time-series layout: the range partitioner samples
+    the key distribution, so files are size-balanced even when the key
+    is skewed.
+
+    Promoted r4 from rows-only (verdict-boolean pattern): per-file rows
+    are keyed by env-specific file names and the range boundaries are
+    sampler-chosen, so the result carries what IS deterministic — total
+    rows and the global span (content, oracle-recomputed from the
+    source), the file count (4 non-empty range partitions), and the
+    measured disjointness verdict: sorted by min_shipdate, every file's
+    min must be strictly after the previous file's max (computed with a
+    window lag over the per-file span table)."""
     path = _tmp("lineitem_sorted_by_shipdate")
     li = load(spark, sf_dir, "lineitem")
     (
@@ -939,18 +1040,37 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path).select(
         F.input_file_name().alias("file"), "l_shipdate"
     )
+    spans = back.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+    w = Window.orderBy("min_shipdate")
     return (
-        back.groupBy("file")
+        spans.withColumn("prev_max", F.lag("max_shipdate").over(w))
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("l_shipdate").alias("min_shipdate"),
-            F.max("l_shipdate").alias("max_shipdate"),
+            F.sum("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.min(
+                (
+                    F.col("prev_max").isNull()
+                    | (F.col("min_shipdate") > F.col("prev_max"))
+                ).cast("int")
+            ).alias("spans_disjoint"),
+            F.min("min_shipdate").alias("min_shipdate"),
+            F.max("max_shipdate").alias("max_shipdate"),
         )
-        .orderBy("min_shipdate")
     )
 
 
-@register("source_python_datasource", group="A", oracle=None)
+@register(
+    "source_python_datasource",
+    group="A",
+    oracle="""
+    select 'parquet' as ext, cast(10 as bigint) as n_files,
+           cast(1 as integer) as bytes_match_os
+    """,
+)
 def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: the crawler's file-inventory source built on Spark 4's
     Python Data Source API (`spark.read.format("lakefiles")`) — the
@@ -959,21 +1079,45 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors via the DataSource partitions()/read() contract (a real
     object-store crawler shards its LIST calls exactly like this;
     the driver never walks the tree). Summarized per extension so the
-    contract row set is stable. Rows-only: filesystem listing has no
-    DuckDB twin; the property test reconciles against a direct
-    os.walk of the same root."""
+    contract row set is stable.
+
+    Promoted r4 from rows-only (verdict-boolean pattern): absolute
+    byte totals are env-specific, so per-extension rows carry the
+    file count plus a measured verdict — the parallel-listed sizes must
+    sum to exactly what an independent os.walk of the same root
+    reports. The property test additionally reconciles the raw listing
+    path-by-path."""
     from datalakecrawler_spark.sources.connectors import register_lakefiles
 
     if not register_lakefiles(spark):  # pragma: no cover - Spark < 4
         raise NotImplementedError("Python DataSource API requires Spark 4")
     inv = spark.read.format("lakefiles").option("path", sf_dir).load()
-    return (
+    per_ext = (
         inv.groupBy("ext")
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.sum("size_bytes").alias("total_bytes"),
         )
         .orderBy("ext")
+        .collect()
+    )
+    truth = {}
+    for root, _dirs, fs in os.walk(sf_dir):
+        for f in fs:
+            ext = os.path.splitext(f)[1].lstrip(".")
+            sz = os.path.getsize(os.path.join(root, f))
+            n, b = truth.get(ext, (0, 0))
+            truth[ext] = (n + 1, b + sz)
+    rows = [
+        (
+            r["ext"],
+            r["n_files"],
+            int(truth.get(r["ext"], (0, 0)) == (r["n_files"], r["total_bytes"])),
+        )
+        for r in per_ext
+    ]
+    return spark.createDataFrame(
+        rows, "ext string, n_files long, bytes_match_os int"
     )
 
 
@@ -1009,7 +1153,18 @@ def scan_xml_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("r_regionkey", "r_name").orderBy("r_regionkey")
 
 
-@register("crawl_rename_detect", group="B", oracle=None)
+@register(
+    "crawl_rename_detect",
+    group="B",
+    oracle="""
+    select 'stable.csv' as name_v1, 'stable.csv' as name_v2,
+           'unchanged' as change
+    union all
+    select 'oldname.csv', 'newname.csv', 'renamed'
+    union all
+    select cast(null as varchar), 'brandnew.csv', 'added'
+    """,
+)
 def crawl_rename_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler rename detection: between two crawl listings, a file
     whose content hash matches but whose path changed is a RENAME, not
@@ -1019,8 +1174,9 @@ def crawl_rename_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     and full-outer-joins on content md5: matched-both-sides+path-diff →
     renamed; right-only → added; left-only → deleted. The hash join is
     the only shuffle; content hashing streams file bytes on executors
-    (binaryFile source), never the driver. Rows-only: staging paths
-    are env-specific; the classification set is asserted here."""
+    (binaryFile source), never the driver. Promoted r4 from rows-only:
+    the result drops to basenames, so the classification triple set is
+    fully deterministic and the oracle states it as literals."""
     import os
     import shutil
 
@@ -1065,7 +1221,17 @@ def crawl_rename_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("name_v1", "name_v2", "change")
 
 
-@register("crawl_duplicate_files", group="B", oracle=None)
+@register(
+    "crawl_duplicate_files",
+    group="B",
+    oracle="""
+    select 'metrics.csv' as keeper, cast(2 as bigint) as n_copies,
+           cast(21 as bigint) as file_bytes,
+           cast(21 as bigint) as reclaimable_bytes
+    union all
+    select 'users.csv', 1, 20, 0
+    """,
+)
 def crawl_duplicate_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler FILE-level dedup: find byte-identical files under
     different paths — the storage-reclamation / copy-detection pass a
@@ -1080,8 +1246,10 @@ def crawl_duplicate_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the content hash comes from the object store's ETag /
     a first-MB fingerprint instead of a full read, and the rollup
     shuffles 32-byte digests — the same linear shape as dedup_exact.
-    Rows-only: staging paths are env-specific; invariants asserted
-    here (exactly one dup group, reclaimable == duplicated size)."""
+    Promoted r4 from rows-only: keeper basenames, copy counts, and
+    byte sizes of the staged content are fully deterministic, so the
+    oracle states the expected rollup as literals (metrics.csv = 21
+    staged bytes × 2 copies → 21 reclaimable; users.csv unique)."""
     import os
     import shutil
 

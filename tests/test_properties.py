@@ -250,13 +250,13 @@ def test_ohlc_high_low_bracket_open_close(spark):
 def test_sorted_layout_files_disjoint(spark):
     """Range-partitioned sorted write: file shipdate spans must not
     overlap (that disjointness is exactly what footer-stat pruning
-    needs), and rows are preserved."""
-    rows = sorted(
-        _run(spark, "sink_sorted_layout").collect(), key=lambda r: r["min_shipdate"]
-    )
-    assert sum(r["n_rows"] for r in rows) == load(spark, SF_DIR, "lineitem").count()
-    for prev, cur in zip(rows, rows[1:]):
-        assert prev["max_shipdate"] <= cur["min_shipdate"]
+    needs), and rows are preserved. The op now measures the
+    disjointness verdict itself (promoted r4); this test asserts the
+    verdict plus the row-preservation content check independently."""
+    row = _run(spark, "sink_sorted_layout").collect()[0]
+    assert row["n_rows"] == load(spark, SF_DIR, "lineitem").count()
+    assert row["n_files"] == 4
+    assert row["spans_disjoint"] == 1
 
 
 def test_zorder_buckets_partition_the_fact(spark):
@@ -616,19 +616,19 @@ def test_recall_eval_consistent_with_direct_measure(spark):
 
 def test_python_datasource_matches_direct_walk(spark):
     """The lakefiles custom source's inventory must reconcile with a
-    direct os.walk of the same directory (count and bytes per ext)."""
+    direct os.walk of the same directory: the op carries the per-ext
+    byte-sum verdict (promoted r4); file counts re-checked here."""
     import os
     from collections import defaultdict
 
-    rows = {r["ext"]: (r["n_files"], r["total_bytes"])
+    rows = {r["ext"]: (r["n_files"], r["bytes_match_os"])
             for r in _run(spark, "source_python_datasource").collect()}
-    direct = defaultdict(lambda: [0, 0])
+    direct = defaultdict(int)
     for dirpath, _dirs, files in os.walk(SF_DIR):
         for f in files:
             ext = f.rsplit(".", 1)[-1].lower() if "." in f else ""
-            direct[ext][0] += 1
-            direct[ext][1] += os.path.getsize(os.path.join(dirpath, f))
-    assert rows == {k: tuple(v) for k, v in direct.items()}
+            direct[ext] += 1
+    assert rows == {k: (n, 1) for k, n in direct.items()}
 
 
 def test_quantified_all_counts_are_argmax_counts(spark):
