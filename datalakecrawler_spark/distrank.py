@@ -1,0 +1,213 @@
+"""Distributed exact global ranks / prefix sums — the single-partition
+window killer.
+
+``row_number().over(Window.orderBy(...))`` (no partitionBy) funnels the
+whole frame through ONE task: correct, and fine for calendar-bounded
+frames (per-day/per-month rollups), but a 1000-executor death sentence
+for any frame that grows with the data (fact rows, customer/user/part
+grain, high-cardinality distinct values). This module provides the
+exact distributed equivalent, factored out of the sorted-neighborhood
+rank in ``pipeline/dedup.py`` (``_snm_candidate_pairs``):
+
+    range-partition on the order key → per-partition local rank /
+    cumulative sum → add per-partition offsets (a ≤#partitions-row
+    collect — the distributed zipWithIndex shape).
+
+Rank = local rank + offset is exact for ANY boundary placement because
+range partitions are disjoint and ordered; the result is bit-identical
+to the single-partition window, so converting a call site can never
+change an oracle hash. The input layout is frozen with localCheckpoint
+so the offset collect and every consumer branch see one assignment
+(same determinism discipline as the SNM rank and the prefix-filter gid
+table).
+
+``order_cols`` must be a TIE-FREE total order (append a unique key —
+every call site here has one). For tied/rank() semantics, rank at the
+distinct-value grain (groupBy value → count → exclusive global cumsum
+→ 2·avg-rank = 2·cum_before + cnt + 1) and join back — the
+rank-map pattern of ``stats_spearman_corr``.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_NPART = 32
+
+
+def _with_partition_layout(df: DataFrame, order_cols: list) -> DataFrame:
+    """Range-partition by the order key, stamp the partition id, and
+    freeze the layout (see module doc)."""
+    return (
+        df.repartitionByRange(_NPART, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+
+def with_global_row_number(
+    df: DataFrame,
+    spark: SparkSession,
+    order_cols: list,
+    out: str = "rn",
+    with_total: str | None = None,
+) -> DataFrame:
+    """Exact global ``row_number() over (order by *order_cols)`` as a
+    distributed plan. ``order_cols`` must be tie-free. When
+    ``with_total`` is given, a column holding the total row count is
+    added too (free — it is the last partition offset), replacing the
+    ``count().over(Window.partitionBy())`` global-window idiom."""
+    part = _with_partition_layout(df, order_cols)
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(sizes):
+        offs.append((pid, acc))
+        acc += sizes[pid]
+    off_df = F.broadcast(spark.createDataFrame(offs, "__pid int, __off long"))
+    lw = W.partitionBy("__pid").orderBy(*order_cols)
+    out_df = (
+        part.withColumn("__lrn", F.row_number().over(lw))
+        .join(off_df, "__pid")
+        .withColumn(out, (F.col("__lrn") + F.col("__off")).cast("long"))
+    )
+    if with_total is not None:
+        out_df = out_df.withColumn(with_total, F.lit(acc).cast("long"))
+    return out_df.drop("__pid", "__lrn", "__off")
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    spark: SparkSession,
+    order_cols: list,
+    val_col: str,
+    out: str = "cum",
+    inclusive: bool = True,
+    with_total: str | None = None,
+    rn_out: str | None = None,
+    rows_total: str | None = None,
+    extra: list | None = None,
+) -> DataFrame:
+    """Exact global ``sum(val) over (order by *order_cols rows
+    unbounded preceding [and -1])`` as a distributed plan. ``val_col``
+    must be an exact type (long/decimal) — offsets are driver-summed,
+    and float addition reassociated across partitions would not be
+    bit-stable. ``order_cols`` must be tie-free (with ties the
+    row-level cum depends on the tie order exactly as it does in the
+    single-partition window — only call with ties when the consumer is
+    tie-insensitive, e.g. a monotone-crossing predicate).
+
+    ``rn_out``/``rows_total`` additionally emit the global row number
+    and total row count from the SAME frozen layout and the same
+    single offset collect — the cumulative-distribution shape
+    (rank + running share + totals) in one range shuffle. ``extra``
+    is a list of further ``(val_col, out_col)`` running sums over the
+    same order (e.g. a two-sample ECDF), again sharing the layout and
+    collect."""
+    extra = extra or []
+    pairs = [(val_col, out)] + list(extra)
+    part = _with_partition_layout(df, order_cols)
+    aggs = [F.sum(v).alias(f"__s{i}") for i, (v, _) in enumerate(pairs)]
+    stats = {
+        r["__pid"]: ([r[f"__s{i}"] for i in range(len(pairs))], r["__c"])
+        for r in part.groupBy("__pid")
+        .agg(*aggs, F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    offs, accs, nacc = [], [0] * len(pairs), 0
+    for pid in sorted(stats):
+        offs.append((pid, *accs, nacc))
+        accs = [a + (s or 0) for a, s in zip(accs, stats[pid][0])]
+        nacc += stats[pid][1]
+    off_cols = ", ".join(f"__off{i} long" for i in range(len(pairs)))
+    off_df = F.broadcast(
+        spark.createDataFrame(offs, f"__pid int, {off_cols}, __noff long")
+    )
+    hi = W.currentRow if inclusive else -1
+    lw = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, hi)
+    )
+    out_df = part.join(off_df, "__pid")
+    for i, (v, o) in enumerate(pairs):
+        out_df = out_df.withColumn(
+            o,
+            (
+                F.coalesce(F.sum(v).over(lw), F.lit(0)) + F.col(f"__off{i}")
+            ).cast("long"),
+        )
+    if rn_out is not None:
+        lwr = W.partitionBy("__pid").orderBy(*order_cols)
+        out_df = out_df.withColumn(
+            rn_out,
+            (F.row_number().over(lwr) + F.col("__noff")).cast("long"),
+        )
+    if with_total is not None:
+        out_df = out_df.withColumn(with_total, F.lit(accs[0]).cast("long"))
+    if rows_total is not None:
+        out_df = out_df.withColumn(rows_total, F.lit(nacc).cast("long"))
+    return out_df.drop(
+        "__pid", "__noff", *[f"__off{i}" for i in range(len(pairs))]
+    )
+
+
+def ntile_from_rank(rn, n, k: int):
+    """Spark/SQL ``ntile(k)`` computed from an exact global row number
+    ``rn`` (1-based) and total ``n`` — bucket sizes differ by ≤1 with
+    the larger buckets first, exactly the WindowExec definition, so a
+    converted call site stays hash-identical. All-integer arithmetic."""
+    base = F.floor(n / k)
+    rem = n - base * k
+    cut = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    return (
+        F.when(rn <= cut, F.ceil(rn / (base + 1)))
+        .otherwise(rem + F.ceil((rn - cut) / F.when(base > 0, base)))
+        .cast("int")
+    )
+
+
+def with_global_cummax(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out: str = "cummax",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global ``max(val) over (order by *order_cols rows
+    unbounded preceding [and -1])`` as a distributed plan — running
+    max = greatest(per-partition running max, max over all PRECEDING
+    partitions). The partition-offset table is ≤#partitions rows, so
+    its own prefix-max window is bounded, not data-proportional; no
+    driver round-trip is needed (types stay native — timestamps,
+    dates, decimals all work). First-row semantics match the window
+    form: an exclusive frame with no predecessor yields NULL."""
+    part = _with_partition_layout(df, order_cols)
+    offs = (
+        part.groupBy("__pid")
+        .agg(F.max(val_col).alias("__m"))
+        .select(
+            "__pid",
+            F.max("__m")
+            .over(
+                W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+            )
+            .alias("__offmax"),
+        )
+    )
+    hi = W.currentRow if inclusive else -1
+    lw = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, hi)
+    )
+    return (
+        part.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            out, F.greatest(F.max(val_col).over(lw), F.col("__offmax"))
+        )
+        .drop("__pid", "__offmax")
+    )

@@ -1768,12 +1768,16 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale). Rank ties break on the customer key. One groupBy + one ordered window over the customer-grain
     table (the documented quantize-first path applies if the GROUPED
     table ever stops fitting an ordered pass)."""
+    from datalakecrawler_spark.distrank import with_global_row_number
+
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("rev_micro")
     )
-    ranked = per_cust.withColumn(
-        "i", F.row_number().over(W.orderBy("rev_micro", "o_custkey"))
+    # distributed exact rank over the customer grain — customers grow
+    # with the data, so a global-window row_number would single-task it
+    ranked = with_global_row_number(
+        per_cust, spark, ["rev_micro", "o_custkey"], out="i"
     )
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1843,16 +1847,21 @@ def orders_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5)).alias("rev_micro")
     )
-    wo = W.orderBy(F.col("rev_micro").desc(), "o_custkey")
-    ranked = cust.select(
-        "o_custkey",
+    from datalakecrawler_spark.distrank import with_global_cumsum
+
+    # distributed rank + running sum + totals over the customer grain
+    # in ONE range shuffle (customers grow with the data; the four
+    # global windows this replaces each single-tasked the frame)
+    ranked = with_global_cumsum(
+        cust,
+        spark,
+        [F.col("rev_micro").desc(), F.col("o_custkey")],
         "rev_micro",
-        F.row_number().over(wo).alias("rk"),
-        F.sum("rev_micro")
-        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum"),
-        F.sum("rev_micro").over(W.partitionBy()).alias("total"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n_cust"),
+        out="cum",
+        inclusive=True,
+        with_total="total",
+        rn_out="rk",
+        rows_total="n_cust",
     )
     hit = ranked.filter(F.col("cum") * 5 >= F.col("total") * 4).agg(
         F.min("rk").alias("n_top"),
@@ -1910,16 +1919,21 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("x"),
         F.floor(F.col("l_quantity") + 0.5).alias("wt"),
     )
-    c = w.select(
-        "x",
-        F.sum("wt")
-        .over(
-            W.orderBy("x", "wt").rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
-        )
-        .alias("cum"),
-        F.sum("wt").over(W.partitionBy()).alias("total"),
+    from datalakecrawler_spark.distrank import with_global_cumsum
+
+    # distributed running weight over the full (x, wt) projection —
+    # the old global window single-tasked every lineitem row. (x, wt)
+    # has ties, but the consumer is tie-insensitive: cum is monotone
+    # along any tie order, so the crossing value min(x | cum·2 ≥
+    # total) is identical (see with_global_cumsum doc).
+    c = with_global_cumsum(
+        w,
+        spark,
+        ["x", "wt"],
+        "wt",
+        out="cum",
+        inclusive=True,
+        with_total="total",
     )
     return c.agg(
         F.max("total").alias("total_weight"),
@@ -3509,17 +3523,22 @@ def orders_abc_cross_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def classify(df, key):
-        wcum = (
-            W.orderBy(F.col("r").desc(), key)
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        # distributed exact running share over the entity grain
+        # (customers/parts grow with the data — no global window)
+        from datalakecrawler_spark.distrank import with_global_cumsum
+
+        c = with_global_cumsum(
+            df,
+            spark,
+            [F.col("r").desc(), key],
+            "r",
+            out="cum",
+            inclusive=True,
+            with_total="tot",
         )
-        return df.select(
+        return c.select(
             key,
-            F.when(
-                F.sum("r").over(wcum) * 10
-                <= F.sum("r").over(W.partitionBy()) * 8,
-                "A",
-            )
+            F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
             .otherwise("BC")
             .alias("cls"),
         )

@@ -477,13 +477,17 @@ def orders_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + 0.5).alias("price_c"),
         F.col("o_orderdate").cast("date").alias("od"),
     ).distinct()
-    w = (
-        W.orderBy(F.col("price_c").asc(), F.col("od").desc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    ranked = pts.select(
-        "price_c", "od", F.max("od").over(w).alias("best_prev_date")
-    )
+    from datalakecrawler_spark.distrank import with_global_cummax
+
+    # distributed exclusive running max over the (tie-free, distinct)
+    # point set — the skyline pass survives any point cardinality
+    ranked = with_global_cummax(
+        pts,
+        [F.col("price_c").asc(), F.col("od").desc()],
+        "od",
+        out="best_prev_date",
+        inclusive=False,
+    ).select("price_c", "od", "best_prev_date")
     return (
         ranked.filter(
             F.col("best_prev_date").isNull()

@@ -255,14 +255,22 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-ext: Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric
     counterpart to stats_ttest_welch on the same split: robust to the
     heavy right tail of order values. Average ranks with ties are kept
-    INTEGRAL via the 2×-rank trick: 2·avg_rank = 2·rank_min + t - 1
-    (rank() + a count window), so the rank sum is an exact bigint and
-    the tie-correction Σ(t³-t) is exact too; only the final U/z
-    expression touches doubles, in identical order both engines. The
-    global rank is one total-order sort — the one genuinely
-    all-to-all step (Spark range-partitions it); everything after is
-    a single reduction. Normal approximation with tie-corrected
-    variance; z rounded at 6."""
+    INTEGRAL via the 2×-rank trick: 2·avg_rank = 2·cum_before + t + 1
+    at the DISTINCT-VALUE grain, so the rank sum is an exact bigint
+    and the tie-correction Σ(t³-t) is exact too; only the final U/z
+    expression touches doubles, in identical order both engines.
+
+    Scale shape (r4): ranks never touch the row level — the frame is
+    collapsed to (x, t, t₁) per distinct value, cum_before comes from
+    the distributed exact prefix sum (distrank.with_global_cumsum —
+    range-partition + local window + offsets, NOT a single-partition
+    global window), and the weighted rank sum Σ t₁·(2·cum_before+t+1)
+    reduces at the value grain directly. One shuffle to the value
+    grain, one range-shuffle for the prefix sum; identical integers to
+    the old row-level rank()+count() window form at any partitioning.
+    Normal approximation with tie-corrected variance; z rounded at 6."""
+    from datalakecrawler_spark.distrank import with_global_cumsum
+
     o = load(spark, sf_dir, "orders")
     v = o.select(
         F.col("o_totalprice").alias("x"),
@@ -270,29 +278,23 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("grp"),
     )
-    r = v.select(
-        "grp",
-        (
-            2 * F.rank().over(W.orderBy("x"))
-            + F.count(F.lit(1)).over(W.partitionBy("x"))
-            - 1
-        ).alias("rank2x"),
+    per_val = v.groupBy("x").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("t1"),
     )
-    ties = (
-        v.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).alias("tie_corr")
-        )
+    ranked = with_global_cumsum(
+        per_val, spark, ["x"], "t", out="cb", inclusive=False
     )
-    s = r.agg(
-        F.sum(F.when(F.col("grp") == 1, F.col("rank2x"))).alias("r1_2x"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+    j = ranked.agg(
+        F.sum(
+            F.col("t1") * (2 * F.col("cb") + F.col("t") + 1)
+        ).alias("r1_2x"),
+        F.sum("t1").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).alias("n0"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_corr"),
     )
-    j = s.crossJoin(F.broadcast(ties))
     n1d = F.col("n1").cast("double")
     n0d = F.col("n0").cast("double")
     u1 = (F.col("r1_2x").cast("double") - F.col("n1") * (n1d + 1)) / 2
@@ -369,15 +371,17 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
 
     def rank_map(col: str, alias: str) -> DataFrame:
+        from datalakecrawler_spark.distrank import with_global_cumsum
+
         per_val = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        wv = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
-        return per_val.select(
-            col,
-            (
-                2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
-                + F.col("cnt")
-                + 1
-            ).alias(alias),
+        # distributed exact prefix sum over the distinct values — a
+        # plain global window would funnel the (data-proportional for
+        # high-cardinality columns) value frame through one task
+        cum = with_global_cumsum(
+            per_val, spark, [col], "cnt", out="cb", inclusive=False
+        )
+        return cum.select(
+            col, (2 * F.col("cb") + F.col("cnt") + 1).alias(alias)
         )
 
     # The joined rank-pair table is the materialized rank transform of
@@ -1756,16 +1760,23 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses). Trim boundaries are exact integer ranks (n/20 integer
     division — no percentile interpolation at the cut), membership
     is a rank-range predicate, and the kept-set mean is
-    micro-unit-exact. One total-order rank (range-partitioned sort
-    at scale) + one reduction; the KLL-sketch variant replaces the
-    sort with quantile cuts when n makes the sort the bottleneck."""
+    micro-unit-exact. The total-order rank IS range-partitioned since
+    r4 (distrank.with_global_row_number — per-partition row_number +
+    offsets, bit-identical to the global window it replaced, which
+    funneled every order row through one task; the global n rides
+    along free as the last offset instead of a count() over an empty
+    window). One range shuffle + one reduction; the KLL-sketch variant
+    replaces the sort with quantile cuts when n makes even the
+    range-sort the bottleneck."""
+    from datalakecrawler_spark.distrank import with_global_row_number
+
     o = load(spark, sf_dir, "orders")
-    r = o.select(
-        F.col("o_totalprice").alias("x"),
-        F.row_number()
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    r = with_global_row_number(
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey"),
+        spark,
+        ["x", "o_orderkey"],
+        out="rn",
+        with_total="n",
     )
     trimmed = r.filter(
         (F.col("rn") > F.expr("n div 20"))
@@ -2343,11 +2354,19 @@ def stats_ks_orders_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
-    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ecdf = counts.select(
-        F.sum("ca").over(wv).alias("cum_a"),
-        F.sum("cb").over(wv).alias("cum_b"),
-    )
+    from datalakecrawler_spark.distrank import with_global_cumsum
+
+    # both ECDFs ride one distributed prefix-sum layout (the distinct
+    # cent-quantized value frame is data-proportional until saturation)
+    ecdf = with_global_cumsum(
+        counts,
+        spark,
+        ["v"],
+        "ca",
+        out="cum_a",
+        inclusive=True,
+        extra=[("cb", "cum_b")],
+    ).select("cum_a", "cum_b")
     d = ecdf.crossJoin(F.broadcast(tot)).agg(
         F.max(
             F.abs(

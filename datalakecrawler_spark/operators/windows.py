@@ -548,12 +548,19 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-ext: RFM segmentation — each customer scored into quartiles of
     recency (last order date), frequency (order count), and monetary
     (micro-unit-exact revenue, so the quartile sort key is identical in
-    both engines), then counted per segment cell. The ntile windows are
-    global (no partitionBy) — safe ONLY because the input is the
-    per-customer aggregate, dimension-sized, not the fact table; at
-    100 TB replace global ntile with approx-percentile cut points
-    computed in one pass and a broadcast bucket join. Every orderBy
-    carries o_custkey as tiebreak (§2.L trap 3)."""
+    both engines), then counted per segment cell. The ntile windows
+    are DISTRIBUTED since r4: each quartile is an exact global row
+    number (distrank range-partition + offsets) fed through
+    ntile_from_rank — the closed-form WindowExec ntile definition
+    (bucket sizes differ by ≤1, larger first) — so results are
+    bit-identical to global ntile at any customer cardinality, with
+    three range shuffles instead of three single-task windows. Every
+    orderBy carries o_custkey as tiebreak (§2.L trap 3)."""
+    from datalakecrawler_spark.distrank import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -562,10 +569,20 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary"
         ),
     )
-    scored = rfm.select(
-        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r_quartile"),
-        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_quartile"),
-        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    r = with_global_row_number(
+        rfm, spark, ["last_order", "o_custkey"], out="rn_r", with_total="n"
+    )
+    r = with_global_row_number(
+        r, spark, ["frequency", "o_custkey"], out="rn_f"
+    )
+    r = with_global_row_number(
+        r, spark, ["monetary", "o_custkey"], out="rn_m"
+    )
+    n = F.col("n")
+    scored = r.select(
+        ntile_from_rank(F.col("rn_r"), n, 4).alias("r_quartile"),
+        ntile_from_rank(F.col("rn_f"), n, 4).alias("f_quartile"),
+        ntile_from_rank(F.col("rn_m"), n, 4).alias("m_quartile"),
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers")
@@ -731,19 +748,26 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     *per-part aggregate* (|parts| rows, not |lineitems|) with a unique
     (rev desc, partkey) order; cumulative and total come from the same
     int64 micro-units so the 0.8/0.95 boundaries cut identically in
-    both engines. The global ordered window is safe because the frame
-    is dimension-sized; at extreme part counts, replace with
-    percentile cut points + broadcast bucket join (the RFM note)."""
+    both engines. The running sum is the distributed exact prefix sum
+    (distrank, r4) — range-partitioned, never a single-partition
+    global window, so the plan survives any part-grain cardinality."""
     li = load(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * 1e6 + 0.5)).alias("rev_micro")
     )
-    w_run = W.orderBy(F.col("rev_micro").desc(), "l_partkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    w_all = W.partitionBy()
-    ranked = pr.withColumn("cum_micro", F.sum("rev_micro").over(w_run)).withColumn(
-        "total_micro", F.sum("rev_micro").over(w_all)
+    from datalakecrawler_spark.distrank import with_global_cumsum
+
+    # distributed running revenue + total over the part grain in one
+    # range shuffle (parts grow with the data; this replaces the
+    # global-window form the docstring's RFM note promised to retire)
+    ranked = with_global_cumsum(
+        pr,
+        spark,
+        [F.col("rev_micro").desc(), F.col("l_partkey")],
+        "rev_micro",
+        out="cum_micro",
+        inclusive=True,
+        with_total="total_micro",
     )
     share = F.col("cum_micro").cast("double") / F.col("total_micro").cast("double")
     classed = ranked.withColumn(
@@ -858,21 +882,34 @@ def events_user_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-ext: per-user lifetime-value percentile and decile — the
     user-scoring table a personalization/billing pipeline exports.
     Aggregate first (one user-keyed shuffle of the event log — its
-    natural bucketing), THEN rank the per-user frame: percent_rank
-    and ntile run over #users rows, not #events, and user_id
-    tiebreaks identical totals (§2.L trap 3). Exact micro-unit sums
-    make the rank keys engine-identical before the policy round."""
+    natural bucketing), THEN rank the per-user frame — and since r4
+    that rank is the distributed exact global row number (distrank;
+    users grow with the data, so even the per-user frame must not
+    single-task). The (total_value, user_id) order is tie-free, so
+    rank ≡ row_number: percent_rank = (rn−1)/(n−1) and ntile(10) via
+    the closed-form ntile_from_rank are bit-identical to the window
+    forms (§2.L trap 3 tiebreak). Exact micro-unit sums make the rank
+    keys engine-identical before the policy round."""
+    from datalakecrawler_spark.distrank import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
     e = load(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         (F.sum(F.floor(F.col("value") * 1e6 + 0.5)).cast("double") / 1e6)
         .alias("total_value")
     )
-    w = W.orderBy("total_value", "user_id")
-    return per_user.select(
+    r = with_global_row_number(
+        per_user, spark, ["total_value", "user_id"], out="rn", with_total="n"
+    )
+    return r.select(
         "user_id",
         F.round("total_value", 2).alias("total_value"),
-        F.round(F.percent_rank().over(w), 6).alias("value_pctile"),
-        F.ntile(10).over(w).alias("value_decile"),
+        F.round(
+            (F.col("rn") - 1).cast("double") / (F.col("n") - 1), 6
+        ).alias("value_pctile"),
+        ntile_from_rank(F.col("rn"), F.col("n"), 10).alias("value_decile"),
     )
 
 

@@ -2622,12 +2622,21 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
     )
-    ws = W.orderBy(F.col("t"), F.col("d").desc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    sweep = deltas.select(
-        "t", F.sum("d").over(ws).alias("concurrent")
-    )
+    from datalakecrawler_spark.distrank import with_global_cumsum
+
+    # distributed sweep-line: the +1/-1 boundary stream is session-
+    # grain (data-proportional). (t, d desc) ties are share-a-value
+    # runs whose per-day max is tie-order-invariant (+1 runs peak at
+    # the run end, -1 runs at the run start), so the range-partitioned
+    # prefix sum gives the identical answer to the global window.
+    sweep = with_global_cumsum(
+        deltas,
+        spark,
+        [F.col("t"), F.col("d").desc()],
+        "d",
+        out="concurrent",
+        inclusive=True,
+    ).select("t", "concurrent")
     return (
         sweep.groupBy(
             F.date_trunc("day", "t").cast("date").alias("day")

@@ -87,14 +87,29 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile(10) over account balance with the PK as tiebreak (§2.L trap 3)
     so bucket edges are deterministic, then per-bucket occupancy and
     [lo, hi] edge report, which is the binning table a feature store
-    persists. The global ntile sort is the scale limit: at 100 TB you'd
-    swap the exact ntile for approx_percentile edges computed per
-    partition and merged (sketch path, same output contract); at catalog
-    profiling sizes the exact sort is one pass and hash-matchable."""
+    persists. The ntile is DISTRIBUTED since r4 (distrank exact global
+    row number + closed-form ntile_from_rank — bit-identical to the
+    window form), so the plan survives any row cardinality; the
+    approx_percentile sketch path remains the option when even the
+    range sort is too much."""
+    from datalakecrawler_spark.distrank import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
     c = load(spark, sf_dir, "customer")
-    w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    r = with_global_row_number(
+        c.select("c_acctbal", "c_custkey"),
+        spark,
+        ["c_acctbal", "c_custkey"],
+        out="rn",
+        with_total="n",
+    )
     return (
-        c.select(F.ntile(10).over(w).alias("decile"), "c_acctbal")
+        r.select(
+            ntile_from_rank(F.col("rn"), F.col("n"), 10).alias("decile"),
+            "c_acctbal",
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -491,14 +506,26 @@ def mlprep_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep: short/simple docs first, long ones last; pack_sequences
     then packs each stage). ntile over (n_chars, doc_id) is fully
     deterministic; per-stage stats are exact ints and one exact
-    ratio. The global ntile is a single range-partitioned sort — at
-    100 TB replace with percentile_disc cut points (one pass) +
-    a bucketing join, same stages without the total order."""
+    ratio. The ntile is DISTRIBUTED since r4 (distrank row number +
+    closed-form ntile_from_rank): one range shuffle of the doc-grain
+    frame, no single-partition window, bit-identical stages."""
+    from datalakecrawler_spark.distrank import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
     d = load(spark, sf_dir, "documents")
-    staged = d.select(
+    r = with_global_row_number(
+        d.select("lang", "n_chars", "doc_id"),
+        spark,
+        ["n_chars", "doc_id"],
+        out="rn",
+        with_total="n",
+    )
+    staged = r.select(
         "lang",
         "n_chars",
-        F.ntile(5).over(W.orderBy("n_chars", "doc_id")).alias("stage"),
+        ntile_from_rank(F.col("rn"), F.col("n"), 5).alias("stage"),
     )
     return (
         staged.groupBy("stage")
@@ -850,28 +877,21 @@ def mlprep_epoch_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample_balanced_classes discipline); this operator is its
     unit-test-as-query. Integer ranks, exact moment sums, the
     shared fixed-order Pearson."""
+    from datalakecrawler_spark.distrank import with_global_row_number
+
     d = load(spark, sf_dir, "documents")
-    r = d.select(
+    keyed = d.select(
         "doc_id",
-        F.row_number()
-        .over(
-            W.orderBy(
-                F.md5(F.concat(F.col("doc_id").cast("string"),
-                               F.lit("|0"))),
-                "doc_id",
-            )
-        )
-        .alias("rk0"),
-        F.row_number()
-        .over(
-            W.orderBy(
-                F.md5(F.concat(F.col("doc_id").cast("string"),
-                               F.lit("|1"))),
-                "doc_id",
-            )
-        )
-        .alias("rk1"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|0"))
+        ).alias("h0"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|1"))
+        ).alias("h1"),
     )
+    r = with_global_row_number(keyed, spark, ["h0", "doc_id"], out="rk0")
+    r = with_global_row_number(r, spark, ["h1", "doc_id"], out="rk1")
+    r = r.select("doc_id", "rk0", "rk1")
     m = r.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rk0").alias("s0"),
@@ -1085,9 +1105,8 @@ def mlprep_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     by token length — and compare padding waste (each batch pads to
     its max length). The waste delta IS the throughput argument for
     length-grouped batching. Length computation is one scan; each
-    strategy is a row_number window + grouped rollup. At 100 TB the
-    sort becomes a bucketed length-quantile assignment (no global
-    window), same arithmetic."""
+    strategy is a distributed exact row number (distrank, r4 — no
+    global window at any corpus size) + grouped rollup."""
     d = load(spark, sf_dir, "documents")
     lens = d.select(
         "doc_id",
@@ -1102,10 +1121,12 @@ def mlprep_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def waste(df: DataFrame, order_cols, strategy: str) -> DataFrame:
-        w = W.orderBy(*order_cols)
-        batched = df.select(
+        from datalakecrawler_spark.distrank import with_global_row_number
+
+        ranked = with_global_row_number(df, spark, order_cols, out="__rn")
+        batched = ranked.select(
             "n_tok",
-            ((F.row_number().over(w) - 1) / 32).cast("long").alias("batch"),
+            ((F.col("__rn") - 1) / 32).cast("long").alias("batch"),
         )
         per_batch = batched.groupBy("batch").agg(
             F.max("n_tok").alias("mx"),

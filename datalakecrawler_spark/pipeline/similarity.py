@@ -1465,15 +1465,21 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot12(F.slice("embedding", 1, 32), F.slice("qe", 1, 32)).alias("d32"),
         )
     )
-    w_full = W.orderBy(F.col("d_full").desc(), "vec_id")
-    w16 = W.orderBy(F.col("d16").desc(), "vec_id")
-    w32 = W.orderBy(F.col("d32").desc(), "vec_id")
-    rk = scored.select(
-        "vec_id",
-        F.row_number().over(w_full).alias("r_full"),
-        F.row_number().over(w16).alias("r16"),
-        F.row_number().over(w32).alias("r32"),
+    from datalakecrawler_spark.distrank import with_global_row_number
+
+    # three corpus-sized ranks via the distributed exact row number
+    # (the rank<=10 consumers sit inside aggregates, so WindowGroupLimit
+    # cannot prune a global window here — it would single-task the
+    # corpus three times)
+    rk = with_global_row_number(
+        scored, spark, [F.col("d_full").desc(), F.col("vec_id")], out="r_full"
     )
+    rk = with_global_row_number(
+        rk, spark, [F.col("d16").desc(), F.col("vec_id")], out="r16"
+    )
+    rk = with_global_row_number(
+        rk, spark, [F.col("d32").desc(), F.col("vec_id")], out="r32"
+    ).select("vec_id", "r_full", "r16", "r32")
     out16 = rk.agg(
         F.lit(16).alias("prefix_dim"),
         F.count_if((F.col("r16") <= 10) & (F.col("r_full") <= 10)).alias("n_hits"),

@@ -1056,9 +1056,9 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form from five sums; each sum runs through the micro-unit
     integer policy so both engines accumulate order-independently, and
     the final slope arithmetic is the identical IEEE expression on
-    identical doubles. The global row_number ranks only the vocabulary
-    (corpus-independent cardinality) — at 100 TB the token explode +
-    count shuffles, but the ranked table stays dimension-sized; a
+    identical doubles. The rank is the distributed exact row number
+    (distrank, r4): the vocabulary grows ~N^0.5 (Heaps' law) — slowly,
+    but data-proportionally, so it must not single-task either; a
     built-in regr_slope would be accumulation-order-dependent and is
     deliberately avoided (same reasoning as the moment-sum skewness)."""
     d = load(spark, sf_dir, "documents")
@@ -1067,12 +1067,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = freq.select(
-        F.row_number()
-        .over(W.orderBy(F.col("freq").desc(), "word"))
-        .alias("rank"),
-        "freq",
-    )
+    from datalakecrawler_spark.distrank import with_global_row_number
+
+    # the vocabulary grows ~N^0.5 (Heaps) — still data-proportional,
+    # so the Zipf rank is the distributed exact row number, not a
+    # single-partition window
+    ranked = with_global_row_number(
+        freq, spark, [F.col("freq").desc(), F.col("word")], out="rank"
+    ).select("rank", "freq")
     xy = ranked.select(F.log("rank").alias("x"), F.log("freq").alias("y"))
     n = F.count(F.lit(1)).cast("double")
     slope = (n * dsum(F.col("x") * F.col("y")) - dsum("x") * dsum("y")) / (
@@ -2369,22 +2371,20 @@ def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b")
     )
     counts = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    ranked = counts.select(
+    from datalakecrawler_spark.distrank import with_global_cumsum
+
+    # rank + running mass + total over the bigram vocabulary (grows
+    # with the corpus) in ONE distributed range shuffle
+    cum = with_global_cumsum(
+        counts,
+        spark,
+        [F.col("c").desc(), F.col("b")],
         "c",
-        F.row_number()
-        .over(W.orderBy(F.col("c").desc(), "b"))
-        .alias("rk"),
-        F.sum("c").over(W.partitionBy()).alias("total"),
-    )
-    cum = ranked.select(
-        "rk",
-        F.sum("c")
-        .over(
-            W.orderBy("rk").rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        .alias("cum_c"),
-        "total",
-    )
+        out="cum_c",
+        inclusive=True,
+        with_total="total",
+        rn_out="rk",
+    ).select("rk", "cum_c", "total")
     ks = spark.createDataFrame(
         [(10,), (100,), (1000,), (10000,)], ["k"]
     )

@@ -465,9 +465,12 @@ def catalog_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = sorted(want)
 
     def probe_col(c: str):
-        ranked = li.select(c).withColumn(
-            "rn", F.row_number().over(W.orderBy(c))
-        )
+        from datalakecrawler_spark.distrank import with_global_row_number
+
+        # distributed sort-rank (ties split arbitrarily across range
+        # partitions, but the VALUE at rank k over the sorted multiset
+        # is tie-order-invariant, which is all the probe reads)
+        ranked = with_global_row_number(li.select(c), spark, [c], out="rn")
         got = {
             r["rn"]: r[c]
             for r in ranked.where(F.col("rn").isin(ranks)).collect()
@@ -2501,9 +2504,10 @@ def catalog_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     n_rows = o.count()
     octiles = [i / 8.0 for i in range(1, 8)]
-    w = W.orderBy("o_totalprice")
-    ranked = o.select("o_totalprice").withColumn(
-        "rn", F.row_number().over(w)
+    from datalakecrawler_spark.distrank import with_global_row_number
+
+    ranked = with_global_row_number(
+        o.select("o_totalprice"), spark, ["o_totalprice"], out="rn"
     )
     import math
 

@@ -125,14 +125,17 @@ def build_late_flags(events: DataFrame) -> DataFrame:
     """I6 (batch analytic form): mark events that a 10-minute watermark
     would drop — ts older than the running max event-time over arrival
     order (event_id IS arrival order per FIXTURES.md)."""
-    from pyspark.sql import Window as W
+    from datalakecrawler_spark.distrank import with_global_cummax
 
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    high = F.max("ts").over(w)
+    # distributed running max over arrival order — the event log is
+    # THE fact table; a global window would single-task the replay
+    flagged = with_global_cummax(events, ["event_id"], "ts", out="__hi")
     return (
-        events.withColumn(
+        flagged.withColumn(
             "late",
-            (F.col("ts") < high - F.expr("interval 10 minutes")).cast("int"),
+            (
+                F.col("ts") < F.col("__hi") - F.expr("interval 10 minutes")
+            ).cast("int"),
         )
         .groupBy("late")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -914,11 +917,13 @@ def events_watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataF
     shard and the buckets merge — one sort, one grouped count."""
     from pyspark.sql import Window as W
 
+    from datalakecrawler_spark.distrank import with_global_cummax
+
     e = normalize_events_ts(load(spark, sf_dir, "events"))
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    arr = e.select(
-        "ts", F.max("ts").over(w).alias("high_watermark")
-    )
+    # distributed running max (watermark replay) over arrival order
+    arr = with_global_cummax(
+        e.select("event_id", "ts"), ["event_id"], "ts", out="high_watermark"
+    ).select("ts", "high_watermark")
     lat = arr.select(
         F.floor(
             (F.col("high_watermark").cast("long") - F.col("ts").cast("long"))

@@ -1,0 +1,118 @@
+"""distrank must be BIT-IDENTICAL to the single-partition global
+window it replaces — rank, inclusive/exclusive prefix sums, multi-
+column prefix sums, prefix max (incl. first-row NULL semantics), and
+the closed-form ntile. Checked value-by-value against the WindowExec
+forms on a frame that spans many range partitions."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from datalakecrawler_spark.distrank import (
+    ntile_from_rank,
+    with_global_cummax,
+    with_global_cumsum,
+    with_global_row_number,
+)
+
+
+def _frame(spark):
+    # deterministic pseudo-random keys; values include negatives
+    return spark.range(997).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("k"),
+        ((F.col("id") * 37) % 101 - 50).alias("v"),
+        ((F.col("id") * 13) % 89).alias("v2"),
+    )
+
+
+def test_row_number_and_total_match_window(spark):
+    df = _frame(spark)
+    got = with_global_row_number(
+        df, spark, ["k", "id"], out="rn", with_total="n"
+    )
+    exp = df.withColumn("rn", F.row_number().over(W.orderBy("k", "id")))
+    g = {r["id"]: (r["rn"], r["n"]) for r in got.collect()}
+    e = {r["id"]: r["rn"] for r in exp.collect()}
+    assert all(g[i][0] == e[i] for i in e)
+    assert all(g[i][1] == 997 for i in e)
+
+
+def test_cumsum_inclusive_exclusive_extra_match_window(spark):
+    df = _frame(spark)
+    w = W.orderBy("k", "id")
+    exp = df.select(
+        "id",
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("ci"),
+        F.coalesce(
+            F.sum("v").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("ce"),
+        F.sum("v2").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("c2"),
+    )
+    got_i = with_global_cumsum(
+        df, spark, ["k", "id"], "v", out="ci", inclusive=True,
+        with_total="tot", rn_out="rn", rows_total="nr",
+        extra=[("v2", "c2")],
+    )
+    got_e = with_global_cumsum(
+        df, spark, ["k", "id"], "v", out="ce", inclusive=False
+    )
+    e = {r["id"]: (r["ci"], r["ce"], r["c2"]) for r in exp.collect()}
+    gi = {r["id"]: (r["ci"], r["c2"], r["tot"], r["rn"], r["nr"]) for r in got_i.collect()}
+    ge = {r["id"]: r["ce"] for r in got_e.collect()}
+    total_v = sum((i * 37) % 101 - 50 for i in range(997))
+    for i in e:
+        assert gi[i][0] == e[i][0]
+        assert gi[i][1] == e[i][2]
+        assert gi[i][2] == total_v
+        assert gi[i][4] == 997
+        assert ge[i] == e[i][1]
+    # rn from the cumsum call matches the rank call
+    rn_ref = {
+        r["id"]: r["rn"]
+        for r in with_global_row_number(df, spark, ["k", "id"], out="rn").collect()
+    }
+    assert all(gi[i][3] == rn_ref[i] for i in e)
+
+
+def test_cummax_matches_window_including_null_first_row(spark):
+    df = _frame(spark)
+    w = W.orderBy("k", "id")
+    exp = df.select(
+        "id",
+        F.max("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("mi"),
+        F.max("v").over(w.rowsBetween(W.unboundedPreceding, -1)).alias("me"),
+    )
+    gi = {
+        r["id"]: r["mi"]
+        for r in with_global_cummax(df, ["k", "id"], "v", out="mi").collect()
+    }
+    ge = {
+        r["id"]: r["me"]
+        for r in with_global_cummax(
+            df, ["k", "id"], "v", out="me", inclusive=False
+        ).collect()
+    }
+    for r in exp.collect():
+        assert gi[r["id"]] == r["mi"]
+        assert ge[r["id"]] == r["me"]  # includes the first-row NULL
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    df = _frame(spark)
+    w = W.orderBy("k", "id")
+    for k in (2, 4, 7, 10, 32):
+        exp = {
+            r["id"]: r["t"]
+            for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+        }
+        ranked = with_global_row_number(
+            df, spark, ["k", "id"], out="rn", with_total="n"
+        )
+        got = {
+            r["id"]: r["t"]
+            for r in ranked.withColumn(
+                "t", ntile_from_rank(F.col("rn"), F.col("n"), k)
+            ).collect()
+        }
+        assert got == exp, f"ntile({k})"
