@@ -33,14 +33,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-_NPART = 32
-
-
 def _with_partition_layout(df: DataFrame, order_cols: list) -> DataFrame:
     """Range-partition by the order key, stamp the partition id, and
-    freeze the layout (see module doc)."""
+    freeze the layout (see module doc). The partition count follows
+    spark.sql.shuffle.partitions so the offset table scales with the
+    cluster, not a constant (on a 1000-executor session the session
+    config carries the right width; the offset collect stays
+    #partitions-sized either way)."""
+    npart = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     return (
-        df.repartitionByRange(_NPART, *order_cols)
+        df.repartitionByRange(npart, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
