@@ -1988,39 +1988,14 @@ def _snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal",
             F.length("c_name").alias("nlen"),
         )
-        # --- distributed global rank over (c_acctbal, c_custkey) -----
-        # localCheckpoint freezes the partition layout so the offset
-        # collect and the two join branches all see one assignment
-        # (same determinism discipline as _prefix_filter_pairs' gid
-        # table).
-        part = (
-            c.repartitionByRange(32, "c_acctbal", "c_custkey")
-            .withColumn("pid", F.spark_partition_id())
-            .withColumn(
-                "lrn",
-                F.row_number().over(
-                    W.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
-                ),
-            )
-            .localCheckpoint()
-        )
-        sizes = {
-            r["pid"]: r["n"]
-            for r in part.groupBy("pid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        offs, acc = [], 0
-        for pid in sorted(sizes):
-            offs.append((pid, acc))
-            acc += sizes[pid]
-        off_df = F.broadcast(spark.createDataFrame(offs, "pid int, off long"))
-        return part.join(off_df, "pid").select(
-            "c_custkey",
-            "c_mktsegment",
-            "c_acctbal",
-            "nlen",
-            (F.col("lrn") + F.col("off")).alias("rn"),
+        # distributed global rank over (c_acctbal, c_custkey) — this
+        # site is where the technique was born; it now lives in
+        # distrank (r4) and is shared by every converted rank/prefix
+        # operator.
+        from datalakecrawler_spark.distrank import with_global_row_number
+
+        return with_global_row_number(
+            c, spark, ["c_acctbal", "c_custkey"], out="rn"
         )
 
     # The rank index is the SNM blocking structure — in production ER
