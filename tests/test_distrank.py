@@ -116,3 +116,36 @@ def test_ntile_from_rank_matches_window_ntile(spark):
             ).collect()
         }
         assert got == exp, f"ntile({k})"
+
+
+def test_edge_frames_empty_single_and_ties(spark):
+    """Empty frames, 1-row frames, and heavily tied order keys (range
+    boundaries land inside tie runs) must all behave: empty in → empty
+    out, 1-row ranks/sums/maxes are exact, and value-at-rank over a
+    tied sort is the sorted multiset regardless of tie placement."""
+    empty = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
+    assert with_global_row_number(empty, spark, ["id"], out="rn").count() == 0
+    assert (
+        with_global_cumsum(empty, spark, ["id"], "v", out="c").count() == 0
+    )
+    assert with_global_cummax(empty, ["id"], "v", out="m").count() == 0
+
+    one = spark.range(1).select(F.col("id"), (F.col("id") + 7).alias("v"))
+    r = with_global_row_number(one, spark, ["id"], out="rn", with_total="n").collect()[0]
+    assert (r["rn"], r["n"]) == (1, 1)
+    c = with_global_cumsum(one, spark, ["id"], "v", out="c", inclusive=False).collect()[0]
+    assert c["c"] == 0  # exclusive frame, no predecessor
+    m = with_global_cummax(one, ["id"], "v", out="m", inclusive=False).collect()[0]
+    assert m["m"] is None  # matches WindowExec NULL
+
+    # 600 rows, only 3 distinct keys: every range partition boundary
+    # falls inside a tie run. Value at rank k must equal the sorted
+    # multiset (tie-order-invariant), and ranks must be a permutation.
+    tied = spark.range(600).select(
+        (F.col("id") % 3).alias("k"), F.col("id")
+    )
+    got = with_global_row_number(tied, spark, ["k"], out="rn").collect()
+    by_rank = sorted((r["rn"], r["k"]) for r in got)
+    assert [rn for rn, _ in by_rank] == list(range(1, 601))
+    expected_sorted = sorted(i % 3 for i in range(600))
+    assert [k for _, k in by_rank] == expected_sorted
