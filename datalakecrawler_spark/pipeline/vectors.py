@@ -666,7 +666,11 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap = f10.join(q10, "vec_id").agg(
         F.count(F.lit(1)).alias("top10_overlap")
     )
-    n = full_rank.agg(F.count(F.lit(1)).alias("n_candidates"))
+    # count from the candidate table, NOT full_rank: an unfiltered
+    # aggregate over the ranked frame would execute the full window
+    # (single-partition) that the rk<=10 consumers let
+    # WindowGroupLimit prune
+    n = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     return n.crossJoin(F.broadcast(overlap)).select(
         "n_candidates",
         "top10_overlap",
@@ -765,7 +769,14 @@ def sim_ndcg_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dcg9"),
         F.sum("rel").alias("n_rel_in_10"),
     )
-    n_rel_total = ranked.where(F.col("rel") == 1).count()
+    # relevance count needs no ranks — computing it from `ranked`
+    # would force the full single-partition window the rk<=10 branch
+    # avoids via WindowGroupLimit
+    n_rel_total = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("label") == F.col("ql"))
+        .count()
+    )
     m = min(10, n_rel_total)
     import math as _m
 
