@@ -97,9 +97,10 @@ def with_global_cumsum(
 ) -> DataFrame:
     """Exact global ``sum(val) over (order by *order_cols rows
     unbounded preceding [and -1])`` as a distributed plan. ``val_col``
-    must be an exact type (long/decimal) — offsets are driver-summed,
-    and float addition reassociated across partitions would not be
-    bit-stable. ``order_cols`` must be tie-free (with ties the
+    must be an exact INTEGRAL type (int/long — the offset table is
+    long-typed; decimals would need a wider offset schema, and float
+    addition reassociated across partitions would not be bit-stable).
+    ``order_cols`` must be tie-free (with ties the
     row-level cum depends on the tie order exactly as it does in the
     single-partition window — only call with ties when the consumer is
     tie-insensitive, e.g. a monotone-crossing predicate).
