@@ -907,7 +907,14 @@ def events_user_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("total_value", 2).alias("total_value"),
         F.round(
-            (F.col("rn") - 1).cast("double") / (F.col("n") - 1), 6
+            # percent_rank() yields 0.0 (not 0/0) on a one-row frame —
+            # guard the closed form so it stays bit-identical there too
+            # (ADVICE r4, low)
+            F.when(
+                F.col("n") > 1,
+                (F.col("rn") - 1).cast("double") / (F.col("n") - 1),
+            ).otherwise(F.lit(0.0)),
+            6,
         ).alias("value_pctile"),
         ntile_from_rank(F.col("rn"), F.col("n"), 10).alias("value_decile"),
     )

@@ -207,7 +207,6 @@ def _kmeans_cells_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("label"), F.col("embedding").alias("cvec"))
         .localCheckpoint()
     )
-    clamp = lambda c: F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))  # noqa: E731
     for _ in range(3):
         cnorm = F.sqrt(dot("cvec", "cvec"))
         cn = cents.select(

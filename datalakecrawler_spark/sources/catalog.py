@@ -467,9 +467,11 @@ def catalog_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def probe_col(c: str):
         from datalakecrawler_spark.distrank import with_global_row_number
 
-        # distributed sort-rank (ties split arbitrarily across range
-        # partitions, but the VALUE at rank k over the sorted multiset
-        # is tie-order-invariant, which is all the probe reads)
+        # distributed sort-rank (RangePartitioner maps equal keys to
+        # ONE partition, so ties get arbitrary consecutive ranks within
+        # that partition — but the VALUE at rank k over the sorted
+        # multiset is tie-order-invariant, which is all the probe
+        # reads; do NOT rely on tie splitting for skew relief here)
         ranked = with_global_row_number(li.select(c), spark, [c], out="rn")
         got = {
             r["rn"]: r[c]
