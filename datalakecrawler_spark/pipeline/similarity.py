@@ -1095,30 +1095,41 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+# Per-ranker emission depth for RRF. 1200 is the exactness-style bound
+# for a fused top-20 at k=60 (a doc absent from BOTH top-1200 lists
+# scores < 2/(60+1200) — below any pair of in-list ranks that deep),
+# and it is comfortably above every production fusion depth (rankers
+# typically emit top-100..1000).
+_RRF_N = 1200
+
+
 @register(
     "search_rrf_fusion",
     group="J",
     oracle=f"""
     with sem as (
-      select vec_id as id,
-             row_number() over (
-                 order by round({_DOT_SQL.format('embedding',
-                     "(select embedding from embeddings where vec_id = 0)")}, 6)
-                          desc, vec_id) as r_sem
-      from embeddings where vec_id <> 0
+      select id, r_sem from (
+        select vec_id as id,
+               row_number() over (
+                   order by round({_DOT_SQL.format('embedding',
+                       "(select embedding from embeddings where vec_id = 0)")}, 6)
+                            desc, vec_id) as r_sem
+        from embeddings where vec_id <> 0
+      ) where r_sem <= {_RRF_N}
     ),
     lex as (
-      select doc_id as id,
-             len(list_filter(string_split(lower(text), ' '),
-                             t -> t = 'spark')) as tf,
-             row_number() over (
-                 order by len(list_filter(string_split(lower(text), ' '),
-                              t -> t = 'spark')) desc, doc_id) as r_lex
-      from documents where doc_id <> 0
+      select id, r_lex from (
+        select doc_id as id,
+               row_number() over (
+                   order by len(list_filter(string_split(lower(text), ' '),
+                                t -> t = 'spark')) desc, doc_id) as r_lex
+        from documents where doc_id <> 0
+      ) where r_lex <= {_RRF_N}
     )
     select id, r_sem, r_lex,
-           round(1.0 / (60 + r_sem) + 1.0 / (60 + r_lex), 6) as rrf_score
-    from sem join lex using (id)
+           round(coalesce(1.0 / (60 + r_sem), 0)
+                 + coalesce(1.0 / (60 + r_lex), 0), 6) as rrf_score
+    from sem full outer join lex using (id)
     order by rrf_score desc, id
     limit 20
     """,
@@ -1129,20 +1140,25 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranker (embedding cosine) with a lexical ranker (keyword term
     frequency) without score calibration: each ranker contributes
     1/(k + rank), k = 60 (Cormack et al.'s constant), so rankings on
-    incomparable scales fuse by position only. Here doc_id ≡ vec_id
-    (1:1 fixtures): ranker A orders by cosine to query vector 0,
-    ranker B by tf of the term 'spark'; both rank with a deterministic
-    id tie-break, so the fused ordering is engine-identical. Scale
-    shape: each ranker is an independent top-N job over its own index
-    (ANN bucket probe / inverted-list probe — see sim_topk_ivf and
-    search_trigram_candidates for the 100 TB paths); fusion itself
-    joins two N-row rank lists — negligible. The full-corpus window
-    rank here is a DELIBERATE exception to the distrank
-    no-single-partition-window rule (a distrank form was measured at
-    +2x warm on the headline bench for zero fixture-scale benefit):
-    at scale each ranker emits only its top-N — the production fusion
-    never ranks the full corpus — so the bounded-N window is the
-    honest registered shape."""
+    incomparable scales fuse by position only. Ranker A orders by
+    cosine to query vector 0, ranker B by tf of the term 'spark';
+    both rank with a deterministic id tie-break, so the fused
+    ordering is engine-identical.
+
+    Registered contract (r5, VERDICT r4 §1): the PRODUCTION fusion
+    shape — each ranker emits only its top-N (N = _RRF_N = 1200) via
+    ``orderBy().limit(N)``, which Spark plans as TakeOrderedAndProject
+    (distributed per-partition top-N + merge, never a full-corpus
+    single-partition window); the rank-within-list window then runs
+    over an N-bounded frame (a GlobalLimit sits below it — the plan
+    lint recognizes limit-bounded global windows as safe). Fusion is
+    a full-outer join of the two ≤N-row lists: a doc outside one
+    list contributes nothing from that ranker (NULL rank, 0 score
+    term) — exactly how Elasticsearch/Vespa-style hybrid RRF scores
+    union candidates. At every scale the data-proportional work is
+    the two top-N jobs; the fusion itself is O(N). At sf0.001/0.01
+    (≤500 docs < N) the result is identical to full-corpus fusion;
+    the DuckDB oracle computes the same top-N contract."""
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     sem = (
@@ -1152,8 +1168,10 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("id"),
             F.round(dot("embedding", "q_emb"), 6).alias("sim"),
         )
+        .orderBy(F.col("sim").desc(), "id")
+        .limit(_RRF_N)  # TakeOrdered — the ranker's bounded emission
         .withColumn(
-            "r_sem",
+            "r_sem",  # window over ≤N rows (GlobalLimit below it)
             F.row_number().over(W.orderBy(F.col("sim").desc(), "id")),
         )
         .select("id", "r_sem")
@@ -1165,18 +1183,21 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = (
         d.where(F.col("doc_id") != 0)
         .select(F.col("doc_id").alias("id"), tf.alias("tf"))
+        .orderBy(F.col("tf").desc(), "id")
+        .limit(_RRF_N)
         .withColumn(
             "r_lex",
             F.row_number().over(W.orderBy(F.col("tf").desc(), "id")),
         )
         .select("id", "r_lex")
     )
-    fused = sem.join(lex, "id").select(
+    fused = sem.join(lex, ["id"], "full_outer").select(
         "id",
         "r_sem",
         "r_lex",
         F.round(
-            1.0 / (F.lit(60) + F.col("r_sem")) + 1.0 / (F.lit(60) + F.col("r_lex")),
+            F.coalesce(1.0 / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("r_lex")), F.lit(0.0)),
             6,
         ).alias("rrf_score"),
     )
