@@ -94,6 +94,7 @@ def with_global_cumsum(
     rn_out: str | None = None,
     rows_total: str | None = None,
     extra: list | None = None,
+    extra_totals: list | None = None,
 ) -> DataFrame:
     """Exact global ``sum(val) over (order by *order_cols rows
     unbounded preceding [and -1])`` as a distributed plan. ``val_col``
@@ -111,7 +112,10 @@ def with_global_cumsum(
     (rank + running share + totals) in one range shuffle. ``extra``
     is a list of further ``(val_col, out_col)`` running sums over the
     same order (e.g. a two-sample ECDF), again sharing the layout and
-    collect."""
+    collect; ``extra_totals`` (aligned with ``extra``) names columns
+    to carry each extra sum's GRAND total (already known from the
+    same offset collect — the ECDF denominator, free like
+    ``with_total``)."""
     extra = extra or []
     pairs = [(val_col, out)] + list(extra)
     part = _with_partition_layout(df, order_cols)
@@ -153,6 +157,12 @@ def with_global_cumsum(
         )
     if with_total is not None:
         out_df = out_df.withColumn(with_total, F.lit(accs[0]).cast("long"))
+    if extra_totals is not None:
+        for i, name in enumerate(extra_totals, start=1):
+            if name is not None:
+                out_df = out_df.withColumn(
+                    name, F.lit(accs[i]).cast("long")
+                )
     if rows_total is not None:
         out_df = out_df.withColumn(rows_total, F.lit(nacc).cast("long"))
     return out_df.drop(

@@ -1068,28 +1068,33 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the robustness question: high-Gini graphs shatter when hubs are
     delisted). Reuses the exact rank-sum Gini identity
     (events_value_gini_by_type) on integer degrees with (d, src)
-    tie-ordering; the sort runs over nodes of the pruned graph.
+    tie-ordering. r5: the rank is the distributed exact global row
+    number (distrank — nodes are entity-grain and grow with the
+    data), and n / Σd fold into the final scalar aggregate instead of
+    ``count()/sum() over ()`` global windows: the reduction is
+    map-side partial, nothing data-proportional passes one task.
     Completes the structural profile: degree DISTRIBUTION (shape),
     assortativity (mixing), Gini (inequality)."""
+    from datalakecrawler_spark.distrank import with_global_row_number
+
     deg = (
         _sym(_edges(spark, sf_dir))
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    r = deg.select(
-        "d",
-        F.row_number().over(W.orderBy("d", "src")).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-        F.sum("d").over(W.partitionBy()).alias("sd"),
+    r = with_global_row_number(deg, spark, ["d", "src"], out="i")
+    t = r.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("n_degree_sum"),
+        F.sum(F.col("i") * F.col("d")).alias("id_sum"),
     )
-    nd = F.max("n").cast("double")
-    return r.agg(
-        F.max("n").alias("n_nodes"),
-        F.max("sd").alias("n_degree_sum"),
+    nd = F.col("n_nodes").cast("double")
+    return t.select(
+        "n_nodes",
+        "n_degree_sum",
         F.round(
-            (2.0 * F.sum(F.col("i") * F.col("d")))
-            / (nd * F.max("sd"))
-            - (nd + 1) / F.max("n"),
+            (2.0 * F.col("id_sum")) / (nd * F.col("n_degree_sum"))
+            - (nd + 1) / F.col("n_nodes"),
             6,
         ).alias("degree_gini"),
     )

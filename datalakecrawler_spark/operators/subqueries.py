@@ -182,13 +182,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity × retail price (no partsupp.availqty).
 
     Decorrelation strategy: aggregate once to per-part integer
-    micro-sums, then take the global total as a window ``sum() over ()``
-    on the *aggregated* frame — that frame is |parts| rows (thousands,
-    not billions), so the single-partition window is safe at any data
-    scale; the alternative second full scan of the fact table is what
-    this formulation avoids. Threshold and output both derive from the
-    same int64 micro-units → exact cross-engine comparison, no float
-    drift on the HAVING boundary.
+    micro-sums, then take the global total as a scalar aggregate of
+    the *aggregated* frame broadcast back onto it (crossJoin of a
+    1-row frame). r5: this replaces the ``sum() over ()`` global
+    window — parts GROW with the data (part-grain is entity-grain),
+    and the window form funnels every part row through one task,
+    while the scalar-agg form is partial-aggregated map-side and
+    broadcasts one row. The fact table is still scanned exactly once.
+    Threshold and output both derive from the same int64 micro-units
+    → exact cross-engine comparison, no float drift on the HAVING
+    boundary.
     """
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
@@ -200,9 +203,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(micro).alias("v_micro"))
     )
-    w = W.partitionBy()
+    tot = pv.agg(F.sum("v_micro").alias("t_micro"))
     return (
-        pv.withColumn("t_micro", F.sum("v_micro").over(w))
+        pv.crossJoin(F.broadcast(tot))
         .where(
             F.col("v_micro").cast("double") / 1e6
             > 0.001 * (F.col("t_micro").cast("double") / 1e6)
@@ -233,9 +236,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-ext: TPC-H Q15 shape — the view-plus-scalar-max pattern: an
     aggregated relation compared against its own maximum. Expressed as
-    one aggregation plus a windowed max over the aggregated frame
-    (|suppliers| rows), so the fact table is scanned exactly once; the
-    naive form (CREATE VIEW + two SELECTs over it) scans twice.
+    one aggregation plus the scalar max of the aggregated frame
+    broadcast back onto it (r5: replaces the ``max() over ()`` global
+    window — suppliers grow with the data, and the scalar-agg form is
+    map-side partial-aggregated instead of funneling the supplier
+    frame through one task), so the fact table is scanned exactly
+    once; the naive form (CREATE VIEW + two SELECTs over it) scans
+    twice.
 
     Equality on the max is float-safe because every total_rev comes out
     of the same micro-unit integer sum — the winner's value is
@@ -249,9 +256,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
     s = load(spark, sf_dir, "supplier")
-    w = W.partitionBy()
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", F.max("total_rev").over(w))
+        rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", r6("total_rev").alias("total_rev"))

@@ -1131,20 +1131,35 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decile 1 = heaviest users), the engagement-concentration
     profile ('do 10% of users generate 60% of events?') that pairs
     with orders_gini_concentration on the revenue side. Per-user
-    counts are one map-combinable rollup; the ntile runs over the
-    user aggregate (users ≪ events), with (cnt desc, user_id)
-    ordering making decile boundaries deterministic. Integer sums
-    throughout; the share is one double division. At scale the
-    global ntile is a single range-partitioned sort of the user
-    table — the event scan dominates."""
+    counts are one map-combinable rollup; the decile comes from the
+    distributed exact global row number over the user aggregate with
+    (cnt desc, user_id) tie-free ordering (r5: users are entity-grain
+    and GROW with the data — distrank + the closed-form
+    ntile_from_rank replace the single-partition ntile window,
+    bit-identical per tests/test_distrank.py; the total event count
+    rides the same offset collect). Integer sums throughout; the
+    share is one double division."""
+    from datalakecrawler_spark.distrank import (
+        ntile_from_rank,
+        with_global_cumsum,
+    )
+
     e = load(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    dec = per_user.select(
+    r = with_global_cumsum(
+        per_user,
+        spark,
+        [F.col("cnt").desc(), F.col("user_id")],
         "cnt",
-        F.ntile(10)
-        .over(W.orderBy(F.col("cnt").desc(), "user_id"))
-        .alias("decile"),
-        F.sum("cnt").over(W.partitionBy()).alias("total"),
+        out="__cum",
+        with_total="total",
+        rn_out="rn",
+        rows_total="n",
+    )
+    dec = r.select(
+        "cnt",
+        ntile_from_rank(F.col("rn"), F.col("n"), 10).alias("decile"),
+        "total",
     )
     return (
         dec.groupBy("decile")

@@ -1628,28 +1628,39 @@ def catalog_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-ordered running sum, one max — cumulative counts are exact
     integers, so the ECDF difference is bit-identical across engines
     and the argmax filter (abs(diff) = dmax) is an exact double
-    compare of identically-computed values. The global window is the
-    scale limit: at 100 TB first quantize v to ~10⁴ bins (the PSI op's
-    trick) so the ordered pass is over bounded cardinality; the KS
+    compare of identically-computed values. r5: the ordered pass is
+    the distrank two-sample cumulative (one range shuffle carrying
+    BOTH running counts + both grand totals from one offset collect —
+    distinct values are data-proportional for continuous columns, so
+    no single-partition window), and dmax is a scalar aggregate
+    broadcast back. At 100 TB additionally quantize v to ~10⁴ bins
+    first (the PSI op's trick) to shrink the value table; the KS
     value changes by at most one bin's mass."""
+    from datalakecrawler_spark.distrank import with_global_cumsum
+
     o = load(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
     vals = o.groupBy(F.col("o_totalprice").alias("v")).agg(
         F.count_if(yr <= 1997).alias("n1"),
         F.count_if(yr >= 1998).alias("n2"),
     )
-    run = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    whole = W.partitionBy()
-    diff = (
-        F.sum("n1").over(run).cast("double") / F.sum("n1").over(whole).cast("double")
-        - F.sum("n2").over(run).cast("double") / F.sum("n2").over(whole).cast("double")
+    c = with_global_cumsum(
+        vals,
+        spark,
+        ["v"],
+        "n1",
+        out="c1",
+        with_total="t1",
+        extra=[("n2", "c2")],
+        extra_totals=["t2"],
     )
-    ecdf = vals.select(
-        "v",
-        diff.alias("diff"),
-        F.sum("n1").over(whole).alias("t1"),
-        F.sum("n2").over(whole).alias("t2"),
-    ).withColumn("dmax", F.max(F.abs("diff")).over(whole))
+    diff = (
+        F.col("c1").cast("double") / F.col("t1").cast("double")
+        - F.col("c2").cast("double") / F.col("t2").cast("double")
+    )
+    ecdf = c.select("v", diff.alias("diff"), "t1", "t2")
+    dm = ecdf.agg(F.max(F.abs("diff")).alias("dmax"))
+    ecdf = ecdf.crossJoin(F.broadcast(dm))
     return ecdf.where(F.abs("diff") == F.col("dmax")).agg(
         F.max("t1").alias("n_base"),
         F.max("t2").alias("n_curr"),

@@ -274,9 +274,10 @@ def test_q8_single_fact_shuffle_all_dims_broadcast(spark):
 
 
 def test_q11_single_shuffle_scalar_total_on_agg_frame(spark):
-    """Q11: the global total must come from a window over the already
-    aggregated per-part frame — one l_partkey shuffle, never a second
-    scan-wide aggregation."""
+    """Q11: the global total must come from a scalar aggregate of the
+    already aggregated per-part frame broadcast back (r5 — never a
+    single-partition window over the part-grain frame, and never a
+    second scan-wide aggregation): one l_partkey shuffle only."""
     a = _audit_uncached(spark, "q11_important_parts")
     assert _shuffle_keys(a) == {"l_partkey"}, _shuffle_keys(a)
     assert "BroadcastHashJoin" in a.joins
@@ -284,8 +285,10 @@ def test_q11_single_shuffle_scalar_total_on_agg_frame(spark):
 
 
 def test_q15_scalar_max_no_second_fact_shuffle(spark):
-    """Q15: windowed max over the aggregated frame — the fact shuffles
-    once on l_suppkey and the max adds no keyed exchange."""
+    """Q15: scalar max of the aggregated frame broadcast back (r5 —
+    not a single-partition window over the supplier-grain frame) —
+    the fact shuffles once on l_suppkey and the max adds no keyed
+    exchange."""
     a = _audit_uncached(spark, "q15_top_supplier")
     assert _shuffle_keys(a) == {"l_suppkey"}, _shuffle_keys(a)
     assert any("GreaterThanOrEqual(l_shipdate" in p for p in a.pushed_filters)
