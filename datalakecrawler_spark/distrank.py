@@ -33,21 +33,87 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from datalakecrawler_spark import memo as _memo
+
+# Bounded per-application registry of checkpointed layout RDD ids
+# (ADVICE r4, medium). Every distrank call localCheckpoints its input
+# frame — often fact-sized — and checkpointed blocks live in executor
+# storage until the context dies, so a long-lived driver running many
+# distrank queries would accumulate storage unboundedly (the exact
+# problem memo.py bounds for memoized intermediates). Layouts are not
+# memoized (each call is query-private), so the discipline here is a
+# FIFO: keep the newest _KEEP_LAYOUTS layouts per app and release the
+# storage of anything older via the same persistent-RDD-id attribution
+# memo.py uses (snapshot getPersistentRDDs around the checkpoint under
+# memo's process lock, honest JavaRDD.unpersist on eviction, _CLAIMED
+# cross-registry bookkeeping so a memoized build that calls distrank
+# internally never double-attributes blocks).
+#
+# Safety: localCheckpoint TRUNCATES lineage, so an evicted layout's
+# DataFrame must never be re-read. _KEEP_LAYOUTS = 16 gives that
+# headroom structurally: a single query plan uses at most ~3 layouts,
+# and every consumer in the repo (driver, driver_sim, bench, pytest
+# compare) fully materializes one query before building the next, so a
+# layout is only evicted ≥5 queries after its plan was last buildable.
+# A caller that holds a distrank-backed DataFrame across many
+# subsequent distrank queries and re-collects it later must cache the
+# RESULT it needs, not the lazy frame — documented contract.
+_LAYOUTS: list = []  # [(applicationId, frozenset(rdd_ids)), ...] FIFO
+_KEEP_LAYOUTS = 16
+
+
+def _register_layout(sc, rdd_ids: set) -> None:
+    _memo._CLAIMED.update(rdd_ids)
+    _LAYOUTS.append((sc.applicationId, frozenset(rdd_ids)))
+    # drop entries from dead applications (their storage died with the
+    # context), then evict beyond the keep window for the live one
+    app = sc.applicationId
+    dead = [e for e in _LAYOUTS if e[0] != app]
+    for e in dead:
+        _LAYOUTS.remove(e)
+        _memo._CLAIMED.difference_update(e[1])
+    while sum(1 for e in _LAYOUTS if e[0] == app) > _KEEP_LAYOUTS:
+        victim = next(e for e in _LAYOUTS if e[0] == app)
+        _LAYOUTS.remove(victim)
+        _memo._CLAIMED.difference_update(victim[1])
+        try:
+            _memo._unpersist_ids(sc, victim[1])
+        except Exception:
+            pass  # best-effort: the FIFO stays bounded regardless
+
+
 def _with_partition_layout(df: DataFrame, order_cols: list) -> DataFrame:
     """Range-partition by the order key, stamp the partition id, and
     freeze the layout (see module doc). The partition count follows
     spark.sql.shuffle.partitions so the offset table scales with the
     cluster, not a constant (on a 1000-executor session the session
     config carries the right width; the offset collect stays
-    #partitions-sized either way)."""
+    #partitions-sized either way). The checkpointed blocks are
+    tracked in the bounded per-app layout FIFO above."""
     npart = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    return (
-        df.repartitionByRange(npart, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    sc = df.sparkSession.sparkContext
+    with _memo._LOCK:
+        try:
+            before = _memo._persistent_rdd_ids(sc)
+        except Exception:
+            before = None
+        part = (
+            df.repartitionByRange(npart, *order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        new_ids: set = set()
+        if before is not None:
+            try:
+                new_ids = (
+                    _memo._persistent_rdd_ids(sc) - before - _memo._CLAIMED
+                )
+            except Exception:
+                new_ids = set()
+        _register_layout(sc, new_ids)
+    return part
 
 
 def with_global_row_number(
