@@ -181,13 +181,24 @@ def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grows; with them the prune engages at fixture scale and the
     candidate count grows ~N^1.5·occupancy, not N². Seeds are the
     nlist vectors with the smallest md5(vec_id) (deterministic,
-    content-independent spread); 3 Lloyd rounds, each a broadcast
-    crossJoin assignment + one 64-wide avg per cell, every round's
-    tiny (≤nlist-row) centroid table localCheckpoint'ed. Correctness
-    does NOT depend on centroid quality or float-sum order: the
-    pruning bound in _ivf_prune_candidates is lossless for ANY
-    assignment whose radii come from the same frozen table. At 100 TB
-    the trainer runs on a sample (standard IVF practice) and nlist
+    content-independent spread); 3 Lloyd rounds over a bounded
+    TRAINING SAMPLE (r5, VERDICT r4 §3): the min(N, 128·nlist)
+    vectors with the smallest md5(vec_id) — deterministic,
+    content-independent, a superset of the seeds — so each round is
+    128·nlist·nlist ≈ 128·N dot products (linear), not the N^1.5 of
+    full-corpus training; 128 points/cell is squarely inside the
+    public FAISS guidance of 30–256 training points per centroid.
+    Each round is a broadcast crossJoin assignment + one 64-wide avg
+    per cell, every round's tiny (≤nlist-row) centroid table
+    localCheckpoint'ed. Correctness does NOT depend on sample choice,
+    centroid quality, or float-sum order: the pruning bound in
+    _ivf_prune_candidates is lossless for ANY centroid table because
+    the radii come from the FULL corpus assignment against that same
+    frozen table (trainer samples; the assigner never does). At the
+    fixture SFs (N ≤ 2000 < 128·nlist) the sample is the whole corpus,
+    so the candidate-growth table in SCALING.md is unchanged; the
+    sampling path itself is pinned by
+    tests/test_pipeline_semantics.py::test_ivf_sampled_trainer. nlist
     caps at the broadcast budget; the build is once-per-snapshot
     (memoized, like _label_centroids)."""
     return memoized_checkpoint(
@@ -195,14 +206,27 @@ def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cells_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+# public-knowledge default: FAISS recommends 30-256 training points
+# per centroid; 128 bounds trainer work at ~128·N dots per round.
+_TRAIN_PER_CELL = 128
+
+
+def _kmeans_cells_plan(
+    spark: SparkSession, sf_dir: str, train_per_cell: int = _TRAIN_PER_CELL
+) -> DataFrame:
     import math
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = e.count()
     nlist = max(10, math.isqrt(max(n - 1, 0)) + 1)
+    # deterministic md5-ordered training sample; the first nlist rows
+    # double as the seeds (seed set ⊂ sample by construction)
+    by_md5 = e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    samp = by_md5.limit(min(n, train_per_cell * nlist)).localCheckpoint()
     cents = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        # re-sort the (sample-sized) frame for the seed take: row order
+        # inside a checkpointed TakeOrdered result is not a contract
+        samp.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(nlist)
         .select(F.col("vec_id").alias("label"), F.col("embedding").alias("cvec"))
         .localCheckpoint()
@@ -214,7 +238,7 @@ def _kmeans_cells_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "label")
         assigned = (
-            e.crossJoin(F.broadcast(cn))
+            samp.crossJoin(F.broadcast(cn))
             .select(
                 "vec_id", "embedding", "label", dot("embedding", "cvec").alias("csim")
             )
