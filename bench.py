@@ -124,6 +124,18 @@ def main() -> None:
     baseline_total = round(
         sum(BASELINE_WARM_MS[n] for n in names if n in BASELINE_WARM_MS) / 1000, 4
     )
+    try:  # noise stamp (VERDICT r4 §2): this box shares cores with a
+        # periodic background harness; a 1-min load ≳1.5 means the warm
+        # numbers are not trustworthy and should be re-run idle.
+        load_1min = float(open("/proc/loadavg").read().split()[0])
+    except Exception:
+        load_1min = None
+    ratios = {
+        n: round(times[n] / (BASELINE_WARM_MS[n] / 1000), 2)
+        for n in names
+        if n in BASELINE_WARM_MS and BASELINE_WARM_MS[n]
+    }
+    worst3 = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:3])
     payload = (
             {
                 "metric": "headline_suite_warm_total",
@@ -138,6 +150,8 @@ def main() -> None:
                 "suite_ratio_vs_baseline": round(total / baseline_total, 4)
                 if baseline_total
                 else None,
+                "load_1min": load_1min,
+                "worst3_vs_baseline": worst3,
                 "baseline_queries_ms": {
                     n: BASELINE_WARM_MS[n] for n in names if n in BASELINE_WARM_MS
                 },
@@ -150,15 +164,37 @@ def main() -> None:
                 ),
             }
     )
-    # Sidecar (VERDICT r2 "What's missing" §4): the driver captures
-    # stdout with a tail that truncated BENCH_r02's first 10 per-query
-    # times; the full payload is also written to a file so the bench
-    # evidence can never be clipped.
+    # Sidecar (VERDICT r2 §4): the FULL payload lives in a file so the
+    # bench evidence can never be clipped.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps(payload))
+    # stdout carries ONE COMPACT line (VERDICT r4 §2a): the driver's
+    # capture keeps only a ~2000-char tail, and the full payload
+    # (~4 KB) never parsed — BENCH_r01..r04 all show "parsed": null.
+    # Keep the contract fields + per-query warm times (3 decimals),
+    # push everything else to the sidecar, and verify the budget.
+    compact = {
+        "metric": "headline_suite_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 3) for n, t in times.items()},
+        "sf": float(sf),
+        "n_queries": len(names),
+        "replan_total_sec": round(replan_total, 2),
+        "baseline_warm_total_sec": baseline_total,
+        "suite_ratio_vs_baseline": payload["suite_ratio_vs_baseline"],
+        "load_1min": load_1min,
+        "worst3_vs_baseline": worst3,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the capture tail with margin
+        compact.pop("queries")
+        compact["queries_in"] = "BENCH_DETAIL.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
