@@ -2,15 +2,23 @@
 document corpus (SURVEY.md §2 J1/J2; BASELINE.json "dedup").
 
 Scale design (SURVEY §4): near-dup is LSH banding, never O(N²) —
-shingle → 64 portable MinHashes → 32 bands × 2 rows → shuffle join on
+shingle → 64 portable MinHashes → 21 bands × 3 rows → shuffle join on
 (band, key) buckets → exact-Jaccard verify on candidates only. The
 oracle states the exact all-pairs SEMANTICS, computed in the
 inverted-index form (`_jac_pairs_sql`: gram equi-join + count, J =
 c/(nₐ+n_b−c) — same pairs as the quadratic scan for any τ>0); band
-parameters are chosen so P(miss | J ≥ 0.8) = (1-0.8²)³² ≈ 6e-15 — the
-LSH plan reproduces the exact answer on any realistic input while
+parameters are chosen so P(miss | J ≥ 0.8) = (1-0.8³)²¹ ≈ 2.9e-7 —
+the LSH plan reproduces the exact answer on any realistic input while
 scaling linearly in shuffle volume (BASELINE.md "Dedup family" has the
-measured three-formulation ladder).
+measured three-formulation ladder). r5 (VERDICT r4 §7): rows-per-band
+2 → 3 — the r=2 curve caught far too many moderate-Jaccard pairs on
+this template-dense corpus (measured 17.6× candidate overshoot at
+sf0.1: 4496 candidates for 256 verified pairs); r=3 measures 1.3×
+(332) with verified output identical at every fixture SF, and the
+md5 hash family is deterministic, so the recall bound is a fixed
+property of each pair, not a per-run coin flip. (r=4 measured 1.0×
+but its bound (1-0.8⁴)¹⁶ ≈ 2.3e-4 is too thin for an exact-parity
+contract on unseen corpora.)
 
 Portability: MinHash uses md5(seed || shingle) with *lexicographic* min
 — identical in any engine (SURVEY §2.L trap 7: never xxhash64/hash for
@@ -30,7 +38,12 @@ from datalakecrawler_spark.memo import memoized_checkpoint
 from datalakecrawler_spark.registry import register
 
 _N_HASHES = 64
-_BAND_ROWS = 2  # 32 bands × 2 rows
+_BAND_ROWS = 3  # 21 bands × 3 rows (r5 — see module doc; hash 64 spare)
+_N_BANDS = _N_HASHES // _BAND_ROWS
+# DuckDB twin of the band-key concat (1-based list indexing)
+_BAND_KEY_SQL = " || '#' || ".join(
+    f"sig[{_BAND_ROWS} * b.band + {j + 1}]" for j in range(_BAND_ROWS)
+)
 _TAU = 0.8
 _SHINGLE_K = 3
 _MINHASH_PAIR_MEMO: dict = {}
@@ -236,7 +249,7 @@ def _exact_jac_pairs(sh: DataFrame, tau: float) -> DataFrame:
 def _band_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, shingles) → exploded KEYS-ONLY (doc_id, band, key):
     64 portable MinHashes (lexicographic min of md5(seed|shingle)),
-    grouped into 32 two-row band keys. Shared by the self-join dedup
+    grouped into 21 three-row band keys. Shared by the self-join dedup
     (J2), the incremental batch-vs-corpus variant, and the band
     diagnostics. Deliberately does NOT carry the shingle arrays
     through the 32× explode (VERDICT r1 What's-wrong §4): consumers
@@ -316,7 +329,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: near-dup pairs with shingle-Jaccard ≥ 0.8 via MinHash+LSH.
 
     Pipeline: k=3 word shingles → 64 MinHashes (lexicographic min of
-    md5(seed|shingle)) → 32 band keys → keys-only explode + self-join
+    md5(seed|shingle)) → 21 band keys → keys-only explode + self-join
     on band buckets → dedup candidate pairs → join shingles back by
     doc_id → exact Jaccard verify. The band join moves only (doc_id,
     band, key) triples; shingle arrays are fetched once per UNIQUE
@@ -1237,9 +1250,8 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     banded as (
       select doc_id, b.band,
-             sig[{_BAND_ROWS} * b.band + 1] || '#'
-               || sig[{_BAND_ROWS} * b.band + 2] as key
-      from mh, (select unnest(range({_N_HASHES // _BAND_ROWS}))
+             {_BAND_KEY_SQL} as key
+      from mh, (select unnest(range({_N_BANDS}))
                 as band) b
     ),
     buckets as (
@@ -1257,7 +1269,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-ext: LSH banding diagnostics — per-band bucket statistics for
     the exact MinHash pipeline dedup_near_minhash runs (same shingles,
-    same 64 md5-minhashes, same 32×2 banding — the oracle replicates
+    same 64 md5-minhashes, same 21×3 banding — the oracle replicates
     the full signature computation, making this also a cross-engine
     proof that the banding itself is portable, not just its output).
     candidate_pairs = Σ k(k−1)/2 per band is THE tuning number: it is
@@ -1763,32 +1775,37 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_scurve",
     group="J",
-    oracle="""
+    oracle=f"""
     with s as (
       select cast(g as double) / 20 as sim
       from generate_series(1, 19) t(g)
     )
     select round(sim, 6) as jaccard,
-           round(1 - pow(1 - pow(sim, 2), 32), 6) as p_candidate,
-           1 - pow(1 - pow(sim, 2), 32) >= 0.5 as likely_caught
+           round(1 - pow(1 - pow(sim, {_BAND_ROWS}), {_N_BANDS}), 6)
+             as p_candidate,
+           1 - pow(1 - pow(sim, {_BAND_ROWS}), {_N_BANDS}) >= 0.5
+             as likely_caught
     from s order by jaccard
     """,
 )
 def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-ext: the analytic LSH S-curve for this repo's MinHash banding
-    parameters (32 bands x 2 rows, dedup_near_minhash) — candidate
-    probability 1-(1-s^r)^b for Jaccard s in 0.05 steps, with the
-    'caught with >= 50% probability' flag. This is the tuning artifact
-    that justifies the band choice: the curve's inflection
-    (~(1/b)^(1/r) = 0.18 here) is the effective dedup threshold, and
-    re-running the sweep for other (r, b) is how a 100 TB dedup run
-    budgets recall vs candidate volume BEFORE shuffling anything.
-    Pure closed-form math on a generated grid — no data scan; pow is
-    round-6 gated."""
+    parameters (21 bands x 3 rows since r5, dedup_near_minhash) —
+    candidate probability 1-(1-s^r)^b for Jaccard s in 0.05 steps,
+    with the 'caught with >= 50% probability' flag. This is the tuning
+    artifact that justifies the band choice: the curve's inflection
+    (~(1/b)^(1/r) = 0.36 here, vs 0.18 at the old 32x2 — exactly why
+    r=3 sheds the moderate-Jaccard candidate overshoot) is the
+    effective dedup threshold, and re-running the sweep for other
+    (r, b) is how a 100 TB dedup run budgets recall vs candidate
+    volume BEFORE shuffling anything. Pure closed-form math on a
+    generated grid — no data scan; pow is round-6 gated. Both sides
+    parameterize on the live _BAND_ROWS/_N_BANDS, so the curve can
+    never drift from the registered pipeline."""
     s = spark.range(1, 20).select(
         (F.col("id").cast("double") / 20).alias("sim")
     )
-    p = 1 - F.pow(1 - F.pow(F.col("sim"), 2), 32)
+    p = 1 - F.pow(1 - F.pow(F.col("sim"), _BAND_ROWS), _N_BANDS)
     return s.select(
         F.round("sim", 6).alias("jaccard"),
         F.round(p, 6).alias("p_candidate"),

@@ -256,7 +256,14 @@ def test_transform_with_state_equals_batch(spark, events_stream):
     gated on that optional dependency (absent in this container)."""
     pytest.importorskip(
         "google.protobuf",
-        reason="transformWithStateInPandas needs protobuf in Python workers",
+        reason=(
+            "transformWithStateInPandas needs protobuf in Python workers "
+            "— env-pinned (probed r5, 2026-08-15: `import google.protobuf` "
+            "-> ModuleNotFoundError; `pip download protobuf` retrieves no "
+            "wheel (no network); installs are prohibited in this image). "
+            "Batch/stream-twin coverage for stateful totals exists via "
+            "stream_tws_running_totals' non-tws formulation."
+        ),
     )
     from datalakecrawler_spark import registry
 
