@@ -332,9 +332,14 @@ def _prune_candidates_for(
     ca = cents_n.select(F.col("c_label").alias("ba"), F.col("cvec").alias("va"))
     cb = cents_n.select(F.col("c_label").alias("bb"), F.col("cvec").alias("vb"))
     # full (not triangular) grid: vec_a < vec_b does not order buckets,
-    # so both (X,Y) and (Y,X) must survive for cross-bucket pairs
+    # so both (X,Y) and (Y,X) must survive for cross-bucket pairs.
+    # Broadcast the right side: both sides are nlist-row centroid
+    # tables (capped at the broadcast budget — see _kmeans_cells), so
+    # the grid plans as a bounded BroadcastNestedLoopJoin instead of a
+    # CartesianProduct whose partition count multiplies (r5 — keeps
+    # the registry CartesianProduct-free for the plan lint).
     grid = (
-        ca.join(cb, F.lit(True))
+        ca.crossJoin(F.broadcast(cb))
         .select("ba", "bb", F.acos(clamp(dot("va", "vb"))).alias("cangle"))
         .join(radii.select(F.col("bucket").alias("ba"), F.col("radius").alias("ra")), "ba")
         .join(radii.select(F.col("bucket").alias("bb"), F.col("radius").alias("rb")), "bb")

@@ -119,14 +119,23 @@ def _walk_jplan(jnode):
         yield from _walk_jplan(ch.apply(i))
 
 
-def global_window_findings(df: DataFrame) -> list[str]:
+def global_window_findings(
+    df: DataFrame, flag_cartesian: bool = False
+) -> list[str]:
     """Return one finding per data-proportional single-partition window
     in ``df``'s physical plan (empty = the plan obeys the distrank
-    rule). See the lint block comment above for what counts as bounded."""
+    rule). See the lint block comment above for what counts as bounded.
+    With ``flag_cartesian`` the same walk also reports any
+    CartesianProductExec — the registry carries none (bounded grids
+    broadcast one side and plan as BroadcastNestedLoopJoin instead), so
+    that gate runs with an empty allowlist."""
     jplan = df._jdf.queryExecution().sparkPlan()
     findings: list[str] = []
     for node in _walk_jplan(jplan):
         cls = node.getClass().getSimpleName()
+        if flag_cartesian and cls == "CartesianProductExec":
+            findings.append("CartesianProductExec: unbounded pairwise blow-up")
+            continue
         if cls not in _WINDOW_NODES or not node.partitionSpec().isEmpty():
             continue
         order = node.orderSpec().toString()

@@ -83,18 +83,28 @@ ALLOWED_GLOBAL_WINDOWS: dict[str, str] = {
 }
 
 
-def test_no_unjustified_global_windows(spark):
+def test_no_unjustified_global_windows_or_cartesians(spark):
     flagged: dict[str, list[str]] = {}
+    cartesian: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
     for name, q in registry.all_queries().items():
         try:
-            f = global_window_findings(q.fn(spark, PLAN_SF_DIR))
+            f = global_window_findings(
+                q.fn(spark, PLAN_SF_DIR), flag_cartesian=True
+            )
         except Exception as ex:  # a query that cannot build is a bug too
             errors[name] = repr(ex)[:200]
             continue
-        if f:
-            flagged[name] = f
+        carts = [x for x in f if x.startswith("CartesianProductExec")]
+        wins = [x for x in f if not x.startswith("CartesianProductExec")]
+        if carts:
+            cartesian[name] = carts
+        if wins:
+            flagged[name] = wins
     assert not errors, f"queries failed to build a plan: {errors}"
+    # gate 2 (r5): the registry is CartesianProduct-free — bounded
+    # grids broadcast one side (BroadcastNestedLoopJoin). No allowlist.
+    assert not cartesian, f"CartesianProductExec in registered plans: {cartesian}"
     rogue = {n: f for n, f in flagged.items() if n not in ALLOWED_GLOBAL_WINDOWS}
     assert not rogue, (
         "data-proportional single-partition window(s) outside the "
