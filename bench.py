@@ -95,6 +95,17 @@ def main() -> None:
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
 
+    def _load() -> float | None:
+        try:
+            return float(open("/proc/loadavg").read().split()[0])
+        except Exception:
+            return None
+
+    # stamp BEFORE the suite runs: bench itself drives 32 threads, so a
+    # post-run reading mostly measures bench's own footprint, not the
+    # external background load the noise protocol gates on.
+    load_start = _load()
+
     times: dict[str, float] = {}
     replan_times: dict[str, float] = {}
     replan_total = 0.0
@@ -124,12 +135,13 @@ def main() -> None:
     baseline_total = round(
         sum(BASELINE_WARM_MS[n] for n in names if n in BASELINE_WARM_MS) / 1000, 4
     )
-    try:  # noise stamp (VERDICT r4 §2): this box shares cores with a
-        # periodic background harness; a 1-min load ≳1.5 means the warm
-        # numbers are not trustworthy and should be re-run idle.
-        load_1min = float(open("/proc/loadavg").read().split()[0])
-    except Exception:
-        load_1min = None
+    # noise stamps (VERDICT r4 §2): this box shares cores with a
+    # periodic background harness; a START load ≳1.5 means the warm
+    # numbers are untrustworthy and should be re-run idle. The END
+    # stamp bounds whether the background cycle returned mid-run
+    # (bench's own threads inflate it too — interpret loosely).
+    load_1min = load_start
+    load_end = _load()
     ratios = {
         n: round(times[n] / (BASELINE_WARM_MS[n] / 1000), 2)
         for n in names
@@ -151,6 +163,7 @@ def main() -> None:
                 if baseline_total
                 else None,
                 "load_1min": load_1min,
+                "load_1min_end": load_end,
                 "worst3_vs_baseline": worst3,
                 "baseline_queries_ms": {
                     n: BASELINE_WARM_MS[n] for n in names if n in BASELINE_WARM_MS

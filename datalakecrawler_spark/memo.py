@@ -52,12 +52,10 @@ DEFAULT_KEEP = 4
 
 
 def _persistent_rdd_ids(sc) -> set:
-    """Snapshot the ids of all persistent RDDs in the context."""
-    out = set()
-    it = sc._jsc.getPersistentRDDs().keySet().iterator()
-    while it.hasNext():
-        out.add(it.next())
-    return out
+    """Snapshot the ids of all persistent RDDs in the context — one
+    py4j round trip (toArray), not one per entry: this runs twice per
+    memo build AND per distrank layout, under the build lock."""
+    return {int(x) for x in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
 
 def _unpersist_ids(sc, rdd_ids) -> None:
