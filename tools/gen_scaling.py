@@ -98,16 +98,16 @@ def candidate_growth_section(spark) -> list[str]:
         "  exactly 9N−45 — 10.0× per 10× rows, deterministically linear",
         "  at any scale. (The r3 nation blocking emitted ~45k/4.5M/450M-",
         "  class growth — quadratic — and was replaced.)",
-        "- `dedup_near_minhash`: candidates = band-bucket collisions =",
-        "  true near-dup pairs + moderate-similarity collisions. Output",
-        "  (true pairs) grows ~linearly with docs; the candidate",
-        "  overshoot tracks the corpus's moderate-Jaccard pair density",
-        "  (a data property — this fixture's templated docs share",
-        "  bigrams heavily), while staying ≪0.1% of the N²/2 pair",
-        "  space. Tightening bands (rows-per-band > 2) would cut",
-        "  collisions but raise P(miss|J≥0.8) above the exactness",
-        "  guarantee the oracle pins (currently ~6e-15), so the loose",
-        "  banding is the correct trade.",
+        "- `dedup_near_minhash` (21 bands × 3 rows since r5): candidates",
+        "  = band-bucket collisions ≈ true near-dup pairs + a thin",
+        "  moderate-Jaccard tail. The r=2 geometry caught the fixture's",
+        "  templated-bigram pair density wholesale (17.6× overshoot at",
+        "  sf0.1: 4496 candidates / 256 pairs); the measured r-sweep",
+        "  (dedup.py module doc) showed r=3 at 1.3× with verified output",
+        "  identical at every SF and a per-pair miss bound of",
+        "  (1-0.8³)²¹ ≈ 2.9e-7 under the deterministic md5 family —",
+        "  r=4's 2.3e-4 bound was judged too thin for the exact-parity",
+        "  contract on unseen corpora.",
         "- `dedup_embedding_rplsh` (adaptive width, r4): signature bits",
         "  = max(6, ⌈log2(N/8)⌉) keeps bucket occupancy ~constant, so",
         "  candidates grow ~linearly (a FIXED width grows as N²·T·2^-b;",
