@@ -11,8 +11,11 @@ Commands:
   verify [names...]              compare operators against the DuckDB
                                  oracle (exit 1 on any mismatch/error)
   lint [names...] [--strict]     plan lints (Cartesian products, Python
-                                 eval, excess shuffles) over the
-                                 headline suite or named operators
+                                 eval, excess shuffles, and the r5
+                                 structural gates: data-proportional
+                                 single-partition windows per the
+                                 distrank rule) over the headline
+                                 suite or named operators
 """
 
 from __future__ import annotations
@@ -123,7 +126,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "lint":
         from bench import HEADLINE
-        from datalakecrawler_spark.plans.explain import audit, lint
+        from datalakecrawler_spark.plans.explain import (
+            audit,
+            global_window_findings,
+            lint,
+        )
 
         qs = dlc.registry.all_queries()
         names = args.names or [n for n in HEADLINE if n in qs]
@@ -131,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
         if unknown:
             print(f"unknown queries: {unknown} — try `list`", file=sys.stderr)
             return 2
+        try:  # same reasoned exemptions the test gate uses
+            from tests.test_plan_lint import ALLOWED_GLOBAL_WINDOWS
+        except Exception:
+            ALLOWED_GLOBAL_WINDOWS = {}
         n_findings = 0
         for name in names:
             q = qs[name]
@@ -138,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
             df.collect()
             a = audit(df)
             issues = lint(a, name, q.group)
+            # r5 structural gates (tests/test_plan_lint.py): global
+            # windows over unbounded input + CartesianProduct
+            for g in global_window_findings(df, flag_cartesian=True):
+                if g.startswith("CartesianProductExec") or (
+                    name not in ALLOWED_GLOBAL_WINDOWS
+                ):
+                    issues.append(g)
             n_findings += len(issues)
             flag = "CLEAN" if not issues else "LINT "
             print(
