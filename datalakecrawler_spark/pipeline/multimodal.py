@@ -29,6 +29,7 @@ not one partition; binary payloads never pass through the driver.
 
 from __future__ import annotations
 
+import math
 import struct
 from collections.abc import Iterator
 
@@ -44,6 +45,27 @@ from datalakecrawler_spark.registry import register
 # ---------------------------------------------------------------------------
 # Byte-level codecs (pure Python + struct — no external libraries)
 # ---------------------------------------------------------------------------
+
+# DuckDB has no BLOB subscripting, but `hex(encode(text))` exposes every
+# utf-8 byte as two uppercase hex digits (Spark's `hex` on binary emits
+# the identical uppercase form) — so the codec oracles below recompute
+# the synthesized payload bytes in portable SQL and verify the decoded
+# features byte-for-byte, not just row counts. {hx} = hex-string column,
+# {j} = 0-based byte index expression.
+_SQL_BYTE = (
+    "(16 * (strpos('0123456789ABCDEF', substr({hx}, 2*({j})+1, 1)) - 1)"
+    " + (strpos('0123456789ABCDEF', substr({hx}, 2*({j})+2, 1)) - 1))"
+)
+
+# bmp_dims(doc_id) as SQL — the deterministic geometry both engines share
+_SQL_BMP_DIMS = """
+  select doc_id,
+         case when doc_id % 37 = 0 then 225 + (doc_id * 7) % 64
+              else 8 + (doc_id * 7) % 24 end as w,
+         case when doc_id % 37 = 0 then 225 + (doc_id * 13) % 48
+              else 8 + (doc_id * 13) % 16 end as h
+  from documents
+"""
 
 
 def _bmp_headers(w: int, h: int, pix_bytes: int) -> bytes:
@@ -109,13 +131,22 @@ def parse_bmp(payload: bytes):
 
 
 def bmp_mean_luma(pixels) -> float:
-    """BT.601 luma mean over real decoded pixels (BGR channel order)."""
+    """BT.601 luma mean over real decoded pixels (BGR channel order).
+
+    Computed in exact integer milli-luma (114·B + 587·G + 299·R per
+    pixel — the BT.601 coefficients scaled by 1000) so the sum is
+    order-independent, then rounded with the repo-wide
+    floor(x·1e4 + 0.5)/1e4 convention (registry dsum policy): every
+    intermediate is an exact integer below 2^53, so the DuckDB oracle
+    reproduces the value bit-for-bit from the same document bytes."""
     import numpy as np
 
     if pixels.size == 0:
         return 0.0
-    luma = pixels.astype(np.float64) @ np.array([0.114, 0.587, 0.299])
-    return round(float(luma.mean()), 4)
+    w = np.array([114, 587, 299], dtype=np.int64)
+    lum = int((pixels.reshape(-1, 3).astype(np.int64) @ w).sum())
+    npix = pixels.size // 3
+    return math.floor(lum * 1e4 / (1000 * npix) + 0.5) / 1e4
 
 
 _WAV_RATE = 16000
@@ -186,15 +217,56 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_stub", group="J", oracle=None)
+@register(
+    "mm_decode_stub",
+    group="J",
+    oracle=f"""
+    with g as ({_SQL_BMP_DIMS}),
+    d as (
+      select g.doc_id, g.w, g.h,
+             hex(encode(doc.text)) as hx,
+             octet_length(encode(doc.text)) as blen,
+             3 * g.w * g.h as n3,
+             -- luma terms repeat with period lcm(3, len): sum one period,
+             -- then scale by full cycles + partial remainder
+             case when octet_length(encode(doc.text)) % 3 = 0
+                  then octet_length(encode(doc.text))
+                  else 3 * octet_length(encode(doc.text)) end as period
+      from g join documents doc using (doc_id)
+    ),
+    i as (select doc_id, unnest(range(0, period)) as i from d),
+    t as (
+      select i.doc_id, i.i,
+             (case i.i % 3 when 0 then 114 when 1 then 587 else 299 end)
+             * {_SQL_BYTE.format(hx="d.hx", j="i.i % d.blen")} as term
+      from i join d using (doc_id)
+    ),
+    s as (
+      select t.doc_id,
+             sum(t.term) as s_full,
+             sum(case when t.i < d.n3 % d.period then t.term else 0 end) as s_rem
+      from t join d using (doc_id) group by t.doc_id
+    )
+    select d.doc_id, cast(d.w as int) as width, cast(d.h as int) as height,
+           floor(cast((d.n3 // d.period) * s.s_full + s.s_rem as double) * 1e4
+                 / (1000.0 * d.w * d.h) + 0.5) / 1e4 as mean_luma
+    from d join s using (doc_id)
+    """,
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode over binary payloads via mapInPandas — Arrow batch
     iterator in, typed feature rows out. The payload column holds REAL
     24-bit BMP bytes (synth_bmp, built executor-side); the decode is a
     REAL byte-level header parse + pixel read (parse_bmp) and the luma
     is BT.601 over actual pixels — not byte pseudo-metadata (VERDICT r1
-    §9). Rows-only: binary synthesis has no DuckDB twin; the property
-    tests check the decoder against independently-constructed BMPs."""
+    §9). Oracle (promoted r5): the pixel bytes are the document's utf-8
+    bytes cycled through the h×w×3 grid, so DuckDB recomputes the exact
+    integer milli-luma sum from hex(encode(text)) — using the
+    lcm(3, len) periodicity of the (channel-coefficient, source-byte)
+    pattern to bound generated rows at 3·len per doc — and reproduces
+    mean_luma bit-for-bit under the shared floor(x·1e4+0.5)/1e4
+    convention. Property tests additionally pin the decoder against
+    independently-constructed BMPs."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,13 +285,45 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("mm_frame_sample", group="J", oracle=None)
+@register(
+    "mm_frame_sample",
+    group="J",
+    oracle="""
+    with d as (
+      select doc_id, hex(encode(text)) as hx, octet_length(encode(text)) as blen
+      from documents
+    ),
+    f as (
+      select doc_id, hx,
+             unnest(range(0, greatest(1, blen // 256), 4)) as frame_idx
+      from d
+    ),
+    fr as (
+      select doc_id, cast(frame_idx as int) as frame_idx,
+             substr(hx, cast(frame_idx as bigint) * 512 + 1, 512) as fhx
+      from f
+    )
+    select doc_id, frame_idx,
+           cast(length(fhx) // 2 as int) as frame_len,
+           md5(fhx) as frame_md5
+    from fr
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling shape: one binary 'video' → N sampled 'frames'
     (row-expanding mapInPandas). Frames here are 256-byte chunks at a
     stride of 4 chunks; a real implementation swaps the chunker for a
     container demuxer. Output partitioning follows the input — no
-    shuffle until someone groups the frames."""
+    shuffle until someone groups the frames.
+
+    Oracle (promoted r5): raw binary columns can't cross the driver's
+    repr-based canonicalizer (Spark hands pandas ``bytearray``, DuckDB
+    ``bytes``), so the registered projection digests each frame —
+    md5 over the frame's uppercase hex — plus its byte length; DuckDB
+    rebuilds the identical frame hex by slicing hex(encode(text)) and
+    md5s it, making the check content-exact per frame. The binary
+    frame column itself stays real inside the plan (mapInPandas emits
+    it; the digest is a JVM-side projection on top)."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -236,8 +340,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame_bytes"].append(payload[i * chunk : (i + 1) * chunk])
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(
+    frames = d.mapInPandas(
         sample, schema="doc_id long, frame_idx int, frame_bytes binary"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").alias("frame_len"),
+        F.md5(F.encode(F.hex("frame_bytes"), "utf-8")).alias("frame_md5"),
     )
 
 
@@ -405,13 +515,33 @@ def resize_bmp(payload: bytes, target: int) -> tuple[int, int, int, int, float, 
     padded = np.zeros((new_h, row_size), dtype=np.uint8)
     padded[:, : new_w * 3] = thumb.reshape(new_h, new_w * 3)
     stored = padded[::-1]  # bottom-up storage
+    # floor(x·1e6 + 0.5)/1e6 rather than round(): same IEEE expression
+    # tree as the SQL twin, no round-half-even tie divergence
     return (
-        w, h, new_w, new_h, round(scale, 6),
+        w, h, new_w, new_h, math.floor(scale * 1e6 + 0.5) / 1e6,
         _bmp_headers(new_w, new_h, row_size * new_h) + stored.tobytes(),
     )
 
 
-@register("mm_image_resize_stub", group="J", oracle=None)
+@register(
+    "mm_image_resize_stub",
+    group="J",
+    oracle=f"""
+    with g as ({_SQL_BMP_DIMS}),
+    s as (select doc_id, w, h, least(224.0 / w, 224.0 / h, 1.0) as sc from g),
+    o as (
+      select doc_id,
+             cast(w as int) as src_w, cast(h as int) as src_h,
+             cast(greatest(1, floor(w * sc)) as int) as out_w,
+             cast(greatest(1, floor(h * sc)) as int) as out_h,
+             floor(sc * 1e6 + 0.5) / 1e6 as scale
+      from s
+    )
+    select doc_id, src_w, src_h, out_w, out_h, scale,
+           cast(54 + ((out_w * 3 + 3) // 4) * 4 * out_h as int) as thumb_bytes
+    from o
+    """,
+)
 def mm_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize over binary payloads via mapInPandas: each payload
     is a REAL 24-bit BMP (synth_bmp), decoded with a real byte-level
@@ -421,8 +551,13 @@ def mm_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r1 §9 — content, not shapes). The 'stub' left in the name
     marks only what a production swap changes: compressed codecs
     (JPEG) would replace parse/encode, not the Spark plumbing.
-    Rows-only: binary output has no SQL twin; property tests re-decode
-    the emitted thumbnails and check dimensions and pixel provenance."""
+    Oracle (promoted r5): every registered column — source dims, fitted
+    dims, fit scale, emitted BMP byte size (54-byte headers + 4-byte
+    padded rows) — is deterministic geometry DuckDB recomputes
+    independently from doc_id; the identical IEEE expression tree
+    (least/floor, floor(x·1e6+0.5)/1e6) makes the doubles bit-equal.
+    Pixel-level truth of the thumbnails stays pinned by the property
+    tests (re-decode + nearest-neighbor provenance)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     target = 224
 
@@ -453,7 +588,52 @@ def mm_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_audio_frame_features", group="J", oracle=None)
+@register(
+    "mm_audio_frame_features",
+    group="J",
+    oracle=f"""
+    with d as (
+      select doc_id, hex(encode(text)) as hx,
+             greatest(1, octet_length(encode(text))) as blen,
+             least(2400, greatest(800, octet_length(encode(text)))) as n
+      from documents
+    ),
+    p as (
+      select doc_id, hx, blen,
+             least((n - 400) // 160 + 1, 8) as nf
+      from d
+    ),
+    i as (
+      select doc_id, unnest(range(0, (nf - 1) * 160 + 400)) as i from p
+    ),
+    sv as (
+      select i.doc_id, i.i,
+             ((({_SQL_BYTE.format(hx="p.hx", j="i.i % p.blen")} * 257
+                + i.i * 131 + i.doc_id * 17) % 2048) - 1024) * 16 as v
+      from i join p using (doc_id)
+    ),
+    sp as (
+      select doc_id, i, v,
+             lead(v) over (partition by doc_id order by i) as nv
+      from sv
+    ),
+    fr as (select doc_id, unnest(range(0, nf)) as f from p),
+    j as (
+      select fr.doc_id, fr.f,
+             sum(sp.v * sp.v) as es,
+             sum(case when sp.i < fr.f * 160 + 399
+                       and ((sp.v >= 0) <> (sp.nv >= 0)) then 1 else 0 end) as zc
+      from fr join sp
+        on sp.doc_id = fr.doc_id
+       and sp.i >= fr.f * 160 and sp.i < fr.f * 160 + 400
+      group by 1, 2
+    )
+    select doc_id, cast(f as int) as frame_idx,
+           floor((cast(es as double) / 400) * 1e4 + 0.5) / 1e4 as energy,
+           cast(zc as int) as zero_crossings
+    from j
+    """,
+)
 def mm_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over REAL RIFF/WAVE payloads
     (synth_wav: mono 16 kHz 16-bit PCM), chunk-walked back with a real
@@ -463,8 +643,17 @@ def mm_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard ASR framing) — emitting per-frame energy +
     zero-crossing count over the actual int16 samples (VERDICT r1 §9).
     One output row per frame, capped at 8 per doc to bound output.
-    Rows-only: property tests check the parser round-trips synth_wav
-    and the features against an independent computation."""
+    Oracle (promoted r5): synth_wav's PCM samples are pure integer
+    arithmetic over the document bytes, so DuckDB regenerates every
+    sample from hex(encode(text)), windows them with the same 400/160
+    framing (a lead() pairs consecutive samples for zero-crossings),
+    and reproduces the exact integer energy sum; the shared
+    floor((Σs²/400)·1e4+0.5)/1e4 rounding makes the doubles bit-equal.
+    NOTE the oracle's energy divisor is the full 400-sample window —
+    valid because n ≥ 800 guarantees every emitted frame is complete
+    (n_frames = 1+(n-400)//160 keeps the last start ≤ n-400); the
+    Python side divides by len(frame), identical on complete frames.
+    Property tests additionally pin the parser round-trip."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     cap = 8
 
@@ -477,11 +666,12 @@ def mm_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_frames = max(0, 1 + (len(samples) - win) // hop)
                 for i in range(min(n_frames, cap)):
                     fr = samples[i * hop : i * hop + win]
-                    energy = sum(s * s for s in fr) / len(fr)
+                    esum = sum(s * s for s in fr)  # exact int < 2^53
+                    energy = math.floor((esum / len(fr)) * 1e4 + 0.5) / 1e4
                     zc = sum(
                         1 for a, b in zip(fr, fr[1:]) if (a >= 0) != (b >= 0)
                     )
-                    rows.append((doc_id, i, round(energy, 4), zc))
+                    rows.append((doc_id, i, energy, zc))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "energy", "zero_crossings"]
             )

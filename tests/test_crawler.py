@@ -124,11 +124,11 @@ def test_verify_module_reports_match_and_rows_only(spark):
     res = {
         r.name: r
         for r in verify_queries(
-            spark, SF_DIR, ["scan_parquet", "mm_decode_stub"]
+            spark, SF_DIR, ["scan_parquet", "mm_embed_pca"]
         )
     }
     assert res["scan_parquet"].status == "match"
-    assert res["mm_decode_stub"].status == "rows-only"
+    assert res["mm_embed_pca"].status == "rows-only"
 
     # induce a mismatch through a doctored registry entry
     good = registry.all_queries()["scan_parquet"]

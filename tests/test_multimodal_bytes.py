@@ -6,6 +6,7 @@ constructed ground truth, not just output shapes."""
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -41,20 +42,21 @@ def test_bmp_roundtrip_known_pixels():
     assert px[0, 1].tolist() == [100, 110, 120]
     assert px[1, 0].tolist() == [10, 20, 30]
     assert px[1, 1].tolist() == [40, 50, 60]
-    expected_luma = round(
-        float(
-            np.mean(
-                [
-                    0.114 * 70 + 0.587 * 80 + 0.299 * 90,
-                    0.114 * 100 + 0.587 * 110 + 0.299 * 120,
-                    0.114 * 10 + 0.587 * 20 + 0.299 * 30,
-                    0.114 * 40 + 0.587 * 50 + 0.299 * 60,
-                ]
-            )
-        ),
-        4,
+    # exact integer milli-luma mirror of the operator's convention
+    lum = sum(
+        114 * b + 587 * g + 299 * r
+        for b, g, r in [(70, 80, 90), (100, 110, 120), (10, 20, 30), (40, 50, 60)]
     )
+    expected_luma = math.floor(lum * 1e4 / (1000 * 4) + 0.5) / 1e4
     assert bmp_mean_luma(px) == expected_luma
+    # and it still agrees with the float BT.601 definition to 4dp noise
+    assert bmp_mean_luma(px) == pytest.approx(
+        np.mean([0.114 * 70 + 0.587 * 80 + 0.299 * 90,
+                 0.114 * 100 + 0.587 * 110 + 0.299 * 120,
+                 0.114 * 10 + 0.587 * 20 + 0.299 * 30,
+                 0.114 * 40 + 0.587 * 50 + 0.299 * 60]),
+        abs=1e-4,
+    )
 
 
 @pytest.mark.parametrize("doc_id", [0, 1, 7, 36, 37, 74, 123, 1111])
@@ -145,11 +147,11 @@ def test_wav_framing_matches_independent_computation():
     assert n_frames >= 1
     for i in range(min(n_frames, 8)):
         fr = arr[i * hop : i * hop + win]
-        energy = round(float((fr * fr).mean()), 4)
+        energy = math.floor(float((fr * fr).mean()) * 1e4 + 0.5) / 1e4
         zc = int(((fr[:-1] >= 0) != (fr[1:] >= 0)).sum())
         # mirror the operator's python-side computation exactly
         fr_l = samples[i * hop : i * hop + win]
-        op_energy = round(sum(s * s for s in fr_l) / len(fr_l), 4)
+        op_energy = math.floor((sum(s * s for s in fr_l) / len(fr_l)) * 1e4 + 0.5) / 1e4
         op_zc = sum(1 for a, b in zip(fr_l, fr_l[1:]) if (a >= 0) != (b >= 0))
         assert energy == pytest.approx(op_energy, abs=1e-6)
         assert zc == op_zc

@@ -102,13 +102,26 @@ def test_decode_stub_shape(spark):
 
 
 def test_frame_sample_expands_rows(spark):
-    """Frame sampler is row-expanding with stride-4 indices and ≤256B
-    frames."""
+    """Frame sampler is row-expanding with stride-4 indices, ≤256B
+    frames, and content-exact digests (md5 over the frame's uppercase
+    hex — the engine-portable form the DuckDB oracle reproduces)."""
+    import hashlib
+
+    from datalakecrawler_spark.io import load
+
     df = _run(spark, "mm_frame_sample")
     rows = df.collect()
     assert len(rows) > 0
     assert all(r["frame_idx"] % 4 == 0 for r in rows)
-    assert all(len(r["frame_bytes"]) <= 256 for r in rows)
+    assert all(0 <= r["frame_len"] <= 256 for r in rows)
+    # re-derive one doc's first frame digest independently
+    doc = load(spark, SF_DIR, "documents").where(F.col("doc_id") == 0).first()
+    payload = doc["text"].encode("utf-8")
+    frame = payload[:256]
+    want = hashlib.md5(frame.hex().upper().encode()).hexdigest()
+    got = {r["frame_idx"]: r for r in rows if r["doc_id"] == 0}
+    assert got[0]["frame_md5"] == want
+    assert got[0]["frame_len"] == len(frame)
 
 
 def test_approx_distinct_close_to_exact(spark):

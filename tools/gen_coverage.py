@@ -35,16 +35,17 @@ total = (
 total += """
 ## Why each remaining rows-only op is rows-only
 
-Round 4 promoted every promotable op (sinks/crawls/txlog via the
-verdict-boolean or literal-outcome patterns; filesystem outcomes proved
-deterministic). What remains is genuinely un-oracle-able:
+Round 4 promoted every sink/crawl/txlog op (verdict-boolean /
+literal-outcome patterns); round 5 promoted the four binary-codec ops
+(`mm_decode_stub`, `mm_image_resize_stub`, `mm_frame_sample`,
+`mm_audio_frame_features`) by teaching the oracle byte-level access —
+DuckDB's `hex(encode(text))` exposes the same utf-8 bytes Spark's
+codecs consume, so the SQL twins regenerate the synthesized payloads
+(BMP pixel cycles, PCM sample formulas) and hash-match the decoded
+features bit-for-bit; frame payloads cross the canonicalizer as
+md5-over-hex digests (raw BLOB reprs differ between engines). What
+remains is genuinely un-oracle-able:
 
-- `mm_decode_stub`, `mm_image_resize_stub`, `mm_frame_sample`,
-  `mm_audio_frame_features` — operate on BINARY media payloads
-  synthesized in-op (BMP pixel buffers, WAV PCM); DuckDB has no
-  equivalent codec surface to recompute the features from the same
-  bytes. Byte-level truth is pinned instead by
-  `tests/test_multimodal_bytes.py` (hand-computed pixels/samples).
 - `mm_embed_pca` — eigendecomposition of the Gram matrix (LAPACK);
   eigenvector sign/order and iterative convergence are not
   reproducible as portable SQL. Variance-accounting and
