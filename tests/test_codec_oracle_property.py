@@ -1,0 +1,141 @@
+"""Cross-engine property tests for the binary-codec oracles (r5).
+
+The four promoted mm_* oracles claim DuckDB reproduces the Spark-side
+codec features bit-for-bit from ``hex(encode(text))``. Driver parity
+proves that for the fixture documents; these hypothesis properties
+prove it for ARBITRARY (doc_id, text) — multibyte utf-8, control
+characters, pathological lengths — by running the REGISTERED oracle
+SQL over a one-row ``documents`` view and comparing against the same
+pure-Python codec pipeline the Spark op executes per row (the
+mapInPandas bodies call exactly these functions; the Spark↔codec leg
+is pinned end-to-end by driver parity at the fixture SFs, so
+codec↔oracle equality here closes the triangle). Spark-free and fast:
+one in-memory DuckDB per example.
+
+Fixture precondition: the oracles assume non-empty ``text`` (the
+Python codecs substitute b"\\x00" for empty payloads; the SQL twins do
+not model that fallback). ``test_fixture_documents_nonempty`` pins the
+precondition at every shipped scale factor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import datalakecrawler_spark.contract  # noqa: F401 — populate registry
+from datalakecrawler_spark import registry
+from datalakecrawler_spark.pipeline.multimodal import (
+    bmp_mean_luma,
+    parse_bmp,
+    parse_wav,
+    resize_bmp,
+    synth_bmp,
+    synth_wav,
+)
+
+# NUL never appears in the fixture corpus and embedded NULs exercise
+# the pandas→DuckDB string bridge, not the oracle arithmetic — exclude
+# it; everything else (multibyte, combining marks, controls) stays in.
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_characters="\x00"), min_size=1, max_size=400
+)
+_LONG_TEXT = st.text(
+    alphabet=st.characters(blacklist_characters="\x00"), min_size=1, max_size=2500
+)
+_DOC_ID = st.integers(min_value=0, max_value=99_999)
+
+
+def _oracle_rows(name: str, doc_id: int, text: str) -> list[dict]:
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [doc_id], "text": [text]}))
+    cur = con.execute(registry.all_queries()[name].oracle)
+    cols = [c[0] for c in cur.description]
+    return [dict(zip(cols, row)) for row in cur.fetchall()]
+
+
+@settings(max_examples=40, deadline=None)
+@given(doc_id=_DOC_ID, text=_TEXT)
+def test_decode_oracle_matches_codec(doc_id, text):
+    """mm_decode_stub: DuckDB's period-folded milli-luma sum over
+    hex(encode(text)) equals the real BMP synth→parse→luma pipeline,
+    bit-for-bit, for arbitrary utf-8 text."""
+    w, h, px = parse_bmp(synth_bmp(doc_id, text))
+    rows = _oracle_rows("mm_decode_stub", doc_id, text)
+    assert len(rows) == 1
+    g = rows[0]
+    assert (g["width"], g["height"]) == (w, h)
+    assert g["mean_luma"] == bmp_mean_luma(px)  # exact double equality
+
+
+@settings(max_examples=40, deadline=None)
+@given(doc_id=_DOC_ID, text=_LONG_TEXT)
+def test_frame_oracle_matches_codec(doc_id, text):
+    """mm_frame_sample: frame digests (md5 over uppercase hex) and
+    lengths from hex-slicing equal the chunker's, for every stride-4
+    frame including the partial tail."""
+    payload = text.encode("utf-8")
+    want = {}
+    for i in range(0, max(1, len(payload) // 256), 4):
+        fb = payload[i * 256 : (i + 1) * 256]
+        want[i] = (len(fb), hashlib.md5(fb.hex().upper().encode()).hexdigest())
+    got = {
+        g["frame_idx"]: (g["frame_len"], g["frame_md5"])
+        for g in _oracle_rows("mm_frame_sample", doc_id, text)
+    }
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(doc_id=_DOC_ID, text=_TEXT)
+def test_resize_oracle_matches_codec(doc_id, text):
+    """mm_image_resize_stub: fit geometry, scale, and emitted BMP byte
+    size recomputed from doc_id equal the real resize's — including
+    the exact double for scale (shared IEEE expression tree)."""
+    src_w, src_h, out_w, out_h, scale, thumb = resize_bmp(synth_bmp(doc_id, text), 224)
+    g = _oracle_rows("mm_image_resize_stub", doc_id, text)[0]
+    assert (g["src_w"], g["src_h"]) == (src_w, src_h)
+    assert (g["out_w"], g["out_h"]) == (out_w, out_h)
+    assert g["scale"] == scale
+    assert g["thumb_bytes"] == len(thumb)
+
+
+@settings(max_examples=40, deadline=None)
+@given(doc_id=_DOC_ID, text=_LONG_TEXT)
+def test_audio_oracle_matches_codec(doc_id, text):
+    """mm_audio_frame_features: PCM samples regenerated in SQL frame
+    into the same (energy, zero-crossing) features as the WAV
+    synth→parse→window pipeline, for arbitrary corpus bytes and all
+    n ∈ [800, 2400] (partial-cap and full-cap frame counts)."""
+    _, samples = parse_wav(synth_wav(doc_id, text))
+    win, hop = 400, 160
+    want = {}
+    for i in range(min(1 + (len(samples) - win) // hop, 8)):
+        fr = samples[i * hop : i * hop + win]
+        esum = sum(s * s for s in fr)
+        energy = math.floor((esum / len(fr)) * 1e4 + 0.5) / 1e4
+        zc = sum(1 for a, b in zip(fr, fr[1:]) if (a >= 0) != (b >= 0))
+        want[i] = (energy, zc)
+    got = {
+        g["frame_idx"]: (g["energy"], g["zero_crossings"])
+        for g in _oracle_rows("mm_audio_frame_features", doc_id, text)
+    }
+    assert got == want
+
+
+def test_fixture_documents_nonempty():
+    """The codec oracles assume octet_length(text) ≥ 1 (the Python
+    side substitutes b"\\x00" for empty payloads; the SQL twins do not
+    model that fallback). Pin the precondition at every shipped SF."""
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        (mn,) = con.execute(
+            "select min(octet_length(encode(text))) from "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()
+        assert mn and mn >= 1, f"{sf}: empty document text breaks codec oracles"
