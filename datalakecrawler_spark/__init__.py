@@ -42,7 +42,7 @@ def _load_all() -> None:
         text,
         vectors,
     )
-    from datalakecrawler_spark.sources import catalog, scans, txlog  # noqa: F401
+    from datalakecrawler_spark.sources import avro, catalog, scans, txlog  # noqa: F401
     from datalakecrawler_spark.streaming import ops  # noqa: F401
     from datalakecrawler_spark import crawler, udfs  # noqa: F401
 

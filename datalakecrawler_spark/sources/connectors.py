@@ -55,11 +55,19 @@ def available_formats() -> dict[str, bool]:
 
 def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
     """Open a lakehouse table of the given format, or raise with the
-    exact missing dependency."""
+    exact missing dependency. Avro no longer dead-ends: when the
+    spark-avro jar is absent the native pure-Python container codec
+    (sources/avro.py, public Avro spec + stdlib zlib) serves the read
+    path — the jar, when present, stays preferred for its JVM-side
+    vectorized decode."""
     if fmt not in _FORMAT_PROBES:
         raise ValueError(f"unknown lakehouse format {fmt!r}; one of {list(_FORMAT_PROBES)}")
     module, spark_fmt, conf_hint = _FORMAT_PROBES[fmt]
     if not available_formats()[fmt]:
+        if fmt == "avro":
+            from datalakecrawler_spark.sources.avro import read_avro
+
+            return read_avro(spark, path)
         dep = (
             f"the '{module}' package and its Spark jars"
             if module

@@ -75,7 +75,8 @@ def test_crawl_detects_mixed_formats(spark, tmp_path):
 
 def test_connector_stubs_fail_actionably(spark):
     """Lakehouse connectors: absent jars → clean NotImplementedError
-    naming the missing dependency; unknown format → ValueError."""
+    naming the missing dependency, EXCEPT avro which falls back to the
+    native pure-Python container codec; unknown format → ValueError."""
     import pytest
 
     from datalakecrawler_spark.sources import connectors
@@ -83,9 +84,13 @@ def test_connector_stubs_fail_actionably(spark):
     avail = connectors.available_formats()
     assert set(avail) == {"delta", "iceberg", "hudi", "avro"}
     for fmt, ok in avail.items():
-        if not ok:
-            with pytest.raises(NotImplementedError, match=fmt):
-                connectors.open_table(spark, fmt, "/nonexistent")
+        if ok or fmt == "avro":
+            continue
+        with pytest.raises(NotImplementedError, match=fmt):
+            connectors.open_table(spark, fmt, "/nonexistent")
+    if not avail["avro"]:  # native fallback: missing dir, not missing jar
+        with pytest.raises(FileNotFoundError, match="no .avro files"):
+            connectors.open_table(spark, "avro", "/nonexistent")
     with pytest.raises(ValueError, match="unknown lakehouse format"):
         connectors.open_table(spark, "excel", "/x")
 
