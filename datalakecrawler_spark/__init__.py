@@ -42,7 +42,13 @@ def _load_all() -> None:
         text,
         vectors,
     )
-    from datalakecrawler_spark.sources import avro, catalog, scans, txlog  # noqa: F401
+    from datalakecrawler_spark.sources import (  # noqa: F401
+        avro,
+        catalog,
+        delta_native,
+        scans,
+        txlog,
+    )
     from datalakecrawler_spark.streaming import ops  # noqa: F401
     from datalakecrawler_spark import crawler, udfs  # noqa: F401
 

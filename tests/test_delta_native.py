@@ -1,0 +1,153 @@
+"""Native Delta-protocol tests (sources/delta_native.py): on-disk log
+conformance with the public PROTOCOL.md layout, append/overwrite/time-
+travel semantics, capability gates, and scan pushdown through the
+resolved file list. The registered ops are additionally oracle-checked
+by test_registry_parity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.sources.delta_native import (
+    delta_history,
+    read_delta,
+    write_delta,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """A two-commit table: v0 = F orders (overwrite), v1 = P orders
+    appended."""
+    path = str(tmp_path / "delta_tbl")
+    src = load(spark, SF_DIR, "orders")
+    v0 = write_delta(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    v1 = write_delta(src.where(F.col("o_orderstatus") == "P"), path, "append")
+    assert (v0, v1) == (0, 1)
+    return path, src
+
+
+def _commit_actions(path: str, version: int) -> list[dict]:
+    f = os.path.join(path, "_delta_log", f"{version:020d}.json")
+    with open(f) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def test_log_layout_matches_protocol(table):
+    """Commit 0 carries protocol(reader 1/writer 2) + metaData with a
+    parquet format and a parseable schemaString + one add per data
+    file; names are the zero-padded 20-digit convention."""
+    path, _ = table
+    names = sorted(os.listdir(os.path.join(path, "_delta_log")))
+    assert names[0] == "00000000000000000000.json"
+    assert names[1] == "00000000000000000001.json"
+    a0 = _commit_actions(path, 0)
+    kinds = [next(iter(a)) for a in a0]
+    assert kinds[0] == "protocol"
+    assert a0[0]["protocol"] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert meta["format"]["provider"] == "parquet"
+    schema = json.loads(meta["schemaString"])
+    assert {f["name"] for f in schema["fields"]} >= {"o_orderkey", "o_orderdate"}
+    adds = [a["add"] for a in a0 if "add" in a]
+    assert adds and all(
+        os.path.exists(os.path.join(path, a["path"])) and a["size"] > 0
+        for a in adds
+    )
+
+
+def test_append_accumulates_and_latest_reads_union(table, spark):
+    path, src = table
+    want_f = src.where(F.col("o_orderstatus") == "F").count()
+    want_p = src.where(F.col("o_orderstatus") == "P").count()
+    snap = read_delta(spark, path)
+    got = {r["o_orderstatus"]: r["cnt"] for r in
+           snap.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == {"F": want_f, "P": want_p}
+    # v1 commit has no remove actions (append)
+    assert all("remove" not in a for a in _commit_actions(path, 1))
+
+
+def test_overwrite_time_travel(spark, tmp_path):
+    """Overwrite logically removes v0's files (remove actions) but
+    leaves them on disk, so version 0 still serves the old rows."""
+    path = str(tmp_path / "delta_tt")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    write_delta(src.where(F.col("o_orderstatus") == "O"), path, "overwrite")
+    n_f = src.where(F.col("o_orderstatus") == "F").count()
+    n_o = src.where(F.col("o_orderstatus") == "O").count()
+    assert read_delta(spark, path, version=0).count() == n_f
+    assert read_delta(spark, path, version=1).count() == n_o
+    assert read_delta(spark, path).count() == n_o
+    removes = [a for a in _commit_actions(path, 1) if "remove" in a]
+    assert removes, "overwrite must emit remove actions"
+    for a in removes:  # logical delete: files stay for time travel
+        assert os.path.exists(os.path.join(path, a["remove"]["path"]))
+    hist = delta_history(path)
+    assert [h["mode"] for h in hist] == ["OVERWRITE", "OVERWRITE"]
+    assert hist[1]["n_remove"] == len(removes)
+
+
+def test_filter_pushdown_survives_file_list_scan(table, spark):
+    """read_delta hands Spark an explicit parquet file list — Catalyst
+    must still push predicates into the scan."""
+    path, _ = table
+    plan = (
+        read_delta(spark, path)
+        .where(F.col("o_totalprice") > 100000.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+
+
+def test_capability_gates(table, spark, tmp_path):
+    path, _ = table
+    # unknown version
+    with pytest.raises(ValueError, match="version 7 not in log"):
+        read_delta(spark, path, version=7)
+    # checkpointed table → explicit refusal, not wrong answers
+    ckpt = os.path.join(path, "_delta_log", "_last_checkpoint")
+    with open(ckpt, "w") as fh:
+        fh.write('{"version": 1}')
+    try:
+        with pytest.raises(NotImplementedError, match="checkpoint"):
+            read_delta(spark, path)
+    finally:
+        os.remove(ckpt)
+    # reader version beyond v1 → explicit refusal
+    p2 = str(tmp_path / "delta_v2")
+    os.makedirs(os.path.join(p2, "_delta_log"))
+    with open(os.path.join(p2, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 3}}) + "\n")
+        fh.write(json.dumps({"metaData": {"schemaString": "{}"}}) + "\n")
+    with pytest.raises(NotImplementedError, match="reader version 3"):
+        read_delta(spark, p2)
+
+
+def test_commits_are_deterministic(spark, tmp_path):
+    """Same input → byte-identical commit JSON (wall clock is pinned
+    out of the format), so reruns don't churn the log."""
+    src = load(spark, SF_DIR, "nation")
+    p1, p2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    write_delta(src, p1, "overwrite")
+    write_delta(src, p2, "overwrite")
+
+    def log0(p):
+        with open(os.path.join(p, "_delta_log", f"{0:020d}.json")) as fh:
+            # table id derives from the path — normalize it out
+            return fh.read().replace(p, "<path>")
+
+    a, b = log0(p1), log0(p2)
+    a = "\n".join(l for l in a.splitlines() if '"metaData"' not in l)
+    b = "\n".join(l for l in b.splitlines() if '"metaData"' not in l)
+    assert a == b
