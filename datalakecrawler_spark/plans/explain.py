@@ -63,11 +63,12 @@ def audit(df: DataFrame) -> PlanAudit:
 
 
 # Groups whose operators legitimately cross into Python (UDF surface,
-# multimodal decode) or intentionally use nested-loop shapes.
+# multimodal decode, the native Avro codec) or intentionally use
+# nested-loop shapes.
 _PYTHON_OK_GROUPS = {"K"}
 _PYTHON_OK_PREFIXES = ("mm_", "udf_", "udaf_", "udtf_", "stream_stateful",
                        "source_python", "stream_python", "cluster_kmeans",
-                       "sample_", "pipeline_")
+                       "sample_", "pipeline_", "scan_avro", "sink_avro")
 
 
 # ---------------------------------------------------------------------------
