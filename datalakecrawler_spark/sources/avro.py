@@ -259,6 +259,270 @@ def _decode_value(cur: _Cursor, kind: str):
 
 
 # ---------------------------------------------------------------------------
+# Generic datum codec — the FULL spec type surface (records, arrays,
+# maps, bytes, fixed, enums, null-unions), recursive. The flat
+# kind-based codec above stays as the fast path for tabular schemas;
+# this layer is what lets the reader consume arbitrary Avro written by
+# other systems (nested event payloads, Iceberg-style manifests, …).
+# ---------------------------------------------------------------------------
+
+
+def _logical_kind(sch: dict) -> str | None:
+    lt = sch.get("logicalType", "")
+    if lt == "date":
+        return "date"
+    if lt.startswith("local-timestamp"):
+        return "timestamp_ntz"
+    if lt.startswith("timestamp"):
+        return "timestamp"
+    return None
+
+
+def encode_datum(out: bytearray, v, sch) -> None:
+    """Encode one value against a parsed Avro schema (str | dict | list)."""
+    if isinstance(sch, list):  # union
+        if v is None:
+            if "null" in sch:
+                _wlong(out, sch.index("null"))
+                return
+            raise TypeError("None for a union without a null branch")
+        branches = [(i, b) for i, b in enumerate(sch) if b != "null"]
+        if len(branches) != 1:
+            raise TypeError(
+                "encode supports null-unions only (write the value "
+                "branch explicitly for multi-type unions)"
+            )
+        i, b = branches[0]
+        _wlong(out, i)
+        encode_datum(out, v, b)
+        return
+    if isinstance(sch, dict):
+        lk = _logical_kind(sch)
+        if lk is not None:
+            _encode_value_nonnull(out, v, lk)
+            return
+        t = sch["type"]
+        if t == "record":
+            for f in sch["fields"]:
+                encode_datum(out, v[f["name"]], f["type"])
+            return
+        if t == "array":
+            items = list(v)
+            if items:
+                _wlong(out, len(items))
+                for item in items:
+                    encode_datum(out, item, sch["items"])
+            _wlong(out, 0)
+            return
+        if t == "map":
+            kv = dict(v)
+            if kv:
+                _wlong(out, len(kv))
+                for k in sorted(kv):  # deterministic bytes across reruns
+                    _wbytes(out, str(k).encode("utf-8"))
+                    encode_datum(out, kv[k], sch["values"])
+            _wlong(out, 0)
+            return
+        if t == "fixed":
+            if len(v) != sch["size"]:
+                raise ValueError(f"fixed size {sch['size']} != {len(v)}")
+            out += bytes(v)
+            return
+        if t == "enum":
+            _wlong(out, sch["symbols"].index(v))
+            return
+        sch = t  # e.g. {"type": "string"} wrapper
+    if sch == "null":
+        if v is not None:
+            raise TypeError("non-None for null type")
+        return
+    if sch == "bytes":
+        _wbytes(out, bytes(v))
+        return
+    _encode_value_nonnull(out, v, sch)
+
+
+def _encode_value_nonnull(out: bytearray, v, kind: str) -> None:
+    """Primitive encode without the union prefix (generic path):
+    _encode_value writes the one-byte union index (zigzag(1) = 0x02)
+    first — reuse it and strip that byte."""
+    if v is None or (not isinstance(v, str) and pd.isna(v)):
+        raise TypeError(f"None for non-union primitive {kind!r}")
+    tmp = bytearray()
+    _encode_value(tmp, v, kind)
+    out += tmp[1:]
+
+
+def decode_datum(cur: _Cursor, sch):
+    """Decode one value against a parsed Avro schema."""
+    if isinstance(sch, list):  # union: index then branch
+        branch = sch[cur.long()]
+        return None if branch == "null" else decode_datum(cur, branch)
+    if isinstance(sch, dict):
+        lk = _logical_kind(sch)
+        if lk is not None:
+            return _decode_value_nonnull(cur, lk)
+        t = sch["type"]
+        if t == "record":
+            return {f["name"]: decode_datum(cur, f["type"]) for f in sch["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = cur.long()
+                if n == 0:
+                    break
+                if n < 0:
+                    cur.long()  # block byte size (skippable form)
+                    n = -n
+                for _ in range(n):
+                    out.append(decode_datum(cur, sch["items"]))
+            return out
+        if t == "map":
+            out = {}
+            while True:
+                n = cur.long()
+                if n == 0:
+                    break
+                if n < 0:
+                    cur.long()
+                    n = -n
+                for _ in range(n):
+                    k = cur.bytes_().decode("utf-8")
+                    out[k] = decode_datum(cur, sch["values"])
+            return out
+        if t == "fixed":
+            return cur.fixed(sch["size"])
+        if t == "enum":
+            return sch["symbols"][cur.long()]
+        sch = t
+    if sch == "null":
+        return None
+    if sch == "bytes":
+        return cur.bytes_()
+    return _decode_value_nonnull(cur, sch)
+
+
+def _decode_value_nonnull(cur: _Cursor, kind: str):
+    if kind in ("long", "int"):
+        return cur.long()
+    if kind == "double":
+        return struct.unpack("<d", cur.fixed(8))[0]
+    if kind == "float":
+        return struct.unpack("<f", cur.fixed(4))[0]
+    if kind == "string":
+        return cur.bytes_().decode("utf-8")
+    if kind == "boolean":
+        return cur.fixed(1) == b"\x01"
+    if kind == "date":
+        return _EPOCH + timedelta(days=cur.long())
+    if kind in ("timestamp", "timestamp_ntz"):
+        return pd.Timestamp(cur.long() * 1000)
+    raise TypeError(f"unsupported primitive {kind}")
+
+
+def avro_type_to_spark(sch) -> T.DataType:
+    """Recursive Avro → Spark type mapping (null-unions collapse to the
+    nullable inner type; enums read as strings; bytes/fixed as binary)."""
+    if isinstance(sch, list):
+        branches = [b for b in sch if b != "null"]
+        if len(branches) != 1:
+            raise TypeError("multi-type unions have no Spark column type")
+        return avro_type_to_spark(branches[0])
+    if isinstance(sch, dict):
+        lk = _logical_kind(sch)
+        if lk is not None:
+            return _KIND_TO_SPARK[lk]
+        t = sch["type"]
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], avro_type_to_spark(f["type"]), True)
+                    for f in sch["fields"]
+                ]
+            )
+        if t == "array":
+            return T.ArrayType(avro_type_to_spark(sch["items"]), True)
+        if t == "map":
+            return T.MapType(T.StringType(), avro_type_to_spark(sch["values"]), True)
+        if t in ("fixed",):
+            return T.BinaryType()
+        if t == "enum":
+            return T.StringType()
+        sch = t
+    if sch == "bytes":
+        return T.BinaryType()
+    if sch == "null":
+        return T.NullType()
+    return _KIND_TO_SPARK[sch]
+
+
+def _is_flat_record(rec: dict) -> bool:
+    """True when every field is a (possibly null-union of a) primitive
+    or date/timestamp logical type — the fast tabular path."""
+    for f in rec.get("fields", []):
+        t = f["type"]
+        if isinstance(t, list):
+            inner = [b for b in t if b != "null"]
+            if len(inner) != 1:
+                return False
+            t = inner[0]
+        if isinstance(t, dict):
+            if _logical_kind(t) is None:
+                return False
+        elif t not in ("boolean", "int", "long", "float", "double", "string"):
+            return False
+    return True
+
+
+class AvroDatumFileWriter:
+    """Container writer over the generic datum codec: rows are Python
+    mappings matching an arbitrary record schema (nested records,
+    arrays, maps, …). Same streaming block discipline as
+    AvroFileWriter."""
+
+    def __init__(self, fh, schema: dict, codec: str = "deflate",
+                 sync_seed: str = "") -> None:
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        if schema.get("type") != "record":
+            raise TypeError("top-level Avro schema must be a record")
+        self.fh, self.schema, self.codec = fh, schema, codec
+        self.sync = hashlib.md5(f"dlc-avro:{sync_seed}".encode()).digest()
+        self.n_rows = self.n_blocks = 0
+        out = bytearray(_MAGIC)
+        meta = {
+            "avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode(),
+        }
+        _wlong(out, len(meta))
+        for k, v in sorted(meta.items()):
+            _wbytes(out, k.encode())
+            _wbytes(out, v)
+        _wlong(out, 0)
+        out += self.sync
+        fh.write(bytes(out))
+
+    def write_block(self, rows: list) -> None:
+        if not rows:
+            return
+        buf = bytearray()
+        for row in rows:
+            for f in self.schema["fields"]:
+                encode_datum(buf, row[f["name"]], f["type"])
+        data = (
+            zlib.compress(bytes(buf), 6)[2:-4]
+            if self.codec == "deflate"
+            else bytes(buf)
+        )
+        head = bytearray()
+        _wlong(head, len(rows))
+        _wlong(head, len(data))
+        self.fh.write(bytes(head) + data + self.sync)
+        self.n_rows += len(rows)
+        self.n_blocks += 1
+
+
+# ---------------------------------------------------------------------------
 # Container file codec
 # ---------------------------------------------------------------------------
 
@@ -315,8 +579,8 @@ class AvroFileWriter:
         self.n_blocks += 1
 
 
-def read_avro_header(buf: bytes):
-    """Parse magic + metadata map. Returns (fields, codec, sync, pos)."""
+def read_container_header(buf: bytes):
+    """Parse magic + metadata map. Returns (schema_dict, codec, sync, pos)."""
     if buf[:4] != _MAGIC:
         raise ValueError("not an Avro object container file")
     cur = _Cursor(buf, 4)
@@ -332,14 +596,29 @@ def read_avro_header(buf: bytes):
             k = cur.bytes_().decode()
             meta[k] = cur.bytes_()
     sync = cur.fixed(16)
-    fields = _fields_from_avro_schema(meta["avro.schema"].decode())
+    schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    return fields, codec, sync, cur.pos
+    return schema, codec, sync, cur.pos
+
+
+def read_avro_header(buf: bytes):
+    """Tabular view of the header: (flat fields, codec, sync, pos)."""
+    schema, codec, sync, pos = read_container_header(buf)
+    fields = _fields_from_avro_schema(json.dumps(schema))
+    return fields, codec, sync, pos
 
 
 def decode_avro_blocks(buf: bytes) -> Iterator[pd.DataFrame]:
-    """Decode a whole container file, yielding one frame per block."""
-    fields, codec, sync, pos = read_avro_header(buf)
+    """Decode a whole container file, yielding one frame per block.
+    Flat tabular schemas take the kind-columnar fast path; anything
+    nested routes through the generic recursive datum codec."""
+    schema, codec, sync, pos = read_container_header(buf)
+    flat = _is_flat_record(schema)
+    fields = (
+        _fields_from_avro_schema(json.dumps(schema))
+        if flat
+        else [(f["name"], f["type"]) for f in schema["fields"]]
+    )
     cur = _Cursor(buf, pos)
     while not cur.eof():
         n_rows = cur.long()
@@ -352,9 +631,19 @@ def decode_avro_blocks(buf: bytes) -> Iterator[pd.DataFrame]:
             raise ValueError(f"unsupported avro codec {codec!r}")
         bcur = _Cursor(data)
         cols: list[list] = [[] for _ in fields]
-        for _ in range(n_rows):
-            for ci, (_, kind) in enumerate(fields):
-                cols[ci].append(_decode_value(bcur, kind))
+        if flat:
+            for _ in range(n_rows):
+                for ci, (_, kind) in enumerate(fields):
+                    cols[ci].append(_decode_value(bcur, kind))
+        else:
+            for _ in range(n_rows):
+                for ci, (_, ftype) in enumerate(fields):
+                    cols[ci].append(decode_datum(bcur, ftype))
+            yield pd.DataFrame(
+                {n: pd.Series(vals, dtype="object")
+                 for (n, _), vals in zip(fields, cols)}
+            )
+            continue
         yield _as_pandas(fields, cols)
 
 
@@ -430,10 +719,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         raise FileNotFoundError(f"no .avro files under {path}")
     with open(files[0], "rb") as fh:
         head = fh.read(65536)  # schema map is at the front, tiny
-    fields, _codec, _sync, _pos = read_avro_header(head)
-    spark_schema = T.StructType(
-        [T.StructField(n, _KIND_TO_SPARK[k], True) for n, k in fields]
-    )
+    schema, _codec, _sync, _pos = read_container_header(head)
+    spark_schema = avro_type_to_spark(schema)  # nested records included
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -492,6 +779,119 @@ def scan_avro_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_src = src.count()
     assert n_written == n_src, f"avro write lost rows: {n_written} != {n_src}"
     return read_avro(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+_NESTED_ORDERS_SCHEMA = {
+    "type": "record",
+    "name": "customer_orders",
+    "fields": [
+        {"name": "o_custkey", "type": ["null", "long"]},
+        {
+            "name": "orders",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "order",
+                    "fields": [
+                        {"name": "o_orderkey", "type": "long"},
+                        {"name": "o_totalprice", "type": "double"},
+                    ],
+                },
+            },
+        },
+        {"name": "status_counts", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+
+@register(
+    "scan_avro_nested_flatten",
+    group="A",
+    oracle=f"""
+    select o_custkey, count(*) as n_orders,
+           {SUM_D.format('o_totalprice')} as sum_price,
+           count(distinct o_orderstatus) as n_statuses
+    from orders group by o_custkey
+    """,
+)
+def scan_avro_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: NESTED Avro end-to-end — per-customer records holding an
+    array<record> of orders and a map<string,long> of status counts are
+    encoded with the generic datum codec (executor-side, one container
+    per partition), read back through the nested schema mapping
+    (array→ArrayType, record→StructType, map→MapType), and flattened
+    JVM-side: the order-array total uses a higher-order F.aggregate in
+    dsum's exact micro-unit convention (no explode, no extra shuffle —
+    the data is already grouped per customer), map cardinality via
+    map_keys. The oracle recomputes everything from the flat source, so
+    array element values, map keys, and union-null handling are all on
+    the hashed path."""
+    from collections import Counter
+
+    path = _tmp("orders_avro_nested")
+    _clean_avro_dir(path)
+    src = load(spark, sf_dir, "orders")
+    nested = src.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("o_orderkey", "o_totalprice"))
+        ).alias("orders"),
+        F.collect_list("o_orderstatus").alias("statuses"),
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        writer = fh = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if writer is None:
+                fh = open(fname, "wb")
+                writer = AvroDatumFileWriter(
+                    fh, _NESTED_ORDERS_SCHEMA, "deflate", sync_seed=fname
+                )
+            rows = [
+                {
+                    "o_custkey": int(cust),
+                    "orders": [
+                        {
+                            "o_orderkey": int(o["o_orderkey"]),
+                            "o_totalprice": float(o["o_totalprice"]),
+                        }
+                        for o in orders
+                    ],
+                    "status_counts": {
+                        k: int(v) for k, v in Counter(statuses).items()
+                    },
+                }
+                for cust, orders, statuses in zip(
+                    pdf["o_custkey"], pdf["orders"], pdf["statuses"]
+                )
+            ]
+            writer.write_block(rows)
+        if writer is None:
+            return
+        fh.close()
+        yield pd.DataFrame({"file": [os.path.basename(fname)],
+                            "n_rows": [writer.n_rows]})
+
+    nested.mapInPandas(write_partition, "file string, n_rows long").collect()
+
+    back = read_avro(spark, path)
+    micro = F.aggregate(
+        "orders",
+        F.lit(0).cast("bigint"),
+        lambda acc, o: acc + F.floor(o["o_totalprice"] * 1e6 + 0.5),
+    )
+    return back.select(
+        "o_custkey",
+        F.size("orders").cast("bigint").alias("n_orders"),
+        (micro.cast("double") / 1e6).alias("sum_price"),
+        F.size(F.map_keys("status_counts")).cast("bigint").alias("n_statuses"),
+    )
 
 
 @register(

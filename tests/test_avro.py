@@ -195,3 +195,149 @@ def test_spark_write_read_roundtrip(spark, tmp_path):
 def test_unsupported_type_rejected():
     with pytest.raises(TypeError, match="unsupported Spark type"):
         avro_fields(T.StructType([T.StructField("a", T.ArrayType(T.LongType()))]))
+
+
+# ---------------------------------------------------------------------------
+# Generic datum codec: the full spec surface (nested records, arrays,
+# maps, bytes, fixed, enums, unions)
+# ---------------------------------------------------------------------------
+
+_NESTED = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "scores", "type": {"type": "map", "values": "double"}},
+        {
+            "name": "meta",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "meta",
+                    "fields": [
+                        {"name": "kind", "type": {"type": "enum", "name": "k",
+                                                  "symbols": ["A", "B", "C"]}},
+                        {"name": "digest", "type": {"type": "fixed", "name": "d16",
+                                                    "size": 4}},
+                        {"name": "blob", "type": "bytes"},
+                        {"name": "children", "type": {"type": "array",
+                                                      "items": ["null", "long"]}},
+                    ],
+                },
+            ],
+        },
+    ],
+}
+
+
+def _datum_roundtrip(rows, schema=_NESTED, codec="deflate"):
+    from datalakecrawler_spark.sources.avro import (
+        AvroDatumFileWriter,
+        decode_avro_blocks,
+    )
+
+    buf = io.BytesIO()
+    w = AvroDatumFileWriter(buf, schema, codec, sync_seed="nested")
+    w.write_block(rows)
+    out = []
+    for frame in decode_avro_blocks(buf.getvalue()):
+        out.extend(frame.to_dict("records"))
+    return out
+
+
+def test_nested_datum_roundtrip():
+    rows = [
+        {
+            "id": 1,
+            "tags": ["a", "β", ""],
+            "scores": {"x": 1.5, "y": -2.0},
+            "meta": {
+                "kind": "B",
+                "digest": b"\x01\x02\x03\x04",
+                "blob": b"raw\x00bytes",
+                "children": [1, None, -(2**40)],
+            },
+        },
+        {"id": 2, "tags": [], "scores": {}, "meta": None},
+    ]
+    back = _datum_roundtrip(rows)
+    assert back == rows
+
+
+def test_union_rules():
+    from datalakecrawler_spark.sources.avro import decode_datum, encode_datum
+    from datalakecrawler_spark.sources.avro import _Cursor
+
+    # decode side handles arbitrary unions (pick by index)
+    tri = ["null", "long", "string"]
+    buf = bytearray()
+    from datalakecrawler_spark.sources.avro import _wlong, _wbytes
+
+    _wlong(buf, 2)  # branch 2 = string
+    _wbytes(buf, "hi".encode())
+    assert decode_datum(_Cursor(bytes(buf)), tri) == "hi"
+    # encode side: null-unions only, stated explicitly
+    out = bytearray()
+    with pytest.raises(TypeError, match="null-unions only"):
+        encode_datum(out, 5, tri)
+
+
+def test_avro_type_to_spark_nested():
+    from datalakecrawler_spark.sources.avro import avro_type_to_spark
+
+    t = avro_type_to_spark(_NESTED)
+    assert isinstance(t, T.StructType)
+    assert isinstance(t["tags"].dataType, T.ArrayType)
+    assert isinstance(t["scores"].dataType, T.MapType)
+    meta = t["meta"].dataType
+    assert isinstance(meta, T.StructType)
+    assert isinstance(meta["kind"].dataType, T.StringType)  # enum → string
+    assert isinstance(meta["digest"].dataType, T.BinaryType)  # fixed
+    assert isinstance(meta["blob"].dataType, T.BinaryType)
+
+
+# Avro strings are utf-8 by definition — lone surrogates (category Cs)
+# are outside the format's domain, not a codec gap
+_SCORE_KEYS = st.text(
+    alphabet=st.characters(blacklist_characters="\x00",
+                           blacklist_categories=("Cs",)),
+    min_size=0, max_size=12,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(-(2**63), 2**63 - 1),
+                "tags": st.lists(st.text(max_size=12), max_size=6),
+                "scores": st.dictionaries(
+                    _SCORE_KEYS,
+                    st.floats(allow_nan=False, width=64),
+                    max_size=5,
+                ),
+                "meta": st.one_of(
+                    st.none(),
+                    st.fixed_dictionaries(
+                        {
+                            "kind": st.sampled_from(["A", "B", "C"]),
+                            "digest": st.binary(min_size=4, max_size=4),
+                            "blob": st.binary(max_size=64),
+                            "children": st.lists(
+                                st.one_of(st.none(),
+                                          st.integers(-(2**63), 2**63 - 1)),
+                                max_size=5,
+                            ),
+                        }
+                    ),
+                ),
+            }
+        ),
+        max_size=12,
+    )
+)
+def test_nested_roundtrip_property(rows):
+    assert _datum_roundtrip(rows) == rows
