@@ -55,11 +55,17 @@ def available_formats() -> dict[str, bool]:
 
 def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
     """Open a lakehouse table of the given format, or raise with the
-    exact missing dependency. Avro no longer dead-ends: when the
-    spark-avro jar is absent the native pure-Python container codec
-    (sources/avro.py, public Avro spec + stdlib zlib) serves the read
-    path — the jar, when present, stays preferred for its JVM-side
-    vectorized decode."""
+    exact missing dependency. Three formats no longer dead-end when
+    their jars are absent — native pure-Python implementations of the
+    PUBLIC specs serve the read path (the jars, when present, stay
+    preferred for their JVM-side integration):
+
+    - avro    → sources/avro.py (container codec, full type surface)
+    - delta   → sources/delta_native.py (JSON log replay, reader v1)
+    - iceberg → sources/iceberg_native.py (v1 metadata + Avro manifests)
+
+    Hudi remains genuinely gated: its table spec depends on
+    timeline/commit semantics the jar implements server-side."""
     if fmt not in _FORMAT_PROBES:
         raise ValueError(f"unknown lakehouse format {fmt!r}; one of {list(_FORMAT_PROBES)}")
     module, spark_fmt, conf_hint = _FORMAT_PROBES[fmt]
@@ -68,6 +74,14 @@ def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
             from datalakecrawler_spark.sources.avro import read_avro
 
             return read_avro(spark, path)
+        if fmt == "delta":
+            from datalakecrawler_spark.sources.delta_native import read_delta
+
+            return read_delta(spark, path)
+        if fmt == "iceberg":
+            from datalakecrawler_spark.sources.iceberg_native import read_iceberg
+
+            return read_iceberg(spark, path)
         dep = (
             f"the '{module}' package and its Spark jars"
             if module

@@ -74,23 +74,32 @@ def test_crawl_detects_mixed_formats(spark, tmp_path):
 
 
 def test_connector_stubs_fail_actionably(spark):
-    """Lakehouse connectors: absent jars → clean NotImplementedError
-    naming the missing dependency, EXCEPT avro which falls back to the
-    native pure-Python container codec; unknown format → ValueError."""
+    """Lakehouse connectors: hudi without its jar → clean
+    NotImplementedError naming the missing dependency; avro/delta/
+    iceberg fall back to the native pure-Python implementations (their
+    error on a missing PATH is file-not-found, not jar-not-found);
+    unknown format → ValueError."""
     import pytest
 
     from datalakecrawler_spark.sources import connectors
 
     avail = connectors.available_formats()
     assert set(avail) == {"delta", "iceberg", "hudi", "avro"}
+    native_fallback = {
+        "avro": (FileNotFoundError, "no .avro files"),
+        "delta": (FileNotFoundError, "no Delta log"),
+        "iceberg": (FileNotFoundError, "no Iceberg metadata"),
+    }
     for fmt, ok in avail.items():
-        if ok or fmt == "avro":
+        if ok:
             continue
-        with pytest.raises(NotImplementedError, match=fmt):
-            connectors.open_table(spark, fmt, "/nonexistent")
-    if not avail["avro"]:  # native fallback: missing dir, not missing jar
-        with pytest.raises(FileNotFoundError, match="no .avro files"):
-            connectors.open_table(spark, "avro", "/nonexistent")
+        if fmt in native_fallback:
+            exc, msg = native_fallback[fmt]
+            with pytest.raises(exc, match=msg):
+                connectors.open_table(spark, fmt, "/nonexistent")
+        else:
+            with pytest.raises(NotImplementedError, match=fmt):
+                connectors.open_table(spark, fmt, "/nonexistent")
     with pytest.raises(ValueError, match="unknown lakehouse format"):
         connectors.open_table(spark, "excel", "/x")
 

@@ -1,0 +1,163 @@
+"""Native Iceberg v1 tests (sources/iceberg_native.py): on-disk
+metadata conformance with the public table spec (v{N}.metadata.json,
+Avro manifest lists + manifests with spec field-ids), snapshot
+semantics (append manifest reuse, overwrite time travel), capability
+gates, and pushdown through the resolved file list. The registered ops
+are additionally oracle-checked by test_registry_parity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.sources.avro import read_container_header
+from datalakecrawler_spark.sources.iceberg_native import (
+    _decode_avro_records,
+    iceberg_snapshots,
+    read_iceberg,
+    write_iceberg,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """snapshot 1 = F orders (overwrite), snapshot 2 = P orders
+    appended."""
+    path = str(tmp_path / "ice_tbl")
+    src = load(spark, SF_DIR, "orders")
+    s1 = write_iceberg(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    s2 = write_iceberg(src.where(F.col("o_orderstatus") == "P"), path, "append")
+    assert (s1, s2) == (1, 2)
+    return path, src
+
+
+def _meta(path, v):
+    with open(os.path.join(path, "metadata", f"v{v}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+def test_metadata_layout_matches_spec(table):
+    path, _ = table
+    with open(os.path.join(path, "metadata", "version-hint.text")) as fh:
+        assert fh.read().strip() == "2"
+    meta = _meta(path, 2)
+    assert meta["format-version"] == 1
+    assert meta["current-snapshot-id"] == 2
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [1, 2]
+    assert meta["schema"]["type"] == "struct"
+    ids = [f["id"] for f in meta["schema"]["fields"]]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    # manifest list is real Avro with the spec's field-ids
+    ml = os.path.join(path, meta["snapshots"][-1]["manifest-list"])
+    with open(ml, "rb") as fh:
+        schema, codec, _sync, _pos = read_container_header(fh.read(65536))
+    by_name = {f["name"]: f for f in schema["fields"]}
+    assert by_name["manifest_path"]["field-id"] == 500
+    assert by_name["added_snapshot_id"]["field-id"] == 503
+    # manifest carries manifest_entry records with data_file field-ids
+    mf = _decode_avro_records(ml)[0]
+    mpath = os.path.join(path, mf["manifest_path"])
+    with open(mpath, "rb") as fh:
+        mschema, _c, _s, _p = read_container_header(fh.read(65536))
+    data_file = next(f for f in mschema["fields"] if f["name"] == "data_file")
+    df_ids = {f["name"]: f["field-id"] for f in data_file["type"]["fields"]}
+    assert df_ids["file_path"] == 100 and df_ids["record_count"] == 103
+
+
+def test_append_reuses_prior_manifests(table):
+    """Spec property: an append's manifest list = prior manifests + one
+    new manifest, so commit cost is O(new files)."""
+    path, _ = table
+    m1 = _meta(path, 1)["snapshots"][-1]["manifest-list"]
+    m2 = _meta(path, 2)["snapshots"][-1]["manifest-list"]
+    l1 = _decode_avro_records(os.path.join(path, m1))
+    l2 = _decode_avro_records(os.path.join(path, m2))
+    assert len(l2) == len(l1) + 1
+    assert {m["manifest_path"] for m in l1} <= {m["manifest_path"] for m in l2}
+
+
+def test_snapshot_reads_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "ice_tt")
+    src = load(spark, SF_DIR, "orders")
+    write_iceberg(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    write_iceberg(src.where(F.col("o_orderstatus") == "O"), path, "overwrite")
+    n_f = src.where(F.col("o_orderstatus") == "F").count()
+    n_o = src.where(F.col("o_orderstatus") == "O").count()
+    assert read_iceberg(spark, path, snapshot_id=1).count() == n_f
+    assert read_iceberg(spark, path, snapshot_id=2).count() == n_o
+    assert read_iceberg(spark, path).count() == n_o
+    assert [s["operation"] for s in iceberg_snapshots(path)] == [
+        "overwrite",
+        "overwrite",
+    ]
+
+
+def test_append_union_content(table, spark):
+    path, src = table
+    want = {
+        r["o_orderstatus"]: r["cnt"]
+        for r in src.where(F.col("o_orderstatus").isin("F", "P"))
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got = {
+        r["o_orderstatus"]: r["cnt"]
+        for r in read_iceberg(spark, path)
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want
+
+
+def test_filter_pushdown_survives_file_list_scan(table, spark):
+    path, _ = table
+    plan = (
+        read_iceberg(spark, path)
+        .where(F.col("o_totalprice") > 100000.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+
+
+def test_capability_gates(table, spark, tmp_path):
+    path, _ = table
+    with pytest.raises(ValueError, match="snapshot 99 not in table"):
+        read_iceberg(spark, path, snapshot_id=99)
+    # format v2 → explicit refusal
+    p2 = str(tmp_path / "ice_v2")
+    os.makedirs(os.path.join(p2, "metadata"))
+    with open(os.path.join(p2, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump({"format-version": 2, "schema": {"fields": []}}, fh)
+    with open(os.path.join(p2, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with pytest.raises(NotImplementedError, match="format v2"):
+        read_iceberg(spark, p2)
+
+
+def test_commits_are_deterministic(spark, tmp_path):
+    """Same input → identical metadata json (modulo the path-derived
+    uuid/location) and identical manifest bytes."""
+    src = load(spark, SF_DIR, "nation")
+    p1, p2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    write_iceberg(src, p1, "overwrite")
+    write_iceberg(src, p2, "overwrite")
+
+    def norm_meta(p):
+        m = _meta(p, 1)
+        m.pop("table-uuid"), m.pop("location")
+        return m
+
+    assert norm_meta(p1) == norm_meta(p2)
+    m1 = _decode_avro_records(
+        os.path.join(p1, _meta(p1, 1)["snapshots"][0]["manifest-list"])
+    )
+    m2 = _decode_avro_records(
+        os.path.join(p2, _meta(p2, 1)["snapshots"][0]["manifest-list"])
+    )
+    assert m1 == m2
