@@ -34,10 +34,29 @@ _FORMATS = {".parquet": "parquet", ".orc": "orc", ".csv": "csv", ".json": "json"
 _NUMERIC = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.ShortType)
 
 
+def _table_format(path: str) -> str | None:
+    """Detect lakehouse TABLE formats by their on-disk markers — these
+    must win over extension sniffing: a Delta root is full of parquet
+    files, but reading them directly would include logically-removed
+    ones (stale/duplicate rows), and an Iceberg root mixes parquet with
+    Avro manifests. The native protocol readers resolve the LIVE file
+    set instead."""
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        return "delta"
+    meta = os.path.join(path, "metadata")
+    if os.path.isdir(meta) and (
+        os.path.exists(os.path.join(meta, "version-hint.text"))
+        or any(f.endswith(".metadata.json") for f in os.listdir(meta))
+    ):
+        return "iceberg"
+    return None
+
+
 def discover(root: str) -> list[tuple[str, str, str]]:
     """Walk the lake root → (dataset_name, path, format) triples.
-    A 'dataset' is either a single data file or a directory containing
-    files of one format (Spark's normal multi-file dataset layout)."""
+    A 'dataset' is a lakehouse table root (Delta/Iceberg markers), a
+    single data file, or a directory containing files of one format
+    (Spark's normal multi-file dataset layout)."""
     out = []
     for entry in sorted(os.listdir(root)):
         path = os.path.join(root, entry)
@@ -45,6 +64,10 @@ def discover(root: str) -> list[tuple[str, str, str]]:
         if os.path.isfile(path) and ext in _FORMATS:
             out.append((stem, path, _FORMATS[ext]))
         elif os.path.isdir(path):
+            table_fmt = _table_format(path)
+            if table_fmt:
+                out.append((entry, path, table_fmt))
+                continue
             exts = {
                 os.path.splitext(f)[1]
                 for _, _, files in os.walk(path)
@@ -58,6 +81,14 @@ def discover(root: str) -> list[tuple[str, str, str]]:
 
 
 def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    if fmt == "delta":
+        from datalakecrawler_spark.sources.delta_native import read_delta
+
+        return read_delta(spark, path)
+    if fmt == "iceberg":
+        from datalakecrawler_spark.sources.iceberg_native import read_iceberg
+
+        return read_iceberg(spark, path)
     reader = spark.read
     if fmt == "csv":
         return reader.option("header", True).option("inferSchema", True).csv(path)

@@ -73,6 +73,43 @@ def test_crawl_detects_mixed_formats(spark, tmp_path):
     assert counts == {"region": 5, "nation_csv": 25, "region_json": 5}
 
 
+def test_crawl_detects_lakehouse_tables(spark, tmp_path):
+    """Table-format markers must win over extension sniffing: a Delta
+    root is full of parquet files, but a naive parquet read would
+    include the logically-removed ones — the crawler must catalog the
+    LIVE snapshot row count. Iceberg roots (parquet + avro manifests)
+    previously fell through discovery entirely."""
+    from pyspark.sql import functions as F
+
+    from datalakecrawler_spark.sources.delta_native import write_delta
+    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    src = load(spark, SF_DIR, "orders")
+    # delta: overwrite twice → stale parquet of the F-snapshot on disk
+    write_delta(src.where(F.col("o_orderstatus") == "F"),
+                f"{lake}/orders_delta", "overwrite")
+    write_delta(src.where(F.col("o_orderstatus") == "O"),
+                f"{lake}/orders_delta", "overwrite")
+    write_iceberg(load(spark, SF_DIR, "nation"), f"{lake}/nation_ice", "overwrite")
+    load(spark, SF_DIR, "region").write.parquet(f"{lake}/region_pq")
+
+    found = {name: fmt for name, _, fmt in crawler.discover(lake)}
+    assert found == {
+        "orders_delta": "delta",
+        "nation_ice": "iceberg",
+        "region_pq": "parquet",
+    }
+    catalog = crawler.crawl(spark, lake)
+    counts = {r["dataset"]: r["num_rows"] for r in catalog["dataset"].collect()}
+    n_live = src.where(F.col("o_orderstatus") == "O").count()
+    n_stale = src.where(F.col("o_orderstatus") == "F").count()
+    assert counts["orders_delta"] == n_live != n_live + n_stale
+    assert counts["nation_ice"] == 25
+    assert counts["region_pq"] == 5
+
+
 def test_connector_stubs_fail_actionably(spark):
     """Lakehouse connectors: hudi without its jar → clean
     NotImplementedError naming the missing dependency; avro/delta/
