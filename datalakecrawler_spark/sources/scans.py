@@ -559,6 +559,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     select 'parquet' as detected_format, cast(1 as bigint) as n_files
     union all select 'orc', 1
     union all select 'json', 1
+    union all select 'avro', 1
     union all select 'delimited', 1
     """,
 )
@@ -568,8 +569,9 @@ def crawl_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader. Stage 1 lists candidates with the binaryFile source
     selecting path only (content pruned → nothing is read). Stage 2
     sniffs the leading magic bytes per file inside an Arrow-batched
-    pandas UDF: `PAR1` → parquet, `ORC` → orc, a `{`/`[` lead → JSON,
-    else delimited text. At 100 TB that is one 8-byte ranged GET per
+    pandas UDF: `PAR1` → parquet, `ORC` → orc, `Obj\\x01` → avro
+    (the r5 native container codec makes it readable too), a `{`/`[`
+    lead → JSON, else delimited text. At 100 TB that is one 8-byte ranged GET per
     object distributed over executors — never a full scan, never a
     driver loop. Promoted r4 from rows-only: one file of each format is
     planted (coalesce(1)), so the classification histogram is exactly
@@ -584,6 +586,9 @@ def crawl_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "c.data")
     )
     nation.coalesce(1).write.mode("overwrite").json(os.path.join(root, "d.data"))
+    from datalakecrawler_spark.sources.avro import write_avro
+
+    write_avro(nation.coalesce(1), os.path.join(root, "e.data")).collect()
 
     @F.pandas_udf("string")
     def sniff(paths: pd.Series) -> pd.Series:
@@ -594,6 +599,8 @@ def crawl_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return "parquet"
             if head[:3] == b"ORC":
                 return "orc"
+            if head[:4] == b"Obj\x01":
+                return "avro"
             lead = head.decode("utf-8", "ignore").lstrip()[:1]
             if lead in ("{", "["):
                 return "json"

@@ -148,7 +148,7 @@ def test_format_detect_classifies_all_planted_formats(spark):
 
     rows = queries()["crawl_format_detect"](spark, "/root/testdata/sf0.001").collect()
     got = {r["detected_format"]: r["n_files"] for r in rows}
-    assert got == {"parquet": 1, "orc": 1, "json": 1, "delimited": 1}
+    assert got == {"parquet": 1, "orc": 1, "json": 1, "avro": 1, "delimited": 1}
 
 
 def test_cli_list_and_query(capsys):
