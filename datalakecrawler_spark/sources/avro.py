@@ -457,19 +457,19 @@ def avro_type_to_spark(sch) -> T.DataType:
 
 
 def _is_flat_record(rec: dict) -> bool:
-    """True when every field is a (possibly null-union of a) primitive
-    or date/timestamp logical type — the fast tabular path."""
+    """True only for the exact tabular shape AvroFileWriter emits:
+    every field a ["null", primitive-or-logical] union. The flat
+    decoder reads a union index per field, so bare (non-union)
+    primitives must route through the generic datum codec."""
     for f in rec.get("fields", []):
         t = f["type"]
-        if isinstance(t, list):
-            inner = [b for b in t if b != "null"]
-            if len(inner) != 1:
+        if not (isinstance(t, list) and len(t) == 2 and t[0] == "null"):
+            return False
+        inner = t[1]
+        if isinstance(inner, dict):
+            if _logical_kind(inner) is None:
                 return False
-            t = inner[0]
-        if isinstance(t, dict):
-            if _logical_kind(t) is None:
-                return False
-        elif t not in ("boolean", "int", "long", "float", "double", "string"):
+        elif inner not in ("boolean", "int", "long", "float", "double", "string"):
             return False
     return True
 

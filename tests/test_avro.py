@@ -284,6 +284,47 @@ def test_union_rules():
         encode_datum(out, 5, tri)
 
 
+def test_bare_primitive_fields_take_generic_path():
+    """A third-party writer may emit bare (non-union) primitive fields.
+    The flat decoder consumes a ["null", X] branch index per field, so
+    such schemas MUST route through the generic datum codec — a bare
+    long decoded on the flat path would be misread as a union index."""
+    from datalakecrawler_spark.sources.avro import (
+        AvroDatumFileWriter,
+        _is_flat_record,
+    )
+
+    bare = {
+        "type": "record",
+        "name": "bare",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    assert not _is_flat_record(bare)
+
+    rows = [{"k": -3, "s": "x"}, {"k": 2**40, "s": ""}, {"k": 0, "s": "βγ"}]
+    buf = io.BytesIO()
+    w = AvroDatumFileWriter(buf, bare, "deflate", sync_seed="bare")
+    w.write_block(rows)
+    back = []
+    for frame in decode_avro_blocks(buf.getvalue()):
+        back.extend(frame.to_dict("records"))
+    assert back == rows
+
+    # The shape AvroFileWriter emits still takes the fast path, and a
+    # null-last union does not.
+    assert _is_flat_record(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "k", "type": ["null", "long"]}]}
+    )
+    assert not _is_flat_record(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "k", "type": ["long", "null"]}]}
+    )
+
+
 def test_avro_type_to_spark_nested():
     from datalakecrawler_spark.sources.avro import avro_type_to_spark
 
