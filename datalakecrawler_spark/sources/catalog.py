@@ -1695,8 +1695,10 @@ def crawl_partition_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition via repartition(1) so file counts are deterministic and
     the whole catalog row is oracle-checkable — n_rows per partition
     must match the source predicate exactly)."""
-    base = "/root/repo/.tmp/partition_catalog"
+    from datalakecrawler_spark.sources.scans import _tmp
     import shutil as _shutil
+
+    base = _tmp("partition_catalog")
 
     _shutil.rmtree(base, ignore_errors=True)
     o = load(spark, sf_dir, "orders").withColumn(

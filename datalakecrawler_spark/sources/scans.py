@@ -26,7 +26,32 @@ from pyspark.sql import functions as F
 from datalakecrawler_spark.io import load
 from datalakecrawler_spark.registry import SUM_D, dsum, register
 
-_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+_TMP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp"
+)
+# Per-process scratch: concurrent drivers (pytest + a driver run) must
+# never share a sink path — a reader in one process can observe a
+# half-written file from the other (seen as a format_detect sniff race).
+_TMP = os.path.join(_TMP_ROOT, f"p{os.getpid()}")
+
+
+def _reap_stale_tmp() -> None:
+    """Best-effort removal of scratch dirs left by dead processes."""
+    import shutil
+
+    try:
+        entries = os.listdir(_TMP_ROOT)
+    except OSError:
+        return
+    for d in entries:
+        if not (d.startswith("p") and d[1:].isdigit()):
+            continue
+        if os.path.exists(f"/proc/{d[1:]}"):
+            continue
+        shutil.rmtree(os.path.join(_TMP_ROOT, d), ignore_errors=True)
+
+
+_reap_stale_tmp()
 
 
 def _tmp(name: str) -> str:

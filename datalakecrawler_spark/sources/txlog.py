@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 from datalakecrawler_spark.io import load
 from datalakecrawler_spark.registry import register
 
-_TMP_BASE = "/root/repo/.tmp/txlog"
+from datalakecrawler_spark.sources.scans import _TMP as _SCRATCH
+
+_TMP_BASE = os.path.join(_SCRATCH, "txlog")
 
 
 def _manifest_dir(base: str) -> str:
