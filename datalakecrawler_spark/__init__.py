@@ -46,6 +46,7 @@ def _load_all() -> None:
         avro,
         catalog,
         delta_native,
+        hudi_native,
         iceberg_native,
         scans,
         txlog,

@@ -38,11 +38,14 @@ def _table_format(path: str) -> str | None:
     """Detect lakehouse TABLE formats by their on-disk markers — these
     must win over extension sniffing: a Delta root is full of parquet
     files, but reading them directly would include logically-removed
-    ones (stale/duplicate rows), and an Iceberg root mixes parquet with
-    Avro manifests. The native protocol readers resolve the LIVE file
-    set instead."""
+    ones (stale/duplicate rows); a Hudi root keeps superseded base
+    files on disk for time travel (naive reads double-count rewritten
+    file groups); an Iceberg root mixes parquet with Avro manifests.
+    The native protocol readers resolve the LIVE file set instead."""
     if os.path.isdir(os.path.join(path, "_delta_log")):
         return "delta"
+    if os.path.isdir(os.path.join(path, ".hoodie")):
+        return "hudi"
     meta = os.path.join(path, "metadata")
     if os.path.isdir(meta) and (
         os.path.exists(os.path.join(meta, "version-hint.text"))
@@ -89,6 +92,10 @@ def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         from datalakecrawler_spark.sources.iceberg_native import read_iceberg
 
         return read_iceberg(spark, path)
+    if fmt == "hudi":
+        from datalakecrawler_spark.sources.hudi_native import read_hudi
+
+        return read_hudi(spark, path)
     reader = spark.read
     if fmt == "csv":
         return reader.option("header", True).option("inferSchema", True).csv(path)

@@ -63,9 +63,8 @@ def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
     - avro    → sources/avro.py (container codec, full type surface)
     - delta   → sources/delta_native.py (JSON log replay, reader v1)
     - iceberg → sources/iceberg_native.py (v1 metadata + Avro manifests)
-
-    Hudi remains genuinely gated: its table spec depends on
-    timeline/commit semantics the jar implements server-side."""
+    - hudi    → sources/hudi_native.py (CoW timeline walk, latest file
+      slice per group; MERGE_ON_READ tables still raise there)"""
     if fmt not in _FORMAT_PROBES:
         raise ValueError(f"unknown lakehouse format {fmt!r}; one of {list(_FORMAT_PROBES)}")
     module, spark_fmt, conf_hint = _FORMAT_PROBES[fmt]
@@ -82,6 +81,10 @@ def open_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
             from datalakecrawler_spark.sources.iceberg_native import read_iceberg
 
             return read_iceberg(spark, path)
+        if fmt == "hudi":
+            from datalakecrawler_spark.sources.hudi_native import read_hudi
+
+            return read_hudi(spark, path)
         dep = (
             f"the '{module}' package and its Spark jars"
             if module

@@ -1,0 +1,443 @@
+"""Native Apache Hudi Copy-on-Write table support — the PUBLIC Hudi
+table layout (hudi.apache.org/tech-specs: a ``.hoodie/`` timeline of
+instant files, base parquet files named
+``<fileId>_<writeToken>_<instantTime>.parquet``, ``_hoodie_*`` meta
+columns on every record), implemented in pure Python over Spark's
+parquet writer/reader. No hudi-spark bundle jar:
+``connectors.open_table`` still prefers the jar when present; this
+module makes the TABLES real — timeline, file groups, and meta
+columns follow the published layout.
+
+What Hudi adds over the Delta/Iceberg modules next door is
+RECORD-LEVEL UPSERT: every record has a key, keys are routed to a
+fixed FILE GROUP by a bucket index (the public
+``hoodie.index.type=BUCKET`` design — hash(key) % N, no lookup
+table), and an upsert rewrites ONLY the file groups that received
+changes (copy-on-write). The scale story:
+
+- **Commit** = write the new base files first, publish one
+  ``<instant>.commit`` JSON (HoodieCommitMetadata: per-file write
+  stats) by atomic rename last; ``.commit.requested`` / ``.inflight``
+  markers bracket the write per the timeline state machine. Readers
+  only trust completed instants, so partial writes are invisible.
+- **Upsert cost is O(changed file groups), not O(table).** The bucket
+  index routes each change key to its group arithmetically; only
+  those groups' latest base files are read, merged (change wins by
+  key — one anti-join, the same plan a MERGE compiles to), and
+  rewritten under the new instant. Untouched groups keep serving
+  their old base file.
+- **Read at instant t** = walk completed commits ≤ t (driver-side:
+  small JSON, the same cost class as parquet footers), keep the
+  LATEST base file per file group (a "file slice"), and hand the
+  explicit file list to ``spark.read.parquet`` — scans, pushdown, and
+  pruning stay fully distributed and Catalyst-owned. Time travel =
+  stop the walk early.
+
+Honest gates: Merge-on-Read tables (log files + compaction) raise
+with the exact missing capability rather than serving wrong answers;
+only COPY_ON_WRITE is written or read. ``_hoodie_commit_seqno`` is
+stamped ``<instant>_<bucket>_<recordkey>`` (unique per record, as the
+spec requires) rather than Hudi's task-monotonic counter — the value
+is opaque to any conforming reader. Tables are unpartitioned
+(partition path ``""``), the layout Hudi itself uses for
+non-partitioned tables.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META_DIR = ".hoodie"
+_META_COLS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+)
+_N_BUCKETS = 8
+
+
+def _timeline_dir(path: str) -> str:
+    return os.path.join(path, _META_DIR)
+
+
+def _completed_instants(path: str) -> list[str]:
+    """Completed commit instants, ascending (instant times are strings
+    ordered lexically per spec)."""
+    tdir = _timeline_dir(path)
+    if not os.path.isdir(tdir):
+        raise FileNotFoundError(f"no Hudi timeline at {tdir}")
+    if glob.glob(os.path.join(tdir, "*.deltacommit*")) or glob.glob(
+        os.path.join(tdir, "*.compaction*")
+    ):
+        raise NotImplementedError(
+            "hudi_native reads COPY_ON_WRITE tables only; this timeline "
+            "has deltacommit/compaction instants (MERGE_ON_READ), whose "
+            "log files this reader does not merge."
+        )
+    return sorted(
+        os.path.basename(f)[: -len(".commit")]
+        for f in glob.glob(os.path.join(tdir, "*.commit"))
+    )
+
+
+def _file_id(bucket: int) -> str:
+    """Deterministic uuid-shaped fileId per bucket (bucket-index
+    tables derive the file group from the hash bucket)."""
+    h = hashlib.md5(f"filegroup-{bucket}".encode()).hexdigest()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}-{bucket}"
+
+
+def _base_file_name(bucket: int, instant: str) -> str:
+    return f"{_file_id(bucket)}_0-0-0_{instant}.parquet"
+
+
+def _bucket_col(key_col: str):
+    """The bucket index: a pure hash of the record key — stable across
+    sessions/engines (crc32 of the utf-8 key), no lookup state."""
+    return F.pmod(F.crc32(F.col(key_col).cast("string")), F.lit(_N_BUCKETS))
+
+
+def _slices_at(path: str, as_of: str | None) -> dict[str, tuple[str, str]]:
+    """fileId -> (instant, base file relpath): the latest file slice
+    per file group among completed instants <= as_of."""
+    slices: dict[str, tuple[str, str]] = {}
+    for instant in _completed_instants(path):
+        if as_of is not None and instant > as_of:
+            break
+        with open(os.path.join(_timeline_dir(path), f"{instant}.commit")) as fh:
+            meta = json.load(fh)
+        for stats in meta["partitionToWriteStats"][""]:
+            slices[stats["fileId"]] = (instant, stats["path"])
+    return slices
+
+
+def write_hudi(
+    df: DataFrame,
+    path: str,
+    record_key: str,
+    instant: str,
+    op: str = "upsert",
+) -> str:
+    """Commit ``df`` to a Hudi CoW table at ``path``; returns the
+    instant. ``bulk_insert`` lays out the initial file groups (every
+    record routed to its bucket); ``upsert`` merges by ``record_key``
+    into ONLY the affected file groups and rewrites those groups'
+    base files under the new instant (copy-on-write). Data files are
+    written by Spark's distributed parquet writer (one file per
+    bucket via a bucket-repartition, so group rewrite parallelism =
+    number of touched groups); the commit JSON is published last by
+    atomic rename."""
+    if op not in ("bulk_insert", "upsert"):
+        raise ValueError(f"op must be bulk_insert|upsert, got {op!r}")
+    tdir = _timeline_dir(path)
+    first = not os.path.isdir(tdir)
+    os.makedirs(tdir, exist_ok=True)
+    if first:
+        props = {
+            "hoodie.table.name": os.path.basename(path.rstrip("/")),
+            "hoodie.table.type": "COPY_ON_WRITE",
+            "hoodie.table.version": "5",
+            "hoodie.table.recordkey.fields": record_key,
+            "hoodie.datasource.write.hive_style_partitioning": "false",
+            "hoodie.timeline.layout.version": "1",
+        }
+        with open(os.path.join(tdir, "hoodie.properties"), "w") as fh:
+            for k, v in sorted(props.items()):
+                fh.write(f"{k}={v}\n")
+    else:
+        done = _completed_instants(path)
+        if done and done[-1] >= instant:
+            raise ValueError(
+                f"instant {instant!r} is not after the last completed "
+                f"instant {done[-1]!r} (timeline must be monotonic)"
+            )
+
+    # Timeline state machine: requested -> inflight -> completed.
+    open(os.path.join(tdir, f"{instant}.commit.requested"), "w").close()
+    open(os.path.join(tdir, f"{instant}.inflight"), "w").close()
+
+    changes = df.withColumn("__bucket", _bucket_col(record_key))
+    prev_slice: dict[str, tuple[str, str]] = {}
+    n_updates = 0
+    if op == "bulk_insert":
+        if not first and _slices_at(path, None):
+            raise ValueError("bulk_insert into a non-empty table")
+        merged = changes
+        buckets = list(range(_N_BUCKETS))
+    else:
+        prev_slice = _slices_at(path, None)
+        # Affected file groups: the buckets the change keys hash to —
+        # bounded by _N_BUCKETS, never by data size.
+        buckets = sorted(
+            r[0] for r in changes.select("__bucket").distinct().collect()
+        )
+        old_files = [
+            os.path.join(path, rel)
+            for fid, (_, rel) in sorted(prev_slice.items())
+            if int(fid.rsplit("-", 1)[1]) in set(buckets)
+        ]
+        if old_files:
+            old = (
+                df.sparkSession.read.parquet(*old_files)
+                .drop(*_META_COLS)
+                .withColumn("__bucket", _bucket_col(record_key))
+            )
+            keys = changes.select(record_key)
+            n_updates = old.join(keys, record_key, "left_semi").count()
+            merged = changes.unionByName(
+                old.join(keys, record_key, "left_anti")
+            )
+        else:
+            merged = changes
+
+    # Stamp the spec's meta columns (the file name is derivable from
+    # the bucket because the bucket index fixes fileId arithmetically;
+    # F.md5 matches hashlib.md5 in _file_id, so this stays JVM-side).
+    h = F.md5(F.format_string("filegroup-%d", F.col("__bucket")))
+    fname = F.format_string(
+        f"%s-%s-%s-%s-%s-%d_0-0-0_{instant}.parquet",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+        F.col("__bucket"),
+    )
+    stamped = (
+        merged.withColumn("_hoodie_commit_time", F.lit(instant))
+        .withColumn(
+            "_hoodie_commit_seqno",
+            F.format_string(
+                f"{instant}_%d_%s",
+                F.col("__bucket"),
+                F.col(record_key).cast("string"),
+            ),
+        )
+        .withColumn("_hoodie_record_key", F.col(record_key).cast("string"))
+        .withColumn("_hoodie_partition_path", F.lit(""))
+        .withColumn("_hoodie_file_name", fname)
+    )
+    # One base file per touched file group: repartition ON the bucket
+    # puts each group wholly in one task; partitionBy splits the stage
+    # dir per bucket so the rename below is a pure metadata move.
+    stage = os.path.join(path, f".stage-{instant}")
+    (
+        stamped.repartition(max(len(buckets), 1), "__bucket")
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(stage)
+    )
+    # Per-group record counts in ONE job over the just-written stage:
+    # __bucket is a partition column there, so the count prunes to
+    # zero data columns (footer-only), instead of a job per file.
+    spark = df.sparkSession
+    bucket_counts = {
+        r[0]: r[1]
+        for r in spark.read.parquet(stage).groupBy("__bucket").count().collect()
+    }
+
+    write_stats = []
+    for bdir in sorted(glob.glob(os.path.join(stage, "__bucket=*"))):
+        bucket = int(os.path.basename(bdir).split("=")[1])
+        parts = sorted(glob.glob(os.path.join(bdir, "part-*.parquet")))
+        assert len(parts) == 1, f"expected one base file per group, got {parts}"
+        rel = _base_file_name(bucket, instant)
+        os.replace(parts[0], os.path.join(path, rel))
+        fid = _file_id(bucket)
+        prev = prev_slice.get(fid, (None, None))[0]
+        write_stats.append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "prevCommit": prev if prev is not None else "null",
+                "numWrites": bucket_counts[bucket],
+                "numUpdateWrites": 0,
+                "fileSizeInBytes": os.path.getsize(os.path.join(path, rel)),
+                "totalWriteBytes": os.path.getsize(os.path.join(path, rel)),
+            }
+        )
+    shutil.rmtree(stage)
+
+    if write_stats and n_updates:
+        write_stats[0]["numUpdateWrites"] = n_updates
+
+    commit_meta = {
+        "partitionToWriteStats": {"": write_stats},
+        "compacted": False,
+        "operationType": op.upper(),
+    }
+    tmp = os.path.join(tdir, f"{instant}.commit.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(commit_meta, fh, sort_keys=True, indent=2)
+    os.replace(tmp, os.path.join(tdir, f"{instant}.commit"))
+    os.remove(os.path.join(tdir, f"{instant}.inflight"))
+    os.remove(os.path.join(tdir, f"{instant}.commit.requested"))
+    return instant
+
+
+def read_hudi(
+    spark: SparkSession, path: str, as_of: str | None = None
+) -> DataFrame:
+    """Snapshot scan: resolve the latest file slice per file group at
+    ``as_of`` (None = latest) driver-side, then let Spark's parquet
+    source scan exactly those base files — pushdown/pruning/codegen
+    unchanged from any parquet read. Meta columns are dropped; pass
+    the raw files to ``spark.read.parquet`` directly to keep them."""
+    slices = _slices_at(path, as_of)
+    files = [os.path.join(path, rel) for _, (_, rel) in sorted(slices.items())]
+    if not files:
+        raise ValueError(f"no completed instants at or before {as_of!r}")
+    return spark.read.parquet(*files).drop(*_META_COLS)
+
+
+def hudi_timeline(path: str) -> list[dict]:
+    """Per-instant summary: files written, update counts, operation."""
+    out = []
+    for instant in _completed_instants(path):
+        with open(os.path.join(_timeline_dir(path), f"{instant}.commit")) as fh:
+            meta = json.load(fh)
+        stats = meta["partitionToWriteStats"][""]
+        out.append(
+            {
+                "instant": instant,
+                "operation": meta["operationType"],
+                "n_files": len(stats),
+                "n_writes": sum(s["numWrites"] for s in stats),
+                "n_update_writes": sum(s["numUpdateWrites"] for s in stats),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Registered operators (group A extensions)
+# ---------------------------------------------------------------------------
+
+from datalakecrawler_spark.io import load  # noqa: E402
+from datalakecrawler_spark.registry import SUM_D, dsum, register  # noqa: E402
+from datalakecrawler_spark.sources.scans import _tmp  # noqa: E402
+
+
+def _fresh(path: str) -> str:
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    return path
+
+
+# Deterministic spec-shaped instant times (yyyyMMddHHmmssSSS); wall
+# clock is not part of query semantics, exactly like delta_native's
+# fixed modificationTime.
+_T1 = "19700101000000001"
+_T2 = "19700101000000002"
+
+
+@register(
+    "sink_hudi_upsert",
+    group="A",
+    oracle=f"""
+    with base as (select * from orders where o_orderstatus = 'F'),
+    changes as (
+      select * replace (o_totalprice * 1.1 as o_totalprice)
+      from orders where o_orderstatus = 'F' and o_orderkey % 2 = 0
+      union all
+      select * from orders where o_orderstatus = 'P'
+    ),
+    merged as (
+      select * from changes
+      union all
+      select * from base
+      where o_orderkey not in (select o_orderkey from changes)
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from merged group by o_orderstatus
+    """,
+)
+def sink_hudi_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: Hudi CoW record-level upsert — the capability the other
+    two lakehouse modules don't exercise. bulk_insert lays the 'F'
+    orders into 8 bucket-indexed file groups; the upsert then updates
+    the even-keyed 'F' orders (price * 1.1) and inserts the 'P'
+    orders in ONE commit. Only the file groups the change keys hash
+    to are rewritten (copy-on-write); the snapshot read must serve
+    change-wins-by-key merge semantics, which the oracle recomputes
+    relationally. The timeline on disk is the real public layout
+    (.hoodie/<instant>.commit with per-file write stats, base files
+    named <fileId>_<writeToken>_<instant>.parquet, _hoodie_* meta
+    columns on every record)."""
+    path = _fresh(_tmp("orders_hudi"))
+    src = load(spark, sf_dir, "orders")
+    base = src.where(F.col("o_orderstatus") == "F")
+    write_hudi(base, path, "o_orderkey", _T1, op="bulk_insert")
+    changes = (
+        src.where((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .unionByName(src.where(F.col("o_orderstatus") == "P"))
+    )
+    write_hudi(changes, path, "o_orderkey", _T2, op="upsert")
+    tl = hudi_timeline(path)
+    assert [t["operation"] for t in tl] == ["BULK_INSERT", "UPSERT"], tl
+    return (
+        read_hudi(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "scan_hudi_time_travel",
+    group="A",
+    oracle=f"""
+    with t1 as (
+      select 1 as instant_no, count(*) as cnt,
+             {SUM_D.format('o_totalprice')} as sum_price
+      from orders where o_orderstatus = 'F'
+    ),
+    t2 as (
+      with merged as (
+        select * replace (o_totalprice * 1.1 as o_totalprice)
+        from orders where o_orderstatus = 'F' and o_orderkey % 2 = 0
+        union all
+        select * from orders
+        where o_orderstatus = 'F' and o_orderkey % 2 <> 0
+      )
+      select 2 as instant_no, count(*) as cnt,
+             {SUM_D.format('o_totalprice')} as sum_price
+      from merged
+    )
+    select * from t1 union all select * from t2
+    """,
+)
+def scan_hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: Hudi time travel by timeline walk — reading as of the
+    first instant serves the pre-upsert rows (the superseded base
+    files stay on disk; older file slices remain addressable), while
+    the latest snapshot serves the merged state. Each snapshot scan
+    is a plain distributed parquet read over that instant's resolved
+    file-slice list."""
+    path = _fresh(_tmp("orders_hudi_tt"))
+    src = load(spark, sf_dir, "orders")
+    base = src.where(F.col("o_orderstatus") == "F")
+    write_hudi(base, path, "o_orderkey", _T1, op="bulk_insert")
+    updates = base.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    write_hudi(updates, path, "o_orderkey", _T2, op="upsert")
+
+    def snap(no: int, as_of: str) -> DataFrame:
+        return (
+            read_hudi(spark, path, as_of=as_of)
+            .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+            .select(F.lit(no).alias("instant_no"), "cnt", "sum_price")
+        )
+
+    return snap(1, _T1).unionByName(snap(2, _T2))

@@ -82,6 +82,7 @@ def test_crawl_detects_lakehouse_tables(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from datalakecrawler_spark.sources.delta_native import write_delta
+    from datalakecrawler_spark.sources.hudi_native import write_hudi
     from datalakecrawler_spark.sources.iceberg_native import write_iceberg
 
     lake = str(tmp_path / "lake")
@@ -93,12 +94,20 @@ def test_crawl_detects_lakehouse_tables(spark, tmp_path):
     write_delta(src.where(F.col("o_orderstatus") == "O"),
                 f"{lake}/orders_delta", "overwrite")
     write_iceberg(load(spark, SF_DIR, "nation"), f"{lake}/nation_ice", "overwrite")
+    # hudi: upsert leaves the superseded base files on disk — a naive
+    # parquet read would double-count the rewritten file group
+    cust = load(spark, SF_DIR, "customer")
+    write_hudi(cust, f"{lake}/cust_hudi", "c_custkey",
+               "19700101000000001", op="bulk_insert")
+    write_hudi(cust.limit(50), f"{lake}/cust_hudi", "c_custkey",
+               "19700101000000002", op="upsert")
     load(spark, SF_DIR, "region").write.parquet(f"{lake}/region_pq")
 
     found = {name: fmt for name, _, fmt in crawler.discover(lake)}
     assert found == {
         "orders_delta": "delta",
         "nation_ice": "iceberg",
+        "cust_hudi": "hudi",
         "region_pq": "parquet",
     }
     catalog = crawler.crawl(spark, lake)
@@ -107,15 +116,15 @@ def test_crawl_detects_lakehouse_tables(spark, tmp_path):
     n_stale = src.where(F.col("o_orderstatus") == "F").count()
     assert counts["orders_delta"] == n_live != n_live + n_stale
     assert counts["nation_ice"] == 25
+    assert counts["cust_hudi"] == cust.count()  # live slices only
     assert counts["region_pq"] == 5
 
 
 def test_connector_stubs_fail_actionably(spark):
-    """Lakehouse connectors: hudi without its jar → clean
-    NotImplementedError naming the missing dependency; avro/delta/
-    iceberg fall back to the native pure-Python implementations (their
-    error on a missing PATH is file-not-found, not jar-not-found);
-    unknown format → ValueError."""
+    """Lakehouse connectors: every format falls back to a native
+    pure-Python implementation when its jar is absent (their error on
+    a missing PATH is file-not-found, not jar-not-found); unknown
+    format → ValueError."""
     import pytest
 
     from datalakecrawler_spark.sources import connectors
@@ -126,6 +135,7 @@ def test_connector_stubs_fail_actionably(spark):
         "avro": (FileNotFoundError, "no .avro files"),
         "delta": (FileNotFoundError, "no Delta log"),
         "iceberg": (FileNotFoundError, "no Iceberg metadata"),
+        "hudi": (FileNotFoundError, "no Hudi timeline"),
     }
     for fmt, ok in avail.items():
         if ok:

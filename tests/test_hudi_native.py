@@ -1,0 +1,210 @@
+"""Native Hudi CoW tests (sources/hudi_native.py): on-disk timeline
+conformance with the public layout (.hoodie instants, base-file
+naming, _hoodie_* meta columns), upsert merge semantics, partial
+file-group rewrite (the CoW selling point), time travel, and the
+capability / monotonicity gates. The registered ops are additionally
+oracle-checked by test_registry_parity."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.sources.hudi_native import (
+    _META_COLS,
+    _N_BUCKETS,
+    hudi_timeline,
+    read_hudi,
+    write_hudi,
+)
+from tests.conftest import SF_DIR
+
+_T1 = "19700101000000001"
+_T2 = "19700101000000002"
+
+# base-file name: <uuid>-<bucket>_<writeToken>_<instant>.parquet
+_BASE_RE = re.compile(
+    r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    r"-(\d+)_0-0-0_(\d{17})\.parquet$"
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """bulk_insert of the F orders at T1, then one upsert commit at T2
+    that updates the even keys (price * 1.1) and inserts the P orders."""
+    path = str(tmp_path / "hudi_tbl")
+    src = load(spark, SF_DIR, "orders")
+    base = src.where(F.col("o_orderstatus") == "F")
+    write_hudi(base, path, "o_orderkey", _T1, op="bulk_insert")
+    changes = (
+        src.where((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .unionByName(src.where(F.col("o_orderstatus") == "P"))
+    )
+    write_hudi(changes, path, "o_orderkey", _T2, op="upsert")
+    return path, src
+
+
+def test_timeline_layout(table):
+    path, _ = table
+    tdir = os.path.join(path, ".hoodie")
+    names = set(os.listdir(tdir))
+    assert "hoodie.properties" in names
+    assert f"{_T1}.commit" in names and f"{_T2}.commit" in names
+    # state-machine markers are cleaned up after completion
+    assert not any(n.endswith((".inflight", ".requested")) for n in names)
+    props = dict(
+        line.strip().split("=", 1)
+        for line in open(os.path.join(tdir, "hoodie.properties"))
+    )
+    assert props["hoodie.table.type"] == "COPY_ON_WRITE"
+    assert props["hoodie.table.recordkey.fields"] == "o_orderkey"
+    meta = json.load(open(os.path.join(tdir, f"{_T2}.commit")))
+    assert meta["operationType"] == "UPSERT"
+    stats = meta["partitionToWriteStats"][""]
+    assert all(s["numWrites"] > 0 for s in stats)
+    assert sum(s["numUpdateWrites"] for s in stats) > 0
+
+
+def test_base_file_naming_and_meta_columns(spark, table):
+    path, _ = table
+    files = [
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    ]
+    assert files and all(_BASE_RE.match(f) for f in files)
+    raw = spark.read.parquet(os.path.join(path, files[0]))
+    assert set(_META_COLS) <= set(raw.columns)
+    row = raw.limit(1).collect()[0]
+    assert row["_hoodie_record_key"] == str(row["o_orderkey"])
+    assert row["_hoodie_partition_path"] == ""
+    assert row["_hoodie_file_name"] in files
+    # the stamped file name is the file the record actually lives in
+    got = raw.select("_hoodie_file_name").distinct().collect()
+    assert [r[0] for r in got] == [files[0].rsplit("/", 1)[-1]] or len(got) == 1
+
+
+def test_upsert_merge_semantics(spark, table):
+    path, src = table
+    out = read_hudi(spark, path)
+    f = src.where(F.col("o_orderstatus") == "F")
+    p = src.where(F.col("o_orderstatus") == "P")
+    assert out.count() == f.count() + p.count()
+    # even keys carry the updated price, odd keys the original
+    joined = (
+        out.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.col("o_totalprice").alias("new_price"))
+        .join(f.select("o_orderkey", "o_totalprice"), "o_orderkey")
+    )
+    bad = joined.where(
+        (
+            (F.col("o_orderkey") % 2 == 0)
+            & (F.abs(F.col("new_price") - F.col("o_totalprice") * 1.1) > 1e-6)
+        )
+        | (
+            (F.col("o_orderkey") % 2 == 1)
+            & (F.col("new_price") != F.col("o_totalprice"))
+        )
+    ).count()
+    assert bad == 0
+    # no duplicate keys survive the merge
+    assert out.select("o_orderkey").distinct().count() == out.count()
+
+
+def test_upsert_rewrites_only_affected_file_groups(spark, tmp_path):
+    """CoW economy: an upsert touching keys in ONE bucket must rewrite
+    exactly that file group; every other group keeps serving its T1
+    base file."""
+    path = str(tmp_path / "hudi_partial")
+    src = load(spark, SF_DIR, "orders").limit(2000)
+    write_hudi(src, path, "o_orderkey", _T1, op="bulk_insert")
+    one_key = src.select("o_orderkey").limit(1).collect()[0][0]
+    changes = src.where(F.col("o_orderkey") == one_key).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    write_hudi(changes, path, "o_orderkey", _T2, op="upsert")
+    meta = json.load(
+        open(os.path.join(path, ".hoodie", f"{_T2}.commit"))
+    )
+    stats = meta["partitionToWriteStats"][""]
+    assert len(stats) == 1, "one bucket touched -> one file group rewritten"
+    assert stats[0]["prevCommit"] == _T1
+    # reader serves T1 files for the other groups + the one T2 file
+    t1_files = {
+        s["path"]
+        for s in json.load(
+            open(os.path.join(path, ".hoodie", f"{_T1}.commit"))
+        )["partitionToWriteStats"][""]
+    }
+    out = read_hudi(spark, path)
+    assert out.count() == 2000
+    assert out.where(F.col("o_orderkey") == one_key).collect()[0][
+        "o_totalprice"
+    ] == 0.0
+    # superseded base file still on disk (time travel needs it)
+    assert all(os.path.exists(os.path.join(path, f)) for f in t1_files)
+
+
+def test_time_travel(spark, table):
+    path, src = table
+    f = src.where(F.col("o_orderstatus") == "F")
+    at1 = read_hudi(spark, path, as_of=_T1)
+    assert at1.count() == f.count()
+    # pre-upsert prices intact at T1
+    assert (
+        at1.agg(F.sum("o_totalprice")).collect()[0][0]
+        == pytest.approx(f.agg(F.sum("o_totalprice")).collect()[0][0])
+    )
+    tl = hudi_timeline(path)
+    assert [t["instant"] for t in tl] == [_T1, _T2]
+    assert [t["operation"] for t in tl] == ["BULK_INSERT", "UPSERT"]
+
+
+def test_gates(spark, tmp_path):
+    path = str(tmp_path / "hudi_gates")
+    src = load(spark, SF_DIR, "orders").limit(100)
+    write_hudi(src, path, "o_orderkey", _T2, op="bulk_insert")
+    # timeline must be monotonic
+    with pytest.raises(ValueError, match="monotonic"):
+        write_hudi(src, path, "o_orderkey", _T1, op="upsert")
+    # bulk_insert into a non-empty table
+    with pytest.raises(ValueError, match="non-empty"):
+        write_hudi(src, path, "o_orderkey", "19700101000000003", op="bulk_insert")
+    # MERGE_ON_READ tables are honestly refused
+    open(
+        os.path.join(path, ".hoodie", "19700101000000004.deltacommit"), "w"
+    ).close()
+    with pytest.raises(NotImplementedError, match="COPY_ON_WRITE"):
+        read_hudi(spark, path)
+    os.remove(os.path.join(path, ".hoodie", "19700101000000004.deltacommit"))
+    # as_of before the first instant
+    with pytest.raises(ValueError, match="no completed instants"):
+        read_hudi(spark, path, as_of="19700101000000000")
+
+
+def test_bucket_routing_is_stable(spark, table):
+    """Every record's file lands in the bucket its key hashes to —
+    re-deriving the bucket from the stored record key must match the
+    bucket encoded in the base-file name (the arithmetic index is the
+    reason upserts need no lookup table)."""
+    path, _ = table
+    raw = spark.read.parquet(
+        *glob.glob(os.path.join(path, "*.parquet"))
+    ).select("_hoodie_record_key", "_hoodie_file_name")
+    derived = raw.withColumn(
+        "bucket", F.pmod(F.crc32(F.col("_hoodie_record_key")), F.lit(_N_BUCKETS))
+    ).withColumn(
+        "named",
+        F.regexp_extract(
+            "_hoodie_file_name", r"-(\d+)_0-0-0_", 1
+        ).cast("int"),
+    )
+    assert derived.where(F.col("bucket") != F.col("named")).count() == 0
