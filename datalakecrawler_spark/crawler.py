@@ -243,11 +243,9 @@ def crawl_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiling pass counted every table correctly AND the catalog
     write→read round-trip preserved it (env-specific paths/timestamps
     stay out of the result). Further invariants in tests/test_crawler.py."""
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".tmp",
-        "catalog",
-    )
+    from datalakecrawler_spark.sources.scans import _tmp
+
+    out = _tmp("catalog")
     catalog = crawl_and_write(spark, sf_dir, out)
     assert catalog["dataset"].count() == 10, "expected all ten fixture datasets"
     back = spark.read.parquet(os.path.join(out, "dataset"))
