@@ -165,13 +165,44 @@ def write_hudi(
     open(os.path.join(tdir, f"{instant}.commit.requested"), "w").close()
     open(os.path.join(tdir, f"{instant}.inflight"), "w").close()
 
+    # The file name is derivable from the bucket because the bucket
+    # index fixes fileId arithmetically; F.md5 matches hashlib.md5 in
+    # _file_id, so the stamp stays JVM-side.
+    h = F.md5(F.format_string("filegroup-%d", F.col("__bucket")))
+    fname = F.format_string(
+        f"%s-%s-%s-%s-%s-%d_0-0-0_{instant}.parquet",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+        F.col("__bucket"),
+    )
+
+    def _stamp_new(frame: DataFrame) -> DataFrame:
+        """Meta columns for records written BY this commit."""
+        return (
+            frame.withColumn("_hoodie_commit_time", F.lit(instant))
+            .withColumn(
+                "_hoodie_commit_seqno",
+                F.format_string(
+                    f"{instant}_%d_%s",
+                    F.col("__bucket"),
+                    F.col(record_key).cast("string"),
+                ),
+            )
+            .withColumn("_hoodie_record_key", F.col(record_key).cast("string"))
+            .withColumn("_hoodie_partition_path", F.lit(""))
+            .withColumn("_hoodie_file_name", fname)
+        )
+
     changes = df.withColumn("__bucket", _bucket_col(record_key))
     prev_slice: dict[str, tuple[str, str]] = {}
     n_updates = 0
     if op == "bulk_insert":
         if not first and _slices_at(path, None):
             raise ValueError("bulk_insert into a non-empty table")
-        merged = changes
+        stamped = _stamp_new(changes)
         buckets = list(range(_N_BUCKETS))
     else:
         prev_slice = _slices_at(path, None)
@@ -186,46 +217,22 @@ def write_hudi(
             if int(fid.rsplit("-", 1)[1]) in set(buckets)
         ]
         if old_files:
+            # Copied-forward records KEEP their original commit time /
+            # seqno (only the physical file name moves) — this is what
+            # makes incremental queries able to tell changed records
+            # from rewritten-but-unchanged ones.
             old = (
                 df.sparkSession.read.parquet(*old_files)
-                .drop(*_META_COLS)
                 .withColumn("__bucket", _bucket_col(record_key))
             )
             keys = changes.select(record_key)
             n_updates = old.join(keys, record_key, "left_semi").count()
-            merged = changes.unionByName(
-                old.join(keys, record_key, "left_anti")
+            kept = old.join(keys, record_key, "left_anti").withColumn(
+                "_hoodie_file_name", fname
             )
+            stamped = _stamp_new(changes).unionByName(kept)
         else:
-            merged = changes
-
-    # Stamp the spec's meta columns (the file name is derivable from
-    # the bucket because the bucket index fixes fileId arithmetically;
-    # F.md5 matches hashlib.md5 in _file_id, so this stays JVM-side).
-    h = F.md5(F.format_string("filegroup-%d", F.col("__bucket")))
-    fname = F.format_string(
-        f"%s-%s-%s-%s-%s-%d_0-0-0_{instant}.parquet",
-        F.substring(h, 1, 8),
-        F.substring(h, 9, 4),
-        F.substring(h, 13, 4),
-        F.substring(h, 17, 4),
-        F.substring(h, 21, 12),
-        F.col("__bucket"),
-    )
-    stamped = (
-        merged.withColumn("_hoodie_commit_time", F.lit(instant))
-        .withColumn(
-            "_hoodie_commit_seqno",
-            F.format_string(
-                f"{instant}_%d_%s",
-                F.col("__bucket"),
-                F.col(record_key).cast("string"),
-            ),
-        )
-        .withColumn("_hoodie_record_key", F.col(record_key).cast("string"))
-        .withColumn("_hoodie_partition_path", F.lit(""))
-        .withColumn("_hoodie_file_name", fname)
-    )
+            stamped = _stamp_new(changes)
     # One base file per touched file group: repartition ON the bucket
     # puts each group wholly in one task; partitionBy splits the stage
     # dir per bucket so the rename below is a pure metadata move.
@@ -297,6 +304,49 @@ def read_hudi(
     if not files:
         raise ValueError(f"no completed instants at or before {as_of!r}")
     return spark.read.parquet(*files).drop(*_META_COLS)
+
+
+def read_hudi_incremental(
+    spark: SparkSession,
+    path: str,
+    from_instant: str,
+    to_instant: str | None = None,
+) -> DataFrame:
+    """Hudi's signature INCREMENTAL QUERY: the records changed in
+    instants (from_instant, to_instant] — the capability that lets a
+    downstream pipeline consume a 100 TB table as a change stream
+    instead of re-reading snapshots. Copy-on-write rewrites whole file
+    groups, so the new base files also carry unchanged records copied
+    forward; ``_hoodie_commit_time`` (stamped per record at write)
+    distinguishes them — the filter is pushed into the parquet scan of
+    ONLY the files the in-range commits wrote. I/O is proportional to
+    the changed file groups, never the table."""
+    instants = [
+        i
+        for i in _completed_instants(path)
+        if i > from_instant and (to_instant is None or i <= to_instant)
+    ]
+    if not instants:
+        raise ValueError(
+            f"no completed instants in ({from_instant!r}, {to_instant!r}]"
+        )
+    files = []
+    for instant in instants:
+        with open(os.path.join(_timeline_dir(path), f"{instant}.commit")) as fh:
+            meta = json.load(fh)
+        files += [
+            os.path.join(path, s["path"])
+            for s in meta["partitionToWriteStats"][""]
+        ]
+    out = spark.read.parquet(*sorted(files)).where(
+        F.col("_hoodie_commit_time") > from_instant
+    )
+    if to_instant is not None:
+        out = out.where(F.col("_hoodie_commit_time") <= to_instant)
+    keep = [c for c in out.columns if c not in _META_COLS] + [
+        "_hoodie_commit_time"
+    ]
+    return out.select(*keep)
 
 
 def hudi_timeline(path: str) -> list[dict]:
@@ -388,6 +438,49 @@ def sink_hudi_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert [t["operation"] for t in tl] == ["BULK_INSERT", "UPSERT"], tl
     return (
         read_hudi(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "scan_hudi_incremental",
+    group="A",
+    oracle=f"""
+    with changes as (
+      select * replace (o_totalprice * 1.1 as o_totalprice)
+      from orders where o_orderstatus = 'F' and o_orderkey % 2 = 0
+      union all
+      select * from orders where o_orderstatus = 'P'
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from changes group by o_orderstatus
+    """,
+)
+def scan_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: Hudi incremental query — pull EXACTLY the records
+    changed in instants (T1, T2], the change-stream consumption model
+    that lets a downstream pipeline avoid snapshot re-reads. CoW
+    rewrites whole file groups, so the T2 base files also carry
+    unchanged records copied forward — but those keep their original
+    ``_hoodie_commit_time`` (only changed records are stamped T2), so
+    the commit-time filter recovers the precise changeset. The oracle
+    recomputes the changeset relationally; a hash match proves no
+    copied-forward record leaked into the incremental view. I/O =
+    files written by the in-range commits only."""
+    path = _fresh(_tmp("orders_hudi_inc"))
+    src = load(spark, sf_dir, "orders")
+    base = src.where(F.col("o_orderstatus") == "F")
+    write_hudi(base, path, "o_orderkey", _T1, op="bulk_insert")
+    changes = (
+        src.where((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .unionByName(src.where(F.col("o_orderstatus") == "P"))
+    )
+    write_hudi(changes, path, "o_orderkey", _T2, op="upsert")
+    return (
+        read_hudi_incremental(spark, path, from_instant=_T1, to_instant=_T2)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )

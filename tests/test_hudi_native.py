@@ -22,6 +22,7 @@ from datalakecrawler_spark.sources.hudi_native import (
     _N_BUCKETS,
     hudi_timeline,
     read_hudi,
+    read_hudi_incremental,
     write_hudi,
 )
 from tests.conftest import SF_DIR
@@ -166,6 +167,53 @@ def test_time_travel(spark, table):
     tl = hudi_timeline(path)
     assert [t["instant"] for t in tl] == [_T1, _T2]
     assert [t["operation"] for t in tl] == ["BULK_INSERT", "UPSERT"]
+
+
+def test_copied_forward_records_keep_their_commit_time(spark, table):
+    """CoW rewrites whole file groups, but unchanged records copied
+    into the new base file must retain their ORIGINAL commit time —
+    the invariant incremental queries depend on."""
+    path, src = table
+    t2_files = [
+        os.path.join(path, s["path"])
+        for s in json.load(
+            open(os.path.join(path, ".hoodie", f"{_T2}.commit"))
+        )["partitionToWriteStats"][""]
+    ]
+    raw = spark.read.parquet(*t2_files)
+    # odd-keyed F orders were copied forward -> still stamped T1
+    odd = raw.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 1)
+    )
+    assert odd.count() > 0
+    assert odd.where(F.col("_hoodie_commit_time") != _T1).count() == 0
+    # updated/inserted records carry T2
+    changed = raw.where(
+        (F.col("o_orderstatus") == "P") | (F.col("o_orderkey") % 2 == 0)
+    )
+    assert changed.where(F.col("_hoodie_commit_time") != _T2).count() == 0
+
+
+def test_incremental_query_returns_exact_changeset(spark, table):
+    path, src = table
+    inc = read_hudi_incremental(spark, path, from_instant=_T1, to_instant=_T2)
+    n_changed = (
+        src.where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+        ).count()
+        + src.where(F.col("o_orderstatus") == "P").count()
+    )
+    assert inc.count() == n_changed
+    assert inc.where(F.col("_hoodie_commit_time") != _T2).count() == 0
+    # copied-forward odd-F records must NOT leak into the changeset
+    assert (
+        inc.where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 1)
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="no completed instants"):
+        read_hudi_incremental(spark, path, from_instant=_T2)
 
 
 def test_gates(spark, tmp_path):
