@@ -188,11 +188,7 @@ def write_delta(
     )
 
     # 3) publish: temp file + atomic rename = the visibility switch
-    tmp = _commit_file(path, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a, sort_keys=True) + "\n")
-    os.replace(tmp, _commit_file(path, version))
+    _publish_commit(path, version, actions)
     return version
 
 
@@ -209,6 +205,107 @@ def read_delta(
         return spark.createDataFrame([], schema)
     files = [os.path.join(path, rel) for rel in sorted(active)]
     return spark.read.schema(schema).parquet(*files)
+
+
+def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
+    tmp = _commit_file(path, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, sort_keys=True) + "\n")
+    os.replace(tmp, _commit_file(path, version))
+
+
+def optimize_delta(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """OPTIMIZE: bin-pack small active files into ~target-sized ones
+    and commit the rearrangement with ``dataChange: false`` — the
+    protocol's marker that the new version holds the SAME rows (so
+    incremental/streaming consumers skip it). This is the 100 TB
+    housekeeping operator: over-parallel writers leave thousands of
+    KB-sized files per partition, and every later scan pays the
+    per-file open cost until someone compacts. The rewrite reads only
+    the small files (large ones are left in place), coalesces them to
+    ceil(total_bytes / target) outputs — a shuffle-free plan — and the
+    commit is one JSON publish. Returns a summary dict."""
+    active, schema_string, version = _replay(path, None)
+    small = [rel for rel in sorted(active) if active[rel]["size"] < target_file_bytes]
+    if len(small) < 2:
+        return {"version": version, "files_compacted": 0, "files_written": 0}
+    total = sum(active[rel]["size"] for rel in small)
+    n_out = max(1, -(-total // target_file_bytes))
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, rel) for rel in small]
+    )
+    new_version = version + 1
+    stage = os.path.join(path, f"_stage-{new_version:020d}")
+    df.coalesce(n_out).write.mode("overwrite").parquet(stage)
+    actions: list[dict] = []
+    adds = []
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
+        rel = f"part-{new_version:05d}-{i:05d}-c000.parquet"
+        os.replace(f, os.path.join(path, rel))
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    shutil.rmtree(stage)
+    actions += [
+        {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": False}}
+        for rel in small
+    ]
+    actions += adds
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_file_bytes),
+                },
+                "timestamp": 0,
+            }
+        }
+    )
+    _publish_commit(path, new_version, actions)
+    return {
+        "version": new_version,
+        "files_compacted": len(small),
+        "files_written": len(adds),
+    }
+
+
+def vacuum_delta(path: str, retain_last: int = 1) -> list[str]:
+    """VACUUM: physically delete data files referenced by NO retained
+    version (the newest ``retain_last`` versions stay time-travelable;
+    Delta expresses retention as an age cutoff — with deterministic
+    zero timestamps this implementation retains by version count,
+    the same reclaim semantics). The log itself is never rewritten:
+    older versions remain listed, and reading one whose files were
+    reclaimed fails at scan time — exactly the post-VACUUM behavior
+    the protocol documents. Returns the deleted relpaths."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    versions = _list_versions(path)
+    keep: set[str] = set()
+    for v in versions[-retain_last:]:
+        active, _, _ = _replay(path, v)
+        keep |= set(active)
+    on_disk = {
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(path, "part-*.parquet"))
+    }
+    doomed = sorted(on_disk - keep)
+    for rel in doomed:
+        os.remove(os.path.join(path, rel))
+    return doomed
 
 
 def delta_history(path: str) -> list[dict]:
@@ -280,6 +377,79 @@ def sink_delta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_delta(spark, path)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "sink_delta_optimize",
+    group="A",
+    oracle=f"""
+    select cast(16 as integer) as files_before,
+           cast(1 as integer) as files_after,
+           count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    """,
+)
+def sink_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: transactional small-file compaction. v0 commits orders
+    as 16 deliberately-small files (the over-parallel-writer layout);
+    OPTIMIZE bin-packs them into one and commits the rearrangement
+    with ``dataChange: false`` — so the post-optimize snapshot must
+    hold EXACTLY the same rows (the oracle recomputes count+sum from
+    the source), while the active file count drops 16 → 1 and
+    incremental consumers can skip the new version entirely. Unlike
+    sink_compact next door this is a LOG commit: time travel to v0
+    still serves the 16-file layout."""
+    path = _fresh(_tmp("orders_delta_opt"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.repartition(16), path, "overwrite")
+    before, _, _ = _replay(path, None)
+    res = optimize_delta(spark, path)  # default target >> fixture bytes
+    after, _, _ = _replay(path, None)
+    assert res["files_compacted"] == 16 and len(after) == 1, (res, len(after))
+    hist = delta_history(path)
+    assert hist[-1]["version"] == 1 and hist[-1]["n_add"] == 1
+    return read_delta(spark, path).agg(
+        F.lit(len(before)).cast("int").alias("files_before"),
+        F.lit(len(after)).cast("int").alias("files_after"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "sink_delta_vacuum",
+    group="A",
+    oracle=f"""
+    select cast(4 as integer) as n_reclaimed,
+           count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderstatus = 'O'
+    """,
+)
+def sink_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: VACUUM reclaims data files no retained version
+    references — the storage-cost counterpart to time travel. v0
+    writes the 'F' orders as 4 files, v1 overwrites with the 'O'
+    orders (v0's files become logically removed but stay on disk);
+    vacuum with retain_last=1 must physically delete exactly those 4
+    files while the live snapshot still reads correctly (oracle
+    recomputes it), and a post-vacuum time travel to v0 fails at scan
+    time rather than serving partial data."""
+    path = _fresh(_tmp("orders_delta_vac"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.where(F.col("o_orderstatus") == "F").repartition(4), path)
+    write_delta(src.where(F.col("o_orderstatus") == "O"), path, "overwrite")
+    doomed = vacuum_delta(path, retain_last=1)
+    assert len(doomed) == 4, doomed
+    try:
+        read_delta(spark, path, version=0).count()
+        raise AssertionError("time travel to a vacuumed version must fail")
+    except Exception:
+        pass
+    return read_delta(spark, path).agg(
+        F.lit(len(doomed)).cast("int").alias("n_reclaimed"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
     )
 
 

@@ -151,3 +151,68 @@ def test_commits_are_deterministic(spark, tmp_path):
     a = "\n".join(l for l in a.splitlines() if '"metaData"' not in l)
     b = "\n".join(l for l in b.splitlines() if '"metaData"' not in l)
     assert a == b
+
+
+def test_optimize_compacts_without_data_change(spark, tmp_path):
+    """OPTIMIZE: 12 small files -> 1, rows identical, the commit's
+    add/remove actions all carry dataChange:false, and time travel to
+    the pre-optimize version still serves the small-file layout."""
+    from datalakecrawler_spark.sources.delta_native import optimize_delta
+
+    path = str(tmp_path / "delta_opt")
+    src = load(spark, SF_DIR, "nation")
+    write_delta(src.repartition(12), path, "overwrite")
+    res = optimize_delta(spark, path)
+    assert res == {"version": 1, "files_compacted": 12, "files_written": 1}
+    assert read_delta(spark, path).count() == 25
+    assert read_delta(spark, path, version=0).count() == 25
+    a1 = _commit_actions(path, 1)
+    assert all(
+        a[k]["dataChange"] is False
+        for a in a1
+        for k in ("add", "remove")
+        if k in a
+    )
+    assert next(a for a in a1 if "commitInfo" in a)["commitInfo"][
+        "operation"
+    ] == "OPTIMIZE"
+    # large files are left alone: a second optimize is a no-op
+    res2 = optimize_delta(spark, path)
+    assert res2["files_compacted"] == 0
+
+
+def test_optimize_respects_target_size(spark, tmp_path):
+    """Files already >= target are not rewritten; only the small ones
+    bin-pack."""
+    from datalakecrawler_spark.sources.delta_native import optimize_delta
+
+    path = str(tmp_path / "delta_opt_target")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src.repartition(8), path, "overwrite")
+    sizes = [
+        a["add"]["size"] for a in _commit_actions(path, 0) if "add" in a
+    ]
+    target = sorted(sizes)[4]  # 4 files below, 4 at-or-above
+    res = optimize_delta(spark, path, target_file_bytes=target)
+    assert res["files_compacted"] == 4
+    assert read_delta(spark, path).count() == src.count()
+
+
+def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
+    from datalakecrawler_spark.sources.delta_native import vacuum_delta
+
+    path = str(tmp_path / "delta_vac")
+    src = load(spark, SF_DIR, "orders")
+    f = src.where(F.col("o_orderstatus") == "F")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_delta(f.repartition(3), path, "overwrite")
+    write_delta(o, path, "overwrite")
+    # retain both versions -> nothing to reclaim
+    assert vacuum_delta(path, retain_last=2) == []
+    doomed = vacuum_delta(path, retain_last=1)
+    assert len(doomed) == 3
+    assert read_delta(spark, path).count() == o.count()
+    with pytest.raises(Exception):
+        read_delta(spark, path, version=0).count()
+    with pytest.raises(ValueError, match="retain_last"):
+        vacuum_delta(path, retain_last=0)
