@@ -107,18 +107,49 @@ def _replay(path: str, version: int | None):
     return active, schema_string, versions[-1]
 
 
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest ``txn`` (transaction-identifier) action version
+    recorded for ``app_id`` across the log, or -1. Streaming writers
+    use this per PROTOCOL.md to make commits idempotent: before
+    committing batch N they check whether N was already recorded."""
+    latest = -1
+    for v in _list_versions(path):
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "txn" in a and a["txn"]["appId"] == app_id:
+                    latest = max(latest, a["txn"]["version"])
+    return latest
+
+
 def write_delta(
-    df: DataFrame, path: str, mode: str = "overwrite", now_ms: int | None = None
-) -> int:
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    now_ms: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Commit ``df`` to a Delta table at ``path``; returns the new
     version. ``overwrite`` logically removes the previously active
     files (they stay on disk for time travel, per protocol);
     ``append`` adds alongside them. Data files are written by Spark's
     distributed parquet writer into a per-version staging dir, then
     linked into the table root under version-prefixed names; the JSON
-    commit is published last by atomic rename."""
+    commit is published last by atomic rename.
+
+    ``txn=(app_id, txn_version)`` stamps the protocol's transaction
+    identifier into the commit and makes the write IDEMPOTENT: if the
+    log already records ``app_id`` at ``txn_version`` or later the
+    call is a no-op returning None — the exactly-once contract a
+    streaming foreachBatch sink needs across epoch retries and query
+    restarts."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if txn is not None and os.path.isdir(_log_dir(path)):
+        if last_txn_version(path, txn[0]) >= txn[1]:
+            return None
     os.makedirs(_log_dir(path), exist_ok=True)
     versions = _list_versions(path)
     version = (versions[-1] + 1) if versions else 0
@@ -153,6 +184,8 @@ def write_delta(
     actions: list[dict] = []
     if version == 0:
         actions.append({"protocol": dict(_PROTOCOL)})
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
     actions.append(
         {
             "metaData": {

@@ -730,6 +730,64 @@ def run_txlog_stream_sink(spark: SparkSession, src_dir: str, base: str) -> None:
     q.stop()
 
 
+def run_delta_stream_sink(spark: SparkSession, src_dir: str, path: str) -> None:
+    """Streaming half of stream_delta_sink: every micro-batch commits
+    one Delta-protocol version carrying the spec's transaction
+    identifier (``txn`` action, appId + epoch) — PROTOCOL.md's own
+    idempotence mechanism for streaming writers. A replayed epoch
+    finds its txn version already recorded and no-ops, so the table
+    never double-counts across retries OR whole-query restarts, and
+    the log on disk stays readable by any conforming Delta reader."""
+    from datalakecrawler_spark.sources.delta_native import write_delta
+
+    raw = normalize_events_ts(
+        spark.readStream.schema(events_source_schema(spark, src_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        write_delta(
+            batch_df, path, "append", txn=("stream_delta_sink", epoch_id)
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{path}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+@register(
+    "stream_delta_sink",
+    group="I",
+    oracle="""
+    select date_trunc('day', ts) as day, count(*) as n,
+           count(distinct user_id) as n_users
+    from events group by 1 order by 1
+    """,
+)
+def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext batch twin: daily event volume + distinct users. The
+    streaming half (run_delta_stream_sink) appends each micro-batch
+    to a native Delta table under a txn-action idempotence guard;
+    tests/test_streaming.py drives it, replays an epoch AND restarts
+    the query to prove exactly-once, then asserts the table's HEAD
+    snapshot aggregates to this twin."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
 @register(
     "stream_txlog_sink",
     group="I",

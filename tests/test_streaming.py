@@ -467,3 +467,77 @@ def test_stream_error_rate_alarm_equals_batch(spark, events_stream):
         spark, ops.build_error_rate_alarm(events_stream), "t_err_alarm"
     )
     _assert_same(batch, stream)
+
+
+def test_stream_delta_sink_exactly_once(spark, tmp_path):
+    """foreachBatch → native Delta appends guarded by the protocol's
+    txn action: 4 micro-batches → 4 versions each carrying a txn
+    identifier; a whole-query restart against the same checkpoint
+    commits nothing; a manually replayed epoch is a no-op; HEAD
+    aggregates to the batch twin."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from datalakecrawler_spark.sources.delta_native import (
+        delta_history,
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "delta_stream_sink")
+    src = str(tmp_path / "delta_stream_src")
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    step = (t.num_rows + 3) // 4
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), os.path.join(src, f"part{i}.parquet"))
+
+    ops.run_delta_stream_sink(spark, src, path)
+    hist = delta_history(path)
+    assert len(hist) == 4
+    assert last_txn_version(path, "stream_delta_sink") == 3
+    # every commit carries the txn identifier on disk
+    log_dir = os.path.join(path, "_delta_log")
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        actions = [
+            _json.loads(l)
+            for l in open(os.path.join(log_dir, name))
+            if l.strip()
+        ]
+        assert any(
+            a.get("txn", {}).get("appId") == "stream_delta_sink"
+            for a in actions
+        ), name
+
+    # restart the whole query against the same checkpoint → no new commits
+    ops.run_delta_stream_sink(spark, src, path)
+    assert len(delta_history(path)) == 4
+
+    # manual epoch replay with DIFFERENT data → idempotence guard no-ops
+    head = read_delta(spark, path)
+    assert (
+        write_delta(
+            head.limit(5), path, "append", txn=("stream_delta_sink", 0)
+        )
+        is None
+    )
+    assert len(delta_history(path)) == 4
+    # a different appId is unaffected by this app's txn history
+    assert last_txn_version(path, "other_app") == -1
+
+    got = (
+        head.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+    from datalakecrawler_spark.registry import queries
+
+    twin = queries()["stream_delta_sink"](spark, SF_DIR)
+    _assert_same(twin, got)
