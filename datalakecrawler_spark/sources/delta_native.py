@@ -315,6 +315,95 @@ def optimize_delta(
     }
 
 
+def merge_delta(
+    spark: SparkSession, path: str, changes: DataFrame, key: str
+) -> dict:
+    """MERGE (upsert by key): update matched rows, insert the rest —
+    executed the way Delta engines actually run it, as a FILE-LEVEL
+    selective rewrite. Phase 1 finds the active files containing any
+    matched key (one semi-join over ``input_file_name()``, result
+    bounded by the file count); phase 2 rewrites ONLY those files —
+    their unmatched survivors plus all change rows — and commits
+    remove(matched files) + add(new files) with ``dataChange: true``.
+    Untouched files are never read past the join nor rewritten, so
+    merge cost is O(matched files + changes), not O(table). At 100 TB
+    with partition- or Z-ordered layout, key-clustered tables touch a
+    handful of files per merge."""
+    active, schema_string, version = _replay(path, None)
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    from pyspark.sql import functions as F
+
+    files = {os.path.join(path, rel): rel for rel in sorted(active)}
+    keys = changes.select(key).distinct()
+    matched_abs: list[str] = []
+    if files:
+        cur = spark.read.schema(schema).parquet(*files).withColumn(
+            "__file", F.input_file_name()
+        )
+        matched_abs = [
+            r[0]
+            for r in cur.join(keys, key, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+    # input_file_name returns URI-style paths; map back to relpaths
+    matched_rel = sorted(
+        files[k]
+        for k in files
+        if any(m.endswith("/" + files[k]) or m.endswith(files[k]) for m in matched_abs)
+    )
+    if matched_rel:
+        touched = spark.read.schema(schema).parquet(
+            *[os.path.join(path, rel) for rel in matched_rel]
+        )
+        survivors = touched.join(keys, key, "left_anti")
+        new_df = changes.unionByName(survivors)
+    else:
+        new_df = changes
+
+    new_version = version + 1
+    stage = os.path.join(path, f"_stage-{new_version:020d}")
+    new_df.write.mode("overwrite").parquet(stage)
+    actions: list[dict] = [
+        {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
+        for rel in matched_rel
+    ]
+    n_add = 0
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
+        rel = f"part-{new_version:05d}-{i:05d}-c000.parquet"
+        os.replace(f, os.path.join(path, rel))
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+        n_add += 1
+    shutil.rmtree(stage)
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "MERGE",
+                "operationParameters": {"matchedPredicate": key},
+                "timestamp": 0,
+            }
+        }
+    )
+    _publish_commit(path, new_version, actions)
+    return {
+        "version": new_version,
+        "files_rewritten": len(matched_rel),
+        "files_added": n_add,
+        "files_untouched": len(files) - len(matched_rel),
+    }
+
+
 def vacuum_delta(path: str, retain_last: int = 1) -> list[str]:
     """VACUUM: physically delete data files referenced by NO retained
     version (the newest ``retain_last`` versions stay time-travelable;
@@ -447,6 +536,54 @@ def sink_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(after)).cast("int").alias("files_after"),
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "sink_delta_merge",
+    group="A",
+    oracle=f"""
+    with merged as (
+      select * from orders where o_orderstatus = 'F'
+      union all
+      select * replace (o_totalprice * 1.1 as o_totalprice)
+      from orders where o_orderstatus = 'P'
+      union all
+      select * from orders where o_orderstatus = 'O'
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from merged group by o_orderstatus
+    """,
+)
+def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: Delta MERGE as a file-level selective rewrite. The table
+    is laid out key-clustered by construction (commit 0 = the 'F'
+    orders in 4 files, commit 1 = the 'P' orders in 2 files; statuses
+    are per-order, so key sets are disjoint per file set). The merge
+    updates every 'P' order (price * 1.1) and inserts the 'O' orders:
+    the matched-file probe must find EXACTLY the 2 'P' files, rewrite
+    those plus the inserts, and leave the 4 'F' files untouched in the
+    log — asserted below, because that pruning is the whole cost model
+    of MERGE at 100 TB. The oracle recomputes update-wins-by-key
+    relationally over the source."""
+    path = _fresh(_tmp("orders_delta_merge"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.where(F.col("o_orderstatus") == "F").repartition(4), path)
+    write_delta(
+        src.where(F.col("o_orderstatus") == "P").repartition(2), path, "append"
+    )
+    changes = (
+        src.where(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .unionByName(src.where(F.col("o_orderstatus") == "O"))
+    )
+    res = merge_delta(spark, path, changes, "o_orderkey")
+    assert res["files_rewritten"] == 2 and res["files_untouched"] == 4, res
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )
 
 

@@ -216,3 +216,51 @@ def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
         read_delta(spark, path, version=0).count()
     with pytest.raises(ValueError, match="retain_last"):
         vacuum_delta(path, retain_last=0)
+
+
+def test_merge_rewrites_only_matched_files(spark, tmp_path):
+    """MERGE cost model: files containing no matched key survive the
+    commit untouched (same add entry), matched files are removed and
+    replaced, inserts land in the new files."""
+    from datalakecrawler_spark.sources.delta_native import merge_delta
+
+    path = str(tmp_path / "delta_merge")
+    src = load(spark, SF_DIR, "orders")
+    f = src.where(F.col("o_orderstatus") == "F")
+    p = src.where(F.col("o_orderstatus") == "P")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_delta(f.repartition(4), path)
+    write_delta(p.repartition(2), path, "append")
+
+    def active_files():
+        from datalakecrawler_spark.sources.delta_native import _replay
+
+        return set(_replay(path, None)[0])
+
+    before = active_files()
+    changes = p.withColumn("o_totalprice", F.lit(1.0)).unionByName(o)
+    res = merge_delta(spark, path, changes, "o_orderkey")
+    assert res["files_rewritten"] == 2
+    assert res["files_untouched"] == 4
+    after = active_files()
+    # the 4 F files survive by identity; the 2 P files are gone
+    assert len(before & after) == 4
+    assert len(before - after) == 2
+    out = read_delta(spark, path)
+    assert out.count() == f.count() + p.count() + o.count()
+    # updates applied, no duplicate keys
+    assert (
+        out.where(F.col("o_orderstatus") == "P")
+        .where(F.col("o_totalprice") != 1.0)
+        .count()
+        == 0
+    )
+    assert out.select("o_orderkey").distinct().count() == out.count()
+    # merge into keys nobody has: pure insert, zero rewrites
+    res2 = merge_delta(
+        spark,
+        path,
+        src.where(F.col("o_orderkey") < 0),
+        "o_orderkey",
+    )
+    assert res2["files_rewritten"] == 0
