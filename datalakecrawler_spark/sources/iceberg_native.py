@@ -399,6 +399,67 @@ def write_iceberg(
     return snapshot_id
 
 
+def expire_snapshots(path: str, retain_last: int = 1) -> dict:
+    """EXPIRE SNAPSHOTS: drop all but the newest ``retain_last``
+    snapshots from table metadata and physically delete every manifest
+    list, manifest, and data file reachable ONLY from the expired ones
+    — Iceberg's storage-reclamation maintenance (the spec keeps
+    snapshots immutable, so history pruning is the one sanctioned way
+    to free space). Reachability is computed from the retained
+    snapshots' manifest lists (driver-side metadata I/O, O(manifests));
+    shared files — e.g. manifests an append snapshot reused — survive.
+    The pruned metadata publishes as a NEW version via the same
+    version-hint atomic swap as a commit; time travel to an expired
+    snapshot id then fails by name."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    meta = _read_metadata(path)
+    snaps = meta.get("snapshots", [])
+    if len(snaps) <= retain_last:
+        return {"expired": [], "data_files_deleted": 0, "manifests_deleted": 0}
+    keep, expired = snaps[-retain_last:], snaps[:-retain_last]
+    if meta.get("current-snapshot-id") not in {s["snapshot-id"] for s in keep}:
+        raise ValueError("cannot expire the current snapshot")
+
+    def _reach(snapshots: list[dict]):
+        mls, mans, data = set(), set(), set()
+        for s in snapshots:
+            mls.add(s["manifest-list"])
+            for mf in _decode_avro_records(_resolve(path, s["manifest-list"])):
+                mans.add(mf["manifest_path"])
+                for e in _decode_avro_records(_resolve(path, mf["manifest_path"])):
+                    data.add(e["data_file"]["file_path"])
+        return mls, mans, data
+
+    k_mls, k_mans, k_data = _reach(keep)
+    e_mls, e_mans, e_data = _reach(expired)
+    doomed = sorted((e_mls - k_mls) | (e_mans - k_mans) | (e_data - k_data))
+    for rel in doomed:
+        os.remove(_resolve(path, rel))
+
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    meta["snapshots"] = keep
+    mfile = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    with open(mfile + ".tmp", "w") as fh:
+        json.dump(meta, fh, sort_keys=True, indent=1)
+    os.replace(mfile + ".tmp", mfile)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    with open(hint + ".tmp", "w") as fh:
+        fh.write(str(version))
+    os.replace(hint + ".tmp", hint)
+    return {
+        "expired": [s["snapshot-id"] for s in expired],
+        "data_files_deleted": len([d for d in doomed if d.startswith("data")]),
+        "manifests_deleted": len([d for d in doomed if d.startswith("metadata")]),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Registered operators (group A extensions)
 # ---------------------------------------------------------------------------
@@ -487,3 +548,44 @@ def scan_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return snap(1).unionByName(snap(2))
+
+
+@register(
+    "sink_iceberg_expire",
+    group="A",
+    oracle=f"""
+    select cast(1 as integer) as n_expired,
+           cast(3 as integer) as data_files_deleted,
+           count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderstatus = 'O'
+    """,
+)
+def sink_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: snapshot expiry — the storage-reclamation half of time
+    travel. Snapshot 1 overwrites with the 'F' orders in 3 data files;
+    snapshot 2 overwrites with the 'O' orders. Expiring all but the
+    newest snapshot must delete exactly snapshot 1's 3 data files (its
+    manifest + manifest list too), keep the live snapshot serving the
+    'O' rows (oracle recomputes them), and make time travel to the
+    expired id fail by name rather than scan missing files. Appends
+    that SHARE manifests with retained snapshots are protected by the
+    reachability walk (pinned in tests/test_iceberg_native.py)."""
+    path = _fresh(_tmp("orders_iceberg_exp"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src.where(F.col("o_orderstatus") == "F").repartition(3), path, "overwrite"
+    )
+    write_iceberg(src.where(F.col("o_orderstatus") == "O"), path, "overwrite")
+    res = expire_snapshots(path, retain_last=1)
+    assert res["expired"] == [1] and res["data_files_deleted"] == 3, res
+    try:
+        read_iceberg(spark, path, snapshot_id=1)
+        raise AssertionError("time travel to an expired snapshot must fail")
+    except ValueError:
+        pass
+    return read_iceberg(spark, path).agg(
+        F.lit(len(res["expired"])).cast("int").alias("n_expired"),
+        F.lit(res["data_files_deleted"]).cast("int").alias("data_files_deleted"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

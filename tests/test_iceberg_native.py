@@ -161,3 +161,62 @@ def test_commits_are_deterministic(spark, tmp_path):
         os.path.join(p2, _meta(p2, 1)["snapshots"][0]["manifest-list"])
     )
     assert m1 == m2
+
+
+def test_expire_snapshots_reclaims_only_unreachable(spark, tmp_path):
+    """Expiry deletes the files reachable ONLY from expired snapshots
+    and publishes pruned metadata as a new version; time travel to the
+    expired id fails by name."""
+    from datalakecrawler_spark.sources.iceberg_native import expire_snapshots
+
+    path = str(tmp_path / "ice_expire")
+    src = load(spark, SF_DIR, "orders")
+    f = src.where(F.col("o_orderstatus") == "F")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_iceberg(f.repartition(3), path, "overwrite")
+    write_iceberg(o, path, "overwrite")
+    # retaining everything is a no-op
+    assert expire_snapshots(path, retain_last=2)["expired"] == []
+    res = expire_snapshots(path, retain_last=1)
+    assert res["expired"] == [1]
+    assert res["data_files_deleted"] == 3
+    assert res["manifests_deleted"] == 2  # manifest + manifest list
+    assert [s["snapshot_id"] for s in iceberg_snapshots(path)] == [2]
+    assert read_iceberg(spark, path).count() == o.count()
+    with pytest.raises(ValueError, match="snapshot 1 not in table"):
+        read_iceberg(spark, path, snapshot_id=1)
+    with pytest.raises(ValueError, match="retain_last"):
+        expire_snapshots(path, retain_last=0)
+
+
+def test_expire_protects_manifests_shared_with_retained(spark, table):
+    """An append snapshot REUSES the prior snapshot's manifest; when
+    the prior snapshot expires, that shared manifest and its data
+    files are still reachable from the retained append snapshot and
+    must survive — the reachability walk, not snapshot ownership,
+    decides deletion."""
+    from datalakecrawler_spark.sources.iceberg_native import expire_snapshots
+
+    path, src = table  # s1 = F overwrite, s2 = P append (reuses s1 manifest)
+    f = src.where(F.col("o_orderstatus") == "F")
+    p = src.where(F.col("o_orderstatus") == "P")
+    n_before = read_iceberg(spark, path).count()
+    res = expire_snapshots(path, retain_last=1)
+    assert res["expired"] == [1]
+    assert res["data_files_deleted"] == 0  # s1's data lives on in s2
+    assert res["manifests_deleted"] == 1  # only s1's manifest LIST
+    out = read_iceberg(spark, path)
+    assert out.count() == n_before == f.count() + p.count()
+
+
+def test_expire_refuses_to_drop_current_snapshot(spark, tmp_path):
+    from datalakecrawler_spark.sources.iceberg_native import expire_snapshots
+
+    path = str(tmp_path / "ice_expire_cur")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src, path, "overwrite")
+    # hand-corrupt: point current-snapshot-id at the about-to-expire one
+    # is not constructible through the writer, so assert the guard via
+    # retain window arithmetic instead: retain_last=1 on a 1-snapshot
+    # table is a no-op and never raises.
+    assert expire_snapshots(path, retain_last=1)["expired"] == []
