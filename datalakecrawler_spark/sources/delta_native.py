@@ -64,7 +64,8 @@ def _list_versions(path: str) -> list[int]:
 
 def _replay(path: str, version: int | None):
     """Replay the log up to ``version`` (inclusive; None = latest).
-    Returns (active {relpath: add_action}, schemaString, version)."""
+    Returns (active {relpath: add_action}, schemaString, version,
+    partitionColumns)."""
     if os.path.exists(os.path.join(_log_dir(path), "_last_checkpoint")):
         raise NotImplementedError(
             "delta_native reads JSON commits only; this table has a "
@@ -83,6 +84,7 @@ def _replay(path: str, version: int | None):
             )
     active: dict[str, dict] = {}
     schema_string = None
+    partition_columns: list[str] = []
     for v in versions:
         with open(_commit_file(path, v)) as fh:
             for line in fh:
@@ -91,6 +93,9 @@ def _replay(path: str, version: int | None):
                 action = json.loads(line)
                 if "metaData" in action:
                     schema_string = action["metaData"]["schemaString"]
+                    partition_columns = action["metaData"].get(
+                        "partitionColumns", []
+                    )
                 elif "add" in action:
                     active[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
@@ -104,7 +109,7 @@ def _replay(path: str, version: int | None):
                         )
     if schema_string is None:
         raise ValueError("log replay found no metaData action")
-    return active, schema_string, versions[-1]
+    return active, schema_string, versions[-1], partition_columns
 
 
 def last_txn_version(path: str, app_id: str) -> int:
@@ -130,6 +135,7 @@ def write_delta(
     mode: str = "overwrite",
     now_ms: int | None = None,
     txn: tuple[str, int] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """Commit ``df`` to a Delta table at ``path``; returns the new
     version. ``overwrite`` logically removes the previously active
@@ -144,34 +150,58 @@ def write_delta(
     log already records ``app_id`` at ``txn_version`` or later the
     call is a no-op returning None — the exactly-once contract a
     streaming foreachBatch sink needs across epoch retries and query
-    restarts."""
+    restarts.
+
+    ``partition_by`` lays files out hive-style (``col=val/…``) and
+    records each file's ``partitionValues`` in its add action — the
+    hook ``read_delta``'s partition_filter uses to prune files from
+    the LOG, before any scan is planned. Partitioning is a table
+    property: later commits must repeat the same columns."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if txn is not None and os.path.isdir(_log_dir(path)):
         if last_txn_version(path, txn[0]) >= txn[1]:
             return None
+    partition_by = list(partition_by or [])
     os.makedirs(_log_dir(path), exist_ok=True)
     versions = _list_versions(path)
     version = (versions[-1] + 1) if versions else 0
     prior_active: dict[str, dict] = {}
     if versions:
-        prior_active, _, _ = _replay(path, None)
+        prior_active, _, _, prior_parts = _replay(path, None)
+        if prior_parts != partition_by:
+            raise ValueError(
+                f"table is partitioned by {prior_parts}; this commit "
+                f"declares {partition_by} — partitioning is fixed at "
+                "table creation"
+            )
 
     # 1) data files: Spark's executor-parallel parquet writer
     stage = os.path.join(path, f"_stage-{version:020d}")
-    df.write.mode("overwrite").parquet(stage)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
     adds = []
     # deterministic mtime stand-in keeps commits reproducible byte-for-
     # byte across reruns (wall clock is not part of query semantics)
     mtime = now_ms if now_ms is not None else 0
-    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
-        rel = f"part-{version:05d}-{i:05d}-c000.parquet"
+    staged = sorted(
+        glob.glob(os.path.join(stage, *["*=*"] * len(partition_by), "part-*.parquet"))
+    )
+    for i, f in enumerate(staged):
+        pdir = os.path.relpath(os.path.dirname(f), stage) if partition_by else ""
+        pvals = dict(seg.split("=", 1) for seg in pdir.split(os.sep) if "=" in seg)
+        rel = os.path.join(pdir, f"part-{version:05d}-{i:05d}-c000.parquet").lstrip(
+            "./"
+        )
+        os.makedirs(os.path.dirname(os.path.join(path, rel)) or path, exist_ok=True)
         os.replace(f, os.path.join(path, rel))
         adds.append(
             {
                 "add": {
                     "path": rel,
-                    "partitionValues": {},
+                    "partitionValues": pvals,
                     "size": os.path.getsize(os.path.join(path, rel)),
                     "modificationTime": mtime,
                     "dataChange": True,
@@ -192,7 +222,7 @@ def write_delta(
                 "id": hashlib.md5(f"dlc-delta:{path}".encode()).hexdigest(),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
-                "partitionColumns": [],
+                "partitionColumns": partition_by,
                 "configuration": {},
                 "createdTime": mtime,
             }
@@ -226,18 +256,47 @@ def write_delta(
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
 ) -> DataFrame:
     """Log-replay scan: resolve the active file set at ``version``
     (None = latest) driver-side, then let Spark's parquet source scan
     exactly those files with the committed schema — pushdown/pruning/
-    codegen unchanged from any parquet read."""
-    active, schema_string, _v = _replay(path, version)
+    codegen unchanged from any parquet read.
+
+    ``partition_filter={"col": "val", ...}`` prunes files from the LOG
+    (each add action carries its partitionValues), so a filtered read
+    of a partitioned table never even lists the other partitions'
+    files — the metadata-level skip that makes a 1-of-N-partition
+    query cost 1/N at any table size."""
+    active, schema_string, _v, partition_columns = _replay(path, version)
     schema = T.StructType.fromJson(json.loads(schema_string))
+    if partition_filter:
+        missing = set(partition_filter) - set(partition_columns)
+        if missing:
+            raise ValueError(
+                f"partition_filter on non-partition columns {sorted(missing)} "
+                f"(table is partitioned by {partition_columns})"
+            )
+        active = {
+            rel: add
+            for rel, add in active.items()
+            if all(
+                add["partitionValues"].get(k) == v
+                for k, v in partition_filter.items()
+            )
+        }
     if not active:
         return spark.createDataFrame([], schema)
     files = [os.path.join(path, rel) for rel in sorted(active)]
-    return spark.read.schema(schema).parquet(*files)
+    reader = spark.read.schema(schema)
+    if partition_columns:
+        # hive-style dirs carry the partition columns; basePath lets
+        # Spark re-derive them with the committed schema's types
+        reader = reader.option("basePath", path)
+    return reader.parquet(*files)
 
 
 def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
@@ -261,7 +320,13 @@ def optimize_delta(
     the small files (large ones are left in place), coalesces them to
     ceil(total_bytes / target) outputs — a shuffle-free plan — and the
     commit is one JSON publish. Returns a summary dict."""
-    active, schema_string, version = _replay(path, None)
+    active, schema_string, version, partition_columns = _replay(path, None)
+    if partition_columns:
+        raise NotImplementedError(
+            "optimize_delta compacts unpartitioned tables; partitioned "
+            "tables need per-partition bin-packing (compact within each "
+            "partitionValues group) which this writer does not do yet"
+        )
     small = [rel for rel in sorted(active) if active[rel]["size"] < target_file_bytes]
     if len(small) < 2:
         return {"version": version, "files_compacted": 0, "files_written": 0}
@@ -329,7 +394,13 @@ def merge_delta(
     merge cost is O(matched files + changes), not O(table). At 100 TB
     with partition- or Z-ordered layout, key-clustered tables touch a
     handful of files per merge."""
-    active, schema_string, version = _replay(path, None)
+    active, schema_string, version, partition_columns = _replay(path, None)
+    if partition_columns:
+        raise NotImplementedError(
+            "merge_delta rewrites unpartitioned tables; partitioned "
+            "tables need partitionValues-preserving rewrites which this "
+            "writer does not do yet"
+        )
     schema = T.StructType.fromJson(json.loads(schema_string))
     from pyspark.sql import functions as F
 
@@ -418,11 +489,14 @@ def vacuum_delta(path: str, retain_last: int = 1) -> list[str]:
     versions = _list_versions(path)
     keep: set[str] = set()
     for v in versions[-retain_last:]:
-        active, _, _ = _replay(path, v)
+        active, _, _, _ = _replay(path, v)
         keep |= set(active)
+    # data files live at the root or under hive-style partition dirs;
+    # keys are log-relative paths either way
     on_disk = {
-        os.path.basename(f)
-        for f in glob.glob(os.path.join(path, "part-*.parquet"))
+        os.path.relpath(f, path)
+        for f in glob.glob(os.path.join(path, "**", "part-*.parquet"), recursive=True)
+        if "_stage-" not in f
     }
     doomed = sorted(on_disk - keep)
     for rel in doomed:
@@ -525,9 +599,9 @@ def sink_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fresh(_tmp("orders_delta_opt"))
     src = load(spark, sf_dir, "orders")
     write_delta(src.repartition(16), path, "overwrite")
-    before, _, _ = _replay(path, None)
+    before, _, _, _ = _replay(path, None)
     res = optimize_delta(spark, path)  # default target >> fixture bytes
-    after, _, _ = _replay(path, None)
+    after, _, _, _ = _replay(path, None)
     assert res["files_compacted"] == 16 and len(after) == 1, (res, len(after))
     hist = delta_history(path)
     assert hist[-1]["version"] == 1 and hist[-1]["n_add"] == 1
@@ -536,6 +610,41 @@ def sink_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(after)).cast("int").alias("files_after"),
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "sink_delta_partitioned",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderstatus = 'F'
+    """,
+)
+def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: partitioned Delta table + LOG-level partition pruning.
+    Orders commit partitioned by o_orderstatus (hive-style dirs, each
+    add action carrying its partitionValues); the filtered read prunes
+    to the 'F' partition's files from the log BEFORE any scan is
+    planned — the other partitions are never even listed. The
+    assertion pins the pruning (resolved file set ⊂ o_orderstatus=F/);
+    the oracle recomputes the partition's contents from the source. At
+    100 TB this metadata skip is what makes a 1-of-N-partition query
+    cost 1/N regardless of table size."""
+    path = _fresh(_tmp("orders_delta_part"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src, path, "overwrite", partition_by=["o_orderstatus"])
+    active, _, _, parts = _replay(path, None)
+    assert parts == ["o_orderstatus"]
+    pruned = read_delta(spark, path, partition_filter={"o_orderstatus": "F"})
+    kept = [
+        rel
+        for rel, add in active.items()
+        if add["partitionValues"] == {"o_orderstatus": "F"}
+    ]
+    assert kept and all(rel.startswith("o_orderstatus=F/") for rel in kept)
+    return pruned.agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )
 
 

@@ -264,3 +264,65 @@ def test_merge_rewrites_only_matched_files(spark, tmp_path):
         "o_orderkey",
     )
     assert res2["files_rewritten"] == 0
+
+
+def test_partitioned_write_read_and_pruning(spark, tmp_path):
+    """Hive-style layout + partitionValues in the log; a filtered read
+    resolves only the matching partition's files; partition columns
+    come back typed through basePath; partitioning is fixed at table
+    creation."""
+    from datalakecrawler_spark.sources.delta_native import _replay
+
+    path = str(tmp_path / "delta_part")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src, path, "overwrite", partition_by=["o_orderstatus"])
+    active, _, _, parts = _replay(path, None)
+    assert parts == ["o_orderstatus"]
+    assert all("=" in rel.split("/")[0] for rel in active)
+    assert all(
+        a["partitionValues"].keys() == {"o_orderstatus"} for a in active.values()
+    )
+    full = read_delta(spark, path)
+    assert full.count() == src.count()
+    assert dict(full.dtypes)["o_orderstatus"] == "string"
+    f_only = read_delta(spark, path, partition_filter={"o_orderstatus": "F"})
+    assert (
+        f_only.count()
+        == src.where(F.col("o_orderstatus") == "F").count()
+    )
+    assert f_only.where(F.col("o_orderstatus") != "F").count() == 0
+    # appends must repeat the table's partitioning
+    with pytest.raises(ValueError, match="partitioning is fixed"):
+        write_delta(src.limit(5), path, "append")
+    with pytest.raises(ValueError, match="non-partition columns"):
+        read_delta(spark, path, partition_filter={"o_orderkey": "1"})
+    # empty partition filter result -> empty frame with full schema
+    none = read_delta(spark, path, partition_filter={"o_orderstatus": "Z"})
+    assert none.count() == 0 and "o_orderkey" in none.columns
+
+
+def test_partitioned_vacuum_and_maintenance_gates(spark, tmp_path):
+    from datalakecrawler_spark.sources.delta_native import (
+        merge_delta,
+        optimize_delta,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "delta_part_vac")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src, path, "overwrite", partition_by=["o_orderstatus"])
+    write_delta(
+        src.where(F.col("o_orderstatus") == "O"),
+        path,
+        "overwrite",
+        partition_by=["o_orderstatus"],
+    )
+    doomed = vacuum_delta(path, retain_last=1)
+    assert doomed and all(d.startswith("o_orderstatus=") for d in doomed)
+    assert read_delta(spark, path).count() == src.where(
+        F.col("o_orderstatus") == "O"
+    ).count()
+    with pytest.raises(NotImplementedError, match="per-partition"):
+        optimize_delta(spark, path)
+    with pytest.raises(NotImplementedError, match="partitionValues-preserving"):
+        merge_delta(spark, path, src.limit(5), "o_orderkey")
