@@ -326,3 +326,52 @@ def test_partitioned_vacuum_and_maintenance_gates(spark, tmp_path):
         optimize_delta(spark, path)
     with pytest.raises(NotImplementedError, match="partitionValues-preserving"):
         merge_delta(spark, path, src.limit(5), "o_orderkey")
+
+
+def test_add_actions_carry_footer_stats(spark, tmp_path):
+    from datalakecrawler_spark.sources.delta_native import _replay
+
+    path = str(tmp_path / "delta_stats")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src.repartition(4), path, "overwrite")
+    active, _, _, _ = _replay(path, None)
+    for add in active.values():
+        s = json.loads(add["stats"])
+        assert s["numRecords"] > 0
+        assert "o_orderkey" in s["minValues"]
+        assert s["minValues"]["o_orderkey"] <= s["maxValues"]["o_orderkey"]
+        assert s["nullCount"].get("o_orderkey", 0) == 0
+    total = sum(json.loads(a["stats"])["numRecords"] for a in active.values())
+    assert total == src.count()
+
+
+def test_data_skipping_is_conservative_and_effective(spark, tmp_path):
+    from datalakecrawler_spark.sources.delta_native import (
+        _replay,
+        read_delta,
+        skip_files,
+    )
+
+    path = str(tmp_path / "delta_skip")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src.repartitionByRange(8, "o_orderkey"), path, "overwrite")
+    active, _, _, _ = _replay(path, None)
+    lo_keys = src.agg(F.max("o_orderkey")).collect()[0][0] // 10
+    kept = skip_files(active, "o_orderkey", None, lo_keys)
+    assert len(kept) < len(active)  # clustered layout -> real skipping
+    out = read_delta(spark, path, data_filter=("o_orderkey", None, lo_keys))
+    # every matching row survives the skip (conservative)
+    want = src.where(F.col("o_orderkey") <= lo_keys).count()
+    assert out.where(F.col("o_orderkey") <= lo_keys).count() == want
+    # a range with no possible match resolves to zero files -> empty
+    beyond = src.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    none = read_delta(
+        spark, path, data_filter=("o_orderkey", beyond, None)
+    )
+    assert none.count() == 0
+    # files without stats for the column are always kept
+    stripped = {
+        rel: {**add, "stats": json.dumps({"minValues": {}, "maxValues": {}})}
+        for rel, add in active.items()
+    }
+    assert len(skip_files(stripped, "o_orderkey", None, 1)) == len(active)
