@@ -184,6 +184,7 @@ def write_delta(
     now_ms: int | None = None,
     txn: tuple[str, int] | None = None,
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int | None:
     """Commit ``df`` to a Delta table at ``path``; returns the new
     version. ``overwrite`` logically removes the previously active
@@ -204,7 +205,14 @@ def write_delta(
     records each file's ``partitionValues`` in its add action — the
     hook ``read_delta``'s partition_filter uses to prune files from
     the LOG, before any scan is planned. Partitioning is a table
-    property: later commits must repeat the same columns."""
+    property: later commits must repeat the same columns.
+
+    Schema is ENFORCED on append: a differing column set refuses
+    unless ``merge_schema=True``, which commits the union (prior
+    order kept, new columns appended; type changes always refuse).
+    Old files simply lack the new columns — the explicit-schema read
+    serves NULLs there, and time travel serves each version under the
+    schema it was committed with."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if txn is not None and os.path.isdir(_log_dir(path)):
@@ -215,14 +223,46 @@ def write_delta(
     versions = _list_versions(path)
     version = (versions[-1] + 1) if versions else 0
     prior_active: dict[str, dict] = {}
+    schema_fields = [f.jsonValue() for f in df.schema.fields]
     if versions:
-        prior_active, _, _, prior_parts = _replay(path, None)
+        prior_active, prior_schema, _, prior_parts = _replay(path, None)
         if prior_parts != partition_by:
             raise ValueError(
                 f"table is partitioned by {prior_parts}; this commit "
                 f"declares {partition_by} — partitioning is fixed at "
                 "table creation"
             )
+        # Schema enforcement with explicit evolution (the Delta
+        # mergeSchema contract): an append whose schema differs from
+        # the table's refuses unless merge_schema=True, in which case
+        # the committed schema becomes prior ∪ new (prior order kept,
+        # new columns appended; type conflicts refuse). Old files
+        # simply lack the new columns — the explicit-schema read
+        # serves NULLs there, per protocol.
+        prior_fields = json.loads(prior_schema)["fields"]
+        prior_by_name = {f["name"]: f for f in prior_fields}
+        conflicts = [
+            f["name"]
+            for f in schema_fields
+            if f["name"] in prior_by_name
+            and f["type"] != prior_by_name[f["name"]]["type"]
+        ]
+        if conflicts:
+            raise ValueError(
+                f"column type changes are not evolvable: {conflicts}"
+            )
+        new_names = {f["name"] for f in schema_fields}
+        if mode == "append" and new_names != set(prior_by_name):
+            if not merge_schema:
+                raise ValueError(
+                    "append schema differs from the table schema "
+                    f"(new: {sorted(new_names - set(prior_by_name))}, "
+                    f"missing: {sorted(set(prior_by_name) - new_names)}); "
+                    "pass merge_schema=True to evolve"
+                )
+            schema_fields = prior_fields + [
+                f for f in schema_fields if f["name"] not in prior_by_name
+            ]
 
     # 1) data files: Spark's executor-parallel parquet writer
     stage = os.path.join(path, f"_stage-{version:020d}")
@@ -270,7 +310,9 @@ def write_delta(
             "metaData": {
                 "id": hashlib.md5(f"dlc-delta:{path}".encode()).hexdigest(),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": schema_fields}
+                ),
                 "partitionColumns": partition_by,
                 "configuration": {},
                 "createdTime": mtime,
@@ -732,6 +774,52 @@ def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert kept and all(rel.startswith("o_orderstatus=F/") for rel in kept)
     return pruned.agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "scan_delta_schema_evolution",
+    group="A",
+    oracle=f"""
+    with evolved as (
+      select o_orderkey, o_orderstatus, o_totalprice,
+             cast(null as boolean) as even_key
+      from orders where o_orderstatus = 'F'
+      union all
+      select o_orderkey, o_orderstatus, o_totalprice, o_orderkey % 2 = 0
+      from orders where o_orderstatus = 'P'
+    )
+    select even_key, count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from evolved group by even_key
+    """,
+)
+def scan_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: schema evolution under enforcement. v0 commits three
+    columns; v1 appends rows carrying a NEW boolean column with
+    merge_schema=True — the committed schema becomes the union, and
+    the snapshot read serves v0's rows with NULL in the evolved column
+    (old files are never rewritten; the explicit-schema scan fills the
+    gap). The oracle recomputes exactly that union. Appends with a
+    differing schema and no merge_schema flag refuse — enforcement is
+    the default, evolution is opt-in, per the public contract."""
+    path = _fresh(_tmp("orders_delta_evolve"))
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_delta(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    evolved = src.where(F.col("o_orderstatus") == "P").withColumn(
+        "even_key", F.col("o_orderkey") % 2 == 0
+    )
+    try:
+        write_delta(evolved, path, "append")
+        raise AssertionError("schema enforcement must refuse by default")
+    except ValueError:
+        pass
+    write_delta(evolved, path, "append", merge_schema=True)
+    return (
+        read_delta(spark, path)
+        .groupBy("even_key")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )
 
 

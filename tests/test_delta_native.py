@@ -375,3 +375,45 @@ def test_data_skipping_is_conservative_and_effective(spark, tmp_path):
         for rel, add in active.items()
     }
     assert len(skip_files(stripped, "o_orderkey", None, 1)) == len(active)
+
+
+def test_schema_enforcement_and_evolution(spark, tmp_path):
+    from datalakecrawler_spark.sources.delta_native import _replay
+
+    path = str(tmp_path / "delta_evolve")
+    src = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    f = src.where(F.col("o_orderstatus") == "F")
+    p = src.where(F.col("o_orderstatus") == "P")
+    write_delta(f, path, "overwrite")
+    wide = p.withColumn("even_key", F.col("o_orderkey") % 2 == 0)
+    # enforcement: differing schema refuses by default
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_delta(wide, path, "append")
+    # type change refuses even with merge_schema
+    retyped = p.withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    with pytest.raises(ValueError, match="type changes"):
+        write_delta(retyped, path, "append", merge_schema=True)
+    # evolution: union schema, old rows read NULL in the new column
+    write_delta(wide, path, "append", merge_schema=True)
+    _, schema_string, _, _ = _replay(path, None)
+    names = [fld["name"] for fld in json.loads(schema_string)["fields"]]
+    assert names == ["o_orderkey", "o_orderstatus", "o_totalprice", "even_key"]
+    out = read_delta(spark, path)
+    assert out.count() == f.count() + p.count()
+    assert (
+        out.where(F.col("o_orderstatus") == "F")
+        .where(F.col("even_key").isNotNull())
+        .count()
+        == 0
+    )
+    assert (
+        out.where(F.col("o_orderstatus") == "P")
+        .where(F.col("even_key").isNull())
+        .count()
+        == 0
+    )
+    # time travel serves v0 under v0's schema (no even_key column)
+    v0 = read_delta(spark, path, version=0)
+    assert "even_key" not in v0.columns
