@@ -27,9 +27,12 @@ Honest gates: format v2 features (row-level deletes / delete
 manifests, sequence numbers) raise with the exact missing capability;
 the type mapping covers the scalar surface + date/timestamp (nested
 Iceberg types would map through the same recursive machinery as the
-Avro codec if ever needed). Partition specs are carried but not used
-for manifest-level pruning — scans list every live file and rely on
-parquet row-group pruning; the writer emits unpartitioned tables.
+Avro codec if ever needed). Identity partition specs are first-class:
+the writer records typed partition values in each manifest entry's
+r102 record and ``read_iceberg``'s partition_filter prunes entries at
+the metadata level (manifest-level SUMMARY skipping — dropping whole
+manifests by bounds — is the remaining optimization; non-identity
+transforms raise).
 
 Manifest files carry the spec's well-known field-ids (100-105 for
 data_file, 500-514 for manifest_file) in the Avro schemas so strict
@@ -57,32 +60,47 @@ from datalakecrawler_spark.sources.avro import (
 # Spec schemas (format v1) — Avro schemas with the spec's field-ids
 # ---------------------------------------------------------------------------
 
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-        {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
-    ],
-}
+def _data_file_schema(pfields: list[tuple[str, str]] | None = None) -> dict:
+    """The r2 data_file record; ``pfields`` = [(name, avro primitive)]
+    for identity-partitioned tables — the spec types the r102
+    partition record per the table's partition spec (field-ids
+    1000+)."""
+    part_fields = [
+        {"name": n, "type": t, "field-id": 1000 + i}
+        for i, (n, t) in enumerate(pfields or [])
+    ]
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": part_fields},
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+        ],
+    }
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+
+def _manifest_entry_schema(pfields: list[tuple[str, str]] | None = None) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "data_file", "type": _data_file_schema(pfields), "field-id": 2},
+        ],
+    }
+
+
+_DATA_FILE_SCHEMA = _data_file_schema()
+_MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema()
 
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -223,13 +241,33 @@ def _decode_avro_records(fname: str) -> list[dict]:
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot scan: metadata.json → manifest list (Avro) → manifests
     (Avro) → live data-file list → distributed parquet scan. All
     metadata I/O is driver-side and O(manifests); the data scan is a
-    plain Catalyst parquet read."""
+    plain Catalyst parquet read.
+
+    ``partition_filter={"col": value, ...}`` prunes manifest ENTRIES
+    by their typed r102 partition record — files of other partitions
+    are never listed, let alone scanned (manifest-level SUMMARY
+    skipping, which would also skip whole manifests, is the remaining
+    optimization; entry-level pruning already bounds the scan)."""
     meta = _read_metadata(path)
+    spec_cols = {
+        f["name"]
+        for f in meta.get("partition-specs", [{}])[0].get("fields", [])
+    }
+    if partition_filter:
+        missing = set(partition_filter) - spec_cols
+        if missing:
+            raise ValueError(
+                f"partition_filter on non-spec columns {sorted(missing)} "
+                f"(spec has {sorted(spec_cols)})"
+            )
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid is None or sid == -1 or not snaps:
@@ -249,11 +287,21 @@ def read_iceberg(
                 raise NotImplementedError(
                     f"data file format {df_rec['file_format']} (parquet only)"
                 )
+            if partition_filter and any(
+                df_rec["partition"].get(k) != v
+                for k, v in partition_filter.items()
+            ):
+                continue
             files.append(_resolve(path, df_rec["file_path"]))
     schema = _iceberg_schema_to_spark(meta["schema"])
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    reader = spark.read.schema(schema)
+    if spec_cols:
+        # hive-style dirs under data/ carry the partition columns;
+        # basePath re-derives them with the committed schema's types
+        reader = reader.option("basePath", os.path.join(path, "data"))
+    return reader.parquet(*files)
 
 
 def iceberg_snapshots(path: str) -> list[dict]:
@@ -270,15 +318,39 @@ def iceberg_snapshots(path: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+# Spark dtypes usable as identity partition sources → avro primitive
+_PARTITION_AVRO = {"int": "int", "bigint": "long", "string": "string"}
+
+
 def write_iceberg(
-    df: DataFrame, path: str, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
     ``append`` reuses every prior manifest in the new manifest list
     (O(new files) commit); ``overwrite`` starts the file set fresh
-    (old snapshots stay readable — files are never deleted here)."""
+    (old snapshots stay readable — files are never deleted here).
+
+    ``partition_by`` declares an identity partition spec: data files
+    land under ``data/<col>=<val>/…``, each manifest entry's r102
+    partition record carries the TYPED partition values (spec
+    field-ids 1000+), and ``read_iceberg``'s partition_filter prunes
+    entries from the manifests — metadata-level skipping, the scan
+    never lists the other partitions' files. The spec is a table
+    property: later commits must repeat it."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    partition_by = list(partition_by or [])
+    dtypes = dict(df.dtypes)
+    for c in partition_by:
+        if dtypes.get(c) not in _PARTITION_AVRO:
+            raise TypeError(
+                f"identity partition column {c!r} must be one of "
+                f"{sorted(_PARTITION_AVRO)} (got {dtypes.get(c)})"
+            )
+    pfields = [(c, _PARTITION_AVRO[dtypes[c]]) for c in partition_by]
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_meta_dir(path), exist_ok=True)
 
@@ -286,6 +358,16 @@ def write_iceberg(
     hint = os.path.join(_meta_dir(path), "version-hint.text")
     if os.path.exists(hint):
         prior_meta = _read_metadata(path)
+        prior_spec = [
+            f["name"]
+            for f in prior_meta.get("partition-specs", [{}])[0].get("fields", [])
+        ]
+        if prior_spec != partition_by:
+            raise ValueError(
+                f"table partition spec is {prior_spec}; this commit "
+                f"declares {partition_by} — the spec is fixed at table "
+                "creation"
+            )
     version = 1 if prior_meta is None else (
         max(
             int(os.path.basename(p)[1:].split(".")[0])
@@ -297,11 +379,27 @@ def write_iceberg(
 
     # 1) data files (distributed parquet write, then linked under data/)
     stage = os.path.join(path, f"_stage-{version}")
-    df.write.mode("overwrite").parquet(stage)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
     entries = []
     n_rows_total = 0
-    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
-        rel = os.path.join("data", f"{snapshot_id:05d}-{i:05d}.parquet")
+
+    def _typed(val: str, avro_t: str):
+        return int(val) if avro_t in ("int", "long") else val
+
+    staged = sorted(
+        glob.glob(os.path.join(stage, *["*=*"] * len(partition_by), "part-*.parquet"))
+    )
+    for i, f in enumerate(staged):
+        pdir = os.path.relpath(os.path.dirname(f), stage) if partition_by else ""
+        segs = dict(s.split("=", 1) for s in pdir.split(os.sep) if "=" in s)
+        pvals = {n: _typed(segs[n], t) for n, t in pfields}
+        rel = os.path.join(
+            "data", pdir, f"{snapshot_id:05d}-{i:05d}.parquet"
+        ).replace(os.sep + os.sep, os.sep)
+        os.makedirs(os.path.dirname(os.path.join(path, rel)), exist_ok=True)
         os.replace(f, os.path.join(path, rel))
         # record_count from the parquet footer (pyarrow, driver-side,
         # bytes not data)
@@ -316,7 +414,7 @@ def write_iceberg(
                 "data_file": {
                     "file_path": rel,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": pvals,
                     "record_count": n,
                     "file_size_in_bytes": os.path.getsize(os.path.join(path, rel)),
                     "block_size_in_bytes": 67108864,
@@ -329,7 +427,7 @@ def write_iceberg(
     manifest_rel = os.path.join("metadata", f"manifest-{snapshot_id:05d}.avro")
     with open(os.path.join(path, manifest_rel), "wb") as fh:
         w = AvroDatumFileWriter(
-            fh, _MANIFEST_ENTRY_SCHEMA, "deflate", sync_seed=manifest_rel
+            fh, _manifest_entry_schema(pfields), "deflate", sync_seed=manifest_rel
         )
         w.write_block(entries)
     new_manifest = {
@@ -380,8 +478,30 @@ def write_iceberg(
         "last-updated-ms": 0,
         "last-column-id": len(df.schema.fields),
         "schema": _spark_schema_to_iceberg(df.schema),
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-spec": [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": [f.name for f in df.schema.fields].index(c) + 1,
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by)
+        ],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": [f.name for f in df.schema.fields].index(c)
+                        + 1,
+                        "field-id": 1000 + i,
+                    }
+                    for i, c in enumerate(partition_by)
+                ],
+            }
+        ],
         "default-spec-id": 0,
         "properties": {},
         "current-snapshot-id": snapshot_id,
@@ -588,4 +708,41 @@ def sink_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(res["data_files_deleted"]).cast("int").alias("data_files_deleted"),
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "sink_iceberg_partitioned",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    where year(cast(o_orderdate as date)) =
+          (select min(year(cast(o_orderdate as date))) from orders)
+    """,
+)
+def sink_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: identity-partitioned Iceberg table + manifest-entry
+    pruning. Orders commit partitioned by order YEAR (an int column —
+    the typed r102 partition record round-trips through the Avro
+    manifest, not a string-coerced copy); the filtered read prunes
+    manifest entries to the earliest year's files before any scan is
+    planned, and the partition column comes back typed through the
+    hive-style data/ layout. Assertion pins that the pruned file list
+    is a strict subset; the oracle recomputes the partition's rows
+    from the source. This is the metadata skip that makes Iceberg's
+    'query one partition of a 100 TB table' cost one partition."""
+    path = _fresh(_tmp("orders_iceberg_part"))
+    src = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year(F.to_date("o_orderdate"))
+    )
+    write_iceberg(src, path, "overwrite", partition_by=["o_year"])
+    y0 = src.agg(F.min("o_year")).collect()[0][0]
+    full = read_iceberg(spark, path)
+    pruned = read_iceberg(spark, path, partition_filter={"o_year": int(y0)})
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
+    return pruned.agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )

@@ -220,3 +220,52 @@ def test_expire_refuses_to_drop_current_snapshot(spark, tmp_path):
     # retain window arithmetic instead: retain_last=1 on a 1-snapshot
     # table is a no-op and never raises.
     assert expire_snapshots(path, retain_last=1)["expired"] == []
+
+
+def test_partitioned_writes_and_entry_pruning(spark, tmp_path):
+    """Typed r102 partition records round-trip through the Avro
+    manifest; partition_filter prunes entries (fewer input files) with
+    no lost rows; the partition column comes back typed; the spec is
+    fixed at table creation."""
+    from datalakecrawler_spark.sources.iceberg_native import (
+        _decode_avro_records,
+        _read_metadata,
+        _resolve,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_part")
+    src = load(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year(F.to_date("o_orderdate"))
+    )
+    write_iceberg(src, path, "overwrite", partition_by=["o_year"])
+    meta = _read_metadata(path)
+    spec = meta["partition-specs"][0]["fields"]
+    assert spec and spec[0]["name"] == "o_year"
+    assert spec[0]["transform"] == "identity"
+    assert spec[0]["field-id"] == 1000
+    snap = meta["snapshots"][-1]
+    entries = []
+    for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
+        entries += _decode_avro_records(_resolve(path, mf["manifest_path"]))
+    years = {e["data_file"]["partition"]["o_year"] for e in entries}
+    assert years and all(isinstance(y, int) for y in years)  # typed, not str
+
+    y0 = min(years)
+    full = read_iceberg(spark, path)
+    pruned = read_iceberg(spark, path, partition_filter={"o_year": y0})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.count() == src.where(F.col("o_year") == y0).count()
+    assert pruned.where(F.col("o_year") != y0).count() == 0
+    assert dict(pruned.dtypes)["o_year"] == "int"
+
+    with pytest.raises(ValueError, match="spec is fixed"):
+        write_iceberg(src.limit(5), path, "append")
+    with pytest.raises(ValueError, match="non-spec columns"):
+        read_iceberg(spark, path, partition_filter={"o_orderkey": 1})
+    with pytest.raises(TypeError, match="identity partition column"):
+        write_iceberg(
+            src.withColumn("f", F.lit(0.5)),
+            str(tmp_path / "bad"),
+            partition_by=["f"],
+        )
