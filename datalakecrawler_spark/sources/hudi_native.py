@@ -106,17 +106,23 @@ def _bucket_col(key_col: str):
     return F.pmod(F.crc32(F.col(key_col).cast("string")), F.lit(_N_BUCKETS))
 
 
-def _slices_at(path: str, as_of: str | None) -> dict[str, tuple[str, str]]:
-    """fileId -> (instant, base file relpath): the latest file slice
-    per file group among completed instants <= as_of."""
-    slices: dict[str, tuple[str, str]] = {}
+def _slices_at(
+    path: str, as_of: str | None
+) -> dict[tuple[str, str], tuple[str, str]]:
+    """(partition path, fileId) -> (instant, base file relpath): the
+    latest file slice per file group among completed instants <=
+    as_of. File groups are per-partition, so the same fileId under two
+    partition paths is two independent groups — exactly the published
+    layout."""
+    slices: dict[tuple[str, str], tuple[str, str]] = {}
     for instant in _completed_instants(path):
         if as_of is not None and instant > as_of:
             break
         with open(os.path.join(_timeline_dir(path), f"{instant}.commit")) as fh:
             meta = json.load(fh)
-        for stats in meta["partitionToWriteStats"][""]:
-            slices[stats["fileId"]] = (instant, stats["path"])
+        for ppath, stats_list in meta["partitionToWriteStats"].items():
+            for stats in stats_list:
+                slices[(ppath, stats["fileId"])] = (instant, stats["path"])
     return slices
 
 
@@ -126,6 +132,7 @@ def write_hudi(
     record_key: str,
     instant: str,
     op: str = "upsert",
+    partition_by: str | None = None,
 ) -> str:
     """Commit ``df`` to a Hudi CoW table at ``path``; returns the
     instant. ``bulk_insert`` lays out the initial file groups (every
@@ -135,25 +142,47 @@ def write_hudi(
     written by Spark's distributed parquet writer (one file per
     bucket via a bucket-repartition, so group rewrite parallelism =
     number of touched groups); the commit JSON is published last by
-    atomic rename."""
+    atomic rename.
+
+    ``partition_by`` names one column whose string value becomes the
+    record's PARTITION PATH: base files land under ``<val>/…``, file
+    groups are per-(partition, bucket), and an upsert's scope is the
+    partitions its changes actually touch — the mechanism that bounds
+    upsert cost on a date-partitioned 100 TB table to the hot days.
+    Partitioning is a table property (hoodie.properties records it;
+    later commits must repeat it). Values must not contain '/'."""
     if op not in ("bulk_insert", "upsert"):
         raise ValueError(f"op must be bulk_insert|upsert, got {op!r}")
     tdir = _timeline_dir(path)
     first = not os.path.isdir(tdir)
     os.makedirs(tdir, exist_ok=True)
+    props_file = os.path.join(tdir, "hoodie.properties")
     if first:
         props = {
             "hoodie.table.name": os.path.basename(path.rstrip("/")),
             "hoodie.table.type": "COPY_ON_WRITE",
             "hoodie.table.version": "5",
             "hoodie.table.recordkey.fields": record_key,
+            "hoodie.table.partition.fields": partition_by or "",
             "hoodie.datasource.write.hive_style_partitioning": "false",
             "hoodie.timeline.layout.version": "1",
         }
-        with open(os.path.join(tdir, "hoodie.properties"), "w") as fh:
+        with open(props_file, "w") as fh:
             for k, v in sorted(props.items()):
                 fh.write(f"{k}={v}\n")
     else:
+        prior_props = dict(
+            line.strip().split("=", 1)
+            for line in open(props_file)
+            if "=" in line
+        )
+        prior_part = prior_props.get("hoodie.table.partition.fields", "")
+        if prior_part != (partition_by or ""):
+            raise ValueError(
+                f"table partition fields are {prior_part!r}; this commit "
+                f"declares {partition_by or ''!r} — partitioning is fixed "
+                "at table creation"
+            )
         done = _completed_instants(path)
         if done and done[-1] >= instant:
             raise ValueError(
@@ -179,6 +208,10 @@ def write_hudi(
         F.col("__bucket"),
     )
 
+    ppath_expr = (
+        F.col(partition_by).cast("string") if partition_by else F.lit("")
+    )
+
     def _stamp_new(frame: DataFrame) -> DataFrame:
         """Meta columns for records written BY this commit."""
         return (
@@ -192,29 +225,34 @@ def write_hudi(
                 ),
             )
             .withColumn("_hoodie_record_key", F.col(record_key).cast("string"))
-            .withColumn("_hoodie_partition_path", F.lit(""))
+            .withColumn("_hoodie_partition_path", F.col("__ppath"))
             .withColumn("_hoodie_file_name", fname)
         )
 
-    changes = df.withColumn("__bucket", _bucket_col(record_key))
-    prev_slice: dict[str, tuple[str, str]] = {}
+    changes = df.withColumn("__bucket", _bucket_col(record_key)).withColumn(
+        "__ppath", ppath_expr
+    )
+    prev_slice: dict[tuple[str, str], tuple[str, str]] = {}
     n_updates = 0
     if op == "bulk_insert":
         if not first and _slices_at(path, None):
             raise ValueError("bulk_insert into a non-empty table")
         stamped = _stamp_new(changes)
-        buckets = list(range(_N_BUCKETS))
+        n_groups = _N_BUCKETS
     else:
         prev_slice = _slices_at(path, None)
-        # Affected file groups: the buckets the change keys hash to —
-        # bounded by _N_BUCKETS, never by data size.
-        buckets = sorted(
-            r[0] for r in changes.select("__bucket").distinct().collect()
-        )
+        # Affected file groups: the (partition, bucket) pairs the
+        # change rows map to — bounded by touched partitions ×
+        # _N_BUCKETS, never by table size.
+        affected = {
+            (r[0], r[1])
+            for r in changes.select("__ppath", "__bucket").distinct().collect()
+        }
+        n_groups = max(len(affected), 1)
         old_files = [
             os.path.join(path, rel)
-            for fid, (_, rel) in sorted(prev_slice.items())
-            if int(fid.rsplit("-", 1)[1]) in set(buckets)
+            for (pp, fid), (_, rel) in sorted(prev_slice.items())
+            if (pp, int(fid.rsplit("-", 1)[1])) in affected
         ]
         if old_files:
             # Copied-forward records KEEP their original commit time /
@@ -224,6 +262,7 @@ def write_hudi(
             old = (
                 df.sparkSession.read.parquet(*old_files)
                 .withColumn("__bucket", _bucket_col(record_key))
+                .withColumn("__ppath", F.col("_hoodie_partition_path"))
             )
             keys = changes.select(record_key)
             n_updates = old.join(keys, record_key, "left_semi").count()
@@ -233,40 +272,69 @@ def write_hudi(
             stamped = _stamp_new(changes).unionByName(kept)
         else:
             stamped = _stamp_new(changes)
-    # One base file per touched file group: repartition ON the bucket
-    # puts each group wholly in one task; partitionBy splits the stage
-    # dir per bucket so the rename below is a pure metadata move.
+    # One base file per touched file group: repartition ON the group
+    # key puts each group wholly in one task; partitionBy splits the
+    # stage dir per group so the rename below is a pure metadata move.
+    # Unpartitioned tables stage by bucket only — an empty-string
+    # partition value would otherwise become __HIVE_DEFAULT_PARTITION__
+    # and the constant __ppath column would leak into the data files.
     stage = os.path.join(path, f".stage-{instant}")
+    stage_cols = ["__ppath", "__bucket"] if partition_by else ["__bucket"]
     (
-        stamped.repartition(max(len(buckets), 1), "__bucket")
+        (stamped if partition_by else stamped.drop("__ppath"))
+        .repartition(n_groups, *stage_cols)
         .write.mode("overwrite")
-        .partitionBy("__bucket")
+        .partitionBy(*stage_cols)
         .parquet(stage)
     )
     # Per-group record counts in ONE job over the just-written stage:
-    # __bucket is a partition column there, so the count prunes to
-    # zero data columns (footer-only), instead of a job per file.
+    # the group key is a partition column there, so the count prunes
+    # to zero data columns (footer-only), instead of a job per file.
     spark = df.sparkSession
-    bucket_counts = {
-        r[0]: r[1]
-        for r in spark.read.parquet(stage).groupBy("__bucket").count().collect()
+    group_counts = {
+        ((r[0] if partition_by else ""), r[int(bool(partition_by))]): r[-1]
+        for r in spark.read.parquet(stage)
+        .groupBy(*stage_cols)
+        .count()
+        .collect()
     }
 
-    write_stats = []
-    for bdir in sorted(glob.glob(os.path.join(stage, "__bucket=*"))):
+    per_partition: dict[str, list] = {}
+    bucket_dirs = (
+        glob.glob(os.path.join(stage, "__ppath=*", "__bucket=*"))
+        if partition_by
+        else glob.glob(os.path.join(stage, "__bucket=*"))
+    )
+    for bdir in sorted(bucket_dirs):
         bucket = int(os.path.basename(bdir).split("=")[1])
+        ppath = (
+            os.path.basename(os.path.dirname(bdir)).split("=", 1)[1]
+            if partition_by
+            else ""
+        )
+        if "/" in ppath:
+            raise ValueError(f"partition value {ppath!r} contains '/'")
         parts = sorted(glob.glob(os.path.join(bdir, "part-*.parquet")))
         assert len(parts) == 1, f"expected one base file per group, got {parts}"
-        rel = _base_file_name(bucket, instant)
+        rel = os.path.join(ppath, _base_file_name(bucket, instant)).lstrip("/")
+        pdir_abs = os.path.dirname(os.path.join(path, rel))
+        os.makedirs(pdir_abs, exist_ok=True)
+        pmeta = os.path.join(pdir_abs, ".hoodie_partition_metadata")
+        if ppath and not os.path.exists(pmeta):
+            with open(pmeta, "w") as fh:
+                fh.write(
+                    "#partition metadata\n"
+                    f"commitTime={instant}\npartitionDepth=1\n"
+                )
         os.replace(parts[0], os.path.join(path, rel))
         fid = _file_id(bucket)
-        prev = prev_slice.get(fid, (None, None))[0]
-        write_stats.append(
+        prev = prev_slice.get((ppath, fid), (None, None))[0]
+        per_partition.setdefault(ppath, []).append(
             {
                 "fileId": fid,
                 "path": rel,
                 "prevCommit": prev if prev is not None else "null",
-                "numWrites": bucket_counts[bucket],
+                "numWrites": group_counts[(ppath, bucket)],
                 "numUpdateWrites": 0,
                 "fileSizeInBytes": os.path.getsize(os.path.join(path, rel)),
                 "totalWriteBytes": os.path.getsize(os.path.join(path, rel)),
@@ -274,11 +342,12 @@ def write_hudi(
         )
     shutil.rmtree(stage)
 
-    if write_stats and n_updates:
-        write_stats[0]["numUpdateWrites"] = n_updates
+    if per_partition and n_updates:
+        first_pp = sorted(per_partition)[0]
+        per_partition[first_pp][0]["numUpdateWrites"] = n_updates
 
     commit_meta = {
-        "partitionToWriteStats": {"": write_stats},
+        "partitionToWriteStats": per_partition,
         "compacted": False,
         "operationType": op.upper(),
     }
@@ -292,14 +361,32 @@ def write_hudi(
 
 
 def read_hudi(
-    spark: SparkSession, path: str, as_of: str | None = None
+    spark: SparkSession,
+    path: str,
+    as_of: str | None = None,
+    partition_path: str | None = None,
 ) -> DataFrame:
     """Snapshot scan: resolve the latest file slice per file group at
     ``as_of`` (None = latest) driver-side, then let Spark's parquet
     source scan exactly those base files — pushdown/pruning/codegen
     unchanged from any parquet read. Meta columns are dropped; pass
-    the raw files to ``spark.read.parquet`` directly to keep them."""
+    the raw files to ``spark.read.parquet`` directly to keep them.
+
+    ``partition_path`` restricts the timeline walk's result to one
+    partition's file slices — the other partitions' files are never
+    listed (the partition source column itself stays in the data
+    files, so the result needs no dir-derived columns)."""
     slices = _slices_at(path, as_of)
+    if partition_path is not None:
+        slices = {
+            (pp, fid): v
+            for (pp, fid), v in slices.items()
+            if pp == partition_path
+        }
+        if not slices:
+            raise ValueError(
+                f"no file slices for partition {partition_path!r}"
+            )
     files = [os.path.join(path, rel) for _, (_, rel) in sorted(slices.items())]
     if not files:
         raise ValueError(f"no completed instants at or before {as_of!r}")
@@ -336,7 +423,8 @@ def read_hudi_incremental(
             meta = json.load(fh)
         files += [
             os.path.join(path, s["path"])
-            for s in meta["partitionToWriteStats"][""]
+            for stats_list in meta["partitionToWriteStats"].values()
+            for s in stats_list
         ]
     out = spark.read.parquet(*sorted(files)).where(
         F.col("_hoodie_commit_time") > from_instant
@@ -355,7 +443,11 @@ def hudi_timeline(path: str) -> list[dict]:
     for instant in _completed_instants(path):
         with open(os.path.join(_timeline_dir(path), f"{instant}.commit")) as fh:
             meta = json.load(fh)
-        stats = meta["partitionToWriteStats"][""]
+        stats = [
+            s
+            for stats_list in meta["partitionToWriteStats"].values()
+            for s in stats_list
+        ]
         out.append(
             {
                 "instant": instant,
@@ -440,6 +532,50 @@ def sink_hudi_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_hudi(spark, path)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "sink_hudi_partitioned",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt,
+           {SUM_D.format('c_acctbal + 1000')} as sum_bal
+    from customer where c_mktsegment = 'BUILDING'
+    """,
+)
+def sink_hudi_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: partitioned Hudi table — upsert scope bounded by
+    partition. Customers bulk-insert partitioned by market segment
+    (base files under <segment>/, .hoodie_partition_metadata per dir,
+    file groups per (partition, bucket)); the upsert then touches ONLY
+    the BUILDING segment (+1000 balance), and the commit metadata must
+    show exactly that one partition rewritten — every other segment's
+    file slices survive by identity. The partition-pruned read lists
+    only BUILDING's files (timeline-level skip) and must serve the
+    updated balances, which the oracle recomputes. On a
+    date-partitioned 100 TB table this is what bounds a hot-day upsert
+    to the hot day."""
+    path = _fresh(_tmp("customer_hudi_part"))
+    src = load(spark, sf_dir, "customer")
+    write_hudi(
+        src, path, "c_custkey", _T1, op="bulk_insert",
+        partition_by="c_mktsegment",
+    )
+    changes = src.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    )
+    write_hudi(
+        changes, path, "c_custkey", _T2, op="upsert",
+        partition_by="c_mktsegment",
+    )
+    with open(os.path.join(path, ".hoodie", f"{_T2}.commit")) as fh:
+        meta = json.load(fh)
+    assert set(meta["partitionToWriteStats"]) == {"BUILDING"}, sorted(
+        meta["partitionToWriteStats"]
+    )
+    return read_hudi(spark, path, partition_path="BUILDING").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("c_acctbal").alias("sum_bal")
     )
 
 

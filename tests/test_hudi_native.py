@@ -256,3 +256,58 @@ def test_bucket_routing_is_stable(spark, table):
         ).cast("int"),
     )
     assert derived.where(F.col("bucket") != F.col("named")).count() == 0
+
+
+def test_partitioned_layout_and_bounded_upsert(spark, tmp_path):
+    """Partitioned tables: base files under <value>/ with partition
+    metadata, file groups per (partition, bucket), upsert rewrites
+    only the touched partition's groups, partition-pruned reads list
+    only that partition's files, and the partitioning is fixed."""
+    path = str(tmp_path / "hudi_part")
+    src = load(spark, SF_DIR, "customer")
+    write_hudi(
+        src, path, "c_custkey", _T1, op="bulk_insert",
+        partition_by="c_mktsegment",
+    )
+    segs = [r[0] for r in src.select("c_mktsegment").distinct().collect()]
+    for s in segs:
+        assert os.path.isdir(os.path.join(path, s))
+        assert os.path.exists(
+            os.path.join(path, s, ".hoodie_partition_metadata")
+        )
+    # meta column records the real partition path
+    one = glob.glob(os.path.join(path, segs[0], "*.parquet"))[0]
+    raw = spark.read.parquet(one)
+    assert raw.select("_hoodie_partition_path").distinct().collect()[0][0] == segs[0]
+
+    before = {
+        f for f in glob.glob(os.path.join(path, "*", "*.parquet"))
+    }
+    changes = src.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.lit(0.0)
+    )
+    write_hudi(
+        changes, path, "c_custkey", _T2, op="upsert",
+        partition_by="c_mktsegment",
+    )
+    meta = json.load(open(os.path.join(path, ".hoodie", f"{_T2}.commit")))
+    assert set(meta["partitionToWriteStats"]) == {"BUILDING"}
+    # other partitions' files untouched on disk
+    after_others = {
+        f
+        for f in glob.glob(os.path.join(path, "*", "*.parquet"))
+        if "/BUILDING/" not in f
+    }
+    assert after_others == {f for f in before if "/BUILDING/" not in f}
+
+    out = read_hudi(spark, path)
+    assert out.count() == src.count()
+    pruned = read_hudi(spark, path, partition_path="BUILDING")
+    assert pruned.count() == changes.count()
+    assert pruned.where(F.col("c_acctbal") != 0.0).count() == 0
+    assert all("/BUILDING/" in f for f in pruned.inputFiles())
+
+    with pytest.raises(ValueError, match="partitioning is fixed"):
+        write_hudi(src.limit(5), path, "c_custkey", "19700101000000003")
+    with pytest.raises(ValueError, match="no file slices"):
+        read_hudi(spark, path, partition_path="NOPE")
