@@ -633,6 +633,51 @@ def vacuum_delta(path: str, retain_last: int = 1) -> list[str]:
     return doomed
 
 
+def read_delta_incremental(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change feed for append workloads: the rows ADDED by commits in
+    (from_version, to_version] — read from exactly the files those
+    commits added with ``dataChange: true`` (OPTIMIZE's
+    dataChange:false rearrangements are correctly invisible). This is
+    the log-derived incremental consumption a downstream pipeline uses
+    instead of snapshot re-reads; I/O is proportional to the new data.
+    Commits that REMOVE data in-range (overwrite/merge rewrites) raise
+    — exposing their row-level deltas needs the Change Data Feed
+    protocol feature (_change_data files), which this writer does not
+    emit; refusing beats silently double-counting rewritten rows."""
+    versions = [v for v in _list_versions(path) if v > from_version]
+    if to_version is not None:
+        versions = [v for v in versions if v <= to_version]
+    if not versions:
+        raise ValueError(
+            f"no commits in ({from_version}, {to_version}]"
+        )
+    _, schema_string, _, _ = _replay(path, versions[-1])
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    rels: list[str] = []
+    for v in versions:
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "remove" in a and a["remove"].get("dataChange", True):
+                    raise NotImplementedError(
+                        f"version {v} removes data (rewrite/overwrite); "
+                        "row-level change feeds over rewrites need the CDF "
+                        "protocol feature (_change_data files), not emitted "
+                        "by this writer"
+                    )
+                if "add" in a and a["add"].get("dataChange", True):
+                    rels.append(a["add"]["path"])
+    if not rels:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(path, rel) for rel in sorted(rels)]
+    )
+
+
 def delta_history(path: str) -> list[dict]:
     """Per-version summary from the log: files added/removed, mode."""
     out = []
@@ -774,6 +819,42 @@ def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert kept and all(rel.startswith("o_orderstatus=F/") for rel in kept)
     return pruned.agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "scan_delta_incremental",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderstatus in ('P', 'O')
+    group by o_orderstatus
+    """,
+)
+def scan_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: log-derived incremental consumption. v0 = 'F' orders,
+    v1 appends 'P', v2 appends 'O', v3 is an OPTIMIZE rearrangement
+    (dataChange:false). The incremental read over (0, 3] must serve
+    exactly the P+O appends — the optimize commit's files are
+    correctly invisible to change consumers, which is the entire point
+    of the dataChange flag. The oracle recomputes the appended rows
+    from the source. In-range commits that REMOVE data refuse
+    (row-level deltas over rewrites need the CDF protocol feature) —
+    pinned in tests/test_delta_native.py."""
+    path = _fresh(_tmp("orders_delta_inc"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    write_delta(
+        src.where(F.col("o_orderstatus") == "P").repartition(4), path, "append"
+    )
+    write_delta(src.where(F.col("o_orderstatus") == "O"), path, "append")
+    res = optimize_delta(spark, path)
+    assert res["version"] == 3 and res["files_compacted"] > 0, res
+    return (
+        read_delta_incremental(spark, path, from_version=0, to_version=3)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )
 
 

@@ -417,3 +417,38 @@ def test_schema_enforcement_and_evolution(spark, tmp_path):
     # time travel serves v0 under v0's schema (no even_key column)
     v0 = read_delta(spark, path, version=0)
     assert "even_key" not in v0.columns
+
+
+def test_incremental_read_appends_only(spark, tmp_path):
+    """(v_from, v_to] appends come back exactly; optimize
+    rearrangements are invisible; in-range data removals refuse."""
+    from datalakecrawler_spark.sources.delta_native import (
+        optimize_delta,
+        read_delta_incremental,
+    )
+
+    path = str(tmp_path / "delta_inc")
+    src = load(spark, SF_DIR, "orders")
+    f = src.where(F.col("o_orderstatus") == "F")
+    p = src.where(F.col("o_orderstatus") == "P")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_delta(f, path, "overwrite")          # v0
+    write_delta(p.repartition(3), path, "append")  # v1
+    write_delta(o, path, "append")             # v2
+    optimize_delta(spark, path)                # v3, dataChange:false
+
+    inc = read_delta_incremental(spark, path, from_version=0, to_version=2)
+    assert inc.count() == p.count() + o.count()
+    assert inc.where(F.col("o_orderstatus") == "F").count() == 0
+    # v3 alone adds nothing for change consumers
+    assert read_delta_incremental(spark, path, from_version=2).count() == 0
+    # only v2 in range
+    assert (
+        read_delta_incremental(spark, path, 1, 2).count() == o.count()
+    )
+    with pytest.raises(ValueError, match="no commits"):
+        read_delta_incremental(spark, path, from_version=99)
+    # a data-removing commit in range refuses
+    write_delta(o.limit(10), path, "overwrite")  # v4 removes
+    with pytest.raises(NotImplementedError, match="CDF"):
+        read_delta_incremental(spark, path, from_version=0)
