@@ -765,7 +765,7 @@ def run_delta_stream_sink(spark: SparkSession, src_dir: str, path: str) -> None:
     "stream_delta_sink",
     group="I",
     oracle="""
-    select date_trunc('day', ts) as day, count(*) as n,
+    select cast(ts as date) as day, count(*) as n,
            count(distinct user_id) as n_users
     from events group by 1 order by 1
     """,
@@ -779,7 +779,7 @@ def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot aggregates to this twin."""
     e = load(spark, sf_dir, "events")
     return (
-        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        e.groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("n_users"),

@@ -46,7 +46,13 @@ _TEXT = st.text(
     alphabet=st.characters(blacklist_characters="\x00"), min_size=1, max_size=400
 )
 _LONG_TEXT = st.text(
-    alphabet=st.characters(blacklist_characters="\x00"), min_size=1, max_size=2500
+    # surrogates (category Cs) are not encodable UTF-8 and the codec
+    # contract is UTF-8 text — exclude them from generation
+    alphabet=st.characters(
+        blacklist_characters="\x00", blacklist_categories=("Cs",)
+    ),
+    min_size=1,
+    max_size=2500,
 )
 _DOC_ID = st.integers(min_value=0, max_value=99_999)
 

@@ -530,7 +530,7 @@ def test_stream_delta_sink_exactly_once(spark, tmp_path):
     assert last_txn_version(path, "other_app") == -1
 
     got = (
-        head.groupBy(F.date_trunc("day", "ts").alias("day"))
+        head.groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("n_users"),
