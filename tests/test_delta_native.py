@@ -115,12 +115,14 @@ def test_capability_gates(table, spark, tmp_path):
     # unknown version
     with pytest.raises(ValueError, match="version 7 not in log"):
         read_delta(spark, path, version=7)
-    # checkpointed table → explicit refusal, not wrong answers
+    # multi-part checkpoints (parts field) → explicit refusal, not
+    # wrong answers (single-file checkpoints ARE consumed — see
+    # test_checkpoint_accelerates_replay)
     ckpt = os.path.join(path, "_delta_log", "_last_checkpoint")
     with open(ckpt, "w") as fh:
-        fh.write('{"version": 1}')
+        fh.write('{"version": 1, "parts": 4}')
     try:
-        with pytest.raises(NotImplementedError, match="checkpoint"):
+        with pytest.raises(NotImplementedError, match="multi-part"):
             read_delta(spark, path)
     finally:
         os.remove(ckpt)
@@ -452,3 +454,57 @@ def test_incremental_read_appends_only(spark, tmp_path):
     write_delta(o.limit(10), path, "overwrite")  # v4 removes
     with pytest.raises(NotImplementedError, match="CDF"):
         read_delta_incremental(spark, path, from_version=0)
+
+
+def test_checkpoint_accelerates_replay(spark, tmp_path):
+    """Replay from a checkpoint consumes only newer JSON commits —
+    proven by hiding the pre-checkpoint commits; pre-checkpoint time
+    travel still full-replays; txn idempotence state survives the
+    checkpoint; partition pruning works from checkpoint state."""
+    from datalakecrawler_spark.sources.delta_native import (
+        checkpoint_delta,
+        last_txn_version,
+    )
+
+    path = str(tmp_path / "delta_ckpt")
+    src = load(spark, SF_DIR, "orders")
+    for i in range(4):
+        write_delta(
+            src.where(F.col("o_orderkey") % 5 == i),
+            path,
+            "append",
+            txn=("app", i),
+        )
+    res = checkpoint_delta(path)
+    assert res == {"version": 3, "n_files": res["n_files"], "n_txns": 1}
+    write_delta(src.where(F.col("o_orderkey") % 5 == 4), path, "append")
+
+    log_dir = os.path.join(path, "_delta_log")
+    hidden = []
+    try:
+        for v in range(4):
+            f = os.path.join(log_dir, f"{v:020d}.json")
+            os.replace(f, f + ".hid")
+            hidden.append(f)
+        assert read_delta(spark, path).count() == src.count()
+    finally:
+        for f in hidden:
+            os.replace(f + ".hid", f)
+    # pre-checkpoint time travel: full JSON replay still works
+    assert (
+        read_delta(spark, path, version=0).count()
+        == src.where(F.col("o_orderkey") % 5 == 0).count()
+    )
+    assert last_txn_version(path, "app") == 3
+    # a checkpointed PARTITIONED table still partition-prunes
+    p2 = str(tmp_path / "delta_ckpt_part")
+    write_delta(src, p2, "overwrite", partition_by=["o_orderstatus"])
+    checkpoint_delta(p2)
+    f_only = read_delta(spark, p2, partition_filter={"o_orderstatus": "F"})
+    assert f_only.count() == src.where(F.col("o_orderstatus") == "F").count()
+    # multi-part checkpoints refuse
+    lc = os.path.join(p2, "_delta_log", "_last_checkpoint")
+    with open(lc, "w") as fh:
+        json.dump({"version": 0, "parts": 2}, fh)
+    with pytest.raises(NotImplementedError, match="multi-part"):
+        read_delta(spark, p2)
