@@ -250,3 +250,135 @@ def crawl_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert catalog["dataset"].count() == 10, "expected all ten fixture datasets"
     back = spark.read.parquet(os.path.join(out, "dataset"))
     return back.select("dataset", "format", "num_rows").orderBy("dataset")
+
+
+@register(
+    "crawl_lakehouse_snapshot",
+    group="B",
+    oracle="""
+    select 'cust_hudi' as dataset, 'hudi' as format,
+           (select count(*) from customer) as num_rows
+    union all
+    select 'nation_ice', 'iceberg', (select count(*) from nation)
+    union all
+    select 'orders_delta', 'delta',
+           (select count(*) from orders where o_orderstatus = 'O')
+    union all
+    select 'region_pq', 'parquet', (select count(*) from region)
+    """,
+)
+def crawl_lakehouse_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: the crawler over a MIXED lake — one table per native
+    lakehouse format plus a plain parquet dataset. Table markers must
+    win over extension sniffing, and each protocol reader must resolve
+    the LIVE file set: the Delta table was overwritten (stale F-files
+    on disk would inflate a naive parquet count), the Hudi table was
+    upserted (superseded base files would double-count a rewritten
+    group), and the Iceberg root mixes parquet with Avro manifests
+    (extension sniffing alone sees a mixed-format dir). The cataloged
+    (dataset, format, num_rows) rows must equal the oracle's
+    source-side recomputation of each LIVE snapshot."""
+    import shutil as _shutil
+
+    from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.sources.delta_native import write_delta
+    from datalakecrawler_spark.sources.hudi_native import write_hudi
+    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+    from datalakecrawler_spark.sources.scans import _tmp
+
+    lake = _tmp("lakehouse_mixed")
+    _shutil.rmtree(lake, ignore_errors=True)
+    os.makedirs(lake)
+    orders = load(spark, sf_dir, "orders")
+    write_delta(
+        orders.where(F.col("o_orderstatus") == "F"),
+        f"{lake}/orders_delta", "overwrite",
+    )
+    write_delta(
+        orders.where(F.col("o_orderstatus") == "O"),
+        f"{lake}/orders_delta", "overwrite",
+    )
+    write_iceberg(load(spark, sf_dir, "nation"), f"{lake}/nation_ice")
+    cust = load(spark, sf_dir, "customer")
+    write_hudi(cust, f"{lake}/cust_hudi", "c_custkey",
+               "19700101000000001", op="bulk_insert")
+    write_hudi(
+        cust.limit(50).withColumn("c_acctbal", F.col("c_acctbal") + 1),
+        f"{lake}/cust_hudi", "c_custkey", "19700101000000002", op="upsert",
+    )
+    load(spark, sf_dir, "region").write.mode("overwrite").parquet(
+        f"{lake}/region_pq"
+    )
+    catalog = crawl(spark, lake)
+    return (
+        catalog["dataset"]
+        .select("dataset", "format", "num_rows")
+        .orderBy("dataset")
+    )
+
+
+@register(
+    "crawl_table_history",
+    group="B",
+    oracle="""
+    select 'orders_delta' as dataset, 'delta' as format,
+           cast(3 as bigint) as n_commits, 'OPTIMIZE' as last_operation
+    union all select 'nation_ice', 'iceberg', 2, 'append'
+    union all select 'cust_hudi', 'hudi', 2, 'UPSERT'
+    """,
+)
+def crawl_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: uniform table-history catalog — the crawler reads each
+    format's own commit metadata (Delta log, Iceberg snapshot list,
+    Hudi timeline) into one (dataset, format, n_commits,
+    last_operation) view, the governance surface an operator checks
+    before trusting a table. Histories are deterministic by
+    construction: delta = overwrite+append+OPTIMIZE, iceberg =
+    overwrite+append, hudi = bulk_insert+upsert; the oracle states
+    them as literals. Metadata-only: no data files are scanned."""
+    import shutil as _shutil
+
+    from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.sources.delta_native import (
+        delta_history,
+        optimize_delta,
+        write_delta,
+    )
+    from datalakecrawler_spark.sources.hudi_native import (
+        hudi_timeline,
+        write_hudi,
+    )
+    from datalakecrawler_spark.sources.iceberg_native import (
+        iceberg_snapshots,
+        write_iceberg,
+    )
+    from datalakecrawler_spark.sources.scans import _tmp
+
+    lake = _tmp("lakehouse_hist")
+    _shutil.rmtree(lake, ignore_errors=True)
+    os.makedirs(lake)
+    orders = load(spark, sf_dir, "orders")
+    d = f"{lake}/orders_delta"
+    write_delta(orders.where(F.col("o_orderstatus") == "F").repartition(4), d)
+    write_delta(orders.where(F.col("o_orderstatus") == "P"), d, "append")
+    optimize_delta(spark, d)
+    i = f"{lake}/nation_ice"
+    nation = load(spark, sf_dir, "nation")
+    write_iceberg(nation.limit(10), i, "overwrite")
+    write_iceberg(nation.limit(5), i, "append")
+    h = f"{lake}/cust_hudi"
+    cust = load(spark, sf_dir, "customer")
+    write_hudi(cust, h, "c_custkey", "19700101000000001", op="bulk_insert")
+    write_hudi(cust.limit(50), h, "c_custkey", "19700101000000002", op="upsert")
+
+    dh = delta_history(d)
+    isnaps = iceberg_snapshots(i)
+    ht = hudi_timeline(h)
+    rows = [
+        ("orders_delta", "delta", len(dh), dh[-1]["operation"]),
+        ("nation_ice", "iceberg", len(isnaps), isnaps[-1]["operation"]),
+        ("cust_hudi", "hudi", len(ht), ht[-1]["operation"]),
+    ]
+    return spark.createDataFrame(
+        rows, "dataset string, format string, n_commits long, last_operation string"
+    )

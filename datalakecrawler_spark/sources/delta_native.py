@@ -844,11 +844,14 @@ def read_delta_incremental(
 
 
 def delta_history(path: str) -> list[dict]:
-    """Per-version summary from the log: files added/removed, mode."""
+    """Per-version summary from the log: files added/removed, the
+    commitInfo operation (WRITE/OPTIMIZE/MERGE), and the write mode
+    where the operation has one."""
     out = []
     for v in _list_versions(path):
         n_add = n_remove = 0
         mode = None
+        operation = None
         with open(_commit_file(path, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -859,8 +862,17 @@ def delta_history(path: str) -> list[dict]:
                 elif "remove" in a:
                     n_remove += 1
                 elif "commitInfo" in a:
+                    operation = a["commitInfo"].get("operation")
                     mode = a["commitInfo"]["operationParameters"].get("mode")
-        out.append({"version": v, "n_add": n_add, "n_remove": n_remove, "mode": mode})
+        out.append(
+            {
+                "version": v,
+                "n_add": n_add,
+                "n_remove": n_remove,
+                "mode": mode,
+                "operation": operation,
+            }
+        )
     return out
 
 
