@@ -102,6 +102,16 @@ def _manifest_entry_schema(pfields: list[tuple[str, str]] | None = None) -> dict
 _DATA_FILE_SCHEMA = _data_file_schema()
 _MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema()
 
+_FIELD_SUMMARY_SCHEMA = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511},
+    ],
+}
+
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
@@ -113,11 +123,60 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_data_files_count", "type": ["null", "int"], "field-id": 504},
         {"name": "existing_data_files_count", "type": ["null", "int"], "field-id": 505},
         {"name": "deleted_data_files_count", "type": ["null", "int"], "field-id": 506},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY_SCHEMA}],
+            "field-id": 507,
+        },
         {"name": "added_rows_count", "type": ["null", "long"], "field-id": 512},
         {"name": "existing_rows_count", "type": ["null", "long"], "field-id": 513},
         {"name": "deleted_rows_count", "type": ["null", "long"], "field-id": 514},
     ],
 }
+
+
+def _bound_ser(val, avro_t: str) -> bytes:
+    """Iceberg single-value serialization for partition bounds: int =
+    4-byte LE, long = 8-byte LE, string = UTF-8."""
+    import struct as _struct
+
+    if avro_t == "int":
+        return _struct.pack("<i", val)
+    if avro_t == "long":
+        return _struct.pack("<q", val)
+    return str(val).encode("utf-8")
+
+
+def _bound_deser(b: bytes, avro_t: str):
+    import struct as _struct
+
+    if avro_t == "int":
+        return _struct.unpack("<i", b)[0]
+    if avro_t == "long":
+        return _struct.unpack("<q", b)[0]
+    return b.decode("utf-8")
+
+
+def _manifest_pruned(mf: dict, partition_filter: dict, pfields) -> bool:
+    """True when the manifest's field summaries prove NO entry can
+    match the filter — the whole manifest Avro is then skipped without
+    being read. Conservative: a manifest without summaries (older
+    writer) is never pruned."""
+    summaries = mf.get("partitions")
+    if not summaries:
+        return False
+    for i, (name, avro_t) in enumerate(pfields):
+        if name not in partition_filter or i >= len(summaries):
+            continue
+        s = summaries[i]
+        if s["lower_bound"] is None or s["upper_bound"] is None:
+            continue
+        v = partition_filter[name]
+        lo = _bound_deser(s["lower_bound"], avro_t)
+        hi = _bound_deser(s["upper_bound"], avro_t)
+        if v < lo or v > hi:
+            return True
+    return False
 
 # manifest_entry.status values (spec)
 _ST_EXISTING, _ST_ADDED, _ST_DELETED = 0, 1, 2
@@ -278,7 +337,16 @@ def read_iceberg(
         raise ValueError(f"snapshot {sid} not in table (have {sorted(snaps)})")
     snap = snaps[sid]
     files: list[str] = []
+    ice_types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    read_pfields = [
+        (f["name"], ice_types.get(f["name"], "string"))
+        for f in meta.get("partition-specs", [{}])[0].get("fields", [])
+    ]
     for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
+        if partition_filter and _manifest_pruned(
+            mf, partition_filter, read_pfields
+        ):
+            continue  # whole manifest skipped — its Avro is never read
         for entry in _decode_avro_records(_resolve(path, mf["manifest_path"])):
             if entry["status"] == _ST_DELETED:
                 continue
@@ -430,6 +498,18 @@ def write_iceberg(
             fh, _manifest_entry_schema(pfields), "deflate", sync_seed=manifest_rel
         )
         w.write_block(entries)
+    summaries = None
+    if pfields and entries:
+        summaries = []
+        for name, avro_t in pfields:
+            vals = [e["data_file"]["partition"][name] for e in entries]
+            summaries.append(
+                {
+                    "contains_null": False,
+                    "lower_bound": _bound_ser(min(vals), avro_t),
+                    "upper_bound": _bound_ser(max(vals), avro_t),
+                }
+            )
     new_manifest = {
         "manifest_path": manifest_rel,
         "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
@@ -438,6 +518,7 @@ def write_iceberg(
         "added_data_files_count": len(entries),
         "existing_data_files_count": 0,
         "deleted_data_files_count": 0,
+        "partitions": summaries,
         "added_rows_count": n_rows_total,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
@@ -449,9 +530,12 @@ def write_iceberg(
         prior_snap = {
             s["snapshot-id"]: s for s in prior_meta.get("snapshots", [])
         }[prior_meta["current-snapshot-id"]]
-        manifests += _decode_avro_records(
-            _resolve(path, prior_snap["manifest-list"])
-        )
+        reused = _decode_avro_records(_resolve(path, prior_snap["manifest-list"]))
+        for m in reused:
+            # manifests from a pre-summary writer lack the optional
+            # partitions field; re-encode them with an explicit null
+            m.setdefault("partitions", None)
+        manifests += reused
     ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
     with open(os.path.join(path, ml_rel), "wb") as fh:
         w = AvroDatumFileWriter(

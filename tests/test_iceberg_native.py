@@ -269,3 +269,60 @@ def test_partitioned_writes_and_entry_pruning(spark, tmp_path):
             str(tmp_path / "bad"),
             partition_by=["f"],
         )
+
+
+def test_manifest_summaries_skip_whole_manifests(spark, tmp_path, monkeypatch):
+    """Appends that each cover a disjoint partition range produce
+    manifests with field summaries (spec field-id 507); a filtered
+    read must skip non-matching manifests WITHOUT reading their Avro —
+    counted via the decode hook. Summary-less manifests are never
+    pruned (conservative)."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_summaries")
+    src = load(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year(F.to_date("o_orderdate"))
+    )
+    years = sorted(r[0] for r in src.select("o_year").distinct().collect())
+    assert len(years) >= 3
+    ice.write_iceberg(
+        src.where(F.col("o_year") == years[0]), path, "overwrite",
+        partition_by=["o_year"],
+    )
+    for y in years[1:3]:
+        ice.write_iceberg(
+            src.where(F.col("o_year") == y), path, "append",
+            partition_by=["o_year"],
+        )
+
+    decoded = []
+    real = ice._decode_avro_records
+
+    def counting(fname):
+        decoded.append(os.path.basename(fname))
+        return real(fname)
+
+    monkeypatch.setattr(ice, "_decode_avro_records", counting)
+    out = ice.read_iceberg(spark, path, partition_filter={"o_year": years[0]})
+    assert out.count() == src.where(F.col("o_year") == years[0]).count()
+    manifests_read = [f for f in decoded if f.startswith("manifest-")]
+    assert len(manifests_read) == 1, manifests_read  # 2 of 3 skipped
+
+    # prune logic: summary-less manifests always survive
+    assert not ice._manifest_pruned({}, {"o_year": 1}, [("o_year", "int")])
+    assert not ice._manifest_pruned(
+        {"partitions": None}, {"o_year": 1}, [("o_year", "int")]
+    )
+    s = {
+        "partitions": [
+            {
+                "contains_null": False,
+                "lower_bound": ice._bound_ser(1995, "int"),
+                "upper_bound": ice._bound_ser(1996, "int"),
+            }
+        ]
+    }
+    assert ice._manifest_pruned(s, {"o_year": 1994}, [("o_year", "int")])
+    assert not ice._manifest_pruned(s, {"o_year": 1995}, [("o_year", "int")])
+    # string bounds round-trip
+    assert ice._bound_deser(ice._bound_ser("ASIA", "string"), "string") == "ASIA"
