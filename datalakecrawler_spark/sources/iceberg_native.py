@@ -29,10 +29,11 @@ the type mapping covers the scalar surface + date/timestamp (nested
 Iceberg types would map through the same recursive machinery as the
 Avro codec if ever needed). Identity partition specs are first-class:
 the writer records typed partition values in each manifest entry's
-r102 record and ``read_iceberg``'s partition_filter prunes entries at
-the metadata level (manifest-level SUMMARY skipping — dropping whole
-manifests by bounds — is the remaining optimization; non-identity
-transforms raise).
+r102 record plus per-manifest field summaries (field-id 507), and
+``read_iceberg``'s partition_filter prunes at BOTH metadata levels —
+whole manifests whose summary bounds exclude the filter are skipped
+without being read, then surviving entries prune file-by-file
+(non-identity transforms raise).
 
 Manifest files carry the spec's well-known field-ids (100-105 for
 data_file, 500-514 for manifest_file) in the Avro schemas so strict
