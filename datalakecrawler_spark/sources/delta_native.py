@@ -42,6 +42,7 @@ import hashlib
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -317,7 +318,7 @@ def write_delta(
             ]
 
     # 1) data files: Spark's executor-parallel parquet writer
-    stage = os.path.join(path, f"_stage-{version:020d}")
+    stage = os.path.join(path, f"_stage-{version:020d}-{uuid.uuid4().hex[:8]}")
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -326,13 +327,17 @@ def write_delta(
     # deterministic mtime stand-in keeps commits reproducible byte-for-
     # byte across reruns (wall clock is not part of query semantics)
     mtime = now_ms if now_ms is not None else 0
+    # writer-unique physical file names (the Delta convention): two
+    # writers racing the same version must never rename onto each
+    # other's data files
+    tok = uuid.uuid4().hex[:8]
     staged = sorted(
         glob.glob(os.path.join(stage, *["*=*"] * len(partition_by), "part-*.parquet"))
     )
     for i, f in enumerate(staged):
         pdir = os.path.relpath(os.path.dirname(f), stage) if partition_by else ""
         pvals = dict(seg.split("=", 1) for seg in pdir.split(os.sep) if "=" in seg)
-        rel = os.path.join(pdir, f"part-{version:05d}-{i:05d}-c000.parquet").lstrip(
+        rel = os.path.join(pdir, f"part-{version:05d}-{i:05d}-{tok}-c000.parquet").lstrip(
             "./"
         )
         os.makedirs(os.path.dirname(os.path.join(path, rel)) or path, exist_ok=True)
@@ -393,9 +398,22 @@ def write_delta(
         }
     )
 
-    # 3) publish: temp file + atomic rename = the visibility switch
-    _publish_commit(path, version, actions)
-    return version
+    # 3) publish: put-if-absent on the version file = the commit lock.
+    # Blind appends commute, so losing the race just means retrying at
+    # the next version with the same adds (per the protocol's conflict
+    # rules); overwrite's remove set was computed against a snapshot
+    # that is now stale, so its conflict surfaces to the caller.
+    while True:
+        try:
+            _publish_commit(path, version, actions)
+            return version
+        except CommitConflict:
+            if mode != "append":
+                raise
+            if txn is not None and last_txn_version(path, txn[0]) >= txn[1]:
+                return None  # the racing commit already recorded our epoch
+            version += 1
+            actions = [a for a in actions if "protocol" not in a]
 
 
 def skip_files(
@@ -478,12 +496,32 @@ def read_delta(
     return reader.parquet(*files)
 
 
+class CommitConflict(Exception):
+    """Another writer already published this version — the optimistic-
+    concurrency signal. Blind appends retry at the next version;
+    operations whose action set depends on the read snapshot
+    (overwrite/OPTIMIZE/MERGE) surface it to the caller."""
+
+
 def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
-    tmp = _commit_file(path, version) + ".tmp"
+    """Atomic put-if-absent: the version file is the commit lock, per
+    protocol. os.link refuses to clobber an existing name (the local-FS
+    equivalent of an object store's conditional put), so two writers
+    racing to version N cannot silently lose one commit — the loser
+    gets CommitConflict."""
+    dest = _commit_file(path, version)
+    tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"  # per-call: threads share a pid
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a, sort_keys=True) + "\n")
-    os.replace(tmp, _commit_file(path, version))
+    try:
+        os.link(tmp, dest)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def checkpoint_delta(path: str) -> dict:
@@ -629,12 +667,12 @@ def optimize_delta(
         *[os.path.join(path, rel) for rel in small]
     )
     new_version = version + 1
-    stage = os.path.join(path, f"_stage-{new_version:020d}")
+    stage = os.path.join(path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}")
     df.coalesce(n_out).write.mode("overwrite").parquet(stage)
     actions: list[dict] = []
     adds = []
     for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
-        rel = f"part-{new_version:05d}-{i:05d}-c000.parquet"
+        rel = f"part-{new_version:05d}-{i:05d}-{uuid.uuid4().hex[:8]}-c000.parquet"
         os.replace(f, os.path.join(path, rel))
         adds.append(
             {
@@ -727,7 +765,7 @@ def merge_delta(
         new_df = changes
 
     new_version = version + 1
-    stage = os.path.join(path, f"_stage-{new_version:020d}")
+    stage = os.path.join(path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}")
     new_df.write.mode("overwrite").parquet(stage)
     actions: list[dict] = [
         {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
@@ -735,7 +773,7 @@ def merge_delta(
     ]
     n_add = 0
     for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
-        rel = f"part-{new_version:05d}-{i:05d}-c000.parquet"
+        rel = f"part-{new_version:05d}-{i:05d}-{uuid.uuid4().hex[:8]}-c000.parquet"
         os.replace(f, os.path.join(path, rel))
         actions.append(
             {

@@ -145,9 +145,13 @@ def test_commits_are_deterministic(spark, tmp_path):
     write_delta(src, p2, "overwrite")
 
     def log0(p):
+        import re
+
         with open(os.path.join(p, "_delta_log", f"{0:020d}.json")) as fh:
-            # table id derives from the path — normalize it out
-            return fh.read().replace(p, "<path>")
+            # table id derives from the path; the physical-file token
+            # is writer-unique (concurrency safety) — normalize both
+            txt = fh.read().replace(p, "<path>")
+        return re.sub(r"part-(\d{5})-(\d{5})-[0-9a-f]{8}-c000", r"part-\1-\2-<tok>-c000", txt)
 
     a, b = log0(p1), log0(p2)
     a = "\n".join(l for l in a.splitlines() if '"metaData"' not in l)
@@ -508,3 +512,53 @@ def test_checkpoint_accelerates_replay(spark, tmp_path):
         json.dump({"version": 0, "parts": 2}, fh)
     with pytest.raises(NotImplementedError, match="multi-part"):
         read_delta(spark, p2)
+
+
+def test_concurrent_commits_never_lose_an_append(spark, tmp_path):
+    """The version file is a put-if-absent commit lock: racing appends
+    retry at the next version; no commit is silently overwritten."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from datalakecrawler_spark.sources.delta_native import (
+        CommitConflict,
+        _publish_commit,
+    )
+
+    path = str(tmp_path / "delta_occ")
+    src = load(spark, SF_DIR, "nation")
+    write_delta(src, path, "overwrite")
+
+    # direct conflict: same version published twice
+    with pytest.raises(CommitConflict, match="version 1"):
+        _publish_commit(path, 1, [{"commitInfo": {"operation": "X",
+                                                  "operationParameters": {}}}])
+        _publish_commit(path, 1, [{"commitInfo": {"operation": "X",
+                                                  "operationParameters": {}}}])
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+
+    # racing appends: all 6 land, every row survives
+    slices = [src.where(F.col("n_nationkey") % 6 == i) for i in range(6)]
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        got = list(ex.map(lambda df: write_delta(df, path, "append"), slices))
+    assert sorted(got) == [1, 2, 3, 4, 5, 6], got
+    assert read_delta(spark, path).count() == src.count() * 2
+    assert len(delta_history(path)) == 7
+
+    # overwrite losing the race surfaces the conflict (stale snapshot)
+    import datalakecrawler_spark.sources.delta_native as dn
+
+    real = dn._publish_commit
+    calls = {"n": 0}
+
+    def flaky(path_, version_, actions_):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise CommitConflict("simulated")
+        return real(path_, version_, actions_)
+
+    try:
+        dn._publish_commit = flaky
+        with pytest.raises(CommitConflict):
+            write_delta(src, path, "overwrite")
+    finally:
+        dn._publish_commit = real
