@@ -191,7 +191,22 @@ def write_hudi(
             )
 
     # Timeline state machine: requested -> inflight -> completed.
-    open(os.path.join(tdir, f"{instant}.commit.requested"), "w").close()
+    # The requested marker is created exclusively (O_EXCL — the local
+    # form of a conditional put): two writers claiming the same
+    # instant fail loudly at the claim, not by clobbering each other's
+    # base files mid-write.
+    try:
+        os.close(
+            os.open(
+                os.path.join(tdir, f"{instant}.commit.requested"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        )
+    except FileExistsError:
+        raise RuntimeError(
+            f"instant {instant!r} is already claimed by another writer "
+            "(requested marker exists); pick a later instant"
+        ) from None
     open(os.path.join(tdir, f"{instant}.inflight"), "w").close()
 
     # The file name is derivable from the bucket because the bucket

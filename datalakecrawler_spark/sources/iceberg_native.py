@@ -594,14 +594,40 @@ def write_iceberg(
         + [snapshot],
         "snapshot-log": [],
     }
+    _publish_metadata(path, version, meta)
+    return snapshot_id
+
+
+class IcebergCommitConflict(Exception):
+    """Another writer published this metadata version first. The data
+    files and manifest Avro this commit wrote remain valid; re-read
+    the table metadata, rebuild the manifest list against the new
+    current snapshot, and retry — the catalog-swap OCC loop every
+    Iceberg writer runs."""
+
+
+def _publish_metadata(path: str, version: int, meta: dict) -> None:
+    """Atomic put-if-absent on v{N}.metadata.json (the commit lock —
+    on an object store, a conditional put; against a catalog, a CAS
+    swap), then the version-hint update as the visibility switch.
+    Racing writers fail loudly instead of silently last-write-winning
+    the same metadata version."""
     mfile = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
-    with open(mfile + ".tmp", "w") as fh:
+    tmp = mfile + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
         json.dump(meta, fh, sort_keys=True, indent=1)
-    os.replace(mfile + ".tmp", mfile)
+    try:
+        os.link(tmp, mfile)
+    except FileExistsError:
+        raise IcebergCommitConflict(
+            f"metadata version {version} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
     with open(hint + ".tmp", "w") as fh:
         fh.write(str(version))
     os.replace(hint + ".tmp", hint)
-    return snapshot_id
 
 
 def expire_snapshots(path: str, retain_last: int = 1) -> dict:
@@ -650,14 +676,7 @@ def expire_snapshots(path: str, retain_last: int = 1) -> dict:
         + 1
     )
     meta["snapshots"] = keep
-    mfile = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
-    with open(mfile + ".tmp", "w") as fh:
-        json.dump(meta, fh, sort_keys=True, indent=1)
-    os.replace(mfile + ".tmp", mfile)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    with open(hint + ".tmp", "w") as fh:
-        fh.write(str(version))
-    os.replace(hint + ".tmp", hint)
+    _publish_metadata(path, version, meta)
     return {
         "expired": [s["snapshot-id"] for s in expired],
         "data_files_deleted": len([d for d in doomed if d.startswith("data")]),

@@ -88,7 +88,20 @@ def txlog_write(
     tmp = os.path.join(_manifest_dir(base), f".{version:05d}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(_manifest_dir(base), f"{version:05d}.json"))
+    # put-if-absent: the manifest file is the commit lock (os.link
+    # refuses to clobber — the local form of the conditional put the
+    # module doc names); a racing writer fails loudly instead of
+    # silently last-write-winning the version
+    dest = os.path.join(_manifest_dir(base), f"{version:05d}.json")
+    try:
+        os.link(tmp, dest)
+    except FileExistsError:
+        raise RuntimeError(
+            f"txlog version {version} was committed concurrently at "
+            f"{base}; re-read HEAD and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return version
 
 

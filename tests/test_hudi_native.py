@@ -311,3 +311,15 @@ def test_partitioned_layout_and_bounded_upsert(spark, tmp_path):
         write_hudi(src.limit(5), path, "c_custkey", "19700101000000003")
     with pytest.raises(ValueError, match="no file slices"):
         read_hudi(spark, path, partition_path="NOPE")
+
+
+def test_instant_claim_is_exclusive(spark, tmp_path):
+    """A second writer claiming an already-requested instant fails at
+    the claim (O_EXCL marker), before touching any base files."""
+    path = str(tmp_path / "hudi_claim")
+    src = load(spark, SF_DIR, "nation")
+    write_hudi(src, path, "n_nationkey", _T1, op="bulk_insert")
+    # simulate a writer mid-flight on _T2
+    open(os.path.join(path, ".hoodie", f"{_T2}.commit.requested"), "w").close()
+    with pytest.raises(RuntimeError, match="already claimed"):
+        write_hudi(src.limit(5), path, "n_nationkey", _T2, op="upsert")

@@ -326,3 +326,23 @@ def test_manifest_summaries_skip_whole_manifests(spark, tmp_path, monkeypatch):
     assert not ice._manifest_pruned(s, {"o_year": 1995}, [("o_year", "int")])
     # string bounds round-trip
     assert ice._bound_deser(ice._bound_ser("ASIA", "string"), "string") == "ASIA"
+
+
+def test_concurrent_metadata_publish_conflicts_loudly(spark, tmp_path):
+    """Two writers racing to the same metadata version: the second
+    put-if-absent fails with IcebergCommitConflict instead of silently
+    replacing the first commit."""
+    from datalakecrawler_spark.sources.iceberg_native import (
+        IcebergCommitConflict,
+        _publish_metadata,
+        _read_metadata,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_occ")
+    write_iceberg(load(spark, SF_DIR, "nation"), path, "overwrite")
+    meta = _read_metadata(path)
+    with pytest.raises(IcebergCommitConflict, match="version 1"):
+        _publish_metadata(path, 1, meta)
+    # the original commit is intact
+    assert _read_metadata(path)["current-snapshot-id"] == 1
