@@ -25,6 +25,15 @@ explode-shaped frame outputs.
 
 Scale: mapInPandas streams Arrow batches — peak memory is one batch,
 not one partition; binary payloads never pass through the driver.
+
+Input contract (pinned r6): the text fed to the synth codecs is UTF-8
+TEXT — any Python str that ``str.encode("utf-8")`` accepts. Lone
+surrogates (Unicode category Cs) are NOT valid UTF-8 and are rejected
+with a ValueError at the codec boundary; this matches the DuckDB
+oracle side, whose ``hex(encode(text))`` arithmetic is defined only
+over real UTF-8 strings (DuckDB VARCHARs cannot even hold a lone
+surrogate). The fixture corpus contains no surrogates, so this guard
+is unreachable on driver-parity paths.
 """
 
 from __future__ import annotations
@@ -85,6 +94,19 @@ def bmp_dims(doc_id: int) -> tuple[int, int]:
     return 8 + (doc_id * 7) % 24, 8 + (doc_id * 13) % 16
 
 
+def _utf8_or_raise(text: str) -> bytes:
+    """Enforce the module's input contract: text must be UTF-8-encodable
+    (no lone surrogates). See module doc — the DuckDB oracle arithmetic
+    is defined over hex(encode(text)), which only exists for real UTF-8."""
+    try:
+        return text.encode("utf-8")
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            "multimodal codec contract is UTF-8 text; input contains a "
+            f"non-encodable code point ({e.reason} at {e.start})"
+        ) from e
+
+
 def synth_bmp(doc_id: int, text: str) -> bytes:
     """Deterministic REAL 24-bit BMP: dimensions from doc_id, pixel
     bytes cycled from the document's utf-8 bytes (continuous in pixel
@@ -93,7 +115,7 @@ def synth_bmp(doc_id: int, text: str) -> bytes:
     import numpy as np
 
     w, h = bmp_dims(doc_id)
-    src = np.frombuffer(text.encode("utf-8") or b"\x00", dtype=np.uint8)
+    src = np.frombuffer(_utf8_or_raise(text) or b"\x00", dtype=np.uint8)
     row_size = (w * 3 + 3) // 4 * 4
     rows = np.resize(src, h * w * 3).reshape(h, w * 3)  # cycles src
     padded = np.zeros((h, row_size), dtype=np.uint8)
@@ -156,7 +178,7 @@ def synth_wav(doc_id: int, text: str) -> bytes:
     """Deterministic REAL RIFF/WAVE (mono, 16 kHz, 16-bit PCM): sample
     values derived from the document bytes — a real WAV reader plays
     these."""
-    src = text.encode("utf-8") or b"\x00"
+    src = _utf8_or_raise(text) or b"\x00"
     n = min(2400, max(800, len(src)))
     samples = [
         ((src[i % len(src)] * 257 + i * 131 + doc_id * 17) % 2048 - 1024) * 16

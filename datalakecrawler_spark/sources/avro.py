@@ -684,20 +684,29 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> DataFrame:
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.avro")
+        # Task-attempt isolation: a speculative or retried attempt for
+        # the same partition must never interleave writes with the
+        # first attempt's file handle — stage under an attempt-unique
+        # temp name, then os.replace (atomic, last-complete-attempt
+        # wins) into the final name. The sync marker stays seeded by
+        # the FINAL name so output bytes are attempt-independent.
+        tmp = f"{fname}.attempt-{ctx.taskAttemptId()}.tmp"
         writer = None
         fh = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if writer is None:
-                fh = open(fname, "wb")
+                fh = open(tmp, "wb")
                 writer = AvroFileWriter(fh, fields, codec, sync_seed=fname)
             writer.write_block(pdf)
         if writer is None:
             return  # empty partition: no file
         fh.close()
+        os.replace(tmp, fname)
         yield pd.DataFrame(
             {"file": [os.path.basename(fname)],
              "n_rows": [writer.n_rows], "n_blocks": [writer.n_blocks]}

@@ -42,6 +42,7 @@ import hashlib
 import json
 import os
 import shutil
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -230,6 +231,46 @@ def _file_stats_json(fpath: str) -> str:
     )
 
 
+def _enforce_or_merge_schema(
+    writer_fields: list[dict],
+    prior_schema: str,
+    mode: str,
+    merge_schema: bool,
+) -> list[dict]:
+    """Schema enforcement with explicit evolution (the Delta
+    mergeSchema contract): an append whose schema differs from the
+    table's refuses unless ``merge_schema=True``, in which case the
+    committed schema becomes prior ∪ new (prior order kept, new
+    columns appended; type conflicts always refuse). Old files simply
+    lack the new columns — the explicit-schema read serves NULLs
+    there, per protocol. Factored out so the OCC retry path can
+    re-run it against the post-conflict head (see write_delta's
+    publish loop)."""
+    prior_fields = json.loads(prior_schema)["fields"]
+    prior_by_name = {f["name"]: f for f in prior_fields}
+    conflicts = [
+        f["name"]
+        for f in writer_fields
+        if f["name"] in prior_by_name
+        and f["type"] != prior_by_name[f["name"]]["type"]
+    ]
+    if conflicts:
+        raise ValueError(f"column type changes are not evolvable: {conflicts}")
+    new_names = {f["name"] for f in writer_fields}
+    if mode == "append" and new_names != set(prior_by_name):
+        if not merge_schema:
+            raise ValueError(
+                "append schema differs from the table schema "
+                f"(new: {sorted(new_names - set(prior_by_name))}, "
+                f"missing: {sorted(set(prior_by_name) - new_names)}); "
+                "pass merge_schema=True to evolve"
+            )
+        return prior_fields + [
+            f for f in writer_fields if f["name"] not in prior_by_name
+        ]
+    return writer_fields
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -276,7 +317,8 @@ def write_delta(
     versions = _list_versions(path)
     version = (versions[-1] + 1) if versions else 0
     prior_active: dict[str, dict] = {}
-    schema_fields = [f.jsonValue() for f in df.schema.fields]
+    writer_fields = [f.jsonValue() for f in df.schema.fields]
+    schema_fields = writer_fields
     if versions:
         prior_active, prior_schema, _, prior_parts = _replay(path, None)
         if prior_parts != partition_by:
@@ -285,37 +327,9 @@ def write_delta(
                 f"declares {partition_by} — partitioning is fixed at "
                 "table creation"
             )
-        # Schema enforcement with explicit evolution (the Delta
-        # mergeSchema contract): an append whose schema differs from
-        # the table's refuses unless merge_schema=True, in which case
-        # the committed schema becomes prior ∪ new (prior order kept,
-        # new columns appended; type conflicts refuse). Old files
-        # simply lack the new columns — the explicit-schema read
-        # serves NULLs there, per protocol.
-        prior_fields = json.loads(prior_schema)["fields"]
-        prior_by_name = {f["name"]: f for f in prior_fields}
-        conflicts = [
-            f["name"]
-            for f in schema_fields
-            if f["name"] in prior_by_name
-            and f["type"] != prior_by_name[f["name"]]["type"]
-        ]
-        if conflicts:
-            raise ValueError(
-                f"column type changes are not evolvable: {conflicts}"
-            )
-        new_names = {f["name"] for f in schema_fields}
-        if mode == "append" and new_names != set(prior_by_name):
-            if not merge_schema:
-                raise ValueError(
-                    "append schema differs from the table schema "
-                    f"(new: {sorted(new_names - set(prior_by_name))}, "
-                    f"missing: {sorted(set(prior_by_name) - new_names)}); "
-                    "pass merge_schema=True to evolve"
-                )
-            schema_fields = prior_fields + [
-                f for f in schema_fields if f["name"] not in prior_by_name
-            ]
+        schema_fields = _enforce_or_merge_schema(
+            writer_fields, prior_schema, mode, merge_schema
+        )
 
     # 1) data files: Spark's executor-parallel parquet writer
     stage = os.path.join(path, f"_stage-{version:020d}-{uuid.uuid4().hex[:8]}")
@@ -336,7 +350,17 @@ def write_delta(
     )
     for i, f in enumerate(staged):
         pdir = os.path.relpath(os.path.dirname(f), stage) if partition_by else ""
-        pvals = dict(seg.split("=", 1) for seg in pdir.split(os.sep) if "=" in seg)
+        # Spark's hive-style writer %XX-escapes special characters in
+        # partition directory names; the Delta protocol stores DECODED
+        # string values in partitionValues (the file path keeps the
+        # escaped on-disk form), so external readers and our own
+        # partition_filter see the real value.
+        pvals = {
+            k: urllib.parse.unquote(v)
+            for k, v in (
+                seg.split("=", 1) for seg in pdir.split(os.sep) if "=" in seg
+            )
+        }
         rel = os.path.join(pdir, f"part-{version:05d}-{i:05d}-{tok}-c000.parquet").lstrip(
             "./"
         )
@@ -399,10 +423,14 @@ def write_delta(
     )
 
     # 3) publish: put-if-absent on the version file = the commit lock.
-    # Blind appends commute, so losing the race just means retrying at
-    # the next version with the same adds (per the protocol's conflict
-    # rules); overwrite's remove set was computed against a snapshot
-    # that is now stale, so its conflict surfaces to the caller.
+    # Blind appends commute, so losing the race means retrying at the
+    # new head's next version with the same adds (per the protocol's
+    # conflict rules) — but the metaData action must be REBUILT against
+    # the post-conflict head: if the winner was a merge_schema append,
+    # re-publishing our pre-conflict (narrower) schemaString would
+    # silently revert the evolution. Overwrite's remove set was
+    # computed against a snapshot that is now stale, so its conflict
+    # surfaces to the caller.
     while True:
         try:
             _publish_commit(path, version, actions)
@@ -412,7 +440,23 @@ def write_delta(
                 raise
             if txn is not None and last_txn_version(path, txn[0]) >= txn[1]:
                 return None  # the racing commit already recorded our epoch
-            version += 1
+            _, head_schema, head_v, head_parts = _replay(path, None)
+            if head_parts != partition_by:
+                raise ValueError(
+                    f"table is partitioned by {head_parts} after a "
+                    f"concurrent commit; this commit declares "
+                    f"{partition_by} — partitioning is fixed at table "
+                    "creation"
+                )
+            schema_fields = _enforce_or_merge_schema(
+                writer_fields, head_schema, mode, merge_schema
+            )
+            for a in actions:
+                if "metaData" in a:
+                    a["metaData"]["schemaString"] = json.dumps(
+                        {"type": "struct", "fields": schema_fields}
+                    )
+            version = head_v + 1
             actions = [a for a in actions if "protocol" not in a]
 
 

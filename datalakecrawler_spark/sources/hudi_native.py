@@ -50,6 +50,9 @@ import hashlib
 import json
 import os
 import shutil
+import urllib.parse
+
+import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -183,18 +186,14 @@ def write_hudi(
                 f"declares {partition_by or ''!r} — partitioning is fixed "
                 "at table creation"
             )
-        done = _completed_instants(path)
-        if done and done[-1] >= instant:
-            raise ValueError(
-                f"instant {instant!r} is not after the last completed "
-                f"instant {done[-1]!r} (timeline must be monotonic)"
-            )
-
     # Timeline state machine: requested -> inflight -> completed.
     # The requested marker is created exclusively (O_EXCL — the local
     # form of a conditional put): two writers claiming the same
     # instant fail loudly at the claim, not by clobbering each other's
-    # base files mid-write.
+    # base files mid-write. The claim happens BEFORE the monotonicity
+    # read below (mirroring delta_native's commit-lock discipline) so
+    # the validation runs under the claim, and it is re-checked again
+    # immediately before the put-if-absent .commit publish.
     try:
         os.close(
             os.open(
@@ -207,6 +206,40 @@ def write_hudi(
             f"instant {instant!r} is already claimed by another writer "
             "(requested marker exists); pick a later instant"
         ) from None
+    try:
+        done = _completed_instants(path)
+        if done and done[-1] >= instant:
+            raise ValueError(
+                f"instant {instant!r} is not after the last completed "
+                f"instant {done[-1]!r} (timeline must be monotonic)"
+            )
+        return _write_hudi_claimed(
+            df, path, record_key, instant, op, partition_by, tdir, first
+        )
+    except BaseException:
+        # release the claim — a failed attempt must not permanently
+        # burn the instant (data staged under it is invisible to
+        # readers, who only follow completed instants)
+        for sfx in ("inflight", "commit.requested"):
+            try:
+                os.remove(os.path.join(tdir, f"{instant}.{sfx}"))
+            except FileNotFoundError:
+                pass
+        raise
+
+
+def _write_hudi_claimed(
+    df: DataFrame,
+    path: str,
+    record_key: str,
+    instant: str,
+    op: str,
+    partition_by: str | None,
+    tdir: str,
+    first: bool,
+) -> str:
+    """write_hudi's body, run while holding the instant's requested
+    marker (the claim); the caller releases the markers on failure."""
     open(os.path.join(tdir, f"{instant}.inflight"), "w").close()
 
     # The file name is derivable from the bucket because the bucket
@@ -302,18 +335,12 @@ def write_hudi(
         .partitionBy(*stage_cols)
         .parquet(stage)
     )
-    # Per-group record counts in ONE job over the just-written stage:
-    # the group key is a partition column there, so the count prunes
-    # to zero data columns (footer-only), instead of a job per file.
-    spark = df.sparkSession
-    group_counts = {
-        ((r[0] if partition_by else ""), r[int(bool(partition_by))]): r[-1]
-        for r in spark.read.parquet(stage)
-        .groupBy(*stage_cols)
-        .count()
-        .collect()
-    }
-
+    # Per-group record counts come straight from each staged file's
+    # parquet FOOTER (num_rows) in the directory loop below — no Spark
+    # job, and no re-inferred-partition-type mismatch: reading the
+    # stage back through Spark would re-infer __ppath as date/int for
+    # date- or numeric-valued partitions while this loop keys by the
+    # directory-name string.
     per_partition: dict[str, list] = {}
     bucket_dirs = (
         glob.glob(os.path.join(stage, "__ppath=*", "__bucket=*"))
@@ -322,8 +349,14 @@ def write_hudi(
     )
     for bdir in sorted(bucket_dirs):
         bucket = int(os.path.basename(bdir).split("=")[1])
+        # Spark's hive-style writer %XX-escapes special characters in
+        # the directory segment; the table convention (commit metadata
+        # keys, _hoodie_partition_path, on-disk layout) is the RAW
+        # string value, so decode here.
         ppath = (
-            os.path.basename(os.path.dirname(bdir)).split("=", 1)[1]
+            urllib.parse.unquote(
+                os.path.basename(os.path.dirname(bdir)).split("=", 1)[1]
+            )
             if partition_by
             else ""
         )
@@ -331,6 +364,7 @@ def write_hudi(
             raise ValueError(f"partition value {ppath!r} contains '/'")
         parts = sorted(glob.glob(os.path.join(bdir, "part-*.parquet")))
         assert len(parts) == 1, f"expected one base file per group, got {parts}"
+        num_rows = pq.ParquetFile(parts[0]).metadata.num_rows
         rel = os.path.join(ppath, _base_file_name(bucket, instant)).lstrip("/")
         pdir_abs = os.path.dirname(os.path.join(path, rel))
         os.makedirs(pdir_abs, exist_ok=True)
@@ -349,7 +383,7 @@ def write_hudi(
                 "fileId": fid,
                 "path": rel,
                 "prevCommit": prev if prev is not None else "null",
-                "numWrites": group_counts[(ppath, bucket)],
+                "numWrites": num_rows,
                 "numUpdateWrites": 0,
                 "fileSizeInBytes": os.path.getsize(os.path.join(path, rel)),
                 "totalWriteBytes": os.path.getsize(os.path.join(path, rel)),
@@ -369,7 +403,28 @@ def write_hudi(
     tmp = os.path.join(tdir, f"{instant}.commit.tmp")
     with open(tmp, "w") as fh:
         json.dump(commit_meta, fh, sort_keys=True, indent=2)
-    os.replace(tmp, os.path.join(tdir, f"{instant}.commit"))
+    # Publish-time monotonicity re-check + put-if-absent (os.link
+    # fails loudly if the .commit somehow exists): a concurrent writer
+    # on a LATER instant that completed while this upsert ran would
+    # otherwise be silently ordered after us — both upserts read the
+    # same base snapshot, so committing under it would lose its
+    # updates. Fail instead; the caller retries at a fresh instant.
+    done_now = _completed_instants(path)
+    if done_now and done_now[-1] >= instant:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent commit {done_now[-1]!r} completed after this "
+            f"writer validated instant {instant!r}; retry the upsert at "
+            "a fresh instant against the new snapshot"
+        )
+    try:
+        os.link(tmp, os.path.join(tdir, f"{instant}.commit"))
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"instant {instant!r} was published by another writer"
+        ) from None
+    os.remove(tmp)
     os.remove(os.path.join(tdir, f"{instant}.inflight"))
     os.remove(os.path.join(tdir, f"{instant}.commit.requested"))
     return instant

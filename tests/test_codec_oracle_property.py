@@ -42,8 +42,15 @@ from datalakecrawler_spark.pipeline.multimodal import (
 # NUL never appears in the fixture corpus and embedded NULs exercise
 # the pandas→DuckDB string bridge, not the oracle arithmetic — exclude
 # it; everything else (multibyte, combining marks, controls) stays in.
+# Surrogates (category Cs) are outside the codec's pinned UTF-8-text
+# contract (multimodal.py module doc) and are rejected with ValueError
+# — excluded here, asserted rejected in test_codec_rejects_surrogates.
 _TEXT = st.text(
-    alphabet=st.characters(blacklist_characters="\x00"), min_size=1, max_size=400
+    alphabet=st.characters(
+        blacklist_characters="\x00", blacklist_categories=("Cs",)
+    ),
+    min_size=1,
+    max_size=400,
 )
 _LONG_TEXT = st.text(
     # surrogates (category Cs) are not encodable UTF-8 and the codec
@@ -132,6 +139,20 @@ def test_audio_oracle_matches_codec(doc_id, text):
         for g in _oracle_rows("mm_audio_frame_features", doc_id, text)
     }
     assert got == want
+
+
+def test_codec_rejects_surrogates():
+    """The pinned codec contract (multimodal.py module doc) is UTF-8
+    text: lone surrogates are rejected with a clear ValueError at the
+    codec boundary instead of leaking a UnicodeEncodeError mid-synth.
+    This is the r5-verdict falsifying example ('\\ud800'), pinned."""
+    import pytest
+
+    for bad in ("\ud800", "ok\udfff", "\ud83d"):  # lone high/low halves
+        with pytest.raises(ValueError, match="UTF-8"):
+            synth_bmp(1, bad)
+        with pytest.raises(ValueError, match="UTF-8"):
+            synth_wav(1, bad)
 
 
 def test_fixture_documents_nonempty():
