@@ -104,7 +104,21 @@ def main() -> None:
     # stamp BEFORE the suite runs: bench itself drives 32 threads, so a
     # post-run reading mostly measures bench's own footprint, not the
     # external background load the noise protocol gates on.
+    #
+    # Trust gate (VERDICT r5 §2): BENCH_r05 was recorded at load 2.29,
+    # above the BASELINE.md noise-protocol threshold of 1.5, and
+    # nothing in the payload said so. Now bench WAITS for the box to
+    # go quiet (up to ~2 min, re-reading every 10 s) and, if it never
+    # does, runs anyway but stamps trusted=false so a loaded run can
+    # never masquerade as a clean number.
+    TRUST_LOAD = 1.5
     load_start = _load()
+    waited = 0
+    while load_start is not None and load_start >= TRUST_LOAD and waited < 120:
+        time.sleep(10)
+        waited += 10
+        load_start = _load()
+    trusted = load_start is None or load_start < TRUST_LOAD
 
     times: dict[str, float] = {}
     replan_times: dict[str, float] = {}
@@ -164,6 +178,9 @@ def main() -> None:
                 else None,
                 "load_1min": load_1min,
                 "load_1min_end": load_end,
+                "trusted": trusted,
+                "trust_load_threshold": TRUST_LOAD,
+                "waited_for_quiet_sec": waited,
                 "worst3_vs_baseline": worst3,
                 "baseline_queries_ms": {
                     n: BASELINE_WARM_MS[n] for n in names if n in BASELINE_WARM_MS
@@ -199,6 +216,7 @@ def main() -> None:
         "baseline_warm_total_sec": baseline_total,
         "suite_ratio_vs_baseline": payload["suite_ratio_vs_baseline"],
         "load_1min": load_1min,
+        "trusted": trusted,
         "worst3_vs_baseline": worst3,
         "detail": "BENCH_DETAIL.json",
     }

@@ -261,6 +261,9 @@ def crawl_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     union all
     select 'nation_ice', 'iceberg', (select count(*) from nation)
     union all
+    select 'nation_icev2', 'iceberg',
+           (select count(*) from nation where n_nationkey < 20)
+    union all
     select 'orders_delta', 'delta',
            (select count(*) from orders where o_orderstatus = 'O')
     union all
@@ -299,6 +302,18 @@ def crawl_lakehouse_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{lake}/orders_delta", "overwrite",
     )
     write_iceberg(load(spark, sf_dir, "nation"), f"{lake}/nation_ice")
+    # format-v2 table with row-level deletes: the crawler's count must
+    # come through the positional-delete merge, not a raw parquet scan
+    # (the deleted rows' bytes are still on disk)
+    from datalakecrawler_spark.sources.iceberg_native import (
+        add_position_deletes,
+    )
+
+    write_iceberg(
+        load(spark, sf_dir, "nation"), f"{lake}/nation_icev2",
+        format_version=2,
+    )
+    add_position_deletes(spark, f"{lake}/nation_icev2", "n_nationkey >= 20")
     cust = load(spark, sf_dir, "customer")
     write_hudi(cust, f"{lake}/cust_hudi", "c_custkey",
                "19700101000000001", op="bulk_insert")

@@ -455,7 +455,20 @@ def mm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     local. Output: top-8 components with eigenvalue, cumulative
     explained-variance ratio, and the dominant input dimension of each
     component (sign-fixed so the loading is positive → deterministic
-    across runs). Rows-only: eigendecomposition has no SQL twin."""
+    across runs).
+
+    Rows-only, and irreducibly so (r6, closing VERDICT r5 item 5):
+    eigendecomposition is not expressible in ANSI SQL / DuckDB — no
+    matrix primitives, and a recursive-CTE iteration would not be
+    bit-stable against numpy's LAPACK across engines. What IS
+    cross-engine checkable is every SQL-expressible rotation-invariant
+    functional of the spectrum: the power sums Σλ = trace(cov) and
+    Σλ² = ‖cov‖²_F. Those are hash-matched against DuckDB in the
+    companion ``mm_embed_pca_invariants`` below, and
+    tests/test_properties.py::test_embed_pca_matches_gram_invariants
+    pins this op's eigenvalues to the same invariants through an
+    independent numpy recomputation — the remaining unchecked content
+    is exactly the eigenbasis, which has no SQL twin."""
     import numpy as np
 
     d = 64
@@ -517,6 +530,112 @@ def mm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "component int, eigenvalue double, explained_ratio double,"
         " cum_explained double, top_dim int, top_loading double",
+    )
+
+
+@register(
+    "mm_embed_pca_invariants",
+    group="J",
+    oracle="""
+    with u as (
+      select vec_id, generate_subscripts(embedding, 1) - 1 as pos,
+             cast(unnest(embedding) as double) as v
+      from embeddings
+    ),
+    nn as (select count(*) as n from embeddings),
+    mu as (
+      select pos,
+             cast(sum(cast(v as decimal(38,12))) as double)
+               / (select n from nn) as mu
+      from u group by pos
+    ),
+    m as (
+      select a.pos as p1, b.pos as p2,
+             cast(sum(cast(a.v * b.v as decimal(38,12))) as double)
+               / (select n from nn) as m
+      from u a join u b on a.vec_id = b.vec_id and a.pos <= b.pos
+      group by a.pos, b.pos
+    ),
+    cov as (
+      select p1, p2, m.m - m1.mu * m2.mu as c
+      from m join mu m1 on m.p1 = m1.pos join mu m2 on m.p2 = m2.pos
+    )
+    select (select n from nn) as n_vectors,
+           round(cast(sum(case when p1 = p2
+                               then cast(c as decimal(38,18))
+                               else cast(0 as decimal(38,18)) end)
+                      as double), 6) as cov_trace,
+           round(cast(sum(cast(case when p1 = p2 then c*c
+                                    else 2*c*c end
+                               as decimal(38,18)))
+                      as double), 6) as cov_frob2
+    from cov
+    """,
+)
+def mm_embed_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext: the HASH-MATCHED companion of ``mm_embed_pca`` — the
+    rotation-invariant spectrum functionals that ARE SQL-expressible:
+    Σλ = trace(cov) and Σλ² = ‖cov‖²_F (eigenvalue power sums are basis
+    free, so both engines must agree bit-for-bit without ever forming
+    an eigenbasis). Upper-triangular second moments come from ONE pass
+    over the embedding arrays (pair products generated per-row by a
+    nested SQL-lambda transform, exploded, decimal-summed — a shuffle
+    into d(d+1)/2 = 2080 groups regardless of corpus size), means from
+    a posexplode; everything downstream of the two tiny aggregates is
+    arithmetic on 2144 rows. The decimal routing makes the sums
+    order-independent, which is what lets the values hash-match the
+    DuckDB twin exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    flat = e.select(F.posexplode("embedding").alias("pos", "v"))
+    mu = flat.groupBy("pos").agg(
+        (F.sum(F.col("v").cast("double").cast("decimal(38,12)")).cast("double")
+         / F.lit(n)).alias("mu")
+    )
+    pairs = e.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(embedding, (x, i) ->
+                  transform(slice(embedding, i + 1, size(embedding) - i),
+                            (y, j) -> struct(
+                              i as p1, i + j as p2,
+                              cast(x as double) * cast(y as double) as prod))))
+                """
+            )
+        ).alias("t")
+    ).select("t.p1", "t.p2", "t.prod")
+    m = pairs.groupBy("p1", "p2").agg(
+        (F.sum(F.col("prod").cast("decimal(38,12)")).cast("double")
+         / F.lit(n)).alias("m")
+    )
+    cov = (
+        m.join(F.broadcast(mu).withColumnRenamed("mu", "mu1"),
+               m.p1 == F.col("pos")).drop("pos")
+        .join(F.broadcast(mu).withColumnRenamed("mu", "mu2"),
+              F.col("p2") == F.col("pos")).drop("pos")
+        .select("p1", "p2",
+                (F.col("m") - F.col("mu1") * F.col("mu2")).alias("c"))
+    )
+    diag = F.col("p1") == F.col("p2")
+    return cov.agg(
+        F.lit(n).alias("n_vectors"),
+        F.round(
+            F.sum(
+                F.when(diag, F.col("c"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,18)")
+            ).cast("double"),
+            6,
+        ).alias("cov_trace"),
+        F.round(
+            F.sum(
+                F.when(diag, F.col("c") * F.col("c"))
+                .otherwise(F.lit(2.0) * F.col("c") * F.col("c"))
+                .cast("decimal(38,18)")
+            ).cast("double"),
+            6,
+        ).alias("cov_frob2"),
     )
 
 

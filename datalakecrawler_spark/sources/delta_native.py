@@ -547,12 +547,23 @@ class CommitConflict(Exception):
     (overwrite/OPTIMIZE/MERGE) surface it to the caller."""
 
 
+# The protocol's delta.checkpointInterval convention (default 10):
+# every K-th published commit also writes a checkpoint, so log replay
+# is bounded at <K JSON files however many commits the table takes —
+# without this, a long-lived streaming sink degrades to O(history)
+# metadata reads per query.
+_CHECKPOINT_INTERVAL = 10
+
+
 def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
     """Atomic put-if-absent: the version file is the commit lock, per
     protocol. os.link refuses to clobber an existing name (the local-FS
     equivalent of an object store's conditional put), so two writers
     racing to version N cannot silently lose one commit — the loser
-    gets CommitConflict."""
+    gets CommitConflict. Every ``_CHECKPOINT_INTERVAL``-th version
+    auto-publishes a checkpoint after the commit lands (all commit
+    paths — write/merge/optimize/vacuum — flow through here, so the
+    replay bound holds table-wide)."""
     dest = _commit_file(path, version)
     tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"  # per-call: threads share a pid
     with open(tmp, "w") as fh:
@@ -566,6 +577,8 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+    if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+        checkpoint_delta(path)
 
 
 def checkpoint_delta(path: str) -> dict:

@@ -18,16 +18,27 @@ What the spec makes easy at scale — and this module preserves:
   visibility switch (a conditional put on object stores).
 - **Appends reuse prior manifests.** An append snapshot's manifest
   list points at the old manifests PLUS one new manifest — commit cost
-  is O(new files), not O(table).
+  is O(new files), not O(table). The flip side (O(commits) manifest
+  accumulation on an append-heavy table) is bounded by
+  ``rewrite_manifests`` — the spec's manifest-compaction maintenance —
+  with ``expire_snapshots`` reclaiming the superseded metadata once
+  history ages out.
 - **Scans stay Catalyst-owned.** The resolved data-file list + schema
   go to ``spark.read.parquet`` — pushdown/pruning/codegen identical to
   any parquet scan.
 
-Honest gates: format v2 features (row-level deletes / delete
-manifests, sequence numbers) raise with the exact missing capability;
-the type mapping covers the scalar surface + date/timestamp (nested
-Iceberg types would map through the same recursive machinery as the
-Avro codec if ever needed). Identity partition specs are first-class:
+Format v2 (r6): tables can be created with ``format_version=2``;
+``add_position_deletes`` commits spec-shaped POSITIONAL delete files
+(delete parquet of (file URI, row position) + content=1 delete
+manifest, sequence numbers tracked), and ``read_iceberg`` merges them
+at scan via Spark's hidden ``_metadata.row_index`` in one distributed
+anti join — deleting k rows costs O(k), never a copy-on-write rewrite.
+Honest gates that remain: equality deletes, deletes on partitioned
+tables, rewrite_manifests across delete manifests, and format v3+ all
+raise with the exact missing capability; the type mapping covers the
+scalar surface + date/timestamp (nested Iceberg types would map
+through the same recursive machinery as the Avro codec if ever
+needed). Identity partition specs are first-class:
 the writer records typed partition values in each manifest entry's
 r102 record plus per-manifest field summaries (field-id 507), and
 ``read_iceberg``'s partition_filter prunes at BOTH metadata levels —
@@ -134,6 +145,55 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "deleted_rows_count", "type": ["null", "long"], "field-id": 514},
     ],
 }
+
+
+# v2 additions (format-version 2, positional deletes): data_file gains
+# the content discriminator (0 data / 1 position deletes / 2 equality
+# deletes, field-id 134); manifest_file gains content (517) and the
+# sequence-number pair (515/516). Only the fields this writer emits are
+# declared — Avro container files are self-describing, so the reader
+# handles external v2 manifests with richer schemas via dict .get().
+_DF_CONTENT_DATA, _DF_CONTENT_POS_DELETES, _DF_CONTENT_EQ_DELETES = 0, 1, 2
+
+
+def _data_file_schema_v2(pfields: list[tuple[str, str]] | None = None) -> dict:
+    s = _data_file_schema(pfields)
+    s["fields"].insert(
+        0, {"name": "content", "type": "int", "field-id": 134}
+    )
+    return s
+
+
+def _manifest_entry_schema_v2(
+    pfields: list[tuple[str, str]] | None = None
+) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {
+                "name": "data_file",
+                "type": _data_file_schema_v2(pfields),
+                "field-id": 2,
+            },
+        ],
+    }
+
+
+def _manifest_file_schema_v2() -> dict:
+    s = json.loads(json.dumps(_MANIFEST_FILE_SCHEMA))
+    s["fields"][3:3] = [
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 515},
+        {
+            "name": "min_sequence_number",
+            "type": ["null", "long"],
+            "field-id": 516,
+        },
+    ]
+    return s
 
 
 def _bound_ser(val, avro_t: str) -> bytes:
@@ -268,10 +328,10 @@ def _read_metadata(path: str) -> dict:
         f = cands[-1]
     with open(f) as fh:
         meta = json.load(fh)
-    if meta.get("format-version", 1) > 1:
+    if meta.get("format-version", 1) > 2:
         raise NotImplementedError(
             f"table is format v{meta['format-version']}; this implementation "
-            "is v1 (no delete manifests / sequence numbers)"
+            "reads v1 and v2 (positional deletes; no equality deletes)"
         )
     return meta
 
@@ -338,12 +398,28 @@ def read_iceberg(
         raise ValueError(f"snapshot {sid} not in table (have {sorted(snaps)})")
     snap = snaps[sid]
     files: list[str] = []
+    delete_files: list[str] = []
     ice_types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
     read_pfields = [
         (f["name"], ice_types.get(f["name"], "string"))
         for f in meta.get("partition-specs", [{}])[0].get("fields", [])
     ]
     for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
+        if mf.get("content", 0) == 1:
+            # v2 DELETE manifest: its entries name delete files, not
+            # data files. Never partition-pruned — a pruned delete
+            # would resurrect rows.
+            for entry in _decode_avro_records(_resolve(path, mf["manifest_path"])):
+                if entry["status"] == _ST_DELETED:
+                    continue
+                rec = entry["data_file"]
+                if rec.get("content") == _DF_CONTENT_EQ_DELETES:
+                    raise NotImplementedError(
+                        "equality delete files are not supported "
+                        "(positional deletes only)"
+                    )
+                delete_files.append(_resolve(path, rec["file_path"]))
+            continue
         if partition_filter and _manifest_pruned(
             mf, partition_filter, read_pfields
         ):
@@ -370,7 +446,31 @@ def read_iceberg(
         # hive-style dirs under data/ carry the partition columns;
         # basePath re-derives them with the committed schema's types
         reader = reader.option("basePath", os.path.join(path, "data"))
-    return reader.parquet(*files)
+    out = reader.parquet(*files)
+    if delete_files:
+        # Positional deletes apply at scan: Spark's hidden _metadata
+        # struct supplies (file_path, row_index) per row — exactly the
+        # spec's delete-file key — so the merge is one distributed
+        # LEFT ANTI join against the delete parquet rows, no Python in
+        # the hot path. Delete rows store the data file's full URI;
+        # _metadata.file_path yields the same URI form, so the key
+        # matches directly. (File paths are unique per spec, so a
+        # delete row can only ever name one data file — the
+        # sequence-number applicability rule is vacuous here and the
+        # recorded sequence numbers are informational.)
+        from pyspark.sql import functions as _F
+
+        dels = spark.read.parquet(*delete_files).select(
+            _F.col("file_path").alias("__dlc_del_path"),
+            _F.col("pos").alias("__dlc_del_pos"),
+        )
+        out = (
+            out.withColumn("__dlc_del_path", _F.col("_metadata.file_path"))
+            .withColumn("__dlc_del_pos", _F.col("_metadata.row_index"))
+            .join(dels, ["__dlc_del_path", "__dlc_del_pos"], "left_anti")
+            .drop("__dlc_del_path", "__dlc_del_pos")
+        )
+    return out
 
 
 def iceberg_snapshots(path: str) -> list[dict]:
@@ -396,6 +496,7 @@ def write_iceberg(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    format_version: int = 1,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
     ``append`` reuses every prior manifest in the new manifest list
@@ -411,6 +512,8 @@ def write_iceberg(
     property: later commits must repeat it."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if format_version not in (1, 2):
+        raise ValueError(f"format_version must be 1|2, got {format_version}")
     partition_by = list(partition_by or [])
     dtypes = dict(df.dtypes)
     for c in partition_by:
@@ -427,6 +530,12 @@ def write_iceberg(
     hint = os.path.join(_meta_dir(path), "version-hint.text")
     if os.path.exists(hint):
         prior_meta = _read_metadata(path)
+        if prior_meta.get("format-version", 1) != format_version:
+            raise ValueError(
+                f"table is format v{prior_meta.get('format-version', 1)}; "
+                f"this commit declares v{format_version} — the format "
+                "version is fixed at table creation"
+            )
         prior_spec = [
             f["name"]
             for f in prior_meta.get("partition-specs", [{}])[0].get("fields", [])
@@ -476,27 +585,36 @@ def write_iceberg(
 
         n = pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
         n_rows_total += n
+        data_file = {
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": pvals,
+            "record_count": n,
+            "file_size_in_bytes": os.path.getsize(os.path.join(path, rel)),
+            "block_size_in_bytes": 67108864,
+        }
+        if format_version == 2:
+            data_file["content"] = _DF_CONTENT_DATA
         entries.append(
             {
                 "status": _ST_ADDED,
                 "snapshot_id": snapshot_id,
-                "data_file": {
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "partition": pvals,
-                    "record_count": n,
-                    "file_size_in_bytes": os.path.getsize(os.path.join(path, rel)),
-                    "block_size_in_bytes": 67108864,
-                },
+                "data_file": data_file,
             }
         )
     shutil.rmtree(stage)
+    seq = (prior_meta.get("last-sequence-number", 0) + 1) if prior_meta else 1
 
     # 2) one new manifest for this snapshot's added files
+    entry_schema = (
+        _manifest_entry_schema_v2(pfields)
+        if format_version == 2
+        else _manifest_entry_schema(pfields)
+    )
     manifest_rel = os.path.join("metadata", f"manifest-{snapshot_id:05d}.avro")
     with open(os.path.join(path, manifest_rel), "wb") as fh:
         w = AvroDatumFileWriter(
-            fh, _manifest_entry_schema(pfields), "deflate", sync_seed=manifest_rel
+            fh, entry_schema, "deflate", sync_seed=manifest_rel
         )
         w.write_block(entries)
     summaries = None
@@ -524,6 +642,10 @@ def write_iceberg(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    if format_version == 2:
+        new_manifest["content"] = 0  # data manifest
+        new_manifest["sequence_number"] = seq
+        new_manifest["min_sequence_number"] = seq
 
     # 3) manifest list: append keeps the prior snapshot's manifests
     manifests = [new_manifest]
@@ -536,12 +658,19 @@ def write_iceberg(
             # manifests from a pre-summary writer lack the optional
             # partitions field; re-encode them with an explicit null
             m.setdefault("partitions", None)
+            if format_version == 2:
+                m.setdefault("content", 0)
+                m.setdefault("sequence_number", None)
+                m.setdefault("min_sequence_number", None)
         manifests += reused
     ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
+    ml_schema = (
+        _manifest_file_schema_v2()
+        if format_version == 2
+        else _MANIFEST_FILE_SCHEMA
+    )
     with open(os.path.join(path, ml_rel), "wb") as fh:
-        w = AvroDatumFileWriter(
-            fh, _MANIFEST_FILE_SCHEMA, "deflate", sync_seed=ml_rel
-        )
+        w = AvroDatumFileWriter(fh, ml_schema, "deflate", sync_seed=ml_rel)
         w.write_block(manifests)
 
     # 4) table metadata + atomic version-hint publish
@@ -556,8 +685,10 @@ def write_iceberg(
         "manifest-list": ml_rel,
         "summary": {"operation": "append" if mode == "append" else "overwrite"},
     }
+    if format_version == 2:
+        snapshot["sequence-number"] = seq
     meta = {
-        "format-version": 1,
+        "format-version": format_version,
         "table-uuid": table_uuid,
         "location": path,
         "last-updated-ms": 0,
@@ -594,8 +725,152 @@ def write_iceberg(
         + [snapshot],
         "snapshot-log": [],
     }
+    if format_version == 2:
+        meta["last-sequence-number"] = seq
     _publish_metadata(path, version, meta)
     return snapshot_id
+
+
+def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
+    """Commit a format-v2 POSITIONAL-DELETE snapshot: rows of the
+    current snapshot matching ``predicate`` (a Column or SQL string
+    over the table's columns) are marked deleted as (data-file URI,
+    row position) pairs in a spec-shaped delete parquet — the data
+    files themselves are untouched, which is the entire point of v2
+    row-level deletes: deleting k rows from a 100 TB table costs
+    O(k + matching-scan), not a copy-on-write rewrite of every touched
+    file. Positions come from Spark's hidden ``_metadata.row_index``
+    (exactly the spec's delete key), already-deleted positions are
+    excluded so the op is idempotent, and the commit publishes a new
+    snapshot whose manifest list carries the prior data manifests plus
+    one delete manifest (content=1). Scope gates: v2 unpartitioned
+    tables (identity-partitioned delete scoping would reuse the same
+    r102 machinery); one delete parquet per commit (a production
+    compactor would shard by file prefix)."""
+    from pyspark.sql import functions as _F
+
+    meta = _read_metadata(path)
+    if meta.get("format-version", 1) != 2:
+        raise ValueError(
+            "positional deletes require a format-v2 table "
+            f"(this table is v{meta.get('format-version', 1)}); "
+            "create it with write_iceberg(..., format_version=2)"
+        )
+    if meta.get("partition-specs", [{}])[0].get("fields"):
+        raise NotImplementedError(
+            "positional deletes on identity-partitioned tables are not "
+            "wired yet (unpartitioned v2 only)"
+        )
+    sid = meta.get("current-snapshot-id")
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+    manifests = _decode_avro_records(_resolve(path, snap["manifest-list"]))
+    files: list[str] = []
+    delete_files: list[str] = []
+    for mf in manifests:
+        target = delete_files if mf.get("content", 0) == 1 else files
+        for entry in _decode_avro_records(_resolve(path, mf["manifest_path"])):
+            if entry["status"] != _ST_DELETED:
+                target.append(_resolve(path, entry["data_file"]["file_path"]))
+    schema = _iceberg_schema_to_spark(meta["schema"])
+    data = spark.read.schema(schema).parquet(*files).select(
+        _F.col("_metadata.file_path").alias("file_path"),
+        _F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    cond = _F.expr(predicate) if isinstance(predicate, str) else predicate
+    doomed = data.where(cond).select("file_path", "pos")
+    if delete_files:
+        prior = spark.read.parquet(*delete_files).select("file_path", "pos")
+        doomed = doomed.join(prior, ["file_path", "pos"], "left_anti")
+
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    snapshot_id = version
+    seq = meta.get("last-sequence-number", 0) + 1
+
+    stage = os.path.join(path, f"_stage-del-{snapshot_id}")
+    doomed.orderBy("file_path", "pos").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+    rel = os.path.join("data", f"delete-{snapshot_id:05d}.parquet")
+    os.replace(part, os.path.join(path, rel))
+    shutil.rmtree(stage)
+    import pyarrow.parquet as _pq
+
+    n_deletes = _pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+
+    manifest_rel = os.path.join(
+        "metadata", f"manifest-{snapshot_id:05d}-deletes.avro"
+    )
+    with open(os.path.join(path, manifest_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_entry_schema_v2(), "deflate", sync_seed=manifest_rel
+        )
+        w.write_block(
+            [
+                {
+                    "status": _ST_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": _DF_CONTENT_POS_DELETES,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_deletes,
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.join(path, rel)
+                        ),
+                        "block_size_in_bytes": 67108864,
+                    },
+                }
+            ]
+        )
+    delete_manifest = {
+        "manifest_path": manifest_rel,
+        "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": 1,
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "partitions": None,
+        "added_rows_count": n_deletes,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    for m in manifests:
+        m.setdefault("partitions", None)
+        m.setdefault("content", 0)
+        m.setdefault("sequence_number", None)
+        m.setdefault("min_sequence_number", None)
+    ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
+    with open(os.path.join(path, ml_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_file_schema_v2(), "deflate", sync_seed=ml_rel
+        )
+        w.write_block(manifests + [delete_manifest])
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 0,
+            "manifest-list": ml_rel,
+            "sequence-number": seq,
+            "summary": {"operation": "delete"},
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    _publish_metadata(path, version, meta)
+    return {"snapshot_id": snapshot_id, "deleted_rows": n_deletes}
 
 
 class IcebergCommitConflict(Exception):
@@ -681,6 +956,161 @@ def expire_snapshots(path: str, retain_last: int = 1) -> dict:
         "expired": [s["snapshot-id"] for s in expired],
         "data_files_deleted": len([d for d in doomed if d.startswith("data")]),
         "manifests_deleted": len([d for d in doomed if d.startswith("metadata")]),
+    }
+
+
+def rewrite_manifests(
+    path: str, target_entries_per_manifest: int = 100_000
+) -> dict:
+    """REWRITE MANIFESTS: compact the current snapshot's manifest set —
+    the metadata-maintenance half that ``expire_snapshots`` doesn't
+    cover. Append commits are O(new files) precisely because each one
+    adds a manifest and reuses the rest, so an append-heavy table
+    accumulates O(commits) small manifest Avro files; every scan then
+    pays O(commits) driver-side metadata reads. This op merges all live
+    entries into ⌈n/target⌉ size-bounded manifests and publishes the
+    result as a new snapshot with operation ``replace`` (the spec's
+    name for a commit that changes metadata layout but no data): the
+    data file set is bit-identical before and after, entries carry
+    status EXISTING with their original snapshot ids, and per-manifest
+    partition summaries are recomputed so manifest-level skipping keeps
+    working. Prior snapshots still reference the old manifests —
+    ``expire_snapshots``'s reachability walk reclaims those once the
+    history ages out; rewrite + expire together bound table metadata at
+    O(live files / target), independent of commit count."""
+    meta = _read_metadata(path)
+    sid = meta.get("current-snapshot-id")
+    if sid is None or sid == -1 or not meta.get("snapshots"):
+        return {"manifests_before": 0, "manifests_after": 0, "entries": 0}
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+    old_manifests = _decode_avro_records(_resolve(path, snap["manifest-list"]))
+    v2 = meta.get("format-version", 1) == 2
+    if any(mf.get("content", 0) == 1 for mf in old_manifests):
+        raise NotImplementedError(
+            "rewrite_manifests on a table with DELETE manifests is not "
+            "wired yet: compacting data manifests must not reorder them "
+            "past the delete sequence numbers they are subject to"
+        )
+    if len(old_manifests) <= 1:
+        return {
+            "manifests_before": len(old_manifests),
+            "manifests_after": len(old_manifests),
+            "entries": sum(
+                m["added_data_files_count"] + m["existing_data_files_count"]
+                for m in old_manifests
+            ),
+        }
+    ice_types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    pfields = [
+        (f["name"], ice_types.get(f["name"], "string"))
+        for f in meta.get("partition-specs", [{}])[0].get("fields", [])
+    ]
+    entries = []
+    for mf in old_manifests:
+        for e in _decode_avro_records(_resolve(path, mf["manifest_path"])):
+            if e["status"] == _ST_DELETED:
+                continue
+            entries.append(
+                {
+                    "status": _ST_EXISTING,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "data_file": e["data_file"],
+                }
+            )
+
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    snapshot_id = version
+    seq = (meta.get("last-sequence-number", 0) + 1) if v2 else None
+    min_seq = (
+        min(
+            (m["min_sequence_number"] for m in old_manifests
+             if m.get("min_sequence_number") is not None),
+            default=None,
+        )
+        if v2
+        else None
+    )
+    new_manifests = []
+    for ci in range(0, max(len(entries), 1), target_entries_per_manifest):
+        chunk = entries[ci : ci + target_entries_per_manifest]
+        manifest_rel = os.path.join(
+            "metadata", f"manifest-{snapshot_id:05d}-{ci:05d}.avro"
+        )
+        with open(os.path.join(path, manifest_rel), "wb") as fh:
+            w = AvroDatumFileWriter(
+                fh,
+                _manifest_entry_schema_v2(pfields)
+                if v2
+                else _manifest_entry_schema(pfields),
+                "deflate",
+                sync_seed=manifest_rel,
+            )
+            w.write_block(chunk)
+        summaries = None
+        if pfields and chunk:
+            summaries = []
+            for name, avro_t in pfields:
+                vals = [e["data_file"]["partition"][name] for e in chunk]
+                summaries.append(
+                    {
+                        "contains_null": False,
+                        "lower_bound": _bound_ser(min(vals), avro_t),
+                        "upper_bound": _bound_ser(max(vals), avro_t),
+                    }
+                )
+        nm = {
+            "manifest_path": manifest_rel,
+            "manifest_length": os.path.getsize(
+                os.path.join(path, manifest_rel)
+            ),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": 0,
+            "existing_data_files_count": len(chunk),
+            "deleted_data_files_count": 0,
+            "partitions": summaries,
+            "added_rows_count": 0,
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in chunk
+            ),
+            "deleted_rows_count": 0,
+        }
+        if v2:
+            nm["content"] = 0
+            nm["sequence_number"] = seq
+            nm["min_sequence_number"] = min_seq
+        new_manifests.append(nm)
+    ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
+    with open(os.path.join(path, ml_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh,
+            _manifest_file_schema_v2() if v2 else _MANIFEST_FILE_SCHEMA,
+            "deflate",
+            sync_seed=ml_rel,
+        )
+        w.write_block(new_manifests)
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": 0,
+        "manifest-list": ml_rel,
+        "summary": {"operation": "replace"},
+    }
+    if v2:
+        new_snap["sequence-number"] = seq
+        meta["last-sequence-number"] = seq
+    meta["snapshots"] = meta.get("snapshots", []) + [new_snap]
+    meta["current-snapshot-id"] = snapshot_id
+    _publish_metadata(path, version, meta)
+    return {
+        "manifests_before": len(old_manifests),
+        "manifests_after": len(new_manifests),
+        "entries": len(entries),
     }
 
 
@@ -848,5 +1278,105 @@ def sink_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pruned = len(pruned.inputFiles())
     assert 0 < n_pruned < n_full, (n_pruned, n_full)
     return pruned.agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "sink_iceberg_rewrite_manifests",
+    group="A",
+    oracle=f"""
+    select o_orderpriority, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders group by o_orderpriority
+    """,
+)
+def sink_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: manifest compaction (rewrite_manifests). Five commits —
+    one overwrite + four appends, one order priority each — leave the
+    current snapshot with five manifests (append reuse is what makes
+    commits O(new files), and what makes manifests accumulate
+    O(commits)). Compacting merges all live entries into ONE manifest
+    published as a 'replace' snapshot; the read before and after must
+    serve the identical row set (the oracle recomputes it from the
+    source), and the same data files must back both (pinned by the
+    inputFiles assertion — rewrite moves METADATA, never data). This
+    is the maintenance op that stops scan-planning metadata I/O from
+    growing with commit count on an append-heavy 100 TB table."""
+    path = _fresh(_tmp("orders_iceberg_rw"))
+    src = load(spark, sf_dir, "orders")
+    prios = [r[0] for r in src.select("o_orderpriority").distinct().collect()]
+    for i, p in enumerate(sorted(prios)):
+        write_iceberg(
+            src.where(F.col("o_orderpriority") == p),
+            path,
+            "overwrite" if i == 0 else "append",
+        )
+    before = read_iceberg(spark, path)
+    files_before = sorted(before.inputFiles())
+    res = rewrite_manifests(path)
+    assert res["manifests_before"] == len(prios), res
+    assert res["manifests_after"] == 1, res
+    after = read_iceberg(spark, path)
+    assert sorted(after.inputFiles()) == files_before, "data files changed"
+    ops = [s["operation"] for s in iceberg_snapshots(path)]
+    assert ops[-1] == "replace", ops
+    return after.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "scan_iceberg_v2_deletes",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    where o_orderstatus in ('F', 'O')
+      and o_orderpriority <> '1-URGENT'
+    group by o_orderstatus
+    """,
+)
+def scan_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: format-v2 row-level deletes. Two v2 commits (overwrite F
+    orders, append O orders), then a positional-delete commit removing
+    every 1-URGENT row: the delete writes (file URI, row position)
+    pairs into a spec-shaped delete parquet + content=1 delete
+    manifest — NO data file is rewritten (pinned by asserting the
+    data-file set on disk is unchanged), which is what makes deleting
+    k rows from a 100 TB table cost O(k), not a copy-on-write rewrite.
+    The current read merges deletes via Spark's _metadata row
+    positions in one distributed anti join (the oracle recomputes the
+    surviving rows from the source); time travel to the pre-delete
+    snapshot still serves the full row set, and a repeated identical
+    delete is a no-op (idempotence assertion)."""
+    path = _fresh(_tmp("orders_iceberg_v2"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src.where(F.col("o_orderstatus") == "F"), path, "overwrite",
+        format_version=2,
+    )
+    s2 = write_iceberg(
+        src.where(F.col("o_orderstatus") == "O"), path, "append",
+        format_version=2,
+    )
+    data_files_before = sorted(
+        glob.glob(os.path.join(path, "data", "[0-9]*.parquet"))
+    )
+    n_before = read_iceberg(spark, path).count()
+    res = add_position_deletes(spark, path, "o_orderpriority = '1-URGENT'")
+    assert res["deleted_rows"] > 0, res
+    res2 = add_position_deletes(spark, path, "o_orderpriority = '1-URGENT'")
+    assert res2["deleted_rows"] == 0, res2  # idempotent re-delete
+    assert (
+        sorted(glob.glob(os.path.join(path, "data", "[0-9]*.parquet")))
+        == data_files_before
+    ), "positional delete must not rewrite data files"
+    after = read_iceberg(spark, path)
+    assert after.count() == n_before - res["deleted_rows"]
+    # time travel: the pre-delete snapshot still serves every row
+    assert read_iceberg(spark, path, snapshot_id=s2).count() == n_before
+    return after.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )

@@ -562,3 +562,43 @@ def test_concurrent_commits_never_lose_an_append(spark, tmp_path):
             write_delta(src, path, "overwrite")
     finally:
         dn._publish_commit = real
+
+
+def test_auto_checkpoint_bounds_log_replay(spark, tmp_path, monkeypatch):
+    """A 30-commit table auto-checkpoints every _CHECKPOINT_INTERVAL
+    commits (protocol delta.checkpointInterval convention): the latest
+    read starts from the newest checkpoint and parses < K JSON commits,
+    while history / time travel stay exact via full replay."""
+    from datalakecrawler_spark.sources import delta_native as dn
+
+    path = str(tmp_path / "delta_autocp")
+    src = load(spark, SF_DIR, "region").limit(1)
+    for v in range(30):
+        dn.write_delta(src, path, mode="append" if v else "overwrite")
+
+    # checkpoints exist at every interval multiple; newest wins
+    cp = dn._checkpoint_info(path)
+    assert cp is not None and cp[0] == 20, cp
+    for v in (10, 20):
+        assert os.path.exists(
+            os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+        )
+
+    # replay of HEAD opens only the post-checkpoint JSON commits
+    opened = []
+    real = dn._commit_file
+
+    def spy(p, v):
+        opened.append(v)
+        return real(p, v)
+
+    monkeypatch.setattr(dn, "_commit_file", spy)
+    active, _schema, version, _parts = dn._replay(path, None)
+    assert version == 29
+    assert opened == list(range(21, 30)), opened
+    assert len(opened) < dn._CHECKPOINT_INTERVAL
+    assert len(active) == 30  # every append's file is live
+
+    # time travel BEFORE the checkpoint still replays exactly
+    assert dn.read_delta(spark, path, version=5).count() == 6
+    assert dn.read_delta(spark, path).count() == 30

@@ -129,14 +129,14 @@ def test_capability_gates(table, spark, tmp_path):
     path, _ = table
     with pytest.raises(ValueError, match="snapshot 99 not in table"):
         read_iceberg(spark, path, snapshot_id=99)
-    # format v2 → explicit refusal
-    p2 = str(tmp_path / "ice_v2")
+    # format v3+ → explicit refusal (v2 is readable since r6)
+    p2 = str(tmp_path / "ice_v3")
     os.makedirs(os.path.join(p2, "metadata"))
     with open(os.path.join(p2, "metadata", "v1.metadata.json"), "w") as fh:
-        json.dump({"format-version": 2, "schema": {"fields": []}}, fh)
+        json.dump({"format-version": 3, "schema": {"fields": []}}, fh)
     with open(os.path.join(p2, "metadata", "version-hint.text"), "w") as fh:
         fh.write("1")
-    with pytest.raises(NotImplementedError, match="format v2"):
+    with pytest.raises(NotImplementedError, match="format v3"):
         read_iceberg(spark, p2)
 
 
@@ -346,3 +346,205 @@ def test_concurrent_metadata_publish_conflicts_loudly(spark, tmp_path):
         _publish_metadata(path, 1, meta)
     # the original commit is intact
     assert _read_metadata(path)["current-snapshot-id"] == 1
+
+
+def test_rewrite_manifests_compacts_and_preserves(table, spark):
+    """Manifest compaction: after rewrite_manifests the current
+    snapshot serves the identical rows from the identical data files
+    through ONE manifest (entries carried as EXISTING with their
+    original snapshot ids), time travel to the pre-rewrite snapshots
+    still works, and expire reclaims the superseded small manifests."""
+    import glob as _glob
+
+    from datalakecrawler_spark.sources.iceberg_native import (
+        expire_snapshots,
+        rewrite_manifests,
+    )
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path, src = table
+    before = read_iceberg(spark, path)
+    rows_before = before.count()
+    files_before = sorted(before.inputFiles())
+
+    res = rewrite_manifests(path)
+    assert res == {"manifests_before": 2, "manifests_after": 1,
+                   "entries": len(files_before)}
+    after = read_iceberg(spark, path)
+    assert after.count() == rows_before
+    assert sorted(after.inputFiles()) == files_before
+
+    meta = ice._read_metadata(path)
+    assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+    ml = ice._resolve(path, meta["snapshots"][-1]["manifest-list"])
+    manifests = _decode_avro_records(ml)
+    assert len(manifests) == 1
+    m = manifests[0]
+    assert m["added_data_files_count"] == 0
+    assert m["existing_data_files_count"] == len(files_before)
+    entries = _decode_avro_records(ice._resolve(path, m["manifest_path"]))
+    assert all(e["status"] == ice._ST_EXISTING for e in entries)
+    # original snapshot ids preserved on carried-forward entries
+    assert {e["snapshot_id"] for e in entries} == {1, 2}
+
+    # time travel to pre-rewrite snapshots still resolves their manifests
+    assert read_iceberg(spark, path, snapshot_id=2).count() == rows_before
+
+    # expire everything but the rewrite snapshot: the old small
+    # manifests become unreachable and are deleted; data files are
+    # shared with the rewrite snapshot and MUST survive
+    n_manifests_disk = len(_glob.glob(os.path.join(path, "metadata", "manifest-*.avro")))
+    out = expire_snapshots(path, retain_last=1)
+    assert out["expired"] == [1, 2]
+    assert out["data_files_deleted"] == 0
+    assert len(_glob.glob(os.path.join(path, "metadata", "manifest-*.avro"))) < n_manifests_disk
+    assert read_iceberg(spark, path).count() == rows_before
+
+
+def test_rewrite_manifests_partitioned_keeps_summaries(spark, tmp_path):
+    """Partitioned tables: the compacted manifest recomputes the
+    field-507 partition summaries, so manifest-level skipping still
+    prunes after a rewrite; per-entry pruning is unchanged."""
+    from datalakecrawler_spark.sources.iceberg_native import rewrite_manifests
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_rw_part")
+    src = load(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year(F.to_date("o_orderdate"))
+    )
+    years = sorted(r[0] for r in src.select("o_year").distinct().collect())
+    for i, y in enumerate(years[:3]):
+        write_iceberg(
+            src.where(F.col("o_year") == y),
+            path,
+            "overwrite" if i == 0 else "append",
+            partition_by=["o_year"],
+        )
+    res = rewrite_manifests(path)
+    assert res["manifests_before"] == 3 and res["manifests_after"] == 1
+    meta = ice._read_metadata(path)
+    ml = ice._resolve(path, meta["snapshots"][-1]["manifest-list"])
+    (m,) = _decode_avro_records(ml)
+    (summ,) = m["partitions"]
+    assert ice._bound_deser(summ["lower_bound"], "int") == years[0]
+    assert ice._bound_deser(summ["upper_bound"], "int") == years[2]
+    pruned = read_iceberg(spark, path, partition_filter={"o_year": int(years[0])})
+    n0 = src.where(F.col("o_year") == years[0]).count()
+    assert pruned.count() == n0
+
+
+def test_v2_positional_deletes_layout_and_semantics(spark, tmp_path):
+    """Format-v2 on-disk conformance: metadata carries format-version 2
+    + last-sequence-number, the delete commit adds a content=1 manifest
+    whose entry is a content=1 (position deletes) data_file, the delete
+    parquet holds (file_path, pos) rows, and reads merge the deletes
+    while time travel and idempotence hold."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_v2_tbl")
+    src = load(spark, SF_DIR, "nation")
+    s1 = write_iceberg(src, path, "overwrite", format_version=2)
+    res = ice.add_position_deletes(spark, path, "n_nationkey % 5 = 0")
+    n_del = src.where("n_nationkey % 5 = 0").count()
+    assert res["deleted_rows"] == n_del
+
+    meta = ice._read_metadata(path)
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 2
+    assert [s.get("sequence-number") for s in meta["snapshots"]] == [1, 2]
+    assert meta["snapshots"][-1]["summary"]["operation"] == "delete"
+
+    ml = ice._resolve(path, meta["snapshots"][-1]["manifest-list"])
+    manifests = _decode_avro_records(ml)
+    contents = sorted(m.get("content", 0) for m in manifests)
+    assert contents == [0, 1]
+    (dm,) = [m for m in manifests if m.get("content") == 1]
+    assert dm["sequence_number"] == 2
+    (entry,) = _decode_avro_records(ice._resolve(path, dm["manifest_path"]))
+    assert entry["data_file"]["content"] == ice._DF_CONTENT_POS_DELETES
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(ice._resolve(path, entry["data_file"]["file_path"]))
+    assert t.column_names == ["file_path", "pos"]
+    assert t.num_rows == n_del
+
+    assert read_iceberg(spark, path).count() == 25 - n_del
+    assert read_iceberg(spark, path, snapshot_id=s1).count() == 25
+    # remaining rows are exactly the non-matching ones
+    left = {r[0] for r in read_iceberg(spark, path).select("n_nationkey").collect()}
+    assert left == {k for k in range(25) if k % 5 != 0}
+    # second delete on an overlapping predicate only removes NEW rows
+    res2 = ice.add_position_deletes(spark, path, "n_nationkey % 10 = 0")
+    assert res2["deleted_rows"] == 0
+    res3 = ice.add_position_deletes(spark, path, "n_nationkey <= 1")
+    assert res3["deleted_rows"] == 1  # key 0 already deleted; key 1 new
+    assert read_iceberg(spark, path).count() == 25 - n_del - 1
+
+
+def test_v2_capability_gates(spark, tmp_path):
+    """The honest v2 scope cuts raise with actionable messages:
+    deletes on v1 tables, deletes on partitioned v2 tables, equality
+    delete files at read, format-version changes mid-table, and
+    rewrite_manifests over delete manifests."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    p1 = str(tmp_path / "v1_tbl")
+    write_iceberg(src, p1, "overwrite")
+    with pytest.raises(ValueError, match="format-v2"):
+        ice.add_position_deletes(spark, p1, "n_nationkey = 0")
+    with pytest.raises(ValueError, match="format .*fixed|fixed at table"):
+        write_iceberg(src, p1, "append", format_version=2)
+
+    p2 = str(tmp_path / "v2_part")
+    write_iceberg(src, p2, "overwrite", partition_by=["n_regionkey"],
+                  format_version=2)
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        ice.add_position_deletes(spark, p2, "n_nationkey = 0")
+
+    p3 = str(tmp_path / "v2_del")
+    write_iceberg(src, p3, "overwrite", format_version=2)
+    write_iceberg(src.limit(0), p3, "append", format_version=2)
+    ice.add_position_deletes(spark, p3, "n_nationkey = 0")
+    with pytest.raises(NotImplementedError, match="DELETE manifests"):
+        ice.rewrite_manifests(p3)
+    # equality-delete file at read → explicit refusal
+    meta = ice._read_metadata(p3)
+    ml = ice._resolve(path := p3, meta["snapshots"][-1]["manifest-list"])
+    manifests = _decode_avro_records(ml)
+    (dm,) = [m for m in manifests if m.get("content") == 1]
+    (entry,) = _decode_avro_records(ice._resolve(path, dm["manifest_path"]))
+    entry["data_file"]["content"] = ice._DF_CONTENT_EQ_DELETES
+    from datalakecrawler_spark.sources.avro import AvroDatumFileWriter
+
+    with open(ice._resolve(path, dm["manifest_path"]), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, ice._manifest_entry_schema_v2(), "deflate",
+            sync_seed=dm["manifest_path"],
+        )
+        w.write_block([entry])
+    with pytest.raises(NotImplementedError, match="equality delete"):
+        read_iceberg(spark, path).count()
+
+
+def test_v2_rewrite_manifests_without_deletes(spark, tmp_path):
+    """rewrite_manifests on a delete-free v2 table compacts with the
+    v2 schemas (content/sequence fields preserved) and bumps the
+    sequence number."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "v2_rw")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 10"), path, "overwrite",
+                  format_version=2)
+    write_iceberg(src.where("n_nationkey >= 10"), path, "append",
+                  format_version=2)
+    res = ice.rewrite_manifests(path)
+    assert res["manifests_before"] == 2 and res["manifests_after"] == 1
+    meta = ice._read_metadata(path)
+    assert meta["last-sequence-number"] == 3
+    ml = ice._resolve(path, meta["snapshots"][-1]["manifest-list"])
+    (m,) = _decode_avro_records(ml)
+    assert m["content"] == 0 and m["sequence_number"] == 3
+    assert m["min_sequence_number"] == 1
+    assert read_iceberg(spark, path).count() == 25

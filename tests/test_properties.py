@@ -832,6 +832,32 @@ def test_embed_pca_spectrum_properties(spark):
     assert all(r["top_loading"] >= 0 for r in rows1)
 
 
+def test_embed_pca_matches_gram_invariants(spark):
+    """Closes the PCA verification triangle (VERDICT r5 item 5): the
+    hash-matched mm_embed_pca_invariants pins Σλ and Σλ² cross-engine;
+    this test recomputes the covariance independently with numpy and
+    checks (a) its eigendecomposition reproduces exactly those
+    invariants and (b) mm_embed_pca's top-8 eigenvalues/ratios are the
+    top of that spectrum — so the only content of mm_embed_pca not
+    cross-engine-checked is the eigenbasis itself (no SQL twin
+    exists)."""
+    import numpy as np
+
+    inv = _run(spark, "mm_embed_pca_invariants").collect()[0]
+    rows = load(spark, SF_DIR, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cov = X.T @ X / len(X) - np.outer(X.mean(0), X.mean(0))
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert inv["n_vectors"] == len(X)
+    assert abs(inv["cov_trace"] - evals.sum()) < 1e-5
+    assert abs(inv["cov_frob2"] - (evals**2).sum()) < 1e-5
+
+    pca = _run(spark, "mm_embed_pca").collect()
+    for r in pca:
+        assert abs(r["eigenvalue"] - evals[r["component"]]) < 1e-5
+        assert abs(r["explained_ratio"] - evals[r["component"]] / evals.sum()) < 1e-5
+
+
 def test_ks_statistic_bounded_and_covers(spark):
     r = _run(spark, "catalog_drift_ks").collect()[0]
     assert 0.0 <= r["ks_d"] <= 1.0
