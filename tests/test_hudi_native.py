@@ -323,3 +323,92 @@ def test_instant_claim_is_exclusive(spark, tmp_path):
     open(os.path.join(path, ".hoodie", f"{_T2}.commit.requested"), "w").close()
     with pytest.raises(RuntimeError, match="already claimed"):
         write_hudi(src.limit(5), path, "n_nationkey", _T2, op="upsert")
+
+
+def test_mor_timeline_slices_and_views(spark, tmp_path):
+    """MoR layout: data writes publish .deltacommit instants, upserts
+    append logfile-*.parquet (bases untouched), slices track the log
+    backlog, snapshot merges latest-wins while read-optimized serves
+    bases, time travel and incremental stay exact, and compaction
+    (.commit) folds logs into new bases preserving commit times."""
+    import glob as _glob
+
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    path = str(tmp_path / "mor_tbl")
+    src = load(spark, SF_DIR, "nation")
+    hn.write_hudi_mor(src, path, "n_nationkey", _T1, op="bulk_insert")
+    upd = src.where("n_nationkey < 5").withColumn(
+        "n_regionkey", F.col("n_regionkey") + 100
+    )
+    hn.write_hudi_mor(upd, path, "n_nationkey", _T2, op="upsert")
+
+    tdir = os.path.join(path, ".hoodie")
+    assert os.path.exists(os.path.join(tdir, f"{_T1}.deltacommit"))
+    assert os.path.exists(os.path.join(tdir, f"{_T2}.deltacommit"))
+    assert not _glob.glob(os.path.join(tdir, "*.requested"))
+    assert not _glob.glob(os.path.join(tdir, "*.inflight"))
+    logs = _glob.glob(os.path.join(path, "logfile-*.log.*.parquet"))
+    assert logs, "upsert must append log files"
+
+    slices = hn._mor_slices_at(path)
+    with_logs = {k: v for k, v in slices.items() if v["logs"]}
+    assert with_logs and all(v["base_instant"] == _T1 for v in slices.values())
+
+    snap = hn.read_hudi(spark, path)
+    assert snap.count() == 25
+    bumped = {r[0] for r in snap.where("n_regionkey >= 100").select("n_nationkey").collect()}
+    assert bumped == {0, 1, 2, 3, 4}
+    ro = hn.read_hudi(spark, path, view="read_optimized")
+    assert ro.where("n_regionkey >= 100").count() == 0  # stale by design
+    assert hn.read_hudi(spark, path, as_of=_T1).where("n_regionkey >= 100").count() == 0
+
+    inc = hn.read_hudi_incremental(spark, path, from_instant=_T1)
+    assert inc.count() == 5
+    assert {r[0] for r in inc.select("n_nationkey").collect()} == bumped
+
+    res = hn.compact_hudi_mor(spark, path, "19700101000000003")
+    assert res["compacted_groups"] == len(with_logs)
+    assert os.path.exists(os.path.join(tdir, "19700101000000003.commit"))
+    slices2 = hn._mor_slices_at(path)
+    assert all(not v["logs"] for v in slices2.values())
+    snap2 = hn.read_hudi(spark, path)
+    ro2 = hn.read_hudi(spark, path, view="read_optimized")
+    assert snap2.count() == ro2.count() == 25
+    assert {r[0] for r in ro2.where("n_regionkey >= 100").select("n_nationkey").collect()} == bumped
+    # compaction preserves original commit times → incremental unchanged
+    inc2 = hn.read_hudi_incremental(spark, path, from_instant=_T1)
+    assert inc2.count() == 5
+    # timeline records the three operations with MoR actions
+    ops = [t["operation"] for t in hn.hudi_timeline(path)]
+    assert ops == ["BULK_INSERT", "UPSERT", "COMPACT"]
+
+
+def test_mor_gates_and_occ(spark, tmp_path):
+    """Type mismatches refuse (CoW writer on MoR table and vice
+    versa); upsert into empty MoR refuses; non-monotonic instants
+    refuse and release the claim; compaction is a no-op without
+    logs."""
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    src = load(spark, SF_DIR, "region")
+    p1 = str(tmp_path / "mor_g")
+    hn.write_hudi_mor(src, p1, "r_regionkey", _T1, op="bulk_insert")
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        write_hudi(src, p1, "r_regionkey", _T2, op="upsert")
+    p2 = str(tmp_path / "cow_g")
+    write_hudi(src, p2, "r_regionkey", _T1, op="bulk_insert")
+    with pytest.raises(ValueError, match="COPY_ON_WRITE"):
+        hn.write_hudi_mor(src, p2, "r_regionkey", _T2, op="upsert")
+    p3 = str(tmp_path / "mor_empty")
+    with pytest.raises(ValueError, match="bulk_insert first"):
+        hn.write_hudi_mor(src, p3, "r_regionkey", _T1, op="upsert")
+    # non-monotonic instant refuses and does NOT burn the marker
+    with pytest.raises(ValueError, match="monotonic"):
+        hn.write_hudi_mor(src, p1, "r_regionkey", _T1, op="upsert")
+    import glob as _glob
+
+    assert not _glob.glob(os.path.join(p1, ".hoodie", "*.requested"))
+    # no logs → compaction no-op, no instant claimed
+    res = hn.compact_hudi_mor(spark, p1, _T2)
+    assert res == {"instant": None, "compacted_groups": 0}
