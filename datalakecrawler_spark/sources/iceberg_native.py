@@ -38,13 +38,16 @@ tables, rewrite_manifests across delete manifests, and format v3+ all
 raise with the exact missing capability; the type mapping covers the
 scalar surface + date/timestamp (nested Iceberg types would map
 through the same recursive machinery as the Avro codec if ever
-needed). Identity partition specs are first-class:
-the writer records typed partition values in each manifest entry's
-r102 record plus per-manifest field summaries (field-id 507), and
-``read_iceberg``'s partition_filter prunes at BOTH metadata levels —
-whole manifests whose summary bounds exclude the filter are skipped
-without being read, then surviving entries prune file-by-file
-(non-identity transforms raise).
+needed). Partition specs are first-class — identity AND the spec's
+transforms (bucket[N] with the spec's exact murmur3 + serialization,
+truncate[W], year/month/day since-epoch ordinals; see the Partition
+Transforms section): the writer records typed partition values in
+each manifest entry's r102 record plus per-manifest field summaries
+(field-id 507), and ``read_iceberg``'s partition_filter — stated on
+SOURCE columns, transformed driver-side — prunes at BOTH metadata
+levels: whole manifests whose summary bounds exclude the filter are
+skipped without being read, then surviving entries prune
+file-by-file. Mixed identity+transform specs raise.
 
 Manifest files carry the spec's well-known field-ids (100-105 for
 data_file, 500-514 for manifest_file) in the Avro schemas so strict
@@ -377,17 +380,51 @@ def read_iceberg(
     skipping, which would also skip whole manifests, is the remaining
     optimization; entry-level pruning already bounds the scan)."""
     meta = _read_metadata(path)
-    spec_cols = {
-        f["name"]
-        for f in meta.get("partition-specs", [{}])[0].get("fields", [])
-    }
+    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    by_id = {f["id"]: f for f in meta["schema"]["fields"]}
+    parsed_spec = []
+    for sf in spec_fields:
+        t = sf.get("transform", "identity")
+        if t.startswith("bucket["):
+            tr, param = "bucket", int(t[len("bucket[") : -1])
+        elif t.startswith("truncate["):
+            tr, param = "truncate", int(t[len("truncate[") : -1])
+        else:
+            tr, param = t, None
+        src = by_id.get(sf.get("source-id"), {})
+        parsed_spec.append(
+            {
+                "name": sf["name"],
+                "source": src.get("name", sf["name"]),
+                "src_type": src.get("type", "string"),
+                "transform": tr,
+                "param": param,
+            }
+        )
+    identity_spec = all(p["transform"] == "identity" for p in parsed_spec)
+    spec_cols = {p["name"] for p in parsed_spec}
+    sources = {p["source"] for p in parsed_spec}
+    tfilter: dict = {}
     if partition_filter:
-        missing = set(partition_filter) - spec_cols
+        # filters are stated on SOURCE columns; transform each value
+        # with the spec's own transform before comparing to the typed
+        # r102 partition records. Lossy transforms prune to a superset
+        # (same-bucket / same-month files) — the caller still applies
+        # the real predicate, per the spec's scan contract.
+        missing = set(partition_filter) - sources
         if missing:
             raise ValueError(
-                f"partition_filter on non-spec columns {sorted(missing)} "
-                f"(spec has {sorted(spec_cols)})"
+                f"partition_filter on non-source columns {sorted(missing)} "
+                f"(spec sources: {sorted(sources)})"
             )
+        _ICE_TO_DTYPE = {"int": "int", "long": "bigint", "string": "string"}
+        for p in parsed_spec:
+            if p["source"] in partition_filter:
+                tfilter[p["name"]] = _transform_value(
+                    p,
+                    partition_filter[p["source"]],
+                    _ICE_TO_DTYPE.get(p["src_type"], "string"),
+                )
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid is None or sid == -1 or not snaps:
@@ -399,11 +436,7 @@ def read_iceberg(
     snap = snaps[sid]
     files: list[str] = []
     delete_files: list[str] = []
-    ice_types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
-    read_pfields = [
-        (f["name"], ice_types.get(f["name"], "string"))
-        for f in meta.get("partition-specs", [{}])[0].get("fields", [])
-    ]
+    read_pfields = _spec_avro_types(meta)
     for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
         if mf.get("content", 0) == 1:
             # v2 DELETE manifest: its entries name delete files, not
@@ -420,9 +453,7 @@ def read_iceberg(
                     )
                 delete_files.append(_resolve(path, rec["file_path"]))
             continue
-        if partition_filter and _manifest_pruned(
-            mf, partition_filter, read_pfields
-        ):
+        if tfilter and _manifest_pruned(mf, tfilter, read_pfields):
             continue  # whole manifest skipped — its Avro is never read
         for entry in _decode_avro_records(_resolve(path, mf["manifest_path"])):
             if entry["status"] == _ST_DELETED:
@@ -432,9 +463,8 @@ def read_iceberg(
                 raise NotImplementedError(
                     f"data file format {df_rec['file_format']} (parquet only)"
                 )
-            if partition_filter and any(
-                df_rec["partition"].get(k) != v
-                for k, v in partition_filter.items()
+            if tfilter and any(
+                df_rec["partition"].get(k) != v for k, v in tfilter.items()
             ):
                 continue
             files.append(_resolve(path, df_rec["file_path"]))
@@ -442,9 +472,12 @@ def read_iceberg(
     if not files:
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema)
-    if spec_cols:
-        # hive-style dirs under data/ carry the partition columns;
-        # basePath re-derives them with the committed schema's types
+    if spec_cols and identity_spec:
+        # identity specs: hive-style dirs under data/ carry the
+        # partition columns; basePath re-derives them with the
+        # committed schema's types. Transform specs keep the source
+        # column INSIDE the data files, so no re-derivation happens
+        # (the dirs hold transform values, not schema columns).
         reader = reader.option("basePath", os.path.join(path, "data"))
     out = reader.parquet(*files)
     if delete_files:
@@ -490,6 +523,233 @@ def iceberg_snapshots(path: str) -> list[dict]:
 # Spark dtypes usable as identity partition sources → avro primitive
 _PARTITION_AVRO = {"int": "int", "bigint": "long", "string": "string"}
 
+# ---------------------------------------------------------------------------
+# Partition transforms (spec §Partition Transforms) — r6
+# ---------------------------------------------------------------------------
+#
+# Non-identity specs are declared as strings: "bucket(4, col)",
+# "truncate(10, col)", "year(col)", "month(col)", "day(col)". The spec
+# pins each transform exactly:
+#   bucket[N]   = (murmur3_x86_32(v) & Int.MAX) % N, ints/longs hashed
+#                 as 8-byte little-endian, strings as UTF-8 (the spec's
+#                 published test vectors are pinned in pytest);
+#   truncate[W] = v - (v mod W) with floored mod for ints; first W
+#                 chars for strings;
+#   year/month/day = ordinals SINCE EPOCH (1970), not calendar parts.
+# Partition VALUES in the r102 records are the transform results; the
+# source column stays inside the data files (only identity specs use
+# hive-dir re-derivation), and a partition_filter on the SOURCE column
+# is transformed driver-side before pruning — lossy transforms prune
+# to a superset, exactly the spec's contract (the caller still applies
+# the real predicate).
+
+import re as _re
+import struct as _struct
+
+_TRANSFORM_RE = _re.compile(
+    r"^\s*(?:(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(year|month|day)\s*\(\s*(\w+)\s*\))\s*$"
+)
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public algorithm) — the hash the Iceberg spec
+    fixes for the bucket transform."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+
+    def rot(x, r):
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    h = seed
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = rot((k * c1) & 0xFFFFFFFF, 15)
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((rot(h, 13) * 5) + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[4 * nblocks :]
+    if tail:
+        k = 0
+        for i, b in enumerate(tail):
+            k |= b << (8 * i)
+        k = rot((k * c1) & 0xFFFFFFFF, 15)
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _iceberg_bucket(value, n: int, src_dtype: str) -> int:
+    """Spec bucket transform: ints and longs hash identically as
+    8-byte little-endian; strings as raw UTF-8."""
+    if src_dtype in ("int", "bigint"):
+        data = _struct.pack("<q", int(value))
+    elif src_dtype == "string":
+        data = str(value).encode("utf-8")
+    else:
+        raise TypeError(f"bucket source must be int|bigint|string, got {src_dtype}")
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def _parse_partition_spec(partition_by: list[str], dtypes: dict) -> list[dict]:
+    """Each entry is a plain column name (identity) or a transform
+    string. Returns [{name, source, transform, param, avro}]; mixed
+    identity + transform specs raise (identity specs re-derive their
+    columns from hive dirs at read, transform specs keep the source
+    column in the data files — one table cannot do both)."""
+    fields = []
+    for ent in partition_by:
+        m = _TRANSFORM_RE.match(ent)
+        if m is None:
+            if ent not in dtypes:
+                raise ValueError(f"unknown partition source column {ent!r}")
+            if dtypes[ent] not in _PARTITION_AVRO:
+                raise TypeError(
+                    f"identity partition column {ent!r} must be one of "
+                    f"{sorted(_PARTITION_AVRO)} (got {dtypes.get(ent)})"
+                )
+            fields.append(
+                {
+                    "name": ent,
+                    "source": ent,
+                    "transform": "identity",
+                    "param": None,
+                    "avro": _PARTITION_AVRO[dtypes[ent]],
+                }
+            )
+            continue
+        if m.group(1):  # bucket / truncate
+            t, param, src = m.group(1), int(m.group(2)), m.group(3)
+        else:  # year / month / day
+            t, param, src = m.group(4), None, m.group(5)
+        if src not in dtypes:
+            raise ValueError(f"unknown partition source column {src!r}")
+        sdt = dtypes[src]
+        if t == "bucket":
+            if sdt not in ("int", "bigint", "string"):
+                raise TypeError(f"bucket source {src!r} must be int|bigint|string")
+            avro, name = "int", f"{src}_bucket"
+        elif t == "truncate":
+            if sdt in ("int", "bigint"):
+                avro = _PARTITION_AVRO[sdt]
+            elif sdt == "string":
+                avro = "string"
+            else:
+                raise TypeError(f"truncate source {src!r} must be int|bigint|string")
+            name = f"{src}_trunc"
+        else:
+            if not ("date" in sdt or "timestamp" in sdt):
+                raise TypeError(f"{t} source {src!r} must be date/timestamp")
+            avro, name = "int", f"{src}_{t}"
+        fields.append(
+            {"name": name, "source": src, "transform": t, "param": param,
+             "avro": avro}
+        )
+    kinds = {f["transform"] == "identity" for f in fields}
+    if len(kinds) > 1:
+        raise NotImplementedError(
+            "mixed identity + transform partition specs are not supported "
+            "(identity re-derives columns from hive dirs; transforms keep "
+            "the source column in the data files)"
+        )
+    return fields
+
+
+def _transform_spec_string(f: dict) -> str:
+    if f["transform"] in ("bucket", "truncate"):
+        return f"{f['transform']}[{f['param']}]"
+    return f["transform"]
+
+
+def _transform_col(f: dict, dtypes: dict):
+    """The Spark Column computing a spec field's partition value —
+    built-ins for everything except bucket, whose murmur3 crosses to
+    an Arrow-batched pandas UDF (write-path only; scans never pay
+    it)."""
+    from pyspark.sql import functions as F
+
+    src, t, p = f["source"], f["transform"], f["param"]
+    if t == "identity":
+        return F.col(src)
+    if t == "truncate":
+        if dtypes[src] == "string":
+            return F.substring(F.col(src), 1, p)
+        return (F.col(src) - F.pmod(F.col(src), F.lit(p))).cast(
+            "int" if dtypes[src] == "int" else "bigint"
+        )
+    if t == "year":
+        return (F.year(F.col(src)) - F.lit(1970)).cast("int")
+    if t == "month":
+        return (
+            (F.year(F.col(src)) - F.lit(1970)) * 12 + F.month(F.col(src)) - 1
+        ).cast("int")
+    if t == "day":
+        return F.datediff(F.to_date(F.col(src)), F.lit("1970-01-01")).cast("int")
+    # bucket
+    from pyspark.sql.functions import pandas_udf
+
+    n, sdt = p, dtypes[src]
+
+    def _bucket_fn(s):
+        # module is under `from __future__ import annotations`, so the
+        # udf is declared signature-free with an explicit returnType
+        return s.map(lambda v: _iceberg_bucket(v, n, sdt)).astype("int32")
+
+    return pandas_udf(_bucket_fn, "int")(F.col(src))
+
+
+def _transform_value(f: dict, value, src_dtype: str):
+    """Driver-side twin of _transform_col for partition_filter
+    values."""
+    import datetime as _dt
+
+    t, p = f["transform"], f["param"]
+    if t == "identity":
+        return value
+    if t == "bucket":
+        return _iceberg_bucket(value, p, src_dtype)
+    if t == "truncate":
+        if isinstance(value, str):
+            return value[:p]
+        return value - (value % p)
+    if isinstance(value, str):
+        value = _dt.date.fromisoformat(value[:10])
+    if isinstance(value, _dt.datetime):
+        value = value.date()
+    if t == "year":
+        return value.year - 1970
+    if t == "month":
+        return (value.year - 1970) * 12 + value.month - 1
+    return (value - _dt.date(1970, 1, 1)).days  # day
+
+
+def _spec_avro_types(meta: dict) -> list[tuple[str, str]]:
+    """[(spec field name, avro primitive)] for the table's partition
+    spec, derived from each field's transform + source schema type —
+    transform fields are NOT schema columns, so the old same-name
+    lookup cannot type them."""
+    by_id = {f["id"]: f for f in meta["schema"]["fields"]}
+    out = []
+    for f in meta.get("partition-specs", [{}])[0].get("fields", []):
+        t = f.get("transform", "identity")
+        if t.startswith("bucket") or t in ("year", "month", "day"):
+            out.append((f["name"], "int"))
+        elif t.startswith("truncate"):
+            src = by_id.get(f.get("source-id"), {}).get("type", "string")
+            out.append((f["name"], "long" if src == "long" else src))
+        else:
+            src = by_id.get(f.get("source-id"), {}).get("type", "string")
+            out.append(
+                (f["name"], src if src in ("int", "long", "string") else "string")
+            )
+    return out
+
 
 def write_iceberg(
     df: DataFrame,
@@ -503,11 +763,17 @@ def write_iceberg(
     (O(new files) commit); ``overwrite`` starts the file set fresh
     (old snapshots stay readable — files are never deleted here).
 
-    ``partition_by`` declares an identity partition spec: data files
-    land under ``data/<col>=<val>/…``, each manifest entry's r102
-    partition record carries the TYPED partition values (spec
-    field-ids 1000+), and ``read_iceberg``'s partition_filter prunes
-    entries from the manifests — metadata-level skipping, the scan
+    ``partition_by`` declares the partition spec: plain column names
+    are identity fields (data files land under ``data/<col>=<val>/…``
+    and the column is re-derived from the dirs at read), and transform
+    strings — ``"bucket(N, col)"``, ``"truncate(W, col)"``,
+    ``"year(col)"``, ``"month(col)"``, ``"day(col)"`` — compute the
+    spec's transform per row (murmur3 bucket, floored-mod/prefix
+    truncate, since-epoch ordinals) with the SOURCE column kept inside
+    the data files. Either way each manifest entry's r102 partition
+    record carries the TYPED partition values (spec field-ids 1000+),
+    and ``read_iceberg``'s partition_filter — stated on source columns
+    — is transformed and pruned at both metadata levels; the scan
     never lists the other partitions' files. The spec is a table
     property: later commits must repeat it."""
     if mode not in ("overwrite", "append"):
@@ -516,13 +782,9 @@ def write_iceberg(
         raise ValueError(f"format_version must be 1|2, got {format_version}")
     partition_by = list(partition_by or [])
     dtypes = dict(df.dtypes)
-    for c in partition_by:
-        if dtypes.get(c) not in _PARTITION_AVRO:
-            raise TypeError(
-                f"identity partition column {c!r} must be one of "
-                f"{sorted(_PARTITION_AVRO)} (got {dtypes.get(c)})"
-            )
-    pfields = [(c, _PARTITION_AVRO[dtypes[c]]) for c in partition_by]
+    spec = _parse_partition_spec(partition_by, dtypes)
+    identity_spec = all(f["transform"] == "identity" for f in spec)
+    pfields = [(f["name"], f["avro"]) for f in spec]
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_meta_dir(path), exist_ok=True)
 
@@ -536,14 +798,15 @@ def write_iceberg(
                 f"this commit declares v{format_version} — the format "
                 "version is fixed at table creation"
             )
-        prior_spec = [
-            f["name"]
+        prior_sig = [
+            (f["name"], f.get("transform", "identity"))
             for f in prior_meta.get("partition-specs", [{}])[0].get("fields", [])
         ]
-        if prior_spec != partition_by:
+        new_sig = [(f["name"], _transform_spec_string(f)) for f in spec]
+        if prior_sig != new_sig:
             raise ValueError(
-                f"table partition spec is {prior_spec}; this commit "
-                f"declares {partition_by} — the spec is fixed at table "
+                f"table partition spec is {prior_sig}; this commit "
+                f"declares {new_sig} — the spec is fixed at table "
                 "creation"
             )
     version = 1 if prior_meta is None else (
@@ -557,9 +820,22 @@ def write_iceberg(
 
     # 1) data files (distributed parquet write, then linked under data/)
     stage = os.path.join(path, f"_stage-{version}")
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
+    if not spec or identity_spec:
+        stage_df = df
+        stage_cols = [f["source"] for f in spec]
+    else:
+        # transform specs: the partition value is a COMPUTED column —
+        # partitionBy excludes it from the files, so the source column
+        # stays in the data (reads need no dir re-derivation)
+        stage_df = df
+        stage_cols = []
+        for fl in spec:
+            c = f"__tx_{fl['name']}"
+            stage_df = stage_df.withColumn(c, _transform_col(fl, dtypes))
+            stage_cols.append(c)
+    w = stage_df.write.mode("overwrite")
+    if stage_cols:
+        w = w.partitionBy(*stage_cols)
     w.parquet(stage)
     entries = []
     n_rows_total = 0
@@ -568,12 +844,19 @@ def write_iceberg(
         return int(val) if avro_t in ("int", "long") else val
 
     staged = sorted(
-        glob.glob(os.path.join(stage, *["*=*"] * len(partition_by), "part-*.parquet"))
+        glob.glob(os.path.join(stage, *["*=*"] * len(spec), "part-*.parquet"))
     )
     for i, f in enumerate(staged):
-        pdir = os.path.relpath(os.path.dirname(f), stage) if partition_by else ""
+        pdir = os.path.relpath(os.path.dirname(f), stage) if spec else ""
         segs = dict(s.split("=", 1) for s in pdir.split(os.sep) if "=" in s)
-        pvals = {n: _typed(segs[n], t) for n, t in pfields}
+        if identity_spec:
+            pvals = {n: _typed(segs[n], t) for n, t in pfields}
+        else:
+            pvals = {
+                fl["name"]: _typed(segs[f"__tx_{fl['name']}"], fl["avro"])
+                for fl in spec
+            }
+            pdir = os.sep.join(f"{fl['name']}={pvals[fl['name']]}" for fl in spec)
         rel = os.path.join(
             "data", pdir, f"{snapshot_id:05d}-{i:05d}.parquet"
         ).replace(os.sep + os.sep, os.sep)
@@ -696,25 +979,30 @@ def write_iceberg(
         "schema": _spark_schema_to_iceberg(df.schema),
         "partition-spec": [
             {
-                "name": c,
-                "transform": "identity",
-                "source-id": [f.name for f in df.schema.fields].index(c) + 1,
+                "name": fl["name"],
+                "transform": _transform_spec_string(fl),
+                "source-id": [f.name for f in df.schema.fields].index(
+                    fl["source"]
+                )
+                + 1,
                 "field-id": 1000 + i,
             }
-            for i, c in enumerate(partition_by)
+            for i, fl in enumerate(spec)
         ],
         "partition-specs": [
             {
                 "spec-id": 0,
                 "fields": [
                     {
-                        "name": c,
-                        "transform": "identity",
-                        "source-id": [f.name for f in df.schema.fields].index(c)
+                        "name": fl["name"],
+                        "transform": _transform_spec_string(fl),
+                        "source-id": [f.name for f in df.schema.fields].index(
+                            fl["source"]
+                        )
                         + 1,
                         "field-id": 1000 + i,
                     }
-                    for i, c in enumerate(partition_by)
+                    for i, fl in enumerate(spec)
                 ],
             }
         ],
@@ -1000,11 +1288,7 @@ def rewrite_manifests(
                 for m in old_manifests
             ),
         }
-    ice_types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
-    pfields = [
-        (f["name"], ice_types.get(f["name"], "string"))
-        for f in meta.get("partition-specs", [{}])[0].get("fields", [])
-    ]
+    pfields = _spec_avro_types(meta)
     entries = []
     for mf in old_manifests:
         for e in _decode_avro_records(_resolve(path, mf["manifest_path"])):
@@ -1378,5 +1662,82 @@ def scan_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time travel: the pre-delete snapshot still serves every row
     assert read_iceberg(spark, path, snapshot_id=s2).count() == n_before
     return after.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "sink_iceberg_transform_bucket",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           count(distinct o_orderkey) as n_orders
+    from orders
+    where o_custkey = (select min(o_custkey) from orders)
+    """,
+)
+def sink_iceberg_transform_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the spec's BUCKET partition transform — orders committed
+    under bucket(4, o_custkey), where the partition value is
+    (murmur3_x86_32(key as 8-byte LE) & Int.MAX) % 4 exactly as the
+    spec fixes it (the published Appendix-B hash vectors are pinned in
+    tests/test_iceberg_native.py). A filtered read states the filter
+    on the SOURCE column; the reader transforms it and prunes manifest
+    entries to the one bucket's files — on a key-bucketed 100 TB table
+    a point lookup scans 1/N of the data with zero layout knowledge in
+    the query. Bucketing is lossy, so the real predicate still applies
+    after the prune (asserted: pruned files are a strict subset)."""
+    path = _fresh(_tmp("orders_iceberg_bkt"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(src, path, "overwrite", partition_by=["bucket(4, o_custkey)"])
+    meta = _read_metadata(path)
+    sf = meta["partition-specs"][0]["fields"][0]
+    assert (sf["name"], sf["transform"]) == ("o_custkey_bucket", "bucket[4]"), sf
+    k0 = src.agg(F.min("o_custkey")).collect()[0][0]
+    full = read_iceberg(spark, path)
+    pruned = read_iceberg(spark, path, partition_filter={"o_custkey": int(k0)})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    return (
+        pruned.where(F.col("o_custkey") == k0)  # bucket prune is lossy
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "sink_iceberg_transform_month",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    where date_trunc('month', o_orderdate) =
+          (select date_trunc('month', min(o_orderdate)) from orders)
+    """,
+)
+def sink_iceberg_transform_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the spec's MONTH partition transform — partition values
+    are months SINCE EPOCH (not calendar months), computed by Spark
+    built-ins at write. A filter on the source timestamp prunes to
+    exactly the months-since-epoch partition it falls in; the scan
+    then applies the calendar-month predicate. This is the layout that
+    turns 'one month of a 100 TB event table' into a
+    one-partition metadata lookup."""
+    path = _fresh(_tmp("orders_iceberg_mon"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(src, path, "overwrite", partition_by=["month(o_orderdate)"])
+    meta = _read_metadata(path)
+    sf = meta["partition-specs"][0]["fields"][0]
+    assert (sf["name"], sf["transform"]) == ("o_orderdate_month", "month"), sf
+    d0 = src.agg(F.min("o_orderdate")).collect()[0][0]
+    full = read_iceberg(spark, path)
+    pruned = read_iceberg(spark, path, partition_filter={"o_orderdate": d0})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    return pruned.where(
+        F.date_trunc("month", F.col("o_orderdate"))
+        == F.lit(d0.replace(day=1, hour=0, minute=0, second=0, microsecond=0))
+    ).agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )

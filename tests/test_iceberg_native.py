@@ -261,7 +261,7 @@ def test_partitioned_writes_and_entry_pruning(spark, tmp_path):
 
     with pytest.raises(ValueError, match="spec is fixed"):
         write_iceberg(src.limit(5), path, "append")
-    with pytest.raises(ValueError, match="non-spec columns"):
+    with pytest.raises(ValueError, match="non-source columns"):
         read_iceberg(spark, path, partition_filter={"o_orderkey": 1})
     with pytest.raises(TypeError, match="identity partition column"):
         write_iceberg(
@@ -548,3 +548,80 @@ def test_v2_rewrite_manifests_without_deletes(spark, tmp_path):
     assert m["content"] == 0 and m["sequence_number"] == 3
     assert m["min_sequence_number"] == 1
     assert read_iceberg(spark, path).count() == 25
+
+
+def test_partition_transform_spec_conformance():
+    """The spec's own Appendix-B test vectors for the bucket hash
+    (murmur3_x86_32: int/long hash as 8-byte LE, strings as UTF-8) and
+    the pinned semantics of truncate / temporal transforms (floored
+    mod, prefix, since-epoch ordinals)."""
+    import datetime as dt
+
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    # Appendix B: hash(34 as int) = hash(34 as long) = 2017239379,
+    # hash("iceberg") = 1210000089
+    import struct
+
+    assert ice._murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert ice._murmur3_32("iceberg".encode()) == 1210000089
+    assert ice._iceberg_bucket(34, 16, "int") == 2017239379 % 16
+    assert ice._iceberg_bucket(34, 16, "bigint") == ice._iceberg_bucket(34, 16, "int")
+    assert ice._iceberg_bucket("iceberg", 16, "string") == 1210000089 % 16
+
+    trunc = {"transform": "truncate", "param": 10}
+    assert ice._transform_value(trunc, 17, "int") == 10
+    assert ice._transform_value(trunc, -3, "int") == -10  # floored mod
+    s5 = {"transform": "truncate", "param": 5}
+    assert ice._transform_value(s5, "icebergs", "string") == "icebe"
+    d = dt.date(1971, 3, 5)
+    assert ice._transform_value({"transform": "year", "param": None}, d, "x") == 1
+    assert ice._transform_value({"transform": "month", "param": None}, d, "x") == 14
+    assert ice._transform_value({"transform": "day", "param": None}, d, "x") == (
+        d - dt.date(1970, 1, 1)
+    ).days
+
+
+def test_partition_transform_table_roundtrip(spark, tmp_path):
+    """Transform-partitioned table: spec JSON carries the transform
+    string and source-id, r102 records hold the TRANSFORM values, the
+    source column survives inside the data files, and pruning by
+    source value keeps exactly the matching partition's files."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_trunc")
+    src = load(spark, SF_DIR, "customer")
+    write_iceberg(src, path, "overwrite",
+                  partition_by=["truncate(1000, c_custkey)"])
+    meta = ice._read_metadata(path)
+    (sf,) = meta["partition-specs"][0]["fields"]
+    assert sf["transform"] == "truncate[1000]"
+    assert sf["name"] == "c_custkey_trunc"
+    src_field = next(
+        f for f in meta["schema"]["fields"] if f["id"] == sf["source-id"]
+    )
+    assert src_field["name"] == "c_custkey"
+    snap = meta["snapshots"][-1]
+    for mf in ice._decode_avro_records(ice._resolve(path, snap["manifest-list"])):
+        for e in ice._decode_avro_records(ice._resolve(path, mf["manifest_path"])):
+            v = e["data_file"]["partition"]["c_custkey_trunc"]
+            assert isinstance(v, int) and v % 1000 == 0
+    full = read_iceberg(spark, path)
+    assert "c_custkey" in full.columns and full.count() == src.count()
+    pruned = read_iceberg(spark, path, partition_filter={"c_custkey": 1500})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    got = pruned.select("c_custkey").distinct().collect()
+    assert all(1000 <= r[0] < 2000 for r in got)
+
+    # mixed identity + transform refuses
+    with pytest.raises(NotImplementedError, match="mixed identity"):
+        write_iceberg(
+            src, str(tmp_path / "ice_mixed"), "overwrite",
+            partition_by=["c_mktsegment", "bucket(4, c_custkey)"],
+        )
+    # bucket on a double refuses
+    with pytest.raises(TypeError, match="bucket source"):
+        write_iceberg(
+            src, str(tmp_path / "ice_badbkt"), "overwrite",
+            partition_by=["bucket(4, c_acctbal)"],
+        )
