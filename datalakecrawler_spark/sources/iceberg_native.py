@@ -36,9 +36,9 @@ anti join — deleting k rows costs O(k), never a copy-on-write rewrite.
 Honest gates that remain: equality deletes, deletes on partitioned
 tables, rewrite_manifests across delete manifests, and format v3+ all
 raise with the exact missing capability; the type mapping covers the
-scalar surface + date/timestamp (nested Iceberg types would map
-through the same recursive machinery as the Avro codec if ever
-needed). Partition specs are first-class — identity AND the spec's
+scalar surface + date/timestamp AND nested struct/list/map (recursive
+spec JSON with schema-unique element/key/value field ids;
+decimal/fixed/uuid still refuse actionably). Partition specs are first-class — identity AND the spec's
 transforms (bucket[N] with the spec's exact murmur3 + serialization,
 truncate[W], year/month/day since-epoch ordinals; see the Partition
 Transforms section): the writer records typed partition values in
@@ -274,34 +274,122 @@ _SPARK_TO_ICE: list[tuple[type, str]] = [
 ]
 
 
+def _spark_type_to_ice(dt: T.DataType, counter: list[int]):
+    """Recursive Spark→Iceberg type mapping. ``counter`` is the
+    schema-wide field-id allocator (the spec requires every nested
+    field — struct members, list elements, map keys/values — to carry
+    a unique id; ``counter[0]`` ends as last-column-id)."""
+    for spark_t, ice in _SPARK_TO_ICE:
+        if isinstance(dt, spark_t):
+            return ice
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            counter[0] += 1
+            fid = counter[0]
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _spark_type_to_ice(f.dataType, counter),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        counter[0] += 1
+        eid = counter[0]
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _spark_type_to_ice(dt.elementType, counter),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        counter[0] += 1
+        kid = counter[0]
+        counter[0] += 1
+        vid = counter[0]
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _spark_type_to_ice(dt.keyType, counter),
+            "value-id": vid,
+            "value": _spark_type_to_ice(dt.valueType, counter),
+            "value-required": not dt.valueContainsNull,
+        }
+    raise TypeError(
+        f"iceberg_native: unsupported Spark type {dt} "
+        "(scalars + struct/list/map)"
+    )
+
+
 def _spark_schema_to_iceberg(schema: T.StructType) -> dict:
+    """Top-level columns take ids 1..N first (matching partition-spec
+    source-id arithmetic), then nested ids continue from N — the
+    allocation order Iceberg's own schema conversion uses."""
+    counter = [len(schema.fields)]
     fields = []
     for i, f in enumerate(schema.fields, start=1):
-        for spark_t, ice in _SPARK_TO_ICE:
-            if isinstance(f.dataType, spark_t):
-                fields.append(
-                    {"id": i, "name": f.name, "required": False, "type": ice}
-                )
-                break
-        else:
-            raise TypeError(
-                f"iceberg_native: unsupported Spark type {f.dataType} "
-                f"for column {f.name!r} (scalar surface only)"
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": _spark_type_to_ice(f.dataType, counter),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": fields,
+        "last-column-id": counter[0],
+    }
+
+
+def _ice_type_to_spark(t) -> T.DataType:
+    if isinstance(t, str):
+        base = t.split("(")[0]
+        if base not in _ICE_TO_SPARK:
+            raise NotImplementedError(
+                f"iceberg_native: unmapped Iceberg type {t!r} "
+                "(decimal/fixed/uuid are not wired)"
             )
-    return {"type": "struct", "schema-id": 0, "fields": fields}
+        return _ICE_TO_SPARK[t]
+    kind = t.get("type")
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _ice_type_to_spark(f["type"]),
+                    not f.get("required"),
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            _ice_type_to_spark(t["element"]), not t.get("element-required")
+        )
+    if kind == "map":
+        return T.MapType(
+            _ice_type_to_spark(t["key"]),
+            _ice_type_to_spark(t["value"]),
+            not t.get("value-required"),
+        )
+    raise NotImplementedError(f"iceberg_native: unmapped Iceberg type {t!r}")
 
 
 def _iceberg_schema_to_spark(ice: dict) -> T.StructType:
-    out = []
-    for f in ice["fields"]:
-        t = f["type"]
-        if not isinstance(t, str) or t.split("(")[0] not in _ICE_TO_SPARK:
-            raise NotImplementedError(
-                f"iceberg_native: column {f['name']!r} has type {t!r}; "
-                "this reader maps the scalar surface only"
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"], _ice_type_to_spark(f["type"]), not f.get("required")
             )
-        out.append(T.StructField(f["name"], _ICE_TO_SPARK[t], not f.get("required")))
-    return T.StructType(out)
+            for f in ice["fields"]
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -970,13 +1058,18 @@ def write_iceberg(
     }
     if format_version == 2:
         snapshot["sequence-number"] = seq
+    ice_schema = _spark_schema_to_iceberg(df.schema)
+    # last-column-id lives at the METADATA level per spec, not inside
+    # the schema object — _spark_schema_to_iceberg returns it attached
+    # for convenience and it is lifted out here
+    last_col_id = ice_schema.pop("last-column-id")
     meta = {
         "format-version": format_version,
         "table-uuid": table_uuid,
         "location": path,
         "last-updated-ms": 0,
-        "last-column-id": len(df.schema.fields),
-        "schema": _spark_schema_to_iceberg(df.schema),
+        "last-column-id": last_col_id,
+        "schema": ice_schema,
         "partition-spec": [
             {
                 "name": fl["name"],
@@ -1740,4 +1833,77 @@ def sink_iceberg_transform_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         == F.lit(d0.replace(day=1, hour=0, minute=0, second=0, microsecond=0))
     ).agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "sink_iceberg_nested_types",
+    group="A",
+    oracle="""
+    select label,
+           count(*) as n_vectors,
+           round(cast(sum(cast(round(sqrt(list_aggregate(
+               list_transform(embedding, x -> cast(x as double)
+                                             * cast(x as double)),
+               'sum')), 6) as decimal(38,10))) as double)
+                 / count(*), 6) as avg_norm,
+           cast(max(len(embedding)) as integer) as max_dim
+    from embeddings group by label
+    """,
+)
+def sink_iceberg_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: nested Iceberg types — an embeddings commit whose schema
+    carries a list<float> column plus a derived struct and map column,
+    all mapped through the spec's recursive type JSON (list/struct/map
+    nodes with schema-unique element/key/value field ids; pinned
+    structurally in tests/test_iceberg_native.py). The read-back must
+    reconstruct the exact Spark types from the metadata alone (explicit
+    schema scan — no parquet inference) and reproduce per-label vector
+    norms from the array column; the oracle recomputes them from the
+    source. The struct/map columns round-trip through the scan and are
+    consumed (struct field extraction, map lookup) before aggregation,
+    proving the nested encoding is readable, not just writable."""
+    path = _fresh(_tmp("embeddings_iceberg_nested"))
+    src = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.struct(
+            F.col("vec_id").alias("id"), F.col("label").alias("lab")
+        ).alias("meta"),
+        F.create_map(F.lit("label"), F.col("label")).alias("tags"),
+    )
+    write_iceberg(src, path, "overwrite")
+    back = read_iceberg(spark, path)
+    want = dict(src.dtypes)
+    got = dict(back.dtypes)
+    assert got == want, (got, want)
+    # nested columns are readable, not write-only: consume them
+    checked = back.where(
+        (F.col("meta.lab") == F.col("label"))
+        & (F.col("tags")["label"] == F.col("label"))
+        & (F.col("meta.id") == F.col("vec_id"))
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    return (
+        checked.select("label", norm.alias("l2"), F.size("embedding").alias("dim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("l2").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_norm"),
+            F.max("dim").alias("max_dim"),
+        )
     )

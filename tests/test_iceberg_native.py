@@ -625,3 +625,39 @@ def test_partition_transform_table_roundtrip(spark, tmp_path):
             src, str(tmp_path / "ice_badbkt"), "overwrite",
             partition_by=["bucket(4, c_acctbal)"],
         )
+
+
+def test_nested_type_json_structure(spark, tmp_path):
+    """Nested schema JSON conformance: list/struct/map nodes carry
+    spec-unique element/key/value field ids, top-level columns keep
+    ids 1..N, last-column-id covers the nested ids, and the read-back
+    schema reconstructs the exact Spark types from metadata alone."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_nested")
+    src = load(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.struct(F.col("label").alias("lab")).alias("meta"),
+        F.create_map(F.lit("k"), F.col("vec_id")).alias("tags"),
+    )
+    write_iceberg(src, path, "overwrite")
+    meta = ice._read_metadata(path)
+    fields = {f["name"]: f for f in meta["schema"]["fields"]}
+    assert [f["id"] for f in meta["schema"]["fields"]] == [1, 2, 3, 4]
+    emb = fields["embedding"]["type"]
+    assert emb["type"] == "list" and emb["element"] == "float"
+    st = fields["meta"]["type"]
+    assert st["type"] == "struct" and st["fields"][0]["name"] == "lab"
+    mp = fields["tags"]["type"]
+    assert mp["type"] == "map" and mp["key"] == "string" and mp["value"] == "long"
+    ids = [emb["element-id"], st["fields"][0]["id"], mp["key-id"], mp["value-id"]]
+    assert len(set(ids)) == len(ids) and min(ids) > 4
+    assert meta["last-column-id"] == max(ids)
+    assert "last-column-id" not in meta["schema"]
+    back = read_iceberg(spark, path)
+    assert dict(back.dtypes) == dict(src.dtypes)
+    assert back.count() == src.count()
+    # unmapped iceberg types still refuse actionably
+    with pytest.raises(NotImplementedError, match="unmapped"):
+        ice._ice_type_to_spark("decimal(10,2)")
