@@ -392,6 +392,27 @@ def _iceberg_schema_to_spark(ice: dict) -> T.StructType:
     )
 
 
+def _type_fingerprint(t):
+    """Structural identity of an Iceberg type with the field ids
+    stripped — two independently-allocated schemas for the same Spark
+    type compare equal. Used by append-time schema enforcement."""
+    if isinstance(t, str):
+        return t
+    kind = t.get("type")
+    if kind == "struct":
+        return (
+            "struct",
+            tuple(
+                (f["name"], _type_fingerprint(f["type"])) for f in t["fields"]
+            ),
+        )
+    if kind == "list":
+        return ("list", _type_fingerprint(t["element"]))
+    if kind == "map":
+        return ("map", _type_fingerprint(t["key"]), _type_fingerprint(t["value"]))
+    return ("?", str(t))
+
+
 # ---------------------------------------------------------------------------
 # Metadata location / parsing
 # ---------------------------------------------------------------------------
@@ -845,6 +866,7 @@ def write_iceberg(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     format_version: int = 1,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
     ``append`` reuses every prior manifest in the new manifest list
@@ -897,6 +919,67 @@ def write_iceberg(
                 f"declares {new_sig} — the spec is fixed at table "
                 "creation"
             )
+    # Schema enforcement on append (Iceberg evolves schemas through
+    # explicit evolution, never by a writer's accident): a type change
+    # on an existing column always refuses; a differing column set
+    # refuses unless merge_schema=True, in which case the committed
+    # schema becomes prior ∪ new — prior fields keep their ids, new
+    # columns get fresh ids allocated after last-column-id. Old files
+    # simply lack the new columns (the explicit-schema read serves
+    # NULLs there). Overwrite replaces the schema wholesale, as before.
+    evolved_schema = None
+    if prior_meta is not None and mode == "append":
+        prior_fields = prior_meta["schema"]["fields"]
+        prior_by_name = {f["name"]: f for f in prior_fields}
+        conflicts = []
+        for f in df.schema.fields:
+            if f.name in prior_by_name:
+                got = _type_fingerprint(_spark_type_to_ice(f.dataType, [10**9]))
+                want = _type_fingerprint(prior_by_name[f.name]["type"])
+                if got != want:
+                    conflicts.append(f.name)
+        if conflicts:
+            raise ValueError(
+                f"column type changes are not evolvable: {conflicts}"
+            )
+        writer_names = {f.name for f in df.schema.fields}
+        if writer_names != set(prior_by_name):
+            if not merge_schema:
+                raise ValueError(
+                    "append schema differs from the table schema "
+                    f"(new: {sorted(writer_names - set(prior_by_name))}, "
+                    f"missing: {sorted(set(prior_by_name) - writer_names)}); "
+                    "pass merge_schema=True to evolve"
+                )
+            counter = [prior_meta.get("last-column-id", len(prior_fields))]
+            new_cols = []
+            for f in df.schema.fields:
+                if f.name not in prior_by_name:
+                    counter[0] += 1
+                    fid = counter[0]
+                    new_cols.append(
+                        {
+                            "id": fid,
+                            "name": f.name,
+                            "required": False,
+                            "type": _spark_type_to_ice(f.dataType, counter),
+                        }
+                    )
+            evolved_schema = {
+                "type": "struct",
+                "schema-id": prior_meta["schema"].get("schema-id", 0),
+                "fields": prior_fields + new_cols,
+                "last-column-id": counter[0],
+            }
+        else:
+            evolved_schema = {
+                "type": "struct",
+                "schema-id": prior_meta["schema"].get("schema-id", 0),
+                "fields": prior_fields,
+                "last-column-id": prior_meta.get(
+                    "last-column-id", len(prior_fields)
+                ),
+            }
     version = 1 if prior_meta is None else (
         max(
             int(os.path.basename(p)[1:].split(".")[0])
@@ -1058,11 +1141,17 @@ def write_iceberg(
     }
     if format_version == 2:
         snapshot["sequence-number"] = seq
-    ice_schema = _spark_schema_to_iceberg(df.schema)
+    ice_schema = (
+        evolved_schema
+        if evolved_schema is not None
+        else _spark_schema_to_iceberg(df.schema)
+    )
+    ice_schema = dict(ice_schema)
     # last-column-id lives at the METADATA level per spec, not inside
-    # the schema object — _spark_schema_to_iceberg returns it attached
-    # for convenience and it is lifted out here
+    # the schema object — the converters return it attached for
+    # convenience and it is lifted out here
     last_col_id = ice_schema.pop("last-column-id")
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
     meta = {
         "format-version": format_version,
         "table-uuid": table_uuid,
@@ -1074,10 +1163,7 @@ def write_iceberg(
             {
                 "name": fl["name"],
                 "transform": _transform_spec_string(fl),
-                "source-id": [f.name for f in df.schema.fields].index(
-                    fl["source"]
-                )
-                + 1,
+                "source-id": name_to_id[fl["source"]],
                 "field-id": 1000 + i,
             }
             for i, fl in enumerate(spec)
@@ -1089,10 +1175,7 @@ def write_iceberg(
                     {
                         "name": fl["name"],
                         "transform": _transform_spec_string(fl),
-                        "source-id": [f.name for f in df.schema.fields].index(
-                            fl["source"]
-                        )
-                        + 1,
+                        "source-id": name_to_id[fl["source"]],
                         "field-id": 1000 + i,
                     }
                     for i, fl in enumerate(spec)

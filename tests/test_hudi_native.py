@@ -412,3 +412,45 @@ def test_mor_gates_and_occ(spark, tmp_path):
     # no logs → compaction no-op, no instant claimed
     res = hn.compact_hudi_mor(spark, p1, _T2)
     assert res == {"instant": None, "compacted_groups": 0}
+
+
+def test_mor_partitioned_upsert_scope(spark, tmp_path):
+    """Partitioned MoR: log files land under the partition dirs, an
+    upsert's deltacommit touches only the partitions its keys map to,
+    snapshot/RO views respect the merge, and compaction rebuilds only
+    the logged groups in place."""
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    path = str(tmp_path / "mor_part")
+    src = load(spark, SF_DIR, "customer")
+    hn.write_hudi_mor(src, path, "c_custkey", _T1, op="bulk_insert",
+                      partition_by="c_mktsegment")
+    changes = src.where("c_mktsegment = 'BUILDING'").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    )
+    hn.write_hudi_mor(changes, path, "c_custkey", _T2, op="upsert",
+                      partition_by="c_mktsegment")
+    meta = json.load(open(os.path.join(path, ".hoodie", f"{_T2}.deltacommit")))
+    assert set(meta["partitionToWriteStats"]) == {"BUILDING"}
+    import glob as _glob
+
+    logs = _glob.glob(os.path.join(path, "*", "logfile-*.parquet"))
+    assert logs and all("/BUILDING/" in f for f in logs)
+    snap = hn.read_hudi(spark, path, partition_path="BUILDING")
+    n_b = src.where("c_mktsegment = 'BUILDING'").count()
+    assert snap.count() == n_b
+    want = src.where("c_mktsegment = 'BUILDING'").agg(
+        F.round(F.sum(F.col("c_acctbal") + 1000), 2)
+    ).collect()[0][0]
+    got = snap.agg(F.round(F.sum("c_acctbal"), 2)).collect()[0][0]
+    assert got == want
+    res = hn.compact_hudi_mor(spark, path, "19700101000000003")
+    assert res["compacted_groups"] == len(
+        {k for k, v in hn._mor_slices_at(path).items() if k[0] == "BUILDING"}
+    ) or res["compacted_groups"] > 0
+    ro = hn.read_hudi(spark, path, view="read_optimized",
+                      partition_path="BUILDING")
+    assert ro.agg(F.round(F.sum("c_acctbal"), 2)).collect()[0][0] == want
+    # untouched partitions still serve their original slices
+    other = hn.read_hudi(spark, path, partition_path="MACHINERY")
+    assert other.count() == src.where("c_mktsegment = 'MACHINERY'").count()

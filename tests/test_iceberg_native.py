@@ -661,3 +661,42 @@ def test_nested_type_json_structure(spark, tmp_path):
     # unmapped iceberg types still refuse actionably
     with pytest.raises(NotImplementedError, match="unmapped"):
         ice._ice_type_to_spark("decimal(10,2)")
+
+
+def test_append_schema_enforcement_and_evolution(spark, tmp_path):
+    """Appends enforce the table schema: a differing column set
+    refuses without merge_schema=True; with it, the committed schema
+    is prior ∪ new with prior ids preserved and fresh ids for new
+    columns; type changes always refuse. Old files lack the new
+    column and read back as NULLs."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_evolve")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 10"), path, "overwrite")
+    wide = src.where("n_nationkey >= 10").withColumn(
+        "extra", F.col("n_nationkey") * 2
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_iceberg(wide, path, "append")
+    with pytest.raises(ValueError, match="not evolvable"):
+        write_iceberg(
+            src.withColumn("n_regionkey", F.col("n_regionkey").cast("string")),
+            path,
+            "append",
+        )
+    write_iceberg(wide, path, "append", merge_schema=True)
+    meta = ice._read_metadata(path)
+    names = [f["name"] for f in meta["schema"]["fields"]]
+    assert names == ["n_nationkey", "n_name", "n_regionkey", "extra"]
+    ids = [f["id"] for f in meta["schema"]["fields"]]
+    assert ids == [1, 2, 3, 4] and meta["last-column-id"] == 4
+    back = read_iceberg(spark, path)
+    assert back.count() == 25
+    assert back.where("n_nationkey < 10").where(F.col("extra").isNull()).count() == 10
+    assert back.where("n_nationkey >= 10").where(
+        F.col("extra") == F.col("n_nationkey") * 2
+    ).count() == 15
+    # same-schema appends stay frictionless (ids preserved)
+    write_iceberg(wide.limit(1), path, "append")
+    assert read_iceberg(spark, path).count() == 26
