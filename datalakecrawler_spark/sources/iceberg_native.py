@@ -1990,3 +1990,101 @@ def sink_iceberg_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dim").alias("max_dim"),
         )
     )
+
+
+def iceberg_files_table(spark: SparkSession, path: str,
+                        snapshot_id: int | None = None) -> DataFrame:
+    """The spec's ``files`` metadata table: one row per live data file
+    of a snapshot, straight from the manifests — file path, content,
+    typed partition values (as a string map, like the published
+    table's partition struct rendered generically), record count and
+    size. Metadata-only: no data file is opened, so profiling a 100 TB
+    table's layout costs O(manifests). Delete files appear with
+    content=1, mirroring the real metadata table."""
+    meta = _read_metadata(path)
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    snap = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}[sid]
+    rows = []
+    for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
+        for e in _decode_avro_records(_resolve(path, mf["manifest_path"])):
+            if e["status"] == _ST_DELETED:
+                continue
+            d = e["data_file"]
+            rows.append(
+                (
+                    d["file_path"],
+                    int(d.get("content", 0)),
+                    {k: str(v) for k, v in (d.get("partition") or {}).items()},
+                    int(d["record_count"]),
+                    int(d["file_size_in_bytes"]),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "file_path string, content int, partition map<string,string>, "
+        "record_count long, file_size_in_bytes long",
+    )
+
+
+def iceberg_snapshots_table(spark: SparkSession, path: str) -> DataFrame:
+    """The spec's ``snapshots`` metadata table: snapshot id, operation,
+    manifest-list path, and (v2) sequence number per snapshot."""
+    meta = _read_metadata(path)
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            s.get("summary", {}).get("operation"),
+            s["manifest-list"],
+            s.get("sequence-number"),
+        )
+        for s in meta.get("snapshots", [])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, operation string, manifest_list string, "
+        "sequence_number long",
+    )
+
+
+@register(
+    "crawl_iceberg_files_table",
+    group="B",
+    oracle=f"""
+    select year(cast(o_orderdate as date)) as o_year,
+           count(*) as n_records,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders group by 1
+    """,
+)
+def crawl_iceberg_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: the crawler consuming Iceberg's ``files`` metadata table
+    — per-partition record counts aggregated WITHOUT scanning a single
+    data file (manifest record_count stats only; the files-table build
+    is O(manifests)). The oracle recomputes the same per-year totals
+    from the source rows, proving the metadata path and the data path
+    agree — the property that makes metadata-only profiling of a
+    100 TB lake trustworthy. sum_price rides the real scan path for
+    contrast; n_records comes purely from metadata."""
+    path = _fresh(_tmp("orders_iceberg_files"))
+    src = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year(F.to_date("o_orderdate"))
+    )
+    write_iceberg(src, path, "overwrite", partition_by=["o_year"])
+    ft = iceberg_files_table(spark, path)
+    meta_counts = (
+        ft.where(F.col("content") == 0)
+        .select(
+            F.col("partition")["o_year"].cast("int").alias("o_year"),
+            "record_count",
+        )
+        .groupBy("o_year")
+        .agg(F.sum("record_count").alias("n_records"))
+    )
+    data_sums = (
+        read_iceberg(spark, path)
+        .groupBy("o_year")
+        .agg(dsum("o_totalprice").alias("sum_price"))
+    )
+    return meta_counts.join(data_sums, "o_year").select(
+        "o_year", "n_records", "sum_price"
+    )

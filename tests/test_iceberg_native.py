@@ -700,3 +700,23 @@ def test_append_schema_enforcement_and_evolution(spark, tmp_path):
     # same-schema appends stay frictionless (ids preserved)
     write_iceberg(wide.limit(1), path, "append")
     assert read_iceberg(spark, path).count() == 26
+
+
+def test_metadata_tables(spark, tmp_path):
+    """files/snapshots metadata tables: one row per live file with
+    typed-as-string partition values and footer-true record counts;
+    snapshots table carries operations and (v2) sequence numbers."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_meta_tbl")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src, path, "overwrite", format_version=2)
+    ice.add_position_deletes(spark, path, "n_nationkey = 0")
+    ft = ice.iceberg_files_table(spark, path)
+    data_rows = ft.where("content = 0").collect()
+    assert sum(r["record_count"] for r in data_rows) == 25
+    del_rows = ft.where("content = 1").collect()
+    assert len(del_rows) == 1 and del_rows[0]["record_count"] == 1
+    st = ice.iceberg_snapshots_table(spark, path).orderBy("snapshot_id").collect()
+    assert [r["operation"] for r in st] == ["overwrite", "delete"]
+    assert [r["sequence_number"] for r in st] == [1, 2]
