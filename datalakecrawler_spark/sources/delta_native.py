@@ -824,7 +824,54 @@ def merge_delta(
     new_version = version + 1
     stage = os.path.join(path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}")
     new_df.write.mode("overwrite").parquet(stage)
-    actions: list[dict] = [
+
+    # Change Data Feed (protocol: cdc actions + _change_data/ files):
+    # the row-level change record of THIS merge — matched old rows as
+    # update_preimage, their replacements as update_postimage, and
+    # never-matched change rows as insert. Written by the distributed
+    # writer, committed under a cdc action with dataChange=false so
+    # snapshot readers skip it while read_delta_changes serves it.
+    if matched_rel:
+        old_matched = touched.join(keys, key, "left_semi")
+        old_keys = touched.select(key).distinct()
+        cdf = (
+            old_matched.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                changes.join(old_keys, key, "left_semi").withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                changes.join(old_keys, key, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        )
+    else:
+        cdf = changes.withColumn("_change_type", F.lit("insert"))
+    cdc_stage = stage + "-cdc"
+    cdf.write.mode("overwrite").parquet(cdc_stage)
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    cdc_actions: list[dict] = []
+    for i, f in enumerate(sorted(glob.glob(os.path.join(cdc_stage, "part-*.parquet")))):
+        rel = os.path.join(
+            "_change_data",
+            f"cdc-{new_version:05d}-{i:05d}-{uuid.uuid4().hex[:8]}.parquet",
+        )
+        os.replace(f, os.path.join(path, rel))
+        cdc_actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "dataChange": False,
+                }
+            }
+        )
+    shutil.rmtree(cdc_stage)
+
+    actions: list[dict] = cdc_actions + [
         {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
         for rel in matched_rel
     ]
@@ -903,9 +950,10 @@ def read_delta_incremental(
     the log-derived incremental consumption a downstream pipeline uses
     instead of snapshot re-reads; I/O is proportional to the new data.
     Commits that REMOVE data in-range (overwrite/merge rewrites) raise
-    — exposing their row-level deltas needs the Change Data Feed
-    protocol feature (_change_data files), which this writer does not
-    emit; refusing beats silently double-counting rewritten rows."""
+    — their row-level deltas are the Change Data Feed's job: use
+    ``read_delta_changes`` (r6), which serves cdc files where present
+    and derives insert rows from plain appends; refusing here beats
+    silently double-counting rewritten rows."""
     versions = [v for v in _list_versions(path) if v > from_version]
     if to_version is not None:
         versions = [v for v in versions if v <= to_version]
@@ -936,6 +984,81 @@ def read_delta_incremental(
     return spark.read.schema(schema).parquet(
         *[os.path.join(path, rel) for rel in sorted(rels)]
     )
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED read: the row-level changes committed in
+    (from_version, to_version], each row carrying ``_change_type``
+    (insert / update_preimage / update_postimage / delete) and
+    ``_commit_version`` — the protocol's readChangeFeed surface.
+
+    Per commit, per protocol: if the commit carries ``cdc`` actions,
+    its ``_change_data/`` files ARE the complete change record (merge
+    writes them; snapshot readers skip them via dataChange=false);
+    otherwise changes derive from the main actions — add files with
+    dataChange=true are inserts, removed files read back as deletes
+    (overwrite = delete old + insert new). File-list resolution is
+    driver-side metadata; every scan is a distributed parquet read, so
+    consuming a 100 TB table's changes costs O(changed rows). Deletes
+    need the removed files still on disk — a vacuumed range raises at
+    scan, the documented post-VACUUM behavior."""
+    from pyspark.sql import functions as F
+
+    versions = [v for v in _list_versions(path) if v > from_version]
+    if to_version is not None:
+        versions = [v for v in versions if v <= to_version]
+    if not versions:
+        raise ValueError(f"no commits in ({from_version}, {to_version}]")
+    _, schema_string, _, _ = _replay(path, versions[-1])
+    schema = T.StructType.fromJson(json.loads(schema_string))
+
+    def _read(rels: list[str], ctype: str | None, v: int) -> DataFrame:
+        missing = [r for r in rels if not os.path.exists(os.path.join(path, r))]
+        if missing:
+            raise FileNotFoundError(
+                f"change files for version {v} were vacuumed: {missing[:3]}"
+            )
+        sch = schema if ctype is not None else None
+        reader = spark.read.schema(sch) if sch is not None else spark.read
+        df = reader.parquet(*[os.path.join(path, r) for r in sorted(rels)])
+        if ctype is not None:
+            df = df.withColumn("_change_type", F.lit(ctype))
+        return df.withColumn("_commit_version", F.lit(v).cast("long"))
+
+    parts: list[DataFrame] = []
+    for v in versions:
+        cdc, adds, removes = [], [], []
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "cdc" in a:
+                    cdc.append(a["cdc"]["path"])
+                elif "add" in a and a["add"].get("dataChange", True):
+                    adds.append(a["add"]["path"])
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    removes.append(a["remove"]["path"])
+        if cdc:
+            parts.append(_read(cdc, None, v))
+        else:
+            if removes:
+                parts.append(_read(removes, "delete", v))
+            if adds:
+                parts.append(_read(adds, "insert", v))
+    if not parts:
+        return spark.createDataFrame(
+            [], schema.add("_change_type", "string").add("_commit_version", "long")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def delta_history(path: str) -> list[dict]:
@@ -1379,3 +1502,66 @@ def scan_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return snap(0).unionByName(snap(1))
+
+
+@register(
+    "scan_delta_cdf",
+    group="A",
+    oracle=f"""
+    with pre as (
+      select 'update_preimage' as change_type,
+             cast(1 as bigint) as commit_version,
+             count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+      from orders where o_orderstatus = 'F' and o_orderkey % 2 = 0
+    ),
+    post as (
+      select 'update_postimage', 1, count(*),
+             {SUM_D.format('o_totalprice * 1.1')}
+      from orders where o_orderstatus = 'F' and o_orderkey % 2 = 0
+    ),
+    ins as (
+      select 'insert', 1, count(*), {SUM_D.format('o_totalprice')}
+      from orders where o_orderstatus = 'P'
+    ),
+    app as (
+      select 'insert', 2, count(*), {SUM_D.format('o_totalprice')}
+      from orders where o_orderstatus = 'O'
+    )
+    select * from pre union all select * from post
+    union all select * from ins union all select * from app
+    """,
+)
+def scan_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the Delta CHANGE DATA FEED. Version 0 commits the 'F'
+    orders; version 1 MERGEs (even-key 'F' prices * 1.1 + the 'P'
+    orders inserted) and writes the protocol's _change_data files
+    under cdc actions (dataChange=false, so the snapshot read is
+    untouched — asserted); version 2 appends the 'O' orders with NO
+    cdc files, exercising the derive-from-adds rule. The feed over
+    (0, 2] must carry exactly update_preimage/update_postimage rows
+    for the even 'F' keys, insert rows for 'P' (from the cdc file) and
+    for 'O' (derived), each stamped with its commit version — the
+    oracle recomputes every slice from the source. This is what lets a
+    downstream pipeline consume a 100 TB table as a row-level change
+    stream instead of diffing snapshots."""
+    path = _fresh(_tmp("orders_delta_cdf"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.where(F.col("o_orderstatus") == "F"), path)
+    changes = (
+        src.where((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .unionByName(src.where(F.col("o_orderstatus") == "P"))
+    )
+    merge_delta(spark, path, changes, "o_orderkey")
+    write_delta(src.where(F.col("o_orderstatus") == "O"), path, "append")
+    # snapshot readers must not see the cdc files
+    n_snap = read_delta(spark, path).count()
+    n_want = src.where(F.col("o_orderstatus").isin("F", "P", "O")).count()
+    assert n_snap == n_want, (n_snap, n_want)
+    feed = read_delta_changes(spark, path, from_version=0)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )

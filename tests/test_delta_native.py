@@ -602,3 +602,62 @@ def test_auto_checkpoint_bounds_log_replay(spark, tmp_path, monkeypatch):
     # time travel BEFORE the checkpoint still replays exactly
     assert dn.read_delta(spark, path, version=5).count() == 6
     assert dn.read_delta(spark, path).count() == 30
+
+
+def test_change_data_feed_rules(spark, tmp_path):
+    """CDF protocol rules: merge commits carry cdc actions whose
+    _change_data files are the complete change record (skipped by
+    snapshot reads and checkpoints); commits without cdc derive
+    inserts from dataChange adds and deletes from dataChange removes
+    (overwrite = delete old + insert new); OPTIMIZE's
+    dataChange=false moves are invisible; vacuumed ranges raise."""
+    from datalakecrawler_spark.sources import delta_native as dn
+
+    path = str(tmp_path / "delta_cdf")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src.where("n_nationkey < 10"), path)          # v0
+    changes = (
+        src.where("n_nationkey < 5")
+        .withColumn("n_regionkey", F.col("n_regionkey") + 100)
+        .unionByName(src.where("n_nationkey >= 20"))
+    )
+    dn.merge_delta(spark, path, changes, "n_nationkey")          # v1 (cdc)
+    dn.write_delta(
+        src.where("(n_nationkey >= 10) and (n_nationkey < 15)"),
+        path, "append",
+    )                                                            # v2 derive
+    feed = dn.read_delta_changes(spark, path, from_version=0)
+    by = {
+        (r["_change_type"], r["_commit_version"]): r["cnt"]
+        for r in feed.groupBy("_change_type", "_commit_version")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert by[("update_preimage", 1)] == 5
+    assert by[("update_postimage", 1)] == 5
+    assert by[("insert", 1)] == 5   # keys 20-24 were not in the table
+    assert by[("insert", 2)] == 5   # derived from the plain append
+    # postimages carry the changed values
+    post = feed.where(
+        "_change_type = 'update_postimage' and n_regionkey < 100"
+    ).count()
+    assert post == 0
+    # overwrite derives delete(old) + insert(new)
+    dn.write_delta(src.where("n_nationkey >= 15"), path)         # v3
+    f3 = dn.read_delta_changes(spark, path, 2, 3)
+    got = {
+        r["_change_type"]: r["cnt"]
+        for r in f3.groupBy("_change_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got["insert"] == 10  # keys 15-24
+    assert got["delete"] == 20  # v2 head: 0-14 + 20-24
+    # snapshot reads and checkpoints never see cdc files
+    assert dn.read_delta(spark, path).count() == 10
+    dn.checkpoint_delta(path)
+    assert dn.read_delta(spark, path).count() == 10
+    # vacuum reclaims the removed files → in-range delete read raises
+    dn.vacuum_delta(path, retain_last=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        dn.read_delta_changes(spark, path, 2, 3).count()
+    # but the cdc-backed range still serves (cdc files are not part-*)
+    assert dn.read_delta_changes(spark, path, 0, 1).count() == 15
