@@ -1493,3 +1493,115 @@ def sink_hudi_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )
+
+
+def clean_hudi(path: str, instant: str, retain_commits: int = 1) -> dict:
+    """CLEANER (the spec's KEEP_LATEST_COMMITS policy): physically
+    delete base/log files referenced by NO file slice of the newest
+    ``retain_commits`` table states, and publish a ``.clean`` instant
+    recording what was reclaimed. This is the storage-reclamation leg
+    Hudi shares with Delta's VACUUM and Iceberg's expire_snapshots:
+    without it a churn-heavy CoW table keeps every superseded base
+    file forever. Time travel to states older than the retained window
+    then fails at scan (files gone), the documented post-clean
+    behavior; the timeline itself is never rewritten. Metadata-only
+    driver work: slice resolution per retained instant + one disk
+    walk."""
+    mor = _table_type(path) == "MERGE_ON_READ"
+    timeline = (
+        _mor_timeline(path)
+        if mor
+        else [(i, "commit") for i in _completed_instants(path)]
+    )
+    if not timeline:
+        raise ValueError("clean on an empty timeline")
+    if timeline[-1][0] >= instant:
+        raise ValueError(
+            f"instant {instant!r} is not after the last completed "
+            f"instant {timeline[-1][0]!r} (timeline must be monotonic)"
+        )
+    retained = [i for i, _ in timeline][-retain_commits:]
+    keep: set[str] = set()
+    for t in retained:
+        if mor:
+            for sl in _mor_slices_at(path, t).values():
+                keep.add(sl["base"])
+                keep.update(sl["logs"])
+        else:
+            for _instant, rel in _slices_at(path, t).values():
+                keep.add(rel)
+    on_disk = {
+        os.path.relpath(f, path)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _META_DIR not in f and "/.stage-" not in f
+    }
+    doomed = sorted(on_disk - keep)
+    for rel in doomed:
+        os.remove(os.path.join(path, rel))
+    meta = {
+        "operationType": "CLEAN",
+        "retainedInstants": retained,
+        "filesDeleted": doomed,
+    }
+    tmp = os.path.join(_timeline_dir(path), f"{instant}.clean.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True, indent=2)
+    os.replace(tmp, os.path.join(_timeline_dir(path), f"{instant}.clean"))
+    return {"instant": instant, "files_deleted": len(doomed),
+            "retained_instants": retained}
+
+
+@register(
+    "sink_hudi_clean",
+    group="A",
+    oracle=f"""
+    with base as (select * from orders where o_orderstatus = 'F'),
+    changes as (
+      select * replace (o_totalprice * 1.1 as o_totalprice)
+      from orders where o_orderstatus = 'F' and o_orderkey % 2 = 0
+    ),
+    merged as (
+      select * from changes
+      union all
+      select * from base
+      where o_orderkey not in (select o_orderkey from changes)
+    )
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           cast(1 as integer) as ok
+    from merged
+    """,
+)
+def sink_hudi_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the Hudi CLEANER — storage reclamation, completing the
+    maintenance triad with Delta's VACUUM and Iceberg's
+    expire_snapshots. A CoW upsert rewrites every file group (all
+    8 bucket groups receive even-keyed changes), leaving 8 superseded
+    base files on disk; clean with retain_commits=1 must delete
+    exactly those (asserted by count), publish a .clean instant, keep
+    the live snapshot byte-identical (the oracle recomputes the merge),
+    and make time travel to the cleaned state fail at SCAN (files
+    gone, timeline intact) rather than serve partial data."""
+    path = _fresh(_tmp("orders_hudi_clean"))
+    src = load(spark, sf_dir, "orders")
+    base = src.where(F.col("o_orderstatus") == "F")
+    write_hudi(base, path, "o_orderkey", _T1, op="bulk_insert")
+    changes = base.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    write_hudi(changes, path, "o_orderkey", _T2, op="upsert")
+    n_files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    res = clean_hudi(path, _T3, retain_commits=1)
+    assert res["files_deleted"] == 8, res
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == n_files_before - 8
+    assert os.path.exists(os.path.join(path, ".hoodie", f"{_T3}.clean"))
+    ok = 1
+    try:
+        read_hudi(spark, path, as_of=_T1).count()
+        ok = 0  # cleaned state must not be servable
+    except Exception:
+        pass
+    return read_hudi(spark, path).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(ok).cast("int").alias("ok"),
+    )

@@ -454,3 +454,30 @@ def test_mor_partitioned_upsert_scope(spark, tmp_path):
     # untouched partitions still serve their original slices
     other = hn.read_hudi(spark, path, partition_path="MACHINERY")
     assert other.count() == src.where("c_mktsegment = 'MACHINERY'").count()
+
+
+def test_clean_mor_and_gates(spark, tmp_path):
+    """Cleaner on MoR: retained slices keep base + logs; superseded
+    bases from compaction are reclaimed; non-monotonic clean instants
+    refuse; the snapshot stays exact after cleaning."""
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    path = str(tmp_path / "mor_clean")
+    src = load(spark, SF_DIR, "nation")
+    hn.write_hudi_mor(src, path, "n_nationkey", _T1, op="bulk_insert")
+    upd = src.where("n_nationkey < 5").withColumn(
+        "n_regionkey", F.col("n_regionkey") + 100
+    )
+    hn.write_hudi_mor(upd, path, "n_nationkey", _T2, op="upsert")
+    hn.compact_hudi_mor(spark, path, "19700101000000003")
+    import glob as _glob
+
+    with pytest.raises(ValueError, match="monotonic"):
+        hn.clean_hudi(path, _T1)
+    res = hn.clean_hudi(path, "19700101000000004", retain_commits=1)
+    # compaction rebuilt the logged groups: their old bases + logs die
+    assert res["files_deleted"] > 0
+    assert not _glob.glob(os.path.join(path, "logfile-*.parquet"))
+    snap = hn.read_hudi(spark, path)
+    assert snap.count() == 25
+    assert {r[0] for r in snap.where("n_regionkey >= 100").select("n_nationkey").collect()} == {0, 1, 2, 3, 4}
