@@ -337,47 +337,10 @@ def write_delta(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
-    adds = []
     # deterministic mtime stand-in keeps commits reproducible byte-for-
     # byte across reruns (wall clock is not part of query semantics)
     mtime = now_ms if now_ms is not None else 0
-    # writer-unique physical file names (the Delta convention): two
-    # writers racing the same version must never rename onto each
-    # other's data files
-    tok = uuid.uuid4().hex[:8]
-    staged = sorted(
-        glob.glob(os.path.join(stage, *["*=*"] * len(partition_by), "part-*.parquet"))
-    )
-    for i, f in enumerate(staged):
-        pdir = os.path.relpath(os.path.dirname(f), stage) if partition_by else ""
-        # Spark's hive-style writer %XX-escapes special characters in
-        # partition directory names; the Delta protocol stores DECODED
-        # string values in partitionValues (the file path keeps the
-        # escaped on-disk form), so external readers and our own
-        # partition_filter see the real value.
-        pvals = {
-            k: urllib.parse.unquote(v)
-            for k, v in (
-                seg.split("=", 1) for seg in pdir.split(os.sep) if "=" in seg
-            )
-        }
-        rel = os.path.join(pdir, f"part-{version:05d}-{i:05d}-{tok}-c000.parquet").lstrip(
-            "./"
-        )
-        os.makedirs(os.path.dirname(os.path.join(path, rel)) or path, exist_ok=True)
-        os.replace(f, os.path.join(path, rel))
-        adds.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": pvals,
-                    "size": os.path.getsize(os.path.join(path, rel)),
-                    "modificationTime": mtime,
-                    "dataChange": True,
-                    "stats": _file_stats_json(os.path.join(path, rel)),
-                }
-            }
-        )
+    adds = _stage_to_adds(path, stage, version, partition_by, True, mtime)
     shutil.rmtree(stage)
 
     # 2) actions
@@ -458,6 +421,57 @@ def write_delta(
                     )
             version = head_v + 1
             actions = [a for a in actions if "protocol" not in a]
+
+
+def _stage_to_adds(
+    path: str,
+    stage: str,
+    version: int,
+    partition_by: list[str],
+    data_change: bool,
+    mtime: int = 0,
+) -> list[dict]:
+    """Link a staging dir's parquet outputs into the table root under
+    version-prefixed, writer-unique names and return their add actions.
+    Hive-style partition dirs are preserved (the %XX-escaped on-disk
+    segment stays in the file path; the add action's partitionValues
+    carries the DECODED values, per protocol). Shared by write_delta /
+    optimize_delta / merge_delta so every writer emits identical add
+    shapes."""
+    adds: list[dict] = []
+    # writer-unique physical file names (the Delta convention): two
+    # writers racing the same version must never rename onto each
+    # other's data files
+    tok = uuid.uuid4().hex[:8]
+    staged = sorted(
+        glob.glob(os.path.join(stage, *["*=*"] * len(partition_by), "part-*.parquet"))
+    )
+    for i, f in enumerate(staged):
+        pdir = os.path.relpath(os.path.dirname(f), stage) if partition_by else ""
+        pvals = {
+            k: urllib.parse.unquote(v)
+            for k, v in (
+                seg.split("=", 1) for seg in pdir.split(os.sep) if "=" in seg
+            )
+        }
+        rel = os.path.join(
+            pdir, f"part-{version:05d}-{i:05d}-{tok}-c000.parquet"
+        ).lstrip("./")
+        os.makedirs(os.path.dirname(os.path.join(path, rel)) or path, exist_ok=True)
+        os.replace(f, os.path.join(path, rel))
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": mtime,
+                    "dataChange": data_change,
+                    "stats": _file_stats_json(os.path.join(path, rel)),
+                }
+            }
+        )
+    return adds
 
 
 def skip_files(
@@ -706,47 +720,57 @@ def optimize_delta(
     per-file open cost until someone compacts. The rewrite reads only
     the small files (large ones are left in place), coalesces them to
     ceil(total_bytes / target) outputs — a shuffle-free plan — and the
-    commit is one JSON publish. Returns a summary dict."""
+    commit is one JSON publish. Returns a summary dict.
+
+    Partitioned tables bin-pack WITHIN each partitionValues group (a
+    data file belongs to exactly one partition, so cross-partition
+    packing would be protocol-invalid): each group's small files are
+    coalesced independently and the outputs land back in that group's
+    hive dir. Groups are independent rewrites — an engine with a job
+    scheduler runs them concurrently; here they run as successive
+    shuffle-free coalesce jobs and publish under ONE commit, so
+    readers see the whole compaction atomically."""
     active, schema_string, version, partition_columns = _replay(path, None)
-    if partition_columns:
-        raise NotImplementedError(
-            "optimize_delta compacts unpartitioned tables; partitioned "
-            "tables need per-partition bin-packing (compact within each "
-            "partitionValues group) which this writer does not do yet"
-        )
-    small = [rel for rel in sorted(active) if active[rel]["size"] < target_file_bytes]
-    if len(small) < 2:
-        return {"version": version, "files_compacted": 0, "files_written": 0}
-    total = sum(active[rel]["size"] for rel in small)
-    n_out = max(1, -(-total // target_file_bytes))
     schema = T.StructType.fromJson(json.loads(schema_string))
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, rel) for rel in small]
+    # partition columns live in the directory name, not the data files:
+    # the group rewrite reads and writes data-only schemas
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in partition_columns]
     )
+    groups: dict[tuple, list[str]] = {}
+    for rel in sorted(active):
+        if active[rel]["size"] < target_file_bytes:
+            key = tuple(sorted(active[rel]["partitionValues"].items()))
+            groups.setdefault(key, []).append(rel)
+    groups = {k: rels for k, rels in groups.items() if len(rels) >= 2}
+    if not groups:
+        return {"version": version, "files_compacted": 0, "files_written": 0}
     new_version = version + 1
-    stage = os.path.join(path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}")
-    df.coalesce(n_out).write.mode("overwrite").parquet(stage)
     actions: list[dict] = []
-    adds = []
-    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
-        rel = f"part-{new_version:05d}-{i:05d}-{uuid.uuid4().hex[:8]}-c000.parquet"
-        os.replace(f, os.path.join(path, rel))
-        adds.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(path, rel)),
-                    "modificationTime": 0,
-                    "dataChange": False,
-                    "stats": _file_stats_json(os.path.join(path, rel)),
-                }
-            }
+    adds: list[dict] = []
+    small: list[str] = []
+    for key, rels in sorted(groups.items()):
+        total = sum(active[rel]["size"] for rel in rels)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(path, rel) for rel in rels]
         )
-    shutil.rmtree(stage)
+        stage = os.path.join(
+            path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}"
+        )
+        # outputs go back into the group's own hive dir: every file in
+        # the group shares one partition directory by construction
+        pdir = os.path.dirname(rels[0])
+        gstage = os.path.join(stage, pdir) if pdir else stage
+        df.coalesce(n_out).write.mode("overwrite").parquet(gstage)
+        adds += _stage_to_adds(
+            path, stage, new_version, partition_columns, False
+        )
+        shutil.rmtree(stage)
+        small += rels
     actions += [
         {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": False}}
-        for rel in small
+        for rel in sorted(small)
     ]
     actions += adds
     actions.append(
@@ -769,7 +793,11 @@ def optimize_delta(
 
 
 def merge_delta(
-    spark: SparkSession, path: str, changes: DataFrame, key: str
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    partition_scope: dict[str, str] | None = None,
 ) -> dict:
     """MERGE (upsert by key): update matched rows, insert the rest —
     executed the way Delta engines actually run it, as a FILE-LEVEL
@@ -781,24 +809,51 @@ def merge_delta(
     Untouched files are never read past the join nor rewritten, so
     merge cost is O(matched files + changes), not O(table). At 100 TB
     with partition- or Z-ordered layout, key-clustered tables touch a
-    handful of files per merge."""
+    handful of files per merge.
+
+    Partitioned tables work the same way, partitionValues-preserving:
+    the probe re-derives partition columns from the hive dirs
+    (basePath), the rewrite of matched files + changes is written back
+    through the hive-partitioned writer, and every new add action
+    carries its file's partitionValues — so partition pruning on later
+    reads survives any number of merges. ``partition_scope`` (a
+    {col: value} dict) restricts the PROBE to those partitions' files,
+    the file-skipping a real engine derives when the ON clause pins the
+    partition — the caller asserts every matched key lives there
+    (change rows may still insert anywhere); with a key that can move
+    partitions, leave it None and pay the key-column probe over all
+    active files."""
     active, schema_string, version, partition_columns = _replay(path, None)
-    if partition_columns:
-        raise NotImplementedError(
-            "merge_delta rewrites unpartitioned tables; partitioned "
-            "tables need partitionValues-preserving rewrites which this "
-            "writer does not do yet"
-        )
+    if partition_scope:
+        bad = set(partition_scope) - set(partition_columns)
+        if bad:
+            raise ValueError(
+                f"partition_scope on non-partition columns {sorted(bad)} "
+                f"(table is partitioned by {partition_columns})"
+            )
     schema = T.StructType.fromJson(json.loads(schema_string))
     from pyspark.sql import functions as F
 
-    files = {os.path.join(path, rel): rel for rel in sorted(active)}
+    probe = {
+        rel: add
+        for rel, add in active.items()
+        if not partition_scope
+        or all(add["partitionValues"].get(k) == v for k, v in partition_scope.items())
+    }
+    files = {os.path.join(path, rel): rel for rel in sorted(probe)}
+
+    def _scan(paths: list[str]):
+        reader = spark.read.schema(schema)
+        if partition_columns:
+            reader = reader.option("basePath", path)
+        return reader.parquet(*paths)
+
     keys = changes.select(key).distinct()
     matched_abs: list[str] = []
     if files:
-        cur = spark.read.schema(schema).parquet(*files).withColumn(
-            "__file", F.input_file_name()
-        )
+        # column pruning cuts the probe scan to the key column; the
+        # semi-join output is bounded by the file count
+        cur = _scan(list(files)).withColumn("__file", F.input_file_name())
         matched_abs = [
             r[0]
             for r in cur.join(keys, key, "left_semi")
@@ -813,9 +868,7 @@ def merge_delta(
         if any(m.endswith("/" + files[k]) or m.endswith(files[k]) for m in matched_abs)
     )
     if matched_rel:
-        touched = spark.read.schema(schema).parquet(
-            *[os.path.join(path, rel) for rel in matched_rel]
-        )
+        touched = _scan([os.path.join(path, rel) for rel in matched_rel])
         survivors = touched.join(keys, key, "left_anti")
         new_df = changes.unionByName(survivors)
     else:
@@ -823,7 +876,10 @@ def merge_delta(
 
     new_version = version + 1
     stage = os.path.join(path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}")
-    new_df.write.mode("overwrite").parquet(stage)
+    w = new_df.write.mode("overwrite")
+    if partition_columns:
+        w = w.partitionBy(*partition_columns)
+    w.parquet(stage)
 
     # Change Data Feed (protocol: cdc actions + _change_data/ files):
     # the row-level change record of THIS merge — matched old rows as
@@ -875,23 +931,9 @@ def merge_delta(
         {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
         for rel in matched_rel
     ]
-    n_add = 0
-    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
-        rel = f"part-{new_version:05d}-{i:05d}-{uuid.uuid4().hex[:8]}-c000.parquet"
-        os.replace(f, os.path.join(path, rel))
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(path, rel)),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                    "stats": _file_stats_json(os.path.join(path, rel)),
-                }
-            }
-        )
-        n_add += 1
+    adds = _stage_to_adds(path, stage, new_version, partition_columns, True)
+    actions += adds
+    n_add = len(adds)
     shutil.rmtree(stage)
     actions.append(
         {
@@ -907,7 +949,8 @@ def merge_delta(
         "version": new_version,
         "files_rewritten": len(matched_rel),
         "files_added": n_add,
-        "files_untouched": len(files) - len(matched_rel),
+        "files_untouched": len(active) - len(matched_rel),
+        "files_probed": len(files),
     }
 
 
@@ -961,7 +1004,7 @@ def read_delta_incremental(
         raise ValueError(
             f"no commits in ({from_version}, {to_version}]"
         )
-    _, schema_string, _, _ = _replay(path, versions[-1])
+    _, schema_string, _, partition_columns = _replay(path, versions[-1])
     schema = T.StructType.fromJson(json.loads(schema_string))
     rels: list[str] = []
     for v in versions:
@@ -981,9 +1024,11 @@ def read_delta_incremental(
                     rels.append(a["add"]["path"])
     if not rels:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(path, rel) for rel in sorted(rels)]
-    )
+    reader = spark.read.schema(schema)
+    if partition_columns:
+        # partition columns live in the hive dir names, not the files
+        reader = reader.option("basePath", path)
+    return reader.parquet(*[os.path.join(path, rel) for rel in sorted(rels)])
 
 
 def read_delta_changes(
@@ -1014,7 +1059,7 @@ def read_delta_changes(
         versions = [v for v in versions if v <= to_version]
     if not versions:
         raise ValueError(f"no commits in ({from_version}, {to_version}]")
-    _, schema_string, _, _ = _replay(path, versions[-1])
+    _, schema_string, _, partition_columns = _replay(path, versions[-1])
     schema = T.StructType.fromJson(json.loads(schema_string))
 
     def _read(rels: list[str], ctype: str | None, v: int) -> DataFrame:
@@ -1025,6 +1070,11 @@ def read_delta_changes(
             )
         sch = schema if ctype is not None else None
         reader = spark.read.schema(sch) if sch is not None else spark.read
+        if sch is not None and partition_columns:
+            # add/remove files of a partitioned table carry their
+            # partition columns in the hive dir, not the data; cdc
+            # files embed them as ordinary columns (no basePath)
+            reader = reader.option("basePath", path)
         df = reader.parquet(*[os.path.join(path, r) for r in sorted(rels)])
         if ctype is not None:
             df = df.withColumn("_change_type", F.lit(ctype))
@@ -1564,4 +1614,122 @@ def scan_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_commit_version").alias("commit_version"),
     ).agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "sink_delta_optimize_partitioned",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price,
+           cast(1 as integer) as files_after
+    from orders group by o_orderstatus
+    """,
+)
+def sink_delta_optimize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: per-partition OPTIMIZE. Orders commit partitioned by
+    o_orderstatus from 4 writer tasks, leaving several small files in
+    EVERY hive dir (the over-parallel layout each partition suffers
+    independently); OPTIMIZE must bin-pack within each partitionValues
+    group — never across, a data file belongs to one partition — down
+    to 1 file per status, keep every add's partitionValues (asserted,
+    because log-level pruning must survive compaction), and commit the
+    whole rearrangement atomically with dataChange:false. The oracle
+    recomputes each partition's contents from the source; time travel
+    to v0 still serves the small-file layout."""
+    path = _fresh(_tmp("orders_delta_opt_part"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(
+        src.repartition(4), path, "overwrite", partition_by=["o_orderstatus"]
+    )
+    before, _, _, _ = _replay(path, None)
+    res = optimize_delta(spark, path)  # default target >> fixture bytes
+    after, _, _, _ = _replay(path, None)
+    by_part: dict[str, int] = {}
+    for add in after.values():
+        s = add["partitionValues"]["o_orderstatus"]
+        by_part[s] = by_part.get(s, 0) + 1
+    assert set(by_part.values()) == {1}, by_part
+    assert res["files_compacted"] == len(before), (res, len(before))
+    # log-level partition pruning must survive the rewrite
+    pruned, _, _, _ = _replay(path, None)
+    f_files = [
+        rel
+        for rel, add in pruned.items()
+        if add["partitionValues"] == {"o_orderstatus": "F"}
+    ]
+    assert len(f_files) == 1 and f_files[0].startswith("o_orderstatus=F/"), f_files
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+        .withColumn("files_after", F.lit(1).cast("int"))
+    )
+
+
+@register(
+    "sink_delta_merge_partitioned",
+    group="A",
+    oracle=f"""
+    with merged as (
+      select * from orders where o_orderstatus <> 'P'
+      union all
+      select * replace (o_totalprice * 1.1 as o_totalprice)
+      from orders where o_orderstatus = 'P'
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from merged group by o_orderstatus
+    """,
+)
+def sink_delta_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: MERGE on a partitioned table, partition-scoped. Orders
+    commit hive-partitioned by o_orderstatus (2 files per partition);
+    the merge updates every 'P' order (price * 1.1) with
+    partition_scope pinning the probe to the P partition — the
+    file-skipping a real engine derives when the ON clause fixes the
+    partition. Asserted: the probe touched ONLY P's files, the other
+    partitions' files survive by identity (same physical paths in the
+    log), and every rewritten add carries partitionValues, so log-level
+    pruning still works after the merge. The oracle recomputes
+    update-wins-by-key relationally over the source. At 100 TB this is
+    the difference between a merge that scans one partition and one
+    that scans the table."""
+    path = _fresh(_tmp("orders_delta_merge_part"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.repartition(2), path, "overwrite", partition_by=["o_orderstatus"])
+    before, _, _, _ = _replay(path, None)
+    untouched_before = {
+        rel
+        for rel, add in before.items()
+        if add["partitionValues"]["o_orderstatus"] != "P"
+    }
+    n_p_files = len(before) - len(untouched_before)
+    changes = src.where(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    res = merge_delta(
+        spark, path, changes, "o_orderkey",
+        partition_scope={"o_orderstatus": "P"},
+    )
+    assert res["files_probed"] == n_p_files, (res, n_p_files)
+    assert res["files_rewritten"] == n_p_files, res
+    after, _, _, _ = _replay(path, None)
+    untouched_after = {
+        rel
+        for rel, add in after.items()
+        if add["partitionValues"]["o_orderstatus"] != "P"
+    }
+    assert untouched_after == untouched_before
+    p_after = [
+        rel
+        for rel, add in after.items()
+        if add["partitionValues"] == {"o_orderstatus": "P"}
+    ]
+    assert p_after and all(rel.startswith("o_orderstatus=P/") for rel in p_after)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )

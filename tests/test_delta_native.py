@@ -307,12 +307,8 @@ def test_partitioned_write_read_and_pruning(spark, tmp_path):
     assert none.count() == 0 and "o_orderkey" in none.columns
 
 
-def test_partitioned_vacuum_and_maintenance_gates(spark, tmp_path):
-    from datalakecrawler_spark.sources.delta_native import (
-        merge_delta,
-        optimize_delta,
-        vacuum_delta,
-    )
+def test_partitioned_vacuum(spark, tmp_path):
+    from datalakecrawler_spark.sources.delta_native import vacuum_delta
 
     path = str(tmp_path / "delta_part_vac")
     src = load(spark, SF_DIR, "orders")
@@ -328,10 +324,137 @@ def test_partitioned_vacuum_and_maintenance_gates(spark, tmp_path):
     assert read_delta(spark, path).count() == src.where(
         F.col("o_orderstatus") == "O"
     ).count()
-    with pytest.raises(NotImplementedError, match="per-partition"):
-        optimize_delta(spark, path)
-    with pytest.raises(NotImplementedError, match="partitionValues-preserving"):
-        merge_delta(spark, path, src.limit(5), "o_orderkey")
+
+
+def test_partitioned_optimize_bin_packs_within_partitions(spark, tmp_path):
+    """OPTIMIZE on a partitioned table compacts per partitionValues
+    group (never across), keeps partitionValues on every new add, is
+    dataChange:false throughout, and time travel still serves the
+    pre-compaction layout."""
+    from datalakecrawler_spark.sources.delta_native import (
+        _replay,
+        optimize_delta,
+    )
+
+    path = str(tmp_path / "delta_part_opt")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src.repartition(3), path, "overwrite", partition_by=["o_orderstatus"])
+    before, _, _, _ = _replay(path, None)
+    res = optimize_delta(spark, path)
+    after, _, _, _ = _replay(path, None)
+    assert res["files_compacted"] == len(before) > len(after)
+    by_part: dict[str, int] = {}
+    for rel, add in after.items():
+        pv = add["partitionValues"]
+        assert list(pv) == ["o_orderstatus"]
+        assert rel.startswith(f"o_orderstatus={pv['o_orderstatus']}/")
+        by_part[pv["o_orderstatus"]] = by_part.get(pv["o_orderstatus"], 0) + 1
+    assert set(by_part.values()) == {1}
+    # every action in the optimize commit is dataChange:false
+    for a in _commit_actions(path, 1):
+        for kind in ("add", "remove"):
+            if kind in a:
+                assert a[kind]["dataChange"] is False, a
+    # same rows, partition pruning intact, time travel serves v0 layout
+    got = read_delta(
+        spark, path, partition_filter={"o_orderstatus": "F"}
+    ).count()
+    assert got == src.where(F.col("o_orderstatus") == "F").count()
+    v0, _, _, _ = _replay(path, 0)
+    assert sorted(v0) == sorted(before)
+
+
+def test_partitioned_merge_scope_and_partition_values(spark, tmp_path):
+    """MERGE on a partitioned table: partition_scope bounds the probe
+    to the scoped partition's files, other partitions' files survive
+    by identity, rewritten adds carry partitionValues, the CDF rows
+    embed the partition column, and scoping a non-partition column
+    refuses."""
+    from datalakecrawler_spark.sources.delta_native import (
+        _replay,
+        merge_delta,
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "delta_part_merge")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src.repartition(2), path, "overwrite", partition_by=["o_orderstatus"])
+    before, _, _, _ = _replay(path, None)
+    p_files = {
+        rel
+        for rel, add in before.items()
+        if add["partitionValues"]["o_orderstatus"] == "P"
+    }
+    changes = src.where(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2.0
+    )
+    with pytest.raises(ValueError, match="non-partition columns"):
+        merge_delta(spark, path, changes, "o_orderkey",
+                    partition_scope={"o_orderkey": "1"})
+    res = merge_delta(spark, path, changes, "o_orderkey",
+                      partition_scope={"o_orderstatus": "P"})
+    assert res["files_probed"] == len(p_files)
+    assert res["files_rewritten"] == len(p_files)
+    after, _, _, _ = _replay(path, None)
+
+    def _non_p(active):
+        return {
+            r
+            for r, add in active.items()
+            if add["partitionValues"]["o_orderstatus"] != "P"
+        }
+
+    assert _non_p(after) == _non_p(before)
+    new_p = [r for r in after if r not in before]
+    assert new_p and all(
+        after[r]["partitionValues"] == {"o_orderstatus": "P"} for r in new_p
+    )
+    # snapshot correctness: P prices doubled, everything else untouched
+    got = (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()
+    )
+    want = {
+        r["o_orderstatus"]: r["s"]
+        for r in src.groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    for r in got:
+        factor = 2.0 if r["o_orderstatus"] == "P" else 1.0
+        assert abs(r["s"] - want[r["o_orderstatus"]] * factor) < 1e-4
+    # the CDF of the merge embeds the partition column as a data column
+    feed = read_delta_changes(spark, path, from_version=0)
+    pre = feed.where(F.col("_change_type") == "update_preimage")
+    assert pre.where(F.col("o_orderstatus").isNull()).count() == 0
+    assert pre.count() == changes.count()
+
+
+def test_partitioned_incremental_read_carries_partition_column(spark, tmp_path):
+    """read_delta_incremental over a partitioned table re-derives the
+    partition column from the hive dirs (basePath) — never NULLs."""
+    from datalakecrawler_spark.sources.delta_native import (
+        read_delta_incremental,
+    )
+
+    path = str(tmp_path / "delta_part_inc")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(
+        src.where(F.col("o_orderstatus") == "F"),
+        path, "overwrite", partition_by=["o_orderstatus"],
+    )
+    write_delta(
+        src.where(F.col("o_orderstatus") == "P"),
+        path, "append", partition_by=["o_orderstatus"],
+    )
+    inc = read_delta_incremental(spark, path, from_version=0)
+    assert inc.where(F.col("o_orderstatus").isNull()).count() == 0
+    assert inc.count() == src.where(F.col("o_orderstatus") == "P").count()
+    assert set(
+        r[0] for r in inc.select("o_orderstatus").distinct().collect()
+    ) == {"P"}
 
 
 def test_add_actions_carry_footer_stats(spark, tmp_path):
