@@ -185,6 +185,25 @@ def _manifest_entry_schema_v2(
     }
 
 
+def _manifest_entry_schema_v2_eq() -> dict:
+    """Entry schema for EQUALITY-delete manifests: the data_file record
+    gains the spec's ``equality_ids`` (field-id 135) — the schema field
+    ids whose values identify deleted rows. Kept as a separate schema
+    (Avro files embed their writer schema, so manifests of different
+    shapes coexist in one table) so data/positional manifests stay
+    byte-identical to before."""
+    s = _manifest_entry_schema_v2()
+    s["fields"][2]["type"]["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+            "field-id": 135,
+            "default": None,
+        }
+    )
+    return s
+
+
 def _manifest_file_schema_v2() -> dict:
     s = json.loads(json.dumps(_MANIFEST_FILE_SCHEMA))
     s["fields"][3:3] = [
@@ -545,25 +564,27 @@ def read_iceberg(
     snap = snaps[sid]
     files: list[str] = []
     delete_files: list[str] = []
+    eq_deletes: list[tuple[str, int]] = []  # (file, delete sequence number)
+    data_seq: dict[str, int] = {}  # data file → data sequence number
     read_pfields = _spec_avro_types(meta)
     for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
         if mf.get("content", 0) == 1:
             # v2 DELETE manifest: its entries name delete files, not
             # data files. Never partition-pruned — a pruned delete
             # would resurrect rows.
+            mf_seq = mf.get("sequence_number") or 0
             for entry in _decode_avro_records(_resolve(path, mf["manifest_path"])):
                 if entry["status"] == _ST_DELETED:
                     continue
                 rec = entry["data_file"]
                 if rec.get("content") == _DF_CONTENT_EQ_DELETES:
-                    raise NotImplementedError(
-                        "equality delete files are not supported "
-                        "(positional deletes only)"
-                    )
-                delete_files.append(_resolve(path, rec["file_path"]))
+                    eq_deletes.append((_resolve(path, rec["file_path"]), mf_seq))
+                else:
+                    delete_files.append(_resolve(path, rec["file_path"]))
             continue
         if tfilter and _manifest_pruned(mf, tfilter, read_pfields):
             continue  # whole manifest skipped — its Avro is never read
+        mf_seq = mf.get("sequence_number") or 0
         for entry in _decode_avro_records(_resolve(path, mf["manifest_path"])):
             if entry["status"] == _ST_DELETED:
                 continue
@@ -576,7 +597,11 @@ def read_iceberg(
                 df_rec["partition"].get(k) != v for k, v in tfilter.items()
             ):
                 continue
-            files.append(_resolve(path, df_rec["file_path"]))
+            fabs = _resolve(path, df_rec["file_path"])
+            files.append(fabs)
+            # entries inherit the manifest's data sequence number (the
+            # spec's null-inheritance rule for ADDED entries)
+            data_seq[fabs] = mf_seq
     schema = _iceberg_schema_to_spark(meta["schema"])
     if not files:
         return spark.createDataFrame([], schema)
@@ -589,6 +614,15 @@ def read_iceberg(
         # (the dirs hold transform values, not schema columns).
         reader = reader.option("basePath", os.path.join(path, "data"))
     out = reader.parquet(*files)
+    if delete_files or eq_deletes:
+        # Capture the hidden _metadata struct ONCE, before any join —
+        # join outputs no longer expose it, and both delete flavors
+        # key off it.
+        from pyspark.sql import functions as _F
+
+        out = out.withColumn("__dlc_file_uri", _F.col("_metadata.file_path"))
+        if delete_files:
+            out = out.withColumn("__dlc_row_pos", _F.col("_metadata.row_index"))
     if delete_files:
         # Positional deletes apply at scan: Spark's hidden _metadata
         # struct supplies (file_path, row_index) per row — exactly the
@@ -603,15 +637,45 @@ def read_iceberg(
         from pyspark.sql import functions as _F
 
         dels = spark.read.parquet(*delete_files).select(
-            _F.col("file_path").alias("__dlc_del_path"),
-            _F.col("pos").alias("__dlc_del_pos"),
+            _F.col("file_path").alias("__dlc_file_uri"),
+            _F.col("pos").alias("__dlc_row_pos"),
         )
-        out = (
-            out.withColumn("__dlc_del_path", _F.col("_metadata.file_path"))
-            .withColumn("__dlc_del_pos", _F.col("_metadata.row_index"))
-            .join(dels, ["__dlc_del_path", "__dlc_del_pos"], "left_anti")
-            .drop("__dlc_del_path", "__dlc_del_pos")
+        out = out.join(
+            dels, ["__dlc_file_uri", "__dlc_row_pos"], "left_anti"
+        ).drop("__dlc_row_pos")
+    if eq_deletes:
+        # Equality deletes (content=2): a data row is deleted when its
+        # values on the delete file's columns equal some delete row's
+        # (null-safe, per spec) AND its data sequence number is
+        # STRICTLY below the delete's — a delete never applies to data
+        # committed with or after it. Per-file data sequence numbers
+        # ride in as a broadcast map joined on _metadata.file_path
+        # (scheme-normalized), so the plan stays one distributed scan;
+        # each delete file is one broadcast anti join — delete files
+        # are few and small by construction (a streaming upsert's keys,
+        # not the table).
+        from pyspark.sql import functions as _F
+
+        seq_df = spark.createDataFrame(
+            [(p, int(s)) for p, s in data_seq.items()],
+            "__dlc_path string, __dlc_data_seq long",
         )
+        out = out.withColumn(
+            "__dlc_path",
+            _F.regexp_replace(_F.col("__dlc_file_uri"), "^file:/+", "/"),
+        ).join(_F.broadcast(seq_df), "__dlc_path", "left")
+        for i, (dfile, dseq) in enumerate(sorted(eq_deletes)):
+            dels = spark.read.parquet(dfile)
+            cond = _F.col("__dlc_data_seq") < _F.lit(int(dseq))
+            for c in dels.columns:
+                cond = cond & out[c].eqNullSafe(_F.col(f"__dlc_eq{i}_{c}"))
+            dels = dels.select(
+                *[_F.col(c).alias(f"__dlc_eq{i}_{c}") for c in dels.columns]
+            )
+            out = out.join(_F.broadcast(dels), cond, "left_anti")
+        out = out.drop("__dlc_path", "__dlc_data_seq")
+    if delete_files or eq_deletes:
+        out = out.drop("__dlc_file_uri")
     return out
 
 
@@ -1231,10 +1295,16 @@ def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
     files: list[str] = []
     delete_files: list[str] = []
     for mf in manifests:
-        target = delete_files if mf.get("content", 0) == 1 else files
+        is_del = mf.get("content", 0) == 1
         for entry in _decode_avro_records(_resolve(path, mf["manifest_path"])):
-            if entry["status"] != _ST_DELETED:
-                target.append(_resolve(path, entry["data_file"]["file_path"]))
+            if entry["status"] == _ST_DELETED:
+                continue
+            rec = entry["data_file"]
+            if is_del and rec.get("content") == _DF_CONTENT_EQ_DELETES:
+                continue  # eq-delete files have no (file_path, pos) rows
+            (delete_files if is_del else files).append(
+                _resolve(path, rec["file_path"])
+            )
     schema = _iceberg_schema_to_spark(meta["schema"])
     data = spark.read.schema(schema).parquet(*files).select(
         _F.col("_metadata.file_path").alias("file_path"),
@@ -1335,6 +1405,144 @@ def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
     meta["last-sequence-number"] = seq
     _publish_metadata(path, version, meta)
     return {"snapshot_id": snapshot_id, "deleted_rows": n_deletes}
+
+
+def add_equality_deletes(
+    spark: SparkSession, path: str, deletes: DataFrame
+) -> dict:
+    """Commit a format-v2 EQUALITY-DELETE snapshot: every current or
+    FUTURE-read row whose values on ``deletes``' columns equal some
+    delete row's is dropped at scan — but only for data files whose
+    sequence number is STRICTLY below this commit's, so rows appended
+    AFTER the delete are untouched (the spec's sequencing rule, and
+    what makes equality deletes the streaming-upsert primitive: a
+    Flink-style writer retracts a key without knowing which files hold
+    it). ``deletes`` carries only the equality columns (a subset of
+    the table schema, e.g. one key column); the commit cost is
+    O(delete rows) — no data scan, no file probe, no rewrite, which is
+    the whole reason engines emit equality deletes on the hot path and
+    compact them to positional deletes later. The manifest entry
+    records the spec's ``equality_ids`` (field-id 135) naming the
+    schema fields. Scope gate mirrors positional: v2 unpartitioned."""
+    meta = _read_metadata(path)
+    if meta.get("format-version", 1) != 2:
+        raise ValueError(
+            "equality deletes require a format-v2 table "
+            f"(this table is v{meta.get('format-version', 1)}); "
+            "create it with write_iceberg(..., format_version=2)"
+        )
+    if meta.get("partition-specs", [{}])[0].get("fields"):
+        raise NotImplementedError(
+            "equality deletes on partitioned tables are not wired yet "
+            "(unpartitioned v2 only)"
+        )
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    missing = [c for c in deletes.columns if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"equality columns {missing} are not in the table schema "
+            f"(have {sorted(by_name)})"
+        )
+    equality_ids = [by_name[c]["id"] for c in deletes.columns]
+
+    sid_cur = meta.get("current-snapshot-id")
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid_cur]
+    manifests = _decode_avro_records(_resolve(path, snap["manifest-list"]))
+
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    snapshot_id = version
+    seq = meta.get("last-sequence-number", 0) + 1
+
+    stage = os.path.join(path, f"_stage-eqdel-{snapshot_id}")
+    deletes.distinct().orderBy(*deletes.columns).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+    rel = os.path.join("data", f"eqdelete-{snapshot_id:05d}.parquet")
+    os.replace(part, os.path.join(path, rel))
+    shutil.rmtree(stage)
+    import pyarrow.parquet as _pq
+
+    n_deletes = _pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+
+    manifest_rel = os.path.join(
+        "metadata", f"manifest-{snapshot_id:05d}-eqdeletes.avro"
+    )
+    with open(os.path.join(path, manifest_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_entry_schema_v2_eq(), "deflate", sync_seed=manifest_rel
+        )
+        w.write_block(
+            [
+                {
+                    "status": _ST_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": _DF_CONTENT_EQ_DELETES,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_deletes,
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.join(path, rel)
+                        ),
+                        "block_size_in_bytes": 67108864,
+                        "equality_ids": equality_ids,
+                    },
+                }
+            ]
+        )
+    delete_manifest = {
+        "manifest_path": manifest_rel,
+        "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": 1,
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "partitions": None,
+        "added_rows_count": n_deletes,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    for m in manifests:
+        m.setdefault("partitions", None)
+        m.setdefault("content", 0)
+        m.setdefault("sequence_number", None)
+        m.setdefault("min_sequence_number", None)
+    ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
+    with open(os.path.join(path, ml_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_file_schema_v2(), "deflate", sync_seed=ml_rel
+        )
+        w.write_block(manifests + [delete_manifest])
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 0,
+            "manifest-list": ml_rel,
+            "sequence-number": seq,
+            "summary": {"operation": "delete"},
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    _publish_metadata(path, version, meta)
+    return {
+        "snapshot_id": snapshot_id,
+        "delete_rows": n_deletes,
+        "sequence_number": seq,
+        "equality_ids": equality_ids,
+    }
 
 
 class IcebergCommitConflict(Exception):
@@ -1839,6 +2047,70 @@ def scan_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert read_iceberg(spark, path, snapshot_id=s2).count() == n_before
     return after.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "scan_iceberg_eq_deletes",
+    group="A",
+    oracle=f"""
+    with live as (
+      select * from orders where o_orderstatus = 'F'
+        and o_orderkey % 3 <> 0 and o_orderkey % 5 <> 0
+      union all
+      select * from orders where o_orderstatus = 'P'
+        and o_orderkey % 5 <> 0
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from live group by o_orderstatus
+    """,
+)
+def scan_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: format-v2 EQUALITY deletes with the spec's sequencing
+    rule. Timeline: seq1 commits the 'F' orders; seq2 equality-deletes
+    every o_orderkey ≡ 0 (mod 3) — by VALUE, no file probe, no scan,
+    O(delete rows) commit; seq3 appends the 'P' orders; seq4 equality-
+    deletes every o_orderkey ≡ 0 (mod 5). The read must apply each
+    delete only to data with a STRICTLY SMALLER sequence number: the
+    mod-3 delete erases F rows but leaves P rows (appended after it)
+    alone, while the mod-5 delete hits both — exactly what the oracle
+    recomputes. Data files are never rewritten (asserted), time travel
+    to seq1 serves the full F set, and the manifest entry carries
+    equality_ids naming the key field. This is the streaming-upsert
+    primitive: a writer retracts keys without knowing which of a
+    100 TB table's files hold them."""
+    path = _fresh(_tmp("orders_iceberg_eqdel"))
+    src = load(spark, sf_dir, "orders")
+    s1 = write_iceberg(
+        src.where(F.col("o_orderstatus") == "F"), path, "overwrite",
+        format_version=2,
+    )
+    data_files_before = sorted(
+        glob.glob(os.path.join(path, "data", "[0-9]*.parquet"))
+    )
+    n_f = read_iceberg(spark, path).count()
+    res1 = add_equality_deletes(
+        spark, path, src.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    )
+    assert res1["delete_rows"] > 0 and res1["equality_ids"], res1
+    write_iceberg(
+        src.where(F.col("o_orderstatus") == "P"), path, "append",
+        format_version=2,
+    )
+    add_equality_deletes(
+        spark, path, src.where(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    )
+    still_there = set(glob.glob(os.path.join(path, "data", "[0-9]*.parquet")))
+    assert set(data_files_before) <= still_there, (
+        "equality delete must not rewrite data files"
+    )
+    # time travel: the pre-delete snapshot still serves every F row
+    assert read_iceberg(spark, path, snapshot_id=s1).count() == n_f
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )
 
 

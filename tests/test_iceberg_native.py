@@ -483,9 +483,10 @@ def test_v2_positional_deletes_layout_and_semantics(spark, tmp_path):
 
 def test_v2_capability_gates(spark, tmp_path):
     """The honest v2 scope cuts raise with actionable messages:
-    deletes on v1 tables, deletes on partitioned v2 tables, equality
-    delete files at read, format-version changes mid-table, and
-    rewrite_manifests over delete manifests."""
+    deletes on v1 tables, deletes on partitioned v2 tables,
+    format-version changes mid-table, and rewrite_manifests over
+    delete manifests. (Equality deletes are SUPPORTED since r6 —
+    their semantics are pinned in the test_equality_* tests.)"""
     from datalakecrawler_spark.sources import iceberg_native as ice
 
     src = load(spark, SF_DIR, "nation")
@@ -508,23 +509,6 @@ def test_v2_capability_gates(spark, tmp_path):
     ice.add_position_deletes(spark, p3, "n_nationkey = 0")
     with pytest.raises(NotImplementedError, match="DELETE manifests"):
         ice.rewrite_manifests(p3)
-    # equality-delete file at read → explicit refusal
-    meta = ice._read_metadata(p3)
-    ml = ice._resolve(path := p3, meta["snapshots"][-1]["manifest-list"])
-    manifests = _decode_avro_records(ml)
-    (dm,) = [m for m in manifests if m.get("content") == 1]
-    (entry,) = _decode_avro_records(ice._resolve(path, dm["manifest_path"]))
-    entry["data_file"]["content"] = ice._DF_CONTENT_EQ_DELETES
-    from datalakecrawler_spark.sources.avro import AvroDatumFileWriter
-
-    with open(ice._resolve(path, dm["manifest_path"]), "wb") as fh:
-        w = AvroDatumFileWriter(
-            fh, ice._manifest_entry_schema_v2(), "deflate",
-            sync_seed=dm["manifest_path"],
-        )
-        w.write_block([entry])
-    with pytest.raises(NotImplementedError, match="equality delete"):
-        read_iceberg(spark, path).count()
 
 
 def test_v2_rewrite_manifests_without_deletes(spark, tmp_path):
@@ -720,3 +704,95 @@ def test_metadata_tables(spark, tmp_path):
     st = ice.iceberg_snapshots_table(spark, path).orderBy("snapshot_id").collect()
     assert [r["operation"] for r in st] == ["overwrite", "delete"]
     assert [r["sequence_number"] for r in st] == [1, 2]
+
+
+def test_equality_deletes_sequencing_and_values(spark, tmp_path):
+    """Equality deletes: value-based, null-safe, applied only to data
+    files with a strictly smaller sequence number; multi-column keys;
+    never rewrites data files; equality_ids recorded in the manifest."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_eqdel")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 10"), path, "overwrite",
+                  format_version=2)  # seq 1
+    res = ice.add_equality_deletes(
+        spark, path, src.where("n_nationkey in (2, 4)").select("n_nationkey")
+    )  # seq 2
+    assert res["delete_rows"] == 2 and res["sequence_number"] == 2
+    assert res["equality_ids"] == [1]  # n_nationkey is field id 1
+    write_iceberg(src.where("n_nationkey in (2, 15)"), path, "append",
+                  format_version=2)  # seq 3: re-inserts key 2
+    back = read_iceberg(spark, path)
+    keys = sorted(r[0] for r in back.select("n_nationkey").collect())
+    # 0..9 minus {2,4} from seq1, plus the seq-3 re-insert of 2 and 15
+    assert keys == [0, 1, 2, 3, 5, 6, 7, 8, 9, 15]
+    # a later delete hits both earlier commits
+    ice.add_equality_deletes(
+        spark, path, src.where("n_nationkey = 2").select("n_nationkey")
+    )  # seq 4
+    keys = sorted(
+        r[0] for r in read_iceberg(spark, path).select("n_nationkey").collect()
+    )
+    assert keys == [0, 1, 3, 5, 6, 7, 8, 9, 15]
+
+
+def test_equality_deletes_multicolumn_and_nulls(spark, tmp_path):
+    """Multi-column equality keys match null-safely: a delete row with
+    a NULL value deletes data rows whose column IS NULL (the spec's
+    null-equals-null rule for equality fields)."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_eqdel_nulls")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, None, 11.0), (2, "a", 12.0), (2, "b", 13.0)],
+        "k int, tag string, v double",
+    )
+    write_iceberg(df, path, "overwrite", format_version=2)
+    dels = spark.createDataFrame([(1, None), (2, "b")], "k int, tag string")
+    res = ice.add_equality_deletes(spark, path, dels)
+    assert sorted(res["equality_ids"]) == [1, 2]
+    left = read_iceberg(spark, path).select("k", "tag", "v").collect()
+    assert sorted((r[0], r[1]) for r in left) == [(1, "a"), (2, "a")]
+
+
+def test_equality_and_positional_deletes_compose(spark, tmp_path):
+    """A table carrying BOTH delete flavors applies each with its own
+    rule: positional by (file, pos), equality by value + sequencing."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_mixed_del")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src, path, "overwrite", format_version=2)  # seq 1
+    ice.add_position_deletes(spark, path, "n_nationkey = 0")  # seq 2
+    ice.add_equality_deletes(
+        spark, path, src.where("n_nationkey in (1, 3)").select("n_nationkey")
+    )  # seq 3
+    # positional idempotence must survive the eq manifest in the list
+    res = ice.add_position_deletes(spark, path, "n_nationkey = 0")
+    assert res["deleted_rows"] == 0
+    keys = sorted(
+        r[0] for r in read_iceberg(spark, path).select("n_nationkey").collect()
+    )
+    assert keys == sorted(set(range(25)) - {0, 1, 3})
+
+
+def test_equality_delete_gates(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    p1 = str(tmp_path / "ice_eq_v1")
+    write_iceberg(src, p1, "overwrite")
+    with pytest.raises(ValueError, match="format-v2"):
+        ice.add_equality_deletes(spark, p1, src.select("n_nationkey"))
+    p2 = str(tmp_path / "ice_eq_part")
+    write_iceberg(src, p2, "overwrite", partition_by=["n_regionkey"],
+                  format_version=2)
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        ice.add_equality_deletes(spark, p2, src.select("n_nationkey"))
+    p3 = str(tmp_path / "ice_eq_cols")
+    write_iceberg(src, p3, "overwrite", format_version=2)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        ice.add_equality_deletes(
+            spark, p3, src.selectExpr("n_nationkey as nope")
+        )
