@@ -30,15 +30,24 @@ What the spec makes easy at scale — and this module preserves:
 Format v2 (r6): tables can be created with ``format_version=2``;
 ``add_position_deletes`` commits spec-shaped POSITIONAL delete files
 (delete parquet of (file URI, row position) + content=1 delete
-manifest, sequence numbers tracked), and ``read_iceberg`` merges them
-at scan via Spark's hidden ``_metadata.row_index`` in one distributed
-anti join — deleting k rows costs O(k), never a copy-on-write rewrite.
-Honest gates that remain: equality deletes, deletes on partitioned
-tables, rewrite_manifests across delete manifests, and format v3+ all
-raise with the exact missing capability; the type mapping covers the
-scalar surface + date/timestamp AND nested struct/list/map (recursive
-spec JSON with schema-unique element/key/value field ids;
-decimal/fixed/uuid still refuse actionably). Partition specs are first-class — identity AND the spec's
+manifest, sequence numbers tracked) — on unpartitioned AND partitioned
+tables, with predicates over identity partition columns re-derived
+from the hive dirs — and ``add_equality_deletes`` commits VALUE-based
+delete files (content=2, equality_ids recorded) in O(delete rows)
+with no scan at all. ``read_iceberg`` merges both flavors at scan:
+positional via Spark's hidden ``_metadata.row_index`` in one
+distributed anti join, equality via null-safe anti joins applied only
+to data files with a STRICTLY smaller sequence number (per-file
+sequence numbers broadcast in from the manifests — the spec's
+sequencing rule, so a delete never erases rows appended after it).
+Deleting k rows costs O(k), never a copy-on-write rewrite. Honest
+gates that remain: equality deletes on partitioned tables,
+rewrite_manifests across delete manifests, and format v3+ raise with
+the exact missing capability; the type mapping covers the scalar
+surface + date/timestamp + decimal(p,s) (exact, enforced on append),
+fixed[N]→binary and uuid→string (the lossless Spark projections), AND
+nested struct/list/map (recursive spec JSON with schema-unique
+element/key/value field ids). Partition specs are first-class — identity AND the spec's
 transforms (bucket[N] with the spec's exact murmur3 + serialization,
 truncate[W], year/month/day since-epoch ordinals; see the Partition
 Transforms section): the writer records typed partition values in
@@ -301,6 +310,12 @@ def _spark_type_to_ice(dt: T.DataType, counter: list[int]):
     for spark_t, ice in _SPARK_TO_ICE:
         if isinstance(dt, spark_t):
             return ice
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.BinaryType):
+        # variable-length binary; fixed[N] has no Spark-native twin so
+        # the writer never emits it (the reader maps it to binary)
+        return "binary"
     if isinstance(dt, T.StructType):
         fields = []
         for f in dt.fields:
@@ -368,11 +383,22 @@ def _spark_schema_to_iceberg(schema: T.StructType) -> dict:
 
 def _ice_type_to_spark(t) -> T.DataType:
     if isinstance(t, str):
+        if t.startswith("decimal("):
+            p, s = t[len("decimal(") : -1].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed["):
+            # fixed[N]: Spark has no fixed-width binary, so the lossless
+            # widening is variable binary (parquet stores it the same
+            # way a FIXED_LEN_BYTE_ARRAY reads back)
+            return T.BinaryType()
+        if t == "uuid":
+            # Spark has no UUID type; the canonical 36-char string form
+            # is the interoperable projection every engine accepts
+            return T.StringType()
         base = t.split("(")[0]
         if base not in _ICE_TO_SPARK:
             raise NotImplementedError(
-                f"iceberg_native: unmapped Iceberg type {t!r} "
-                "(decimal/fixed/uuid are not wired)"
+                f"iceberg_native: unmapped Iceberg type {t!r}"
             )
         return _ICE_TO_SPARK[t]
     kind = t.get("type")
@@ -1271,10 +1297,12 @@ def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
     (exactly the spec's delete key), already-deleted positions are
     excluded so the op is idempotent, and the commit publishes a new
     snapshot whose manifest list carries the prior data manifests plus
-    one delete manifest (content=1). Scope gates: v2 unpartitioned
-    tables (identity-partitioned delete scoping would reuse the same
-    r102 machinery); one delete parquet per commit (a production
-    compactor would shard by file prefix)."""
+    one delete manifest (content=1). Partitioned tables work too —
+    identity specs re-derive partition columns from the hive dirs so
+    the predicate may reference them, and the (file URI, position)
+    delete key is partition-agnostic at read. Scope gate: one delete
+    parquet per commit (a production compactor would shard by file
+    prefix)."""
     from pyspark.sql import functions as _F
 
     meta = _read_metadata(path)
@@ -1284,11 +1312,10 @@ def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
             f"(this table is v{meta.get('format-version', 1)}); "
             "create it with write_iceberg(..., format_version=2)"
         )
-    if meta.get("partition-specs", [{}])[0].get("fields"):
-        raise NotImplementedError(
-            "positional deletes on identity-partitioned tables are not "
-            "wired yet (unpartitioned v2 only)"
-        )
+    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    identity_spec = all(
+        f.get("transform", "identity") == "identity" for f in spec_fields
+    )
     sid = meta.get("current-snapshot-id")
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
     manifests = _decode_avro_records(_resolve(path, snap["manifest-list"]))
@@ -1306,7 +1333,16 @@ def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
                 _resolve(path, rec["file_path"])
             )
     schema = _iceberg_schema_to_spark(meta["schema"])
-    data = spark.read.schema(schema).parquet(*files).select(
+    reader = spark.read.schema(schema)
+    if spec_fields and identity_spec:
+        # identity partitioning keeps the partition columns in the hive
+        # dirs; basePath re-derives them so the predicate can reference
+        # them. Transform specs keep source columns in the data files —
+        # nothing to re-derive. Either way the delete rows key on
+        # (file URI, position), which is partition-agnostic, so the
+        # read side applies them unchanged.
+        reader = reader.option("basePath", os.path.join(path, "data"))
+    data = reader.parquet(*files).select(
         _F.col("_metadata.file_path").alias("file_path"),
         _F.col("_metadata.row_index").alias("pos"),
         "*",
@@ -2046,6 +2082,46 @@ def scan_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time travel: the pre-delete snapshot still serves every row
     assert read_iceberg(spark, path, snapshot_id=s2).count() == n_before
     return after.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "scan_iceberg_v2_deletes_partitioned",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    where o_orderstatus = 'F' and o_orderpriority <> '1-URGENT'
+    """,
+)
+def scan_iceberg_v2_deletes_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: positional deletes on an identity-PARTITIONED v2 table.
+    Orders commit partitioned by o_orderstatus; the delete predicate
+    references BOTH the partition column (re-derived from the hive
+    dirs) and a data column — removing urgent F orders only. The
+    partition-filtered read of the F partition must then apply the
+    deletes (delete files are never partition-pruned — pruning one
+    would resurrect rows), while other partitions' reads are untouched
+    byte-for-byte. The oracle recomputes the surviving F rows. At
+    100 TB this is the everyday shape: row-level deletes landing on a
+    date-partitioned table, scans still pruning to one partition."""
+    path = _fresh(_tmp("orders_iceberg_v2_part"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src, path, "overwrite",
+        partition_by=["o_orderstatus"], format_version=2,
+    )
+    res = add_position_deletes(
+        spark, path,
+        "o_orderstatus = 'F' and o_orderpriority = '1-URGENT'",
+    )
+    assert res["deleted_rows"] > 0, res
+    n_p = read_iceberg(spark, path, partition_filter={"o_orderstatus": "P"}).count()
+    assert n_p == src.where(F.col("o_orderstatus") == "P").count()
+    return read_iceberg(
+        spark, path, partition_filter={"o_orderstatus": "F"}
+    ).agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )
 

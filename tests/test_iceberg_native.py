@@ -7,6 +7,7 @@ are additionally oracle-checked by test_registry_parity."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -483,10 +484,10 @@ def test_v2_positional_deletes_layout_and_semantics(spark, tmp_path):
 
 def test_v2_capability_gates(spark, tmp_path):
     """The honest v2 scope cuts raise with actionable messages:
-    deletes on v1 tables, deletes on partitioned v2 tables,
-    format-version changes mid-table, and rewrite_manifests over
-    delete manifests. (Equality deletes are SUPPORTED since r6 —
-    their semantics are pinned in the test_equality_* tests.)"""
+    deletes on v1 tables, format-version changes mid-table, and
+    rewrite_manifests over delete manifests. (Equality deletes and
+    partitioned positional deletes are SUPPORTED since r6 — their
+    semantics are pinned in their own tests.)"""
     from datalakecrawler_spark.sources import iceberg_native as ice
 
     src = load(spark, SF_DIR, "nation")
@@ -496,12 +497,6 @@ def test_v2_capability_gates(spark, tmp_path):
         ice.add_position_deletes(spark, p1, "n_nationkey = 0")
     with pytest.raises(ValueError, match="format .*fixed|fixed at table"):
         write_iceberg(src, p1, "append", format_version=2)
-
-    p2 = str(tmp_path / "v2_part")
-    write_iceberg(src, p2, "overwrite", partition_by=["n_regionkey"],
-                  format_version=2)
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        ice.add_position_deletes(spark, p2, "n_nationkey = 0")
 
     p3 = str(tmp_path / "v2_del")
     write_iceberg(src, p3, "overwrite", format_version=2)
@@ -642,9 +637,49 @@ def test_nested_type_json_structure(spark, tmp_path):
     back = read_iceberg(spark, path)
     assert dict(back.dtypes) == dict(src.dtypes)
     assert back.count() == src.count()
-    # unmapped iceberg types still refuse actionably
+    # decimal/fixed/uuid map (r6); genuinely unknown types still refuse
+    import pyspark.sql.types as T
+
+    assert ice._ice_type_to_spark("decimal(10,2)") == T.DecimalType(10, 2)
+    assert ice._ice_type_to_spark("fixed[16]") == T.BinaryType()
+    assert ice._ice_type_to_spark("uuid") == T.StringType()
     with pytest.raises(NotImplementedError, match="unmapped"):
-        ice._ice_type_to_spark("decimal(10,2)")
+        ice._ice_type_to_spark("variant")
+
+
+def test_decimal_binary_roundtrip(spark, tmp_path):
+    """Decimal and binary columns round-trip through write/read with
+    exact types and values (decimal is the money type every TPC-style
+    schema leans on)."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_decimal")
+    src = (
+        load(spark, SF_DIR, "orders")
+        .limit(100)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+            F.encode(F.col("o_orderpriority"), "utf-8").alias("prio_bin"),
+        )
+    )
+    write_iceberg(src, path, "overwrite")
+    meta = ice._read_metadata(path)
+    types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    assert types["price_dec"] == "decimal(12,2)"
+    assert types["prio_bin"] == "binary"
+    back = read_iceberg(spark, path)
+    assert dict(back.dtypes) == dict(src.dtypes)
+    assert back.selectExpr("sum(price_dec)").collect() == src.selectExpr(
+        "sum(price_dec)"
+    ).collect()
+    # appends enforce decimal precision/scale as part of the type
+    with pytest.raises(ValueError, match="not evolvable"):
+        write_iceberg(
+            src.withColumn("price_dec", F.col("price_dec").cast("decimal(18,4)")),
+            path,
+            "append",
+        )
 
 
 def test_append_schema_enforcement_and_evolution(spark, tmp_path):
@@ -796,3 +831,49 @@ def test_equality_delete_gates(spark, tmp_path):
         ice.add_equality_deletes(
             spark, p3, src.selectExpr("n_nationkey as nope")
         )
+
+
+def test_positional_deletes_on_partitioned_tables(spark, tmp_path):
+    """Positional deletes on an identity-partitioned v2 table: the
+    predicate may reference the partition column (re-derived from the
+    hive dirs), no data file is rewritten, reads — including
+    partition-filtered reads — apply the deletes, and time travel
+    still serves the pre-delete rows."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_pos_part")
+    src = load(spark, SF_DIR, "nation")
+    s1 = write_iceberg(src, path, "overwrite", partition_by=["n_regionkey"],
+                       format_version=2)
+    files_before = sorted(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    # predicate mixes a partition column and a data column
+    res = ice.add_position_deletes(
+        spark, path, "n_regionkey = 0 or n_nationkey = 24"
+    )
+    assert res["deleted_rows"] == 6  # 5 in region 0 + nation 24
+    assert sorted(
+        f for f in glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                             recursive=True)
+        if "delete-" not in os.path.basename(f)
+    ) == files_before
+    back = read_iceberg(spark, path)
+    assert back.count() == 19
+    assert back.where("n_regionkey = 0").count() == 0
+    # partition-filtered read still applies the deletes (nation 24
+    # lives in region 4 in this fixture: n_regionkey = key % 5)
+    r1 = read_iceberg(spark, path, partition_filter={"n_regionkey": 4})
+    keys = {r[0] for r in r1.select("n_nationkey").collect()}
+    assert 24 not in keys and keys == {4, 9, 14, 19}
+    # pre-delete snapshot intact
+    assert read_iceberg(spark, path, snapshot_id=s1).count() == 25
+    # transform-spec table: source column stays in the files, so the
+    # predicate works without re-derivation
+    p2 = str(tmp_path / "ice_pos_bucket")
+    write_iceberg(src, p2, "overwrite", partition_by=["bucket(4, n_nationkey)"],
+                  format_version=2)
+    res2 = ice.add_position_deletes(spark, p2, "n_nationkey < 5")
+    assert res2["deleted_rows"] == 5
+    assert read_iceberg(spark, p2).count() == 20
