@@ -954,6 +954,72 @@ def merge_delta(
     }
 
 
+def restore_delta(spark: SparkSession, path: str, version: int) -> dict:
+    """RESTORE the table to an earlier version as a NEW commit — the
+    protocol's undo: the restored state is appended to history (time
+    travel to the bad version still works, nothing is rewritten or
+    lost), and the commit just flips the active file set back — a
+    remove for every file the bad commits added, an add (reusing the
+    original stats/partitionValues) for every file they dropped. Cost
+    is O(files changed since ``version``), metadata-only: no data file
+    is read or written, which is what makes un-doing a bad load on a
+    100 TB table instant. The target version's files must still exist
+    (a vacuumed version refuses loudly rather than restoring partial
+    data); the schema is restored along with the file set."""
+    cur_active, _cur_schema, cur_v, cur_parts = _replay(path, None)
+    if version == cur_v:
+        return {"version": cur_v, "files_added": 0, "files_removed": 0}
+    tgt_active, tgt_schema, _, tgt_parts = _replay(path, version)
+    missing = [
+        rel for rel in tgt_active if not os.path.exists(os.path.join(path, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: {len(missing)} of its "
+            f"files were vacuumed (e.g. {missing[:3]})"
+        )
+    to_remove = sorted(set(cur_active) - set(tgt_active))
+    to_add = sorted(set(tgt_active) - set(cur_active))
+    new_version = cur_v + 1
+    actions: list[dict] = [
+        {
+            "metaData": {
+                "id": hashlib.md5(f"dlc-delta:{path}".encode()).hexdigest(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": tgt_schema,
+                "partitionColumns": tgt_parts,
+                "configuration": {},
+                "createdTime": 0,
+            }
+        }
+    ]
+    actions += [
+        {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
+        for rel in to_remove
+    ]
+    # re-adding is a data change even if the original add was an
+    # OPTIMIZE rearrangement (dataChange=false) — change consumers
+    # must see the restored rows
+    actions += [
+        {"add": {**tgt_active[rel], "dataChange": True}} for rel in to_add
+    ]
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "timestamp": 0,
+            }
+        }
+    )
+    _publish_commit(path, new_version, actions)
+    return {
+        "version": new_version,
+        "files_added": len(to_add),
+        "files_removed": len(to_remove),
+    }
+
+
 def vacuum_delta(path: str, retain_last: int = 1) -> list[str]:
     """VACUUM: physically delete data files referenced by NO retained
     version (the newest ``retain_last`` versions stay time-travelable;
@@ -1728,6 +1794,47 @@ def sink_delta_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         if add["partitionValues"] == {"o_orderstatus": "P"}
     ]
     assert p_after and all(rel.startswith("o_orderstatus=P/") for rel in p_after)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "sink_delta_restore",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderstatus = 'F'
+    group by o_orderstatus
+    """,
+)
+def sink_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: RESTORE as a forward commit. v0 commits the 'F' orders;
+    v1 is a bad overwrite (the 'O' orders); RESTORE(0) publishes v2
+    flipping the active set back — metadata-only, O(files changed),
+    no data file read or written (asserted: v2's adds reuse v0's exact
+    physical paths). History keeps all three versions: time travel to
+    the bad v1 still serves it, and the head — which the oracle
+    recomputes from the source — is the v0 state again. A post-vacuum
+    restore refuses loudly instead of serving partial data (pinned in
+    tests/test_delta_native.py)."""
+    path = _fresh(_tmp("orders_delta_restore"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.where(F.col("o_orderstatus") == "F").repartition(3), path)
+    v0_active, _, _, _ = _replay(path, None)
+    write_delta(src.where(F.col("o_orderstatus") == "O"), path, "overwrite")
+    res = restore_delta(spark, path, 0)
+    assert res["version"] == 2 and res["files_added"] == 3, res
+    head_active, _, _, _ = _replay(path, None)
+    assert sorted(head_active) == sorted(v0_active)
+    hist = delta_history(path)
+    assert hist[-1]["operation"] == "RESTORE"
+    # the bad version stays time-travelable
+    n_bad = read_delta(spark, path, version=1).count()
+    assert n_bad == src.where(F.col("o_orderstatus") == "O").count()
     return (
         read_delta(spark, path)
         .groupBy("o_orderstatus")

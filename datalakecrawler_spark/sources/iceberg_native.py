@@ -1613,6 +1613,37 @@ def _publish_metadata(path: str, version: int, meta: dict) -> None:
     os.replace(hint + ".tmp", hint)
 
 
+def rollback_snapshot(path: str, snapshot_id: int) -> dict:
+    """Roll the table back to an earlier snapshot — the spec's
+    ``rollback_to_snapshot``: a pure METADATA commit that re-points
+    ``current-snapshot-id`` at the target. Nothing is copied, deleted,
+    or rewritten (every snapshot stays in the list, so rolling FORWARD
+    again is the same one-line operation), and the publish goes through
+    the same put-if-absent version swap as every commit. This is the
+    instant undo for a bad write on a table of any size — O(1) metadata
+    regardless of how much data the bad snapshot touched; reclaiming
+    its files afterward is ``expire_snapshots``' separate job."""
+    meta = _read_metadata(path)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table (have {sorted(snaps)})"
+        )
+    prev = meta.get("current-snapshot-id")
+    if snapshot_id == prev:
+        return {"current": prev, "previous": prev}
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    meta["current-snapshot-id"] = snapshot_id
+    _publish_metadata(path, version, meta)
+    return {"current": snapshot_id, "previous": prev}
+
+
 def expire_snapshots(path: str, retain_last: int = 1) -> dict:
     """EXPIRE SNAPSHOTS: drop all but the newest ``retain_last``
     snapshots from table metadata and physically delete every manifest
@@ -2435,4 +2466,40 @@ def crawl_iceberg_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return meta_counts.join(data_sums, "o_year").select(
         "o_year", "n_records", "sum_price"
+    )
+
+
+@register(
+    "sink_iceberg_rollback",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderstatus = 'F'
+    """,
+)
+def sink_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: snapshot rollback, the spec's metadata-only undo.
+    Snapshot 1 commits the 'F' orders; snapshot 2 is a bad overwrite
+    ('O' orders); rollback re-points current-snapshot-id at 1 — no
+    file copied, deleted, or rewritten (asserted: the data/ dir is
+    byte-identical before and after), both snapshots remain in the
+    list so the bad one is still inspectable, and the head read — the
+    oracle recomputes it — serves the snapshot-1 rows again. O(1)
+    metadata whatever the table size."""
+    path = _fresh(_tmp("orders_iceberg_rollback"))
+    src = load(spark, sf_dir, "orders")
+    s1 = write_iceberg(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    s2 = write_iceberg(src.where(F.col("o_orderstatus") == "O"), path, "overwrite")
+    files_before = sorted(glob.glob(os.path.join(path, "data", "**"), recursive=True))
+    res = rollback_snapshot(path, s1)
+    assert res == {"current": s1, "previous": s2}, res
+    files_after = sorted(glob.glob(os.path.join(path, "data", "**"), recursive=True))
+    assert files_after == files_before
+    assert [s["snapshot_id"] for s in iceberg_snapshots(path)] == [s1, s2]
+    # the rolled-back-over snapshot is still readable by id
+    assert read_iceberg(spark, path, snapshot_id=s2).count() == src.where(
+        F.col("o_orderstatus") == "O"
+    ).count()
+    return read_iceberg(spark, path).agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )

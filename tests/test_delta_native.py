@@ -784,3 +784,59 @@ def test_change_data_feed_rules(spark, tmp_path):
         dn.read_delta_changes(spark, path, 2, 3).count()
     # but the cdc-backed range still serves (cdc files are not part-*)
     assert dn.read_delta_changes(spark, path, 0, 1).count() == 15
+
+
+def test_restore_is_metadata_only_and_vacuum_safe(spark, tmp_path):
+    """RESTORE flips the active set back as a forward commit reusing
+    the original physical files; restoring to the current version is a
+    no-op; restoring to a vacuumed version refuses loudly; a restored
+    OPTIMIZE add becomes dataChange:true so change consumers see it."""
+    from datalakecrawler_spark.sources.delta_native import (
+        _replay,
+        delta_history,
+        restore_delta,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "delta_restore")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src.where(F.col("o_orderstatus") == "F").repartition(2), path)
+    v0_active, _, _, _ = _replay(path, None)
+    write_delta(src.where(F.col("o_orderstatus") == "P"), path, "overwrite")
+    # no-op restore
+    assert restore_delta(spark, path, 1)["files_added"] == 0
+    res = restore_delta(spark, path, 0)
+    assert res == {"version": 2, "files_added": 2, "files_removed": 1}
+    head, _, _, _ = _replay(path, None)
+    assert sorted(head) == sorted(v0_active)
+    assert delta_history(path)[-1]["operation"] == "RESTORE"
+    assert read_delta(spark, path).count() == src.where(
+        F.col("o_orderstatus") == "F"
+    ).count()
+    # restore commit carries the restored schema
+    # vacuum away everything but the head, then try restoring to v1
+    vacuum_delta(path, retain_last=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta(spark, path, 1)
+
+
+def test_restore_partitioned_keeps_partition_values(spark, tmp_path):
+    from datalakecrawler_spark.sources.delta_native import (
+        _replay,
+        restore_delta,
+    )
+
+    path = str(tmp_path / "delta_restore_part")
+    src = load(spark, SF_DIR, "orders")
+    write_delta(src, path, "overwrite", partition_by=["o_orderstatus"])
+    v0, _, _, _ = _replay(path, None)
+    write_delta(
+        src.where(F.col("o_orderstatus") == "F"), path, "overwrite",
+        partition_by=["o_orderstatus"],
+    )
+    restore_delta(spark, path, 0)
+    head, _, _, parts = _replay(path, None)
+    assert parts == ["o_orderstatus"] and sorted(head) == sorted(v0)
+    assert head[next(iter(head))]["partitionValues"]  # pvals preserved
+    got = read_delta(spark, path, partition_filter={"o_orderstatus": "O"}).count()
+    assert got == src.where(F.col("o_orderstatus") == "O").count()

@@ -877,3 +877,33 @@ def test_positional_deletes_on_partitioned_tables(spark, tmp_path):
     res2 = ice.add_position_deletes(spark, p2, "n_nationkey < 5")
     assert res2["deleted_rows"] == 5
     assert read_iceberg(spark, p2).count() == 20
+
+
+def test_rollback_snapshot_is_metadata_only(spark, tmp_path):
+    """Rollback re-points current-snapshot-id; all snapshots stay in
+    the list (rolling forward again works); unknown ids refuse; a
+    same-id rollback is a no-op that publishes nothing."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_rollback")
+    src = load(spark, SF_DIR, "nation")
+    s1 = write_iceberg(src.where("n_nationkey < 10"), path, "overwrite")
+    s2 = write_iceberg(src, path, "overwrite")
+    n_meta = len(glob.glob(os.path.join(path, "metadata", "v*.metadata.json")))
+    assert ice.rollback_snapshot(path, s2) == {"current": s2, "previous": s2}
+    assert (
+        len(glob.glob(os.path.join(path, "metadata", "v*.metadata.json")))
+        == n_meta
+    )  # no-op publishes nothing
+    res = ice.rollback_snapshot(path, s1)
+    assert res == {"current": s1, "previous": s2}
+    assert read_iceberg(spark, path).count() == 10
+    # roll forward again
+    ice.rollback_snapshot(path, s2)
+    assert read_iceberg(spark, path).count() == 25
+    with pytest.raises(ValueError, match="not in table"):
+        ice.rollback_snapshot(path, 999)
+    # appends after a rollback build on the rolled-back state
+    ice.rollback_snapshot(path, s1)
+    write_iceberg(src.where("n_nationkey >= 20"), path, "append")
+    assert read_iceberg(spark, path).count() == 15
