@@ -45,7 +45,7 @@ import shutil
 import urllib.parse
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -708,8 +708,49 @@ def checkpoint_delta(path: str) -> dict:
     return {"version": version, "n_files": len(active), "n_txns": len(txns)}
 
 
+def _zorder_column(
+    cols_bounds: list[tuple[str, float, float]], bits: int = 8
+) -> Column:
+    """Z-order (Morton) key over numeric columns, pure JVM expressions:
+    each column maps to a 2^bits-bucket ordinal over its [lo, hi] range
+    (uniform width_bucket — the stats-derived bounds make this a decent
+    equi-depth proxy on key-like columns), then the ordinals' bits are
+    interleaved so sorting by the key clusters rows that are close in
+    EVERY dimension. NULLs bucket to 0. Everything stays inside
+    whole-stage codegen — no UDF, no Python."""
+    from pyspark.sql import functions as F
+
+    ncols = len(cols_bounds)
+    ordinals = []
+    for c, lo, hi in cols_bounds:
+        if hi <= lo:
+            ordinals.append(F.lit(0).cast("long"))
+            continue
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)),
+            F.lit(2**bits),
+        ) - F.lit(1)
+        b = F.coalesce(b, F.lit(0))
+        ordinals.append(
+            F.least(F.greatest(b, F.lit(0)), F.lit(2**bits - 1)).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci, b in enumerate(ordinals):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    bit * ncols + ci,
+                )
+            )
+    return z
+
+
 def optimize_delta(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE: bin-pack small active files into ~target-sized ones
     and commit the rearrangement with ``dataChange: false`` — the
@@ -722,14 +763,25 @@ def optimize_delta(
     ceil(total_bytes / target) outputs — a shuffle-free plan — and the
     commit is one JSON publish. Returns a summary dict.
 
+    ``zorder_by=[col, ...]`` switches to OPTIMIZE ZORDER: ALL active
+    files rewrite (clustering is a whole-layout property, not a
+    small-file patch), range-partitioned on a Morton key interleaving
+    the columns' bucket ordinals — so every output file covers a tight
+    range in EACH named column and ``skip_files`` prunes selective
+    predicates on ANY of them. Column bounds come from the add-action
+    stats already in the log (no extra scan); the sort is one range
+    shuffle. This is the layout operator that turns a 100 TB full scan
+    into a handful of file opens for multi-dimension point/range
+    queries. Z-order columns must be numeric with logged stats.
+
     Partitioned tables bin-pack WITHIN each partitionValues group (a
     data file belongs to exactly one partition, so cross-partition
-    packing would be protocol-invalid): each group's small files are
-    coalesced independently and the outputs land back in that group's
+    packing would be protocol-invalid): each group's files are
+    rewritten independently and the outputs land back in that group's
     hive dir. Groups are independent rewrites — an engine with a job
     scheduler runs them concurrently; here they run as successive
-    shuffle-free coalesce jobs and publish under ONE commit, so
-    readers see the whole compaction atomically."""
+    jobs and publish under ONE commit, so readers see the whole
+    compaction atomically."""
     active, schema_string, version, partition_columns = _replay(path, None)
     schema = T.StructType.fromJson(json.loads(schema_string))
     # partition columns live in the directory name, not the data files:
@@ -737,12 +789,19 @@ def optimize_delta(
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in partition_columns]
     )
+    if zorder_by:
+        bad = set(zorder_by) - {f.name for f in data_schema.fields}
+        if bad:
+            raise ValueError(
+                f"zorder_by columns {sorted(bad)} not in the data schema"
+            )
     groups: dict[tuple, list[str]] = {}
     for rel in sorted(active):
-        if active[rel]["size"] < target_file_bytes:
+        if zorder_by or active[rel]["size"] < target_file_bytes:
             key = tuple(sorted(active[rel]["partitionValues"].items()))
             groups.setdefault(key, []).append(rel)
-    groups = {k: rels for k, rels in groups.items() if len(rels) >= 2}
+    if not zorder_by:
+        groups = {k: rels for k, rels in groups.items() if len(rels) >= 2}
     if not groups:
         return {"version": version, "files_compacted": 0, "files_written": 0}
     new_version = version + 1
@@ -755,6 +814,36 @@ def optimize_delta(
         df = spark.read.schema(data_schema).parquet(
             *[os.path.join(path, rel) for rel in rels]
         )
+        if zorder_by:
+            bounds = []
+            for c in zorder_by:
+                los, his = [], []
+                for rel in rels:
+                    st = active[rel].get("stats")
+                    s = json.loads(st) if isinstance(st, str) else (st or {})
+                    lo = s.get("minValues", {}).get(c)
+                    hi = s.get("maxValues", {}).get(c)
+                    if isinstance(lo, (int, float)) and isinstance(
+                        hi, (int, float)
+                    ):
+                        los.append(float(lo))
+                        his.append(float(hi))
+                if not los:
+                    raise ValueError(
+                        f"zorder_by column {c!r} has no numeric min/max "
+                        "stats in the log — z-ordering needs bounds"
+                    )
+                bounds.append((c, min(los), max(his)))
+            from pyspark.sql import functions as F
+
+            df = (
+                df.withColumn("__dlc_z", _zorder_column(bounds))
+                .repartitionByRange(n_out, F.col("__dlc_z"))
+                .sortWithinPartitions("__dlc_z")
+                .drop("__dlc_z")
+            )
+        else:
+            df = df.coalesce(n_out)
         stage = os.path.join(
             path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}"
         )
@@ -762,7 +851,7 @@ def optimize_delta(
         # the group shares one partition directory by construction
         pdir = os.path.dirname(rels[0])
         gstage = os.path.join(stage, pdir) if pdir else stage
-        df.coalesce(n_out).write.mode("overwrite").parquet(gstage)
+        df.write.mode("overwrite").parquet(gstage)
         adds += _stage_to_adds(
             path, stage, new_version, partition_columns, False
         )
@@ -773,13 +862,14 @@ def optimize_delta(
         for rel in sorted(small)
     ]
     actions += adds
+    op_params: dict[str, str] = {"targetSize": str(target_file_bytes)}
+    if zorder_by:
+        op_params["zOrderBy"] = json.dumps(list(zorder_by))
     actions.append(
         {
             "commitInfo": {
                 "operation": "OPTIMIZE",
-                "operationParameters": {
-                    "targetSize": str(target_file_bytes),
-                },
+                "operationParameters": op_params,
                 "timestamp": 0,
             }
         }
@@ -1838,5 +1928,59 @@ def sink_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         read_delta(spark, path)
         .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "sink_delta_zorder",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    where o_orderkey <= (select cast(floor(max(o_orderkey) / 8) as bigint)
+                         from orders)
+      and o_custkey <= (select cast(floor(max(o_custkey) / 8) as bigint)
+                        from orders)
+    """,
+)
+def sink_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: OPTIMIZE ZORDER. Orders commit hash-scattered (every
+    file spans the whole o_orderkey AND o_custkey range, so footer
+    stats can skip nothing); the z-order rewrite range-partitions on a
+    Morton key interleaving both columns' bucket ordinals and commits
+    dataChange:false. Asserted: a selective range on o_orderkey now
+    skips files via stats AND so does one on o_custkey — the property
+    a single-column sort cannot give — while the oracle recomputes the
+    query from the source (clustering must never change results).
+    This is the layout operator that makes multi-dimension selective
+    queries on 100 TB cost a handful of file opens."""
+    path = _fresh(_tmp("orders_delta_zorder"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.repartition(8), path, "overwrite")
+    scattered, _, _, _ = _replay(path, None)
+    max_ok = int(src.agg(F.max("o_orderkey")).collect()[0][0])
+    max_ck = int(src.agg(F.max("o_custkey")).collect()[0][0])
+    # before: hash layout → stats ranges are table-wide, nothing skips
+    assert len(skip_files(scattered, "o_orderkey", None, max_ok // 8)) == len(
+        scattered
+    )
+    total = sum(a["size"] for a in scattered.values())
+    res = optimize_delta(
+        spark, path, target_file_bytes=max(total // 8, 1),
+        zorder_by=["o_orderkey", "o_custkey"],
+    )
+    assert res["files_compacted"] == 8 and res["files_written"] >= 4, res
+    clustered, _, _, _ = _replay(path, None)
+    kept_ok = skip_files(clustered, "o_orderkey", None, max_ok // 8)
+    kept_ck = skip_files(clustered, "o_custkey", None, max_ck // 8)
+    assert len(kept_ok) < len(clustered), (len(kept_ok), len(clustered))
+    assert len(kept_ck) < len(clustered), (len(kept_ck), len(clustered))
+    return (
+        read_delta(spark, path, data_filter=("o_orderkey", None, max_ok // 8))
+        .where(
+            (F.col("o_orderkey") <= max_ok // 8)
+            & (F.col("o_custkey") <= max_ck // 8)
+        )
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )

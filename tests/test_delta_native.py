@@ -840,3 +840,56 @@ def test_restore_partitioned_keeps_partition_values(spark, tmp_path):
     assert head[next(iter(head))]["partitionValues"]  # pvals preserved
     got = read_delta(spark, path, partition_filter={"o_orderstatus": "O"}).count()
     assert got == src.where(F.col("o_orderstatus") == "O").count()
+
+
+def test_optimize_zorder_clusters_both_dimensions(spark, tmp_path):
+    """ZORDER rewrite: same rows, dataChange:false commit, and footer
+    stats become selective on EVERY z-order column; bounds come from
+    the log's stats, no extra scan; non-numeric columns refuse."""
+    from datalakecrawler_spark.sources.delta_native import (
+        _replay,
+        optimize_delta,
+        skip_files,
+    )
+
+    path = str(tmp_path / "delta_zorder")
+    src = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_delta(src.repartition(6), path, "overwrite")
+    before, _, _, _ = _replay(path, None)
+    total = sum(a["size"] for a in before.values())
+    res = optimize_delta(
+        spark, path, target_file_bytes=max(total // 6, 1),
+        zorder_by=["o_orderkey", "o_custkey"],
+    )
+    assert res["files_compacted"] == 6 and res["files_written"] >= 3
+    after, _, _, _ = _replay(path, None)
+    # same rows (full frame equality via counts per status + sum)
+    got = read_delta(spark, path)
+    assert got.count() == src.count()
+    assert (
+        got.agg(F.sum("o_totalprice")).collect()
+        == src.agg(F.sum("o_totalprice")).collect()
+    )
+    # all actions dataChange:false
+    a1 = _commit_actions(path, 1)
+    assert all(
+        a[k]["dataChange"] is False
+        for a in a1
+        for k in ("add", "remove")
+        if k in a
+    )
+    info = next(a for a in a1 if "commitInfo" in a)["commitInfo"]
+    assert json.loads(info["operationParameters"]["zOrderBy"]) == [
+        "o_orderkey", "o_custkey",
+    ]
+    # stats now skip on both dimensions
+    max_ok = int(src.agg(F.max("o_orderkey")).collect()[0][0])
+    max_ck = int(src.agg(F.max("o_custkey")).collect()[0][0])
+    assert len(skip_files(after, "o_orderkey", None, max_ok // 6)) < len(after)
+    assert len(skip_files(after, "o_custkey", None, max_ck // 6)) < len(after)
+    with pytest.raises(ValueError, match="not in the data schema"):
+        optimize_delta(spark, path, zorder_by=["nope"])
+    with pytest.raises(ValueError, match="no numeric min/max"):
+        optimize_delta(spark, path, zorder_by=["o_orderstatus"])
