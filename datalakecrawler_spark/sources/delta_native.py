@@ -67,47 +67,65 @@ def _list_versions(path: str) -> list[int]:
     )
 
 
-def _checkpoint_info(path: str) -> tuple[int, str] | None:
-    """(version, checkpoint parquet path) from _last_checkpoint, or
-    None when the table has no checkpoint."""
+def _checkpoint_info(path: str) -> tuple[int, list[str]] | None:
+    """(version, checkpoint parquet part paths) from _last_checkpoint,
+    or None when the table has no checkpoint. Multi-part checkpoints
+    (the protocol's ``parts`` field, part names
+    ``{v}.checkpoint.{i}.{parts}.parquet``) resolve to their full part
+    list; a missing part is a corrupt checkpoint and fails loudly
+    rather than serving a partial file set."""
     lc = os.path.join(_log_dir(path), "_last_checkpoint")
     if not os.path.exists(lc):
         return None
     with open(lc) as fh:
         info = json.load(fh)
     v = int(info["version"])
-    if info.get("parts") is not None:
-        raise NotImplementedError(
-            "multi-part checkpoints (parts field) are not read yet; "
-            "this reader consumes single-file checkpoints"
+    parts = info.get("parts")
+    if parts is None:
+        return v, [os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")]
+    files = [
+        os.path.join(
+            _log_dir(path),
+            f"{v:020d}.checkpoint.{i + 1:010d}.{int(parts):010d}.parquet",
         )
-    return v, os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
+        for i in range(int(parts))
+    ]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"multi-part checkpoint at version {v} is missing "
+            f"{len(missing)} of {parts} parts (e.g. "
+            f"{os.path.basename(missing[0])})"
+        )
+    return v, files
 
 
-def _read_checkpoint(cp_path: str):
-    """Load checkpoint state driver-side (pyarrow — the file is
-    metadata-sized: one row per active file + protocol/metaData)."""
+def _read_checkpoint(cp_paths: list[str]):
+    """Load checkpoint state driver-side (pyarrow — the files are
+    metadata-sized: one row per active file + protocol/metaData).
+    Parts partition the action set arbitrarily, so reading them in any
+    order and merging is exact."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(cp_path).to_pylist()
     active: dict[str, dict] = {}
     schema_string = None
     partition_columns: list[str] = []
-    for row in t:
-        if row.get("add") and row["add"].get("path"):
-            add = {k: v for k, v in row["add"].items() if v is not None}
-            # pyarrow maps come back as [(k, v), ...]
-            add["partitionValues"] = dict(add.get("partitionValues") or [])
-            active[add["path"]] = add
-        elif row.get("metaData") and row["metaData"].get("schemaString"):
-            schema_string = row["metaData"]["schemaString"]
-            partition_columns = row["metaData"].get("partitionColumns") or []
-        elif row.get("protocol") and row["protocol"].get("minReaderVersion"):
-            if row["protocol"]["minReaderVersion"] > 1:
-                raise NotImplementedError(
-                    f"table requires reader version "
-                    f"{row['protocol']['minReaderVersion']}; this reader is v1"
-                )
+    for cp_path in cp_paths:
+        for row in pq.read_table(cp_path).to_pylist():
+            if row.get("add") and row["add"].get("path"):
+                add = {k: v for k, v in row["add"].items() if v is not None}
+                # pyarrow maps come back as [(k, v), ...]
+                add["partitionValues"] = dict(add.get("partitionValues") or [])
+                active[add["path"]] = add
+            elif row.get("metaData") and row["metaData"].get("schemaString"):
+                schema_string = row["metaData"]["schemaString"]
+                partition_columns = row["metaData"].get("partitionColumns") or []
+            elif row.get("protocol") and row["protocol"].get("minReaderVersion"):
+                if row["protocol"]["minReaderVersion"] > 1:
+                    raise NotImplementedError(
+                        f"table requires reader version "
+                        f"{row['protocol']['minReaderVersion']}; this reader is v1"
+                    )
     return active, schema_string, partition_columns
 
 
@@ -595,7 +613,7 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
         checkpoint_delta(path)
 
 
-def checkpoint_delta(path: str) -> dict:
+def checkpoint_delta(path: str, parts: int | None = None) -> dict:
     """Write a parquet CHECKPOINT of the latest version's state (one
     row per active file + protocol/metaData/txn rows) and publish it
     via ``_last_checkpoint`` — after this, readers start replay from
@@ -604,7 +622,14 @@ def checkpoint_delta(path: str) -> dict:
     thousands of streaming micro-batch commits this is the difference
     between millisecond and minute replays. JSON commits are never
     deleted, so pre-checkpoint time travel still works by full
-    replay."""
+    replay.
+
+    ``parts=N`` writes the protocol's MULTI-PART form — N parquet
+    files named ``{v}.checkpoint.{i}.{N}.parquet`` whose rows
+    partition the action set, with ``"parts": N`` in _last_checkpoint.
+    A table with millions of active files checkpoints in parallel and
+    readers fetch parts concurrently; correctness is unchanged because
+    the action set is order-free."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -687,25 +712,49 @@ def checkpoint_delta(path: str) -> dict:
             ),
         ]
     )
-    cols = {name: [r.get(name) for r in rows] for name in schema.names}
-    # pa.map_ wants list-of-tuples, not dicts
-    cols["add"] = [
-        (
-            {**a, "partitionValues": sorted(a["partitionValues"].items())}
-            if a
-            else None
+    def _write_part(part_rows: list[dict], fname: str) -> None:
+        cols = {name: [r.get(name) for r in part_rows] for name in schema.names}
+        # pa.map_ wants list-of-tuples, not dicts
+        cols["add"] = [
+            (
+                {**a, "partitionValues": sorted(a["partitionValues"].items())}
+                if a
+                else None
+            )
+            for a in cols["add"]
+        ]
+        table = pa.Table.from_pydict(cols, schema=schema)
+        pq.write_table(table, fname + ".tmp")
+        os.replace(fname + ".tmp", fname)
+
+    info: dict = {"version": version, "size": len(rows)}
+    if parts is None:
+        _write_part(
+            rows,
+            os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet"),
         )
-        for a in cols["add"]
-    ]
-    table = pa.Table.from_pydict(cols, schema=schema)
-    cp_file = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
-    pq.write_table(table, cp_file + ".tmp")
-    os.replace(cp_file + ".tmp", cp_file)
+    else:
+        if parts < 1:
+            raise ValueError("parts must be >= 1")
+        # contiguous chunks; every part file must exist even if empty
+        per = -(-len(rows) // parts)
+        for i in range(parts):
+            _write_part(
+                rows[i * per : (i + 1) * per],
+                os.path.join(
+                    _log_dir(path),
+                    f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+                ),
+            )
+        info["parts"] = parts
     lc = os.path.join(_log_dir(path), "_last_checkpoint")
     with open(lc + ".tmp", "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
+        json.dump(info, fh)
     os.replace(lc + ".tmp", lc)
-    return {"version": version, "n_files": len(active), "n_txns": len(txns)}
+    out = {"version": version, "n_files": len(active), "n_txns": len(txns)}
+    if parts is not None:
+        out["parts"] = parts
+    return out
 
 
 def _zorder_column(
@@ -1982,5 +2031,46 @@ def sink_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") <= max_ok // 8)
             & (F.col("o_custkey") <= max_ck // 8)
         )
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "sink_delta_checkpoint_multipart",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders group by o_orderstatus
+    """,
+)
+def sink_delta_checkpoint_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: MULTI-PART checkpoint (the protocol's parts form). The
+    state is checkpointed as 3 parquet parts named
+    {v}.checkpoint.{i}.{3}.parquet with "parts": 3 in _last_checkpoint
+    — how engines checkpoint tables whose action set is too large for
+    one writer. A later append then replays from the parts + 1 JSON
+    commit; the oracle recomputes the final snapshot. Asserted: the
+    exact part names exist and the parts stamp round-trips. A missing
+    part refuses loudly (pinned in tests/test_delta_native.py) — a
+    partial checkpoint must never serve a partial table."""
+    path = _fresh(_tmp("orders_delta_mp_ckpt"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(
+        src.where(F.col("o_orderstatus") != "O").repartition(4), path
+    )
+    res = checkpoint_delta(path, parts=3)
+    assert res["parts"] == 3, res
+    log = os.path.join(path, "_delta_log")
+    assert all(
+        os.path.exists(
+            os.path.join(log, f"{0:020d}.checkpoint.{i:010d}.{3:010d}.parquet")
+        )
+        for i in (1, 2, 3)
+    )
+    write_delta(src.where(F.col("o_orderstatus") == "O"), path, "append")
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )
