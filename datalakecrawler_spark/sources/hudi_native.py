@@ -164,9 +164,25 @@ def write_hudi(
     partitions its changes actually touch — the mechanism that bounds
     upsert cost on a date-partitioned 100 TB table to the hot days.
     Partitioning is a table property (hoodie.properties records it;
-    later commits must repeat it). Values must not contain '/'."""
-    if op not in ("bulk_insert", "upsert"):
-        raise ValueError(f"op must be bulk_insert|upsert, got {op!r}")
+    later commits must repeat it). Values must not contain '/'.
+
+    ``op="delete"`` takes ``df`` as the KEYS to remove (``record_key``
+    plus, on partitioned tables, the partition column — Hudi's delete
+    contract) and rewrites only the affected file groups WITHOUT the
+    matching records. A group whose records are all deleted still gets
+    a new (empty) base file slice — skipping it would leave the old
+    slice live and resurrect the rows. Cost is O(affected groups), the
+    same bound as upsert."""
+    if op not in ("bulk_insert", "upsert", "delete"):
+        raise ValueError(f"op must be bulk_insert|upsert|delete, got {op!r}")
+    if op == "delete":
+        need = {record_key} | ({partition_by} if partition_by else set())
+        missing_cols = need - set(df.columns)
+        if missing_cols:
+            raise ValueError(
+                f"delete keys must carry {sorted(need)} "
+                f"(missing {sorted(missing_cols)})"
+            )
     tdir = _timeline_dir(path)
     first = not os.path.isdir(tdir)
     os.makedirs(tdir, exist_ok=True)
@@ -298,11 +314,45 @@ def _write_hudi_claimed(
     )
     prev_slice: dict[tuple[str, str], tuple[str, str]] = {}
     n_updates = 0
+    n_deletes = 0
+    affected: set[tuple[str, int]] = set()
     if op == "bulk_insert":
         if not first and _slices_at(path, None):
             raise ValueError("bulk_insert into a non-empty table")
         stamped = _stamp_new(changes)
         n_groups = _N_BUCKETS
+    elif op == "delete":
+        prev_slice = _slices_at(path, None)
+        affected = {
+            (r[0], r[1])
+            for r in changes.select("__ppath", "__bucket").distinct().collect()
+        }
+        # only groups that actually have a live slice need rewriting
+        affected = {
+            (pp, b)
+            for (pp, b) in affected
+            if (pp, _file_id(b)) in prev_slice
+        }
+        n_groups = max(len(affected), 1)
+        old_files = [
+            os.path.join(path, rel)
+            for (pp, fid), (_, rel) in sorted(prev_slice.items())
+            if (pp, int(fid.rsplit("-", 1)[1])) in affected
+        ]
+        if not old_files:
+            raise ValueError("delete keys match no live file group")
+        old = (
+            df.sparkSession.read.parquet(*old_files)
+            .withColumn("__bucket", _bucket_col(record_key))
+            .withColumn("__ppath", F.col("_hoodie_partition_path"))
+        )
+        keys = changes.select(record_key)
+        n_deletes = old.join(keys, record_key, "left_semi").count()
+        # survivors keep their original commit time/seqno; only the
+        # physical file name moves to this instant's slice
+        stamped = old.join(keys, record_key, "left_anti").withColumn(
+            "_hoodie_file_name", fname
+        )
     else:
         prev_slice = _slices_at(path, None)
         # Affected file groups: the (partition, bucket) pairs the
@@ -358,6 +408,7 @@ def _write_hudi_claimed(
     # date- or numeric-valued partitions while this loop keys by the
     # directory-name string.
     per_partition: dict[str, list] = {}
+    staged_groups: set[tuple[str, int]] = set()
     bucket_dirs = (
         glob.glob(os.path.join(stage, "__ppath=*", "__bucket=*"))
         if partition_by
@@ -392,6 +443,7 @@ def _write_hudi_claimed(
                     f"commitTime={instant}\npartitionDepth=1\n"
                 )
         os.replace(parts[0], os.path.join(path, rel))
+        staged_groups.add((ppath, bucket))
         fid = _file_id(bucket)
         prev = prev_slice.get((ppath, fid), (None, None))[0]
         per_partition.setdefault(ppath, []).append(
@@ -407,9 +459,49 @@ def _write_hudi_claimed(
         )
     shutil.rmtree(stage)
 
+    # Fully-emptied groups (op=delete removed every record) still need
+    # a NEW slice: the hive-partitioned staging writes nothing for an
+    # empty group, but skipping its write stat would leave the prior
+    # slice live and resurrect the deleted rows. Shadow each with an
+    # empty base file carrying the same schema.
+    emptied = sorted(affected - staged_groups) if op == "delete" else []
+    if emptied:
+        estage = os.path.join(path, f".stage-empty-{instant}")
+        # the staging writer excludes the stage columns from data files
+        # either way, so the empty file's schema is stamped minus both
+        (
+            stamped.drop("__ppath", "__bucket")
+            .limit(0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(estage)
+        )
+        (empty_part,) = glob.glob(os.path.join(estage, "part-*.parquet"))
+        for ppath, bucket in emptied:
+            rel = os.path.join(ppath, _base_file_name(bucket, instant)).lstrip("/")
+            pdir_abs = os.path.dirname(os.path.join(path, rel))
+            os.makedirs(pdir_abs, exist_ok=True)
+            shutil.copyfile(empty_part, os.path.join(path, rel))
+            fid = _file_id(bucket)
+            per_partition.setdefault(ppath, []).append(
+                {
+                    "fileId": fid,
+                    "path": rel,
+                    "prevCommit": prev_slice[(ppath, fid)][0],
+                    "numWrites": 0,
+                    "numUpdateWrites": 0,
+                    "fileSizeInBytes": os.path.getsize(os.path.join(path, rel)),
+                    "totalWriteBytes": os.path.getsize(os.path.join(path, rel)),
+                }
+            )
+        shutil.rmtree(estage)
+
     if per_partition and n_updates:
         first_pp = sorted(per_partition)[0]
         per_partition[first_pp][0]["numUpdateWrites"] = n_updates
+    if per_partition and n_deletes:
+        first_pp = sorted(per_partition)[0]
+        per_partition[first_pp][0]["numDeletes"] = n_deletes
 
     commit_meta = {
         "partitionToWriteStats": per_partition,
@@ -1604,4 +1696,68 @@ def sink_hudi_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
         F.lit(ok).cast("int").alias("ok"),
+    )
+
+
+@register(
+    "sink_hudi_delete",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           count(distinct o_orderstatus) as n_status
+    from orders where o_orderstatus <> 'P'
+    """,
+)
+def sink_hudi_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: Hudi DELETE by key on a partitioned CoW table. Orders
+    bulk-insert partitioned by o_orderstatus; the delete removes EVERY
+    'P' order by (key, partition) — which empties every file group of
+    the P partition, exercising the slice-shadowing rule: an emptied
+    group still publishes a new (empty) base file, because skipping
+    its write stat would leave the old slice live and resurrect the
+    rows. Asserted: the delete's scope never touched the other
+    partitions' files (same physical base files before/after), the
+    timeline records a DELETE commit with numDeletes, and time travel
+    to the pre-delete instant still serves the P rows. The oracle
+    recomputes the survivors."""
+    path = _fresh(_tmp("orders_hudi_delete"))
+    src = load(spark, sf_dir, "orders")
+    write_hudi(
+        src, path, "o_orderkey", _T1,
+        op="bulk_insert", partition_by="o_orderstatus",
+    )
+    others_before = sorted(
+        f for f in glob.glob(os.path.join(path, "*", "*.parquet"))
+        if not f.startswith(os.path.join(path, "P") + os.sep)
+    )
+    n_p = src.where(F.col("o_orderstatus") == "P").count()
+    dels = src.where(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_hudi(
+        dels, path, "o_orderkey", _T2,
+        op="delete", partition_by="o_orderstatus",
+    )
+    others_after = sorted(
+        f for f in glob.glob(os.path.join(path, "*", "*.parquet"))
+        if not f.startswith(os.path.join(path, "P") + os.sep)
+        and f"_{_T2}.parquet" not in f
+    )
+    assert others_after == others_before, "delete must not touch other partitions"
+    with open(os.path.join(path, ".hoodie", f"{_T2}.commit")) as fh:
+        meta = json.load(fh)
+    assert meta["operationType"] == "DELETE"
+    n_del = sum(
+        s.get("numDeletes", 0)
+        for stats in meta["partitionToWriteStats"].values()
+        for s in stats
+    )
+    assert n_del == n_p, (n_del, n_p)
+    # time travel: the pre-delete snapshot still has the P rows
+    assert read_hudi(spark, path, as_of=_T1).count() == src.count()
+    assert read_hudi(spark, path).where(F.col("o_orderstatus") == "P").count() == 0
+    return read_hudi(spark, path).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
     )

@@ -481,3 +481,74 @@ def test_clean_mor_and_gates(spark, tmp_path):
     snap = hn.read_hudi(spark, path)
     assert snap.count() == 25
     assert {r[0] for r in snap.where("n_regionkey >= 100").select("n_nationkey").collect()} == {0, 1, 2, 3, 4}
+
+
+def test_delete_rewrites_only_affected_groups(spark, tmp_path):
+    """DELETE by key: survivors keep their original commit time, only
+    affected file groups rewrite, and a fully-emptied group publishes
+    an empty shadowing slice instead of resurrecting rows."""
+    from datalakecrawler_spark.sources.hudi_native import (
+        _slices_at,
+        read_hudi,
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hudi_del")
+    src = load(spark, SF_DIR, "nation")
+    write_hudi(src, path, "n_nationkey", _T1, op="bulk_insert")
+    before = _slices_at(path, None)
+    # delete two keys — their buckets rewrite, others don't
+    dels = src.where("n_nationkey in (2, 7)").select("n_nationkey")
+    write_hudi(dels, path, "n_nationkey", _T2, op="delete")
+    after = _slices_at(path, None)
+    changed = {k for k in after if after[k] != before.get(k)}
+    assert 1 <= len(changed) <= 2  # both keys may share a bucket
+    back = read_hudi(spark, path)
+    keys = sorted(r[0] for r in back.select("n_nationkey").collect())
+    assert keys == sorted(set(range(25)) - {2, 7})
+    # survivors keep their original commit time
+    raw = spark.read.parquet(
+        *[path + "/" + rel for _, rel in after.values()]
+    )
+    assert (
+        raw.where("_hoodie_commit_time = '" + _T2 + "'").count() == 0
+    ), "delete must not restamp survivors"
+    # time travel to the pre-delete instant
+    assert read_hudi(spark, path, as_of=_T1).count() == 25
+
+
+def test_delete_validation_and_empty_groups(spark, tmp_path):
+    from datalakecrawler_spark.sources.hudi_native import (
+        read_hudi,
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hudi_del_part")
+    src = load(spark, SF_DIR, "nation")
+    write_hudi(
+        src, path, "n_nationkey", _T1,
+        op="bulk_insert", partition_by="n_name",
+    )
+    # partitioned delete keys must carry the partition column
+    with pytest.raises(ValueError, match="delete keys must carry"):
+        write_hudi(
+            src.select("n_nationkey"), path, "n_nationkey", _T2,
+            op="delete", partition_by="n_name",
+        )
+    # single-row partitions: deleting the row empties its group; the
+    # shadow slice must hide it
+    dels = src.where("n_nationkey = 3").select("n_nationkey", "n_name")
+    write_hudi(
+        dels, path, "n_nationkey", _T2,
+        op="delete", partition_by="n_name",
+    )
+    back = read_hudi(spark, path)
+    assert back.count() == 24
+    assert back.where("n_nationkey = 3").count() == 0
+    # unknown keys → loud error, not a silent empty commit
+    with pytest.raises(ValueError, match="match no live file group"):
+        write_hudi(
+            spark.createDataFrame([(999, "NOWHERE")], "n_nationkey int, n_name string"),
+            path, "n_nationkey", "19700101000000003",
+            op="delete", partition_by="n_name",
+        )
