@@ -194,6 +194,27 @@ def _manifest_entry_schema_v2(
     }
 
 
+def _manifest_entry_schema_v2_seq(
+    pfields: list[tuple[str, str]] | None = None
+) -> dict:
+    """Entry schema with the spec's optional per-entry
+    ``sequence_number`` (field-id 3). Rewritten (EXISTING) entries must
+    record their ORIGINAL data sequence number explicitly — the merged
+    manifest has one list-level sequence number, so inheritance would
+    silently bump every compacted file past older equality deletes."""
+    s = _manifest_entry_schema_v2(pfields)
+    s["fields"].insert(
+        2,
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "field-id": 3,
+            "default": None,
+        },
+    )
+    return s
+
+
 def _manifest_entry_schema_v2_eq() -> dict:
     """Entry schema for EQUALITY-delete manifests: the data_file record
     gains the spec's ``equality_ids`` (field-id 135) — the schema field
@@ -625,9 +646,11 @@ def read_iceberg(
                 continue
             fabs = _resolve(path, df_rec["file_path"])
             files.append(fabs)
-            # entries inherit the manifest's data sequence number (the
-            # spec's null-inheritance rule for ADDED entries)
-            data_seq[fabs] = mf_seq
+            # an entry's explicit sequence number (rewritten EXISTING
+            # entries carry their original) wins; otherwise inherit the
+            # manifest's (the spec's null-inheritance rule)
+            e_seq = entry.get("sequence_number")
+            data_seq[fabs] = e_seq if e_seq is not None else mf_seq
     schema = _iceberg_schema_to_spark(meta["schema"])
     if not files:
         return spark.createDataFrame([], schema)
@@ -1716,7 +1739,14 @@ def rewrite_manifests(
     working. Prior snapshots still reference the old manifests —
     ``expire_snapshots``'s reachability walk reclaims those once the
     history ages out; rewrite + expire together bound table metadata at
-    O(live files / target), independent of commit count."""
+    O(live files / target), independent of commit count.
+
+    Tables with DELETE manifests compact safely: delete manifests pass
+    through untouched, and every compacted data entry records its
+    ORIGINAL data sequence number explicitly (spec field-id 3) — so an
+    equality delete keeps applying to exactly the files it applied to
+    before the rewrite, instead of the merged manifest's newer sequence
+    number resurrecting previously-deleted rows."""
     meta = _read_metadata(path)
     sid = meta.get("current-snapshot-id")
     if sid is None or sid == -1 or not meta.get("snapshots"):
@@ -1724,34 +1754,43 @@ def rewrite_manifests(
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
     old_manifests = _decode_avro_records(_resolve(path, snap["manifest-list"]))
     v2 = meta.get("format-version", 1) == 2
-    if any(mf.get("content", 0) == 1 for mf in old_manifests):
-        raise NotImplementedError(
-            "rewrite_manifests on a table with DELETE manifests is not "
-            "wired yet: compacting data manifests must not reorder them "
-            "past the delete sequence numbers they are subject to"
-        )
-    if len(old_manifests) <= 1:
+    # DELETE manifests carry over untouched; only DATA manifests
+    # compact. Each compacted entry records its ORIGINAL data sequence
+    # number explicitly (spec field-id 3), so equality deletes keep
+    # applying to exactly the files they applied to before the rewrite
+    # — inheritance from the merged manifest would bump every file past
+    # older deletes and resurrect rows.
+    delete_manifests = [m for m in old_manifests if m.get("content", 0) == 1]
+    data_manifests = [m for m in old_manifests if m.get("content", 0) != 1]
+    if len(data_manifests) <= 1:
         return {
             "manifests_before": len(old_manifests),
             "manifests_after": len(old_manifests),
             "entries": sum(
                 m["added_data_files_count"] + m["existing_data_files_count"]
-                for m in old_manifests
+                for m in data_manifests
             ),
         }
     pfields = _spec_avro_types(meta)
     entries = []
-    for mf in old_manifests:
+    entry_seqs: list[int] = []
+    for mf in data_manifests:
+        mf_seq = mf.get("sequence_number") or 0
         for e in _decode_avro_records(_resolve(path, mf["manifest_path"])):
             if e["status"] == _ST_DELETED:
                 continue
-            entries.append(
-                {
-                    "status": _ST_EXISTING,
-                    "snapshot_id": e.get("snapshot_id"),
-                    "data_file": e["data_file"],
-                }
-            )
+            new_e = {
+                "status": _ST_EXISTING,
+                "snapshot_id": e.get("snapshot_id"),
+                "data_file": e["data_file"],
+            }
+            if v2:
+                e_seq = e.get("sequence_number")
+                new_e["sequence_number"] = (
+                    e_seq if e_seq is not None else mf_seq
+                )
+                entry_seqs.append(new_e["sequence_number"])
+            entries.append(new_e)
 
     version = (
         max(
@@ -1762,15 +1801,7 @@ def rewrite_manifests(
     )
     snapshot_id = version
     seq = (meta.get("last-sequence-number", 0) + 1) if v2 else None
-    min_seq = (
-        min(
-            (m["min_sequence_number"] for m in old_manifests
-             if m.get("min_sequence_number") is not None),
-            default=None,
-        )
-        if v2
-        else None
-    )
+    min_seq = (min(entry_seqs, default=None)) if v2 else None
     new_manifests = []
     for ci in range(0, max(len(entries), 1), target_entries_per_manifest):
         chunk = entries[ci : ci + target_entries_per_manifest]
@@ -1780,7 +1811,7 @@ def rewrite_manifests(
         with open(os.path.join(path, manifest_rel), "wb") as fh:
             w = AvroDatumFileWriter(
                 fh,
-                _manifest_entry_schema_v2(pfields)
+                _manifest_entry_schema_v2_seq(pfields)
                 if v2
                 else _manifest_entry_schema(pfields),
                 "deflate",
@@ -1829,7 +1860,7 @@ def rewrite_manifests(
             "deflate",
             sync_seed=ml_rel,
         )
-        w.write_block(new_manifests)
+        w.write_block(new_manifests + delete_manifests)
     new_snap = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": 0,
@@ -1844,7 +1875,7 @@ def rewrite_manifests(
     _publish_metadata(path, version, meta)
     return {
         "manifests_before": len(old_manifests),
-        "manifests_after": len(new_manifests),
+        "manifests_after": len(new_manifests) + len(delete_manifests),
         "entries": len(entries),
     }
 

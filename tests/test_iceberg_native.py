@@ -484,10 +484,10 @@ def test_v2_positional_deletes_layout_and_semantics(spark, tmp_path):
 
 def test_v2_capability_gates(spark, tmp_path):
     """The honest v2 scope cuts raise with actionable messages:
-    deletes on v1 tables, format-version changes mid-table, and
-    rewrite_manifests over delete manifests. (Equality deletes and
-    partitioned positional deletes are SUPPORTED since r6 — their
-    semantics are pinned in their own tests.)"""
+    deletes on v1 tables and format-version changes mid-table.
+    (Equality deletes, partitioned positional deletes, and
+    rewrite_manifests over delete manifests are SUPPORTED since r6 —
+    their semantics are pinned in their own tests.)"""
     from datalakecrawler_spark.sources import iceberg_native as ice
 
     src = load(spark, SF_DIR, "nation")
@@ -498,12 +498,6 @@ def test_v2_capability_gates(spark, tmp_path):
     with pytest.raises(ValueError, match="format .*fixed|fixed at table"):
         write_iceberg(src, p1, "append", format_version=2)
 
-    p3 = str(tmp_path / "v2_del")
-    write_iceberg(src, p3, "overwrite", format_version=2)
-    write_iceberg(src.limit(0), p3, "append", format_version=2)
-    ice.add_position_deletes(spark, p3, "n_nationkey = 0")
-    with pytest.raises(NotImplementedError, match="DELETE manifests"):
-        ice.rewrite_manifests(p3)
 
 
 def test_v2_rewrite_manifests_without_deletes(spark, tmp_path):
@@ -907,3 +901,51 @@ def test_rollback_snapshot_is_metadata_only(spark, tmp_path):
     ice.rollback_snapshot(path, s1)
     write_iceberg(src.where("n_nationkey >= 20"), path, "append")
     assert read_iceberg(spark, path).count() == 15
+
+
+def test_rewrite_manifests_preserves_delete_sequencing(spark, tmp_path):
+    """The killer case for naive manifest compaction: seq1 appends keys
+    0-9, seq2 equality-deletes {2,4}, seq3 re-appends key 2. The
+    rewrite merges the two data manifests into one — if entries
+    inherited the MERGED manifest's (newer) sequence number, the seq-2
+    delete would stop applying and keys 2,4 from seq1 would resurrect.
+    Explicit per-entry sequence numbers keep the read identical before
+    and after; positional deletes carry through too."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_rw_del")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 10"), path, "overwrite",
+                  format_version=2)  # seq 1
+    ice.add_equality_deletes(
+        spark, path, src.where("n_nationkey in (2, 4)").select("n_nationkey")
+    )  # seq 2
+    write_iceberg(src.where("n_nationkey = 2"), path, "append",
+                  format_version=2)  # seq 3 re-inserts key 2
+    ice.add_position_deletes(spark, path, "n_nationkey = 7")  # seq 4
+
+    def keys():
+        return sorted(
+            r[0]
+            for r in read_iceberg(spark, path).select("n_nationkey").collect()
+        )
+
+    before = keys()
+    assert before == [0, 1, 2, 3, 5, 6, 8, 9]  # 2 is the seq-3 re-insert
+    res = ice.rewrite_manifests(path)
+    assert res["entries"] == 2  # one data file each from seq1 and seq3
+    assert keys() == before
+    # the rewritten manifest's entries carry explicit sequence numbers
+    meta = ice._read_metadata(path)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    mls = ice._decode_avro_records(ice._resolve(path, snap["manifest-list"]))
+    data_mfs = [m for m in mls if m.get("content", 0) == 0]
+    del_mfs = [m for m in mls if m.get("content", 0) == 1]
+    assert len(data_mfs) == 1 and len(del_mfs) == 2
+    entries = ice._decode_avro_records(
+        ice._resolve(path, data_mfs[0]["manifest_path"])
+    )
+    seqs = sorted(e["sequence_number"] for e in entries)
+    assert seqs == [1, 3]
