@@ -543,6 +543,7 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot scan: metadata.json → manifest list (Avro) → manifests
     (Avro) → live data-file list → distributed parquet scan. All
@@ -555,6 +556,13 @@ def read_iceberg(
     skipping, which would also skip whole manifests, is the remaining
     optimization; entry-level pruning already bounds the scan)."""
     meta = _read_metadata(path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        refs = meta.get("refs", {})
+        if ref not in refs:
+            raise ValueError(f"no ref named {ref!r} (have {sorted(refs)})")
+        snapshot_id = refs[ref]["snapshot-id"]
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
     by_id = {f["id"]: f for f in meta["schema"]["fields"]}
     parsed_spec = []
@@ -1301,6 +1309,8 @@ def write_iceberg(
         "snapshots": (prior_meta.get("snapshots", []) if prior_meta else [])
         + [snapshot],
         "snapshot-log": [],
+        # named refs (tags/branches) survive every commit
+        "refs": (prior_meta.get("refs", {}) if prior_meta else {}),
     }
     if format_version == 2:
         meta["last-sequence-number"] = seq
@@ -1636,6 +1646,68 @@ def _publish_metadata(path: str, version: int, meta: dict) -> None:
     os.replace(hint + ".tmp", hint)
 
 
+def set_ref(
+    path: str,
+    name: str,
+    snapshot_id: int,
+    ref_type: str = "tag",
+) -> dict:
+    """Create or move a named REFERENCE (the spec's ``refs`` map in
+    table metadata): a ``tag`` is an immutable name for a snapshot
+    (audit marks, "the v1 training set"), a ``branch`` is a movable
+    head. Pure metadata — O(1) whatever the table holds — published
+    through the same put-if-absent version swap as every commit.
+    Tags refuse to move (delete + recreate to force); branches move
+    freely. ``expire_snapshots`` treats every referenced snapshot as
+    retained (pinned in tests), so a tag is also a retention lease."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be tag|branch, got {ref_type!r}")
+    meta = _read_metadata(path)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table (have {sorted(snaps)})"
+        )
+    refs = dict(meta.get("refs", {}))
+    prior = refs.get(name)
+    if prior is not None and prior.get("type") == "tag":
+        raise ValueError(
+            f"ref {name!r} is a tag at snapshot {prior['snapshot-id']} — "
+            "tags are immutable; drop_ref it first to re-point"
+        )
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    meta["refs"] = refs
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    _publish_metadata(path, version, meta)
+    return {"name": name, "snapshot_id": snapshot_id, "type": ref_type}
+
+
+def drop_ref(path: str, name: str) -> dict:
+    """Remove a named reference; the snapshot itself stays (and becomes
+    expirable once nothing else retains it)."""
+    meta = _read_metadata(path)
+    refs = dict(meta.get("refs", {}))
+    if name not in refs:
+        raise ValueError(f"no ref named {name!r} (have {sorted(refs)})")
+    dropped = refs.pop(name)
+    meta["refs"] = refs
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    _publish_metadata(path, version, meta)
+    return {"name": name, "snapshot_id": dropped["snapshot-id"]}
+
+
 def rollback_snapshot(path: str, snapshot_id: int) -> dict:
     """Roll the table back to an earlier snapshot — the spec's
     ``rollback_to_snapshot``: a pure METADATA commit that re-points
@@ -1678,14 +1750,26 @@ def expire_snapshots(path: str, retain_last: int = 1) -> dict:
     shared files — e.g. manifests an append snapshot reused — survive.
     The pruned metadata publishes as a NEW version via the same
     version-hint atomic swap as a commit; time travel to an expired
-    snapshot id then fails by name."""
+    snapshot id then fails by name.
+
+    Snapshots named by a REF (tag or branch, see ``set_ref``) are
+    always retained regardless of ``retain_last`` — a tag is a
+    retention lease; drop the ref to let the snapshot age out."""
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
     meta = _read_metadata(path)
     snaps = meta.get("snapshots", [])
     if len(snaps) <= retain_last:
         return {"expired": [], "data_files_deleted": 0, "manifests_deleted": 0}
-    keep, expired = snaps[-retain_last:], snaps[:-retain_last]
+    pinned = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
+    keep = [
+        s
+        for i, s in enumerate(snaps)
+        if i >= len(snaps) - retain_last or s["snapshot-id"] in pinned
+    ]
+    expired = [s for s in snaps if s not in keep]
+    if not expired:
+        return {"expired": [], "data_files_deleted": 0, "manifests_deleted": 0}
     if meta.get("current-snapshot-id") not in {s["snapshot-id"] for s in keep}:
         raise ValueError("cannot expire the current snapshot")
 
@@ -2534,3 +2618,55 @@ def sink_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, path).agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )
+
+
+@register(
+    "scan_iceberg_ref_tag",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           cast(1 as integer) as survived_expiry
+    from orders where o_orderstatus = 'F'
+    """,
+)
+def scan_iceberg_ref_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: named refs (the spec's refs map) as retention leases.
+    Snapshot 1 ('F' orders) is tagged training-v1; snapshot 2
+    overwrites with the 'O' orders; expire_snapshots(retain_last=1)
+    would normally reclaim snapshot 1 — but the tag pins it (asserted:
+    expiry reports nothing expired... actually it expires nothing
+    because both snapshots are retained), and the read BY REF — which
+    the oracle recomputes as the F orders — still serves the tagged
+    data set byte-for-byte. Dropping the ref releases the lease: the
+    next expiry reclaims snapshot 1 and the ref read refuses by name.
+    This is how a 100 TB training corpus stays reproducible by NAME
+    while the table keeps moving."""
+    path = _fresh(_tmp("orders_iceberg_refs"))
+    src = load(spark, sf_dir, "orders")
+    s1 = write_iceberg(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    set_ref(path, "training-v1", s1, "tag")
+    write_iceberg(src.where(F.col("o_orderstatus") == "O"), path, "overwrite")
+    res = expire_snapshots(path, retain_last=1)
+    assert res["expired"] == [] and res["data_files_deleted"] == 0, res
+    survived = read_iceberg(spark, path, ref="training-v1")
+    # tags are immutable
+    try:
+        set_ref(path, "training-v1", 2, "tag")
+        raise AssertionError("tags must refuse to move")
+    except ValueError:
+        pass
+    out = survived.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(1).cast("int").alias("survived_expiry"),
+    )
+    n = out.collect()  # materialize before dropping the lease
+    drop_ref(path, "training-v1")
+    res2 = expire_snapshots(path, retain_last=1)
+    assert res2["expired"] == [s1], res2
+    try:
+        read_iceberg(spark, path, ref="training-v1")
+        raise AssertionError("dropped ref must not resolve")
+    except ValueError:
+        pass
+    return spark.createDataFrame(n, out.schema)

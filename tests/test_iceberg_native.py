@@ -949,3 +949,43 @@ def test_rewrite_manifests_preserves_delete_sequencing(spark, tmp_path):
     )
     seqs = sorted(e["sequence_number"] for e in entries)
     assert seqs == [1, 3]
+
+
+def test_refs_tags_branches_and_retention(spark, tmp_path):
+    """Refs: tags are immutable names, branches move, both pin their
+    snapshot against expiry, refs survive commits, and dropping a ref
+    releases the retention lease."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_refs")
+    src = load(spark, SF_DIR, "nation")
+    s1 = write_iceberg(src.where("n_nationkey < 10"), path, "overwrite")
+    ice.set_ref(path, "v1", s1, "tag")
+    ice.set_ref(path, "dev", s1, "branch")
+    s2 = write_iceberg(src, path, "overwrite")
+    # refs survive the commit
+    meta = ice._read_metadata(path)
+    assert set(meta["refs"]) == {"v1", "dev"}
+    # reads by ref
+    assert read_iceberg(spark, path, ref="v1").count() == 10
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, path, snapshot_id=s1, ref="v1")
+    with pytest.raises(ValueError, match="no ref named"):
+        read_iceberg(spark, path, ref="nope")
+    # branches move; tags refuse
+    ice.set_ref(path, "dev", s2, "branch")
+    assert read_iceberg(spark, path, ref="dev").count() == 25
+    with pytest.raises(ValueError, match="immutable"):
+        ice.set_ref(path, "v1", s2, "tag")
+    with pytest.raises(ValueError, match="not in table"):
+        ice.set_ref(path, "v2", 999, "tag")
+    # expiry retains the tagged snapshot
+    res = ice.expire_snapshots(path, retain_last=1)
+    assert res["expired"] == []
+    assert read_iceberg(spark, path, ref="v1").count() == 10
+    # dropping the tag releases it
+    ice.drop_ref(path, "v1")
+    with pytest.raises(ValueError, match="no ref named"):
+        ice.drop_ref(path, "v1")
+    res2 = ice.expire_snapshots(path, retain_last=1)
+    assert res2["expired"] == [s1]
