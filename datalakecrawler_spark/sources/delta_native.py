@@ -275,10 +275,14 @@ def _enforce_or_merge_schema(
     if conflicts:
         raise ValueError(f"column type changes are not evolvable: {conflicts}")
     new_names = {f["name"] for f in writer_fields}
-    if mode == "append" and new_names != set(prior_by_name):
+    # overwrite_partitions keeps other partitions' data live, so it
+    # enforces like an append — a full overwrite may replace the schema
+    if mode in ("append", "overwrite_partitions") and new_names != set(
+        prior_by_name
+    ):
         if not merge_schema:
             raise ValueError(
-                "append schema differs from the table schema "
+                f"{mode} schema differs from the table schema "
                 f"(new: {sorted(new_names - set(prior_by_name))}, "
                 f"missing: {sorted(set(prior_by_name) - new_names)}); "
                 "pass merge_schema=True to evolve"
@@ -324,9 +328,24 @@ def write_delta(
     order kept, new columns appended; type changes always refuse).
     Old files simply lack the new columns — the explicit-schema read
     serves NULLs there, and time travel serves each version under the
-    schema it was committed with."""
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    schema it was committed with.
+
+    ``mode="overwrite_partitions"`` is DYNAMIC partition overwrite
+    (INSERT OVERWRITE ... PARTITION): only the partitions the new data
+    actually lands in are logically replaced — their prior files get
+    remove actions — while every other partition's files stay active
+    untouched. Requires a partitioned table; the remove set is derived
+    from the staged files' partitionValues, so the commit cost is
+    O(files in touched partitions), never O(table)."""
+    if mode not in ("overwrite", "append", "overwrite_partitions"):
+        raise ValueError(
+            f"mode must be overwrite|append|overwrite_partitions, got {mode!r}"
+        )
+    if mode == "overwrite_partitions" and not partition_by:
+        raise ValueError(
+            "overwrite_partitions needs a partitioned table "
+            "(pass partition_by)"
+        )
     if txn is not None and os.path.isdir(_log_dir(path)):
         if last_txn_version(path, txn[0]) >= txn[1]:
             return None
@@ -382,16 +401,28 @@ def write_delta(
         }
     )
     if mode == "overwrite":
-        actions += [
-            {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": mtime,
-                    "dataChange": True,
-                }
+        doomed = sorted(prior_active)
+    elif mode == "overwrite_partitions":
+        touched = {
+            tuple(sorted(a["add"]["partitionValues"].items())) for a in adds
+        }
+        doomed = sorted(
+            rel
+            for rel, add in prior_active.items()
+            if tuple(sorted(add["partitionValues"].items())) in touched
+        )
+    else:
+        doomed = []
+    actions += [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": mtime,
+                "dataChange": True,
             }
-            for rel in sorted(prior_active)
-        ]
+        }
+        for rel in doomed
+    ]
     actions += adds
     actions.append(
         {
@@ -2069,6 +2100,60 @@ def sink_delta_checkpoint_multipart(spark: SparkSession, sf_dir: str) -> DataFra
         for i in (1, 2, 3)
     )
     write_delta(src.where(F.col("o_orderstatus") == "O"), path, "append")
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "sink_delta_overwrite_partitions",
+    group="A",
+    oracle=f"""
+    with final as (
+      select * from orders where o_orderstatus <> 'P'
+      union all
+      select * replace (o_totalprice * 2.0 as o_totalprice)
+      from orders where o_orderstatus = 'P' and o_orderkey % 2 = 0
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from final group by o_orderstatus
+    """,
+)
+def sink_delta_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: DYNAMIC partition overwrite. v0 commits all orders
+    partitioned by o_orderstatus; v1 overwrites with a frame that only
+    lands in the P partition (even keys, doubled price) — the commit
+    must remove EXACTLY P's prior files (asserted: every other
+    partition's files stay active by identity) and replace them with
+    the new data, so P now holds only the even-key rows. The oracle
+    recomputes the final table. This is INSERT OVERWRITE PARTITION:
+    reloading one day of a date-partitioned 100 TB table costs that
+    day, not the table."""
+    path = _fresh(_tmp("orders_delta_dpo"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src, path, "overwrite", partition_by=["o_orderstatus"])
+    before, _, _, _ = _replay(path, None)
+    repl = (
+        src.where((F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+    )
+    write_delta(repl, path, "overwrite_partitions", partition_by=["o_orderstatus"])
+    after, _, _, _ = _replay(path, None)
+
+    def _others(active):
+        return {
+            r for r, a in active.items()
+            if a["partitionValues"]["o_orderstatus"] != "P"
+        }
+
+    assert _others(after) == _others(before)
+    assert all(
+        rel.startswith("o_orderstatus=P/")
+        for rel in set(after) - set(before)
+    )
     return (
         read_delta(spark, path)
         .groupBy("o_orderstatus")

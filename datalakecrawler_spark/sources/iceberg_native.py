@@ -1006,9 +1006,25 @@ def write_iceberg(
     and ``read_iceberg``'s partition_filter — stated on source columns
     — is transformed and pruned at both metadata levels; the scan
     never lists the other partitions' files. The spec is a table
-    property: later commits must repeat it."""
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    property: later commits must repeat it.
+
+    ``mode="overwrite_partitions"`` is DYNAMIC partition overwrite
+    (INSERT OVERWRITE ... PARTITION): only the partitions the new data
+    lands in are replaced. Prior manifests with no entry in a touched
+    partition are REUSED untouched (O(new files + touched manifests)
+    commit); manifests that mix touched and untouched partitions are
+    rewritten keeping the untouched entries as EXISTING — with their
+    original data sequence numbers on v2, so equality-delete
+    application is unchanged. Delete manifests carry through."""
+    if mode not in ("overwrite", "append", "overwrite_partitions"):
+        raise ValueError(
+            f"mode must be overwrite|append|overwrite_partitions, got {mode!r}"
+        )
+    if mode == "overwrite_partitions" and not partition_by:
+        raise ValueError(
+            "overwrite_partitions needs a partitioned table "
+            "(pass partition_by)"
+        )
     if format_version not in (1, 2):
         raise ValueError(f"format_version must be 1|2, got {format_version}")
     partition_by = list(partition_by or [])
@@ -1049,7 +1065,7 @@ def write_iceberg(
     # simply lack the new columns (the explicit-schema read serves
     # NULLs there). Overwrite replaces the schema wholesale, as before.
     evolved_schema = None
-    if prior_meta is not None and mode == "append":
+    if prior_meta is not None and mode in ("append", "overwrite_partitions"):
         prior_fields = prior_meta["schema"]["fields"]
         prior_by_name = {f["name"]: f for f in prior_fields}
         conflicts = []
@@ -1222,9 +1238,15 @@ def write_iceberg(
         new_manifest["sequence_number"] = seq
         new_manifest["min_sequence_number"] = seq
 
-    # 3) manifest list: append keeps the prior snapshot's manifests
+    # 3) manifest list: append keeps the prior snapshot's manifests;
+    # overwrite_partitions keeps them except where they name a touched
+    # partition (those rewrite without the replaced entries)
     manifests = [new_manifest]
-    if mode == "append" and prior_meta and prior_meta.get("current-snapshot-id", -1) != -1:
+    if (
+        mode in ("append", "overwrite_partitions")
+        and prior_meta
+        and prior_meta.get("current-snapshot-id", -1) != -1
+    ):
         prior_snap = {
             s["snapshot-id"]: s for s in prior_meta.get("snapshots", [])
         }[prior_meta["current-snapshot-id"]]
@@ -1237,6 +1259,104 @@ def write_iceberg(
                 m.setdefault("content", 0)
                 m.setdefault("sequence_number", None)
                 m.setdefault("min_sequence_number", None)
+        if mode == "overwrite_partitions":
+            touched = {
+                tuple(sorted(e["data_file"]["partition"].items()))
+                for e in entries
+            }
+            kept_manifests = []
+            for mi, m in enumerate(reused):
+                if m.get("content", 0) == 1:
+                    kept_manifests.append(m)  # delete manifests pass through
+                    continue
+                m_seq = m.get("sequence_number") or 0
+                m_entries = [
+                    e
+                    for e in _decode_avro_records(
+                        _resolve(path, m["manifest_path"])
+                    )
+                    if e["status"] != _ST_DELETED
+                ]
+                kept_entries = [
+                    e
+                    for e in m_entries
+                    if tuple(sorted(e["data_file"]["partition"].items()))
+                    not in touched
+                ]
+                if len(kept_entries) == len(m_entries):
+                    kept_manifests.append(m)  # untouched: reuse as-is
+                    continue
+                if not kept_entries:
+                    continue  # every entry replaced: drop the manifest
+                # mixed: rewrite keeping the survivors as EXISTING with
+                # their original sequence numbers (v2)
+                survivors = []
+                for e in kept_entries:
+                    ne = {
+                        "status": _ST_EXISTING,
+                        "snapshot_id": e.get("snapshot_id"),
+                        "data_file": e["data_file"],
+                    }
+                    if format_version == 2:
+                        e_seq = e.get("sequence_number")
+                        ne["sequence_number"] = (
+                            e_seq if e_seq is not None else m_seq
+                        )
+                    survivors.append(ne)
+                mrel = os.path.join(
+                    "metadata",
+                    f"manifest-{snapshot_id:05d}-dpo{mi:03d}.avro",
+                )
+                with open(os.path.join(path, mrel), "wb") as fh:
+                    w = AvroDatumFileWriter(
+                        fh,
+                        _manifest_entry_schema_v2_seq(pfields)
+                        if format_version == 2
+                        else _manifest_entry_schema(pfields),
+                        "deflate",
+                        sync_seed=mrel,
+                    )
+                    w.write_block(survivors)
+                summaries2 = None
+                if pfields and survivors:
+                    summaries2 = []
+                    for name, avro_t in pfields:
+                        vals = [
+                            e["data_file"]["partition"][name]
+                            for e in survivors
+                        ]
+                        summaries2.append(
+                            {
+                                "contains_null": False,
+                                "lower_bound": _bound_ser(min(vals), avro_t),
+                                "upper_bound": _bound_ser(max(vals), avro_t),
+                            }
+                        )
+                nm2 = {
+                    "manifest_path": mrel,
+                    "manifest_length": os.path.getsize(
+                        os.path.join(path, mrel)
+                    ),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": 0,
+                    "existing_data_files_count": len(survivors),
+                    "deleted_data_files_count": 0,
+                    "partitions": summaries2,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"] for e in survivors
+                    ),
+                    "deleted_rows_count": 0,
+                }
+                if format_version == 2:
+                    nm2["content"] = 0
+                    nm2["sequence_number"] = seq
+                    nm2["min_sequence_number"] = min(
+                        e["sequence_number"] for e in survivors
+                    )
+                kept_manifests.append(nm2)
+            reused = kept_manifests
         manifests += reused
     ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
     ml_schema = (
@@ -2670,3 +2790,60 @@ def scan_iceberg_ref_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         pass
     return spark.createDataFrame(n, out.schema)
+
+
+@register(
+    "sink_iceberg_overwrite_partitions",
+    group="A",
+    oracle=f"""
+    with final as (
+      select * from orders where o_orderstatus <> 'P'
+      union all
+      select * replace (o_totalprice * 2.0 as o_totalprice)
+      from orders where o_orderstatus = 'P' and o_orderkey % 2 = 0
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from final group by o_orderstatus
+    """,
+)
+def sink_iceberg_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: DYNAMIC partition overwrite, manifest-level. Snapshot 1
+    commits all orders identity-partitioned by o_orderstatus; snapshot
+    2 overwrites with data landing only in P (even keys, doubled
+    price). The commit reuses every prior manifest that names no P
+    entry and rewrites the mixed ones keeping non-P entries as
+    EXISTING — asserted: the untouched partitions' data files survive
+    by identity on disk AND the pre-overwrite snapshot still serves
+    the original P rows (time travel). The oracle recomputes the final
+    table. O(new files + touched manifests), never O(table)."""
+    path = _fresh(_tmp("orders_iceberg_dpo"))
+    src = load(spark, sf_dir, "orders")
+    s1 = write_iceberg(
+        src, path, "overwrite", partition_by=["o_orderstatus"]
+    )
+    files_before = set(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+    )
+    repl = (
+        src.where((F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+    )
+    write_iceberg(
+        repl, path, "overwrite_partitions", partition_by=["o_orderstatus"]
+    )
+    files_after = set(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert files_before <= files_after  # nothing deleted from disk
+    # time travel: snapshot 1 still serves every original row
+    assert read_iceberg(spark, path, snapshot_id=s1).count() == src.count()
+    n_p = read_iceberg(
+        spark, path, partition_filter={"o_orderstatus": "P"}
+    ).count()
+    assert n_p == repl.count()
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )

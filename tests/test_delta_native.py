@@ -943,3 +943,36 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     os.remove(os.path.join(path, "_delta_log", part_names[1]))
     with pytest.raises(ValueError, match="missing 1 of 3 parts"):
         _replay(path, None)
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions the new
+    data lands in; unpartitioned tables refuse; schema enforcement
+    applies like append; time travel serves the old partition."""
+    from datalakecrawler_spark.sources.delta_native import _replay
+
+    path = str(tmp_path / "delta_dpo")
+    src = load(spark, SF_DIR, "orders")
+    with pytest.raises(ValueError, match="partitioned table"):
+        write_delta(src, str(tmp_path / "x"), "overwrite_partitions")
+    write_delta(src, path, "overwrite", partition_by=["o_orderstatus"])
+    repl = src.where(F.col("o_orderstatus") == "F").limit(10)
+    write_delta(repl, path, "overwrite_partitions",
+                partition_by=["o_orderstatus"])
+    back = read_delta(spark, path)
+    assert back.where(F.col("o_orderstatus") == "F").count() == 10
+    assert back.where(F.col("o_orderstatus") == "O").count() == src.where(
+        F.col("o_orderstatus") == "O"
+    ).count()
+    # time travel to v0 serves the original F partition
+    assert read_delta(spark, path, version=0).where(
+        F.col("o_orderstatus") == "F"
+    ).count() == src.where(F.col("o_orderstatus") == "F").count()
+    # schema enforcement: differing columns refuse without merge_schema
+    with pytest.raises(ValueError, match="differs from the table schema"):
+        write_delta(
+            repl.withColumn("extra", F.lit(1)), path,
+            "overwrite_partitions", partition_by=["o_orderstatus"],
+        )
+    active, _, _, _ = _replay(path, None)
+    assert all(a["partitionValues"] for a in active.values())

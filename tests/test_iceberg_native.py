@@ -989,3 +989,53 @@ def test_refs_tags_branches_and_retention(spark, tmp_path):
         ice.drop_ref(path, "v1")
     res2 = ice.expire_snapshots(path, retain_last=1)
     assert res2["expired"] == [s1]
+
+
+def test_overwrite_partitions_manifest_handling(spark, tmp_path):
+    """Dynamic partition overwrite at the manifest level: untouched
+    manifests reuse by path, mixed manifests rewrite keeping survivors
+    as EXISTING with original sequence numbers (v2), wholly-replaced
+    manifests drop, and delete manifests carry through."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_dpo")
+    src = load(spark, SF_DIR, "nation")
+    with pytest.raises(ValueError, match="partitioned table"):
+        write_iceberg(src, str(tmp_path / "x"), "overwrite_partitions")
+    # v2 table: region-partitioned, with an equality delete in between
+    write_iceberg(src, path, "overwrite", partition_by=["n_regionkey"],
+                  format_version=2)  # seq 1
+    write_iceberg(
+        src.limit(0), path, "append", partition_by=["n_regionkey"],
+        format_version=2,
+    )  # seq 2: empty append → an extra (empty) manifest to reuse
+    repl = spark.createDataFrame(
+        [(100, "NEWLAND", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    write_iceberg(repl, path, "overwrite_partitions",
+                  partition_by=["n_regionkey"], format_version=2)  # seq 3
+    back = read_iceberg(spark, path)
+    # region 0 replaced by the single new row; others intact
+    assert back.where("n_regionkey = 0").count() == 1
+    assert back.where("n_regionkey = 0").collect()[0]["n_nationkey"] == 100
+    assert back.count() == 25 - 5 + 1
+    # time travel to seq 1 serves the original region 0
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 25
+    # the rewritten manifest's survivors carry explicit original seqs
+    meta = ice._read_metadata(path)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    mls = ice._decode_avro_records(ice._resolve(path, snap["manifest-list"]))
+    rewritten = [
+        m for m in mls if "dpo" in os.path.basename(m["manifest_path"])
+    ]
+    assert len(rewritten) == 1
+    entries = ice._decode_avro_records(
+        ice._resolve(path, rewritten[0]["manifest_path"])
+    )
+    assert all(e["status"] == 0 for e in entries)  # EXISTING
+    assert {e["sequence_number"] for e in entries} == {1}
+    assert all(
+        e["data_file"]["partition"]["n_regionkey"] != 0 for e in entries
+    )
