@@ -736,6 +736,66 @@ def read_iceberg(
     return out
 
 
+def read_iceberg_incremental(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Incremental APPEND scan (Iceberg's incremental read): the rows
+    added by snapshots in (from_snapshot, to_snapshot] — resolved from
+    each in-range snapshot's manifests by taking entries with status
+    ADDED and that snapshot's id, so I/O is proportional to the NEW
+    data, never the table. The downstream-pipeline primitive: consume
+    a 100 TB table's growth instead of re-reading snapshots. Range
+    snapshots carrying row-level deletes or overwrites refuse loudly
+    (their delta is not append-only; replays would double-count) —
+    matching the engine behavior for incremental scans over
+    non-append history."""
+    meta = _read_metadata(path)
+    snaps = meta.get("snapshots", [])
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot not in ids:
+        raise ValueError(f"snapshot {from_snapshot} not in table (have {ids})")
+    hi = to_snapshot if to_snapshot is not None else ids[-1]
+    if hi not in ids:
+        raise ValueError(f"snapshot {hi} not in table (have {ids})")
+    in_range = [s for s in snaps if from_snapshot < s["snapshot-id"] <= hi]
+    if not in_range:
+        raise ValueError(f"no snapshots in ({from_snapshot}, {hi}]")
+    files: list[str] = []
+    for s in in_range:
+        op = s.get("summary", {}).get("operation")
+        if op not in ("append",):
+            raise NotImplementedError(
+                f"snapshot {s['snapshot-id']} is {op!r}; incremental "
+                "append scans cover append-only ranges (overwrites and "
+                "deletes need a changelog scan)"
+            )
+        for mf in _decode_avro_records(_resolve(path, s["manifest-list"])):
+            if mf.get("content", 0) == 1:
+                continue
+            if mf.get("added_snapshot_id") != s["snapshot-id"]:
+                continue  # reused manifest — its adds belong to older snaps
+            for e in _decode_avro_records(_resolve(path, mf["manifest_path"])):
+                if (
+                    e["status"] == _ST_ADDED
+                    and e.get("snapshot_id") == s["snapshot-id"]
+                ):
+                    files.append(_resolve(path, e["data_file"]["file_path"]))
+    schema = _iceberg_schema_to_spark(meta["schema"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    identity = all(
+        f.get("transform", "identity") == "identity" for f in spec_fields
+    )
+    reader = spark.read.schema(schema)
+    if spec_fields and identity:
+        reader = reader.option("basePath", os.path.join(path, "data"))
+    return reader.parquet(*sorted(files))
+
+
 def iceberg_snapshots(path: str) -> list[dict]:
     meta = _read_metadata(path)
     return [
@@ -981,6 +1041,25 @@ def _spec_avro_types(meta: dict) -> list[tuple[str, str]]:
     return out
 
 
+def last_txn_epoch(path: str, app_id: str) -> int:
+    """Highest committed epoch recorded for ``app_id`` in any snapshot
+    summary, or -1. The Iceberg streaming-writer idempotence
+    convention (engines stamp their checkpoint/epoch id into the
+    snapshot summary — e.g. Flink's max-committed-checkpoint-id):
+    before committing epoch N, a restarted writer checks whether N is
+    already in the table's history."""
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    if not os.path.exists(hint):
+        return -1
+    meta = _read_metadata(path)
+    latest = -1
+    for s in meta.get("snapshots", []):
+        summ = s.get("summary", {})
+        if summ.get("txn-app-id") == app_id:
+            latest = max(latest, int(summ.get("txn-epoch", -1)))
+    return latest
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
@@ -988,7 +1067,8 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     format_version: int = 1,
     merge_schema: bool = False,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
     ``append`` reuses every prior manifest in the new manifest list
     (O(new files) commit); ``overwrite`` starts the file set fresh
@@ -1025,6 +1105,12 @@ def write_iceberg(
             "overwrite_partitions needs a partitioned table "
             "(pass partition_by)"
         )
+    # ``txn=(app_id, epoch)`` makes the commit IDEMPOTENT (streaming
+    # foreachBatch contract): if the table history already records
+    # app_id at this epoch or later, the call is a no-op returning
+    # None; otherwise the epoch is stamped into the snapshot summary.
+    if txn is not None and last_txn_epoch(path, txn[0]) >= txn[1]:
+        return None
     if format_version not in (1, 2):
         raise ValueError(f"format_version must be 1|2, got {format_version}")
     partition_by = list(partition_by or [])
@@ -1374,11 +1460,15 @@ def write_iceberg(
         if prior_meta
         else str(uuid.UUID(hashlib.md5(f"dlc-iceberg:{path}".encode()).hexdigest()))
     )
+    summary = {"operation": "append" if mode == "append" else "overwrite"}
+    if txn is not None:
+        summary["txn-app-id"] = txn[0]
+        summary["txn-epoch"] = str(txn[1])
     snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": 0,  # wall clock pinned out: reproducible commits
         "manifest-list": ml_rel,
-        "summary": {"operation": "append" if mode == "append" else "overwrite"},
+        "summary": summary,
     }
     if format_version == 2:
         snapshot["sequence-number"] = seq
@@ -2844,6 +2934,38 @@ def sink_iceberg_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataF
     assert n_p == repl.count()
     return (
         read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "scan_iceberg_incremental",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderstatus in ('P', 'O')
+    group by o_orderstatus
+    """,
+)
+def scan_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: incremental append consumption. Snapshot 1 = 'F' orders,
+    snapshots 2 and 3 append 'P' then 'O'; the incremental read over
+    (1, 3] must serve exactly the P+O appends — resolved from the
+    ADDED manifest entries of the in-range snapshots, I/O proportional
+    to the new data. The oracle recomputes the appended rows from the
+    source; a range containing an overwrite refuses (pinned in
+    tests/test_iceberg_native.py) rather than double-counting."""
+    path = _fresh(_tmp("orders_iceberg_inc"))
+    src = load(spark, sf_dir, "orders")
+    s1 = write_iceberg(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    write_iceberg(
+        src.where(F.col("o_orderstatus") == "P").repartition(3), path, "append"
+    )
+    s3 = write_iceberg(src.where(F.col("o_orderstatus") == "O"), path, "append")
+    return (
+        read_iceberg_incremental(spark, path, from_snapshot=s1, to_snapshot=s3)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )

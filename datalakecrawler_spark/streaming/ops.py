@@ -998,3 +998,61 @@ def events_watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.col("n_events") / F.sum("n_events").over(tot), 6).alias("share"),
         )
     )
+
+
+def run_iceberg_stream_sink(spark: SparkSession, src_dir: str, path: str) -> None:
+    """Streaming half of stream_iceberg_sink: every micro-batch
+    appends one Iceberg snapshot stamped with the writer's epoch in
+    the snapshot summary (the engine convention — e.g. Flink's
+    max-committed-checkpoint-id) — so a replayed epoch finds itself
+    already committed and no-ops. Exactly-once across retries AND
+    whole-query restarts, and the table on disk is ordinary Iceberg
+    metadata any conforming reader consumes."""
+    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+
+    raw = normalize_events_ts(
+        spark.readStream.schema(events_source_schema(spark, src_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        write_iceberg(
+            batch_df, path, "append", txn=("stream_iceberg_sink", epoch_id)
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{path}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+@register(
+    "stream_iceberg_sink",
+    group="I",
+    oracle=f"""
+    select cast(ts as date) as day, count(*) as n,
+           count(distinct user_id) as n_users
+    from events group by day order by day
+    """,
+)
+def stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-ext batch twin: daily event volume + distinct users. The
+    streaming half (run_iceberg_stream_sink) appends each micro-batch
+    as an Iceberg snapshot under a summary-stamped epoch idempotence
+    guard; tests/test_streaming.py drives it, replays an epoch AND
+    restarts the query to prove exactly-once, then asserts the table's
+    HEAD snapshot aggregates to this twin."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )

@@ -1039,3 +1039,34 @@ def test_overwrite_partitions_manifest_handling(spark, tmp_path):
     assert all(
         e["data_file"]["partition"]["n_regionkey"] != 0 for e in entries
     )
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    """Incremental reads serve exactly the in-range appends; ranges
+    with overwrites refuse; unknown snapshot ids refuse; partitioned
+    tables re-derive partition columns."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_inc")
+    src = load(spark, SF_DIR, "nation")
+    s1 = write_iceberg(src.where("n_nationkey < 10"), path, "overwrite",
+                       partition_by=["n_regionkey"])
+    s2 = write_iceberg(src.where("n_nationkey >= 10 and n_nationkey < 20"),
+                       path, "append", partition_by=["n_regionkey"])
+    s3 = write_iceberg(src.where("n_nationkey >= 20"), path, "append",
+                       partition_by=["n_regionkey"])
+    inc = ice.read_iceberg_incremental(spark, path, s1)
+    assert sorted(r[0] for r in inc.select("n_nationkey").collect()) == list(
+        range(10, 25)
+    )
+    assert inc.where(F.col("n_regionkey").isNull()).count() == 0
+    only2 = ice.read_iceberg_incremental(spark, path, s1, s2)
+    assert only2.count() == 10
+    with pytest.raises(ValueError, match="no snapshots in"):
+        ice.read_iceberg_incremental(spark, path, s3)
+    with pytest.raises(ValueError, match="not in table"):
+        ice.read_iceberg_incremental(spark, path, 99)
+    # a range crossing an overwrite refuses
+    write_iceberg(src.limit(5), path, "overwrite", partition_by=["n_regionkey"])
+    with pytest.raises(NotImplementedError, match="append-only"):
+        ice.read_iceberg_incremental(spark, path, s2)

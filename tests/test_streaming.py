@@ -541,3 +541,58 @@ def test_stream_delta_sink_exactly_once(spark, tmp_path):
 
     twin = queries()["stream_delta_sink"](spark, SF_DIR)
     _assert_same(twin, got)
+
+
+def test_stream_iceberg_sink_exactly_once(spark, tmp_path):
+    """foreachBatch → native Iceberg appends guarded by the snapshot
+    summary's epoch stamp: 4 micro-batches → 4 snapshots; a whole-
+    query restart against the same checkpoint commits nothing; a
+    manually replayed epoch is a no-op; HEAD aggregates to the batch
+    twin."""
+    import pyarrow.parquet as pq
+
+    from datalakecrawler_spark.sources.iceberg_native import (
+        iceberg_snapshots,
+        last_txn_epoch,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "ice_stream_sink")
+    src = str(tmp_path / "ice_stream_src")
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    step = (t.num_rows + 3) // 4
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), os.path.join(src, f"part{i}.parquet"))
+
+    ops.run_iceberg_stream_sink(spark, src, path)
+    snaps = iceberg_snapshots(path)
+    assert len(snaps) == 4
+    assert last_txn_epoch(path, "stream_iceberg_sink") == 3
+
+    # restart the whole query against the same checkpoint → no commits
+    ops.run_iceberg_stream_sink(spark, src, path)
+    assert len(iceberg_snapshots(path)) == 4
+
+    # manual epoch replay with different data → idempotence no-op
+    head = read_iceberg(spark, path)
+    assert (
+        write_iceberg(
+            head.limit(5), path, "append", txn=("stream_iceberg_sink", 0)
+        )
+        is None
+    )
+    assert len(iceberg_snapshots(path)) == 4
+
+    got = (
+        read_iceberg(spark, path)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day")
+        .collect()
+    )
+    from datalakecrawler_spark.registry import queries
+
+    twin = queries()["stream_iceberg_sink"](spark, SF_DIR).collect()
+    assert got == twin
