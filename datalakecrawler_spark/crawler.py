@@ -397,3 +397,163 @@ def crawl_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dataset string, format string, n_commits long, last_operation string"
     )
+
+
+def table_maintenance_report(
+    spark: SparkSession,
+    root: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    max_small_files: int = 8,
+    max_manifests: int = 4,
+    max_snapshots: int = 6,
+) -> DataFrame:
+    """Metadata-only HEALTH report over a lake: for every lakehouse
+    table, the layout counters an operator tunes maintenance by — live
+    file count, small-file count, metadata-object count, reclaimable
+    (superseded) files — plus the recommended op: ``optimize`` (Delta
+    small-file debt), ``rewrite_manifests`` / ``expire_snapshots``
+    (Iceberg metadata debt), ``clean`` (Hudi superseded slices), or
+    ``ok``. Cost is O(metadata) per table: log replay, manifest list
+    decode, timeline walk — no data file is opened, which is what
+    makes auditing a 100 TB lake's layout a driver-side pass. The
+    thresholds are parameters; the defaults mirror the engines' own
+    maintenance heuristics (size-based compaction triggers, manifest
+    targets)."""
+    from datalakecrawler_spark.sources.delta_native import _replay
+    from datalakecrawler_spark.sources.hudi_native import (
+        _completed_instants,
+        _slices_at,
+    )
+    from datalakecrawler_spark.sources.iceberg_native import (
+        _decode_avro_records,
+        _read_metadata,
+        _resolve,
+    )
+    import glob as _glob
+
+    rows = []
+    for name, path, fmt in discover(root):
+        if fmt == "delta":
+            active, _, _, _ = _replay(path, None)
+            small = sum(1 for a in active.values() if a["size"] < small_file_bytes)
+            n_meta = len(
+                _glob.glob(os.path.join(path, "_delta_log", "*.json"))
+            )
+            rec = "optimize" if small >= max_small_files else "ok"
+            rows.append((name, fmt, len(active), small, n_meta, 0, rec))
+        elif fmt == "iceberg":
+            meta = _read_metadata(path)
+            snaps = meta.get("snapshots", [])
+            sid = meta.get("current-snapshot-id")
+            n_manifests = 0
+            n_live = 0
+            small = 0
+            if sid is not None and sid != -1 and snaps:
+                snap = {s["snapshot-id"]: s for s in snaps}[sid]
+                mls = _decode_avro_records(_resolve(path, snap["manifest-list"]))
+                n_manifests = len(mls)
+                for mf in mls:
+                    if mf.get("content", 0) == 1:
+                        continue
+                    for e in _decode_avro_records(
+                        _resolve(path, mf["manifest_path"])
+                    ):
+                        if e["status"] == 2:  # deleted
+                            continue
+                        n_live += 1
+                        if (
+                            e["data_file"]["file_size_in_bytes"]
+                            < small_file_bytes
+                        ):
+                            small += 1
+            if n_manifests >= max_manifests:
+                rec = "rewrite_manifests"
+            elif len(snaps) >= max_snapshots:
+                rec = "expire_snapshots"
+            else:
+                rec = "ok"
+            rows.append(
+                (name, fmt, n_live, small, n_manifests, 0, rec)
+            )
+        elif fmt == "hudi":
+            live = {rel for _, rel in _slices_at(path, None).values()}
+            on_disk = {
+                os.path.relpath(f, path)
+                for f in _glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+            }
+            superseded = len(on_disk - live)
+            n_meta = len(_completed_instants(path))
+            rec = "clean" if superseded > 0 else "ok"
+            rows.append(
+                (name, fmt, len(live), 0, n_meta, superseded, rec)
+            )
+    return spark.createDataFrame(
+        sorted(rows),
+        "dataset string, format string, n_live_files long, n_small_files long, "
+        "n_metadata_objects long, n_reclaimable_files long, recommendation string",
+    )
+
+
+@register(
+    "crawl_table_maintenance",
+    group="B",
+    oracle="""
+    select 'cust_hudi' as dataset, 'hudi' as format,
+           cast(8 as bigint) as n_live_files,
+           cast(8 as bigint) as n_reclaimable_files,
+           'clean' as recommendation
+    union all
+    select 'nation_ice', 'iceberg', 5, 0, 'rewrite_manifests'
+    union all
+    select 'orders_delta', 'delta', 12, 0, 'optimize'
+    union all
+    select 'orders_delta_ok', 'delta', 1, 0, 'ok'
+    """,
+)
+def crawl_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: the maintenance-debt auditor. A mixed lake is built with
+    known layout debt — a Delta table fragmented into 12 small files
+    (needs OPTIMIZE), a healthy single-file Delta table, an Iceberg
+    table after 5 appends (5 manifests: needs rewrite_manifests), and
+    a Hudi table whose 8 file groups were all rewritten by an upsert
+    (8 superseded base files: needs clean). The report must call each
+    one — counts AND recommendation — exactly as the oracle states
+    them, from METADATA ONLY (log replay, manifest-list decode,
+    timeline walk; no data file opened). This is the crawler turning
+    its catalog into an operator's to-do list, the piece that keeps a
+    100 TB lake's scan costs from rotting."""
+    import shutil as _shutil
+
+    from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.sources.delta_native import write_delta
+    from datalakecrawler_spark.sources.hudi_native import write_hudi
+    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+    from datalakecrawler_spark.sources.scans import _tmp
+
+    lake = _tmp("lakehouse_maint")
+    _shutil.rmtree(lake, ignore_errors=True)
+    os.makedirs(lake)
+    orders = load(spark, sf_dir, "orders")
+    write_delta(orders.repartition(12), f"{lake}/orders_delta", "overwrite")
+    write_delta(orders.coalesce(1), f"{lake}/orders_delta_ok", "overwrite")
+    nation = load(spark, sf_dir, "nation")
+    ice = f"{lake}/nation_ice"
+    write_iceberg(nation.limit(5), ice, "overwrite")
+    for lo in (5, 10, 15, 20):
+        write_iceberg(
+            nation.where(F.col("n_nationkey").between(lo, lo + 4)),
+            ice, "append",
+        )
+    cust = load(spark, sf_dir, "customer")
+    h = f"{lake}/cust_hudi"
+    write_hudi(cust, h, "c_custkey", "19700101000000001", op="bulk_insert")
+    write_hudi(
+        cust.withColumn("c_acctbal", F.col("c_acctbal") + 1),
+        h, "c_custkey", "19700101000000002", op="upsert",
+    )
+    return table_maintenance_report(spark, lake).select(
+        "dataset", "format", "n_live_files", "n_reclaimable_files",
+        "recommendation",
+    )

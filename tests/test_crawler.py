@@ -204,3 +204,30 @@ def test_verify_module_reports_match_and_rows_only(spark):
         assert isinstance(r, VerifyResult) and r.status in ("mismatch", "error")
     finally:
         registry._REGISTRY["scan_parquet"] = orig
+
+
+def test_table_maintenance_report_thresholds(spark, tmp_path):
+    """Recommendations flip exactly at the thresholds, and the report
+    is metadata-only (works after data files are present but never
+    scanned — counts come from the log/manifests/timeline)."""
+    from datalakecrawler_spark.crawler import table_maintenance_report
+    from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    nation = load(spark, SF_DIR, "nation")
+    # healthy iceberg: 1 snapshot, 1 manifest
+    write_iceberg(nation, f"{lake}/ok_ice", "overwrite")
+    # snapshot-heavy but manifest-light: overwrites don't accumulate
+    # manifests, so the expiry recommendation fires
+    p = f"{lake}/snappy_ice"
+    for _ in range(6):
+        write_iceberg(nation.limit(3), p, "overwrite")
+    rep = {
+        r["dataset"]: r
+        for r in table_maintenance_report(spark, lake).collect()
+    }
+    assert rep["ok_ice"]["recommendation"] == "ok"
+    assert rep["snappy_ice"]["recommendation"] == "expire_snapshots"
+    assert rep["snappy_ice"]["n_metadata_objects"] == 1  # one live manifest
