@@ -1124,6 +1124,72 @@ def merge_delta(
     }
 
 
+def clone_delta(spark: SparkSession, src_path: str, dst_path: str) -> dict:
+    """SHALLOW CLONE: create a new, independently-writable Delta table
+    whose v0 add actions reference the SOURCE's current data files by
+    absolute path — zero bytes copied, O(active files) metadata, the
+    instant-sandbox primitive (test a migration against 100 TB of
+    production data without duplicating a byte). The clone's own
+    commits (appends, merges, optimizes) land in its own log and its
+    own directory; the source never sees them. Clone-side VACUUM can
+    never reclaim source files (it only walks the clone's directory),
+    and the clone reads the source files as of CLONE TIME — a source
+    VACUUM that later drops a still-referenced file breaks the clone
+    at scan, the documented shallow-clone hazard. Partitioned sources
+    are gated (partition re-derivation needs basePath, which cannot
+    span two roots)."""
+    active, schema_string, src_version, partition_columns = _replay(
+        src_path, None
+    )
+    if partition_columns:
+        raise NotImplementedError(
+            "shallow clone of partitioned tables is not wired: the "
+            "partition columns re-derive from hive dirs under ONE "
+            "basePath, which cannot span the source and clone roots"
+        )
+    if os.path.exists(dst_path) and os.path.isdir(
+        os.path.join(dst_path, "_delta_log")
+    ):
+        raise ValueError(f"destination {dst_path!r} is already a Delta table")
+    os.makedirs(_log_dir(dst_path), exist_ok=True)
+    actions: list[dict] = [{"protocol": dict(_PROTOCOL)}]
+    actions.append(
+        {
+            "metaData": {
+                "id": hashlib.md5(f"dlc-delta:{dst_path}".encode()).hexdigest(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        }
+    )
+    for rel in sorted(active):
+        add = dict(active[rel])
+        add["path"] = os.path.abspath(os.path.join(src_path, rel))
+        add["dataChange"] = True
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_path,
+                    "sourceVersion": str(src_version),
+                },
+                "timestamp": 0,
+            }
+        }
+    )
+    _publish_commit(dst_path, 0, actions)
+    return {
+        "version": 0,
+        "source_version": src_version,
+        "files_referenced": len(active),
+    }
+
+
 def restore_delta(spark: SparkSession, path: str, version: int) -> dict:
     """RESTORE the table to an earlier version as a NEW commit — the
     protocol's undo: the restored state is appended to history (time
@@ -2158,4 +2224,52 @@ def sink_delta_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataFra
         read_delta(spark, path)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "sink_delta_clone",
+    group="A",
+    oracle=f"""
+    with cloned as (
+      select * from orders where o_orderstatus = 'F'
+      union all
+      select * from orders where o_orderstatus = 'P'
+    ),
+    source_now as (
+      select count(*) as src_cnt from orders where o_orderstatus = 'F'
+    )
+    select (select src_cnt from source_now) as src_cnt,
+           cast(0 as integer) as files_copied,
+           count(*) as clone_cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from cloned
+    """,
+)
+def sink_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: SHALLOW CLONE as the zero-copy sandbox. The source table
+    holds the 'F' orders; the clone references those files by absolute
+    path — asserted: the clone directory contains NO parquet at clone
+    time (files_copied=0 rides in the result). An append of the 'P'
+    orders then lands ONLY in the clone: the source still counts F
+    (src_cnt, oracle-recomputed) while the clone serves F+P. This is
+    how an experiment forks 100 TB of production data for the cost of
+    its metadata."""
+    path_src = _fresh(_tmp("orders_delta_clone_src"))
+    path_dst = _fresh(_tmp("orders_delta_clone_dst"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.where(F.col("o_orderstatus") == "F"), path_src)
+    res = clone_delta(spark, path_src, path_dst)
+    assert res["files_referenced"] > 0, res
+    n_copied = len(
+        glob.glob(os.path.join(path_dst, "**", "*.parquet"), recursive=True)
+    ) - len(glob.glob(os.path.join(path_dst, "_delta_log", "*.parquet")))
+    assert n_copied == 0, n_copied
+    write_delta(src.where(F.col("o_orderstatus") == "P"), path_dst, "append")
+    src_cnt = read_delta(spark, path_src).count()
+    assert src_cnt == src.where(F.col("o_orderstatus") == "F").count()
+    return read_delta(spark, path_dst).agg(
+        F.lit(src_cnt).cast("long").alias("src_cnt"),
+        F.lit(n_copied).cast("int").alias("files_copied"),
+        F.count(F.lit(1)).alias("clone_cnt"),
+        dsum("o_totalprice").alias("sum_price"),
     )

@@ -1587,6 +1587,75 @@ def sink_hudi_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def savepoint_hudi(path: str, instant: str, at_instant: str) -> dict:
+    """SAVEPOINT: pin the table state at ``at_instant`` against the
+    cleaner — Hudi's retention lease (the timeline's ``.savepoint``
+    action). The cleaner keeps every file slice reachable from a
+    savepointed state regardless of its retention window, so a
+    savepoint makes an old state restorable/time-travelable by name
+    for as long as the savepoint lives. Metadata-only: one timeline
+    file recording the pinned slices. Delete the ``.savepoint`` file
+    (``release_savepoint_hudi``) to let the state age out."""
+    mor = _table_type(path) == "MERGE_ON_READ"
+    done = (
+        [i for i, _ in _mor_timeline(path)]
+        if mor
+        else _completed_instants(path)
+    )
+    if at_instant not in done:
+        raise ValueError(
+            f"instant {at_instant!r} is not a completed instant ({done})"
+        )
+    if done and done[-1] >= instant:
+        raise ValueError(
+            f"instant {instant!r} is not after the last completed "
+            f"instant {done[-1]!r} (timeline must be monotonic)"
+        )
+    if mor:
+        pinned = sorted(
+            {sl["base"] for sl in _mor_slices_at(path, at_instant).values()}
+            | {
+                log
+                for sl in _mor_slices_at(path, at_instant).values()
+                for log in sl["logs"]
+            }
+        )
+    else:
+        pinned = sorted(
+            rel for _i, rel in _slices_at(path, at_instant).values()
+        )
+    meta = {
+        "operationType": "SAVEPOINT",
+        "savepointedAt": at_instant,
+        "pinnedFiles": pinned,
+    }
+    tmp = os.path.join(_timeline_dir(path), f"{instant}.savepoint.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True, indent=2)
+    os.replace(tmp, os.path.join(_timeline_dir(path), f"{instant}.savepoint"))
+    return {"instant": instant, "at": at_instant, "n_pinned": len(pinned)}
+
+
+def release_savepoint_hudi(path: str, instant: str) -> dict:
+    """Delete a savepoint; its pinned state becomes cleanable again."""
+    f = os.path.join(_timeline_dir(path), f"{instant}.savepoint")
+    if not os.path.exists(f):
+        raise ValueError(f"no savepoint at instant {instant!r}")
+    with open(f) as fh:
+        meta = json.load(fh)
+    os.remove(f)
+    return {"instant": instant, "at": meta["savepointedAt"]}
+
+
+def _savepointed_files(path: str) -> set[str]:
+    """Union of every live savepoint's pinned file relpaths."""
+    pinned: set[str] = set()
+    for f in glob.glob(os.path.join(_timeline_dir(path), "*.savepoint")):
+        with open(f) as fh:
+            pinned.update(json.load(fh)["pinnedFiles"])
+    return pinned
+
+
 def clean_hudi(path: str, instant: str, retain_commits: int = 1) -> dict:
     """CLEANER (the spec's KEEP_LATEST_COMMITS policy): physically
     delete base/log files referenced by NO file slice of the newest
@@ -1598,7 +1667,9 @@ def clean_hudi(path: str, instant: str, retain_commits: int = 1) -> dict:
     then fails at scan (files gone), the documented post-clean
     behavior; the timeline itself is never rewritten. Metadata-only
     driver work: slice resolution per retained instant + one disk
-    walk."""
+    walk. Files pinned by a live SAVEPOINT are always retained —
+    ``savepoint_hudi`` is the retention lease, release it to let the
+    state age out."""
     mor = _table_type(path) == "MERGE_ON_READ"
     timeline = (
         _mor_timeline(path)
@@ -1622,6 +1693,7 @@ def clean_hudi(path: str, instant: str, retain_commits: int = 1) -> dict:
         else:
             for _instant, rel in _slices_at(path, t).values():
                 keep.add(rel)
+    keep |= _savepointed_files(path)
     on_disk = {
         os.path.relpath(f, path)
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -1760,4 +1832,56 @@ def sink_hudi_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
         F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+
+
+_T4 = "19700101000000004"
+_T5 = "19700101000000005"
+
+
+@register(
+    "sink_hudi_savepoint",
+    group="A",
+    oracle=f"""
+    with merged as (
+      select o_orderkey,
+             case when o_orderkey % 2 = 0 then o_totalprice * 1.1
+                  else o_totalprice end as o_totalprice
+      from orders where o_orderstatus = 'F'
+    )
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           cast(0 as integer) as deleted_while_pinned
+    from merged
+    """,
+)
+def sink_hudi_savepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: SAVEPOINT as a retention lease. The F orders bulk-insert
+    at T1; an upsert at T2 rewrites every bucket (superseding T1's 8
+    base files); a savepoint pins the T1 state, so a clean with
+    retain_commits=1 deletes NOTHING (asserted — deleted_while_pinned
+    rides in the result) and time travel to T1 still serves the
+    pre-upsert rows. Releasing the savepoint lets the next clean
+    reclaim exactly the 8 superseded files while the head — which the
+    oracle recomputes as the merged state — is untouched. The Hudi
+    twin of Iceberg's tag-pins-expiry rule."""
+    path = _fresh(_tmp("orders_hudi_savepoint"))
+    src = load(spark, sf_dir, "orders")
+    base = src.where(F.col("o_orderstatus") == "F")
+    write_hudi(base, path, "o_orderkey", _T1, op="bulk_insert")
+    changes = base.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    write_hudi(changes, path, "o_orderkey", _T2, op="upsert")
+    sp = savepoint_hudi(path, _T3, at_instant=_T1)
+    assert sp["n_pinned"] == 8, sp
+    res1 = clean_hudi(path, _T4, retain_commits=1)
+    assert res1["files_deleted"] == 0, res1  # savepoint pins everything
+    assert read_hudi(spark, path, as_of=_T1).count() == base.count()
+    release_savepoint_hudi(path, _T3)
+    res2 = clean_hudi(path, _T5, retain_commits=1)
+    assert res2["files_deleted"] == 8, res2
+    return read_hudi(spark, path).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(res1["files_deleted"]).cast("int").alias("deleted_while_pinned"),
     )

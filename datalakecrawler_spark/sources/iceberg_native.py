@@ -1068,6 +1068,7 @@ def write_iceberg(
     format_version: int = 1,
     merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int | None:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
     ``append`` reuses every prior manifest in the new manifest list
@@ -1111,6 +1112,19 @@ def write_iceberg(
     # None; otherwise the epoch is stamped into the snapshot summary.
     if txn is not None and last_txn_epoch(path, txn[0]) >= txn[1]:
         return None
+    if branch is not None:
+        hint0 = os.path.join(_meta_dir(path), "version-hint.text")
+        if not os.path.exists(hint0):
+            raise ValueError(
+                "branch writes stage onto an EXISTING table (write the "
+                "first snapshot to main, then branch)"
+            )
+        ref0 = _read_metadata(path).get("refs", {}).get(branch)
+        if ref0 is not None and ref0.get("type") == "tag":
+            raise ValueError(
+                f"ref {branch!r} is a tag — tags are immutable; "
+                "write to a branch"
+            )
     if format_version not in (1, 2):
         raise ValueError(f"format_version must be 1|2, got {format_version}")
     partition_by = list(partition_by or [])
@@ -1328,14 +1342,18 @@ def write_iceberg(
     # overwrite_partitions keeps them except where they name a touched
     # partition (those rewrite without the replaced entries)
     manifests = [new_manifest]
-    if (
-        mode in ("append", "overwrite_partitions")
-        and prior_meta
-        and prior_meta.get("current-snapshot-id", -1) != -1
-    ):
+    # branch writes (WAP) build on the BRANCH head when it exists,
+    # else on the table head; main-branch writes build on the head
+    base_sid = None
+    if prior_meta:
+        if branch is not None and branch in prior_meta.get("refs", {}):
+            base_sid = prior_meta["refs"][branch]["snapshot-id"]
+        elif prior_meta.get("current-snapshot-id", -1) != -1:
+            base_sid = prior_meta["current-snapshot-id"]
+    if mode in ("append", "overwrite_partitions") and base_sid is not None:
         prior_snap = {
             s["snapshot-id"]: s for s in prior_meta.get("snapshots", [])
-        }[prior_meta["current-snapshot-id"]]
+        }[base_sid]
         reused = _decode_avro_records(_resolve(path, prior_snap["manifest-list"]))
         for m in reused:
             # manifests from a pre-summary writer lack the optional
@@ -1515,13 +1533,25 @@ def write_iceberg(
         ],
         "default-spec-id": 0,
         "properties": {},
-        "current-snapshot-id": snapshot_id,
+        # a branch write (WAP) STAGES its snapshot: the branch ref
+        # moves, the table head does not — readers of main never see
+        # the unaudited data until fast_forward publishes it
+        "current-snapshot-id": (
+            snapshot_id
+            if branch is None
+            else (prior_meta or {}).get("current-snapshot-id", -1)
+        ),
         "snapshots": (prior_meta.get("snapshots", []) if prior_meta else [])
         + [snapshot],
         "snapshot-log": [],
         # named refs (tags/branches) survive every commit
         "refs": (prior_meta.get("refs", {}) if prior_meta else {}),
     }
+    if branch is not None:
+        meta["refs"] = {
+            **meta["refs"],
+            branch: {"snapshot-id": snapshot_id, "type": "branch"},
+        }
     if format_version == 2:
         meta["last-sequence-number"] = seq
     _publish_metadata(path, version, meta)
@@ -1916,6 +1946,34 @@ def drop_ref(path: str, name: str) -> dict:
     )
     _publish_metadata(path, version, meta)
     return {"name": name, "snapshot_id": dropped["snapshot-id"]}
+
+
+def fast_forward(path: str, branch: str) -> dict:
+    """Publish a branch: re-point the table head at the branch's
+    snapshot — the PUBLISH step of write-audit-publish. O(1) metadata;
+    the branch ref stays (drop_ref when done). Refuses on tags and on
+    unknown refs."""
+    meta = _read_metadata(path)
+    ref = meta.get("refs", {}).get(branch)
+    if ref is None:
+        raise ValueError(
+            f"no ref named {branch!r} (have {sorted(meta.get('refs', {}))})"
+        )
+    if ref.get("type") != "branch":
+        raise ValueError(f"ref {branch!r} is a {ref.get('type')}, not a branch")
+    prev = meta.get("current-snapshot-id")
+    if ref["snapshot-id"] == prev:
+        return {"current": prev, "previous": prev}
+    meta["current-snapshot-id"] = ref["snapshot-id"]
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    _publish_metadata(path, version, meta)
+    return {"current": ref["snapshot-id"], "previous": prev}
 
 
 def rollback_snapshot(path: str, snapshot_id: int) -> dict:
@@ -2966,6 +3024,51 @@ def scan_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = write_iceberg(src.where(F.col("o_orderstatus") == "O"), path, "append")
     return (
         read_iceberg_incremental(spark, path, from_snapshot=s1, to_snapshot=s3)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "sink_iceberg_wap",
+    group="A",
+    oracle=f"""
+    with published as (
+      select * from orders where o_orderstatus in ('F', 'P')
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from published group by o_orderstatus
+    """,
+)
+def sink_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: WRITE-AUDIT-PUBLISH. Main holds the 'F' orders; the 'P'
+    orders append on branch ``audit`` — a STAGED snapshot: main readers
+    see only F until publish (asserted), while the branch read serves
+    F+P for the audit. The audit passes, ``fast_forward`` re-points the
+    head (O(1) metadata), and the published table — which the oracle
+    recomputes — is exactly F+P. A failed audit would just drop_ref the
+    branch: nothing to roll back, because nothing was published. This
+    is the pattern that keeps a 100 TB production table clean while
+    every load is validated on real committed data."""
+    path = _fresh(_tmp("orders_iceberg_wap"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    n_f = read_iceberg(spark, path).count()
+    write_iceberg(
+        src.where(F.col("o_orderstatus") == "P"), path, "append",
+        branch="audit",
+    )
+    # staged: main unaffected, branch serves the candidate state
+    assert read_iceberg(spark, path).count() == n_f
+    n_staged = read_iceberg(spark, path, ref="audit").count()
+    assert n_staged == src.where(F.col("o_orderstatus").isin("F", "P")).count()
+    res = fast_forward(path, "audit")
+    assert res["previous"] != res["current"]
+    drop_ref(path, "audit")
+    assert read_iceberg(spark, path).count() == n_staged
+    return (
+        read_iceberg(spark, path)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
     )

@@ -976,3 +976,40 @@ def test_overwrite_partitions_dynamic(spark, tmp_path):
         )
     active, _, _, _ = _replay(path, None)
     assert all(a["partitionValues"] for a in active.values())
+
+
+def test_shallow_clone_independence_and_safety(spark, tmp_path):
+    """Clone references source files by absolute path (no copy); clone
+    commits never touch the source; clone-side VACUUM cannot reclaim
+    source files; cloning onto an existing table or from a partitioned
+    source refuses."""
+    import glob as _glob
+
+    from datalakecrawler_spark.sources.delta_native import (
+        clone_delta,
+        vacuum_delta,
+    )
+
+    src_p = str(tmp_path / "src")
+    dst_p = str(tmp_path / "dst")
+    src = load(spark, SF_DIR, "nation")
+    write_delta(src, src_p, "overwrite")
+    res = clone_delta(spark, src_p, dst_p)
+    assert res["files_referenced"] >= 1
+    assert not _glob.glob(os.path.join(dst_p, "*.parquet"))
+    assert read_delta(spark, dst_p).count() == 25
+    # clone evolves independently; source untouched
+    write_delta(src.limit(5), dst_p, "append")
+    assert read_delta(spark, dst_p).count() == 30
+    assert read_delta(spark, src_p).count() == 25
+    # clone vacuum only walks the clone's own dir
+    write_delta(src.limit(3), dst_p, "overwrite")
+    doomed = vacuum_delta(dst_p, retain_last=1)
+    assert all(not d.startswith("/") or dst_p in d for d in doomed)
+    assert read_delta(spark, src_p).count() == 25  # source files intact
+    with pytest.raises(ValueError, match="already a Delta table"):
+        clone_delta(spark, src_p, dst_p)
+    part_p = str(tmp_path / "src_part")
+    write_delta(src, part_p, "overwrite", partition_by=["n_regionkey"])
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        clone_delta(spark, part_p, str(tmp_path / "dst2"))

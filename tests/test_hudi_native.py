@@ -552,3 +552,33 @@ def test_delete_validation_and_empty_groups(spark, tmp_path):
             path, "n_nationkey", "19700101000000003",
             op="delete", partition_by="n_name",
         )
+
+
+def test_savepoint_pins_against_cleaner(spark, tmp_path):
+    from datalakecrawler_spark.sources.hudi_native import (
+        clean_hudi,
+        read_hudi,
+        release_savepoint_hudi,
+        savepoint_hudi,
+        write_hudi,
+    )
+
+    path = str(tmp_path / "hudi_sp")
+    src = load(spark, SF_DIR, "nation")
+    write_hudi(src, path, "n_nationkey", _T1, op="bulk_insert")
+    write_hudi(
+        src.withColumn("n_name", F.upper("n_name")),
+        path, "n_nationkey", _T2, op="upsert",
+    )
+    with pytest.raises(ValueError, match="not a completed instant"):
+        savepoint_hudi(path, "19700101000000003", at_instant="19700101000000009")
+    savepoint_hudi(path, "19700101000000003", at_instant=_T1)
+    res = clean_hudi(path, "19700101000000004", retain_commits=1)
+    assert res["files_deleted"] == 0
+    assert read_hudi(spark, path, as_of=_T1).count() == 25
+    release_savepoint_hudi(path, "19700101000000003")
+    with pytest.raises(ValueError, match="no savepoint"):
+        release_savepoint_hudi(path, "19700101000000003")
+    res2 = clean_hudi(path, "19700101000000005", retain_commits=1)
+    assert res2["files_deleted"] > 0
+    assert read_hudi(spark, path).count() == 25  # head intact

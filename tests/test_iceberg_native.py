@@ -1070,3 +1070,37 @@ def test_incremental_append_scan(spark, tmp_path):
     write_iceberg(src.limit(5), path, "overwrite", partition_by=["n_regionkey"])
     with pytest.raises(NotImplementedError, match="append-only"):
         ice.read_iceberg_incremental(spark, path, s2)
+
+
+def test_write_audit_publish_branch_flow(spark, tmp_path):
+    """Branch writes stage snapshots (main head unmoved), successive
+    branch appends build on the branch head, fast_forward publishes,
+    tags refuse as write targets, and branch writes need an existing
+    table."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    with pytest.raises(ValueError, match="EXISTING table"):
+        write_iceberg(src, str(tmp_path / "nope"), "append", branch="b")
+    path = str(tmp_path / "ice_wap")
+    write_iceberg(src.where("n_nationkey < 10"), path, "overwrite")
+    write_iceberg(src.where("n_nationkey >= 10 and n_nationkey < 15"),
+                  path, "append", branch="dev")
+    # second branch append builds on the BRANCH head, not main
+    write_iceberg(src.where("n_nationkey >= 15"), path, "append",
+                  branch="dev")
+    assert read_iceberg(spark, path).count() == 10  # main unmoved
+    assert read_iceberg(spark, path, ref="dev").count() == 25
+    # a tag is not a write target
+    ice.set_ref(path, "v1", 1, "tag")
+    with pytest.raises(ValueError, match="immutable"):
+        write_iceberg(src.limit(1), path, "append", branch="v1")
+    with pytest.raises(ValueError, match="not a branch"):
+        ice.fast_forward(path, "v1")
+    with pytest.raises(ValueError, match="no ref named"):
+        ice.fast_forward(path, "nope")
+    res = ice.fast_forward(path, "dev")
+    assert res["previous"] == 1
+    assert read_iceberg(spark, path).count() == 25
+    # publish is idempotent
+    assert ice.fast_forward(path, "dev")["previous"] == res["current"]
