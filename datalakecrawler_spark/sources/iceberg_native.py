@@ -1732,18 +1732,22 @@ def add_equality_deletes(
     the whole reason engines emit equality deletes on the hot path and
     compact them to positional deletes later. The manifest entry
     records the spec's ``equality_ids`` (field-id 135) naming the
-    schema fields. Scope gate mirrors positional: v2 unpartitioned."""
+    schema fields.
+
+    Partitioned tables take GLOBAL equality deletes (the spec's
+    unpartitioned-spec delete files, which apply across every
+    partition): the delete file carries no partition scoping and the
+    read applies it to all data files below its sequence number —
+    including under partition-filtered scans, where the anti join
+    simply runs over the pruned file set. Partition-SCOPED delete
+    files (one per partition, prunable with the data) are the
+    remaining write-side optimization, not a correctness gap."""
     meta = _read_metadata(path)
     if meta.get("format-version", 1) != 2:
         raise ValueError(
             "equality deletes require a format-v2 table "
             f"(this table is v{meta.get('format-version', 1)}); "
             "create it with write_iceberg(..., format_version=2)"
-        )
-    if meta.get("partition-specs", [{}])[0].get("fields"):
-        raise NotImplementedError(
-            "equality deletes on partitioned tables are not wired yet "
-            "(unpartitioned v2 only)"
         )
     by_name = {f["name"]: f for f in meta["schema"]["fields"]}
     missing = [c for c in deletes.columns if c not in by_name]
@@ -3071,4 +3075,52 @@ def sink_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_iceberg(spark, path)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "scan_iceberg_eq_deletes_partitioned",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    where o_orderstatus = 'F' and o_orderkey % 3 <> 0
+    """,
+)
+def scan_iceberg_eq_deletes_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: GLOBAL equality deletes on a partitioned v2 table — the
+    spec's unpartitioned-spec delete files, which apply across every
+    partition. Orders commit identity-partitioned by o_orderstatus;
+    one equality delete retracts every o_orderkey ≡ 0 (mod 3) by VALUE
+    with no partition scoping, no scan, no file probe. The
+    partition-filtered read of the F partition must then serve F minus
+    the deleted keys (the anti join runs over the pruned file set) —
+    exactly what the oracle recomputes — while no data file was
+    rewritten (asserted). The streaming-upsert retraction path on the
+    everyday date-partitioned table shape."""
+    path = _fresh(_tmp("orders_iceberg_eqdel_part"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src, path, "overwrite",
+        partition_by=["o_orderstatus"], format_version=2,
+    )
+    files_before = sorted(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+    )
+    res = add_equality_deletes(
+        spark, path, src.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    )
+    assert res["delete_rows"] > 0, res
+    still = sorted(
+        f
+        for f in glob.glob(
+            os.path.join(path, "data", "**", "*.parquet"), recursive=True
+        )
+        if "eqdelete-" not in os.path.basename(f)
+    )
+    assert still == files_before, "equality delete must not rewrite data files"
+    return read_iceberg(
+        spark, path, partition_filter={"o_orderstatus": "F"}
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )

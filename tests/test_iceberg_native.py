@@ -814,11 +814,6 @@ def test_equality_delete_gates(spark, tmp_path):
     write_iceberg(src, p1, "overwrite")
     with pytest.raises(ValueError, match="format-v2"):
         ice.add_equality_deletes(spark, p1, src.select("n_nationkey"))
-    p2 = str(tmp_path / "ice_eq_part")
-    write_iceberg(src, p2, "overwrite", partition_by=["n_regionkey"],
-                  format_version=2)
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
-        ice.add_equality_deletes(spark, p2, src.select("n_nationkey"))
     p3 = str(tmp_path / "ice_eq_cols")
     write_iceberg(src, p3, "overwrite", format_version=2)
     with pytest.raises(ValueError, match="not in the table schema"):
@@ -1104,3 +1099,37 @@ def test_write_audit_publish_branch_flow(spark, tmp_path):
     assert read_iceberg(spark, path).count() == 25
     # publish is idempotent
     assert ice.fast_forward(path, "dev")["previous"] == res["current"]
+
+
+def test_equality_deletes_on_partitioned_tables(spark, tmp_path):
+    """Global equality deletes on an identity-partitioned v2 table:
+    value-based across every partition, sequencing preserved,
+    partition-filtered reads still apply them, and deleting by the
+    partition column itself works (it is just another equality
+    field)."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_eqdel_part")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src, path, "overwrite", partition_by=["n_regionkey"],
+                  format_version=2)  # seq 1
+    ice.add_equality_deletes(
+        spark, path, src.where("n_nationkey in (2, 4)").select("n_nationkey")
+    )  # seq 2
+    write_iceberg(src.where("n_nationkey = 2"), path, "append",
+                  partition_by=["n_regionkey"], format_version=2)  # seq 3
+    keys = sorted(
+        r[0] for r in read_iceberg(spark, path).select("n_nationkey").collect()
+    )
+    assert keys == sorted(set(range(25)) - {4} )  # 2 re-inserted at seq 3
+    # partition-filtered read still applies the delete (4 is region 4)
+    r4 = read_iceberg(spark, path, partition_filter={"n_regionkey": 4})
+    assert sorted(r[0] for r in r4.select("n_nationkey").collect()) == [9, 14, 19, 24]
+    # delete by the PARTITION column value: drops a whole partition
+    ice.add_equality_deletes(
+        spark, path,
+        spark.createDataFrame([(0,)], "n_regionkey int"),
+    )  # seq 4
+    back = read_iceberg(spark, path)
+    assert back.where("n_regionkey = 0").count() == 0
+    assert back.count() == 24 - 5  # minus region 0's five (2 was region 2)
