@@ -422,7 +422,10 @@ def table_maintenance_report(
     from datalakecrawler_spark.sources.delta_native import _replay
     from datalakecrawler_spark.sources.hudi_native import (
         _completed_instants,
+        _mor_slices_at,
+        _mor_timeline,
         _slices_at,
+        _table_type,
     )
     from datalakecrawler_spark.sources.iceberg_native import (
         _decode_avro_records,
@@ -476,6 +479,38 @@ def table_maintenance_report(
                 (name, fmt, n_live, small, n_manifests, 0, rec)
             )
         elif fmt == "hudi":
+            # CoW and MoR keep different timelines: _slices_at raises on
+            # a MERGE_ON_READ table, so dispatch on the table type — one
+            # MoR table in the lake must not crash the whole report. For
+            # MoR the natural debt metric is the log-file backlog per
+            # slice (compaction merges it away); superseded counts both
+            # replaced base files and already-compacted logs.
+            if _table_type(path) == "MERGE_ON_READ":
+                slices = _mor_slices_at(path)
+                live = {s["base"] for s in slices.values()} | {
+                    rel for s in slices.values() for rel in s["logs"]
+                }
+                n_logs = sum(len(s["logs"]) for s in slices.values())
+                # log files are parquet too (logfile-*.log.N.parquet),
+                # so one glob covers bases + logs
+                on_disk = {
+                    os.path.relpath(f, path)
+                    for f in _glob.glob(
+                        os.path.join(path, "**", "*.parquet"), recursive=True
+                    )
+                }
+                superseded = len(on_disk - live)
+                n_meta = len(_mor_timeline(path))
+                if n_logs > 0:
+                    rec = "compact"
+                elif superseded > 0:
+                    rec = "clean"
+                else:
+                    rec = "ok"
+                rows.append(
+                    (name, fmt, len(live), 0, n_meta, superseded, rec)
+                )
+                continue
             live = {rel for _, rel in _slices_at(path, None).values()}
             on_disk = {
                 os.path.relpath(f, path)

@@ -346,13 +346,18 @@ def _write_hudi_claimed(
             .withColumn("__bucket", _bucket_col(record_key))
             .withColumn("__ppath", F.col("_hoodie_partition_path"))
         )
-        keys = changes.select(record_key)
-        n_deletes = old.join(keys, record_key, "left_semi").count()
+        # Delete keys are scoped to their OWN partition: the contract
+        # is (key, partition), so a batch deleting (K, pA) and (K2, pB)
+        # must not drop a row keyed K that lives in pB's (affected)
+        # bucket. Unpartitioned tables join on __ppath="" both sides —
+        # a no-op key component.
+        keys = changes.select(record_key, "__ppath")
+        n_deletes = old.join(keys, [record_key, "__ppath"], "left_semi").count()
         # survivors keep their original commit time/seqno; only the
         # physical file name moves to this instant's slice
-        stamped = old.join(keys, record_key, "left_anti").withColumn(
-            "_hoodie_file_name", fname
-        )
+        stamped = old.join(
+            keys, [record_key, "__ppath"], "left_anti"
+        ).withColumn("_hoodie_file_name", fname)
     else:
         prev_slice = _slices_at(path, None)
         # Affected file groups: the (partition, bucket) pairs the

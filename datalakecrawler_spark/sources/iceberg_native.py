@@ -40,10 +40,12 @@ distributed anti join, equality via null-safe anti joins applied only
 to data files with a STRICTLY smaller sequence number (per-file
 sequence numbers broadcast in from the manifests — the spec's
 sequencing rule, so a delete never erases rows appended after it).
-Deleting k rows costs O(k), never a copy-on-write rewrite. Honest
-gates that remain: equality deletes on partitioned tables,
-rewrite_manifests across delete manifests, and format v3+ raise with
-the exact missing capability; the type mapping covers the scalar
+Deleting k rows costs O(k), never a copy-on-write rewrite. Both
+delete flavors work on partitioned tables, and rewrite_manifests
+passes delete manifests through with explicit per-entry sequence
+numbers. Honest gates that remain: partition-scoped equality delete
+files (ours are global, the common engine output) and format v3+
+raise with the exact missing capability; the type mapping covers the scalar
 surface + date/timestamp + decimal(p,s) (exact, enforced on append),
 fixed[N]→binary and uuid→string (the lossless Spark projections), AND
 nested struct/list/map (recursive spec JSON with schema-unique
@@ -509,7 +511,7 @@ def _read_metadata(path: str) -> dict:
     if meta.get("format-version", 1) > 2:
         raise NotImplementedError(
             f"table is format v{meta['format-version']}; this implementation "
-            "reads v1 and v2 (positional deletes; no equality deletes)"
+            "reads v1 and v2 (positional AND equality deletes)"
         )
     return meta
 
@@ -522,6 +524,23 @@ def _resolve(path: str, loc: str) -> str:
     if os.path.isabs(loc):
         return loc
     return os.path.join(path, loc)
+
+
+def _spark_file_uri(fs_path: str) -> str:
+    """The exact URI Spark's ``_metadata.file_path`` emits for a local
+    file: ``file:`` + the path percent-encoded per java.net.URI's path
+    rules (unreserved + sub-delims + ``:@/`` stay literal; space → %20,
+    % → %25; non-ASCII stays LITERAL — Hadoop Path renders via
+    URI.toString, not toASCIIString). Computing the key driver-side in
+    Spark's own form — and failing closed on any row whose key still
+    doesn't resolve — means a URI-normalization miss can never silently
+    resurrect deleted rows."""
+    from urllib.parse import quote
+
+    return "file:" + "".join(
+        c if ord(c) >= 0x80 else quote(c, safe="/!$&'()*+,;=:@-._~")
+        for c in fs_path
+    )
 
 
 def _decode_avro_records(fname: str) -> list[dict]:
@@ -706,21 +725,41 @@ def read_iceberg(
         # (null-safe, per spec) AND its data sequence number is
         # STRICTLY below the delete's — a delete never applies to data
         # committed with or after it. Per-file data sequence numbers
-        # ride in as a broadcast map joined on _metadata.file_path
-        # (scheme-normalized), so the plan stays one distributed scan;
+        # ride in as a broadcast map joined on _metadata.file_path,
+        # with the key computed DRIVER-side in Spark's own URI form
+        # (_spark_file_uri), so the plan stays one distributed scan;
         # each delete file is one broadcast anti join — delete files
         # are few and small by construction (a streaming upsert's keys,
-        # not the table).
+        # not the table). FAIL CLOSED: any row whose file URI doesn't
+        # resolve to a sequence number raises at execution instead of
+        # null-ing the `seq < delete_seq` predicate and slipping past
+        # the anti join (which would silently resurrect deleted rows).
         from pyspark.sql import functions as _F
 
         seq_df = spark.createDataFrame(
-            [(p, int(s)) for p, s in data_seq.items()],
-            "__dlc_path string, __dlc_data_seq long",
+            [(_spark_file_uri(p), int(s)) for p, s in data_seq.items()],
+            "__dlc_file_uri string, __dlc_data_seq long",
         )
+        out = out.join(_F.broadcast(seq_df), "__dlc_file_uri", "left")
         out = out.withColumn(
-            "__dlc_path",
-            _F.regexp_replace(_F.col("__dlc_file_uri"), "^file:/+", "/"),
-        ).join(_F.broadcast(seq_df), "__dlc_path", "left")
+            "__dlc_data_seq",
+            _F.when(
+                _F.col("__dlc_data_seq").isNull(),
+                _F.raise_error(
+                    _F.concat(
+                        _F.lit(
+                            "iceberg equality-delete sequencing: data file "
+                        ),
+                        _F.col("__dlc_file_uri"),
+                        _F.lit(
+                            " has no manifest-resolved sequence number "
+                            "(URI normalization mismatch); refusing to "
+                            "fail open"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(_F.col("__dlc_data_seq")),
+        )
         for i, (dfile, dseq) in enumerate(sorted(eq_deletes)):
             dels = spark.read.parquet(dfile)
             cond = _F.col("__dlc_data_seq") < _F.lit(int(dseq))
@@ -730,7 +769,7 @@ def read_iceberg(
                 *[_F.col(c).alias(f"__dlc_eq{i}_{c}") for c in dels.columns]
             )
             out = out.join(_F.broadcast(dels), cond, "left_anti")
-        out = out.drop("__dlc_path", "__dlc_data_seq")
+        out = out.drop("__dlc_data_seq")
     if delete_files or eq_deletes:
         out = out.drop("__dlc_file_uri")
     return out

@@ -582,3 +582,57 @@ def test_savepoint_pins_against_cleaner(spark, tmp_path):
     res2 = clean_hudi(path, "19700101000000005", retain_commits=1)
     assert res2["files_deleted"] > 0
     assert read_hudi(spark, path).count() == 25  # head intact
+
+
+def test_delete_is_partition_scoped(spark, tmp_path):
+    """A delete batch naming (K, pA) and (K2, pB) where bucket(K) ==
+    bucket(K2) must NOT drop the row (K, pB) that lives in pB's
+    affected bucket — the delete contract is (key, partition), not
+    key-across-all-affected-groups. Keys 1 and 11 share crc32 bucket
+    7, which is exactly the collision that used to over-delete."""
+    from datalakecrawler_spark.sources.hudi_native import read_hudi, write_hudi
+
+    path = str(tmp_path / "hudi_del_scope")
+    rows = spark.createDataFrame(
+        [(1, "A", 10), (1, "B", 20), (11, "B", 30), (4, "A", 40)],
+        "k int, p string, v int",
+    )
+    write_hudi(rows, path, "k", _T1, op="bulk_insert", partition_by="p")
+    dels = spark.createDataFrame([(1, "A"), (11, "B")], "k int, p string")
+    write_hudi(dels, path, "k", _T2, op="delete", partition_by="p")
+    back = read_hudi(spark, path)
+    got = sorted((r["k"], r["p"]) for r in back.select("k", "p").collect())
+    assert got == [(1, "B"), (4, "A")], got
+
+
+def test_maintenance_report_survives_mor_tables(spark, tmp_path):
+    """One MERGE_ON_READ table in the lake must not crash the whole
+    maintenance report: MoR tables dispatch to the MoR timeline, report
+    log backlog as 'compact' debt, and CoW neighbors still report."""
+    from datalakecrawler_spark.crawler import table_maintenance_report
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    src = load(spark, SF_DIR, "nation")
+    hn.write_hudi(src, f"{lake}/cow_tbl", "n_nationkey", _T1, op="bulk_insert")
+    mor = f"{lake}/mor_tbl"
+    hn.write_hudi_mor(src, mor, "n_nationkey", _T1, op="bulk_insert")
+    hn.write_hudi_mor(
+        src.where("n_nationkey < 5").withColumn(
+            "n_regionkey", F.col("n_regionkey") + 100
+        ),
+        mor, "n_nationkey", _T2, op="upsert",
+    )
+    rep = {
+        r["dataset"]: r for r in table_maintenance_report(spark, lake).collect()
+    }
+    assert rep["cow_tbl"]["recommendation"] == "ok"
+    assert rep["mor_tbl"]["recommendation"] == "compact"
+    assert rep["mor_tbl"]["format"] == "hudi"
+    # after compaction the logs fold into new bases: debt flips to clean
+    hn.compact_hudi_mor(spark, mor, "19700101000000003")
+    rep2 = {
+        r["dataset"]: r for r in table_maintenance_report(spark, lake).collect()
+    }
+    assert rep2["mor_tbl"]["recommendation"] == "clean"

@@ -1133,3 +1133,45 @@ def test_equality_deletes_on_partitioned_tables(spark, tmp_path):
     back = read_iceberg(spark, path)
     assert back.where("n_regionkey = 0").count() == 0
     assert back.count() == 24 - 5  # minus region 0's five (2 was region 2)
+
+
+def test_equality_deletes_special_char_path_fails_closed(spark, tmp_path):
+    """A table path with spaces and '%' — the characters Spark's
+    _metadata.file_path percent-encodes — must still apply equality
+    deletes exactly (the seq join key is computed driver-side in
+    Spark's own URI form); a normalization miss would raise, never
+    silently resurrect deleted rows."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice eq%del dir")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 8"), path, "overwrite",
+                  format_version=2)
+    ice.add_equality_deletes(
+        spark, path, src.where("n_nationkey in (1, 5)").select("n_nationkey")
+    )
+    keys = sorted(
+        r[0]
+        for r in read_iceberg(spark, path).select("n_nationkey").collect()
+    )
+    assert keys == [0, 2, 3, 4, 6, 7]
+
+
+def test_spark_file_uri_matches_metadata_column(spark, tmp_path):
+    """_spark_file_uri reproduces _metadata.file_path byte-for-byte on
+    hostile path characters (space, %, +, #, unicode)."""
+    from pyspark.sql import functions as F
+
+    from datalakecrawler_spark.sources.iceberg_native import _spark_file_uri
+
+    base = str(tmp_path / "a b%c+d#é")
+    spark.range(1).coalesce(1).write.parquet(base)
+    got = (
+        spark.read.parquet(base)
+        .select(F.col("_metadata.file_path").alias("p"))
+        .first()["p"]
+    )
+    import glob as _glob
+
+    fs = _glob.glob(os.path.join(base, "*.parquet"))[0]
+    assert _spark_file_uri(fs) == got
