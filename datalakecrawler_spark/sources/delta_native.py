@@ -50,6 +50,38 @@ from pyspark.sql import types as T
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# Protocol support surface (PROTOCOL.md "Table Features"): reader v1
+# always; v2 = column mapping possibility (mode checked at read); v3 =
+# feature-gated — any readerFeature outside this set refuses LOUDLY
+# (the protocol's own rule: a reader MUST NOT read a table whose
+# features it doesn't implement).
+_READER_FEATURES = {"deletionVectors", "columnMapping", "timestampNtz"}
+_DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+
+def _check_reader_protocol(p: dict) -> None:
+    mrv = p.get("minReaderVersion", 1)
+    if mrv <= 2:
+        return  # v2 only adds column mapping, resolved at read time
+    if mrv == 3:
+        feats = set(p.get("readerFeatures") or [])
+        unsupported = sorted(feats - _READER_FEATURES)
+        if unsupported:
+            raise NotImplementedError(
+                f"table requires reader features {unsupported}; this "
+                f"reader implements {sorted(_READER_FEATURES)}"
+            )
+        return
+    raise NotImplementedError(
+        f"table requires reader version {mrv}; this reader implements "
+        "v1-v3 (deletionVectors, columnMapping, timestampNtz)"
+    )
+
 
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
@@ -110,6 +142,8 @@ def _read_checkpoint(cp_paths: list[str]):
     active: dict[str, dict] = {}
     schema_string = None
     partition_columns: list[str] = []
+    configuration: dict[str, str] = {}
+    protocol: dict = dict(_PROTOCOL)
     for cp_path in cp_paths:
         for row in pq.read_table(cp_path).to_pylist():
             if row.get("add") and row["add"].get("path"):
@@ -120,19 +154,17 @@ def _read_checkpoint(cp_paths: list[str]):
             elif row.get("metaData") and row["metaData"].get("schemaString"):
                 schema_string = row["metaData"]["schemaString"]
                 partition_columns = row["metaData"].get("partitionColumns") or []
+                configuration = dict(row["metaData"].get("configuration") or [])
             elif row.get("protocol") and row["protocol"].get("minReaderVersion"):
-                if row["protocol"]["minReaderVersion"] > 1:
-                    raise NotImplementedError(
-                        f"table requires reader version "
-                        f"{row['protocol']['minReaderVersion']}; this reader is v1"
-                    )
-    return active, schema_string, partition_columns
+                protocol = {k: v for k, v in row["protocol"].items() if v is not None}
+                _check_reader_protocol(protocol)
+    return active, schema_string, partition_columns, configuration, protocol
 
 
-def _replay(path: str, version: int | None):
+def _replay_full(path: str, version: int | None):
     """Replay the log up to ``version`` (inclusive; None = latest).
     Returns (active {relpath: add_action}, schemaString, version,
-    partitionColumns).
+    partitionColumns, configuration, protocol).
 
     When the table has a checkpoint at C and the requested version is
     >= C (or latest), state starts from the checkpoint parquet and
@@ -153,9 +185,17 @@ def _replay(path: str, version: int | None):
     active: dict[str, dict] = {}
     schema_string = None
     partition_columns: list[str] = []
+    configuration: dict[str, str] = {}
+    protocol: dict = dict(_PROTOCOL)
     cp = _checkpoint_info(path)
     if cp is not None and resolved >= cp[0]:
-        active, schema_string, partition_columns = _read_checkpoint(cp[1])
+        (
+            active,
+            schema_string,
+            partition_columns,
+            configuration,
+            protocol,
+        ) = _read_checkpoint(cp[1])
         versions = [v for v in versions if v > cp[0]]
     for v in versions:
         with open(_commit_file(path, v)) as fh:
@@ -168,19 +208,34 @@ def _replay(path: str, version: int | None):
                     partition_columns = action["metaData"].get(
                         "partitionColumns", []
                     )
+                    configuration = (
+                        action["metaData"].get("configuration") or {}
+                    )
                 elif "add" in action:
                     active[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
                 elif "protocol" in action:
-                    p = action["protocol"]
-                    if p.get("minReaderVersion", 1) > 1:
-                        raise NotImplementedError(
-                            f"table requires reader version "
-                            f"{p['minReaderVersion']}; this reader is v1"
-                        )
+                    protocol = action["protocol"]
+                    _check_reader_protocol(protocol)
     if schema_string is None:
         raise ValueError("log replay found no metaData action")
+    return (
+        active,
+        schema_string,
+        resolved,
+        partition_columns,
+        configuration,
+        protocol,
+    )
+
+
+def _replay(path: str, version: int | None):
+    """4-tuple view of ``_replay_full`` (active, schemaString, version,
+    partitionColumns) — the shape most call sites want."""
+    active, schema_string, resolved, partition_columns, _c, _p = _replay_full(
+        path, version
+    )
     return active, schema_string, resolved, partition_columns
 
 
@@ -550,6 +605,592 @@ def skip_files(
     return kept
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors (reader v3 feature `deletionVectors`, PROTOCOL.md)
+# ---------------------------------------------------------------------------
+
+# Z85 (ZeroMQ RFC 32) — the protocol's encoding for DV UUIDs ('u'
+# storage) and inline DV bytes ('i'): 4 binary bytes -> 5 chars.
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def _z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("z85 input must be a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_CHARS[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 input must be a multiple of 5 chars")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _dv_abs_path(table_path: str, desc: dict) -> str:
+    """Absolute sidecar path for a 'u' (relative, z85 uuid, optional
+    prefix) or 'p' (absolute) DV descriptor."""
+    st = desc["storageType"]
+    if st == "p":
+        loc = desc["pathOrInlineDv"]
+        return loc[len("file://"):] if loc.startswith("file://") else loc
+    if st == "u":
+        enc = desc["pathOrInlineDv"]
+        prefix, uid_z85 = enc[:-20], enc[-20:]
+        u = uuid.UUID(bytes=_z85_decode(uid_z85))
+        name = f"deletion_vector_{u}.bin"
+        return os.path.join(table_path, prefix, name) if prefix else os.path.join(
+            table_path, name
+        )
+    raise NotImplementedError(f"DV storageType {st!r}")
+
+
+def _dv_read_bytes(abs_path: str, offset: int, size: int) -> bytes:
+    """One DV's serialized bitmap from a sidecar file: at ``offset``
+    sits <4-byte BE length><bitmap bytes><4-byte BE CRC32>, per the
+    protocol's DV file storage format; length and checksum both
+    verify — a truncated or corrupted sidecar fails loudly instead of
+    serving a partial delete."""
+    import zlib
+
+    with open(abs_path, "rb") as fh:
+        fh.seek(offset)
+        (n,) = __import__("struct").unpack(">i", fh.read(4))
+        if n != size:
+            raise ValueError(
+                f"DV at {abs_path}:{offset} declares {n} bytes, descriptor "
+                f"says {size}"
+            )
+        data = fh.read(n)
+        (crc,) = __import__("struct").unpack(">I", fh.read(4))
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"DV checksum mismatch at {abs_path}:{offset}")
+    return data
+
+
+def _dv_positions(table_path: str, desc: dict) -> list[int]:
+    """Sorted deleted row indexes for one DV descriptor ('u'/'p'
+    sidecar or 'i' inline)."""
+    from datalakecrawler_spark.sources.roaring import deserialize_rbm_array
+
+    if desc["storageType"] == "i":
+        return deserialize_rbm_array(_z85_decode(desc["pathOrInlineDv"]))
+    return deserialize_rbm_array(
+        _dv_read_bytes(
+            _dv_abs_path(table_path, desc), desc["offset"], desc["sizeInBytes"]
+        )
+    )
+
+
+def _dv_write_sidecar(
+    table_path: str, per_file_positions: dict[str, list[int]]
+) -> dict[str, dict]:
+    """Write ONE sidecar holding every touched file's bitmap (the
+    protocol's multi-DV file layout: a version byte, then per DV
+    <4B BE len><bitmap><4B BE crc32>) and return {relpath: descriptor}.
+    One sidecar per commit keeps DV metadata O(1) files per DELETE
+    however many data files it touches."""
+    import struct as _struct
+    import zlib
+
+    from datalakecrawler_spark.sources.roaring import serialize_rbm_array
+
+    u = uuid.uuid4()
+    name = f"deletion_vector_{u}.bin"
+    tmp = os.path.join(table_path, name + ".tmp")
+    descs: dict[str, dict] = {}
+    with open(tmp, "wb") as fh:
+        fh.write(b"\x01")  # format version
+        for rel in sorted(per_file_positions):
+            data = serialize_rbm_array(per_file_positions[rel])
+            offset = fh.tell()
+            fh.write(_struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(_struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            descs[rel] = {
+                "storageType": "u",
+                "pathOrInlineDv": _z85_encode(u.bytes),
+                "offset": offset,
+                "sizeInBytes": len(data),
+                "cardinality": len(per_file_positions[rel]),
+            }
+    os.replace(tmp, os.path.join(table_path, name))
+    return descs
+
+
+def _scan_active(
+    spark: SparkSession,
+    path: str,
+    active: dict[str, dict],
+    schema: T.StructType,
+    partition_columns: list[str],
+    keep_rowmeta: bool = False,
+) -> DataFrame:
+    """The shared physical scan of a resolved active-file set: one
+    parquet read of the explicit file list, with every file's deletion
+    vector applied as ONE distributed anti join on
+    (_metadata.file_path, _metadata.row_index) — the same plan shape as
+    the Iceberg positional-delete path. DV bitmaps are decoded in
+    EXECUTORS (mapInPandas over the descriptor rows, one task per DV),
+    so a 1000-file DELETE never materializes positions on the driver.
+    ``keep_rowmeta=True`` keeps the __dlc_file_uri/__dlc_row_pos
+    columns for callers (DELETE) that need row addresses."""
+    from pyspark.sql import functions as F
+
+    from datalakecrawler_spark.sources.iceberg_native import _spark_file_uri
+
+    files = [os.path.join(path, rel) for rel in sorted(active)]
+    reader = spark.read.schema(schema)
+    if partition_columns:
+        reader = reader.option("basePath", path)
+    out = reader.parquet(*files)
+    dv_adds = {
+        rel: add for rel, add in active.items() if add.get("deletionVector")
+    }
+    if not dv_adds and not keep_rowmeta:
+        return out
+    out = out.withColumn(
+        "__dlc_file_uri", F.col("_metadata.file_path")
+    ).withColumn("__dlc_row_pos", F.col("_metadata.row_index"))
+    if dv_adds:
+        rows = []
+        for rel, add in sorted(dv_adds.items()):
+            d = add["deletionVector"]
+            inline = (
+                bytearray(_z85_decode(d["pathOrInlineDv"]))
+                if d["storageType"] == "i"
+                else None
+            )
+            sidecar = (
+                _dv_abs_path(path, d) if d["storageType"] != "i" else None
+            )
+            rows.append(
+                (
+                    _spark_file_uri(os.path.abspath(os.path.join(path, rel))),
+                    sidecar,
+                    d.get("offset", 0) or 0,
+                    d["sizeInBytes"],
+                    inline,
+                )
+            )
+        desc_df = spark.createDataFrame(
+            rows,
+            "__dlc_file_uri string, sidecar string, offset long, "
+            "size long, inline binary",
+        )
+
+        def _expand(batches):
+            import pandas as pd
+
+            from datalakecrawler_spark.sources.roaring import (
+                deserialize_rbm_array,
+            )
+
+            for pdf in batches:
+                # name=None: plain tuples in column order — itertuples
+                # would mangle the dunder-prefixed column names
+                for uri, sidecar, offset, size, inline in pdf.itertuples(
+                    index=False, name=None
+                ):
+                    data = (
+                        bytes(inline)
+                        if inline is not None
+                        else _dv_read_bytes(sidecar, int(offset), int(size))
+                    )
+                    pos = deserialize_rbm_array(data)
+                    yield pd.DataFrame(
+                        {
+                            "__dlc_file_uri": uri,
+                            "__dlc_row_pos": pd.Series(pos, dtype="int64"),
+                        }
+                    )
+
+        dels = desc_df.repartition(max(1, min(len(rows), 64))).mapInPandas(
+            _expand, "__dlc_file_uri string, __dlc_row_pos long"
+        )
+        out = out.join(dels, ["__dlc_file_uri", "__dlc_row_pos"], "left_anti")
+    if not keep_rowmeta:
+        out = out.drop("__dlc_file_uri", "__dlc_row_pos")
+    return out
+
+
+def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE via DELETION VECTORS (reader v3 feature): mark
+    the matching rows deleted by attaching a roaring bitmap of their
+    row indexes to each touched file — O(matched rows) written, ZERO
+    data files rewritten. This is how current engines run low-latency
+    deletes (GDPR erasure, CDC retraction) on 100 TB tables: a
+    copy-on-write rewrite of every touched file would move terabytes
+    to delete kilobytes. The matching scan is distributed (predicate
+    over the DV-aware table view, so re-deleting an already-deleted
+    row is a no-op); per-file bitmaps come back through a grouped
+    collect bounded by O(deleted rows); files whose every remaining
+    row dies drop to a plain remove action. A file with an existing DV
+    gets the UNION bitmap (the protocol: one DV per file, newest add
+    wins). Commits remove+add pairs with ``dataChange: true`` and
+    upgrades the protocol to (3, 7) + deletionVectors."""
+    from pyspark.sql import functions as F
+
+    from datalakecrawler_spark.sources.iceberg_native import _spark_file_uri
+
+    (
+        active,
+        schema_string,
+        version,
+        partition_columns,
+        conf,
+        protocol,
+    ) = _replay_full(path, None)
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError(
+            "DELETE on a column-mapped table is not wired: the predicate "
+            "names logical columns but row addresses resolve over the "
+            "physical scan"
+        )
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    uri_to_rel = {
+        _spark_file_uri(os.path.abspath(os.path.join(path, rel))): rel
+        for rel in active
+    }
+    cur = _scan_active(
+        spark, path, active, schema, partition_columns, keep_rowmeta=True
+    )
+    matched = (
+        cur.where(predicate)
+        .groupBy("__dlc_file_uri")
+        .agg(F.sort_array(F.collect_list("__dlc_row_pos")).alias("pos"))
+        .collect()
+    )
+    if not matched:
+        return {"version": version, "rows_deleted": 0, "files_touched": 0}
+    new_positions: dict[str, list[int]] = {}
+    fully_dead: list[str] = []
+    n_deleted = 0
+    for r in matched:
+        rel = uri_to_rel[r["__dlc_file_uri"]]
+        n_deleted += len(r["pos"])
+        merged = list(r["pos"])
+        old_dv = active[rel].get("deletionVector")
+        if old_dv:
+            merged = sorted(set(merged) | set(_dv_positions(path, old_dv)))
+        stats = active[rel].get("stats")
+        num_records = (
+            json.loads(stats).get("numRecords") if isinstance(stats, str) else None
+        )
+        if num_records is not None and len(merged) >= num_records:
+            fully_dead.append(rel)
+        else:
+            new_positions[rel] = merged
+    actions: list[dict] = [{"protocol": dict(_DV_PROTOCOL)}]
+    descs = _dv_write_sidecar(path, new_positions) if new_positions else {}
+    for rel in sorted(set(new_positions) | set(fully_dead)):
+        old = active[rel]
+        remove = {
+            "path": rel,
+            "deletionTimestamp": 0,
+            "dataChange": True,
+            "partitionValues": old.get("partitionValues", {}),
+        }
+        if old.get("deletionVector"):
+            remove["deletionVector"] = old["deletionVector"]
+        actions.append({"remove": remove})
+        if rel in descs:
+            actions.append(
+                {
+                    "add": {
+                        **{
+                            k: v
+                            for k, v in old.items()
+                            if k != "deletionVector"
+                        },
+                        "dataChange": True,
+                        "deletionVector": descs[rel],
+                    }
+                }
+            )
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "timestamp": 0,
+            }
+        }
+    )
+    new_version = version + 1
+    _publish_commit(path, new_version, actions)
+    return {
+        "version": new_version,
+        "rows_deleted": n_deleted,
+        "files_touched": len(new_positions) + len(fully_dead),
+        "files_removed_entirely": len(fully_dead),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (reader v2, mode=name — PROTOCOL.md "Column Mapping")
+# ---------------------------------------------------------------------------
+
+def _cm_map_fields(fields: list[dict], next_id: list[int]) -> list[dict]:
+    """Assign delta.columnMapping.{id,physicalName} metadata to every
+    (recursively nested struct) field — the rename-safe indirection:
+    parquet stores immutable physical names; logical renames later
+    touch only the schemaString."""
+    out = []
+    for f in fields:
+        nf = dict(f)
+        next_id[0] += 1
+        nf["metadata"] = {
+            **(f.get("metadata") or {}),
+            "delta.columnMapping.id": next_id[0],
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+        }
+        if isinstance(f["type"], dict) and f["type"].get("type") == "struct":
+            nf["type"] = {
+                "type": "struct",
+                "fields": _cm_map_fields(f["type"]["fields"], next_id),
+            }
+        out.append(nf)
+    return out
+
+
+def _cm_physical_struct(fields: list[dict]) -> list[dict]:
+    """The PHYSICAL schema (what the parquet files store): every field
+    renamed to its delta.columnMapping.physicalName, recursively."""
+    out = []
+    for f in fields:
+        pf = dict(f)
+        pf["name"] = f["metadata"]["delta.columnMapping.physicalName"]
+        pf["metadata"] = {}
+        if isinstance(f["type"], dict) and f["type"].get("type") == "struct":
+            pf["type"] = {
+                "type": "struct",
+                "fields": _cm_physical_struct(f["type"]["fields"]),
+            }
+        out.append(pf)
+    return out
+
+
+def write_delta_column_mapped(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> int:
+    """Commit ``df`` to a Delta table with COLUMN MAPPING (mode=name,
+    reader v2 / writer v5): data files store immutable physical names
+    (``col-<uuid>``), the committed schemaString carries the logical
+    names plus the protocol's delta.columnMapping.{id,physicalName}
+    field metadata, and reads project physical back to logical. This
+    is the indirection that makes renaming a column on a 100 TB table
+    a metadata-only commit — no parquet file rewrites. Appends reuse
+    the table's existing mapping (matched by logical name; a new
+    column set refuses). Partitioned layouts are gated — hive dirs
+    would carry physical names, crossing this writer's decoded
+    partitionValues convention."""
+    writer_fields = df.schema.jsonValue()["fields"]
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode {mode!r}")
+    prior_version = None
+    if os.path.isdir(_log_dir(path)) and _list_versions(path):
+        (
+            _pa,
+            prior_schema,
+            prior_version,
+            prior_parts,
+            prior_conf,
+            _pp,
+        ) = _replay_full(path, None)
+        if prior_conf.get("delta.columnMapping.mode") != "name":
+            raise ValueError(
+                "table exists without column mapping; cannot convert in "
+                "place (Delta's upgrade rewrites the metadata, not done here)"
+            )
+        if prior_parts:
+            raise NotImplementedError(
+                "column mapping + partitioned layout is not wired"
+            )
+        mapped = json.loads(prior_schema)["fields"]
+        if {f["name"] for f in mapped} != {f["name"] for f in writer_fields}:
+            raise ValueError(
+                "append schema differs from the mapped table schema"
+            )
+        max_id = int(prior_conf.get("delta.columnMapping.maxColumnId", 0))
+    else:
+        next_id = [0]
+        mapped = _cm_map_fields(writer_fields, next_id)
+        max_id = next_id[0]
+    version = 0 if prior_version is None else prior_version + 1
+    os.makedirs(_log_dir(path), exist_ok=True)
+
+    physical = _cm_physical_struct(mapped)
+    # rename + nested-struct field renames in one positional cast
+    phys_type = T.StructType.fromJson({"type": "struct", "fields": physical})
+    from pyspark.sql import functions as F
+
+    phys_df = df.select(
+        *[
+            F.col(f["name"])
+            .cast(phys_type[pf["name"]].dataType)
+            .alias(pf["name"])
+            for f, pf in zip(mapped, physical)
+        ]
+    )
+    stage = os.path.join(path, f"_stage-{version:020d}-{uuid.uuid4().hex[:8]}")
+    phys_df.write.mode("overwrite").parquet(stage)
+    adds = _stage_to_adds(path, stage, version, [], True)
+    shutil.rmtree(stage)
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            }
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": hashlib.md5(f"dlc-delta:{path}".encode()).hexdigest(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": mapped}
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(max_id),
+                },
+                "createdTime": 0,
+            }
+        }
+    )
+    if mode == "overwrite" and prior_version is not None:
+        active_prior, *_ = _replay_full(path, None)
+        actions += [
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for rel in sorted(active_prior)
+        ]
+    actions += adds
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+                "timestamp": 0,
+            }
+        }
+    )
+    _publish_commit(path, version, actions)
+    return version
+
+
+def rename_delta_column(path: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a metadata-only commit — the whole point of
+    column mapping: the physical name in every parquet file is
+    untouched; only the logical name in the schemaString changes."""
+    (
+        _active,
+        schema_string,
+        version,
+        partition_columns,
+        conf,
+        _protocol,
+    ) = _replay_full(path, None)
+    if conf.get("delta.columnMapping.mode") != "name":
+        raise ValueError(
+            "rename without rewrite requires column mapping (mode=name)"
+        )
+    fields = json.loads(schema_string)["fields"]
+    names = [f["name"] for f in fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    for f in fields:
+        if f["name"] == old:
+            f["name"] = new
+    actions = [
+        {
+            "metaData": {
+                "id": hashlib.md5(f"dlc-delta:{path}".encode()).hexdigest(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                "partitionColumns": partition_columns,
+                "configuration": conf,
+                "createdTime": 0,
+            }
+        },
+        {
+            "commitInfo": {
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": old, "to": new},
+                "timestamp": 0,
+            }
+        },
+    ]
+    _publish_commit(path, version + 1, actions)
+    return version + 1
+
+
+def _read_column_mapped(
+    spark: SparkSession,
+    path: str,
+    active: dict[str, dict],
+    schema_string: str,
+    partition_columns: list[str],
+) -> DataFrame:
+    """Scan a column-mapped (mode=name) table: read the parquet files
+    under their PHYSICAL schema, then project every column back to its
+    logical name (nested struct fields rename through one positional
+    cast — Catalyst folds it into the scan, no row cost)."""
+    from pyspark.sql import functions as F
+
+    if partition_columns:
+        raise NotImplementedError(
+            "column mapping + partitioned layout is not wired"
+        )
+    mapped = json.loads(schema_string)["fields"]
+    logical = T.StructType.fromJson(
+        {"type": "struct", "fields": [{**f, "metadata": {}} for f in mapped]}
+    )
+    if not active:
+        return spark.createDataFrame([], logical)
+    physical = _cm_physical_struct(mapped)
+    phys_schema = T.StructType.fromJson(
+        {"type": "struct", "fields": physical}
+    )
+    out = _scan_active(spark, path, active, phys_schema, [])
+    return out.select(
+        *[
+            F.col(pf["name"]).cast(logical[f["name"]].dataType).alias(f["name"])
+            for f, pf in zip(mapped, physical)
+        ]
+    )
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -572,8 +1213,26 @@ def read_delta(
     footer-stats range for ``col`` can't intersect [lo, hi] (see
     ``skip_files``); conservative, so the caller still applies the
     real predicate — but on a key-clustered layout the scan never
-    opens the non-matching files at all."""
-    active, schema_string, _v, partition_columns = _replay(path, version)
+    opens the non-matching files at all.
+
+    Files carrying a DELETION VECTOR (reader v3) scan through
+    ``_scan_active``'s distributed bitmap anti join; tables with
+    COLUMN MAPPING (reader v2+, mode=name) read physical parquet
+    names and project back to logical ones."""
+    (
+        active,
+        schema_string,
+        _v,
+        partition_columns,
+        configuration,
+        _protocol,
+    ) = _replay_full(path, version)
+    cm_mode = configuration.get("delta.columnMapping.mode", "none")
+    if cm_mode not in ("none", "name"):
+        raise NotImplementedError(
+            f"column mapping mode {cm_mode!r}; this reader implements "
+            "'none' and 'name'"
+        )
     schema = T.StructType.fromJson(json.loads(schema_string))
     if partition_filter:
         missing = set(partition_filter) - set(partition_columns)
@@ -592,15 +1251,13 @@ def read_delta(
         }
     if data_filter is not None:
         active = skip_files(active, *data_filter)
+    if cm_mode == "name":
+        return _read_column_mapped(
+            spark, path, active, schema_string, partition_columns
+        )
     if not active:
         return spark.createDataFrame([], schema)
-    files = [os.path.join(path, rel) for rel in sorted(active)]
-    reader = spark.read.schema(schema)
-    if partition_columns:
-        # hive-style dirs carry the partition columns; basePath lets
-        # Spark re-derive them with the committed schema's types
-        reader = reader.option("basePath", path)
-    return reader.parquet(*files)
+    return _scan_active(spark, path, active, schema, partition_columns)
 
 
 class CommitConflict(Exception):
@@ -664,7 +1321,14 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    active, schema_string, version, partition_columns = _replay(path, None)
+    (
+        active,
+        schema_string,
+        version,
+        partition_columns,
+        configuration,
+        protocol,
+    ) = _replay_full(path, None)
     txns = {}
     for v in _list_versions(path):
         with open(_commit_file(path, v)) as fh:
@@ -676,7 +1340,9 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
                             txns.get(a["txn"]["appId"], -1),
                             a["txn"]["version"],
                         )
-    rows = [{"protocol": dict(_PROTOCOL)}]
+    # the table's ACTUAL protocol — checkpointing a reader-v3 (DV /
+    # column-mapped) table must never downgrade it back to v1
+    rows = [{"protocol": dict(protocol)}]
     rows.append(
         {
             "metaData": {
@@ -684,6 +1350,7 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
                 "format": {"provider": "parquet"},
                 "schemaString": schema_string,
                 "partitionColumns": partition_columns,
+                "configuration": configuration or {},
             }
         }
     )
@@ -701,6 +1368,7 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
                     "modificationTime": add.get("modificationTime", 0),
                     "dataChange": False,
                     "stats": add.get("stats"),
+                    "deletionVector": add.get("deletionVector"),
                 }
             }
         )
@@ -710,7 +1378,12 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
             pa.field(
                 "protocol",
                 pa.struct(
-                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
                 ),
             ),
             pa.field(
@@ -721,6 +1394,7 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
                         ("format", pa.struct([("provider", pa.string())])),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                     ]
                 ),
             ),
@@ -738,6 +1412,18 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -753,6 +1439,14 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
                 else None
             )
             for a in cols["add"]
+        ]
+        cols["metaData"] = [
+            (
+                {**m, "configuration": sorted((m.get("configuration") or {}).items())}
+                if m
+                else None
+            )
+            for m in cols["metaData"]
         ]
         table = pa.Table.from_pydict(cols, schema=schema)
         pq.write_table(table, fname + ".tmp")
@@ -877,11 +1571,22 @@ def optimize_delta(
             )
     groups: dict[tuple, list[str]] = {}
     for rel in sorted(active):
-        if zorder_by or active[rel]["size"] < target_file_bytes:
+        if (
+            zorder_by
+            or active[rel]["size"] < target_file_bytes
+            or active[rel].get("deletionVector")
+        ):
             key = tuple(sorted(active[rel]["partitionValues"].items()))
             groups.setdefault(key, []).append(rel)
     if not zorder_by:
-        groups = {k: rels for k, rels in groups.items() if len(rels) >= 2}
+        # DV-bearing files compact even alone — OPTIMIZE doubles as the
+        # protocol's PURGE: survivors materialize, the DV drops
+        groups = {
+            k: rels
+            for k, rels in groups.items()
+            if len(rels) >= 2
+            or any(active[r].get("deletionVector") for r in rels)
+        }
     if not groups:
         return {"version": version, "files_compacted": 0, "files_written": 0}
     new_version = version + 1
@@ -891,8 +1596,11 @@ def optimize_delta(
     for key, rels in sorted(groups.items()):
         total = sum(active[rel]["size"] for rel in rels)
         n_out = max(1, -(-total // target_file_bytes))
-        df = spark.read.schema(data_schema).parquet(
-            *[os.path.join(path, rel) for rel in rels]
+        # DV-aware rewrite: deleted rows must not resurrect into the
+        # compacted files; the rewrite materializes survivors and the
+        # new adds carry no deletionVector
+        df = _scan_active(
+            spark, path, {rel: active[rel] for rel in rels}, data_schema, []
         )
         if zorder_by:
             bounds = []
@@ -1011,19 +1719,16 @@ def merge_delta(
         or all(add["partitionValues"].get(k) == v for k, v in partition_scope.items())
     }
     files = {os.path.join(path, rel): rel for rel in sorted(probe)}
-
-    def _scan(paths: list[str]):
-        reader = spark.read.schema(schema)
-        if partition_columns:
-            reader = reader.option("basePath", path)
-        return reader.parquet(*paths)
-
     keys = changes.select(key).distinct()
     matched_abs: list[str] = []
     if files:
         # column pruning cuts the probe scan to the key column; the
-        # semi-join output is bounded by the file count
-        cur = _scan(list(files)).withColumn("__file", F.input_file_name())
+        # semi-join output is bounded by the file count. The probe is
+        # DV-aware (keep_rowmeta supplies the file URI), so a key whose
+        # only occurrences are DV-deleted rows matches no file.
+        cur = _scan_active(
+            spark, path, probe, schema, partition_columns, keep_rowmeta=True
+        ).withColumnRenamed("__dlc_file_uri", "__file")
         matched_abs = [
             r[0]
             for r in cur.join(keys, key, "left_semi")
@@ -1031,14 +1736,22 @@ def merge_delta(
             .distinct()
             .collect()
         ]
-    # input_file_name returns URI-style paths; map back to relpaths
+    # _metadata.file_path returns URI-style paths; map back to relpaths
     matched_rel = sorted(
         files[k]
         for k in files
         if any(m.endswith("/" + files[k]) or m.endswith(files[k]) for m in matched_abs)
     )
     if matched_rel:
-        touched = _scan([os.path.join(path, rel) for rel in matched_rel])
+        # DV-aware rewrite: the new files hold only LIVE survivors and
+        # carry no deletionVector
+        touched = _scan_active(
+            spark,
+            path,
+            {rel: active[rel] for rel in matched_rel},
+            schema,
+            partition_columns,
+        )
         survivors = touched.join(keys, key, "left_anti")
         new_df = changes.unionByName(survivors)
     else:
@@ -1216,6 +1929,16 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> dict:
         )
     to_remove = sorted(set(cur_active) - set(tgt_active))
     to_add = sorted(set(tgt_active) - set(cur_active))
+    # a path live in BOTH versions can still differ in its DELETION
+    # VECTOR (a DV delete keeps the path, swaps the add action): the
+    # restore must re-publish the target's version of the add, or the
+    # deleted rows stay dead
+    to_add += sorted(
+        rel
+        for rel in set(tgt_active) & set(cur_active)
+        if cur_active[rel].get("deletionVector")
+        != tgt_active[rel].get("deletionVector")
+    )
     new_version = cur_v + 1
     actions: list[dict] = [
         {
@@ -1269,9 +1992,14 @@ def vacuum_delta(path: str, retain_last: int = 1) -> list[str]:
         raise ValueError("retain_last must be >= 1")
     versions = _list_versions(path)
     keep: set[str] = set()
+    keep_dv: set[str] = set()
     for v in versions[-retain_last:]:
         active, _, _, _ = _replay(path, v)
         keep |= set(active)
+        for add in active.values():
+            dv = add.get("deletionVector")
+            if dv and dv["storageType"] != "i":
+                keep_dv.add(os.path.relpath(_dv_abs_path(path, dv), path))
     # data files live at the root or under hive-style partition dirs;
     # keys are log-relative paths either way
     on_disk = {
@@ -1279,7 +2007,13 @@ def vacuum_delta(path: str, retain_last: int = 1) -> list[str]:
         for f in glob.glob(os.path.join(path, "**", "part-*.parquet"), recursive=True)
         if "_stage-" not in f
     }
-    doomed = sorted(on_disk - keep)
+    # DV sidecars reclaim by the same rule: referenced by NO retained
+    # version -> deletable; a sidecar named by any retained add stays
+    on_disk |= {
+        os.path.relpath(f, path)
+        for f in glob.glob(os.path.join(path, "deletion_vector_*.bin"))
+    }
+    doomed = sorted(on_disk - keep - keep_dv)
     for rel in doomed:
         os.remove(os.path.join(path, rel))
     return doomed
@@ -1349,11 +2083,18 @@ def read_delta_changes(
     writes them; snapshot readers skip them via dataChange=false);
     otherwise changes derive from the main actions — add files with
     dataChange=true are inserts, removed files read back as deletes
-    (overwrite = delete old + insert new). File-list resolution is
-    driver-side metadata; every scan is a distributed parquet read, so
-    consuming a 100 TB table's changes costs O(changed rows). Deletes
-    need the removed files still on disk — a vacuumed range raises at
-    scan, the documented post-VACUUM behavior."""
+    (overwrite = delete old + insert new). A DELETION-VECTOR commit (a
+    same-path remove+add pair whose add carries a deletionVector) is a
+    pure row-level delete: its change rows are exactly the positions in
+    (new DV minus old DV), read back from the untouched data file by
+    row index; a DV-bearing file that drops to a bare remove serves
+    (all rows minus its DV) as deletes — never resurrect-then-redelete.
+    OPTIMIZE rearrangements (dataChange=false) are correctly invisible.
+    File-list resolution is driver-side metadata; every scan is a
+    distributed parquet read, so consuming a 100 TB table's changes
+    costs O(changed rows). Deletes need the removed files still on
+    disk — a vacuumed range raises at scan, the documented post-VACUUM
+    behavior."""
     from pyspark.sql import functions as F
 
     versions = [v for v in _list_versions(path) if v > from_version]
@@ -1382,9 +2123,36 @@ def read_delta_changes(
             df = df.withColumn("_change_type", F.lit(ctype))
         return df.withColumn("_commit_version", F.lit(v).cast("long"))
 
+    def _read_rows(rel: str, positions, exclude: bool, v: int) -> DataFrame:
+        """Rows of one data file selected (or anti-selected) by row
+        index — the DV-commit change reader. ``positions`` is bounded
+        by that commit's deleted-row count."""
+        if not os.path.exists(os.path.join(path, rel)):
+            raise FileNotFoundError(
+                f"change files for version {v} were vacuumed: [{rel!r}]"
+            )
+        reader = spark.read.schema(schema)
+        if partition_columns:
+            reader = reader.option("basePath", path)
+        df = reader.parquet(os.path.join(path, rel)).withColumn(
+            "__dlc_row_pos", F.col("_metadata.row_index")
+        )
+        pos_df = spark.createDataFrame(
+            [(int(p),) for p in positions], "__dlc_row_pos long"
+        )
+        how = "left_anti" if exclude else "left_semi"
+        return (
+            df.join(F.broadcast(pos_df), "__dlc_row_pos", how)
+            .drop("__dlc_row_pos")
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+
     parts: list[DataFrame] = []
     for v in versions:
-        cdc, adds, removes = [], [], []
+        cdc: list[str] = []
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
         with open(_commit_file(path, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -1393,16 +2161,42 @@ def read_delta_changes(
                 if "cdc" in a:
                     cdc.append(a["cdc"]["path"])
                 elif "add" in a and a["add"].get("dataChange", True):
-                    adds.append(a["add"]["path"])
+                    adds[a["add"]["path"]] = a["add"]
                 elif "remove" in a and a["remove"].get("dataChange", True):
-                    removes.append(a["remove"]["path"])
+                    removes[a["remove"]["path"]] = a["remove"]
         if cdc:
             parts.append(_read(cdc, None, v))
-        else:
-            if removes:
-                parts.append(_read(removes, "delete", v))
-            if adds:
-                parts.append(_read(adds, "insert", v))
+            continue
+        dv_pairs = {
+            p: (adds[p], removes[p])
+            for p in adds
+            if p in removes and adds[p].get("deletionVector")
+        }
+        for p, (a, r) in sorted(dv_pairs.items()):
+            new_pos = set(_dv_positions(path, a["deletionVector"]))
+            old_dv = r.get("deletionVector")
+            old_pos = set(_dv_positions(path, old_dv)) if old_dv else set()
+            parts.append(_read_rows(p, sorted(new_pos - old_pos), False, v))
+        plain_removes = {
+            p: r for p, r in removes.items() if p not in dv_pairs
+        }
+        dv_removes = {
+            p: r
+            for p, r in plain_removes.items()
+            if r.get("deletionVector")
+        }
+        bare_removes = sorted(set(plain_removes) - set(dv_removes))
+        for p, r in sorted(dv_removes.items()):
+            parts.append(
+                _read_rows(
+                    p, sorted(_dv_positions(path, r["deletionVector"])), True, v
+                )
+            )
+        if bare_removes:
+            parts.append(_read(bare_removes, "delete", v))
+        plain_adds = sorted(p for p in adds if p not in dv_pairs)
+        if plain_adds:
+            parts.append(_read(plain_adds, "insert", v))
     if not parts:
         return spark.createDataFrame(
             [], schema.add("_change_type", "string").add("_commit_version", "long")
@@ -2271,5 +3065,133 @@ def sink_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(src_cnt).cast("long").alias("src_cnt"),
         F.lit(n_copied).cast("int").alias("files_copied"),
         F.count(F.lit(1)).alias("clone_cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "scan_delta_deletion_vectors",
+    group="A",
+    oracle=f"""
+    select o_orderstatus,
+           cast(0 as integer) as files_rewritten,
+           count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderkey % 7 <> 3
+    group by o_orderstatus
+    """,
+)
+def scan_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: DELETION VECTORS (reader v3) — row-level DELETE with ZERO
+    data files rewritten. Orders commit as a multi-file table; a DELETE
+    of every ``o_orderkey % 7 = 3`` row attaches roaring bitmaps of the
+    doomed row indexes (one sidecar file, protocol wire format:
+    z85-uuid 'u' descriptors, BE length + CRC32 framing) and upgrades
+    the protocol to (3, 7)+deletionVectors. Asserted: the on-disk data
+    file set is BYTE-IDENTICAL before and after (files_rewritten=0
+    rides in the result); the DV-aware scan applies the bitmaps as one
+    distributed `_metadata.row_index` anti join. This is the operator
+    that makes GDPR-erasure on a 100 TB table cost O(deleted rows),
+    not a terabyte rewrite. The oracle recomputes survivors from the
+    source."""
+    path = _fresh(_tmp("orders_delta_dv"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.repartition(4), path, "overwrite")
+    before = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    res = delete_delta(spark, path, "o_orderkey % 7 = 3")
+    assert res["rows_deleted"] > 0, res
+    after = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert after == before, "DV delete must not rewrite data files"
+    active, *_ = _replay_full(path, None)
+    assert any(a.get("deletionVector") for a in active.values())
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(len(after) - len(before)).cast("int").alias("files_rewritten"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "scan_delta_column_mapping",
+    group="A",
+    oracle=f"""
+    select o_orderstatus as status, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as total_price
+    from orders group by o_orderstatus
+    """,
+)
+def scan_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: COLUMN MAPPING (reader v2, mode=name) — the indirection
+    that makes renaming a column on a 100 TB table a metadata-only
+    commit. Orders commit with physical ``col-<uuid>`` parquet names +
+    delta.columnMapping.{{id,physicalName}} field metadata; then
+    ``o_orderstatus`` renames to ``status`` and ``o_totalprice`` to
+    ``total_price`` WITHOUT touching a single data file (asserted: the
+    parquet set is unchanged across both renames). The read projects
+    physical back to the current logical names. The oracle recomputes
+    the aggregate from the source under the new names."""
+    path = _fresh(_tmp("orders_delta_cm"))
+    src = load(spark, sf_dir, "orders")
+    write_delta_column_mapped(src, path, "overwrite")
+    before = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    rename_delta_column(path, "o_orderstatus", "status")
+    rename_delta_column(path, "o_totalprice", "total_price")
+    assert sorted(glob.glob(os.path.join(path, "part-*.parquet"))) == before
+    out = read_delta(spark, path)
+    assert "status" in out.columns and "o_orderstatus" not in out.columns
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("total_price").alias("total_price"),
+    )
+
+
+@register(
+    "scan_delta_cdf_rewrites",
+    group="A",
+    oracle=f"""
+    with deleted as (
+      select * from orders where o_orderstatus = 'F' and o_orderkey % 5 = 2
+    ),
+    appended as (
+      select * from orders where o_orderstatus = 'P'
+    ),
+    changes as (
+      select 'delete' as change_type, cast(1 as bigint) as commit_version,
+             o_totalprice from deleted
+      union all
+      select 'insert', 3, o_totalprice from appended
+    )
+    select change_type, commit_version, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from changes group by change_type, commit_version
+    """,
+)
+def scan_delta_cdf_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: CHANGE DATA FEED across a REWRITE — the range spans a DV
+    DELETE (v1), an OPTIMIZE compaction (v2), and an append (v3). The
+    feed must serve exactly: the deleted rows as row-level 'delete's
+    at v1 (read back from the untouched file by DV row index, NOT the
+    whole file), NOTHING at v2 (dataChange=false rearrangements are
+    invisible to change consumers even though they rewrite every
+    byte), and the appended rows as 'insert's at v3. This is the
+    incremental-consumer contract that lets a downstream pipeline
+    follow a 100 TB table through housekeeping without re-reading it.
+    The oracle recomputes both change sets from the source."""
+    path = _fresh(_tmp("orders_delta_cdf_rw"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
+    delete_delta(spark, path, "o_orderkey % 5 = 2")  # v1: DV delete
+    res = optimize_delta(spark, path)  # v2: purge + compact
+    assert res["version"] == 2 and res["files_compacted"] >= 1, res
+    write_delta(src.where(F.col("o_orderstatus") == "P"), path, "append")  # v3
+    ch = read_delta_changes(spark, path, from_version=0)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
     )

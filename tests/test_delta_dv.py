@@ -1,0 +1,321 @@
+"""Deletion-vector (reader v3) and column-mapping (reader v2) tests
+for sources/delta_native.py, plus the roaring codec: DELETE without a
+file rewrite, DV sequencing across commits, checkpoint carry-through,
+OPTIMIZE purge, MERGE on DV tables, VACUUM sidecar retention, CDF
+row-level derivation from DV commits, and metadata-only renames."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.sources import delta_native as dn
+from tests.conftest import SF_DIR
+
+
+def _data_files(path):
+    return sorted(
+        os.path.relpath(f, path)
+        for f in glob.glob(os.path.join(path, "part-*.parquet"))
+    )
+
+
+def _keys(spark, path, col="n_nationkey", **kw):
+    return sorted(
+        r[0] for r in dn.read_delta(spark, path, **kw).select(col).collect()
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "dv_tbl")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src.repartition(3), path, "overwrite")
+    return path, src
+
+
+def test_delete_marks_rows_without_rewriting_files(spark, table):
+    path, src = table
+    before = _data_files(path)
+    res = dn.delete_delta(spark, path, "n_nationkey in (2, 7, 11)")
+    assert res["rows_deleted"] == 3 and res["version"] == 1
+    # zero data files rewritten — only a DV sidecar appeared
+    assert _data_files(path) == before
+    assert glob.glob(os.path.join(path, "deletion_vector_*.bin"))
+    assert _keys(spark, path) == sorted(set(range(25)) - {2, 7, 11})
+    # time travel to pre-delete still serves all rows
+    assert _keys(spark, path, version=0) == list(range(25))
+    # protocol upgraded to v3 + deletionVectors in the commit
+    acts = []
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json")) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    prot = [a["protocol"] for a in acts if "protocol" in a][0]
+    assert prot["minReaderVersion"] == 3
+    assert "deletionVectors" in prot["readerFeatures"]
+    # add actions carry spec-shaped descriptors
+    dvs = [a["add"]["deletionVector"] for a in acts if "add" in a]
+    assert dvs and all(
+        d["storageType"] == "u" and d["cardinality"] >= 1 for d in dvs
+    )
+
+
+def test_second_delete_unions_bitmaps(spark, table):
+    path, _ = table
+    dn.delete_delta(spark, path, "n_nationkey in (2, 7)")
+    res = dn.delete_delta(spark, path, "n_nationkey in (7, 9)")
+    # 7 is already deleted: the DV-aware matching scan never sees it
+    assert res["rows_deleted"] == 1
+    assert _keys(spark, path) == sorted(set(range(25)) - {2, 7, 9})
+    # no-op delete commits nothing
+    res2 = dn.delete_delta(spark, path, "n_nationkey = 2")
+    assert res2["rows_deleted"] == 0
+    assert res2["version"] == res["version"]
+
+
+def test_fully_deleted_file_drops_to_bare_remove(spark, tmp_path):
+    path = str(tmp_path / "dv_dead")
+    spark_df = load(spark, SF_DIR, "nation")
+    dn.write_delta(spark_df.where("n_nationkey < 5").coalesce(1), path, "overwrite")
+    dn.write_delta(spark_df.where("n_nationkey >= 5").coalesce(1), path, "append")
+    res = dn.delete_delta(spark, path, "n_nationkey < 5")
+    assert res["files_removed_entirely"] == 1
+    active, *_ = dn._replay_full(path, None)
+    assert len(active) == 1
+    assert not any(a.get("deletionVector") for a in active.values())
+    assert _keys(spark, path) == list(range(5, 25))
+
+
+def test_checkpoint_preserves_dvs_and_protocol(spark, table):
+    path, _ = table
+    dn.delete_delta(spark, path, "n_nationkey in (0, 24)")
+    dn.checkpoint_delta(path)
+    # replay now starts from the checkpoint: DVs and protocol survive
+    (
+        active,
+        _s,
+        _v,
+        _p,
+        _conf,
+        protocol,
+    ) = dn._replay_full(path, None)
+    assert protocol["minReaderVersion"] == 3
+    assert any(a.get("deletionVector") for a in active.values())
+    assert _keys(spark, path) == list(range(1, 24))
+
+
+def test_optimize_purges_dvs(spark, table):
+    path, _ = table
+    dn.delete_delta(spark, path, "n_nationkey in (3, 4)")
+    res = dn.optimize_delta(spark, path)
+    assert res["files_compacted"] >= 1
+    active, *_ = dn._replay_full(path, None)
+    assert not any(a.get("deletionVector") for a in active.values())
+    assert _keys(spark, path) == sorted(set(range(25)) - {3, 4})
+
+
+def test_merge_on_dv_table_sees_only_live_rows(spark, table):
+    path, _ = table
+    dn.delete_delta(spark, path, "n_nationkey = 5")
+    # upsert key 5 (dead) and key 6 (live): 5 inserts, 6 updates
+    changes = spark.createDataFrame(
+        [(5, "REBORN", 0), (6, "CHANGED", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    dn.merge_delta(spark, path, changes, "n_nationkey")
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in dn.read_delta(spark, path).collect()
+    }
+    assert got[5] == "REBORN" and got[6] == "CHANGED"
+    assert len(got) == 25
+
+
+def test_vacuum_retains_then_reclaims_dv_sidecars(spark, table):
+    path, _ = table
+    dn.delete_delta(spark, path, "n_nationkey = 1")
+    sidecars = glob.glob(os.path.join(path, "deletion_vector_*.bin"))
+    assert len(sidecars) == 1
+    # DV still referenced by the head: vacuum must keep it
+    dn.vacuum_delta(path, retain_last=1)
+    assert os.path.exists(sidecars[0])
+    # after OPTIMIZE purges the DV, vacuum reclaims the sidecar
+    dn.optimize_delta(spark, path)
+    dn.vacuum_delta(path, retain_last=1)
+    assert not os.path.exists(sidecars[0])
+    assert _keys(spark, path) == sorted(set(range(25)) - {1})
+
+
+def test_cdf_serves_dv_deletes_row_level(spark, table):
+    path, _ = table
+    dn.delete_delta(spark, path, "n_nationkey in (2, 7)")  # v1
+    dn.delete_delta(spark, path, "n_nationkey = 9")  # v2
+    ch = dn.read_delta_changes(spark, path, from_version=0)
+    rows = [
+        (r["n_nationkey"], r["_change_type"], r["_commit_version"])
+        for r in ch.collect()
+    ]
+    assert sorted(rows) == [
+        (2, "delete", 1),
+        (7, "delete", 1),
+        (9, "delete", 2),
+    ]
+
+
+def test_cdf_across_optimize_and_full_file_dv_remove(spark, tmp_path):
+    path = str(tmp_path / "dv_cdf2")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src.where("n_nationkey < 6").coalesce(1), path, "overwrite")
+    dn.delete_delta(spark, path, "n_nationkey = 0")  # v1: DV delete
+    dn.optimize_delta(spark, path)  # v2: dataChange=false, invisible
+    dn.delete_delta(spark, path, "n_nationkey >= 1")  # v3: kills the file
+    ch = dn.read_delta_changes(spark, path, from_version=0)
+    rows = sorted(
+        (r["n_nationkey"], r["_change_type"], r["_commit_version"])
+        for r in ch.collect()
+    )
+    # v1 deletes row 0; v2 contributes NOTHING; v3 deletes the five
+    # survivors of the compacted file (row 0 must not re-delete)
+    assert rows == [(0, "delete", 1)] + [
+        (k, "delete", 3) for k in range(1, 6)
+    ]
+    assert dn.read_delta(spark, path).count() == 0
+
+
+def test_dv_on_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "dv_part")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src, path, "overwrite", partition_by=["n_regionkey"])
+    res = dn.delete_delta(spark, path, "n_nationkey in (3, 20)")
+    assert res["rows_deleted"] == 2
+    assert _keys(spark, path) == sorted(set(range(25)) - {3, 20})
+    # partition pruning still works over DV-bearing adds
+    want = sorted(
+        r[0]
+        for r in src.where("n_regionkey = 0").select("n_nationkey").collect()
+        if r[0] not in (3, 20)
+    )
+    pruned = dn.read_delta(spark, path, partition_filter={"n_regionkey": "0"})
+    assert sorted(r[0] for r in pruned.select("n_nationkey").collect()) == want
+
+
+def test_restore_resurrects_deleted_rows(spark, table):
+    path, _ = table
+    dn.delete_delta(spark, path, "n_nationkey = 4")
+    assert 4 not in _keys(spark, path)
+    dn.restore_delta(spark, path, 0)
+    assert _keys(spark, path) == list(range(25))
+
+
+def test_inline_dv_descriptor_reads(spark, tmp_path):
+    """A hand-written log with an INLINE ('i') DV descriptor — the
+    form small DVs take from other engines — reads correctly."""
+    from datalakecrawler_spark.sources.roaring import serialize_rbm_array
+
+    path = str(tmp_path / "dv_inline")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src.coalesce(1), path, "overwrite")
+    active, *_ = dn._replay_full(path, None)
+    (rel,) = active
+    # find the row indexes of keys 0 and 1 (order within the file is
+    # whatever the writer produced)
+    rows = (
+        spark.read.parquet(os.path.join(path, rel))
+        .withColumn("i", F.col("_metadata.row_index"))
+        .where("n_nationkey in (0, 1)")
+        .select("i")
+        .collect()
+    )
+    positions = sorted(r["i"] for r in rows)
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": dn._z85_encode(
+            serialize_rbm_array(positions).ljust(
+                (len(serialize_rbm_array(positions)) + 3) // 4 * 4, b"\0"
+            )
+        ),
+        "sizeInBytes": len(serialize_rbm_array(positions)),
+        "cardinality": 2,
+    }
+    add = {**active[rel], "dataChange": True, "deletionVector": desc}
+    dn._publish_commit(
+        path,
+        1,
+        [
+            {"protocol": dict(dn._DV_PROTOCOL)},
+            {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}},
+            {"add": add},
+        ],
+    )
+    assert _keys(spark, path) == list(range(2, 25))
+
+
+def test_column_mapping_roundtrip_and_rename(spark, tmp_path):
+    path = str(tmp_path / "cm_tbl")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta_column_mapped(src, path, "overwrite")
+    # physical parquet columns are col-<uuid>, logical read is exact
+    pf = glob.glob(os.path.join(path, "part-*.parquet"))[0]
+    import pyarrow.parquet as pq
+
+    phys_names = [c for c in pq.ParquetFile(pf).schema_arrow.names]
+    assert all(c.startswith("col-") for c in phys_names)
+    back = dn.read_delta(spark, path)
+    assert back.columns == src.columns
+    assert sorted(r[0] for r in back.select("n_nationkey").collect()) == list(
+        range(25)
+    )
+    # rename = metadata-only commit: same data files, new logical name
+    before = _data_files(path)
+    dn.rename_delta_column(path, "n_name", "nation_name")
+    assert _data_files(path) == before
+    back2 = dn.read_delta(spark, path)
+    assert "nation_name" in back2.columns and "n_name" not in back2.columns
+    assert back2.where("nation_name = 'NATION_7'").count() == 1
+    # append reuses the mapping (by current logical names)
+    dn.write_delta_column_mapped(
+        back2.limit(0)
+        .unionByName(back2.where("nation_name = 'NATION_7'"))
+        .withColumn("n_nationkey", F.col("n_nationkey") + 100),
+        path,
+        "append",
+    )
+    assert dn.read_delta(spark, path).count() == 26
+    # DELETE on a mapped table gates loudly
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        dn.delete_delta(spark, path, "n_nationkey = 0")
+
+
+def test_roaring_codec_delta_framing(tmp_path):
+    """Sidecar wire format: version byte, BE length + CRC framing,
+    magic — verified byte-level, not just through the API."""
+    import struct
+    import zlib
+
+    from datalakecrawler_spark.sources.roaring import (
+        deserialize_rbm_array,
+        serialize_rbm_array,
+    )
+
+    descs = dn._dv_write_sidecar(
+        str(tmp_path), {"f1": [1, 5, 70000], "f2": list(range(5000))}
+    )
+    assert set(descs) == {"f1", "f2"}
+    sidecar = glob.glob(os.path.join(str(tmp_path), "deletion_vector_*.bin"))[0]
+    raw = open(sidecar, "rb").read()
+    assert raw[0] == 1  # DV file format version
+    d1 = descs["f1"]
+    (n,) = struct.unpack_from(">i", raw, d1["offset"])
+    assert n == d1["sizeInBytes"]
+    data = raw[d1["offset"] + 4 : d1["offset"] + 4 + n]
+    (crc,) = struct.unpack_from(">I", raw, d1["offset"] + 4 + n)
+    assert zlib.crc32(data) & 0xFFFFFFFF == crc
+    assert deserialize_rbm_array(data) == [1, 5, 70000]
+    assert descs["f2"]["cardinality"] == 5000
+    # and the resolver round-trips the z85 uuid back to the file
+    assert dn._dv_abs_path(str(tmp_path), d1) == sidecar

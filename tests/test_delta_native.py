@@ -127,14 +127,33 @@ def test_capability_gates(table, spark, tmp_path):
             read_delta(spark, path)
     finally:
         os.remove(ckpt)
-    # reader version beyond v1 → explicit refusal
-    p2 = str(tmp_path / "delta_v2")
+    # reader v3 with a feature we don't implement → explicit refusal
+    # (v3 with deletionVectors/columnMapping/timestampNtz is SUPPORTED)
+    p2 = str(tmp_path / "delta_v3_unknown")
     os.makedirs(os.path.join(p2, "_delta_log"))
     with open(os.path.join(p2, "_delta_log", f"{0:020d}.json"), "w") as fh:
-        fh.write(json.dumps({"protocol": {"minReaderVersion": 3}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
         fh.write(json.dumps({"metaData": {"schemaString": "{}"}}) + "\n")
-    with pytest.raises(NotImplementedError, match="reader version 3"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta(spark, p2)
+    # reader version beyond v3 → explicit refusal
+    p3 = str(tmp_path / "delta_v4")
+    os.makedirs(os.path.join(p3, "_delta_log"))
+    with open(os.path.join(p3, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 4}}) + "\n")
+        fh.write(json.dumps({"metaData": {"schemaString": "{}"}}) + "\n")
+    with pytest.raises(NotImplementedError, match="reader version 4"):
+        read_delta(spark, p3)
 
 
 def test_commits_are_deterministic(spark, tmp_path):
