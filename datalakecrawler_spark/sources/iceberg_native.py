@@ -636,11 +636,33 @@ def read_iceberg(
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in table (have {sorted(snaps)})")
     snap = snaps[sid]
+    read_pfields = _spec_avro_types(meta)
+    files, delete_files, eq_deletes, data_seq = _resolve_state(
+        path, snap, tfilter, read_pfields
+    )
+    return _scan_state(
+        spark,
+        path,
+        meta,
+        (files, delete_files, eq_deletes, data_seq),
+        spec_cols=spec_cols,
+        identity_spec=identity_spec,
+    )
+
+
+def _resolve_state(
+    path: str,
+    snap: dict,
+    tfilter: dict | None = None,
+    read_pfields=None,
+):
+    """One snapshot's resolved file state from its manifest list:
+    (data files, positional delete files, [(eq delete file, seq)],
+    {data file: sequence number}). Driver-side, O(manifests)."""
     files: list[str] = []
     delete_files: list[str] = []
     eq_deletes: list[tuple[str, int]] = []  # (file, delete sequence number)
     data_seq: dict[str, int] = {}  # data file → data sequence number
-    read_pfields = _spec_avro_types(meta)
     for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
         if mf.get("content", 0) == 1:
             # v2 DELETE manifest: its entries name delete files, not
@@ -678,9 +700,38 @@ def read_iceberg(
             # manifest's (the spec's null-inheritance rule)
             e_seq = entry.get("sequence_number")
             data_seq[fabs] = e_seq if e_seq is not None else mf_seq
+    return files, delete_files, eq_deletes, data_seq
+
+
+def _scan_state(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    state,
+    spec_cols: set | None = None,
+    identity_spec: bool = True,
+    files_subset: set | None = None,
+) -> DataFrame:
+    """Distributed scan of a resolved snapshot state with BOTH delete
+    flavors applied (positional: one anti join on _metadata row
+    addresses; equality: per-delete-file broadcast anti joins gated on
+    the spec's strict sequence-number rule, failing CLOSED on any
+    unresolved file URI). ``files_subset`` restricts the scan to those
+    data files — the changelog reader's handle for per-snapshot
+    file-level diffs."""
+    files, delete_files, eq_deletes, data_seq = state
+    if files_subset is not None:
+        files = [f for f in files if f in files_subset]
+        data_seq = {f: s for f, s in data_seq.items() if f in files_subset}
     schema = _iceberg_schema_to_spark(meta["schema"])
     if not files:
         return spark.createDataFrame([], schema)
+    if spec_cols is None:
+        spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+        spec_cols = {f["name"] for f in spec_fields}
+        identity_spec = all(
+            f.get("transform", "identity") == "identity" for f in spec_fields
+        )
     reader = spark.read.schema(schema)
     if spec_cols and identity_spec:
         # identity specs: hive-style dirs under data/ carry the
@@ -808,8 +859,9 @@ def read_iceberg_incremental(
         if op not in ("append",):
             raise NotImplementedError(
                 f"snapshot {s['snapshot-id']} is {op!r}; incremental "
-                "append scans cover append-only ranges (overwrites and "
-                "deletes need a changelog scan)"
+                "append scans cover append-only ranges — use "
+                "read_iceberg_changelog for ranges with overwrites or "
+                "row-level deletes"
             )
         for mf in _decode_avro_records(_resolve(path, s["manifest-list"])):
             if mf.get("content", 0) == 1:
@@ -833,6 +885,118 @@ def read_iceberg_incremental(
     if spec_fields and identity:
         reader = reader.option("basePath", os.path.join(path, "data"))
     return reader.parquet(*sorted(files))
+
+
+def _uri_to_fs(uri: str) -> str:
+    """Inverse of _spark_file_uri: a file: URI (as stored in positional
+    delete files) back to the filesystem path."""
+    from urllib.parse import unquote
+
+    if uri.startswith("file:"):
+        return unquote(uri[len("file:"):])
+    return unquote(uri)
+
+
+def read_iceberg_changelog(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """CHANGELOG scan — incremental reads over ANY snapshot history,
+    including row-level deletes and overwrites: for each snapshot S in
+    (from_snapshot, to_snapshot], emit the rows S inserted and the rows
+    S deleted, stamped ``_change_type`` ('insert'/'delete') and
+    ``_snapshot_id``. This is the CDC formulation downstream consumers
+    need once a table carries positional/equality deletes — the plain
+    incremental append scan refuses such ranges because its replay
+    would double-count.
+
+    Per snapshot pair (P → S) the diff is FILE-RESTRICTED: only files
+    added or removed by S, files referenced by S's new positional
+    delete files, and (for new equality deletes) files whose sequence
+    number the delete can apply to, are ever scanned; each side is
+    served through the full delete-aware scan (``_scan_state``) at its
+    own snapshot, and the row-level change set is the multiset
+    difference. Unchanged files are never read, so consuming a 100 TB
+    table's changes costs O(changed data + delete-candidate files) per
+    snapshot — with equality deletes bounded further by the strict
+    sequence rule (only older files are candidates), exactly the
+    pruning the spec's own changelog scan performs."""
+    from pyspark.sql import functions as _F
+
+    meta = _read_metadata(path)
+    snaps = meta.get("snapshots", [])
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot not in ids:
+        raise ValueError(f"snapshot {from_snapshot} not in table (have {ids})")
+    hi = to_snapshot if to_snapshot is not None else ids[-1]
+    if hi not in ids:
+        raise ValueError(f"snapshot {hi} not in table (have {ids})")
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    # slice by COMMIT ORDER (the snapshots list), not id arithmetic —
+    # snapshot ids need not be monotonic
+    lo_i, hi_i = ids.index(from_snapshot), ids.index(hi)
+    chain = ids[lo_i : hi_i + 1]
+    if len(chain) < 2:
+        raise ValueError(f"no snapshots in ({from_snapshot}, {hi}]")
+    schema = _iceberg_schema_to_spark(meta["schema"])
+    out_schema = T.StructType(
+        schema.fields
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
+    parts: list[DataFrame] = []
+    prev_state = _resolve_state(path, by_id[chain[0]])
+    for sid in chain[1:]:
+        cur_state = _resolve_state(path, by_id[sid])
+        p_files, p_dels, p_eq, p_seq = prev_state
+        c_files, c_dels, c_eq, _c_seq = cur_state
+        affected = (set(c_files) ^ set(p_files))
+        new_pos = sorted(set(c_dels) - set(p_dels))
+        if new_pos:
+            # the delete rows name their target files — a tiny
+            # distinct over the delete parquet's file_path column
+            refs = (
+                spark.read.parquet(*new_pos)
+                .select("file_path")
+                .distinct()
+                .collect()
+            )
+            affected |= {_uri_to_fs(r[0]) for r in refs}
+        for _dfile, dseq in set(c_eq) - set(p_eq):
+            # strict sequencing: an equality delete can only touch
+            # files committed strictly before it
+            affected |= {f for f, s in p_seq.items() if s < dseq}
+        if not affected:
+            prev_state = cur_state
+            continue
+        cur_live = _scan_state(
+            spark, path, meta, cur_state, files_subset=affected
+        )
+        prev_live = _scan_state(
+            spark, path, meta, prev_state, files_subset=affected
+        )
+        ins = cur_live.exceptAll(prev_live).withColumn(
+            "_change_type", _F.lit("insert")
+        )
+        dels = prev_live.exceptAll(cur_live).withColumn(
+            "_change_type", _F.lit("delete")
+        )
+        parts.append(
+            ins.unionByName(dels).withColumn(
+                "_snapshot_id", _F.lit(int(sid)).cast("long")
+            )
+        )
+        prev_state = cur_state
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def iceberg_snapshots(path: str) -> list[dict]:
@@ -3162,4 +3326,86 @@ def scan_iceberg_eq_deletes_partitioned(spark: SparkSession, sf_dir: str) -> Dat
         spark, path, partition_filter={"o_orderstatus": "F"}
     ).agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "scan_iceberg_changelog",
+    group="A",
+    oracle=f"""
+    with s2_deletes as (
+      select 'delete' as change_type, cast(2 as bigint) as snapshot_ord,
+             o_totalprice
+      from orders where o_orderstatus = 'F' and o_orderkey % 3 = 0
+    ),
+    s3_inserts as (
+      select 'insert', 3, o_totalprice
+      from orders where o_orderstatus = 'P'
+    ),
+    s4_deletes as (
+      -- the positional delete hits every LIVE urgent row: F survivors
+      -- of the s2 equality delete AND the s3-appended P rows
+      select 'delete', 4, o_totalprice
+      from orders
+      where o_orderpriority = '1-URGENT'
+        and (o_orderstatus = 'P'
+             or (o_orderstatus = 'F' and o_orderkey % 3 <> 0))
+    ),
+    changes as (
+      select * from s2_deletes union all
+      select * from s3_inserts union all
+      select * from s4_deletes
+    )
+    select change_type, snapshot_ord, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from changes group by change_type, snapshot_ord
+    """,
+)
+def scan_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: CHANGELOG scan over a delete-bearing snapshot range — the
+    CDC read the plain incremental append scan refuses (asserted).
+    Timeline: s1 commits the 'F' orders; s2 EQUALITY-deletes every
+    o_orderkey ≡ 0 (mod 3); s3 appends the 'P' orders; s4
+    POSITIONALLY deletes the urgent P rows. The changelog over
+    (s1, s4] must emit exactly: the mod-3 F rows as s2 deletes (the
+    strict sequence rule keeps later P rows out even though the
+    equality delete is by value), the P rows as s3 inserts, and the
+    urgent P rows as s4 deletes — each snapshot's diff resolved from
+    manifests and scanned file-restricted, unchanged files never read.
+    The oracle recomputes all three change sets from the source."""
+    path = _fresh(_tmp("orders_iceberg_changelog"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src.where(F.col("o_orderstatus") == "F"), path, "overwrite",
+        format_version=2,
+    )
+    add_equality_deletes(
+        spark, path,
+        src.where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+        ).select("o_orderkey"),
+    )
+    write_iceberg(
+        src.where(F.col("o_orderstatus") == "P"), path, "append",
+        format_version=2,
+    )
+    add_position_deletes(spark, path, "o_orderpriority = '1-URGENT'")
+    snaps = [s["snapshot_id"] for s in iceberg_snapshots(path)]
+    assert len(snaps) == 4
+    try:
+        read_iceberg_incremental(spark, path, snaps[0])
+        raise AssertionError("incremental scan must refuse delete ranges")
+    except NotImplementedError:
+        pass
+    ch = read_iceberg_changelog(spark, path, snaps[0])
+    ords = {sid: i + 1 for i, sid in enumerate(snaps)}
+    ord_col = F.create_map(
+        *[F.lit(x) for kv in ords.items() for x in kv]
+    )[F.col("_snapshot_id")]
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type"),
+        ord_col.cast("long").alias("snapshot_ord"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
     )

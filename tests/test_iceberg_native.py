@@ -1175,3 +1175,71 @@ def test_spark_file_uri_matches_metadata_column(spark, tmp_path):
 
     fs = _glob.glob(os.path.join(base, "*.parquet"))[0]
     assert _spark_file_uri(fs) == got
+
+
+def test_changelog_scan_over_deletes_and_overwrites(spark, tmp_path):
+    """read_iceberg_changelog serves exact per-snapshot (insert/delete)
+    row sets across append, equality-delete, positional-delete, and
+    overwrite snapshots — the range the plain incremental scan refuses."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_changelog")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 10"), path, "overwrite",
+                  format_version=2)  # s1: insert 0..9
+    ice.add_equality_deletes(
+        spark, path, src.where("n_nationkey in (2, 4)").select("n_nationkey")
+    )  # s2: delete 2, 4
+    write_iceberg(src.where("n_nationkey between 10 and 14"), path, "append",
+                  format_version=2)  # s3: insert 10..14
+    ice.add_position_deletes(spark, path, "n_nationkey = 11")  # s4: delete 11
+    snaps = [s["snapshot_id"] for s in ice.iceberg_snapshots(path)]
+    assert len(snaps) == 4
+
+    ch = ice.read_iceberg_changelog(spark, path, snaps[0])
+    got = sorted(
+        (r["n_nationkey"], r["_change_type"], snaps.index(r["_snapshot_id"]) + 1)
+        for r in ch.collect()
+    )
+    want = sorted(
+        [(2, "delete", 2), (4, "delete", 2)]
+        + [(k, "insert", 3) for k in range(10, 15)]
+        + [(11, "delete", 4)]
+    )
+    assert got == want
+    # sub-ranges slice exactly
+    ch2 = ice.read_iceberg_changelog(spark, path, snaps[1], snaps[2])
+    assert sorted(r["n_nationkey"] for r in ch2.collect()) == list(range(10, 15))
+    # the plain incremental scan still refuses a delete-bearing range
+    with pytest.raises(NotImplementedError, match="changelog"):
+        ice.read_iceberg_incremental(spark, path, snaps[0])
+    # changes replay to the head state: base + inserts - deletes
+    base = read_iceberg(spark, path, snapshot_id=snaps[0])
+    replayed = set(r[0] for r in base.select("n_nationkey").collect())
+    for k, t, _ in sorted(got, key=lambda x: x[2]):  # snapshot order
+        replayed = (replayed | {k}) if t == "insert" else (replayed - {k})
+    head = set(r[0] for r in read_iceberg(spark, path).select("n_nationkey").collect())
+    assert replayed == head
+
+
+def test_changelog_overwrite_snapshot(spark, tmp_path):
+    """An OVERWRITE snapshot changelogs as delete(old rows) +
+    insert(new rows) — and unchanged-by-value rows rewritten into new
+    files cancel out of the multiset diff."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_changelog_ow")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 5"), path, "overwrite")  # s1
+    write_iceberg(
+        src.where("n_nationkey between 3 and 7"), path, "overwrite"
+    )  # s2: drops 0-2, keeps 3-4 (new files), adds 5-7
+    snaps = [s["snapshot_id"] for s in ice.iceberg_snapshots(path)]
+    ch = ice.read_iceberg_changelog(spark, path, snaps[0])
+    got = sorted(
+        (r["n_nationkey"], r["_change_type"]) for r in ch.collect()
+    )
+    assert got == [
+        (0, "delete"), (1, "delete"), (2, "delete"),
+        (5, "insert"), (6, "insert"), (7, "insert"),
+    ]
