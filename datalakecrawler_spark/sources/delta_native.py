@@ -751,24 +751,68 @@ def _scan_active(
     EXECUTORS (mapInPandas over the descriptor rows, one task per DV),
     so a 1000-file DELETE never materializes positions on the driver.
     ``keep_rowmeta=True`` keeps the __dlc_file_uri/__dlc_row_pos
-    columns for callers (DELETE) that need row addresses."""
+    columns for callers (DELETE) that need row addresses.
+
+    When the active set holds ABSOLUTE add paths (a shallow clone
+    referencing another table's files), hive-dir basePath re-derivation
+    can't work — the dirs live under the SOURCE root. Partition columns
+    are instead injected from each add action's stored partitionValues
+    via one broadcast join on the file URI (O(files) metadata, zero
+    extra scans), cast to the committed schema types."""
     from pyspark.sql import functions as F
 
     from datalakecrawler_spark.sources.iceberg_native import _spark_file_uri
 
     files = [os.path.join(path, rel) for rel in sorted(active)]
-    reader = spark.read.schema(schema)
-    if partition_columns:
+    pv_join = partition_columns and any(os.path.isabs(rel) for rel in active)
+    read_schema = (
+        T.StructType(
+            [f for f in schema.fields if f.name not in partition_columns]
+        )
+        if pv_join
+        else schema
+    )
+    reader = spark.read.schema(read_schema)
+    if partition_columns and not pv_join:
         reader = reader.option("basePath", path)
     out = reader.parquet(*files)
     dv_adds = {
         rel: add for rel, add in active.items() if add.get("deletionVector")
     }
-    if not dv_adds and not keep_rowmeta:
+    if not dv_adds and not keep_rowmeta and not pv_join:
         return out
     out = out.withColumn(
         "__dlc_file_uri", F.col("_metadata.file_path")
     ).withColumn("__dlc_row_pos", F.col("_metadata.row_index"))
+    if pv_join:
+        pv_rows = [
+            tuple(
+                [_spark_file_uri(os.path.abspath(os.path.join(path, rel)))]
+                + [
+                    active[rel].get("partitionValues", {}).get(c)
+                    for c in partition_columns
+                ]
+            )
+            for rel in sorted(active)
+        ]
+        pv_df = spark.createDataFrame(
+            pv_rows,
+            ", ".join(
+                ["__dlc_file_uri string"]
+                + [f"__dlc_pv_{i} string" for i in range(len(partition_columns))]
+            ),
+        )
+        out = out.join(F.broadcast(pv_df), "__dlc_file_uri", "left")
+        for i, c in enumerate(partition_columns):
+            out = out.withColumn(
+                c, F.col(f"__dlc_pv_{i}").cast(schema[c].dataType)
+            ).drop(f"__dlc_pv_{i}")
+        # restore the committed column order
+        out = out.select(
+            *[f.name for f in schema.fields],
+            "__dlc_file_uri",
+            "__dlc_row_pos",
+        )
     if dv_adds:
         rows = []
         for rel, add in sorted(dv_adds.items()):
@@ -1569,6 +1613,12 @@ def optimize_delta(
             raise ValueError(
                 f"zorder_by columns {sorted(bad)} not in the data schema"
             )
+    if partition_columns and any(os.path.isabs(rel) for rel in active):
+        raise NotImplementedError(
+            "OPTIMIZE of a partitioned shallow clone is not wired: the "
+            "rewrite would need to re-materialize the source's hive "
+            "layout under the clone root"
+        )
     groups: dict[tuple, list[str]] = {}
     for rel in sorted(active):
         if (
@@ -1849,17 +1899,13 @@ def clone_delta(spark: SparkSession, src_path: str, dst_path: str) -> dict:
     and the clone reads the source files as of CLONE TIME — a source
     VACUUM that later drops a still-referenced file breaks the clone
     at scan, the documented shallow-clone hazard. Partitioned sources
-    are gated (partition re-derivation needs basePath, which cannot
-    span two roots)."""
+    work too: each absolute add keeps its partitionValues, and the
+    clone's scans inject the partition columns from those stored
+    values (one broadcast metadata join) instead of hive-dir
+    re-derivation, which could never span two roots."""
     active, schema_string, src_version, partition_columns = _replay(
         src_path, None
     )
-    if partition_columns:
-        raise NotImplementedError(
-            "shallow clone of partitioned tables is not wired: the "
-            "partition columns re-derive from hive dirs under ONE "
-            "basePath, which cannot span the source and clone roots"
-        )
     if os.path.exists(dst_path) and os.path.isdir(
         os.path.join(dst_path, "_delta_log")
     ):
@@ -1872,7 +1918,7 @@ def clone_delta(spark: SparkSession, src_path: str, dst_path: str) -> dict:
                 "id": hashlib.md5(f"dlc-delta:{dst_path}".encode()).hexdigest(),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_string,
-                "partitionColumns": [],
+                "partitionColumns": partition_columns,
                 "configuration": {},
                 "createdTime": 0,
             }
@@ -3194,4 +3240,63 @@ def scan_delta_cdf_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "sink_delta_clone_partitioned",
+    group="A",
+    oracle=f"""
+    with cloned as (
+      select * from orders
+      union all
+      select * from orders where o_orderstatus = 'P'
+    )
+    select o_orderstatus, cast(0 as integer) as files_copied,
+           count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from cloned group by o_orderstatus
+    """,
+)
+def sink_delta_clone_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: SHALLOW CLONE of a PARTITIONED table. The source commits
+    orders hive-partitioned by o_orderstatus; the clone references
+    those files by absolute path (files_copied=0 asserted and carried
+    in the result) and serves the partition column from each add
+    action's stored partitionValues through ONE broadcast metadata
+    join — hive-dir re-derivation can't span two roots. A clone-side
+    append of the 'P' orders doubles that partition only in the clone;
+    log-level partition pruning keeps working (asserted on the 'F'
+    slice). The zero-copy sandbox, now for the everyday partitioned
+    table shape."""
+    path_src = _fresh(_tmp("orders_delta_clonep_src"))
+    path_dst = _fresh(_tmp("orders_delta_clonep_dst"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src, path_src, "overwrite", partition_by=["o_orderstatus"])
+    res = clone_delta(spark, path_src, path_dst)
+    assert res["files_referenced"] > 0, res
+    n_copied = len(
+        glob.glob(
+            os.path.join(path_dst, "**", "part-*.parquet"), recursive=True
+        )
+    )
+    assert n_copied == 0, n_copied
+    write_delta(
+        src.where(F.col("o_orderstatus") == "P"),
+        path_dst,
+        "append",
+        partition_by=["o_orderstatus"],
+    )
+    pruned = read_delta(
+        spark, path_dst, partition_filter={"o_orderstatus": "F"}
+    )
+    assert pruned.count() == src.where("o_orderstatus = 'F'").count()
+    assert read_delta(spark, path_src).count() == src.count()
+    return (
+        read_delta(spark, path_dst)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.lit(n_copied).cast("int").alias("files_copied"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
     )

@@ -58,7 +58,9 @@ each manifest entry's r102 record plus per-manifest field summaries
 SOURCE columns, transformed driver-side — prunes at BOTH metadata
 levels: whole manifests whose summary bounds exclude the filter are
 skipped without being read, then surviving entries prune
-file-by-file. Mixed identity+transform specs raise.
+file-by-file. Mixed identity+transform specs work: identity columns
+re-derive from the hive dirs, transform source columns stay in the
+data files, and the reader drops the transform dirs' extra columns.
 
 Manifest files carry the spec's well-known field-ids (100-105 for
 data_file, 500-514 for manifest_file) in the Avro schemas so strict
@@ -603,8 +605,6 @@ def read_iceberg(
                 "param": param,
             }
         )
-    identity_spec = all(p["transform"] == "identity" for p in parsed_spec)
-    spec_cols = {p["name"] for p in parsed_spec}
     sources = {p["source"] for p in parsed_spec}
     tfilter: dict = {}
     if partition_filter:
@@ -645,8 +645,6 @@ def read_iceberg(
         path,
         meta,
         (files, delete_files, eq_deletes, data_seq),
-        spec_cols=spec_cols,
-        identity_spec=identity_spec,
     )
 
 
@@ -708,8 +706,6 @@ def _scan_state(
     path: str,
     meta: dict,
     state,
-    spec_cols: set | None = None,
-    identity_spec: bool = True,
     files_subset: set | None = None,
 ) -> DataFrame:
     """Distributed scan of a resolved snapshot state with BOTH delete
@@ -726,30 +722,42 @@ def _scan_state(
     schema = _iceberg_schema_to_spark(meta["schema"])
     if not files:
         return spark.createDataFrame([], schema)
-    if spec_cols is None:
-        spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
-        spec_cols = {f["name"] for f in spec_fields}
-        identity_spec = all(
-            f.get("transform", "identity") == "identity" for f in spec_fields
-        )
+    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    src_by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    identity_cols = {
+        src_by_id.get(f.get("source-id"), f["name"])
+        for f in spec_fields
+        if f.get("transform", "identity") == "identity"
+    }
     reader = spark.read.schema(schema)
-    if spec_cols and identity_spec:
-        # identity specs: hive-style dirs under data/ carry the
+    if identity_cols:
+        # identity fields: hive-style dirs under data/ carry the
         # partition columns; basePath re-derives them with the
-        # committed schema's types. Transform specs keep the source
-        # column INSIDE the data files, so no re-derivation happens
-        # (the dirs hold transform values, not schema columns).
+        # committed schema's types. Transform fields keep the source
+        # column INSIDE the data files — their dirs hold transform
+        # values under non-schema names, which Spark appends as extra
+        # columns and the select below drops. Mixed specs therefore
+        # re-derive ONLY the identity columns.
         reader = reader.option("basePath", os.path.join(path, "data"))
     out = reader.parquet(*files)
     if delete_files or eq_deletes:
-        # Capture the hidden _metadata struct ONCE, before any join —
-        # join outputs no longer expose it, and both delete flavors
-        # key off it.
+        # Capture the hidden _metadata struct ONCE, before any join or
+        # projection — those no longer expose it, and both delete
+        # flavors key off it.
         from pyspark.sql import functions as _F
 
         out = out.withColumn("__dlc_file_uri", _F.col("_metadata.file_path"))
         if delete_files:
             out = out.withColumn("__dlc_row_pos", _F.col("_metadata.row_index"))
+    # mixed specs: Spark appended the transform fields' dir values as
+    # extra columns — not part of the committed schema, drop them
+    extra = [
+        c
+        for c in out.columns
+        if c not in set(schema.fieldNames()) and not c.startswith("__dlc_")
+    ]
+    if extra:
+        out = out.drop(*extra)
     if delete_files:
         # Positional deletes apply at scan: Spark's hidden _metadata
         # struct supplies (file_path, row_index) per row — exactly the
@@ -878,13 +886,16 @@ def read_iceberg_incremental(
     if not files:
         return spark.createDataFrame([], schema)
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
-    identity = all(
+    has_identity = any(
         f.get("transform", "identity") == "identity" for f in spec_fields
     )
     reader = spark.read.schema(schema)
-    if spec_fields and identity:
+    if spec_fields and has_identity:
         reader = reader.option("basePath", os.path.join(path, "data"))
-    return reader.parquet(*sorted(files))
+    out = reader.parquet(*sorted(files))
+    # mixed specs: drop the transform fields' appended dir columns
+    extra = [c for c in out.columns if c not in set(schema.fieldNames())]
+    return out.drop(*extra) if extra else out
 
 
 def _uri_to_fs(uri: str) -> str:
@@ -1143,13 +1154,6 @@ def _parse_partition_spec(partition_by: list[str], dtypes: dict) -> list[dict]:
         fields.append(
             {"name": name, "source": src, "transform": t, "param": param,
              "avro": avro}
-        )
-    kinds = {f["transform"] == "identity" for f in fields}
-    if len(kinds) > 1:
-        raise NotImplementedError(
-            "mixed identity + transform partition specs are not supported "
-            "(identity re-derives columns from hive dirs; transforms keep "
-            "the source column in the data files)"
         )
     return fields
 
@@ -1435,12 +1439,18 @@ def write_iceberg(
         stage_df = df
         stage_cols = [f["source"] for f in spec]
     else:
-        # transform specs: the partition value is a COMPUTED column —
+        # transform fields: the partition value is a COMPUTED column —
         # partitionBy excludes it from the files, so the source column
-        # stays in the data (reads need no dir re-derivation)
+        # stays in the data (reads need no dir re-derivation). MIXED
+        # specs stage identity fields by their source column (excluded
+        # from the files, re-derived from dirs at read) alongside the
+        # computed transform columns.
         stage_df = df
         stage_cols = []
         for fl in spec:
+            if fl["transform"] == "identity":
+                stage_cols.append(fl["source"])
+                continue
             c = f"__tx_{fl['name']}"
             stage_df = stage_df.withColumn(c, _transform_col(fl, dtypes))
             stage_cols.append(c)
@@ -1464,7 +1474,14 @@ def write_iceberg(
             pvals = {n: _typed(segs[n], t) for n, t in pfields}
         else:
             pvals = {
-                fl["name"]: _typed(segs[f"__tx_{fl['name']}"], fl["avro"])
+                fl["name"]: _typed(
+                    segs[
+                        fl["source"]
+                        if fl["transform"] == "identity"
+                        else f"__tx_{fl['name']}"
+                    ],
+                    fl["avro"],
+                )
                 for fl in spec
             }
             pdir = os.sep.join(f"{fl['name']}={pvals[fl['name']]}" for fl in spec)
@@ -1789,7 +1806,7 @@ def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
             "create it with write_iceberg(..., format_version=2)"
         )
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
-    identity_spec = all(
+    has_identity = any(
         f.get("transform", "identity") == "identity" for f in spec_fields
     )
     sid = meta.get("current-snapshot-id")
@@ -1810,10 +1827,10 @@ def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
             )
     schema = _iceberg_schema_to_spark(meta["schema"])
     reader = spark.read.schema(schema)
-    if spec_fields and identity_spec:
-        # identity partitioning keeps the partition columns in the hive
+    if spec_fields and has_identity:
+        # identity fields keep their partition columns in the hive
         # dirs; basePath re-derives them so the predicate can reference
-        # them. Transform specs keep source columns in the data files —
+        # them. Transform fields keep source columns in the data files —
         # nothing to re-derive. Either way the delete rows key on
         # (file URI, position), which is partition-agnostic, so the
         # read side applies them unchanged.
@@ -3408,4 +3425,46 @@ def scan_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "sink_iceberg_mixed_spec",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt_seg,
+           (select count(*) from customer) as cnt_all,
+           {SUM_D.format('c_acctbal')} as sum_bal
+    from customer
+    where c_mktsegment = (select min(c_mktsegment) from customer)
+    """,
+)
+def sink_iceberg_mixed_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: MIXED identity+transform partition spec — the everyday
+    production shape (an identity dimension column plus a bucketed
+    key). Customers commit under ["c_mktsegment", "bucket(4,
+    c_custkey)"]: the identity column re-derives from its hive dir,
+    the bucket SOURCE column stays inside the data files, and each
+    r102 record carries both typed partition values. A
+    partition_filter on the identity source prunes to that segment's
+    files at the metadata level (asserted: strictly fewer input files
+    than the full scan), and the full read round-trips every row.
+    The oracle recomputes the pruned segment's count/sum plus the
+    total from the source."""
+    path = _fresh(_tmp("cust_iceberg_mixed"))
+    src = load(spark, sf_dir, "customer")
+    write_iceberg(
+        src, path, "overwrite",
+        partition_by=["c_mktsegment", "bucket(4, c_custkey)"],
+    )
+    full = read_iceberg(spark, path)
+    cnt_all = full.count()
+    assert cnt_all == src.count()
+    seg = src.agg(F.min("c_mktsegment")).first()[0]
+    pruned = read_iceberg(spark, path, partition_filter={"c_mktsegment": seg})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    return pruned.agg(
+        F.count(F.lit(1)).alias("cnt_seg"),
+        F.lit(cnt_all).cast("long").alias("cnt_all"),
+        dsum("c_acctbal").alias("sum_bal"),
     )

@@ -319,3 +319,58 @@ def test_roaring_codec_delta_framing(tmp_path):
     assert descs["f2"]["cardinality"] == 5000
     # and the resolver round-trips the z85 uuid back to the file
     assert dn._dv_abs_path(str(tmp_path), d1) == sidecar
+
+
+def test_shallow_clone_partitioned(spark, tmp_path):
+    """Shallow clone of a PARTITIONED source: zero bytes copied,
+    partition columns served from the stored partitionValues (no
+    basePath across roots), clone-side appends and deletes never touch
+    the source, and clone VACUUM cannot reclaim source files."""
+    src_path = str(tmp_path / "clone_src")
+    dst_path = str(tmp_path / "clone_dst")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src, src_path, "overwrite", partition_by=["n_regionkey"])
+    res = dn.clone_delta(spark, src_path, dst_path)
+    assert res["files_referenced"] > 0
+    # no data parquet under the clone
+    assert not glob.glob(os.path.join(dst_path, "**", "part-*.parquet"),
+                         recursive=True)
+    back = dn.read_delta(spark, dst_path)
+    assert set(back.columns) == set(src.columns)
+    got = sorted(
+        (r["n_nationkey"], r["n_regionkey"])
+        for r in back.select("n_nationkey", "n_regionkey").collect()
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in src.select("n_nationkey", "n_regionkey").collect()
+    )
+    assert got == want
+    # partition_filter prunes from the clone's log
+    r0 = dn.read_delta(spark, dst_path, partition_filter={"n_regionkey": "0"})
+    assert sorted(r[0] for r in r0.select("n_nationkey").collect()) == sorted(
+        r[0] for r in src.where("n_regionkey = 0").select("n_nationkey").collect()
+    )
+    # clone-side append lands only in the clone
+    extra = spark.createDataFrame([(100, "XANADU", 0)], back.schema)
+    dn.write_delta(extra, dst_path, "append", partition_by=["n_regionkey"])
+    assert dn.read_delta(spark, dst_path).count() == 26
+    assert dn.read_delta(spark, src_path).count() == 25
+    # clone-side DV delete marks a SOURCE file's row without touching it
+    src_files = set(
+        glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    )
+    dn.delete_delta(spark, dst_path, "n_nationkey = 7")
+    assert dn.read_delta(spark, dst_path).count() == 25
+    assert dn.read_delta(spark, src_path).count() == 25  # source intact
+    assert set(
+        glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    ) == src_files
+    # clone VACUUM walks only the clone dir: source files survive
+    dn.vacuum_delta(dst_path, retain_last=1)
+    assert set(
+        glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    ) == src_files
+    # OPTIMIZE of a partitioned clone gates loudly
+    with pytest.raises(NotImplementedError, match="partitioned shallow clone"):
+        dn.optimize_delta(spark, dst_path)

@@ -1028,7 +1028,9 @@ def test_shallow_clone_independence_and_safety(spark, tmp_path):
     assert read_delta(spark, src_p).count() == 25  # source files intact
     with pytest.raises(ValueError, match="already a Delta table"):
         clone_delta(spark, src_p, dst_p)
+    # partitioned sources clone too (details in
+    # tests/test_delta_dv.py::test_shallow_clone_partitioned)
     part_p = str(tmp_path / "src_part")
     write_delta(src, part_p, "overwrite", partition_by=["n_regionkey"])
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        clone_delta(spark, part_p, str(tmp_path / "dst2"))
+    clone_delta(spark, part_p, str(tmp_path / "dst2"))
+    assert read_delta(spark, str(tmp_path / "dst2")).count() == 25

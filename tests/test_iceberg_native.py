@@ -586,12 +586,6 @@ def test_partition_transform_table_roundtrip(spark, tmp_path):
     got = pruned.select("c_custkey").distinct().collect()
     assert all(1000 <= r[0] < 2000 for r in got)
 
-    # mixed identity + transform refuses
-    with pytest.raises(NotImplementedError, match="mixed identity"):
-        write_iceberg(
-            src, str(tmp_path / "ice_mixed"), "overwrite",
-            partition_by=["c_mktsegment", "bucket(4, c_custkey)"],
-        )
     # bucket on a double refuses
     with pytest.raises(TypeError, match="bucket source"):
         write_iceberg(
@@ -1243,3 +1237,55 @@ def test_changelog_overwrite_snapshot(spark, tmp_path):
         (0, "delete"), (1, "delete"), (2, "delete"),
         (5, "insert"), (6, "insert"), (7, "insert"),
     ]
+
+
+def test_mixed_identity_transform_spec_roundtrip(spark, tmp_path):
+    """MIXED identity+transform spec: the identity column re-derives
+    from its hive dir, the transform SOURCE column survives inside the
+    data files, r102 records carry both typed values, and pruning
+    works at both metadata levels on either field."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_mixed_spec")
+    src = load(spark, SF_DIR, "customer")
+    write_iceberg(
+        src, path, "overwrite",
+        partition_by=["c_mktsegment", "bucket(4, c_custkey)"],
+    )
+    meta = ice._read_metadata(path)
+    sfs = meta["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in sfs] == ["identity", "bucket[4]"]
+    snap = meta["snapshots"][-1]
+    for mf in ice._decode_avro_records(ice._resolve(path, snap["manifest-list"])):
+        for e in ice._decode_avro_records(ice._resolve(path, mf["manifest_path"])):
+            p = e["data_file"]["partition"]
+            assert isinstance(p["c_mktsegment"], str)
+            assert p["c_custkey_bucket"] in (0, 1, 2, 3)
+    full = read_iceberg(spark, path)
+    assert sorted(full.columns) == sorted(src.columns)
+    assert full.count() == src.count()
+    # exact value equality (identity col re-derived, source col in-file)
+    got = sorted(
+        (r["c_custkey"], r["c_mktsegment"])
+        for r in full.select("c_custkey", "c_mktsegment").collect()
+    )
+    want = sorted(
+        (r[0], r[1]) for r in src.select("c_custkey", "c_mktsegment").collect()
+    )
+    assert got == want
+    # prune on the identity source
+    seg = src.select("c_mktsegment").first()[0]
+    pruned = read_iceberg(spark, path, partition_filter={"c_mktsegment": seg})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.count() == src.where(F.col("c_mktsegment") == seg).count()
+    # prune on the bucket source (lossy: superset of matching files)
+    pruned2 = read_iceberg(spark, path, partition_filter={"c_custkey": 17})
+    assert 0 < len(pruned2.inputFiles()) < len(full.inputFiles())
+    assert pruned2.where("c_custkey = 17").count() == 1
+    # appends keep the spec; the table stays readable
+    write_iceberg(
+        src.limit(5).withColumn("c_custkey", F.col("c_custkey") + 1000000),
+        path, "append",
+        partition_by=["c_mktsegment", "bucket(4, c_custkey)"],
+    )
+    assert read_iceberg(spark, path).count() == src.count() + 5
