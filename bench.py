@@ -146,6 +146,13 @@ def main() -> None:
         replan_total += replan_times[name]
 
     total = round(sum(times.values()), 4)
+    # Replan budget (VERDICT r6 "Next round" §5): cold-plan cost grows
+    # with query complexity, not registry size (closures are built per
+    # call), but the suite's replan total is the closest thing to a
+    # planning-regression ceiling — stamp it against a hard budget so
+    # a blowup is machine-visible in BENCH_r{N}, not just prose.
+    REPLAN_BUDGET_SEC = 20.0
+    replan_ok = replan_total < REPLAN_BUDGET_SEC
     baseline_total = round(
         sum(BASELINE_WARM_MS[n] for n in names if n in BASELINE_WARM_MS) / 1000, 4
     )
@@ -171,6 +178,8 @@ def main() -> None:
                 "sf": float(sf),
                 "n_queries": len(names),
                 "replan_total_sec": round(replan_total, 4),
+                "replan_budget_sec": REPLAN_BUDGET_SEC,
+                "replan_within_budget": replan_ok,
                 "replan_queries": replan_times,
                 "baseline_warm_total_sec": baseline_total,
                 "suite_ratio_vs_baseline": round(total / baseline_total, 4)
@@ -213,6 +222,7 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(names),
         "replan_total_sec": round(replan_total, 2),
+        "replan_within_budget": replan_ok,
         "baseline_warm_total_sec": baseline_total,
         "suite_ratio_vs_baseline": payload["suite_ratio_vs_baseline"],
         "load_1min": load_1min,
