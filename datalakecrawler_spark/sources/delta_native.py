@@ -924,6 +924,33 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     )
     if not matched:
         return {"version": version, "rows_deleted": 0, "files_touched": 0}
+    actions, stats = _dv_delete_actions(path, active, matched, uri_to_rel)
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "timestamp": 0,
+            }
+        }
+    )
+    new_version = version + 1
+    _publish_commit(path, new_version, actions)
+    return {"version": new_version, "rows_deleted": stats["n_deleted"], **{
+        k: v for k, v in stats.items() if k != "n_deleted"
+    }}
+
+
+def _dv_delete_actions(
+    path: str,
+    active: dict[str, dict],
+    matched: list,
+    uri_to_rel: dict[str, str],
+) -> tuple[list[dict], dict]:
+    """The DV commit assembly shared by DELETE and UPDATE: merge the
+    matched (file URI, positions) groups with any existing bitmaps,
+    drop fully-dead files to bare removes, write one sidecar, and
+    return ([protocol + remove/add actions], stats)."""
     new_positions: dict[str, list[int]] = {}
     fully_dead: list[str] = []
     n_deleted = 0
@@ -934,9 +961,11 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         old_dv = active[rel].get("deletionVector")
         if old_dv:
             merged = sorted(set(merged) | set(_dv_positions(path, old_dv)))
-        stats = active[rel].get("stats")
+        stats_json = active[rel].get("stats")
         num_records = (
-            json.loads(stats).get("numRecords") if isinstance(stats, str) else None
+            json.loads(stats_json).get("numRecords")
+            if isinstance(stats_json, str)
+            else None
         )
         if num_records is not None and len(merged) >= num_records:
             fully_dead.append(rel)
@@ -969,23 +998,144 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
                     }
                 }
             )
-    actions.append(
-        {
-            "commitInfo": {
-                "operation": "DELETE",
-                "operationParameters": {"predicate": predicate},
-                "timestamp": 0,
-            }
-        }
-    )
-    new_version = version + 1
-    _publish_commit(path, new_version, actions)
-    return {
-        "version": new_version,
-        "rows_deleted": n_deleted,
+    return actions, {
+        "n_deleted": n_deleted,
         "files_touched": len(new_positions) + len(fully_dead),
         "files_removed_entirely": len(fully_dead),
     }
+
+
+def _write_cdc(path: str, cdf: DataFrame, version: int) -> list[dict]:
+    """Write a commit's row-level change record as _change_data/ files
+    and return its cdc actions (dataChange=false, so snapshot readers
+    skip them while read_delta_changes serves them verbatim)."""
+    cdc_stage = os.path.join(
+        path, f"_stage-{version:020d}-{uuid.uuid4().hex[:8]}-cdc"
+    )
+    cdf.write.mode("overwrite").parquet(cdc_stage)
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    cdc_actions: list[dict] = []
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(cdc_stage, "part-*.parquet")))
+    ):
+        rel = os.path.join(
+            "_change_data",
+            f"cdc-{version:05d}-{i:05d}-{uuid.uuid4().hex[:8]}.parquet",
+        )
+        os.replace(f, os.path.join(path, rel))
+        cdc_actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "dataChange": False,
+                }
+            }
+        )
+    shutil.rmtree(cdc_stage)
+    return cdc_actions
+
+
+def update_delta(
+    spark: SparkSession, path: str, predicate: str, assignments: dict[str, str]
+) -> dict:
+    """Row-level UPDATE via DELETION VECTORS: rows matching
+    ``predicate`` are DV-marked deleted in place (zero rewrite of the
+    untouched rows' files) and their updated images — ``assignments``
+    maps column → SQL expression over the OLD row — append as new
+    files. This is how DV-native engines run UPDATE on 100 TB tables:
+    cost is O(matched rows), never a copy-on-write of every touched
+    file. The commit also ships the protocol's Change Data Feed record
+    (update_preimage/update_postimage under a cdc action), so
+    ``read_delta_changes`` serves the row-level update exactly.
+    Updated rows that move partitions land in their new hive dirs with
+    correct partitionValues. Column-mapped tables gate (as DELETE)."""
+    from pyspark.sql import functions as F
+
+    from datalakecrawler_spark.sources.iceberg_native import _spark_file_uri
+
+    (
+        active,
+        schema_string,
+        version,
+        partition_columns,
+        conf,
+        _protocol,
+    ) = _replay_full(path, None)
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError(
+            "UPDATE on a column-mapped table is not wired (see DELETE)"
+        )
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    data_cols = [f.name for f in schema.fields]
+    bad = sorted(set(assignments) - set(data_cols))
+    if bad:
+        raise ValueError(f"assignments to unknown columns {bad}")
+    uri_to_rel = {
+        _spark_file_uri(os.path.abspath(os.path.join(path, rel))): rel
+        for rel in active
+    }
+    cur = _scan_active(
+        spark, path, active, schema, partition_columns, keep_rowmeta=True
+    )
+    matched_rows = cur.where(predicate).persist()
+    try:
+        by_file = (
+            matched_rows.groupBy("__dlc_file_uri")
+            .agg(F.sort_array(F.collect_list("__dlc_row_pos")).alias("pos"))
+            .collect()
+        )
+        if not by_file:
+            return {"version": version, "rows_updated": 0, "files_touched": 0}
+        old_rows = matched_rows.select(*data_cols)
+        new_rows = matched_rows.select(
+            *[
+                F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+                for c in data_cols
+            ]
+        )
+        new_version = version + 1
+        stage = os.path.join(
+            path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}"
+        )
+        w = new_rows.write.mode("overwrite")
+        if partition_columns:
+            w = w.partitionBy(*partition_columns)
+        w.parquet(stage)
+        adds = _stage_to_adds(path, stage, new_version, partition_columns, True)
+        shutil.rmtree(stage)
+        cdf = old_rows.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            new_rows.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        cdc_actions = _write_cdc(path, cdf, new_version)
+        dv_actions, stats = _dv_delete_actions(path, active, by_file, uri_to_rel)
+        actions = cdc_actions + dv_actions + adds
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "UPDATE",
+                    "operationParameters": {
+                        "predicate": predicate,
+                        "assignments": json.dumps(
+                            dict(sorted(assignments.items()))
+                        ),
+                    },
+                    "timestamp": 0,
+                }
+            }
+        )
+        _publish_commit(path, new_version, actions)
+        return {
+            "version": new_version,
+            "rows_updated": stats["n_deleted"],
+            "files_touched": stats["files_touched"],
+            "files_added": len(adds),
+        }
+    finally:
+        matched_rows.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1838,27 +1988,7 @@ def merge_delta(
         )
     else:
         cdf = changes.withColumn("_change_type", F.lit("insert"))
-    cdc_stage = stage + "-cdc"
-    cdf.write.mode("overwrite").parquet(cdc_stage)
-    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
-    cdc_actions: list[dict] = []
-    for i, f in enumerate(sorted(glob.glob(os.path.join(cdc_stage, "part-*.parquet")))):
-        rel = os.path.join(
-            "_change_data",
-            f"cdc-{new_version:05d}-{i:05d}-{uuid.uuid4().hex[:8]}.parquet",
-        )
-        os.replace(f, os.path.join(path, rel))
-        cdc_actions.append(
-            {
-                "cdc": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(path, rel)),
-                    "dataChange": False,
-                }
-            }
-        )
-    shutil.rmtree(cdc_stage)
+    cdc_actions = _write_cdc(path, cdf, new_version)
 
     actions: list[dict] = cdc_actions + [
         {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
@@ -3296,6 +3426,58 @@ def sink_delta_clone_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.lit(n_copied).cast("int").alias("files_copied"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "sink_delta_update_dv",
+    group="A",
+    oracle=f"""
+    with updated as (
+      select o_orderkey, o_orderstatus,
+             case when o_orderpriority = '1-URGENT'
+                  then o_totalprice * 1.1 else o_totalprice end as price,
+             case when o_orderpriority = '1-URGENT'
+                  then 'ESCALATED' else o_orderpriority end as prio
+      from orders
+    )
+    select prio, count(*) as cnt, {SUM_D.format('price')} as sum_price
+    from updated group by prio
+    """,
+)
+def sink_delta_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: row-level UPDATE via deletion vectors. Every urgent order
+    escalates (priority relabeled, price * 1.1) in ONE commit that
+    DV-marks the old images in their untouched files and appends only
+    the updated rows — O(matched rows), never a copy-on-write of the
+    touched files (asserted: the original data files all remain on
+    disk). The commit ships update_preimage/update_postimage cdc files,
+    asserted to pair 1:1 with the matched rows. The oracle recomputes
+    the post-update table from the source."""
+    path = _fresh(_tmp("orders_delta_upd"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.repartition(4), path, "overwrite")
+    before = set(glob.glob(os.path.join(path, "part-*.parquet")))
+    res = update_delta(
+        spark, path, "o_orderpriority = '1-URGENT'",
+        {
+            "o_totalprice": "o_totalprice * 1.1",
+            "o_orderpriority": "'ESCALATED'",
+        },
+    )
+    assert res["rows_updated"] > 0, res
+    assert before <= set(glob.glob(os.path.join(path, "part-*.parquet")))
+    ch = read_delta_changes(spark, path, from_version=0)
+    pre = ch.where("_change_type = 'update_preimage'").count()
+    post = ch.where("_change_type = 'update_postimage'").count()
+    assert pre == post == res["rows_updated"], (pre, post, res)
+    return (
+        read_delta(spark, path)
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
             F.count(F.lit(1)).alias("cnt"),
             dsum("o_totalprice").alias("sum_price"),
         )

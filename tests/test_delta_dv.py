@@ -374,3 +374,55 @@ def test_shallow_clone_partitioned(spark, tmp_path):
     # OPTIMIZE of a partitioned clone gates loudly
     with pytest.raises(NotImplementedError, match="partitioned shallow clone"):
         dn.optimize_delta(spark, dst_path)
+
+
+def test_update_via_dv_and_cdf(spark, table):
+    """UPDATE = DV-delete the old images in place + append the new
+    ones; untouched rows' files are never rewritten; CDF serves
+    update_preimage/update_postimage pairs."""
+    path, _ = table
+    before = _data_files(path)
+    res = dn.update_delta(
+        spark, path, "n_nationkey in (3, 8)",
+        {"n_name": "upper(concat(n_name, '_v2'))", "n_regionkey": "n_regionkey + 10"},
+    )
+    assert res["rows_updated"] == 2 and res["files_added"] >= 1
+    # original files untouched; only new appended files + sidecar
+    assert set(before) <= set(_data_files(path))
+    got = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in dn.read_delta(spark, path).collect()
+    }
+    assert len(got) == 25
+    assert got[3][0].endswith("_V2") and got[3][1] >= 10
+    assert got[8][0].endswith("_V2")
+    assert not got[5][0].endswith("_V2")
+    # CDF: exactly one pre+post pair per updated row
+    ch = dn.read_delta_changes(spark, path, from_version=0)
+    rows = sorted(
+        (r["n_nationkey"], r["_change_type"]) for r in ch.collect()
+    )
+    assert rows == [
+        (3, "update_postimage"), (3, "update_preimage"),
+        (8, "update_postimage"), (8, "update_preimage"),
+    ]
+    # time travel pre-update
+    assert not any(
+        r["n_name"].endswith("_V2")
+        for r in dn.read_delta(spark, path, version=0).collect()
+    )
+    # no-op update commits nothing
+    res2 = dn.update_delta(spark, path, "n_nationkey = 999", {"n_name": "'X'"})
+    assert res2["rows_updated"] == 0 and res2["version"] == res["version"]
+
+
+def test_update_moves_rows_across_partitions(spark, tmp_path):
+    path = str(tmp_path / "dv_upd_part")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src, path, "overwrite", partition_by=["n_regionkey"])
+    dn.update_delta(
+        spark, path, "n_nationkey = 2", {"n_regionkey": "99"}
+    )
+    moved = dn.read_delta(spark, path, partition_filter={"n_regionkey": "99"})
+    assert [r["n_nationkey"] for r in moved.collect()] == [2]
+    assert dn.read_delta(spark, path).count() == 25
