@@ -41,11 +41,14 @@ to data files with a STRICTLY smaller sequence number (per-file
 sequence numbers broadcast in from the manifests — the spec's
 sequencing rule, so a delete never erases rows appended after it).
 Deleting k rows costs O(k), never a copy-on-write rewrite. Both
-delete flavors work on partitioned tables, and rewrite_manifests
-passes delete manifests through with explicit per-entry sequence
-numbers. Honest gates that remain: partition-scoped equality delete
-files (ours are global, the common engine output) and format v3+
-raise with the exact missing capability; the type mapping covers the scalar
+delete flavors work on partitioned tables — equality deletes GLOBAL
+by default or PARTITION-SCOPED via ``partition_scope`` (the r102
+tuple recorded in the delete manifest entry, applied only to that
+partition's files) — and rewrite_manifests passes delete manifests
+through with explicit per-entry sequence numbers. Honest gates that
+remain: partition-scoped deletes under transform spec fields, and
+format v3+ raises with the exact missing capability; the type
+mapping covers the scalar
 surface + date/timestamp + decimal(p,s) (exact, enforced on append),
 fixed[N]→binary and uuid→string (the lossless Spark projections), AND
 nested struct/list/map (recursive spec JSON with schema-unique
@@ -219,14 +222,17 @@ def _manifest_entry_schema_v2_seq(
     return s
 
 
-def _manifest_entry_schema_v2_eq() -> dict:
+def _manifest_entry_schema_v2_eq(
+    pfields: list[tuple[str, str]] | None = None
+) -> dict:
     """Entry schema for EQUALITY-delete manifests: the data_file record
     gains the spec's ``equality_ids`` (field-id 135) — the schema field
     ids whose values identify deleted rows. Kept as a separate schema
     (Avro files embed their writer schema, so manifests of different
     shapes coexist in one table) so data/positional manifests stay
-    byte-identical to before."""
-    s = _manifest_entry_schema_v2()
+    byte-identical to before. ``pfields`` types the r102 partition
+    record for PARTITION-SCOPED delete files."""
+    s = _manifest_entry_schema_v2(pfields)
     s["fields"][2]["type"]["fields"].append(
         {
             "name": "equality_ids",
@@ -637,14 +643,8 @@ def read_iceberg(
         raise ValueError(f"snapshot {sid} not in table (have {sorted(snaps)})")
     snap = snaps[sid]
     read_pfields = _spec_avro_types(meta)
-    files, delete_files, eq_deletes, data_seq = _resolve_state(
-        path, snap, tfilter, read_pfields
-    )
     return _scan_state(
-        spark,
-        path,
-        meta,
-        (files, delete_files, eq_deletes, data_seq),
+        spark, path, meta, _resolve_state(path, snap, tfilter, read_pfields)
     )
 
 
@@ -659,8 +659,10 @@ def _resolve_state(
     {data file: sequence number}). Driver-side, O(manifests)."""
     files: list[str] = []
     delete_files: list[str] = []
-    eq_deletes: list[tuple[str, int]] = []  # (file, delete sequence number)
+    # (file, delete sequence number, partition-scope JSON or None)
+    eq_deletes: list[tuple[str, int, str | None]] = []
     data_seq: dict[str, int] = {}  # data file → data sequence number
+    data_part: dict[str, str] = {}  # data file → partition record JSON
     for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
         if mf.get("content", 0) == 1:
             # v2 DELETE manifest: its entries name delete files, not
@@ -672,7 +674,14 @@ def _resolve_state(
                     continue
                 rec = entry["data_file"]
                 if rec.get("content") == _DF_CONTENT_EQ_DELETES:
-                    eq_deletes.append((_resolve(path, rec["file_path"]), mf_seq))
+                    scope = rec.get("partition") or {}
+                    eq_deletes.append(
+                        (
+                            _resolve(path, rec["file_path"]),
+                            mf_seq,
+                            json.dumps(scope, sort_keys=True) if scope else None,
+                        )
+                    )
                 else:
                     delete_files.append(_resolve(path, rec["file_path"]))
             continue
@@ -698,7 +707,10 @@ def _resolve_state(
             # manifest's (the spec's null-inheritance rule)
             e_seq = entry.get("sequence_number")
             data_seq[fabs] = e_seq if e_seq is not None else mf_seq
-    return files, delete_files, eq_deletes, data_seq
+            data_part[fabs] = json.dumps(
+                df_rec.get("partition") or {}, sort_keys=True
+            )
+    return files, delete_files, eq_deletes, data_seq, data_part
 
 
 def _scan_state(
@@ -715,7 +727,7 @@ def _scan_state(
     unresolved file URI). ``files_subset`` restricts the scan to those
     data files — the changelog reader's handle for per-snapshot
     file-level diffs."""
-    files, delete_files, eq_deletes, data_seq = state
+    files, delete_files, eq_deletes, data_seq, data_part = state
     if files_subset is not None:
         files = [f for f in files if f in files_subset]
         data_seq = {f: s for f, s in data_seq.items() if f in files_subset}
@@ -796,8 +808,11 @@ def _scan_state(
         from pyspark.sql import functions as _F
 
         seq_df = spark.createDataFrame(
-            [(_spark_file_uri(p), int(s)) for p, s in data_seq.items()],
-            "__dlc_file_uri string, __dlc_data_seq long",
+            [
+                (_spark_file_uri(p), int(s), data_part.get(p, "{}"))
+                for p, s in data_seq.items()
+            ],
+            "__dlc_file_uri string, __dlc_data_seq long, __dlc_part string",
         )
         out = out.join(_F.broadcast(seq_df), "__dlc_file_uri", "left")
         out = out.withColumn(
@@ -819,16 +834,23 @@ def _scan_state(
                 ).cast("long"),
             ).otherwise(_F.col("__dlc_data_seq")),
         )
-        for i, (dfile, dseq) in enumerate(sorted(eq_deletes)):
+        for i, (dfile, dseq, scope) in enumerate(
+            sorted(eq_deletes, key=lambda t: (t[0], t[1]))
+        ):
             dels = spark.read.parquet(dfile)
             cond = _F.col("__dlc_data_seq") < _F.lit(int(dseq))
+            if scope is not None:
+                # partition-SCOPED delete file (spec: a delete file
+                # written under a partition spec applies only to that
+                # partition's data files)
+                cond = cond & (_F.col("__dlc_part") == _F.lit(scope))
             for c in dels.columns:
                 cond = cond & out[c].eqNullSafe(_F.col(f"__dlc_eq{i}_{c}"))
             dels = dels.select(
                 *[_F.col(c).alias(f"__dlc_eq{i}_{c}") for c in dels.columns]
             )
             out = out.join(_F.broadcast(dels), cond, "left_anti")
-        out = out.drop("__dlc_data_seq")
+        out = out.drop("__dlc_data_seq", "__dlc_part")
     if delete_files or eq_deletes:
         out = out.drop("__dlc_file_uri")
     return out
@@ -963,8 +985,8 @@ def read_iceberg_changelog(
     prev_state = _resolve_state(path, by_id[chain[0]])
     for sid in chain[1:]:
         cur_state = _resolve_state(path, by_id[sid])
-        p_files, p_dels, p_eq, p_seq = prev_state
-        c_files, c_dels, c_eq, _c_seq = cur_state
+        p_files, p_dels, p_eq, p_seq, p_part = prev_state
+        c_files, c_dels, c_eq, _c_seq, _c_part = cur_state
         affected = (set(c_files) ^ set(p_files))
         new_pos = sorted(set(c_dels) - set(p_dels))
         if new_pos:
@@ -977,10 +999,15 @@ def read_iceberg_changelog(
                 .collect()
             )
             affected |= {_uri_to_fs(r[0]) for r in refs}
-        for _dfile, dseq in set(c_eq) - set(p_eq):
+        for _dfile, dseq, scope in set(c_eq) - set(p_eq):
             # strict sequencing: an equality delete can only touch
-            # files committed strictly before it
-            affected |= {f for f, s in p_seq.items() if s < dseq}
+            # files committed strictly before it; a partition-scoped
+            # delete narrows further to its own partition's files
+            affected |= {
+                f
+                for f, s in p_seq.items()
+                if s < dseq and (scope is None or p_part.get(f) == scope)
+            }
         if not affected:
             prev_state = cur_state
             continue
@@ -1937,7 +1964,10 @@ def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
 
 
 def add_equality_deletes(
-    spark: SparkSession, path: str, deletes: DataFrame
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    partition_scope: dict | None = None,
 ) -> dict:
     """Commit a format-v2 EQUALITY-DELETE snapshot: every current or
     FUTURE-read row whose values on ``deletes``' columns equal some
@@ -1954,14 +1984,17 @@ def add_equality_deletes(
     records the spec's ``equality_ids`` (field-id 135) naming the
     schema fields.
 
-    Partitioned tables take GLOBAL equality deletes (the spec's
-    unpartitioned-spec delete files, which apply across every
-    partition): the delete file carries no partition scoping and the
-    read applies it to all data files below its sequence number —
-    including under partition-filtered scans, where the anti join
-    simply runs over the pruned file set. Partition-SCOPED delete
-    files (one per partition, prunable with the data) are the
-    remaining write-side optimization, not a correctness gap."""
+    Partitioned tables take GLOBAL equality deletes by default (the
+    spec's unpartitioned-spec delete files, applying across every
+    partition). ``partition_scope={col: value}`` instead commits a
+    PARTITION-SCOPED delete file (the spec's partitioned delete): its
+    manifest entry records the typed r102 partition tuple, and the
+    read applies the delete ONLY to that partition's data files —
+    the shape per-partition streaming upsert writers emit, and the
+    one partition-level maintenance can prune with the data. The
+    scope must name every identity spec field; tables with transform
+    fields in the spec gate (their delete tuple would carry transform
+    values)."""
     meta = _read_metadata(path)
     if meta.get("format-version", 1) != 2:
         raise ValueError(
@@ -1977,6 +2010,33 @@ def add_equality_deletes(
             f"(have {sorted(by_name)})"
         )
     equality_ids = [by_name[c]["id"] for c in deletes.columns]
+
+    scope_pvals: dict = {}
+    scope_pfields: list[tuple[str, str]] = []
+    if partition_scope is not None:
+        spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+        non_identity = [
+            f["name"]
+            for f in spec_fields
+            if f.get("transform", "identity") != "identity"
+        ]
+        if non_identity:
+            raise NotImplementedError(
+                "partition-scoped equality deletes on transform spec "
+                f"fields {non_identity} are not wired (the delete tuple "
+                "would carry transform values); omit partition_scope for "
+                "a global delete"
+            )
+        spec_names = [f["name"] for f in spec_fields]
+        if sorted(partition_scope) != sorted(spec_names):
+            raise ValueError(
+                f"partition_scope must name every spec field {spec_names} "
+                f"(got {sorted(partition_scope)})"
+            )
+        scope_pfields = _spec_avro_types(meta)
+        for name, avro_t in scope_pfields:
+            v = partition_scope[name]
+            scope_pvals[name] = int(v) if avro_t in ("int", "long") else str(v)
 
     sid_cur = meta.get("current-snapshot-id")
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid_cur]
@@ -2009,7 +2069,10 @@ def add_equality_deletes(
     )
     with open(os.path.join(path, manifest_rel), "wb") as fh:
         w = AvroDatumFileWriter(
-            fh, _manifest_entry_schema_v2_eq(), "deflate", sync_seed=manifest_rel
+            fh,
+            _manifest_entry_schema_v2_eq(scope_pfields or None),
+            "deflate",
+            sync_seed=manifest_rel,
         )
         w.write_block(
             [
@@ -2020,7 +2083,7 @@ def add_equality_deletes(
                         "content": _DF_CONTENT_EQ_DELETES,
                         "file_path": rel,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": scope_pvals,
                         "record_count": n_deletes,
                         "file_size_in_bytes": os.path.getsize(
                             os.path.join(path, rel)
@@ -2070,12 +2133,15 @@ def add_equality_deletes(
     meta["current-snapshot-id"] = snapshot_id
     meta["last-sequence-number"] = seq
     _publish_metadata(path, version, meta)
-    return {
+    out = {
         "snapshot_id": snapshot_id,
         "delete_rows": n_deletes,
         "sequence_number": seq,
         "equality_ids": equality_ids,
     }
+    if scope_pvals:
+        out["partition_scope"] = scope_pvals
+    return out
 
 
 class IcebergCommitConflict(Exception):
@@ -3467,4 +3533,60 @@ def sink_iceberg_mixed_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt_seg"),
         F.lit(cnt_all).cast("long").alias("cnt_all"),
         dsum("c_acctbal").alias("sum_bal"),
+    )
+
+
+@register(
+    "scan_iceberg_eq_deletes_scoped",
+    group="A",
+    oracle=f"""
+    with live as (
+      select * from orders
+      where not (o_orderstatus = 'F' and o_orderkey % 3 = 0)
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from live group by o_orderstatus
+    """,
+)
+def scan_iceberg_eq_deletes_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: PARTITION-SCOPED equality deletes — the spec's
+    partitioned delete files, the shape per-partition streaming
+    writers emit. Orders commit identity-partitioned by o_orderstatus;
+    one delete file retracts every o_orderkey ≡ 0 (mod 3) SCOPED to
+    the 'F' partition: its manifest entry records the typed r102
+    tuple, and the read drops those keys ONLY in 'F' — the same keys
+    in every other partition stay live (exactly what the oracle
+    recomputes; a global delete would also erase them there). No data
+    file is rewritten (asserted)."""
+    path = _fresh(_tmp("orders_iceberg_eqdel_scoped"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src, path, "overwrite",
+        partition_by=["o_orderstatus"], format_version=2,
+    )
+    files_before = sorted(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+    )
+    res = add_equality_deletes(
+        spark, path,
+        src.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey").limit(100000),
+        partition_scope={"o_orderstatus": "F"},
+    )
+    assert res["partition_scope"] == {"o_orderstatus": "F"}, res
+    still = sorted(
+        f
+        for f in glob.glob(
+            os.path.join(path, "data", "**", "*.parquet"), recursive=True
+        )
+        if "eqdelete-" not in os.path.basename(f)
+    )
+    assert still == files_before, "scoped delete must not rewrite data files"
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
     )

@@ -1289,3 +1289,55 @@ def test_mixed_identity_transform_spec_roundtrip(spark, tmp_path):
         partition_by=["c_mktsegment", "bucket(4, c_custkey)"],
     )
     assert read_iceberg(spark, path).count() == src.count() + 5
+
+
+def test_partition_scoped_equality_deletes(spark, tmp_path):
+    """partition_scope commits the spec's PARTITIONED delete file: the
+    manifest entry carries the typed r102 tuple and the read applies
+    the delete ONLY to that partition — the same key surviving in
+    another partition stays live. Changelog scans narrow their
+    candidate set to the scoped partition."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_eqdel_scoped")
+    rows = spark.createDataFrame(
+        [(1, "A", 10), (1, "B", 20), (2, "A", 30), (2, "B", 40)],
+        "k int, p string, v int",
+    )
+    write_iceberg(rows, path, "overwrite", partition_by=["p"],
+                  format_version=2)
+    dels = spark.createDataFrame([(1,)], "k int")
+    res = ice.add_equality_deletes(
+        spark, path, dels, partition_scope={"p": "A"}
+    )
+    assert res["partition_scope"] == {"p": "A"}
+    got = sorted(
+        (r["k"], r["p"]) for r in read_iceberg(spark, path).collect()
+    )
+    # (1, 'B') SURVIVES: the delete is scoped to partition A
+    assert got == [(1, "B"), (2, "A"), (2, "B")]
+    # a second, GLOBAL delete of k=2 hits both partitions
+    ice.add_equality_deletes(spark, path, spark.createDataFrame([(2,)], "k int"))
+    got2 = sorted(
+        (r["k"], r["p"]) for r in read_iceberg(spark, path).collect()
+    )
+    assert got2 == [(1, "B")]
+    # changelog over the range reports exactly the right delete rows
+    snaps = [s["snapshot_id"] for s in ice.iceberg_snapshots(path)]
+    ch = ice.read_iceberg_changelog(spark, path, snaps[0])
+    chg = sorted(
+        (r["k"], r["p"], r["_change_type"]) for r in ch.collect()
+    )
+    assert chg == [
+        (1, "A", "delete"), (2, "A", "delete"), (2, "B", "delete"),
+    ]
+    # scope validation: incomplete or transform-spec scopes refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every spec field"):
+        ice.add_equality_deletes(spark, path, dels, partition_scope={})
+    p2 = str(tmp_path / "ice_eqdel_scoped_tx")
+    write_iceberg(rows, p2, "overwrite", partition_by=["bucket(4, k)"],
+                  format_version=2)
+    with _pytest.raises(NotImplementedError, match="transform spec"):
+        ice.add_equality_deletes(spark, p2, dels, partition_scope={"k_bucket": 1})
