@@ -26,13 +26,23 @@ of the same idea. Both share the scale story:
   pushdown, and pruning stay fully distributed and Catalyst-owned.
   Time travel = stop the replay at the requested version.
 
-Single-file parquet CHECKPOINTS are written (``checkpoint_delta``) and
-consumed: replay starts from the checkpoint state and touches only
-newer JSON commits, keeping metadata I/O O(active files) however long
-the commit history grows. Scope gates (honest, probed): multi-part
-checkpoints and reader versions > 1 (deletion vectors, column
-mapping) raise with the exact missing capability rather than
-returning wrong answers.
+Parquet CHECKPOINTS (single- and multi-part) are written
+(``checkpoint_delta``) and consumed: replay starts from the checkpoint
+state — including the table's protocol, configuration, and deletion
+vectors — and touches only newer JSON commits, keeping metadata I/O
+O(active files) however long the commit history grows.
+
+Reader v2/v3 features (r7): DELETION VECTORS (``delete_delta`` /
+``update_delta`` attach roaring bitmaps of doomed row indexes in
+protocol-shaped sidecars; scans apply them as one distributed
+``_metadata.row_index`` anti join; OPTIMIZE doubles as PURGE; CDF
+serves DV commits row-level) and COLUMN MAPPING mode=name
+(``write_delta_column_mapped`` stores physical ``col-<uuid>`` parquet
+names; ``rename_delta_column`` is a metadata-only commit). Scope gates
+(honest, probed): reader v3 features outside {deletionVectors,
+columnMapping, timestampNtz}, column-mapping mode=id, DELETE/UPDATE on
+column-mapped tables, and OPTIMIZE of partitioned shallow clones raise
+with the exact missing capability rather than returning wrong answers.
 """
 
 from __future__ import annotations
@@ -2227,10 +2237,11 @@ def read_delta_incremental(
                 a = json.loads(line)
                 if "remove" in a and a["remove"].get("dataChange", True):
                     raise NotImplementedError(
-                        f"version {v} removes data (rewrite/overwrite); "
-                        "row-level change feeds over rewrites need the CDF "
-                        "protocol feature (_change_data files), not emitted "
-                        "by this writer"
+                        f"version {v} removes data (rewrite/overwrite/"
+                        "delete); incremental append scans cover append-"
+                        "only ranges — use read_delta_changes, which "
+                        "serves cdc files, DV commits, and remove+add "
+                        "rewrites row-level"
                     )
                 if "add" in a and a["add"].get("dataChange", True):
                     rels.append(a["add"]["path"])

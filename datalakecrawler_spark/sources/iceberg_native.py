@@ -2144,6 +2144,194 @@ def add_equality_deletes(
     return out
 
 
+def upsert_iceberg(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_columns: list[str],
+) -> dict:
+    """UPSERT in ONE snapshot — the Flink-CDC commit shape the spec's
+    sequencing rules exist for: a single atomic commit carries BOTH an
+    equality-delete file retracting the change rows' keys AND the new
+    data files, all at sequence number N. The strict `data_seq <
+    delete_seq` rule makes it self-consistent: the delete erases prior
+    images (seq < N) while this commit's own files (seq == N) are
+    untouched — no intermediate snapshot ever exposes the
+    keys-deleted-but-not-reinserted state, and commit cost is O(change
+    rows) with ZERO existing files probed or rewritten. UPDATE is this
+    with transformed rows; the engine-side expression is
+    ``upsert(changes) := delete-by-key + append`` exactly as Iceberg's
+    streaming writers emit it. Unpartitioned v2 tables (the partitioned
+    upsert adds per-partition delete scoping — compose from
+    add_equality_deletes(partition_scope=...) + append today)."""
+    meta = _read_metadata(path)
+    if meta.get("format-version", 1) != 2:
+        raise ValueError(
+            "upsert requires a format-v2 table "
+            f"(this table is v{meta.get('format-version', 1)})"
+        )
+    if meta.get("partition-specs", [{}])[0].get("fields"):
+        raise NotImplementedError(
+            "single-snapshot upsert on partitioned tables is not wired; "
+            "compose add_equality_deletes(partition_scope=...) + append"
+        )
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    missing = [c for c in key_columns if c not in by_name]
+    if missing:
+        raise ValueError(f"key columns {missing} not in the table schema")
+    if set(changes.columns) != set(by_name):
+        raise ValueError(
+            f"changes schema {sorted(changes.columns)} != table schema "
+            f"{sorted(by_name)}"
+        )
+    equality_ids = [by_name[c]["id"] for c in key_columns]
+    sid_cur = meta.get("current-snapshot-id")
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid_cur]
+    manifests = _decode_avro_records(_resolve(path, snap["manifest-list"]))
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    snapshot_id = version
+    seq = meta.get("last-sequence-number", 0) + 1
+
+    # 1) the equality-delete file: the change rows' keys, O(changes)
+    keys = changes.select(*key_columns).distinct()
+    stage = os.path.join(path, f"_stage-upsert-{snapshot_id}")
+    keys.orderBy(*key_columns).coalesce(1).write.mode("overwrite").parquet(
+        stage
+    )
+    (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+    del_rel = os.path.join("data", f"eqdelete-{snapshot_id:05d}.parquet")
+    os.replace(part, os.path.join(path, del_rel))
+    shutil.rmtree(stage)
+    import pyarrow.parquet as _pq
+
+    n_keys = _pq.ParquetFile(os.path.join(path, del_rel)).metadata.num_rows
+
+    # 2) the new data files (distributed write, linked under data/)
+    changes.write.mode("overwrite").parquet(stage)
+    data_entries = []
+    n_rows = 0
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
+        rel = os.path.join("data", f"{snapshot_id:05d}-{i:05d}.parquet")
+        os.replace(f, os.path.join(path, rel))
+        n = _pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        n_rows += n
+        data_entries.append(
+            {
+                "status": _ST_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": _DF_CONTENT_DATA,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
+                    "block_size_in_bytes": 67108864,
+                },
+            }
+        )
+    shutil.rmtree(stage)
+
+    # 3) two manifests, one snapshot: data (content=0) + deletes
+    # (content=1), both at sequence N
+    data_mf_rel = os.path.join("metadata", f"manifest-{snapshot_id:05d}.avro")
+    with open(os.path.join(path, data_mf_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_entry_schema_v2(), "deflate", sync_seed=data_mf_rel
+        )
+        w.write_block(data_entries)
+    del_mf_rel = os.path.join(
+        "metadata", f"manifest-{snapshot_id:05d}-eqdeletes.avro"
+    )
+    with open(os.path.join(path, del_mf_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_entry_schema_v2_eq(), "deflate", sync_seed=del_mf_rel
+        )
+        w.write_block(
+            [
+                {
+                    "status": _ST_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": _DF_CONTENT_EQ_DELETES,
+                        "file_path": del_rel,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_keys,
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.join(path, del_rel)
+                        ),
+                        "block_size_in_bytes": 67108864,
+                        "equality_ids": equality_ids,
+                    },
+                }
+            ]
+        )
+
+    def _mf(relname: str, content: int, n_files: int, rows: int) -> dict:
+        return {
+            "manifest_path": relname,
+            "manifest_length": os.path.getsize(os.path.join(path, relname)),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": n_files,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "partitions": None,
+            "added_rows_count": rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    for m in manifests:
+        m.setdefault("partitions", None)
+        m.setdefault("content", 0)
+        m.setdefault("sequence_number", None)
+        m.setdefault("min_sequence_number", None)
+    ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
+    with open(os.path.join(path, ml_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_file_schema_v2(), "deflate", sync_seed=ml_rel
+        )
+        w.write_block(
+            manifests
+            + [
+                _mf(data_mf_rel, 0, len(data_entries), n_rows),
+                _mf(del_mf_rel, 1, 1, n_keys),
+            ]
+        )
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 0,
+            "manifest-list": ml_rel,
+            "sequence-number": seq,
+            "summary": {"operation": "overwrite"},
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    _publish_metadata(path, version, meta)
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_upserted": n_rows,
+        "keys_retracted": n_keys,
+        "sequence_number": seq,
+        "data_files": len(data_entries),
+    }
+
+
 class IcebergCommitConflict(Exception):
     """Another writer published this metadata version first. The data
     files and manifest Avro this commit wrote remain valid; re-read
@@ -3589,4 +3777,45 @@ def scan_iceberg_eq_deletes_scoped(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("cnt"),
             dsum("o_totalprice").alias("sum_price"),
         )
+    )
+
+
+@register(
+    "sink_iceberg_upsert",
+    group="A",
+    oracle=f"""
+    with latest as (
+      select o_orderkey, o_orderstatus,
+             case when o_orderstatus = 'P' then o_totalprice * 2
+                  else o_totalprice end as price
+      from orders
+    )
+    select o_orderstatus, count(*) as cnt, {SUM_D.format('price')} as sum_price
+    from latest group by o_orderstatus
+    """,
+)
+def sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: SINGLE-SNAPSHOT UPSERT — the Flink-CDC commit shape. The
+    full orders table commits at seq 1; one upsert then retracts every
+    'P' order BY KEY and reinserts it with doubled price, as ONE
+    snapshot carrying both the equality-delete manifest and the new
+    data manifest at seq 2. The strict sequencing rule makes the
+    commit self-consistent (its own files are untouched by its own
+    delete); no intermediate state is ever visible (asserted: exactly
+    2 snapshots), no existing file is probed or rewritten, and time
+    travel to seq 1 serves the original prices. The oracle recomputes
+    latest-wins from the source."""
+    path = _fresh(_tmp("orders_iceberg_upsert"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(src, path, "overwrite", format_version=2)
+    changes = src.where(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    res = upsert_iceberg(spark, path, changes, ["o_orderkey"])
+    assert res["keys_retracted"] > 0, res
+    assert len(iceberg_snapshots(path)) == 2
+    out = read_iceberg(spark, path)
+    assert out.count() == src.count()
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )

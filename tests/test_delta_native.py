@@ -599,7 +599,7 @@ def test_incremental_read_appends_only(spark, tmp_path):
         read_delta_incremental(spark, path, from_version=99)
     # a data-removing commit in range refuses
     write_delta(o.limit(10), path, "overwrite")  # v4 removes
-    with pytest.raises(NotImplementedError, match="CDF"):
+    with pytest.raises(NotImplementedError, match="read_delta_changes"):
         read_delta_incremental(spark, path, from_version=0)
 
 

@@ -1341,3 +1341,49 @@ def test_partition_scoped_equality_deletes(spark, tmp_path):
                   format_version=2)
     with _pytest.raises(NotImplementedError, match="transform spec"):
         ice.add_equality_deletes(spark, p2, dels, partition_scope={"k_bucket": 1})
+
+
+def test_upsert_single_snapshot(spark, tmp_path):
+    """upsert_iceberg commits retraction + reinsertion ATOMICALLY: one
+    snapshot, one sequence number, eq-delete applies to prior images
+    only (strict seq rule keeps this commit's own files), and time
+    travel never exposes a keys-deleted intermediate state."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_upsert")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src, path, "overwrite", format_version=2)
+    changes = (
+        src.where("n_nationkey in (2, 7)")
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_v2")))
+        .unionByName(
+            spark.createDataFrame([(100, "NEWLAND", 0)], src.schema)
+        )
+    )
+    res = ice.upsert_iceberg(spark, path, changes, ["n_nationkey"])
+    assert res["keys_retracted"] == 3 and res["rows_upserted"] == 3
+    snaps = ice.iceberg_snapshots(path)
+    assert len(snaps) == 2 and snaps[-1]["operation"] == "overwrite"
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_iceberg(spark, path).collect()
+    }
+    assert len(got) == 26
+    assert got[2].endswith("_v2") and got[7].endswith("_v2")
+    assert got[100] == "NEWLAND" and not got[3].endswith("_v2")
+    # a second upsert of the SAME key wins again (latest sequence)
+    ice.upsert_iceberg(
+        spark, path,
+        spark.createDataFrame([(2, "FINAL", 0)], src.schema),
+        ["n_nationkey"],
+    )
+    got2 = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_iceberg(spark, path).collect()
+    }
+    assert got2[2] == "FINAL" and len(got2) == 26
+    # time travel: snapshot 1 serves the original table untouched
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 25
+    # validation gates
+    with pytest.raises(ValueError, match="not in the table schema"):
+        ice.upsert_iceberg(spark, path, changes, ["nope"])
