@@ -40,7 +40,11 @@ the snapshot view (base ⟕ logs merged latest-wins by key, one
 distributed window — never a per-group driver loop) or the
 read-optimized view (bases only), and ``compact_hudi_mor`` folds log
 backlogs into new bases under a ``commit`` instant with original
-commit times preserved so incremental queries stay exact. Log payload
+commit times preserved so incremental queries stay exact. MoR DELETE
+(r7) appends ``_hoodie_is_deleted`` tombstone log rows — the public
+convention: the snapshot view drops tombstoned keys at merge,
+read-optimized serves them until compaction materializes the
+survivors (fully-emptied groups shadow with an empty base). Log payload
 container honesty: see the MoR section comment — plain parquet under
 spec-shaped names, not HoodieLogFormat framing (Spark's file index
 hard-filters the spec's dot-prefixed log names).
@@ -629,9 +633,11 @@ def read_hudi_incremental(
             for stats_list in meta["partitionToWriteStats"].values()
             for s in stats_list
         ]
-    out = spark.read.parquet(*sorted(files)).where(
-        F.col("_hoodie_commit_time") > from_instant
-    )
+    # mergeSchema: delete-tombstone log rows carry _hoodie_is_deleted
+    # and surface in the change stream as retraction records
+    out = spark.read.option("mergeSchema", "true").parquet(
+        *sorted(files)
+    ).where(F.col("_hoodie_commit_time") > from_instant)
     if to_instant is not None:
         out = out.where(F.col("_hoodie_commit_time") <= to_instant)
     keep = [c for c in out.columns if c not in _META_COLS] + [
@@ -877,9 +883,19 @@ def write_hudi_mor(
     ``.deltacommit`` instants; ``compact_hudi_mor`` folds logs into
     new bases under a ``.commit`` instant. Change keys must be unique
     per commit (the precombine step is the caller's, as with a Hudi
-    writer configured without a precombine field)."""
-    if op not in ("bulk_insert", "upsert"):
-        raise ValueError(f"op must be bulk_insert|upsert, got {op!r}")
+    writer configured without a precombine field).
+
+    ``delete`` appends TOMBSTONE log rows — Hudi's public
+    ``_hoodie_is_deleted`` convention: the key's meta columns plus a
+    true marker, data columns null. The snapshot view drops tombstoned
+    keys at merge; the read-optimized view serves bases only (deletes
+    become visible there after compaction, which materializes
+    survivors and drops the marker) — exactly the MoR latency/
+    freshness trade. Delete cost is O(keys): one log row per key, no
+    base file touched. Partitioned deletes carry the partition column
+    in the keys frame and are scoped to their own (key, partition)."""
+    if op not in ("bulk_insert", "upsert", "delete"):
+        raise ValueError(f"op must be bulk_insert|upsert|delete, got {op!r}")
     tdir = _timeline_dir(path)
     first = not os.path.isdir(tdir)
     os.makedirs(tdir, exist_ok=True)
@@ -942,6 +958,36 @@ def _write_hudi_mor_claimed(
     partition_by: str | None,
 ) -> str:
     spark = df.sparkSession
+    is_delete = op == "delete"
+    if is_delete:
+        # keys → tombstones: the table's data schema with nulls
+        # everywhere except the key (and partition) columns, plus the
+        # public _hoodie_is_deleted marker the merge reader drops on
+        slices0 = _mor_slices_at(path)
+        if not slices0:
+            raise ValueError("delete from an empty table")
+        if partition_by and partition_by not in df.columns:
+            raise ValueError(
+                "delete keys must carry the partition column "
+                f"{partition_by!r} (the contract is (key, partition))"
+            )
+        any_base = os.path.join(path, sorted(slices0.values(),
+                                             key=lambda v: v["base"])[0]["base"])
+        data_fields = [
+            f
+            for f in spark.read.parquet(any_base).schema.fields
+            if f.name not in _META_COLS
+        ]
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name == record_key
+                or (partition_by and f.name == partition_by)
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ]
+        ).withColumn("_hoodie_is_deleted", F.lit(True))
+        op = "upsert"  # tombstones append through the log-file path
     ppath_expr = (
         F.col(partition_by).cast("string") if partition_by else F.lit("")
     )
@@ -996,6 +1042,17 @@ def _write_hudi_mor_claimed(
             (r[0], r[1])
             for r in changes.select("__ppath", "__bucket").distinct().collect()
         }
+        if is_delete:
+            homeless = {
+                (pp, b)
+                for (pp, b) in affected
+                if (pp, _file_id(b)) not in slices
+            }
+            if homeless:
+                raise ValueError(
+                    "delete keys match no live file group "
+                    f"(e.g. {sorted(homeless)[:2]})"
+                )
         # update count: change keys already present in the affected
         # slices (bases + logs)
         old_files = [
@@ -1061,7 +1118,7 @@ def _write_hudi_mor_claimed(
         if per_partition and n_updates:
             first_pp = sorted(per_partition)[0]
             per_partition[first_pp][0]["numUpdateWrites"] = n_updates
-        op_type = "UPSERT"
+        op_type = "DELETE" if is_delete else "UPSERT"
     shutil.rmtree(os.path.join(path, f".stage-{instant}"))
     _publish_instant(
         path,
@@ -1116,7 +1173,15 @@ def compact_hudi_mor(spark: SparkSession, path: str, instant: str) -> dict:
             for (pp, fid), sl in sorted(with_logs.items())
             for rel in [sl["base"], *sl["logs"]]
         ]
-        merged = _latest_per_key(spark.read.parquet(*files))
+        merged = _latest_per_key(
+            spark.read.option("mergeSchema", "true").parquet(*files)
+        )
+        if "_hoodie_is_deleted" in merged.columns:
+            # compaction MATERIALIZES deletes: tombstoned keys drop out
+            # of the new bases and the marker column disappears
+            merged = merged.where(
+                ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
+            ).drop("_hoodie_is_deleted")
         # re-derive the group key from the meta columns; only the
         # physical file name moves (same rule as a CoW rewrite)
         merged = (
@@ -1150,6 +1215,43 @@ def compact_hudi_mor(spark: SparkSession, path: str, instant: str) -> dict:
                     "totalWriteBytes": os.path.getsize(os.path.join(path, rel)),
                 }
             )
+        # groups whose every key was tombstoned stage nothing — they
+        # still need a write stat and an EMPTY shadowing base, or the
+        # old slice (with its live rows) would stay current
+        staged_keys = {(pp, _file_id(b)) for pp, b, _ in staged}
+        emptied = sorted(set(with_logs) - staged_keys)
+        if emptied:
+            estage = os.path.join(path, f".stage-empty-{instant}")
+            merged.limit(0).drop("__bucket", "__ppath").coalesce(
+                1
+            ).write.mode("overwrite").parquet(estage)
+            (empty_part,) = glob.glob(os.path.join(estage, "part-*.parquet"))
+            for pp, fid in emptied:
+                bucket = int(fid.rsplit("-", 1)[1])
+                rel = os.path.join(
+                    pp, _base_file_name(bucket, instant)
+                ).lstrip("/")
+                os.makedirs(
+                    os.path.dirname(os.path.join(path, rel)) or path,
+                    exist_ok=True,
+                )
+                shutil.copyfile(empty_part, os.path.join(path, rel))
+                per_partition.setdefault(pp, []).append(
+                    {
+                        "fileId": fid,
+                        "path": rel,
+                        "prevCommit": with_logs[(pp, fid)]["base_instant"],
+                        "numWrites": 0,
+                        "numUpdateWrites": 0,
+                        "fileSizeInBytes": os.path.getsize(
+                            os.path.join(path, rel)
+                        ),
+                        "totalWriteBytes": os.path.getsize(
+                            os.path.join(path, rel)
+                        ),
+                    }
+                )
+            shutil.rmtree(estage)
         shutil.rmtree(os.path.join(path, f".stage-{instant}"))
         _publish_instant(
             path,
@@ -1216,7 +1318,16 @@ def _read_hudi_mor(
     ]
     if view == "read_optimized" or not logs:
         return spark.read.parquet(*bases).drop(*_META_COLS)
-    return _latest_per_key(spark.read.parquet(*bases, *logs)).drop(*_META_COLS)
+    # mergeSchema: delete-tombstone log files carry the extra
+    # _hoodie_is_deleted column; base rows read it as null (= live)
+    merged = _latest_per_key(
+        spark.read.option("mergeSchema", "true").parquet(*bases, *logs)
+    )
+    if "_hoodie_is_deleted" in merged.columns:
+        merged = merged.where(
+            ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
+        ).drop("_hoodie_is_deleted")
+    return merged.drop(*_META_COLS)
 
 
 # ---------------------------------------------------------------------------
@@ -1889,4 +2000,53 @@ def sink_hudi_savepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
         F.lit(res1["files_deleted"]).cast("int").alias("deleted_while_pinned"),
+    )
+
+
+@register(
+    "sink_hudi_mor_delete",
+    group="A",
+    oracle=f"""
+    with live as (
+      select * from orders
+      where o_orderstatus = 'F' and o_orderkey % 3 <> 0
+    ),
+    ro_before as (
+      select count(*) as cnt from orders where o_orderstatus = 'F'
+    )
+    select count(*) as cnt,
+           (select cnt from ro_before) as ro_cnt_before_compact,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from live
+    """,
+)
+def sink_hudi_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: MERGE_ON_READ DELETE via the public _hoodie_is_deleted
+    tombstone convention. The 'F' orders bulk-insert as MoR bases; a
+    delete of every o_orderkey ≡ 0 (mod 3) appends ONE tombstone log
+    row per key — no base file touched (cost O(keys), the MoR selling
+    point). The snapshot view merges the tombstones away; the
+    read-optimized view still serves ALL rows until compaction
+    (asserted, and its pre-compaction count rides in the result —
+    exactly the MoR freshness/latency trade); after compact_hudi_mor
+    both views agree and the marker column is gone from the new bases.
+    The oracle recomputes the survivors from the source."""
+    path = _fresh(_tmp("orders_hudi_mor_del"))
+    src = load(spark, sf_dir, "orders")
+    f_orders = src.where(F.col("o_orderstatus") == "F")
+    write_hudi_mor(f_orders, path, "o_orderkey", _T1, op="bulk_insert")
+    write_hudi_mor(
+        f_orders.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey"),
+        path, "o_orderkey", _T2, op="delete",
+    )
+    ro_before = read_hudi(spark, path, view="read_optimized").count()
+    assert ro_before == f_orders.count()  # bases untouched pre-compaction
+    compact_hudi_mor(spark, path, "19700101000000003")
+    snap = read_hudi(spark, path)
+    ro_after = read_hudi(spark, path, view="read_optimized")
+    assert ro_after.count() == snap.count()
+    return snap.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.lit(ro_before).cast("long").alias("ro_cnt_before_compact"),
+        dsum("o_totalprice").alias("sum_price"),
     )

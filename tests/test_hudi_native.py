@@ -636,3 +636,81 @@ def test_maintenance_report_survives_mor_tables(spark, tmp_path):
         r["dataset"]: r for r in table_maintenance_report(spark, lake).collect()
     }
     assert rep2["mor_tbl"]["recommendation"] == "clean"
+
+
+def test_mor_delete_tombstones_and_compaction(spark, tmp_path):
+    """MoR DELETE: tombstone log rows (_hoodie_is_deleted) hide keys in
+    the snapshot view while the read-optimized view still serves the
+    untouched bases; compaction materializes the deletes (marker gone,
+    survivors only); a later re-insert of a deleted key wins."""
+    import glob as _glob
+
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    path = str(tmp_path / "mor_del")
+    src = load(spark, SF_DIR, "nation")
+    hn.write_hudi_mor(src, path, "n_nationkey", _T1, op="bulk_insert")
+    bases_before = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    hn.write_hudi_mor(
+        src.where("n_nationkey in (2, 7)").select("n_nationkey"),
+        path, "n_nationkey", _T2, op="delete",
+    )
+    # no base touched; one tombstone log per affected group
+    assert sorted(
+        f for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if "logfile-" not in os.path.basename(f)
+    ) == bases_before
+    logs = _glob.glob(os.path.join(path, "logfile-*.parquet"))
+    assert logs
+    snap = hn.read_hudi(spark, path)
+    keys = sorted(r[0] for r in snap.select("n_nationkey").collect())
+    assert keys == sorted(set(range(25)) - {2, 7})
+    assert "_hoodie_is_deleted" not in snap.columns
+    # read-optimized still serves all 25 (deletes not yet compacted)
+    ro = hn.read_hudi(spark, path, view="read_optimized")
+    assert ro.count() == 25
+    # re-insert key 2: latest-wins over the tombstone
+    hn.write_hudi_mor(
+        src.where("n_nationkey = 2").withColumn("n_name", F.lit("BACK")),
+        path, "n_nationkey", "19700101000000003", op="upsert",
+    )
+    snap2 = {r["n_nationkey"]: r["n_name"]
+             for r in hn.read_hudi(spark, path).collect()}
+    assert snap2[2] == "BACK" and 7 not in snap2
+    # compaction materializes: marker gone from the new bases, RO view
+    # now agrees with the snapshot view
+    hn.compact_hudi_mor(spark, path, "19700101000000004")
+    ro2 = hn.read_hudi(spark, path, view="read_optimized")
+    got = sorted(r[0] for r in ro2.select("n_nationkey").collect())
+    assert got == sorted(set(range(25)) - {7})
+    import pyarrow.parquet as _pq
+
+    newest_base = max(
+        (f for f in _glob.glob(os.path.join(path, "*.parquet"))
+         if "logfile-" not in os.path.basename(f)),
+        key=os.path.getmtime,
+    )
+    assert "_hoodie_is_deleted" not in _pq.ParquetFile(newest_base).schema_arrow.names
+    # deletes of unknown groups refuse; bad op refuses
+    with pytest.raises(ValueError, match="op must be"):
+        hn.write_hudi_mor(src, path, "n_nationkey",
+                          "19700101000000005", op="nope")
+
+
+def test_mor_delete_emptied_group_shadows(spark, tmp_path):
+    """A group whose every key is tombstoned publishes an EMPTY
+    shadowing base at compaction — the old rows must not resurrect."""
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    path = str(tmp_path / "mor_del_empty")
+    rows = spark.createDataFrame([(4, 40), (5, 50)], "k int, v int")
+    # crc32 buckets: 4 -> 0, 5 -> 6 (distinct groups)
+    hn.write_hudi_mor(rows, path, "k", _T1, op="bulk_insert")
+    hn.write_hudi_mor(
+        spark.createDataFrame([(4,)], "k int"), path, "k", _T2, op="delete"
+    )
+    hn.compact_hudi_mor(spark, path, "19700101000000003")
+    got = [(r["k"], r["v"]) for r in hn.read_hudi(spark, path).collect()]
+    assert got == [(5, 50)]
+    ro = hn.read_hudi(spark, path, view="read_optimized")
+    assert [(r["k"], r["v"]) for r in ro.collect()] == [(5, 50)]
