@@ -719,6 +719,7 @@ def _scan_state(
     meta: dict,
     state,
     files_subset: set | None = None,
+    keep_rowmeta: bool = False,
 ) -> DataFrame:
     """Distributed scan of a resolved snapshot state with BOTH delete
     flavors applied (positional: one anti join on _metadata row
@@ -726,7 +727,9 @@ def _scan_state(
     the spec's strict sequence-number rule, failing CLOSED on any
     unresolved file URI). ``files_subset`` restricts the scan to those
     data files — the changelog reader's handle for per-snapshot
-    file-level diffs."""
+    file-level diffs; ``keep_rowmeta`` keeps __dlc_file_uri /
+    __dlc_row_pos for callers that need row addresses (delete
+    compaction)."""
     files, delete_files, eq_deletes, data_seq, data_part = state
     if files_subset is not None:
         files = [f for f in files if f in files_subset]
@@ -752,14 +755,14 @@ def _scan_state(
         # re-derive ONLY the identity columns.
         reader = reader.option("basePath", os.path.join(path, "data"))
     out = reader.parquet(*files)
-    if delete_files or eq_deletes:
+    if delete_files or eq_deletes or keep_rowmeta:
         # Capture the hidden _metadata struct ONCE, before any join or
         # projection — those no longer expose it, and both delete
         # flavors key off it.
         from pyspark.sql import functions as _F
 
         out = out.withColumn("__dlc_file_uri", _F.col("_metadata.file_path"))
-        if delete_files:
+        if delete_files or keep_rowmeta:
             out = out.withColumn("__dlc_row_pos", _F.col("_metadata.row_index"))
     # mixed specs: Spark appended the transform fields' dir values as
     # extra columns — not part of the committed schema, drop them
@@ -789,7 +792,9 @@ def _scan_state(
         )
         out = out.join(
             dels, ["__dlc_file_uri", "__dlc_row_pos"], "left_anti"
-        ).drop("__dlc_row_pos")
+        )
+        if not keep_rowmeta:
+            out = out.drop("__dlc_row_pos")
     if eq_deletes:
         # Equality deletes (content=2): a data row is deleted when its
         # values on the delete file's columns equal some delete row's
@@ -851,7 +856,7 @@ def _scan_state(
             )
             out = out.join(_F.broadcast(dels), cond, "left_anti")
         out = out.drop("__dlc_data_seq", "__dlc_part")
-    if delete_files or eq_deletes:
+    if (delete_files or eq_deletes) and not keep_rowmeta:
         out = out.drop("__dlc_file_uri")
     return out
 
@@ -2329,6 +2334,151 @@ def upsert_iceberg(
         "keys_retracted": n_keys,
         "sequence_number": seq,
         "data_files": len(data_entries),
+    }
+
+
+def compact_iceberg_deletes(spark: SparkSession, path: str) -> dict:
+    """MINOR COMPACTION of delete files: convert EQUALITY deletes to
+    POSITIONAL ones — the maintenance op engines run so the hot-path's
+    cheap value-based retractions don't pile up as per-scan broadcast
+    anti joins forever. One distributed pass resolves the rows the
+    equality deletes currently kill (scan without eq applied, minus
+    scan with eq applied, on row addresses only), merges them with any
+    existing positional pairs, and publishes ONE new delete manifest
+    replacing every old delete manifest — the next scan pays a single
+    (file, pos) anti join however many streaming deletes had
+    accumulated. Read results are bit-identical before and after (the
+    killed-row set is computed, not re-derived); data files are never
+    touched; superseded delete files age out with their snapshots."""
+    from pyspark.sql import functions as F
+
+    meta = _read_metadata(path)
+    sid = meta.get("current-snapshot-id")
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+    state = _resolve_state(path, snap)
+    files, pos_dels, eq_dels, data_seq, data_part = state
+    if not eq_dels:
+        return {"converted_rows": 0, "eq_delete_files_removed": 0}
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    snapshot_id = version
+    seq = meta.get("last-sequence-number", 0) + 1
+
+    # rows the equality deletes kill: alive without them, dead with
+    addr = ["__dlc_file_uri", "__dlc_row_pos"]
+    no_eq = _scan_state(
+        spark, path, meta,
+        (files, pos_dels, [], data_seq, data_part),
+        keep_rowmeta=True,
+    ).select(*addr)
+    full = _scan_state(spark, path, meta, state, keep_rowmeta=True).select(
+        *addr
+    )
+    killed = no_eq.exceptAll(full).select(
+        F.col("__dlc_file_uri").alias("file_path"),
+        F.col("__dlc_row_pos").alias("pos"),
+    )
+    if pos_dels:
+        killed = killed.unionByName(
+            spark.read.parquet(*pos_dels).select("file_path", "pos")
+        ).distinct()
+    stage = os.path.join(path, f"_stage-delcompact-{snapshot_id}")
+    killed.orderBy("file_path", "pos").write.mode("overwrite").parquet(stage)
+    entries = []
+    n_rows = 0
+    import pyarrow.parquet as _pq
+
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
+        rel = os.path.join("data", f"posdelete-{snapshot_id:05d}-{i:05d}.parquet")
+        os.replace(f, os.path.join(path, rel))
+        n = _pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        if n == 0:
+            os.remove(os.path.join(path, rel))
+            continue
+        n_rows += n
+        entries.append(
+            {
+                "status": _ST_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": _DF_CONTENT_POS_DELETES,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
+                    "block_size_in_bytes": 67108864,
+                },
+            }
+        )
+    shutil.rmtree(stage)
+
+    manifests = _decode_avro_records(_resolve(path, snap["manifest-list"]))
+    kept = [m for m in manifests if m.get("content", 0) != 1]
+    n_removed = len(manifests) - len(kept)
+    for m in kept:
+        m.setdefault("partitions", None)
+        m.setdefault("content", 0)
+        m.setdefault("sequence_number", None)
+        m.setdefault("min_sequence_number", None)
+    new_manifests = list(kept)
+    if entries:
+        mf_rel = os.path.join(
+            "metadata", f"manifest-{snapshot_id:05d}-posdeletes.avro"
+        )
+        with open(os.path.join(path, mf_rel), "wb") as fh:
+            w = AvroDatumFileWriter(
+                fh, _manifest_entry_schema_v2(), "deflate", sync_seed=mf_rel
+            )
+            w.write_block(entries)
+        new_manifests.append(
+            {
+                "manifest_path": mf_rel,
+                "manifest_length": os.path.getsize(os.path.join(path, mf_rel)),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "partitions": None,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
+    with open(os.path.join(path, ml_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_file_schema_v2(), "deflate", sync_seed=ml_rel
+        )
+        w.write_block(new_manifests)
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 0,
+            "manifest-list": ml_rel,
+            "sequence-number": seq,
+            "summary": {"operation": "replace"},
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    _publish_metadata(path, version, meta)
+    return {
+        "snapshot_id": snapshot_id,
+        "converted_rows": n_rows,
+        "eq_delete_files_removed": n_removed,
+        "pos_delete_files": len(entries),
     }
 
 
@@ -3818,4 +3968,77 @@ def sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert out.count() == src.count()
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "sink_iceberg_compact_deletes",
+    group="A",
+    oracle=f"""
+    with live as (
+      select * from orders where o_orderstatus = 'F'
+        and o_orderkey % 3 <> 0 and o_orderkey % 5 <> 0
+      union all
+      select * from orders where o_orderstatus = 'P'
+        and o_orderkey % 5 <> 0
+    )
+    select o_orderstatus, count(*) as cnt,
+           cast(0 as bigint) as eq_manifests_after,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from live group by o_orderstatus
+    """,
+)
+def sink_iceberg_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: MINOR COMPACTION of delete files. Two streaming-style
+    equality deletes accumulate (mod-3 over the F commit, mod-5 over
+    everything) with an append in between — the exact sequencing
+    timeline of scan_iceberg_eq_deletes — then compact_iceberg_deletes
+    converts them to ONE positional delete manifest. Asserted: zero
+    equality manifests remain (the count rides in the result), no data
+    file was touched, and the post-compaction read equals the
+    pre-compaction read — which the oracle independently recomputes
+    with the sequencing rules applied. This is the op that keeps the
+    hot path's O(1)-cost retractions from becoming O(deletes) scan
+    overhead forever."""
+    path = _fresh(_tmp("orders_iceberg_delcompact"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src.where(F.col("o_orderstatus") == "F"), path, "overwrite",
+        format_version=2,
+    )
+    add_equality_deletes(
+        spark, path, src.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    )
+    write_iceberg(
+        src.where(F.col("o_orderstatus") == "P"), path, "append",
+        format_version=2,
+    )
+    add_equality_deletes(
+        spark, path, src.where(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    )
+    data_before = sorted(
+        f
+        for f in glob.glob(os.path.join(path, "data", "*.parquet"))
+        if "delete" not in os.path.basename(f)
+    )
+    res = compact_iceberg_deletes(spark, path)
+    assert res["eq_delete_files_removed"] >= 2 and res["converted_rows"] > 0
+    assert sorted(
+        f
+        for f in glob.glob(os.path.join(path, "data", "*.parquet"))
+        if "delete" not in os.path.basename(f)
+    ) == data_before, "delete compaction must not touch data files"
+    meta = _read_metadata(path)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    _f, _pd, eq_after, _ds, _dp = _resolve_state(path, snap)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.lit(len(eq_after)).cast("long").alias("eq_manifests_after"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
     )

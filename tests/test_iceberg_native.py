@@ -1387,3 +1387,44 @@ def test_upsert_single_snapshot(spark, tmp_path):
     # validation gates
     with pytest.raises(ValueError, match="not in the table schema"):
         ice.upsert_iceberg(spark, path, changes, ["nope"])
+
+
+def test_compact_deletes_converts_eq_to_positional(spark, tmp_path):
+    """compact_iceberg_deletes replaces accumulated equality (and
+    positional) delete files with ONE positional manifest; reads are
+    identical before and after; sequencing semantics already applied
+    at conversion stay respected (post-delete appends untouched)."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_delcompact")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 10"), path, "overwrite",
+                  format_version=2)  # seq 1
+    ice.add_equality_deletes(
+        spark, path, src.where("n_nationkey in (2, 4)").select("n_nationkey")
+    )  # seq 2
+    write_iceberg(src.where("n_nationkey in (2, 15)"), path, "append",
+                  format_version=2)  # seq 3: re-inserts 2
+    ice.add_position_deletes(spark, path, "n_nationkey = 7")  # seq 4
+    before = sorted(
+        r[0] for r in read_iceberg(spark, path).select("n_nationkey").collect()
+    )
+    res = ice.compact_iceberg_deletes(spark, path)
+    assert res["eq_delete_files_removed"] >= 1
+    assert res["converted_rows"] == 3  # keys 2 (seq1 image), 4, and 7
+    after = sorted(
+        r[0] for r in read_iceberg(spark, path).select("n_nationkey").collect()
+    )
+    assert after == before
+    # no equality-delete manifests remain at the head
+    meta = ice._read_metadata(path)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    _f, _pd, eq_dels, _ds, _dp = ice._resolve_state(path, snap)
+    assert eq_dels == []
+    # idempotent: nothing left to convert
+    assert ice.compact_iceberg_deletes(spark, path)["converted_rows"] == 0
+    # time travel to the pre-compaction snapshot still applies eq rules
+    snaps = [s["snapshot_id"] for s in ice.iceberg_snapshots(path)]
+    assert read_iceberg(spark, path, snapshot_id=snaps[-2]).count() == len(before)
