@@ -411,9 +411,11 @@ def table_maintenance_report(
     table, the layout counters an operator tunes maintenance by — live
     file count, small-file count, metadata-object count, reclaimable
     (superseded) files — plus the recommended op: ``optimize`` (Delta
-    small-file debt), ``rewrite_manifests`` / ``expire_snapshots``
-    (Iceberg metadata debt), ``clean`` (Hudi superseded slices), or
-    ``ok``. Cost is O(metadata) per table: log replay, manifest list
+    small-file debt), ``purge`` (Delta deletion-vector debt: DV-bearing
+    files counted under n_reclaimable_files, recommended when ≥10% of
+    their rows are dead), ``rewrite_manifests`` / ``expire_snapshots``
+    (Iceberg metadata debt), ``clean`` (Hudi superseded slices),
+    ``compact`` (Hudi MoR log backlog), or ``ok``. Cost is O(metadata) per table: log replay, manifest list
     decode, timeline walk — no data file is opened, which is what
     makes auditing a 100 TB lake's layout a driver-side pass. The
     thresholds are parameters; the defaults mirror the engines' own
@@ -442,8 +444,35 @@ def table_maintenance_report(
             n_meta = len(
                 _glob.glob(os.path.join(path, "_delta_log", "*.json"))
             )
-            rec = "optimize" if small >= max_small_files else "ok"
-            rows.append((name, fmt, len(active), small, n_meta, 0, rec))
+            # deletion-vector debt: every DV-bearing file pays a bitmap
+            # anti join per scan until OPTIMIZE purges it — when a
+            # meaningful share of a file's rows are dead, purging also
+            # reclaims the scan cost of reading them
+            import json as _json
+
+            dv_files = 0
+            dv_dead = 0
+            dv_total = 0
+            for a in active.values():
+                dv = a.get("deletionVector")
+                if not dv:
+                    continue
+                dv_files += 1
+                dv_dead += dv.get("cardinality") or 0
+                st = a.get("stats")
+                if isinstance(st, str):
+                    dv_total += _json.loads(st).get("numRecords") or 0
+            if small >= max_small_files:
+                rec = "optimize"
+            elif dv_files and dv_dead * 10 >= max(dv_total, 1):
+                rec = "purge"  # >=10% of DV-bearing files' rows are dead
+            elif dv_files:
+                rec = "ok"  # DVs present but cheap — purge optional
+            else:
+                rec = "ok"
+            rows.append(
+                (name, fmt, len(active), small, n_meta, dv_files, rec)
+            )
         elif fmt == "iceberg":
             meta = _read_metadata(path)
             snaps = meta.get("snapshots", [])

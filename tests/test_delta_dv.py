@@ -426,3 +426,24 @@ def test_update_moves_rows_across_partitions(spark, tmp_path):
     moved = dn.read_delta(spark, path, partition_filter={"n_regionkey": "99"})
     assert [r["n_nationkey"] for r in moved.collect()] == [2]
     assert dn.read_delta(spark, path).count() == 25
+
+
+def test_maintenance_report_flags_dv_debt(spark, tmp_path):
+    """The crawler's auditor counts DV-bearing files as reclaimable and
+    recommends 'purge' when >=10% of their rows are dead; OPTIMIZE
+    clears the debt."""
+    from datalakecrawler_spark.crawler import table_maintenance_report
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    src = load(spark, SF_DIR, "nation")
+    path = os.path.join(lake, "dv_tbl")
+    dn.write_delta(src.coalesce(1), path, "overwrite")
+    dn.delete_delta(spark, path, "n_nationkey < 5")  # 5/25 dead = 20%
+    rep = {r["dataset"]: r for r in table_maintenance_report(spark, lake).collect()}
+    assert rep["dv_tbl"]["recommendation"] == "purge"
+    assert rep["dv_tbl"]["n_reclaimable_files"] == 1
+    dn.optimize_delta(spark, path)
+    rep2 = {r["dataset"]: r for r in table_maintenance_report(spark, lake).collect()}
+    assert rep2["dv_tbl"]["recommendation"] == "ok"
+    assert rep2["dv_tbl"]["n_reclaimable_files"] == 0
