@@ -65,7 +65,12 @@ _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # feature-gated — any readerFeature outside this set refuses LOUDLY
 # (the protocol's own rule: a reader MUST NOT read a table whose
 # features it doesn't implement).
-_READER_FEATURES = {"deletionVectors", "columnMapping", "timestampNtz"}
+_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "v2Checkpoint",
+}
 _DV_PROTOCOL = {
     "minReaderVersion": 3,
     "minWriterVersion": 7,
@@ -89,7 +94,7 @@ def _check_reader_protocol(p: dict) -> None:
         return
     raise NotImplementedError(
         f"table requires reader version {mrv}; this reader implements "
-        "v1-v3 (deletionVectors, columnMapping, timestampNtz)"
+        "v1-v3 (deletionVectors, columnMapping, timestampNtz, v2Checkpoint)"
     )
 
 
@@ -123,8 +128,24 @@ def _checkpoint_info(path: str) -> tuple[int, list[str]] | None:
         info = json.load(fh)
     v = int(info["version"])
     parts = info.get("parts")
+    if info.get("path"):
+        # V2 checkpoint: _last_checkpoint names the UUID checkpoint
+        # file explicitly (its sidecar actions resolve inside
+        # _read_checkpoint)
+        return v, [os.path.join(_log_dir(path), info["path"])]
     if parts is None:
-        return v, [os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")]
+        classic = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
+        if not os.path.exists(classic):
+            # fallback discovery per protocol: a v2 UUID-named
+            # checkpoint at this version
+            cands = sorted(
+                glob.glob(
+                    os.path.join(_log_dir(path), f"{v:020d}.checkpoint.*.parquet")
+                )
+            )
+            if len(cands) == 1:
+                return v, cands
+        return v, [classic]
     files = [
         os.path.join(
             _log_dir(path),
@@ -154,20 +175,52 @@ def _read_checkpoint(cp_paths: list[str]):
     partition_columns: list[str] = []
     configuration: dict[str, str] = {}
     protocol: dict = dict(_PROTOCOL)
+    removed: set[str] = set()
+    sidecars: list[str] = []
+
+    def _consume(row: dict, log_dir: str) -> None:
+        nonlocal schema_string, partition_columns, configuration, protocol
+        if row.get("add") and row["add"].get("path"):
+            add = {k: v for k, v in row["add"].items() if v is not None}
+            # pyarrow maps come back as [(k, v), ...]
+            add["partitionValues"] = dict(add.get("partitionValues") or [])
+            dv = add.get("deletionVector")
+            if isinstance(dv, dict) and dv.get("storageType") is None:
+                add.pop("deletionVector")
+            active[add["path"]] = add
+        elif row.get("remove") and row["remove"].get("path"):
+            # v2 sidecars may carry remove tombstones; they are not
+            # part of the active set
+            removed.add(row["remove"]["path"])
+        elif row.get("metaData") and row["metaData"].get("schemaString"):
+            schema_string = row["metaData"]["schemaString"]
+            partition_columns = row["metaData"].get("partitionColumns") or []
+            configuration = dict(row["metaData"].get("configuration") or [])
+        elif row.get("protocol") and row["protocol"].get("minReaderVersion"):
+            protocol = {
+                k: v for k, v in row["protocol"].items() if v is not None
+            }
+            _check_reader_protocol(protocol)
+        elif row.get("sidecar") and row["sidecar"].get("path"):
+            sidecars.append(
+                os.path.join(log_dir, "_sidecars", row["sidecar"]["path"])
+            )
+        # checkpointMetadata rows (v2 marker) carry no state
+
     for cp_path in cp_paths:
+        log_dir = os.path.dirname(cp_path)
         for row in pq.read_table(cp_path).to_pylist():
-            if row.get("add") and row["add"].get("path"):
-                add = {k: v for k, v in row["add"].items() if v is not None}
-                # pyarrow maps come back as [(k, v), ...]
-                add["partitionValues"] = dict(add.get("partitionValues") or [])
-                active[add["path"]] = add
-            elif row.get("metaData") and row["metaData"].get("schemaString"):
-                schema_string = row["metaData"]["schemaString"]
-                partition_columns = row["metaData"].get("partitionColumns") or []
-                configuration = dict(row["metaData"].get("configuration") or [])
-            elif row.get("protocol") and row["protocol"].get("minReaderVersion"):
-                protocol = {k: v for k, v in row["protocol"].items() if v is not None}
-                _check_reader_protocol(protocol)
+            _consume(row, log_dir)
+    for sc_path in sidecars:
+        if not os.path.exists(sc_path):
+            raise ValueError(
+                f"v2 checkpoint names a missing sidecar {sc_path!r}; "
+                "refusing a partial file set"
+            )
+        for row in pq.read_table(sc_path).to_pylist():
+            _consume(row, os.path.dirname(os.path.dirname(sc_path)))
+    for rel in removed:
+        active.pop(rel, None)
     return active, schema_string, partition_columns, configuration, protocol
 
 
@@ -448,7 +501,22 @@ def write_delta(
     # 2) actions
     actions: list[dict] = []
     if version == 0:
-        actions.append({"protocol": dict(_PROTOCOL)})
+        # tables carrying TIMESTAMP_NTZ columns must declare the
+        # feature per protocol (readers without it would misread the
+        # values as zoned timestamps)
+        if any("timestamp_ntz" in json.dumps(f.get("type")) for f in schema_fields):
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["timestampNtz"],
+                        "writerFeatures": ["timestampNtz"],
+                    }
+                }
+            )
+        else:
+            actions.append({"protocol": dict(_PROTOCOL)})
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
     actions.append(
@@ -1505,7 +1573,9 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> None:
         checkpoint_delta(path)
 
 
-def checkpoint_delta(path: str, parts: int | None = None) -> dict:
+def checkpoint_delta(
+    path: str, parts: int | None = None, v2: bool = False
+) -> dict:
     """Write a parquet CHECKPOINT of the latest version's state (one
     row per active file + protocol/metaData/txn rows) and publish it
     via ``_last_checkpoint`` — after this, readers start replay from
@@ -1521,7 +1591,17 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
     partition the action set, with ``"parts": N`` in _last_checkpoint.
     A table with millions of active files checkpoints in parallel and
     readers fetch parts concurrently; correctness is unchanged because
-    the action set is order-free."""
+    the action set is order-free.
+
+    ``v2=True`` writes the protocol's V2 CHECKPOINT (table feature
+    ``v2Checkpoint``): a UUID-named ``{v}.checkpoint.{uuid}.parquet``
+    holding protocol/metaData/txn plus a ``checkpointMetadata`` marker
+    and ``sidecar`` actions pointing at ``_delta_log/_sidecars/``
+    parquet files that carry the add actions — the layout that lets
+    writers REUSE unchanged sidecars across checkpoints instead of
+    rewriting the whole file-set snapshot every interval. The table's
+    protocol upgrades to (3, 7)+v2Checkpoint in its own commit first
+    if needed (implied features carried over)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1631,6 +1711,26 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
                     ]
                 ),
             ),
+            pa.field(
+                "checkpointMetadata",
+                pa.struct(
+                    [
+                        ("version", pa.int64()),
+                        ("tags", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("tags", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
         ]
     )
     def _write_part(part_rows: list[dict], fname: str) -> None:
@@ -1656,6 +1756,74 @@ def checkpoint_delta(path: str, parts: int | None = None) -> dict:
         pq.write_table(table, fname + ".tmp")
         os.replace(fname + ".tmp", fname)
 
+    if v2 and parts is not None:
+        raise ValueError("pass v2=True or parts=N, not both")
+    if v2:
+        feats = set(protocol.get("readerFeatures") or [])
+        if protocol.get("minReaderVersion", 1) < 3 or "v2Checkpoint" not in feats:
+            implied = set(feats)
+            if configuration.get("delta.columnMapping.mode", "none") != "none":
+                implied.add("columnMapping")
+            up = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(implied | {"v2Checkpoint"}),
+                "writerFeatures": sorted(
+                    set(protocol.get("writerFeatures") or [])
+                    | implied
+                    | {"v2Checkpoint"}
+                ),
+            }
+            _publish_commit(
+                path,
+                version + 1,
+                [
+                    {"protocol": up},
+                    {
+                        "commitInfo": {
+                            "operation": "UPGRADE PROTOCOL",
+                            "operationParameters": {},
+                            "timestamp": 0,
+                        }
+                    },
+                ],
+            )
+            return checkpoint_delta(path, v2=True)
+        os.makedirs(os.path.join(_log_dir(path), "_sidecars"), exist_ok=True)
+        sc_name = f"{uuid.uuid4()}.parquet"
+        sc_path = os.path.join(_log_dir(path), "_sidecars", sc_name)
+        add_rows = [r for r in rows if "add" in r]
+        head_rows = [r for r in rows if "add" not in r]
+        _write_part(add_rows, sc_path)
+        cp_name = f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+        _write_part(
+            head_rows
+            + [
+                {"checkpointMetadata": {"version": version, "tags": None}},
+                {
+                    "sidecar": {
+                        "path": sc_name,
+                        "sizeInBytes": os.path.getsize(sc_path),
+                        "modificationTime": 0,
+                        "tags": None,
+                    }
+                },
+            ],
+            os.path.join(_log_dir(path), cp_name),
+        )
+        info = {"version": version, "size": len(rows), "path": cp_name}
+        lc = os.path.join(_log_dir(path), "_last_checkpoint")
+        with open(lc + ".tmp", "w") as fh:
+            json.dump(info, fh)
+        os.replace(lc + ".tmp", lc)
+        return {
+            "version": version,
+            "n_files": len(active),
+            "n_txns": len(txns),
+            "v2": True,
+            "checkpoint": cp_name,
+            "sidecars": [sc_name],
+        }
     info: dict = {"version": version, "size": len(rows)}
     if parts is None:
         _write_part(
@@ -2043,15 +2211,23 @@ def clone_delta(spark: SparkSession, src_path: str, dst_path: str) -> dict:
     clone's scans inject the partition columns from those stored
     values (one broadcast metadata join) instead of hive-dir
     re-derivation, which could never span two roots."""
-    active, schema_string, src_version, partition_columns = _replay(
-        src_path, None
-    )
+    (
+        active,
+        schema_string,
+        src_version,
+        partition_columns,
+        _conf,
+        src_protocol,
+    ) = _replay_full(src_path, None)
     if os.path.exists(dst_path) and os.path.isdir(
         os.path.join(dst_path, "_delta_log")
     ):
         raise ValueError(f"destination {dst_path!r} is already a Delta table")
     os.makedirs(_log_dir(dst_path), exist_ok=True)
-    actions: list[dict] = [{"protocol": dict(_PROTOCOL)}]
+    # the clone inherits the SOURCE's protocol: its adds may carry
+    # deletion vectors or feature-typed columns a v1 reader would
+    # misread
+    actions: list[dict] = [{"protocol": dict(src_protocol)}]
     actions.append(
         {
             "metaData": {
@@ -3493,3 +3669,54 @@ def sink_delta_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "sink_delta_checkpoint_v2",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders group by o_orderstatus
+    """,
+)
+def sink_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: V2 CHECKPOINT (table feature v2Checkpoint) — the modern
+    layout: a UUID-named checkpoint file carrying protocol/metaData +
+    a checkpointMetadata marker + sidecar actions, with the add-file
+    state in _delta_log/_sidecars/ parquet (reusable across
+    checkpoints instead of rewritten every interval). Orders arrive as
+    5 appends; checkpoint_delta(v2=True) upgrades the protocol to
+    (3,7)+v2Checkpoint in its own commit and snapshots; commit then
+    appends the final slice. The read below runs with every
+    pre-checkpoint JSON HIDDEN — it must serve the complete table,
+    proving replay resolved the UUID checkpoint via _last_checkpoint's
+    path and consumed the sidecars. The oracle recomputes the full
+    table."""
+    path = _fresh(_tmp("orders_delta_ckpt_v2"))
+    src = load(spark, sf_dir, "orders")
+    for i in range(5):
+        write_delta(src.where(F.col("o_orderkey") % 6 == i), path, "append")
+    res = checkpoint_delta(path, v2=True)
+    assert res.get("v2") and res["sidecars"], res
+    write_delta(src.where(F.col("o_orderkey") % 6 == 5), path, "append")
+
+    hidden = []
+    try:
+        for v in range(res["version"] + 1):
+            f = _commit_file(path, v)
+            os.replace(f, f + ".hidden")
+            hidden.append(f)
+        out = (
+            read_delta(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+        )
+        rows = out.collect()  # force the scan while commits are hidden
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for f in hidden:
+            os.replace(f + ".hidden", f)

@@ -447,3 +447,80 @@ def test_maintenance_report_flags_dv_debt(spark, tmp_path):
     rep2 = {r["dataset"]: r for r in table_maintenance_report(spark, lake).collect()}
     assert rep2["dv_tbl"]["recommendation"] == "ok"
     assert rep2["dv_tbl"]["n_reclaimable_files"] == 0
+
+
+def test_timestamp_ntz_declares_feature_and_roundtrips(spark, tmp_path):
+    """A table with a TIMESTAMP_NTZ column declares the protocol's
+    timestampNtz feature at creation (readers without it would misread
+    zoneless values) and round-trips exactly."""
+    path = str(tmp_path / "ntz_tbl")
+    df = spark.sql(
+        "select timestamp_ntz'2024-03-01 12:34:56' as ts, 1 as k"
+    )
+    dn.write_delta(df, path, "overwrite")
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+        if l.strip()
+    ]
+    prot = next(a["protocol"] for a in acts if "protocol" in a)
+    assert prot["minReaderVersion"] == 3
+    assert "timestampNtz" in prot["readerFeatures"]
+    back = dn.read_delta(spark, path)
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    assert back.first()["ts"].isoformat() == "2024-03-01T12:34:56"
+    # plain tables keep the v1 protocol (no gratuitous upgrades)
+    p2 = str(tmp_path / "plain_tbl")
+    dn.write_delta(df.select("k"), p2, "overwrite")
+    acts2 = [
+        json.loads(l)
+        for l in open(os.path.join(p2, "_delta_log", f"{0:020d}.json"))
+        if l.strip()
+    ]
+    assert next(a["protocol"] for a in acts2 if "protocol" in a) == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+
+
+def test_v2_checkpoint_roundtrip(spark, tmp_path):
+    """V2 checkpoint: UUID-named checkpoint + sidecar add-file parquet,
+    protocol auto-upgraded to (3,7)+v2Checkpoint in its own commit,
+    replay starts from the checkpoint (proven by hiding the earlier
+    JSON commits), and DVs survive through the sidecar."""
+    path = str(tmp_path / "v2ckpt")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src.where("n_nationkey < 20"), path, "overwrite")
+    dn.write_delta(src.where("n_nationkey >= 20"), path, "append")
+    dn.delete_delta(spark, path, "n_nationkey = 3")  # v2 (DV protocol)
+    res = dn.checkpoint_delta(path, v2=True)
+    assert res["v2"] and res["checkpoint"].endswith(".parquet")
+    # the upgrade commit landed, then the checkpoint covers it
+    assert res["version"] == 3
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(path, "_delta_log", f"{3:020d}.json"))
+        if l.strip()
+    ]
+    prot = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "v2Checkpoint" in prot["readerFeatures"]
+    assert "deletionVectors" in prot["readerFeatures"]  # implied carried
+    # sidecar exists and carries the adds
+    sc = os.path.join(path, "_delta_log", "_sidecars", res["sidecars"][0])
+    assert os.path.exists(sc)
+    # one post-checkpoint commit, then hide every pre-checkpoint JSON:
+    # the read must serve checkpoint state + the v4 delta only
+    dn.write_delta(
+        spark.createDataFrame([(99, "X", 0)], src.schema), path, "append"
+    )
+    hidden = []
+    try:
+        for v in range(4):
+            f = os.path.join(path, "_delta_log", f"{v:020d}.json")
+            os.replace(f, f + ".hidden")
+            hidden.append(f)
+        back = dn.read_delta(spark, path)
+        keys = sorted(r[0] for r in back.select("n_nationkey").collect())
+        assert keys == sorted((set(range(25)) - {3}) | {99})
+    finally:
+        for f in hidden:
+            os.replace(f + ".hidden", f)

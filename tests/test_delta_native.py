@@ -51,7 +51,14 @@ def test_log_layout_matches_protocol(table):
     a0 = _commit_actions(path, 0)
     kinds = [next(iter(a)) for a in a0]
     assert kinds[0] == "protocol"
-    assert a0[0]["protocol"] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # orders carries a TIMESTAMP_NTZ column (o_orderdate), so the
+    # creating commit must declare the feature per protocol
+    assert a0[0]["protocol"] == {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"],
+        "writerFeatures": ["timestampNtz"],
+    }
     meta = next(a["metaData"] for a in a0 if "metaData" in a)
     assert meta["format"]["provider"] == "parquet"
     schema = json.loads(meta["schemaString"])
@@ -128,7 +135,8 @@ def test_capability_gates(table, spark, tmp_path):
     finally:
         os.remove(ckpt)
     # reader v3 with a feature we don't implement → explicit refusal
-    # (v3 with deletionVectors/columnMapping/timestampNtz is SUPPORTED)
+    # (v3 with deletionVectors/columnMapping/timestampNtz/v2Checkpoint
+    # is SUPPORTED)
     p2 = str(tmp_path / "delta_v3_unknown")
     os.makedirs(os.path.join(p2, "_delta_log"))
     with open(os.path.join(p2, "_delta_log", f"{0:020d}.json"), "w") as fh:
@@ -137,14 +145,14 @@ def test_capability_gates(table, spark, tmp_path):
                 {
                     "protocol": {
                         "minReaderVersion": 3,
-                        "readerFeatures": ["v2Checkpoint"],
+                        "readerFeatures": ["icebergCompatV2"],
                     }
                 }
             )
             + "\n"
         )
         fh.write(json.dumps({"metaData": {"schemaString": "{}"}}) + "\n")
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         read_delta(spark, p2)
     # reader version beyond v3 → explicit refusal
     p3 = str(tmp_path / "delta_v4")
