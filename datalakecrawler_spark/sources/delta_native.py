@@ -953,6 +953,50 @@ def _scan_active(
     return out
 
 
+def _scan_logical_rowmeta(
+    spark: SparkSession,
+    path: str,
+    active: dict[str, dict],
+    schema_string: str,
+    conf: dict,
+    partition_columns: list[str],
+):
+    """The DV-aware scan under LOGICAL column names with row addresses
+    kept — the matching view DELETE/UPDATE predicates run over. Plain
+    tables scan directly; column-mapped (mode=name) tables scan the
+    physical schema and project back, so predicates written against
+    logical names address the physical rows exactly."""
+    from pyspark.sql import functions as F
+
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    if conf.get("delta.columnMapping.mode", "none") == "none":
+        return (
+            _scan_active(
+                spark, path, active, schema, partition_columns,
+                keep_rowmeta=True,
+            ),
+            schema,
+            None,
+        )
+    mapped = json.loads(schema_string)["fields"]
+    physical = _cm_physical_struct(mapped)
+    phys_schema = T.StructType.fromJson({"type": "struct", "fields": physical})
+    logical = T.StructType.fromJson(
+        {"type": "struct", "fields": [{**f, "metadata": {}} for f in mapped]}
+    )
+    out = _scan_active(
+        spark, path, active, phys_schema, [], keep_rowmeta=True
+    ).select(
+        *[
+            F.col(pf["name"]).cast(logical[f["name"]].dataType).alias(f["name"])
+            for f, pf in zip(mapped, physical)
+        ],
+        "__dlc_file_uri",
+        "__dlc_row_pos",
+    )
+    return out, logical, {f["name"]: pf["name"] for f, pf in zip(mapped, physical)}
+
+
 def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     """Row-level DELETE via DELETION VECTORS (reader v3 feature): mark
     the matching rows deleted by attaching a roaring bitmap of their
@@ -980,19 +1024,12 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         conf,
         protocol,
     ) = _replay_full(path, None)
-    if conf.get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            "DELETE on a column-mapped table is not wired: the predicate "
-            "names logical columns but row addresses resolve over the "
-            "physical scan"
-        )
-    schema = T.StructType.fromJson(json.loads(schema_string))
     uri_to_rel = {
         _spark_file_uri(os.path.abspath(os.path.join(path, rel))): rel
         for rel in active
     }
-    cur = _scan_active(
-        spark, path, active, schema, partition_columns, keep_rowmeta=True
+    cur, _schema, _phys = _scan_logical_rowmeta(
+        spark, path, active, schema_string, conf, partition_columns
     )
     matched = (
         cur.where(predicate)
@@ -1128,7 +1165,9 @@ def update_delta(
     (update_preimage/update_postimage under a cdc action), so
     ``read_delta_changes`` serves the row-level update exactly.
     Updated rows that move partitions land in their new hive dirs with
-    correct partitionValues. Column-mapped tables gate (as DELETE)."""
+    correct partitionValues. Column-mapped tables work too: the
+    predicate and assignments run over the LOGICAL view, and the new
+    files stage back under the physical names."""
     from pyspark.sql import functions as F
 
     from datalakecrawler_spark.sources.iceberg_native import _spark_file_uri
@@ -1141,11 +1180,9 @@ def update_delta(
         conf,
         _protocol,
     ) = _replay_full(path, None)
-    if conf.get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            "UPDATE on a column-mapped table is not wired (see DELETE)"
-        )
-    schema = T.StructType.fromJson(json.loads(schema_string))
+    cur, schema, phys_by_logical = _scan_logical_rowmeta(
+        spark, path, active, schema_string, conf, partition_columns
+    )
     data_cols = [f.name for f in schema.fields]
     bad = sorted(set(assignments) - set(data_cols))
     if bad:
@@ -1154,9 +1191,6 @@ def update_delta(
         _spark_file_uri(os.path.abspath(os.path.join(path, rel))): rel
         for rel in active
     }
-    cur = _scan_active(
-        spark, path, active, schema, partition_columns, keep_rowmeta=True
-    )
     matched_rows = cur.where(predicate).persist()
     try:
         by_file = (
@@ -1177,7 +1211,25 @@ def update_delta(
         stage = os.path.join(
             path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}"
         )
-        w = new_rows.write.mode("overwrite")
+        staged_rows = new_rows
+        if phys_by_logical:
+            # mapped tables store physical names in the data files
+            # (positional cast renames nested struct fields too)
+            physical = _cm_physical_struct(
+                json.loads(schema_string)["fields"]
+            )
+            phys_type = T.StructType.fromJson(
+                {"type": "struct", "fields": physical}
+            )
+            staged_rows = new_rows.select(
+                *[
+                    F.col(c)
+                    .cast(phys_type[phys_by_logical[c]].dataType)
+                    .alias(phys_by_logical[c])
+                    for c in new_rows.columns
+                ]
+            )
+        w = staged_rows.write.mode("overwrite")
         if partition_columns:
             w = w.partitionBy(*partition_columns)
         w.parquet(stage)

@@ -286,9 +286,30 @@ def test_column_mapping_roundtrip_and_rename(spark, tmp_path):
         "append",
     )
     assert dn.read_delta(spark, path).count() == 26
-    # DELETE on a mapped table gates loudly
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        dn.delete_delta(spark, path, "n_nationkey = 0")
+    # DELETE and UPDATE work on the mapped table under LOGICAL names:
+    # DV marks the physical rows, new files stage physically
+    res_d = dn.delete_delta(spark, path, "n_nationkey = 0")
+    assert res_d["rows_deleted"] == 1
+    back3 = dn.read_delta(spark, path)
+    assert back3.where("n_nationkey = 0").count() == 0
+    assert back3.count() == 25
+    dn.update_delta(
+        spark, path, "n_nationkey = 107",
+        {"nation_name": "upper(concat(nation_name, '_CM'))"},
+    )
+    back4 = dn.read_delta(spark, path)
+    assert back4.where("n_nationkey = 107").first()["nation_name"].endswith("_CM")
+    assert back4.count() == 25
+    # the updated image landed under PHYSICAL parquet names
+    import pyarrow.parquet as _pq2
+
+    newest = max(
+        glob.glob(os.path.join(path, "part-*.parquet")), key=os.path.getmtime
+    )
+    assert all(
+        c.startswith("col-")
+        for c in _pq2.ParquetFile(newest).schema_arrow.names
+    )
 
 
 def test_roaring_codec_delta_framing(tmp_path):
