@@ -1479,6 +1479,56 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
     return version + 1
 
 
+def drop_delta_column(path: str, name: str) -> int:
+    """DROP COLUMN as a metadata-only commit (column mapping): the
+    field leaves the schemaString; the physical data stays in the
+    parquet files but is never read again — dropping a column from a
+    100 TB table costs one JSON publish, not a rewrite. The physical
+    name is retired with the field, so a later ADD of the same logical
+    name maps to a fresh physical column (old values never leak
+    back)."""
+    (
+        _active,
+        schema_string,
+        version,
+        partition_columns,
+        conf,
+        _protocol,
+    ) = _replay_full(path, None)
+    if conf.get("delta.columnMapping.mode") != "name":
+        raise ValueError(
+            "drop without rewrite requires column mapping (mode=name)"
+        )
+    fields = json.loads(schema_string)["fields"]
+    names = [f["name"] for f in fields]
+    if name not in names:
+        raise ValueError(f"no column {name!r} (have {names})")
+    if len(fields) == 1:
+        raise ValueError("cannot drop the only column")
+    fields = [f for f in fields if f["name"] != name]
+    actions = [
+        {
+            "metaData": {
+                "id": hashlib.md5(f"dlc-delta:{path}".encode()).hexdigest(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                "partitionColumns": partition_columns,
+                "configuration": conf,
+                "createdTime": 0,
+            }
+        },
+        {
+            "commitInfo": {
+                "operation": "DROP COLUMN",
+                "operationParameters": {"column": name},
+                "timestamp": 0,
+            }
+        },
+    ]
+    _publish_commit(path, version + 1, actions)
+    return version + 1
+
+
 def _read_column_mapped(
     spark: SparkSession,
     path: str,
@@ -3772,3 +3822,37 @@ def sink_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for f in hidden:
             os.replace(f + ".hidden", f)
+
+
+@register(
+    "scan_delta_drop_column",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, cast(0 as integer) as files_rewritten,
+           count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders group by o_orderstatus
+    """,
+)
+def scan_delta_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: DROP COLUMN without rewrite. Orders commit column-mapped;
+    dropping o_custkey is ONE metadata commit — the parquet set is
+    byte-identical (files_rewritten=0 asserted and carried), the
+    column simply stops resolving (asserted absent from the read),
+    and time travel to the pre-drop version still serves it. The
+    remaining columns aggregate exactly as the oracle recomputes from
+    the source."""
+    path = _fresh(_tmp("orders_delta_dropcol"))
+    src = load(spark, sf_dir, "orders")
+    write_delta_column_mapped(src, path, "overwrite")
+    before = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    v = drop_delta_column(path, "o_custkey")
+    after = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert after == before, "drop must not rewrite data files"
+    out = read_delta(spark, path)
+    assert "o_custkey" not in out.columns
+    assert "o_custkey" in read_delta(spark, path, version=v - 1).columns
+    return out.groupBy("o_orderstatus").agg(
+        F.lit(len(after) - len(before)).cast("int").alias("files_rewritten"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -545,3 +545,23 @@ def test_v2_checkpoint_roundtrip(spark, tmp_path):
     finally:
         for f in hidden:
             os.replace(f + ".hidden", f)
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """DROP COLUMN on a mapped table: one JSON commit, zero file
+    rewrites, the dropped values unreadable afterwards, and time
+    travel to the pre-drop version still serves them."""
+    path = str(tmp_path / "cm_drop")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta_column_mapped(src, path, "overwrite")
+    before = _data_files(path)
+    v = dn.drop_delta_column(path, "n_regionkey")
+    assert _data_files(path) == before
+    back = dn.read_delta(spark, path)
+    assert sorted(back.columns) == ["n_name", "n_nationkey"]
+    assert back.count() == 25
+    # time travel pre-drop still serves the column
+    old = dn.read_delta(spark, path, version=v - 1)
+    assert "n_regionkey" in old.columns
+    with pytest.raises(ValueError, match="no column"):
+        dn.drop_delta_column(path, "nope")

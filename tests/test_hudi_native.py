@@ -714,3 +714,31 @@ def test_mor_delete_emptied_group_shadows(spark, tmp_path):
     assert got == [(5, 50)]
     ro = hn.read_hudi(spark, path, view="read_optimized")
     assert [(r["k"], r["v"]) for r in ro.collect()] == [(5, 50)]
+
+
+def test_mor_delete_partitioned_scope(spark, tmp_path):
+    """Partitioned MoR delete is (key, partition)-scoped: the same key
+    in another partition survives, matching the CoW contract."""
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    path = str(tmp_path / "mor_del_part")
+    rows = spark.createDataFrame(
+        [(1, "A", 10), (1, "B", 20), (11, "B", 30), (4, "A", 40)],
+        "k int, p string, v int",
+    )
+    hn.write_hudi_mor(rows, path, "k", _T1, op="bulk_insert", partition_by="p")
+    with pytest.raises(ValueError, match="partition column"):
+        hn.write_hudi_mor(
+            spark.createDataFrame([(1,)], "k int"), path, "k", _T2, op="delete",
+            partition_by="p",
+        )
+    dels = spark.createDataFrame([(1, "A"), (11, "B")], "k int, p string")
+    hn.write_hudi_mor(dels, path, "k", _T2, op="delete", partition_by="p")
+    got = sorted((r["k"], r["p"]) for r in hn.read_hudi(spark, path).collect())
+    assert got == [(1, "B"), (4, "A")]
+    hn.compact_hudi_mor(spark, path, "19700101000000003")
+    got2 = sorted(
+        (r["k"], r["p"])
+        for r in hn.read_hudi(spark, path, view="read_optimized").collect()
+    )
+    assert got2 == [(1, "B"), (4, "A")]
