@@ -68,6 +68,17 @@ data files, and the reader drops the transform dirs' extra columns.
 Manifest files carry the spec's well-known field-ids (100-105 for
 data_file, 500-514 for manifest_file) in the Avro schemas so strict
 external readers can resolve columns by id.
+
+Field-id column resolution (r7): every data file this writer emits is
+stamped with ``parquet.field.id`` per column and every scan resolves
+columns BY ID (the spec's rule, via Spark's fieldId confs — schemas
+without id metadata still resolve by name, so nothing else is
+affected). ``rename_iceberg_column`` is therefore a metadata-only
+commit: files written before and after a rename serve under the
+current names in one scan, zero rewrites. ``upsert_iceberg`` commits
+the Flink-CDC shape (equality-delete + append, ONE snapshot) and
+``compact_iceberg_deletes`` converts accumulated equality deletes to
+a single positional manifest.
 """
 
 from __future__ import annotations
@@ -457,13 +468,47 @@ def _ice_type_to_spark(t) -> T.DataType:
     raise NotImplementedError(f"iceberg_native: unmapped Iceberg type {t!r}")
 
 
-def _iceberg_schema_to_spark(ice: dict) -> T.StructType:
+def _iceberg_schema_to_spark(
+    ice: dict, field_ids: bool = False
+) -> T.StructType:
+    """Spark schema from the spec JSON; ``field_ids=True`` attaches
+    each top-level field's Iceberg id as ``parquet.field.id`` metadata
+    so Spark's scan resolves columns BY ID (the spec's rule), making
+    renames metadata-only."""
     return T.StructType(
         [
             T.StructField(
-                f["name"], _ice_type_to_spark(f["type"]), not f.get("required")
+                f["name"],
+                _ice_type_to_spark(f["type"]),
+                not f.get("required"),
+                {"parquet.field.id": f["id"]} if field_ids else None,
             )
             for f in ice["fields"]
+        ]
+    )
+
+
+def _enable_field_ids(spark: SparkSession) -> None:
+    """Field-id resolution confs (idempotent): writers stamp
+    parquet.field.id into the files, scans match by id when the read
+    schema carries ids — names stop mattering, per the spec. Schemas
+    WITHOUT id metadata still resolve by name, so the session-wide
+    setting cannot affect non-Iceberg reads."""
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+
+def _with_field_ids(df: DataFrame, ids_by_name: dict[str, int]) -> DataFrame:
+    """Stamp parquet.field.id metadata onto the named columns (other
+    columns — staging keys — pass through untouched)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids_by_name[c]})
+            if c in ids_by_name
+            else F.col(c)
+            for c in df.columns
         ]
     )
 
@@ -737,6 +782,10 @@ def _scan_state(
     schema = _iceberg_schema_to_spark(meta["schema"])
     if not files:
         return spark.createDataFrame([], schema)
+    # resolve columns BY FIELD ID (the spec's rule): files written
+    # under an older schema serve renamed columns correctly
+    _enable_field_ids(spark)
+    schema = _iceberg_schema_to_spark(meta["schema"], field_ids=True)
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
     src_by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     identity_cols = {
@@ -916,7 +965,10 @@ def read_iceberg_incremental(
     has_identity = any(
         f.get("transform", "identity") == "identity" for f in spec_fields
     )
-    reader = spark.read.schema(schema)
+    _enable_field_ids(spark)
+    reader = spark.read.schema(
+        _iceberg_schema_to_spark(meta["schema"], field_ids=True)
+    )
     if spec_fields and has_identity:
         reader = reader.option("basePath", os.path.join(path, "data"))
     out = reader.parquet(*sorted(files))
@@ -1466,6 +1518,17 @@ def write_iceberg(
     snapshot_id = version  # deterministic, monotone — valid per spec
 
     # 1) data files (distributed parquet write, then linked under data/)
+    # — stamped with the committed schema's FIELD IDS (parquet.field.id)
+    # so later scans resolve columns by id and renames stay
+    # metadata-only, per the spec's column-resolution rule
+    _pre_schema = (
+        evolved_schema
+        if evolved_schema is not None
+        else _spark_schema_to_iceberg(df.schema)
+    )
+    _ids_by_name = {f["name"]: f["id"] for f in _pre_schema["fields"]}
+    _enable_field_ids(df.sparkSession)
+    df = _with_field_ids(df, _ids_by_name)
     stage = os.path.join(path, f"_stage-{version}")
     if not spec or identity_spec:
         stage_df = df
@@ -2217,8 +2280,12 @@ def upsert_iceberg(
 
     n_keys = _pq.ParquetFile(os.path.join(path, del_rel)).metadata.num_rows
 
-    # 2) the new data files (distributed write, linked under data/)
-    changes.write.mode("overwrite").parquet(stage)
+    # 2) the new data files (distributed write, linked under data/),
+    # field-id-stamped like every data file this writer emits
+    _enable_field_ids(spark)
+    _with_field_ids(
+        changes, {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    ).write.mode("overwrite").parquet(stage)
     data_entries = []
     n_rows = 0
     for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
@@ -2335,6 +2402,58 @@ def upsert_iceberg(
         "sequence_number": seq,
         "data_files": len(data_entries),
     }
+
+
+def rename_iceberg_column(path: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a metadata-only commit — Iceberg's field-id
+    superpower: every data file stores ``parquet.field.id`` per column
+    and scans resolve by id, so the rename touches ONE metadata.json
+    (the field keeps its id under the new name) and zero data files.
+    On a 100 TB table this is the difference between an instant DDL
+    and a full rewrite. Gates (honest): renaming a partition-spec
+    SOURCE column (the hive dirs and spec field names carry the old
+    name), and tables carrying live EQUALITY delete files (their
+    parquet stores the key columns under the written names; positional
+    deletes are name-free and rename-safe — compact_iceberg_deletes
+    converts). Returns the new metadata version."""
+    meta = _read_metadata(path)
+    fields = meta["schema"]["fields"]
+    names = [f["name"] for f in fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    by_id = {f["id"]: f["name"] for f in fields}
+    spec_sources = {by_id.get(sf.get("source-id")) for sf in spec_fields}
+    if old in spec_sources:
+        raise NotImplementedError(
+            f"renaming partition-spec source column {old!r} is not "
+            "wired (hive dirs and spec field names carry the old name)"
+        )
+    sid = meta.get("current-snapshot-id")
+    if sid is not None and sid != -1 and meta.get("snapshots"):
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+        _f, _pd, eq_dels, _ds, _dp = _resolve_state(path, snap)
+        if eq_dels:
+            raise NotImplementedError(
+                "rename on a table with live EQUALITY delete files is "
+                "not wired (their parquet stores the written column "
+                "names); run compact_iceberg_deletes first — positional "
+                "deletes are name-free and fine"
+            )
+    for f in fields:
+        if f["name"] == old:
+            f["name"] = new
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    _publish_metadata(path, version, meta)
+    return version
 
 
 def compact_iceberg_deletes(spark: SparkSession, path: str) -> dict:
@@ -4041,4 +4160,49 @@ def sink_iceberg_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(eq_after)).cast("long").alias("eq_manifests_after"),
             dsum("o_totalprice").alias("sum_price"),
         )
+    )
+
+
+@register(
+    "scan_iceberg_rename_column",
+    group="A",
+    oracle=f"""
+    select o_orderstatus as status, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as total_price
+    from orders group by o_orderstatus
+    """,
+)
+def scan_iceberg_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: RENAME COLUMN by FIELD ID — Iceberg's metadata-only DDL.
+    Half the orders commit, two columns rename (o_orderstatus→status,
+    o_totalprice→total_price) touching only metadata.json (asserted:
+    the data parquet set is byte-identical), then the other half
+    appends under the NEW names — so the table holds files whose
+    physical parquet names differ per write epoch, and ONE scan
+    resolves both epochs by the stamped parquet.field.id. The
+    aggregate groups by the renamed column across both epochs; the
+    oracle recomputes it from the source under the new names."""
+    path = _fresh(_tmp("orders_iceberg_rename"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 0), path, "overwrite",
+        format_version=2,
+    )
+    data_before = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))
+    rename_iceberg_column(path, "o_orderstatus", "status")
+    rename_iceberg_column(path, "o_totalprice", "total_price")
+    assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) == (
+        data_before
+    ), "rename must not rewrite data files"
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 1)
+        .withColumnRenamed("o_orderstatus", "status")
+        .withColumnRenamed("o_totalprice", "total_price"),
+        path, "append", format_version=2,
+    )
+    out = read_iceberg(spark, path)
+    assert "status" in out.columns and "o_orderstatus" not in out.columns
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("total_price").alias("total_price"),
     )

@@ -1428,3 +1428,64 @@ def test_compact_deletes_converts_eq_to_positional(spark, tmp_path):
     # time travel to the pre-compaction snapshot still applies eq rules
     snaps = [s["snapshot_id"] for s in ice.iceberg_snapshots(path)]
     assert read_iceberg(spark, path, snapshot_id=snaps[-2]).count() == len(before)
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """rename_iceberg_column touches one metadata.json: files written
+    BEFORE the rename (under the old parquet name) resolve by FIELD ID
+    to the new name; appends after the rename interleave; pushdown on
+    the renamed column still reaches the scan; positional deletes
+    survive; equality-delete tables gate until compacted."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_rename")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 10"), path, "overwrite",
+                  format_version=2)
+    data_before = sorted(
+        glob.glob(os.path.join(path, "data", "*.parquet"))
+    )
+    ice.add_position_deletes(spark, path, "n_nationkey = 3")
+    v = ice.rename_iceberg_column(path, "n_name", "nation_name")
+    assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) != []
+    assert sorted(
+        f for f in glob.glob(os.path.join(path, "data", "*.parquet"))
+        if "delete" not in os.path.basename(f)
+    ) == data_before, "rename must not rewrite data files"
+    back = read_iceberg(spark, path)
+    assert "nation_name" in back.columns and "n_name" not in back.columns
+    assert back.where("nation_name = 'NATION_5'").count() == 1
+    assert back.count() == 9  # the positional delete still applies
+    # append AFTER the rename: new files store the new name, old files
+    # the old one — both resolve by id in one scan
+    write_iceberg(
+        src.where("n_nationkey between 10 and 12")
+        .withColumnRenamed("n_name", "nation_name"),
+        path, "append", format_version=2,
+    )
+    keys = sorted(
+        r[0] for r in read_iceberg(spark, path).select("n_nationkey").collect()
+    )
+    assert keys == sorted(set(range(13)) - {3})
+    # filter pushdown by the new name over the OLD files
+    got = read_iceberg(spark, path).where("nation_name = 'NATION_2'")
+    assert got.count() == 1 and got.first()["n_nationkey"] == 2
+    # gates
+    with pytest.raises(ValueError, match="already exists"):
+        ice.rename_iceberg_column(path, "n_regionkey", "nation_name")
+    p2 = str(tmp_path / "ice_rename_eq")
+    write_iceberg(src.where("n_nationkey < 5"), p2, "overwrite",
+                  format_version=2)
+    ice.add_equality_deletes(
+        spark, p2, src.where("n_nationkey = 1").select("n_nationkey")
+    )
+    with pytest.raises(NotImplementedError, match="EQUALITY delete"):
+        ice.rename_iceberg_column(p2, "n_name", "x")
+    # ...until the deletes compact to positional form
+    ice.compact_iceberg_deletes(spark, p2)
+    ice.rename_iceberg_column(p2, "n_name", "x")
+    assert "x" in read_iceberg(spark, p2).columns
+    p3 = str(tmp_path / "ice_rename_part")
+    write_iceberg(src, p3, "overwrite", partition_by=["n_regionkey"])
+    with pytest.raises(NotImplementedError, match="partition-spec source"):
+        ice.rename_iceberg_column(p3, "n_regionkey", "rk")
