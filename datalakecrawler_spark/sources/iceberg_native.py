@@ -2404,6 +2404,77 @@ def upsert_iceberg(
     }
 
 
+def add_iceberg_column(path: str, name: str, ice_type: str) -> int:
+    """ADD COLUMN as a metadata-only commit: the field gets a FRESH id
+    past last-column-id, existing files simply lack it (the
+    explicit-schema read serves NULLs there) — adding a column to a
+    100 TB table costs one metadata.json publish. ``ice_type`` is an
+    Iceberg primitive (int/long/double/string/boolean/date/
+    timestamp/decimal(p,s)...)."""
+    meta = _read_metadata(path)
+    fields = meta["schema"]["fields"]
+    if name in {f["name"] for f in fields}:
+        raise ValueError(f"column {name!r} already exists")
+    _ice_type_to_spark(ice_type)  # validates the type string
+    fid = meta.get("last-column-id", len(fields)) + 1
+    fields.append(
+        {"id": fid, "name": name, "required": False, "type": ice_type}
+    )
+    meta["last-column-id"] = fid
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    _publish_metadata(path, version, meta)
+    return version
+
+
+def drop_iceberg_column(path: str, name: str) -> int:
+    """DROP COLUMN as a metadata-only commit: the field leaves the
+    schema (its id is retired — never reused, per the spec's
+    last-column-id rule, so a later ADD of the same name maps to a new
+    id and old values can never leak back); data files keep the bytes
+    but scans stop resolving them. Gates: partition-spec source
+    columns and equality-delete key columns (their delete files name
+    the field ids)."""
+    meta = _read_metadata(path)
+    fields = meta["schema"]["fields"]
+    by_name = {f["name"]: f for f in fields}
+    if name not in by_name:
+        raise ValueError(f"no column {name!r} (have {sorted(by_name)})")
+    if len(fields) == 1:
+        raise ValueError("cannot drop the only column")
+    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    src_ids = {sf.get("source-id") for sf in spec_fields}
+    if by_name[name]["id"] in src_ids:
+        raise NotImplementedError(
+            f"dropping partition-spec source column {name!r} is not wired"
+        )
+    sid = meta.get("current-snapshot-id")
+    if sid is not None and sid != -1 and meta.get("snapshots"):
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+        _f, _pd, eq_dels, _ds, _dp = _resolve_state(path, snap)
+        if eq_dels:
+            raise NotImplementedError(
+                "drop on a table with live EQUALITY delete files is not "
+                "wired (the delete keys may reference the column); run "
+                "compact_iceberg_deletes first"
+            )
+    meta["schema"]["fields"] = [f for f in fields if f["name"] != name]
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    _publish_metadata(path, version, meta)
+    return version
+
+
 def rename_iceberg_column(path: str, old: str, new: str) -> int:
     """RENAME COLUMN as a metadata-only commit — Iceberg's field-id
     superpower: every data file stores ``parquet.field.id`` per column
@@ -4205,4 +4276,71 @@ def scan_iceberg_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("status").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("total_price").alias("total_price"),
+    )
+
+
+@register(
+    "scan_iceberg_schema_evolution_ddl",
+    group="A",
+    oracle=f"""
+    with epoch1 as (
+      select o_orderkey, o_totalprice, cast(null as double) as discount
+      from orders where o_orderkey % 2 = 0
+    ),
+    epoch2 as (
+      select o_orderkey, o_totalprice, o_totalprice * 0.1 as discount
+      from orders where o_orderkey % 2 = 1
+    ),
+    unioned as (
+      select * from epoch1 union all select * from epoch2
+    )
+    select count(*) as cnt,
+           count(discount) as cnt_discounted,
+           {SUM_D.format('o_totalprice')} as sum_price,
+           {SUM_D.format('coalesce(discount, 0)')} as sum_discount
+    from unioned
+    """,
+)
+def scan_iceberg_schema_evolution_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the full metadata-only DDL lifecycle on one table. Half
+    the orders commit; ADD COLUMN discount (fresh field id, one
+    metadata publish — asserted: zero data files touched); the other
+    half appends WITH discounts; DROP COLUMN o_orderstatus retires its
+    id; RENAME o_custkey→customer_id resolves both write epochs by
+    field id. The final scan aggregates across files written under
+    three different physical schemas — count, discounted-row count,
+    and sums — which the oracle recomputes from the source. This is
+    the everyday ALTER TABLE sequence that must cost O(metadata) on a
+    100 TB table."""
+    path = _fresh(_tmp("orders_iceberg_ddl"))
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 0), path, "overwrite",
+        format_version=2,
+    )
+    data_before = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))
+    add_iceberg_column(path, "discount", "double")
+    drop_iceberg_column(path, "o_orderstatus")
+    rename_iceberg_column(path, "o_custkey", "customer_id")
+    assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) == (
+        data_before
+    ), "DDL must not touch data files"
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 1)
+        .withColumnRenamed("o_custkey", "customer_id")
+        .drop("o_orderstatus")
+        .withColumn("discount", F.col("o_totalprice") * 0.1),
+        path, "append", format_version=2,
+    )
+    out = read_iceberg(spark, path)
+    assert sorted(out.columns) == [
+        "customer_id", "discount", "o_orderkey", "o_totalprice",
+    ]
+    return out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("discount").alias("cnt_discounted"),
+        dsum("o_totalprice").alias("sum_price"),
+        dsum(F.coalesce(F.col("discount"), F.lit(0.0))).alias("sum_discount"),
     )

@@ -1489,3 +1489,45 @@ def test_rename_column_metadata_only(spark, tmp_path):
     write_iceberg(src, p3, "overwrite", partition_by=["n_regionkey"])
     with pytest.raises(NotImplementedError, match="partition-spec source"):
         ice.rename_iceberg_column(p3, "n_regionkey", "rk")
+
+
+def test_add_and_drop_column_metadata_only(spark, tmp_path):
+    """ADD/DROP COLUMN touch only metadata.json: old files serve NULLs
+    for added fields (fresh id), dropped fields stop resolving while
+    their bytes stay, the retired id is never reused (a re-added name
+    can't leak old values), and appends interleave."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_adddrop")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(src.where("n_nationkey < 5"), path, "overwrite",
+                  format_version=2)
+    data_before = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))
+    ice.add_iceberg_column(path, "score", "double")
+    assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) == data_before
+    back = read_iceberg(spark, path)
+    assert "score" in back.columns
+    assert back.where("score is null").count() == 5  # old files: NULLs
+    # append WITH the new column
+    write_iceberg(
+        src.where("n_nationkey between 5 and 7").withColumn(
+            "score", F.col("n_nationkey") * 1.5
+        ),
+        path, "append", format_version=2,
+    )
+    got = {r["n_nationkey"]: r["score"] for r in read_iceberg(spark, path).collect()}
+    assert got[6] == 9.0 and got[2] is None
+    # drop it again: bytes stay, resolution stops
+    ice.drop_iceberg_column(path, "score")
+    back2 = read_iceberg(spark, path)
+    assert "score" not in back2.columns and back2.count() == 8
+    # re-adding the same name maps to a FRESH id: old values never leak
+    ice.add_iceberg_column(path, "score", "double")
+    assert read_iceberg(spark, path).where("score is not null").count() == 0
+    # gates
+    with pytest.raises(ValueError, match="already exists"):
+        ice.add_iceberg_column(path, "score", "double")
+    p2 = str(tmp_path / "ice_adddrop_part")
+    write_iceberg(src, p2, "overwrite", partition_by=["n_regionkey"])
+    with pytest.raises(NotImplementedError, match="partition-spec source"):
+        ice.drop_iceberg_column(p2, "n_regionkey")
