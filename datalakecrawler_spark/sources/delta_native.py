@@ -985,7 +985,7 @@ def _scan_logical_rowmeta(
         {"type": "struct", "fields": [{**f, "metadata": {}} for f in mapped]}
     )
     out = _scan_active(
-        spark, path, active, phys_schema, [], keep_rowmeta=True
+        spark, path, active, phys_schema, partition_columns, keep_rowmeta=True
     ).select(
         *[
             F.col(pf["name"]).cast(logical[f["name"]].dataType).alias(f["name"])
@@ -1313,7 +1313,10 @@ def _cm_physical_struct(fields: list[dict]) -> list[dict]:
 
 
 def write_delta_column_mapped(
-    df: DataFrame, path: str, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to a Delta table with COLUMN MAPPING (mode=name,
     reader v2 / writer v5): data files store immutable physical names
@@ -1323,9 +1326,11 @@ def write_delta_column_mapped(
     is the indirection that makes renaming a column on a 100 TB table
     a metadata-only commit — no parquet file rewrites. Appends reuse
     the table's existing mapping (matched by logical name; a new
-    column set refuses). Partitioned layouts are gated — hive dirs
-    would carry physical names, crossing this writer's decoded
-    partitionValues convention."""
+    column set refuses). ``partition_by`` names LOGICAL columns; per
+    protocol the hive dirs, add.partitionValues keys, and
+    metaData.partitionColumns all carry the PHYSICAL names — which is
+    exactly what makes renaming a partition column metadata-only
+    too."""
     writer_fields = df.schema.jsonValue()["fields"]
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode {mode!r}")
@@ -1344,24 +1349,35 @@ def write_delta_column_mapped(
                 "table exists without column mapping; cannot convert in "
                 "place (Delta's upgrade rewrites the metadata, not done here)"
             )
-        if prior_parts:
-            raise NotImplementedError(
-                "column mapping + partitioned layout is not wired"
-            )
         mapped = json.loads(prior_schema)["fields"]
         if {f["name"] for f in mapped} != {f["name"] for f in writer_fields}:
             raise ValueError(
                 "append schema differs from the mapped table schema"
             )
         max_id = int(prior_conf.get("delta.columnMapping.maxColumnId", 0))
+        prior_phys_parts = prior_parts
     else:
         next_id = [0]
         mapped = _cm_map_fields(writer_fields, next_id)
         max_id = next_id[0]
+        prior_phys_parts = None
     version = 0 if prior_version is None else prior_version + 1
     os.makedirs(_log_dir(path), exist_ok=True)
 
     physical = _cm_physical_struct(mapped)
+    phys_by_logical = {
+        f["name"]: pf["name"] for f, pf in zip(mapped, physical)
+    }
+    bad_parts = sorted(set(partition_by or []) - set(phys_by_logical))
+    if bad_parts:
+        raise ValueError(f"partition_by names unknown columns {bad_parts}")
+    phys_parts = [phys_by_logical[c] for c in (partition_by or [])]
+    if prior_phys_parts is not None and prior_phys_parts != phys_parts:
+        raise ValueError(
+            f"table is partitioned by physical columns {prior_phys_parts}; "
+            f"this commit declares {phys_parts} — partitioning is fixed "
+            "at table creation"
+        )
     # rename + nested-struct field renames in one positional cast
     phys_type = T.StructType.fromJson({"type": "struct", "fields": physical})
     from pyspark.sql import functions as F
@@ -1375,8 +1391,11 @@ def write_delta_column_mapped(
         ]
     )
     stage = os.path.join(path, f"_stage-{version:020d}-{uuid.uuid4().hex[:8]}")
-    phys_df.write.mode("overwrite").parquet(stage)
-    adds = _stage_to_adds(path, stage, version, [], True)
+    w = phys_df.write.mode("overwrite")
+    if phys_parts:
+        w = w.partitionBy(*phys_parts)
+    w.parquet(stage)
+    adds = _stage_to_adds(path, stage, version, phys_parts, True)
     shutil.rmtree(stage)
     actions: list[dict] = []
     if version == 0:
@@ -1396,7 +1415,7 @@ def write_delta_column_mapped(
                 "schemaString": json.dumps(
                     {"type": "struct", "fields": mapped}
                 ),
-                "partitionColumns": [],
+                "partitionColumns": phys_parts,
                 "configuration": {
                     "delta.columnMapping.mode": "name",
                     "delta.columnMapping.maxColumnId": str(max_id),
@@ -1542,10 +1561,6 @@ def _read_column_mapped(
     cast — Catalyst folds it into the scan, no row cost)."""
     from pyspark.sql import functions as F
 
-    if partition_columns:
-        raise NotImplementedError(
-            "column mapping + partitioned layout is not wired"
-        )
     mapped = json.loads(schema_string)["fields"]
     logical = T.StructType.fromJson(
         {"type": "struct", "fields": [{**f, "metadata": {}} for f in mapped]}
@@ -1556,7 +1571,10 @@ def _read_column_mapped(
     phys_schema = T.StructType.fromJson(
         {"type": "struct", "fields": physical}
     )
-    out = _scan_active(spark, path, active, phys_schema, [])
+    # partition_columns hold PHYSICAL names (protocol); the hive dirs
+    # carry them too, so basePath re-derivation works unchanged and
+    # the projection below renames them to logical with everything else
+    out = _scan_active(spark, path, active, phys_schema, partition_columns)
     return out.select(
         *[
             F.col(pf["name"]).cast(logical[f["name"]].dataType).alias(f["name"])
@@ -1608,6 +1626,20 @@ def read_delta(
             "'none' and 'name'"
         )
     schema = T.StructType.fromJson(json.loads(schema_string))
+    if partition_filter and cm_mode == "name":
+        # filters name LOGICAL columns; partitionColumns/partitionValues
+        # carry the physical names per protocol
+        mapped = json.loads(schema_string)["fields"]
+        phys_by_logical = {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in mapped
+        }
+        unknown = sorted(set(partition_filter) - set(phys_by_logical))
+        if unknown:
+            raise ValueError(f"partition_filter on unknown columns {unknown}")
+        partition_filter = {
+            phys_by_logical[k]: v for k, v in partition_filter.items()
+        }
     if partition_filter:
         missing = set(partition_filter) - set(partition_columns)
         if missing:
@@ -3855,4 +3887,46 @@ def scan_delta_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(after) - len(before)).cast("int").alias("files_rewritten"),
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "scan_delta_cm_partitioned",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt_f, {SUM_D.format('o_totalprice')} as sum_price_f
+    from orders where o_orderstatus = 'F' and o_orderkey % 7 <> 2
+    """,
+)
+def scan_delta_cm_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: COLUMN MAPPING on a PARTITIONED table — the combination
+    real mapped lakes run. Orders commit mapped and hive-partitioned:
+    per protocol the dirs, add.partitionValues keys, and
+    metaData.partitionColumns all carry the PHYSICAL col-<uuid> names
+    (asserted on disk). The partition column renames to `status`
+    WITHOUT touching a file (dirs stay physical), a DV DELETE removes
+    every o_orderkey ≡ 2 (mod 7) row through the logical view, and the
+    final read partition-filters by the NEW logical name — pruned from
+    the log, recomputed by the oracle from the source."""
+    path = _fresh(_tmp("orders_delta_cm_part"))
+    src = load(spark, sf_dir, "orders")
+    write_delta_column_mapped(
+        src, path, "overwrite", partition_by=["o_orderstatus"]
+    )
+    pdirs = [
+        os.path.basename(d) for d in glob.glob(os.path.join(path, "col-*=*"))
+    ]
+    assert pdirs and all(d.startswith("col-") for d in pdirs), pdirs
+    files_before = sorted(
+        glob.glob(os.path.join(path, "**", "part-*.parquet"), recursive=True)
+    )
+    rename_delta_column(path, "o_orderstatus", "status")
+    assert sorted(
+        glob.glob(os.path.join(path, "**", "part-*.parquet"), recursive=True)
+    ) == files_before
+    delete_delta(spark, path, "o_orderkey % 7 = 2")
+    out = read_delta(spark, path, partition_filter={"status": "F"})
+    return out.agg(
+        F.count(F.lit(1)).alias("cnt_f"),
+        dsum("o_totalprice").alias("sum_price_f"),
     )

@@ -565,3 +565,49 @@ def test_drop_column_metadata_only(spark, tmp_path):
     assert "n_regionkey" in old.columns
     with pytest.raises(ValueError, match="no column"):
         dn.drop_delta_column(path, "nope")
+
+
+def test_column_mapping_partitioned(spark, tmp_path):
+    """Partitioned column-mapped table: hive dirs / partitionValues /
+    partitionColumns all carry PHYSICAL names (per protocol), logical
+    reads and partition_filter translate, renaming the partition
+    column stays metadata-only, and DELETE/UPDATE work."""
+    path = str(tmp_path / "cm_part")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta_column_mapped(
+        src, path, "overwrite", partition_by=["n_regionkey"]
+    )
+    # dirs are physical col-<uuid>=value
+    dirs = [
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(path, "col-*=*"))
+    ]
+    assert dirs and all(d.startswith("col-") for d in dirs)
+    back = dn.read_delta(spark, path)
+    assert sorted(back.columns) == sorted(src.columns)
+    assert back.count() == 25
+    # partition_filter by LOGICAL name prunes from the log
+    want = sorted(
+        r[0] for r in src.where("n_regionkey = 1").select("n_nationkey").collect()
+    )
+    pruned = dn.read_delta(spark, path, partition_filter={"n_regionkey": "1"})
+    assert sorted(r["n_nationkey"] for r in pruned.collect()) == want
+    # renaming the PARTITION column is metadata-only (dirs physical)
+    before = sorted(glob.glob(os.path.join(path, "**", "part-*.parquet"),
+                              recursive=True))
+    dn.rename_delta_column(path, "n_regionkey", "region_id")
+    assert sorted(glob.glob(os.path.join(path, "**", "part-*.parquet"),
+                            recursive=True)) == before
+    back2 = dn.read_delta(spark, path, partition_filter={"region_id": "1"})
+    assert sorted(r["n_nationkey"] for r in back2.collect()) == want
+    # append reuses mapping + partitioning; DELETE/UPDATE logical
+    dn.write_delta_column_mapped(
+        back2.limit(1).withColumn("n_nationkey", F.lit(100)),
+        path, "append", partition_by=["region_id"],
+    )
+    assert dn.read_delta(spark, path).count() == 26
+    dn.delete_delta(spark, path, "n_nationkey = 100")
+    assert dn.read_delta(spark, path).count() == 25
+    dn.update_delta(spark, path, "n_nationkey = 3", {"region_id": "77"})
+    moved = dn.read_delta(spark, path, partition_filter={"region_id": "77"})
+    assert [r["n_nationkey"] for r in moved.collect()] == [3]
