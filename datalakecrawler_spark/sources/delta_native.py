@@ -2599,8 +2599,42 @@ def read_delta_changes(
         versions = [v for v in versions if v <= to_version]
     if not versions:
         raise ValueError(f"no commits in ({from_version}, {to_version}]")
-    _, schema_string, _, partition_columns = _replay(path, versions[-1])
+    (
+        _a,
+        schema_string,
+        _v2,
+        partition_columns,
+        _cdf_conf,
+        _cdf_prot,
+    ) = _replay_full(path, versions[-1])
     schema = T.StructType.fromJson(json.loads(schema_string))
+    # column-mapped tables: data files (and partition dirs) carry
+    # PHYSICAL names — read physically and project back to logical so
+    # the change rows never silently null out. cdc files are written
+    # under logical names and read schemaless either way.
+    _cm = _cdf_conf.get("delta.columnMapping.mode", "none") == "name"
+    if _cm:
+        _mapped = json.loads(schema_string)["fields"]
+        _physical = _cm_physical_struct(_mapped)
+        _read_schema = T.StructType.fromJson(
+            {"type": "struct", "fields": _physical}
+        )
+        _logical_pairs = [
+            (f["name"], pf["name"]) for f, pf in zip(_mapped, _physical)
+        ]
+    else:
+        _read_schema = schema
+
+    def _to_logical(df: DataFrame) -> DataFrame:
+        if not _cm:
+            return df
+        return df.select(
+            *[
+                F.col(pn).cast(schema[ln].dataType).alias(ln)
+                for ln, pn in _logical_pairs
+            ],
+            *[c for c in df.columns if c.startswith("__dlc_")],
+        )
 
     def _read(rels: list[str], ctype: str | None, v: int) -> DataFrame:
         missing = [r for r in rels if not os.path.exists(os.path.join(path, r))]
@@ -2608,7 +2642,7 @@ def read_delta_changes(
             raise FileNotFoundError(
                 f"change files for version {v} were vacuumed: {missing[:3]}"
             )
-        sch = schema if ctype is not None else None
+        sch = _read_schema if ctype is not None else None
         reader = spark.read.schema(sch) if sch is not None else spark.read
         if sch is not None and partition_columns:
             # add/remove files of a partitioned table carry their
@@ -2617,6 +2651,7 @@ def read_delta_changes(
             reader = reader.option("basePath", path)
         df = reader.parquet(*[os.path.join(path, r) for r in sorted(rels)])
         if ctype is not None:
+            df = _to_logical(df)
             df = df.withColumn("_change_type", F.lit(ctype))
         return df.withColumn("_commit_version", F.lit(v).cast("long"))
 
@@ -2628,7 +2663,7 @@ def read_delta_changes(
             raise FileNotFoundError(
                 f"change files for version {v} were vacuumed: [{rel!r}]"
             )
-        reader = spark.read.schema(schema)
+        reader = spark.read.schema(_read_schema)
         if partition_columns:
             reader = reader.option("basePath", path)
         df = reader.parquet(os.path.join(path, rel)).withColumn(
@@ -2639,7 +2674,7 @@ def read_delta_changes(
         )
         how = "left_anti" if exclude else "left_semi"
         return (
-            df.join(F.broadcast(pos_df), "__dlc_row_pos", how)
+            _to_logical(df.join(F.broadcast(pos_df), "__dlc_row_pos", how))
             .drop("__dlc_row_pos")
             .withColumn("_change_type", F.lit("delete"))
             .withColumn("_commit_version", F.lit(v).cast("long"))

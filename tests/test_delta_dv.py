@@ -611,3 +611,37 @@ def test_column_mapping_partitioned(spark, tmp_path):
     dn.update_delta(spark, path, "n_nationkey = 3", {"region_id": "77"})
     moved = dn.read_delta(spark, path, partition_filter={"region_id": "77"})
     assert [r["n_nationkey"] for r in moved.collect()] == [3]
+
+
+def test_cdf_on_column_mapped_table(spark, tmp_path):
+    """read_delta_changes on a mapped table serves LOGICAL names —
+    inserts from physical appends, DV-commit deletes by row index, and
+    update pre/post images from cdc files all project back."""
+    path = str(tmp_path / "cm_cdf")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta_column_mapped(src.where("n_nationkey < 6"), path)
+    dn.delete_delta(spark, path, "n_nationkey = 2")  # v1: DV delete
+    dn.update_delta(
+        spark, path, "n_nationkey = 4", {"n_name": "'UPDATED'"}
+    )  # v2: cdc update
+    dn.write_delta_column_mapped(
+        src.where("n_nationkey = 20"), path, "append"
+    )  # v3: physical-name insert
+    ch = dn.read_delta_changes(spark, path, from_version=0)
+    rows = sorted(
+        (r["n_nationkey"], r["_change_type"], r["_commit_version"])
+        for r in ch.collect()
+    )
+    assert rows == [
+        (2, "delete", 1),
+        (4, "update_postimage", 2),
+        (4, "update_preimage", 2),
+        (20, "insert", 3),
+    ]
+    # values are real, not nulled-out physical misses
+    names = {
+        (r["_change_type"]): r["n_name"]
+        for r in ch.where("n_nationkey = 4").collect()
+    }
+    assert names["update_postimage"] == "UPDATED"
+    assert names["update_preimage"] == "NATION_4"
