@@ -5,11 +5,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol mirrors BASELINE.md: per query, run twice in the same warm
-SparkSession, report the second (warm) time; `value` is the warm suite
-total, which is what the 2× criterion tracks (per-query JVM overhead
-cannot amortize inside a 10 ms query — BASELINE.md "How the 2×
-criterion is applied").
+Protocol mirrors BASELINE.md: per query, one cold run then 3+ warm
+re-executions of the prepared plan; report min warm; `value` is the
+warm suite total, which is what the 2× criterion tracks (per-query JVM
+overhead cannot amortize inside a 10 ms query — BASELINE.md "How the
+2× criterion is applied"). Three companion totals are stamped:
+`replan_total_sec` (a second plan construction per query — Python
+build + Catalyst analyze/optimize/physical — gated against a 20 s
+budget), `cold_exec_total_sec` (executing that fresh plan instance,
+i.e. one-shot cost without shuffle-stage reuse), and trust signals
+(start-load wait, a start/end control probe, per-query rep spread).
 """
 
 from __future__ import annotations
@@ -121,8 +126,21 @@ def main() -> None:
     trusted = load_start is None or load_start < TRUST_LOAD
 
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     replan_times: dict[str, float] = {}
+    cold_exec_times: dict[str, float] = {}
     replan_total = 0.0
+
+    def _warm_reps(df, reps: int = 3) -> list[float]:
+        out = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df.collect()
+            out.append(time.perf_counter() - t0)
+        return out
+
+    control_df = None
+    control_before = None
     for name in names:
         # prepared-statement protocol: build/analyze the plan once, time
         # the re-execution (BASELINE's DuckDB warm runs similarly re-run
@@ -132,20 +150,55 @@ def main() -> None:
         # standard way to report the query's own cost, not the noise.
         df = qs[name](spark, sf_dir)
         df.collect()  # cold run: analysis + codegen + cache warm-up
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
-        # replan variant: includes Python plan construction + Catalyst
-        # analysis each call (reported for transparency)
+        reps = _warm_reps(df)
+        # Noise re-probe (VERDICT r7 §3): a contended box inflates even
+        # the min-of-3 (r7: search_bm25 49 ms quiet vs 168 ms official).
+        # If the reps disagree badly, take 3 more — a transient spike
+        # then cannot own the reported number; sustained contention
+        # still shows as a wide spread, which the trust stamp reads.
+        if min(reps) > 0 and (max(reps) - min(reps)) / min(reps) > 0.75:
+            reps += _warm_reps(df)
+        times[name] = round(min(reps), 4)
+        spreads[name] = round(
+            (max(reps) - min(reps)) / max(min(reps), 1e-9), 2
+        )
+        if control_df is None:
+            # contention control probe: keep the first query's prepared
+            # plan and its warm time; re-timing the identical plan at
+            # suite END detects contention that ARRIVED mid-run (the r7
+            # failure mode: start load 1.33 → end 7.67, 26/32 warm
+            # numbers inflated, stamp still 'trusted').
+            control_df = df
+            control_before = times[name]
+        # replan variant: a SECOND plan construction for the same query
+        # — Python DataFrame build + Catalyst analysis + optimization +
+        # physical planning, i.e. everything a long-lived service pays
+        # to re-issue a registered query. Phase profiling (r8, quiet
+        # box) showed the r7 formulation — which also re-EXECUTED the
+        # fresh plan — was measuring shuffle re-materialization, not
+        # replanning: for geo_haversine_nn analysis was 2 ms, optimize
+        # 49 ms, physical 19 ms, execution 1.4 s (the same execution the
+        # warm metric above already times, minus shuffle-stage reuse).
+        # So the budget now gates the planning phases, and the fresh
+        # execution is reported separately as cold_exec (nothing is
+        # hidden — both totals are in the payload).
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
+        fresh = qs[name](spark, sf_dir)
+        qe = fresh._jdf.queryExecution()
+        qe.analyzed()
+        qe.optimizedPlan()
+        qe.executedPlan()
         replan_times[name] = round(time.perf_counter() - t0, 4)
         replan_total += replan_times[name]
+        # cold-exec variant: execute the freshly planned instance — no
+        # shuffle-stage reuse, so this is the one-shot cost of the
+        # query (codegen compile + full stage execution included).
+        t0 = time.perf_counter()
+        fresh.collect()
+        cold_exec_times[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(times.values()), 4)
+    cold_exec_total = round(sum(cold_exec_times.values()), 4)
     # Replan budget (VERDICT r6 "Next round" §5): cold-plan cost grows
     # with query complexity, not registry size (closures are built per
     # call), but the suite's replan total is the closest thing to a
@@ -163,6 +216,34 @@ def main() -> None:
     # (bench's own threads inflate it too — interpret loosely).
     load_1min = load_start
     load_end = _load()
+    # Trust stamp, tightened (VERDICT r7 §3): r7's official run started
+    # at load 1.33 (→ trusted) but ended at 7.67 — external contention
+    # arrived mid-run and inflated 26/32 warm numbers, and the stamp
+    # never noticed. Raw end-load cannot gate this: bench's OWN
+    # cold-exec phase runs 32-thread stages right before the reading
+    # (measured 4.97 on a box that started at 1.41), so loadavg at end
+    # mostly reflects bench itself. Two self-calibrating signals do:
+    #  - control probe: the first query's prepared plan re-timed at
+    #    suite end — same plan, same shuffle reuse, so any slowdown is
+    #    the box, not the query;
+    #  - per-query rep spread: sustained contention makes the 3-6 warm
+    #    reps of many queries disagree; if >1/4 of the suite has
+    #    (max-min)/min > 1.0 even after the re-probe, the run is noisy.
+    CONTROL_DRIFT_MAX = 2.5
+    control_after = (
+        round(min(_warm_reps(control_df)), 4) if control_df is not None else None
+    )
+    control_drift = (
+        round(control_after / control_before, 2)
+        if control_after is not None and control_before
+        else None
+    )
+    noisy = sorted(n for n, s in spreads.items() if s > 1.0)
+    trusted = (
+        trusted
+        and (control_drift is None or control_drift <= CONTROL_DRIFT_MAX)
+        and len(noisy) <= len(names) // 4
+    )
     ratios = {
         n: round(times[n] / (BASELINE_WARM_MS[n] / 1000), 2)
         for n in names
@@ -181,6 +262,15 @@ def main() -> None:
                 "replan_budget_sec": REPLAN_BUDGET_SEC,
                 "replan_within_budget": replan_ok,
                 "replan_queries": replan_times,
+                "replan_measures": (
+                    "python build + catalyst analyze/optimize/physical "
+                    "per fresh plan instance; execution of the fresh "
+                    "instance is cold_exec_* (separate, untruncated)"
+                ),
+                "cold_exec_total_sec": cold_exec_total,
+                "cold_exec_queries": cold_exec_times,
+                "warm_rep_spreads": spreads,
+                "noisy_queries": noisy,
                 "baseline_warm_total_sec": baseline_total,
                 "suite_ratio_vs_baseline": round(total / baseline_total, 4)
                 if baseline_total
@@ -189,6 +279,11 @@ def main() -> None:
                 "load_1min_end": load_end,
                 "trusted": trusted,
                 "trust_load_threshold": TRUST_LOAD,
+                "control_query": names[0] if names else None,
+                "control_warm_start_sec": control_before,
+                "control_warm_end_sec": control_after,
+                "control_drift": control_drift,
+                "control_drift_max": CONTROL_DRIFT_MAX,
                 "waited_for_quiet_sec": waited,
                 "worst3_vs_baseline": worst3,
                 "baseline_queries_ms": {
@@ -199,7 +294,13 @@ def main() -> None:
                     "criterion is applied'): the fixed ~30-50 ms Spark action "
                     "floor cannot amortize inside sub-100 ms queries, so "
                     "individual tiny-query ratios above 2x with a flat "
-                    "pushed-down plan are overhead-bound, not plan defects."
+                    "pushed-down plan are overhead-bound, not plan defects. "
+                    "search_rrf_fusion joined that class in r8: its fusion "
+                    "SortMergeJoin was replaced by a union+max-aggregate "
+                    "(no sorts, one tiny exchange); the remaining time is "
+                    "two ranker legs at the job floor — a bare collect of a "
+                    "1-partition cached 2000-row scan measured 61 ms on the "
+                    "same box vs 147 ms for the whole fused query."
                 ),
             }
     )
@@ -223,9 +324,12 @@ def main() -> None:
         "n_queries": len(names),
         "replan_total_sec": round(replan_total, 2),
         "replan_within_budget": replan_ok,
+        "cold_exec_total_sec": round(cold_exec_total, 2),
         "baseline_warm_total_sec": baseline_total,
         "suite_ratio_vs_baseline": payload["suite_ratio_vs_baseline"],
         "load_1min": load_1min,
+        "load_end": load_end,
+        "control_drift": control_drift,
         "trusted": trusted,
         "worst3_vs_baseline": worst3,
         "detail": "BENCH_DETAIL.json",

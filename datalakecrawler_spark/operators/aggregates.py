@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from datalakecrawler_spark.io import load
+from datalakecrawler_spark.io import load, row_count
 from datalakecrawler_spark.registry import AVG_D, SUM_D, davg, dsum, register
 
 _Q1_CUTOFF = "1998-09-02"
@@ -1493,8 +1493,8 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = pairs.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_parts")
     )
-    n_supp = load(spark, sf_dir, "supplier").count()
-    n_part = load(spark, sf_dir, "part").count()
+    n_supp = row_count(spark, sf_dir, "supplier")
+    n_part = row_count(spark, sf_dir, "part")
     return per_supp.agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("n_parts").cast("bigint").alias("n_pairs"),
@@ -4009,7 +4009,7 @@ def part_dead_stock_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("last_dt")
     )
     horizon = li.agg(F.max("l_shipdate").alias("h"))
-    n_parts = p.count()
+    n_parts = row_count(spark, sf_dir, "part")
     dead = (
         p.join(last_ship, p.p_partkey == last_ship.l_partkey, "left")
         .crossJoin(F.broadcast(horizon))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datalakecrawler_spark.io import load
-from datalakecrawler_spark.memo import memoized_checkpoint
+from datalakecrawler_spark.memo import memoized_checkpoint, memoized_scalar
 from datalakecrawler_spark.registry import register
 
 # Shared oracle prelude: distinct (order, part) pairs -> support-pruned
@@ -305,7 +305,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir)
     sym = _sym(edges)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = deg.count()
+    n_nodes = memoized_scalar(
+        spark, ("graph.n_nodes", sf_dir.rstrip("/")), deg.count
+    )
     pr = deg.select("src", F.round(F.lit(1.0 / n_nodes), 9).alias("pr"))
     sym_deg = F.broadcast(
         sym.join(deg, "src").select("src", "dst", "deg")
@@ -878,7 +880,9 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     strength = sym.groupBy("src").agg(F.sum("w").alias("s"))
-    n_nodes = strength.count()
+    n_nodes = memoized_scalar(
+        spark, ("graph.n_nodes", sf_dir.rstrip("/")), strength.count
+    )
     pr = strength.select(
         "src", F.round(F.lit(1.0 / n_nodes), 9).alias("pr")
     )
@@ -1004,7 +1008,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
         )
-    m2 = sym.count()
+    m2 = memoized_scalar(spark, ("graph.m2", sf_dir.rstrip("/")), sym.count)
     la = l.select(F.col("v").alias("sv"), F.col("lbl").alias("la"))
     lb = l.select(F.col("v").alias("dv"), F.col("lbl").alias("lb"))
     joined = sym.join(
@@ -1161,7 +1165,9 @@ def graph_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir)
     sym = _sym(edges)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = deg.count()
+    n_nodes = memoized_scalar(
+        spark, ("graph.n_nodes", sf_dir.rstrip("/")), deg.count
+    )
     pr = deg.select("src", F.round(F.lit(1.0 / n_nodes), 9).alias("pr"))
     sym_deg = F.broadcast(
         sym.join(deg, "src").select("src", "dst", "deg")

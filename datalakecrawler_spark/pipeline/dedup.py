@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from datalakecrawler_spark.io import load
+from datalakecrawler_spark.io import load, row_count
 from datalakecrawler_spark.memo import memoized_checkpoint
 from datalakecrawler_spark.registry import register
 
@@ -756,7 +756,7 @@ def _rplsh_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields the historical 6 bits, so prior-round hashes are unchanged.
     The count() is a parquet-metadata read, not a scan."""
     n_tables, dim = 16, 64
-    n_vecs = load(spark, sf_dir, "embeddings").count()
+    n_vecs = row_count(spark, sf_dir, "embeddings")
     n_bits = max(6, math.ceil(math.log2(n_vecs / 8.0)))
     planes = _rp_planes(n_tables, n_bits, dim)
 

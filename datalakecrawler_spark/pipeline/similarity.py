@@ -1231,15 +1231,32 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id", "r_lex")
     )
-    fused = sem.join(lex, ["id"], "full_outer").select(
-        "id",
-        "r_sem",
-        "r_lex",
-        F.round(
-            F.coalesce(1.0 / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(60) + F.col("r_lex")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
+    # Fusion = full-outer merge of two ≤N-row rank lists. As a join
+    # Spark plans a SortMergeJoin (full outer cannot broadcast-hash):
+    # two exchanges + two sorts over kilobytes (VERDICT r7 — rrf was
+    # the one over-2× query with a plan fix available). Each id is
+    # unique within each list, so the same merge is a union + one
+    # max-aggregate: a single ≤2N-row exchange, no sorts, and AQE
+    # coalesces the post-shuffle side to one partition.
+    fused = (
+        sem.select("id", "r_sem", F.lit(None).cast("int").alias("r_lex"))
+        .unionAll(
+            lex.select(
+                "id", F.lit(None).cast("int").alias("r_sem"), "r_lex"
+            )
+        )
+        .groupBy("id")
+        .agg(F.max("r_sem").alias("r_sem"), F.max("r_lex").alias("r_lex"))
+        .select(
+            "id",
+            "r_sem",
+            "r_lex",
+            F.round(
+                F.coalesce(1.0 / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("r_lex")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
     )
     return fused.orderBy(F.col("rrf_score").desc(), "id").limit(20)
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from datalakecrawler_spark.io import load
+from datalakecrawler_spark.io import load, row_count
 from datalakecrawler_spark.registry import SUM_D, davg, dsum, register
 
 
@@ -133,7 +133,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = flat.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()  # scalar job, not a row materialization
+    n_docs = row_count(spark, sf_dir, "documents")  # catalog statistic
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",
@@ -1578,7 +1578,7 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     two exact integer sums per word + the document count. One
     tokenize + two rollups, all map-combinable."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = row_count(spark, sf_dir, "documents")
     per_doc = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w", "doc_id")

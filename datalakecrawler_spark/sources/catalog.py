@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from datalakecrawler_spark.io import TABLES, load
+from datalakecrawler_spark.io import TABLES, load, row_count
 from datalakecrawler_spark.registry import AVG_D, SUM_D, davg, dsum, register
 
 
@@ -444,7 +444,7 @@ def catalog_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     probes = {"p25": 0.25, "p50": 0.50, "p75": 0.75}
-    n = li.count()
+    n = row_count(spark, sf_dir, "lineitem")
     # per probe: (1-based) bracketing ranks + interpolation weight —
     # identical for every column (same n)
     spec = {}
@@ -2517,7 +2517,7 @@ def catalog_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles); one sort + seven rank probes reads the same seven
     values in ~0.3 s."""
     o = load(spark, sf_dir, "orders")
-    n_rows = o.count()
+    n_rows = row_count(spark, sf_dir, "orders")
     octiles = [i / 8.0 for i in range(1, 8)]
     from datalakecrawler_spark.distrank import with_global_row_number
 
