@@ -450,24 +450,40 @@ def table_maintenance_report(
             # reclaims the scan cost of reading them
             import json as _json
 
+            # numerator and denominator MUST cover the same file
+            # subset (ADVICE r7): a DV file without parseable stats
+            # previously added to dv_dead but not dv_total, so any
+            # nonzero cardinality tripped 'purge' via max(dv_total, 1).
+            # Now the ratio is computed only over DV files WITH stats;
+            # stats-less DV files are counted but never extrapolated.
             dv_files = 0
             dv_dead = 0
             dv_total = 0
+            dv_unsized = 0
             for a in active.values():
                 dv = a.get("deletionVector")
                 if not dv:
                     continue
                 dv_files += 1
-                dv_dead += dv.get("cardinality") or 0
                 st = a.get("stats")
-                if isinstance(st, str):
-                    dv_total += _json.loads(st).get("numRecords") or 0
+                nrec = (
+                    _json.loads(st).get("numRecords")
+                    if isinstance(st, str)
+                    else None
+                )
+                if nrec:
+                    dv_dead += dv.get("cardinality") or 0
+                    dv_total += nrec
+                else:
+                    dv_unsized += 1
             if small >= max_small_files:
                 rec = "optimize"
-            elif dv_files and dv_dead * 10 >= max(dv_total, 1):
+            elif dv_total and dv_dead * 10 >= dv_total:
                 rec = "purge"  # >=10% of DV-bearing files' rows are dead
             elif dv_files:
-                rec = "ok"  # DVs present but cheap — purge optional
+                # DVs present but dead share small or unmeasurable
+                # (no stats) — neutral call, purge optional
+                rec = "ok"
             else:
                 rec = "ok"
             rows.append(

@@ -645,3 +645,65 @@ def test_cdf_on_column_mapped_table(spark, tmp_path):
     }
     assert names["update_postimage"] == "UPDATED"
     assert names["update_preimage"] == "NATION_4"
+
+
+def test_delete_never_collects_data_proportional_rows(spark, tmp_path):
+    """Writer-side scale lint (VERDICT r7 §2): DELETE serializes DV
+    bitmaps executor-side; the only rows that may cross to the driver
+    are O(touched files) descriptor rows — never the matched row
+    positions. Asserted behaviorally: every DataFrame.collect() during
+    delete_delta must return at most n_active_files rows, on a delete
+    that matches ~100x more rows than there are files."""
+    try:  # Spark 4: concrete sessions build classic.DataFrame
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover — older layout
+        from pyspark.sql import DataFrame
+
+    path = str(tmp_path / "dv_scale_tbl")
+    src = load(spark, SF_DIR, "orders")  # 1500 rows at sf0.001
+    dn.write_delta(src.repartition(4), path, "overwrite")
+    n_files = len(_data_files(path))
+    collected_sizes = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        rows = orig_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    DataFrame.collect = spy
+    try:
+        res = dn.delete_delta(spark, path, "o_orderstatus = 'O'")
+    finally:
+        DataFrame.collect = orig_collect
+    assert res["rows_deleted"] > 100 * n_files  # data >> files
+    assert collected_sizes, "spy never saw a collect"
+    assert max(collected_sizes) <= n_files, (
+        f"DELETE collected {max(collected_sizes)} rows to the driver "
+        f"(> {n_files} active files) — data-proportional writer"
+    )
+    # and the delete is correct
+    assert dn.read_delta(spark, path).where("o_orderstatus = 'O'").count() == 0
+
+
+def test_delete_merges_existing_dv_executor_side(spark, table):
+    """Sequenced DELETEs union bitmaps (newest add wins) with the old
+    bitmap read + merged in executors; fully-dead files drop to bare
+    removes even when the killing blow arrives across two commits."""
+    path, src = table
+    dn.delete_delta(spark, path, "n_nationkey < 12")
+    res2 = dn.delete_delta(spark, path, "n_nationkey < 20")
+    assert res2["rows_deleted"] == 8  # 12..19 only — re-deletes are no-ops
+    assert _keys(spark, path) == list(range(20, 25))
+    # every surviving add's DV cardinality equals rows actually dead in it
+    acts = dn._replay_full(path, None)[0]
+    total_dead = sum(
+        a["deletionVector"]["cardinality"]
+        for a in acts.values()
+        if a.get("deletionVector")
+    )
+    live = dn.read_delta(spark, path).count()
+    stats_total = sum(
+        json.loads(a["stats"])["numRecords"] for a in acts.values()
+    )
+    assert stats_total - total_dead == live
