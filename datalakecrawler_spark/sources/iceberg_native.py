@@ -48,10 +48,13 @@ partition's files; r8 — scopes name the spec SOURCE column and work
 under transform specs, the tuple derived with the write path's own
 transform fns) — and rewrite_manifests passes delete manifests
 through with explicit per-entry sequence numbers. Format v3 (r8):
-recognized and scanned when its new features are UNUSED (row-lineage
-bookkeeping ignored for plain scans); honest gates that remain —
-v3 default values, puffin deletion vectors / referenced_data_file
-entries, and v4+ raise with the exact missing capability; the type
+``write_iceberg(format_version=3)`` creates v3 tables with row-lineage
+bookkeeping (next-row-id / first-row-id), and ``add_deletion_vectors``
+commits v3's DELETE primitive — per-data-file roaring bitmaps as
+deletion-vector-v1 blobs in PUFFIN files (executor-side serialize AND
+decode, one distributed anti join at scan; sequential deletes merge,
+one DV per file). Honest gates that remain — v3 default values and
+v4+ raise with the exact missing capability; the type
 mapping covers the scalar
 surface + date/timestamp + decimal(p,s) (exact, enforced on append),
 fixed[N]→binary and uuid→string (the lossless Spark projections), AND
@@ -261,6 +264,39 @@ def _manifest_entry_schema_v2_eq(
             "default": None,
         }
     )
+    return s
+
+
+def _manifest_entry_schema_v3_dv(
+    pfields: list[tuple[str, str]] | None = None
+) -> dict:
+    """Entry schema for format-v3 DELETION-VECTOR manifests: the
+    data_file record gains the spec's DV addressing triplet —
+    ``referenced_data_file`` (field-id 143, the ONE data file the DV
+    applies to), ``content_offset`` (144) and
+    ``content_size_in_bytes`` (145) locating the blob inside its
+    Puffin file."""
+    s = _manifest_entry_schema_v2(pfields)
+    s["fields"][2]["type"]["fields"] += [
+        {
+            "name": "referenced_data_file",
+            "type": ["null", "string"],
+            "field-id": 143,
+            "default": None,
+        },
+        {
+            "name": "content_offset",
+            "type": ["null", "long"],
+            "field-id": 144,
+            "default": None,
+        },
+        {
+            "name": "content_size_in_bytes",
+            "type": ["null", "long"],
+            "field-id": 145,
+            "default": None,
+        },
+    ]
     return s
 
 
@@ -580,12 +616,12 @@ def _read_metadata(path: str) -> dict:
         # v3 gate on FEATURE USE, not version number (VERDICT r7 §8):
         # a v3 table whose content is v2-shaped scans fine — row
         # lineage metadata (next-row-id / first-row-id) is ignorable
-        # for plain scans, and new types already refuse in the type
-        # mapper. What cannot be ignored is a field DEFAULT VALUE:
-        # files written before the column was added must serve the
-        # default, and reading NULL there would be silent wrong data.
-        # (v3 puffin deletion vectors refuse at manifest resolution —
-        # see _resolve_state.)
+        # for plain scans, new types already refuse in the type
+        # mapper, and puffin DELETION VECTORS are implemented (see
+        # add_deletion_vectors / _scan_state). What cannot be ignored
+        # is a field DEFAULT VALUE: files written before the column
+        # was added must serve the default, and reading NULL there
+        # would be silent wrong data.
         defaulted = [
             f["name"]
             for f in meta.get("schema", {}).get("fields", [])
@@ -753,11 +789,28 @@ def _resolve_state(
                     rec.get("referenced_data_file") is not None
                     or rec.get("file_format", "PARQUET").upper() == "PUFFIN"
                 ):
-                    raise NotImplementedError(
-                        "format v3 deletion vectors (puffin sidecars / "
-                        "referenced_data_file entries) are not wired; "
-                        "parquet positional/equality delete files only"
+                    # format-v3 DELETION VECTOR entry: a Puffin blob of
+                    # dead positions for ONE data file. Collected as a
+                    # typed tuple inside delete_files (callers that
+                    # only count/convert parquet deletes filter by
+                    # isinstance; _scan_state applies both flavors).
+                    if not rec.get("referenced_data_file") or not rec.get(
+                        "content_size_in_bytes"
+                    ):
+                        raise ValueError(
+                            "malformed v3 deletion-vector entry (missing "
+                            "referenced_data_file/content_size_in_bytes) "
+                            f"in {mf['manifest_path']}"
+                        )
+                    delete_files.append(
+                        (
+                            _resolve(path, rec["file_path"]),
+                            int(rec.get("content_offset") or 0),
+                            int(rec["content_size_in_bytes"]),
+                            _resolve(path, rec["referenced_data_file"]),
+                        )
                     )
+                    continue
                 if rec.get("content") == _DF_CONTENT_EQ_DELETES:
                     scope = rec.get("partition") or {}
                     eq_deletes.append(
@@ -816,9 +869,14 @@ def _scan_state(
     __dlc_row_pos for callers that need row addresses (delete
     compaction)."""
     files, delete_files, eq_deletes, data_seq, data_part = state
+    # v3 deletion vectors ride in delete_files as typed tuples
+    # (puffin path, offset, size, referenced data file)
+    dv_entries = [t for t in delete_files if isinstance(t, tuple)]
+    delete_files = [f for f in delete_files if isinstance(f, str)]
     if files_subset is not None:
         files = [f for f in files if f in files_subset]
         data_seq = {f: s for f, s in data_seq.items() if f in files_subset}
+        dv_entries = [t for t in dv_entries if t[3] in files_subset]
     schema = _iceberg_schema_to_spark(meta["schema"])
     if not files:
         return spark.createDataFrame([], schema)
@@ -844,14 +902,14 @@ def _scan_state(
         # re-derive ONLY the identity columns.
         reader = reader.option("basePath", os.path.join(path, "data"))
     out = reader.parquet(*files)
-    if delete_files or eq_deletes or keep_rowmeta:
+    if delete_files or dv_entries or eq_deletes or keep_rowmeta:
         # Capture the hidden _metadata struct ONCE, before any join or
-        # projection — those no longer expose it, and both delete
+        # projection — those no longer expose it, and all delete
         # flavors key off it.
         from pyspark.sql import functions as _F
 
         out = out.withColumn("__dlc_file_uri", _F.col("_metadata.file_path"))
-        if delete_files or keep_rowmeta:
+        if delete_files or dv_entries or keep_rowmeta:
             out = out.withColumn("__dlc_row_pos", _F.col("_metadata.row_index"))
     # mixed specs: Spark appended the transform fields' dir values as
     # extra columns — not part of the committed schema, drop them
@@ -882,8 +940,55 @@ def _scan_state(
         out = out.join(
             dels, ["__dlc_file_uri", "__dlc_row_pos"], "left_anti"
         )
-        if not keep_rowmeta:
-            out = out.drop("__dlc_row_pos")
+    if dv_entries:
+        # format-v3 deletion vectors: each blob decodes EXECUTOR-side
+        # (one mapInPandas over O(DV) descriptor rows — the same shape
+        # as the Delta DV read path) into (file URI, position) rows,
+        # then ONE distributed anti join erases them. O(deletes) work,
+        # no Python on the data rows.
+        from pyspark.sql import functions as _F
+
+        dv_desc = spark.createDataFrame(
+            [
+                (_spark_file_uri(ref), puf, int(off), int(size))
+                for (puf, off, size, ref) in sorted(dv_entries)
+            ],
+            "__dlc_file_uri string, puffin string, off long, size long",
+        )
+
+        def _expand_dv(batches):
+            import pandas as pd
+
+            from datalakecrawler_spark.sources.iceberg_native import (
+                _dv_blob_positions,
+            )
+
+            for pdf in batches:
+                # name=None: plain tuples in column order — itertuples
+                # would mangle the dunder-prefixed column names
+                for uri, puf, off, size in pdf.itertuples(
+                    index=False, name=None
+                ):
+                    with open(puf, "rb") as fh:
+                        fh.seek(int(off))
+                        blob = fh.read(int(size))
+                    yield pd.DataFrame(
+                        {
+                            "__dlc_file_uri": uri,
+                            "__dlc_row_pos": pd.Series(
+                                _dv_blob_positions(blob), dtype="int64"
+                            ),
+                        }
+                    )
+
+        dv_rows = dv_desc.repartition(
+            max(1, min(len(dv_entries), 64))
+        ).mapInPandas(_expand_dv, "__dlc_file_uri string, __dlc_row_pos long")
+        out = out.join(
+            dv_rows, ["__dlc_file_uri", "__dlc_row_pos"], "left_anti"
+        )
+    if (delete_files or dv_entries) and not keep_rowmeta:
+        out = out.drop("__dlc_row_pos")
     if eq_deletes:
         # Equality deletes (content=2): a data row is deleted when its
         # values on the delete file's columns equal some delete row's
@@ -945,7 +1050,7 @@ def _scan_state(
             )
             out = out.join(_F.broadcast(dels), cond, "left_anti")
         out = out.drop("__dlc_data_seq", "__dlc_part")
-    if (delete_files or eq_deletes) and not keep_rowmeta:
+    if (delete_files or dv_entries or eq_deletes) and not keep_rowmeta:
         out = out.drop("__dlc_file_uri")
     return out
 
@@ -1085,7 +1190,11 @@ def read_iceberg_changelog(
         p_files, p_dels, p_eq, p_seq, p_part = prev_state
         c_files, c_dels, c_eq, _c_seq, _c_part = cur_state
         affected = (set(c_files) ^ set(p_files))
-        new_pos = sorted(set(c_dels) - set(p_dels))
+        new_dels = set(c_dels) - set(p_dels)
+        # v3 deletion-vector tuples name their referenced data file
+        # directly — no parquet probe needed
+        affected |= {t[3] for t in new_dels if isinstance(t, tuple)}
+        new_pos = sorted(d for d in new_dels if isinstance(d, str))
         if new_pos:
             # the delete rows name their target files — a tiny
             # distinct over the delete parquet's file_path column
@@ -1457,7 +1566,7 @@ def _stage_data_files(
             "file_size_in_bytes": os.path.getsize(os.path.join(path, rel)),
             "block_size_in_bytes": 67108864,
         }
-        if format_version == 2:
+        if format_version >= 2:
             data_file["content"] = _DF_CONTENT_DATA
         entries.append(
             {
@@ -1554,8 +1663,8 @@ def write_iceberg(
                 f"ref {branch!r} is a tag — tags are immutable; "
                 "write to a branch"
             )
-    if format_version not in (1, 2):
-        raise ValueError(f"format_version must be 1|2, got {format_version}")
+    if format_version not in (1, 2, 3):
+        raise ValueError(f"format_version must be 1|2|3, got {format_version}")
     partition_by = list(partition_by or [])
     dtypes = dict(df.dtypes)
     spec = _parse_partition_spec(partition_by, dtypes)
@@ -1675,7 +1784,7 @@ def write_iceberg(
     # 2) one new manifest for this snapshot's added files
     entry_schema = (
         _manifest_entry_schema_v2(pfields)
-        if format_version == 2
+        if format_version >= 2
         else _manifest_entry_schema(pfields)
     )
     manifest_rel = os.path.join("metadata", f"manifest-{snapshot_id:05d}.avro")
@@ -1709,7 +1818,7 @@ def write_iceberg(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
-    if format_version == 2:
+    if format_version >= 2:
         new_manifest["content"] = 0  # data manifest
         new_manifest["sequence_number"] = seq
         new_manifest["min_sequence_number"] = seq
@@ -1735,7 +1844,7 @@ def write_iceberg(
             # manifests from a pre-summary writer lack the optional
             # partitions field; re-encode them with an explicit null
             m.setdefault("partitions", None)
-            if format_version == 2:
+            if format_version >= 2:
                 m.setdefault("content", 0)
                 m.setdefault("sequence_number", None)
                 m.setdefault("min_sequence_number", None)
@@ -1777,7 +1886,7 @@ def write_iceberg(
                         "snapshot_id": e.get("snapshot_id"),
                         "data_file": e["data_file"],
                     }
-                    if format_version == 2:
+                    if format_version >= 2:
                         e_seq = e.get("sequence_number")
                         ne["sequence_number"] = (
                             e_seq if e_seq is not None else m_seq
@@ -1791,7 +1900,7 @@ def write_iceberg(
                     w = AvroDatumFileWriter(
                         fh,
                         _manifest_entry_schema_v2_seq(pfields)
-                        if format_version == 2
+                        if format_version >= 2
                         else _manifest_entry_schema(pfields),
                         "deflate",
                         sync_seed=mrel,
@@ -1829,7 +1938,7 @@ def write_iceberg(
                     ),
                     "deleted_rows_count": 0,
                 }
-                if format_version == 2:
+                if format_version >= 2:
                     nm2["content"] = 0
                     nm2["sequence_number"] = seq
                     nm2["min_sequence_number"] = min(
@@ -1841,7 +1950,7 @@ def write_iceberg(
     ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
     ml_schema = (
         _manifest_file_schema_v2()
-        if format_version == 2
+        if format_version >= 2
         else _MANIFEST_FILE_SCHEMA
     )
     with open(os.path.join(path, ml_rel), "wb") as fh:
@@ -1864,7 +1973,7 @@ def write_iceberg(
         "manifest-list": ml_rel,
         "summary": summary,
     }
-    if format_version == 2:
+    if format_version >= 2:
         snapshot["sequence-number"] = seq
     ice_schema = (
         evolved_schema
@@ -1928,8 +2037,16 @@ def write_iceberg(
             **meta["refs"],
             branch: {"snapshot-id": snapshot_id, "type": "branch"},
         }
-    if format_version == 2:
+    if format_version >= 2:
         meta["last-sequence-number"] = seq
+    if format_version >= 3:
+        # v3 row-lineage bookkeeping (spec: Row Lineage): every v3
+        # writer assigns the snapshot a first-row-id and advances the
+        # table's next-row-id by the rows added. Plain scans don't
+        # surface _row_id, so this is the minimal compliant accounting.
+        next_row = (prior_meta or {}).get("next-row-id", 0)
+        snapshot["first-row-id"] = next_row
+        meta["next-row-id"] = next_row + n_rows_total
     _publish_metadata(path, version, meta)
     return snapshot_id
 
@@ -3218,6 +3335,382 @@ def rewrite_manifests(
         "manifests_before": len(old_manifests),
         "manifests_after": len(new_manifests) + len(delete_manifests),
         "entries": len(entries),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Puffin files + format-v3 deletion vectors
+# ---------------------------------------------------------------------------
+#
+# Format v3 replaces positional-delete parquet with DELETION VECTORS:
+# one roaring bitmap of dead row positions per data file, stored as
+# ``deletion-vector-v1`` blobs inside PUFFIN files (iceberg Puffin
+# spec: "PFA1" magic, concatenated blobs, a JSON FooterPayload listing
+# each blob's offset/length, the payload size as int32 LE, 4 flag
+# bytes, closing magic). Each DV blob is framed per the v3 spec's
+# Deletion Vectors section: a 4-byte big-endian length of
+# (magic + vector), the 4 magic bytes D1 D3 3D 42, the vector in the
+# RoaringFormatSpec portable 64-bit serialization (sources/roaring.py),
+# and a 4-byte big-endian CRC-32 of (magic + vector).
+
+_PUFFIN_MAGIC = b"PFA1"
+_DV_BLOB_MAGIC = bytes((0xD1, 0xD3, 0x3D, 0x42))
+
+
+def _dv_blob_bytes(positions: list[int]) -> bytes:
+    """One framed deletion-vector-v1 blob for sorted row positions."""
+    import zlib
+
+    from datalakecrawler_spark.sources.roaring import serialize_portable64
+
+    vec = serialize_portable64(positions)
+    body = _DV_BLOB_MAGIC + vec
+    return (
+        _struct.pack(">i", len(body))
+        + body
+        + _struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def _dv_blob_positions(blob: bytes) -> list[int]:
+    """Positions from one framed deletion-vector-v1 blob (CRC and
+    magic verified — a corrupt DV must refuse, never under-delete)."""
+    import zlib
+
+    from datalakecrawler_spark.sources.roaring import deserialize_portable64
+
+    (length,) = _struct.unpack_from(">i", blob, 0)
+    body = blob[4 : 4 + length]
+    (crc,) = _struct.unpack_from(">I", blob, 4 + length)
+    if zlib.crc32(body) & 0xFFFFFFFF != crc:
+        raise ValueError("deletion-vector blob CRC mismatch")
+    if body[:4] != _DV_BLOB_MAGIC:
+        raise ValueError(f"bad deletion-vector magic {body[:4]!r}")
+    return deserialize_portable64(body[4:])
+
+
+def _puffin_write(abs_path: str, blobs: list[tuple[bytes, dict]]) -> list[dict]:
+    """Write a Puffin file of framed blobs (+ per-blob metadata extras)
+    and return the footer's blob-metadata list (offset/length filled).
+    tmp + atomic rename, like every other file this writer emits."""
+    metas: list[dict] = []
+    tmp = abs_path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(_PUFFIN_MAGIC)
+        for blob, extras in blobs:
+            offset = fh.tell()
+            fh.write(blob)
+            metas.append(
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [],
+                    "offset": offset,
+                    "length": len(blob),
+                    **extras,
+                }
+            )
+        payload = json.dumps(
+            {"blobs": metas, "properties": {"created-by": "dlc-spark"}},
+            sort_keys=True,
+        ).encode("utf-8")
+        fh.write(_PUFFIN_MAGIC)
+        fh.write(payload)
+        fh.write(_struct.pack("<i", len(payload)))
+        fh.write(b"\x00\x00\x00\x00")  # flags: payload uncompressed
+        fh.write(_PUFFIN_MAGIC)
+    os.replace(tmp, abs_path)
+    return metas
+
+
+def read_puffin_blobs(abs_path: str) -> list[dict]:
+    """The footer's blob-metadata list of a Puffin file (header and
+    footer magics + flags verified; compressed footers refuse — this
+    writer never emits them)."""
+    with open(abs_path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != _PUFFIN_MAGIC or data[-4:] != _PUFFIN_MAGIC:
+        raise ValueError(f"not a Puffin file: {abs_path}")
+    (payload_size,) = _struct.unpack_from("<i", data, len(data) - 12)
+    flags = data[len(data) - 8 : len(data) - 4]
+    if flags[0] & 1:
+        raise NotImplementedError("compressed Puffin footer payloads")
+    payload = data[len(data) - 12 - payload_size : len(data) - 12]
+    return json.loads(payload.decode("utf-8"))["blobs"]
+
+
+def add_deletion_vectors(spark: SparkSession, path: str, predicate) -> dict:
+    """Row-level DELETE on a format-v3 table via DELETION VECTORS —
+    v3's replacement for positional-delete parquet. Rows of the
+    current snapshot matching ``predicate`` become per-data-file
+    roaring bitmaps in Puffin blobs; data files are untouched, so
+    deleting k rows from a 100 TB table stays O(k + matching scan).
+
+    Distributed shape (same discipline as the Delta DV writer): the
+    matched rows' (file, position) pairs repartition BY FILE into ≤64
+    tasks; each task merges any EXISTING DV of its files (read
+    executor-side from the old Puffin blob — v3 allows one DV per
+    data file, so a new DV must carry the union) and writes ONE
+    Puffin part with one blob per file. Only O(touched files)
+    descriptor rows return to the driver, which commits a content=1
+    manifest of DV entries (file_format=PUFFIN, referenced_data_file,
+    content_offset/content_size_in_bytes) replacing the files' prior
+    DV entries. The matching scan sees the DV-applied table, so
+    re-deletes are no-ops."""
+    meta = _read_metadata(path)
+    if meta.get("format-version", 1) != 3:
+        raise ValueError(
+            "deletion vectors require a format-v3 table "
+            f"(this table is v{meta.get('format-version', 1)}); "
+            "use add_position_deletes on v2"
+        )
+    from pyspark.sql import functions as F
+
+    sid = meta.get("current-snapshot-id")
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+    state = _resolve_state(path, snap)
+    files, delete_files, eq_deletes, data_seq, data_part = state
+    old_dvs = {
+        ref: (puf, off, size)
+        for (puf, off, size, ref) in (
+            t for t in delete_files if isinstance(t, tuple)
+        )
+    }
+    cur = _scan_state(spark, path, meta, state, keep_rowmeta=True)
+    matched = cur.where(predicate).select("__dlc_file_uri", "__dlc_row_pos")
+
+    # descriptor side-table: driver-predicted URI → (abs data path,
+    # existing DV address) — O(active files) metadata
+    desc_rows = [
+        (
+            _spark_file_uri(f),
+            f,
+            old_dvs.get(f, (None, 0, 0))[0],
+            int(old_dvs.get(f, (None, 0, 0))[1] or 0),
+            int(old_dvs.get(f, (None, 0, 0))[2] or 0),
+        )
+        for f in files
+    ]
+    desc_df = spark.createDataFrame(
+        desc_rows,
+        "__dlc_file_uri string, data_path string, old_puffin string, "
+        "old_offset long, old_size long",
+    )
+    joined = matched.join(F.broadcast(desc_df), "__dlc_file_uri", "left")
+    table_abs = os.path.abspath(path)
+
+    def _write_parts(batches):
+        import pandas as pd
+
+        from datalakecrawler_spark.sources.iceberg_native import (
+            _dv_blob_bytes,
+            _dv_blob_positions,
+            _puffin_write,
+        )
+
+        chunks: dict = {}
+        meta_by_uri: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            unresolved = pdf[pdf["data_path"].isna()]["__dlc_file_uri"]
+            if len(unresolved):
+                raise ValueError(
+                    "v3 DV delete: matched row's file URI did not "
+                    f"resolve to a data file: {unresolved.iloc[0]!r} — "
+                    "refusing a silent no-op delete"
+                )
+            for uri, g in pdf.groupby("__dlc_file_uri", sort=False):
+                chunks.setdefault(uri, []).append(
+                    g["__dlc_row_pos"].to_numpy(dtype="int64")
+                )
+                if uri not in meta_by_uri:
+                    r0 = g.iloc[0]
+                    meta_by_uri[uri] = (
+                        r0["data_path"],
+                        r0["old_puffin"],
+                        int(r0["old_offset"]),
+                        int(r0["old_size"]),
+                    )
+        if not chunks:
+            return
+        import uuid as _uuid
+
+        import numpy as np
+
+        rel = os.path.join("data", f"dv-{_uuid.uuid4().hex}.puffin")
+        blobs = []
+        rows = []
+        for uri in sorted(chunks, key=lambda k: meta_by_uri[k][0]):
+            data_path, old_puf, old_off, old_size = meta_by_uri[uri]
+            pos = [int(x) for x in np.unique(np.concatenate(chunks[uri]))]
+            n_new = len(pos)
+            if old_puf is not None and not (
+                isinstance(old_puf, float) and pd.isna(old_puf)
+            ):
+                with open(old_puf, "rb") as fh:
+                    fh.seek(old_off)
+                    old_blob = fh.read(old_size)
+                pos = sorted(set(pos) | set(_dv_blob_positions(old_blob)))
+            blobs.append(
+                (
+                    _dv_blob_bytes(pos),
+                    {"properties": {
+                        "referenced-data-file": data_path,
+                        "cardinality": str(len(pos)),
+                    }},
+                )
+            )
+            rows.append([data_path, rel, len(pos), n_new])
+        metas = _puffin_write(os.path.join(table_abs, rel), blobs)
+        out = []
+        for (data_path, prel, card, n_new), m in zip(rows, metas):
+            out.append(
+                (data_path, prel, m["offset"], m["length"], card, n_new)
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "data_path", "puffin_rel", "offset", "length",
+                "cardinality", "n_new",
+            ],
+        )
+
+    res = (
+        joined.repartition(64, "__dlc_file_uri")
+        .mapInPandas(
+            _write_parts,
+            "data_path string, puffin_rel string, offset long, "
+            "length long, cardinality long, n_new long",
+        )
+        .collect()
+    )
+    if not res:
+        return {"rows_deleted": 0, "files_touched": 0}
+
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    snapshot_id = version
+    seq = meta.get("last-sequence-number", 0) + 1
+    manifests = _decode_avro_records(_resolve(path, snap["manifest-list"]))
+    touched = {r["data_path"] for r in res}
+
+    dv_rel = os.path.join("metadata", f"manifest-{snapshot_id:05d}-dv.avro")
+    entries = [
+        {
+            "status": _ST_ADDED,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": _DF_CONTENT_POS_DELETES,
+                "file_path": r["puffin_rel"],
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": r["cardinality"],
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(path, r["puffin_rel"])
+                ),
+                "block_size_in_bytes": 67108864,
+                "referenced_data_file": r["data_path"],
+                "content_offset": r["offset"],
+                "content_size_in_bytes": r["length"],
+            },
+        }
+        for r in sorted(res, key=lambda r: r["data_path"])
+    ]
+    with open(os.path.join(path, dv_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_entry_schema_v3_dv(), "deflate", sync_seed=dv_rel
+        )
+        w.write_block(entries)
+    # prior DELETE manifests: drop entries whose DV this commit
+    # REPLACED (one DV per data file — newest carries the union);
+    # rewrite surviving entries, keep manifests with no touched entry
+    kept_manifests = []
+    for mf in manifests:
+        if mf.get("content", 0) != 1:
+            mf.setdefault("partitions", None)
+            mf.setdefault("sequence_number", None)
+            mf.setdefault("min_sequence_number", None)
+            kept_manifests.append(mf)
+            continue
+        mf_entries = _decode_avro_records(_resolve(path, mf["manifest_path"]))
+        surviving = [
+            e
+            for e in mf_entries
+            if e["status"] != _ST_DELETED
+            and _resolve(path, e["data_file"].get("referenced_data_file") or "")
+            not in touched
+        ]
+        if len(surviving) == len(mf_entries):
+            kept_manifests.append(mf)
+            continue
+        if surviving:
+            rw_rel = os.path.join(
+                "metadata",
+                f"manifest-{snapshot_id:05d}-dvkeep-{len(kept_manifests)}.avro",
+            )
+            with open(os.path.join(path, rw_rel), "wb") as fh:
+                w = AvroDatumFileWriter(
+                    fh,
+                    _manifest_entry_schema_v3_dv(),
+                    "deflate",
+                    sync_seed=rw_rel,
+                )
+                w.write_block(surviving)
+            kept_manifests.append(
+                {
+                    **mf,
+                    "manifest_path": rw_rel,
+                    "manifest_length": os.path.getsize(
+                        os.path.join(path, rw_rel)
+                    ),
+                }
+            )
+    dv_manifest = {
+        "manifest_path": dv_rel,
+        "manifest_length": os.path.getsize(os.path.join(path, dv_rel)),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "partitions": None,
+        "added_rows_count": sum(r["cardinality"] for r in res),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
+    with open(os.path.join(path, ml_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_file_schema_v2(), "deflate", sync_seed=ml_rel
+        )
+        w.write_block(kept_manifests + [dv_manifest])
+    next_row = meta.get("next-row-id", 0)
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 0,
+            "manifest-list": ml_rel,
+            "sequence-number": seq,
+            "first-row-id": next_row,  # deletes add no rows
+            "summary": {"operation": "delete"},
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    _publish_metadata(path, version, meta)
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_deleted": int(sum(r["n_new"] for r in res)),
+        "files_touched": len(res),
+        "puffin_files": len({r["puffin_rel"] for r in res}),
     }
 
 
@@ -4696,4 +5189,52 @@ def sink_iceberg_upsert_partitioned(
     assert out.count() == src.count()
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "scan_iceberg_v3_deletion_vectors",
+    group="A",
+    oracle=f"""
+    with live as (
+      select * from orders
+      where o_orderkey % 7 <> 3 and o_orderkey % 11 <> 5
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from live group by o_orderstatus
+    """,
+)
+def scan_iceberg_v3_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-ext: format-v3 DELETION VECTORS end to end. Orders commit as
+    a v3 table (row-lineage bookkeeping stamped); two sequential DV
+    DELETEs land as roaring bitmaps in Puffin blobs — the second
+    merges with the first's vectors (one DV per data file, newest
+    carries the union), zero data files rewritten (asserted), the
+    second delete's overlap is a no-op (asserted), and the scan
+    erases blob positions with one distributed anti join after
+    executor-side decode. The oracle recomputes the doubly-filtered
+    aggregate from the source."""
+    path = _fresh(_tmp("orders_iceberg_v3_dv"))
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_iceberg(src, path, "overwrite", format_version=3)
+    data_before = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))
+    add_deletion_vectors(spark, path, "o_orderkey % 7 = 3")
+    res2 = add_deletion_vectors(
+        spark, path, "o_orderkey % 7 = 3 or o_orderkey % 11 = 5"
+    )
+    assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) == (
+        data_before
+    ), "DV deletes must not rewrite data files"
+    n_overlap = src.where("o_orderkey % 7 = 3 and o_orderkey % 11 = 5").count()
+    n_second = src.where("o_orderkey % 11 = 5").count() - n_overlap
+    assert res2["rows_deleted"] == n_second, (res2, n_second)
+    out = read_iceberg(spark, path)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
     )

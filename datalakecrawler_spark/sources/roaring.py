@@ -1,7 +1,8 @@
-"""Roaring bitmap serialization for Delta Lake deletion vectors.
+"""Roaring bitmap serialization for Delta Lake and Iceberg deletion
+vectors.
 
-Implements the two PUBLIC wire formats a Delta DV reader needs, from
-their specs alone:
+Implements the three PUBLIC wire formats the lakehouse DV paths need,
+from their specs alone:
 
 - the standard 32-bit RoaringBitmap *portable* serialization
   (github.com/RoaringBitmap/RoaringFormatSpec): little-endian, a
@@ -12,7 +13,12 @@ their specs alone:
 - Delta's *RoaringBitmapArray* framing over it (delta-io PROTOCOL.md,
   "Deletion Vector Format"): magic 1681511377 (int32 LE), a count of
   32-bit bitmaps (int64 LE), then each bitmap's portable bytes —
-  bitmap i covers row indexes [i * 2^32, (i+1) * 2^32).
+  bitmap i covers row indexes [i * 2^32, (i+1) * 2^32);
+- the RoaringFormatSpec *portable 64-bit* framing (the format the
+  Iceberg v3 spec names for deletion-vector-v1 blobs): a count of
+  (key, bitmap) pairs (int64 LE), then per pair a 4-byte LE high-32
+  key followed by that key's portable 32-bit bitmap — SPARSE in the
+  high words, unlike Delta's dense array.
 
 The writer emits array/bitset containers under the 12346 cookie (the
 always-offsets layout every reader accepts); the reader handles both
@@ -160,5 +166,44 @@ def deserialize_rbm_array(buf: bytes) -> list[int]:
     for i in range(n_maps):
         vals, used = _deserialize_rb32(buf, p)
         values.extend((i << 32) | v for v in vals)
+        p += used
+    return values
+
+
+# ---------------------------------------------------------------------------
+# RoaringFormatSpec portable 64-bit framing (Iceberg v3 DV blobs)
+# ---------------------------------------------------------------------------
+
+def serialize_portable64(positions: list[int]) -> bytes:
+    """Portable 64-bit roaring bytes for sorted unique non-negative
+    positions: int64 LE pair count, then per populated high-32 key a
+    4-byte LE key + that key's portable 32-bit bitmap."""
+    if any(p < 0 for p in positions):
+        raise ValueError("positions must be non-negative")
+    positions = sorted(set(positions))
+    groups: list[tuple[int, list[int]]] = []
+    for p in positions:
+        key, low = p >> 32, p & 0xFFFFFFFF
+        if groups and groups[-1][0] == key:
+            groups[-1][1].append(low)
+        else:
+            groups.append((key, [low]))
+    out = bytearray(struct.pack("<q", len(groups)))
+    for key, lows in groups:
+        out += struct.pack("<I", key)
+        out += _serialize_rb32(lows)
+    return bytes(out)
+
+
+def deserialize_portable64(buf: bytes) -> list[int]:
+    """Sorted positions from portable 64-bit roaring bytes."""
+    (n_pairs,) = struct.unpack_from("<q", buf, 0)
+    p = 8
+    values: list[int] = []
+    for _ in range(n_pairs):
+        (key,) = struct.unpack_from("<I", buf, p)
+        p += 4
+        vals, used = _deserialize_rb32(buf, p)
+        values.extend((key << 32) | v for v in vals)
         p += used
     return values

@@ -1772,3 +1772,111 @@ def test_ddl_autocompose_on_live_equality_deletes(spark, tmp_path):
     assert {r["n_nationkey"] for r in out.collect()} == (
         set(range(25)) - {3, 9, 5}
     )
+
+
+def test_roaring_portable64_roundtrip():
+    """RoaringFormatSpec portable 64-bit framing: sparse high words,
+    array AND bitset containers, >2^32 positions."""
+    from datalakecrawler_spark.sources.roaring import (
+        deserialize_portable64,
+        serialize_portable64,
+    )
+
+    cases = [
+        [],
+        [0],
+        [0, 1, 2, 65536, 1 << 20],
+        list(range(5000)),  # bitset container
+        [3, (1 << 32) + 7, (5 << 32) + 123456],  # sparse high keys
+    ]
+    for pos in cases:
+        assert deserialize_portable64(serialize_portable64(pos)) == sorted(
+            set(pos)
+        ), pos
+
+
+def test_v3_deletion_vectors_end_to_end(spark, tmp_path):
+    """Format-v3 DELETE via Puffin deletion vectors: zero data files
+    rewritten, scans apply blobs executor-side, sequential deletes
+    merge (one DV per file, newest carries the union), re-deletes are
+    no-ops, time travel serves the pre-delete snapshot, and the
+    changelog diffs the DV snapshot row-level."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_v3_dv")
+    src = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_iceberg(src.repartition(3), path, "overwrite", format_version=3)
+    data_before = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))
+    res = ice.add_deletion_vectors(spark, path, "o_orderkey % 7 = 3")
+    n_doomed = src.where("o_orderkey % 7 = 3").count()
+    assert res["rows_deleted"] == n_doomed and res["files_touched"] >= 1
+    assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) == (
+        data_before
+    ), "DV delete must not rewrite data files"
+    assert glob.glob(os.path.join(path, "data", "dv-*.puffin"))
+    got = read_iceberg(spark, path)
+    assert got.where("o_orderkey % 7 = 3").count() == 0
+    assert got.count() == src.count() - n_doomed
+    # puffin footers are self-describing (one part per writer task)
+    blobs = [
+        b
+        for puf in glob.glob(os.path.join(path, "data", "dv-*.puffin"))
+        for b in ice.read_puffin_blobs(puf)
+    ]
+    assert blobs and all(b["type"] == "deletion-vector-v1" for b in blobs)
+    assert sum(
+        int(b["properties"]["cardinality"]) for b in blobs
+    ) == n_doomed
+    # second delete merges with the existing DVs (union, no resurrect)
+    res2 = ice.add_deletion_vectors(
+        spark, path, "o_orderkey % 7 in (3, 5)"
+    )
+    n2 = src.where("o_orderkey % 7 = 5").count()
+    assert res2["rows_deleted"] == n2  # %7=3 already dead → no-op
+    got2 = read_iceberg(spark, path)
+    assert got2.where("o_orderkey % 7 in (3, 5)").count() == 0
+    assert got2.count() == src.count() - n_doomed - n2
+    # time travel: the first snapshot still serves every row
+    assert read_iceberg(spark, path, snapshot_id=1).count() == src.count()
+    # changelog over the second DV snapshot = exactly the %7=5 rows
+    ch = ice.read_iceberg_changelog(spark, path, from_snapshot=2)
+    rows = ch.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["o_orderkey"] for r in rows) == sorted(
+        r["o_orderkey"]
+        for r in src.where("o_orderkey % 7 = 5").collect()
+    )
+
+
+def test_v3_dv_writer_never_collects_data_proportional_rows(spark, tmp_path):
+    """Same writer-scale lint as the Delta DV path: add_deletion_vectors
+    must only collect O(touched files) descriptor rows, never the
+    matched positions."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover
+        from pyspark.sql import DataFrame
+
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_v3_dv_scale")
+    src = load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    write_iceberg(src.repartition(4), path, "overwrite", format_version=3)
+    n_files = len(glob.glob(os.path.join(path, "data", "*.parquet")))
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    DataFrame.collect = spy
+    try:
+        res = ice.add_deletion_vectors(spark, path, "o_orderstatus = 'O'")
+    finally:
+        DataFrame.collect = orig
+    assert res["rows_deleted"] > 100 * n_files
+    assert sizes and max(sizes) <= n_files, sizes
