@@ -32,20 +32,26 @@ state — including the table's protocol, configuration, and deletion
 vectors — and touches only newer JSON commits, keeping metadata I/O
 O(active files) however long the commit history grows.
 
-Reader v2/v3 features (r7): DELETION VECTORS (``delete_delta`` /
+Reader v2/v3 features (r7-r8): DELETION VECTORS (``delete_delta`` /
 ``update_delta`` attach roaring bitmaps of doomed row indexes in
 protocol-shaped sidecars; scans apply them as one distributed
 ``_metadata.row_index`` anti join; OPTIMIZE doubles as PURGE; CDF
-serves DV commits row-level) and COLUMN MAPPING mode=name
+serves DV commits row-level), COLUMN MAPPING modes name AND id
 (``write_delta_column_mapped`` stores physical ``col-<uuid>`` parquet
-names; ``rename_delta_column`` is a metadata-only commit; DELETE/
-UPDATE work on column-mapped tables through the logical view). Scope
-gates (honest, probed): reader v3 features outside {deletionVectors,
-columnMapping, timestampNtz, v2Checkpoint}, column-mapping mode=id,
-``write_delta`` onto a column-mapped table (use
-``write_delta_column_mapped``), and OPTIMIZE of partitioned shallow
-clones raise with the exact missing capability rather than returning
-wrong answers.
+names — id mode additionally stamps parquet field ids and readers
+resolve by THOSE, so foreign rewrites under different names stay
+readable; ``rename_delta_column`` is a metadata-only commit; DELETE/
+UPDATE work on column-mapped tables through the logical view), TYPE
+WIDENING (``widen_delta_column``: metadata-only ALTER COLUMN TYPE,
+old narrow parquet promotes natively at scan), and VARIANT columns
+(``variantType`` declared automatically when the schema carries one;
+footer stats degrade to empty for those files, never to wrong
+answers). Scope gates (honest, probed): reader v3 features outside
+{deletionVectors, columnMapping, timestampNtz, v2Checkpoint,
+typeWidening, variantType}, ``write_delta`` onto a column-mapped
+table (use ``write_delta_column_mapped``), and OPTIMIZE of
+partitioned shallow clones raise with the exact missing capability
+rather than returning wrong answers.
 """
 
 from __future__ import annotations
@@ -73,6 +79,8 @@ _READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
     "v2Checkpoint",
+    "typeWidening",
+    "variantType",
 }
 _DV_PROTOCOL = {
     "minReaderVersion": 3,
@@ -327,12 +335,23 @@ def _file_stats_json(fpath: str) -> str:
     driver-side, bytes not data): the add action's ``stats`` JSON
     ({numRecords, minValues, maxValues, nullCount}) that data skipping
     reads instead of the files. Columns whose row groups lack footer
-    stats are simply omitted — skipping is conservative by design."""
+    stats are simply omitted — skipping is conservative by design.
+    Files whose footer pyarrow cannot parse at all (VARIANT columns
+    carry a LogicalType newer than its thrift tables) get empty stats
+    — every consumer reads stats with .get(), and data skipping
+    without stats degrades to scanning the file, never to wrong
+    answers."""
     import datetime
 
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(fpath).metadata
+    try:
+        md = pq.ParquetFile(fpath).metadata
+    except Exception:
+        return json.dumps(
+            {"minValues": {}, "maxValues": {}, "nullCount": {}},
+            sort_keys=True,
+        )
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
@@ -349,12 +368,18 @@ def _file_stats_json(fpath: str) -> str:
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
             name = col.path_in_schema
-            st = col.statistics
-            if st is None or not st.has_min_max or name in no_stats:
+            try:
+                st = col.statistics
+                ok = st is not None and st.has_min_max
+                lo, hi = (_plain(st.min), _plain(st.max)) if ok else (None, None)
+            except Exception:
+                # pyarrow can't extract min/max for every physical type
+                # (e.g. decimals) — treat as stats-less, same contract
+                ok = False
+            if not ok or name in no_stats:
                 no_stats.add(name)
                 mins.pop(name, None), maxs.pop(name, None)
                 continue
-            lo, hi = _plain(st.min), _plain(st.max)
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
             if st.null_count is not None:
@@ -411,6 +436,13 @@ def _enforce_or_merge_schema(
         return prior_fields + [
             f for f in writer_fields if f["name"] not in prior_by_name
         ]
+    if mode in ("append", "overwrite_partitions"):
+        # same column set: keep the TABLE's field entries in the
+        # TABLE's order — they carry protocol metadata the writer's
+        # DataFrame schema doesn't know (delta.typeWidening
+        # provenance); a full overwrite may still replace the schema
+        # wholesale below
+        return prior_fields
     return writer_fields
 
 
@@ -478,8 +510,9 @@ def write_delta(
     prior_conf: dict[str, str] = {}
     writer_fields = [f.jsonValue() for f in df.schema.fields]
     schema_fields = writer_fields
+    prior_protocol: dict = dict(_PROTOCOL)
     if versions:
-        prior_active, prior_schema, _, prior_parts, prior_conf, _p = (
+        prior_active, prior_schema, _, prior_parts, prior_conf, prior_protocol = (
             _replay_full(path, None)
         )
         prior_conf = dict(prior_conf or {})
@@ -520,23 +553,51 @@ def write_delta(
 
     # 2) actions
     actions: list[dict] = []
+    # tables whose schema carries types readers must OPT INTO declare
+    # the matching table feature per protocol: a reader without
+    # timestampNtz would misread the values as zoned timestamps; one
+    # without variantType can't decode the binary-encoded variant pair
+    # at all. Checked on EVERY commit, not just v0 — a merge_schema
+    # append may introduce the first such column to an existing table.
+    feats = sorted(
+        feat
+        for marker, feat in (
+            ("timestamp_ntz", "timestampNtz"),
+            ('"variant"', "variantType"),
+        )
+        if any(marker in json.dumps(f.get("type")) for f in schema_fields)
+    )
     if version == 0:
-        # tables carrying TIMESTAMP_NTZ columns must declare the
-        # feature per protocol (readers without it would misread the
-        # values as zoned timestamps)
-        if any("timestamp_ntz" in json.dumps(f.get("type")) for f in schema_fields):
+        if feats:
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["timestampNtz"],
-                        "writerFeatures": ["timestampNtz"],
+                        "readerFeatures": feats,
+                        "writerFeatures": feats,
                     }
                 }
             )
         else:
             actions.append({"protocol": dict(_PROTOCOL)})
+    elif set(feats) - set(prior_protocol.get("readerFeatures") or []):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(prior_protocol.get("readerFeatures") or [])
+                        | set(feats)
+                    ),
+                    "writerFeatures": sorted(
+                        set(prior_protocol.get("writerFeatures") or [])
+                        | set(feats)
+                    ),
+                }
+            }
+        )
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
     actions.append(
@@ -609,7 +670,7 @@ def write_delta(
                 raise
             if txn is not None and last_txn_version(path, txn[0]) >= txn[1]:
                 return None  # the racing commit already recorded our epoch
-            _, head_schema, head_v, head_parts, head_conf, _hp = (
+            _, head_schema, head_v, head_parts, head_conf, head_proto = (
                 _replay_full(path, None)
             )
             head_conf = dict(head_conf or {})
@@ -635,7 +696,31 @@ def write_delta(
                     )
                     a["metaData"]["configuration"] = head_conf
             version = head_v + 1
+            # the v0-creation protocol belongs to the commit that WON;
+            # but a feature upgrade this append carries (first
+            # variant/ntz column via merge_schema) must be REBUILT
+            # against the post-conflict head, not dropped — committing
+            # the column without its feature would hand v1 readers
+            # undecodable bytes
             actions = [a for a in actions if "protocol" not in a]
+            if set(feats) - set(head_proto.get("readerFeatures") or []):
+                actions.insert(
+                    0,
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(
+                                set(head_proto.get("readerFeatures") or [])
+                                | set(feats)
+                            ),
+                            "writerFeatures": sorted(
+                                set(head_proto.get("writerFeatures") or [])
+                                | set(feats)
+                            ),
+                        }
+                    },
+                )
 
 
 def _stage_to_adds(
@@ -1023,7 +1108,8 @@ def _scan_logical_rowmeta(
     from pyspark.sql import functions as F
 
     schema = T.StructType.fromJson(json.loads(schema_string))
-    if conf.get("delta.columnMapping.mode", "none") == "none":
+    cm_mode = conf.get("delta.columnMapping.mode", "none")
+    if cm_mode == "none":
         return (
             _scan_active(
                 spark, path, active, schema, partition_columns,
@@ -1033,7 +1119,9 @@ def _scan_logical_rowmeta(
             None,
         )
     mapped = json.loads(schema_string)["fields"]
-    physical = _cm_physical_struct(mapped)
+    physical = _cm_physical_struct(mapped, with_field_ids=(cm_mode == "id"))
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys_schema = T.StructType.fromJson({"type": "struct", "fields": physical})
     logical = T.StructType.fromJson(
         {"type": "struct", "fields": [{**f, "metadata": {}} for f in mapped]}
@@ -1274,7 +1362,11 @@ def _dv_delete_actions(
         )
 
     res = (
-        joined.repartition(64, "__dlc_file_uri")
+        # one shuffle keyed by file so each task owns whole files; the
+        # task count tracks the table's file count up to 64 — a 4-file
+        # fixture gets 4 python workers, a 100 TB table gets 64 tasks
+        # each serializing its files' bitmaps in parallel
+        joined.repartition(max(1, min(len(desc_rows), 64)), "__dlc_file_uri")
         .mapInPandas(
             _write_parts,
             "rel string, desc string, n_new long, fully_dead boolean",
@@ -1492,18 +1584,32 @@ def _cm_map_fields(fields: list[dict], next_id: list[int]) -> list[dict]:
     return out
 
 
-def _cm_physical_struct(fields: list[dict]) -> list[dict]:
+def _cm_physical_struct(
+    fields: list[dict], with_field_ids: bool = False
+) -> list[dict]:
     """The PHYSICAL schema (what the parquet files store): every field
-    renamed to its delta.columnMapping.physicalName, recursively."""
+    renamed to its delta.columnMapping.physicalName, recursively.
+    ``with_field_ids=True`` (column mapping mode=id) stamps each field
+    with ``parquet.field.id`` = its delta.columnMapping.id — the
+    metadata key Spark's parquet source writes into the file footer
+    and, with ``spark.sql.parquet.fieldId.read.enabled``, uses to
+    RESOLVE columns by id instead of by name, per the id-mode protocol
+    rule that physical names in the files are not authoritative."""
     out = []
     for f in fields:
         pf = dict(f)
         pf["name"] = f["metadata"]["delta.columnMapping.physicalName"]
-        pf["metadata"] = {}
+        pf["metadata"] = (
+            {"parquet.field.id": f["metadata"]["delta.columnMapping.id"]}
+            if with_field_ids
+            else {}
+        )
         if isinstance(f["type"], dict) and f["type"].get("type") == "struct":
             pf["type"] = {
                 "type": "struct",
-                "fields": _cm_physical_struct(f["type"]["fields"]),
+                "fields": _cm_physical_struct(
+                    f["type"]["fields"], with_field_ids
+                ),
             }
         out.append(pf)
     return out
@@ -1514,9 +1620,10 @@ def write_delta_column_mapped(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    cm_mode: str = "name",
 ) -> int:
-    """Commit ``df`` to a Delta table with COLUMN MAPPING (mode=name,
-    reader v2 / writer v5): data files store immutable physical names
+    """Commit ``df`` to a Delta table with COLUMN MAPPING (reader v2 /
+    writer v5): data files store immutable physical names
     (``col-<uuid>``), the committed schemaString carries the logical
     names plus the protocol's delta.columnMapping.{id,physicalName}
     field metadata, and reads project physical back to logical. This
@@ -1526,11 +1633,20 @@ def write_delta_column_mapped(
     column set refuses). ``partition_by`` names LOGICAL columns; per
     protocol the hive dirs, add.partitionValues keys, and
     metaData.partitionColumns all carry the PHYSICAL names — which is
-    exactly what makes renaming a partition column metadata-only
-    too."""
+    exactly what makes renaming a partition column metadata-only too.
+
+    ``cm_mode`` picks the protocol's mapping mode: ``"name"`` resolves
+    parquet columns by their stored physical names; ``"id"``
+    additionally stamps every physical field (and parquet footer, via
+    Spark's ``parquet.field.id`` write support) with the column's
+    mapping id, and readers resolve by THAT id — so even a foreign
+    rewrite of a data file under different column names stays
+    readable, the contract Iceberg-style engines rely on."""
     writer_fields = df.schema.jsonValue()["fields"]
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode {mode!r}")
+    if cm_mode not in ("name", "id"):
+        raise ValueError(f"cm_mode must be 'name' or 'id', got {cm_mode!r}")
     prior_version = None
     if os.path.isdir(_log_dir(path)) and _list_versions(path):
         (
@@ -1541,10 +1657,17 @@ def write_delta_column_mapped(
             prior_conf,
             _pp,
         ) = _replay_full(path, None)
-        if prior_conf.get("delta.columnMapping.mode") != "name":
+        prior_cm = prior_conf.get("delta.columnMapping.mode", "none")
+        if prior_cm == "none":
             raise ValueError(
                 "table exists without column mapping; cannot convert in "
                 "place (Delta's upgrade rewrites the metadata, not done here)"
+            )
+        if prior_cm != cm_mode:
+            raise ValueError(
+                f"table uses column mapping mode {prior_cm!r}; this "
+                f"commit declares {cm_mode!r} — the mode is fixed at "
+                "table creation"
             )
         mapped = json.loads(prior_schema)["fields"]
         if {f["name"] for f in mapped} != {f["name"] for f in writer_fields}:
@@ -1561,7 +1684,7 @@ def write_delta_column_mapped(
     version = 0 if prior_version is None else prior_version + 1
     os.makedirs(_log_dir(path), exist_ok=True)
 
-    physical = _cm_physical_struct(mapped)
+    physical = _cm_physical_struct(mapped, with_field_ids=(cm_mode == "id"))
     phys_by_logical = {
         f["name"]: pf["name"] for f, pf in zip(mapped, physical)
     }
@@ -1583,7 +1706,10 @@ def write_delta_column_mapped(
         *[
             F.col(f["name"])
             .cast(phys_type[pf["name"]].dataType)
-            .alias(pf["name"])
+            # id mode: the alias metadata is what makes Spark's parquet
+            # writer stamp PARQUET:field_id into the file footers
+            # (spark.sql.parquet.fieldId.write.enabled, default on)
+            .alias(pf["name"], metadata=pf.get("metadata") or None)
             for f, pf in zip(mapped, physical)
         ]
     )
@@ -1614,7 +1740,7 @@ def write_delta_column_mapped(
                 ),
                 "partitionColumns": phys_parts,
                 "configuration": {
-                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.mode": cm_mode,
                     "delta.columnMapping.maxColumnId": str(max_id),
                 },
                 "createdTime": 0,
@@ -1659,9 +1785,9 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
         conf,
         _protocol,
     ) = _replay_full(path, None)
-    if conf.get("delta.columnMapping.mode") != "name":
+    if conf.get("delta.columnMapping.mode") not in ("name", "id"):
         raise ValueError(
-            "rename without rewrite requires column mapping (mode=name)"
+            "rename without rewrite requires column mapping (mode=name or id)"
         )
     fields = json.loads(schema_string)["fields"]
     names = [f["name"] for f in fields]
@@ -1711,9 +1837,9 @@ def drop_delta_column(path: str, name: str) -> int:
         conf,
         _protocol,
     ) = _replay_full(path, None)
-    if conf.get("delta.columnMapping.mode") != "name":
+    if conf.get("delta.columnMapping.mode") not in ("name", "id"):
         raise ValueError(
-            "drop without rewrite requires column mapping (mode=name)"
+            "drop without rewrite requires column mapping (mode=name or id)"
         )
     fields = json.loads(schema_string)["fields"]
     names = [f["name"] for f in fields]
@@ -1745,17 +1871,158 @@ def drop_delta_column(path: str, name: str) -> int:
     return version + 1
 
 
+# Type Widening (PROTOCOL.md "Type Widening", table feature
+# `typeWidening`): the widenings a metadata-only ALTER may declare.
+# The set here is the protocol's scalar table RESTRICTED to promotions
+# Spark 4's vectorized parquet reader performs natively when handed a
+# wider read schema (verified: int32→int64, int32→double, float→double,
+# decimal precision growth at fixed scale tail-room, date→timestampNtz)
+# — so a widened table needs NO file rewrites and NO per-file casts:
+# the existing explicit-schema scan serves old narrow files under the
+# new wide schema for free.
+_WIDENINGS: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "long": set(),  # long→double is lossy above 2^53: NOT a widening
+    "float": {"double"},
+    "date": {"timestamp_ntz"},
+}
+
+
+def _widening_ok(from_t, to_t) -> bool:
+    """True when ``from_t → to_t`` is one of the protocol's allowed
+    (and Spark-reader-native) widenings. Decimal(p,s) widens to
+    decimal(p',s') when both the scale and the integral digits only
+    grow — the protocol's rule, and exactly what the parquet reader
+    promotes losslessly."""
+    if isinstance(from_t, str) and isinstance(to_t, str):
+        if from_t.startswith("decimal(") and to_t.startswith("decimal("):
+            fp, fs = map(int, from_t[8:-1].split(","))
+            tp, ts = map(int, to_t[8:-1].split(","))
+            return ts >= fs and tp - ts >= fp - fs and (tp, ts) != (fp, fs)
+        return to_t in _WIDENINGS.get(from_t, set())
+    return False
+
+
+def widen_delta_column(path: str, column: str, new_type: str) -> int:
+    """ALTER COLUMN ... TYPE as a METADATA-ONLY commit — the Delta
+    ``typeWidening`` table feature (PROTOCOL.md "Type Widening"): the
+    schemaString's field type widens, the field's metadata records the
+    protocol's ``delta.typeWidening`` provenance entry
+    ({fromType, toType, tableVersion}), and the protocol action
+    upgrades to reader v3 / writer v7 carrying the feature. NO parquet
+    file is touched: Spark's vectorized reader promotes the old narrow
+    physical values to the wide read schema at scan time (int32→long
+    etc.), so widening a column on a 100 TB table costs one JSON
+    publish. Time travel before this commit still serves the narrow
+    type. Later appends must supply the widened type (the schema
+    enforcement in write_delta already refuses a narrow re-append)."""
+    (
+        _active,
+        schema_string,
+        version,
+        partition_columns,
+        conf,
+        protocol,
+    ) = _replay_full(path, None)
+    if column in partition_columns:
+        raise ValueError(
+            f"cannot widen partition column {column!r}: partition values "
+            "are directory names, not parquet-encoded — a widen would "
+            "change their parse type under existing dirs"
+        )
+    fields = json.loads(schema_string)["fields"]
+    names = [f["name"] for f in fields]
+    if column not in names:
+        raise ValueError(f"no column {column!r} (have {names})")
+    new_fields = []
+    for f in fields:
+        if f["name"] != column:
+            new_fields.append(f)
+            continue
+        old_type = f["type"]
+        if old_type == new_type:
+            raise ValueError(f"column {column!r} already has type {new_type!r}")
+        if not _widening_ok(old_type, new_type):
+            raise ValueError(
+                f"{old_type!r} → {new_type!r} is not a supported type "
+                "widening (lossless, reader-native promotions only: "
+                f"{ {k: sorted(v) for k, v in _WIDENINGS.items() if v} } "
+                "and decimal precision/scale growth)"
+            )
+        meta = dict(f.get("metadata") or {})
+        meta["delta.typeWidening"] = list(
+            meta.get("delta.typeWidening") or []
+        ) + [
+            {
+                "fromType": old_type,
+                "toType": new_type,
+                "tableVersion": version + 1,
+            }
+        ]
+        new_fields.append({**f, "type": new_type, "metadata": meta})
+    reader_feats = sorted(
+        set(protocol.get("readerFeatures") or []) | {"typeWidening"}
+    )
+    writer_feats = sorted(
+        set(protocol.get("writerFeatures") or []) | {"typeWidening"}
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": reader_feats,
+                "writerFeatures": writer_feats,
+            }
+        },
+        {
+            "metaData": {
+                "id": hashlib.md5(f"dlc-delta:{path}".encode()).hexdigest(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": new_fields}
+                ),
+                "partitionColumns": partition_columns,
+                "configuration": conf,
+                "createdTime": 0,
+            }
+        },
+        {
+            "commitInfo": {
+                "operation": "CHANGE COLUMN",
+                "operationParameters": {
+                    "column": column,
+                    "toType": new_type,
+                },
+                "timestamp": 0,
+            }
+        },
+    ]
+    _publish_commit(path, version + 1, actions)
+    return version + 1
+
+
 def _read_column_mapped(
     spark: SparkSession,
     path: str,
     active: dict[str, dict],
     schema_string: str,
     partition_columns: list[str],
+    cm_mode: str = "name",
 ) -> DataFrame:
-    """Scan a column-mapped (mode=name) table: read the parquet files
-    under their PHYSICAL schema, then project every column back to its
-    logical name (nested struct fields rename through one positional
-    cast — Catalyst folds it into the scan, no row cost)."""
+    """Scan a column-mapped table: read the parquet files under their
+    PHYSICAL schema, then project every column back to its logical
+    name (nested struct fields rename through one positional cast —
+    Catalyst folds it into the scan, no row cost). mode=name resolves
+    file columns by physical name; mode=id hands Spark a read schema
+    stamped with each column's mapping id and flips
+    ``spark.sql.parquet.fieldId.read.enabled`` so the scan resolves by
+    footer field id — names in the files stop mattering, per
+    protocol. The conf is global but inert for schemas without id
+    metadata (Spark falls back to name matching), so setting it does
+    not change any other read's semantics."""
     from pyspark.sql import functions as F
 
     mapped = json.loads(schema_string)["fields"]
@@ -1764,7 +2031,9 @@ def _read_column_mapped(
     )
     if not active:
         return spark.createDataFrame([], logical)
-    physical = _cm_physical_struct(mapped)
+    physical = _cm_physical_struct(mapped, with_field_ids=(cm_mode == "id"))
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys_schema = T.StructType.fromJson(
         {"type": "struct", "fields": physical}
     )
@@ -1817,13 +2086,13 @@ def read_delta(
         _protocol,
     ) = _replay_full(path, version)
     cm_mode = configuration.get("delta.columnMapping.mode", "none")
-    if cm_mode not in ("none", "name"):
-        raise NotImplementedError(
-            f"column mapping mode {cm_mode!r}; this reader implements "
-            "'none' and 'name'"
+    if cm_mode not in ("none", "name", "id"):
+        raise ValueError(
+            f"unknown column mapping mode {cm_mode!r} (protocol defines "
+            "none/name/id)"
         )
     schema = T.StructType.fromJson(json.loads(schema_string))
-    if partition_filter and cm_mode == "name":
+    if partition_filter and cm_mode in ("name", "id"):
         # filters name LOGICAL columns; partitionColumns/partitionValues
         # carry the physical names per protocol
         mapped = json.loads(schema_string)["fields"]
@@ -1854,9 +2123,9 @@ def read_delta(
         }
     if data_filter is not None:
         active = skip_files(active, *data_filter)
-    if cm_mode == "name":
+    if cm_mode in ("name", "id"):
         return _read_column_mapped(
-            spark, path, active, schema_string, partition_columns
+            spark, path, active, schema_string, partition_columns, cm_mode
         )
     if not active:
         return spark.createDataFrame([], schema)
@@ -2809,10 +3078,15 @@ def read_delta_changes(
     # PHYSICAL names — read physically and project back to logical so
     # the change rows never silently null out. cdc files are written
     # under logical names and read schemaless either way.
-    _cm = _cdf_conf.get("delta.columnMapping.mode", "none") == "name"
+    _cdf_cm_mode = _cdf_conf.get("delta.columnMapping.mode", "none")
+    _cm = _cdf_cm_mode in ("name", "id")
     if _cm:
         _mapped = json.loads(schema_string)["fields"]
-        _physical = _cm_physical_struct(_mapped)
+        _physical = _cm_physical_struct(
+            _mapped, with_field_ids=(_cdf_cm_mode == "id")
+        )
+        if _cdf_cm_mode == "id":
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         _read_schema = T.StructType.fromJson(
             {"type": "struct", "fields": _physical}
         )
@@ -4161,4 +4435,169 @@ def scan_delta_cm_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(
         F.count(F.lit(1)).alias("cnt_f"),
         dsum("o_totalprice").alias("sum_price_f"),
+    )
+
+
+@register(
+    "scan_delta_type_widening",
+    group="A",
+    oracle="""
+    with base as (
+      select l_orderkey, cast(l_quantity as integer) as qty,
+             cast(l_linenumber as integer) as ln
+      from lineitem where l_orderkey % 4 = 0
+    ), widened as (
+      select l_orderkey, cast(l_quantity as bigint) * 1000000000 as qty,
+             cast(l_linenumber as double) as ln
+      from lineitem where l_orderkey % 4 = 1
+    ), unioned as (
+      select l_orderkey, cast(qty as bigint) as qty, cast(ln as double) as ln
+      from base
+      union all select * from widened
+    )
+    select count(*) as cnt,
+           cast(sum(qty) as bigint) as sum_qty,
+           cast(sum(ln) as double) as sum_ln,
+           cast(max(qty) as bigint) as max_qty
+    from unioned
+    """,
+)
+def scan_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the Delta `typeWidening` table feature (PROTOCOL.md "Type
+    Widening") end-to-end. v0 commits lineitem measures as INT columns;
+    `widen_delta_column` widens qty→long and ln→double as METADATA-ONLY
+    commits (asserted: zero data files touched — on a 100 TB table this
+    ALTER costs one JSON publish, not a rewrite); the next append
+    carries genuinely-long values (×10⁹, outside int range). The final
+    scan reads old int32 parquet pages and new int64 pages under ONE
+    wide schema — Spark's vectorized reader promotes the narrow files
+    natively, so there is no per-file cast plan and no UDF. Time travel
+    to v0 still serves the narrow type. The oracle recomputes the union
+    from the source with explicit casts."""
+    path = _fresh(_tmp("lineitem_delta_widen"))
+    src = load(spark, sf_dir, "lineitem")
+    base = src.where(F.col("l_orderkey") % 4 == 0).select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.col("l_linenumber").cast("int").alias("ln"),
+    )
+    write_delta(base, path, "overwrite")
+    files_v0 = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    widen_delta_column(path, "qty", "long")
+    widen_delta_column(path, "ln", "double")
+    assert sorted(glob.glob(os.path.join(path, "part-*.parquet"))) == files_v0, (
+        "widen must be metadata-only"
+    )
+    extra = src.where(F.col("l_orderkey") % 4 == 1).select(
+        "l_orderkey",
+        (F.col("l_quantity").cast("long") * F.lit(1000000000)).alias("qty"),
+        F.col("l_linenumber").cast("double").alias("ln"),
+    )
+    write_delta(extra, path, "append")
+    out = read_delta(spark, path)
+    assert isinstance(out.schema["qty"].dataType, T.LongType), out.schema
+    assert isinstance(out.schema["ln"].dataType, T.DoubleType), out.schema
+    narrow = read_delta(spark, path, version=0)
+    assert isinstance(narrow.schema["qty"].dataType, T.IntegerType)
+    return out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum("ln").alias("sum_ln"),
+        F.max("qty").alias("max_qty"),
+    )
+
+
+@register(
+    "scan_delta_variant",
+    group="A",
+    oracle="""
+    select lang, count(*) as cnt,
+           cast(sum(n_chars) as bigint) as sum_n,
+           cast(max(n_chars) as bigint) as max_n
+    from documents group by lang
+    """,
+)
+def scan_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the Delta `variantType` table feature — semi-structured
+    VARIANT columns (Spark 4 VariantType, binary-encoded metadata+value
+    pair) committed through the native log. Each document's (lang,
+    n_chars) pair round-trips text→parse_json→variant→parquet→scan→
+    variant_get: the write declares readerFeatures=[variantType] per
+    protocol (asserted), the parquet footers carry a LogicalType newer
+    than pyarrow's thrift tables (which is why add-action stats are
+    empty-but-valid for these files — data skipping degrades to
+    scanning, never to wrong answers), and the typed extractions
+    aggregate exactly as the oracle recomputes from the source
+    columns. Shredding is single-pass and distributed; variant_get is
+    a JVM expression, no Python in the plan."""
+    path = _fresh(_tmp("documents_delta_variant"))
+    src = load(spark, sf_dir, "documents")
+    dv = src.select(
+        "doc_id",
+        F.parse_json(
+            F.to_json(F.struct(F.col("lang"), F.col("n_chars").alias("n")))
+        ).alias("meta"),
+    )
+    write_delta(dv, path, "overwrite")
+    _a, _s, _v, _pc, _c, proto = _replay_full(path, None)
+    assert "variantType" in (proto.get("readerFeatures") or []), proto
+    out = read_delta(spark, path)
+    assert isinstance(out.schema["meta"].dataType, T.VariantType), out.schema
+    return (
+        out.select(
+            F.variant_get("meta", "$.lang", "string").alias("lang"),
+            F.variant_get("meta", "$.n", "long").alias("n"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n").alias("sum_n"),
+            F.max("n").alias("max_n"),
+        )
+    )
+
+
+@register(
+    "scan_delta_cm_id_mode",
+    group="A",
+    oracle=f"""
+    select o_orderstatus as status, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderkey % 5 <> 3
+    group by o_orderstatus
+    """,
+)
+def scan_delta_cm_id_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: COLUMN MAPPING mode=id — resolution by parquet FIELD ID
+    instead of physical name. The orders table commits mapped with
+    every physical field stamped parquet.field.id = its
+    delta.columnMapping.id (Spark's parquet writer puts the id into
+    the file footers; asserted via the physical schema metadata), and
+    reads resolve columns through spark.sql.parquet.fieldId.read
+    matching — the protocol contract that keeps a table readable even
+    when a foreign engine rewrites data files under different column
+    names (pinned with a real foreign-rewrite in
+    tests/test_delta_cm_id.py). RENAME stays metadata-only, and a DV
+    DELETE addresses rows through the logical view exactly as in name
+    mode. The oracle recomputes the surviving rows from the source."""
+    path = _fresh(_tmp("orders_delta_cm_id"))
+    src = load(spark, sf_dir, "orders")
+    write_delta_column_mapped(src, path, "overwrite", cm_mode="id")
+    _a, ss, _v, _pc, conf, _p = _replay_full(path, None)
+    assert conf["delta.columnMapping.mode"] == "id"
+    phys = _cm_physical_struct(
+        json.loads(ss)["fields"], with_field_ids=True
+    )
+    assert all(
+        pf["metadata"].get("parquet.field.id") for pf in phys
+    ), phys
+    files_before = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    rename_delta_column(path, "o_orderstatus", "status")
+    assert sorted(glob.glob(os.path.join(path, "part-*.parquet"))) == files_before
+    delete_delta(spark, path, "o_orderkey % 5 = 3")
+    out = read_delta(spark, path)
+    assert "status" in out.columns and "o_orderstatus" not in out.columns
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
     )
