@@ -2541,12 +2541,6 @@ def optimize_delta(
             raise ValueError(
                 f"zorder_by columns {sorted(bad)} not in the data schema"
             )
-    if partition_columns and any(os.path.isabs(rel) for rel in active):
-        raise NotImplementedError(
-            "OPTIMIZE of a partitioned shallow clone is not wired: the "
-            "rewrite would need to re-materialize the source's hive "
-            "layout under the clone root"
-        )
     groups: dict[tuple, list[str]] = {}
     for rel in sorted(active):
         if (
@@ -2613,11 +2607,33 @@ def optimize_delta(
         stage = os.path.join(
             path, f"_stage-{new_version:020d}-{uuid.uuid4().hex[:8]}"
         )
-        # outputs go back into the group's own hive dir: every file in
-        # the group shares one partition directory by construction
-        pdir = os.path.dirname(rels[0])
-        gstage = os.path.join(stage, pdir) if pdir else stage
-        df.write.mode("overwrite").parquet(gstage)
+        if partition_columns and any(os.path.isabs(r) for r in rels):
+            # partitioned SHALLOW CLONE group: the source files live
+            # under the SOURCE root, so their dirname is unusable —
+            # re-materialize the hive layout under the CLONE root by
+            # injecting the group's stored partitionValues as literal
+            # columns and letting Spark's writer create (and escape)
+            # the partition dirs; _stage_to_adds re-derives the
+            # partitionValues from those dirs, so the compacted adds
+            # are ordinary RELATIVE partitioned adds from here on
+            from pyspark.sql import functions as F
+
+            pv = dict(key)
+            out_df = df
+            for c in partition_columns:
+                out_df = out_df.withColumn(
+                    c, F.lit(pv.get(c)).cast(schema[c].dataType)
+                )
+            out_df.write.mode("overwrite").partitionBy(
+                *partition_columns
+            ).parquet(stage)
+        else:
+            # outputs go back into the group's own hive dir: every
+            # file in the group shares one partition directory by
+            # construction
+            pdir = os.path.dirname(rels[0])
+            gstage = os.path.join(stage, pdir) if pdir else stage
+            df.write.mode("overwrite").parquet(gstage)
         adds += _stage_to_adds(
             path, stage, new_version, partition_columns, False
         )
@@ -4600,4 +4616,65 @@ def scan_delta_cm_id_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("status").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "sink_delta_clone_optimize",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders group by o_orderstatus
+    """,
+)
+def sink_delta_clone_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: OPTIMIZE of a PARTITIONED SHALLOW CLONE — the r7 gate,
+    lifted. The source commits orders hive-partitioned as deliberately
+    small files; the clone references them by ABSOLUTE path (zero
+    copies). OPTIMIZE on the clone compacts per partition-group and
+    re-materializes the hive layout UNDER THE CLONE ROOT (the stored
+    partitionValues become literal columns and Spark's writer creates
+    the escaped dirs) — after which every active add is an ordinary
+    RELATIVE partitioned file (asserted), the SOURCE's files and log
+    are untouched (asserted), log-level partition pruning still works,
+    and time travel to the pre-OPTIMIZE version still serves the
+    zero-copy layout. dataChange=false, so incremental consumers skip
+    the rearrangement. The oracle recomputes the table from the
+    source."""
+    path_src = _fresh(_tmp("orders_delta_cloneopt_src"))
+    path_dst = _fresh(_tmp("orders_delta_cloneopt_dst"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(
+        src.repartition(6), path_src, "overwrite",
+        partition_by=["o_orderstatus"],
+    )
+    src_files = sorted(
+        glob.glob(os.path.join(path_src, "**", "part-*.parquet"),
+                  recursive=True)
+    )
+    clone_delta(spark, path_src, path_dst)
+    active_before, *_ = _replay(path_dst, None)
+    assert all(os.path.isabs(rel) for rel in active_before)
+    res = optimize_delta(spark, path_dst)
+    assert res["files_compacted"] == len(active_before), res
+    active_after, *_ = _replay(path_dst, None)
+    assert all(not os.path.isabs(rel) for rel in active_after), (
+        "compacted clone files must be relative hive paths"
+    )
+    assert sorted(
+        glob.glob(os.path.join(path_src, "**", "part-*.parquet"),
+                  recursive=True)
+    ) == src_files, "OPTIMIZE of the clone must not touch the source"
+    pruned = read_delta(spark, path_dst, partition_filter={"o_orderstatus": "F"})
+    assert pruned.count() == src.where("o_orderstatus = 'F'").count()
+    # time travel to the zero-copy version still works
+    assert read_delta(spark, path_dst, version=0).count() == src.count()
+    return (
+        read_delta(spark, path_dst)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
     )

@@ -357,3 +357,84 @@ def test_cm_mode_mismatch_refuses(spark, id_table, tmp_path):
         dn.write_delta_column_mapped(
             df, str(tmp_path / "bad"), "overwrite", cm_mode="wat"
         )
+
+
+# ------------------------------------------- optimize of partitioned clone
+
+
+def test_optimize_partitioned_clone(spark, tmp_path):
+    from datalakecrawler_spark.io import load
+    from tests.conftest import SF_DIR
+
+    src_path = str(tmp_path / "clone_src")
+    dst_path = str(tmp_path / "clone_dst")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(
+        src.repartition(4), src_path, "overwrite", partition_by=["n_regionkey"]
+    )
+    src_files = _data_files(src_path)
+    dn.clone_delta(spark, src_path, dst_path)
+    active0, *_ = dn._replay(dst_path, None)
+    assert all(os.path.isabs(r) for r in active0)
+    res = dn.optimize_delta(spark, dst_path)
+    assert res["files_compacted"] == len(active0)
+    active1, *_ = dn._replay(dst_path, None)
+    # every compacted add is a relative hive path under the clone root
+    assert all(not os.path.isabs(r) for r in active1)
+    assert all(r.startswith("n_regionkey=") for r in active1), active1
+    # partitionValues re-derived from the new dirs
+    assert all(
+        a["partitionValues"].get("n_regionkey") is not None
+        for a in active1.values()
+    )
+    # source untouched, clone correct, pruning works
+    assert _data_files(src_path) == src_files
+    got = sorted(
+        r[0] for r in dn.read_delta(spark, dst_path).select("n_nationkey").collect()
+    )
+    assert got == list(range(25))
+    pruned = dn.read_delta(spark, dst_path, partition_filter={"n_regionkey": "0"})
+    assert pruned.count() == src.where("n_regionkey = 0").count()
+    # time travel to the zero-copy layout still reads
+    assert dn.read_delta(spark, dst_path, version=0).count() == 25
+
+
+def test_optimize_clone_after_local_append_mixed_layout(spark, tmp_path):
+    """A clone that took a LOCAL append has groups mixing absolute
+    (cloned) and relative (appended) files — the rewrite must land
+    everything under the clone root."""
+    from datalakecrawler_spark.io import load
+    from tests.conftest import SF_DIR
+
+    src_path = str(tmp_path / "mixed_src")
+    dst_path = str(tmp_path / "mixed_dst")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src, src_path, "overwrite", partition_by=["n_regionkey"])
+    dn.clone_delta(spark, src_path, dst_path)
+    extra = src.where("n_regionkey = 2").withColumn(
+        "n_nationkey", F.col("n_nationkey") + 100
+    )
+    dn.write_delta(extra, dst_path, "append", partition_by=["n_regionkey"])
+    active0, *_ = dn._replay(dst_path, None)
+    kinds = {os.path.isabs(r) for r in active0}
+    assert kinds == {True, False}, "fixture must mix clone + local files"
+    dn.optimize_delta(spark, dst_path)
+    active1, *_ = dn._replay(dst_path, None)
+    # the MIXED group (region 2: cloned + appended files) compacted to
+    # relative clone-root files; untouched singleton groups rightly
+    # keep their zero-copy absolute reference
+    r2 = {
+        r: a
+        for r, a in active1.items()
+        if a["partitionValues"].get("n_regionkey") == "2"
+    }
+    assert r2 and all(not os.path.isabs(r) for r in r2)
+    got = sorted(
+        r[0]
+        for r in dn.read_delta(spark, dst_path)
+        .where("n_regionkey = 2")
+        .select("n_nationkey")
+        .collect()
+    )
+    base = sorted(r[0] for r in src.where("n_regionkey = 2").select("n_nationkey").collect())
+    assert got == sorted(base + [k + 100 for k in base])
