@@ -3424,17 +3424,30 @@ def _puffin_write(abs_path: str, blobs: list[tuple[bytes, dict]]) -> list[dict]:
 
 def read_puffin_blobs(abs_path: str) -> list[dict]:
     """The footer's blob-metadata list of a Puffin file (header and
-    footer magics + flags verified; compressed footers refuse — this
-    writer never emits them)."""
+    footer magics + flags verified). COMPRESSED footer payloads (flag
+    bit 0 per the Puffin spec: the payload is an LZ4 frame) decode
+    through the pure-Python frame reader in sources/lz4frame.py — this
+    writer always emits uncompressed footers (legal per the flag), but
+    a crawler must read foreign files either way. Reserved flag bits
+    refuse loudly per spec."""
     with open(abs_path, "rb") as fh:
         data = fh.read()
     if data[:4] != _PUFFIN_MAGIC or data[-4:] != _PUFFIN_MAGIC:
         raise ValueError(f"not a Puffin file: {abs_path}")
     (payload_size,) = _struct.unpack_from("<i", data, len(data) - 12)
     flags = data[len(data) - 8 : len(data) - 4]
-    if flags[0] & 1:
-        raise NotImplementedError("compressed Puffin footer payloads")
+    if flags[0] & ~1 or any(flags[1:]):
+        raise ValueError(
+            f"Puffin: reserved footer flag bits set ({flags.hex()}) — "
+            "a reader must not ignore flags it does not understand"
+        )
     payload = data[len(data) - 12 - payload_size : len(data) - 12]
+    if flags[0] & 1:
+        from datalakecrawler_spark.sources.lz4frame import (
+            lz4_frame_decompress,
+        )
+
+        payload = lz4_frame_decompress(payload)
     return json.loads(payload.decode("utf-8"))["blobs"]
 
 
@@ -3576,7 +3589,10 @@ def add_deletion_vectors(spark: SparkSession, path: str, predicate) -> dict:
         )
 
     res = (
-        joined.repartition(64, "__dlc_file_uri")
+        # task count tracks the table's file count up to 64 (same rule
+        # as the read path's DV expand) — a 4-file fixture gets 4
+        # python workers, a large table gets 64 parallel serializers
+        joined.repartition(max(1, min(len(desc_rows), 64)), "__dlc_file_uri")
         .mapInPandas(
             _write_parts,
             "data_path string, puffin_rel string, offset long, "
