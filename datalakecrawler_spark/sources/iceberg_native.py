@@ -617,21 +617,24 @@ def _read_metadata(path: str) -> dict:
         # a v3 table whose content is v2-shaped scans fine — row
         # lineage metadata (next-row-id / first-row-id) is ignorable
         # for plain scans, new types already refuse in the type
-        # mapper, and puffin DELETION VECTORS are implemented (see
-        # add_deletion_vectors / _scan_state). What cannot be ignored
-        # is a field DEFAULT VALUE: files written before the column
-        # was added must serve the default, and reading NULL there
-        # would be silent wrong data.
-        defaulted = [
+        # mapper, puffin DELETION VECTORS are implemented (see
+        # add_deletion_vectors / _scan_state), and TOP-LEVEL field
+        # DEFAULT VALUES are wired (r8: _scan_state substitutes
+        # initial-default per-file from footer field-id presence).
+        # What still refuses: defaults buried inside nested struct
+        # types — reading those as NULL would be silent wrong data.
+        nested_defaulted = [
             f["name"]
             for f in meta.get("schema", {}).get("fields", [])
-            if f.get("initial-default") is not None
+            if isinstance(f.get("type"), dict)
+            and "initial-default" in json.dumps(f["type"])
         ]
-        if defaulted:
+        if nested_defaulted:
             raise NotImplementedError(
-                f"format v3 default values on columns {defaulted} are "
-                "not wired (reading them as NULL would be silent wrong "
-                "data)"
+                "format v3 default values on NESTED fields (inside "
+                f"columns {nested_defaulted}) are not wired (reading "
+                "them as NULL would be silent wrong data); top-level "
+                "column defaults are supported"
             )
     return meta
 
@@ -902,7 +905,13 @@ def _scan_state(
         # re-derive ONLY the identity columns.
         reader = reader.option("basePath", os.path.join(path, "data"))
     out = reader.parquet(*files)
-    if delete_files or dv_entries or eq_deletes or keep_rowmeta:
+    defaulted = [
+        f
+        for f in meta["schema"]["fields"]
+        if f.get("initial-default") is not None
+        and isinstance(f.get("type"), str)
+    ]
+    if delete_files or dv_entries or eq_deletes or keep_rowmeta or defaulted:
         # Capture the hidden _metadata struct ONCE, before any join or
         # projection — those no longer expose it, and all delete
         # flavors key off it.
@@ -920,6 +929,80 @@ def _scan_state(
     ]
     if extra:
         out = out.drop(*extra)
+    if defaulted:
+        # format v3 DEFAULT VALUES: a row whose data file does not
+        # CONTAIN the column (by field id — the file predates the ADD)
+        # reads as the field's initial-default; files that do contain
+        # it read as stored, explicit NULLs included. Presence comes
+        # from the parquet FOOTERS (driver-side, O(files) metadata
+        # bytes — the same cost class as the manifest replay) and
+        # joins in as one broadcast O(files) side-table; the
+        # substitution is a codegen'd when/otherwise, no Python on the
+        # data rows. Fail-closed: a row whose URI misses the map
+        # raises instead of silently serving NULL.
+        import pyarrow.parquet as _pq
+
+        from pyspark.sql import functions as _F
+
+        def _present(fpath: str) -> set:
+            sch = _pq.read_schema(fpath)
+            ids, names = set(), set()
+            for i in range(len(sch)):
+                fld = sch.field(i)
+                names.add(fld.name)
+                m = fld.metadata or {}
+                if b"PARQUET:field_id" in m:
+                    ids.add(int(m[b"PARQUET:field_id"]))
+            return ids or names
+        map_rows = []
+        for fpath in files:
+            have = _present(fpath)
+            map_rows.append(
+                tuple(
+                    [_spark_file_uri(fpath)]
+                    + [
+                        (f["id"] not in have and f["name"] not in have)
+                        for f in defaulted
+                    ]
+                )
+            )
+        miss_cols = [f"__dlc_miss_{i}" for i in range(len(defaulted))]
+        map_df = spark.createDataFrame(
+            map_rows,
+            ", ".join(
+                ["__dlc_file_uri string"]
+                + [f"{c} boolean" for c in miss_cols]
+            ),
+        )
+        out = out.join(_F.broadcast(map_df), "__dlc_file_uri", "left")
+        for i, f in enumerate(defaulted):
+            dtype = schema[f["name"]].dataType
+            out = out.withColumn(
+                f["name"],
+                _F.when(
+                    _F.col(miss_cols[i]).isNull(),
+                    _F.raise_error(
+                        _F.lit(
+                            "default-value scan URI drift: row's file "
+                            "URI missed the footer presence map — "
+                            "refusing a scan that could serve NULL for "
+                            f"defaulted column {f['name']!r}"
+                        )
+                    ).cast(dtype),
+                )
+                .when(
+                    _F.col(miss_cols[i]),
+                    _F.lit(f["initial-default"]).cast(dtype),
+                )
+                .otherwise(_F.col(f["name"])),
+            )
+        out = out.drop(*miss_cols)
+        # restore the committed column order (the join moved the key
+        # column first)
+        out = out.select(
+            *schema.fieldNames(),
+            *[c for c in out.columns if c.startswith("__dlc_")],
+        )
     if delete_files:
         # Positional deletes apply at scan: Spark's hidden _metadata
         # struct supplies (file_path, row_index) per row — exactly the
@@ -1050,7 +1133,9 @@ def _scan_state(
             )
             out = out.join(_F.broadcast(dels), cond, "left_anti")
         out = out.drop("__dlc_data_seq", "__dlc_part")
-    if (delete_files or dv_entries or eq_deletes) and not keep_rowmeta:
+    if (
+        delete_files or dv_entries or eq_deletes or defaulted
+    ) and not keep_rowmeta:
         out = out.drop("__dlc_file_uri")
     return out
 
@@ -2672,22 +2757,45 @@ def upsert_iceberg(
     }
 
 
-def add_iceberg_column(path: str, name: str, ice_type: str) -> int:
+def add_iceberg_column(
+    path: str, name: str, ice_type: str, initial_default=None
+) -> int:
     """ADD COLUMN as a metadata-only commit: the field gets a FRESH id
     past last-column-id, existing files simply lack it (the
     explicit-schema read serves NULLs there) — adding a column to a
     100 TB table costs one metadata.json publish. ``ice_type`` is an
     Iceberg primitive (int/long/double/string/boolean/date/
-    timestamp/decimal(p,s)...)."""
+    timestamp/decimal(p,s)...).
+
+    ``initial_default`` (format v3 "Default values"): rows in files
+    written BEFORE this column existed read as this value instead of
+    NULL — stamped as the field's ``initial-default`` (and
+    ``write-default``, per the spec's add-with-default rule) in the
+    spec's JSON single-value form (date/timestamp/decimal as strings).
+    Scans substitute it per-file from the parquet footers' field-id
+    presence (see _scan_state); rows written AFTER, including explicit
+    NULLs, read as stored."""
     meta = _read_metadata(path)
     fields = meta["schema"]["fields"]
     if name in {f["name"] for f in fields}:
         raise ValueError(f"column {name!r} already exists")
     _ice_type_to_spark(ice_type)  # validates the type string
     fid = meta.get("last-column-id", len(fields)) + 1
-    fields.append(
-        {"id": fid, "name": name, "required": False, "type": ice_type}
-    )
+    field = {"id": fid, "name": name, "required": False, "type": ice_type}
+    if initial_default is not None:
+        if meta.get("format-version", 1) < 3:
+            raise ValueError(
+                "initial-default requires a format-v3 table (the v3 "
+                '"Default values" feature); this table is '
+                f"v{meta.get('format-version', 1)}"
+            )
+        if not isinstance(ice_type, str):
+            raise ValueError(
+                "initial-default on nested/complex types is not wired"
+            )
+        field["initial-default"] = initial_default
+        field["write-default"] = initial_default
+    fields.append(field)
     meta["last-column-id"] = fid
     version = (
         max(
@@ -5252,5 +5360,69 @@ def scan_iceberg_v3_deletion_vectors(
     out = read_iceberg(spark, path)
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "scan_iceberg_column_defaults",
+    group="A",
+    oracle=f"""
+    with epoch1 as (
+      select o_orderkey, o_totalprice, cast(42 as bigint) as score,
+             'legacy' as channel
+      from orders where o_orderkey % 2 = 0
+    ), epoch2 as (
+      select o_orderkey, o_totalprice,
+             cast(o_orderkey % 100 as bigint) as score,
+             case when o_orderkey % 3 = 0 then null else 'web' end as channel
+      from orders where o_orderkey % 2 = 1
+    ), unioned as (
+      select * from epoch1 union all select * from epoch2
+    )
+    select channel, count(*) as cnt,
+           cast(sum(score) as bigint) as sum_score,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from unioned group by channel
+    """,
+)
+def scan_iceberg_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: format v3 DEFAULT VALUES (the last r7 v3 read gate,
+    lifted for top-level columns). Half the orders commit; ADD COLUMN
+    score/channel with initial-defaults (metadata-only — asserted:
+    zero data files touched); the other half appends WITH both columns
+    including EXPLICIT NULL channels. The scan must serve the default
+    for pre-ADD files (by parquet footer field-id presence, joined in
+    as one broadcast O(files) side-table) while post-ADD rows read AS
+    STORED — the explicit NULLs survive, which is exactly the
+    distinction that makes coalesce()-style fixups wrong. Grouped
+    aggregation over the default-bearing columns, recomputed by the
+    oracle from the source."""
+    path = _fresh(_tmp("orders_iceberg_defaults"))
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 0), path, "overwrite",
+        format_version=3,
+    )
+    data_before = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))
+    add_iceberg_column(path, "score", "long", initial_default=42)
+    add_iceberg_column(path, "channel", "string", initial_default="legacy")
+    assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) == (
+        data_before
+    ), "ADD COLUMN with default must be metadata-only"
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 1)
+        .withColumn("score", (F.col("o_orderkey") % 100).cast("long"))
+        .withColumn(
+            "channel",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.lit("web")),
+        ),
+        path, "append", format_version=3,
+    )
+    out = read_iceberg(spark, path)
+    return out.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("score").alias("sum_score"),
         dsum("o_totalprice").alias("sum_price"),
     )

@@ -1880,3 +1880,108 @@ def test_v3_dv_writer_never_collects_data_proportional_rows(spark, tmp_path):
         DataFrame.collect = orig
     assert res["rows_deleted"] > 100 * n_files
     assert sizes and max(sizes) <= n_files, sizes
+
+
+# ------------------------------------------------- v3 default values (r8)
+
+
+def test_column_default_serves_old_files_and_stored_rows(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "defaults")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        p, "overwrite", format_version=3,
+    )
+    import glob as g
+    import os as o
+
+    before = sorted(g.glob(o.path.join(p, "data", "*.parquet")))
+    ice.add_iceberg_column(p, "score", "long", initial_default=42)
+    assert sorted(g.glob(o.path.join(p, "data", "*.parquet"))) == before
+    ice.write_iceberg(
+        spark.createDataFrame(
+            [(3, "c", 7), (4, "d", None)], "id long, s string, score long"
+        ),
+        p, "append", format_version=3,
+    )
+    rows = {
+        r["id"]: r["score"]
+        for r in ice.read_iceberg(spark, p).collect()
+    }
+    # pre-ADD files serve the default; post-ADD rows read AS STORED —
+    # including the explicit NULL
+    assert rows == {1: 42, 2: 42, 3: 7, 4: None}
+
+
+def test_column_default_composes_with_v3_deletion_vectors(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "defaults_dv")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        p, "overwrite", format_version=3,
+    )
+    ice.add_iceberg_column(p, "score", "long", initial_default=9)
+    ice.add_deletion_vectors(spark, p, "id = 2")
+    got = sorted(
+        tuple(r) for r in ice.read_iceberg(spark, p).collect()
+    )
+    assert got == [(1, "a", 9)]
+
+
+def test_column_default_typed_forms(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "defaults_typed")
+    ice.write_iceberg(
+        spark.createDataFrame([(1,)], "id long"), p, "overwrite",
+        format_version=3,
+    )
+    ice.add_iceberg_column(p, "d0", "date", initial_default="2023-06-01")
+    ice.add_iceberg_column(p, "f0", "double", initial_default=1.5)
+    ice.add_iceberg_column(p, "b0", "boolean", initial_default=True)
+    r = ice.read_iceberg(spark, p).collect()[0]
+    assert str(r["d0"]) == "2023-06-01" and r["f0"] == 1.5 and r["b0"] is True
+
+
+def test_column_default_refuses_on_v2(spark, tmp_path):
+    import pytest as _pytest
+
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "defaults_v2")
+    ice.write_iceberg(
+        spark.createDataFrame([(1,)], "id long"), p, "overwrite",
+        format_version=2,
+    )
+    with _pytest.raises(ValueError, match="format-v3"):
+        ice.add_iceberg_column(p, "x", "long", initial_default=1)
+
+
+def test_nested_default_still_gates(spark, tmp_path):
+    """Defaults buried inside struct types stay refused — the narrowed
+    r8 gate."""
+    import glob as g
+    import json as j
+    import os as o
+
+    import pytest as _pytest
+
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "defaults_nested")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, (2, "x"))], "id long, st struct<a:long,b:string>"),
+        p, "overwrite", format_version=3,
+    )
+    metas = sorted(g.glob(o.path.join(p, "metadata", "v*.metadata.json")))
+    with open(metas[-1]) as fh:
+        meta = j.load(fh)
+    for f in meta["schema"]["fields"]:
+        if isinstance(f.get("type"), dict):
+            f["type"]["fields"][0]["initial-default"] = 5
+    with open(metas[-1], "w") as fh:
+        j.dump(meta, fh)
+    with _pytest.raises(NotImplementedError, match="NESTED"):
+        ice.read_iceberg(spark, p)
