@@ -2863,6 +2863,82 @@ def drop_iceberg_column(
     return version
 
 
+def widen_iceberg_column(
+    path: str, name: str, new_ice_type: str,
+    spark: SparkSession | None = None,
+) -> int:
+    """ALTER COLUMN ... TYPE as a metadata-only commit — the spec's
+    schema-evolution TYPE PROMOTIONS: ``int → long``, ``float →
+    double``, and ``decimal(P,S) → decimal(P',S)`` with P' > P (the
+    scale is fixed, stricter than Delta's rule — Iceberg bounds
+    serialization depends on it). The field keeps its id; scans hand
+    Spark the widened read schema and the vectorized parquet reader
+    promotes old narrow pages natively — zero data files rewritten,
+    zero per-file casts. Gates: partition-spec source columns refuse
+    (partition dir values and manifest summaries are serialized under
+    the old type); live EQUALITY delete files whose key includes the
+    column auto-compact to positional form first when ``spark`` is
+    passed (same interlock as DROP/RENAME — their parquet stores the
+    key under the narrow type)."""
+    meta = _read_metadata(path)
+    fields = meta["schema"]["fields"]
+    by_name = {f["name"]: f for f in fields}
+    if name not in by_name:
+        raise ValueError(f"no column {name!r} (have {sorted(by_name)})")
+    old_t = by_name[name]["type"]
+    if not isinstance(old_t, str):
+        raise ValueError("type promotion on nested/complex columns is not wired")
+    ok = (
+        (old_t, new_ice_type) in (("int", "long"), ("float", "double"))
+    )
+    if old_t.startswith("decimal(") and new_ice_type.startswith("decimal("):
+        op, osc = map(int, old_t[8:-1].split(","))
+        np_, nsc = map(int, new_ice_type[8:-1].split(","))
+        ok = nsc == osc and np_ > op
+    if not ok:
+        raise ValueError(
+            f"{old_t!r} → {new_ice_type!r} is not a spec type promotion "
+            "(int→long, float→double, decimal(P,S)→decimal(P',S) with "
+            "P'>P)"
+        )
+    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    src_ids = {sf.get("source-id") for sf in spec_fields}
+    if by_name[name]["id"] in src_ids:
+        raise NotImplementedError(
+            f"widening partition-spec source column {name!r} is not "
+            "wired (dir values and manifest summaries carry the old type)"
+        )
+    sid = meta.get("current-snapshot-id")
+    if sid is not None and sid != -1 and meta.get("snapshots"):
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+        _f, _pd, eq_dels, _ds, _dp = _resolve_state(path, snap)
+        if eq_dels:
+            # blanket rule, same as DROP/RENAME: the delete parquet
+            # stores its key columns under the written (narrow) types,
+            # so compact ALL live equality deletes to name-free
+            # positional form before the type changes under them
+            if spark is None:
+                raise NotImplementedError(
+                    "widening a column named by live EQUALITY delete "
+                    "files needs a SparkSession to auto-compact them "
+                    "to positional deletes (pass spark=...), or run "
+                    "compact_iceberg_deletes first"
+                )
+            compact_iceberg_deletes(spark, path)
+            meta = _read_metadata(path)
+            by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    by_name[name]["type"] = new_ice_type
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    _publish_metadata(path, version, meta)
+    return version
+
+
 def rename_iceberg_column(
     path: str, old: str, new: str, spark: SparkSession | None = None
 ) -> int:
@@ -5425,4 +5501,61 @@ def scan_iceberg_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("score").alias("sum_score"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "scan_iceberg_type_widening",
+    group="A",
+    oracle="""
+    with base as (
+      select l_orderkey, cast(l_quantity as integer) as qty
+      from lineitem where l_orderkey % 4 = 2
+    ), widened as (
+      select l_orderkey, cast(l_quantity as bigint) * 1000000000 as qty
+      from lineitem where l_orderkey % 4 = 3
+    ), unioned as (
+      select l_orderkey, cast(qty as bigint) as qty from base
+      union all select * from widened
+    )
+    select count(*) as cnt,
+           cast(sum(qty) as bigint) as sum_qty,
+           cast(max(qty) as bigint) as max_qty
+    from unioned
+    """,
+)
+def scan_iceberg_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the spec's schema-evolution TYPE PROMOTION (int → long)
+    as a metadata-only ALTER. Lineitem measures commit as INT; the
+    widen touches one metadata.json (asserted: zero data files); the
+    next append carries values ×10⁹ — outside int range — and the
+    final scan reads int32 and int64 parquet pages under ONE wide
+    schema, resolved by field id, promoted natively by the vectorized
+    reader. The oracle recomputes the union with explicit casts."""
+    path = _fresh(_tmp("lineitem_iceberg_widen"))
+    src = load(spark, sf_dir, "lineitem")
+    write_iceberg(
+        src.where(F.col("l_orderkey") % 4 == 2).select(
+            "l_orderkey", F.col("l_quantity").cast("int").alias("qty")
+        ),
+        path, "overwrite", format_version=2,
+    )
+    data_before = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))
+    widen_iceberg_column(path, "qty", "long")
+    assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) == (
+        data_before
+    ), "type promotion must be metadata-only"
+    write_iceberg(
+        src.where(F.col("l_orderkey") % 4 == 3).select(
+            "l_orderkey",
+            (F.col("l_quantity").cast("long") * F.lit(1000000000)).alias("qty"),
+        ),
+        path, "append", format_version=2,
+    )
+    out = read_iceberg(spark, path)
+    assert isinstance(out.schema["qty"].dataType, T.LongType), out.schema
+    return out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("qty").alias("sum_qty"),
+        F.max("qty").alias("max_qty"),
     )

@@ -1985,3 +1985,92 @@ def test_nested_default_still_gates(spark, tmp_path):
         j.dump(meta, fh)
     with _pytest.raises(NotImplementedError, match="NESTED"):
         ice.read_iceberg(spark, p)
+
+
+# ----------------------------------------------------- type widening (r8)
+
+
+def test_iceberg_widen_int_to_long(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "widen")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, qty int"),
+        p, "overwrite", format_version=2,
+    )
+    v = ice.widen_iceberg_column(p, "qty", "long")
+    assert v >= 2
+    ice.write_iceberg(
+        spark.createDataFrame([(3, 2**40)], "id long, qty long"),
+        p, "append", format_version=2,
+    )
+    out = ice.read_iceberg(spark, p)
+    from pyspark.sql import types as T
+
+    assert isinstance(out.schema["qty"].dataType, T.LongType)
+    assert sorted(r["qty"] for r in out.collect()) == [10, 20, 2**40]
+
+
+def test_iceberg_widen_refusals(spark, tmp_path):
+    import pytest as _pytest
+
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "widen_bad")
+    ice.write_iceberg(
+        spark.createDataFrame([(1, 10, 1.5)], "id long, qty int, f float"),
+        p, "overwrite", format_version=2,
+    )
+    with _pytest.raises(ValueError, match="not a spec type promotion"):
+        ice.widen_iceberg_column(p, "id", "int")  # narrowing
+    with _pytest.raises(ValueError, match="not a spec type promotion"):
+        ice.widen_iceberg_column(p, "qty", "double")  # not in the spec set
+    with _pytest.raises(ValueError, match="no column"):
+        ice.widen_iceberg_column(p, "nope", "long")
+    ice.widen_iceberg_column(p, "f", "double")  # float→double allowed
+    out = ice.read_iceberg(spark, p).collect()[0]
+    assert out["f"] == 1.5
+
+
+def test_iceberg_widen_decimal_same_scale_only(spark, tmp_path):
+    import pytest as _pytest
+
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "widen_dec")
+    ice.write_iceberg(
+        spark.sql("select cast(1.25 as decimal(5,2)) as d"),
+        p, "overwrite", format_version=2,
+    )
+    with _pytest.raises(ValueError, match="not a spec type promotion"):
+        ice.widen_iceberg_column(p, "d", "decimal(10,4)")  # scale change
+    ice.widen_iceberg_column(p, "d", "decimal(10,2)")
+    out = ice.read_iceberg(spark, p)
+    from pyspark.sql import types as T
+
+    assert out.schema["d"].dataType == T.DecimalType(10, 2)
+    assert float(out.collect()[0]["d"]) == 1.25
+
+
+def test_iceberg_widen_autocompacts_equality_deletes(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "widen_eq")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, qty int"
+    )
+    ice.write_iceberg(df, p, "overwrite", format_version=2)
+    ice.add_equality_deletes(
+        spark, p, spark.createDataFrame([(2,)], "id long")
+    )
+    ice.widen_iceberg_column(p, "qty", "long", spark=spark)
+    meta = ice._read_metadata(p)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    assert not ice._resolve_state(p, snap)[2], (
+        "widen must have compacted the live equality deletes"
+    )
+    assert sorted(
+        r["id"] for r in ice.read_iceberg(spark, p).collect()
+    ) == [1, 3]
