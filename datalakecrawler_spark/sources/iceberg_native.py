@@ -198,16 +198,25 @@ _MANIFEST_FILE_SCHEMA = {
 _DF_CONTENT_DATA, _DF_CONTENT_POS_DELETES, _DF_CONTENT_EQ_DELETES = 0, 1, 2
 
 
-def _data_file_schema_v2(pfields: list[tuple[str, str]] | None = None) -> dict:
+def _data_file_schema_v2(
+    pfields: list[tuple[str, str]] | None = None, v3: bool = False
+) -> dict:
     s = _data_file_schema(pfields)
     s["fields"].insert(
         0, {"name": "content", "type": "int", "field-id": 134}
     )
+    if v3:
+        # format v3 ROW LINEAGE: the id of the file's first row
+        # (spec field-id 142); a row's _row_id = first_row_id + its
+        # position in the file
+        s["fields"].append(
+            {"name": "first_row_id", "type": ["null", "long"], "field-id": 142}
+        )
     return s
 
 
 def _manifest_entry_schema_v2(
-    pfields: list[tuple[str, str]] | None = None
+    pfields: list[tuple[str, str]] | None = None, v3: bool = False
 ) -> dict:
     return {
         "type": "record",
@@ -217,7 +226,7 @@ def _manifest_entry_schema_v2(
             {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
             {
                 "name": "data_file",
-                "type": _data_file_schema_v2(pfields),
+                "type": _data_file_schema_v2(pfields, v3=v3),
                 "field-id": 2,
             },
         ],
@@ -225,14 +234,14 @@ def _manifest_entry_schema_v2(
 
 
 def _manifest_entry_schema_v2_seq(
-    pfields: list[tuple[str, str]] | None = None
+    pfields: list[tuple[str, str]] | None = None, v3: bool = False
 ) -> dict:
     """Entry schema with the spec's optional per-entry
     ``sequence_number`` (field-id 3). Rewritten (EXISTING) entries must
     record their ORIGINAL data sequence number explicitly — the merged
     manifest has one list-level sequence number, so inheritance would
     silently bump every compacted file past older equality deletes."""
-    s = _manifest_entry_schema_v2(pfields)
+    s = _manifest_entry_schema_v2(pfields, v3=v3)
     s["fields"].insert(
         2,
         {
@@ -680,12 +689,29 @@ def _decode_avro_records(fname: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+def _first_row_ids(path: str, snap: dict) -> dict:
+    """{resolved data file: first_row_id or None} from the snapshot's
+    data manifests — the v3 Row Lineage assignment recorded at write.
+    Driver-side, O(manifests), same cost class as _resolve_state."""
+    out: dict = {}
+    for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
+        if mf.get("content", 0) != 0:
+            continue
+        for entry in _decode_avro_records(_resolve(path, mf["manifest_path"])):
+            if entry["status"] == _ST_DELETED:
+                continue
+            rec = entry["data_file"]
+            out[_resolve(path, rec["file_path"])] = rec.get("first_row_id")
+    return out
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     ref: str | None = None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Snapshot scan: metadata.json → manifest list (Avro) → manifests
     (Avro) → live data-file list → distributed parquet scan. All
@@ -758,9 +784,56 @@ def read_iceberg(
         raise ValueError(f"snapshot {sid} not in table (have {sorted(snaps)})")
     snap = snaps[sid]
     read_pfields = _spec_avro_types(meta)
-    return _scan_state(
-        spark, path, meta, _resolve_state(path, snap, tfilter, read_pfields)
+    state = _resolve_state(path, snap, tfilter, read_pfields)
+    if not row_lineage:
+        return _scan_state(spark, path, meta, state)
+    # format v3 ROW LINEAGE: surface the spec's metadata columns
+    # _row_id (= the file's first_row_id + the row's position — stable
+    # across DV deletes, which never rewrite files) and
+    # _last_updated_sequence_number (the file's data sequence number).
+    # One broadcast O(files) side-table, codegen'd arithmetic, and the
+    # usual fail-closed raise_error on URI drift.
+    if meta.get("format-version", 1) < 3:
+        raise ValueError(
+            "row_lineage requires a format-v3 table (this table is "
+            f"v{meta.get('format-version', 1)})"
+        )
+    frids = _first_row_ids(path, snap)
+    lacking = sorted(
+        os.path.basename(f) for f in state[0] if frids.get(f) is None
     )
+    if lacking:
+        raise ValueError(
+            f"data files {lacking[:3]} carry no first_row_id (written "
+            "by a pre-lineage v3 writer) — row lineage cannot be served "
+            "for this snapshot"
+        )
+    from pyspark.sql import functions as _F
+
+    out = _scan_state(spark, path, meta, state, keep_rowmeta=True)
+    lin_df = spark.createDataFrame(
+        [
+            (_spark_file_uri(f), int(frids[f]), int(state[3].get(f, 0)))
+            for f in state[0]
+        ],
+        "__dlc_file_uri string, __dlc_frid long, __dlc_seq long",
+    )
+    out = out.join(_F.broadcast(lin_df), "__dlc_file_uri", "left")
+    out = out.withColumn(
+        "_row_id",
+        _F.when(
+            _F.col("__dlc_frid").isNull(),
+            _F.raise_error(
+                _F.lit(
+                    "row-lineage scan URI drift: row's file URI missed "
+                    "the first_row_id map — refusing to serve wrong ids"
+                )
+            ).cast("long"),
+        ).otherwise(_F.col("__dlc_frid") + _F.col("__dlc_row_pos")),
+    ).withColumn(
+        "_last_updated_sequence_number", _F.col("__dlc_seq")
+    ).drop("__dlc_file_uri", "__dlc_row_pos", "__dlc_frid", "__dlc_seq")
+    return out
 
 
 def _resolve_state(
@@ -1866,9 +1939,22 @@ def write_iceberg(
     )
     seq = (prior_meta.get("last-sequence-number", 0) + 1) if prior_meta else 1
 
+    # format v3 ROW LINEAGE: every added data file gets the id of its
+    # first row, assigned cumulatively from the table's next-row-id —
+    # a row's _row_id = first_row_id + its position, stable across
+    # DV deletes (files are never rewritten) and free to assign (the
+    # record counts are already in hand)
+    first_row_base = None
+    if format_version >= 3:
+        first_row_base = (prior_meta or {}).get("next-row-id", 0)
+        acc = first_row_base
+        for e in entries:
+            e["data_file"]["first_row_id"] = acc
+            acc += e["data_file"]["record_count"]
+
     # 2) one new manifest for this snapshot's added files
     entry_schema = (
-        _manifest_entry_schema_v2(pfields)
+        _manifest_entry_schema_v2(pfields, v3=(format_version >= 3))
         if format_version >= 2
         else _manifest_entry_schema(pfields)
     )
@@ -1966,6 +2052,10 @@ def write_iceberg(
                 # their original sequence numbers (v2)
                 survivors = []
                 for e in kept_entries:
+                    if format_version >= 3:
+                        # lineage ids carry through the rewrite; a
+                        # pre-lineage entry re-encodes as explicit null
+                        e["data_file"].setdefault("first_row_id", None)
                     ne = {
                         "status": _ST_EXISTING,
                         "snapshot_id": e.get("snapshot_id"),
@@ -1984,7 +2074,9 @@ def write_iceberg(
                 with open(os.path.join(path, mrel), "wb") as fh:
                     w = AvroDatumFileWriter(
                         fh,
-                        _manifest_entry_schema_v2_seq(pfields)
+                        _manifest_entry_schema_v2_seq(
+                            pfields, v3=(format_version >= 3)
+                        )
                         if format_version >= 2
                         else _manifest_entry_schema(pfields),
                         "deflate",
@@ -2127,11 +2219,12 @@ def write_iceberg(
     if format_version >= 3:
         # v3 row-lineage bookkeeping (spec: Row Lineage): every v3
         # writer assigns the snapshot a first-row-id and advances the
-        # table's next-row-id by the rows added. Plain scans don't
-        # surface _row_id, so this is the minimal compliant accounting.
-        next_row = (prior_meta or {}).get("next-row-id", 0)
-        snapshot["first-row-id"] = next_row
-        meta["next-row-id"] = next_row + n_rows_total
+        # table's next-row-id by the rows added; per-file first_row_id
+        # was assigned above, cumulatively from the same base, so
+        # read_iceberg(row_lineage=True) can serve _row_id =
+        # first_row_id + position.
+        snapshot["first-row-id"] = first_row_base
+        meta["next-row-id"] = first_row_base + n_rows_total
     _publish_metadata(path, version, meta)
     return snapshot_id
 
@@ -5558,4 +5651,67 @@ def scan_iceberg_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("qty").alias("sum_qty"),
         F.max("qty").alias("max_qty"),
+    )
+
+
+@register(
+    "scan_iceberg_row_lineage",
+    group="A",
+    oracle="""
+    with e1 as (
+      select o_orderkey,
+             row_number() over (order by o_orderkey) - 1 as rid,
+             cast(1 as bigint) as seq
+      from orders where o_orderkey % 2 = 0
+    ), e2 as (
+      select o_orderkey,
+             (select count(*) from orders where o_orderkey % 2 = 0)
+             + row_number() over (order by o_orderkey) - 1 as rid,
+             cast(2 as bigint) as seq
+      from orders where o_orderkey % 2 = 1
+    ), unioned as (
+      select * from e1 union all select * from e2
+    )
+    select seq, count(*) as cnt,
+           cast(min(rid) as bigint) as min_rid,
+           cast(max(rid) as bigint) as max_rid,
+           cast(sum(rid * o_orderkey) as bigint) as rid_key_moment
+    from unioned group by seq
+    """,
+)
+def scan_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: format v3 ROW LINEAGE end-to-end. Two append epochs
+    (even then odd orders, each staged as ONE key-sorted file so the
+    assignment is deterministic); the writer assigns each file its
+    first_row_id from the table's next-row-id, and
+    read_iceberg(row_lineage=True) serves _row_id = first_row_id +
+    position and _last_updated_sequence_number per the spec — as one
+    broadcast O(files) side-table plus codegen'd arithmetic, no Python
+    on the data rows. The oracle reconstructs the exact per-row id
+    assignment with row_number(); ``rid_key_moment`` (Σ rid·key) pins
+    WHICH row got WHICH id, not just the ranges."""
+    path = _fresh(_tmp("orders_iceberg_lineage"))
+    src = load(spark, sf_dir, "orders").select("o_orderkey")
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey"),
+        path, "overwrite", format_version=3,
+    )
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey"),
+        path, "append", format_version=3,
+    )
+    meta = _read_metadata(path)
+    assert meta["next-row-id"] == src.count(), meta.get("next-row-id")
+    out = read_iceberg(spark, path, row_lineage=True)
+    return out.groupBy(
+        F.col("_last_updated_sequence_number").alias("seq")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("_row_id").alias("min_rid"),
+        F.max("_row_id").alias("max_rid"),
+        F.sum(F.col("_row_id") * F.col("o_orderkey")).alias("rid_key_moment"),
     )

@@ -141,7 +141,9 @@ def test_capability_gates(table, spark, tmp_path):
         fh.write("1")
     with pytest.raises(NotImplementedError, match="format v4"):
         read_iceberg(spark, p2)
-    p3 = str(tmp_path / "ice_v3_defaults")
+    # top-level defaults are SERVED since r8; the remaining v3 gate
+    # is defaults buried inside NESTED struct types
+    p3 = str(tmp_path / "ice_v3_nested_defaults")
     os.makedirs(os.path.join(p3, "metadata"))
     with open(os.path.join(p3, "metadata", "v1.metadata.json"), "w") as fh:
         json.dump(
@@ -149,8 +151,11 @@ def test_capability_gates(table, spark, tmp_path):
                 "format-version": 3,
                 "schema": {
                     "fields": [
-                        {"id": 1, "name": "k", "required": False,
-                         "type": "int", "initial-default": 7}
+                        {"id": 1, "name": "st", "required": False,
+                         "type": {"type": "struct", "fields": [
+                             {"id": 2, "name": "k", "required": False,
+                              "type": "int", "initial-default": 7}
+                         ]}}
                     ]
                 },
             },
@@ -158,7 +163,7 @@ def test_capability_gates(table, spark, tmp_path):
         )
     with open(os.path.join(p3, "metadata", "version-hint.text"), "w") as fh:
         fh.write("1")
-    with pytest.raises(NotImplementedError, match="default values"):
+    with pytest.raises(NotImplementedError, match="NESTED"):
         read_iceberg(spark, p3)
 
 
@@ -1732,14 +1737,15 @@ def test_v3_metadata_with_v2_shaped_content_scans(spark, tmp_path):
     _json.dump(meta, open(meta_file, "w"))
     got = sorted(r["k"] for r in read_iceberg(spark, path).collect())
     assert got == [0, 1, 3, 4, 5]  # eq delete still applies
-    # but a v3 DEFAULT VALUE refuses (NULL there would be wrong data)
+    # and a v3 DEFAULT VALUE is SERVED (r8): every file predates the
+    # injected column, so all surviving rows read the default
     meta["schema"]["fields"].append(
         {"id": 99, "name": "d", "required": False, "type": "int",
          "initial-default": 7}
     )
     _json.dump(meta, open(meta_file, "w"))
-    with pytest.raises(NotImplementedError, match="default values"):
-        read_iceberg(spark, path)
+    got_d = {r["d"] for r in read_iceberg(spark, path).collect()}
+    assert got_d == {7}
 
 
 def test_ddl_autocompose_on_live_equality_deletes(spark, tmp_path):
@@ -2074,3 +2080,59 @@ def test_iceberg_widen_autocompacts_equality_deletes(spark, tmp_path):
     assert sorted(
         r["id"] for r in ice.read_iceberg(spark, p).collect()
     ) == [1, 3]
+
+
+# ------------------------------------------------------ row lineage (r8)
+
+
+def test_row_lineage_ids_and_seq(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "lineage")
+    d1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    ).repartition(1).sortWithinPartitions("id")
+    ice.write_iceberg(d1, p, "overwrite", format_version=3)
+    d2 = spark.createDataFrame(
+        [(4, "d"), (5, "e")], "id long, s string"
+    ).repartition(1).sortWithinPartitions("id")
+    ice.write_iceberg(d2, p, "append", format_version=3)
+    meta = ice._read_metadata(p)
+    assert meta["next-row-id"] == 5
+    snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot-id"])
+    assert [s["first-row-id"] for s in snaps] == [0, 3]
+    out = ice.read_iceberg(spark, p, row_lineage=True)
+    got = sorted(
+        (r["id"], r["_row_id"], r["_last_updated_sequence_number"])
+        for r in out.collect()
+    )
+    assert got == [(1, 0, 1), (2, 1, 1), (3, 2, 1), (4, 3, 2), (5, 4, 2)]
+
+
+def test_row_lineage_stable_across_dv_delete(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "lineage_dv")
+    d1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    ).repartition(1).sortWithinPartitions("id")
+    ice.write_iceberg(d1, p, "overwrite", format_version=3)
+    ice.add_deletion_vectors(spark, p, "id = 2")
+    out = ice.read_iceberg(spark, p, row_lineage=True)
+    got = sorted((r["id"], r["_row_id"]) for r in out.collect())
+    # survivors KEEP their original row ids — lineage, not renumbering
+    assert got == [(1, 0), (3, 2)]
+
+
+def test_row_lineage_refuses_v2(spark, tmp_path):
+    import pytest as _pytest
+
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "lineage_v2")
+    ice.write_iceberg(
+        spark.createDataFrame([(1,)], "id long"), p, "overwrite",
+        format_version=2,
+    )
+    with _pytest.raises(ValueError, match="format-v3"):
+        ice.read_iceberg(spark, p, row_lineage=True)
