@@ -559,13 +559,31 @@ def write_delta(
     # without variantType can't decode the binary-encoded variant pair
     # at all. Checked on EVERY commit, not just v0 — a merge_schema
     # append may introduce the first such column to an existing table.
+    # (A recursive TYPE walk, not a json substring match — a column
+    # merely NAMED "variant" must not trip the feature.)
+    def _type_names(t, acc: set) -> set:
+        if isinstance(t, str):
+            acc.add(t)
+        elif isinstance(t, dict):
+            kind = t.get("type")
+            acc.add(kind if isinstance(kind, str) else None)
+            for sub in ("elementType", "keyType", "valueType"):
+                if sub in t:
+                    _type_names(t[sub], acc)
+            for f in t.get("fields", []) or []:
+                _type_names(f.get("type"), acc)
+        return acc
+
+    _tnames: set = set()
+    for f in schema_fields:
+        _type_names(f.get("type"), _tnames)
     feats = sorted(
         feat
         for marker, feat in (
             ("timestamp_ntz", "timestampNtz"),
-            ('"variant"', "variantType"),
+            ("variant", "variantType"),
         )
-        if any(marker in json.dumps(f.get("type")) for f in schema_fields)
+        if marker in _tnames
     )
     if version == 0:
         if feats:

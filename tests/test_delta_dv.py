@@ -392,9 +392,14 @@ def test_shallow_clone_partitioned(spark, tmp_path):
     assert set(
         glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
     ) == src_files
-    # OPTIMIZE of a partitioned clone gates loudly
-    with pytest.raises(NotImplementedError, match="partitioned shallow clone"):
-        dn.optimize_delta(spark, dst_path)
+    # OPTIMIZE of a partitioned clone compacts INTO the clone root
+    # (r8 — the gate lifted; full coverage in
+    # tests/test_delta_features.py::test_optimize_partitioned_clone)
+    dn.optimize_delta(spark, dst_path)
+    assert dn.read_delta(spark, dst_path).count() == 25
+    assert set(
+        glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    ) == src_files
 
 
 def test_update_via_dv_and_cdf(spark, table):
