@@ -45,6 +45,7 @@ def _load_all() -> None:
     from datalakecrawler_spark.sources import (  # noqa: F401
         avro,
         catalog,
+        convert,
         delta_native,
         hudi_native,
         iceberg_native,

@@ -1,0 +1,478 @@
+"""Metadata-only table-format CONVERSION — the XTable/`snapshot
+migrate` idea: a Delta table and an Iceberg table over the same
+parquet files differ only in metadata, so switching engines on a
+100 TB lake should cost O(files) metadata writes and ZERO data-file
+copies. Both directions here reference the SOURCE table's data files
+by absolute path:
+
+- ``convert_delta_to_iceberg``: Delta log replay → one Iceberg v2
+  manifest (+ manifest list + metadata.json). Imported files carry no
+  parquet field ids, so the table records the spec's
+  ``schema.name-mapping.default`` property and scans resolve by NAME
+  (iceberg_native._scan_state honors it); identity partitions carry
+  through as a spec with typed r102 records, with the DELTA root
+  recorded as the hive basePath (``dlc.convert.base-path``).
+- ``convert_iceberg_to_delta``: snapshot state → one Delta commit of
+  absolute-path add actions — exactly the shallow-clone shape
+  read_delta already serves (partition columns injected from stored
+  partitionValues via one broadcast metadata join).
+
+Honest gates, fail-loudly: row-level deletes (DVs / positional /
+equality) must be materialized first (OPTIMIZE / compaction), Delta
+column mapping has no Iceberg-file equivalent here, and non-identity
+(transform) partition specs don't round-trip to Delta's value-listed
+layout."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+def convert_delta_to_iceberg(
+    spark: SparkSession, delta_path: str, ice_path: str
+) -> dict:
+    """Publish Iceberg v2 metadata over a Delta table's ACTIVE data
+    files (absolute paths — zero copies). Returns a summary dict."""
+    from datalakecrawler_spark.sources.avro import AvroDatumFileWriter
+    from datalakecrawler_spark.sources.delta_native import _replay_full
+    from datalakecrawler_spark.sources.iceberg_native import (
+        _manifest_entry_schema_v2,
+        _manifest_file_schema_v2,
+        _meta_dir,
+        _publish_metadata,
+        _spark_schema_to_iceberg,
+    )
+
+    (
+        active,
+        schema_string,
+        _v,
+        partition_columns,
+        conf,
+        _protocol,
+    ) = _replay_full(delta_path, None)
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError(
+            "convert: column-mapped Delta tables store physical "
+            "col-<uuid> parquet names; materialize (rewrite) first"
+        )
+    dv_files = sorted(
+        rel for rel, add in active.items() if add.get("deletionVector")
+    )
+    if dv_files:
+        raise NotImplementedError(
+            f"convert: {len(dv_files)} active files carry deletion "
+            "vectors; run optimize_delta (purge) first so the file "
+            "bytes are the table"
+        )
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    ice_schema = _spark_schema_to_iceberg(schema)
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    # identity partition spec from Delta's partitionColumns; values
+    # ride in each add action's partitionValues (strings, per Delta),
+    # typed into the r102 record with the schema's types
+    _AVRO = {
+        T.IntegerType(): "int",
+        T.LongType(): "long",
+        T.StringType(): "string",
+    }
+    pfields = []
+    for c in partition_columns:
+        dt = schema[c].dataType
+        avro_t = _AVRO.get(dt)
+        if avro_t is None:
+            raise NotImplementedError(
+                f"convert: partition column {c!r} has type "
+                f"{dt.simpleString()}; int/long/string identity "
+                "partitions convert"
+            )
+        pfields.append((c, avro_t))
+
+    def _typed(v: str | None, avro_t: str):
+        if v is None:
+            return None
+        return int(v) if avro_t in ("int", "long") else v
+
+    os.makedirs(_meta_dir(ice_path), exist_ok=True)
+    entries = []
+    n_rows_total = 0
+    for rel in sorted(active):
+        add = active[rel]
+        stats = (
+            json.loads(add["stats"]) if isinstance(add.get("stats"), str) else {}
+        )
+        n = stats.get("numRecords")
+        if n is None:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(
+                os.path.join(delta_path, rel)
+            ).metadata.num_rows
+        n_rows_total += int(n)
+        pvals = add.get("partitionValues", {})
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(
+                        os.path.join(delta_path, rel)
+                    ),
+                    "file_format": "PARQUET",
+                    "partition": {
+                        c: _typed(pvals.get(c), t) for c, t in pfields
+                    },
+                    "record_count": int(n),
+                    "file_size_in_bytes": int(add["size"]),
+                    "block_size_in_bytes": 0,
+                },
+            }
+        )
+    manifest_rel = os.path.join("metadata", "manifest-00001.avro")
+    with open(os.path.join(ice_path, manifest_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_entry_schema_v2(pfields), "deflate",
+            sync_seed=manifest_rel,
+        )
+        w.write_block(entries)
+    ml_rel = os.path.join("metadata", "snap-00001.avro")
+    with open(os.path.join(ice_path, ml_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_file_schema_v2(), "deflate", sync_seed=ml_rel
+        )
+        w.write_block(
+            [
+                {
+                    "manifest_path": manifest_rel,
+                    "manifest_length": os.path.getsize(
+                        os.path.join(ice_path, manifest_rel)
+                    ),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": 1,
+                    "added_data_files_count": len(entries),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "partitions": None,
+                    "added_rows_count": n_rows_total,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "content": 0,
+                    "sequence_number": 1,
+                    "min_sequence_number": 1,
+                }
+            ]
+        )
+    # the spec's name-mapping for imported (field-id-less) files:
+    # default mapping = each schema name to its assigned field id
+    name_mapping = json.dumps(
+        [
+            {"field-id": fid, "names": [n]}
+            for n, fid in sorted(name_to_id.items(), key=lambda kv: kv[1])
+        ]
+    )
+    last_col_id = ice_schema.pop("last-column-id")
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": ice_path,
+        "last-updated-ms": 0,
+        "last-column-id": last_col_id,
+        "schema": ice_schema,
+        "partition-spec": [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": name_to_id[c],
+                "field-id": 1000 + i,
+            }
+            for i, (c, _t) in enumerate(pfields)
+        ],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": name_to_id[c],
+                        "field-id": 1000 + i,
+                    }
+                    for i, (c, _t) in enumerate(pfields)
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "properties": {
+            "schema.name-mapping.default": name_mapping,
+            # converted identity partitions: the hive dirs live under
+            # the DELTA root, not <ice_path>/data
+            **(
+                {"dlc.convert.base-path": os.path.abspath(delta_path)}
+                if pfields
+                else {}
+            ),
+        },
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 0,
+                "manifest-list": ml_rel,
+                "summary": {"operation": "append"},
+                "sequence-number": 1,
+            }
+        ],
+        "snapshot-log": [],
+        "refs": {},
+        "last-sequence-number": 1,
+    }
+    _publish_metadata(ice_path, 1, meta)
+    return {
+        "files_referenced": len(entries),
+        "files_copied": 0,
+        "rows": n_rows_total,
+    }
+
+
+def convert_iceberg_to_delta(
+    spark: SparkSession, ice_path: str, delta_path: str
+) -> dict:
+    """Publish a Delta log over an Iceberg snapshot's data files
+    (absolute-path add actions — the shallow-clone shape read_delta
+    already serves; zero copies)."""
+    import hashlib
+
+    from datalakecrawler_spark.sources.delta_native import (
+        _log_dir,
+        _publish_commit,
+    )
+    from datalakecrawler_spark.sources.iceberg_native import (
+        _decode_avro_records,
+        _iceberg_schema_to_spark,
+        _read_metadata,
+        _resolve,
+        _resolve_state,
+    )
+
+    meta = _read_metadata(ice_path)
+    sid = meta.get("current-snapshot-id")
+    if sid is None or sid == -1 or not meta.get("snapshots"):
+        raise ValueError("convert: source Iceberg table has no snapshot")
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+    files, delete_files, eq_deletes, _ds, _dp = _resolve_state(ice_path, snap)
+    if delete_files or eq_deletes:
+        raise NotImplementedError(
+            "convert: the snapshot carries row-level deletes "
+            f"({len(delete_files)} positional/DV, {len(eq_deletes)} "
+            "equality); compact/materialize first so the file bytes "
+            "are the table"
+        )
+    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    if any(
+        sf.get("transform", "identity") != "identity" for sf in spec_fields
+    ):
+        raise NotImplementedError(
+            "convert: transform partition specs (bucket/truncate/"
+            "year/...) have no Delta partitionValues equivalent; only "
+            "identity specs convert"
+        )
+    by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    part_cols = [by_id[sf["source-id"]] for sf in spec_fields]
+    schema = _iceberg_schema_to_spark(meta["schema"])
+    # per-file record counts + typed partition values from the
+    # manifests (O(metadata), no data reads)
+    recs: dict[str, tuple[int, dict]] = {}
+    for mf in _decode_avro_records(_resolve(ice_path, snap["manifest-list"])):
+        if mf.get("content", 0) != 0:
+            continue
+        for entry in _decode_avro_records(
+            _resolve(ice_path, mf["manifest_path"])
+        ):
+            if entry["status"] == 2:  # DELETED
+                continue
+            rec = entry["data_file"]
+            recs[_resolve(ice_path, rec["file_path"])] = (
+                int(rec["record_count"]),
+                dict(rec.get("partition") or {}),
+            )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": hashlib.md5(
+                    f"dlc-convert:{delta_path}".encode()
+                ).hexdigest(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "configuration": {},
+                "partitionColumns": part_cols,
+                "createdTime": 0,
+            }
+        },
+    ]
+    n_rows_total = 0
+    for f in sorted(files):
+        n, pvals = recs[f]
+        n_rows_total += n
+        actions.append(
+            {
+                "add": {
+                    # absolute path: the shallow-clone shape; Delta
+                    # serves partition columns from partitionValues
+                    # via the broadcast metadata join
+                    "path": os.path.abspath(f),
+                    "partitionValues": {
+                        c: (None if pvals.get(c) is None else str(pvals[c]))
+                        for c in part_cols
+                    },
+                    "size": os.path.getsize(f),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": n,
+                            "minValues": {},
+                            "maxValues": {},
+                            "nullCount": {},
+                        },
+                        sort_keys=True,
+                    ),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "operationParameters": {"source": os.path.abspath(ice_path)},
+                "timestamp": 0,
+            }
+        }
+    )
+    os.makedirs(_log_dir(delta_path), exist_ok=True)
+    _publish_commit(delta_path, 0, actions)
+    return {
+        "files_referenced": len(files),
+        "files_copied": 0,
+        "rows": n_rows_total,
+    }
+
+
+# --------------------------------------------------------------- registry
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from datalakecrawler_spark.io import load  # noqa: E402
+from datalakecrawler_spark.registry import SUM_D, dsum, register  # noqa: E402
+from datalakecrawler_spark.sources.scans import _tmp  # noqa: E402
+
+
+def _fresh(path: str) -> str:
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    return path
+
+
+@register(
+    "sink_delta_to_iceberg_convert",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price,
+           cast(0 as integer) as files_copied
+    from orders group by o_orderstatus
+    """,
+)
+def sink_delta_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: METADATA-ONLY format conversion, Delta → Iceberg (the
+    XTable idea). A partitioned Delta table (two commits) converts by
+    publishing Iceberg v2 metadata over the SAME parquet files —
+    absolute paths, zero bytes copied (asserted: no parquet under the
+    Iceberg root) — with the spec's ``schema.name-mapping.default``
+    recorded so the id-less imported files resolve by name, and the
+    Delta root as hive basePath so identity partitions re-derive. The
+    Iceberg read (including a partition-filtered one, pruned at the
+    manifest level) must serve exactly the Delta table's rows — the
+    oracle recomputes them from the source. On a 100 TB lake this is
+    an engine switch for the cost of one manifest write."""
+    from datalakecrawler_spark.sources.delta_native import write_delta
+    from datalakecrawler_spark.sources.iceberg_native import read_iceberg
+
+    pd_ = _fresh(_tmp("orders_cv_delta_src"))
+    pi = _fresh(_tmp("orders_cv_ice_dst"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(
+        src.where(F.col("o_orderkey") % 2 == 0), pd_, "overwrite",
+        partition_by=["o_orderstatus"],
+    )
+    write_delta(
+        src.where(F.col("o_orderkey") % 2 == 1), pd_, "append",
+        partition_by=["o_orderstatus"],
+    )
+    res = convert_delta_to_iceberg(spark, pd_, pi)
+    assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
+    import glob as _glob
+
+    copied = _glob.glob(os.path.join(pi, "**", "*.parquet"), recursive=True)
+    assert not copied, copied
+    out = read_iceberg(spark, pi)
+    pruned = read_iceberg(spark, pi, partition_filter={"o_orderstatus": "F"})
+    assert pruned.count() == src.where("o_orderstatus = 'F'").count()
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )
+
+
+@register(
+    "sink_iceberg_to_delta_convert",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price,
+           cast(0 as integer) as files_copied
+    from orders group by o_orderstatus
+    """,
+)
+def sink_iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the reverse conversion, Iceberg → Delta. A partitioned
+    Iceberg v2 table (identity spec) converts by publishing one Delta
+    commit of absolute-path add actions — the shallow-clone shape
+    read_delta already serves, partition columns injected from stored
+    partitionValues via one broadcast metadata join. Zero copies
+    (asserted), Delta-side log-level partition pruning works on the
+    converted table, and the oracle recomputes the rows from the
+    source. Row-level deletes and transform specs refuse loudly (the
+    file bytes must BE the table for a metadata-only switch)."""
+    from datalakecrawler_spark.sources.delta_native import read_delta
+    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+
+    pi = _fresh(_tmp("orders_cv_ice_src"))
+    pd_ = _fresh(_tmp("orders_cv_delta_dst"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src, pi, "overwrite", partition_by=["o_orderstatus"],
+        format_version=2,
+    )
+    res = convert_iceberg_to_delta(spark, pi, pd_)
+    assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
+    import glob as _glob
+
+    copied = _glob.glob(os.path.join(pd_, "**", "*.parquet"), recursive=True)
+    assert not copied, copied
+    out = read_delta(spark, pd_)
+    pruned = read_delta(spark, pd_, partition_filter={"o_orderstatus": "F"})
+    assert pruned.count() == src.where("o_orderstatus = 'F'").count()
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )

@@ -957,9 +957,17 @@ def _scan_state(
     if not files:
         return spark.createDataFrame([], schema)
     # resolve columns BY FIELD ID (the spec's rule): files written
-    # under an older schema serve renamed columns correctly
-    _enable_field_ids(spark)
-    schema = _iceberg_schema_to_spark(meta["schema"], field_ids=True)
+    # under an older schema serve renamed columns correctly. Tables
+    # carrying the spec's NAME MAPPING property (files IMPORTED from a
+    # non-Iceberg layout have no footer field ids — an id-resolved
+    # read would null every column) resolve by NAME per the mapping
+    # instead.
+    name_mapped = bool(
+        (meta.get("properties") or {}).get("schema.name-mapping.default")
+    )
+    if not name_mapped:
+        _enable_field_ids(spark)
+        schema = _iceberg_schema_to_spark(meta["schema"], field_ids=True)
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
     src_by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     identity_cols = {
@@ -975,8 +983,13 @@ def _scan_state(
         # column INSIDE the data files — their dirs hold transform
         # values under non-schema names, which Spark appends as extra
         # columns and the select below drops. Mixed specs therefore
-        # re-derive ONLY the identity columns.
-        reader = reader.option("basePath", os.path.join(path, "data"))
+        # re-derive ONLY the identity columns. Converted tables (data
+        # files living under the SOURCE table's root) carry the base
+        # in a property.
+        base = (meta.get("properties") or {}).get(
+            "dlc.convert.base-path", os.path.join(path, "data")
+        )
+        reader = reader.option("basePath", base)
     out = reader.parquet(*files)
     defaulted = [
         f
@@ -2194,7 +2207,9 @@ def write_iceberg(
             }
         ],
         "default-spec-id": 0,
-        "properties": {},
+        # table properties survive every commit (a fresh {} here would
+        # strip e.g. a converted table's name-mapping)
+        "properties": (prior_meta or {}).get("properties", {}),
         # a branch write (WAP) STAGES its snapshot: the branch ref
         # moves, the table head does not — readers of main never see
         # the unaudited data until fast_forward publishes it

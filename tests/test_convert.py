@@ -1,0 +1,125 @@
+"""sources/convert.py — metadata-only Delta ⇄ Iceberg conversion:
+zero data-file copies, name-mapping resolution for imported id-less
+files, identity-partition carry-through, and the fail-loudly gates
+(row-level deletes, column mapping, transform specs)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datalakecrawler_spark.io import load
+from datalakecrawler_spark.sources import delta_native as dn
+from datalakecrawler_spark.sources import iceberg_native as ice
+from datalakecrawler_spark.sources.convert import (
+    convert_delta_to_iceberg,
+    convert_iceberg_to_delta,
+)
+from tests.conftest import SF_DIR
+
+
+def _no_parquet_under(path):
+    return not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+
+def test_delta_to_iceberg_zero_copy(spark, tmp_path):
+    pd_, pi = str(tmp_path / "d"), str(tmp_path / "i")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src.repartition(3), pd_, "overwrite")
+    res = convert_delta_to_iceberg(spark, pd_, pi)
+    assert res == {"files_referenced": 3, "files_copied": 0, "rows": 25}
+    assert _no_parquet_under(pi)
+    got = sorted(r["n_nationkey"] for r in ice.read_iceberg(spark, pi).collect())
+    assert got == list(range(25))
+    # the spec's name-mapping rode along (imported files have no ids)
+    meta = ice._read_metadata(pi)
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {m["names"][0] for m in mapping} == set(src.columns)
+
+
+def test_delta_to_iceberg_partitioned_prunes(spark, tmp_path):
+    pd_, pi = str(tmp_path / "dp"), str(tmp_path / "ip")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src, pd_, "overwrite", partition_by=["n_regionkey"])
+    convert_delta_to_iceberg(spark, pd_, pi)
+    pruned = ice.read_iceberg(spark, pi, partition_filter={"n_regionkey": 2})
+    assert sorted(r["n_nationkey"] for r in pruned.collect()) == sorted(
+        r["n_nationkey"]
+        for r in src.where("n_regionkey = 2").collect()
+    )
+
+
+def test_iceberg_to_delta_roundtrip_and_pruning(spark, tmp_path):
+    pi, pd_ = str(tmp_path / "i2"), str(tmp_path / "d2")
+    src = load(spark, SF_DIR, "nation")
+    ice.write_iceberg(
+        src, pi, "overwrite", partition_by=["n_regionkey"], format_version=2
+    )
+    res = convert_iceberg_to_delta(spark, pi, pd_)
+    assert res["files_copied"] == 0 and res["rows"] == 25
+    assert _no_parquet_under(pd_)
+    out = dn.read_delta(spark, pd_)
+    assert sorted(r["n_nationkey"] for r in out.collect()) == list(range(25))
+    pruned = dn.read_delta(spark, pd_, partition_filter={"n_regionkey": "0"})
+    assert pruned.count() == src.where("n_regionkey = 0").count()
+
+
+def test_convert_gates(spark, tmp_path):
+    src = load(spark, SF_DIR, "nation")
+    # DV-bearing Delta refuses
+    pd_ = str(tmp_path / "gate_dv")
+    dn.write_delta(src, pd_, "overwrite")
+    dn.delete_delta(spark, pd_, "n_nationkey = 3")
+    with pytest.raises(NotImplementedError, match="deletion"):
+        convert_delta_to_iceberg(spark, pd_, str(tmp_path / "x1"))
+    # ...until OPTIMIZE purges the DV — then conversion proceeds
+    dn.optimize_delta(spark, pd_)
+    convert_delta_to_iceberg(spark, pd_, str(tmp_path / "x1"))
+    got = sorted(
+        r["n_nationkey"]
+        for r in ice.read_iceberg(spark, str(tmp_path / "x1")).collect()
+    )
+    assert got == sorted(set(range(25)) - {3})
+    # column-mapped Delta refuses
+    pcm = str(tmp_path / "gate_cm")
+    dn.write_delta_column_mapped(src, pcm, "overwrite")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        convert_delta_to_iceberg(spark, pcm, str(tmp_path / "x2"))
+    # Iceberg with live deletes refuses
+    pi = str(tmp_path / "gate_eq")
+    ice.write_iceberg(src, pi, "overwrite", format_version=2)
+    ice.add_equality_deletes(
+        spark, pi, spark.createDataFrame([(1,)], "n_nationkey int")
+    )
+    with pytest.raises(NotImplementedError, match="row-level deletes"):
+        convert_iceberg_to_delta(spark, pi, str(tmp_path / "x3"))
+    # transform spec refuses
+    pb = str(tmp_path / "gate_bucket")
+    ice.write_iceberg(
+        src, pb, "overwrite", partition_by=["bucket(4, n_nationkey)"],
+        format_version=2,
+    )
+    with pytest.raises(NotImplementedError, match="transform"):
+        convert_iceberg_to_delta(spark, pb, str(tmp_path / "x4"))
+
+
+def test_converted_iceberg_accepts_appends_preserving_mapping(spark, tmp_path):
+    """write_iceberg appends onto a converted table must not strip the
+    name-mapping property (it is what keeps the imported files
+    readable)."""
+    pd_, pi = str(tmp_path / "d3"), str(tmp_path / "i3")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src.where("n_nationkey < 20"), pd_, "overwrite")
+    convert_delta_to_iceberg(spark, pd_, pi)
+    ice.write_iceberg(
+        src.where("n_nationkey >= 20"), pi, "append", format_version=2
+    )
+    meta = ice._read_metadata(pi)
+    assert "schema.name-mapping.default" in meta["properties"]
+    got = sorted(r["n_nationkey"] for r in ice.read_iceberg(spark, pi).collect())
+    assert got == list(range(25))
