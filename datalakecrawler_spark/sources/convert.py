@@ -17,8 +17,14 @@ by absolute path:
   read_delta already serves (partition columns injected from stored
   partitionValues via one broadcast metadata join).
 
-Honest gates, fail-loudly: row-level deletes (DVs / positional /
-equality) must be materialized first (OPTIMIZE / compaction), Delta
+Delta DELETION VECTORS convert too: both formats address dead rows as
+(data file, position), so the DV bitmaps expand executor-side into one
+Iceberg positional-delete parquet at a higher sequence number —
+O(deleted rows) written, zero data files touched either way.
+
+Honest gates, fail-loudly: Iceberg-side row-level deletes must be
+compacted before converting TO Delta (Delta DVs would need a bitmap
+re-encode — compact_iceberg_deletes then OPTIMIZE covers it), Delta
 column mapping has no Iceberg-file equivalent here, and non-identity
 (transform) partition specs don't round-trip to Delta's value-listed
 layout."""
@@ -63,12 +69,6 @@ def convert_delta_to_iceberg(
     dv_files = sorted(
         rel for rel, add in active.items() if add.get("deletionVector")
     )
-    if dv_files:
-        raise NotImplementedError(
-            f"convert: {len(dv_files)} active files carry deletion "
-            "vectors; run optimize_delta (purge) first so the file "
-            "bytes are the table"
-        )
     schema = T.StructType.fromJson(json.loads(schema_string))
     ice_schema = _spark_schema_to_iceberg(schema)
     name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
@@ -140,33 +140,172 @@ def convert_delta_to_iceberg(
             sync_seed=manifest_rel,
         )
         w.write_block(entries)
+    manifests = [
+        {
+            "manifest_path": manifest_rel,
+            "manifest_length": os.path.getsize(
+                os.path.join(ice_path, manifest_rel)
+            ),
+            "partition_spec_id": 0,
+            "added_snapshot_id": 1,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "partitions": None,
+            "added_rows_count": n_rows_total,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+        }
+    ]
+    # Delta DELETION VECTORS convert to Iceberg v2 POSITIONAL DELETE
+    # files: both address rows as (data file, position), so the DV
+    # bitmaps expand EXECUTOR-side (same mapInPandas shape as the DV
+    # scan) into one spec-shaped delete parquet at sequence number 2 —
+    # O(deleted rows) written, data files still untouched.
+    n_deleted = 0
+    seq_last = 1
+    if dv_files:
+        import glob as _glob
+        import shutil as _shutil
+
+        from datalakecrawler_spark.sources.delta_native import (
+            _dv_abs_path,
+            _z85_decode,
+        )
+        from datalakecrawler_spark.sources.iceberg_native import (
+            _spark_file_uri,
+        )
+
+        rows = []
+        for rel in dv_files:
+            d = active[rel]["deletionVector"]
+            inline = (
+                bytearray(_z85_decode(d["pathOrInlineDv"]))
+                if d["storageType"] == "i"
+                else None
+            )
+            sidecar = (
+                _dv_abs_path(delta_path, d) if d["storageType"] != "i" else None
+            )
+            rows.append(
+                (
+                    _spark_file_uri(
+                        os.path.abspath(os.path.join(delta_path, rel))
+                    ),
+                    sidecar,
+                    int(d.get("offset", 0) or 0),
+                    int(d["sizeInBytes"]),
+                    inline,
+                )
+            )
+        desc_df = spark.createDataFrame(
+            rows,
+            "file_path string, sidecar string, offset long, size long, "
+            "inline binary",
+        )
+
+        def _expand(batches):
+            import pandas as pd
+
+            from datalakecrawler_spark.sources.delta_native import (
+                _dv_read_bytes,
+            )
+            from datalakecrawler_spark.sources.roaring import (
+                deserialize_rbm_array,
+            )
+
+            for pdf in batches:
+                for uri, sidecar, offset, size, inline in pdf.itertuples(
+                    index=False, name=None
+                ):
+                    data = (
+                        bytes(inline)
+                        if inline is not None
+                        else _dv_read_bytes(sidecar, int(offset), int(size))
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "file_path": uri,
+                            "pos": pd.Series(
+                                deserialize_rbm_array(data), dtype="int64"
+                            ),
+                        }
+                    )
+
+        dels = desc_df.repartition(max(1, min(len(rows), 64))).mapInPandas(
+            _expand, "file_path string, pos long"
+        )
+        os.makedirs(os.path.join(ice_path, "data"), exist_ok=True)
+        stage = os.path.join(ice_path, "_stage-del")
+        dels.orderBy("file_path", "pos").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        del_rel = os.path.join("data", "delete-00001.parquet")
+        os.replace(part, os.path.join(ice_path, del_rel))
+        _shutil.rmtree(stage)
+        import pyarrow.parquet as _pq
+
+        n_deleted = _pq.ParquetFile(
+            os.path.join(ice_path, del_rel)
+        ).metadata.num_rows
+        del_manifest_rel = os.path.join(
+            "metadata", "manifest-00001-deletes.avro"
+        )
+        with open(os.path.join(ice_path, del_manifest_rel), "wb") as fh:
+            w = AvroDatumFileWriter(
+                fh, _manifest_entry_schema_v2(), "deflate",
+                sync_seed=del_manifest_rel,
+            )
+            w.write_block(
+                [
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": 1,
+                        "data_file": {
+                            "content": 1,  # positional deletes
+                            "file_path": del_rel,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": n_deleted,
+                            "file_size_in_bytes": os.path.getsize(
+                                os.path.join(ice_path, del_rel)
+                            ),
+                            "block_size_in_bytes": 67108864,
+                        },
+                    }
+                ]
+            )
+        manifests.append(
+            {
+                "manifest_path": del_manifest_rel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(ice_path, del_manifest_rel)
+                ),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 2,
+                "min_sequence_number": 2,
+                "added_snapshot_id": 1,
+                "added_data_files_count": 1,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "partitions": None,
+                "added_rows_count": n_deleted,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+        seq_last = 2
     ml_rel = os.path.join("metadata", "snap-00001.avro")
     with open(os.path.join(ice_path, ml_rel), "wb") as fh:
         w = AvroDatumFileWriter(
             fh, _manifest_file_schema_v2(), "deflate", sync_seed=ml_rel
         )
-        w.write_block(
-            [
-                {
-                    "manifest_path": manifest_rel,
-                    "manifest_length": os.path.getsize(
-                        os.path.join(ice_path, manifest_rel)
-                    ),
-                    "partition_spec_id": 0,
-                    "added_snapshot_id": 1,
-                    "added_data_files_count": len(entries),
-                    "existing_data_files_count": 0,
-                    "deleted_data_files_count": 0,
-                    "partitions": None,
-                    "added_rows_count": n_rows_total,
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                    "content": 0,
-                    "sequence_number": 1,
-                    "min_sequence_number": 1,
-                }
-            ]
-        )
+        w.write_block(manifests)
     # the spec's name-mapping for imported (field-id-less) files:
     # default mapping = each schema name to its assigned field id
     name_mapping = json.dumps(
@@ -224,18 +363,19 @@ def convert_delta_to_iceberg(
                 "timestamp-ms": 0,
                 "manifest-list": ml_rel,
                 "summary": {"operation": "append"},
-                "sequence-number": 1,
+                "sequence-number": seq_last,
             }
         ],
         "snapshot-log": [],
         "refs": {},
-        "last-sequence-number": 1,
+        "last-sequence-number": seq_last,
     }
     _publish_metadata(ice_path, 1, meta)
     return {
         "files_referenced": len(entries),
         "files_copied": 0,
         "rows": n_rows_total,
+        "deleted_rows_converted": n_deleted,
     }
 
 
@@ -387,22 +527,29 @@ def _fresh(path: str) -> str:
     select o_orderstatus, count(*) as cnt,
            {SUM_D.format('o_totalprice')} as sum_price,
            cast(0 as integer) as files_copied
-    from orders group by o_orderstatus
+    from orders where o_orderkey % 9 <> 4
+    group by o_orderstatus
     """,
 )
 def sink_delta_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: METADATA-ONLY format conversion, Delta → Iceberg (the
-    XTable idea). A partitioned Delta table (two commits) converts by
-    publishing Iceberg v2 metadata over the SAME parquet files —
-    absolute paths, zero bytes copied (asserted: no parquet under the
-    Iceberg root) — with the spec's ``schema.name-mapping.default``
-    recorded so the id-less imported files resolve by name, and the
-    Delta root as hive basePath so identity partitions re-derive. The
-    Iceberg read (including a partition-filtered one, pruned at the
-    manifest level) must serve exactly the Delta table's rows — the
-    oracle recomputes them from the source. On a 100 TB lake this is
-    an engine switch for the cost of one manifest write."""
-    from datalakecrawler_spark.sources.delta_native import write_delta
+    XTable idea). A partitioned Delta table (two commits PLUS a
+    deletion-vector DELETE) converts by publishing Iceberg v2 metadata
+    over the SAME parquet files — absolute paths, zero data bytes
+    copied (asserted: the only parquet under the Iceberg root is the
+    O(deleted rows) positional-delete file the DVs expand into) — with
+    the spec's ``schema.name-mapping.default`` recorded so the id-less
+    imported files resolve by name, and the Delta root as hive
+    basePath so identity partitions re-derive. The Iceberg read
+    (including a partition-filtered one, pruned at the manifest level)
+    must serve exactly the Delta table's LIVE rows — DV-dead rows stay
+    dead across the format switch, which the oracle recomputes from
+    the source. On a 100 TB lake this is an engine switch for the
+    cost of one manifest write."""
+    from datalakecrawler_spark.sources.delta_native import (
+        delete_delta,
+        write_delta,
+    )
     from datalakecrawler_spark.sources.iceberg_native import read_iceberg
 
     pd_ = _fresh(_tmp("orders_cv_delta_src"))
@@ -416,15 +563,24 @@ def sink_delta_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         src.where(F.col("o_orderkey") % 2 == 1), pd_, "append",
         partition_by=["o_orderstatus"],
     )
+    del_res = delete_delta(spark, pd_, "o_orderkey % 9 = 4")
+    assert del_res["rows_deleted"] > 0, del_res
     res = convert_delta_to_iceberg(spark, pd_, pi)
     assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
+    assert res["deleted_rows_converted"] == del_res["rows_deleted"], res
     import glob as _glob
 
-    copied = _glob.glob(os.path.join(pi, "**", "*.parquet"), recursive=True)
+    copied = [
+        f
+        for f in _glob.glob(os.path.join(pi, "**", "*.parquet"), recursive=True)
+        if "delete-" not in os.path.basename(f)
+    ]
     assert not copied, copied
     out = read_iceberg(spark, pi)
     pruned = read_iceberg(spark, pi, partition_filter={"o_orderstatus": "F"})
-    assert pruned.count() == src.where("o_orderstatus = 'F'").count()
+    assert pruned.count() == src.where(
+        "o_orderstatus = 'F' and o_orderkey % 9 <> 4"
+    ).count()
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),

@@ -32,7 +32,12 @@ def test_delta_to_iceberg_zero_copy(spark, tmp_path):
     src = load(spark, SF_DIR, "nation")
     dn.write_delta(src.repartition(3), pd_, "overwrite")
     res = convert_delta_to_iceberg(spark, pd_, pi)
-    assert res == {"files_referenced": 3, "files_copied": 0, "rows": 25}
+    assert res == {
+        "files_referenced": 3,
+        "files_copied": 0,
+        "rows": 25,
+        "deleted_rows_converted": 0,
+    }
     assert _no_parquet_under(pi)
     got = sorted(r["n_nationkey"] for r in ice.read_iceberg(spark, pi).collect())
     assert got == list(range(25))
@@ -69,22 +74,27 @@ def test_iceberg_to_delta_roundtrip_and_pruning(spark, tmp_path):
     assert pruned.count() == src.where("n_regionkey = 0").count()
 
 
+def test_convert_dv_becomes_positional_deletes(spark, tmp_path):
+    """Delta DVs convert to Iceberg positional-delete files: dead rows
+    stay dead across the format switch, no data file is copied, and
+    the only new parquet is the O(deleted rows) delete file."""
+    src = load(spark, SF_DIR, "nation")
+    pd_ = str(tmp_path / "dv_src")
+    pi = str(tmp_path / "dv_dst")
+    dn.write_delta(src.repartition(3), pd_, "overwrite")
+    dn.delete_delta(spark, pd_, "n_nationkey in (3, 17)")
+    res = convert_delta_to_iceberg(spark, pd_, pi)
+    assert res["deleted_rows_converted"] == 2
+    new_parquet = glob.glob(os.path.join(pi, "**", "*.parquet"), recursive=True)
+    assert [os.path.basename(f) for f in new_parquet] == [
+        "delete-00001.parquet"
+    ]
+    got = sorted(r["n_nationkey"] for r in ice.read_iceberg(spark, pi).collect())
+    assert got == sorted(set(range(25)) - {3, 17})
+
+
 def test_convert_gates(spark, tmp_path):
     src = load(spark, SF_DIR, "nation")
-    # DV-bearing Delta refuses
-    pd_ = str(tmp_path / "gate_dv")
-    dn.write_delta(src, pd_, "overwrite")
-    dn.delete_delta(spark, pd_, "n_nationkey = 3")
-    with pytest.raises(NotImplementedError, match="deletion"):
-        convert_delta_to_iceberg(spark, pd_, str(tmp_path / "x1"))
-    # ...until OPTIMIZE purges the DV — then conversion proceeds
-    dn.optimize_delta(spark, pd_)
-    convert_delta_to_iceberg(spark, pd_, str(tmp_path / "x1"))
-    got = sorted(
-        r["n_nationkey"]
-        for r in ice.read_iceberg(spark, str(tmp_path / "x1")).collect()
-    )
-    assert got == sorted(set(range(25)) - {3})
     # column-mapped Delta refuses
     pcm = str(tmp_path / "gate_cm")
     dn.write_delta_column_mapped(src, pcm, "overwrite")
