@@ -43,6 +43,49 @@ def convert_delta_to_iceberg(
 ) -> dict:
     """Publish Iceberg v2 metadata over a Delta table's ACTIVE data
     files (absolute paths — zero copies). Returns a summary dict."""
+    import glob as _g
+
+    from datalakecrawler_spark.sources.iceberg_native import _meta_dir
+
+    if _g.glob(os.path.join(_meta_dir(ice_path), "v*.metadata.json")):
+        raise ValueError(
+            f"{ice_path} already holds Iceberg metadata — use "
+            "sync_delta_to_iceberg to mirror newer Delta commits"
+        )
+    return _publish_delta_snapshot(spark, delta_path, ice_path, None)
+
+
+def sync_delta_to_iceberg(
+    spark: SparkSession, delta_path: str, ice_path: str
+) -> dict:
+    """CONTINUOUS mirror: publish the Delta table's CURRENT state as a
+    NEW snapshot of a previously-converted Iceberg table (appends,
+    deletes, DV changes — whatever happened since). Each sync is one
+    O(files) metadata write; the stamped ``dlc.convert.delta-version``
+    makes it idempotent (an already-mirrored version is a no-op), so a
+    scheduler can run it after every Delta commit and Iceberg readers
+    follow the table with full snapshot history."""
+    from datalakecrawler_spark.sources.delta_native import _list_versions
+    from datalakecrawler_spark.sources.iceberg_native import _read_metadata
+
+    meta = _read_metadata(ice_path)
+    stamped = (meta.get("properties") or {}).get("dlc.convert.delta-version")
+    if stamped is None:
+        raise ValueError(
+            f"{ice_path} was not created by convert_delta_to_iceberg "
+            "(no dlc.convert.delta-version property)"
+        )
+    cur = _list_versions(delta_path)[-1]
+    if int(stamped) >= cur:
+        return {"synced": False, "delta_version": cur}
+    out = _publish_delta_snapshot(spark, delta_path, ice_path, meta)
+    return {**out, "synced": True, "delta_version": cur}
+
+
+def _publish_delta_snapshot(
+    spark: SparkSession, delta_path: str, ice_path: str,
+    prior_meta: dict | None,
+) -> dict:
     from datalakecrawler_spark.sources.avro import AvroDatumFileWriter
     from datalakecrawler_spark.sources.delta_native import _replay_full
     from datalakecrawler_spark.sources.iceberg_native import (
@@ -56,11 +99,17 @@ def convert_delta_to_iceberg(
     (
         active,
         schema_string,
-        _v,
+        delta_version,
         partition_columns,
         conf,
         _protocol,
     ) = _replay_full(delta_path, None)
+    sid = 1 if prior_meta is None else (
+        max(s["snapshot-id"] for s in prior_meta["snapshots"]) + 1
+    )
+    seq_base = 0 if prior_meta is None else prior_meta.get(
+        "last-sequence-number", 0
+    )
     if conf.get("delta.columnMapping.mode", "none") != "none":
         raise NotImplementedError(
             "convert: column-mapped Delta tables store physical "
@@ -117,7 +166,7 @@ def convert_delta_to_iceberg(
         entries.append(
             {
                 "status": 1,  # ADDED
-                "snapshot_id": 1,
+                "snapshot_id": sid,
                 "data_file": {
                     "content": 0,
                     "file_path": os.path.abspath(
@@ -133,7 +182,7 @@ def convert_delta_to_iceberg(
                 },
             }
         )
-    manifest_rel = os.path.join("metadata", "manifest-00001.avro")
+    manifest_rel = os.path.join("metadata", f"manifest-cv{sid:05d}.avro")
     with open(os.path.join(ice_path, manifest_rel), "wb") as fh:
         w = AvroDatumFileWriter(
             fh, _manifest_entry_schema_v2(pfields), "deflate",
@@ -147,7 +196,7 @@ def convert_delta_to_iceberg(
                 os.path.join(ice_path, manifest_rel)
             ),
             "partition_spec_id": 0,
-            "added_snapshot_id": 1,
+            "added_snapshot_id": sid,
             "added_data_files_count": len(entries),
             "existing_data_files_count": 0,
             "deleted_data_files_count": 0,
@@ -156,8 +205,8 @@ def convert_delta_to_iceberg(
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
             "content": 0,
-            "sequence_number": 1,
-            "min_sequence_number": 1,
+            "sequence_number": seq_base + 1,
+            "min_sequence_number": seq_base + 1,
         }
     ]
     # Delta DELETION VECTORS convert to Iceberg v2 POSITIONAL DELETE
@@ -166,7 +215,7 @@ def convert_delta_to_iceberg(
     # scan) into one spec-shaped delete parquet at sequence number 2 —
     # O(deleted rows) written, data files still untouched.
     n_deleted = 0
-    seq_last = 1
+    seq_last = seq_base + 1
     if dv_files:
         import glob as _glob
         import shutil as _shutil
@@ -244,7 +293,7 @@ def convert_delta_to_iceberg(
             "overwrite"
         ).parquet(stage)
         (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        del_rel = os.path.join("data", "delete-00001.parquet")
+        del_rel = os.path.join("data", f"delete-cv{sid:05d}.parquet")
         os.replace(part, os.path.join(ice_path, del_rel))
         _shutil.rmtree(stage)
         import pyarrow.parquet as _pq
@@ -253,7 +302,7 @@ def convert_delta_to_iceberg(
             os.path.join(ice_path, del_rel)
         ).metadata.num_rows
         del_manifest_rel = os.path.join(
-            "metadata", "manifest-00001-deletes.avro"
+            "metadata", f"manifest-cv{sid:05d}-deletes.avro"
         )
         with open(os.path.join(ice_path, del_manifest_rel), "wb") as fh:
             w = AvroDatumFileWriter(
@@ -264,7 +313,7 @@ def convert_delta_to_iceberg(
                 [
                     {
                         "status": 1,  # ADDED
-                        "snapshot_id": 1,
+                        "snapshot_id": sid,
                         "data_file": {
                             "content": 1,  # positional deletes
                             "file_path": del_rel,
@@ -287,9 +336,9 @@ def convert_delta_to_iceberg(
                 ),
                 "partition_spec_id": 0,
                 "content": 1,
-                "sequence_number": 2,
-                "min_sequence_number": 2,
-                "added_snapshot_id": 1,
+                "sequence_number": seq_base + 2,
+                "min_sequence_number": seq_base + 2,
+                "added_snapshot_id": sid,
                 "added_data_files_count": 1,
                 "existing_data_files_count": 0,
                 "deleted_data_files_count": 0,
@@ -299,8 +348,8 @@ def convert_delta_to_iceberg(
                 "deleted_rows_count": 0,
             }
         )
-        seq_last = 2
-    ml_rel = os.path.join("metadata", "snap-00001.avro")
+        seq_last = seq_base + 2
+    ml_rel = os.path.join("metadata", f"snap-cv{sid:05d}.avro")
     with open(os.path.join(ice_path, ml_rel), "wb") as fh:
         w = AvroDatumFileWriter(
             fh, _manifest_file_schema_v2(), "deflate", sync_seed=ml_rel
@@ -347,7 +396,11 @@ def convert_delta_to_iceberg(
         ],
         "default-spec-id": 0,
         "properties": {
+            **((prior_meta or {}).get("properties") or {}),
             "schema.name-mapping.default": name_mapping,
+            # the sync watermark: which Delta version this snapshot
+            # mirrors — makes sync_delta_to_iceberg idempotent
+            "dlc.convert.delta-version": str(delta_version),
             # converted identity partitions: the hive dirs live under
             # the DELTA root, not <ice_path>/data
             **(
@@ -356,21 +409,30 @@ def convert_delta_to_iceberg(
                 else {}
             ),
         },
-        "current-snapshot-id": 1,
-        "snapshots": [
+        "current-snapshot-id": sid,
+        "snapshots": (prior_meta or {}).get("snapshots", []) + [
             {
-                "snapshot-id": 1,
+                "snapshot-id": sid,
                 "timestamp-ms": 0,
                 "manifest-list": ml_rel,
-                "summary": {"operation": "append"},
+                "summary": {"operation": "overwrite" if prior_meta else "append"},
                 "sequence-number": seq_last,
             }
         ],
         "snapshot-log": [],
-        "refs": {},
+        "refs": (prior_meta or {}).get("refs", {}),
         "last-sequence-number": seq_last,
     }
-    _publish_metadata(ice_path, 1, meta)
+    import glob as _g2
+
+    mver = 1 if prior_meta is None else (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in _g2.glob(os.path.join(_meta_dir(ice_path), "v*.metadata.json"))
+        )
+        + 1
+    )
+    _publish_metadata(ice_path, mver, meta)
     return {
         "files_referenced": len(entries),
         "files_copied": 0,
@@ -631,4 +693,58 @@ def sink_iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
         F.lit(len(copied)).cast("int").alias("files_copied"),
+    )
+
+
+@register(
+    "sink_delta_iceberg_sync",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders where o_orderkey % 9 <> 4
+    group by o_orderstatus
+    """,
+)
+def sink_delta_iceberg_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: CONTINUOUS format mirroring (the XTable sync loop). Half
+    the orders convert Delta → Iceberg; the Delta table then evolves —
+    an append of the other half and a deletion-vector DELETE — and one
+    ``sync_delta_to_iceberg`` call publishes the new state as a SECOND
+    Iceberg snapshot: O(files) metadata, zero data copies, the DVs
+    re-expressed as positional deletes. Asserted: the FIRST snapshot
+    still time-travels to the pre-sync rows (mirroring preserves
+    history), and a repeat sync is a no-op (the delta-version
+    watermark). The current snapshot must serve exactly the live Delta
+    rows — the oracle recomputes them from the source."""
+    from datalakecrawler_spark.sources.delta_native import (
+        delete_delta,
+        write_delta,
+    )
+    from datalakecrawler_spark.sources.iceberg_native import (
+        _read_metadata,
+        read_iceberg,
+    )
+
+    pd_ = _fresh(_tmp("orders_sync_delta"))
+    pi = _fresh(_tmp("orders_sync_ice"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.where(F.col("o_orderkey") % 2 == 0), pd_, "overwrite")
+    convert_delta_to_iceberg(spark, pd_, pi)
+    write_delta(src.where(F.col("o_orderkey") % 2 == 1), pd_, "append")
+    delete_delta(spark, pd_, "o_orderkey % 9 = 4")
+    res = sync_delta_to_iceberg(spark, pd_, pi)
+    assert res["synced"] and res["files_copied"] == 0, res
+    assert not sync_delta_to_iceberg(spark, pd_, pi)["synced"], (
+        "repeat sync must be a no-op"
+    )
+    meta = _read_metadata(pi)
+    first = min(s["snapshot-id"] for s in meta["snapshots"])
+    assert read_iceberg(spark, pi, snapshot_id=first).count() == (
+        src.where("o_orderkey % 2 = 0").count()
+    ), "mirroring must preserve snapshot history"
+    out = read_iceberg(spark, pi)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
     )

@@ -87,7 +87,7 @@ def test_convert_dv_becomes_positional_deletes(spark, tmp_path):
     assert res["deleted_rows_converted"] == 2
     new_parquet = glob.glob(os.path.join(pi, "**", "*.parquet"), recursive=True)
     assert [os.path.basename(f) for f in new_parquet] == [
-        "delete-00001.parquet"
+        "delete-cv00001.parquet"
     ]
     got = sorted(r["n_nationkey"] for r in ice.read_iceberg(spark, pi).collect())
     assert got == sorted(set(range(25)) - {3, 17})
@@ -133,3 +133,42 @@ def test_converted_iceberg_accepts_appends_preserving_mapping(spark, tmp_path):
     assert "schema.name-mapping.default" in meta["properties"]
     got = sorted(r["n_nationkey"] for r in ice.read_iceberg(spark, pi).collect())
     assert got == list(range(25))
+
+
+def test_sync_mirrors_appends_and_dv_deletes(spark, tmp_path):
+    from datalakecrawler_spark.sources.convert import sync_delta_to_iceberg
+
+    pd_, pi = str(tmp_path / "sd"), str(tmp_path / "si")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src.where("n_nationkey < 10"), pd_, "overwrite")
+    convert_delta_to_iceberg(spark, pd_, pi)
+    assert sync_delta_to_iceberg(spark, pd_, pi) == {
+        "synced": False, "delta_version": 0,
+    }
+    dn.write_delta(src.where("n_nationkey >= 10"), pd_, "append")
+    dn.delete_delta(spark, pd_, "n_nationkey in (1, 15)")
+    res = sync_delta_to_iceberg(spark, pd_, pi)
+    assert res["synced"] and res["deleted_rows_converted"] == 2
+    got = sorted(r["n_nationkey"] for r in ice.read_iceberg(spark, pi).collect())
+    assert got == sorted(set(range(25)) - {1, 15})
+    # history intact, repeat no-op
+    meta = ice._read_metadata(pi)
+    first = min(s["snapshot-id"] for s in meta["snapshots"])
+    assert ice.read_iceberg(spark, pi, snapshot_id=first).count() == 10
+    assert not sync_delta_to_iceberg(spark, pd_, pi)["synced"]
+
+
+def test_convert_refuses_existing_target_and_unsynced_source(spark, tmp_path):
+    from datalakecrawler_spark.sources.convert import sync_delta_to_iceberg
+
+    src = load(spark, SF_DIR, "nation")
+    pd_, pi = str(tmp_path / "rd"), str(tmp_path / "ri")
+    dn.write_delta(src, pd_, "overwrite")
+    convert_delta_to_iceberg(spark, pd_, pi)
+    with pytest.raises(ValueError, match="already holds Iceberg metadata"):
+        convert_delta_to_iceberg(spark, pd_, pi)
+    # a native (non-converted) iceberg table refuses sync
+    pn = str(tmp_path / "native_ice")
+    ice.write_iceberg(src, pn, "overwrite", format_version=2)
+    with pytest.raises(ValueError, match="dlc.convert.delta-version"):
+        sync_delta_to_iceberg(spark, pd_, pn)
