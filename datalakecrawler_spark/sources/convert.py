@@ -748,3 +748,167 @@ def sink_delta_iceberg_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+def convert_hudi_to_delta(
+    spark: SparkSession, hudi_path: str, delta_path: str
+) -> dict:
+    """Publish a Delta log over a Hudi table's ACTIVE file slices
+    (absolute-path add actions — zero copies). CoW tables convert
+    directly; MoR tables convert once no slice carries an unmerged log
+    backlog (run ``compact_hudi_mor`` first — a metadata-only switch
+    cannot re-play log files). The ``_hoodie_*`` meta columns stay in
+    the file bytes but leave the schema: Delta's explicit-schema scan
+    simply never resolves them."""
+    import hashlib
+
+    from datalakecrawler_spark.sources.delta_native import (
+        _log_dir,
+        _publish_commit,
+    )
+    from datalakecrawler_spark.sources.hudi_native import (
+        _mor_slices_at,
+        _slices_at,
+        _table_type,
+    )
+
+    if _table_type(hudi_path) == "MERGE_ON_READ":
+        slices = _mor_slices_at(hudi_path)
+        logged = sorted(
+            f"{pp}/{fid}" for (pp, fid), v in slices.items() if v["logs"]
+        )
+        if logged:
+            raise NotImplementedError(
+                f"convert: {len(logged)} MoR file slices carry unmerged "
+                "log files — run compact_hudi_mor first so the base "
+                "files are the table"
+            )
+        rels = sorted(v["base"] for v in slices.values())
+    else:
+        rels = sorted(rel for (_i, rel) in _slices_at(hudi_path, None).values())
+    if not rels:
+        raise ValueError(f"no completed Hudi file slices under {hudi_path}")
+    abs_files = [os.path.abspath(os.path.join(hudi_path, r)) for r in rels]
+    schema = spark.read.parquet(*abs_files).schema
+    data_fields = [
+        f for f in schema.fields if not f.name.startswith("_hoodie_")
+    ]
+    schema_string = json.dumps(
+        {"type": "struct", "fields": [f.jsonValue() for f in data_fields]}
+    )
+    import pyarrow.parquet as pq
+
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": hashlib.md5(
+                    f"dlc-convert:{delta_path}".encode()
+                ).hexdigest(),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "configuration": {},
+                "partitionColumns": [],
+                "createdTime": 0,
+            }
+        },
+    ]
+    n_rows_total = 0
+    for f in abs_files:
+        n = pq.ParquetFile(f).metadata.num_rows
+        n_rows_total += n
+        actions.append(
+            {
+                "add": {
+                    "path": f,
+                    "partitionValues": {},
+                    "size": os.path.getsize(f),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": n,
+                            "minValues": {},
+                            "maxValues": {},
+                            "nullCount": {},
+                        },
+                        sort_keys=True,
+                    ),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "operationParameters": {"source": os.path.abspath(hudi_path)},
+                "timestamp": 0,
+            }
+        }
+    )
+    os.makedirs(_log_dir(delta_path), exist_ok=True)
+    _publish_commit(delta_path, 0, actions)
+    return {
+        "files_referenced": len(abs_files),
+        "files_copied": 0,
+        "rows": n_rows_total,
+    }
+
+
+@register(
+    "sink_hudi_to_delta_convert",
+    group="A",
+    oracle=f"""
+    with base as (
+      select o_orderkey,
+             case when o_orderstatus = 'F' and o_orderkey % 2 = 0
+                  then o_totalprice * 1.1 else o_totalprice end as price,
+             o_orderstatus
+      from orders where o_orderstatus in ('F', 'P')
+    )
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('price')} as sum_price,
+           cast(0 as integer) as files_copied
+    from base group by o_orderstatus
+    """,
+)
+def sink_hudi_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the third side of the conversion matrix, Hudi → Delta.
+    A CoW table takes a bulk_insert and a record-level UPSERT (price
+    escalation on even 'F' keys + 'P' inserts); conversion publishes
+    one Delta commit over the LATEST file slices — superseded
+    pre-upsert base files are never referenced, _hoodie_* meta columns
+    drop out of the schema, zero data bytes copied (asserted). The
+    Delta read must serve exactly Hudi's change-wins-by-key snapshot,
+    which the oracle recomputes relationally from the source."""
+    from datalakecrawler_spark.sources.delta_native import read_delta
+    from datalakecrawler_spark.sources.hudi_native import write_hudi
+
+    ph = _fresh(_tmp("orders_cv_hudi_src"))
+    pd_ = _fresh(_tmp("orders_cv_hudi_delta_dst"))
+    src = load(spark, sf_dir, "orders")
+    write_hudi(
+        src.where(F.col("o_orderstatus") == "F"), ph, "o_orderkey",
+        "20240101000000", op="bulk_insert",
+    )
+    changes = (
+        src.where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .unionByName(src.where(F.col("o_orderstatus") == "P"))
+    )
+    write_hudi(changes, ph, "o_orderkey", "20240102000000", op="upsert")
+    res = convert_hudi_to_delta(spark, ph, pd_)
+    assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
+    import glob as _glob
+
+    copied = _glob.glob(os.path.join(pd_, "**", "*.parquet"), recursive=True)
+    assert not copied, copied
+    out = read_delta(spark, pd_)
+    assert not [c for c in out.columns if c.startswith("_hoodie_")], out.columns
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )

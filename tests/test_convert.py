@@ -172,3 +172,52 @@ def test_convert_refuses_existing_target_and_unsynced_source(spark, tmp_path):
     ice.write_iceberg(src, pn, "overwrite", format_version=2)
     with pytest.raises(ValueError, match="dlc.convert.delta-version"):
         sync_delta_to_iceberg(spark, pd_, pn)
+
+
+def test_hudi_to_delta_latest_slices_only(spark, tmp_path):
+    from datalakecrawler_spark.sources import hudi_native as hn
+    from datalakecrawler_spark.sources.convert import convert_hudi_to_delta
+
+    ph, pd_ = str(tmp_path / "h"), str(tmp_path / "hd")
+    src = load(spark, SF_DIR, "nation")
+    hn.write_hudi(src, ph, "n_nationkey", "20240101000000", op="bulk_insert")
+    upd = src.where("n_nationkey < 5").withColumn(
+        "n_name", F.lit("UPDATED")
+    )
+    hn.write_hudi(upd, ph, "n_nationkey", "20240102000000", op="upsert")
+    res = convert_hudi_to_delta(spark, ph, pd_)
+    assert res["files_copied"] == 0 and res["rows"] == 25
+    assert _no_parquet_under(pd_)
+    out = dn.read_delta(spark, pd_)
+    assert not [c for c in out.columns if c.startswith("_hoodie_")]
+    got = {r["n_nationkey"]: r["n_name"] for r in out.collect()}
+    assert len(got) == 25
+    assert all(got[k] == "UPDATED" for k in range(5))
+    assert got[10] != "UPDATED"
+
+
+def test_hudi_mor_with_logs_refuses_then_converts_after_compaction(
+    spark, tmp_path
+):
+    from datalakecrawler_spark.sources import hudi_native as hn
+    from datalakecrawler_spark.sources.convert import convert_hudi_to_delta
+
+    ph = str(tmp_path / "mor")
+    src = load(spark, SF_DIR, "nation")
+    hn.write_hudi_mor(
+        src, ph, "n_nationkey", "20240101000000", op="bulk_insert"
+    )
+    hn.write_hudi_mor(
+        src.where("n_nationkey = 1").withColumn("n_name", F.lit("X")),
+        ph, "n_nationkey", "20240102000000", op="upsert",
+    )
+    with pytest.raises(NotImplementedError, match="unmerged log"):
+        convert_hudi_to_delta(spark, ph, str(tmp_path / "x"))
+    hn.compact_hudi_mor(spark, ph, "20240103000000")
+    res = convert_hudi_to_delta(spark, ph, str(tmp_path / "x"))
+    assert res["rows"] == 25
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in dn.read_delta(spark, str(tmp_path / "x")).collect()
+    }
+    assert got[1] == "X" and len(got) == 25
