@@ -467,13 +467,17 @@ def convert_iceberg_to_delta(
         raise ValueError("convert: source Iceberg table has no snapshot")
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
     files, delete_files, eq_deletes, _ds, _dp = _resolve_state(ice_path, snap)
-    if delete_files or eq_deletes:
+    if eq_deletes:
         raise NotImplementedError(
-            "convert: the snapshot carries row-level deletes "
-            f"({len(delete_files)} positional/DV, {len(eq_deletes)} "
-            "equality); compact/materialize first so the file bytes "
-            "are the table"
+            "convert: the snapshot carries EQUALITY deletes (value-"
+            "keyed; a Delta DV needs row positions) — run "
+            "compact_iceberg_deletes first so they become positional"
         )
+    # positional deletes (parquet delete files AND v3 Puffin DVs)
+    # convert to Delta DELETION VECTORS below — both sides address
+    # dead rows as (data file, position)
+    dv_tuples = [t for t in delete_files if isinstance(t, tuple)]
+    pos_parquets = [f for f in delete_files if isinstance(f, str)]
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
     if any(
         sf.get("transform", "identity") != "identity" for sf in spec_fields
@@ -502,8 +506,152 @@ def convert_iceberg_to_delta(
                 int(rec["record_count"]),
                 dict(rec.get("partition") or {}),
             )
+    # Iceberg positional deletes (parquet delete files and v3 Puffin
+    # DVs) become Delta DELETION VECTORS: the (file, position) rows
+    # group BY FILE across executors and each task serializes its
+    # files' roaring bitmaps into ONE protocol-shaped sidecar part —
+    # the same distributed shape as delete_delta's writer. Only
+    # O(files) descriptor rows return to the driver.
+    dv_by_file: dict[str, dict] = {}
+    n_deleted = 0
+    if dv_tuples or pos_parquets:
+        from pyspark.sql import functions as F
+
+        from datalakecrawler_spark.sources.iceberg_native import (
+            _spark_file_uri,
+        )
+
+        dels = None
+        if pos_parquets:
+            dels = spark.read.parquet(*pos_parquets).select(
+                F.col("file_path").alias("file_uri"), F.col("pos")
+            )
+        if dv_tuples:
+            desc = spark.createDataFrame(
+                [
+                    (_spark_file_uri(ref), puf, int(off), int(size))
+                    for (puf, off, size, ref) in sorted(dv_tuples)
+                ],
+                "file_uri string, puffin string, off long, size long",
+            )
+
+            def _expand_dv(batches):
+                import pandas as pd
+
+                from datalakecrawler_spark.sources.iceberg_native import (
+                    _dv_blob_positions,
+                )
+
+                for pdf in batches:
+                    for uri, puf, off, size in pdf.itertuples(
+                        index=False, name=None
+                    ):
+                        with open(puf, "rb") as fh:
+                            fh.seek(int(off))
+                            blob = fh.read(int(size))
+                        yield pd.DataFrame(
+                            {
+                                "file_uri": uri,
+                                "pos": pd.Series(
+                                    _dv_blob_positions(blob), dtype="int64"
+                                ),
+                            }
+                        )
+
+            dv_rows = desc.repartition(
+                max(1, min(len(dv_tuples), 64))
+            ).mapInPandas(_expand_dv, "file_uri string, pos long")
+            dels = dv_rows if dels is None else dels.unionByName(dv_rows)
+        table_abs = os.path.abspath(delta_path)
+        os.makedirs(table_abs, exist_ok=True)
+
+        def _write_parts(batches):
+            import struct as _struct
+            import uuid as _uuid
+            import zlib as _zlib
+
+            import numpy as np
+            import pandas as pd
+
+            from datalakecrawler_spark.sources.delta_native import _z85_encode
+            from datalakecrawler_spark.sources.roaring import (
+                serialize_rbm_array,
+            )
+
+            chunks: dict = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for uri, g in pdf.groupby("file_uri", sort=False):
+                    chunks.setdefault(uri, []).append(
+                        g["pos"].to_numpy(dtype="int64")
+                    )
+            if not chunks:
+                return
+            u = _uuid.uuid4()
+            name = f"deletion_vector_{u}.bin"
+            tmp = os.path.join(table_abs, name + ".tmp")
+            out = []
+            with open(tmp, "wb") as fh:
+                fh.write(b"\x01")  # format version
+                for uri in sorted(chunks):
+                    pos = np.unique(np.concatenate(chunks[uri]))
+                    data = serialize_rbm_array([int(x) for x in pos])
+                    offset = fh.tell()
+                    fh.write(_struct.pack(">i", len(data)))
+                    fh.write(data)
+                    fh.write(
+                        _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF)
+                    )
+                    out.append(
+                        (
+                            uri,
+                            json.dumps(
+                                {
+                                    "storageType": "u",
+                                    "pathOrInlineDv": _z85_encode(u.bytes),
+                                    "offset": offset,
+                                    "sizeInBytes": len(data),
+                                    "cardinality": int(len(pos)),
+                                }
+                            ),
+                        )
+                    )
+            os.replace(tmp, os.path.join(table_abs, name))
+            yield pd.DataFrame(out, columns=["file_uri", "desc"])
+
+        res_rows = (
+            dels.repartition(max(1, min(len(files), 64)), "file_uri")
+            .mapInPandas(_write_parts, "file_uri string, desc string")
+            .collect()
+        )
+        uri_to_abs = {
+            _spark_file_uri(os.path.abspath(f)): os.path.abspath(f)
+            for f in files
+        }
+        for r in res_rows:
+            if r["file_uri"] not in uri_to_abs:
+                raise ValueError(
+                    "convert: delete row references a file outside the "
+                    f"snapshot: {r['file_uri']!r} — refusing a partial "
+                    "delete translation"
+                )
+            d = json.loads(r["desc"])
+            dv_by_file[uri_to_abs[r["file_uri"]]] = d
+            n_deleted += d["cardinality"]
     actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "protocol": (
+                {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+                if dv_by_file
+                else {"minReaderVersion": 1, "minWriterVersion": 2}
+            )
+        },
         {
             "metaData": {
                 "id": hashlib.md5(
@@ -521,32 +669,31 @@ def convert_iceberg_to_delta(
     for f in sorted(files):
         n, pvals = recs[f]
         n_rows_total += n
-        actions.append(
-            {
-                "add": {
-                    # absolute path: the shallow-clone shape; Delta
-                    # serves partition columns from partitionValues
-                    # via the broadcast metadata join
-                    "path": os.path.abspath(f),
-                    "partitionValues": {
-                        c: (None if pvals.get(c) is None else str(pvals[c]))
-                        for c in part_cols
-                    },
-                    "size": os.path.getsize(f),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                    "stats": json.dumps(
-                        {
-                            "numRecords": n,
-                            "minValues": {},
-                            "maxValues": {},
-                            "nullCount": {},
-                        },
-                        sort_keys=True,
-                    ),
-                }
-            }
-        )
+        add = {
+            # absolute path: the shallow-clone shape; Delta serves
+            # partition columns from partitionValues via the broadcast
+            # metadata join
+            "path": os.path.abspath(f),
+            "partitionValues": {
+                c: (None if pvals.get(c) is None else str(pvals[c]))
+                for c in part_cols
+            },
+            "size": os.path.getsize(f),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": json.dumps(
+                {
+                    "numRecords": n,
+                    "minValues": {},
+                    "maxValues": {},
+                    "nullCount": {},
+                },
+                sort_keys=True,
+            ),
+        }
+        if os.path.abspath(f) in dv_by_file:
+            add["deletionVector"] = dv_by_file[os.path.abspath(f)]
+        actions.append({"add": add})
     actions.append(
         {
             "commitInfo": {
@@ -562,7 +709,22 @@ def convert_iceberg_to_delta(
         "files_referenced": len(files),
         "files_copied": 0,
         "rows": n_rows_total,
+        "deleted_rows_converted": n_deleted,
     }
+
+
+def convert_hudi_to_iceberg(
+    spark: SparkSession, hudi_path: str, ice_path: str, tmp_delta: str
+) -> dict:
+    """Hudi → Iceberg, composed from the two metadata-only legs:
+    publish a Delta log over the Hudi file slices (``tmp_delta`` holds
+    ONLY that log — still zero data copies), then Iceberg metadata
+    over the same files. The Delta stop-over doubles as a free second
+    engine view of the table; delete/MoR gates are the legs' own."""
+    leg1 = convert_hudi_to_delta(spark, hudi_path, tmp_delta)
+    leg2 = convert_delta_to_iceberg(spark, tmp_delta, ice_path)
+    assert leg2["rows"] == leg1["rows"], (leg1, leg2)
+    return {**leg2, "via_delta_log": tmp_delta}
 
 
 # --------------------------------------------------------------- registry
@@ -657,21 +819,28 @@ def sink_delta_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame
     select o_orderstatus, count(*) as cnt,
            {SUM_D.format('o_totalprice')} as sum_price,
            cast(0 as integer) as files_copied
-    from orders group by o_orderstatus
+    from orders where o_orderkey % 11 <> 6
+    group by o_orderstatus
     """,
 )
 def sink_iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A-ext: the reverse conversion, Iceberg → Delta. A partitioned
-    Iceberg v2 table (identity spec) converts by publishing one Delta
-    commit of absolute-path add actions — the shallow-clone shape
-    read_delta already serves, partition columns injected from stored
-    partitionValues via one broadcast metadata join. Zero copies
-    (asserted), Delta-side log-level partition pruning works on the
-    converted table, and the oracle recomputes the rows from the
-    source. Row-level deletes and transform specs refuse loudly (the
-    file bytes must BE the table for a metadata-only switch)."""
+    """A-ext: the reverse conversion, Iceberg → Delta — INCLUDING the
+    delete translation. A partitioned Iceberg v2 table takes a
+    positional DELETE, then converts by publishing one Delta commit of
+    absolute-path add actions (the shallow-clone shape read_delta
+    already serves, partition columns injected from stored
+    partitionValues via one broadcast metadata join) whose
+    delete-bearing files carry DELTA DELETION VECTORS serialized
+    executor-side from the delete parquet's (file, pos) rows. Zero
+    data copies (asserted: only the DV sidecar is new), Delta-side
+    partition pruning works, deleted rows stay dead — the oracle
+    recomputes the survivors from the source. Equality deletes and
+    transform specs still refuse loudly."""
     from datalakecrawler_spark.sources.delta_native import read_delta
-    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+    from datalakecrawler_spark.sources.iceberg_native import (
+        add_position_deletes,
+        write_iceberg,
+    )
 
     pi = _fresh(_tmp("orders_cv_ice_src"))
     pd_ = _fresh(_tmp("orders_cv_delta_dst"))
@@ -680,15 +849,22 @@ def sink_iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         src, pi, "overwrite", partition_by=["o_orderstatus"],
         format_version=2,
     )
+    del_res = add_position_deletes(spark, pi, "o_orderkey % 11 = 6")
     res = convert_iceberg_to_delta(spark, pi, pd_)
     assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
+    assert res["deleted_rows_converted"] == del_res["deleted_rows"], (
+        res, del_res,
+    )
     import glob as _glob
 
     copied = _glob.glob(os.path.join(pd_, "**", "*.parquet"), recursive=True)
     assert not copied, copied
+    assert _glob.glob(os.path.join(pd_, "deletion_vector_*.bin"))
     out = read_delta(spark, pd_)
     pruned = read_delta(spark, pd_, partition_filter={"o_orderstatus": "F"})
-    assert pruned.count() == src.where("o_orderstatus = 'F'").count()
+    assert pruned.count() == src.where(
+        "o_orderstatus = 'F' and o_orderkey % 11 <> 6"
+    ).count()
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
@@ -908,6 +1084,62 @@ def sink_hudi_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = read_delta(spark, pd_)
     assert not [c for c in out.columns if c.startswith("_hoodie_")], out.columns
     return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )
+
+
+@register(
+    "sink_hudi_to_iceberg_convert",
+    group="A",
+    oracle=f"""
+    with base as (
+      select o_orderkey,
+             case when o_orderstatus = 'F' and o_orderkey % 3 = 0
+                  then o_totalprice * 1.2 else o_totalprice end as price,
+             o_orderstatus
+      from orders where o_orderstatus = 'F'
+    )
+    select count(*) as cnt, {SUM_D.format('price')} as sum_price,
+           cast(0 as integer) as files_copied
+    from base
+    """,
+)
+def sink_hudi_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: the last edge of the conversion matrix, Hudi → Iceberg,
+    COMPOSED from the two metadata-only legs (Hudi slices → Delta log
+    → Iceberg manifests) — three engines reading the same parquet
+    bytes, zero copies at every hop (asserted: no parquet lands under
+    the Delta stop-over or the Iceberg root). A record-level upsert
+    precedes the conversion, so the snapshot must serve Hudi's
+    change-wins-by-key state, recomputed relationally by the oracle."""
+    from datalakecrawler_spark.sources.hudi_native import write_hudi
+    from datalakecrawler_spark.sources.iceberg_native import read_iceberg
+
+    ph = _fresh(_tmp("orders_cv_h2i_src"))
+    pt = _fresh(_tmp("orders_cv_h2i_tmp"))
+    pi = _fresh(_tmp("orders_cv_h2i_dst"))
+    src = load(spark, sf_dir, "orders")
+    base = src.where(F.col("o_orderstatus") == "F")
+    write_hudi(base, ph, "o_orderkey", "20240101000000", op="bulk_insert")
+    write_hudi(
+        base.where(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.2
+        ),
+        ph, "o_orderkey", "20240102000000", op="upsert",
+    )
+    res = convert_hudi_to_iceberg(spark, ph, pi, pt)
+    assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
+    import glob as _glob
+
+    copied = _glob.glob(
+        os.path.join(pt, "**", "*.parquet"), recursive=True
+    ) + _glob.glob(os.path.join(pi, "**", "*.parquet"), recursive=True)
+    assert not copied, copied
+    out = read_iceberg(spark, pi)
+    assert not [c for c in out.columns if c.startswith("_hoodie_")], out.columns
+    return out.agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
         F.lit(len(copied)).cast("int").alias("files_copied"),

@@ -100,13 +100,15 @@ def test_convert_gates(spark, tmp_path):
     dn.write_delta_column_mapped(src, pcm, "overwrite")
     with pytest.raises(NotImplementedError, match="column-mapped"):
         convert_delta_to_iceberg(spark, pcm, str(tmp_path / "x2"))
-    # Iceberg with live deletes refuses
+    # Iceberg with live EQUALITY deletes refuses (value-keyed; a DV
+    # needs positions) — positional deletes convert, see
+    # test_iceberg_positional_deletes_become_delta_dvs
     pi = str(tmp_path / "gate_eq")
     ice.write_iceberg(src, pi, "overwrite", format_version=2)
     ice.add_equality_deletes(
         spark, pi, spark.createDataFrame([(1,)], "n_nationkey int")
     )
-    with pytest.raises(NotImplementedError, match="row-level deletes"):
+    with pytest.raises(NotImplementedError, match="EQUALITY deletes"):
         convert_iceberg_to_delta(spark, pi, str(tmp_path / "x3"))
     # transform spec refuses
     pb = str(tmp_path / "gate_bucket")
@@ -221,3 +223,50 @@ def test_hudi_mor_with_logs_refuses_then_converts_after_compaction(
         for r in dn.read_delta(spark, str(tmp_path / "x")).collect()
     }
     assert got[1] == "X" and len(got) == 25
+
+
+def test_iceberg_positional_deletes_become_delta_dvs(spark, tmp_path):
+    pi, pd_ = str(tmp_path / "pid"), str(tmp_path / "pdd")
+    src = load(spark, SF_DIR, "nation")
+    ice.write_iceberg(src.repartition(3), pi, "overwrite", format_version=2)
+    ice.add_position_deletes(spark, pi, "n_nationkey in (4, 9)")
+    res = convert_iceberg_to_delta(spark, pi, pd_)
+    assert res["deleted_rows_converted"] == 2
+    assert _no_parquet_under(pd_)
+    assert glob.glob(os.path.join(pd_, "deletion_vector_*.bin"))
+    got = sorted(r["n_nationkey"] for r in dn.read_delta(spark, pd_).collect())
+    assert got == sorted(set(range(25)) - {4, 9})
+
+
+def test_iceberg_v3_dvs_become_delta_dvs(spark, tmp_path):
+    pi, pd_ = str(tmp_path / "v3d"), str(tmp_path / "v3dd")
+    src = load(spark, SF_DIR, "nation")
+    ice.write_iceberg(src, pi, "overwrite", format_version=3)
+    ice.add_deletion_vectors(spark, pi, "n_nationkey < 3")
+    res = convert_iceberg_to_delta(spark, pi, pd_)
+    assert res["deleted_rows_converted"] == 3
+    got = sorted(r["n_nationkey"] for r in dn.read_delta(spark, pd_).collect())
+    assert got == list(range(3, 25))
+
+
+def test_hudi_to_iceberg_composed(spark, tmp_path):
+    from datalakecrawler_spark.sources import hudi_native as hn
+    from datalakecrawler_spark.sources.convert import convert_hudi_to_iceberg
+
+    ph = str(tmp_path / "h2i")
+    pt = str(tmp_path / "h2i_tmp")
+    pi = str(tmp_path / "h2i_ice")
+    src = load(spark, SF_DIR, "nation")
+    hn.write_hudi(src, ph, "n_nationkey", "20240101000000", op="bulk_insert")
+    hn.write_hudi(
+        src.where("n_nationkey = 7").withColumn("n_name", F.lit("SEVEN")),
+        ph, "n_nationkey", "20240102000000", op="upsert",
+    )
+    res = convert_hudi_to_iceberg(spark, ph, pi, pt)
+    assert res["files_copied"] == 0
+    assert _no_parquet_under(pt) and _no_parquet_under(pi)
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in ice.read_iceberg(spark, pi).collect()
+    }
+    assert len(got) == 25 and got[7] == "SEVEN" and got[8] != "SEVEN"
