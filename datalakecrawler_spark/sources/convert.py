@@ -727,6 +727,148 @@ def convert_hudi_to_iceberg(
     return {**leg2, "via_delta_log": tmp_delta}
 
 
+def convert_delta_to_hudi(
+    spark: SparkSession, delta_path: str, hudi_path: str
+) -> dict:
+    """Publish a Hudi COPY_ON_WRITE timeline over a Delta table's
+    ACTIVE data files (zero copies): one ``hoodie.properties`` plus
+    one completed commit instant whose ``partitionToWriteStats``
+    lists the Delta files by absolute path — which is ALL the CoW
+    snapshot reader resolves (``_slices_at`` keys on commit metadata,
+    never on file names, and ``os.path.join`` passes absolute stat
+    paths through). Row counts come from the Delta add actions'
+    stats, so the whole conversion is O(files) metadata I/O with no
+    data read — the 100 TB engine switch for the cost of one JSON.
+
+    Converted tables are READ-ONLY through Hudi's record-level
+    surfaces: ``hoodie.properties`` records
+    ``hoodie.table.converted.from=delta`` and write_hudi /
+    read_hudi_incremental refuse on it — their merging and
+    incremental filtering key on the ``_hoodie_*`` meta columns,
+    which a metadata-only switch cannot stamp into the file bytes.
+
+    Honest gates, fail-loudly: deletion vectors (Hudi CoW has no
+    row-level sidecar — run ``optimize_delta`` so deletes
+    materialize first), column mapping (physical ``col-<uuid>``
+    parquet names), and partitioned tables (Delta keeps partition
+    values in metadata only; Hudi base files must carry every column
+    in the bytes)."""
+    import hashlib
+
+    from datalakecrawler_spark.sources.delta_native import _replay_full
+    from datalakecrawler_spark.sources.hudi_native import _timeline_dir
+
+    tdir = _timeline_dir(hudi_path)
+    if os.path.exists(os.path.join(tdir, "hoodie.properties")):
+        raise ValueError(f"{hudi_path} already holds a Hudi timeline")
+    (
+        active,
+        _schema_string,
+        delta_version,
+        partition_columns,
+        conf,
+        _protocol,
+    ) = _replay_full(delta_path, None)
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError(
+            "convert: column-mapped Delta tables store physical "
+            "col-<uuid> parquet names; materialize (rewrite) first"
+        )
+    if partition_columns:
+        raise NotImplementedError(
+            "convert: Delta keeps partition values in metadata only "
+            f"(columns {partition_columns}); Hudi base files must "
+            "carry every column in the file bytes — rewrite "
+            "unpartitioned, or read through read_delta"
+        )
+    dv_files = sorted(
+        rel for rel, add in active.items() if add.get("deletionVector")
+    )
+    if dv_files:
+        raise NotImplementedError(
+            f"convert: {len(dv_files)} files carry deletion vectors "
+            "and Hudi CoW has no row-level tombstone sidecar — run "
+            "optimize_delta first so the deletes materialize"
+        )
+    if not active:
+        raise ValueError(f"no active data files under {delta_path}")
+    instant = f"{int(delta_version):014d}"
+    stats_list = []
+    n_rows_total = 0
+    for rel in sorted(active):
+        add = active[rel]
+        stats = (
+            json.loads(add["stats"])
+            if isinstance(add.get("stats"), str)
+            else {}
+        )
+        n = stats.get("numRecords")
+        abs_path = os.path.abspath(os.path.join(delta_path, rel))
+        if n is None:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(abs_path).metadata.num_rows
+        n_rows_total += int(n)
+        h = hashlib.md5(rel.encode()).hexdigest()
+        stats_list.append(
+            {
+                "fileId": f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}",
+                "path": abs_path,
+                "prevCommit": "null",
+                "numWrites": int(n),
+                "numUpdateWrites": 0,
+                "fileSizeInBytes": int(add["size"]),
+                "totalWriteBytes": int(add["size"]),
+            }
+        )
+    os.makedirs(tdir, exist_ok=True)
+    props = {
+        "hoodie.table.name": os.path.basename(hudi_path.rstrip("/")),
+        "hoodie.table.type": "COPY_ON_WRITE",
+        "hoodie.table.version": "5",
+        "hoodie.table.recordkey.fields": "",
+        "hoodie.table.partition.fields": "",
+        "hoodie.table.converted.from": "delta",
+        "hoodie.table.converted.source": os.path.abspath(delta_path),
+        "hoodie.datasource.write.hive_style_partitioning": "false",
+        "hoodie.timeline.layout.version": "1",
+    }
+    with open(os.path.join(tdir, "hoodie.properties"), "w") as fh:
+        for k, v in sorted(props.items()):
+            fh.write(f"{k}={v}\n")
+    commit_meta = {
+        "partitionToWriteStats": {"": stats_list},
+        "compacted": False,
+        "operationType": "CONVERT",
+    }
+    tmp = os.path.join(tdir, f"{instant}.commit.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(commit_meta, fh, sort_keys=True, indent=2)
+    os.replace(tmp, os.path.join(tdir, f"{instant}.commit"))
+    return {
+        "files_referenced": len(stats_list),
+        "files_copied": 0,
+        "rows": n_rows_total,
+        "instant": instant,
+    }
+
+
+def convert_iceberg_to_hudi(
+    spark: SparkSession, ice_path: str, hudi_path: str, tmp_delta: str
+) -> dict:
+    """Iceberg → Hudi, composed from the two metadata-only legs:
+    publish a Delta log over the Iceberg snapshot (``tmp_delta``
+    holds ONLY that log — still zero data copies; positional deletes
+    become Delta DVs on this leg), then a Hudi timeline over the same
+    files. The Hudi leg's DV gate therefore applies transitively: a
+    snapshot with live row-level deletes refuses with the
+    materialize-first recipe, because Hudi CoW cannot express them."""
+    leg1 = convert_iceberg_to_delta(spark, ice_path, tmp_delta)
+    leg2 = convert_delta_to_hudi(spark, tmp_delta, hudi_path)
+    assert leg2["rows"] == leg1["rows"], (leg1, leg2)
+    return {**leg2, "via_delta_log": tmp_delta}
+
+
 # --------------------------------------------------------------- registry
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
@@ -1139,6 +1281,109 @@ def sink_hudi_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert not copied, copied
     out = read_iceberg(spark, pi)
     assert not [c for c in out.columns if c.startswith("_hoodie_")], out.columns
+    return out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )
+
+
+@register(
+    "sink_delta_to_hudi_convert",
+    group="A",
+    oracle=f"""
+    select o_orderpriority, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price,
+           cast(0 as integer) as files_copied
+    from orders group by o_orderpriority
+    """,
+)
+def sink_delta_to_hudi_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: Delta → Hudi, the matrix edge that makes the third
+    engine a reader of Delta-managed data. A two-commit Delta table
+    converts by publishing one hoodie.properties + one completed
+    commit instant whose write stats list the Delta files by absolute
+    path — zero data copies (asserted), row counts straight from the
+    Delta adds' stats. The converted table is READ-ONLY through
+    Hudi's record-level writers (asserted: write_hudi refuses with
+    the rewrite recipe), while snapshot reads serve the exact source
+    rows, which the oracle recomputes."""
+    import pytest
+
+    from datalakecrawler_spark.sources.delta_native import write_delta
+    from datalakecrawler_spark.sources.hudi_native import (
+        hudi_timeline,
+        read_hudi,
+        write_hudi,
+    )
+
+    pd_ = _fresh(_tmp("orders_cv_delta_h_src"))
+    ph = _fresh(_tmp("orders_cv_hudi_dst"))
+    src = load(spark, sf_dir, "orders")
+    write_delta(src.where(F.col("o_orderkey") % 2 == 0), pd_, "overwrite")
+    write_delta(src.where(F.col("o_orderkey") % 2 == 1), pd_, "append")
+    res = convert_delta_to_hudi(spark, pd_, ph)
+    assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
+    import glob as _glob
+
+    copied = _glob.glob(os.path.join(ph, "**", "*.parquet"), recursive=True)
+    assert not copied, copied
+    tl = hudi_timeline(ph)
+    assert len(tl) == 1 and tl[0]["operation"] == "CONVERT", tl
+    with pytest.raises(NotImplementedError, match="converted from delta"):
+        write_hudi(
+            src.limit(1), ph, "o_orderkey", "99999999999999", op="upsert"
+        )
+    out = read_hudi(spark, ph)
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )
+
+
+@register(
+    "sink_iceberg_to_hudi_convert",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           cast(0 as integer) as files_copied
+    from orders where o_orderstatus = 'O'
+    """,
+)
+def sink_iceberg_to_hudi_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: Iceberg → Hudi, composed from the two metadata-only
+    legs (Iceberg snapshot → Delta log → Hudi timeline) — the last
+    edge of the 3×3 conversion matrix, three engines over one set of
+    parquet bytes. Zero copies at every hop (asserted: no parquet
+    lands under the Delta stop-over or the Hudi root), and the
+    snapshot the Hudi reader serves is the Iceberg table's current
+    state across two snapshots, recomputed relationally by the
+    oracle."""
+    from datalakecrawler_spark.sources.hudi_native import read_hudi
+    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+
+    pi = _fresh(_tmp("orders_cv_i2h_src"))
+    pt = _fresh(_tmp("orders_cv_i2h_tmp"))
+    ph = _fresh(_tmp("orders_cv_i2h_dst"))
+    src = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 3 == 0), pi, "overwrite",
+        format_version=2,
+    )
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 3 != 0), pi, "append",
+        format_version=2,
+    )
+    res = convert_iceberg_to_hudi(spark, pi, ph, pt)
+    assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
+    import glob as _glob
+
+    copied = _glob.glob(
+        os.path.join(pt, "**", "*.parquet"), recursive=True
+    ) + _glob.glob(os.path.join(ph, "**", "*.parquet"), recursive=True)
+    assert not copied, copied
+    out = read_hudi(spark, ph)
     return out.agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),

@@ -210,6 +210,7 @@ def write_hudi(
             for line in open(props_file)
             if "=" in line
         )
+        _refuse_converted(path, prior_props, f"write_hudi(op={op!r})")
         if prior_props.get("hoodie.table.type") != "COPY_ON_WRITE":
             raise ValueError(
                 "table is MERGE_ON_READ; use write_hudi_mor (table type "
@@ -603,6 +604,7 @@ def read_hudi_incremental(
     distinguishes them — the filter is pushed into the parquet scan of
     ONLY the files the in-range commits wrote. I/O is proportional to
     the changed file groups, never the table."""
+    _refuse_converted(path, _table_props(path), "read_hudi_incremental")
     if _table_type(path) == "MERGE_ON_READ":
         # MoR: change records live in the deltacommit files (logs +
         # bulk-insert bases). Compaction commits are skipped — they
@@ -700,17 +702,38 @@ def hudi_timeline(path: str) -> list[dict]:
 # explicit file list resolved from commit metadata.
 
 
-def _table_type(path: str) -> str:
+def _table_props(path: str) -> dict[str, str]:
     props_file = os.path.join(_timeline_dir(path), "hoodie.properties")
     if not os.path.exists(props_file):
         raise FileNotFoundError(
             f"no Hudi timeline at {_timeline_dir(path)} "
             "(missing hoodie.properties)"
         )
-    props = dict(
+    return dict(
         line.strip().split("=", 1) for line in open(props_file) if "=" in line
     )
-    return props.get("hoodie.table.type", "COPY_ON_WRITE")
+
+
+def _table_type(path: str) -> str:
+    return _table_props(path).get("hoodie.table.type", "COPY_ON_WRITE")
+
+
+def _refuse_converted(path: str, props: dict[str, str], what: str) -> None:
+    """Converted tables (convert_delta_to_hudi / convert_iceberg_to_
+    hudi published a timeline over foreign parquet) are READ-ONLY
+    through Hudi's record-level surfaces: their base files carry no
+    ``_hoodie_*`` meta columns (a metadata-only switch cannot stamp
+    bytes), which upsert/delete merging and incremental filtering
+    both key on. Snapshot reads (read_hudi) work — that's the point
+    of the conversion."""
+    src = props.get("hoodie.table.converted.from")
+    if src:
+        raise NotImplementedError(
+            f"{what} on a table converted from {src} ({path}): base "
+            "files lack the _hoodie_* meta columns a metadata-only "
+            "conversion cannot add — read the snapshot via read_hudi "
+            "and bulk_insert it to a NEW location for a writable table"
+        )
 
 
 def _mor_timeline(path: str) -> list[tuple[str, str]]:

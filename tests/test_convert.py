@@ -270,3 +270,87 @@ def test_hudi_to_iceberg_composed(spark, tmp_path):
         for r in ice.read_iceberg(spark, pi).collect()
     }
     assert len(got) == 25 and got[7] == "SEVEN" and got[8] != "SEVEN"
+
+
+def test_delta_to_hudi_zero_copy_roundtrip(spark, tmp_path):
+    from datalakecrawler_spark.sources import hudi_native as hn
+    from datalakecrawler_spark.sources.convert import convert_delta_to_hudi
+
+    pd_, ph = str(tmp_path / "d2h"), str(tmp_path / "d2h_hudi")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src.where("n_nationkey < 20").repartition(2), pd_, "overwrite")
+    dn.write_delta(src.where("n_nationkey >= 20"), pd_, "append")
+    res = convert_delta_to_hudi(spark, pd_, ph)
+    assert res["files_copied"] == 0 and res["rows"] == 25
+    assert _no_parquet_under(ph)
+    got = {r["n_nationkey"] for r in hn.read_hudi(spark, ph).collect()}
+    assert got == set(range(25))
+    tl = hn.hudi_timeline(ph)
+    assert len(tl) == 1 and tl[0]["operation"] == "CONVERT"
+    # converting onto an existing timeline refuses
+    with pytest.raises(ValueError, match="already holds a Hudi timeline"):
+        convert_delta_to_hudi(spark, pd_, ph)
+
+
+def test_delta_to_hudi_gates(spark, tmp_path):
+    from datalakecrawler_spark.sources.convert import convert_delta_to_hudi
+
+    src = load(spark, SF_DIR, "nation")
+    # partitioned: Delta keeps the values in metadata only
+    pp = str(tmp_path / "gate_part")
+    dn.write_delta(src, pp, "overwrite", partition_by=["n_regionkey"])
+    with pytest.raises(NotImplementedError, match="partition values in metadata"):
+        convert_delta_to_hudi(spark, pp, str(tmp_path / "x1"))
+    # deletion vectors: Hudi CoW has no row-level sidecar
+    pv = str(tmp_path / "gate_dv")
+    dn.write_delta(src, pv, "overwrite")
+    dn.delete_delta(spark, pv, "n_nationkey = 3")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        convert_delta_to_hudi(spark, pv, str(tmp_path / "x2"))
+    # column mapping: physical parquet names
+    pc = str(tmp_path / "gate_cm")
+    dn.write_delta_column_mapped(src, pc, "overwrite")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        convert_delta_to_hudi(spark, pc, str(tmp_path / "x3"))
+
+
+def test_converted_hudi_is_readonly(spark, tmp_path):
+    from datalakecrawler_spark.sources import hudi_native as hn
+    from datalakecrawler_spark.sources.convert import convert_delta_to_hudi
+
+    pd_, ph = str(tmp_path / "ro_d"), str(tmp_path / "ro_h")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src, pd_, "overwrite")
+    convert_delta_to_hudi(spark, pd_, ph)
+    with pytest.raises(NotImplementedError, match="converted from delta"):
+        hn.write_hudi(src, ph, "n_nationkey", "99999999999999", op="upsert")
+    with pytest.raises(NotImplementedError, match="converted from delta"):
+        hn.read_hudi_incremental(spark, ph, "00000000000000")
+    # snapshot reads still serve the table
+    assert hn.read_hudi(spark, ph).count() == 25
+
+
+def test_iceberg_to_hudi_composed(spark, tmp_path):
+    from datalakecrawler_spark.sources import hudi_native as hn
+    from datalakecrawler_spark.sources.convert import convert_iceberg_to_hudi
+
+    pi = str(tmp_path / "i2h_src")
+    pt = str(tmp_path / "i2h_tmp")
+    ph = str(tmp_path / "i2h_dst")
+    src = load(spark, SF_DIR, "nation")
+    ice.write_iceberg(src.where("n_nationkey < 10"), pi, "overwrite",
+                      format_version=2)
+    ice.write_iceberg(src.where("n_nationkey >= 10"), pi, "append",
+                      format_version=2)
+    res = convert_iceberg_to_hudi(spark, pi, ph, pt)
+    assert res["files_copied"] == 0 and res["rows"] == 25
+    assert _no_parquet_under(pt) and _no_parquet_under(ph)
+    got = {r["n_nationkey"] for r in hn.read_hudi(spark, ph).collect()}
+    assert got == set(range(25))
+    # a snapshot with live positional deletes refuses transitively:
+    # the Delta leg carries them as DVs, which Hudi CoW cannot express
+    pi2, pt2 = str(tmp_path / "i2h_dv"), str(tmp_path / "i2h_dv_tmp")
+    ice.write_iceberg(src, pi2, "overwrite", format_version=2)
+    ice.add_position_deletes(spark, pi2, "n_nationkey = 1")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        convert_iceberg_to_hudi(spark, pi2, str(tmp_path / "x"), pt2)
