@@ -22,12 +22,20 @@ Delta DELETION VECTORS convert too: both formats address dead rows as
 Iceberg positional-delete parquet at a higher sequence number —
 O(deleted rows) written, zero data files touched either way.
 
-Honest gates, fail-loudly: Iceberg-side row-level deletes must be
-compacted before converting TO Delta (Delta DVs would need a bitmap
-re-encode — compact_iceberg_deletes then OPTIMIZE covers it), Delta
-column mapping has no Iceberg-file equivalent here, and non-identity
-(transform) partition specs don't round-trip to Delta's value-listed
-layout."""
+COLUMN-MAPPED Delta converts to Iceberg through the same name-mapping
+door: each mapping entry lists the field's physical ``col-<uuid>``
+parquet name against its Iceberg field id, and the scan projects
+physical back to logical (flat, unpartitioned tables; both mapping
+modes — id-mode footers' field ids are simply ignored by name
+resolution).
+
+Honest gates, fail-loudly: Iceberg-side EQUALITY deletes must be
+compacted before converting TO Delta (value-keyed — a Delta DV needs
+row positions; positional deletes and v3 DVs convert), partitioned or
+nested column-mapped Delta refuses (physical-name hive dirs / nested
+mappings), Hudi targets take no row-level deletes at all (CoW has no
+tombstone sidecar), and non-identity (transform) partition specs
+don't round-trip to Delta's value-listed layout."""
 
 from __future__ import annotations
 
@@ -110,11 +118,31 @@ def _publish_delta_snapshot(
     seq_base = 0 if prior_meta is None else prior_meta.get(
         "last-sequence-number", 0
     )
+    # COLUMN-MAPPED Delta converts via the spec's name mapping: the
+    # files store physical col-<uuid> names, so each mapping entry
+    # lists the PHYSICAL name against the Iceberg field id and the
+    # scan reads under physical names then projects back to the
+    # logical schema (iceberg_native._scan_state). Mode=name and
+    # mode=id both resolve this way (id-mode files additionally carry
+    # footer field ids, which name resolution simply ignores).
+    phys_by_logical: dict[str, str] = {}
     if conf.get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            "convert: column-mapped Delta tables store physical "
-            "col-<uuid> parquet names; materialize (rewrite) first"
-        )
+        raw_fields = json.loads(schema_string)["fields"]
+        if partition_columns:
+            raise NotImplementedError(
+                "convert: partitioned column-mapped Delta lays out "
+                "hive dirs under PHYSICAL names; unpartitioned "
+                "column-mapped tables convert"
+            )
+        if any(isinstance(f["type"], dict) for f in raw_fields):
+            raise NotImplementedError(
+                "convert: nested column-mapped fields need a nested "
+                "name mapping; flat schemas convert"
+            )
+        phys_by_logical = {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in raw_fields
+        }
     dv_files = sorted(
         rel for rel, add in active.items() if add.get("deletionVector")
     )
@@ -359,7 +387,16 @@ def _publish_delta_snapshot(
     # default mapping = each schema name to its assigned field id
     name_mapping = json.dumps(
         [
-            {"field-id": fid, "names": [n]}
+            {
+                "field-id": fid,
+                # names[0] is the FILE-side name the scan reads under;
+                # column-mapped tables put the physical name there
+                "names": (
+                    [phys_by_logical[n], n]
+                    if phys_by_logical.get(n, n) != n
+                    else [n]
+                ),
+            }
             for n, fid in sorted(name_to_id.items(), key=lambda kv: kv[1])
         ]
     )
@@ -1385,6 +1422,63 @@ def sink_iceberg_to_hudi_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert not copied, copied
     out = read_hudi(spark, ph)
     return out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )
+
+
+@register(
+    "sink_delta_cm_to_iceberg_convert",
+    group="A",
+    oracle=f"""
+    select o_orderstatus as status, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price,
+           cast(0 as integer) as files_copied
+    from orders where o_orderkey % 13 <> 5
+    group by o_orderstatus
+    """,
+)
+def sink_delta_cm_to_iceberg_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-ext: COLUMN-MAPPED Delta → Iceberg. The table's parquet files
+    store physical col-<uuid> names (the indirection that makes
+    RENAME COLUMN metadata-only), so the conversion records each
+    physical name against its Iceberg field id in the spec's name
+    mapping and the Iceberg scan projects physical back to logical —
+    zero copies, a DV DELETE rides along as positional deletes, and a
+    logical RENAME COLUMN before converting proves the mapping
+    follows the logical schema. The oracle recomputes the survivors
+    (renamed column aliased both sides)."""
+    from datalakecrawler_spark.sources.delta_native import (
+        delete_delta,
+        rename_delta_column,
+        write_delta_column_mapped,
+    )
+    from datalakecrawler_spark.sources.iceberg_native import read_iceberg
+
+    pd_ = _fresh(_tmp("orders_cv_cm_src"))
+    pi = _fresh(_tmp("orders_cv_cm_ice_dst"))
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_delta_column_mapped(src, pd_, "overwrite")
+    delete_delta(spark, pd_, "o_orderkey % 13 = 5")
+    rename_delta_column(pd_, "o_orderstatus", "status")
+    res = convert_delta_to_iceberg(spark, pd_, pi)
+    assert res["files_copied"] == 0 and res["deleted_rows_converted"] > 0, res
+    import glob as _glob
+
+    copied = [
+        f
+        for f in _glob.glob(os.path.join(pi, "**", "*.parquet"), recursive=True)
+        if "delete-" not in os.path.basename(f)
+    ]
+    assert not copied, copied
+    out = read_iceberg(spark, pi)
+    assert out.columns == ["o_orderkey", "status", "o_totalprice"], out.columns
+    return out.groupBy("status").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
         F.lit(len(copied)).cast("int").alias("files_copied"),

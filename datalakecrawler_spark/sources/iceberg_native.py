@@ -962,12 +962,25 @@ def _scan_state(
     # non-Iceberg layout have no footer field ids — an id-resolved
     # read would null every column) resolve by NAME per the mapping
     # instead.
-    name_mapped = bool(
-        (meta.get("properties") or {}).get("schema.name-mapping.default")
-    )
+    nm_prop = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    name_mapped = bool(nm_prop)
+    rename: dict[str, str] = {}
     if not name_mapped:
         _enable_field_ids(spark)
         schema = _iceberg_schema_to_spark(meta["schema"], field_ids=True)
+    else:
+        # A mapping entry whose FILE-side name (names[0]) differs from
+        # the schema name means the files store a different physical
+        # name (e.g. a converted column-mapped Delta table's
+        # col-<uuid>): read under the physical names, then project
+        # back to the schema names — a zero-cost codegen'd alias.
+        id_to_file = {
+            e["field-id"]: e["names"][0] for e in json.loads(nm_prop)
+        }
+        for f in meta["schema"]["fields"]:
+            fn = id_to_file.get(f["id"], f["name"])
+            if fn != f["name"]:
+                rename[fn] = f["name"]
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
     src_by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     identity_cols = {
@@ -975,7 +988,18 @@ def _scan_state(
         for f in spec_fields
         if f.get("transform", "identity") == "identity"
     }
-    reader = spark.read.schema(schema)
+    schema_read = schema
+    if rename:
+        from pyspark.sql import types as _T
+
+        inv = {log: phys for phys, log in rename.items()}
+        schema_read = _T.StructType(
+            [
+                _T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+    reader = spark.read.schema(schema_read)
     if identity_cols:
         # identity fields: hive-style dirs under data/ carry the
         # partition columns; basePath re-derives them with the
@@ -1006,6 +1030,14 @@ def _scan_state(
         out = out.withColumn("__dlc_file_uri", _F.col("_metadata.file_path"))
         if delete_files or dv_entries or keep_rowmeta:
             out = out.withColumn("__dlc_row_pos", _F.col("_metadata.row_index"))
+    if rename:
+        # physical → schema names (after the _metadata capture, which
+        # a projection would hide)
+        from pyspark.sql import functions as _F
+
+        out = out.select(
+            *[_F.col(c).alias(rename.get(c, c)) for c in out.columns]
+        )
     # mixed specs: Spark appended the transform fields' dir values as
     # extra columns — not part of the committed schema, drop them
     extra = [

@@ -95,10 +95,14 @@ def test_convert_dv_becomes_positional_deletes(spark, tmp_path):
 
 def test_convert_gates(spark, tmp_path):
     src = load(spark, SF_DIR, "nation")
-    # column-mapped Delta refuses
+    # PARTITIONED column-mapped Delta refuses (physical-name hive
+    # dirs); unpartitioned column-mapped converts via name mapping —
+    # see test_column_mapped_delta_to_iceberg
     pcm = str(tmp_path / "gate_cm")
-    dn.write_delta_column_mapped(src, pcm, "overwrite")
-    with pytest.raises(NotImplementedError, match="column-mapped"):
+    dn.write_delta_column_mapped(
+        src, pcm, "overwrite", partition_by=["n_regionkey"]
+    )
+    with pytest.raises(NotImplementedError, match="PHYSICAL names"):
         convert_delta_to_iceberg(spark, pcm, str(tmp_path / "x2"))
     # Iceberg with live EQUALITY deletes refuses (value-keyed; a DV
     # needs positions) — positional deletes convert, see
@@ -354,3 +358,41 @@ def test_iceberg_to_hudi_composed(spark, tmp_path):
     ice.add_position_deletes(spark, pi2, "n_nationkey = 1")
     with pytest.raises(NotImplementedError, match="deletion vectors"):
         convert_iceberg_to_hudi(spark, pi2, str(tmp_path / "x"), pt2)
+
+
+def test_column_mapped_delta_to_iceberg(spark, tmp_path):
+    """Unpartitioned column-mapped Delta (both mapping modes) converts
+    via Iceberg name mapping: physical col-<uuid> file names resolve
+    to logical schema names, deletes ride along as positional
+    deletes, and sync_delta_to_iceberg keeps mirroring."""
+    src = load(spark, SF_DIR, "nation")
+    for cm_mode in ("name", "id"):
+        pd_ = str(tmp_path / f"cm_{cm_mode}")
+        pi = str(tmp_path / f"cm_{cm_mode}_ice")
+        dn.write_delta_column_mapped(src, pd_, "overwrite", cm_mode=cm_mode)
+        dn.delete_delta(spark, pd_, "n_nationkey in (4, 11)")
+        res = convert_delta_to_iceberg(spark, pd_, pi)
+        assert res["files_copied"] == 0
+        assert res["deleted_rows_converted"] == 2
+        out = ice.read_iceberg(spark, pi)
+        assert out.columns == ["n_nationkey", "n_name", "n_regionkey"]
+        got = sorted(r["n_nationkey"] for r in out.collect())
+        assert got == sorted(set(range(25)) - {4, 11})
+    # RENAME COLUMN then sync: the mapping follows the logical rename
+    from datalakecrawler_spark.sources.convert import sync_delta_to_iceberg
+
+    pd_ = str(tmp_path / "cm_name")
+    pi = str(tmp_path / "cm_name_ice")
+    dn.write_delta_column_mapped(
+        src.where("n_nationkey >= 25"), pd_, "append"
+    )  # no-op rows, just a new version to sync
+    s = sync_delta_to_iceberg(spark, pd_, pi)
+    assert s["synced"] is True
+    assert ice.read_iceberg(spark, pi).count() == 23
+    # nested column-mapped still refuses
+    pn = str(tmp_path / "cm_nested")
+    nested = src.select(F.struct("n_name", "n_regionkey").alias("s"),
+                        "n_nationkey")
+    dn.write_delta_column_mapped(nested, pn, "overwrite")
+    with pytest.raises(NotImplementedError, match="nested"):
+        convert_delta_to_iceberg(spark, pn, str(tmp_path / "xx"))
