@@ -25,17 +25,18 @@ O(deleted rows) written, zero data files touched either way.
 COLUMN-MAPPED Delta converts to Iceberg through the same name-mapping
 door: each mapping entry lists the field's physical ``col-<uuid>``
 parquet name against its Iceberg field id, and the scan projects
-physical back to logical (flat, unpartitioned tables; both mapping
-modes — id-mode footers' field ids are simply ignored by name
-resolution).
+physical back to logical (flat schemas, partitioned included — the
+physical-named hive dirs match the physical read schema and the
+manifest records logical names; both mapping modes — id-mode footers'
+field ids are simply ignored by name resolution).
 
 Honest gates, fail-loudly: Iceberg-side EQUALITY deletes must be
 compacted before converting TO Delta (value-keyed — a Delta DV needs
-row positions; positional deletes and v3 DVs convert), partitioned or
-nested column-mapped Delta refuses (physical-name hive dirs / nested
-mappings), Hudi targets take no row-level deletes at all (CoW has no
-tombstone sidecar), and non-identity (transform) partition specs
-don't round-trip to Delta's value-listed layout."""
+row positions; positional deletes and v3 DVs convert), nested
+column-mapped fields refuse (the mapping here is flat), Hudi targets
+take no row-level deletes at all (CoW has no tombstone sidecar), and
+non-identity (transform) partition specs don't round-trip to Delta's
+value-listed layout."""
 
 from __future__ import annotations
 
@@ -128,12 +129,6 @@ def _publish_delta_snapshot(
     phys_by_logical: dict[str, str] = {}
     if conf.get("delta.columnMapping.mode", "none") != "none":
         raw_fields = json.loads(schema_string)["fields"]
-        if partition_columns:
-            raise NotImplementedError(
-                "convert: partitioned column-mapped Delta lays out "
-                "hive dirs under PHYSICAL names; unpartitioned "
-                "column-mapped tables convert"
-            )
         if any(isinstance(f["type"], dict) for f in raw_fields):
             raise NotImplementedError(
                 "convert: nested column-mapped fields need a nested "
@@ -143,6 +138,17 @@ def _publish_delta_snapshot(
             f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
             for f in raw_fields
         }
+        # partitioned cm tables: metaData.partitionColumns, the add
+        # actions' partitionValues keys, AND the hive dirs all carry
+        # PHYSICAL names (the Delta protocol rule that makes renaming
+        # a partition column metadata-only). The Iceberg spec/manifest
+        # records below use LOGICAL names; the scan's physical read
+        # schema matches the dirs, so the dir-derived column projects
+        # back to logical with the rest.
+        logical_by_phys = {v: k for k, v in phys_by_logical.items()}
+        partition_columns = [
+            logical_by_phys.get(c, c) for c in partition_columns
+        ]
     dv_files = sorted(
         rel for rel, add in active.items() if add.get("deletionVector")
     )
@@ -202,7 +208,9 @@ def _publish_delta_snapshot(
                     ),
                     "file_format": "PARQUET",
                     "partition": {
-                        c: _typed(pvals.get(c), t) for c, t in pfields
+                        # cm adds key partitionValues by physical name
+                        c: _typed(pvals.get(phys_by_logical.get(c, c)), t)
+                        for c, t in pfields
                     },
                     "record_count": int(n),
                     "file_size_in_bytes": int(add["size"]),
@@ -1447,10 +1455,13 @@ def sink_delta_cm_to_iceberg_convert(
     RENAME COLUMN metadata-only), so the conversion records each
     physical name against its Iceberg field id in the spec's name
     mapping and the Iceberg scan projects physical back to logical —
-    zero copies, a DV DELETE rides along as positional deletes, and a
-    logical RENAME COLUMN before converting proves the mapping
-    follows the logical schema. The oracle recomputes the survivors
-    (renamed column aliased both sides)."""
+    zero copies, a DV DELETE rides along as positional deletes, and
+    the table is PARTITIONED BY the column that then gets a logical
+    RENAME before converting: hive dirs / partitionValues key by the
+    (stable) physical name, so the rename is metadata-only and the
+    Iceberg manifest records the new logical name — partition pruning
+    asserted on the renamed column. The oracle recomputes the
+    survivors (renamed column aliased both sides)."""
     from datalakecrawler_spark.sources.delta_native import (
         delete_delta,
         rename_delta_column,
@@ -1463,7 +1474,9 @@ def sink_delta_cm_to_iceberg_convert(
     src = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    write_delta_column_mapped(src, pd_, "overwrite")
+    write_delta_column_mapped(
+        src, pd_, "overwrite", partition_by=["o_orderstatus"]
+    )
     delete_delta(spark, pd_, "o_orderkey % 13 = 5")
     rename_delta_column(pd_, "o_orderstatus", "status")
     res = convert_delta_to_iceberg(spark, pd_, pi)
@@ -1477,7 +1490,11 @@ def sink_delta_cm_to_iceberg_convert(
     ]
     assert not copied, copied
     out = read_iceberg(spark, pi)
-    assert out.columns == ["o_orderkey", "status", "o_totalprice"], out.columns
+    assert set(out.columns) == {"o_orderkey", "status", "o_totalprice"}
+    pruned = read_iceberg(spark, pi, partition_filter={"status": "F"})
+    assert pruned.count() == src.where(
+        "o_orderstatus = 'F' and o_orderkey % 13 <> 5"
+    ).count()
     return out.groupBy("status").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),

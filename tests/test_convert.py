@@ -95,14 +95,15 @@ def test_convert_dv_becomes_positional_deletes(spark, tmp_path):
 
 def test_convert_gates(spark, tmp_path):
     src = load(spark, SF_DIR, "nation")
-    # PARTITIONED column-mapped Delta refuses (physical-name hive
-    # dirs); unpartitioned column-mapped converts via name mapping —
-    # see test_column_mapped_delta_to_iceberg
+    # NESTED column-mapped Delta refuses (the name mapping here is
+    # flat); flat tables — partitioned or not — convert via name
+    # mapping, see test_column_mapped_delta_to_iceberg
     pcm = str(tmp_path / "gate_cm")
     dn.write_delta_column_mapped(
-        src, pcm, "overwrite", partition_by=["n_regionkey"]
+        src.select(F.struct("n_name").alias("s"), "n_nationkey"),
+        pcm, "overwrite",
     )
-    with pytest.raises(NotImplementedError, match="PHYSICAL names"):
+    with pytest.raises(NotImplementedError, match="nested"):
         convert_delta_to_iceberg(spark, pcm, str(tmp_path / "x2"))
     # Iceberg with live EQUALITY deletes refuses (value-keyed; a DV
     # needs positions) — positional deletes convert, see
@@ -396,3 +397,38 @@ def test_column_mapped_delta_to_iceberg(spark, tmp_path):
     dn.write_delta_column_mapped(nested, pn, "overwrite")
     with pytest.raises(NotImplementedError, match="nested"):
         convert_delta_to_iceberg(spark, pn, str(tmp_path / "xx"))
+
+
+def test_partitioned_column_mapped_delta_to_iceberg(spark, tmp_path):
+    """Partitioned cm tables: Delta keys partitionColumns /
+    partitionValues / hive dirs by PHYSICAL name; the Iceberg
+    manifest records logical names, pruning works, and a DV delete
+    plus a partition-column RENAME survive the conversion."""
+    from datalakecrawler_spark.sources.convert import sync_delta_to_iceberg
+    from datalakecrawler_spark.sources.delta_native import (
+        rename_delta_column,
+    )
+
+    src = load(spark, SF_DIR, "nation")
+    pd_ = str(tmp_path / "pcm")
+    pi = str(tmp_path / "pcm_ice")
+    dn.write_delta_column_mapped(
+        src, pd_, "overwrite", partition_by=["n_regionkey"]
+    )
+    dn.delete_delta(spark, pd_, "n_nationkey in (6, 19)")
+    rename_delta_column(pd_, "n_regionkey", "region")
+    res = convert_delta_to_iceberg(spark, pd_, pi)
+    assert res["files_copied"] == 0 and res["deleted_rows_converted"] == 2
+    out = ice.read_iceberg(spark, pi)
+    assert set(out.columns) == {"n_nationkey", "n_name", "region"}
+    got = sorted(r["n_nationkey"] for r in out.collect())
+    assert got == sorted(set(range(25)) - {6, 19})
+    pruned = ice.read_iceberg(spark, pi, partition_filter={"region": 2})
+    assert pruned.count() == src.where(
+        "n_regionkey = 2 and n_nationkey not in (6, 19)"
+    ).count()
+    # sync keeps mirroring after another delete
+    dn.delete_delta(spark, pd_, "n_nationkey = 0")
+    s = sync_delta_to_iceberg(spark, pd_, pi)
+    assert s["synced"] and s["deleted_rows_converted"] == 3
+    assert ice.read_iceberg(spark, pi).count() == 22
