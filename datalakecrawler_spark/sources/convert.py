@@ -30,13 +30,17 @@ physical-named hive dirs match the physical read schema and the
 manifest records logical names; both mapping modes — id-mode footers'
 field ids are simply ignored by name resolution).
 
+TRANSFORM partition specs (bucket/truncate/year/...) convert TO Delta
+as ordinary data columns: the transform's source column lives inside
+the data files (only identity values are dir-derived), so results are
+exact and a mixed spec keeps Delta-side pruning on its identity part.
+
 Honest gates, fail-loudly: Iceberg-side EQUALITY deletes must be
 compacted before converting TO Delta (value-keyed — a Delta DV needs
 row positions; positional deletes and v3 DVs convert), nested
-column-mapped fields refuse (the mapping here is flat), Hudi targets
-take no row-level deletes at all (CoW has no tombstone sidecar), and
-non-identity (transform) partition specs don't round-trip to Delta's
-value-listed layout."""
+column-mapped fields refuse (the mapping here is flat), and Hudi
+targets take no row-level deletes at all (CoW has no tombstone
+sidecar)."""
 
 from __future__ import annotations
 
@@ -524,16 +528,20 @@ def convert_iceberg_to_delta(
     dv_tuples = [t for t in delete_files if isinstance(t, tuple)]
     pos_parquets = [f for f in delete_files if isinstance(f, str)]
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
-    if any(
-        sf.get("transform", "identity") != "identity" for sf in spec_fields
-    ):
-        raise NotImplementedError(
-            "convert: transform partition specs (bucket/truncate/"
-            "year/...) have no Delta partitionValues equivalent; only "
-            "identity specs convert"
-        )
     by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
-    part_cols = [by_id[sf["source-id"]] for sf in spec_fields]
+    # IDENTITY spec fields become Delta partition columns (values
+    # served from each add's partitionValues, the shallow-clone
+    # shape). TRANSFORM fields (bucket/truncate/year/...) have no
+    # Delta partitionValues equivalent — but their SOURCE column
+    # lives INSIDE the data files (only identity values are
+    # dir-derived), so the file bytes are complete rows and the
+    # transform dimension simply converts as an ordinary data column:
+    # correct results, Delta-side pruning only on the identity part.
+    part_cols = [
+        by_id[sf["source-id"]]
+        for sf in spec_fields
+        if sf.get("transform", "identity") == "identity"
+    ]
     schema = _iceberg_schema_to_spark(meta["schema"])
     # per-file record counts + typed partition values from the
     # manifests (O(metadata), no data reads)
@@ -1021,8 +1029,9 @@ def sink_iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame
     executor-side from the delete parquet's (file, pos) rows. Zero
     data copies (asserted: only the DV sidecar is new), Delta-side
     partition pruning works, deleted rows stay dead — the oracle
-    recomputes the survivors from the source. Equality deletes and
-    transform specs still refuse loudly."""
+    recomputes the survivors from the source. Equality deletes still
+    refuse loudly; transform specs convert with the bucket dimension
+    as a data column."""
     from datalakecrawler_spark.sources.delta_native import read_delta
     from datalakecrawler_spark.sources.iceberg_native import (
         add_position_deletes,
@@ -1498,5 +1507,54 @@ def sink_delta_cm_to_iceberg_convert(
     return out.groupBy("status").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )
+
+
+@register(
+    "sink_iceberg_bucket_to_delta_convert",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           count(distinct o_custkey) as n_cust,
+           cast(0 as integer) as files_copied
+    from orders where o_orderkey % 17 <> 3
+    """,
+)
+def sink_iceberg_bucket_to_delta_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-ext: TRANSFORM-spec Iceberg → Delta. A bucket(8, o_custkey)
+    table (plus a positional DELETE) converts because the transform's
+    source column lives inside the data files — the bucket dimension
+    becomes an ordinary data column and the rows are exact; only the
+    bucket-pruning dimension is lost on the Delta side (stated, not
+    silent: the summary's partition columns are empty). The oracle
+    recomputes the survivors from the source."""
+    from datalakecrawler_spark.sources.delta_native import read_delta
+    from datalakecrawler_spark.sources.iceberg_native import (
+        add_position_deletes,
+        write_iceberg,
+    )
+
+    pi = _fresh(_tmp("orders_cv_bkt_src"))
+    pd_ = _fresh(_tmp("orders_cv_bkt_dst"))
+    src = load(spark, sf_dir, "orders")
+    write_iceberg(
+        src, pi, "overwrite", partition_by=["bucket(8, o_custkey)"],
+        format_version=2,
+    )
+    add_position_deletes(spark, pi, "o_orderkey % 17 = 3")
+    res = convert_iceberg_to_delta(spark, pi, pd_)
+    assert res["files_copied"] == 0 and res["deleted_rows_converted"] > 0, res
+    import glob as _glob
+
+    copied = _glob.glob(os.path.join(pd_, "**", "*.parquet"), recursive=True)
+    assert not copied, copied
+    out = read_delta(spark, pd_)
+    return out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_cust"),
         F.lit(len(copied)).cast("int").alias("files_copied"),
     )

@@ -115,14 +115,9 @@ def test_convert_gates(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="EQUALITY deletes"):
         convert_iceberg_to_delta(spark, pi, str(tmp_path / "x3"))
-    # transform spec refuses
-    pb = str(tmp_path / "gate_bucket")
-    ice.write_iceberg(
-        src, pb, "overwrite", partition_by=["bucket(4, n_nationkey)"],
-        format_version=2,
-    )
-    with pytest.raises(NotImplementedError, match="transform"):
-        convert_iceberg_to_delta(spark, pb, str(tmp_path / "x4"))
+    # transform specs CONVERT (the source column is in the file
+    # bytes; only the pruning dimension is lost) — see
+    # test_transform_spec_iceberg_to_delta
 
 
 def test_converted_iceberg_accepts_appends_preserving_mapping(spark, tmp_path):
@@ -432,3 +427,43 @@ def test_partitioned_column_mapped_delta_to_iceberg(spark, tmp_path):
     s = sync_delta_to_iceberg(spark, pd_, pi)
     assert s["synced"] and s["deleted_rows_converted"] == 3
     assert ice.read_iceberg(spark, pi).count() == 22
+
+
+def test_transform_spec_iceberg_to_delta(spark, tmp_path):
+    """Transform partition specs convert: the transform's SOURCE
+    column lives inside the data files (only identity values are
+    dir-derived), so a bucket-spec table converts with the bucket
+    dimension as an ordinary data column, and a MIXED
+    identity+transform spec keeps Delta-side pruning on the identity
+    part. Positional deletes still ride along as DVs."""
+    src = load(spark, SF_DIR, "nation")
+    # pure transform spec + a positional delete
+    pb, pd1 = str(tmp_path / "tf_i"), str(tmp_path / "tf_d")
+    ice.write_iceberg(
+        src, pb, "overwrite", partition_by=["bucket(4, n_nationkey)"],
+        format_version=2,
+    )
+    ice.add_position_deletes(spark, pb, "n_nationkey = 8")
+    res = convert_iceberg_to_delta(spark, pb, pd1)
+    assert res["files_copied"] == 0 and res["deleted_rows_converted"] == 1
+    assert _no_parquet_under(pd1)
+    got = sorted(r["n_nationkey"] for r in dn.read_delta(spark, pd1).collect())
+    assert got == sorted(set(range(25)) - {8})
+    # mixed identity + transform: identity pruning survives
+    pm, pd2 = str(tmp_path / "mx_i"), str(tmp_path / "mx_d")
+    ice.write_iceberg(
+        src, pm, "overwrite",
+        partition_by=["n_regionkey", "bucket(4, n_nationkey)"],
+        format_version=2,
+    )
+    convert_iceberg_to_delta(spark, pm, pd2)
+    out = dn.read_delta(spark, pd2)
+    assert sorted(
+        (r["n_nationkey"], r["n_regionkey"], r["n_name"])
+        for r in out.collect()
+    ) == sorted(
+        (r["n_nationkey"], r["n_regionkey"], r["n_name"])
+        for r in src.collect()
+    )
+    pruned = dn.read_delta(spark, pd2, partition_filter={"n_regionkey": "1"})
+    assert pruned.count() == src.where("n_regionkey = 1").count()
