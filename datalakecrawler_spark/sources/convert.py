@@ -800,12 +800,18 @@ def convert_delta_to_hudi(
     incremental filtering key on the ``_hoodie_*`` meta columns,
     which a metadata-only switch cannot stamp into the file bytes.
 
+    PARTITIONED tables convert too: Delta keeps partition values in
+    hive dirs (not in the file bytes), so the commit metadata keys
+    each file's write stats by its partition dir and the stored
+    ``hoodie.table.converted.base-path`` lets read_hudi re-derive the
+    partition column from the source dirs (typed back via the stored
+    partition DDL), with partition_path pruning keyed on the same
+    dir strings.
+
     Honest gates, fail-loudly: deletion vectors (Hudi CoW has no
     row-level sidecar — run ``optimize_delta`` so deletes
-    materialize first), column mapping (physical ``col-<uuid>``
-    parquet names), and partitioned tables (Delta keeps partition
-    values in metadata only; Hudi base files must carry every column
-    in the bytes)."""
+    materialize first) and column mapping (physical ``col-<uuid>``
+    parquet names)."""
     import hashlib
 
     from datalakecrawler_spark.sources.delta_native import _replay_full
@@ -816,7 +822,7 @@ def convert_delta_to_hudi(
         raise ValueError(f"{hudi_path} already holds a Hudi timeline")
     (
         active,
-        _schema_string,
+        schema_string,
         delta_version,
         partition_columns,
         conf,
@@ -826,13 +832,6 @@ def convert_delta_to_hudi(
         raise NotImplementedError(
             "convert: column-mapped Delta tables store physical "
             "col-<uuid> parquet names; materialize (rewrite) first"
-        )
-    if partition_columns:
-        raise NotImplementedError(
-            "convert: Delta keeps partition values in metadata only "
-            f"(columns {partition_columns}); Hudi base files must "
-            "carry every column in the file bytes — rewrite "
-            "unpartitioned, or read through read_delta"
         )
     dv_files = sorted(
         rel for rel, add in active.items() if add.get("deletionVector")
@@ -845,8 +844,16 @@ def convert_delta_to_hudi(
         )
     if not active:
         raise ValueError(f"no active data files under {delta_path}")
+    if partition_columns and any(os.path.isabs(rel) for rel in active):
+        raise NotImplementedError(
+            "convert: this partitioned Delta table references files "
+            "by absolute path (a shallow clone / converted table) — "
+            "its partition values live in partitionValues, not under "
+            "its own hive dirs, so basePath re-derivation cannot "
+            "serve them; convert the ORIGINAL source table directly"
+        )
     instant = f"{int(delta_version):014d}"
-    stats_list = []
+    per_partition: dict[str, list] = {}
     n_rows_total = 0
     for rel in sorted(active):
         add = active[rel]
@@ -863,7 +870,11 @@ def convert_delta_to_hudi(
             n = pq.ParquetFile(abs_path).metadata.num_rows
         n_rows_total += int(n)
         h = hashlib.md5(rel.encode()).hexdigest()
-        stats_list.append(
+        # partitioned tables: the file's hive dir IS its partition
+        # path, exactly as laid out on disk (values are not in the
+        # file bytes — read_hudi re-derives them via basePath)
+        ppath = os.path.dirname(rel) if partition_columns else ""
+        per_partition.setdefault(ppath, []).append(
             {
                 "fileId": f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}",
                 "path": abs_path,
@@ -880,17 +891,32 @@ def convert_delta_to_hudi(
         "hoodie.table.type": "COPY_ON_WRITE",
         "hoodie.table.version": "5",
         "hoodie.table.recordkey.fields": "",
-        "hoodie.table.partition.fields": "",
+        "hoodie.table.partition.fields": ",".join(partition_columns),
         "hoodie.table.converted.from": "delta",
         "hoodie.table.converted.source": os.path.abspath(delta_path),
         "hoodie.datasource.write.hive_style_partitioning": "false",
         "hoodie.timeline.layout.version": "1",
     }
+    if partition_columns:
+        # read_hudi re-derives the partition columns from the source
+        # dirs (basePath) and casts them back to the committed types
+        # (Spark's dir inference would narrow e.g. bigint to int)
+        from pyspark.sql import types as _T
+
+        sch = _T.StructType.fromJson(json.loads(schema_string))
+        props["hoodie.table.converted.base-path"] = os.path.abspath(
+            delta_path
+        )
+        # ';'-separated (a decimal type's simpleString carries commas)
+        props["hoodie.table.converted.partition-ddl"] = "; ".join(
+            f"{c} {sch[c].dataType.simpleString()}"
+            for c in partition_columns
+        )
     with open(os.path.join(tdir, "hoodie.properties"), "w") as fh:
         for k, v in sorted(props.items()):
             fh.write(f"{k}={v}\n")
     commit_meta = {
-        "partitionToWriteStats": {"": stats_list},
+        "partitionToWriteStats": per_partition,
         "compacted": False,
         "operationType": "CONVERT",
     }
@@ -899,7 +925,7 @@ def convert_delta_to_hudi(
         json.dump(commit_meta, fh, sort_keys=True, indent=2)
     os.replace(tmp, os.path.join(tdir, f"{instant}.commit"))
     return {
-        "files_referenced": len(stats_list),
+        "files_referenced": sum(len(v) for v in per_partition.values()),
         "files_copied": 0,
         "rows": n_rows_total,
         "instant": instant,
@@ -1354,14 +1380,17 @@ def sink_hudi_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_delta_to_hudi_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext: Delta → Hudi, the matrix edge that makes the third
-    engine a reader of Delta-managed data. A two-commit Delta table
-    converts by publishing one hoodie.properties + one completed
-    commit instant whose write stats list the Delta files by absolute
-    path — zero data copies (asserted), row counts straight from the
-    Delta adds' stats. The converted table is READ-ONLY through
-    Hudi's record-level writers (asserted: write_hudi refuses with
-    the rewrite recipe), while snapshot reads serve the exact source
-    rows, which the oracle recomputes."""
+    engine a reader of Delta-managed data. A two-commit PARTITIONED
+    Delta table converts by publishing one hoodie.properties + one
+    completed commit instant whose write stats key the Delta files by
+    their hive partition dir — zero data copies (asserted), row
+    counts straight from the Delta adds' stats, and the partition
+    column (which Delta keeps in the dirs, not the file bytes) is
+    re-derived by read_hudi via the stored base-path and typed by the
+    stored DDL; partition_path pruning asserted. The converted table
+    is READ-ONLY through Hudi's record-level writers (asserted:
+    write_hudi refuses with the rewrite recipe), while snapshot reads
+    serve the exact source rows, which the oracle recomputes."""
     import pytest
 
     from datalakecrawler_spark.sources.delta_native import write_delta
@@ -1374,8 +1403,14 @@ def sink_delta_to_hudi_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_ = _fresh(_tmp("orders_cv_delta_h_src"))
     ph = _fresh(_tmp("orders_cv_hudi_dst"))
     src = load(spark, sf_dir, "orders")
-    write_delta(src.where(F.col("o_orderkey") % 2 == 0), pd_, "overwrite")
-    write_delta(src.where(F.col("o_orderkey") % 2 == 1), pd_, "append")
+    write_delta(
+        src.where(F.col("o_orderkey") % 2 == 0), pd_, "overwrite",
+        partition_by=["o_orderpriority"],
+    )
+    write_delta(
+        src.where(F.col("o_orderkey") % 2 == 1), pd_, "append",
+        partition_by=["o_orderpriority"],
+    )
     res = convert_delta_to_hudi(spark, pd_, ph)
     assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
     import glob as _glob
@@ -1388,6 +1423,10 @@ def sink_delta_to_hudi_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_hudi(
             src.limit(1), ph, "o_orderkey", "99999999999999", op="upsert"
         )
+    pruned = read_hudi(spark, ph, partition_path="o_orderpriority=1-URGENT")
+    assert pruned.count() == src.where(
+        "o_orderpriority = '1-URGENT'"
+    ).count()
     out = read_hudi(spark, ph)
     return out.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),

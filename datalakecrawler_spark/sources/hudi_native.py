@@ -586,7 +586,23 @@ def read_hudi(
     files = [os.path.join(path, rel) for _, (_, rel) in sorted(slices.items())]
     if not files:
         raise ValueError(f"no completed instants at or before {as_of!r}")
-    return spark.read.parquet(*files).drop(*_META_COLS)
+    reader = spark.read
+    props = _table_props(path)
+    base = props.get("hoodie.table.converted.base-path")
+    if base:
+        # converted PARTITIONED source (Delta keeps partition values
+        # in hive dirs, not in the file bytes): basePath re-derives
+        # the partition columns from the source table's dirs — the
+        # same mechanism the Iceberg conversion uses — and the stored
+        # DDL casts them back to the committed types (dir inference
+        # would narrow e.g. bigint to int)
+        reader = reader.option("basePath", base)
+    out = reader.parquet(*files).drop(*_META_COLS)
+    if base and props.get("hoodie.table.converted.partition-ddl"):
+        for part in props["hoodie.table.converted.partition-ddl"].split(";"):
+            cname, ctype = part.strip().split(" ", 1)
+            out = out.withColumn(cname, F.col(cname).cast(ctype))
+    return out
 
 
 def read_hudi_incremental(

@@ -296,10 +296,18 @@ def test_delta_to_hudi_gates(spark, tmp_path):
     from datalakecrawler_spark.sources.convert import convert_delta_to_hudi
 
     src = load(spark, SF_DIR, "nation")
-    # partitioned: Delta keeps the values in metadata only
-    pp = str(tmp_path / "gate_part")
-    dn.write_delta(src, pp, "overwrite", partition_by=["n_regionkey"])
-    with pytest.raises(NotImplementedError, match="partition values in metadata"):
+    # partitioned SHALLOW-CLONE-shaped sources (absolute add paths)
+    # refuse: their partition values live in partitionValues, not
+    # under their own hive dirs — plain partitioned tables convert,
+    # see test_partitioned_delta_to_hudi
+    pi0 = str(tmp_path / "gate_abs_src")
+    pp = str(tmp_path / "gate_abs")
+    ice.write_iceberg(
+        src, pi0, "overwrite", partition_by=["n_regionkey"],
+        format_version=2,
+    )
+    convert_iceberg_to_delta(spark, pi0, pp)
+    with pytest.raises(NotImplementedError, match="absolute path"):
         convert_delta_to_hudi(spark, pp, str(tmp_path / "x1"))
     # deletion vectors: Hudi CoW has no row-level sidecar
     pv = str(tmp_path / "gate_dv")
@@ -467,3 +475,32 @@ def test_transform_spec_iceberg_to_delta(spark, tmp_path):
     )
     pruned = dn.read_delta(spark, pd2, partition_filter={"n_regionkey": "1"})
     assert pruned.count() == src.where("n_regionkey = 1").count()
+
+
+def test_partitioned_delta_to_hudi(spark, tmp_path):
+    """Partitioned Delta → Hudi: commit metadata keys write stats by
+    the hive dir, read_hudi re-derives the partition column via the
+    stored base-path and casts it back to the committed type, and
+    partition_path pruning works on the dir strings."""
+    from datalakecrawler_spark.sources import hudi_native as hn
+    from datalakecrawler_spark.sources.convert import convert_delta_to_hudi
+
+    pd_, ph = str(tmp_path / "pdh"), str(tmp_path / "pdh_h")
+    src = load(spark, SF_DIR, "nation")
+    dn.write_delta(src, pd_, "overwrite", partition_by=["n_regionkey"])
+    res = convert_delta_to_hudi(spark, pd_, ph)
+    assert res["files_copied"] == 0 and res["rows"] == 25
+    assert _no_parquet_under(ph)
+    out = hn.read_hudi(spark, ph)
+    assert {
+        f.name: f.dataType.simpleString() for f in out.schema
+    } == {f.name: f.dataType.simpleString() for f in src.schema}
+    got = sorted(
+        (r["n_nationkey"], r["n_regionkey"]) for r in out.collect()
+    )
+    assert got == sorted(
+        (r["n_nationkey"], r["n_regionkey"]) for r in src.collect()
+    )
+    pruned = hn.read_hudi(spark, ph, partition_path="n_regionkey=3")
+    assert pruned.count() == src.where("n_regionkey = 3").count()
+    assert pruned.select("n_regionkey").distinct().collect()[0][0] == 3
