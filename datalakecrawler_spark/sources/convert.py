@@ -24,11 +24,13 @@ O(deleted rows) written, zero data files touched either way.
 
 COLUMN-MAPPED Delta converts to Iceberg through the same name-mapping
 door: each mapping entry lists the field's physical ``col-<uuid>``
-parquet name against its Iceberg field id, and the scan projects
-physical back to logical (flat schemas, partitioned included — the
-physical-named hive dirs match the physical read schema and the
-manifest records logical names; both mapping modes — id-mode footers'
-field ids are simply ignored by name resolution).
+parquet name against its Iceberg field id — NESTED struct members ride
+in the spec's ``fields`` sub-entries — and the scan projects physical
+back to logical (top-level renames are aliases, renamed struct members
+one positional cast). Partitioned tables work (the physical-named hive
+dirs match the physical read schema; the manifest records logical
+names), as do both mapping modes (id-mode footers' field ids are
+simply ignored by name resolution).
 
 TRANSFORM partition specs (bucket/truncate/year/...) convert TO Delta
 as ordinary data columns: the transform's source column lives inside
@@ -37,8 +39,7 @@ exact and a mixed spec keeps Delta-side pruning on its identity part.
 
 Honest gates, fail-loudly: Iceberg-side EQUALITY deletes must be
 compacted before converting TO Delta (value-keyed — a Delta DV needs
-row positions; positional deletes and v3 DVs convert), nested
-column-mapped fields refuse (the mapping here is flat), and Hudi
+row positions; positional deletes and v3 DVs convert), and Hudi
 targets take no row-level deletes at all (CoW has no tombstone
 sidecar)."""
 
@@ -130,18 +131,8 @@ def _publish_delta_snapshot(
     # logical schema (iceberg_native._scan_state). Mode=name and
     # mode=id both resolve this way (id-mode files additionally carry
     # footer field ids, which name resolution simply ignores).
-    phys_by_logical: dict[str, str] = {}
+    raw_fields = json.loads(schema_string)["fields"]
     if conf.get("delta.columnMapping.mode", "none") != "none":
-        raw_fields = json.loads(schema_string)["fields"]
-        if any(isinstance(f["type"], dict) for f in raw_fields):
-            raise NotImplementedError(
-                "convert: nested column-mapped fields need a nested "
-                "name mapping; flat schemas convert"
-            )
-        phys_by_logical = {
-            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
-            for f in raw_fields
-        }
         # partitioned cm tables: metaData.partitionColumns, the add
         # actions' partitionValues keys, AND the hive dirs all carry
         # PHYSICAL names (the Delta protocol rule that makes renaming
@@ -149,10 +140,16 @@ def _publish_delta_snapshot(
         # records below use LOGICAL names; the scan's physical read
         # schema matches the dirs, so the dir-derived column projects
         # back to logical with the rest.
+        phys_by_logical = {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in raw_fields
+        }
         logical_by_phys = {v: k for k, v in phys_by_logical.items()}
         partition_columns = [
             logical_by_phys.get(c, c) for c in partition_columns
         ]
+    else:
+        phys_by_logical = {}
     dv_files = sorted(
         rel for rel, add in active.items() if add.get("deletionVector")
     )
@@ -397,19 +394,34 @@ def _publish_delta_snapshot(
         w.write_block(manifests)
     # the spec's name-mapping for imported (field-id-less) files:
     # default mapping = each schema name to its assigned field id
+    def _nm_entry(icf: dict, df: dict) -> dict:
+        # names[0] is the FILE-side name the scan reads under;
+        # column-mapped fields put the physical name there (and the
+        # logical name as an alias). Struct members recurse into the
+        # spec's nested "fields" sub-entries.
+        phys = (df.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", df["name"]
+        )
+        e = {
+            "field-id": icf["id"],
+            "names": [phys, df["name"]] if phys != df["name"] else [df["name"]],
+        }
+        if (
+            isinstance(icf["type"], dict)
+            and icf["type"].get("type") == "struct"
+        ):
+            e["fields"] = [
+                _nm_entry(i2, d2)
+                for i2, d2 in zip(
+                    icf["type"]["fields"], df["type"]["fields"]
+                )
+            ]
+        return e
+
     name_mapping = json.dumps(
         [
-            {
-                "field-id": fid,
-                # names[0] is the FILE-side name the scan reads under;
-                # column-mapped tables put the physical name there
-                "names": (
-                    [phys_by_logical[n], n]
-                    if phys_by_logical.get(n, n) != n
-                    else [n]
-                ),
-            }
-            for n, fid in sorted(name_to_id.items(), key=lambda kv: kv[1])
+            _nm_entry(icf, df)
+            for icf, df in zip(ice_schema["fields"], raw_fields)
         ]
     )
     last_col_id = ice_schema.pop("last-column-id")

@@ -1110,6 +1110,26 @@ def _scan_active(
     return out
 
 
+def _nullable_twin(dt: T.DataType) -> T.DataType:
+    """A copy of ``dt`` with every nested field nullable — the shape a
+    CAST can target (a cast cannot prove NOT NULL for struct members);
+    the cast is for NAMES, nullability stays the data's."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _nullable_twin(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_twin(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullable_twin(dt.keyType), _nullable_twin(dt.valueType), True
+        )
+    return dt
+
+
 def _scan_logical_rowmeta(
     spark: SparkSession,
     path: str,
@@ -1148,7 +1168,9 @@ def _scan_logical_rowmeta(
         spark, path, active, phys_schema, partition_columns, keep_rowmeta=True
     ).select(
         *[
-            F.col(pf["name"]).cast(logical[f["name"]].dataType).alias(f["name"])
+            F.col(pf["name"])
+            .cast(_nullable_twin(logical[f["name"]].dataType))
+            .alias(f["name"])
             for f, pf in zip(mapped, physical)
         ],
         "__dlc_file_uri",
@@ -2061,7 +2083,9 @@ def _read_column_mapped(
     out = _scan_active(spark, path, active, phys_schema, partition_columns)
     return out.select(
         *[
-            F.col(pf["name"]).cast(logical[f["name"]].dataType).alias(f["name"])
+            F.col(pf["name"])
+            .cast(_nullable_twin(logical[f["name"]].dataType))
+            .alias(f["name"])
             for f, pf in zip(mapped, physical)
         ]
     )

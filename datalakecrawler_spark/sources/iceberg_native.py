@@ -927,6 +927,34 @@ def _resolve_state(
     return files, delete_files, eq_deletes, data_seq, data_part
 
 
+def _nm_physical_fields(
+    ice_fields: list, spark_fields: list, entries_by_id: dict
+) -> list:
+    """The PHYSICAL twin of the committed schema per the spec's name
+    mapping: every field renamed to its mapping entry's ``names[0]``,
+    recursively through struct members via the entry's ``fields``
+    sub-entries; types unchanged. Fields without an entry keep their
+    schema name (the file stores it as-is)."""
+    out = []
+    for icf, spf in zip(ice_fields, spark_fields):
+        e = entries_by_id.get(icf["id"])
+        pname = e["names"][0] if e and e.get("names") else icf["name"]
+        dt = spf.dataType
+        if (
+            e
+            and e.get("fields")
+            and isinstance(icf["type"], dict)
+            and icf["type"].get("type") == "struct"
+            and isinstance(dt, T.StructType)
+        ):
+            sub = {se["field-id"]: se for se in e["fields"]}
+            dt = T.StructType(
+                _nm_physical_fields(icf["type"]["fields"], dt.fields, sub)
+            )
+        out.append(T.StructField(pname, dt, spf.nullable))
+    return out
+
+
 def _scan_state(
     spark: SparkSession,
     path: str,
@@ -964,7 +992,7 @@ def _scan_state(
     # instead.
     nm_prop = (meta.get("properties") or {}).get("schema.name-mapping.default")
     name_mapped = bool(nm_prop)
-    rename: dict[str, str] = {}
+    rename_needed = False
     if not name_mapped:
         _enable_field_ids(spark)
         schema = _iceberg_schema_to_spark(meta["schema"], field_ids=True)
@@ -972,15 +1000,17 @@ def _scan_state(
         # A mapping entry whose FILE-side name (names[0]) differs from
         # the schema name means the files store a different physical
         # name (e.g. a converted column-mapped Delta table's
-        # col-<uuid>): read under the physical names, then project
-        # back to the schema names — a zero-cost codegen'd alias.
-        id_to_file = {
-            e["field-id"]: e["names"][0] for e in json.loads(nm_prop)
-        }
-        for f in meta["schema"]["fields"]:
-            fn = id_to_file.get(f["id"], f["name"])
-            if fn != f["name"]:
-                rename[fn] = f["name"]
+        # col-<uuid>): read under the physical names (recursively —
+        # nested entries ride in the spec's "fields"), then project
+        # back to the schema names. Top-level renames are zero-cost
+        # aliases; renamed STRUCT members project through one cast,
+        # which renames struct fields positionally — still a codegen'd
+        # expression, no Python on the rows.
+        entries = {e["field-id"]: e for e in json.loads(nm_prop)}
+        phys_fields = _nm_physical_fields(
+            meta["schema"]["fields"], schema.fields, entries
+        )
+        rename_needed = phys_fields != list(schema.fields)
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
     src_by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     identity_cols = {
@@ -989,16 +1019,8 @@ def _scan_state(
         if f.get("transform", "identity") == "identity"
     }
     schema_read = schema
-    if rename:
-        from pyspark.sql import types as _T
-
-        inv = {log: phys for phys, log in rename.items()}
-        schema_read = _T.StructType(
-            [
-                _T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
-                for f in schema.fields
-            ]
-        )
+    if rename_needed:
+        schema_read = T.StructType(phys_fields)
     reader = spark.read.schema(schema_read)
     if identity_cols:
         # identity fields: hive-style dirs under data/ carry the
@@ -1030,13 +1052,23 @@ def _scan_state(
         out = out.withColumn("__dlc_file_uri", _F.col("_metadata.file_path"))
         if delete_files or dv_entries or keep_rowmeta:
             out = out.withColumn("__dlc_row_pos", _F.col("_metadata.row_index"))
-    if rename:
+    if rename_needed:
         # physical → schema names (after the _metadata capture, which
         # a projection would hide)
         from pyspark.sql import functions as _F
 
+        from datalakecrawler_spark.sources.delta_native import (
+            _nullable_twin,
+        )
+
+        back = {}
+        for pf, lf in zip(phys_fields, schema.fields):
+            expr = _F.col(pf.name)
+            if pf.dataType != lf.dataType:
+                expr = expr.cast(_nullable_twin(lf.dataType))
+            back[pf.name] = expr.alias(lf.name)
         out = out.select(
-            *[_F.col(c).alias(rename.get(c, c)) for c in out.columns]
+            *[back.get(c, _F.col(c)) for c in out.columns]
         )
     # mixed specs: Spark appended the transform fields' dir values as
     # extra columns — not part of the committed schema, drop them

@@ -95,16 +95,9 @@ def test_convert_dv_becomes_positional_deletes(spark, tmp_path):
 
 def test_convert_gates(spark, tmp_path):
     src = load(spark, SF_DIR, "nation")
-    # NESTED column-mapped Delta refuses (the name mapping here is
-    # flat); flat tables — partitioned or not — convert via name
-    # mapping, see test_column_mapped_delta_to_iceberg
-    pcm = str(tmp_path / "gate_cm")
-    dn.write_delta_column_mapped(
-        src.select(F.struct("n_name").alias("s"), "n_nationkey"),
-        pcm, "overwrite",
-    )
-    with pytest.raises(NotImplementedError, match="nested"):
-        convert_delta_to_iceberg(spark, pcm, str(tmp_path / "x2"))
+    # column-mapped Delta converts via (nested) name mapping — see
+    # test_column_mapped_delta_to_iceberg /
+    # test_nested_column_mapped_delta_to_iceberg
     # Iceberg with live EQUALITY deletes refuses (value-keyed; a DV
     # needs positions) — positional deletes convert, see
     # test_iceberg_positional_deletes_become_delta_dvs
@@ -393,13 +386,43 @@ def test_column_mapped_delta_to_iceberg(spark, tmp_path):
     s = sync_delta_to_iceberg(spark, pd_, pi)
     assert s["synced"] is True
     assert ice.read_iceberg(spark, pi).count() == 23
-    # nested column-mapped still refuses
-    pn = str(tmp_path / "cm_nested")
-    nested = src.select(F.struct("n_name", "n_regionkey").alias("s"),
-                        "n_nationkey")
-    dn.write_delta_column_mapped(nested, pn, "overwrite")
-    with pytest.raises(NotImplementedError, match="nested"):
-        convert_delta_to_iceberg(spark, pn, str(tmp_path / "xx"))
+    # nested structs convert too — see
+    # test_nested_column_mapped_delta_to_iceberg
+
+
+def test_nested_column_mapped_delta_to_iceberg(spark, tmp_path):
+    """NESTED column-mapped structs convert: the name mapping carries
+    nested 'fields' sub-entries (physical name per struct member at
+    every level), the scan reads under the physical struct and
+    projects back through one positional cast, and a DV delete plus a
+    top-level struct rename ride along."""
+    src = load(spark, SF_DIR, "nation")
+    nested = src.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("name"),
+            F.struct(F.col("n_regionkey").alias("rk")).alias("inner"),
+        ).alias("info"),
+    )
+    pd_, pi = str(tmp_path / "ncm"), str(tmp_path / "ncm_ice")
+    dn.write_delta_column_mapped(nested, pd_, "overwrite")
+    dn.delete_delta(spark, pd_, "n_nationkey = 5")
+    dn.rename_delta_column(pd_, "info", "details")
+    res = convert_delta_to_iceberg(spark, pd_, pi)
+    assert res["files_copied"] == 0 and res["deleted_rows_converted"] == 1
+    out = ice.read_iceberg(spark, pi)
+    assert out.schema.simpleString() == (
+        "struct<n_nationkey:int,details:struct<name:string,"
+        "inner:struct<rk:int>>>"
+    )
+    got = sorted(
+        (r["n_nationkey"], r["details"]["name"], r["details"]["inner"]["rk"])
+        for r in out.collect()
+    )
+    assert got == sorted(
+        (r["n_nationkey"], r["info"]["name"], r["info"]["inner"]["rk"])
+        for r in nested.where("n_nationkey <> 5").collect()
+    )
 
 
 def test_partitioned_column_mapped_delta_to_iceberg(spark, tmp_path):
