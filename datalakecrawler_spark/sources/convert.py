@@ -555,6 +555,81 @@ def convert_iceberg_to_delta(
         if sf.get("transform", "identity") == "identity"
     ]
     schema = _iceberg_schema_to_spark(meta["schema"])
+    # A table whose NAME MAPPING carries physical file names differing
+    # from the schema names (e.g. born from column-mapped Delta) must
+    # convert to a COLUMN-MAPPED Delta table — publishing a plain
+    # logical-name schema over physical-named parquet would resolve
+    # every column to NULL (silent wrong data; probed and refused in
+    # tests). The mapping has everything Delta's protocol needs: the
+    # field ids become delta.columnMapping.id, names[0] the
+    # physicalName, recursively through struct members.
+    nm_prop = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    cm = False
+    phys_by_name: dict[str, str] = {}
+    if nm_prop:
+        from datalakecrawler_spark.sources.iceberg_native import (
+            _nm_physical_fields,
+        )
+
+        nm_entries = {e["field-id"]: e for e in json.loads(nm_prop)}
+        cm = _nm_physical_fields(
+            meta["schema"]["fields"], schema.fields, nm_entries
+        ) != list(schema.fields)
+        phys_by_name = {
+            f["name"]: (
+                (nm_entries.get(f["id"]) or {}).get("names")
+                or [f["name"]]
+            )[0]
+            for f in meta["schema"]["fields"]
+        }
+    if cm:
+        max_id = [0]
+
+        def _cm_delta_fields(ice_fields, sp_fields, ents):
+            out = []
+            for icf, spf in zip(ice_fields, sp_fields):
+                e = ents.get(icf["id"]) or {}
+                fj = spf.jsonValue()
+                if (
+                    isinstance(icf["type"], dict)
+                    and icf["type"].get("type") == "struct"
+                ):
+                    sub = {
+                        se["field-id"]: se for se in (e.get("fields") or [])
+                    }
+                    fj["type"] = {
+                        "type": "struct",
+                        "fields": _cm_delta_fields(
+                            icf["type"]["fields"], spf.dataType.fields, sub
+                        ),
+                    }
+                fj["metadata"] = {
+                    "delta.columnMapping.id": icf["id"],
+                    "delta.columnMapping.physicalName": (
+                        e.get("names") or [icf["name"]]
+                    )[0],
+                }
+                max_id[0] = max(max_id[0], icf["id"])
+                out.append(fj)
+            return out
+
+        schema_string_out = json.dumps(
+            {
+                "type": "struct",
+                "fields": _cm_delta_fields(
+                    meta["schema"]["fields"], schema.fields, nm_entries
+                ),
+            }
+        )
+        cm_conf = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(max_id[0]),
+        }
+    else:
+        schema_string_out = schema.json()
+        cm_conf = {}
     # per-file record counts + typed partition values from the
     # manifests (O(metadata), no data reads)
     recs: dict[str, tuple[int, dict]] = {}
@@ -704,17 +779,22 @@ def convert_iceberg_to_delta(
             d = json.loads(r["desc"])
             dv_by_file[uri_to_abs[r["file_uri"]]] = d
             n_deleted += d["cardinality"]
+    feats = (["columnMapping"] if cm else []) + ["deletionVectors"]
     actions = [
         {
             "protocol": (
                 {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": feats,
+                    "writerFeatures": feats,
                 }
                 if dv_by_file
-                else {"minReaderVersion": 1, "minWriterVersion": 2}
+                else (
+                    {"minReaderVersion": 2, "minWriterVersion": 5}
+                    if cm
+                    else {"minReaderVersion": 1, "minWriterVersion": 2}
+                )
             )
         },
         {
@@ -723,9 +803,12 @@ def convert_iceberg_to_delta(
                     f"dlc-convert:{delta_path}".encode()
                 ).hexdigest(),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": schema.json(),
-                "configuration": {},
-                "partitionColumns": part_cols,
+                "schemaString": schema_string_out,
+                "configuration": cm_conf,
+                # cm protocol: partitionColumns carry PHYSICAL names
+                "partitionColumns": [
+                    phys_by_name.get(c, c) if cm else c for c in part_cols
+                ],
                 "createdTime": 0,
             }
         },
@@ -740,7 +823,10 @@ def convert_iceberg_to_delta(
             # metadata join
             "path": os.path.abspath(f),
             "partitionValues": {
-                c: (None if pvals.get(c) is None else str(pvals[c]))
+                # cm protocol: partitionValues key by PHYSICAL name
+                (phys_by_name.get(c, c) if cm else c): (
+                    None if pvals.get(c) is None else str(pvals[c])
+                )
                 for c in part_cols
             },
             "size": os.path.getsize(f),

@@ -527,3 +527,53 @@ def test_partitioned_delta_to_hudi(spark, tmp_path):
     pruned = hn.read_hudi(spark, ph, partition_path="n_regionkey=3")
     assert pruned.count() == src.where("n_regionkey = 3").count()
     assert pruned.select("n_regionkey").distinct().collect()[0][0] == 3
+
+
+def test_cm_round_trip_back_to_delta(spark, tmp_path):
+    """cm Delta → Iceberg → Delta must publish a COLUMN-MAPPED Delta
+    metaData (physical names from the Iceberg name mapping): a plain
+    logical-name schema over physical-named parquet would read every
+    column as NULL — the silent-wrong-data shape this module refuses
+    everywhere else. Covers flat+DV, partitioned (pruning intact),
+    and nested structs."""
+    from datalakecrawler_spark.sources.convert import (
+        convert_delta_to_iceberg as d2i,
+        convert_iceberg_to_delta as i2d,
+    )
+
+    src = load(spark, SF_DIR, "nation")
+    # flat + DV delete
+    p1, p2, p3 = (str(tmp_path / x) for x in ("f_d", "f_i", "f_d2"))
+    dn.write_delta_column_mapped(src, p1, "overwrite")
+    dn.delete_delta(spark, p1, "n_nationkey = 9")
+    d2i(spark, p1, p2)
+    i2d(spark, p2, p3)
+    got = sorted(r["n_nationkey"] for r in dn.read_delta(spark, p3).collect())
+    assert got == sorted(set(range(25)) - {9})
+    assert not any(
+        r["n_name"] is None for r in dn.read_delta(spark, p3).collect()
+    )
+    # partitioned: values and pruning survive, keyed physically
+    q1, q2, q3 = (str(tmp_path / x) for x in ("p_d", "p_i", "p_d2"))
+    dn.write_delta_column_mapped(
+        src, q1, "overwrite", partition_by=["n_regionkey"]
+    )
+    d2i(spark, q1, q2)
+    i2d(spark, q2, q3)
+    pr = dn.read_delta(spark, q3, partition_filter={"n_regionkey": "2"})
+    assert pr.count() == src.where("n_regionkey = 2").count()
+    # nested struct
+    n1, n2, n3 = (str(tmp_path / x) for x in ("n_d", "n_i", "n_d2"))
+    nested = src.select(
+        "n_nationkey", F.struct(F.col("n_name").alias("nm")).alias("info")
+    )
+    dn.write_delta_column_mapped(nested, n1, "overwrite")
+    d2i(spark, n1, n2)
+    i2d(spark, n2, n3)
+    got = sorted(
+        (r["n_nationkey"], r["info"]["nm"])
+        for r in dn.read_delta(spark, n3).collect()
+    )
+    assert got == sorted(
+        (r["n_nationkey"], r["info"]["nm"]) for r in nested.collect()
+    )
