@@ -637,3 +637,192 @@ def crawl_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dataset", "format", "n_live_files", "n_reclaimable_files",
         "recommendation",
     )
+
+
+def convert_feasibility(spark: SparkSession, root: str) -> list[dict]:
+    """Per-table FORMAT-CONVERSION feasibility over a lake: for every
+    discovered lakehouse table, dry-run each metadata-only conversion
+    edge (sources/convert.py) and report "ok" / "blocked" / "is"
+    (already that format). Dry runs execute the converters' real gates
+    against the table's resolved state and write NOTHING — O(metadata)
+    per table, like the rest of the crawl. Composed edges (iceberg ↔
+    hudi go via a Delta log leg) report "ok (via delta)" and fold in
+    the second leg's gates: row-level deletes become Delta DVs, which
+    Hudi CoW refuses; identity partitions become an absolute-path
+    partitioned Delta, likewise refused; a physical name mapping
+    becomes column-mapped Delta, likewise refused."""
+    import json as _json
+
+    from datalakecrawler_spark.sources.convert import (
+        convert_delta_to_hudi,
+        convert_delta_to_iceberg,
+        convert_hudi_to_delta,
+        convert_iceberg_to_delta,
+    )
+    from datalakecrawler_spark.sources.iceberg_native import (
+        _iceberg_schema_to_spark,
+        _nm_physical_fields,
+        _read_metadata,
+        _resolve_state,
+    )
+
+    def _probe(thunk) -> str:
+        try:
+            thunk()
+            return "ok"
+        except NotImplementedError:
+            return "blocked"
+
+    out = []
+    for name, path, fmt in discover(root):
+        if fmt not in ("delta", "iceberg", "hudi"):
+            continue
+        row = {
+            "dataset": name, "format": fmt,
+            "to_delta": "is", "to_iceberg": "is", "to_hudi": "is",
+        }
+        if fmt == "delta":
+            row["to_iceberg"] = _probe(
+                lambda: convert_delta_to_iceberg(spark, path, "", dry_run=True)
+            )
+            row["to_hudi"] = _probe(
+                lambda: convert_delta_to_hudi(spark, path, "", dry_run=True)
+            )
+        elif fmt == "iceberg":
+            row["to_delta"] = _probe(
+                lambda: convert_iceberg_to_delta(spark, path, "", dry_run=True)
+            )
+            if row["to_delta"] != "ok":
+                row["to_hudi"] = "blocked"
+            else:
+                meta = _read_metadata(path)
+                snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+                    meta["current-snapshot-id"]
+                ]
+                _files, dels, _eq, _ds, _dp = _resolve_state(path, snap)
+                spec = meta.get("partition-specs", [{}])[0].get("fields", [])
+                has_identity = any(
+                    sf.get("transform", "identity") == "identity"
+                    for sf in spec
+                )
+                nm = (meta.get("properties") or {}).get(
+                    "schema.name-mapping.default"
+                )
+                physical = False
+                if nm:
+                    sch = _iceberg_schema_to_spark(meta["schema"])
+                    ents = {e["field-id"]: e for e in _json.loads(nm)}
+                    physical = _nm_physical_fields(
+                        meta["schema"]["fields"], sch.fields, ents
+                    ) != list(sch.fields)
+                row["to_hudi"] = (
+                    "blocked"
+                    if (dels or has_identity or physical)
+                    else "ok (via delta)"
+                )
+        else:  # hudi
+            leg = _probe(
+                lambda: convert_hudi_to_delta(spark, path, "", dry_run=True)
+            )
+            row["to_delta"] = leg
+            row["to_iceberg"] = "ok (via delta)" if leg == "ok" else "blocked"
+        out.append(row)
+    return out
+
+
+@register(
+    "crawl_convert_feasibility",
+    group="B",
+    oracle="""
+    select 'cust_hudi' as dataset, 'hudi' as format,
+           'ok' as to_delta, 'ok (via delta)' as to_iceberg,
+           'is' as to_hudi,
+           (select count(*) from customer) as num_rows
+    union all
+    select 'nation_ice_bucket', 'iceberg', 'ok', 'is', 'ok (via delta)',
+           (select count(*) from nation)
+    union all
+    select 'nation_ice_eq', 'iceberg', 'blocked', 'is', 'blocked',
+           (select count(*) from nation where n_nationkey <> 1)
+    union all
+    select 'nation_ice_pos', 'iceberg', 'ok', 'is', 'blocked',
+           (select count(*) from nation where n_nationkey >= 5)
+    union all
+    select 'orders_delta', 'delta', 'is', 'ok', 'ok',
+           (select count(*) from orders where o_orderstatus = 'F')
+    union all
+    select 'orders_delta_dv', 'delta', 'is', 'ok', 'blocked',
+           (select count(*) from orders
+            where o_orderstatus = 'O' and o_orderkey % 7 <> 2)
+    """,
+)
+def crawl_convert_feasibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-ext: the crawler's FORMAT-INTEROP report over a mixed lake —
+    which tables can switch engines metadata-only, right now, and
+    which are blocked by a real gate. Six tables cover the gate
+    matrix: a partitioned Delta (both edges open), a DV-bearing Delta
+    (Hudi refuses row-level deletes), an equality-delete Iceberg
+    (value-keyed — both edges blocked until compaction), a
+    positional-delete Iceberg (Delta DVs carry it; Hudi still
+    refuses), a bucket-spec Iceberg (both edges open — the source
+    column is in the file bytes), and a CoW Hudi (both open). The
+    dry-run probes execute the converters' REAL gates, so a gate
+    regression flips this row set; num_rows is recomputed from the
+    live snapshot through each native reader, which the oracle
+    recomputes relationally."""
+    import shutil as _shutil
+
+    from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.sources.delta_native import (
+        delete_delta,
+        write_delta,
+    )
+    from datalakecrawler_spark.sources.hudi_native import write_hudi
+    from datalakecrawler_spark.sources.iceberg_native import (
+        add_equality_deletes,
+        add_position_deletes,
+        write_iceberg,
+    )
+    from datalakecrawler_spark.sources.scans import _tmp
+
+    lake = _tmp("lake_feasibility")
+    _shutil.rmtree(lake, ignore_errors=True)
+    os.makedirs(lake)
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    write_delta(
+        orders.where(F.col("o_orderstatus") == "F"),
+        f"{lake}/orders_delta", "overwrite", partition_by=["o_orderpriority"],
+    )
+    write_delta(
+        orders.where(F.col("o_orderstatus") == "O"),
+        f"{lake}/orders_delta_dv", "overwrite",
+    )
+    delete_delta(spark, f"{lake}/orders_delta_dv", "o_orderkey % 7 = 2")
+    write_iceberg(nation, f"{lake}/nation_ice_eq", format_version=2)
+    add_equality_deletes(
+        spark, f"{lake}/nation_ice_eq",
+        spark.createDataFrame([(1,)], "n_nationkey int"),
+    )
+    write_iceberg(nation, f"{lake}/nation_ice_pos", format_version=2)
+    add_position_deletes(spark, f"{lake}/nation_ice_pos", "n_nationkey < 5")
+    write_iceberg(
+        nation, f"{lake}/nation_ice_bucket",
+        partition_by=["bucket(4, n_nationkey)"], format_version=2,
+    )
+    write_hudi(
+        load(spark, sf_dir, "customer"), f"{lake}/cust_hudi", "c_custkey",
+        "19700101000000001", op="bulk_insert",
+    )
+    feas = convert_feasibility(spark, lake)
+    counts = {
+        name: _read(spark, path, fmt).count()
+        for name, path, fmt in discover(lake)
+    }
+    rows = [
+        Row(num_rows=counts[r["dataset"]], **r)
+        for r in sorted(feas, key=lambda r: r["dataset"])
+    ]
+    return spark.createDataFrame(rows).select(
+        "dataset", "format", "to_delta", "to_iceberg", "to_hudi", "num_rows"
+    )

@@ -53,20 +53,27 @@ from pyspark.sql import types as T
 
 
 def convert_delta_to_iceberg(
-    spark: SparkSession, delta_path: str, ice_path: str
+    spark: SparkSession, delta_path: str, ice_path: str,
+    dry_run: bool = False,
 ) -> dict:
     """Publish Iceberg v2 metadata over a Delta table's ACTIVE data
-    files (absolute paths — zero copies). Returns a summary dict."""
+    files (absolute paths — zero copies). Returns a summary dict.
+    ``dry_run=True`` runs every gate and returns {"ok": True} without
+    writing anything — the feasibility probe the crawler reports."""
     import glob as _g
 
     from datalakecrawler_spark.sources.iceberg_native import _meta_dir
 
-    if _g.glob(os.path.join(_meta_dir(ice_path), "v*.metadata.json")):
+    if not dry_run and _g.glob(
+        os.path.join(_meta_dir(ice_path), "v*.metadata.json")
+    ):
         raise ValueError(
             f"{ice_path} already holds Iceberg metadata — use "
             "sync_delta_to_iceberg to mirror newer Delta commits"
         )
-    return _publish_delta_snapshot(spark, delta_path, ice_path, None)
+    return _publish_delta_snapshot(
+        spark, delta_path, ice_path, None, dry_run=dry_run
+    )
 
 
 def sync_delta_to_iceberg(
@@ -98,7 +105,7 @@ def sync_delta_to_iceberg(
 
 def _publish_delta_snapshot(
     spark: SparkSession, delta_path: str, ice_path: str,
-    prior_meta: dict | None,
+    prior_meta: dict | None, dry_run: bool = False,
 ) -> dict:
     from datalakecrawler_spark.sources.avro import AvroDatumFileWriter
     from datalakecrawler_spark.sources.delta_native import _replay_full
@@ -180,6 +187,10 @@ def _publish_delta_snapshot(
         if v is None:
             return None
         return int(v) if avro_t in ("int", "long") else v
+
+    if dry_run:
+        # every gate above passed; nothing written
+        return {"ok": True, "files_referenced": len(active)}
 
     os.makedirs(_meta_dir(ice_path), exist_ok=True)
     entries = []
@@ -503,7 +514,8 @@ def _publish_delta_snapshot(
 
 
 def convert_iceberg_to_delta(
-    spark: SparkSession, ice_path: str, delta_path: str
+    spark: SparkSession, ice_path: str, delta_path: str,
+    dry_run: bool = False,
 ) -> dict:
     """Publish a Delta log over an Iceberg snapshot's data files
     (absolute-path add actions — the shallow-clone shape read_delta
@@ -539,6 +551,9 @@ def convert_iceberg_to_delta(
     # dead rows as (data file, position)
     dv_tuples = [t for t in delete_files if isinstance(t, tuple)]
     pos_parquets = [f for f in delete_files if isinstance(f, str)]
+    if dry_run:
+        # the only hard gate (equality deletes) passed; nothing written
+        return {"ok": True, "files_referenced": len(files)}
     spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
     by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     # IDENTITY spec fields become Delta partition columns (values
@@ -879,7 +894,8 @@ def convert_hudi_to_iceberg(
 
 
 def convert_delta_to_hudi(
-    spark: SparkSession, delta_path: str, hudi_path: str
+    spark: SparkSession, delta_path: str, hudi_path: str,
+    dry_run: bool = False,
 ) -> dict:
     """Publish a Hudi COPY_ON_WRITE timeline over a Delta table's
     ACTIVE data files (zero copies): one ``hoodie.properties`` plus
@@ -916,7 +932,9 @@ def convert_delta_to_hudi(
     from datalakecrawler_spark.sources.hudi_native import _timeline_dir
 
     tdir = _timeline_dir(hudi_path)
-    if os.path.exists(os.path.join(tdir, "hoodie.properties")):
+    if not dry_run and os.path.exists(
+        os.path.join(tdir, "hoodie.properties")
+    ):
         raise ValueError(f"{hudi_path} already holds a Hudi timeline")
     (
         active,
@@ -950,6 +968,8 @@ def convert_delta_to_hudi(
             "its own hive dirs, so basePath re-derivation cannot "
             "serve them; convert the ORIGINAL source table directly"
         )
+    if dry_run:
+        return {"ok": True, "files_referenced": len(active)}
     instant = f"{int(delta_version):014d}"
     per_partition: dict[str, list] = {}
     n_rows_total = 0
@@ -1247,7 +1267,8 @@ def sink_delta_iceberg_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def convert_hudi_to_delta(
-    spark: SparkSession, hudi_path: str, delta_path: str
+    spark: SparkSession, hudi_path: str, delta_path: str,
+    dry_run: bool = False,
 ) -> dict:
     """Publish a Delta log over a Hudi table's ACTIVE file slices
     (absolute-path add actions — zero copies). CoW tables convert
@@ -1284,6 +1305,8 @@ def convert_hudi_to_delta(
         rels = sorted(rel for (_i, rel) in _slices_at(hudi_path, None).values())
     if not rels:
         raise ValueError(f"no completed Hudi file slices under {hudi_path}")
+    if dry_run:
+        return {"ok": True, "files_referenced": len(rels)}
     abs_files = [os.path.abspath(os.path.join(hudi_path, r)) for r in rels]
     schema = spark.read.parquet(*abs_files).schema
     data_fields = [

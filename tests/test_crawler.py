@@ -231,3 +231,38 @@ def test_table_maintenance_report_thresholds(spark, tmp_path):
     assert rep["ok_ice"]["recommendation"] == "ok"
     assert rep["snappy_ice"]["recommendation"] == "expire_snapshots"
     assert rep["snappy_ice"]["n_metadata_objects"] == 1  # one live manifest
+
+
+def test_convert_feasibility_dry_runs_leave_no_trace(spark, tmp_path):
+    """The feasibility probes run the converters' real gates but must
+    write NOTHING — no Iceberg metadata, no Hudi timeline, no Delta
+    log appears anywhere, and the source tables stay untouched."""
+    import glob
+
+    from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.sources.delta_native import (
+        delete_delta,
+        write_delta,
+    )
+    from datalakecrawler_spark.sources.hudi_native import write_hudi
+    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    nation = load(spark, SF_DIR, "nation")
+    write_delta(nation, f"{lake}/d", "overwrite")
+    delete_delta(spark, f"{lake}/d", "n_nationkey = 3")
+    write_iceberg(nation, f"{lake}/i", "overwrite", format_version=2)
+    write_hudi(nation, f"{lake}/h", "n_nationkey", "19700101000000001",
+               op="bulk_insert")
+    before = sorted(glob.glob(f"{lake}/**", recursive=True))
+    feas = {r["dataset"]: r for r in crawler.convert_feasibility(spark, lake)}
+    assert sorted(glob.glob(f"{lake}/**", recursive=True)) == before
+    assert feas["d"] == {
+        "dataset": "d", "format": "delta", "to_delta": "is",
+        "to_iceberg": "ok", "to_hudi": "blocked",  # carries a DV
+    }
+    assert feas["i"]["to_delta"] == "ok"
+    assert feas["i"]["to_hudi"] == "ok (via delta)"
+    assert feas["h"]["to_delta"] == "ok"
+    assert feas["h"]["to_iceberg"] == "ok (via delta)"
