@@ -515,7 +515,7 @@ def _publish_delta_snapshot(
 
 def convert_iceberg_to_delta(
     spark: SparkSession, ice_path: str, delta_path: str,
-    dry_run: bool = False,
+    dry_run: bool = False, compact_source: bool = False,
 ) -> dict:
     """Publish a Delta log over an Iceberg snapshot's data files
     (absolute-path add actions — the shallow-clone shape read_delta
@@ -540,11 +540,29 @@ def convert_iceberg_to_delta(
         raise ValueError("convert: source Iceberg table has no snapshot")
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
     files, delete_files, eq_deletes, _ds, _dp = _resolve_state(ice_path, snap)
+    if eq_deletes and compact_source and not dry_run:
+        # explicit opt-in: minor-compact the SOURCE (equality →
+        # positional, one new snapshot, data files untouched, reads
+        # bit-identical) and convert the compacted snapshot. The
+        # mutation is consented — the flag is the consent.
+        from datalakecrawler_spark.sources.iceberg_native import (
+            compact_iceberg_deletes,
+        )
+
+        compact_iceberg_deletes(spark, ice_path)
+        meta = _read_metadata(ice_path)
+        sid = meta["current-snapshot-id"]
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+        files, delete_files, eq_deletes, _ds, _dp = _resolve_state(
+            ice_path, snap
+        )
     if eq_deletes:
         raise NotImplementedError(
             "convert: the snapshot carries EQUALITY deletes (value-"
             "keyed; a Delta DV needs row positions) — run "
-            "compact_iceberg_deletes first so they become positional"
+            "compact_iceberg_deletes first so they become positional, "
+            "or pass compact_source=True to run it here (commits one "
+            "compaction snapshot on the SOURCE table)"
         )
     # positional deletes (parquet delete files AND v3 Puffin DVs)
     # convert to Delta DELETION VECTORS below — both sides address
@@ -1716,5 +1734,53 @@ def sink_iceberg_bucket_to_delta_convert(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
         F.countDistinct("o_custkey").alias("n_cust"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )
+
+
+@register(
+    "sink_iceberg_eq_to_delta_convert",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           cast(0 as integer) as files_copied
+    from orders where o_orderstatus = 'F' and o_custkey % 10 <> 4
+    """,
+)
+def sink_iceberg_eq_to_delta_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-ext: EQUALITY-delete Iceberg → Delta via the consented
+    compact_source composition. Equality deletes are value-keyed and
+    a Delta DV needs row positions, so the convert first runs the
+    shipped minor compaction on the source (one snapshot, equality →
+    positional, data files untouched), then lands the positions as
+    DVs — the full path a crawler takes when told to migrate a table
+    with live streaming retractions. The oracle recomputes the
+    survivors."""
+    from datalakecrawler_spark.sources.delta_native import read_delta
+    from datalakecrawler_spark.sources.iceberg_native import (
+        add_equality_deletes,
+        write_iceberg,
+    )
+
+    pi = _fresh(_tmp("orders_cv_eq_src"))
+    pd_ = _fresh(_tmp("orders_cv_eq_dst"))
+    src = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    write_iceberg(src, pi, "overwrite", format_version=2)
+    add_equality_deletes(
+        spark, pi,
+        src.where(F.col("o_custkey") % 10 == 4).select("o_custkey").distinct(),
+    )
+    res = convert_iceberg_to_delta(spark, pi, pd_, compact_source=True)
+    assert res["files_copied"] == 0 and res["deleted_rows_converted"] > 0, res
+    import glob as _glob
+
+    copied = _glob.glob(os.path.join(pd_, "**", "*.parquet"), recursive=True)
+    assert not copied, copied
+    out = read_delta(spark, pd_)
+    return out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
         F.lit(len(copied)).cast("int").alias("files_copied"),
     )

@@ -577,3 +577,26 @@ def test_cm_round_trip_back_to_delta(spark, tmp_path):
     assert got == sorted(
         (r["n_nationkey"], r["info"]["nm"]) for r in nested.collect()
     )
+
+
+def test_equality_deletes_convert_with_compact_source_opt_in(spark, tmp_path):
+    """convert_iceberg_to_delta(compact_source=True) composes the
+    shipped minor compaction: equality deletes become positional on
+    the SOURCE (one consented snapshot, data files untouched), then
+    convert as DVs. Without the flag the gate still refuses."""
+    pi, pd_ = str(tmp_path / "eq_i"), str(tmp_path / "eq_d")
+    src = load(spark, SF_DIR, "nation")
+    ice.write_iceberg(src, pi, "overwrite", format_version=2)
+    ice.add_equality_deletes(
+        spark, pi, spark.createDataFrame([(2,), (11,)], "n_nationkey int")
+    )
+    with pytest.raises(NotImplementedError, match="compact_source=True"):
+        convert_iceberg_to_delta(spark, pi, pd_)
+    res = convert_iceberg_to_delta(spark, pi, pd_, compact_source=True)
+    assert res["files_copied"] == 0 and res["deleted_rows_converted"] == 2
+    got = sorted(r["n_nationkey"] for r in dn.read_delta(spark, pd_).collect())
+    assert got == sorted(set(range(25)) - {2, 11})
+    # the source gained exactly one compaction snapshot, same rows
+    assert sorted(
+        r["n_nationkey"] for r in ice.read_iceberg(spark, pi).collect()
+    ) == got
