@@ -1,7 +1,9 @@
-"""sources/convert.py — metadata-only Delta ⇄ Iceberg conversion:
-zero data-file copies, name-mapping resolution for imported id-less
-files, identity-partition carry-through, and the fail-loudly gates
-(row-level deletes, column mapping, transform specs)."""
+"""sources/convert.py — the metadata-only conversion matrix (Delta ⇄
+Iceberg ⇄ Hudi): zero data-file copies, name-mapping resolution
+(nested and physical column-mapped names included), delete translation
+(DVs ⇄ positional deletes; equality via consented compaction),
+partition carry-through (identity values, transform sources, hive-dir
+re-derivation for Hudi), and the remaining fail-loudly gates."""
 
 from __future__ import annotations
 
