@@ -940,10 +940,15 @@ def convert_delta_to_hudi(
     partition DDL), with partition_path pruning keyed on the same
     dir strings.
 
+    FLAT COLUMN-MAPPED tables convert: the stored
+    ``hoodie.table.converted.rename`` map projects the files'
+    physical ``col-<uuid>`` names back to the logical schema at read
+    (one alias per column). Nested column-mapped fields refuse —
+    Hudi's plain reader carries no cast layer.
+
     Honest gates, fail-loudly: deletion vectors (Hudi CoW has no
     row-level sidecar — run ``optimize_delta`` so deletes
-    materialize first) and column mapping (physical ``col-<uuid>``
-    parquet names)."""
+    materialize first) and nested column mapping."""
     import hashlib
 
     from datalakecrawler_spark.sources.delta_native import _replay_full
@@ -962,11 +967,26 @@ def convert_delta_to_hudi(
         conf,
         _protocol,
     ) = _replay_full(delta_path, None)
+    rename: dict[str, str] = {}
     if conf.get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            "convert: column-mapped Delta tables store physical "
-            "col-<uuid> parquet names; materialize (rewrite) first"
-        )
+        # COLUMN-MAPPED sources: files store physical col-<uuid> names;
+        # the stored rename map lets read_hudi project them back to the
+        # logical schema. Flat schemas only — a nested rename would
+        # need the cast machinery Hudi's plain reader doesn't carry.
+        raw_fields = json.loads(schema_string)["fields"]
+        if any(isinstance(f["type"], dict) for f in raw_fields):
+            raise NotImplementedError(
+                "convert: nested column-mapped fields don't project "
+                "through Hudi's plain reader; flat schemas convert"
+            )
+        rename = {
+            f["metadata"]["delta.columnMapping.physicalName"]: f["name"]
+            for f in raw_fields
+        }
+        # partitionColumns carry PHYSICAL names on cm tables; the
+        # partition DDL below keys the LOGICAL name (read_hudi renames
+        # before casting)
+        partition_columns = [rename.get(c, c) for c in partition_columns]
     dv_files = sorted(
         rel for rel, add in active.items() if add.get("deletionVector")
     )
@@ -1033,6 +1053,8 @@ def convert_delta_to_hudi(
         "hoodie.datasource.write.hive_style_partitioning": "false",
         "hoodie.timeline.layout.version": "1",
     }
+    if rename:
+        props["hoodie.table.converted.rename"] = json.dumps(rename)
     if partition_columns:
         # read_hudi re-derives the partition columns from the source
         # dirs (basePath) and casts them back to the committed types
@@ -1782,5 +1804,51 @@ def sink_iceberg_eq_to_delta_convert(
     return out.agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+        F.lit(len(copied)).cast("int").alias("files_copied"),
+    )
+
+
+@register(
+    "sink_delta_cm_to_hudi_convert",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           cast(0 as integer) as files_copied
+    from orders where o_orderstatus = 'P'
+    """,
+)
+def sink_delta_cm_to_hudi_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: flat COLUMN-MAPPED Delta → Hudi. The files store
+    physical col-<uuid> names (rename-safe indirection), so the
+    conversion records a physical→logical rename map in
+    hoodie.properties and read_hudi projects back to the logical
+    schema — including a column RENAMED after the data was written,
+    proving the map follows the logical schema, zero copies. The
+    oracle recomputes the rows (renamed column aliased both sides in
+    the aggregate's source)."""
+    from datalakecrawler_spark.sources.delta_native import (
+        rename_delta_column,
+        write_delta_column_mapped,
+    )
+    from datalakecrawler_spark.sources.hudi_native import read_hudi
+
+    pd_ = _fresh(_tmp("orders_cv_cmh_src"))
+    ph = _fresh(_tmp("orders_cv_cmh_dst"))
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).where(F.col("o_orderstatus") == "P")
+    write_delta_column_mapped(src, pd_, "overwrite")
+    rename_delta_column(pd_, "o_totalprice", "price")
+    res = convert_delta_to_hudi(spark, pd_, ph)
+    assert res["files_copied"] == 0 and res["files_referenced"] > 0, res
+    import glob as _glob
+
+    copied = _glob.glob(os.path.join(ph, "**", "*.parquet"), recursive=True)
+    assert not copied, copied
+    out = read_hudi(spark, ph)
+    assert out.columns == ["o_orderkey", "o_orderstatus", "price"], out.columns
+    return out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("price").alias("sum_price"),
         F.lit(len(copied)).cast("int").alias("files_copied"),
     )

@@ -598,6 +598,17 @@ def read_hudi(
         # would narrow e.g. bigint to int)
         reader = reader.option("basePath", base)
     out = reader.parquet(*files).drop(*_META_COLS)
+    if props.get("hoodie.table.converted.rename"):
+        # converted COLUMN-MAPPED source: files store physical
+        # col-<uuid> names; project back to the logical schema (one
+        # codegen'd alias per column, before the partition cast below,
+        # which keys logical names)
+        import json as _json
+
+        ren = _json.loads(props["hoodie.table.converted.rename"])
+        out = out.select(
+            *[F.col(c).alias(ren.get(c, c)) for c in out.columns]
+        )
     if base and props.get("hoodie.table.converted.partition-ddl"):
         for part in props["hoodie.table.converted.partition-ddl"].split(";"):
             cname, ctype = part.strip().split(" ", 1)

@@ -310,11 +310,50 @@ def test_delta_to_hudi_gates(spark, tmp_path):
     dn.delete_delta(spark, pv, "n_nationkey = 3")
     with pytest.raises(NotImplementedError, match="deletion vectors"):
         convert_delta_to_hudi(spark, pv, str(tmp_path / "x2"))
-    # column mapping: physical parquet names
+    # flat column-mapped tables CONVERT (stored rename map, see
+    # test_cm_delta_to_hudi); NESTED cm still refuses (no cast layer
+    # in Hudi's plain reader)
     pc = str(tmp_path / "gate_cm")
-    dn.write_delta_column_mapped(src, pc, "overwrite")
-    with pytest.raises(NotImplementedError, match="column-mapped"):
+    dn.write_delta_column_mapped(
+        src.select(F.struct("n_name").alias("s"), "n_nationkey"),
+        pc, "overwrite",
+    )
+    with pytest.raises(NotImplementedError, match="nested"):
         convert_delta_to_hudi(spark, pc, str(tmp_path / "x3"))
+
+
+def test_cm_delta_to_hudi(spark, tmp_path):
+    """Flat column-mapped Delta → Hudi: the stored rename map projects
+    physical col-<uuid> file names back to the logical schema, a
+    logical RENAME COLUMN before converting carries through, and the
+    partitioned variant composes rename + basePath re-derivation +
+    the partition-type cast."""
+    from datalakecrawler_spark.sources.convert import convert_delta_to_hudi
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    src = load(spark, SF_DIR, "nation")
+    pd_, ph = str(tmp_path / "cmh"), str(tmp_path / "cmh_h")
+    dn.write_delta_column_mapped(src, pd_, "overwrite")
+    dn.rename_delta_column(pd_, "n_name", "name")
+    res = convert_delta_to_hudi(spark, pd_, ph)
+    assert res["files_copied"] == 0 and res["rows"] == 25
+    out = hn.read_hudi(spark, ph)
+    assert out.columns == ["n_nationkey", "name", "n_regionkey"]
+    got = sorted((r["n_nationkey"], r["name"]) for r in out.collect())
+    assert got == sorted((r["n_nationkey"], r["n_name"]) for r in src.collect())
+    # partitioned cm: rename + dir re-derivation + type cast compose
+    qd, qh = str(tmp_path / "cmhp"), str(tmp_path / "cmhp_h")
+    dn.write_delta_column_mapped(
+        src, qd, "overwrite", partition_by=["n_regionkey"]
+    )
+    convert_delta_to_hudi(spark, qd, qh)
+    out2 = hn.read_hudi(spark, qh)
+    assert {
+        f.name: f.dataType.simpleString() for f in out2.schema
+    } == {f.name: f.dataType.simpleString() for f in src.schema}
+    assert sorted(
+        (r["n_nationkey"], r["n_regionkey"]) for r in out2.collect()
+    ) == sorted((r["n_nationkey"], r["n_regionkey"]) for r in src.collect())
 
 
 def test_converted_hudi_is_readonly(spark, tmp_path):
