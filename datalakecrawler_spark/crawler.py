@@ -672,6 +672,14 @@ def convert_feasibility(spark: SparkSession, root: str) -> list[dict]:
             return "ok"
         except NotImplementedError:
             return "blocked"
+        except (TypeError, ValueError):
+            # ADVICE r8: converters raise TypeError (unsupported
+            # types, e.g. variant in _spark_type_to_ice) and
+            # ValueError (empty table) in addition to their
+            # NotImplementedError gates — one such table must not
+            # crash the whole per-lake report. "error" is distinct
+            # from "blocked" so a non-gate failure stays visible.
+            return "error"
 
     out = []
     for name, path, fmt in discover(root):
@@ -693,7 +701,11 @@ def convert_feasibility(spark: SparkSession, root: str) -> list[dict]:
                 lambda: convert_iceberg_to_delta(spark, path, "", dry_run=True)
             )
             if row["to_delta"] != "ok":
-                row["to_hudi"] = "blocked"
+                # composed edge shares the delta leg's fate: a gate
+                # blocks it, a non-gate error propagates as error
+                row["to_hudi"] = (
+                    "error" if row["to_delta"] == "error" else "blocked"
+                )
             else:
                 meta = _read_metadata(path)
                 snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
@@ -725,7 +737,11 @@ def convert_feasibility(spark: SparkSession, root: str) -> list[dict]:
                 lambda: convert_hudi_to_delta(spark, path, "", dry_run=True)
             )
             row["to_delta"] = leg
-            row["to_iceberg"] = "ok (via delta)" if leg == "ok" else "blocked"
+            row["to_iceberg"] = (
+                "ok (via delta)"
+                if leg == "ok"
+                else ("error" if leg == "error" else "blocked")
+            )
         out.append(row)
     return out
 

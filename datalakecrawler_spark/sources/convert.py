@@ -188,6 +188,22 @@ def _publish_delta_snapshot(
             return None
         return int(v) if avro_t in ("int", "long") else v
 
+    # ADVICE r8: a PARTITIONED Delta table whose adds are absolute
+    # paths (a shallow clone, or itself a converted table) has no hive
+    # dirs of its own — the identity-partition read would set
+    # dlc.convert.base-path to this table's root while the data files
+    # live under the ORIGINAL source root, failing Spark's
+    # basePath-ancestor check at scan time. Gate it here (mirroring
+    # convert_delta_to_hudi), and gate it in dry_run too so
+    # convert_feasibility reports the edge honestly.
+    if pfields and any(os.path.isabs(rel) for rel in active):
+        raise NotImplementedError(
+            "convert: this partitioned Delta table references files "
+            "by absolute path (a shallow clone / converted table) — "
+            "its partition values live in partitionValues, not under "
+            "its own hive dirs, so basePath re-derivation cannot "
+            "serve them; convert the ORIGINAL source table directly"
+        )
     if dry_run:
         # every gate above passed; nothing written
         return {"ok": True, "files_referenced": len(active)}

@@ -439,7 +439,7 @@ def _enforce_or_merge_schema(
     if mode in ("append", "overwrite_partitions"):
         # same column set: keep the TABLE's field entries in the
         # TABLE's order — they carry protocol metadata the writer's
-        # DataFrame schema doesn't know (delta.typeWidening
+        # DataFrame schema doesn't know (delta.typeChanges
         # provenance); a full overwrite may still replace the schema
         # wholesale below
         return prior_fields
@@ -1949,7 +1949,7 @@ def widen_delta_column(path: str, column: str, new_type: str) -> int:
     """ALTER COLUMN ... TYPE as a METADATA-ONLY commit — the Delta
     ``typeWidening`` table feature (PROTOCOL.md "Type Widening"): the
     schemaString's field type widens, the field's metadata records the
-    protocol's ``delta.typeWidening`` provenance entry
+    protocol's ``delta.typeChanges`` provenance entry
     ({fromType, toType, tableVersion}), and the protocol action
     upgrades to reader v3 / writer v7 carrying the feature. NO parquet
     file is touched: Spark's vectorized reader promotes the old narrow
@@ -1992,8 +1992,13 @@ def widen_delta_column(path: str, column: str, new_type: str) -> int:
                 "and decimal precision/scale growth)"
             )
         meta = dict(f.get("metadata") or {})
-        meta["delta.typeWidening"] = list(
-            meta.get("delta.typeWidening") or []
+        # ADVICE r8: the protocol's provenance key is
+        # ``delta.typeChanges`` (PROTOCOL.md "Type Widening" — Writer
+        # Requirements record type changes under typeChanges), not a
+        # typeWidening-named field key; external Delta readers look it
+        # up under the spec name.
+        meta["delta.typeChanges"] = list(
+            meta.get("delta.typeChanges") or []
         ) + [
             {
                 "fromType": old_type,

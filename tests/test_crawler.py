@@ -266,3 +266,35 @@ def test_convert_feasibility_dry_runs_leave_no_trace(spark, tmp_path):
     assert feas["i"]["to_hudi"] == "ok (via delta)"
     assert feas["h"]["to_delta"] == "ok"
     assert feas["h"]["to_iceberg"] == "ok (via delta)"
+
+
+def test_convert_feasibility_nongate_error_does_not_crash_report(
+    spark, tmp_path
+):
+    """ADVICE r8 (crawler _probe): converters raise TypeError for
+    unsupported types (variant) — one such table must map to a
+    distinct 'error' status instead of crashing the whole per-lake
+    feasibility report."""
+    from pyspark.sql import functions as F
+
+    from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.sources.delta_native import write_delta
+
+    lake = str(tmp_path / "lake_err")
+    os.makedirs(lake)
+    nation = load(spark, SF_DIR, "nation")
+    write_delta(nation, f"{lake}/ok_d", "overwrite")
+    write_delta(
+        nation.select(
+            "n_nationkey",
+            F.parse_json(
+                F.format_string('{"k": %s}', "n_regionkey")
+            ).alias("v"),
+        ),
+        f"{lake}/variant_d",
+        "overwrite",
+    )
+    feas = {r["dataset"]: r for r in crawler.convert_feasibility(spark, lake)}
+    assert feas["ok_d"]["to_iceberg"] == "ok"
+    assert feas["variant_d"]["to_iceberg"] == "error"
+    assert feas["variant_d"]["to_hudi"] in ("ok", "blocked", "error")

@@ -90,7 +90,7 @@ def test_widen_protocol_and_provenance(spark, int_table):
     assert "typeWidening" in prot["readerFeatures"]
     assert "typeWidening" in prot["writerFeatures"]
     f = [f for f in _schema_fields(int_table) if f["name"] == "qty"][0]
-    assert f["metadata"]["delta.typeWidening"] == [
+    assert f["metadata"]["delta.typeChanges"] == [
         {"fromType": "integer", "toType": "long", "tableVersion": v}
     ]
 
@@ -103,7 +103,7 @@ def test_widen_provenance_survives_append(spark, int_table):
         "append",
     )
     f = [f for f in _schema_fields(int_table) if f["name"] == "qty"][0]
-    assert f["metadata"].get("delta.typeWidening"), (
+    assert f["metadata"].get("delta.typeChanges"), (
         "append re-commits metaData; the widening provenance must ride along"
     )
 
@@ -115,7 +115,7 @@ def test_widen_twice_accumulates_provenance(spark, tmp_path):
     dn.widen_delta_column(path, "b", "short")
     dn.widen_delta_column(path, "b", "integer")
     f = _schema_fields(path)[0]
-    hops = f["metadata"]["delta.typeWidening"]
+    hops = f["metadata"]["delta.typeChanges"]
     assert [(h["fromType"], h["toType"]) for h in hops] == [
         ("byte", "short"),
         ("short", "integer"),
