@@ -641,3 +641,118 @@ def test_equality_deletes_convert_with_compact_source_opt_in(spark, tmp_path):
     assert sorted(
         r["n_nationkey"] for r in ice.read_iceberg(spark, pi).collect()
     ) == got
+
+
+# -------------------------------------------------- r9 ADVICE closures
+
+
+def test_append_onto_converted_cm_table_stages_physical_names(
+    spark, tmp_path
+):
+    """ADVICE r8 (iceberg_native write_iceberg): appending onto a
+    converted COLUMN-MAPPED table used to stage files under logical
+    names while the persisted name mapping reads every file under the
+    physical col-<uuid> names — silently serving NULL for every
+    appended column. The append now stages its files under the
+    mapping's physical names, so the name-mapped read resolves them
+    like the converted files."""
+    import pyarrow.parquet as pq
+
+    src = load(spark, SF_DIR, "nation")
+    pd_, pi = str(tmp_path / "cma"), str(tmp_path / "cma_ice")
+    dn.write_delta_column_mapped(
+        src.where("n_nationkey < 20"), pd_, "overwrite"
+    )
+    convert_delta_to_iceberg(spark, pd_, pi)
+    ice.write_iceberg(
+        src.where("n_nationkey >= 20"), pi, "append", format_version=2
+    )
+    out = ice.read_iceberg(spark, pi)
+    assert out.columns == src.columns
+    rows = {r["n_nationkey"]: r["n_name"] for r in out.collect()}
+    assert sorted(rows) == list(range(25))
+    assert all(v is not None for v in rows.values()), (
+        "appended rows must serve real values, not the silent NULLs "
+        "of a logical-named file under a physical name mapping"
+    )
+    # the appended file itself stores the PHYSICAL names
+    new_files = glob.glob(os.path.join(pi, "data", "*.parquet"))
+    assert new_files
+    stored = set(pq.read_schema(new_files[0]).names)
+    assert not stored & set(src.columns)
+
+
+def test_append_onto_partitioned_converted_table_refused(spark, tmp_path):
+    """A partitioned converted table's identity basePath is the SOURCE
+    root — an appended file under this table's data/ would fail the
+    basePath-ancestor check at scan; refuse at write time."""
+    src = load(spark, SF_DIR, "nation")
+    pd_, pi = str(tmp_path / "pc"), str(tmp_path / "pc_ice")
+    dn.write_delta(src, pd_, "overwrite", partition_by=["n_regionkey"])
+    convert_delta_to_iceberg(spark, pd_, pi)
+    with pytest.raises(NotImplementedError, match="PARTITIONED converted"):
+        ice.write_iceberg(
+            src, pi, "append",
+            partition_by=["n_regionkey"], format_version=2,
+        )
+
+
+def test_overwrite_onto_cm_converted_table_refused(spark, tmp_path):
+    """Overwrite would re-key field ids against the persisted physical
+    name mapping — refuse loudly instead of nulling."""
+    src = load(spark, SF_DIR, "nation")
+    pd_, pi = str(tmp_path / "cmo"), str(tmp_path / "cmo_ice")
+    dn.write_delta_column_mapped(src, pd_, "overwrite")
+    convert_delta_to_iceberg(spark, pd_, pi)
+    with pytest.raises(NotImplementedError, match="physical"):
+        ice.write_iceberg(src, pi, "overwrite", format_version=2)
+
+
+def test_nested_cm_append_stages_physical_struct_members(spark, tmp_path):
+    """Struct members rename through the same physical staging (one
+    cast, the inverse of the scan's physical→logical projection)."""
+    src = load(spark, SF_DIR, "nation")
+    nested = src.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("nm"), F.col("n_regionkey").alias("rk")
+        ).alias("info"),
+    )
+    pd_, pi = str(tmp_path / "ncma"), str(tmp_path / "ncma_ice")
+    dn.write_delta_column_mapped(
+        nested.where("n_nationkey < 15"), pd_, "overwrite"
+    )
+    convert_delta_to_iceberg(spark, pd_, pi)
+    ice.write_iceberg(
+        nested.where("n_nationkey >= 15"), pi, "append", format_version=2
+    )
+    got = sorted(
+        (r["n_nationkey"], r["info"]["nm"], r["info"]["rk"])
+        for r in ice.read_iceberg(spark, pi).collect()
+    )
+    assert got == sorted(
+        (r["n_nationkey"], r["info"]["nm"], r["info"]["rk"])
+        for r in nested.collect()
+    )
+
+
+def test_partitioned_absolute_delta_to_iceberg_refused(spark, tmp_path):
+    """ADVICE r8 (convert.py): a partitioned Delta table whose adds
+    are absolute paths (itself converted from Iceberg) has no hive
+    dirs of its own — publishing Iceberg metadata over it would set
+    dlc.convert.base-path to the WRONG root and every read would fail
+    the basePath-ancestor check. The gate refuses, in dry_run too."""
+    src = load(spark, SF_DIR, "nation")
+    pi1 = str(tmp_path / "srcice")
+    pd_ = str(tmp_path / "absd")
+    pi2 = str(tmp_path / "absd_ice")
+    ice.write_iceberg(
+        src, pi1, "overwrite",
+        partition_by=["n_regionkey"], format_version=2,
+    )
+    convert_iceberg_to_delta(spark, pi1, pd_)
+    with pytest.raises(NotImplementedError, match="absolute path"):
+        convert_delta_to_iceberg(spark, pd_, pi2, dry_run=True)
+    with pytest.raises(NotImplementedError, match="absolute path"):
+        convert_delta_to_iceberg(spark, pd_, pi2)
+    assert not os.path.exists(os.path.join(pi2, "metadata"))

@@ -1554,10 +1554,8 @@ def test_rename_column_metadata_only(spark, tmp_path):
     ice.compact_iceberg_deletes(spark, p2)
     ice.rename_iceberg_column(p2, "n_name", "x")
     assert "x" in read_iceberg(spark, p2).columns
-    p3 = str(tmp_path / "ice_rename_part")
-    write_iceberg(src, p3, "overwrite", partition_by=["n_regionkey"])
-    with pytest.raises(NotImplementedError, match="partition-spec source"):
-        ice.rename_iceberg_column(p3, "n_regionkey", "rk")
+    # partition-spec source renames are wired since r9 — see
+    # test_rename_partition_source_column_metadata_only
 
 
 def test_add_and_drop_column_metadata_only(spark, tmp_path):
@@ -2136,3 +2134,130 @@ def test_row_lineage_refuses_v2(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="format-v3"):
         ice.read_iceberg(spark, p, row_lineage=True)
+
+
+# ---------------------------------------------- r9: spec-source DDL
+
+
+def test_rename_partition_source_column_metadata_only(spark, tmp_path):
+    """Renaming the column an IDENTITY partition spec derives from is
+    metadata-only (VERDICT r8 top_next): the spec field name — which
+    the hive dirs and r102 record keys carry — stays frozen; only the
+    schema field renames (source-id pairing unchanged). Scans project
+    dir name → schema name, partition pruning answers to the NEW
+    name, and appends stated on the new name stage their dirs under
+    the frozen spec name so old and new manifests stay uniform."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_rename_specsrc")
+    src = load(spark, SF_DIR, "nation")
+    write_iceberg(
+        src.where("n_nationkey < 15"), path, "overwrite",
+        partition_by=["n_regionkey"], format_version=2,
+    )
+    data_before = sorted(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    ice.rename_iceberg_column(path, "n_regionkey", "rk")
+    assert sorted(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                  recursive=True)
+    ) == data_before, "rename must not rewrite data files"
+    out = read_iceberg(spark, path)
+    assert "rk" in out.columns and "n_regionkey" not in out.columns
+    got = {r["n_nationkey"]: r["rk"] for r in out.collect()}
+    want = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in src.where("n_nationkey < 15").collect()
+    }
+    assert got == want
+    # partition pruning by the NEW name
+    pruned = read_iceberg(spark, path, partition_filter={"rk": 2})
+    assert sorted(r["n_nationkey"] for r in pruned.collect()) == sorted(
+        k for k, v in want.items() if v == 2
+    )
+    with pytest.raises(ValueError, match="non-source"):
+        read_iceberg(spark, path, partition_filter={"n_regionkey": 2})
+    # append AFTER the rename, stated on the new name
+    write_iceberg(
+        src.where("n_nationkey >= 15").withColumnRenamed(
+            "n_regionkey", "rk"
+        ),
+        path, "append", partition_by=["rk"], format_version=2,
+    )
+    full = {r["n_nationkey"]: r["rk"] for r in
+            read_iceberg(spark, path).collect()}
+    assert sorted(full) == list(range(25))
+    # the appended files landed under the FROZEN spec-name dirs
+    assert not glob.glob(os.path.join(path, "data", "rk=*")), (
+        "dirs must stay uniform under the frozen spec field name"
+    )
+    # pruning spans pre- and post-rename manifests
+    pruned2 = read_iceberg(spark, path, partition_filter={"rk": 2})
+    assert sorted(r["n_nationkey"] for r in pruned2.collect()) == sorted(
+        r["n_nationkey"] for r in src.where("n_regionkey = 2").collect()
+    )
+
+
+def test_widen_partition_source_column_metadata_only(spark, tmp_path):
+    """int→long on an identity partition source is metadata-only:
+    dir strings parse natively under the wide type, pre-widen 4-byte
+    summary bounds decode width-aware, and appends under the wide
+    type interleave with pruning across both generations."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_widen_specsrc")
+    rows = spark.createDataFrame(
+        [(k, k % 3, f"v{k}") for k in range(12)], "k int, p int, v string"
+    )
+    write_iceberg(rows, path, "overwrite", partition_by=["p"],
+                  format_version=2)
+    data_before = sorted(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    ice.widen_iceberg_column(path, "p", "long")
+    assert sorted(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                  recursive=True)
+    ) == data_before
+    out = read_iceberg(spark, path)
+    assert dict(out.dtypes)["p"] == "bigint"
+    assert sorted((r["k"], r["p"]) for r in out.collect()) == [
+        (k, k % 3) for k in range(12)
+    ]
+    # pruned read decodes the pre-widen int bounds width-aware
+    pruned = read_iceberg(spark, path, partition_filter={"p": 1})
+    assert sorted(r["k"] for r in pruned.collect()) == [1, 4, 7, 10]
+    # append under the wide type; pruning spans int and long manifests
+    more = spark.createDataFrame(
+        [(k, k % 3, f"v{k}") for k in range(12, 18)],
+        "k int, p long, v string",
+    )
+    write_iceberg(more, path, "append", partition_by=["p"],
+                  format_version=2)
+    pruned2 = read_iceberg(spark, path, partition_filter={"p": 1})
+    assert sorted(r["k"] for r in pruned2.collect()) == [
+        1, 4, 7, 10, 13, 16
+    ]
+
+
+def test_widen_bucket_spec_source_column(spark, tmp_path):
+    """int→long under a BUCKET spec: the spec hashes int and long
+    identically (8-byte LE) — which is exactly why the promotion is
+    legal; bucket pruning still serves the right rows after."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice_widen_bucket")
+    rows = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(20)], "k int, v string"
+    )
+    write_iceberg(rows, path, "overwrite", partition_by=["bucket(4, k)"],
+                  format_version=2)
+    ice.widen_iceberg_column(path, "k", "long")
+    out = read_iceberg(spark, path)
+    assert dict(out.dtypes)["k"] == "bigint"
+    pruned = read_iceberg(spark, path, partition_filter={"k": 7})
+    assert 7 in {r["k"] for r in pruned.collect()}
+    assert pruned.count() < 20  # actually pruned to one bucket
