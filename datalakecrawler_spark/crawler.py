@@ -670,8 +670,12 @@ def convert_feasibility(spark: SparkSession, root: str) -> list[dict]:
         try:
             thunk()
             return "ok"
-        except NotImplementedError:
-            return "blocked"
+        except NotImplementedError as e:
+            # r9 (VERDICT r8 #2): gates that name a shipped compaction
+            # (MoR log backlog, Iceberg equality deletes) are
+            # feasible-with-compact — the converter runs it itself
+            # under compact_source=True — not hard blocks
+            return "ok (compact first)" if "compact" in str(e) else "blocked"
         except (TypeError, ValueError):
             # ADVICE r8: converters raise TypeError (unsupported
             # types, e.g. variant in _spark_type_to_ice) and
@@ -740,6 +744,8 @@ def convert_feasibility(spark: SparkSession, root: str) -> list[dict]:
             row["to_iceberg"] = (
                 "ok (via delta)"
                 if leg == "ok"
+                else "ok (via delta, compact first)"
+                if leg == "ok (compact first)"
                 else ("error" if leg == "error" else "blocked")
             )
         out.append(row)
@@ -758,7 +764,11 @@ def convert_feasibility(spark: SparkSession, root: str) -> list[dict]:
     select 'nation_ice_bucket', 'iceberg', 'ok', 'is', 'ok (via delta)',
            (select count(*) from nation)
     union all
-    select 'nation_ice_eq', 'iceberg', 'blocked', 'is', 'blocked',
+    select 'nation_hudi_mor', 'hudi', 'ok (compact first)',
+           'ok (via delta, compact first)', 'is',
+           (select count(*) from nation)
+    union all
+    select 'nation_ice_eq', 'iceberg', 'ok (compact first)', 'is', 'blocked',
            (select count(*) from nation where n_nationkey <> 1)
     union all
     select 'nation_ice_pos', 'iceberg', 'ok', 'is', 'blocked',
@@ -775,13 +785,16 @@ def convert_feasibility(spark: SparkSession, root: str) -> list[dict]:
 def crawl_convert_feasibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-ext: the crawler's FORMAT-INTEROP report over a mixed lake —
     which tables can switch engines metadata-only, right now, and
-    which are blocked by a real gate. Six tables cover the gate
+    which are blocked by a real gate. Seven tables cover the gate
     matrix: a partitioned Delta (both edges open), a DV-bearing Delta
     (Hudi refuses row-level deletes), an equality-delete Iceberg
-    (value-keyed — both edges blocked until compaction), a
-    positional-delete Iceberg (Delta DVs carry it; Hudi still
-    refuses), a bucket-spec Iceberg (both edges open — the source
-    column is in the file bytes), and a CoW Hudi (both open). The
+    (value-keyed — feasible-with-compact toward Delta since r9, the
+    converter auto-compacts under compact_source=True; Hudi still
+    refuses the resulting DVs), a positional-delete Iceberg (Delta
+    DVs carry it; Hudi refuses), a bucket-spec Iceberg (both edges
+    open — the source column is in the file bytes), a CoW Hudi (both
+    open), and a MoR Hudi with an unmerged log backlog
+    (feasible-with-compact on both edges, r9 — VERDICT r8 #2). The
     dry-run probes execute the converters' REAL gates, so a gate
     regression flips this row set; num_rows is recomputed from the
     live snapshot through each native reader, which the oracle
@@ -829,6 +842,17 @@ def crawl_convert_feasibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_hudi(
         load(spark, sf_dir, "customer"), f"{lake}/cust_hudi", "c_custkey",
         "19700101000000001", op="bulk_insert",
+    )
+    from datalakecrawler_spark.sources.hudi_native import write_hudi_mor
+
+    write_hudi_mor(
+        nation, f"{lake}/nation_hudi_mor", "n_nationkey",
+        "19700101000000001", op="bulk_insert",
+    )
+    write_hudi_mor(
+        nation.where("n_nationkey = 1").withColumn("n_name", F.lit("X")),
+        f"{lake}/nation_hudi_mor", "n_nationkey",
+        "19700101000000002", op="upsert",
     )
     feas = convert_feasibility(spark, lake)
     counts = {

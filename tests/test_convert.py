@@ -756,3 +756,36 @@ def test_partitioned_absolute_delta_to_iceberg_refused(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="absolute path"):
         convert_delta_to_iceberg(spark, pd_, pi2)
     assert not os.path.exists(os.path.join(pi2, "metadata"))
+
+
+def test_mor_convert_with_compact_source_opt_in(spark, tmp_path):
+    """convert_hudi_to_delta(compact_source=True) composes the shipped
+    MoR compaction (one consented instant on the source, log backlog
+    folded into new bases) then converts; without the flag the gate
+    still refuses with the recipe."""
+    from datalakecrawler_spark.sources import hudi_native as hn
+    from datalakecrawler_spark.sources.convert import convert_hudi_to_delta
+
+    ph = str(tmp_path / "mor_cs")
+    src = load(spark, SF_DIR, "nation")
+    hn.write_hudi_mor(src, ph, "n_nationkey", "20240101000000",
+                      op="bulk_insert")
+    hn.write_hudi_mor(
+        src.where("n_nationkey = 1").withColumn("n_name", F.lit("X")),
+        ph, "n_nationkey", "20240102000000", op="upsert",
+    )
+    with pytest.raises(NotImplementedError, match="compact_source=True"):
+        convert_hudi_to_delta(spark, ph, str(tmp_path / "d"))
+    res = convert_hudi_to_delta(
+        spark, ph, str(tmp_path / "d"), compact_source=True
+    )
+    assert res["rows"] == 25 and res["files_copied"] == 0
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in dn.read_delta(spark, str(tmp_path / "d")).collect()
+    }
+    assert got[1] == "X" and len(got) == 25
+    # the compaction instant landed on the SOURCE timeline,
+    # deterministically as the successor of the latest instant
+    tl = hn._mor_timeline(ph)
+    assert ("20240102000001", "commit") in tl, tl
