@@ -630,23 +630,43 @@ def _read_metadata(path: str) -> dict:
         # lineage metadata (next-row-id / first-row-id) is ignorable
         # for plain scans, new types already refuse in the type
         # mapper, puffin DELETION VECTORS are implemented (see
-        # add_deletion_vectors / _scan_state), and TOP-LEVEL field
-        # DEFAULT VALUES are wired (r8: _scan_state substitutes
-        # initial-default per-file from footer field-id presence).
-        # What still refuses: defaults buried inside nested struct
-        # types — reading those as NULL would be silent wrong data.
+        # add_deletion_vectors / _scan_state), and field DEFAULT
+        # VALUES are wired for top-level columns (r8) AND along pure
+        # struct paths (r9, VERDICT r8 #3: _scan_state substitutes
+        # per-file from recursive footer presence via withField).
+        # What still refuses: defaults buried inside LIST/MAP element
+        # types, and complex-typed defaults — reading those as NULL
+        # would be silent wrong data.
+        def _unreadable_defaults(t) -> bool:
+            if not isinstance(t, dict):
+                return False
+            if t.get("type") == "struct":
+                for sf in t["fields"]:
+                    ft = sf.get("type")
+                    if sf.get("initial-default") is not None and not (
+                        isinstance(ft, str)
+                    ):
+                        return True
+                    if _unreadable_defaults(ft):
+                        return True
+                return False
+            # list/map subtree: any default below it is unreachable
+            # by the struct-path substitution
+            return "initial-default" in json.dumps(t)
+
         nested_defaulted = [
             f["name"]
             for f in meta.get("schema", {}).get("fields", [])
             if isinstance(f.get("type"), dict)
-            and "initial-default" in json.dumps(f["type"])
+            and _unreadable_defaults(f["type"])
         ]
         if nested_defaulted:
             raise NotImplementedError(
-                "format v3 default values on NESTED fields (inside "
-                f"columns {nested_defaulted}) are not wired (reading "
-                "them as NULL would be silent wrong data); top-level "
-                "column defaults are supported"
+                "format v3 default values inside LIST/MAP element "
+                f"types or on complex-typed fields (columns "
+                f"{nested_defaulted}) are not wired (reading them as "
+                "NULL would be silent wrong data); top-level and "
+                "struct-path column defaults are supported"
             )
     return meta
 
@@ -1063,12 +1083,27 @@ def _scan_state(
         )
         reader = reader.option("basePath", base)
     out = reader.parquet(*files)
-    defaulted = [
-        f
-        for f in meta["schema"]["fields"]
-        if f.get("initial-default") is not None
-        and isinstance(f.get("type"), str)
-    ]
+
+    def _collect_defaulted(fields, prefix):
+        # primitive initial-defaults at any depth along pure STRUCT
+        # paths (r9); list/map-buried defaults were refused at the
+        # metadata gate
+        ents = []
+        for f in fields:
+            p = (prefix + "." if prefix else "") + f["name"]
+            if f.get("initial-default") is not None and isinstance(
+                f.get("type"), str
+            ):
+                ents.append(
+                    {"path": p, "id": f["id"],
+                     "default": f["initial-default"]}
+                )
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                ents += _collect_defaulted(t["fields"], p)
+        return ents
+
+    defaulted = _collect_defaulted(meta["schema"]["fields"], "")
     if delete_files or dv_entries or eq_deletes or keep_rowmeta or defaulted:
         # Capture the hidden _metadata struct ONCE, before any join or
         # projection — those no longer expose it, and all delete
@@ -1125,26 +1160,44 @@ def _scan_state(
 
         from pyspark.sql import functions as _F
 
-        def _present(fpath: str) -> set:
+        import pyarrow as _pa
+
+        def _present(fpath: str):
+            # (field ids at any depth, top-level names, dotted paths)
             sch = _pq.read_schema(fpath)
-            ids, names = set(), set()
-            for i in range(len(sch)):
-                fld = sch.field(i)
-                names.add(fld.name)
+            ids, top, paths = set(), set(), set()
+
+            def walk(fld, prefix):
+                name = (prefix + "." if prefix else "") + fld.name
+                paths.add(name)
+                if not prefix:
+                    top.add(fld.name)
                 m = fld.metadata or {}
                 if b"PARQUET:field_id" in m:
                     ids.add(int(m[b"PARQUET:field_id"]))
-            return ids or names
+                if _pa.types.is_struct(fld.type):
+                    for j in range(fld.type.num_fields):
+                        walk(fld.type.field(j), name)
+
+            for i in range(len(sch)):
+                walk(sch.field(i), "")
+            return ids, top, paths
+
+        def _missing(ent, ids, top, paths) -> bool:
+            if "." in ent["path"]:
+                # nested members carry no stamped ids in our writer's
+                # files — dotted-path presence is the signal
+                return ent["id"] not in ids and ent["path"] not in paths
+            have = ids or top
+            return ent["id"] not in have and ent["path"] not in have
+
         map_rows = []
         for fpath in files:
-            have = _present(fpath)
+            ids, top, paths = _present(fpath)
             map_rows.append(
                 tuple(
                     [_spark_file_uri(fpath)]
-                    + [
-                        (f["id"] not in have and f["name"] not in have)
-                        for f in defaulted
-                    ]
+                    + [_missing(f, ids, top, paths) for f in defaulted]
                 )
             )
         miss_cols = [f"__dlc_miss_{i}" for i in range(len(defaulted))]
@@ -1157,9 +1210,11 @@ def _scan_state(
         )
         out = out.join(_F.broadcast(map_df), "__dlc_file_uri", "left")
         for i, f in enumerate(defaulted):
-            dtype = schema[f["name"]].dataType
-            out = out.withColumn(
-                f["name"],
+            parts = f["path"].split(".")
+            dtype = schema[parts[0]].dataType
+            for p in parts[1:]:
+                dtype = dtype[p].dataType
+            guarded = (
                 _F.when(
                     _F.col(miss_cols[i]).isNull(),
                     _F.raise_error(
@@ -1167,16 +1222,33 @@ def _scan_state(
                             "default-value scan URI drift: row's file "
                             "URI missed the footer presence map — "
                             "refusing a scan that could serve NULL for "
-                            f"defaulted column {f['name']!r}"
+                            f"defaulted column {f['path']!r}"
                         )
                     ).cast(dtype),
                 )
                 .when(
                     _F.col(miss_cols[i]),
-                    _F.lit(f["initial-default"]).cast(dtype),
+                    _F.lit(f["default"]).cast(dtype),
                 )
-                .otherwise(_F.col(f["name"])),
+                .otherwise(_F.col(f["path"]))
             )
+            if len(parts) == 1:
+                out = out.withColumn(parts[0], guarded)
+            else:
+                # nested member: rebuild the enclosing struct(s) via
+                # withField — codegen'd, and NULL structs stay NULL
+                # (their members don't exist, so no default applies)
+                def _rebuild(colexpr, sub):
+                    if len(sub) == 1:
+                        return colexpr.withField(sub[0], guarded)
+                    return colexpr.withField(
+                        sub[0],
+                        _rebuild(colexpr.getField(sub[0]), sub[1:]),
+                    )
+
+                out = out.withColumn(
+                    parts[0], _rebuild(_F.col(parts[0]), parts[1:])
+                )
         out = out.drop(*miss_cols)
         # restore the committed column order (the join moved the key
         # column first)
@@ -3096,11 +3168,32 @@ def add_iceberg_column(
     NULLs, read as stored."""
     meta = _read_metadata(path)
     fields = meta["schema"]["fields"]
-    if name in {f["name"] for f in fields}:
+    # dotted names address STRUCT members (r9, VERDICT r8 #3):
+    # "info.c" appends member c to struct column info — same
+    # metadata-only cost, same fresh-id rule, and initial-defaults
+    # project through the struct path at scan (_scan_state)
+    target_fields, leaf = fields, name
+    if "." in name:
+        parts = name.split(".")
+        for p in parts[:-1]:
+            by = {f["name"]: f for f in target_fields}
+            if p not in by:
+                raise ValueError(
+                    f"no column {p!r} on the path {name!r} "
+                    f"(have {sorted(by)})"
+                )
+            t = by[p].get("type")
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise ValueError(
+                    f"{p!r} on the path {name!r} is not a struct"
+                )
+            target_fields = t["fields"]
+        leaf = parts[-1]
+    if leaf in {f["name"] for f in target_fields}:
         raise ValueError(f"column {name!r} already exists")
     _ice_type_to_spark(ice_type)  # validates the type string
     fid = meta.get("last-column-id", len(fields)) + 1
-    field = {"id": fid, "name": name, "required": False, "type": ice_type}
+    field = {"id": fid, "name": leaf, "required": False, "type": ice_type}
     if initial_default is not None:
         if meta.get("format-version", 1) < 3:
             raise ValueError(
@@ -3114,7 +3207,7 @@ def add_iceberg_column(
             )
         field["initial-default"] = initial_default
         field["write-default"] = initial_default
-    fields.append(field)
+    target_fields.append(field)
     meta["last-column-id"] = fid
     version = (
         max(
@@ -6063,4 +6156,76 @@ def scan_iceberg_widen_partition_col(
     return out.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("n_nationkey").alias("key_sum"),
+    )
+
+
+@register(
+    "scan_iceberg_column_defaults_nested",
+    group="A",
+    oracle=f"""
+    with epoch1 as (
+      select o_orderkey, o_totalprice, 'legacy' as src
+      from orders where o_orderkey % 2 = 0
+    ), epoch2 as (
+      select o_orderkey, o_totalprice,
+             case when o_orderkey % 3 = 0 then null else 'web' end as src
+      from orders where o_orderkey % 2 = 1
+    ), unioned as (
+      select * from epoch1 union all select * from epoch2
+    )
+    select src, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from unioned group by src
+    """,
+)
+def scan_iceberg_column_defaults_nested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-ext (r9, VERDICT r8 #3): format v3 DEFAULT VALUES on a
+    NESTED struct member. Half the orders commit carrying a struct
+    column; ADD COLUMN meta.src with an initial-default lands as one
+    metadata publish (asserted: zero data files touched) — the member
+    gets a fresh field id inside the struct type; the other half
+    appends WITH the member including EXPLICIT NULLs. The scan
+    substitutes the default through the struct path (withField over
+    one broadcast O(files) footer-presence side-table — codegen'd, no
+    Python on the rows) for pre-ADD files only; stored values and
+    explicit NULLs read as stored. Flattened grouped aggregate,
+    recomputed relationally by the oracle."""
+    path = _fresh(_tmp("orders_iceberg_defaults_nested"))
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_iceberg(
+        base.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice",
+            F.struct(F.col("o_orderpriority").alias("priority")).alias(
+                "meta"
+            ),
+        ),
+        path, "overwrite", format_version=3,
+    )
+    data_before = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))
+    add_iceberg_column(path, "meta.src", "string", initial_default="legacy")
+    assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) == (
+        data_before
+    ), "nested ADD COLUMN with default must be metadata-only"
+    write_iceberg(
+        base.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice",
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.when(
+                    F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string")
+                )
+                .otherwise(F.lit("web"))
+                .alias("src"),
+            ).alias("meta"),
+        ),
+        path, "append", format_version=3,
+    )
+    out = read_iceberg(spark, path)
+    return out.groupBy(F.col("meta.src").alias("src")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
     )

@@ -141,9 +141,10 @@ def test_capability_gates(table, spark, tmp_path):
         fh.write("1")
     with pytest.raises(NotImplementedError, match="format v4"):
         read_iceberg(spark, p2)
-    # top-level defaults are SERVED since r8; the remaining v3 gate
-    # is defaults buried inside NESTED struct types
-    p3 = str(tmp_path / "ice_v3_nested_defaults")
+    # top-level defaults are SERVED since r8, struct-path defaults
+    # since r9; the remaining v3 gate is defaults buried inside
+    # LIST/MAP element types
+    p3 = str(tmp_path / "ice_v3_listburied_defaults")
     os.makedirs(os.path.join(p3, "metadata"))
     with open(os.path.join(p3, "metadata", "v1.metadata.json"), "w") as fh:
         json.dump(
@@ -151,11 +152,14 @@ def test_capability_gates(table, spark, tmp_path):
                 "format-version": 3,
                 "schema": {
                     "fields": [
-                        {"id": 1, "name": "st", "required": False,
-                         "type": {"type": "struct", "fields": [
-                             {"id": 2, "name": "k", "required": False,
-                              "type": "int", "initial-default": 7}
-                         ]}}
+                        {"id": 1, "name": "arr", "required": False,
+                         "type": {"type": "list", "element-id": 2,
+                                  "element-required": False,
+                                  "element": {"type": "struct", "fields": [
+                                      {"id": 3, "name": "k",
+                                       "required": False, "type": "int",
+                                       "initial-default": 7}
+                                  ]}}}
                     ]
                 },
             },
@@ -163,7 +167,7 @@ def test_capability_gates(table, spark, tmp_path):
         )
     with open(os.path.join(p3, "metadata", "version-hint.text"), "w") as fh:
         fh.write("1")
-    with pytest.raises(NotImplementedError, match="NESTED"):
+    with pytest.raises(NotImplementedError, match="LIST/MAP"):
         read_iceberg(spark, p3)
 
 
@@ -1963,32 +1967,66 @@ def test_column_default_refuses_on_v2(spark, tmp_path):
         ice.add_iceberg_column(p, "x", "long", initial_default=1)
 
 
-def test_nested_default_still_gates(spark, tmp_path):
-    """Defaults buried inside struct types stay refused — the narrowed
-    r8 gate."""
-    import glob as g
-    import json as j
-    import os as o
-
-    import pytest as _pytest
-
+def test_nested_struct_member_defaults_served(spark, tmp_path):
+    """Struct-path defaults are SERVED since r9 (VERDICT r8 #3):
+    adding a member with initial-default to an existing struct column
+    is metadata-only; pre-ADD files read the default through the
+    struct path, post-ADD rows read AS STORED (explicit NULLs
+    included), and a NULL struct stays NULL — its members do not
+    exist, so no default applies."""
     from datalakecrawler_spark.sources import iceberg_native as ice
 
     p = str(tmp_path / "defaults_nested")
-    ice.write_iceberg(
-        spark.createDataFrame([(1, (2, "x"))], "id long, st struct<a:long,b:string>"),
-        p, "overwrite", format_version=3,
+    df1 = spark.createDataFrame(
+        [(1, (10, "a")), (2, (20, "b"))],
+        "id long, st struct<a:long,b:string>",
     )
-    metas = sorted(g.glob(o.path.join(p, "metadata", "v*.metadata.json")))
-    with open(metas[-1]) as fh:
-        meta = j.load(fh)
-    for f in meta["schema"]["fields"]:
-        if isinstance(f.get("type"), dict):
-            f["type"]["fields"][0]["initial-default"] = 5
-    with open(metas[-1], "w") as fh:
-        j.dump(meta, fh)
-    with _pytest.raises(NotImplementedError, match="NESTED"):
-        ice.read_iceberg(spark, p)
+    ice.write_iceberg(df1, p, "overwrite", format_version=3)
+    data_before = sorted(glob.glob(os.path.join(p, "data", "*.parquet")))
+    ice.add_iceberg_column(p, "st.c", "long", initial_default=5)
+    assert sorted(glob.glob(os.path.join(p, "data", "*.parquet"))) == (
+        data_before
+    ), "nested ADD with default must be metadata-only"
+    got = {
+        r["id"]: (r["st"]["a"], r["st"]["c"])
+        for r in ice.read_iceberg(spark, p).collect()
+    }
+    assert got == {1: (10, 5), 2: (20, 5)}
+    # a member existing in the files reads AS STORED, never defaulted
+    df2 = spark.createDataFrame(
+        [(3, (30, "c", 99)), (4, (40, "d", None)), (5, None)],
+        "id long, st struct<a:long,b:string,c:long>",
+    )
+    ice.write_iceberg(df2, p, "append", format_version=3)
+    got2 = {
+        r["id"]: (None if r["st"] is None else r["st"]["c"])
+        for r in ice.read_iceberg(spark, p).collect()
+    }
+    assert got2 == {1: 5, 2: 5, 3: 99, 4: None, 5: None}
+    # gates: path through a non-struct refuses; duplicate refuses
+    with pytest.raises(ValueError, match="not a struct"):
+        ice.add_iceberg_column(p, "id.x", "long")
+    with pytest.raises(ValueError, match="already exists"):
+        ice.add_iceberg_column(p, "st.c", "long")
+
+
+def test_nested_default_depth_two(spark, tmp_path):
+    """Defaults project through multiple struct levels."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    p = str(tmp_path / "defaults_depth2")
+    df1 = spark.createDataFrame(
+        [(1, ((7,),)), (2, ((8,),))],
+        "id long, outer struct<inner:struct<x:long>>",
+    )
+    ice.write_iceberg(df1, p, "overwrite", format_version=3)
+    ice.add_iceberg_column(p, "outer.inner.y", "string",
+                           initial_default="dflt")
+    got = {
+        r["id"]: (r["outer"]["inner"]["x"], r["outer"]["inner"]["y"])
+        for r in ice.read_iceberg(spark, p).collect()
+    }
+    assert got == {1: (7, "dflt"), 2: (8, "dflt")}
 
 
 # ----------------------------------------------------- type widening (r8)
