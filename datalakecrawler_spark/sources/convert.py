@@ -580,6 +580,14 @@ def convert_iceberg_to_delta(
             "or pass compact_source=True to run it here (commits one "
             "compaction snapshot on the SOURCE table)"
         )
+    if any(isinstance(f, tuple) for f in files):
+        # (path, fmt) tuples mark ORC/AVRO data files (r9) — the Delta
+        # protocol stores parquet add actions only
+        raise NotImplementedError(
+            "convert: the snapshot references non-parquet (ORC/AVRO) "
+            "data files — Delta tables are parquet-only; rewrite those "
+            "files first"
+        )
     # positional deletes (parquet delete files AND v3 Puffin DVs)
     # convert to Delta DELETION VECTORS below — both sides address
     # dead rows as (data file, position)

@@ -2299,3 +2299,99 @@ def test_widen_bucket_spec_source_column(spark, tmp_path):
     pruned = read_iceberg(spark, path, partition_filter={"k": 7})
     assert 7 in {r["k"] for r in pruned.collect()}
     assert pruned.count() < 20  # actually pruned to one bucket
+
+
+# ------------------------------------------- r9: non-parquet data files
+
+
+def test_import_avro_datafiles_mixed_scan(spark, tmp_path):
+    """import_iceberg_datafiles registers existing Avro containers as
+    one O(files) metadata commit; the scan unions the parquet epoch
+    (id-resolved) with the Avro epoch (native container decode) under
+    the committed schema. Row counts come from block headers."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+    from datalakecrawler_spark.sources.avro import write_avro
+
+    src = load(spark, SF_DIR, "nation")
+    p = str(tmp_path / "ice_avro_mix")
+    av = str(tmp_path / "avro_files")
+    write_iceberg(src.where("n_nationkey < 10"), p, "overwrite",
+                  format_version=2)
+    write_avro(src.where("n_nationkey >= 10").repartition(2), av).collect()
+    files = sorted(glob.glob(os.path.join(av, "*.avro")))
+    assert len(files) >= 1
+    ice.import_iceberg_datafiles(spark, p, files, "avro")
+    got = sorted(
+        (r["n_nationkey"], r["n_name"])
+        for r in read_iceberg(spark, p).collect()
+    )
+    assert got == sorted(
+        (r["n_nationkey"], r["n_name"]) for r in src.collect()
+    )
+    # zero copies: no new parquet, the avro bytes stay where they were
+    assert sorted(glob.glob(os.path.join(av, "*.avro"))) == files
+    # time travel: the parquet-only snapshot still serves
+    assert read_iceberg(spark, p, snapshot_id=1).count() == 10
+    # row-level deletes on a mixed-format snapshot refuse loudly
+    with pytest.raises(NotImplementedError, match="ORC/AVRO"):
+        ice.add_position_deletes(spark, p, "n_nationkey = 3")
+
+
+def test_import_orc_datafiles_and_parquet_append(spark, tmp_path):
+    """ORC files import into a NEW table (schema inferred via Spark's
+    ORC reader); a later parquet append through the normal writer
+    interleaves — one scan serves both formats."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    p = str(tmp_path / "ice_orc_new")
+    od = str(tmp_path / "orc_files")
+    src.where("n_nationkey < 15").repartition(2).write.orc(od)
+    ofiles = sorted(glob.glob(os.path.join(od, "*.orc")))
+    ice.import_iceberg_datafiles(spark, p, ofiles, "orc")
+    assert read_iceberg(spark, p).count() == 15
+    write_iceberg(src.where("n_nationkey >= 15"), p, "append",
+                  format_version=2)
+    got = sorted(r["n_nationkey"] for r in read_iceberg(spark, p).collect())
+    assert got == list(range(25))
+
+
+def test_import_parquet_records_name_mapping(spark, tmp_path):
+    """Foreign parquet (no footer field ids) imports with the spec's
+    identity name mapping so the id-resolved read doesn't null every
+    column; appending foreign parquet into an id-resolved table
+    refuses with the recipe."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    pdir = str(tmp_path / "pq_files")
+    src.repartition(2).write.parquet(pdir)
+    pfiles = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+    p = str(tmp_path / "ice_pq_imp")
+    ice.import_iceberg_datafiles(spark, p, pfiles, "parquet")
+    out = read_iceberg(spark, p)
+    assert out.where("n_name is not null").count() == 25
+    meta = ice._read_metadata(p)
+    assert "schema.name-mapping.default" in meta["properties"]
+    # an id-resolved table (written by write_iceberg) refuses foreign
+    # parquet imports
+    p2 = str(tmp_path / "ice_idtable")
+    write_iceberg(src, p2, "overwrite", format_version=2)
+    with pytest.raises(NotImplementedError, match="name-mapping"):
+        ice.import_iceberg_datafiles(spark, p2, pfiles, "parquet")
+
+
+def test_import_gates(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    p = str(tmp_path / "ice_part_imp")
+    write_iceberg(src, p, "overwrite", partition_by=["n_regionkey"],
+                  format_version=2)
+    od = str(tmp_path / "orc_g")
+    src.write.orc(od)
+    ofiles = sorted(glob.glob(os.path.join(od, "*.orc")))
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        ice.import_iceberg_datafiles(spark, p, ofiles, "orc")
+    with pytest.raises(ValueError, match="file_format"):
+        ice.import_iceberg_datafiles(spark, str(tmp_path / "x"), ofiles, "csv")
