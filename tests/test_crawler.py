@@ -298,3 +298,54 @@ def test_convert_feasibility_nongate_error_does_not_crash_report(
     assert feas["ok_d"]["to_iceberg"] == "ok"
     assert feas["variant_d"]["to_iceberg"] == "error"
     assert feas["variant_d"]["to_hudi"] in ("ok", "blocked", "error")
+
+
+def test_lakehouse_cursor_incremental_recrawl(spark, tmp_path):
+    """Txlog-cursor re-crawl (r9): unchanged tables verdict from one
+    metadata probe — their paths never reach the reader — while
+    changed tables re-profile through the native readers."""
+    from datalakecrawler_spark.io import load
+    from datalakecrawler_spark.sources.delta_native import write_delta
+    from datalakecrawler_spark.sources.hudi_native import write_hudi
+    from datalakecrawler_spark.sources.iceberg_native import write_iceberg
+
+    lake = str(tmp_path / "lake_cursors")
+    os.makedirs(lake)
+    nation = load(spark, SF_DIR, "nation")
+    write_delta(nation.where("n_nationkey < 10"), f"{lake}/d", "overwrite")
+    write_iceberg(nation, f"{lake}/i", "overwrite", format_version=2)
+    write_hudi(nation, f"{lake}/h", "n_nationkey", "19700101000000001",
+               op="bulk_insert")
+    c0 = crawler.lakehouse_cursors(lake)
+    assert set(c0) == {"d", "h", "i"}
+    # first crawl with no prev: everything is new/changed
+    res0 = {r["dataset"]: r for r in
+            crawler.crawl_incremental_lakehouse(spark, lake)}
+    assert all(r["changed"] for r in res0.values())
+    assert res0["d"]["n_rows"] == 10 and res0["i"]["n_rows"] == 25
+    # idempotent re-crawl: nothing changed, nothing read
+    reads = []
+    orig = crawler._read
+
+    def tracked(sp, path, fmt):
+        reads.append(path)
+        return orig(sp, path, fmt)
+
+    crawler._read = tracked
+    try:
+        res1 = crawler.crawl_incremental_lakehouse(spark, lake, c0)
+    finally:
+        crawler._read = orig
+    assert reads == []
+    assert all(not r["changed"] and r["n_rows"] is None for r in res1)
+    # one delta append, one hudi upsert: exactly those re-read
+    write_delta(nation.where("n_nationkey >= 10"), f"{lake}/d", "append")
+    write_hudi(
+        nation.where("n_nationkey = 1"), f"{lake}/h", "n_nationkey",
+        "19700101000000002", op="upsert",
+    )
+    res2 = {r["dataset"]: r for r in
+            crawler.crawl_incremental_lakehouse(spark, lake, c0)}
+    assert res2["d"]["changed"] and res2["d"]["n_rows"] == 25
+    assert res2["h"]["changed"] and res2["h"]["n_rows"] == 25
+    assert not res2["i"]["changed"] and res2["i"]["n_rows"] is None
