@@ -715,7 +715,7 @@ def convert_feasibility(spark: SparkSession, root: str) -> list[dict]:
                 snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
                     meta["current-snapshot-id"]
                 ]
-                _files, dels, _eq, _ds, _dp = _resolve_state(path, snap)
+                _files, dels, _eq, _ds, _dp, _sp = _resolve_state(path, snap)
                 spec = meta.get("partition-specs", [{}])[0].get("fields", [])
                 has_identity = any(
                     sf.get("transform", "identity") == "identity"

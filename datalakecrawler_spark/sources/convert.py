@@ -555,7 +555,7 @@ def convert_iceberg_to_delta(
     if sid is None or sid == -1 or not meta.get("snapshots"):
         raise ValueError("convert: source Iceberg table has no snapshot")
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
-    files, delete_files, eq_deletes, _ds, _dp = _resolve_state(ice_path, snap)
+    files, delete_files, eq_deletes, _ds, _dp, _sp = _resolve_state(ice_path, snap)
     if eq_deletes and compact_source and not dry_run:
         # explicit opt-in: minor-compact the SOURCE (equality →
         # positional, one new snapshot, data files untouched, reads
@@ -569,7 +569,7 @@ def convert_iceberg_to_delta(
         meta = _read_metadata(ice_path)
         sid = meta["current-snapshot-id"]
         snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
-        files, delete_files, eq_deletes, _ds, _dp = _resolve_state(
+        files, delete_files, eq_deletes, _ds, _dp, _sp = _resolve_state(
             ice_path, snap
         )
     if eq_deletes:
@@ -587,6 +587,15 @@ def convert_iceberg_to_delta(
             "convert: the snapshot references non-parquet (ORC/AVRO) "
             "data files — Delta tables are parquet-only; rewrite those "
             "files first"
+        )
+    if len(meta.get("partition-specs") or [{}]) > 1:
+        # r9 spec evolution: files of different epochs carry different
+        # partition tuples (and pre-evolution files hold MIXED values
+        # of later partition columns) — Delta has one partitioning
+        raise NotImplementedError(
+            "convert: this table's partition spec EVOLVED — Delta has "
+            "a single partitioning; rewrite the table under one spec "
+            "first"
         )
     # positional deletes (parquet delete files AND v3 Puffin DVs)
     # convert to Delta DELETION VECTORS below — both sides address

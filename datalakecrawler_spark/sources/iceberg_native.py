@@ -754,7 +754,7 @@ def read_iceberg(
         if ref not in refs:
             raise ValueError(f"no ref named {ref!r} (have {sorted(refs)})")
         snapshot_id = refs[ref]["snapshot-id"]
-    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    spec_fields = _default_spec_fields(meta)
     by_id = {f["id"]: f for f in meta["schema"]["fields"]}
     parsed_spec = []
     for sf in spec_fields:
@@ -776,8 +776,12 @@ def read_iceberg(
             }
         )
     sources = {p["source"] for p in parsed_spec}
+    all_specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    multi_spec = len(all_specs) > 1
     tfilter: dict = {}
-    if partition_filter:
+    tf_by_spec = pf_by_spec = None
+    post_filters: list = []
+    if partition_filter and not multi_spec:
         # filters are stated on SOURCE columns; transform each value
         # with the spec's own transform before comparing to the typed
         # r102 partition records. Lossy transforms prune to a superset
@@ -797,6 +801,40 @@ def read_iceberg(
                     partition_filter[p["source"]],
                     _ICE_TO_DTYPE.get(p["src_type"], "string"),
                 )
+    elif partition_filter and multi_spec:
+        # EVOLVED tables (r9): pruning keys by each manifest's own
+        # spec — a manifest whose spec does not partition on the
+        # filtered source is scanned, never wrongly pruned, and the
+        # exact row predicate applies AFTER the scan (a pre-evolution
+        # file holds mixed values of a later partition column, so
+        # file-level pruning alone is only a superset). Identity
+        # sources only; transforms across evolved specs are not wired.
+        id_sources = {
+            by_id.get(f.get("source-id"), {}).get("name")
+            for sp in all_specs
+            for f in sp.get("fields", [])
+            if f.get("transform", "identity") == "identity"
+        } - {None}
+        missing = set(partition_filter) - id_sources
+        if missing:
+            raise NotImplementedError(
+                "partition_filter on an EVOLVED table supports "
+                f"identity sources only (got {sorted(missing)}; "
+                f"identity sources: {sorted(id_sources)})"
+            )
+        tf_by_spec, pf_by_spec = {}, {}
+        for sp in all_specs:
+            spid = sp.get("spec-id", 0)
+            d = {}
+            for f in sp.get("fields", []):
+                if f.get("transform", "identity") != "identity":
+                    continue
+                srcc = by_id.get(f.get("source-id"), {}).get("name")
+                if srcc in partition_filter:
+                    d[f["name"]] = partition_filter[srcc]
+            tf_by_spec[spid] = d
+            pf_by_spec[spid] = _spec_avro_types(meta, sp.get("fields", []))
+        post_filters = sorted(partition_filter.items())
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid is None or sid == -1 or not snaps:
@@ -807,9 +845,19 @@ def read_iceberg(
         raise ValueError(f"snapshot {sid} not in table (have {sorted(snaps)})")
     snap = snaps[sid]
     read_pfields = _spec_avro_types(meta)
-    state = _resolve_state(path, snap, tfilter, read_pfields)
+    state = _resolve_state(
+        path, snap,
+        tfilter if tf_by_spec is None else None,
+        read_pfields if tf_by_spec is None else None,
+        tf_by_spec, pf_by_spec,
+    )
     if not row_lineage:
-        return _scan_state(spark, path, meta, state)
+        out = _scan_state(spark, path, meta, state)
+        from pyspark.sql import functions as _F
+
+        for c, v in post_filters:
+            out = out.where(_F.col(c) == _F.lit(v))
+        return out
     # format v3 ROW LINEAGE: surface the spec's metadata columns
     # _row_id (= the file's first_row_id + the row's position — stable
     # across DV deletes, which never rewrite files) and
@@ -859,21 +907,42 @@ def read_iceberg(
     return out
 
 
+def _default_spec_fields(meta: dict) -> list:
+    """The DEFAULT partition spec's fields — the spec new writes use.
+    Single-spec tables (everything before r9 spec evolution) have
+    exactly one entry with spec-id 0, so this is their specs[0]."""
+    specs = meta.get("partition-specs") or [{}]
+    dsid = meta.get("default-spec-id", 0)
+    for s in specs:
+        if s.get("spec-id", 0) == dsid:
+            return s.get("fields", [])
+    return specs[0].get("fields", [])
+
+
 def _resolve_state(
     path: str,
     snap: dict,
     tfilter: dict | None = None,
     read_pfields=None,
+    tfilter_by_spec: dict | None = None,
+    pfields_by_spec: dict | None = None,
 ):
     """One snapshot's resolved file state from its manifest list:
     (data files, positional delete files, [(eq delete file, seq)],
-    {data file: sequence number}). Driver-side, O(manifests)."""
+    {data file: sequence number}, {data file: partition record JSON},
+    {data file: partition spec id}). Driver-side, O(manifests).
+    ``tfilter``/``read_pfields`` prune uniformly (single-spec tables);
+    ``tfilter_by_spec``/``pfields_by_spec`` (r9, partition-spec
+    EVOLUTION) key the pruning by each manifest's partition_spec_id —
+    a manifest whose spec has no filter entry is scanned, never
+    wrongly pruned."""
     files: list[str] = []
     delete_files: list[str] = []
     # (file, delete sequence number, partition-scope JSON or None)
     eq_deletes: list[tuple[str, int, str | None]] = []
     data_seq: dict[str, int] = {}  # data file → data sequence number
     data_part: dict[str, str] = {}  # data file → partition record JSON
+    data_spec: dict[str, int] = {}  # data file → partition spec id
     for mf in _decode_avro_records(_resolve(path, snap["manifest-list"])):
         if mf.get("content", 0) == 1:
             # v2 DELETE manifest: its entries name delete files, not
@@ -922,7 +991,12 @@ def _resolve_state(
                 else:
                     delete_files.append(_resolve(path, rec["file_path"]))
             continue
-        if tfilter and _manifest_pruned(mf, tfilter, read_pfields):
+        mf_spec_id = mf.get("partition_spec_id", 0)
+        eff_tf, eff_pf = tfilter, read_pfields
+        if tfilter_by_spec is not None:
+            eff_tf = tfilter_by_spec.get(mf_spec_id)
+            eff_pf = (pfields_by_spec or {}).get(mf_spec_id)
+        if eff_tf and _manifest_pruned(mf, eff_tf, eff_pf):
             continue  # whole manifest skipped — its Avro is never read
         mf_seq = mf.get("sequence_number") or 0
         for entry in _decode_avro_records(_resolve(path, mf["manifest_path"])):
@@ -935,8 +1009,8 @@ def _resolve_state(
                     f"data file format {df_rec['file_format']} "
                     "(parquet/orc/avro)"
                 )
-            if tfilter and any(
-                df_rec["partition"].get(k) != v for k, v in tfilter.items()
+            if eff_tf and any(
+                df_rec["partition"].get(k) != v for k, v in eff_tf.items()
             ):
                 continue
             fabs = _resolve(path, df_rec["file_path"])
@@ -953,7 +1027,8 @@ def _resolve_state(
             data_part[fabs] = json.dumps(
                 df_rec.get("partition") or {}, sort_keys=True
             )
-    return files, delete_files, eq_deletes, data_seq, data_part
+            data_spec[fabs] = mf_spec_id
+    return files, delete_files, eq_deletes, data_seq, data_part, data_spec
 
 
 def _nm_physical_fields(
@@ -1048,7 +1123,7 @@ def _scan_state(
     file-level diffs; ``keep_rowmeta`` keeps __dlc_file_uri /
     __dlc_row_pos for callers that need row addresses (delete
     compaction)."""
-    files, delete_files, eq_deletes, data_seq, data_part = state
+    files, delete_files, eq_deletes, data_seq, data_part, data_spec = state
     # r9: non-parquet data files arrive as (path, fmt) tuples
     fmt_by_file = {f[0]: f[1] for f in files if isinstance(f, tuple)}
     files = [f[0] if isinstance(f, tuple) else f for f in files]
@@ -1094,13 +1169,37 @@ def _scan_state(
             meta["schema"]["fields"], schema.fields, entries
         )
         rename_needed = phys_fields != list(schema.fields)
-    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    all_specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    multi_spec = len(all_specs) > 1
+    spec_fields = _default_spec_fields(meta)
     src_by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     identity_cols = {
         src_by_id.get(f.get("source-id"), f["name"])
         for f in spec_fields
         if f.get("transform", "identity") == "identity"
     }
+    # EVOLVED tables (r9): identity values come from the manifests'
+    # r102 records (one broadcast O(files) side-table), never from
+    # hive dirs — files of different spec epochs have different dir
+    # layouts, and a column that is identity in one spec is ordinary
+    # data in another. identity_cols empty ⇒ no basePath below.
+    evolved_identity: list[str] = []
+    if multi_spec:
+        if rename_needed:
+            raise NotImplementedError(
+                "evolved partition specs on a name-mapped (converted) "
+                "table are not wired"
+            )
+        seen = set()
+        for sp in all_specs:
+            for f in sp.get("fields", []):
+                if f.get("transform", "identity") != "identity":
+                    continue
+                srcc = src_by_id.get(f.get("source-id"))
+                if srcc and srcc not in seen:
+                    seen.add(srcc)
+                    evolved_identity.append(srcc)
+        identity_cols = set()
     schema_read = schema
     if rename_needed:
         schema_read = T.StructType(phys_fields)
@@ -1112,7 +1211,7 @@ def _scan_state(
     # tables already read dirs under their physical names — the
     # mapping machinery handles their renames.
     spec_renames = {}
-    if not rename_needed:
+    if not rename_needed and not multi_spec:
         for sf in spec_fields:
             if sf.get("transform", "identity") != "identity":
                 continue
@@ -1161,6 +1260,7 @@ def _scan_state(
             or keep_rowmeta
             or rename_needed
             or spec_renames
+            or multi_spec
             or "initial-default" in json.dumps(meta["schema"])
         ):
             raise NotImplementedError(
@@ -1218,7 +1318,14 @@ def _scan_state(
         return ents
 
     defaulted = _collect_defaulted(meta["schema"]["fields"], "")
-    if delete_files or dv_entries or eq_deletes or keep_rowmeta or defaulted:
+    if (
+        delete_files
+        or dv_entries
+        or eq_deletes
+        or keep_rowmeta
+        or defaulted
+        or evolved_identity
+    ):
         # Capture the hidden _metadata struct ONCE, before any join or
         # projection — those no longer expose it, and all delete
         # flavors key off it.
@@ -1250,6 +1357,75 @@ def _scan_state(
         # which a projection would hide)
         for dname, lname in spec_renames.items():
             out = out.withColumnRenamed(dname, lname)
+    if evolved_identity:
+        # EVOLVED specs: overlay identity partition values from the
+        # r102 records. Per row: the stored value wins when the file
+        # carries the column (it was ordinary data under that file's
+        # spec); files whose spec identity-excluded it read NULL and
+        # take the record value. One broadcast O(files) join, codegen'd
+        # coalesce, fail-closed on URI drift.
+        from pyspark.sql import functions as _F
+
+        src_by_specfield = {}
+        for sp in all_specs:
+            for f in sp.get("fields", []):
+                if f.get("transform", "identity") == "identity":
+                    src_by_specfield[(sp.get("spec-id", 0), f["name"])] = (
+                        src_by_id.get(f.get("source-id"))
+                    )
+        rows = []
+        for fpath in files:
+            rec = json.loads(data_part.get(fpath, "{}"))
+            spid = data_spec.get(fpath, 0)
+            vals = {}
+            for k, v in rec.items():
+                srcc = src_by_specfield.get((spid, k))
+                if srcc is not None:
+                    vals[srcc] = v
+            rows.append(
+                tuple(
+                    [_spark_file_uri(fpath), True]
+                    + [vals.get(c) for c in evolved_identity]
+                )
+            )
+        part_cols = [f"__dlc_part_{i}" for i in range(len(evolved_identity))]
+        side_schema = T.StructType(
+            [
+                T.StructField("__dlc_file_uri", T.StringType()),
+                T.StructField("__dlc_part_hit", T.BooleanType()),
+            ]
+            + [
+                T.StructField(pc, schema[c].dataType)
+                for pc, c in zip(part_cols, evolved_identity)
+            ]
+        )
+        side = spark.createDataFrame(rows, side_schema)
+        out = out.join(_F.broadcast(side), "__dlc_file_uri", "left")
+        for pc, c in zip(part_cols, evolved_identity):
+            dtype = schema[c].dataType
+            out = out.withColumn(
+                c,
+                _F.when(
+                    _F.col("__dlc_part_hit").isNull(),
+                    _F.raise_error(
+                        _F.lit(
+                            "evolved-spec scan URI drift: row's file "
+                            "URI missed the partition-record map — "
+                            "refusing a scan that could serve NULL "
+                            f"for identity column {c!r}"
+                        )
+                    ).cast(dtype),
+                ).otherwise(
+                    _F.coalesce(_F.col(c), _F.col(pc).cast(dtype))
+                ),
+            )
+        out = out.drop("__dlc_part_hit", *part_cols)
+        # restore the committed column order (the join moved the key
+        # column first)
+        out = out.select(
+            *schema.fieldNames(),
+            *[c for c in out.columns if c.startswith("__dlc_")],
+        )
     # mixed specs: Spark appended the transform fields' dir values as
     # extra columns — not part of the committed schema, drop them
     extra = [
@@ -1558,7 +1734,12 @@ def read_iceberg_incremental(
     schema = _iceberg_schema_to_spark(meta["schema"])
     if not files:
         return spark.createDataFrame([], schema)
-    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    if len(meta.get("partition-specs") or [{}]) > 1:
+        raise NotImplementedError(
+            "incremental reads over a table with an EVOLVED partition "
+            "spec are not wired (identity dirs differ per spec epoch)"
+        )
+    spec_fields = _default_spec_fields(meta)
     has_identity = any(
         f.get("transform", "identity") == "identity" for f in spec_fields
     )
@@ -1639,8 +1820,8 @@ def read_iceberg_changelog(
     prev_state = _resolve_state(path, by_id[chain[0]])
     for sid in chain[1:]:
         cur_state = _resolve_state(path, by_id[sid])
-        p_files, p_dels, p_eq, p_seq, p_part = prev_state
-        c_files, c_dels, c_eq, _c_seq, _c_part = cur_state
+        p_files, p_dels, p_eq, p_seq, p_part, _p_spec = prev_state
+        c_files, c_dels, c_eq, _c_seq, _c_part, _c_spec = cur_state
         affected = (set(c_files) ^ set(p_files))
         new_dels = set(c_dels) - set(p_dels)
         # v3 deletion-vector tuples name their referenced data file
@@ -1911,14 +2092,16 @@ def _transform_value(f: dict, value, src_dtype: str):
     return (value - _dt.date(1970, 1, 1)).days  # day
 
 
-def _spec_avro_types(meta: dict) -> list[tuple[str, str]]:
+def _spec_avro_types(meta: dict, spec_fields: list | None = None) -> list[tuple[str, str]]:
     """[(spec field name, avro primitive)] for the table's partition
     spec, derived from each field's transform + source schema type —
     transform fields are NOT schema columns, so the old same-name
     lookup cannot type them."""
     by_id = {f["id"]: f for f in meta["schema"]["fields"]}
     out = []
-    for f in meta.get("partition-specs", [{}])[0].get("fields", []):
+    for f in (
+        spec_fields if spec_fields is not None else _default_spec_fields(meta)
+    ):
         t = f.get("transform", "identity")
         if t.startswith("bucket") or t in ("year", "month", "day"):
             out.append((f["name"], "int"))
@@ -2151,9 +2334,7 @@ def write_iceberg(
         # spec's source-id, so a renamed source column (r9: spec field
         # name frozen, schema name current) still matches a
         # partition_by stated on the current schema names
-        prior_spec_fields = prior_meta.get("partition-specs", [{}])[0].get(
-            "fields", []
-        )
+        prior_spec_fields = _default_spec_fields(prior_meta)
         src_by_id0 = {
             f["id"]: f["name"] for f in prior_meta["schema"]["fields"]
         }
@@ -2381,7 +2562,10 @@ def write_iceberg(
     new_manifest = {
         "manifest_path": manifest_rel,
         "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
-        "partition_spec_id": 0,
+        # evolved tables: new files belong to the DEFAULT spec
+        "partition_spec_id": (
+            (prior_meta or {}).get("default-spec-id", 0)
+        ),
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(entries),
         "existing_data_files_count": 0,
@@ -2572,30 +2756,44 @@ def write_iceberg(
         "last-updated-ms": 0,
         "last-column-id": last_col_id,
         "schema": ice_schema,
-        "partition-spec": [
-            {
-                "name": fl["name"],
-                "transform": _transform_spec_string(fl),
-                "source-id": name_to_id[fl["source"]],
-                "field-id": 1000 + i,
-            }
-            for i, fl in enumerate(spec)
-        ],
-        "partition-specs": [
-            {
-                "spec-id": 0,
-                "fields": [
-                    {
-                        "name": fl["name"],
-                        "transform": _transform_spec_string(fl),
-                        "source-id": name_to_id[fl["source"]],
-                        "field-id": 1000 + i,
-                    }
-                    for i, fl in enumerate(spec)
-                ],
-            }
-        ],
-        "default-spec-id": 0,
+        # the spec list is append-only table state: a prior (possibly
+        # EVOLVED, r9) spec history carries through verbatim — the sig
+        # check above already proved this commit's partition_by matches
+        # the default spec; only table creation builds spec-id 0 fresh
+        "partition-spec": (
+            _default_spec_fields(prior_meta)
+            if prior_meta is not None
+            else [
+                {
+                    "name": fl["name"],
+                    "transform": _transform_spec_string(fl),
+                    "source-id": name_to_id[fl["source"]],
+                    "field-id": 1000 + i,
+                }
+                for i, fl in enumerate(spec)
+            ]
+        ),
+        "partition-specs": (
+            prior_meta["partition-specs"]
+            if prior_meta is not None and prior_meta.get("partition-specs")
+            else [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": fl["name"],
+                            "transform": _transform_spec_string(fl),
+                            "source-id": name_to_id[fl["source"]],
+                            "field-id": 1000 + i,
+                        }
+                        for i, fl in enumerate(spec)
+                    ],
+                }
+            ]
+        ),
+        "default-spec-id": (
+            (prior_meta or {}).get("default-spec-id", 0)
+        ),
         # table properties survive every commit (a fresh {} here would
         # strip e.g. a converted table's name-mapping) — except a
         # converted table's hive basePath on OVERWRITE: the fresh
@@ -2668,7 +2866,13 @@ def add_position_deletes(spark: SparkSession, path: str, predicate) -> dict:
             f"(this table is v{meta.get('format-version', 1)}); "
             "create it with write_iceberg(..., format_version=2)"
         )
-    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+    if len(meta.get("partition-specs") or [{}]) > 1:
+        raise NotImplementedError(
+            "row-level deletes on a table with an EVOLVED partition "
+            "spec are not wired (the predicate scan re-derives "
+            "identity dirs, which differ per spec epoch)"
+        )
+    spec_fields = _default_spec_fields(meta)
     has_identity = any(
         f.get("transform", "identity") == "identity" for f in spec_fields
     )
@@ -2867,7 +3071,13 @@ def add_equality_deletes(
         # recorded delete tuple matches the data files' tuples exactly
         # (e.g. {"o_custkey": 7} on a bucket[4] spec records
         # o_custkey_bucket = murmur3-bucket(7, 4)).
-        spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
+        if len(meta.get("partition-specs") or [{}]) > 1:
+            raise NotImplementedError(
+                "partition-SCOPED equality deletes on a table with an "
+                "evolved spec are not wired (scopes record one spec's "
+                "tuple shape; files of other specs would never match)"
+            )
+        spec_fields = _default_spec_fields(meta)
         by_fid = {f["id"]: f for f in meta["schema"]["fields"]}
         src_names = [
             by_fid[f["source-id"]]["name"] for f in spec_fields
@@ -3060,7 +3270,7 @@ def upsert_iceberg(
     # apply unchanged)
     by_fid = {f["id"]: f for f in meta["schema"]["fields"]}
     spec = []
-    for sf in meta.get("partition-specs", [{}])[0].get("fields", []):
+    for sf in _default_spec_fields(meta):
         src = by_fid[sf["source-id"]]
         t = sf.get("transform", "identity")
         m = _re.match(r"(bucket|truncate)\[(\d+)\]", t)
@@ -3365,8 +3575,11 @@ def drop_iceberg_column(
         raise ValueError(f"no column {name!r} (have {sorted(by_name)})")
     if len(fields) == 1:
         raise ValueError("cannot drop the only column")
-    spec_fields = meta.get("partition-specs", [{}])[0].get("fields", [])
-    src_ids = {sf.get("source-id") for sf in spec_fields}
+    src_ids = {
+        sf.get("source-id")
+        for sp in (meta.get("partition-specs") or [{}])
+        for sf in sp.get("fields", [])
+    }
     if by_name[name]["id"] in src_ids:
         raise NotImplementedError(
             f"dropping partition-spec source column {name!r} is not wired"
@@ -3374,7 +3587,7 @@ def drop_iceberg_column(
     sid = meta.get("current-snapshot-id")
     if sid is not None and sid != -1 and meta.get("snapshots"):
         snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
-        _f, _pd, eq_dels, _ds, _dp = _resolve_state(path, snap)
+        _f, _pd, eq_dels, _ds, _dp, _sp = _resolve_state(path, snap)
         if eq_dels:
             if spark is None:
                 raise NotImplementedError(
@@ -3449,7 +3662,7 @@ def widen_iceberg_column(
     sid = meta.get("current-snapshot-id")
     if sid is not None and sid != -1 and meta.get("snapshots"):
         snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
-        _f, _pd, eq_dels, _ds, _dp = _resolve_state(path, snap)
+        _f, _pd, eq_dels, _ds, _dp, _sp = _resolve_state(path, snap)
         if eq_dels:
             # blanket rule, same as DROP/RENAME: the delete parquet
             # stores its key columns under the written (narrow) types,
@@ -3514,7 +3727,7 @@ def rename_iceberg_column(
     sid = meta.get("current-snapshot-id")
     if sid is not None and sid != -1 and meta.get("snapshots"):
         snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
-        _f, _pd, eq_dels, _ds, _dp = _resolve_state(path, snap)
+        _f, _pd, eq_dels, _ds, _dp, _sp = _resolve_state(path, snap)
         if eq_dels:
             if spark is None:
                 raise NotImplementedError(
@@ -3559,7 +3772,7 @@ def compact_iceberg_deletes(spark: SparkSession, path: str) -> dict:
     sid = meta.get("current-snapshot-id")
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
     state = _resolve_state(path, snap)
-    files, pos_dels, eq_dels, data_seq, data_part = state
+    files, pos_dels, eq_dels, data_seq, data_part, _data_spec = state
     if not eq_dels:
         return {"converted_rows": 0, "eq_delete_files_removed": 0}
     version = (
@@ -3576,7 +3789,7 @@ def compact_iceberg_deletes(spark: SparkSession, path: str) -> dict:
     addr = ["__dlc_file_uri", "__dlc_row_pos"]
     no_eq = _scan_state(
         spark, path, meta,
-        (files, pos_dels, [], data_seq, data_part),
+        (files, pos_dels, [], data_seq, data_part, _data_spec),
         keep_rowmeta=True,
     ).select(*addr)
     full = _scan_state(spark, path, meta, state, keep_rowmeta=True).select(
@@ -4206,7 +4419,7 @@ def add_deletion_vectors(spark: SparkSession, path: str, predicate) -> dict:
     sid = meta.get("current-snapshot-id")
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
     state = _resolve_state(path, snap)
-    files, delete_files, eq_deletes, data_seq, data_part = state
+    files, delete_files, eq_deletes, data_seq, data_part, _data_spec = state
     old_dvs = {
         ref: (puf, off, size)
         for (puf, off, size, ref) in (
@@ -5627,7 +5840,7 @@ def sink_iceberg_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
         meta["current-snapshot-id"]
     ]
-    _f, _pd, eq_after, _ds, _dp = _resolve_state(path, snap)
+    _f, _pd, eq_after, _ds, _dp, _sp = _resolve_state(path, snap)
     return (
         read_iceberg(spark, path)
         .groupBy("o_orderstatus")
@@ -6425,7 +6638,10 @@ def import_iceberg_datafiles(
                 "import targets format-v2 tables (this table is "
                 f"v{prior_meta.get('format-version', 1)})"
             )
-        if prior_meta.get("partition-specs", [{}])[0].get("fields"):
+        if any(
+            sp.get("fields")
+            for sp in (prior_meta.get("partition-specs") or [{}])
+        ):
             raise NotImplementedError(
                 "import into a PARTITIONED table is not wired (imported "
                 "files carry no partition tuple)"
@@ -6671,6 +6887,166 @@ def scan_iceberg_orc_datafiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = read_iceberg(spark, path)
     return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+def evolve_iceberg_partition_spec(
+    path: str, partition_by: list[str]
+) -> int:
+    """PARTITION SPEC EVOLUTION (r9) — Iceberg's marquee metadata
+    trick: change HOW a table is partitioned without rewriting a
+    byte. The new spec is appended to ``partition-specs`` with a
+    fresh spec-id and becomes the default; every existing manifest
+    keeps its own ``partition_spec_id``, so old files stay addressed
+    by the spec they were written under. Spec field ids stay unique
+    across specs (a field identical to a prior spec's — same
+    source-id and transform — keeps its id, per the spec's evolution
+    rule). Scans of evolved tables serve identity partition values
+    from the manifests' r102 records via one broadcast O(files)
+    side-table (dirs differ per epoch — _scan_state), prune manifests
+    by each manifest's OWN spec, and apply the exact row predicate on
+    top (a pre-evolution file holds mixed values of a later partition
+    column). Later writes must state the NEW spec's partition_by.
+    Returns the new spec id."""
+    meta = _read_metadata(path)
+    if meta.get("format-version", 1) < 2:
+        raise ValueError(
+            "spec evolution targets format-v2+ tables (this table is "
+            f"v{meta.get('format-version', 1)})"
+        )
+    props = meta.get("properties") or {}
+    if "dlc.convert.base-path" in props:
+        raise NotImplementedError(
+            "spec evolution on a converted table is not wired (its "
+            "identity dirs live under the source table's root)"
+        )
+    nm_prop = props.get("schema.name-mapping.default")
+    if nm_prop:
+        schema0 = _iceberg_schema_to_spark(meta["schema"])
+        ents = {e["field-id"]: e for e in json.loads(nm_prop)}
+        if _nm_physical_fields(
+            meta["schema"]["fields"], schema0.fields, ents
+        ) != list(schema0.fields):
+            raise NotImplementedError(
+                "spec evolution on a physically name-mapped "
+                "(converted column-mapped) table is not wired"
+            )
+    schema = _iceberg_schema_to_spark(meta["schema"])
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    spec = _parse_partition_spec(list(partition_by or []), dtypes)
+    name_to_id = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    new_sid = max(s.get("spec-id", 0) for s in specs) + 1
+    used: dict[tuple, int] = {}
+    max_fid = 999
+    for sp in specs:
+        for f in sp.get("fields", []):
+            max_fid = max(max_fid, f.get("field-id", 999))
+            used[
+                (f.get("source-id"), f.get("transform", "identity"))
+            ] = f["field-id"]
+    fields = []
+    for fl in spec:
+        src_id = name_to_id[fl["source"]]
+        tr = _transform_spec_string(fl)
+        fid = used.get((src_id, tr))
+        if fid is None:
+            max_fid += 1
+            fid = max_fid
+        fields.append(
+            {
+                "name": fl["name"],
+                "transform": tr,
+                "source-id": src_id,
+                "field-id": fid,
+            }
+        )
+    cur_default = _default_spec_fields(meta)
+    if [(f["source-id"], f["transform"]) for f in fields] == [
+        (f.get("source-id"), f.get("transform", "identity"))
+        for f in cur_default
+    ]:
+        raise ValueError(
+            "partition_by already matches the table's default spec"
+        )
+    meta["partition-specs"] = specs + [
+        {"spec-id": new_sid, "fields": fields}
+    ]
+    meta["default-spec-id"] = new_sid
+    meta["partition-spec"] = fields  # legacy single-spec mirror
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(
+                os.path.join(_meta_dir(path), "v*.metadata.json")
+            )
+        )
+        + 1
+    )
+    _publish_metadata(path, version, meta)
+    return new_sid
+
+
+@register(
+    "scan_iceberg_partition_evolution",
+    group="A",
+    oracle=f"""
+    select o_orderpriority as priority, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    where o_orderpriority in ('1-URGENT', '5-LOW')
+    group by o_orderpriority
+    """,
+)
+def scan_iceberg_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-ext (r9): PARTITION SPEC EVOLUTION — change how a table is
+    partitioned without rewriting a byte. Half the orders commit
+    UNPARTITIONED; ``evolve_iceberg_partition_spec`` appends an
+    identity spec on o_orderpriority as one metadata publish
+    (asserted: zero data files touched); the other half appends under
+    the new default spec. The filtered scan is exact across both
+    epochs: post-evolution manifests prune by their spec, the
+    pre-evolution files (which hold MIXED priorities inside each
+    file) scan with the row predicate applied on top, and identity
+    values for the new files come from the manifests' r102 records
+    via one broadcast O(files) overlay — hive dirs differ per epoch
+    and are never consulted. The oracle recomputes the filtered
+    aggregate from the source."""
+    path = _fresh(_tmp("orders_iceberg_spec_evolution"))
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 0), path, "overwrite",
+        format_version=2,
+    )
+    data_before = sorted(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    evolve_iceberg_partition_spec(path, ["o_orderpriority"])
+    assert sorted(
+        glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                  recursive=True)
+    ) == data_before, "spec evolution must not rewrite data files"
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 1), path, "append",
+        partition_by=["o_orderpriority"], format_version=2,
+    )
+    urgent = read_iceberg(
+        spark, path, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    low = read_iceberg(
+        spark, path, partition_filter={"o_orderpriority": "5-LOW"}
+    )
+    out = urgent.unionByName(low)
+    return out.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
     )

@@ -1494,7 +1494,7 @@ def test_compact_deletes_converts_eq_to_positional(spark, tmp_path):
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
         meta["current-snapshot-id"]
     ]
-    _f, _pd, eq_dels, _ds, _dp = ice._resolve_state(path, snap)
+    _f, _pd, eq_dels, _ds, _dp, _sp = ice._resolve_state(path, snap)
     assert eq_dels == []
     # idempotent: nothing left to convert
     assert ice.compact_iceberg_deletes(spark, path)["converted_rows"] == 0
@@ -1635,7 +1635,7 @@ def test_upsert_partitioned_scoped_deletes(spark, tmp_path):
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
         meta["current-snapshot-id"]
     ]
-    _f, _pd, eq_dels, _ds, _dp = ice._resolve_state(path, snap)
+    _f, _pd, eq_dels, _ds, _dp, _sp = ice._resolve_state(path, snap)
     assert eq_dels and all(scope is not None for _, _, scope in eq_dels)
     import json as _json
 
@@ -1674,7 +1674,7 @@ def test_upsert_partitioned_global_fallback_on_moved_keys(spark, tmp_path):
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
         meta["current-snapshot-id"]
     ]
-    _f, _pd, eq_dels, _ds, _dp = ice._resolve_state(path, snap)
+    _f, _pd, eq_dels, _ds, _dp, _sp = ice._resolve_state(path, snap)
     assert eq_dels and all(scope is None for _, _, scope in eq_dels)
 
 
@@ -1700,7 +1700,7 @@ def test_upsert_partitioned_transform_spec(spark, tmp_path):
     snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
         meta["current-snapshot-id"]
     ]
-    _f, _pd, eq_dels, _ds, _dp = ice._resolve_state(path, snap)
+    _f, _pd, eq_dels, _ds, _dp, _sp = ice._resolve_state(path, snap)
     import json as _json
 
     assert {
@@ -2395,3 +2395,111 @@ def test_import_gates(spark, tmp_path):
         ice.import_iceberg_datafiles(spark, p, ofiles, "orc")
     with pytest.raises(ValueError, match="file_format"):
         ice.import_iceberg_datafiles(spark, str(tmp_path / "x"), ofiles, "csv")
+
+
+# ------------------------------------------ r9: partition-spec evolution
+
+
+def test_partition_spec_evolution_unpartitioned_to_identity(
+    spark, tmp_path
+):
+    """The canonic Iceberg evolution story: start unpartitioned, add
+    a partition field later — metadata-only, zero files rewritten.
+    Old files keep the column as ordinary data; new files identity-
+    exclude it; one scan serves both via the r102 record overlay, and
+    a filtered read is exact across epochs (file pruning on new
+    manifests, row predicate over old mixed files)."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    p = str(tmp_path / "evolve1")
+    write_iceberg(src.where("n_nationkey < 12"), p, "overwrite",
+                  format_version=2)
+    data_before = sorted(
+        glob.glob(os.path.join(p, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    sid = ice.evolve_iceberg_partition_spec(p, ["n_regionkey"])
+    assert sid == 1
+    assert sorted(
+        glob.glob(os.path.join(p, "data", "**", "*.parquet"),
+                  recursive=True)
+    ) == data_before, "evolution must not rewrite data files"
+    write_iceberg(src.where("n_nationkey >= 12"), p, "append",
+                  partition_by=["n_regionkey"], format_version=2)
+    got = sorted(
+        (r["n_nationkey"], r["n_regionkey"])
+        for r in read_iceberg(spark, p).collect()
+    )
+    assert got == sorted(
+        (r["n_nationkey"], r["n_regionkey"]) for r in src.collect()
+    )
+    pr = read_iceberg(spark, p, partition_filter={"n_regionkey": 2})
+    assert sorted(r["n_nationkey"] for r in pr.collect()) == sorted(
+        r["n_nationkey"] for r in src.where("n_regionkey = 2").collect()
+    )
+    # appends must state the NEW default spec
+    with pytest.raises(ValueError, match="spec is fixed"):
+        write_iceberg(src.limit(1), p, "append", format_version=2)
+    # re-declaring the same spec refuses
+    with pytest.raises(ValueError, match="already matches"):
+        ice.evolve_iceberg_partition_spec(p, ["n_regionkey"])
+
+
+def test_partition_spec_evolution_change_identity_column(spark, tmp_path):
+    """Identity column A → identity column B: both columns are served
+    for every row (stored where ordinary, record-overlaid where
+    identity-excluded) and filters on either — or both — stay exact."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    p = str(tmp_path / "evolve2")
+    write_iceberg(src.where("o_orderkey % 2 = 0"), p, "overwrite",
+                  partition_by=["o_orderstatus"], format_version=2)
+    ice.evolve_iceberg_partition_spec(p, ["o_orderpriority"])
+    write_iceberg(src.where("o_orderkey % 2 = 1"), p, "append",
+                  partition_by=["o_orderpriority"], format_version=2)
+    out = read_iceberg(spark, p)
+    assert out.count() == src.count()
+    assert out.where(
+        "o_orderstatus is null or o_orderpriority is null"
+    ).count() == 0
+    for flt, cond in [
+        ({"o_orderstatus": "F"}, "o_orderstatus = 'F'"),
+        ({"o_orderpriority": "2-HIGH"}, "o_orderpriority = '2-HIGH'"),
+        (
+            {"o_orderstatus": "F", "o_orderpriority": "2-HIGH"},
+            "o_orderstatus = 'F' and o_orderpriority = '2-HIGH'",
+        ),
+    ]:
+        assert (
+            read_iceberg(spark, p, partition_filter=flt).count()
+            == src.where(cond).count()
+        ), flt
+    # spec field-id reuse: evolving BACK to o_orderstatus reuses its id
+    sid3 = ice.evolve_iceberg_partition_spec(p, ["o_orderstatus"])
+    meta = ice._read_metadata(p)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    assert specs[0]["fields"][0]["field-id"] == (
+        specs[sid3]["fields"][0]["field-id"]
+    )
+
+
+def test_partition_spec_evolution_gates(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    p = str(tmp_path / "evolve_g")
+    write_iceberg(src.where("n_nationkey < 5"), p, "overwrite",
+                  format_version=2)
+    ice.evolve_iceberg_partition_spec(p, ["n_regionkey"])
+    write_iceberg(src.where("n_nationkey >= 5"), p, "append",
+                  partition_by=["n_regionkey"], format_version=2)
+    # row-level deletes on evolved tables refuse loudly
+    with pytest.raises(NotImplementedError, match="EVOLVED"):
+        ice.add_position_deletes(spark, p, "n_nationkey = 3")
+    # transform filters on evolved tables refuse loudly
+    with pytest.raises(NotImplementedError, match="identity"):
+        read_iceberg(spark, p, partition_filter={"n_name": "x"})
