@@ -602,13 +602,34 @@ def read_hudi(
         # converted COLUMN-MAPPED source: files store physical
         # col-<uuid> names; project back to the logical schema (one
         # codegen'd alias per column, before the partition cast below,
-        # which keys logical names)
+        # which keys logical names). NESTED schemas (r9) carry the
+        # logical schema in a property: each struct casts to its
+        # logical twin — a positional member rename, still one
+        # codegen'd expression, no Python on the rows.
         import json as _json
 
         ren = _json.loads(props["hoodie.table.converted.rename"])
-        out = out.select(
-            *[F.col(c).alias(ren.get(c, c)) for c in out.columns]
-        )
+        lsch = None
+        if props.get("hoodie.table.converted.schema"):
+            from pyspark.sql import types as _T
+
+            lsch = _T.StructType.fromJson(
+                _json.loads(props["hoodie.table.converted.schema"])
+            )
+        sel = []
+        for c in out.columns:
+            logical = ren.get(c, c)
+            expr = F.col(c)
+            if lsch is not None and logical in lsch.fieldNames():
+                want = lsch[logical].dataType
+                if out.schema[c].dataType != want:
+                    from datalakecrawler_spark.sources.delta_native import (
+                        _nullable_twin,
+                    )
+
+                    expr = expr.cast(_nullable_twin(want))
+            sel.append(expr.alias(logical))
+        out = out.select(*sel)
     if base and props.get("hoodie.table.converted.partition-ddl"):
         for part in props["hoodie.table.converted.partition-ddl"].split(";"):
             cname, ctype = part.strip().split(" ", 1)

@@ -310,16 +310,9 @@ def test_delta_to_hudi_gates(spark, tmp_path):
     dn.delete_delta(spark, pv, "n_nationkey = 3")
     with pytest.raises(NotImplementedError, match="deletion vectors"):
         convert_delta_to_hudi(spark, pv, str(tmp_path / "x2"))
-    # flat column-mapped tables CONVERT (stored rename map, see
-    # test_cm_delta_to_hudi); NESTED cm still refuses (no cast layer
-    # in Hudi's plain reader)
-    pc = str(tmp_path / "gate_cm")
-    dn.write_delta_column_mapped(
-        src.select(F.struct("n_name").alias("s"), "n_nationkey"),
-        pc, "overwrite",
-    )
-    with pytest.raises(NotImplementedError, match="nested"):
-        convert_delta_to_hudi(spark, pc, str(tmp_path / "x3"))
+    # column-mapped tables CONVERT — flat via the stored rename map
+    # (test_cm_delta_to_hudi), nested via the stored logical schema
+    # since r9 (test_nested_cm_delta_to_hudi)
 
 
 def test_cm_delta_to_hudi(spark, tmp_path):
@@ -789,3 +782,39 @@ def test_mor_convert_with_compact_source_opt_in(spark, tmp_path):
     # deterministically as the successor of the latest instant
     tl = hn._mor_timeline(ph)
     assert ("20240102000001", "commit") in tl, tl
+
+
+def test_nested_cm_delta_to_hudi(spark, tmp_path):
+    """NESTED column-mapped Delta → Hudi (r9, VERDICT r8 missing #5):
+    the conversion stores the logical schema alongside the flat
+    rename map, and read_hudi casts each struct to its logical twin
+    (positional member rename) after the top-level aliasing."""
+    from datalakecrawler_spark.sources.convert import convert_delta_to_hudi
+    from datalakecrawler_spark.sources import hudi_native as hn
+
+    src = load(spark, SF_DIR, "nation")
+    nested = src.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("nm"), F.col("n_regionkey").alias("rk")
+        ).alias("info"),
+    )
+    pd_, ph = str(tmp_path / "ncmh"), str(tmp_path / "ncmh_hudi")
+    dn.write_delta_column_mapped(nested, pd_, "overwrite")
+    res = convert_delta_to_hudi(spark, pd_, ph)
+    assert res["files_copied"] == 0
+    out = hn.read_hudi(spark, ph)
+    assert out.columns == ["n_nationkey", "info"]
+    assert out.schema["info"].dataType.fieldNames() == ["nm", "rk"]
+    got = sorted(
+        (r["n_nationkey"], r["info"]["nm"], r["info"]["rk"])
+        for r in out.collect()
+    )
+    assert got == sorted(
+        (r["n_nationkey"], r["info"]["nm"], r["info"]["rk"])
+        for r in nested.collect()
+    )
+    # dry_run reports ok now
+    assert convert_delta_to_hudi(
+        spark, pd_, str(tmp_path / "x"), dry_run=True
+    )["ok"]
