@@ -535,6 +535,35 @@ def write_delta(
                 f"declares {partition_by} — partitioning is fixed at "
                 "table creation"
             )
+        # GENERATED COLUMNS (r9, protocol "Generated Columns" writer
+        # requirement): on append, a generated column absent from the
+        # writer's frame is COMPUTED from the table's stored
+        # expression; a provided one is VERIFIED against it (one
+        # bounded existence probe per generated column) — a writer
+        # must never commit values the expression contradicts.
+        if mode in ("append", "overwrite_partitions"):
+            gen_exprs = {
+                f["name"]: (f.get("metadata") or {}).get(
+                    "delta.generationExpression"
+                )
+                for f in json.loads(prior_schema)["fields"]
+            }
+            gen_exprs = {k: v for k, v in gen_exprs.items() if v}
+            if gen_exprs:
+                from pyspark.sql import functions as _F
+
+                for c, gexpr in sorted(gen_exprs.items()):
+                    if c not in df.columns:
+                        df = df.withColumn(c, _F.expr(gexpr))
+                    elif df.where(
+                        ~_F.col(c).eqNullSafe(_F.expr(gexpr))
+                    ).limit(1).count():
+                        raise ValueError(
+                            f"generated column {c!r} was supplied with "
+                            f"values that contradict its stored "
+                            f"generation expression {gexpr!r}"
+                        )
+                writer_fields = [f.jsonValue() for f in df.schema.fields]
         schema_fields = _enforce_or_merge_schema(
             writer_fields, prior_schema, mode, merge_schema
         )
@@ -585,37 +614,48 @@ def write_delta(
         )
         if marker in _tnames
     )
+    # WRITER-only features: generatedColumns constrains writers, not
+    # readers — declared without raising minReaderVersion (r9)
+    wonly = (
+        ["generatedColumns"]
+        if any(
+            (f.get("metadata") or {}).get("delta.generationExpression")
+            for f in schema_fields
+        )
+        else []
+    )
     if version == 0:
-        if feats:
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": feats,
-                        "writerFeatures": feats,
-                    }
-                }
-            )
+        if feats or wonly:
+            prot = {
+                "minReaderVersion": 3 if feats else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(set(feats) | set(wonly)),
+            }
+            if feats:
+                prot["readerFeatures"] = feats
+            actions.append({"protocol": prot})
         else:
             actions.append({"protocol": dict(_PROTOCOL)})
-    elif set(feats) - set(prior_protocol.get("readerFeatures") or []):
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(
-                        set(prior_protocol.get("readerFeatures") or [])
-                        | set(feats)
-                    ),
-                    "writerFeatures": sorted(
-                        set(prior_protocol.get("writerFeatures") or [])
-                        | set(feats)
-                    ),
-                }
-            }
+    elif (set(feats) - set(prior_protocol.get("readerFeatures") or [])) or (
+        set(wonly) - set(prior_protocol.get("writerFeatures") or [])
+    ):
+        rfeats = sorted(
+            set(prior_protocol.get("readerFeatures") or []) | set(feats)
         )
+        prot = {
+            "minReaderVersion": (
+                3 if rfeats else prior_protocol.get("minReaderVersion", 1)
+            ),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                set(prior_protocol.get("writerFeatures") or [])
+                | set(feats)
+                | set(wonly)
+            ),
+        }
+        if rfeats:
+            prot["readerFeatures"] = rfeats
+        actions.append({"protocol": prot})
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
     actions.append(
@@ -4724,4 +4764,117 @@ def sink_delta_clone_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             dsum("o_totalprice").alias("sum_price"),
         )
+    )
+
+
+def write_delta_generated(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    generation: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
+    now_ms: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int | None:
+    """GENERATED COLUMNS (r9 — the protocol's ``generatedColumns``
+    writer feature): each ``generation`` entry maps a column to a SQL
+    expression stored as the field's ``delta.generationExpression``.
+    A column absent from ``df`` is COMPUTED from its expression; a
+    provided one is VERIFIED against it (writers must never commit
+    contradicting values — one bounded existence probe per column).
+    The classic use is partitioning by a derived column —
+    ``{"o_month": "month(o_orderdate)"}`` + ``partition_by=
+    ["o_month"]`` — so partition pruning works on a column no user
+    query writes. Later plain ``write_delta`` appends inherit the
+    stored expressions: missing generated columns are computed,
+    supplied ones verified (see write_delta). Protocol: the table
+    declares the writer-only ``generatedColumns`` feature
+    (minWriterVersion 7, reader version untouched)."""
+    from pyspark.sql import functions as _F
+
+    generation = dict(generation or {})
+    if not generation:
+        raise ValueError("generation must map at least one column")
+    for c, gexpr in sorted(generation.items()):
+        if c in df.columns:
+            if df.where(
+                ~_F.col(c).eqNullSafe(_F.expr(gexpr))
+            ).limit(1).count():
+                raise ValueError(
+                    f"generated column {c!r} was supplied with values "
+                    f"that contradict its generation expression "
+                    f"{gexpr!r}"
+                )
+        else:
+            df = df.withColumn(c, _F.expr(gexpr))
+    df = df.select(
+        *[
+            _F.col(c).alias(
+                c,
+                metadata={"delta.generationExpression": generation[c]},
+            )
+            if c in generation
+            else _F.col(c)
+            for c in df.columns
+        ]
+    )
+    return write_delta(
+        df, path, mode, now_ms=now_ms, txn=txn, partition_by=partition_by
+    )
+
+
+@register(
+    "sink_delta_generated_columns",
+    group="A",
+    oracle=f"""
+    select cast(month(o_orderdate) as integer) as o_month,
+           count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    where month(o_orderdate) = 3
+    group by month(o_orderdate)
+    """,
+)
+def sink_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext (r9): Delta GENERATED COLUMNS end-to-end. Half the orders
+    commit with ``o_month`` generated as ``month(o_orderdate)`` and
+    PARTITIONED on it (the classic derive-then-partition pattern); the
+    other half appends through plain write_delta WITHOUT the column —
+    the writer computes it from the stored expression. A commit
+    supplying contradicting values refuses (asserted). The
+    partition-filtered read prunes files from the LOG by the generated
+    column and the oracle recomputes the same slice via the
+    expression."""
+    from datalakecrawler_spark.sources.scans import _tmp as _t
+
+    path = _fresh(_t("orders_delta_generated"))
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    write_delta_generated(
+        src.where(F.col("o_orderkey") % 2 == 0),
+        path, "overwrite",
+        generation={"o_month": "month(o_orderdate)"},
+        partition_by=["o_month"],
+    )
+    prot = _replay_full(path, None)[5]
+    assert "generatedColumns" in (prot.get("writerFeatures") or []), prot
+    # plain append WITHOUT the generated column: computed by the writer
+    write_delta(
+        src.where(F.col("o_orderkey") % 2 == 1), path, "append",
+        partition_by=["o_month"],
+    )
+    # contradicting values refuse
+    try:
+        write_delta(
+            src.where(F.col("o_orderkey") % 2 == 1)
+            .withColumn("o_month", F.lit(99)),
+            path, "append", partition_by=["o_month"],
+        )
+        raise AssertionError("contradicting generated values must refuse")
+    except ValueError:
+        pass
+    out = read_delta(spark, path, partition_filter={"o_month": "3"})
+    return out.groupBy("o_month").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
     )

@@ -3575,14 +3575,18 @@ def drop_iceberg_column(
         raise ValueError(f"no column {name!r} (have {sorted(by_name)})")
     if len(fields) == 1:
         raise ValueError("cannot drop the only column")
-    src_ids = {
-        sf.get("source-id")
-        for sp in (meta.get("partition-specs") or [{}])
-        for sf in sp.get("fields", [])
-    }
+    # r9: only the DEFAULT spec blocks a drop — evolve the spec away
+    # from the column first (evolve_iceberg_partition_spec), then drop
+    # is metadata-only: old manifests keep their own spec ids, their
+    # identity records for the dropped column simply stop being
+    # projected (the column left the schema), and rows stay complete.
+    src_ids = {sf.get("source-id") for sf in _default_spec_fields(meta)}
     if by_name[name]["id"] in src_ids:
         raise NotImplementedError(
-            f"dropping partition-spec source column {name!r} is not wired"
+            f"dropping partition-spec source column {name!r} is not "
+            "wired while it sources the DEFAULT spec — evolve the "
+            "partition spec away from it first "
+            "(evolve_iceberg_partition_spec), then drop"
         )
     sid = meta.get("current-snapshot-id")
     if sid is not None and sid != -1 and meta.get("snapshots"):

@@ -438,3 +438,57 @@ def test_optimize_clone_after_local_append_mixed_layout(spark, tmp_path):
     )
     base = sorted(r[0] for r in src.where("n_regionkey = 2").select("n_nationkey").collect())
     assert got == sorted(base + [k + 100 for k in base])
+
+
+# ------------------------------------------------ generated columns (r9)
+
+
+def test_generated_columns_compute_verify_and_prune(spark, tmp_path):
+    """write_delta_generated stamps delta.generationExpression and the
+    writer-only generatedColumns feature; plain appends compute a
+    missing generated column from the stored expression, verify a
+    supplied one, and partition pruning works on the derived column."""
+    from datalakecrawler_spark.io import load
+    from tests.conftest import SF_DIR
+
+    src = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = str(tmp_path / "gen")
+    dn.write_delta_generated(
+        src.where("o_orderkey % 2 = 0"), path, "overwrite",
+        generation={"o_month": "month(o_orderdate)"},
+        partition_by=["o_month"],
+    )
+    prot = [a["protocol"] for a in _log_actions(path, 0) if "protocol" in a][0]
+    assert prot["minWriterVersion"] == 7
+    assert "generatedColumns" in prot["writerFeatures"]
+    # writer-only: generatedColumns never rides in readerFeatures
+    assert "generatedColumns" not in (prot.get("readerFeatures") or [])
+    f = [f for f in _schema_fields(path) if f["name"] == "o_month"][0]
+    assert f["metadata"]["delta.generationExpression"] == (
+        "month(o_orderdate)"
+    )
+    # plain append without the column: computed
+    dn.write_delta(
+        src.where("o_orderkey % 2 = 1"), path, "append",
+        partition_by=["o_month"],
+    )
+    out = dn.read_delta(spark, path)
+    assert out.count() == src.count()
+    assert out.where("o_month <> month(o_orderdate)").count() == 0
+    # supplying contradicting values refuses
+    with pytest.raises(ValueError, match="contradict"):
+        dn.write_delta(
+            src.limit(5).withColumn("o_month", F.lit(99)),
+            path, "append", partition_by=["o_month"],
+        )
+    with pytest.raises(ValueError, match="contradict"):
+        dn.write_delta_generated(
+            src.limit(5).withColumn("o_month", F.lit(99)),
+            str(tmp_path / "gen2"), "overwrite",
+            generation={"o_month": "month(o_orderdate)"},
+        )
+    # pruning on the generated column
+    pr = dn.read_delta(spark, path, partition_filter={"o_month": "3"})
+    assert pr.count() == src.where("month(o_orderdate) = 3").count()

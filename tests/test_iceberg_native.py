@@ -2503,3 +2503,29 @@ def test_partition_spec_evolution_gates(spark, tmp_path):
     # transform filters on evolved tables refuse loudly
     with pytest.raises(NotImplementedError, match="identity"):
         read_iceberg(spark, p, partition_filter={"n_name": "x"})
+
+
+def test_evolve_then_drop_former_partition_source(spark, tmp_path):
+    """The complete DROP-partition-column story (r9): evolve the spec
+    away from the column, then drop it metadata-only — old manifests
+    keep their spec, their identity records for the dropped column
+    stop being projected, rows stay complete. While the column still
+    sources the DEFAULT spec, the drop refuses with the recipe."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    p = str(tmp_path / "evolve_drop")
+    write_iceberg(src, p, "overwrite", partition_by=["n_regionkey"],
+                  format_version=2)
+    with pytest.raises(NotImplementedError, match="evolve the"):
+        ice.drop_iceberg_column(p, "n_regionkey")
+    ice.evolve_iceberg_partition_spec(p, [])  # unpartition going forward
+    write_iceberg(
+        src.withColumn("n_nationkey", F.col("n_nationkey") + 100),
+        p, "append", format_version=2,
+    )
+    ice.drop_iceberg_column(p, "n_regionkey")
+    out = read_iceberg(spark, p)
+    assert "n_regionkey" not in out.columns
+    assert out.count() == 50
+    assert out.where("n_name is null").count() == 0
