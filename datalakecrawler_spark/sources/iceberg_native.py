@@ -215,9 +215,44 @@ def _data_file_schema_v2(
     return s
 
 
+def _bounds_map_schema(name: str, fid: int, kid: int, vid: int) -> dict:
+    """The spec's ``map<int, binary>`` column-bounds layout: Avro maps
+    key on strings, so non-string-keyed maps encode as an array of
+    key/value records (the k126_v127 convention)."""
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": "bytes", "field-id": vid},
+                    ],
+                },
+                "element-id": fid,
+            },
+        ],
+        "field-id": fid,
+        "default": None,
+    }
+
+
 def _manifest_entry_schema_v2(
-    pfields: list[tuple[str, str]] | None = None, v3: bool = False
+    pfields: list[tuple[str, str]] | None = None, v3: bool = False,
+    stats: bool = False,
 ) -> dict:
+    df_schema = _data_file_schema_v2(pfields, v3=v3)
+    if stats:
+        # per-file COLUMN BOUNDS (spec data_file lower_bounds 125 /
+        # upper_bounds 128): the scan-planning skip index — r9
+        df_schema["fields"] += [
+            _bounds_map_schema("lower_bounds", 125, 126, 127),
+            _bounds_map_schema("upper_bounds", 128, 129, 130),
+        ]
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -226,7 +261,7 @@ def _manifest_entry_schema_v2(
             {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
             {
                 "name": "data_file",
-                "type": _data_file_schema_v2(pfields, v3=v3),
+                "type": df_schema,
                 "field-id": 2,
             },
         ],
@@ -346,6 +381,90 @@ def _bound_deser(b: bytes, avro_t: str):
         # spec requires readers to honor the stored width
         return _struct.unpack("<i" if len(b) == 4 else "<q", b)[0]
     return b.decode("utf-8")
+
+
+_STATS_ICE_TYPES = {
+    "int", "long", "float", "double", "string", "date",
+    "timestamp", "timestamptz",
+}
+
+
+def _stats_ser(val, ice_t: str) -> bytes | None:
+    """Iceberg single-value binary for column bounds (r9): ints 4LE,
+    longs/timestamps 8LE, float 4LE IEEE, double 8LE IEEE, date =
+    days-since-epoch 4LE, strings UTF-8. Unsupported shapes return
+    None — the file simply records no bound for that column and is
+    never pruned on it (fail-soft, same rule as a statsless file)."""
+    import datetime as _dt
+    import struct as _struct
+
+    try:
+        if val is None:
+            return None
+        if ice_t == "int":
+            return _struct.pack("<i", int(val))
+        if ice_t == "long":
+            return _struct.pack("<q", int(val))
+        if ice_t == "float":
+            return _struct.pack("<f", float(val))
+        if ice_t == "double":
+            return _struct.pack("<d", float(val))
+        if ice_t == "date":
+            if isinstance(val, _dt.date):
+                val = (val - _dt.date(1970, 1, 1)).days
+            return _struct.pack("<i", int(val))
+        if ice_t in ("timestamp", "timestamptz"):
+            if isinstance(val, _dt.datetime):
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=val.tzinfo)
+                val = int((val - epoch).total_seconds() * 1_000_000)
+            return _struct.pack("<q", int(val))
+        if ice_t == "string":
+            if isinstance(val, bytes):
+                return val
+            return str(val).encode("utf-8")
+    except (ValueError, TypeError, OverflowError):
+        return None
+    return None
+
+
+def _stats_deser(b: bytes, ice_t: str):
+    import datetime as _dt
+    import struct as _struct
+
+    if ice_t == "int":
+        return _struct.unpack("<i", b)[0]
+    if ice_t == "long":
+        return _struct.unpack("<q", b)[0]
+    if ice_t == "float":
+        return _struct.unpack("<f", b)[0]
+    if ice_t == "double":
+        return _struct.unpack("<d", b)[0]
+    if ice_t == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=_struct.unpack("<i", b)[0]
+        )
+    if ice_t in ("timestamp", "timestamptz"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=_struct.unpack("<q", b)[0]
+        )
+    return b.decode("utf-8")
+
+
+def _stats_entry_pruned(rec: dict, stats_prune: dict) -> bool:
+    """True when the data file's recorded column bounds prove NO row
+    can satisfy the inclusive ranges in ``stats_prune`` ({field id:
+    (lo, hi, ice type)}). Files without bounds for a column are kept —
+    statsless means unprunable, never skipped."""
+    lbs = {e["key"]: e["value"] for e in rec.get("lower_bounds") or []}
+    ubs = {e["key"]: e["value"] for e in rec.get("upper_bounds") or []}
+    for fid, (lo, hi, ice_t) in stats_prune.items():
+        if hi is not None and fid in lbs:
+            if _stats_deser(lbs[fid], ice_t) > hi:
+                return True
+        if lo is not None and fid in ubs:
+            if _stats_deser(ubs[fid], ice_t) < lo:
+                return True
+    return False
 
 
 def _manifest_pruned(mf: dict, partition_filter: dict, pfields) -> bool:
@@ -735,6 +854,7 @@ def read_iceberg(
     partition_filter: dict | None = None,
     ref: str | None = None,
     row_lineage: bool = False,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot scan: metadata.json → manifest list (Avro) → manifests
     (Avro) → live data-file list → distributed parquet scan. All
@@ -845,11 +965,36 @@ def read_iceberg(
         raise ValueError(f"snapshot {sid} not in table (have {sorted(snaps)})")
     snap = snaps[sid]
     read_pfields = _spec_avro_types(meta)
+    # STATS FILTER (r9): ``stats_filter={"col": (lo, hi)}`` (inclusive,
+    # either side None = unbounded) prunes data files whose recorded
+    # column BOUNDS prove no row can match — files are skipped at scan
+    # PLANNING, before any task launches; statsless files are kept and
+    # the exact predicate applies to every surviving row below, so the
+    # result is identical to a full scan + filter.
+    stats_prune = None
+    if stats_filter:
+        by_fname = {f["name"]: f for f in meta["schema"]["fields"]}
+        stats_prune = {}
+        for c, rng in stats_filter.items():
+            if c not in by_fname:
+                raise ValueError(
+                    f"stats_filter on unknown column {c!r} "
+                    f"(have {sorted(by_fname)})"
+                )
+            t = by_fname[c]["type"]
+            if not isinstance(t, str) or t not in _STATS_ICE_TYPES:
+                raise ValueError(
+                    f"stats_filter column {c!r} has unsupported type "
+                    f"{t!r} (supported: {sorted(_STATS_ICE_TYPES)})"
+                )
+            lo, hi = rng
+            stats_prune[by_fname[c]["id"]] = (lo, hi, t)
     state = _resolve_state(
         path, snap,
         tfilter if tf_by_spec is None else None,
         read_pfields if tf_by_spec is None else None,
         tf_by_spec, pf_by_spec,
+        stats_prune=stats_prune,
     )
     if not row_lineage:
         out = _scan_state(spark, path, meta, state)
@@ -857,6 +1002,12 @@ def read_iceberg(
 
         for c, v in post_filters:
             out = out.where(_F.col(c) == _F.lit(v))
+        if stats_filter:
+            for c, (lo, hi) in sorted(stats_filter.items()):
+                if lo is not None:
+                    out = out.where(_F.col(c) >= _F.lit(lo))
+                if hi is not None:
+                    out = out.where(_F.col(c) <= _F.lit(hi))
         return out
     # format v3 ROW LINEAGE: surface the spec's metadata columns
     # _row_id (= the file's first_row_id + the row's position — stable
@@ -926,6 +1077,7 @@ def _resolve_state(
     read_pfields=None,
     tfilter_by_spec: dict | None = None,
     pfields_by_spec: dict | None = None,
+    stats_prune: dict | None = None,
 ):
     """One snapshot's resolved file state from its manifest list:
     (data files, positional delete files, [(eq delete file, seq)],
@@ -1013,6 +1165,8 @@ def _resolve_state(
                 df_rec["partition"].get(k) != v for k, v in eff_tf.items()
             ):
                 continue
+            if stats_prune and _stats_entry_pruned(df_rec, stats_prune):
+                continue  # column bounds prove no row can match (r9)
             fabs = _resolve(path, df_rec["file_path"])
             # non-parquet data files (r9, VERDICT r8 #4) ride as
             # (path, fmt) tuples so every consumer decides loudly;
@@ -2124,6 +2278,7 @@ def _stage_data_files(
     version: int,
     snapshot_id: int,
     format_version: int,
+    stats_cols: dict[str, tuple[int, str]] | None = None,
 ) -> tuple[list[dict], int]:
     """Distributed parquet write of ``df`` under the spec's layout,
     linked under data/ with typed r102 partition tuples per file;
@@ -2203,7 +2358,8 @@ def _stage_data_files(
         # bytes not data)
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        n = md.num_rows
         n_rows_total += n
         data_file = {
             "file_path": rel,
@@ -2213,6 +2369,55 @@ def _stage_data_files(
             "file_size_in_bytes": os.path.getsize(os.path.join(path, rel)),
             "block_size_in_bytes": 67108864,
         }
+        if stats_cols:
+            # per-file COLUMN BOUNDS (r9): min/max folded across row
+            # groups from the SAME footer already in hand — the spec's
+            # lower_bounds/upper_bounds skip index, free at write time.
+            # Fail-soft per column (this pyarrow cannot extract some
+            # stat shapes — a missing bound just means "unprunable").
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name not in stats_cols:
+                        continue
+                    try:
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            mins[name] = maxs[name] = None
+                            continue
+                        lo, hi = st.min, st.max
+                    except Exception:
+                        mins[name] = maxs[name] = None
+                        continue
+                    if name in mins and mins[name] is None:
+                        continue
+                    mins[name] = (
+                        lo if name not in mins else min(mins[name], lo)
+                    )
+                    maxs[name] = (
+                        hi if name not in maxs else max(maxs[name], hi)
+                    )
+            lbs, ubs = [], []
+            for name, (fid, ice_t) in sorted(stats_cols.items()):
+                blo = (
+                    _stats_ser(mins.get(name), ice_t)
+                    if mins.get(name) is not None
+                    else None
+                )
+                bhi = (
+                    _stats_ser(maxs.get(name), ice_t)
+                    if maxs.get(name) is not None
+                    else None
+                )
+                if blo is not None and bhi is not None:
+                    lbs.append({"key": fid, "value": blo})
+                    ubs.append({"key": fid, "value": bhi})
+            if lbs:
+                data_file["lower_bounds"] = lbs
+                data_file["upper_bounds"] = ubs
         if format_version >= 2:
             data_file["content"] = _DF_CONTENT_DATA
         entries.append(
@@ -2245,6 +2450,36 @@ def last_txn_epoch(path: str, app_id: str) -> int:
     return latest
 
 
+def _sort_order_meta(prior_meta: dict | None, sort_fields: list) -> dict:
+    """{"sort-orders": [...], "default-sort-order-id": N} for a commit
+    with (or without) a declared sort order — prior orders carry
+    through; an identical order is reused rather than re-appended."""
+    orders = list(
+        (prior_meta or {}).get("sort-orders")
+        or [{"order-id": 0, "fields": []}]
+    )
+    if not sort_fields:
+        return {
+            "sort-orders": orders,
+            "default-sort-order-id": 0,
+        }
+    sig = [
+        (f["source-id"], f["direction"], f.get("transform", "identity"))
+        for f in sort_fields
+    ]
+    for o in orders:
+        if [
+            (f["source-id"], f["direction"], f.get("transform", "identity"))
+            for f in o.get("fields", [])
+        ] == sig:
+            return {"sort-orders": orders, "default-sort-order-id": o["order-id"]}
+    oid = max(o["order-id"] for o in orders) + 1
+    return {
+        "sort-orders": orders + [{"order-id": oid, "fields": sort_fields}],
+        "default-sort-order-id": oid,
+    }
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
@@ -2254,6 +2489,7 @@ def write_iceberg(
     merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
     branch: str | None = None,
+    sort_by: list[str] | None = None,
 ) -> int | None:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
     ``append`` reuses every prior manifest in the new manifest list
@@ -2510,6 +2746,51 @@ def write_iceberg(
         else _spark_schema_to_iceberg(df.schema)
     )
     _ids_by_name = {f["name"]: f["id"] for f in _pre_schema["fields"]}
+    # SORT ORDER (r9, spec "Sort Orders"): ``sort_by=["col", "col
+    # desc"]`` range-clusters the batch (repartitionByRange keeps the
+    # partition count, sortWithinPartitions orders inside each file)
+    # so each data file covers a narrow slice of the sort key — which
+    # is exactly what makes the per-file column bounds below an
+    # effective skip index. The order is recorded in the table's
+    # sort-orders metadata.
+    sort_fields = []
+    if sort_by:
+        from pyspark.sql import functions as _Fs
+
+        sort_cols = []
+        for ent in sort_by:
+            parts_sb = ent.split()
+            cname = parts_sb[0]
+            desc = len(parts_sb) > 1 and parts_sb[1].lower() == "desc"
+            if cname not in _ids_by_name:
+                raise ValueError(
+                    f"unknown sort column {cname!r} "
+                    f"(have {sorted(_ids_by_name)})"
+                )
+            sort_cols.append(
+                _Fs.col(cname).desc() if desc else _Fs.col(cname).asc()
+            )
+            sort_fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": _ids_by_name[cname],
+                    "direction": "desc" if desc else "asc",
+                    "null-order": "nulls-first",
+                }
+            )
+        nparts = max(1, df.rdd.getNumPartitions())
+        df = df.repartitionByRange(nparts, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    # per-file COLUMN BOUNDS (r9): every primitive stats-typed column
+    # records min/max in its manifest entry, folded from the same
+    # footers the row counts come from — the scan-planning skip index
+    # read_iceberg(stats_filter=...) prunes on
+    _stats_cols = {
+        f["name"]: (f["id"], f["type"])
+        for f in _pre_schema["fields"]
+        if isinstance(f["type"], str) and f["type"] in _STATS_ICE_TYPES
+    }
     if phys_ids_by_name is not None:
         # physical-staged append: stamp each physical column with its
         # field id (the id belongs to the field, whatever name the
@@ -2518,7 +2799,8 @@ def write_iceberg(
     _enable_field_ids(df.sparkSession)
     df = _with_field_ids(df, _ids_by_name)
     entries, n_rows_total = _stage_data_files(
-        path, df, spec, dtypes, version, snapshot_id, format_version
+        path, df, spec, dtypes, version, snapshot_id, format_version,
+        stats_cols=_stats_cols,
     )
     seq = (prior_meta.get("last-sequence-number", 0) + 1) if prior_meta else 1
 
@@ -2536,8 +2818,17 @@ def write_iceberg(
             acc += e["data_file"]["record_count"]
 
     # 2) one new manifest for this snapshot's added files
+    _has_bounds = any("lower_bounds" in e["data_file"] for e in entries)
+    if _has_bounds:
+        # the datum encoder writes every schema field: entries whose
+        # file yielded no usable stats carry explicit null bounds
+        for e in entries:
+            e["data_file"].setdefault("lower_bounds", None)
+            e["data_file"].setdefault("upper_bounds", None)
     entry_schema = (
-        _manifest_entry_schema_v2(pfields, v3=(format_version >= 3))
+        _manifest_entry_schema_v2(
+            pfields, v3=(format_version >= 3), stats=_has_bounds
+        )
         if format_version >= 2
         else _manifest_entry_schema(pfields)
     )
@@ -2794,6 +3085,11 @@ def write_iceberg(
         "default-spec-id": (
             (prior_meta or {}).get("default-spec-id", 0)
         ),
+        # SORT ORDERS (r9): order-id 0 is the spec's unsorted order;
+        # a sort_by commit appends its order (or reuses an identical
+        # one) and makes it the default — informational metadata that
+        # documents WHY the per-file bounds are narrow
+        **(_sort_order_meta(prior_meta, sort_fields)),
         # table properties survive every commit (a fresh {} here would
         # strip e.g. a converted table's name-mapping) — except a
         # converted table's hive basePath on OVERWRITE: the fresh
@@ -7053,4 +7349,56 @@ def scan_iceberg_partition_evolution(
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "scan_iceberg_sorted_stats_pruning",
+    group="A",
+    oracle=f"""
+    select count(*) as cnt, {SUM_D.format('o_totalprice')} as sum_price,
+           cast(min(o_orderkey) as bigint) as min_key,
+           cast(max(o_orderkey) as bigint) as max_key
+    from orders where o_orderkey between 500 and 4000
+    """,
+)
+def scan_iceberg_sorted_stats_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-ext (r9): SORT ORDER + per-file COLUMN BOUNDS — the
+    file-skipping pair that turns a 100 TB range query into an
+    O(matching files) scan. The orders commit range-clustered on
+    o_orderkey (``sort_by`` — repartitionByRange + in-file sort,
+    recorded in the table's sort-orders metadata), every manifest
+    entry records the spec's lower/upper bounds folded from the
+    parquet footers already in hand, and
+    ``read_iceberg(stats_filter=...)`` prunes files at scan PLANNING:
+    asserted, strictly fewer files than the snapshot holds survive —
+    at scale the others are never opened, listed, or scheduled. The
+    exact predicate still applies to surviving rows, so the oracle's
+    plain relational filter must hash-match."""
+    path = _fresh(_tmp("orders_iceberg_sorted_stats"))
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_iceberg(
+        src.repartition(8), path, "overwrite", format_version=2,
+        sort_by=["o_orderkey"],
+    )
+    meta = _read_metadata(path)
+    assert meta["default-sort-order-id"] == 1, meta.get("sort-orders")
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    fid = {f["name"]: f["id"] for f in meta["schema"]["fields"]}["o_orderkey"]
+    lo, hi = 500, 4000
+    n_full = len(_resolve_state(path, snap)[0])
+    n_pruned = len(
+        _resolve_state(path, snap, stats_prune={fid: (lo, hi, "long")})[0]
+    )
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
+    out = read_iceberg(spark, path, stats_filter={"o_orderkey": (lo, hi)})
+    return out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
     )

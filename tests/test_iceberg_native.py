@@ -2529,3 +2529,91 @@ def test_evolve_then_drop_former_partition_source(spark, tmp_path):
     assert "n_regionkey" not in out.columns
     assert out.count() == 50
     assert out.where("n_name is null").count() == 0
+
+
+# ------------------------------------- r9: sort orders + stats pruning
+
+
+def test_sort_order_clusters_files_and_records_metadata(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    p = str(tmp_path / "ice_sorted")
+    write_iceberg(src.repartition(4), p, "overwrite", format_version=2,
+                  sort_by=["o_orderkey"])
+    meta = ice._read_metadata(p)
+    assert meta["default-sort-order-id"] == 1
+    assert meta["sort-orders"][1]["fields"][0]["direction"] == "asc"
+    # range clustering: per-file key ranges are disjoint
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    mf = ice._decode_avro_records(ice._resolve(p, snap["manifest-list"]))[0]
+    ents = ice._decode_avro_records(ice._resolve(p, mf["manifest_path"]))
+    fid = {f["name"]: f["id"] for f in meta["schema"]["fields"]}["o_orderkey"]
+    ranges = sorted(
+        (
+            ice._stats_deser(
+                {e["key"]: e["value"] for e in d["lower_bounds"]}[fid],
+                "long",
+            ),
+            ice._stats_deser(
+                {e["key"]: e["value"] for e in d["upper_bounds"]}[fid],
+                "long",
+            ),
+        )
+        for d in (e["data_file"] for e in ents)
+    )
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2, ranges
+    # an identical later sort order is reused, not re-appended
+    write_iceberg(src.limit(0), p, "append", format_version=2,
+                  sort_by=["o_orderkey"])
+    meta2 = ice._read_metadata(p)
+    assert len(meta2["sort-orders"]) == 2
+    assert meta2["default-sort-order-id"] == 1
+
+
+def test_stats_filter_prunes_files_exactly(spark, tmp_path):
+    """stats_filter skips data files whose bounds prove no match at
+    scan PLANNING; surviving rows still pass through the exact
+    predicate, so results equal a full scan + filter."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    p = str(tmp_path / "ice_stats")
+    write_iceberg(src.repartition(6), p, "overwrite", format_version=2,
+                  sort_by=["o_orderkey"])
+    meta = ice._read_metadata(p)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    fid = {f["name"]: f["id"] for f in meta["schema"]["fields"]}["o_orderkey"]
+    full = ice._resolve_state(p, snap)[0]
+    lo, hi = 50, 300
+    pruned = ice._resolve_state(
+        p, snap, stats_prune={fid: (lo, hi, "long")}
+    )[0]
+    assert 0 < len(pruned) < len(full)
+    out = ice.read_iceberg(spark, p, stats_filter={"o_orderkey": (lo, hi)})
+    want = sorted(
+        r["o_orderkey"]
+        for r in src.where(f"o_orderkey between {lo} and {hi}").collect()
+    )
+    assert sorted(r["o_orderkey"] for r in out.collect()) == want
+    # one-sided ranges
+    n_hi = ice.read_iceberg(
+        spark, p, stats_filter={"o_orderkey": (None, 100)}
+    ).count()
+    assert n_hi == src.where("o_orderkey <= 100").count()
+    # string bounds work too
+    n_f = ice.read_iceberg(
+        spark, p, stats_filter={"o_orderstatus": ("F", "F")}
+    ).count()
+    assert n_f == src.where("o_orderstatus = 'F'").count()
+    # unknown / unsupported columns refuse
+    with pytest.raises(ValueError, match="unknown column"):
+        ice.read_iceberg(spark, p, stats_filter={"nope": (1, 2)})
