@@ -7402,3 +7402,440 @@ def scan_iceberg_sorted_stats_pruning(
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def _partition_by_strings(meta: dict) -> list[str]:
+    """The DEFAULT spec re-expressed as write_iceberg ``partition_by``
+    strings (identity → source name; transforms → their constructor
+    form)."""
+    by_fid = {f["id"]: f for f in meta["schema"]["fields"]}
+    out = []
+    for sf in _default_spec_fields(meta):
+        src = by_fid[sf["source-id"]]["name"]
+        t = sf.get("transform", "identity")
+        m = _re.match(r"(bucket|truncate)\[(\d+)\]", t)
+        if t == "identity":
+            out.append(src)
+        elif m:
+            out.append(f"{m.group(1)}({m.group(2)}, {src})")
+        else:
+            out.append(f"{t}({src})")
+    return out
+
+
+def materialize_iceberg_table(
+    spark: SparkSession, src_path: str, dst_path: str
+) -> dict:
+    """Rewrite the CURRENT snapshot into a fresh, consolidated table
+    at ``dst_path`` (r9): one full semantic read — row-level deletes
+    applied, column defaults substituted, evolved-spec identity
+    values overlaid, ORC/Avro inputs decoded — then one clean write
+    under the source's DEFAULT spec. This is the remedy every evolved-
+    or mixed-format gate names ("rewrite the table under one spec /
+    to parquet first"): the destination is a plain single-spec
+    all-parquet table on which every operation is available again.
+    The source is untouched (its history keeps serving)."""
+    meta = _read_metadata(src_path)
+    fv = meta.get("format-version", 1)
+    out = read_iceberg(spark, src_path)
+    pby = _partition_by_strings(meta)
+    write_iceberg(
+        out, dst_path, "overwrite",
+        partition_by=pby, format_version=max(fv, 2),
+        sort_by=None,
+    )
+    dst_meta = _read_metadata(dst_path)
+    snap = {s["snapshot-id"]: s for s in dst_meta["snapshots"]}[
+        dst_meta["current-snapshot-id"]
+    ]
+    files = _resolve_state(dst_path, snap)[0]
+    return {
+        "rows": read_iceberg(spark, dst_path).count(),
+        "output_files": len(files),
+        "partition_by": pby,
+    }
+
+
+def compact_iceberg_data_files(spark: SparkSession, path: str) -> dict:
+    """BIN-PACK data-file compaction (r9) — the maintenance op the
+    crawler's small-file counter points at, Iceberg's
+    ``rewrite_data_files``. Two modes, chosen by the snapshot's
+    state:
+
+    - **binpack** (no row-level deletes): every partition holding >1
+      data file rewrites into one file per partition (hash
+      repartition on the identity sources — each partition's rows
+      land in exactly one task); untouched partitions' entries carry
+      through as EXISTING with their original sequence numbers, via
+      reused (or survivor-rewritten) manifests. Read results are
+      bit-identical; the commit is one snapshot.
+    - **rewrite** (positional deletes / DVs / ORC-Avro inputs
+      present): the whole active set rewrites through the full
+      semantic scan — deletes are APPLIED and their files dropped,
+      non-parquet inputs land as parquet — via one
+      ``write_iceberg(mode="overwrite")`` snapshot (old snapshots
+      stay readable).
+
+    Equality deletes auto-compact to positional form first (the same
+    interlock every DDL uses). Evolved multi-spec tables refuse —
+    ``materialize_iceberg_table`` is their consolidation path."""
+    meta = _read_metadata(path)
+    fv = meta.get("format-version", 1)
+    if fv < 2:
+        raise ValueError(
+            f"compaction targets format-v2+ tables (this is v{fv})"
+        )
+    if len(meta.get("partition-specs") or [{}]) > 1:
+        raise NotImplementedError(
+            "data-file compaction on a table with an EVOLVED partition "
+            "spec is not wired in place — materialize_iceberg_table "
+            "consolidates it to a fresh single-spec table"
+        )
+    sid = meta.get("current-snapshot-id")
+    if sid is None or sid == -1 or not meta.get("snapshots"):
+        raise ValueError("no snapshot to compact")
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+    state = _resolve_state(path, snap)
+    files, dels, eq_dels, data_seq, data_part, _dsp = state
+    if eq_dels:
+        compact_iceberg_deletes(spark, path)
+        meta = _read_metadata(path)
+        sid = meta["current-snapshot-id"]
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[sid]
+        state = _resolve_state(path, snap)
+        files, dels, eq_dels, data_seq, data_part, _dsp = state
+    nonpq = [f for f in files if isinstance(f, tuple)]
+    if dels or nonpq:
+        n_in = len(files)
+        out = _scan_state(spark, path, meta, state)
+        pby = _partition_by_strings(meta)
+        write_iceberg(
+            out, path, "overwrite",
+            partition_by=pby, format_version=fv,
+        )
+        meta2 = _read_metadata(path)
+        snap2 = {s["snapshot-id"]: s for s in meta2["snapshots"]}[
+            meta2["current-snapshot-id"]
+        ]
+        return {
+            "mode": "rewrite",
+            "rewritten_files": n_in,
+            "output_files": len(_resolve_state(path, snap2)[0]),
+            "deletes_applied": len(dels),
+        }
+
+    # ---- binpack: parquet-only, delete-free snapshot
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(data_part.get(f, "{}"), []).append(f)
+    fat = {k: g for k, g in groups.items() if len(g) > 1}
+    if not fat:
+        return {"mode": "binpack", "rewritten_files": 0, "output_files": 0}
+    rewritten = {f for g in fat.values() for f in g}
+    out = _scan_state(spark, path, meta, state, files_subset=rewritten)
+
+    by_fid = {f["id"]: f for f in meta["schema"]["fields"]}
+    spec = []
+    for sf in _default_spec_fields(meta):
+        src = by_fid[sf["source-id"]]
+        t = sf.get("transform", "identity")
+        m = _re.match(r"(bucket|truncate)\[(\d+)\]", t)
+        tname, param = (m.group(1), int(m.group(2))) if m else (t, None)
+        spec.append(
+            {
+                "name": sf["name"],
+                "source": src["name"],
+                "transform": tname,
+                "param": param,
+                "avro": dict(_spec_avro_types(meta))[sf["name"]],
+            }
+        )
+    id_srcs = [
+        fl["source"] for fl in spec if fl["transform"] == "identity"
+    ]
+    if id_srcs:
+        # one task per touched partition ⇒ exactly one output file per
+        # hive dir (hash keys collide into shared tasks harmlessly)
+        out = out.repartition(max(1, len(fat)), *id_srcs)
+    else:
+        out = out.repartition(1)
+
+    version = (
+        max(
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(
+                os.path.join(_meta_dir(path), "v*.metadata.json")
+            )
+        )
+        + 1
+    )
+    snapshot_id = version
+    seq = meta.get("last-sequence-number", 0) + 1
+    _enable_field_ids(spark)
+    stamped = _with_field_ids(
+        out, {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    )
+    stats_cols = {
+        f["name"]: (f["id"], f["type"])
+        for f in meta["schema"]["fields"]
+        if isinstance(f["type"], str) and f["type"] in _STATS_ICE_TYPES
+    }
+    dtypes = dict(out.dtypes)
+    entries, n_rows = _stage_data_files(
+        path, stamped, spec, dtypes, version, snapshot_id, fv,
+        stats_cols=stats_cols,
+    )
+    if any("lower_bounds" in e["data_file"] for e in entries):
+        for e in entries:
+            e["data_file"].setdefault("lower_bounds", None)
+            e["data_file"].setdefault("upper_bounds", None)
+    pfields = [(f["name"], f["avro"]) for f in spec]
+    mf_rel = os.path.join(
+        "metadata", f"manifest-{snapshot_id:05d}-binpack.avro"
+    )
+    with open(os.path.join(path, mf_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh,
+            _manifest_entry_schema_v2(
+                pfields or None, v3=(fv >= 3),
+                stats=any(
+                    "lower_bounds" in e["data_file"] for e in entries
+                ),
+            ),
+            "deflate",
+            sync_seed=mf_rel,
+        )
+        if fv >= 3:
+            for e in entries:
+                e["data_file"].setdefault("first_row_id", None)
+        w.write_block(entries)
+    manifests_out = [
+        {
+            "manifest_path": mf_rel,
+            "manifest_length": os.path.getsize(os.path.join(path, mf_rel)),
+            "partition_spec_id": meta.get("default-spec-id", 0),
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "partitions": None,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    # untouched files carry through: reuse whole manifests where every
+    # entry survives; survivor-rewrite mixed ones as EXISTING with
+    # their ORIGINAL data sequence numbers
+    for mi, mf in enumerate(
+        _decode_avro_records(_resolve(path, snap["manifest-list"]))
+    ):
+        if mf.get("content", 0) == 1:
+            mf.setdefault("partitions", None)
+            manifests_out.append(mf)  # (unreachable: delete-free path)
+            continue
+        m_seq = mf.get("sequence_number") or 0
+        m_entries = [
+            e
+            for e in _decode_avro_records(
+                _resolve(path, mf["manifest_path"])
+            )
+            if e["status"] != _ST_DELETED
+        ]
+        kept = [
+            e
+            for e in m_entries
+            if _resolve(path, e["data_file"]["file_path"]) not in rewritten
+        ]
+        if len(kept) == len(m_entries):
+            mf.setdefault("partitions", None)
+            mf.setdefault("content", 0)
+            mf.setdefault("sequence_number", None)
+            mf.setdefault("min_sequence_number", None)
+            manifests_out.append(mf)
+            continue
+        if not kept:
+            continue
+        survivors = []
+        for e in kept:
+            if fv >= 3:
+                e["data_file"].setdefault("first_row_id", None)
+            e_seq = e.get("sequence_number")
+            survivors.append(
+                {
+                    "status": _ST_EXISTING,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": (
+                        e_seq if e_seq is not None else m_seq
+                    ),
+                    "data_file": e["data_file"],
+                }
+            )
+        srel = os.path.join(
+            "metadata", f"manifest-{snapshot_id:05d}-bp{mi:03d}.avro"
+        )
+        with open(os.path.join(path, srel), "wb") as fh:
+            w = AvroDatumFileWriter(
+                fh,
+                _manifest_entry_schema_v2_seq(
+                    pfields or None, v3=(fv >= 3)
+                ),
+                "deflate",
+                sync_seed=srel,
+            )
+            w.write_block(survivors)
+        manifests_out.append(
+            {
+                "manifest_path": srel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(path, srel)
+                ),
+                "partition_spec_id": meta.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    s["sequence_number"] for s in survivors
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": len(survivors),
+                "deleted_data_files_count": 0,
+                "partitions": None,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    s["data_file"]["record_count"] for s in survivors
+                ),
+                "deleted_rows_count": 0,
+            }
+        )
+    ml_rel = os.path.join("metadata", f"snap-{snapshot_id:05d}.avro")
+    with open(os.path.join(path, ml_rel), "wb") as fh:
+        w = AvroDatumFileWriter(
+            fh, _manifest_file_schema_v2(), "deflate", sync_seed=ml_rel
+        )
+        w.write_block(manifests_out)
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 0,
+            "manifest-list": ml_rel,
+            "sequence-number": seq,
+            "summary": {"operation": "replace"},
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    _publish_metadata(path, version, meta)
+    return {
+        "mode": "binpack",
+        "rewritten_files": len(rewritten),
+        "output_files": len(entries),
+        "compacted_partitions": len(fat),
+    }
+
+
+@register(
+    "sink_iceberg_compact_files",
+    group="A",
+    oracle=f"""
+    select o_orderstatus, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price,
+           cast(3 as bigint) as output_files
+    from orders group by o_orderstatus
+    """,
+)
+def sink_iceberg_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext (r9): BIN-PACK data-file compaction — Iceberg's
+    rewrite_data_files, the op the crawler's small-file counter
+    recommends. Three appends leave each o_orderstatus partition
+    holding three small files; one compaction snapshot rewrites every
+    fat partition into ONE file (hash repartition on the identity
+    source: each partition's rows land in exactly one task), carrying
+    untouched entries through as EXISTING with their original
+    sequence numbers. Asserted: exactly one file per partition
+    afterwards, time travel to the pre-compaction snapshots intact,
+    and the read — which the oracle recomputes relationally — is
+    bit-identical before/after."""
+    path = _fresh(_tmp("orders_iceberg_binpack"))
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for i in range(3):
+        write_iceberg(
+            src.where(F.col("o_orderkey") % 3 == i), path,
+            "overwrite" if i == 0 else "append",
+            partition_by=["o_orderstatus"], format_version=2,
+        )
+    res = compact_iceberg_data_files(spark, path)
+    assert res["mode"] == "binpack", res
+    assert res["output_files"] == res["compacted_partitions"] == 3, res
+    meta = _read_metadata(path)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    n_files = len(_resolve_state(path, snap)[0])
+    assert n_files == 3, n_files
+    assert read_iceberg(spark, path, snapshot_id=1).count() == (
+        src.where(F.col("o_orderkey") % 3 == 0).count()
+    ), "time travel to pre-compaction snapshots must survive"
+    out = read_iceberg(spark, path)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.lit(n_files).cast("long").alias("output_files"),
+    )
+
+
+@register(
+    "sink_iceberg_materialize_evolved",
+    group="A",
+    oracle=f"""
+    select o_orderpriority, count(*) as cnt,
+           {SUM_D.format('o_totalprice')} as sum_price
+    from orders
+    where o_orderkey % 11 <> 3
+    group by o_orderpriority
+    """,
+)
+def sink_iceberg_materialize_evolved(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-ext (r9): materialize_iceberg_table — the consolidation
+    remedy for evolved tables. An unpartitioned epoch evolves to an
+    identity spec and appends a partitioned epoch; materializing
+    rewrites the full semantic snapshot (spec overlay included) into
+    a fresh single-spec table where the gated ops work again — proven
+    by taking a positional DELETE on the destination, which the
+    evolved source refuses. The grouped aggregate over the
+    post-delete destination is recomputed relationally by the
+    oracle."""
+    path = _fresh(_tmp("orders_iceberg_evolved_src"))
+    dst = _fresh(_tmp("orders_iceberg_evolved_dst"))
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 0), path, "overwrite",
+        format_version=2,
+    )
+    evolve_iceberg_partition_spec(path, ["o_orderpriority"])
+    write_iceberg(
+        src.where(F.col("o_orderkey") % 2 == 1), path, "append",
+        partition_by=["o_orderpriority"], format_version=2,
+    )
+    try:
+        add_position_deletes(spark, path, "o_orderkey % 11 = 3")
+        raise AssertionError("evolved tables must refuse row deletes")
+    except NotImplementedError:
+        pass
+    res = materialize_iceberg_table(spark, path, dst)
+    assert res["partition_by"] == ["o_orderpriority"], res
+    add_position_deletes(spark, dst, "o_orderkey % 11 = 3")
+    out = read_iceberg(spark, dst)
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -2617,3 +2617,87 @@ def test_stats_filter_prunes_files_exactly(spark, tmp_path):
     # unknown / unsupported columns refuse
     with pytest.raises(ValueError, match="unknown column"):
         ice.read_iceberg(spark, p, stats_filter={"nope": (1, 2)})
+
+
+# ----------------------------------------- r9: data-file compaction
+
+
+def test_binpack_compaction_one_file_per_partition(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    p = str(tmp_path / "bp")
+    for i, cond in enumerate(
+        ["n_nationkey < 8", "n_nationkey between 8 and 16",
+         "n_nationkey > 16"]
+    ):
+        write_iceberg(
+            src.where(cond), p, "overwrite" if i == 0 else "append",
+            partition_by=["n_regionkey"], format_version=2,
+        )
+    res = ice.compact_iceberg_data_files(spark, p)
+    assert res["mode"] == "binpack"
+    assert res["output_files"] == res["compacted_partitions"] == 5
+    got = sorted(
+        (r["n_nationkey"], r["n_regionkey"])
+        for r in read_iceberg(spark, p).collect()
+    )
+    assert got == sorted(
+        (r["n_nationkey"], r["n_regionkey"]) for r in src.collect()
+    )
+    # pruning + time travel survive; idempotent rerun is a no-op
+    assert read_iceberg(
+        spark, p, partition_filter={"n_regionkey": 2}
+    ).count() == src.where("n_regionkey = 2").count()
+    assert read_iceberg(spark, p, snapshot_id=1).count() == 8
+    assert ice.compact_iceberg_data_files(spark, p)["rewritten_files"] == 0
+
+
+def test_compaction_rewrite_applies_deletes(spark, tmp_path):
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    p = str(tmp_path / "rw")
+    write_iceberg(src.repartition(4), p, "overwrite", format_version=2)
+    ice.add_position_deletes(spark, p, "o_orderkey % 7 = 2")
+    res = ice.compact_iceberg_data_files(spark, p)
+    assert res["mode"] == "rewrite" and res["deletes_applied"] == 1
+    want = src.where("o_orderkey % 7 <> 2").count()
+    assert read_iceberg(spark, p).count() == want
+    meta = ice._read_metadata(p)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    st = ice._resolve_state(p, snap)
+    assert not st[1] and not st[2], "deletes must be applied and dropped"
+
+
+def test_materialize_consolidates_evolved_table(spark, tmp_path):
+    """materialize_iceberg_table is the consolidation remedy the
+    evolved-table gates name: the destination is a plain single-spec
+    table on which every gated op (row-level deletes, in-place
+    compaction) is available again."""
+    from datalakecrawler_spark.sources import iceberg_native as ice
+
+    src = load(spark, SF_DIR, "nation")
+    p, d = str(tmp_path / "evm"), str(tmp_path / "evm_dst")
+    write_iceberg(src.where("n_nationkey < 12"), p, "overwrite",
+                  format_version=2)
+    ice.evolve_iceberg_partition_spec(p, ["n_regionkey"])
+    write_iceberg(src.where("n_nationkey >= 12"), p, "append",
+                  partition_by=["n_regionkey"], format_version=2)
+    with pytest.raises(NotImplementedError, match="materialize"):
+        ice.compact_iceberg_data_files(spark, p)
+    res = ice.materialize_iceberg_table(spark, p, d)
+    assert res["rows"] == 25 and res["partition_by"] == ["n_regionkey"]
+    got = sorted(
+        (r["n_nationkey"], r["n_regionkey"])
+        for r in read_iceberg(spark, d).collect()
+    )
+    assert got == sorted(
+        (r["n_nationkey"], r["n_regionkey"]) for r in src.collect()
+    )
+    ice.add_position_deletes(spark, d, "n_nationkey = 3")
+    assert read_iceberg(spark, d).count() == 24
+    # source untouched
+    assert read_iceberg(spark, p).count() == 25
