@@ -219,19 +219,38 @@ def geo_cell_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dlon", F.explode(off))
         .select(
             "c_custkey",
+            "c_nationkey",
             "lat",
             "lon",
             (F.floor(F.col("lat") / CELL).cast("long") + F.col("dlat")).alias("cl"),
             (F.floor(F.col("lon") / CELL).cast("long") + F.col("dlon")).alias("cn"),
         )
     )
-    pairs = c9.join(F.broadcast(si), ["cl", "cn"]).filter(
-        haversine_km(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon"))
-        <= R_KM
+    # r9 optimization (guide §2.4/§3.1): the former shape confirmed
+    # radius hits with an INNER cell join, counted per customer, then
+    # LEFT-joined the counts back onto `ci` to restore zero-neighbor
+    # customers — Spark planned that restore join as a SortMergeJoin
+    # (one extra exchange + two sorts on c_custkey). A LEFT OUTER
+    # broadcast cell join keeps every customer in flight instead (the
+    # 9-cell fanout already carries each customer at least 9 rows), and
+    # a conditional count collapses to exactly the same n_within:
+    # unmatched cells contribute NULL suppliers (count 0), matched
+    # candidates count only when the exact haversine confirms. One
+    # aggregation replaces join+aggregate+join; the supplier side stays
+    # the broadcast it always was, so no shuffle at any scale.
+    within = (
+        F.col("s_suppkey").isNotNull()
+        & (
+            haversine_km(
+                F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")
+            )
+            <= R_KM
+        )
     )
-    cnt = pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n"))
-    per = ci.join(cnt, "c_custkey", "left").select(
-        "c_nationkey", F.coalesce(F.col("n"), F.lit(0)).alias("n_within")
+    per = (
+        c9.join(F.broadcast(si), ["cl", "cn"], "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(F.when(within, 1).otherwise(0)).alias("n_within"))
     )
     return per.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -466,38 +466,57 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     peeling converges in few rounds precisely because degrees are
     basket-bounded.
 
-    Engine note: the pruned edge list is localCheckpoint()ed once and
-    per round — the peel loop issues two actions per round, and
-    without cutting lineage each action would replay the whole
-    distinct→self-join→rollup chain from parquet (O(rounds²) rescans;
-    measured ~38 s → ~2 s at sf0.001). The checkpointed frame is a few
-    thousand rows — the standard iterative-algorithm discipline on
-    Spark (the same reason GraphX/MLlib iterate on materialized,
-    lineage-cut frames)."""
+    Engine note (r9 optimization): the peel is a FIXED 3-round unroll,
+    so the whole decomposition is ONE declarative plan — a union of
+    four single-row aggregates over progressively deeper semi-join
+    chains — instead of the former driver loop that issued ~11 actions
+    (two counts + a checkpoint per round; 19.6 s of the sf0.01
+    registry walk, re-measured 2.5 s cold as one plan). Each round's
+    surviving-node set is a broadcast semi-join filter; identical
+    aggregate subtrees dedupe via ReusedExchange, and n_edges comes
+    from the degree rollup itself (Σd = 2·|E| exactly — every edge
+    contributes to both endpoint degrees), so no per-round edge count
+    is needed. The base edge list is the memoized localCheckpoint
+    (loop invariant pinned to storage); everything above it is a few
+    thousand rows."""
     e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint()
-    rounds = []
+
+    def _deg(cur: DataFrame) -> DataFrame:
+        return _sym(cur).groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    def _round_row(r: int, n_nodes: DataFrame, deg: DataFrame) -> DataFrame:
+        # n_nodes: 1-row (cnt) frame; n_edges = Σd/2 of this round's
+        # survivor graph (coalesce: an empty round has a NULL sum).
+        edges_cnt = deg.agg(
+            (F.coalesce(F.sum("d"), F.lit(0)) / F.lit(2))
+            .cast("bigint")
+            .alias("n_edges")
+        )
+        return n_nodes.crossJoin(edges_cnt).select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("cnt").cast("bigint").alias("n_nodes"),
+            "n_edges",
+        )
+
     cur = e
-    deg = (
-        _sym(cur).groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    )
-    rounds.append((0, deg.count(), cur.count()))
+    deg = _deg(cur)
+    rows = [_round_row(0, deg.agg(F.count(F.lit(1)).alias("cnt")), deg)]
     for r in range(1, 4):
         keep = deg.filter(F.col("d") >= 3).select(
             F.col("src").alias("v")
         )
-        n_keep = keep.count()
         cur = (
             cur.join(F.broadcast(keep), cur.pa == keep.v, "left_semi")
             .join(F.broadcast(keep), F.col("pb") == keep.v, "left_semi")
-            .localCheckpoint()
         )
-        deg = (
-            _sym(cur).groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        deg = _deg(cur)
+        rows.append(
+            _round_row(r, keep.agg(F.count(F.lit(1)).alias("cnt")), deg)
         )
-        rounds.append((r, n_keep, cur.count()))
-    return spark.createDataFrame(
-        rounds, "round int, n_nodes bigint, n_edges bigint"
-    ).orderBy("round")
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("round")
 
 
 @register(
@@ -566,14 +585,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("v"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        rk = F.rank().over(
-            W.partitionBy("v").orderBy(F.col("c").desc())
-        )
+        # r9 optimization (guide §2.4): "most-frequent label, ties →
+        # smallest" was a rank window (exchange + SORT per round) then
+        # a re-aggregate; one hash aggregate computes the same winner —
+        # max of struct(c, -lbl) is lexicographic (max count, then max
+        # of -lbl = MIN label), bit-identical to rank=1 + min(lbl).
+        # Saves a sort per round and map-side-combines the vote rollup.
         l = (
-            votes.withColumn("rk", rk)
-            .filter(F.col("rk") == 1)
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            votes.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("lbl")).alias("nl"),
+                    )
+                ).alias("m")
+            )
+            .select("v", (-F.col("m.nl")).alias("lbl"))
         )
     sizes = l.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
     return (
@@ -1303,14 +1331,19 @@ def graph_partition_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("v"), "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        rk = F.rank().over(
-            W.partitionBy("v").orderBy(F.col("cnt").desc())
-        )
+        # Same one-aggregate vote winner as graph_label_propagation
+        # (r9): max(struct(cnt, -lbl)) ≡ rank=1-by-count + min(lbl).
         l = (
-            votes.withColumn("rk", rk)
-            .filter(F.col("rk") == 1)
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            votes.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("cnt"),
+                        (-F.col("lbl")).alias("nl"),
+                    )
+                ).alias("m")
+            )
+            .select("v", (-F.col("m.nl")).alias("lbl"))
         )
     both = comp.join(l, "v").localCheckpoint()
     cell = both.groupBy("c", "lbl").agg(F.count(F.lit(1)).alias("k"))

@@ -1692,7 +1692,7 @@ def sim_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the query side first: the corpus parquet is one split, so
     # the nested-loop pair scan otherwise lands on ONE task and
     # serializes all |V|² dot products (measured 32 s → 3 s at sf0.1)
-    a = e.repartition(32).select(
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("ea")
     )
     b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))

@@ -842,9 +842,14 @@ def udf_edit_similarity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer is one small parquet split — without this the whole
     # candidate block lands on ONE Python worker; hashing on c_custkey
     # here is the window's own required distribution, so the window
-    # adds no second shuffle.
+    # adds no second shuffle (r9: partition count follows the session's
+    # shuffle-partition conf — a fixed 32 only matched the window's
+    # required distribution on a 32-core session; at any other core
+    # count it forced a second exchange).
     cand = (
-        c.repartition(32, "c_custkey")
+        c.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "c_custkey"
+        )
         .join(F.broadcast(s), s.s_nationkey == c.c_nationkey)
         .withColumn("sim", sim("c_name", "s_name"))
     )
