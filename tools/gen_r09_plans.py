@@ -13,7 +13,9 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# the repo root CONTAINING this script (not a hard-coded path), so the
+# tool can run from a historical worktree to capture true before-plans
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import datalakecrawler_spark as dlc  # noqa: E402
 import datalakecrawler_spark.io as io  # noqa: E402
