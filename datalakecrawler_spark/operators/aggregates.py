@@ -3705,17 +3705,17 @@ def part_brand_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
     )
+    # argmax aggregate ≡ row_number-over-(s desc, p_brand) + rk=1
+    # (r9, guide §2.3): min(struct(-s, p_brand)) map-side-combines, no
+    # per-(customer, period) sort. Customers grow with the data.
     fav = (
-        spend.withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("o_custkey", "period").orderBy(
-                    F.col("s").desc(), "p_brand"
-                )
-            ),
+        spend.groupBy("o_custkey", "period")
+        .agg(
+            F.min(
+                F.struct((-F.col("s")).alias("ns"), F.col("p_brand").alias("p_brand"))
+            ).alias("m")
         )
-        .filter(F.col("rk") == 1)
-        .select("o_custkey", "period", "p_brand")
+        .select("o_custkey", "period", F.col("m.p_brand").alias("p_brand"))
     )
     a = fav.filter(F.col("period") == "p1").select(
         "o_custkey", F.col("p_brand").alias("brand_p1")

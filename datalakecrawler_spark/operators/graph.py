@@ -1029,12 +1029,16 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("v"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        rk = F.rank().over(W.partitionBy("v").orderBy(F.col("c").desc()))
+        # same one-aggregate vote winner as graph_label_propagation
+        # (r9): max(struct(c, -lbl)) ≡ rank=1-by-count + min(lbl).
         l = (
-            votes.withColumn("rk", rk)
-            .filter(F.col("rk") == 1)
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            votes.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(F.col("c").alias("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select("v", (-F.col("m.nl")).alias("lbl"))
         )
     m2 = memoized_scalar(spark, ("graph.m2", sf_dir.rstrip("/")), sym.count)
     la = l.select(F.col("v").alias("sv"), F.col("lbl").alias("la"))
@@ -1604,12 +1608,20 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst").cast("string"),
             )
         )
-        w = W.partitionBy("walk").orderBy(coin.alias("coin"), F.col("dst"))
+        # argmin aggregate ≡ row_number-over-(coin, dst) + rn=1 (r9,
+        # guide §2.3): the pseudo-random neighbor pick is the MIN of
+        # (coin, dst) per walk — one hash aggregate with map-side
+        # partials instead of a per-walk sort of every (walk, neighbor)
+        # candidate row, once per step.
         cur = (
             cur.join(sym, cur.cur == sym.src)
-            .select("walk", "dst", F.row_number().over(w).alias("rn"))
-            .where(F.col("rn") == 1)
-            .select("walk", F.col("dst").alias("cur"))
+            .groupBy("walk")
+            .agg(
+                F.min(
+                    F.struct(coin.alias("coin"), F.col("dst").alias("dst"))
+                ).alias("m")
+            )
+            .select("walk", F.col("m.dst").alias("cur"))
         )
         frames.append(cur)
     allv = frames[0]

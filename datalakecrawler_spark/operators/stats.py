@@ -2931,13 +2931,14 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("a"),
     )
-    best = acf.select(
-        "lag",
-        "a",
-        F.row_number()
-        .over(W.orderBy(F.col("a").desc(), "lag"))
-        .alias("rk"),
-    ).filter(F.col("rk") == 1)
+    # argmax aggregate ≡ the former global row_number window + rk=1
+    # (r9, guide §2.3): min(struct(-a, lag)) — also drops the
+    # single-partition global window node entirely.
+    best = acf.agg(
+        F.min(F.struct((-F.col("a")).alias("na"), F.col("lag").alias("lag"))).alias(
+            "m"
+        )
+    ).select(F.col("m.lag").alias("lag"), (-F.col("m.na")).alias("a"))
     return best.select(
         F.col("lag").alias("dominant_period_days"),
         F.round("a", 6).alias("acf_at_peak"),

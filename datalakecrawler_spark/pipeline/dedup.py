@@ -1130,11 +1130,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "doc_id", "match_doc", jac.alias("jac")
     ).where(F.col("jac") >= _TAU)
-    w = W.partitionBy("doc_id").orderBy(F.col("jac").desc(), "match_doc")
+    # argmax aggregate ≡ row_number-over-(jac desc, match_doc) + rk=1
+    # (r9, guide §2.3): map-side partials, no per-doc sort.
     best = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("doc_id", "match_doc", F.round("jac", 6).alias("jaccard"))
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jac")).alias("nj"),
+                    F.col("match_doc").alias("match_doc"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.match_doc").alias("match_doc"),
+            F.round(-F.col("m.nj"), 6).alias("jaccard"),
+        )
     )
     return (
         d.where(F.col("doc_id") >= _INC_SPLIT)
@@ -1611,18 +1623,22 @@ def dedup_mixture_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family; counts exact; shifts are fixed-order
     differences of exact ratios."""
     d = load(spark, sf_dir, "documents")
-    keep = d.select(
-        "source",
-        F.row_number()
-        .over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
-        .alias("rk"),
-    )
     before = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_before")
     )
+    # keeper per content key = min doc_id (r9: one aggregate replaces
+    # the row_number-over-md5(text) window + rk=1 filter — guide §2.3;
+    # doc_id is unique, so min(struct(doc_id, source)) carries the
+    # keeper's source exactly).
     after = (
-        keep.filter(F.col("rk") == 1)
-        .groupBy("source")
+        d.select(F.md5("text").alias("k"), "doc_id", "source")
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.struct(F.col("doc_id").alias("doc_id"), F.col("source").alias("source"))
+            ).alias("m")
+        )
+        .groupBy(F.col("m.source").alias("source"))
         .agg(F.count(F.lit(1)).alias("n_after"))
     )
     tb = before.agg(F.sum("n_before").alias("tb"))

@@ -236,14 +236,32 @@ def _kmeans_cells_plan(
         cn = cents.select(
             "label", F.transform("cvec", lambda x: x / cnorm).alias("cvec")
         )
-        w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "label")
+        # argmax via one hash aggregate (r9, guide §2.3): the former
+        # row_number window shuffled + sorted all sample×nlist scored
+        # rows; min(struct(-csim, label, …)) is the same winner —
+        # min(-csim) = max csim, ties → min label — and partial
+        # (map-side) aggregation reduces to one row per vec_id BEFORE
+        # the exchange. Extra struct fields ride along untouched.
         assigned = (
             samp.crossJoin(F.broadcast(cn))
             .select(
                 "vec_id", "embedding", "label", dot("embedding", "cvec").alias("csim")
             )
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("csim")).alias("nsim"),
+                        F.col("label").alias("label"),
+                        F.col("embedding").alias("embedding"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "vec_id",
+                F.col("m.embedding").alias("embedding"),
+                F.col("m.label").alias("label"),
+            )
         )
         cents = (
             assigned.groupBy("label")
@@ -309,8 +327,13 @@ def _prune_candidates_for(
         F.transform("cvec", lambda x: x / cnorm).alias("cvec"),
     )
     clamp = lambda c: F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))  # noqa: E731
-    # 1. nearest-centroid assignment + angle to own centroid
-    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "c_label")
+    # 1. nearest-centroid assignment + angle to own centroid.
+    # argmax as one hash aggregate (r9, guide §2.3): min(struct(-csim,
+    # c_label, …)) ≡ the former row_number-over-(csim desc, c_label)
+    # window with rk=1, but partial aggregation shrinks the corpus ×
+    # nlist scored rows to one per vec_id BEFORE the exchange and no
+    # sort is needed — at 100 TB the shuffle carries N rows, not
+    # N·nlist. theta rides along (it is a row-local function of csim).
     assigned = (
         e.crossJoin(F.broadcast(cents_n))
         .select(
@@ -320,9 +343,23 @@ def _prune_candidates_for(
             F.acos(clamp(dot("embedding", "cvec"))).alias("theta"),
             dot("embedding", "cvec").alias("csim"),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("c_label").alias("bucket"), "theta")
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("csim")).alias("nsim"),
+                    F.col("c_label").alias("c_label"),
+                    F.col("theta").alias("theta"),
+                    F.col("embedding").alias("embedding"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.c_label").alias("bucket"),
+            F.col("m.theta").alias("theta"),
+        )
         # three consumers (radii, both join sides) — assign once
         .localCheckpoint()
     )
@@ -430,7 +467,8 @@ def _ivf_bucketed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _label_centroids(spark, sf_dir).select(
         F.col("label").alias("c_label"), "cvec"
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "c_label")
+    # argmax aggregate ≡ row_number-over-(csim desc, c_label) + rk=1
+    # (r9, guide §2.3 — map-side partials, no corpus×nlist shuffle/sort)
     return (
         e.crossJoin(F.broadcast(cents))
         .select(
@@ -439,9 +477,21 @@ def _ivf_bucketed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_label",
             F.round(dot("embedding", "cvec"), 6).alias("csim"),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("c_label").alias("bucket"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("csim")).alias("nsim"),
+                    F.col("c_label").alias("c_label"),
+                    F.col("embedding").alias("embedding"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.c_label").alias("bucket"),
+        )
     )
 
 
@@ -493,11 +543,24 @@ def cluster_assign_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_label"),
         F.round(dot("embedding", "cvec"), 6).alias("sim"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "c_label")
+    # argmax aggregate ≡ row_number-over-(sim desc, c_label) + rk=1
+    # (r9, guide §2.3)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "true_label", F.col("c_label").alias("assigned_label"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sim")).alias("nsim"),
+                    F.col("c_label").alias("c_label"),
+                    F.col("true_label").alias("true_label"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.true_label").alias("true_label"),
+            F.col("m.c_label").alias("assigned_label"),
+        )
     )
 
 
@@ -753,11 +816,26 @@ def _assign_step(e: DataFrame, cents: DataFrame) -> DataFrame:
         "c_label",
         F.round(dot("embedding", "cvec"), 6).alias("sim"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "c_label")
+    # argmax aggregate ≡ row_number-over-(sim desc, c_label) + rk=1
+    # (r9, guide §2.3): map-side partials collapse the corpus×k scored
+    # rows to one per vec_id before the exchange; no sort.
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("c_label").alias("assigned"), "sim")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sim")).alias("nsim"),
+                    F.col("c_label").alias("c_label"),
+                    F.col("embedding").alias("embedding"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.c_label").alias("assigned"),
+            (-F.col("m.nsim")).alias("sim"),
+        )
     )
 
 
@@ -965,13 +1043,19 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v.cast("double"),
     )
-    enc_w = W.partitionBy("vec_id", "m").orderBy("d2", "code")
+    # argmin aggregate ≡ row_number-over-(d2, code) + rk=1 (r9, guide
+    # §2.3): nearest PQ anchor per (vector, subspace) via one hash
+    # aggregate — map-side partials, no sort of the ×16-anchor fanout.
     codes = (
         sub.join(F.broadcast(anchors), "m")
         .select("vec_id", "m", "code", l2("sub", "avec").alias("d2"))
-        .withColumn("rk", F.row_number().over(enc_w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "m", "code")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(F.col("d2").alias("d2"), F.col("code").alias("code"))
+            ).alias("mm")
+        )
+        .select("vec_id", "m", F.col("mm.code").alias("code"))
     )
     q = e.where(F.col("vec_id") == 0).select(
         F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),

@@ -511,16 +511,23 @@ def sim_1nn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.label").alias("lb"),
         dot12.alias("dot12"),
     )
-    nn = pairs.select(
-        "qa",
-        "la",
-        "lb",
-        F.row_number()
-        .over(
-            W.partitionBy("qa").orderBy(F.col("dot12").desc(), "qb")
+    # argmax aggregate ≡ row_number-over-(dot12 desc, qb) + rk=1 (r9,
+    # guide §2.3): one hash aggregate with map-side partials instead of
+    # sorting every candidate pair per query vector.
+    nn = (
+        pairs.groupBy("qa")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("dot12")).alias("nd"),
+                    F.col("qb").alias("qb"),
+                    F.col("la").alias("la"),
+                    F.col("lb").alias("lb"),
+                )
+            ).alias("m")
         )
-        .alias("rk"),
-    ).filter(F.col("rk") == 1)
+        .select("qa", F.col("m.la").alias("la"), F.col("m.lb").alias("lb"))
+    )
     return (
         nn.groupBy(F.col("la").alias("label"))
         .agg(
