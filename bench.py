@@ -9,7 +9,14 @@ Protocol mirrors BASELINE.md: per query, one cold run then 3+ warm
 re-executions of the prepared plan; report min warm; `value` is the
 warm suite total, which is what the 2× criterion tracks (per-query JVM
 overhead cannot amortize inside a 10 ms query — BASELINE.md "How the
-2× criterion is applied"). Three companion totals are stamped:
+2× criterion is applied"). Since r10 the whole suite runs
+N_SUITE_PASSES times in one process and `queries`/`replan_queries`
+carry per-query minima across passes (pass-1-only numbers are kept as
+`queries_pass1`/`replan_queries_pass1`), and the payload stamps the
+run's /proc/stat steal share — this box's hypervisor steals CPU in
+multi-second windows that loadavg cannot see (VERDICT r9 #3), and the
+cross-pass minimum is what makes one contended window unable to own
+the reported numbers. Three companion totals are stamped:
 `replan_total_sec` (a second plan construction per query — Python
 build + Catalyst analyze/optimize/physical — gated against a 20 s
 budget), `cold_exec_total_sec` (executing that fresh plan instance,
@@ -106,6 +113,22 @@ def main() -> None:
         except Exception:
             return None
 
+    def _cpu_jiffies() -> tuple[int, int] | None:
+        """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+        Steal is field 8 (0-indexed col 8 after the 'cpu' tag) — time the
+        hypervisor ran someone else while this guest was runnable. The
+        r9 postmortem (VERDICT r9 'What's wrong' #3) showed ~35 % steal
+        with guest loadavg < 0.5: loadavg-based trust alone cannot see
+        the host's dominant noise source, so the payload now carries the
+        start→end steal share of the run itself."""
+        try:
+            parts = open("/proc/stat").readline().split()
+            vals = [int(x) for x in parts[1:]]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+        except Exception:
+            return None
+
     # stamp BEFORE the suite runs: bench itself drives 32 threads, so a
     # post-run reading mostly measures bench's own footprint, not the
     # external background load the noise protocol gates on.
@@ -117,6 +140,7 @@ def main() -> None:
     # does, runs anyway but stamps trusted=false so a loaded run can
     # never masquerade as a clean number.
     TRUST_LOAD = 1.5
+    jiffies_start = _cpu_jiffies()
     load_start = _load()
     waited = 0
     while load_start is not None and load_start >= TRUST_LOAD and waited < 120:
@@ -141,6 +165,7 @@ def main() -> None:
 
     control_df = None
     control_before = None
+    prepared: dict = {}  # name -> prepared plan, for the extra suite passes
     for name in names:
         # prepared-statement protocol: build/analyze the plan once, time
         # the re-execution (BASELINE's DuckDB warm runs similarly re-run
@@ -149,6 +174,7 @@ def main() -> None:
         # with the build harness (~2 load floor), and min-of-N is the
         # standard way to report the query's own cost, not the noise.
         df = qs[name](spark, sf_dir)
+        prepared[name] = df
         df.collect()  # cold run: analysis + codegen + cache warm-up
         reps = _warm_reps(df)
         # Noise re-probe (VERDICT r7 §3): a contended box inflates even
@@ -197,6 +223,40 @@ def main() -> None:
         fresh.collect()
         cold_exec_times[name] = round(time.perf_counter() - t0, 4)
 
+    # Multi-pass minima (VERDICT r9 'Next round' #2): this host's
+    # hypervisor steals CPU in multi-second windows that a single
+    # suite pass — even with min-of-3 back-to-back reps per query —
+    # sits entirely inside (r9: four same-tree runs spanned 2.01–5.46 s
+    # warm total). Re-running the WHOLE suite ≥2 more times spreads
+    # each query's reps across minutes, so a steal window can inflate
+    # one pass's numbers but not the per-query minimum across passes.
+    # Pass 1 above is the unchanged original methodology (cold run,
+    # 3+ warm reps, replan, cold-exec, control probe); the extra
+    # passes only add warm re-executions and fresh replans of the
+    # same prepared plans, and the pass-1 numbers are kept in the
+    # payload (queries_pass1 / replan_queries_pass1) so every round's
+    # bench remains comparable to the old single-pass protocol.
+    N_SUITE_PASSES = 3
+    times_pass1 = dict(times)
+    replan_pass1 = dict(replan_times)
+    for _pass in range(2, N_SUITE_PASSES + 1):
+        for name in names:
+            reps = _warm_reps(prepared[name])
+            if min(reps) > 0 and (max(reps) - min(reps)) / min(reps) > 0.75:
+                reps += _warm_reps(prepared[name])
+            if min(reps) < times[name]:
+                times[name] = round(min(reps), 4)
+            t0 = time.perf_counter()
+            fresh = qs[name](spark, sf_dir)
+            qe = fresh._jdf.queryExecution()
+            qe.analyzed()
+            qe.optimizedPlan()
+            qe.executedPlan()
+            replan_rep = round(time.perf_counter() - t0, 4)
+            if replan_rep < replan_times[name]:
+                replan_times[name] = replan_rep
+    replan_total = sum(replan_times.values())
+
     total = round(sum(times.values()), 4)
     cold_exec_total = round(sum(cold_exec_times.values()), 4)
     # Replan budget (VERDICT r6 "Next round" §5): cold-plan cost grows
@@ -216,6 +276,17 @@ def main() -> None:
     # (bench's own threads inflate it too — interpret loosely).
     load_1min = load_start
     load_end = _load()
+    # steal share of the whole run (start→end, all-CPU): the dominant
+    # noise source on this box, invisible to loadavg (r9 postmortem).
+    jiffies_end = _cpu_jiffies()
+    steal_pct = None
+    if jiffies_start is not None and jiffies_end is not None:
+        dtot = jiffies_end[1] - jiffies_start[1]
+        if dtot > 0:
+            steal_pct = round(
+                100.0 * (jiffies_end[0] - jiffies_start[0]) / dtot, 2
+            )
+    STEAL_PCT_MAX = 10.0
     # Trust stamp, tightened (VERDICT r7 §3): r7's official run started
     # at load 1.33 (→ trusted) but ended at 7.67 — external contention
     # arrived mid-run and inflated 26/32 warm numbers, and the stamp
@@ -243,6 +314,7 @@ def main() -> None:
         trusted
         and (control_drift is None or control_drift <= CONTROL_DRIFT_MAX)
         and len(noisy) <= len(names) // 4
+        and (steal_pct is None or steal_pct <= STEAL_PCT_MAX)
     )
     ratios = {
         n: round(times[n] / (BASELINE_WARM_MS[n] / 1000), 2)
@@ -262,6 +334,16 @@ def main() -> None:
                 "replan_budget_sec": REPLAN_BUDGET_SEC,
                 "replan_within_budget": replan_ok,
                 "replan_queries": replan_times,
+                "n_suite_passes": N_SUITE_PASSES,
+                "queries_pass1": times_pass1,
+                "replan_queries_pass1": replan_pass1,
+                "pass_protocol": (
+                    "queries/replan_queries are per-query minima across "
+                    "n_suite_passes full suite passes in one process "
+                    "(pass 1 = the original cold+3-warm-rep protocol, "
+                    "kept verbatim in *_pass1); multi-second host-steal "
+                    "windows inflate one pass, not the cross-pass min"
+                ),
                 "replan_measures": (
                     "python build + catalyst analyze/optimize/physical "
                     "per fresh plan instance; execution of the fresh "
@@ -277,6 +359,8 @@ def main() -> None:
                 else None,
                 "load_1min": load_1min,
                 "load_1min_end": load_end,
+                "steal_pct": steal_pct,
+                "steal_pct_max": STEAL_PCT_MAX,
                 "trusted": trusted,
                 "trust_load_threshold": TRUST_LOAD,
                 "control_query": names[0] if names else None,
@@ -329,6 +413,8 @@ def main() -> None:
         "suite_ratio_vs_baseline": payload["suite_ratio_vs_baseline"],
         "load_1min": load_1min,
         "load_end": load_end,
+        "steal_pct": steal_pct,
+        "n_passes": N_SUITE_PASSES,
         "control_drift": control_drift,
         "trusted": trusted,
         "worst3_vs_baseline": worst3,

@@ -855,10 +855,17 @@ def crawl_convert_feasibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "19700101000000002", op="upsert",
     )
     feas = convert_feasibility(spark, lake)
-    counts = {
-        name: _read(spark, path, fmt).count()
-        for name, path, fmt in discover(lake)
-    }
+    # r10 (guide §1.2): all seven per-table row counts in ONE action —
+    # the native readers resolve their file lists at build time, so
+    # the counts fuse into a single multi-aggregate job whose
+    # independent stages AQE materializes concurrently (the dry-run
+    # probes above are driver-side metadata walks with no Spark jobs;
+    # the counts were the op's serial Spark tail).
+    from datalakecrawler_spark.io import multi_count
+
+    tables = list(discover(lake))
+    ns = multi_count(*[_read(spark, path, fmt) for _name, path, fmt in tables])
+    counts = {name: n for (name, _p, _f), n in zip(tables, ns)}
     rows = [
         Row(num_rows=counts[r["dataset"]], **r)
         for r in sorted(feas, key=lambda r: r["dataset"])
@@ -922,24 +929,35 @@ def crawl_incremental_lakehouse(
     previous run (lakehouse_cursors) as ``prev``."""
     cur = lakehouse_cursors(root)
     prev = prev or {}
-    out = []
-    for name in sorted(cur):
-        c = cur[name]
-        changed = (
-            name not in prev or prev[name].get("cursor") != c["cursor"]
+    changed_names = [
+        name
+        for name in sorted(cur)
+        if name not in prev or prev[name].get("cursor") != cur[name]["cursor"]
+    ]
+    # r10 (guide §1.2): re-profile every changed table in ONE
+    # multi-aggregate action instead of one count job per table
+    from datalakecrawler_spark.io import multi_count
+
+    ns = (
+        multi_count(
+            *[
+                _read(spark, cur[n]["path"], cur[n]["format"])
+                for n in changed_names
+            ]
         )
-        n_rows = None
-        if changed:
-            n_rows = _read(spark, c["path"], c["format"]).count()
-        out.append(
-            {
-                "dataset": name,
-                "format": c["format"],
-                "changed": changed,
-                "n_rows": n_rows,
-            }
-        )
-    return out
+        if changed_names
+        else []
+    )
+    n_by_name = dict(zip(changed_names, ns))
+    return [
+        {
+            "dataset": name,
+            "format": cur[name]["format"],
+            "changed": name in n_by_name,
+            "n_rows": n_by_name.get(name),
+        }
+        for name in sorted(cur)
+    ]
 
 
 @register(

@@ -61,6 +61,68 @@ from datalakecrawler_spark import memo as _memo
 _LAYOUTS: list = []  # [(applicationId, frozenset(rdd_ids)), ...] FIFO
 _KEEP_LAYOUTS = 16
 
+# Memoized layouts (r10, VERDICT r9 'Next round' #6): a distrank call
+# does two build-time Spark actions — the layout localCheckpoint and
+# the offset collect — so every FRESH PLAN BUILD of a distrank-backed
+# query re-pays them (bench replan profile: events_power_user_curve
+# ~0.47 s/plan, almost all of it these two actions). When the caller's
+# input frame is a deterministic function of the immutable fixture
+# snapshot (same contract as memo.memoized_scalar's catalog
+# statistics), the frozen layout AND its collected offsets can be
+# memoized per (applicationId, caller key): a real engine would serve
+# both from a materialized sorted projection + catalog stats. The
+# offsets are stored WITH the layout entry (never recomputed against a
+# rebuilt layout, whose range boundaries need not reproduce), and
+# eviction releases both together via the same persistent-RDD-id
+# discipline as memo.memoized_checkpoint.
+_RANK_MEMO: dict = {}  # (app, memo_key) -> [part_df, rdd_ids, {stats}]
+_RANK_KEEP = 8
+
+
+def _memoized_layout(df: DataFrame, order_cols: list, memo_key) -> list:
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    app = sc.applicationId
+    npart = _npart(spark)
+    key = (app, memo_key, npart)
+    with _memo._LOCK:
+        hit = _RANK_MEMO.get(key)
+        if hit is not None:
+            return hit
+        try:
+            before = _memo._persistent_rdd_ids(sc)
+        except Exception:
+            before = None
+        part = (
+            df.repartitionByRange(npart, *order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        new_ids: set = set()
+        if before is not None:
+            try:
+                new_ids = _memo._persistent_rdd_ids(sc) - before - _memo._CLAIMED
+            except Exception:
+                new_ids = set()
+        _memo._CLAIMED.update(new_ids)
+        entry = [part, new_ids, {}]
+        _RANK_MEMO[key] = entry
+        # evict dead apps, then oldest beyond the keep window
+        dead = [k for k in _RANK_MEMO if k[0] != app]
+        for k in dead:
+            _e = _RANK_MEMO.pop(k)
+            _memo._CLAIMED.difference_update(_e[1])
+        mine = [k for k in _RANK_MEMO if k[0] == app]
+        while len(mine) > _RANK_KEEP:
+            victim = mine.pop(0)
+            _e = _RANK_MEMO.pop(victim)
+            _memo._CLAIMED.difference_update(_e[1])
+            try:
+                _memo._unpersist_ids(sc, _e[1])
+            except Exception:
+                pass
+        return entry
+
 
 def _register_layout(sc, rdd_ids: set) -> None:
     _memo._CLAIMED.update(rdd_ids)
@@ -82,6 +144,15 @@ def _register_layout(sc, rdd_ids: set) -> None:
             pass  # best-effort: the FIFO stays bounded regardless
 
 
+def _npart(spark: SparkSession) -> int:
+    """Session shuffle-partition count with a safe fallback (ADVICE
+    r9: some AQE platforms hold a non-numeric value like "auto")."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", ""))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _with_partition_layout(df: DataFrame, order_cols: list) -> DataFrame:
     """Range-partition by the order key, stamp the partition id, and
     freeze the layout (see module doc). The partition count follows
@@ -90,9 +161,7 @@ def _with_partition_layout(df: DataFrame, order_cols: list) -> DataFrame:
     config carries the right width; the offset collect stays
     #partitions-sized either way). The checkpointed blocks are
     tracked in the bounded per-app layout FIFO above."""
-    npart = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    npart = _npart(df.sparkSession)
     sc = df.sparkSession.sparkContext
     with _memo._LOCK:
         try:
@@ -122,17 +191,39 @@ def with_global_row_number(
     order_cols: list,
     out: str = "rn",
     with_total: str | None = None,
+    memo_key=None,
 ) -> DataFrame:
     """Exact global ``row_number() over (order by *order_cols)`` as a
     distributed plan. ``order_cols`` must be tie-free. When
     ``with_total`` is given, a column holding the total row count is
     added too (free — it is the last partition offset), replacing the
-    ``count().over(Window.partitionBy())`` global-window idiom."""
-    part = _with_partition_layout(df, order_cols)
-    sizes = {
-        r["__pid"]: r["n"]
-        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    ``count().over(Window.partitionBy())`` global-window idiom.
+    ``memo_key`` (only for inputs that are deterministic functions of
+    an immutable fixture snapshot — include the sf_dir) memoizes the
+    frozen layout and its offset collect per application, so repeated
+    plan builds of the same registered query skip both build-time
+    actions (see _RANK_MEMO)."""
+    if memo_key is not None:
+        entry = _memoized_layout(df, order_cols, memo_key)
+        part = entry[0]
+        sizes = entry[2].get("sizes")
+        if sizes is None:
+            sizes = {
+                r["__pid"]: r["n"]
+                for r in part.groupBy("__pid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            with _memo._LOCK:
+                entry[2].setdefault("sizes", sizes)
+    else:
+        part = _with_partition_layout(df, order_cols)
+        sizes = {
+            r["__pid"]: r["n"]
+            for r in part.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     offs, acc = [], 0
     for pid in sorted(sizes):
         offs.append((pid, acc))
@@ -161,6 +252,7 @@ def with_global_cumsum(
     rows_total: str | None = None,
     extra: list | None = None,
     extra_totals: list | None = None,
+    memo_key=None,
 ) -> DataFrame:
     """Exact global ``sum(val) over (order by *order_cols rows
     unbounded preceding [and -1])`` as a distributed plan. ``val_col``
@@ -184,14 +276,29 @@ def with_global_cumsum(
     ``with_total``)."""
     extra = extra or []
     pairs = [(val_col, out)] + list(extra)
-    part = _with_partition_layout(df, order_cols)
-    aggs = [F.sum(v).alias(f"__s{i}") for i, (v, _) in enumerate(pairs)]
-    stats = {
-        r["__pid"]: ([r[f"__s{i}"] for i in range(len(pairs))], r["__c"])
-        for r in part.groupBy("__pid")
-        .agg(*aggs, F.count(F.lit(1)).alias("__c"))
-        .collect()
-    }
+
+    def _collect_stats(part):
+        aggs = [F.sum(v).alias(f"__s{i}") for i, (v, _) in enumerate(pairs)]
+        return {
+            r["__pid"]: ([r[f"__s{i}"] for i in range(len(pairs))], r["__c"])
+            for r in part.groupBy("__pid")
+            .agg(*aggs, F.count(F.lit(1)).alias("__c"))
+            .collect()
+        }
+
+    if memo_key is not None:
+        # memoized layout + offsets (see with_global_row_number doc)
+        entry = _memoized_layout(df, order_cols, memo_key)
+        part = entry[0]
+        stats_key = ("cumsum",) + tuple(str(v) for v, _ in pairs)
+        stats = entry[2].get(stats_key)
+        if stats is None:
+            stats = _collect_stats(part)
+            with _memo._LOCK:
+                entry[2].setdefault(stats_key, stats)
+    else:
+        part = _with_partition_layout(df, order_cols)
+        stats = _collect_stats(part)
     offs, accs, nacc = [], [0] * len(pairs), 0
     for pid in sorted(stats):
         offs.append((pid, *accs, nacc))

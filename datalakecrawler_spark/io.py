@@ -71,6 +71,23 @@ def row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     )
 
 
+def multi_count(*dfs: DataFrame) -> list[int]:
+    """Count several DataFrames in ONE Spark action (r10, guide §1.2:
+    collapse per-op assertion counts into a single multi-aggregate
+    job). Each frame reduces to a 1-row count aggregate; the
+    cross-join of 1-row frames is scalar-subquery-shaped (bounded, no
+    data-proportional cartesian). One ``first()`` drives the whole
+    tree: AQE materializes the independent aggregates as concurrent
+    stages, so the wall cost is ~max of the counts instead of their
+    sum across separate driver actions."""
+    agg = None
+    for i, df in enumerate(dfs):
+        c = df.agg(F.count(F.lit(1)).alias(f"__c{i}"))
+        agg = c if agg is None else agg.crossJoin(c)
+    row = agg.first()
+    return [row[f"__c{i}"] for i in range(len(dfs))]
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)

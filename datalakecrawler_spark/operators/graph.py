@@ -501,7 +501,15 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = e
     deg = _deg(cur)
     rows = [_round_row(0, deg.agg(F.count(F.lit(1)).alias("cnt")), deg)]
-    for r in range(1, 4):
+    # ADVICE r9: the single-plan unroll inflates the physical plan
+    # super-linearly with depth (3 rounds ≈ 13.8k plan lines, bounded
+    # only because ReusedExchange dedupes the identical subtrees). The
+    # round count is part of the query contract and MUST stay small;
+    # if it is ever raised past ~4, switch back to a per-round
+    # localCheckpoint loop instead of deepening this plan.
+    _KCORE_ROUNDS = 3
+    assert _KCORE_ROUNDS <= 4, "unroll depth is plan-size-bounded"
+    for r in range(1, _KCORE_ROUNDS + 1):
         keep = deg.filter(F.col("d") >= 3).select(
             F.col("src").alias("v")
         )

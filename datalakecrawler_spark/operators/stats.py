@@ -2933,12 +2933,22 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # argmax aggregate ≡ the former global row_number window + rk=1
     # (r9, guide §2.3): min(struct(-a, lag)) — also drops the
-    # single-partition global window node entirely.
-    best = acf.agg(
-        F.min(F.struct((-F.col("a")).alias("na"), F.col("lag").alias("lag"))).alias(
-            "m"
+    # single-partition global window node entirely. ADVICE r9: a NULL
+    # acf (zero-variance lag) sorts FIRST in struct-min order whereas
+    # the old desc window put NULLs last, and a global agg over an
+    # empty frame emits one all-NULL row where the window emitted
+    # none — filter NULLs before and after to keep the window (and
+    # oracle NULLS-LAST/empty) semantics exactly.
+    best = (
+        acf.where(F.col("a").isNotNull())
+        .agg(
+            F.min(
+                F.struct((-F.col("a")).alias("na"), F.col("lag").alias("lag"))
+            ).alias("m")
         )
-    ).select(F.col("m.lag").alias("lag"), (-F.col("m.na")).alias("a"))
+        .select(F.col("m.lag").alias("lag"), (-F.col("m.na")).alias("a"))
+        .where(F.col("lag").isNotNull())
+    )
     return best.select(
         F.col("lag").alias("dominant_period_days"),
         F.round("a", 6).alias("acf_at_peak"),

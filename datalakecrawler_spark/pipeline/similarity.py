@@ -468,31 +468,37 @@ def _ivf_bucketed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("c_label"), "cvec"
     )
     # argmax aggregate ≡ row_number-over-(csim desc, c_label) + rk=1
-    # (r9, guide §2.3 — map-side partials, no corpus×nlist shuffle/sort)
-    return (
+    # (r9, guide §2.3 — map-side partials, no corpus×nlist shuffle/sort).
+    # r10 (VERDICT r9 #1): csim is round(·, 6), so the order packs into
+    # one bigint and a plain max() runs as HashAggregate (the r9
+    # struct-min planned as SortAggregate and carried the full vector
+    # through the map-side sort); the embedding re-attaches by the
+    # unique vec_id, as in _assign_step.
+    low = (
         e.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
-            "embedding",
-            "c_label",
-            F.round(dot("embedding", "cvec"), 6).alias("csim"),
+            (
+                F.round(F.round(dot("embedding", "cvec"), 6) * 1e6, 0)
+                .cast("long")
+                * F.lit(1 << 20).cast("long")
+                + (
+                    F.lit((1 << 20) - 1).cast("long")
+                    - F.col("c_label").cast("long")
+                )
+            ).alias("__k"),
         )
         .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("csim")).alias("nsim"),
-                    F.col("c_label").alias("c_label"),
-                    F.col("embedding").alias("embedding"),
-                )
-            ).alias("m")
-        )
+        .agg(F.max("__k").alias("__k"))
         .select(
             "vec_id",
-            F.col("m.embedding").alias("embedding"),
-            F.col("m.c_label").alias("bucket"),
+            (
+                F.lit((1 << 20) - 1).cast("long")
+                - F.pmod(F.col("__k"), F.lit(1 << 20).cast("long"))
+            ).cast("int").alias("bucket"),
         )
     )
+    return low.join(e, "vec_id").select("vec_id", "embedding", "bucket")
 
 
 _CENTROID_SQL = """
@@ -544,23 +550,34 @@ def cluster_assign_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot("embedding", "cvec"), 6).alias("sim"),
     )
     # argmax aggregate ≡ row_number-over-(sim desc, c_label) + rk=1
-    # (r9, guide §2.3)
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("sim")).alias("nsim"),
-                    F.col("c_label").alias("c_label"),
-                    F.col("true_label").alias("true_label"),
-                )
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            F.col("m.true_label").alias("true_label"),
-            F.col("m.c_label").alias("assigned_label"),
-        )
+    # (r9, guide §2.3). r10 (VERDICT r9 #1): the r9 min(struct(...))
+    # form planned as SortAggregate — Spark cannot hash-aggregate a
+    # struct min/max buffer — so the map side still sorted the full
+    # corpus×nlist fanout. sim is round(·, 6), i.e. an exact multiple
+    # of 1e-6 with |sim| ≤ 1, so (sim desc, c_label asc) bit-packs
+    # into ONE bigint: sim_int·2^40 + (2^20-1-c_label)·2^20 +
+    # true_label (true_label is constant within a vec_id group — one
+    # embedding row per vec_id — so it rides in the low bits without
+    # affecting the order; labels are quantizer/class ids < 2^20).
+    # max(bigint) is a plain hash-aggregable primitive buffer: the
+    # same winner, now with HashAggregate partials and no sort.
+    key = (
+        F.round(F.col("sim") * 1e6, 0).cast("long") * F.lit(1 << 40).cast("long")
+        + (F.lit((1 << 20) - 1).cast("long") - F.col("c_label").cast("long"))
+        * F.lit(1 << 20).cast("long")
+        + F.col("true_label").cast("long")
+    )
+    low = scored.select("vec_id", key.alias("__k")).groupBy("vec_id").agg(
+        F.max("__k").alias("__k")
+    )
+    r = F.pmod(F.col("__k"), F.lit(1 << 40).cast("long"))
+    return low.select(
+        "vec_id",
+        F.pmod(r, F.lit(1 << 20).cast("long")).cast("int").alias("true_label"),
+        (
+            F.lit((1 << 20) - 1).cast("long")
+            - F.shiftright(r, 20)
+        ).cast("int").alias("assigned_label"),
     )
 
 
@@ -809,40 +826,51 @@ _KMEANS_ORACLE = f"""
 
 def _assign_step(e: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd assignment: nearest centroid by rounded dot, label
-    tie-break. Centroids broadcast; corpus side shuffle-free."""
+    tie-break. Centroids broadcast; corpus side shuffle-free.
+
+    r10 (VERDICT r9 #1): the r9 min(struct(-sim, c_label, embedding))
+    form planned as SortAggregate — struct buffers are not
+    hash-aggregable — and every one of the corpus×k scored rows
+    carried the full 64-float embedding through the map-side sort.
+    sim is round(·, 6) (an exact multiple of 1e-6, |sim| ≤ 1), so the
+    (sim desc, c_label asc) order packs into one bigint:
+    sim_int·2^20 + (2^20-1 − c_label). max(bigint) keeps the identical
+    winner (c_label is unique per scored row within a vec_id group, so
+    keys never tie) with HashAggregate partials, no sort, and the
+    scored rows narrowed to (vec_id, key) — the embedding no longer
+    rides through the aggregation at all (the Lloyd update re-attaches
+    it by vec_id: _update_step). Decode is exact: sim_int = key >> 20
+    (arithmetic shift = floor division, low field is non-negative) and
+    sim_int/1e6 is the correctly-rounded double round(dot, 6) again."""
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        "embedding",
-        "c_label",
-        F.round(dot("embedding", "cvec"), 6).alias("sim"),
+        (
+            F.round(F.round(dot("embedding", "cvec"), 6) * 1e6, 0).cast("long")
+            * F.lit(1 << 20).cast("long")
+            + (F.lit((1 << 20) - 1).cast("long") - F.col("c_label").cast("long"))
+        ).alias("__k"),
     )
-    # argmax aggregate ≡ row_number-over-(sim desc, c_label) + rk=1
-    # (r9, guide §2.3): map-side partials collapse the corpus×k scored
-    # rows to one per vec_id before the exchange; no sort.
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("sim")).alias("nsim"),
-                    F.col("c_label").alias("c_label"),
-                    F.col("embedding").alias("embedding"),
-                )
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            F.col("m.embedding").alias("embedding"),
-            F.col("m.c_label").alias("assigned"),
-            (-F.col("m.nsim")).alias("sim"),
-        )
+    low = scored.groupBy("vec_id").agg(F.max("__k").alias("__k"))
+    return low.select(
+        "vec_id",
+        (
+            F.lit((1 << 20) - 1).cast("long")
+            - F.pmod(F.col("__k"), F.lit(1 << 20).cast("long"))
+        ).cast("int").alias("assigned"),
+        (F.shiftright(F.col("__k"), 20).cast("double") / 1e6).alias("sim"),
     )
 
 
-def _update_step(assigned: DataFrame) -> DataFrame:
+def _update_step(assigned: DataFrame, e: DataFrame) -> DataFrame:
     """One Lloyd update: per-cluster decimal-exact mean per position,
-    re-assembled into centroid arrays (same shape as _label_centroids)."""
-    flat = assigned.select("assigned", F.posexplode("embedding").alias("pos", "v"))
+    re-assembled into centroid arrays (same shape as _label_centroids).
+    ``assigned`` is the narrow (vec_id, assigned) frame from
+    _assign_step; the embedding is re-attached by the unique vec_id
+    (r10 — the assignment aggregate no longer carries the vector, so
+    its shuffle and aggregation buffers stay primitive)."""
+    flat = assigned.select("vec_id", "assigned").join(
+        e.select("vec_id", "embedding"), "vec_id"
+    ).select("assigned", F.posexplode("embedding").alias("pos", "v"))
     cent = flat.groupBy("assigned", "pos").agg(
         F.round(
             F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("v"),
@@ -874,7 +902,7 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("c_label"), "cvec"
     )
     a1 = _assign_step(e, cents)
-    cents1 = _update_step(a1)
+    cents1 = _update_step(a1, e)
     a2 = _assign_step(e, cents1)
     return a2.groupBy(F.col("assigned").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -1151,7 +1151,7 @@ def convert_iceberg_to_hudi(
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-from datalakecrawler_spark.io import load  # noqa: E402
+from datalakecrawler_spark.io import load, multi_count  # noqa: E402
 from datalakecrawler_spark.registry import SUM_D, dsum, register  # noqa: E402
 from datalakecrawler_spark.sources.scans import _tmp  # noqa: E402
 
@@ -1222,9 +1222,11 @@ def sink_delta_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame
     assert not copied, copied
     out = read_iceberg(spark, pi)
     pruned = read_iceberg(spark, pi, partition_filter={"o_orderstatus": "F"})
-    assert pruned.count() == src.where(
-        "o_orderstatus = 'F' and o_orderkey % 9 <> 4"
-    ).count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_pruned, n_src = multi_count(
+        pruned, src.where("o_orderstatus = 'F' and o_orderkey % 9 <> 4")
+    )
+    assert n_pruned == n_src
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
@@ -1283,9 +1285,11 @@ def sink_iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame
     assert _glob.glob(os.path.join(pd_, "deletion_vector_*.bin"))
     out = read_delta(spark, pd_)
     pruned = read_delta(spark, pd_, partition_filter={"o_orderstatus": "F"})
-    assert pruned.count() == src.where(
-        "o_orderstatus = 'F' and o_orderkey % 11 <> 6"
-    ).count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_pruned, n_src = multi_count(
+        pruned, src.where("o_orderstatus = 'F' and o_orderkey % 11 <> 6")
+    )
+    assert n_pruned == n_src
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
@@ -1337,9 +1341,12 @@ def sink_delta_iceberg_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = _read_metadata(pi)
     first = min(s["snapshot-id"] for s in meta["snapshots"])
-    assert read_iceberg(spark, pi, snapshot_id=first).count() == (
-        src.where("o_orderkey % 2 = 0").count()
-    ), "mirroring must preserve snapshot history"
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_first, n_half = multi_count(
+        read_iceberg(spark, pi, snapshot_id=first),
+        src.where("o_orderkey % 2 = 0"),
+    )
+    assert n_first == n_half, "mirroring must preserve snapshot history"
     out = read_iceberg(spark, pi)
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -1649,9 +1656,11 @@ def sink_delta_to_hudi_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             src.limit(1), ph, "o_orderkey", "99999999999999", op="upsert"
         )
     pruned = read_hudi(spark, ph, partition_path="o_orderpriority=1-URGENT")
-    assert pruned.count() == src.where(
-        "o_orderpriority = '1-URGENT'"
-    ).count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_pruned, n_src = multi_count(
+        pruned, src.where("o_orderpriority = '1-URGENT'")
+    )
+    assert n_pruned == n_src
     out = read_hudi(spark, ph)
     return out.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -1765,9 +1774,11 @@ def sink_delta_cm_to_iceberg_convert(
     out = read_iceberg(spark, pi)
     assert set(out.columns) == {"o_orderkey", "status", "o_totalprice"}
     pruned = read_iceberg(spark, pi, partition_filter={"status": "F"})
-    assert pruned.count() == src.where(
-        "o_orderstatus = 'F' and o_orderkey % 13 <> 5"
-    ).count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_pruned, n_src = multi_count(
+        pruned, src.where("o_orderstatus = 'F' and o_orderkey % 13 <> 5")
+    )
+    assert n_pruned == n_src
     return out.groupBy("status").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),

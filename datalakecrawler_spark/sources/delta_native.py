@@ -3352,7 +3352,7 @@ def delta_history(path: str) -> list[dict]:
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from datalakecrawler_spark.io import load  # noqa: E402
+from datalakecrawler_spark.io import load, multi_count  # noqa: E402
 from datalakecrawler_spark.registry import SUM_D, dsum, register  # noqa: E402
 from datalakecrawler_spark.sources.scans import _tmp  # noqa: E402
 
@@ -3807,8 +3807,11 @@ def scan_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_delta(spark, path, changes, "o_orderkey")
     write_delta(src.where(F.col("o_orderstatus") == "O"), path, "append")
     # snapshot readers must not see the cdc files
-    n_snap = read_delta(spark, path).count()
-    n_want = src.where(F.col("o_orderstatus").isin("F", "P", "O")).count()
+    # (r10: both counts in ONE action — guide §1.2)
+    n_snap, n_want = multi_count(
+        read_delta(spark, path),
+        src.where(F.col("o_orderstatus").isin("F", "P", "O")),
+    )
     assert n_snap == n_want, (n_snap, n_want)
     feed = read_delta_changes(spark, path, from_version=0)
     return feed.groupBy(
@@ -3969,8 +3972,12 @@ def sink_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = delta_history(path)
     assert hist[-1]["operation"] == "RESTORE"
     # the bad version stays time-travelable
-    n_bad = read_delta(spark, path, version=1).count()
-    assert n_bad == src.where(F.col("o_orderstatus") == "O").count()
+    # (r10: both counts in ONE action — guide §1.2)
+    n_bad, n_o = multi_count(
+        read_delta(spark, path, version=1),
+        src.where(F.col("o_orderstatus") == "O"),
+    )
+    assert n_bad == n_o
     return (
         read_delta(spark, path)
         .groupBy("o_orderstatus")
@@ -4165,8 +4172,11 @@ def sink_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) - len(glob.glob(os.path.join(path_dst, "_delta_log", "*.parquet")))
     assert n_copied == 0, n_copied
     write_delta(src.where(F.col("o_orderstatus") == "P"), path_dst, "append")
-    src_cnt = read_delta(spark, path_src).count()
-    assert src_cnt == src.where(F.col("o_orderstatus") == "F").count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    src_cnt, n_f = multi_count(
+        read_delta(spark, path_src), src.where(F.col("o_orderstatus") == "F")
+    )
+    assert src_cnt == n_f
     return read_delta(spark, path_dst).agg(
         F.lit(src_cnt).cast("long").alias("src_cnt"),
         F.lit(n_copied).cast("int").alias("files_copied"),
@@ -4349,8 +4359,15 @@ def sink_delta_clone_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = read_delta(
         spark, path_dst, partition_filter={"o_orderstatus": "F"}
     )
-    assert pruned.count() == src.where("o_orderstatus = 'F'").count()
-    assert read_delta(spark, path_src).count() == src.count()
+    # r10 (guide §1.2): all four assertion counts in ONE action/job
+    n_pruned, n_f, n_src_tbl, n_src = multi_count(
+        pruned,
+        src.where("o_orderstatus = 'F'"),
+        read_delta(spark, path_src),
+        src,
+    )
+    assert n_pruned == n_f
+    assert n_src_tbl == n_src
     return (
         read_delta(spark, path_dst)
         .groupBy("o_orderstatus")
@@ -4401,8 +4418,11 @@ def sink_delta_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert res["rows_updated"] > 0, res
     assert before <= set(glob.glob(os.path.join(path, "part-*.parquet")))
     ch = read_delta_changes(spark, path, from_version=0)
-    pre = ch.where("_change_type = 'update_preimage'").count()
-    post = ch.where("_change_type = 'update_postimage'").count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    pre, post = multi_count(
+        ch.where("_change_type = 'update_preimage'"),
+        ch.where("_change_type = 'update_postimage'"),
+    )
     assert pre == post == res["rows_updated"], (pre, post, res)
     return (
         read_delta(spark, path)
@@ -4754,9 +4774,16 @@ def sink_delta_clone_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   recursive=True)
     ) == src_files, "OPTIMIZE of the clone must not touch the source"
     pruned = read_delta(spark, path_dst, partition_filter={"o_orderstatus": "F"})
-    assert pruned.count() == src.where("o_orderstatus = 'F'").count()
+    # r10 (guide §1.2): all four assertion counts in ONE action/job;
     # time travel to the zero-copy version still works
-    assert read_delta(spark, path_dst, version=0).count() == src.count()
+    n_pruned, n_f, n_v0, n_src = multi_count(
+        pruned,
+        src.where("o_orderstatus = 'F'"),
+        read_delta(spark, path_dst, version=0),
+        src,
+    )
+    assert n_pruned == n_f
+    assert n_v0 == n_src
     return (
         read_delta(spark, path_dst)
         .groupBy("o_orderstatus")

@@ -1405,7 +1405,7 @@ def _read_hudi_mor(
 # Registered operators (group A extensions)
 # ---------------------------------------------------------------------------
 
-from datalakecrawler_spark.io import load  # noqa: E402
+from datalakecrawler_spark.io import load, multi_count  # noqa: E402
 from datalakecrawler_spark.registry import SUM_D, dsum, register  # noqa: E402
 from datalakecrawler_spark.sources.scans import _tmp  # noqa: E402
 
@@ -1989,7 +1989,6 @@ def sink_hudi_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         f for f in glob.glob(os.path.join(path, "*", "*.parquet"))
         if not f.startswith(os.path.join(path, "P") + os.sep)
     )
-    n_p = src.where(F.col("o_orderstatus") == "P").count()
     dels = src.where(F.col("o_orderstatus") == "P").select(
         "o_orderkey", "o_orderstatus"
     )
@@ -2011,10 +2010,18 @@ def sink_hudi_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stats in meta["partitionToWriteStats"].values()
         for s in stats
     )
+    # r10 (guide §1.2): all four assertion counts in ONE action — n_p
+    # is over the immutable source, so it folds with the post-delete
+    # probes; time travel: the pre-delete snapshot still has the P rows
+    n_p, n_src, n_t1, n_p_after = multi_count(
+        src.where(F.col("o_orderstatus") == "P"),
+        src,
+        read_hudi(spark, path, as_of=_T1),
+        read_hudi(spark, path).where(F.col("o_orderstatus") == "P"),
+    )
     assert n_del == n_p, (n_del, n_p)
-    # time travel: the pre-delete snapshot still has the P rows
-    assert read_hudi(spark, path, as_of=_T1).count() == src.count()
-    assert read_hudi(spark, path).where(F.col("o_orderstatus") == "P").count() == 0
+    assert n_t1 == n_src
+    assert n_p_after == 0
     return read_hudi(spark, path).agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
@@ -2063,7 +2070,9 @@ def sink_hudi_savepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert sp["n_pinned"] == 8, sp
     res1 = clean_hudi(path, _T4, retain_commits=1)
     assert res1["files_deleted"] == 0, res1  # savepoint pins everything
-    assert read_hudi(spark, path, as_of=_T1).count() == base.count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_t1, n_base = multi_count(read_hudi(spark, path, as_of=_T1), base)
+    assert n_t1 == n_base
     release_savepoint_hudi(path, _T3)
     res2 = clean_hudi(path, _T5, retain_commits=1)
     assert res2["files_deleted"] == 8, res2
@@ -2110,12 +2119,18 @@ def sink_hudi_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_orders.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey"),
         path, "o_orderkey", _T2, op="delete",
     )
-    ro_before = read_hudi(spark, path, view="read_optimized").count()
-    assert ro_before == f_orders.count()  # bases untouched pre-compaction
+    # r10 (guide §1.2): fold each before/after assertion pair into one
+    # action (two jobs total instead of four)
+    ro_before, n_f = multi_count(
+        read_hudi(spark, path, view="read_optimized"), f_orders
+    )
+    assert ro_before == n_f  # bases untouched pre-compaction
     compact_hudi_mor(spark, path, "19700101000000003")
     snap = read_hudi(spark, path)
-    ro_after = read_hudi(spark, path, view="read_optimized")
-    assert ro_after.count() == snap.count()
+    n_ro_after, n_snap = multi_count(
+        read_hudi(spark, path, view="read_optimized"), snap
+    )
+    assert n_ro_after == n_snap
     return snap.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.lit(ro_before).cast("long").alias("ro_cnt_before_compact"),

@@ -4974,7 +4974,7 @@ def add_deletion_vectors(spark: SparkSession, path: str, predicate) -> dict:
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from datalakecrawler_spark.io import load  # noqa: E402
+from datalakecrawler_spark.io import load, multi_count  # noqa: E402
 from datalakecrawler_spark.registry import SUM_D, dsum, register  # noqa: E402
 from datalakecrawler_spark.sources.scans import _tmp  # noqa: E402
 
@@ -5218,7 +5218,10 @@ def scan_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_files_before = sorted(
         glob.glob(os.path.join(path, "data", "[0-9]*.parquet"))
     )
-    n_before = read_iceberg(spark, path).count()
+    # pre resolves its (pre-delete) snapshot file list at BUILD time,
+    # so its count can ride the single fused assertion job below (r10,
+    # guide §1.2: three assertion actions → one)
+    pre = read_iceberg(spark, path)
     res = add_position_deletes(spark, path, "o_orderpriority = '1-URGENT'")
     assert res["deleted_rows"] > 0, res
     res2 = add_position_deletes(spark, path, "o_orderpriority = '1-URGENT'")
@@ -5228,9 +5231,12 @@ def scan_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         == data_files_before
     ), "positional delete must not rewrite data files"
     after = read_iceberg(spark, path)
-    assert after.count() == n_before - res["deleted_rows"]
+    n_after, n_before, n_s2 = multi_count(
+        after, pre, read_iceberg(spark, path, snapshot_id=s2)
+    )
+    assert n_after == n_before - res["deleted_rows"]
     # time travel: the pre-delete snapshot still serves every row
-    assert read_iceberg(spark, path, snapshot_id=s2).count() == n_before
+    assert n_s2 == n_before
     return after.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )
@@ -5267,8 +5273,12 @@ def scan_iceberg_v2_deletes_partitioned(spark: SparkSession, sf_dir: str) -> Dat
         "o_orderstatus = 'F' and o_orderpriority = '1-URGENT'",
     )
     assert res["deleted_rows"] > 0, res
-    n_p = read_iceberg(spark, path, partition_filter={"o_orderstatus": "P"}).count()
-    assert n_p == src.where(F.col("o_orderstatus") == "P").count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_p, n_src_p = multi_count(
+        read_iceberg(spark, path, partition_filter={"o_orderstatus": "P"}),
+        src.where(F.col("o_orderstatus") == "P"),
+    )
+    assert n_p == n_src_p
     return read_iceberg(
         spark, path, partition_filter={"o_orderstatus": "F"}
     ).agg(
@@ -5315,7 +5325,9 @@ def scan_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_files_before = sorted(
         glob.glob(os.path.join(path, "data", "[0-9]*.parquet"))
     )
-    n_f = read_iceberg(spark, path).count()
+    # pre-delete snapshot resolved at build time; counted in the fused
+    # assertion job at the end (r10, guide §1.2)
+    pre = read_iceberg(spark, path)
     res1 = add_equality_deletes(
         spark, path, src.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
     )
@@ -5332,7 +5344,9 @@ def scan_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "equality delete must not rewrite data files"
     )
     # time travel: the pre-delete snapshot still serves every F row
-    assert read_iceberg(spark, path, snapshot_id=s1).count() == n_f
+    # (r10: both counts in ONE action)
+    n_s1, n_f = multi_count(read_iceberg(spark, path, snapshot_id=s1), pre)
+    assert n_s1 == n_f
     return (
         read_iceberg(spark, path)
         .groupBy("o_orderstatus")
@@ -5616,9 +5630,12 @@ def sink_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert files_after == files_before
     assert [s["snapshot_id"] for s in iceberg_snapshots(path)] == [s1, s2]
     # the rolled-back-over snapshot is still readable by id
-    assert read_iceberg(spark, path, snapshot_id=s2).count() == src.where(
-        F.col("o_orderstatus") == "O"
-    ).count()
+    # (r10: both counts in ONE action — guide §1.2)
+    n_s2, n_o = multi_count(
+        read_iceberg(spark, path, snapshot_id=s2),
+        src.where(F.col("o_orderstatus") == "O"),
+    )
+    assert n_s2 == n_o
     return read_iceberg(spark, path).agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )
@@ -5721,11 +5738,15 @@ def sink_iceberg_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataF
     )
     assert files_before <= files_after  # nothing deleted from disk
     # time travel: snapshot 1 still serves every original row
-    assert read_iceberg(spark, path, snapshot_id=s1).count() == src.count()
-    n_p = read_iceberg(
-        spark, path, partition_filter={"o_orderstatus": "P"}
-    ).count()
-    assert n_p == repl.count()
+    # (r10: all four assertion counts in ONE action — guide §1.2)
+    n_s1, n_src, n_p, n_repl = multi_count(
+        read_iceberg(spark, path, snapshot_id=s1),
+        src,
+        read_iceberg(spark, path, partition_filter={"o_orderstatus": "P"}),
+        repl,
+    )
+    assert n_s1 == n_src
+    assert n_p == n_repl
     return (
         read_iceberg(spark, path)
         .groupBy("o_orderstatus")
@@ -5790,19 +5811,31 @@ def sink_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fresh(_tmp("orders_iceberg_wap"))
     src = load(spark, sf_dir, "orders")
     write_iceberg(src.where(F.col("o_orderstatus") == "F"), path, "overwrite")
-    n_f = read_iceberg(spark, path).count()
+    # each read_iceberg resolves its snapshot's file list at BUILD
+    # time, so all five assertion counts ride ONE fused job at the end
+    # (r10, guide §1.2: 5 driver actions → 1)
+    pre = read_iceberg(spark, path)
     write_iceberg(
         src.where(F.col("o_orderstatus") == "P"), path, "append",
         branch="audit",
     )
-    # staged: main unaffected, branch serves the candidate state
-    assert read_iceberg(spark, path).count() == n_f
-    n_staged = read_iceberg(spark, path, ref="audit").count()
-    assert n_staged == src.where(F.col("o_orderstatus").isin("F", "P")).count()
+    main_staged = read_iceberg(spark, path)
+    staged = read_iceberg(spark, path, ref="audit")
     res = fast_forward(path, "audit")
     assert res["previous"] != res["current"]
     drop_ref(path, "audit")
-    assert read_iceberg(spark, path).count() == n_staged
+    published = read_iceberg(spark, path)
+    n_f, n_main, n_staged, n_src_fp, n_pub = multi_count(
+        pre,
+        main_staged,
+        staged,
+        src.where(F.col("o_orderstatus").isin("F", "P")),
+        published,
+    )
+    # staged: main unaffected, branch serves the candidate state
+    assert n_main == n_f
+    assert n_staged == n_src_fp
+    assert n_pub == n_staged
     return (
         read_iceberg(spark, path)
         .groupBy("o_orderstatus")
@@ -5970,8 +6003,9 @@ def sink_iceberg_mixed_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["c_mktsegment", "bucket(4, c_custkey)"],
     )
     full = read_iceberg(spark, path)
-    cnt_all = full.count()
-    assert cnt_all == src.count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    cnt_all, n_src = multi_count(full, src)
+    assert cnt_all == n_src
     seg = src.agg(F.min("c_mktsegment")).first()[0]
     pruned = read_iceberg(spark, path, partition_filter={"c_mktsegment": seg})
     assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
@@ -6073,7 +6107,9 @@ def sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert res["keys_retracted"] > 0, res
     assert len(iceberg_snapshots(path)) == 2
     out = read_iceberg(spark, path)
-    assert out.count() == src.count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_out, n_src = multi_count(out, src)
+    assert n_out == n_src
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )
@@ -6440,7 +6476,9 @@ def sink_iceberg_upsert_partitioned(
         "partitioned upsert with spec-source keys must scope its deletes"
     )
     out = read_iceberg(spark, path)
-    assert out.count() == src.count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_out, n_src = multi_count(out, src)
+    assert n_out == n_src
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
     )
@@ -6484,8 +6522,12 @@ def scan_iceberg_v3_deletion_vectors(
     assert sorted(glob.glob(os.path.join(path, "data", "*.parquet"))) == (
         data_before
     ), "DV deletes must not rewrite data files"
-    n_overlap = src.where("o_orderkey % 7 = 3 and o_orderkey % 11 = 5").count()
-    n_second = src.where("o_orderkey % 11 = 5").count() - n_overlap
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_overlap, n_11 = multi_count(
+        src.where("o_orderkey % 7 = 3 and o_orderkey % 11 = 5"),
+        src.where("o_orderkey % 11 = 5"),
+    )
+    n_second = n_11 - n_overlap
     assert res2["rows_deleted"] == n_second, (res2, n_second)
     out = read_iceberg(spark, path)
     return out.groupBy("o_orderstatus").agg(
@@ -7778,9 +7820,14 @@ def sink_iceberg_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     n_files = len(_resolve_state(path, snap)[0])
     assert n_files == 3, n_files
-    assert read_iceberg(spark, path, snapshot_id=1).count() == (
-        src.where(F.col("o_orderkey") % 3 == 0).count()
-    ), "time travel to pre-compaction snapshots must survive"
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_s1, n_third = multi_count(
+        read_iceberg(spark, path, snapshot_id=1),
+        src.where(F.col("o_orderkey") % 3 == 0),
+    )
+    assert n_s1 == n_third, (
+        "time travel to pre-compaction snapshots must survive"
+    )
     out = read_iceberg(spark, path)
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datalakecrawler_spark.io import load
+from datalakecrawler_spark.io import load, multi_count
 from datalakecrawler_spark.registry import SUM_D, dsum, register
 
 _TMP_ROOT = os.path.join(
@@ -129,7 +129,8 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
     src.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
-    n_src, n_back = src.count(), back.count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_src, n_back = multi_count(src, back)
     assert n_src == n_back, f"round-trip lost rows: {n_src} != {n_back}"
     return back.select("o_orderkey", "o_custkey", "o_totalprice")
 
@@ -201,7 +202,9 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "nation")
     src.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
-    assert back.count() == src.count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_back, n_src = multi_count(back, src)
+    assert n_back == n_src
     return back.orderBy("n_nationkey")
 
 
@@ -278,7 +281,9 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(compacted)
     n_files_small = len([f for f in os.listdir(small) if f.endswith(".parquet")])
     n_files_comp = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
-    assert back.count() == src.count(), "compaction lost rows"
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_back, n_src = multi_count(back, src)
+    assert n_back == n_src, "compaction lost rows"
     assert n_files_comp < n_files_small, (n_files_comp, n_files_small)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -744,7 +749,8 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     src.write.mode("overwrite").json(path)
     back = spark.read.json(path)
-    n_src, n_back = src.count(), back.count()
+    # r10 (guide §1.2): both assertion counts in ONE action/job
+    n_src, n_back = multi_count(src, back)
     assert n_src == n_back, f"jsonl round-trip lost rows: {n_src} != {n_back}"
     return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
 
@@ -784,8 +790,10 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(f"{path}/data.csv")
         .cache()
     )
-    n_total = permissive.count()
-    n_corrupt = permissive.where(F.col("_corrupt").isNotNull()).count()
+    # r10 (guide §1.2): both counts in ONE action/job
+    n_total, n_corrupt = multi_count(
+        permissive, permissive.where(F.col("_corrupt").isNotNull())
+    )
     dropped = (
         spark.read.option("header", True)
         .option("mode", "DROPMALFORMED")
@@ -883,18 +891,24 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     src = load(spark, sf_dir, "documents")
-    n_src = src.count()
-    measured = {}
-    for codec in ("snappy", "zstd", "none"):
+    codecs = ("snappy", "zstd", "none")
+    sizes = {}
+    for codec in codecs:
         path = _tmp(f"docs_codec_{codec}")
         src.write.mode("overwrite").option("compression", codec).parquet(path)
-        n_back = spark.read.parquet(path).count()
-        nbytes = sum(
+        sizes[codec] = sum(
             os.path.getsize(os.path.join(path, f))
             for f in os.listdir(path)
             if f.endswith(".parquet")
         )
-        measured[codec] = (n_back, nbytes)
+    # r10 (guide §1.2): the source + three read-back counts in ONE
+    # action/job instead of four sequential driver actions
+    n_src, *n_backs = multi_count(
+        src, *[spark.read.parquet(_tmp(f"docs_codec_{c}")) for c in codecs]
+    )
+    measured = {
+        c: (n_back, sizes[c]) for c, n_back in zip(codecs, n_backs)
+    }
     rows = [
         (
             codec,

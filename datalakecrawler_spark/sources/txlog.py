@@ -30,7 +30,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalakecrawler_spark.io import load
+from datalakecrawler_spark.io import load, multi_count
 from datalakecrawler_spark.registry import register
 
 from datalakecrawler_spark.sources.scans import _TMP as _SCRATCH
@@ -71,11 +71,16 @@ def txlog_write(
     data_dir = os.path.join(base, f"v{version:05d}")
     df.write.mode("overwrite").parquet(data_dir)
     written = df.sparkSession.read.parquet(data_dir)
-    n_rows = written.count()
-    stats = {}
-    for c in stats_cols:
-        row = written.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
-        stats[c] = [row["lo"], row["hi"]]
+    # r10 (guide §1.2): row count + every column's min/max stats in ONE
+    # aggregate action instead of 1 + len(stats_cols) sequential jobs
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(stats_cols):
+        aggs += [F.min(c).alias(f"__lo{i}"), F.max(c).alias(f"__hi{i}")]
+    row = written.agg(*aggs).collect()[0]
+    n_rows = row["__n"]
+    stats = {
+        c: [row[f"__lo{i}"], row[f"__hi{i}"]] for i, c in enumerate(stats_cols)
+    }
     removes = active_dirs(base) if mode == "overwrite" else []
     manifest = {
         "version": version,
@@ -197,9 +202,9 @@ def sink_txlog_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog_write(o.where(yr == 1996), base, "append")
     txlog_write(o.where(yr == 1997), base, "overwrite")
     txlog_write(o.where(yr == 1998), base, "append")
-    counts = [
-        (v, txlog_snapshot(spark, base, v).count()) for v in range(4)
-    ]
+    # r10 (guide §1.2): all four snapshot counts in ONE action/job
+    ns = multi_count(*[txlog_snapshot(spark, base, v) for v in range(4)])
+    counts = list(zip(range(4), ns))
     return spark.createDataFrame(counts, "version int, n_rows long").orderBy(
         "version"
     )

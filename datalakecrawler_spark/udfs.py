@@ -846,10 +846,15 @@ def udf_edit_similarity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-partition conf — a fixed 32 only matched the window's
     # required distribution on a 32-core session; at any other core
     # count it forced a second exchange).
+    # ADVICE r9: the conf may hold a non-numeric value on AQE platforms
+    # ("auto") — fall back to defaultParallelism rather than raising;
+    # any keyed hashpartitioning satisfies the window's distribution.
+    try:
+        _nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", ""))
+    except (TypeError, ValueError):
+        _nshuf = spark.sparkContext.defaultParallelism
     cand = (
-        c.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "c_custkey"
-        )
+        c.repartition(_nshuf, "c_custkey")
         .join(F.broadcast(s), s.s_nationkey == c.c_nationkey)
         .withColumn("sim", sim("c_name", "s_name"))
     )
