@@ -199,3 +199,37 @@ def test_layout_storage_is_bounded_and_released(spark):
     )
     # evicted ids must also have left the cross-registry claim set
     assert not (evicted_ids & memo._CLAIMED)
+
+
+def test_memoized_layout_matches_and_skips_rebuild(spark):
+    """r10: with memo_key the layout + offset collect are memoized per
+    application — results stay bit-identical to the unmemoized path,
+    repeat builds hit the memo (no new checkpoint), and the offsets
+    are stored with the layout entry."""
+    from datalakecrawler_spark import distrank
+
+    df = _frame(spark)
+    key = ("test_distrank.memoized", "v1")
+    got1 = with_global_cumsum(
+        df, spark, ["k", "id"], "v", out="ci", inclusive=True,
+        with_total="tot", rn_out="rn", memo_key=key,
+    )
+    ref = with_global_cumsum(
+        df, spark, ["k", "id"], "v", out="ci", inclusive=True,
+        with_total="tot", rn_out="rn",
+    )
+    g = {r["id"]: (r["ci"], r["tot"], r["rn"]) for r in got1.collect()}
+    e = {r["id"]: (r["ci"], r["tot"], r["rn"]) for r in ref.collect()}
+    assert g == e
+    app = spark.sparkContext.applicationId
+    npart = distrank._npart(spark)
+    entry = distrank._RANK_MEMO[(app, key, npart)]
+    stats_before = dict(entry[2])
+    assert stats_before, "offsets must be cached with the layout"
+    got2 = with_global_cumsum(
+        df, spark, ["k", "id"], "v", out="ci", inclusive=True,
+        with_total="tot", rn_out="rn", memo_key=key,
+    )
+    assert distrank._RANK_MEMO[(app, key, npart)][0] is entry[0]
+    g2 = {r["id"]: (r["ci"], r["tot"], r["rn"]) for r in got2.collect()}
+    assert g2 == e
